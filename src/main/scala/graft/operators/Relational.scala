@@ -1,0 +1,619 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Core relational / lakehouse operators, re-expressed Spark-first.
+  *
+  * Each query mirrors a semantic pattern from the reference DLT
+  * pipelines (near/near-public-lakehouse); provenance is cited per
+  * method. Every query is deterministic (explicit ORDER BY with full
+  * tiebreaks) and float aggregates are rounded so the DuckDB oracle
+  * hash-matches bit-for-bit.
+  *
+  * Scale notes (100 TB): dims (region/nation/customer/supplier/part)
+  * are broadcast; fact-fact joins shuffle on their join key and rely
+  * on AQE for skew; windows shuffle once per key-partition spec.
+  */
+object Relational {
+
+  /** Filtered group-by aggregation (TPC-H Q1 shape).
+    * Reference pattern: silver gold rollups, e.g. gas/supply sums in
+    * src/lakehouse/notebooks/Aggregated Circulating Supply Pipeline.py:330-350.
+    * Scale: partial (map-side) aggregation then single shuffle on the
+    * tiny group key; shipdate filter is pushed to the parquet scan. */
+  def q01AggFilter(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | ROUND(SUM(l_quantity),4) AS sum_qty,
+      | ROUND(SUM(l_extendedprice),4) AS sum_base_price,
+      | ROUND(SUM(l_extendedprice*(1.0-l_discount)),4) AS sum_disc_price,
+      | ROUND(AVG(l_quantity),4) AS avg_qty,
+      | ROUND(AVG(l_discount),4) AS avg_disc,
+      | COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Projection + casts + timestamp-to-date derivation.
+    * Reference: silver_blocks enrichment — cast height/timestamp,
+    * derive block_date, carry hashes
+    * (Silver Lake Mainnet.sql:14-33). */
+  def q02ProjectEnrich(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(
+        col("o_orderkey").as("order_key"),
+        to_date(col("o_orderdate")).as("order_date"),
+        year(col("o_orderdate")).as("order_year"),
+        col("o_totalprice").cast("decimal(18,2)").as("total_price_dec"),
+        concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("status_priority"),
+        lower(col("o_orderpriority")).as("priority_lower"))
+      .orderBy("order_key")
+
+  val q02Sql: String =
+    """SELECT o_orderkey AS order_key,
+      | CAST(o_orderdate AS DATE) AS order_date,
+      | CAST(year(o_orderdate) AS INT) AS order_year,
+      | CAST(o_totalprice AS DECIMAL(18,2)) AS total_price_dec,
+      | o_orderstatus || '-' || o_orderpriority AS status_priority,
+      | lower(o_orderpriority) AS priority_lower
+      |FROM orders ORDER BY order_key""".stripMargin
+
+  /** Enrichment join: fact joined to broadcast dims.
+    * Reference: silver_chunks joining silver_blocks on block hash
+    * (Silver Lake Mainnet.sql:41-64).
+    * Scale: customer/nation are dimension tables — broadcast both so
+    * the fact side never shuffles. */
+  def q03JoinEnrich(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .select(
+        col("o_orderkey").as("order_key"),
+        col("c_name").as("customer_name"),
+        col("n_name").as("nation_name"),
+        round(col("o_totalprice"), 2).as("total_price"))
+      .orderBy("order_key")
+
+  val q03Sql: String =
+    """SELECT o_orderkey AS order_key, c_name AS customer_name,
+      | n_name AS nation_name, ROUND(o_totalprice,2) AS total_price
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |ORDER BY order_key""".stripMargin
+
+  /** Multi-way LEFT JOIN "view" over the fact chain.
+    * Reference: the `receipts` BQ view — receipt_details LEFT JOIN
+    * receipt_origin LEFT JOIN transactions LEFT JOIN
+    * execution_outcomes (BQ Writer Views & Data Dictionary.py:266-283).
+    * Scale: lineitem⋈orders is a fact-fact shuffle join on orderkey;
+    * customer/nation broadcast. */
+  def q04MultiwayLeftJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"), "left")
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"), "left")
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"), "left")
+      .select(
+        col("l_orderkey").as("order_key"),
+        col("l_linenumber").as("line_number"),
+        col("o_orderstatus").as("order_status"),
+        col("c_name").as("customer_name"),
+        col("n_name").as("nation_name"))
+      .orderBy("order_key", "line_number")
+
+  val q04Sql: String =
+    """SELECT l_orderkey AS order_key, l_linenumber AS line_number,
+      | o_orderstatus AS order_status, c_name AS customer_name, n_name AS nation_name
+      |FROM lineitem
+      |LEFT JOIN orders ON l_orderkey = o_orderkey
+      |LEFT JOIN customer ON o_custkey = c_custkey
+      |LEFT JOIN nation ON c_nationkey = n_nationkey
+      |ORDER BY order_key, line_number""".stripMargin
+
+  /** posexplode of an array with positional index.
+    * Reference: posexplode(c.chunk.transactions) / state_changes /
+    * receipts (Silver Lake Mainnet.sql:86-93,130-137). */
+  def q05ExplodePos(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(col("p_partkey"), posexplode(split(col("p_name"), " ")).as(Seq("word_pos", "word")))
+      .orderBy("p_partkey", "word_pos")
+
+  val q05Sql: String =
+    """SELECT p_partkey,
+      | CAST(unnest(range(len(string_split(p_name,' ')))) AS INT) AS word_pos,
+      | unnest(string_split(p_name,' ')) AS word
+      |FROM part ORDER BY p_partkey, word_pos""".stripMargin
+
+  /** JSON field extraction from a string column.
+    * Reference: pervasive from_json / `args:method_name` JSON-path
+    * extraction (Silver Lake Mainnet.sql:139-146, 256-263). */
+  def q06JsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("prop_k"),
+        from_json(col("props"), lit("k INT")).getField("k").as("prop_k_typed"))
+      .orderBy("event_id")
+
+  val q06Sql: String =
+    """SELECT event_id,
+      | CAST(props->>'k' AS INT) AS prop_k,
+      | CAST(props->>'k' AS INT) AS prop_k_typed
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** CASE-chain classification of a raw string into a kind enum.
+    * Reference: action_kind CASE mapping
+    * (Silver Lake Mainnet.sql:205-216). */
+  def q07ClassifyCase(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("event_kind",
+        when(col("event_type").isin("click", "view"), "ENGAGEMENT")
+          .when(col("event_type") === "purchase", "CONVERSION")
+          .when(col("event_type") === "signup", "ACQUISITION")
+          .when(col("event_type") === "error", "FAILURE")
+          .otherwise("UNKNOWN"))
+      .groupBy("event_kind")
+      .agg(
+        count(lit(1)).as("events_count"),
+        countDistinct(col("user_id")).as("distinct_users"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .orderBy("event_kind")
+
+  val q07Sql: String =
+    """SELECT CASE
+      |   WHEN event_type IN ('click','view') THEN 'ENGAGEMENT'
+      |   WHEN event_type = 'purchase' THEN 'CONVERSION'
+      |   WHEN event_type = 'signup' THEN 'ACQUISITION'
+      |   WHEN event_type = 'error' THEN 'FAILURE'
+      |   ELSE 'UNKNOWN' END AS event_kind,
+      | COUNT(*) AS events_count,
+      | COUNT(DISTINCT user_id) AS distinct_users,
+      | ROUND(SUM(value),4) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY event_kind""".stripMargin
+
+  /** SCD Type-1 latest-per-key via row_number.
+    * Reference: APPLY CHANGES ... SEQUENCE BY block_timestamp STORED
+    * AS SCD TYPE 1 (Silver Lake Mainnet - SCD tables.sql:10-44) and
+    * the `accounts` BQ view row_number()-desc dedup
+    * (BQ Writer Views & Data Dictionary.py:364-386).
+    * Scale: one shuffle on the key; at 100 TB prefer pre-bucketed
+    * state tables so the window reuses the bucketing. */
+  def q08LatestPerKey(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("user_id"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"),
+        round(col("value"), 4).as("last_value"))
+      .orderBy("user_id")
+  }
+
+  val q08Sql: String =
+    """SELECT user_id, event_id AS last_event_id,
+      | event_type AS last_event_type, ROUND(value,4) AS last_value
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** Daily count-distinct rollup.
+    * Reference: the README flagship query — daily unique signers per
+    * contract (README.md "How many unique users ... per day"). */
+  def q09DailyActive(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("event_date"))
+      .agg(
+        countDistinct(col("user_id")).as("active_users"),
+        count(lit(1)).as("events_count"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .orderBy("event_date")
+
+  val q09Sql: String =
+    """SELECT CAST(ts AS DATE) AS event_date,
+      | COUNT(DISTINCT user_id) AS active_users,
+      | COUNT(*) AS events_count,
+      | ROUND(SUM(value),4) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY event_date""".stripMargin
+
+  /** Epoch-style grouped min/max/count-distinct rollup.
+    * Reference: silver_epochs — GROUP BY epoch_id with MIN/MAX
+    * heights, COUNT DISTINCT authors
+    * (Epochs and validators Silver Pipeline.py:60-78). */
+  def q10EpochRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("order_month"))
+      .agg(
+        min(col("o_orderkey")).as("min_order_key"),
+        max(col("o_orderkey")).as("max_order_key"),
+        countDistinct(col("o_custkey")).as("distinct_customers"),
+        count(lit(1)).as("orders_count"),
+        round(sum(col("o_totalprice")), 2).as("sum_total_price"))
+      .orderBy("order_month")
+
+  val q10Sql: String =
+    """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+      | MIN(o_orderkey) AS min_order_key,
+      | MAX(o_orderkey) AS max_order_key,
+      | COUNT(DISTINCT o_custkey) AS distinct_customers,
+      | COUNT(*) AS orders_count,
+      | ROUND(SUM(o_totalprice),2) AS sum_total_price
+      |FROM orders GROUP BY 1 ORDER BY order_month""".stripMargin
+
+  /** Key + bounded-time-interval join.
+    * Reference: silver_action_function_call_methods joins receipts to
+    * outcomes on key AND a 1-day time bound
+    * (Silver Lake Mainnet - SCD tables.sql:96-118).
+    * Scale: equi-key dominates the join; the range predicate is a
+    * post-filter, so this stays a hash join, not a cartesian. */
+  def q11RangeJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .select(
+        col("l_orderkey").as("order_key"),
+        col("l_linenumber").as("line_number"),
+        col("l_shipdate").as("ship_date"),
+        col("o_orderdate").as("order_date"))
+      .orderBy("order_key", "line_number")
+
+  val q11Sql: String =
+    """SELECT l_orderkey AS order_key, l_linenumber AS line_number,
+      | l_shipdate AS ship_date, o_orderdate AS order_date
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      | AND l_shipdate >= o_orderdate
+      | AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+      |ORDER BY order_key, line_number""".stripMargin
+
+  /** Double-entry expansion: one input row conditionally becomes N
+    * output rows via inline(filter(array(struct(...)))).
+    * Reference: FT transfer events expand to mint/burn/transfer
+    * double-entry rows with exactly this idiom
+    * (Silver Lake Mainnet - FT and NFT events.py:63-69). */
+  def q12DoubleEntry(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(
+        col("l_orderkey").as("order_key"),
+        col("l_linenumber").as("line_number"),
+        inline(filter(array(
+          struct(
+            lit(1).as("keep"),
+            lit("charge").as("entry_kind"),
+            round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("amount")),
+          struct(
+            when(col("l_tax") > 0, 1).otherwise(0).as("keep"),
+            lit("tax").as("entry_kind"),
+            round(col("l_extendedprice") * col("l_tax"), 4).as("amount"))),
+          c => c.getField("keep") === 1)))
+      .drop("keep")
+      .orderBy("order_key", "line_number", "entry_kind")
+
+  val q12Sql: String =
+    """SELECT * FROM (
+      | SELECT l_orderkey AS order_key, l_linenumber AS line_number,
+      |  'charge' AS entry_kind,
+      |  ROUND(l_extendedprice*(1.0-l_discount),4) AS amount
+      | FROM lineitem
+      | UNION ALL
+      | SELECT l_orderkey, l_linenumber, 'tax',
+      |  ROUND(l_extendedprice*l_tax,4)
+      | FROM lineitem WHERE l_tax > 0)
+      |ORDER BY order_key, line_number, entry_kind""".stripMargin
+
+  /** Deterministic global event index via DECIMAL(38,0) arithmetic.
+    * Reference: calculate_event_index UDF — (ts*1e16 + shard*1e8 +
+    * type_idx*1e6 + row_number) as string
+    * (Silver Lake Mainnet - FT and NFT events.py:17-25).
+    * Spark-first: no UDF — pure Catalyst decimal arithmetic, fully
+    * codegen'd; row_number window provides the per-shard ordinal. */
+  def q13EventIndex(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w) - 1)
+      .withColumn("shard_id", col("user_id") % 100)
+      .select(
+        col("event_id"),
+        (unix_micros(col("ts")).cast("decimal(38,0)") * lit(100000000L)
+          + col("shard_id") * lit(1000000L) + col("rn"))
+          .cast("decimal(38,0)").cast("string").as("event_index"))
+      .orderBy("event_id")
+  }
+
+  val q13Sql: String =
+    """SELECT event_id,
+      | CAST(CAST(CAST(epoch_us(ts) AS DECIMAL(38,0)) * 100000000
+      |   + (user_id % 100) * 1000000 + rn AS DECIMAL(38,0)) AS VARCHAR) AS event_index
+      |FROM (
+      | SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS rn,
+      | FROM events)
+      |ORDER BY event_id""".stripMargin
+
+  /** Left-semi + left-anti joins.
+    * Reference: receipts that did / did not originate from a known
+    * transaction (silver_receipt_originated_from_transaction,
+    * Silver Lake Mainnet.sql:160-175). */
+  def q14SemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.customer(s, dir)
+    val orders = Tables.orders(s, dir)
+    val active = customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey").as("cust_key"), lit("active").as("segment_flag"))
+    val inactive = customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey").as("cust_key"), lit("inactive").as("segment_flag"))
+    active.unionAll(inactive).orderBy("cust_key")
+  }
+
+  val q14Sql: String =
+    """SELECT * FROM (
+      | SELECT c_custkey AS cust_key, 'active' AS segment_flag
+      | FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+      | UNION ALL
+      | SELECT c_custkey, 'inactive'
+      | FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
+      |ORDER BY cust_key""".stripMargin
+
+  /** Top-N per group via rank window.
+    * Reference: latest/top row selection per partition, e.g. the
+    * accounts view rn=1 pattern generalized
+    * (BQ Writer Views & Data Dictionary.py:375-380). */
+  def q15TopNPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(s, dir)
+      .withColumn("price_rank", row_number().over(w))
+      .filter(col("price_rank") <= 3)
+      .select(
+        col("p_brand").as("brand"),
+        col("price_rank"),
+        col("p_partkey").as("part_key"),
+        round(col("p_retailprice"), 2).as("retail_price"))
+      .orderBy("brand", "price_rank")
+  }
+
+  val q15Sql: String =
+    """SELECT p_brand AS brand, CAST(price_rank AS INT) AS price_rank,
+      | p_partkey AS part_key, ROUND(p_retailprice,2) AS retail_price
+      |FROM (
+      | SELECT *, row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS price_rank
+      | FROM part)
+      |WHERE price_rank <= 3 ORDER BY brand, price_rank""".stripMargin
+
+  /** String/codec functions: md5, substring, concat, lower, length.
+    * Reference: DeployContract code_sha256 derivation — lower(hex(
+    * unbase64(...))) and concat-built JSON
+    * (Silver Lake Mainnet.sql:219-236). */
+  def q16StringCodec(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        md5(col("text").cast("binary")).as("text_md5"),
+        substring(col("text"), 1, 16).as("text_prefix"),
+        lower(concat(col("lang"), lit(":"), col("source"))).as("lang_source"),
+        length(col("text")).as("text_len"),
+        upper(hex(col("doc_id"))).as("doc_id_hex"))
+      .orderBy("doc_id")
+
+  val q16Sql: String =
+    """SELECT doc_id,
+      | md5(text) AS text_md5,
+      | substring(text,1,16) AS text_prefix,
+      | lower(lang || ':' || source) AS lang_source,
+      | CAST(length(text) AS INT) AS text_len,
+      | upper(to_hex(doc_id)) AS doc_id_hex
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Pivot via conditional aggregation.
+    * Reference: validators direction CASE — STAKE/UNSTAKE/WITHDRAW
+    * buckets from one stream (Silver Lake Mainnet.sql:441-473). */
+  def q17ConditionalPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(when(col("event_type") === "click", 1)).as("clicks"),
+        count(when(col("event_type") === "view", 1)).as("views"),
+        count(when(col("event_type") === "purchase", 1)).as("purchases"),
+        round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)), 4).as("purchase_value"))
+      .orderBy("user_id")
+
+  val q17Sql: String =
+    """SELECT user_id,
+      | COUNT(CASE WHEN event_type='click' THEN 1 END) AS clicks,
+      | COUNT(CASE WHEN event_type='view' THEN 1 END) AS views,
+      | COUNT(CASE WHEN event_type='purchase' THEN 1 END) AS purchases,
+      | ROUND(SUM(CASE WHEN event_type='purchase' THEN value ELSE 0.0 END),4) AS purchase_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** ROLLUP hierarchical aggregate (region → nation → total).
+    * Reference: gold daily vs total supply aggregates
+    * (Aggregated Circulating Supply Pipeline.py:318-352). */
+  def q18Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      // rollup on the raw join attributes: aliasing before rollup trips
+      // Spark's DetectAmbiguousSelfJoin on the Expand-duplicated attrs
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        round(sum(col("o_totalprice")), 2).as("total_sales"),
+        count(lit(1)).as("orders_count"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region_name"),
+        coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+        col("total_sales"), col("orders_count"))
+      .orderBy("region_name", "nation_name")
+
+  val q18Sql: String =
+    """SELECT coalesce(region_name,'ALL') AS region_name,
+      | coalesce(nation_name,'ALL') AS nation_name,
+      | total_sales, orders_count
+      |FROM (
+      | SELECT r_name AS region_name, n_name AS nation_name,
+      |  ROUND(SUM(o_totalprice),2) AS total_sales,
+      |  COUNT(*) AS orders_count
+      | FROM orders
+      | JOIN customer ON o_custkey = c_custkey
+      | JOIN nation ON c_nationkey = n_nationkey
+      | JOIN region ON n_regionkey = r_regionkey
+      | GROUP BY ROLLUP(r_name, n_name))
+      |ORDER BY region_name, nation_name""".stripMargin
+
+  /** Sliding window-function aggregates over ordered rows per key.
+    * Reference: ROW_NUMBER ordering windows in FT/NFT event pipeline
+    * (Silver Lake Mainnet - FT and NFT events.py:70-75). */
+  def q19SlidingWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val w3 = w.rowsBetween(-2, Window.currentRow)
+    Tables.events(s, dir)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        round(avg(col("value")).over(w3), 4).as("moving_avg_value"),
+        round(sum(col("value")).over(w3), 4).as("moving_sum_value"),
+        round(lag(col("value"), 1).over(w), 4).as("prev_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val q19Sql: String =
+    """SELECT user_id, event_id,
+      | ROUND(AVG(value) OVER w3, 4) AS moving_avg_value,
+      | ROUND(SUM(value) OVER w3, 4) AS moving_sum_value,
+      | ROUND(LAG(value, 1) OVER w, 4) AS prev_value
+      |FROM events
+      |WINDOW
+      | w3 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+      | w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** Tumbling time-window aggregation (batch equivalent of the
+    * streaming windowed agg; the streaming form lives in
+    * graft.streaming and is covered by specs).
+    * Reference: DLT watermarked windows
+    * (Silver Lake Mainnet - FT and NFT events.py:44-47). */
+  def q20TimeBucket(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(
+        count(lit(1)).as("events_count"),
+        countDistinct(col("user_id")).as("active_users"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        col("window.start").as("bucket_start"),
+        col("events_count"), col("active_users"), col("sum_value"))
+      .orderBy("bucket_start")
+
+  val q20Sql: String =
+    """SELECT date_trunc('hour', ts) AS bucket_start,
+      | COUNT(*) AS events_count,
+      | COUNT(DISTINCT user_id) AS active_users,
+      | ROUND(SUM(value),4) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY bucket_start""".stripMargin
+
+  /** MERGE-upsert semantics, batch-expressed: source rows replace
+    * matched target rows, unmatched rows flow through (WHEN MATCHED
+    * UPDATE SET * / WHEN NOT MATCHED INSERT *).
+    * Reference: gold_aggregated_circulating_supply MERGE
+    * (Aggregated Circulating Supply Pipeline.py:100-110). */
+  def q21MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(s, dir)
+    def rollup(df: DataFrame): DataFrame =
+      df.groupBy(col("user_id")).agg(
+        round(sum(col("value")), 4).as("total_value"),
+        count(lit(1)).as("events_count"))
+    val target = rollup(events.filter(col("ts") < lit("2024-01-20").cast("timestamp")))
+      .withColumnRenamed("total_value", "t_total").withColumnRenamed("events_count", "t_count")
+    val source = rollup(events.filter(col("ts") >= lit("2024-01-20").cast("timestamp")))
+      .withColumnRenamed("total_value", "s_total").withColumnRenamed("events_count", "s_count")
+    target.join(source, Seq("user_id"), "full_outer")
+      .select(
+        col("user_id"),
+        coalesce(col("s_total"), col("t_total")).as("total_value"),
+        coalesce(col("s_count"), col("t_count")).as("events_count"))
+      .orderBy("user_id")
+  }
+
+  val q21Sql: String =
+    """WITH target AS (
+      | SELECT user_id, ROUND(SUM(value),4) AS total_value, COUNT(*) AS events_count
+      | FROM events WHERE ts < TIMESTAMP '2024-01-20' GROUP BY user_id
+      |), source AS (
+      | SELECT user_id, ROUND(SUM(value),4) AS total_value, COUNT(*) AS events_count
+      | FROM events WHERE ts >= TIMESTAMP '2024-01-20' GROUP BY user_id
+      |)
+      |SELECT coalesce(s.user_id, t.user_id) AS user_id,
+      | coalesce(s.total_value, t.total_value) AS total_value,
+      | coalesce(s.events_count, t.events_count) AS events_count
+      |FROM target t FULL OUTER JOIN source s ON t.user_id = s.user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** All relational queries, keyed per SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg_filter" -> (q01AggFilter _),
+    "q02_project_enrich" -> (q02ProjectEnrich _),
+    "q03_join_enrich" -> (q03JoinEnrich _),
+    "q04_multiway_left_join" -> (q04MultiwayLeftJoin _),
+    "q05_explode_pos" -> (q05ExplodePos _),
+    "q06_json_extract" -> (q06JsonExtract _),
+    "q07_classify_case" -> (q07ClassifyCase _),
+    "q08_latest_per_key" -> (q08LatestPerKey _),
+    "q09_daily_active" -> (q09DailyActive _),
+    "q10_epoch_rollup" -> (q10EpochRollup _),
+    "q11_range_join" -> (q11RangeJoin _),
+    "q12_double_entry" -> (q12DoubleEntry _),
+    "q13_event_index" -> (q13EventIndex _),
+    "q14_semi_anti" -> (q14SemiAnti _),
+    "q15_topn_per_group" -> (q15TopNPerGroup _),
+    "q16_string_codec" -> (q16StringCodec _),
+    "q17_conditional_pivot" -> (q17ConditionalPivot _),
+    "q18_rollup" -> (q18Rollup _),
+    "q19_sliding_window" -> (q19SlidingWindow _),
+    "q20_time_bucket" -> (q20TimeBucket _),
+    "q21_merge_upsert" -> (q21MergeUpsert _))
+
+  def oracles: Map[String, String] = Map(
+    "q01_agg_filter" -> q01Sql,
+    "q02_project_enrich" -> q02Sql,
+    "q03_join_enrich" -> q03Sql,
+    "q04_multiway_left_join" -> q04Sql,
+    "q05_explode_pos" -> q05Sql,
+    "q06_json_extract" -> q06Sql,
+    "q07_classify_case" -> q07Sql,
+    "q08_latest_per_key" -> q08Sql,
+    "q09_daily_active" -> q09Sql,
+    "q10_epoch_rollup" -> q10Sql,
+    "q11_range_join" -> q11Sql,
+    "q12_double_entry" -> q12Sql,
+    "q13_event_index" -> q13Sql,
+    "q14_semi_anti" -> q14Sql,
+    "q15_topn_per_group" -> q15Sql,
+    "q16_string_codec" -> q16Sql,
+    "q17_conditional_pivot" -> q17Sql,
+    "q18_rollup" -> q18Sql,
+    "q19_sliding_window" -> q19Sql,
+    "q20_time_bucket" -> q20Sql,
+    "q21_merge_upsert" -> q21Sql)
+}
