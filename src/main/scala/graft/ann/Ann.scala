@@ -1,0 +1,159 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`embedding: array<float>`, 64-dim).
+  *
+  * a27 is the exact brute-force baseline; a28 is the
+  * random-hyperplane LSH scale path. Cosine is computed with
+  * higher-order functions (`zip_with` + `aggregate`) — codegen'd,
+  * no UDF — and vector norms are projected once per vector before
+  * any join.
+  *
+  * Scale design (100 TB corpus):
+  * - Queries are broadcast; the corpus is never shuffled for the
+  *   score computation.
+  * - Top-k is two-stage: a per-shuffle-partition row_number prunes
+  *   to k rows per (query, partition) map-side, then the global
+  *   per-query top-k runs over ≤ k·P survivors — the full
+  *   query×corpus score set never crosses the network.
+  * - LSH (a28) prunes the scored set itself: sign-bucket equi-join
+  *   means each query only scores its bucket-mates.
+  */
+object Ann {
+
+  private val K = 5
+  private val NQ = 8 // vec_id < 8 are the query vectors
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("norm", expr(
+      "sqrt(aggregate(embedding, 0D, (s, x) -> s + CAST(x AS DOUBLE) * x))"))
+
+  private def cosine: Column = expr(
+    s"""aggregate(zip_with(q_embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * y),
+       |          0D, (s, v) -> s + v)""".stripMargin) / (col("q_norm") * col("norm"))
+
+  /** a27: brute-force cosine top-k.
+    * Exact baseline: score all query×corpus pairs, keep top-k per
+    * query via the two-stage row_number described above. */
+  def a27AnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val corpus = withNorm(Tables.embeddings(s, dir).select("vec_id", "embedding"))
+    val queries = corpus.filter(col("vec_id") < NQ).select(
+      col("vec_id").as("query_id"),
+      col("embedding").as("q_embedding"),
+      col("norm").as("q_norm"))
+    val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine, 4).as("cosine"))
+    // stage 1: top-k within each input partition (map-side prune)
+    val partial = Window.partitionBy(col("query_id"), spark_partition_id())
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    // stage 2: global top-k over the pruned survivors
+    val global = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("prn", row_number().over(partial)).filter(col("prn") <= K)
+      .withColumn("rank", row_number().over(global)).filter(col("rank") <= K)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Deterministic random hyperplanes: 8 planes × 64 dims from a
+    * fixed-seed generator, inlined as literal arrays so the bucket
+    * computation is a pure projection. The SAME decimal strings are
+    * emitted into both the Spark and DuckDB dialects, so both parse
+    * to bit-identical doubles. */
+  private val planeStrs: Seq[Seq[String]] = {
+    val rng = new scala.util.Random(42)
+    Seq.fill(8, 64)(rng.nextGaussian()).map(_.map(v => f"$v%.17g"))
+  }
+
+  private val planesSql: String =
+    planeStrs.map(_.map(_ + "D").mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
+
+  /** DuckDB list literal for plane i (0-based). */
+  private def planeDuck(i: Int): String =
+    planeStrs(i).mkString("[", ",", "]")
+
+  /** Sign-bucket id: bit i = (embedding · plane_i) > 0. */
+  private def bucketExpr(embCol: String): Column = expr(
+    s"""aggregate(sequence(0, 7), 0, (acc, i) ->
+       |  acc + IF(aggregate(zip_with(element_at($planesSql, i + 1), $embCol,
+       |                              (p, x) -> p * CAST(x AS DOUBLE)),
+       |                     0D, (s, v) -> s + v) > 0,
+       |           shiftleft(1, i), 0))""".stripMargin)
+
+  /** a28: LSH-bucketed ANN — 8 random hyperplanes → 256 sign
+    * buckets; each query scores only its bucket-mates, then exact
+    * top-k within the candidate set. Approximate by construction
+    * (recall < 1 vs a27); the spec measures bucket recall. */
+  def a28AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val corpus = withNorm(Tables.embeddings(s, dir).select("vec_id", "embedding"))
+      .withColumn("bucket", bucketExpr("embedding"))
+    val queries = corpus.filter(col("vec_id") < NQ).select(
+      col("vec_id").as("query_id"),
+      col("embedding").as("q_embedding"),
+      col("norm").as("q_norm"),
+      col("bucket").as("q_bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    corpus.join(broadcast(queries),
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine, 4).as("cosine"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= K)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Shared DuckDB prelude: per-vector double norm + the 8-plane
+    * sign bucket (same literal plane values as the Spark side). */
+  private val duckCorpus: String = {
+    val bucketTerms = (0 until 8).map { i =>
+      s"""(CASE WHEN list_sum(list_transform(list_zip(${planeDuck(i)}, embedding),
+         |   p -> p[1] * CAST(p[2] AS DOUBLE))) > 0 THEN ${1 << i} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+    s"""SELECT vec_id, embedding,
+       | sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm,
+       | $bucketTerms AS bucket
+       |FROM embeddings""".stripMargin
+  }
+
+  private val duckCosine: String =
+    """ROUND(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+      |  p -> CAST(p[1] AS DOUBLE) * p[2])) / (q.norm * c.norm), 4)""".stripMargin
+
+  val a27Sql: String =
+    s"""WITH e AS ($duckCorpus)
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM (
+       | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  $duckCosine AS cosine,
+       |  row_number() OVER (PARTITION BY q.vec_id
+       |    ORDER BY $duckCosine DESC, c.vec_id) AS rank
+       | FROM e q JOIN e c ON q.vec_id < $NQ AND c.vec_id <> q.vec_id)
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  val a28Sql: String =
+    s"""WITH e AS ($duckCorpus)
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM (
+       | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  $duckCosine AS cosine,
+       |  row_number() OVER (PARTITION BY q.vec_id
+       |    ORDER BY $duckCosine DESC, c.vec_id) AS rank
+       | FROM e q JOIN e c ON q.vec_id < $NQ AND c.bucket = q.bucket
+       |   AND c.vec_id <> q.vec_id)
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a27_ann_brute" -> (a27AnnBrute _),
+    "a28_ann_lsh" -> (a28AnnLsh _))
+
+  def oracles: Map[String, String] = Map(
+    "a27_ann_brute" -> a27Sql,
+    "a28_ann_lsh" -> a28Sql)
+}

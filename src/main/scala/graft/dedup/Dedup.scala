@@ -1,0 +1,214 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication family for the LLM training-data pipeline:
+  * exact (d22), MinHash+LSH (d23), SimHash (d24), n-gram Jaccard
+  * (d25), embedding-cosine (d26).
+  *
+  * Scale design (100 TB):
+  * - Exact dedup is one hash-groupBy — a single shuffle on a
+  *   uniformly-distributed 128-bit key, no skew by construction.
+  * - MinHash/SimHash candidate generation is a *bucket equi-join*
+  *   (band-hash / bit-chunk), never an all-pairs product; only
+  *   bucket-mates are verified. Hot buckets (boilerplate docs) can
+  *   be salted or capped; AQE skew-join handles moderate skew.
+  * - Signatures (minhash arrays, 64-bit simhash) are computed as
+  *   pure per-row projections with higher-order functions — zero
+  *   shuffle, fully codegen-friendly, linear scans.
+  * - Embedding-cosine exact pair search is O(n²) by nature; it is
+  *   kept for small/verification scale, and the LSH path
+  *   (graft.ann.Ann#a28) is the scale route.
+  */
+object Dedup {
+
+  /** d22: exact dedup — md5 over whitespace-normalized lowercased
+    * text, keep the minimum doc_id per group.
+    * Reference analog: content hashing as in DeployContract
+    * code_sha256 (Silver Lake Mainnet.sql:219-236). */
+  def d22DedupExact(s: SparkSession, dir: String): DataFrame = {
+    val fp = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ").cast("binary"))
+    Tables.documents(s, dir)
+      .groupBy(fp.as("fingerprint"))
+      .agg(
+        min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("dup_count"))
+      .orderBy("fingerprint")
+  }
+
+  val d22Sql: String =
+    """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+      | MIN(doc_id) AS keep_doc_id, COUNT(*) AS dup_count
+      |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin
+
+  /** Unigram shingle set (distinct tokens). The synthetic corpus
+    * shares one vocabulary, so unigram sets give a meaningful
+    * near-dup signal; for web-scale text this generalizes to
+    * `sliding` n-word shingles (see d25's bigram variant). */
+  private def shingleSet: Column = array_distinct(split(col("text"), " "))
+
+  /** d23: MinHash + LSH near-duplicate detection.
+    * shingle → 16-hash minhash signature → 4 bands × 4 rows →
+    * band-hash bucket join → verified Jaccard ≥ 0.7 on candidates.
+    * Band parameters: (1/b)^(1/r) = (1/4)^(1/4) ≈ 0.71 threshold. */
+  def d23DedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), shingleSet.as("sh"))
+      .withColumn("mh",
+        expr("transform(sequence(1,16), k -> array_min(transform(sh, t -> xxhash64(t, k))))"))
+    val bands = docs.select(
+      col("doc_id"), col("sh"),
+      posexplode(expr(
+        """transform(sequence(0,3), b -> xxhash64(
+          |  element_at(mh, 4*b+1), element_at(mh, 4*b+2),
+          |  element_at(mh, 4*b+3), element_at(mh, 4*b+4)))""".stripMargin))
+        .as(Seq("band_id", "band_hash")))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b,
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .filter(col("jaccard") >= 0.7)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 64-bit SimHash computed as a pure projection: tokens hashed
+    * once, then a per-bit signed vote folded into a long — all
+    * higher-order functions, no shuffle, no UDF. */
+  private val simhashExpr: String =
+    """aggregate(sequence(0, 63), 0L, (acc, j) ->
+      |  acc + IF(aggregate(th, 0L, (s, h) ->
+      |            s + IF((h >> j) & 1 = 1, 1L, -1L)) > 0,
+      |          shiftleft(1L, j), 0L))""".stripMargin
+
+  /** d24: SimHash near-dup — 64-bit signature, 8 bands of 8 bits
+    * (pigeonhole: any pair with hamming ≤ 7 shares ≥ 1 band),
+    * verified hamming distance ≤ 7 via bit_count(xor). */
+  def d24DedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), shingleSet.as("sh"))
+      .withColumn("th", expr("transform(sh, t -> xxhash64(t))"))
+      .withColumn("simhash", expr(simhashExpr))
+    val chunks = docs.select(
+      col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0,7), c -> (simhash >> (8*c)) & 255)"))
+        .as(Seq("chunk_id", "chunk_val")))
+    val a = chunks.as("a")
+    val b = chunks.as("b")
+    a.join(b,
+        col("a.chunk_id") === col("b.chunk_id") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= 7)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** d25: n-gram (bigram) Jaccard similarity over candidate pairs.
+    * Candidates here are blocked on `lang` (the cheap prefilter);
+    * at scale the block key becomes an LSH band as in d23.
+    * Bigram shingles via a sliding zip of the token array with its
+    * own tail — pure higher-order functions. */
+  def d25NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        expr(
+          """array_distinct(zip_with(
+            |  slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+            |  slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+            |  (x, y) -> concat(x, ' ', y)))""".stripMargin).as("sh"))
+    val a = docs.as("a")
+    val b = docs.as("b")
+    a.join(b, col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(
+          size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+            size(array_union(col("a.sh"), col("b.sh"))), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.05)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Cosine similarity over float-array embeddings, with norms
+    * precomputed per side before the join (each vector's norm is
+    * computed once, not once per pair). */
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("norm", expr(
+      "sqrt(aggregate(embedding, 0D, (s, x) -> s + CAST(x AS DOUBLE) * x))"))
+
+  private def dot(a: String, b: String): Column = expr(
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (s, v) -> s + v)")
+
+  /** d26: embedding-cosine near-duplicate pairs (cosine ≥ 0.4).
+    * Exact all-pairs — O(n²), intended for verification scale and
+    * per-bucket refinement; the 100 TB route is LSH bucketing
+    * (a28) which reduces this to within-bucket pairs. */
+  def d26EmbedNeardup(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, dir).select("vec_id", "embedding"))
+    val a = e.as("a")
+    val b = e.as("b")
+    a.join(b, col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(dot("a.embedding", "b.embedding") / (col("a.norm") * col("b.norm")), 4)
+          .as("cosine"))
+      .filter(col("cosine") >= 0.4)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** DuckDB equivalent of d25 — bigram shingles via index-zip,
+    * identical double math, identical 0.05 threshold. */
+  val d25Sql: String =
+    """WITH sh AS (
+      | SELECT doc_id, lang,
+      |  list_distinct(list_transform(range(1, len(string_split(text,' '))),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS sh
+      | FROM documents)
+      |SELECT doc_a, doc_b, jaccard FROM (
+      | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+      | FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+      |WHERE jaccard >= 0.05 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** DuckDB equivalent of d26 — explicit double dot/norm (NOT the
+    * float-precision list_cosine_similarity builtin). */
+  val d26Sql: String =
+    """WITH e AS (
+      | SELECT vec_id, embedding,
+      |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
+      | FROM embeddings)
+      |SELECT vec_a, vec_b, cosine FROM (
+      | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |          p -> CAST(p[1] AS DOUBLE) * p[2])) / (a.norm * b.norm), 4) AS cosine
+      | FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d22_dedup_exact" -> (d22DedupExact _),
+    "d23_dedup_minhash" -> (d23DedupMinhash _),
+    "d24_dedup_simhash" -> (d24DedupSimhash _),
+    "d25_ngram_jaccard" -> (d25NgramJaccard _),
+    "d26_embed_neardup" -> (d26EmbedNeardup _))
+
+  def oracles: Map[String, String] = Map(
+    "d22_dedup_exact" -> d22Sql,
+    "d25_ngram_jaccard" -> d25Sql,
+    "d26_embed_neardup" -> d26Sql)
+}

@@ -1,0 +1,164 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for the LLM training-data pipeline:
+  * language ID, quality scoring, token counting, fingerprinting.
+  *
+  * All four are pure per-row projections over `documents` — they
+  * parallelize embarrassingly (no shuffle except the final
+  * presentation ORDER BY, which at 100 TB would be dropped or
+  * replaced by a write partitioned on the derived column).
+  * Everything is built from codegen'd `functions._` — no UDFs —
+  * and each has an exactly-equivalent DuckDB oracle.
+  */
+object TextOps {
+
+  private def tokens(c: Column): Column = split(c, " ")
+
+  /** Per-language stopword lists for the n-gram/stopword heuristic.
+    * Deterministic and engine-portable: both Spark and DuckDB count
+    * list-membership hits over whitespace tokens. */
+  private val stop: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is", "to"),
+    "es" -> Seq("el", "la", "de", "que", "los", "una"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "une"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "nicht"))
+
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  /** t29: language identification via stopword-hit argmax.
+    * Ties break in fixed order en>es>fr>de; zero hits → 'und'. */
+  def t29LangId(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val Seq(en, es, fr, de) =
+      Seq("en", "es", "fr", "de").map(l => hits(toks, stop(l)))
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        en.as("hits_en"), es.as("hits_es"), fr.as("hits_fr"), de.as("hits_de"),
+        when(en === 0 && es === 0 && fr === 0 && de === 0, "und")
+          .when(en >= es && en >= fr && en >= de, "en")
+          .when(es >= fr && es >= de, "es")
+          .when(fr >= de, "fr")
+          .otherwise("de").as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  private def stopList(l: String): String =
+    stop(l).map(w => s"'$w'").mkString("[", ",", "]")
+
+  val t29Sql: String =
+    s"""SELECT doc_id,
+       | CAST(hits_en AS INT) AS hits_en, CAST(hits_es AS INT) AS hits_es,
+       | CAST(hits_fr AS INT) AS hits_fr, CAST(hits_de AS INT) AS hits_de,
+       | CASE WHEN hits_en=0 AND hits_es=0 AND hits_fr=0 AND hits_de=0 THEN 'und'
+       |      WHEN hits_en>=hits_es AND hits_en>=hits_fr AND hits_en>=hits_de THEN 'en'
+       |      WHEN hits_es>=hits_fr AND hits_es>=hits_de THEN 'es'
+       |      WHEN hits_fr>=hits_de THEN 'fr'
+       |      ELSE 'de' END AS pred_lang
+       |FROM (
+       | SELECT doc_id,
+       |  len(list_filter(string_split(text,' '), t -> list_contains(${stopList("en")}, t))) AS hits_en,
+       |  len(list_filter(string_split(text,' '), t -> list_contains(${stopList("es")}, t))) AS hits_es,
+       |  len(list_filter(string_split(text,' '), t -> list_contains(${stopList("fr")}, t))) AS hits_fr,
+       |  len(list_filter(string_split(text,' '), t -> list_contains(${stopList("de")}, t))) AS hits_de
+       | FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  /** t30: quality scoring — length, word count, distinct-token ratio,
+    * stopword ratio, mean word length, and a composite score. */
+  def t30Quality(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nWords = size(toks)
+    val distinctRatio = size(array_distinct(toks)).cast("double") / nWords
+    val stopRatio = hits(toks, stop("en")).cast("double") / nWords
+    val meanWordLen =
+      (length(col("text")) - (nWords - 1)).cast("double") / nWords
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("text_len"),
+        nWords.as("n_words"),
+        round(distinctRatio, 4).as("distinct_ratio"),
+        round(stopRatio, 4).as("stop_ratio"),
+        round(meanWordLen, 4).as("mean_word_len"),
+        round(
+          least(nWords.cast("double") / 100.0, lit(1.0)) * 0.5
+            + distinctRatio * 0.3 + (lit(1.0) - stopRatio) * 0.2,
+          4).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  val t30Sql: String =
+    s"""SELECT doc_id,
+       | CAST(text_len AS INT) AS text_len, CAST(n_words AS INT) AS n_words,
+       | ROUND(distinct_ratio,4) AS distinct_ratio,
+       | ROUND(stop_ratio,4) AS stop_ratio,
+       | ROUND(mean_word_len,4) AS mean_word_len,
+       | ROUND(least(n_words/100.0, 1.0)*0.5 + distinct_ratio*0.3 + (1.0-stop_ratio)*0.2, 4) AS quality_score
+       |FROM (
+       | SELECT doc_id, length(text) AS text_len,
+       |  len(string_split(text,' ')) AS n_words,
+       |  CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)/len(string_split(text,' ')) AS distinct_ratio,
+       |  CAST(len(list_filter(string_split(text,' '), t -> list_contains(${stopList("en")}, t))) AS DOUBLE)
+       |    / len(string_split(text,' ')) AS stop_ratio,
+       |  CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+       |    / len(string_split(text,' ')) AS mean_word_len
+       | FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  /** t31: token counting — whitespace tokens, regex word-ish tokens
+    * (a BPE-ish `[a-z0-9]+` chunking), and a chars/4 subword estimate
+    * (the standard ~4-chars-per-token heuristic). */
+  def t31Tokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z0-9]+")).as("regex_tokens"),
+        ceil(length(col("text")).cast("double") / 4.0).cast("long").as("est_subwords"))
+      .orderBy("doc_id")
+
+  val t31Sql: String =
+    """SELECT doc_id,
+      | CAST(len(string_split(text,' ')) AS INT) AS ws_tokens,
+      | CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS regex_tokens,
+      | CAST(ceil(length(text)/4.0) AS BIGINT) AS est_subwords
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** t32: document fingerprint — md5 over whitespace-normalized,
+    * lowercased text (the canonical exact-dedup key), plus a short
+    * 16-hex prefix used for bucketing at scale. */
+  def t32Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val normed = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        md5(normed.cast("binary")).as("fingerprint"),
+        substring(md5(normed.cast("binary")), 1, 16).as("fp_bucket"))
+      .orderBy("doc_id")
+  }
+
+  val t32Sql: String =
+    """SELECT doc_id, fingerprint, substring(fingerprint,1,16) AS fp_bucket
+      |FROM (
+      | SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+      | FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t29_langid" -> (t29LangId _),
+    "t30_quality" -> (t30Quality _),
+    "t31_tokens" -> (t31Tokens _),
+    "t32_fingerprint" -> (t32Fingerprint _))
+
+  def oracles: Map[String, String] = Map(
+    "t29_langid" -> t29Sql,
+    "t30_quality" -> t30Sql,
+    "t31_tokens" -> t31Sql,
+    "t32_fingerprint" -> t32Sql)
+}

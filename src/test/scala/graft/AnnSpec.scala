@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ann.Ann
+
+/** Specs for the ANN family: brute-force correctness vs a local
+  * in-memory reference, and LSH candidate soundness vs brute force. */
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a27 brute-force top-k matches an in-memory cosine reference") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = (for {
+      (qid, q) <- emb.take(8)
+    } yield qid -> emb.filter(_._1 != qid)
+      .map { case (nid, v) => (nid, BigDecimal(cos(q, v)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .sortBy { case (nid, c) => (-c, nid) }.take(5).map(_._1).toSeq).toMap
+    val got = Ann.a27AnnBrute(spark, sfDir)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._2).map(_._3).toSeq }
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (q, ids) => assert(ids == expected(q), s"query $q") }
+  }
+
+  test("a28 lsh results are a subset of same-bucket exact scores and ranked correctly") {
+    val brute = Ann.a27AnnBrute(spark, sfDir)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, c) => (q, n) -> c }.toMap
+    val lsh = Ann.a28AnnLsh(spark, sfDir)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect()
+    // ranks are 1..k contiguous and cosine non-increasing per query
+    lsh.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length).toSeq, s"ranks for $q")
+      assert(sorted.map(_._4).toSeq.reverse.sorted.reverse == sorted.map(_._4).toSeq.sorted.reverse,
+        s"cosine monotone for $q")
+    }
+    // any lsh hit that also appears in brute's scored map has identical cosine
+    lsh.foreach { case (q, _, n, c) =>
+      brute.get((q, n)).foreach(bc => assert(math.abs(bc - c) < 1e-9))
+    }
+  }
+
+  test("a28 lsh returns fewer-or-equal candidates than brute force k") {
+    val bruteN = Ann.a27AnnBrute(spark, sfDir).count()
+    val lshN = Ann.a28AnnLsh(spark, sfDir).count()
+    assert(lshN <= bruteN)
+    assert(lshN > 0, "lsh should find at least one bucket-mate at sf0.001")
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+/** Specs for the non-oracle dedup ops (d23 MinHash+LSH, d24 SimHash)
+  * plus behavioral checks on handcrafted near-duplicates, which the
+  * synthetic corpus can't provide in controlled form. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsOf(rows: (Long, String)*): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("graftdocs").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("test"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    tmp = dir
+  }
+  private var tmp: String = _
+
+  test("d23 minhash-lsh finds exact and near duplicates, skips distinct docs") {
+    docsOf(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa", // exact dup of 1
+      3L -> "alpha beta gamma delta epsilon zeta eta theta iota lambda", // 9/11 overlap
+      4L -> "one two three four five six seven eight nine ten") // unrelated
+    val pairs = Dedup.d23DedupMinhash(spark, tmp)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "exact dup must be found")
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)),
+      "0.82-jaccard near-dups must be found")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "unrelated doc must not pair")
+  }
+
+  test("d23 verified jaccard is exact on the candidate pairs") {
+    docsOf(
+      1L -> "a b c d e f g h i j",
+      2L -> "a b c d e f g h i k")
+    val row = Dedup.d23DedupMinhash(spark, tmp)
+      .filter(col("doc_a") === 1 && col("doc_b") === 2)
+      .select("jaccard").as[Double].collect()
+    // |∩|=9, |∪|=11 → 0.8182
+    assert(row.length == 1 && math.abs(row(0) - 0.8182) < 1e-9)
+  }
+
+  test("d24 simhash: set semantics — identical/reordered/repeated token sets collide") {
+    docsOf(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      // same distinct-token SET: reordered with repeats → same signature
+      3L -> "kappa iota theta eta zeta epsilon delta gamma beta alpha alpha kappa",
+      4L -> "one two three four five six seven eight nine ten")
+    val out = Dedup.d24DedupSimhash(spark, tmp)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect()
+    val m = out.map(r => (r._1, r._2) -> r._3).toMap
+    assert(m.get((1L, 2L)).contains(0), "identical docs → hamming 0")
+    assert(m.get((1L, 3L)).contains(0), "same token set → hamming 0")
+    assert(!m.keySet.exists(p => p._1 == 4L || p._2 == 4L),
+      "unrelated doc must not appear within hamming 7")
+  }
+
+  test("d24 simhash signature is stable across runs (deterministic)") {
+    docsOf(1L -> "alpha beta gamma", 2L -> "alpha beta gamma")
+    val a = Dedup.d24DedupSimhash(spark, tmp).collect().toSeq
+    val b = Dedup.d24DedupSimhash(spark, tmp).collect().toSeq
+    assert(a == b)
+  }
+
+  test("d22 exact dedup groups whitespace/case variants at sf0.001") {
+    // engine-level check on real data: group count == distinct fingerprint count
+    val out = Dedup.d22DedupExact(spark, sfDir)
+    val n = out.count()
+    val distinctFp = out.select("fingerprint").distinct().count()
+    assert(n == distinctFp)
+    assert(out.filter(col("dup_count") < 1).isEmpty)
+  }
+}

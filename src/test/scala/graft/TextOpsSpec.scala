@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** Behavioral specs for the text-analysis ops on handcrafted docs
+  * (the oracle gate covers the sf0.01 corpus; these pin semantics). */
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsOf(rows: (Long, String)*): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graftdocs").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("xx"))
+      .withColumn("source", lit("test"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("t29 langid picks the language with most stopword hits, und on none") {
+    val dir = docsOf(
+      1L -> "the cat and the dog is a pet",
+      2L -> "el perro de la casa que ladra",
+      3L -> "der hund und die katze das haus",
+      4L -> "zzz qqq www")
+    val out = TextOps.t29LangId(spark, dir)
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "es")
+    assert(out(3L) == "de")
+    assert(out(4L) == "und")
+  }
+
+  test("t30 quality: ratios computed over whitespace tokens") {
+    val dir = docsOf(1L -> "the the the the") // 4 tokens, 1 distinct, all stopwords
+    val r = TextOps.t30Quality(spark, dir).collect()(0)
+    assert(r.getAs[Int]("n_words") == 4)
+    assert(math.abs(r.getAs[Double]("distinct_ratio") - 0.25) < 1e-9)
+    assert(math.abs(r.getAs[Double]("stop_ratio") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("mean_word_len") - 3.0) < 1e-9)
+  }
+
+  test("t31 tokens: ws vs regex vs subword estimate") {
+    val dir = docsOf(1L -> "abc de12 :: 9") // ws=4; [a-z0-9]+ → abc, de12, 9 → wait: de, 12 split? no: [a-z0-9]+ matches 'de12' as one
+    val r = TextOps.t31Tokens(spark, dir).collect()(0)
+    assert(r.getAs[Int]("ws_tokens") == 4)
+    assert(r.getAs[Int]("regex_tokens") == 3) // "abc", "de12", "9"
+    assert(r.getAs[Long]("est_subwords") == math.ceil(13 / 4.0).toLong)
+  }
+
+  test("t32 fingerprint is invariant to case and extra whitespace") {
+    val dir = docsOf(1L -> "Hello   World", 2L -> "hello world")
+    val fps = TextOps.t32Fingerprint(spark, dir)
+      .select("fingerprint").as[String].collect()
+    assert(fps.distinct.length == 1)
+  }
+}
