@@ -5,6 +5,8 @@ import graft.operators.Relational
 import graft.text.TextOps
 import graft.dedup.Dedup
 import graft.ann.Ann
+import graft.multimodal.Multimodal
+import graft.streaming.Streaming
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -14,10 +16,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ TextOps.queries ++ Dedup.queries ++ Ann.queries
+    Relational.queries ++ TextOps.queries ++ Dedup.queries ++ Ann.queries ++
+      Multimodal.queries ++ Streaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ TextOps.oracles ++ Dedup.oracles ++ Ann.oracles
+    Relational.oracles ++ TextOps.oracles ++ Dedup.oracles ++ Ann.oracles ++
+      Multimodal.oracles ++ Streaming.oracles
 }

@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streaming
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+/** Drives the streaming transforms through MemoryStream → watermark
+  * → memory sink, proving the same logic that passes the batch
+  * oracle also runs incrementally with bounded state. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+
+  test("s34 tumbling windowed agg emits finalized windows past the watermark") {
+    val in = MemoryStream[Ev](spark)
+    val q = Streaming.tumblingAggStreaming(in.toDF())
+      .writeStream.format("memory").queryName("s34out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Ev(1, ts(0), 1, "click", 1.0),
+        Ev(2, ts(5), 2, "click", 2.0),
+        Ev(3, ts(16), 1, "view", 3.0))
+      q.processAllAvailable()
+      // advance event time far enough to close the 10:00 + 10:15 windows
+      in.addData(Ev(4, Timestamp.valueOf("2024-01-01 12:00:00"), 3, "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("s34out")
+        .select("bucket_start", "event_type", "events_count", "sum_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(rows.contains((ts(0), "click", 2L, 3.0)))
+      assert(rows.contains((ts(15), "view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("s35 stream-stream interval join matches purchases to preceding clicks") {
+    val clicks = MemoryStream[Ev](spark)
+    val purchases = MemoryStream[Ev](spark)
+    val q = Streaming.clickPurchaseJoinStreaming(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("s35out")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        Ev(10, ts(0), 1, "click", 0.0),
+        Ev(11, ts(10), 2, "click", 0.0))
+      purchases.addData(
+        Ev(20, ts(30), 1, "purchase", 99.5), // within 1h of click 10
+        Ev(21, ts(5), 2, "purchase", 50.0))  // BEFORE click 11 → no match
+      q.processAllAvailable()
+      val rows = spark.table("s35out")
+        .select("user_id", "click_id", "purchase_id", "purchase_value")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(rows == Set((1L, 10L, 20L, 99.5)))
+    } finally q.stop()
+  }
+
+  test("s34/s35 batch equivalents equal their streaming output on the same data") {
+    val evs = Seq(
+      Ev(1, ts(0), 1, "click", 1.0),
+      Ev(2, ts(20), 1, "purchase", 10.0),
+      Ev(3, ts(40), 2, "click", 2.0))
+    val batch = Streaming.tumblingAgg(evs.toDF())
+      .select("bucket_start", "event_type", "events_count", "sum_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(batch.contains((ts(0), "click", 1L, 1.0)))
+    val joined = Streaming.clickPurchaseJoin(
+      evs.toDF().filter(col("event_type") === "click"),
+      evs.toDF().filter(col("event_type") === "purchase"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(joined == Set((1L, 1L, 2L, 10.0)))
+  }
+}
