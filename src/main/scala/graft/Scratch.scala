@@ -1,25 +1,32 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+
+/** Ad-hoc plan/debug runner (not part of the driver contract). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    val fin = Tables.orders(spark, dir)
-      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
-      .rollup(col("r_name"), col("n_name"))
-      .agg(round(sum(col("o_totalprice")), 2).as("total_sales"), count(lit(1)).as("orders_count"))
-      .select(
-        coalesce(col("r_name"), lit("ALL")).as("region_name"),
-        coalesce(col("n_name"), lit("ALL")).as("nation_name"),
-        col("total_sales"), col("orders_count"))
-      .orderBy("region_name", "nation_name")
-    fin.show(5)
+
+    def audit(name: String): Unit = {
+      val df = SparkEntry.queries(name)(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      val fmt = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      println(s"=== $name ===")
+      println("  broadcasts: " + plan.linesIterator.count(_.contains("BroadcastHashJoin")))
+      println("  shuffles:   " + plan.linesIterator.count(_.contains("Exchange")))
+      println("  codegen spans: " + plan.linesIterator.count(_.contains("WholeStageCodegen")))
+      fmt.linesIterator.filter(l => l.contains("PushedFilters") || l.contains("ReadSchema"))
+        .take(6).foreach(l => println("  " + l.trim.take(150)))
+    }
+    Seq("q01_agg_filter", "q03_join_enrich", "q04_multiway_left_join",
+      "q11_range_join", "q12_double_entry", "d23_dedup_minhash",
+      "a27_ann_brute").foreach(audit)
     spark.stop()
   }
 }

@@ -30,12 +30,13 @@ object Ann {
   private val NQ = 8 // vec_id < 8 are the query vectors
 
   private def withNorm(df: DataFrame): DataFrame =
-    df.withColumn("norm", expr(
-      "sqrt(aggregate(embedding, 0D, (s, x) -> s + CAST(x AS DOUBLE) * x))"))
+    df.withColumn("norm", graft.functions.VectorExprs.floatNorm(col("embedding")))
+      // zero-norm (empty/degenerate) vectors have no defined cosine;
+      // drop them rather than divide by zero under ANSI mode
+      .filter(col("norm") > 0)
 
-  private def cosine: Column = expr(
-    s"""aggregate(zip_with(q_embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * y),
-       |          0D, (s, v) -> s + v)""".stripMargin) / (col("q_norm") * col("norm"))
+  private def cosine: Column = graft.functions.VectorExprs.cosine(
+    col("q_embedding"), col("embedding"), col("q_norm"), col("norm"))
 
   /** a27: brute-force cosine top-k.
     * Exact baseline: score all query×corpus pairs, keep top-k per

@@ -3,6 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.SetExprs
 
 /** Deduplication family for the LLM training-data pipeline:
   * exact (d22), MinHash+LSH (d23), SimHash (d24), n-gram Jaccard
@@ -49,6 +50,19 @@ object Dedup {
     * `sliding` n-word shingles (see d25's bigram variant). */
   private def shingleSet: Column = array_distinct(split(col("text"), " "))
 
+  /** Shingles hashed to sorted longs, computed ONCE per document.
+    * Pairwise Jaccard then runs as a native merge-walk intersect
+    * (SortedLongIntersectSize) — no per-pair string hashing —
+    * with |A∪B| = |A|+|B|−|A∩B|. Equal to exact string-set
+    * Jaccard w.h.p. (64-bit collisions ~1e-15/pair). */
+  private def hashedShingles(sh: Column): Column =
+    array_sort(transform(sh, t => xxhash64(t)))
+
+  private def pairJaccard(shzA: String, shzB: String): Column = {
+    val inter = SetExprs.sortedIntersectSize(col(shzA), col(shzB)).cast("double")
+    round(inter / (size(col(shzA)) + size(col(shzB)) - inter), 4)
+  }
+
   /** d23: MinHash + LSH near-duplicate detection.
     * shingle → 16-hash minhash signature → 4 bands × 4 rows →
     * band-hash bucket join → verified Jaccard ≥ 0.7 on candidates.
@@ -56,50 +70,47 @@ object Dedup {
   def d23DedupMinhash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), shingleSet.as("sh"))
+    // slim band stream: (doc_id, band_id, band_hash) only — the
+    // shingle arrays never ride through the candidate join/dedup
+    val bands = docs
       .withColumn("mh",
         expr("transform(sequence(1,16), k -> array_min(transform(sh, t -> xxhash64(t, k))))"))
-    val bands = docs.select(
-      col("doc_id"), col("sh"),
-      posexplode(expr(
-        """transform(sequence(0,3), b -> xxhash64(
-          |  element_at(mh, 4*b+1), element_at(mh, 4*b+2),
-          |  element_at(mh, 4*b+3), element_at(mh, 4*b+4)))""".stripMargin))
-        .as(Seq("band_id", "band_hash")))
-    val a = bands.as("a")
-    val b = bands.as("b")
-    a.join(b,
+      .select(
+        col("doc_id"),
+        posexplode(expr(
+          """transform(sequence(0,3), b -> xxhash64(
+            |  element_at(mh, 4*b+1), element_at(mh, 4*b+2),
+            |  element_at(mh, 4*b+3), element_at(mh, 4*b+4)))""".stripMargin))
+          .as(Seq("band_id", "band_hash")))
+    val pairs = bands.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 4))
+    // attach hashed sorted shingle sets to the surviving pairs via
+    // broadcast (the doc→hashes map is tiny relative to the pair
+    // stream), then verify with the native merge-walk intersect
+    val hashed = docs.select(col("doc_id"), hashedShingles(col("sh")).as("shz"))
+    pairs
+      .join(broadcast(hashed.select(col("doc_id").as("doc_a"), col("shz").as("shz_a"))), "doc_a")
+      .join(broadcast(hashed.select(col("doc_id").as("doc_b"), col("shz").as("shz_b"))), "doc_b")
+      .withColumn("jaccard", pairJaccard("shz_a", "shz_b"))
       .filter(col("jaccard") >= 0.7)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 64-bit SimHash computed as a pure projection: tokens hashed
-    * once, then a per-bit signed vote folded into a long — all
-    * higher-order functions, no shuffle, no UDF. */
-  private val simhashExpr: String =
-    """aggregate(sequence(0, 63), 0L, (acc, j) ->
-      |  acc + IF(aggregate(th, 0L, (s, h) ->
-      |            s + IF((h >> j) & 1 = 1, 1L, -1L)) > 0,
-      |          shiftleft(1L, j), 0L))""".stripMargin
-
-  /** d24: SimHash near-dup — 64-bit signature, 8 bands of 8 bits
+  /** d24: SimHash near-dup — 64-bit signature via the native
+    * SimHash64 expression (tokens hashed once, one generated loop
+    * per doc — a pure projection, no shuffle), 8 bands of 8 bits
     * (pigeonhole: any pair with hamming ≤ 7 shares ≥ 1 band),
     * verified hamming distance ≤ 7 via bit_count(xor). */
   def d24DedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), shingleSet.as("sh"))
-      .withColumn("th", expr("transform(sh, t -> xxhash64(t))"))
-      .withColumn("simhash", expr(simhashExpr))
+      .withColumn("simhash",
+        SetExprs.simhash64(transform(col("sh"), t => xxhash64(t))))
     val chunks = docs.select(
       col("doc_id"), col("simhash"),
       posexplode(expr(
@@ -132,27 +143,36 @@ object Dedup {
             |  slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
             |  slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
             |  (x, y) -> concat(x, ' ', y)))""".stripMargin).as("sh"))
-    val a = docs.as("a")
-    val b = docs.as("b")
-    a.join(b, col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        round(
-          size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
-            size(array_union(col("a.sh"), col("b.sh"))), 4).as("jaccard"))
+    // slim id-level blocking first; shingles attach to pairs via
+    // broadcast so the blocked self-join shuffles ids only
+    val ids = docs.select("doc_id", "lang")
+    val pairs = ids.as("a").join(ids.as("b"),
+        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val hashed = docs.select(col("doc_id"), hashedShingles(col("sh")).as("shz"))
+    pairs
+      .join(broadcast(hashed.select(col("doc_id").as("doc_a"), col("shz").as("shz_a"))), "doc_a")
+      .join(broadcast(hashed.select(col("doc_id").as("doc_b"), col("shz").as("shz_b"))), "doc_b")
+      .select(col("doc_a"), col("doc_b"), pairJaccard("shz_a", "shz_b").as("jaccard"))
       .filter(col("jaccard") >= 0.05)
       .orderBy("doc_a", "doc_b")
   }
 
   /** Cosine similarity over float-array embeddings, with norms
     * precomputed per side before the join (each vector's norm is
-    * computed once, not once per pair). */
+    * computed once, not once per pair). Uses the native codegen
+    * FloatDot/FloatNorm expressions (graft.functions.VectorExprs) —
+    * a tight primitive loop inside WholeStageCodegen, ~an order of
+    * magnitude faster than the higher-order-function formulation on
+    * the O(n²) pair stream. */
   private def withNorm(df: DataFrame): DataFrame =
-    df.withColumn("norm", expr(
-      "sqrt(aggregate(embedding, 0D, (s, x) -> s + CAST(x AS DOUBLE) * x))"))
+    df.withColumn("norm", graft.functions.VectorExprs.floatNorm(col("embedding")))
+      // zero-norm (empty/degenerate) vectors have no defined cosine;
+      // drop them rather than divide by zero under ANSI mode
+      .filter(col("norm") > 0)
 
-  private def dot(a: String, b: String): Column = expr(
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (s, v) -> s + v)")
+  private def dot(a: String, b: String): Column =
+    graft.functions.VectorExprs.floatDot(col(a), col(b))
 
   /** d26: embedding-cosine near-duplicate pairs (cosine ≥ 0.4).
     * Exact all-pairs — O(n²), intended for verification scale and
