@@ -70,13 +70,15 @@ object Dedup {
   def d23DedupMinhash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), shingleSet.as("sh"))
-    // slim band stream: (doc_id, band_id, band_hash) only — the
-    // shingle arrays never ride through the candidate join/dedup
+    // slim band stream: (doc_id, mh, band_id, band_hash) — the mh
+    // signature (16 longs) rides along so the join can emit each
+    // pair from exactly its FIRST matching band; no distinct-pairs
+    // shuffle is ever needed
     val bands = docs
       .withColumn("mh",
         expr("transform(sequence(1,16), k -> array_min(transform(sh, t -> xxhash64(t, k))))"))
       .select(
-        col("doc_id"),
+        col("doc_id"), col("mh"),
         posexplode(expr(
           """transform(sequence(0,3), b -> xxhash64(
             |  element_at(mh, 4*b+1), element_at(mh, 4*b+2),
@@ -85,9 +87,9 @@ object Dedup {
     val pairs = bands.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.band_id") === SetExprs.firstEqualBand(col("a.mh"), col("b.mh"), 4))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
     // attach hashed sorted shingle sets to the surviving pairs via
     // broadcast (the doc→hashes map is tiny relative to the pair
     // stream), then verify with the native merge-walk intersect
@@ -111,21 +113,24 @@ object Dedup {
       .select(col("doc_id"), shingleSet.as("sh"))
       .withColumn("simhash",
         SetExprs.simhash64(transform(col("sh"), t => xxhash64(t))))
-    val chunks = docs.select(
-      col("doc_id"), col("simhash"),
-      posexplode(expr(
-        "transform(sequence(0,7), c -> (simhash >> (8*c)) & 255)"))
-        .as(Seq("chunk_id", "chunk_val")))
+    val chunks = docs
+      .withColumn("chunk_arr",
+        expr("transform(sequence(0,7), c -> (simhash >> (8*c)) & 255)"))
+      .select(
+        col("doc_id"), col("simhash"), col("chunk_arr"),
+        posexplode(col("chunk_arr")).as(Seq("chunk_id", "chunk_val")))
     val a = chunks.as("a")
     val b = chunks.as("b")
+    // each pair emitted by exactly its first matching chunk — unique
+    // by construction, no distinct-pairs shuffle
     a.join(b,
         col("a.chunk_id") === col("b.chunk_id") &&
           col("a.chunk_val") === col("b.chunk_val") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.chunk_id") === SetExprs.firstEqualBand(col("a.chunk_arr"), col("b.chunk_arr"), 1))
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= 7)
       .orderBy("doc_a", "doc_b")
   }

@@ -116,10 +116,69 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Index of the first LSH band on which two signatures agree, or -1.
+  * Bands are consecutive slices of `bandRows` elements. Used as a
+  * join post-filter (`band_id === firstEqualBand(...)`) so each
+  * candidate pair is emitted by exactly ONE band — the classic
+  * LSH dedup trick that removes the distinct-pairs shuffle
+  * entirely (the candidate stream is unique by construction). */
+case class FirstEqualBand(left: Expression, right: Expression, bandRows: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "first_equal_band"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nBands = math.min(x.numElements(), y.numElements()) / bandRows
+    var band = 0
+    while (band < nBands) {
+      var r = 0
+      var eq = true
+      while (eq && r < bandRows) {
+        if (x.getLong(band * bandRows + r) != y.getLong(band * bandRows + r)) eq = false
+        r += 1
+      }
+      if (eq) return band
+      band += 1
+    }
+    -1
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val nBands = ctx.freshName("nBands")
+      val band = ctx.freshName("band"); val r = ctx.freshName("r")
+      val eq = ctx.freshName("eq"); val res = ctx.freshName("res")
+      s"""
+         |int $nBands = java.lang.Math.min($x.numElements(), $y.numElements()) / $bandRows;
+         |int $res = -1;
+         |for (int $band = 0; $band < $nBands && $res < 0; $band++) {
+         |  boolean $eq = true;
+         |  for (int $r = 0; $eq && $r < $bandRows; $r++) {
+         |    if ($x.getLong($band * $bandRows + $r) != $y.getLong($band * $bandRows + $r)) $eq = false;
+         |  }
+         |  if ($eq) $res = $band;
+         |}
+         |${ev.value} = $res;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FirstEqualBand =
+    copy(left = newLeft, right = newRight)
+}
+
 object SetExprs {
   def sortedIntersectSize(a: Column, b: Column): Column =
     GraftBridge.column(SortedLongIntersectSize(
       GraftBridge.expression(a), GraftBridge.expression(b)))
   def simhash64(hashes: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(hashes)))
+  def firstEqualBand(a: Column, b: Column, bandRows: Int): Column =
+    GraftBridge.column(FirstEqualBand(
+      GraftBridge.expression(a), GraftBridge.expression(b), bandRows))
 }

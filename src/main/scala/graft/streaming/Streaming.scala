@@ -1,8 +1,16 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.Tables
+
+/** Typed event row for the custom-state streaming ops. */
+case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                    event_type: String, value: Double)
+case class RunningState(seq: Int, total: Double)
+case class RunningOut(user_id: Long, event_id: Long, event_seq: Int,
+                      running_value: Double)
 
 /** Structured Streaming jobs mirroring the reference's DLT streaming
   * tables, plus their batch equivalents for the oracle gate.
@@ -91,11 +99,104 @@ object Streaming {
       | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
       |ORDER BY user_id, click_id, purchase_id""".stripMargin
 
+  /** Gap-based sessionization via Spark's native session_window —
+    * works identically over batch and streaming input (streaming
+    * needs a watermark first; see sessionizeStreaming). A session
+    * closes after 30 minutes of user inactivity.
+    * Reference analog: per-account activity grouping in the gold
+    * rollups, generalized to the canonical sessionize op. */
+  def sessionize(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(
+        count(lit(1)).as("events_count"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("events_count"), col("sum_value"))
+
+  def sessionizeStreaming(events: DataFrame): DataFrame =
+    sessionize(events.withWatermark("ts", "1 hour"))
+
+  /** s36 queries entry — batch sessionization on the events table. */
+  def s36Sessionize(s: SparkSession, dir: String): DataFrame =
+    sessionize(Tables.events(s, dir)).orderBy("user_id", "session_start")
+
+  /** DuckDB oracle: classic lag/cumsum gap-sessionization — session
+    * start = min(ts) within each gap-delimited group, which equals
+    * session_window.start. */
+  val s36Sql: String =
+    """WITH flagged AS (
+      | SELECT user_id, ts, value,
+      |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |        <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+      | FROM events),
+      |numbered AS (
+      | SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |   ROWS UNBOUNDED PRECEDING) AS session_no
+      | FROM flagged)
+      |SELECT user_id, MIN(ts) AS session_start,
+      | COUNT(*) AS events_count, ROUND(SUM(value),4) AS sum_value
+      |FROM numbered GROUP BY user_id, session_no
+      |ORDER BY user_id, session_start""".stripMargin
+
+  /** Per-user cumulative running totals — the batch face of the
+    * custom-state streaming op (flatMapGroupsWithState form below).
+    * One shuffle on user_id; the window is a single ordered pass. */
+  def s37Cumulative(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(
+        col("user_id"), col("event_id"),
+        row_number().over(w).as("event_seq"),
+        round(sum(col("value")).over(w), 4).as("running_value"))
+      .orderBy("user_id", "event_seq")
+  }
+
+  val s37Sql: String =
+    """SELECT user_id, event_id,
+      | CAST(row_number() OVER w AS INT) AS event_seq,
+      | ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS UNBOUNDED PRECEDING), 4) AS running_value
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_seq""".stripMargin
+
+  /** Streaming form of s37: arbitrary keyed state via
+    * flatMapGroupsWithState — per-user (sequence, total) state that
+    * survives across micro-batches. Events are ordered by event
+    * time WITHIN a micro-batch; cross-batch ordering follows
+    * arrival, the standard processing-time caveat for arbitrary
+    * stateful ops (exact event-time ordering would need a watermark
+    * + buffer in state). State is O(1) per user. */
+  def runningTotalsStreaming(events: Dataset[EventRow]): Dataset[RunningOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[EventRow], state: GroupState[RunningState]) =>
+          var st = state.getOption.getOrElse(RunningState(0, 0.0))
+          val out = rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id)).map { r =>
+            st = RunningState(st.seq + 1, st.total + r.value)
+            RunningOut(user, r.event_id, st.seq,
+              math.rint(st.total * 10000) / 10000)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s34_stream_tumbling" -> (s34StreamTumbling _),
-    "s35_stream_join" -> (s35StreamJoin _))
+    "s35_stream_join" -> (s35StreamJoin _),
+    "s36_sessionize" -> (s36Sessionize _),
+    "s37_cumulative" -> (s37Cumulative _))
 
   def oracles: Map[String, String] = Map(
     "s34_stream_tumbling" -> s34Sql,
-    "s35_stream_join" -> s35Sql)
+    "s35_stream_join" -> s35Sql,
+    "s36_sessionize" -> s36Sql,
+    "s37_cumulative" -> s37Sql)
 }

@@ -1,0 +1,56 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.{EventRow, Streaming}
+
+/** Drives the arbitrary-stateful streaming op (flatMapGroupsWithState)
+  * and streaming sessionization across micro-batches. */
+class StatefulSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+
+  test("s37 streaming running totals keep per-user state across micro-batches") {
+    val in = MemoryStream[EventRow](spark)
+    val q = Streaming.runningTotalsStreaming(in.toDS())
+      .writeStream.format("memory").queryName("s37out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        EventRow(1, ts(0), 1, "click", 1.5),
+        EventRow(2, ts(1), 1, "click", 2.5),
+        EventRow(3, ts(0), 2, "view", 10.0))
+      q.processAllAvailable()
+      // second micro-batch: user 1 continues from seq=2/total=4.0
+      in.addData(EventRow(4, ts(2), 1, "purchase", 6.0))
+      q.processAllAvailable()
+      val rows = spark.table("s37out")
+        .as[(Long, Long, Int, Double)].collect().toSet
+      assert(rows == Set(
+        (1L, 1L, 1, 1.5), (1L, 2L, 2, 4.0), (2L, 3L, 1, 10.0),
+        (1L, 4L, 3, 10.0)))
+    } finally q.stop()
+  }
+
+  test("s36 streaming sessionization closes a session after the gap + watermark") {
+    val in = MemoryStream[EventRow](spark)
+    val q = Streaming.sessionizeStreaming(in.toDF())
+      .writeStream.format("memory").queryName("s36out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        EventRow(1, ts(0), 1, "click", 1.0),
+        EventRow(2, ts(10), 1, "click", 2.0)) // same session (gap 10min)
+      q.processAllAvailable()
+      // event far in the future closes the session via watermark
+      in.addData(EventRow(3, Timestamp.valueOf("2024-01-01 14:00:00"), 1, "click", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("s36out")
+        .select("user_id", "session_start", "events_count", "sum_value")
+        .as[(Long, Timestamp, Long, Double)].collect().toSet
+      assert(rows.contains((1L, ts(0), 2L, 3.0)),
+        s"finalized first session expected; got $rows")
+    } finally q.stop()
+  }
+}
