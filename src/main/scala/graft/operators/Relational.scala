@@ -570,6 +570,37 @@ object Relational {
       |FROM target t FULL OUTER JOIN source s ON t.user_id = s.user_id
       |ORDER BY user_id""".stripMargin
 
+  /** Bronze→silver JSON round trip: each event serialized into a
+    * raw JSON envelope (to_json), then parsed back with an explicit
+    * schema (from_json) and a parsed array posexploded — the
+    * reference's Autoloader-bronze → DLT-silver parse chain in one
+    * query. The oracle is the equivalent plain projection, so any
+    * lossiness or mis-parse breaks the hash match.
+    * Reference: raw JSON → silver_transactions parse+explode
+    * (Mainnet Loader.py; Silver Lake Mainnet.sql:86-105). */
+  def q22JsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val envelope = to_json(struct(
+      col("user_id"), col("event_type"), col("value"),
+      array(col("user_id") % 10, col("user_id") % 7).as("shards")))
+    val schema = "user_id BIGINT, event_type STRING, value DOUBLE, shards ARRAY<BIGINT>"
+    Tables.events(s, dir)
+      .select(col("event_id"), envelope.as("payload"))
+      .select(col("event_id"), from_json(col("payload"), lit(schema)).as("p"))
+      .select(
+        col("event_id"),
+        col("p.user_id").as("user_id"),
+        col("p.event_type").as("event_type"),
+        round(col("p.value"), 4).as("value_r"),
+        posexplode(col("p.shards")).as(Seq("shard_pos", "shard")))
+      .orderBy("event_id", "shard_pos")
+  }
+
+  val q22Sql: String =
+    """SELECT event_id, user_id, event_type, ROUND(value,4) AS value_r,
+      | CAST(unnest([0,1]) AS INT) AS shard_pos,
+      | unnest([user_id % 10, user_id % 7]) AS shard
+      |FROM events ORDER BY event_id, shard_pos""".stripMargin
+
   /** All relational queries, keyed per SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_filter" -> (q01AggFilter _),
@@ -592,7 +623,8 @@ object Relational {
     "q18_rollup" -> (q18Rollup _),
     "q19_sliding_window" -> (q19SlidingWindow _),
     "q20_time_bucket" -> (q20TimeBucket _),
-    "q21_merge_upsert" -> (q21MergeUpsert _))
+    "q21_merge_upsert" -> (q21MergeUpsert _),
+    "q22_json_roundtrip" -> (q22JsonRoundtrip _))
 
   def oracles: Map[String, String] = Map(
     "q01_agg_filter" -> q01Sql,
@@ -615,5 +647,6 @@ object Relational {
     "q18_rollup" -> q18Sql,
     "q19_sliding_window" -> q19Sql,
     "q20_time_bucket" -> q20Sql,
-    "q21_merge_upsert" -> q21Sql)
+    "q21_merge_upsert" -> q21Sql,
+    "q22_json_roundtrip" -> q22Sql)
 }
