@@ -601,6 +601,53 @@ object Relational {
       | unnest([user_id % 10, user_id % 7]) AS shard
       |FROM events ORDER BY event_id, shard_pos""".stripMargin
 
+  /** base64/unbase64 round trip + sha2-256 content digest — the
+    * reference's most-used codec chain (DeployContract code_sha256:
+    * lower(hex-digest of unbase64'd payload), args_base64 decode).
+    * Reference: Silver Lake Mainnet.sql:227,273; SCD tables.sql:104. */
+  def q23CodecChain(s: SparkSession, dir: String): DataFrame = {
+    val b64 = base64(col("text").cast("binary"))
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        // first 60 chars are chunk-safe: Spark MIME-chunks base64
+        // output at 76 chars (\r\n) where DuckDB emits one line
+        substring(b64, 1, 60).as("payload_b64_prefix"),
+        unbase64(b64).cast("string").as("payload_decoded"),
+        sha2(col("text").cast("binary"), 256).as("content_sha256"),
+        concat(lit("{\"code_sha256\":\""),
+          sha2(col("text").cast("binary"), 256), lit("\"}")).as("digest_json"))
+      .orderBy("doc_id")
+  }
+
+  val q23Sql: String =
+    """SELECT doc_id,
+      | substring(base64(encode(text)),1,60) AS payload_b64_prefix,
+      | decode(from_base64(base64(encode(text)))) AS payload_decoded,
+      | lower(sha256(text)) AS content_sha256,
+      | '{"code_sha256":"' || lower(sha256(text)) || '"}' AS digest_json
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** collect_set aggregation with deterministic ordering — the
+    * epoch/validator rollup collects the member sets, not just
+    * counts (block_heights, author_account_ids).
+    * Reference: Epochs and validators Silver Pipeline.py:59-61. */
+  def q24CollectSet(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        array_sort(collect_set(col("event_type"))).as("event_types"),
+        size(collect_set(col("event_type"))).as("distinct_types"),
+        count(lit(1)).as("events_count"))
+      .orderBy("user_id")
+
+  val q24Sql: String =
+    """SELECT user_id,
+      | array_agg(DISTINCT event_type ORDER BY event_type) AS event_types,
+      | CAST(COUNT(DISTINCT event_type) AS INT) AS distinct_types,
+      | COUNT(*) AS events_count
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** All relational queries, keyed per SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_filter" -> (q01AggFilter _),
@@ -624,7 +671,9 @@ object Relational {
     "q19_sliding_window" -> (q19SlidingWindow _),
     "q20_time_bucket" -> (q20TimeBucket _),
     "q21_merge_upsert" -> (q21MergeUpsert _),
-    "q22_json_roundtrip" -> (q22JsonRoundtrip _))
+    "q22_json_roundtrip" -> (q22JsonRoundtrip _),
+    "q23_codec_chain" -> (q23CodecChain _),
+    "q24_collect_set" -> (q24CollectSet _))
 
   def oracles: Map[String, String] = Map(
     "q01_agg_filter" -> q01Sql,
@@ -648,5 +697,7 @@ object Relational {
     "q19_sliding_window" -> q19Sql,
     "q20_time_bucket" -> q20Sql,
     "q21_merge_upsert" -> q21Sql,
-    "q22_json_roundtrip" -> q22Sql)
+    "q22_json_roundtrip" -> q22Sql,
+    "q23_codec_chain" -> q23Sql,
+    "q24_collect_set" -> q24Sql)
 }
