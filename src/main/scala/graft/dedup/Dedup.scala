@@ -84,7 +84,11 @@ object Dedup {
             |  element_at(mh, 4*b+1), element_at(mh, 4*b+2),
             |  element_at(mh, 4*b+3), element_at(mh, 4*b+4)))""".stripMargin))
           .as(Seq("band_id", "band_hash")))
-    val pairs = bands.as("a").join(bands.as("b"),
+    // repartition the probe side: the band stream is tiny (4 rows/doc)
+    // but the join explodes it by orders of magnitude — without this
+    // the explosion happens in as few tasks as the input had splits
+    val probe = bands.repartition(col("band_id"), col("band_hash"))
+    val pairs = probe.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id") &&
@@ -150,8 +154,10 @@ object Dedup {
             |  (x, y) -> concat(x, ' ', y)))""".stripMargin).as("sh"))
     // slim id-level blocking first; shingles attach to pairs via
     // broadcast so the blocked self-join shuffles ids only
+    // repartition the probe side so the quadratic pair explosion
+    // parallelizes regardless of how few splits the id list has
     val ids = docs.select("doc_id", "lang")
-    val pairs = ids.as("a").join(ids.as("b"),
+    val pairs = ids.repartition(col("doc_id")).as("a").join(ids.as("b"),
         col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     val hashed = docs.select(col("doc_id"), hashedShingles(col("sh")).as("shz"))
@@ -185,7 +191,9 @@ object Dedup {
     * (a28) which reduces this to within-bucket pairs. */
   def d26EmbedNeardup(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(Tables.embeddings(s, dir).select("vec_id", "embedding"))
-    val a = e.as("a")
+    // probe side repartitioned: the nested-loop pair explosion must
+    // parallelize beyond the input's split count
+    val a = e.repartition(col("vec_id")).as("a")
     val b = e.as("b")
     a.join(b, col("a.vec_id") < col("b.vec_id"))
       .select(

@@ -648,6 +648,83 @@ object Relational {
       | COUNT(*) AS events_count
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** As-of join: each purchase matched to the user's LATEST click at
+    * or before the purchase time. Spark has no asof operator; the
+    * scalable formulation is union-the-streams + one window pass
+    * (carry the last click forward) — a single shuffle on the key,
+    * no per-pair explosion, O(n log n) per key. Clicks are deduped
+    * per (user, ts) first so tie-breaks are deterministic in both
+    * engines. Oracle: DuckDB's native ASOF LEFT JOIN (inclusive).
+    * Reference analog: receipts matched to the latest prior
+    * block/epoch state (SCD-by-time patterns). */
+  def q25AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id"), col("ts"), lit(0).as("marker"),
+        col("click_id"), lit(null).cast("long").as("purchase_id"),
+        lit(null).cast("double").as("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("marker"),
+        lit(null).cast("long").as("click_id"),
+        col("event_id").as("purchase_id"), col("value"))
+    // clicks sort before purchases at equal ts (marker 0 < 1) →
+    // inclusive as-of semantics, matching DuckDB's l.ts >= r.ts
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("marker"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionAll(purchases)
+      .withColumn("asof_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("asof_click_ts",
+        last(when(col("marker") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("marker") === 1)
+      .select(
+        col("user_id"), col("purchase_id"),
+        col("ts").as("purchase_ts"),
+        col("asof_click_id").as("click_id"),
+        col("asof_click_ts").as("click_ts"),
+        round(col("value"), 4).as("purchase_value"))
+      .orderBy("purchase_id")
+  }
+
+  val q25Sql: String =
+    """WITH clicks AS (
+      | SELECT user_id, ts, MAX(event_id) AS click_id
+      | FROM events WHERE event_type='click' GROUP BY user_id, ts),
+      |p AS (
+      | SELECT user_id, ts, event_id AS purchase_id, value
+      | FROM events WHERE event_type='purchase')
+      |SELECT p.user_id, p.purchase_id, p.ts AS purchase_ts,
+      | c.click_id, c.ts AS click_ts, ROUND(p.value,4) AS purchase_value
+      |FROM p ASOF LEFT JOIN clicks c
+      | ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY purchase_id""".stripMargin
+
+  /** Unpivot wide measures into long (measure, amount) rows via
+    * stack — the reference's stack() usage generalized.
+    * Reference: BQ Writer Views & Data Dictionary.py stack call. */
+  def q26Unpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("order_key"),
+        col("l_linenumber").as("line_number"),
+        expr("""stack(3,
+          'extendedprice', l_extendedprice,
+          'discount', l_discount,
+          'tax', l_tax) AS (measure, amount)"""))
+      .withColumn("amount", round(col("amount"), 4))
+      .orderBy("order_key", "line_number", "measure")
+
+  val q26Sql: String =
+    """SELECT * FROM (
+      | SELECT l_orderkey AS order_key, l_linenumber AS line_number,
+      |  'extendedprice' AS measure, ROUND(l_extendedprice,4) AS amount FROM lineitem
+      | UNION ALL
+      | SELECT l_orderkey, l_linenumber, 'discount', ROUND(l_discount,4) FROM lineitem
+      | UNION ALL
+      | SELECT l_orderkey, l_linenumber, 'tax', ROUND(l_tax,4) FROM lineitem)
+      |ORDER BY order_key, line_number, measure""".stripMargin
+
   /** All relational queries, keyed per SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_filter" -> (q01AggFilter _),
@@ -673,7 +750,9 @@ object Relational {
     "q21_merge_upsert" -> (q21MergeUpsert _),
     "q22_json_roundtrip" -> (q22JsonRoundtrip _),
     "q23_codec_chain" -> (q23CodecChain _),
-    "q24_collect_set" -> (q24CollectSet _))
+    "q24_collect_set" -> (q24CollectSet _),
+    "q25_asof_join" -> (q25AsofJoin _),
+    "q26_unpivot" -> (q26Unpivot _))
 
   def oracles: Map[String, String] = Map(
     "q01_agg_filter" -> q01Sql,
@@ -699,5 +778,7 @@ object Relational {
     "q21_merge_upsert" -> q21Sql,
     "q22_json_roundtrip" -> q22Sql,
     "q23_codec_chain" -> q23Sql,
-    "q24_collect_set" -> q24Sql)
+    "q24_collect_set" -> q24Sql,
+    "q25_asof_join" -> q25Sql,
+    "q26_unpivot" -> q26Sql)
 }

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Locks in the physical-plan properties the engine is designed
+  * around: filter pushdown to the parquet scan, column pruning,
+  * broadcast of dimension tables, and shuffle counts. These are the
+  * properties that keep the plans correct at 100 TB; a regression
+  * here (e.g. a lost pushdown after a refactor) would not change
+  * results, only destroy scalability — exactly what result-checking
+  * tests can't catch. */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): (String, String) = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sfDir)
+    (df.queryExecution.executedPlan.toString,
+      df.queryExecution.explainString(FormattedMode))
+  }
+
+  test("q01 pushes the shipdate filter into the parquet scan and prunes columns") {
+    val (_, fmt) = planOf("q01_agg_filter")
+    assert(fmt.contains("PushedFilters"), "expected pushed filters")
+    assert(fmt.contains("LessThanOrEqual(l_shipdate"), "shipdate predicate must reach the scan")
+    // pruning: untouched wide columns must not be read
+    assert(!fmt.contains("l_comment") && !fmt.contains("l_shipmode"),
+      "unused columns must be pruned from ReadSchema")
+  }
+
+  test("q03 broadcasts both dimension tables (fact side never shuffles for the join)") {
+    val (plan, _) = planOf("q03_join_enrich")
+    assert(plan.linesIterator.count(_.contains("BroadcastHashJoin")) == 2,
+      s"expected 2 broadcast joins:\n$plan")
+  }
+
+  test("q04 4-way left join broadcasts all dims") {
+    val (plan, _) = planOf("q04_multiway_left_join")
+    assert(plan.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2)
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q08 latest-per-key is a single shuffle (one window, no extra exchange)") {
+    val (plan, _) = planOf("q08_latest_per_key")
+    assert(plan.linesIterator.count(_.contains("Exchange")) <= 2,
+      s"SCD1 must not re-shuffle beyond the key partition + presentation sort:\n$plan")
+  }
+
+  test("d23 candidate generation contains no cartesian product and no pair-dedup aggregate") {
+    val (plan, _) = planOf("d23_dedup_minhash")
+    assert(!plan.contains("CartesianProduct"), "LSH must be an equi-join, not all-pairs")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "LSH must be an equi-join")
+  }
+
+  test("a27 broadcasts the query vectors; the corpus scan is never exchanged before scoring") {
+    val (plan, _) = planOf("a27_ann_brute")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"queries side must broadcast:\n$plan")
+  }
+
+  test("native expressions appear in the optimized plans (not HOF fallbacks)") {
+    val (plan26, _) = planOf("d26_embed_neardup")
+    assert(plan26.contains("float_dot") || plan26.contains("FloatDot"),
+      "d26 must use the native dot product")
+    val (plan24, _) = planOf("d24_dedup_simhash")
+    assert(plan24.contains("simhash64") || plan24.contains("SimHash64"),
+      "d24 must use the native simhash")
+  }
+}
