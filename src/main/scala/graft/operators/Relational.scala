@@ -725,6 +725,69 @@ object Relational {
       | SELECT l_orderkey, l_linenumber, 'tax', ROUND(l_tax,4) FROM lineitem)
       |ORDER BY order_key, line_number, measure""".stripMargin
 
+  /** Exact interpolated percentiles per group (gold-layer summary
+    * statistics; the exact complement of sketch-based quantiles). */
+  def q27Percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus").as("order_status"))
+      .agg(expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.9D))").as("p_raw"),
+        count(lit(1)).as("orders_count"))
+      .select(
+        col("order_status"),
+        round(element_at(col("p_raw"), 1), 4).as("p25"),
+        round(element_at(col("p_raw"), 2), 4).as("p50"),
+        round(element_at(col("p_raw"), 3), 4).as("p90"),
+        col("orders_count"))
+      .orderBy("order_status")
+
+  val q27Sql: String =
+    """SELECT o_orderstatus AS order_status,
+      | ROUND(quantile_cont(o_totalprice, 0.25),4) AS p25,
+      | ROUND(quantile_cont(o_totalprice, 0.5),4) AS p50,
+      | ROUND(quantile_cont(o_totalprice, 0.9),4) AS p90,
+      | COUNT(*) AS orders_count
+      |FROM orders GROUP BY 1 ORDER BY order_status""".stripMargin
+
+  /** Date-spine gap fill: densify each user's daily activity over
+    * the full observed range, zero-filling silent days — the
+    * standard lakehouse time-series densification (reference gold
+    * daily rollups assume a continuous date axis). The spine is a
+    * broadcast cross of users × sequence(min,max) — tiny relative
+    * to the fact table. */
+  def q28DateSpine(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val range = ev.agg(
+      to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
+    val spine = ev.select(col("user_id")).distinct()
+      .crossJoin(broadcast(range))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("event_date"))
+    val daily = ev.groupBy(col("user_id"), to_date(col("ts")).as("event_date"))
+      .agg(count(lit(1)).as("events_count"), round(sum(col("value")), 4).as("sum_value"))
+    spine.join(daily, Seq("user_id", "event_date"), "left")
+      .select(col("user_id"), col("event_date"),
+        coalesce(col("events_count"), lit(0L)).as("events_count"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy("user_id", "event_date")
+  }
+
+  val q28Sql: String =
+    """WITH range AS (
+      | SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1 FROM events),
+      |spine AS (
+      | SELECT u.user_id, CAST(unnest(generate_series(r.d0, r.d1, INTERVAL 1 DAY)) AS DATE) AS event_date
+      | FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN range r),
+      |daily AS (
+      | SELECT user_id, CAST(ts AS DATE) AS event_date,
+      |  COUNT(*) AS events_count, ROUND(SUM(value),4) AS sum_value
+      | FROM events GROUP BY 1, 2)
+      |SELECT s.user_id, s.event_date,
+      | COALESCE(d.events_count, 0) AS events_count,
+      | COALESCE(d.sum_value, 0.0) AS sum_value
+      |FROM spine s LEFT JOIN daily d
+      | ON s.user_id = d.user_id AND s.event_date = d.event_date
+      |ORDER BY s.user_id, s.event_date""".stripMargin
+
   /** All relational queries, keyed per SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_filter" -> (q01AggFilter _),
@@ -752,7 +815,9 @@ object Relational {
     "q23_codec_chain" -> (q23CodecChain _),
     "q24_collect_set" -> (q24CollectSet _),
     "q25_asof_join" -> (q25AsofJoin _),
-    "q26_unpivot" -> (q26Unpivot _))
+    "q26_unpivot" -> (q26Unpivot _),
+    "q27_percentiles" -> (q27Percentiles _),
+    "q28_date_spine" -> (q28DateSpine _))
 
   def oracles: Map[String, String] = Map(
     "q01_agg_filter" -> q01Sql,
@@ -780,5 +845,7 @@ object Relational {
     "q23_codec_chain" -> q23Sql,
     "q24_collect_set" -> q24Sql,
     "q25_asof_join" -> q25Sql,
-    "q26_unpivot" -> q26Sql)
+    "q26_unpivot" -> q26Sql,
+    "q27_percentiles" -> q27Sql,
+    "q28_date_spine" -> q28Sql)
 }
