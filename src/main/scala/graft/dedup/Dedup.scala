@@ -233,6 +233,51 @@ object Dedup {
       | FROM e a JOIN e b ON a.vec_id < b.vec_id)
       |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
 
+  /** d23 with a hot-bucket cap: band buckets holding more than
+    * `maxBucket` docs are dropped before the pair join. At web
+    * scale a single boilerplate cluster (error pages, templates)
+    * can put 10⁶ docs in one bucket → 10¹² candidate pairs; capping
+    * bounds any bucket's contribution to maxBucket² and the skipped
+    * clusters are handled separately by exact dedup (d22), which is
+    * linear. Deliberately recall-lossy for pairs that ONLY collide
+    * in hot buckets — the standard production trade. */
+  def d23DedupMinhashCapped(s: SparkSession, dir: String, maxBucket: Int): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), shingleSet.as("sh"))
+    val bands = docs
+      .withColumn("mh",
+        expr("transform(sequence(1,16), k -> array_min(transform(sh, t -> xxhash64(t, k))))"))
+      .select(
+        col("doc_id"), col("mh"),
+        posexplode(expr(
+          """transform(sequence(0,3), b -> xxhash64(
+            |  element_at(mh, 4*b+1), element_at(mh, 4*b+2),
+            |  element_at(mh, 4*b+3), element_at(mh, 4*b+4)))""".stripMargin))
+          .as(Seq("band_id", "band_hash")))
+      // one aggregation pass sizes the buckets; hot ones are dropped
+      .withColumn("bucket_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band_id", "band_hash")))
+      .filter(col("bucket_size") <= maxBucket)
+      .drop("bucket_size")
+    val pairs = bands.as("a").join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.band_id") === SetExprs.firstEqualBand(col("a.mh"), col("b.mh"), 4))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // capped variant can emit a pair from a later band when its
+      // first shared band was dropped as hot → dedup the pair stream
+      .dropDuplicates("doc_a", "doc_b")
+    val hashed = docs.select(col("doc_id"), hashedShingles(col("sh")).as("shz"))
+    pairs
+      .join(broadcast(hashed.select(col("doc_id").as("doc_a"), col("shz").as("shz_a"))), "doc_a")
+      .join(broadcast(hashed.select(col("doc_id").as("doc_b"), col("shz").as("shz_b"))), "doc_b")
+      .withColumn("jaccard", pairJaccard("shz_a", "shz_b"))
+      .filter(col("jaccard") >= 0.7)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d22_dedup_exact" -> (d22DedupExact _),
     "d23_dedup_minhash" -> (d23DedupMinhash _),

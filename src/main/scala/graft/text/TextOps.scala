@@ -150,11 +150,30 @@ object TextOps {
       | FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** t33: sketch-based corpus statistics — HLL++ approximate
+    * distinct counts and a bounded-memory approximate median per
+    * language, alongside their exact counterparts. At 100 TB the
+    * exact variants need a full shuffle of the distinct keys; the
+    * sketches are fixed-size mergeable state (one partial per
+    * partition), which is the only viable shape for interactive
+    * corpus dashboards. Rows-only check (sketch values are
+    * engine-specific); the spec bounds the error vs exact. */
+  def t33SketchStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(
+        approx_count_distinct(col("source"), 0.02).as("approx_sources"),
+        countDistinct(col("source")).as("exact_sources"),
+        percentile_approx(col("n_chars"), lit(0.5), lit(1000)).as("approx_median_chars"),
+        count(lit(1)).as("docs_count"))
+      .orderBy("lang")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t29_langid" -> (t29LangId _),
     "t30_quality" -> (t30Quality _),
     "t31_tokens" -> (t31Tokens _),
-    "t32_fingerprint" -> (t32Fingerprint _))
+    "t32_fingerprint" -> (t32Fingerprint _),
+    "t33_sketch_stats" -> (t33SketchStats _))
 
   def oracles: Map[String, String] = Map(
     "t29_langid" -> t29Sql,
