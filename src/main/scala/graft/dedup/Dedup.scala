@@ -63,18 +63,11 @@ object Dedup {
     round(inter / (size(col(shzA)) + size(col(shzB)) - inter), 4)
   }
 
-  /** d23: MinHash + LSH near-duplicate detection.
-    * shingle → 16-hash minhash signature → 4 bands × 4 rows →
-    * band-hash bucket join → verified Jaccard ≥ 0.7 on candidates.
-    * Band parameters: (1/b)^(1/r) = (1/4)^(1/4) ≈ 0.71 threshold. */
-  def d23DedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), shingleSet.as("sh"))
-    // slim band stream: (doc_id, mh, band_id, band_hash) — the mh
-    // signature (16 longs) rides along so the join can emit each
-    // pair from exactly its FIRST matching band; no distinct-pairs
-    // shuffle is ever needed
-    val bands = docs
+  /** Band stream for MinHash LSH: (doc_id, mh, band_id, band_hash),
+    * one row per doc per band. The mh signature (16 longs) rides
+    * along so joins can apply the first-matching-band predicate. */
+  private def minhashBands(docs: DataFrame): DataFrame =
+    docs
       .withColumn("mh",
         expr("transform(sequence(1,16), k -> array_min(transform(sh, t -> xxhash64(t, k))))"))
       .select(
@@ -84,19 +77,12 @@ object Dedup {
             |  element_at(mh, 4*b+1), element_at(mh, 4*b+2),
             |  element_at(mh, 4*b+3), element_at(mh, 4*b+4)))""".stripMargin))
           .as(Seq("band_id", "band_hash")))
-    // repartition the probe side: the band stream is tiny (4 rows/doc)
-    // but the join explodes it by orders of magnitude — without this
-    // the explosion happens in as few tasks as the input had splits
-    val probe = bands.repartition(col("band_id"), col("band_hash"))
-    val pairs = probe.as("a").join(bands.as("b"),
-        col("a.band_id") === col("b.band_id") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          col("a.band_id") === SetExprs.firstEqualBand(col("a.mh"), col("b.mh"), 4))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    // attach hashed sorted shingle sets to the surviving pairs via
-    // broadcast (the doc→hashes map is tiny relative to the pair
-    // stream), then verify with the native merge-walk intersect
+
+  /** Verify stage: attach hashed sorted shingle sets to candidate
+    * pairs via broadcast (doc→hashes map is tiny relative to the
+    * pair stream), compute Jaccard with the native merge-walk
+    * intersect, keep pairs ≥ 0.7. */
+  private def verifyPairs(pairs: DataFrame, docs: DataFrame): DataFrame = {
     val hashed = docs.select(col("doc_id"), hashedShingles(col("sh")).as("shz"))
     pairs
       .join(broadcast(hashed.select(col("doc_id").as("doc_a"), col("shz").as("shz_a"))), "doc_a")
@@ -105,6 +91,30 @@ object Dedup {
       .filter(col("jaccard") >= 0.7)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** d23: MinHash + LSH near-duplicate detection.
+    * shingle → 16-hash minhash signature → 4 bands × 4 rows →
+    * band-hash bucket join → verified Jaccard ≥ 0.7 on candidates.
+    * Band parameters: (1/b)^(1/r) = (1/4)^(1/4) ≈ 0.71 threshold. */
+  def d23DedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), shingleSet.as("sh"))
+    val bands = minhashBands(docs)
+    // repartition the probe side: the band stream is tiny (4 rows/doc)
+    // but the join explodes it by orders of magnitude — without this
+    // the explosion happens in as few tasks as the input had splits.
+    // The firstEqualBand predicate makes each pair emerge from
+    // exactly ONE band — unique by construction, no distinct-pairs
+    // shuffle (valid here because no band rows are ever dropped).
+    val probe = bands.repartition(col("band_id"), col("band_hash"))
+    val pairs = probe.as("a").join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.band_id") === SetExprs.firstEqualBand(col("a.mh"), col("b.mh"), 4))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    verifyPairs(pairs, docs)
   }
 
   /** d24: SimHash near-dup — 64-bit signature via the native
@@ -239,43 +249,33 @@ object Dedup {
     * can put 10⁶ docs in one bucket → 10¹² candidate pairs; capping
     * bounds any bucket's contribution to maxBucket² and the skipped
     * clusters are handled separately by exact dedup (d22), which is
-    * linear. Deliberately recall-lossy for pairs that ONLY collide
-    * in hot buckets — the standard production trade. */
+    * linear. Recall-lossy ONLY for pairs whose every shared band is
+    * hot: a pair whose first shared band is hot but that also
+    * shares a cold band is still found (no first-band predicate
+    * here — the pair stream is deduped instead), so capped with
+    * maxBucket → ∞ is exactly d23DedupMinhash. */
   def d23DedupMinhashCapped(s: SparkSession, dir: String, maxBucket: Int): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), shingleSet.as("sh"))
-    val bands = docs
-      .withColumn("mh",
-        expr("transform(sequence(1,16), k -> array_min(transform(sh, t -> xxhash64(t, k))))"))
-      .select(
-        col("doc_id"), col("mh"),
-        posexplode(expr(
-          """transform(sequence(0,3), b -> xxhash64(
-            |  element_at(mh, 4*b+1), element_at(mh, 4*b+2),
-            |  element_at(mh, 4*b+3), element_at(mh, 4*b+4)))""".stripMargin))
-          .as(Seq("band_id", "band_hash")))
-      // one aggregation pass sizes the buckets; hot ones are dropped
-      .withColumn("bucket_size", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band_id", "band_hash")))
-      .filter(col("bucket_size") <= maxBucket)
-      .drop("bucket_size")
-    val pairs = bands.as("a").join(bands.as("b"),
+    val bands = minhashBands(docs)
+    // size buckets on a SLIM (band_id, band_hash) projection — the
+    // hot bucket this guards against must never be buffered with
+    // its signature payload — then anti-join the hot keys away
+    val hotKeys = bands.groupBy("band_id", "band_hash")
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket)
+      .select("band_id", "band_hash")
+    val kept = bands.join(broadcast(hotKeys), Seq("band_id", "band_hash"), "left_anti")
+    val probe = kept.repartition(col("band_id"), col("band_hash"))
+    val pairs = probe.as("a").join(kept.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          col("a.band_id") === SetExprs.firstEqualBand(col("a.mh"), col("b.mh"), 4))
+          col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      // capped variant can emit a pair from a later band when its
-      // first shared band was dropped as hot → dedup the pair stream
+      // a pair may surface from several surviving bands (its first
+      // shared band may have been dropped as hot) → dedup the stream
       .dropDuplicates("doc_a", "doc_b")
-    val hashed = docs.select(col("doc_id"), hashedShingles(col("sh")).as("shz"))
-    pairs
-      .join(broadcast(hashed.select(col("doc_id").as("doc_a"), col("shz").as("shz_a"))), "doc_a")
-      .join(broadcast(hashed.select(col("doc_id").as("doc_b"), col("shz").as("shz_b"))), "doc_b")
-      .withColumn("jaccard", pairJaccard("shz_a", "shz_b"))
-      .filter(col("jaccard") >= 0.7)
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+    verifyPairs(pairs, docs)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

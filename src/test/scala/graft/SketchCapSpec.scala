@@ -45,6 +45,17 @@ class SketchCapSpec extends SparkSpec {
     assert(exact.length == 1 && exact(0).getAs[Long]("dup_count") == 60L)
   }
 
+  test("capped minhash with an infinite cap equals uncapped exactly (no pairs lost)") {
+    // guards the recall contract: only pairs whose EVERY shared band
+    // is hot may be lost — with no hot buckets, output is identical
+    val dir = "/root/testdata/sf0.001"
+    val full = Dedup.d23DedupMinhash(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val capped = Dedup.d23DedupMinhashCapped(spark, dir, Int.MaxValue)
+      .collect().map(_.toSeq).toSet
+    assert(capped == full)
+  }
+
   test("sketch stats: HLL distinct within 5% of exact, approx median within range") {
     val out = TextOps.t33SketchStats(spark, "/root/testdata/sf0.001").collect()
     assert(out.nonEmpty)
