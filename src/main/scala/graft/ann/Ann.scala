@@ -150,9 +150,60 @@ object Ann {
        |   AND c.vec_id <> q.vec_id)
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
+  /** a29: IVF (inverted-file) ANN — a KMeans coarse quantizer
+    * partitions the corpus into nlist cells; each query probes its
+    * nprobe nearest cells and scores only those members. The
+    * standard billion-scale ANN layout: the corpus is physically
+    * clustered by cell (at 100 TB: partitioned parquet by cell id,
+    * so a query reads nprobe/nlist of the data), centroids are tiny
+    * driver-side state, and candidate scoring reuses the exact
+    * cosine path. Deterministic given fixed seed + input layout;
+    * recall vs a27 is pinned by AnnSpec. */
+  def a29AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val nlist = 16
+    val nprobe = 4
+    val corpus = withNorm(Tables.embeddings(s, dir).select("vec_id", "embedding"))
+      .withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans()
+      .setK(nlist).setSeed(42L).setMaxIter(10).setFeaturesCol("features")
+      .fit(corpus)
+    val assigned = model.transform(corpus)
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        col("prediction").as("cell"))
+    // route each query to its nprobe nearest centroids (centroids are
+    // driver-side model state — nlist × dim doubles, not data)
+    val centroids = model.clusterCenters.map(_.toArray)
+    def nearestCells(v: Array[Double]): Seq[Int] =
+      centroids.zipWithIndex.map { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < v.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+        (d, i)
+      }.sortBy(_._1).take(nprobe).map(_._2).toSeq
+    import s.implicits._
+    val queryRows = assigned.filter(col("vec_id") < NQ)
+      .select(col("vec_id"), col("embedding"), col("norm"))
+      .as[(Long, Array[Float], Double)].collect().sortBy(_._1)
+    val queriesDf = queryRows.map { case (id, emb, norm) =>
+      (id, emb, norm, nearestCells(emb.map(_.toDouble)))
+    }.toSeq.toDF("query_id", "q_embedding", "q_norm", "probe_cells")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    assigned.join(broadcast(queriesDf),
+        array_contains(col("probe_cells"), col("cell")) &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine, 4).as("cosine"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= K)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a27_ann_brute" -> (a27AnnBrute _),
-    "a28_ann_lsh" -> (a28AnnLsh _))
+    "a28_ann_lsh" -> (a28AnnLsh _),
+    "a29_ann_ivf" -> (a29AnnIvf _))
 
   def oracles: Map[String, String] = Map(
     "a27_ann_brute" -> a27Sql,
