@@ -92,6 +92,46 @@ object Multimodal {
       .toDF()
       .orderBy("doc_id")
 
+  /** STUB resize — the real implementation decodes, scales with a
+    * codec, re-encodes. Here: deterministic byte truncation scaled
+    * by target area, with metadata rewritten. The contract (typed
+    * in/out, pure projection, metadata stays consistent with
+    * payload) is what downstream code depends on. */
+  def resize(ds: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    ds.map { r =>
+      if (r.modality != "image") r
+      else {
+        val srcArea = math.max(r.meta.width * r.meta.height, 1)
+        val frac = math.min(1.0, (w.toLong * h).toDouble / srcArea)
+        val n = math.max(1, (r.payload.length * frac).toInt)
+        r.copy(
+          payload = r.payload.take(n),
+          meta = r.meta.copy(width = w, height = h))
+      }
+    }
+  }
+
+  /** One sampled frame of a video payload. */
+  case class Frame(doc_id: Long, frame_idx: Int, frame_ms: Long,
+                   frame_payload: Array[Byte])
+
+  /** STUB frame sampling — real impl seeks the container and decodes
+    * keyframes. Here: one frame per `everyMs` of metadata duration,
+    * payload sliced deterministically per frame. Row explosion
+    * (1 video → N frames) and ordering are the real contract. */
+  def sampleFrames(ds: Dataset[MediaRecord], everyMs: Long): Dataset[Frame] = {
+    import ds.sparkSession.implicits._
+    ds.filter(_.modality == "video").flatMap { r =>
+      val n = math.max(1, (r.meta.durationMs / everyMs).toInt)
+      val chunk = math.max(1, r.payload.length / n)
+      (0 until n).map { i =>
+        Frame(r.doc_id, i, i * everyMs,
+          r.payload.slice(i * chunk, math.min((i + 1) * chunk, r.payload.length)))
+      }
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m33_multimodal" -> (m33Multimodal _))
 

@@ -188,6 +188,53 @@ object Streaming {
       }
   }
 
+  /** Streaming → gold MERGE via foreachBatch: each micro-batch's
+    * per-user aggregates are upserted into a keyed target table —
+    * the reference's gold pattern (stream → MERGE INTO
+    * gold_aggregated_circulating_supply, Aggregated Circulating
+    * Supply Pipeline.py:100-110) on open Spark. Locally the target
+    * is parquet with read-merge-swap; on a lakehouse table format
+    * the body becomes one atomic MERGE INTO with identical
+    * semantics. Accumulates (sum/count) across batches per key. */
+  def defaultGoldWriter(targetDir: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) => {
+      val s = batch.sparkSession
+      val agg = batch.groupBy(col("user_id")).agg(
+        sum(col("value")).as("total_value"),
+        count(lit(1)).as("events_count"))
+      val existing =
+        try s.read.parquet(targetDir)
+        catch { case _: Throwable =>
+          s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            agg.schema)
+        }
+      val merged = existing
+        .withColumnRenamed("total_value", "t_total")
+        .withColumnRenamed("events_count", "t_count")
+        .join(agg, Seq("user_id"), "full_outer")
+        .select(
+          col("user_id"),
+          (coalesce(col("t_total"), lit(0.0)) + coalesce(col("total_value"), lit(0.0)))
+            .as("total_value"),
+          (coalesce(col("t_count"), lit(0L)) + coalesce(col("events_count"), lit(0L)))
+            .as("events_count"))
+      // write-then-swap: parquet stand-in for an atomic MERGE INTO
+      val tmp = targetDir + ".next"
+      merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      val dst = new org.apache.hadoop.fs.Path(targetDir)
+      fs.delete(dst, true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    }
+
+  /** Attach the gold-merge sink to a stream of events. */
+  def goldMergeQuery(events: DataFrame, targetDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("update")
+      .foreachBatch(defaultGoldWriter(targetDir))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s34_stream_tumbling" -> (s34StreamTumbling _),
     "s35_stream_join" -> (s35StreamJoin _),

@@ -47,6 +47,30 @@ class MultimodalSpec extends SparkSpec {
       (0 until n).map(_.toLong))
   }
 
+  test("resize rewrites image metadata + payload, leaves other modalities untouched") {
+    val img = MediaRecord(1L, "image", Array.fill[Byte](100)(7),
+      MediaMeta("image/png", 100, 100, 0))
+    val aud = MediaRecord(2L, "audio", Array.fill[Byte](50)(3),
+      MediaMeta("audio/wav", 0, 0, 5000))
+    val out = Multimodal.resize(Seq(img, aud).toDS(), 10, 10)
+      .collect().sortBy(_.doc_id)
+    // 100x100 -> 10x10 = 1% of area: payload shrinks proportionally
+    assert(out(0).meta.width == 10 && out(0).meta.height == 10)
+    assert(out(0).payload.length == 1)
+    assert(out(1).payload.length == 50 && out(1).meta.mime == "audio/wav")
+  }
+
+  test("frame sampling explodes each video into ordered frames covering the duration") {
+    val vid = MediaRecord(5L, "video", (0 until 90).map(_.toByte).toArray,
+      MediaMeta("video/mp4", 0, 0, 3000))
+    val frames = Multimodal.sampleFrames(Seq(vid).toDS(), 1000L)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.length == 3)
+    assert(frames.map(_.frame_ms).toSeq == Seq(0L, 1000L, 2000L))
+    assert(frames(0).frame_payload.toSeq == (0 until 30).map(_.toByte))
+    assert(frames(2).frame_payload.toSeq == (60 until 90).map(_.toByte))
+  }
+
   test("m33 queries entry returns one feature row per document") {
     val docs = Tables.documents(spark, sfDir).count()
     val feats = Multimodal.m33Multimodal(spark, sfDir)

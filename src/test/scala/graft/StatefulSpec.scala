@@ -33,6 +33,25 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch gold MERGE accumulates per-key totals across micro-batches") {
+    val target = java.nio.file.Files.createTempDirectory("gold").toString + "/gold"
+    val in = MemoryStream[EventRow](spark)
+    val q = Streaming.goldMergeQuery(in.toDF(), target).start()
+    try {
+      in.addData(
+        EventRow(1, ts(0), 1, "click", 2.0),
+        EventRow(2, ts(1), 1, "click", 3.0),
+        EventRow(3, ts(0), 2, "view", 10.0))
+      q.processAllAvailable()
+      in.addData(EventRow(4, ts(5), 1, "purchase", 5.0)) // user 1 accrues
+      q.processAllAvailable()
+      val rows = spark.read.parquet(target)
+        .as[(Long, Double, Long)].collect().toSet
+      assert(rows == Set((1L, 10.0, 3L), (2L, 10.0, 1L)),
+        s"merged gold state wrong: $rows")
+    } finally q.stop()
+  }
+
   test("s36 streaming sessionization closes a session after the gap + watermark") {
     val in = MemoryStream[EventRow](spark)
     val q = Streaming.sessionizeStreaming(in.toDF())
