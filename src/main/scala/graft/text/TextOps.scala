@@ -86,10 +86,13 @@ object TextOps {
         round(distinctRatio, 4).as("distinct_ratio"),
         round(stopRatio, 4).as("stop_ratio"),
         round(meanWordLen, 4).as("mean_word_len"),
-        round(
-          least(nWords.cast("double") / 100.0, lit(1.0)) * 0.5
-            + distinctRatio * 0.3 + (lit(1.0) - stopRatio) * 0.2,
-          4).as("quality_score"))
+        // basis points via floor(x*1e4 + 0.5): ROUND(x,4) ties at the
+        // 5th decimal resolve differently across engines (Spark
+        // BigDecimal HALF_UP on the binary expansion vs DuckDB), but
+        // floor/mul/add are IEEE-deterministic on identical doubles
+        floor((least(nWords.cast("double") / 100.0, lit(1.0)) * 0.5
+            + distinctRatio * 0.3 + (lit(1.0) - stopRatio) * 0.2) * 10000.0 + 0.5)
+          .cast("int").as("quality_score_bp"))
       .orderBy("doc_id")
   }
 
@@ -99,7 +102,7 @@ object TextOps {
        | ROUND(distinct_ratio,4) AS distinct_ratio,
        | ROUND(stop_ratio,4) AS stop_ratio,
        | ROUND(mean_word_len,4) AS mean_word_len,
-       | ROUND(least(n_words/100.0, 1.0)*0.5 + distinct_ratio*0.3 + (1.0-stop_ratio)*0.2, 4) AS quality_score
+       | CAST(floor((least(n_words/100.0, 1.0)*0.5 + distinct_ratio*0.3 + (1.0-stop_ratio)*0.2) * 10000.0 + 0.5) AS INT) AS quality_score_bp
        |FROM (
        | SELECT doc_id, length(text) AS text_len,
        |  len(string_split(text,' ')) AS n_words,
