@@ -171,16 +171,56 @@ object TextOps {
         count(lit(1)).as("docs_count"))
       .orderBy("lang")
 
+  /** t34: text scrubbing — the normalization stage of a training
+    * pipeline: digit bucketing, punctuation strip, whitespace
+    * collapse, lowercase; emits cleaned text + how much was removed
+    * (regexes restricted to the Java∩RE2 common dialect so both
+    * engines agree). */
+  def t34Scrub(s: SparkSession, dir: String): DataFrame = {
+    val cleaned = trim(regexp_replace(regexp_replace(regexp_replace(
+      lower(col("text")),
+      "[0-9]+", "0"),           // bucket numbers
+      "[^a-z0-9 ]", ""),        // strip punctuation/symbols
+      " +", " "))               // collapse spaces
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        cleaned.as("clean_text"),
+        length(col("text")).as("orig_len"),
+        length(cleaned).as("clean_len"),
+        (length(col("text")) - length(cleaned)).as("removed_chars"))
+      .orderBy("doc_id")
+  }
+
+  val t34Sql: String =
+    """SELECT doc_id,
+      | trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+      |   '[0-9]+', '0', 'g'),
+      |   '[^a-z0-9 ]', '', 'g'),
+      |   ' +', ' ', 'g')) AS clean_text,
+      | CAST(length(text) AS INT) AS orig_len,
+      | CAST(length(trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+      |   '[0-9]+', '0', 'g'),
+      |   '[^a-z0-9 ]', '', 'g'),
+      |   ' +', ' ', 'g'))) AS INT) AS clean_len,
+      | CAST(length(text) - length(trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+      |   '[0-9]+', '0', 'g'),
+      |   '[^a-z0-9 ]', '', 'g'),
+      |   ' +', ' ', 'g'))) AS INT) AS removed_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t29_langid" -> (t29LangId _),
     "t30_quality" -> (t30Quality _),
     "t31_tokens" -> (t31Tokens _),
     "t32_fingerprint" -> (t32Fingerprint _),
-    "t33_sketch_stats" -> (t33SketchStats _))
+    "t33_sketch_stats" -> (t33SketchStats _),
+    "t34_scrub" -> (t34Scrub _))
 
   def oracles: Map[String, String] = Map(
     "t29_langid" -> t29Sql,
     "t30_quality" -> t30Sql,
     "t31_tokens" -> t31Sql,
-    "t32_fingerprint" -> t32Sql)
+    "t32_fingerprint" -> t32Sql,
+    "t34_scrub" -> t34Sql)
 }
