@@ -69,6 +69,29 @@ class DedupSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("connected components: chains merge, isolated vertices stand alone") {
+    val verts = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    // chain 1-2-3, pair 5-6, isolated 4
+    val edges = Seq((2L, 1L), (2L, 3L), (5L, 6L)).toDF("src", "dst")
+    val comp = Dedup.connectedComponents(verts, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("d27 clusters near-dups and keeps exactly one doc per component") {
+    docsOf(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      3L -> "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+      4L -> "one two three four five six seven eight nine ten")
+    val out = Dedup.d27DedupComponents(spark, tmp)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._2)).toSeq ==
+      Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L)))
+    assert(out.filter(_._3).map(_._1).toSeq == Seq(1L, 4L),
+      "keep = min doc per component")
+  }
+
   test("d22 exact dedup groups whitespace/case variants at sf0.001") {
     // engine-level check on real data: group count == distinct fingerprint count
     val out = Dedup.d22DedupExact(spark, sfDir)
