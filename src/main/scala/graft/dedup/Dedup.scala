@@ -330,12 +330,18 @@ object Dedup {
   }
 
   /** d27: near-duplicate clustering — the step that turns pairwise
-    * near-dup evidence (d23) into a dedup decision: connected
-    * components over the pair graph, keep the minimum doc_id per
-    * component. Docs with no near-dup stay their own component. */
+    * near-dup evidence into a dedup decision: connected components
+    * over the verified pair graph, keep the minimum doc_id per
+    * component. Docs with no near-dup stay their own component.
+    *
+    * Uses the hot-bucket-capped candidate graph (maxBucket=500):
+    * boilerplate mega-clusters would otherwise contribute O(n²)
+    * edges that clustering doesn't need (they're found by linear
+    * exact dedup), while genuine near-dup clusters — far smaller
+    * than the cap — keep every edge. */
   def d27DedupComponents(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id").as("id"))
-    val edges = d23DedupMinhash(s, dir)
+    val edges = d23DedupMinhashCapped(s, dir, 500)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     connectedComponents(docs, edges)
       .select(
