@@ -30,10 +30,7 @@ object Ann {
   private val NQ = 8 // vec_id < 8 are the query vectors
 
   private def withNorm(df: DataFrame): DataFrame =
-    df.withColumn("norm", graft.functions.VectorExprs.floatNorm(col("embedding")))
-      // zero-norm (empty/degenerate) vectors have no defined cosine;
-      // drop them rather than divide by zero under ANSI mode
-      .filter(col("norm") > 0)
+    graft.functions.VectorExprs.withNorm(df)
 
   private def cosine: Column = graft.functions.VectorExprs.cosine(
     col("q_embedding"), col("embedding"), col("q_norm"), col("norm"))

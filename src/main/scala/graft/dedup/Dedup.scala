@@ -30,7 +30,7 @@ object Dedup {
     * Reference analog: content hashing as in DeployContract
     * code_sha256 (Silver Lake Mainnet.sql:219-236). */
   def d22DedupExact(s: SparkSession, dir: String): DataFrame = {
-    val fp = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ").cast("binary"))
+    val fp = graft.text.TextOps.fingerprint(col("text"))
     Tables.documents(s, dir)
       .groupBy(fp.as("fingerprint"))
       .agg(
@@ -81,7 +81,8 @@ object Dedup {
   /** Verify stage: attach hashed sorted shingle sets to candidate
     * pairs via broadcast (doc→hashes map is tiny relative to the
     * pair stream), compute Jaccard with the native merge-walk
-    * intersect, keep pairs ≥ 0.7. */
+    * intersect, keep pairs ≥ 0.7. Unordered — presentation entry
+    * points sort; consumers like d27 use the raw edge stream. */
   private def verifyPairs(pairs: DataFrame, docs: DataFrame): DataFrame = {
     val hashed = docs.select(col("doc_id"), hashedShingles(col("sh")).as("shz"))
     pairs
@@ -90,7 +91,6 @@ object Dedup {
       .withColumn("jaccard", pairJaccard("shz_a", "shz_b"))
       .filter(col("jaccard") >= 0.7)
       .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
   }
 
   /** d23: MinHash + LSH near-duplicate detection.
@@ -114,7 +114,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id") &&
           col("a.band_id") === SetExprs.firstEqualBand(col("a.mh"), col("b.mh"), 4))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    verifyPairs(pairs, docs)
+    verifyPairs(pairs, docs).orderBy("doc_a", "doc_b")
   }
 
   /** d24: SimHash near-dup — 64-bit signature via the native
@@ -187,10 +187,7 @@ object Dedup {
     * magnitude faster than the higher-order-function formulation on
     * the O(n²) pair stream. */
   private def withNorm(df: DataFrame): DataFrame =
-    df.withColumn("norm", graft.functions.VectorExprs.floatNorm(col("embedding")))
-      // zero-norm (empty/degenerate) vectors have no defined cosine;
-      // drop them rather than divide by zero under ANSI mode
-      .filter(col("norm") > 0)
+    graft.functions.VectorExprs.withNorm(df)
 
   private def dot(a: String, b: String): Column =
     graft.functions.VectorExprs.floatDot(col(a), col(b))
@@ -275,7 +272,7 @@ object Dedup {
       // a pair may surface from several surviving bands (its first
       // shared band may have been dropped as hot) → dedup the stream
       .dropDuplicates("doc_a", "doc_b")
-    verifyPairs(pairs, docs)
+    verifyPairs(pairs, docs).orderBy("doc_a", "doc_b")
   }
 
   /** Connected components over an undirected edge list via
@@ -293,9 +290,12 @@ object Dedup {
     * (alternating min-propagation that contracts paths
     * logarithmically). */
   def connectedComponents(vertices: DataFrame, edges: DataFrame): DataFrame = {
-    // symmetric neighbor list: (src, dst) + (dst, src)
+    // symmetric neighbor list: (src, dst) + (dst, src), materialized
+    // ONCE — otherwise every iteration re-executes the upstream edge
+    // pipeline (for d27: the whole LSH + verify dag) from scratch
     val sym = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
     // localCheckpoint each round: an iterative self-referencing plan
     // otherwise grows its lineage exponentially and OOMs the driver
     // on long-diameter graphs (observed at ~30 rounds). In a
@@ -318,10 +318,14 @@ object Dedup {
         .join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.component") =!= col("o.component"))
         .limit(1).count()
+      // free the superseded round's checkpoint blocks — otherwise a
+      // long run accumulates one full label copy per iteration
+      labels.unpersist()
       labels = candidate
       converged = changed == 0
       iter += 1
     }
+    sym.unpersist()
     // wrong labels are worse than no labels: a graph whose diameter
     // exceeds the round budget must fail loudly
     require(converged,

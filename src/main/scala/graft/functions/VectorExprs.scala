@@ -104,4 +104,12 @@ object VectorExprs {
   /** cosine(a, b) given precomputed norms. */
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
     floatDot(a, b) / (normA * normB)
+
+  /** Project the vector norm and drop zero-norm (empty/degenerate)
+    * vectors — they have no defined cosine, and ANSI mode turns the
+    * division into a job failure. Shared by every cosine consumer so
+    * the degenerate-vector policy can't diverge between ops. */
+  def withNorm(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.withColumn("norm", floatNorm(org.apache.spark.sql.functions.col("embedding")))
+      .filter(org.apache.spark.sql.functions.col("norm") > 0)
 }

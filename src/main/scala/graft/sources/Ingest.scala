@@ -39,11 +39,12 @@ object Ingest {
   /** Shared bronze transform: envelope → typed columns + event_date
     * partition column. Works on batch and streaming input alike.
     *
-    * `is_rescued` is derived from the data columns, NOT from
-    * `_corrupt`: Spark disallows queries whose scan references only
-    * the internal corrupt-record column (e.g. a quarantine count of
-    * `filter(_corrupt.isNotNull)`), so monitoring should filter on
-    * `is_rescued` and read `_corrupt` only alongside other fields. */
+    * `is_rescued` flags BOTH partially-corrupt rows (some fields
+    * parsed, `_corrupt` populated) and fully-empty envelopes (all
+    * data fields null). It deliberately references data columns in
+    * addition to `_corrupt` so a quarantine count never prunes the
+    * scan down to only the internal corrupt-record column — Spark
+    * disallows that (QUERY_ONLY_CORRUPT_RECORD_COLUMN). */
   def bronzeTransform(raw: DataFrame): DataFrame =
     raw.select(
       col("id").as("event_id"),
@@ -54,7 +55,8 @@ object Ingest {
       col("amount").as("value"),
       col("tags"),
       col("_corrupt"),
-      (col("id").isNull && col("kind").isNull && col("ts_micros").isNull)
+      (col("_corrupt").isNotNull ||
+        (col("id").isNull && col("kind").isNull && col("ts_micros").isNull))
         .as("is_rescued"))
       .withColumn("event_date", to_date(col("ts")))
 

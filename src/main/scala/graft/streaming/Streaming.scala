@@ -180,8 +180,11 @@ object Streaming {
           var st = state.getOption.getOrElse(RunningState(0, 0.0))
           val out = rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id)).map { r =>
             st = RunningState(st.seq + 1, st.total + r.value)
+            // same rounding as the batch face (Spark round = HALF_UP
+            // on the decimal string); math.rint would be half-even
+            // on the binary double and diverge at ties
             RunningOut(user, r.event_id, st.seq,
-              math.rint(st.total * 10000) / 10000)
+              BigDecimal(st.total).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
           }
           state.update(st)
           out.iterator
@@ -197,35 +200,51 @@ object Streaming {
     * the body becomes one atomic MERGE INTO with identical
     * semantics. Accumulates (sum/count) across batches per key. */
   def defaultGoldWriter(targetDir: String): (DataFrame, Long) => Unit =
-    (batch: DataFrame, _: Long) => {
+    (batch: DataFrame, batchId: Long) => {
       val s = batch.sparkSession
-      val agg = batch.groupBy(col("user_id")).agg(
-        sum(col("value")).as("total_value"),
-        count(lit(1)).as("events_count"))
-      val existing =
-        try s.read.parquet(targetDir)
-        catch { case _: Throwable =>
-          s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-            agg.schema)
-        }
-      val merged = existing
-        .withColumnRenamed("total_value", "t_total")
-        .withColumnRenamed("events_count", "t_count")
-        .join(agg, Seq("user_id"), "full_outer")
-        .select(
-          col("user_id"),
-          (coalesce(col("t_total"), lit(0.0)) + coalesce(col("total_value"), lit(0.0)))
-            .as("total_value"),
-          (coalesce(col("t_count"), lit(0L)) + coalesce(col("events_count"), lit(0L)))
-            .as("events_count"))
-      // write-then-swap: parquet stand-in for an atomic MERGE INTO
-      val tmp = targetDir + ".next"
-      merged.coalesce(1).write.mode("overwrite").parquet(tmp)
       val fs = org.apache.hadoop.fs.FileSystem.get(
         s.sparkContext.hadoopConfiguration)
       val dst = new org.apache.hadoop.fs.Path(targetDir)
-      fs.delete(dst, true)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+      val marker = new org.apache.hadoop.fs.Path(targetDir + ".batchid")
+      // idempotency on top of foreachBatch's at-least-once delivery:
+      // a replayed batch (failure between swap and checkpoint commit)
+      // is skipped, not double-counted
+      val lastApplied: Long =
+        if (fs.exists(marker)) {
+          val in = fs.open(marker)
+          try new String(in.readAllBytes(), "UTF-8").trim.toLong
+          finally in.close()
+        } else -1L
+      if (batchId > lastApplied) {
+        val agg = batch.groupBy(col("user_id")).agg(
+          sum(col("value")).as("total_value"),
+          count(lit(1)).as("events_count"))
+        // only a genuinely MISSING target reads as empty; any other
+        // read failure (corrupt footer, permissions, transient IO)
+        // propagates instead of silently resetting the totals
+        val existing =
+          if (fs.exists(dst)) s.read.parquet(targetDir)
+          else s.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), agg.schema)
+        val merged = existing
+          .withColumnRenamed("total_value", "t_total")
+          .withColumnRenamed("events_count", "t_count")
+          .join(agg, Seq("user_id"), "full_outer")
+          .select(
+            col("user_id"),
+            (coalesce(col("t_total"), lit(0.0)) + coalesce(col("total_value"), lit(0.0)))
+              .as("total_value"),
+            (coalesce(col("t_count"), lit(0L)) + coalesce(col("events_count"), lit(0L)))
+              .as("events_count"))
+        // write-then-swap: parquet stand-in for an atomic MERGE INTO
+        val tmp = targetDir + ".next"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        fs.delete(dst, true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        val outS = fs.create(marker, true)
+        try outS.write(batchId.toString.getBytes("UTF-8"))
+        finally outS.close()
+      }
     }
 
   /** Attach the gold-merge sink to a stream of events. */

@@ -18,6 +18,12 @@ object TextOps {
 
   private def tokens(c: Column): Column = split(c, " ")
 
+  /** THE canonical exact-dedup key: md5 over whitespace-normalized,
+    * lowercased text. Single definition shared by t32 and d22 so
+    * fingerprints always match the keys dedup actually groups on. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
+
   /** Per-language stopword lists for the n-gram/stopword heuristic.
     * Deterministic and engine-portable: both Spark and DuckDB count
     * list-membership hits over whitespace tokens. */
@@ -136,15 +142,13 @@ object TextOps {
   /** t32: document fingerprint — md5 over whitespace-normalized,
     * lowercased text (the canonical exact-dedup key), plus a short
     * 16-hex prefix used for bucketing at scale. */
-  def t32Fingerprint(s: SparkSession, dir: String): DataFrame = {
-    val normed = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+  def t32Fingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(
         col("doc_id"),
-        md5(normed.cast("binary")).as("fingerprint"),
-        substring(md5(normed.cast("binary")), 1, 16).as("fp_bucket"))
+        fingerprint(col("text")).as("fingerprint"),
+        substring(fingerprint(col("text")), 1, 16).as("fp_bucket"))
       .orderBy("doc_id")
-  }
 
   val t32Sql: String =
     """SELECT doc_id, fingerprint, substring(fingerprint,1,16) AS fp_bucket

@@ -35,6 +35,20 @@ class IngestSpec extends SparkSpec {
     assert(corrupt.length == 1 && corrupt(0).getAs[String]("_corrupt").startsWith("""{"id":3"""))
   }
 
+  test("is_rescued flags partially-corrupt rows and quarantine counting works") {
+    val dir = Files.createTempDirectory("ingestpartial").toString
+    // id/kind parse, ts_micros is a type mismatch → partial corruption
+    val partial = """{"id":9,"ts_micros":"oops","user":{"uid":1,"segment":"s"},"kind":"click","amount":1.0,"tags":[]}"""
+    writeJson(dir, "p.json", good, partial)
+    val out = Ingest.ingestBatch(spark, dir)
+    // the quarantine metric itself must be runnable (scan not pruned
+    // to only the corrupt column)
+    assert(out.filter(col("is_rescued")).count() == 1)
+    val r = out.filter(col("event_id") === 9).collect()(0)
+    assert(r.getAs[Boolean]("is_rescued"), "partial corruption must be flagged")
+    assert(r.getAs[String]("_corrupt") != null)
+  }
+
   test("file-stream ingestion picks up files incrementally") {
     val dir = Files.createTempDirectory("ingeststream").toString
     writeJson(dir, "f1.json", good)

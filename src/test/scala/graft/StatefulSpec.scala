@@ -52,6 +52,36 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gold MERGE replayed micro-batch is skipped, not double-counted") {
+    val target = java.nio.file.Files.createTempDirectory("gold2").toString + "/gold"
+    val writer = Streaming.defaultGoldWriter(target)
+    val b0 = Seq(EventRow(1, ts(0), 1, "click", 2.0)).toDF()
+    val b1 = Seq(EventRow(2, ts(1), 1, "click", 3.0)).toDF()
+    writer(b0, 0L)
+    writer(b1, 1L)
+    writer(b1, 1L) // at-least-once replay of the SAME batch id
+    val rows = spark.read.parquet(target).as[(Long, Double, Long)].collect().toSet
+    assert(rows == Set((1L, 5.0, 2L)), s"replay double-counted: $rows")
+  }
+
+  test("gold MERGE propagates a corrupt-target read failure instead of resetting totals") {
+    val base = java.nio.file.Files.createTempDirectory("gold3").toString
+    val target = base + "/gold"
+    val writer = Streaming.defaultGoldWriter(target)
+    writer(Seq(EventRow(1, ts(0), 1, "click", 2.0)).toDF(), 0L)
+    // corrupt the table: replace parquet contents with garbage
+    val dir = new java.io.File(target)
+    dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(f => java.nio.file.Files.write(f.toPath, "garbage".getBytes))
+    intercept[Exception] {
+      writer(Seq(EventRow(2, ts(1), 1, "click", 3.0)).toDF(), 1L)
+    }
+    // marker was not advanced: the failed batch can be retried
+    val marker = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(target + ".batchid")), "UTF-8").trim
+    assert(marker == "0")
+  }
+
   test("s36 streaming sessionization closes a session after the gap + watermark") {
     val in = MemoryStream[EventRow](spark)
     val q = Streaming.sessionizeStreaming(in.toDF())
