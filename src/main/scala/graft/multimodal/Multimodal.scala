@@ -88,9 +88,7 @@ object Multimodal {
 
   /** m33 queries entry: features for every media record. */
   def m33Multimodal(s: SparkSession, dir: String): DataFrame =
-    decodeFeatures(mediaTable(s, dir))
-      .toDF()
-      .orderBy("doc_id")
+    decodeFeatures(mediaTable(s, dir)).toDF()
 
   /** STUB resize — the real implementation decodes, scales with a
     * codec, re-encodes. Here: deterministic byte truncation scaled

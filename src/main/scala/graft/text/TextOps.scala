@@ -173,7 +173,6 @@ object TextOps {
         countDistinct(col("source")).as("exact_sources"),
         percentile_approx(col("n_chars"), lit(0.5), lit(1000)).as("approx_median_chars"),
         count(lit(1)).as("docs_count"))
-      .orderBy("lang")
 
   /** t34: text scrubbing — the normalization stage of a training
     * pipeline: digit bucketing, punctuation strip, whitespace
