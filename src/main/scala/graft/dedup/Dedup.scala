@@ -177,7 +177,11 @@ object Dedup {
       .join(broadcast(hashed.select(col("doc_id").as("doc_b"), col("shz").as("shz_b"))), "doc_b")
       .select(col("doc_a"), col("doc_b"), pairJaccard("shz_a", "shz_b").as("jaccard"))
       .filter(col("jaccard") >= 0.05)
-      .orderBy("doc_a", "doc_b")
+      // deterministic total order without a range-partitioned sort:
+      // orderBy samples the child to pick split points, executing the
+      // whole pair pipeline twice; the output is small enough to sort
+      // in one partition while the pipeline stays parallel
+      .repartition(1).sortWithinPartitions("doc_a", "doc_b")
   }
 
   /** Cosine similarity over float-array embeddings, with norms
@@ -209,7 +213,8 @@ object Dedup {
         round(dot("a.embedding", "b.embedding") / (col("a.norm") * col("b.norm")), 4)
           .as("cosine"))
       .filter(col("cosine") >= 0.4)
-      .orderBy("vec_a", "vec_b")
+      // single-partition presentation sort: see d25 note
+      .repartition(1).sortWithinPartitions("vec_a", "vec_b")
   }
 
   /** DuckDB equivalent of d25 — bigram shingles via index-zip,
