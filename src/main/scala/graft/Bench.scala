@@ -18,20 +18,33 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup on the smallest SF so per-query times measure
-    // the plan, not JIT + first-run codegen compilation.
-    SparkEntry.queries.get("q01_agg_filter")
+    // the plan, not JIT + first-run codegen compilation. Failures are
+    // tolerated — a broken input must still produce the JSON line
+    // (with -1 timings), not a dead process.
+    try SparkEntry.queries.get("q01_agg_filter")
       .foreach(f => f(spark, sfDir).write.format("noop").mode("overwrite").save())
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup failed: ${e.getMessage}")
+    }
+    def timeOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        val dt = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] $name%-26s $dt%8.2f s")
-        name -> dt
+        (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        name -> -1.0
+        -1.0
       }
+    }
+    // two passes, min per query: steady-state measurement robust to
+    // first-run codegen compilation and background noise spikes
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val a = timeOnce(name, fn)
+      val b = if (a >= 0) timeOnce(name, fn) else -1.0
+      val best = if (a < 0 || b < 0) -1.0 else math.min(a, b)
+      System.err.println(f"[bench] $name%-26s $best%8.2f s (runs: $a%.2f, $b%.2f)")
+      name -> best
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

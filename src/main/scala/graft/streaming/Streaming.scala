@@ -247,6 +247,17 @@ object Streaming {
       }
     }
 
+  /** Streaming dedup-at-ingest: drop duplicate records by key while
+    * the stream flows, keeping state only within the watermark —
+    * Spark 4's dropDuplicatesWithinWatermark means a duplicate
+    * arriving within the lateness bound is suppressed and state is
+    * evicted afterwards, so dedup state is O(keys-per-watermark),
+    * not O(stream). The training-pipeline use: fingerprint-keyed
+    * exact dedup (d22's key) applied before documents ever land. */
+  def dedupStream(events: DataFrame, key: String): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(key)
+
   /** Attach the gold-merge sink to a stream of events. */
   def goldMergeQuery(events: DataFrame, targetDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =

@@ -82,6 +82,26 @@ class StatefulSpec extends SparkSpec {
     assert(marker == "0")
   }
 
+  test("streaming dedup suppresses in-watermark duplicates, keeps distinct keys") {
+    val in = MemoryStream[EventRow](spark)
+    val q = Streaming.dedupStream(in.toDF(), "user_id")
+      .writeStream.format("memory").queryName("dedupout")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        EventRow(1, ts(0), 1, "click", 1.0),
+        EventRow(2, ts(1), 1, "click", 2.0), // dup key within watermark
+        EventRow(3, ts(2), 2, "view", 3.0))
+      q.processAllAvailable()
+      in.addData(EventRow(4, ts(3), 1, "click", 4.0)) // still within watermark
+      q.processAllAvailable()
+      val users = spark.table("dedupout")
+        .select("event_id", "user_id").as[(Long, Long)].collect().toSet
+      assert(users == Set((1L, 1L), (3L, 2L)),
+        s"only first record per key within watermark: $users")
+    } finally q.stop()
+  }
+
   test("s36 streaming sessionization closes a session after the gap + watermark") {
     val in = MemoryStream[EventRow](spark)
     val q = Streaming.sessionizeStreaming(in.toDF())
