@@ -788,6 +788,41 @@ object Relational {
       | ON s.user_id = d.user_id AND s.event_date = d.event_date
       |ORDER BY s.user_id, s.event_date""".stripMargin
 
+  /** Dynamic JSON-key iteration: enumerate the keys of a JSON
+    * object (unknown at query-author time), explode them, and
+    * extract each key's value through a dynamically-built JSON
+    * path — the socialDB pattern where the payload's keys ARE the
+    * data. Reference: explode(json_object_keys(...)) +
+    * get_json_object(args, concat('$["', key, '"]'))
+    * (Silver Lake Mainnet - NEAR Social.sql:66-80). */
+  def q29JsonKeys(s: SparkSession, dir: String): DataFrame = {
+    val payload = to_json(map_from_arrays(
+      array(lit("type"), lit("user"), lit("day")),
+      array(col("event_type"), col("user_id").cast("string"),
+        to_date(col("ts")).cast("string"))))
+    Tables.events(s, dir)
+      .select(col("event_id"), payload.as("payload"))
+      .select(col("event_id"), col("payload"),
+        explode(json_object_keys(col("payload"))).as("obj_key"))
+      .select(
+        col("event_id"), col("obj_key"),
+        // dynamic (non-foldable) JSON path — the SQL form allows it
+        expr("get_json_object(payload, concat('$.', obj_key))").as("obj_value"))
+      .orderBy("event_id", "obj_key")
+  }
+
+  val q29Sql: String =
+    """WITH payloads AS (
+      | SELECT event_id,
+      |  json_object('type', event_type, 'user', CAST(user_id AS VARCHAR),
+      |              'day', CAST(CAST(ts AS DATE) AS VARCHAR)) AS payload
+      | FROM events)
+      |SELECT event_id, obj_key,
+      | json_extract_string(payload, '$.' || obj_key) AS obj_value
+      |FROM (SELECT event_id, payload, unnest(json_keys(payload)) AS obj_key
+      |      FROM payloads)
+      |ORDER BY event_id, obj_key""".stripMargin
+
   /** All relational queries, keyed per SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_filter" -> (q01AggFilter _),
@@ -817,7 +852,8 @@ object Relational {
     "q25_asof_join" -> (q25AsofJoin _),
     "q26_unpivot" -> (q26Unpivot _),
     "q27_percentiles" -> (q27Percentiles _),
-    "q28_date_spine" -> (q28DateSpine _))
+    "q28_date_spine" -> (q28DateSpine _),
+    "q29_json_keys" -> (q29JsonKeys _))
 
   def oracles: Map[String, String] = Map(
     "q01_agg_filter" -> q01Sql,
@@ -847,5 +883,6 @@ object Relational {
     "q25_asof_join" -> q25Sql,
     "q26_unpivot" -> q26Sql,
     "q27_percentiles" -> q27Sql,
-    "q28_date_spine" -> q28Sql)
+    "q28_date_spine" -> q28Sql,
+    "q29_json_keys" -> q29Sql)
 }
