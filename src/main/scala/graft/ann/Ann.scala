@@ -17,10 +17,10 @@ import graft.Tables
   * Scale design (100 TB corpus):
   * - Queries are broadcast; the corpus is never shuffled for the
   *   score computation.
-  * - Top-k is two-stage: a per-shuffle-partition row_number prunes
-  *   to k rows per (query, partition) map-side, then the global
-  *   per-query top-k runs over ≤ k·P survivors — the full
-  *   query×corpus score set never crosses the network.
+  * - Top-k uses a typed bounded-buffer Aggregator: partial
+  *   aggregation keeps ≤ k rows per (query, map task) before the
+  *   exchange — the full query×corpus score set never crosses the
+  *   network.
   * - LSH (a28) prunes the scored set itself: sign-bucket equi-join
   *   means each query only scores its bucket-mates.
   */
@@ -35,10 +35,36 @@ object Ann {
   private def cosine: Column = graft.functions.VectorExprs.cosine(
     col("q_embedding"), col("embedding"), col("q_norm"), col("norm"))
 
+  /** Bounded top-k buffer for the typed aggregator. Ordering:
+    * higher (rounded) cosine first, then smaller neighbor id. */
+  case class TopKBuf(items: Seq[(Double, Long)])
+
+  private class TopKAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Long, Double), TopKBuf, TopKBuf] {
+    private def prune(xs: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      xs.sortBy(t => (-t._1, t._2)).take(k)
+    override def zero: TopKBuf = TopKBuf(Nil)
+    override def reduce(b: TopKBuf, r: (Long, Long, Double)): TopKBuf =
+      TopKBuf(prune(b.items :+ ((r._3, r._2))))
+    override def merge(a: TopKBuf, b: TopKBuf): TopKBuf =
+      TopKBuf(prune(a.items ++ b.items))
+    override def finish(b: TopKBuf): TopKBuf = TopKBuf(prune(b.items))
+    override def bufferEncoder: org.apache.spark.sql.Encoder[TopKBuf] =
+      org.apache.spark.sql.Encoders.product[TopKBuf]
+    override def outputEncoder: org.apache.spark.sql.Encoder[TopKBuf] =
+      org.apache.spark.sql.Encoders.product[TopKBuf]
+  }
+
   /** a27: brute-force cosine top-k.
     * Exact baseline: score all query×corpus pairs, keep top-k per
-    * query via the two-stage row_number described above. */
+    * query with a typed bounded-buffer Aggregator — partial
+    * aggregation prunes to ≤ k rows per (query, map task) BEFORE
+    * the exchange, so the full query×corpus score set never
+    * crosses the network (a window-based rank would shuffle every
+    * scored row first). */
   def a27AnnBrute(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val corpus = withNorm(Tables.embeddings(s, dir).select("vec_id", "embedding"))
     val queries = corpus.filter(col("vec_id") < NQ).select(
       col("vec_id").as("query_id"),
@@ -47,16 +73,13 @@ object Ann {
     val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cosine, 4).as("cosine"))
-    // stage 1: top-k within each input partition (map-side prune)
-    val partial = Window.partitionBy(col("query_id"), spark_partition_id())
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    // stage 2: global top-k over the pruned survivors
-    val global = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("prn", row_number().over(partial)).filter(col("prn") <= K)
-      .withColumn("rank", row_number().over(global)).filter(col("rank") <= K)
-      .select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)]
+    scored.groupByKey(_._1)
+      .agg(new TopKAgg(K).toColumn.name("topk"))
+      .flatMap { case (q, buf) =>
+        buf.items.zipWithIndex.map { case ((c, id), i) => (q, i + 1, id, c) }
+      }
+      .toDF("query_id", "rank", "neighbor_id", "cosine")
       .orderBy("query_id", "rank")
   }
 
@@ -67,7 +90,10 @@ object Ann {
     * to bit-identical doubles. */
   private val planeStrs: Seq[Seq[String]] = {
     val rng = new scala.util.Random(42)
-    Seq.fill(8, 64)(rng.nextGaussian()).map(_.map(v => f"$v%.17g"))
+    // Locale.ROOT: a comma-decimal default locale would emit "0,51…"
+    // and break both SQL dialects
+    Seq.fill(8, 64)(rng.nextGaussian())
+      .map(_.map(v => String.format(java.util.Locale.ROOT, "%.17g", Double.box(v))))
   }
 
   private val planesSql: String =
@@ -116,10 +142,14 @@ object Ann {
       s"""(CASE WHEN list_sum(list_transform(list_zip(${planeDuck(i)}, embedding),
          |   p -> p[1] * CAST(p[2] AS DOUBLE))) > 0 THEN ${1 << i} ELSE 0 END)""".stripMargin
     }.mkString(" + ")
-    s"""SELECT vec_id, embedding,
-       | sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm,
-       | $bucketTerms AS bucket
-       |FROM embeddings""".stripMargin
+    // norm > 0 mirrors VectorExprs.withNorm's degenerate-vector
+    // policy — without it a zero/empty vector yields inf/NaN rows
+    // on the oracle side only
+    s"""SELECT * FROM (
+       | SELECT vec_id, embedding,
+       |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm,
+       |  $bucketTerms AS bucket
+       | FROM embeddings) WHERE norm > 0""".stripMargin
   }
 
   private val duckCosine: String =

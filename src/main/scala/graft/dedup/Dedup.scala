@@ -165,11 +165,18 @@ object Dedup {
             |  (x, y) -> concat(x, ' ', y)))""".stripMargin).as("sh"))
     // slim id-level blocking first; shingles attach to pairs via
     // broadcast so the blocked self-join shuffles ids only
-    // repartition the probe side so the quadratic pair explosion
-    // parallelizes regardless of how few splits the id list has
+    // salt the block key: a join whose only equi-key is `lang` hashes
+    // into ≤ #languages tasks no matter the cluster, serializing the
+    // quadratic explosion. Side a takes bucket = doc_id % 16; side b
+    // is replicated to all 16 buckets (16× a tiny id list), so the
+    // same pairs emerge exactly once each across 16× the parallelism
     val ids = docs.select("doc_id", "lang")
-    val pairs = ids.repartition(col("doc_id")).as("a").join(ids.as("b"),
-        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+    val a = ids.withColumn("bucket", col("doc_id") % 16)
+    val b = ids.withColumn("bucket", explode(sequence(lit(0), lit(15)).cast("array<long>")))
+    val pairs = a.as("a").join(b.as("b"),
+        col("a.lang") === col("b.lang") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     val hashed = docs.select(col("doc_id"), hashedShingles(col("sh")).as("shz"))
     pairs
@@ -236,9 +243,10 @@ object Dedup {
     * float-precision list_cosine_similarity builtin). */
   val d26Sql: String =
     """WITH e AS (
-      | SELECT vec_id, embedding,
-      |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
-      | FROM embeddings)
+      | SELECT * FROM (
+      |  SELECT vec_id, embedding,
+      |   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
+      |  FROM embeddings) WHERE norm > 0)
       |SELECT vec_a, vec_b, cosine FROM (
       | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
       |  ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
@@ -326,8 +334,10 @@ object Dedup {
         .join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.component") =!= col("o.component"))
         .limit(1).count()
-      // free the superseded round's checkpoint blocks — otherwise a
-      // long run accumulates one full label copy per iteration
+      // best-effort release of the superseded round (checkpoint
+      // blocks are ultimately freed by the ContextCleaner once the
+      // RDD is unreachable; labels are narrow so the per-round
+      // residue is small)
       labels.unpersist()
       labels = candidate
       converged = changed == 0

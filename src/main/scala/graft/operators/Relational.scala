@@ -329,10 +329,14 @@ object Relational {
     * Spark-first: no UDF — pure Catalyst decimal arithmetic, fully
     * codegen'd; row_number window provides the per-shard ordinal. */
   def q13EventIndex(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    // ordinal is per (type, shard): the packing reserves 6 digits for
+    // rn BELOW the shard digits, so a per-type-only ordinal would
+    // bleed into the shard field past 10^6 rows of one type
+    val w = Window.partitionBy(col("event_type"), col("shard_id"))
+      .orderBy(col("ts"), col("event_id"))
     Tables.events(s, dir)
-      .withColumn("rn", row_number().over(w) - 1)
       .withColumn("shard_id", col("user_id") % 100)
+      .withColumn("rn", row_number().over(w) - 1)
       .select(
         col("event_id"),
         (unix_micros(col("ts")).cast("decimal(38,0)") * lit(100000000L)
@@ -346,7 +350,7 @@ object Relational {
       | CAST(CAST(CAST(epoch_us(ts) AS DECIMAL(38,0)) * 100000000
       |   + (user_id % 100) * 1000000 + rn AS DECIMAL(38,0)) AS VARCHAR) AS event_index
       |FROM (
-      | SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS rn,
+      | SELECT *, row_number() OVER (PARTITION BY event_type, user_id % 100 ORDER BY ts, event_id) - 1 AS rn,
       | FROM events)
       |ORDER BY event_id""".stripMargin
 

@@ -205,16 +205,28 @@ object Streaming {
       val fs = org.apache.hadoop.fs.FileSystem.get(
         s.sparkContext.hadoopConfiguration)
       val dst = new org.apache.hadoop.fs.Path(targetDir)
-      val marker = new org.apache.hadoop.fs.Path(targetDir + ".batchid")
-      // idempotency on top of foreachBatch's at-least-once delivery:
-      // a replayed batch (failure between swap and checkpoint commit)
-      // is skipped, not double-counted
-      val lastApplied: Long =
-        if (fs.exists(marker)) {
-          val in = fs.open(marker)
+      val backup = new org.apache.hadoop.fs.Path(targetDir + ".backup")
+      val tmpStr = targetDir + ".next"
+      val tmp = new org.apache.hadoop.fs.Path(tmpStr)
+      def readMarker(dir: org.apache.hadoop.fs.Path): Long = {
+        val m = new org.apache.hadoop.fs.Path(dir, "_batchid")
+        if (!fs.exists(m)) -1L
+        else {
+          val in = fs.open(m)
           try new String(in.readAllBytes(), "UTF-8").trim.toLong
           finally in.close()
-        } else -1L
+        }
+      }
+      // crash recovery: a failed swap can leave the table only in the
+      // backup slot — restore it before doing anything else
+      if (!fs.exists(dst) && fs.exists(backup))
+        require(fs.rename(backup, dst), s"could not restore $backup")
+      // idempotency on top of foreachBatch's at-least-once delivery:
+      // the applied batchId rides INSIDE the data directory (an
+      // underscore-prefixed file parquet readers ignore), so data and
+      // marker commit atomically in the same rename — there is no
+      // window where the data is swapped but the marker lags
+      val lastApplied = if (fs.exists(dst)) readMarker(dst) else -1L
       if (batchId > lastApplied) {
         val agg = batch.groupBy(col("user_id")).agg(
           sum(col("value")).as("total_value"),
@@ -236,14 +248,19 @@ object Streaming {
               .as("total_value"),
             (coalesce(col("t_count"), lit(0L)) + coalesce(col("events_count"), lit(0L)))
               .as("events_count"))
-        // write-then-swap: parquet stand-in for an atomic MERGE INTO
-        val tmp = targetDir + ".next"
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        fs.delete(dst, true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
-        val outS = fs.create(marker, true)
+        // stage the new table version + its marker, then swap via
+        // backup. Every rename result is checked: Hadoop FileSystems
+        // report failure by returning false, and an unchecked false
+        // here would silently destroy the table
+        merged.coalesce(1).write.mode("overwrite").parquet(tmpStr)
+        val outS = fs.create(new org.apache.hadoop.fs.Path(tmp, "_batchid"), true)
         try outS.write(batchId.toString.getBytes("UTF-8"))
         finally outS.close()
+        fs.delete(backup, true)
+        if (fs.exists(dst))
+          require(fs.rename(dst, backup), s"could not back up $dst")
+        require(fs.rename(tmp, dst), s"could not install $tmp as $dst")
+        fs.delete(backup, true)
       }
     }
 

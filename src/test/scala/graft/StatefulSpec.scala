@@ -76,9 +76,10 @@ class StatefulSpec extends SparkSpec {
     intercept[Exception] {
       writer(Seq(EventRow(2, ts(1), 1, "click", 3.0)).toDF(), 1L)
     }
-    // marker was not advanced: the failed batch can be retried
+    // marker (inside the table dir) was not advanced: the failed
+    // batch can be retried
     val marker = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(target + ".batchid")), "UTF-8").trim
+      java.nio.file.Paths.get(target + "/_batchid")), "UTF-8").trim
     assert(marker == "0")
   }
 
