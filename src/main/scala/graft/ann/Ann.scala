@@ -44,9 +44,17 @@ object Ann {
         (Long, Long, Double), TopKBuf, TopKBuf] {
     private def prune(xs: Seq[(Double, Long)]): Seq[(Double, Long)] =
       xs.sortBy(t => (-t._1, t._2)).take(k)
+    private def worseThanKth(b: TopKBuf, c: Double, id: Long): Boolean = {
+      val (kc, kid) = b.items.last
+      c < kc || (c == kc && id > kid)
+    }
     override def zero: TopKBuf = TopKBuf(Nil)
     override def reduce(b: TopKBuf, r: (Long, Long, Double)): TopKBuf =
-      TopKBuf(prune(b.items :+ ((r._3, r._2))))
+      // O(1) fast path: a full buffer rejects anything not beating
+      // the kth element — the overwhelmingly common case on the hot
+      // query×corpus stream — without re-sorting
+      if (b.items.length >= k && worseThanKth(b, r._3, r._2)) b
+      else TopKBuf(prune(b.items :+ ((r._3, r._2))))
     override def merge(a: TopKBuf, b: TopKBuf): TopKBuf =
       TopKBuf(prune(a.items ++ b.items))
     override def finish(b: TopKBuf): TopKBuf = TopKBuf(prune(b.items))

@@ -171,7 +171,9 @@ object Dedup {
     // is replicated to all 16 buckets (16× a tiny id list), so the
     // same pairs emerge exactly once each across 16× the parallelism
     val ids = docs.select("doc_id", "lang")
-    val a = ids.withColumn("bucket", col("doc_id") % 16)
+    // pmod: a sign-following % would put negative ids in buckets the
+    // replicated side never covers, silently dropping their pairs
+    val a = ids.withColumn("bucket", pmod(col("doc_id"), lit(16)))
     val b = ids.withColumn("bucket", explode(sequence(lit(0), lit(15)).cast("array<long>")))
     val pairs = a.as("a").join(b.as("b"),
         col("a.lang") === col("b.lang") &&

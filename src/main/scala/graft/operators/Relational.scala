@@ -329,28 +329,42 @@ object Relational {
     * Spark-first: no UDF — pure Catalyst decimal arithmetic, fully
     * codegen'd; row_number window provides the per-shard ordinal. */
   def q13EventIndex(s: SparkSession, dir: String): DataFrame = {
-    // ordinal is per (type, shard): the packing reserves 6 digits for
-    // rn BELOW the shard digits, so a per-type-only ordinal would
-    // bleed into the shard field past 10^6 rows of one type
-    val w = Window.partitionBy(col("event_type"), col("shard_id"))
-      .orderBy(col("ts"), col("event_id"))
+    // globally-unique packing, mirroring the reference's field layout:
+    // ts_micros·1e10 + shard·1e8 + type_idx·1e6 + ordinal. The
+    // ordinal restarts per (type, shard, ts) — bounded by same-
+    // microsecond collisions, so it cannot bleed into the type
+    // digits at any corpus size; every field has its own digits so
+    // indexes are unique across types and shards.
+    val typeIdx = when(col("event_type") === "click", 0)
+      .when(col("event_type") === "view", 1)
+      .when(col("event_type") === "purchase", 2)
+      .when(col("event_type") === "signup", 3)
+      .when(col("event_type") === "error", 4)
+      .otherwise(9)
+    val w = Window.partitionBy(col("event_type"), col("shard_id"), col("ts"))
+      .orderBy(col("event_id"))
     Tables.events(s, dir)
       .withColumn("shard_id", col("user_id") % 100)
       .withColumn("rn", row_number().over(w) - 1)
       .select(
         col("event_id"),
-        (unix_micros(col("ts")).cast("decimal(38,0)") * lit(100000000L)
-          + col("shard_id") * lit(1000000L) + col("rn"))
+        (unix_micros(col("ts")).cast("decimal(38,0)") * lit(10000000000L)
+          + col("shard_id") * lit(100000000L)
+          + typeIdx * lit(1000000L) + col("rn"))
           .cast("decimal(38,0)").cast("string").as("event_index"))
       .orderBy("event_id")
   }
 
   val q13Sql: String =
     """SELECT event_id,
-      | CAST(CAST(CAST(epoch_us(ts) AS DECIMAL(38,0)) * 100000000
-      |   + (user_id % 100) * 1000000 + rn AS DECIMAL(38,0)) AS VARCHAR) AS event_index
+      | CAST(CAST(CAST(epoch_us(ts) AS DECIMAL(38,0)) * 10000000000
+      |   + (user_id % 100) * 100000000
+      |   + (CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
+      |       WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
+      |       WHEN 'error' THEN 4 ELSE 9 END) * 1000000
+      |   + rn AS DECIMAL(38,0)) AS VARCHAR) AS event_index
       |FROM (
-      | SELECT *, row_number() OVER (PARTITION BY event_type, user_id % 100 ORDER BY ts, event_id) - 1 AS rn,
+      | SELECT *, row_number() OVER (PARTITION BY event_type, user_id % 100, ts ORDER BY event_id) - 1 AS rn,
       | FROM events)
       |ORDER BY event_id""".stripMargin
 

@@ -224,9 +224,22 @@ object Streaming {
       // idempotency on top of foreachBatch's at-least-once delivery:
       // the applied batchId rides INSIDE the data directory (an
       // underscore-prefixed file parquet readers ignore), so data and
-      // marker commit atomically in the same rename — there is no
-      // window where the data is swapped but the marker lags
-      val lastApplied = if (fs.exists(dst)) readMarker(dst) else -1L
+      // marker commit in the same rename — crash-atomic for this
+      // writer. (Concurrent READERS can still observe a brief gap
+      // between the two renames; reader atomicity is what a lakehouse
+      // table format's MERGE INTO provides at scale.)
+      // Legacy fallback: tables written before the in-dir marker kept
+      // it at targetDir + ".batchid" — honor it so upgrading never
+      // drops replay protection.
+      val legacyMarker = new org.apache.hadoop.fs.Path(targetDir + ".batchid")
+      val legacyApplied: Long =
+        if (fs.exists(legacyMarker)) {
+          val in = fs.open(legacyMarker)
+          try new String(in.readAllBytes(), "UTF-8").trim.toLong
+          finally in.close()
+        } else -1L
+      val lastApplied =
+        math.max(if (fs.exists(dst)) readMarker(dst) else -1L, legacyApplied)
       if (batchId > lastApplied) {
         val agg = batch.groupBy(col("user_id")).agg(
           sum(col("value")).as("total_value"),
@@ -256,7 +269,10 @@ object Streaming {
         val outS = fs.create(new org.apache.hadoop.fs.Path(tmp, "_batchid"), true)
         try outS.write(batchId.toString.getBytes("UTF-8"))
         finally outS.close()
+        // backup slot must be GONE before the rename: Hadoop rename
+        // onto an existing directory nests the source inside it
         fs.delete(backup, true)
+        require(!fs.exists(backup), s"could not clear $backup")
         if (fs.exists(dst))
           require(fs.rename(dst, backup), s"could not back up $dst")
         require(fs.rename(tmp, dst), s"could not install $tmp as $dst")
