@@ -86,9 +86,13 @@ object Multimodal {
     ds.mapPartitions(_.grouped(BatchSize).flatMap(decodeStub))
   }
 
-  /** m33 queries entry: features for every media record. */
+  /** m33 queries entry: features for every media record. The typed
+    * API keeps `feat: Array[Float]`; the driver-facing frame renders
+    * it as JSON because the driver's pandas compare can't sort/hash
+    * array cells (round-1 harness crash). */
   def m33Multimodal(s: SparkSession, dir: String): DataFrame =
     decodeFeatures(mediaTable(s, dir)).toDF()
+      .withColumn("feat", to_json(col("feat")))
 
   /** STUB resize — the real implementation decodes, scales with a
     * codec, re-encodes. Here: deterministic byte truncation scaled

@@ -60,7 +60,11 @@ object Relational {
         col("o_orderkey").as("order_key"),
         to_date(col("o_orderdate")).as("order_date"),
         year(col("o_orderdate")).as("order_year"),
-        col("o_totalprice").cast("decimal(18,2)").as("total_price_dec"),
+        // DECIMAL values verified byte-equal vs DuckDB, but the driver's
+        // pandas hash layer dtype-diverges on DECIMAL columns (Decimal
+        // objects vs float64) — ship the canonical string rendering of
+        // the same decimal in BOTH dialects instead.
+        col("o_totalprice").cast("decimal(18,2)").cast("string").as("total_price_dec"),
         concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("status_priority"),
         lower(col("o_orderpriority")).as("priority_lower"))
       .orderBy("order_key")
@@ -69,7 +73,7 @@ object Relational {
     """SELECT o_orderkey AS order_key,
       | CAST(o_orderdate AS DATE) AS order_date,
       | CAST(year(o_orderdate) AS INT) AS order_year,
-      | CAST(o_totalprice AS DECIMAL(18,2)) AS total_price_dec,
+      | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS total_price_dec,
       | o_orderstatus || '-' || o_orderpriority AS status_priority,
       | lower(o_orderpriority) AS priority_lower
       |FROM orders ORDER BY order_key""".stripMargin
@@ -654,14 +658,16 @@ object Relational {
     Tables.events(s, dir)
       .groupBy(col("user_id"))
       .agg(
-        array_sort(collect_set(col("event_type"))).as("event_types"),
+        // comma-joined string, not ARRAY: the driver's pandas compare
+        // can't sort/hash numpy-array cells (round-1 harness crash)
+        concat_ws(",", array_sort(collect_set(col("event_type")))).as("event_types"),
         size(collect_set(col("event_type"))).as("distinct_types"),
         count(lit(1)).as("events_count"))
       .orderBy("user_id")
 
   val q24Sql: String =
     """SELECT user_id,
-      | array_agg(DISTINCT event_type ORDER BY event_type) AS event_types,
+      | string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS event_types,
       | CAST(COUNT(DISTINCT event_type) AS INT) AS distinct_types,
       | COUNT(*) AS events_count
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
@@ -812,7 +818,11 @@ object Relational {
     * path — the socialDB pattern where the payload's keys ARE the
     * data. Reference: explode(json_object_keys(...)) +
     * get_json_object(args, concat('$["', key, '"]'))
-    * (Silver Lake Mainnet - NEAR Social.sql:66-80). */
+    * (Silver Lake Mainnet - NEAR Social.sql:66-80).
+    * Scale: the document is parsed ONCE per row into MAP&lt;STRING,
+    * STRING&gt; and the entries exploded — the json_object_keys +
+    * per-key get_json_object formulation re-parses the payload per
+    * key (k+1 parses/row) and was the round-1 bench tail. */
   def q29JsonKeys(s: SparkSession, dir: String): DataFrame = {
     val payload = to_json(map_from_arrays(
       array(lit("type"), lit("user"), lit("day")),
@@ -820,12 +830,12 @@ object Relational {
         to_date(col("ts")).cast("string"))))
     Tables.events(s, dir)
       .select(col("event_id"), payload.as("payload"))
-      .select(col("event_id"), col("payload"),
-        explode(json_object_keys(col("payload"))).as("obj_key"))
+      .select(col("event_id"),
+        explode(map_entries(from_json(col("payload"), lit("map<string,string>"))))
+          .as("kv"))
       .select(
-        col("event_id"), col("obj_key"),
-        // dynamic (non-foldable) JSON path — the SQL form allows it
-        expr("get_json_object(payload, concat('$.', obj_key))").as("obj_value"))
+        col("event_id"), col("kv.key").as("obj_key"),
+        col("kv.value").as("obj_value"))
       .orderBy("event_id", "obj_key")
   }
 
