@@ -37,14 +37,19 @@ object Bench {
         -1.0
       }
     }
-    // two passes, min per query: steady-state measurement robust to
-    // first-run codegen compilation and background noise spikes
+    // three passes, median per query: run-to-run noise on the heavy
+    // dedup queries is ±40%, so a min-of-2 can't attribute a
+    // round-over-round regression; the median of three warm passes is
+    // stable enough to compare across rounds
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val a = timeOnce(name, fn)
-      val b = if (a >= 0) timeOnce(name, fn) else -1.0
-      val best = if (a < 0 || b < 0) -1.0 else math.min(a, b)
-      System.err.println(f"[bench] $name%-26s $best%8.2f s (runs: $a%.2f, $b%.2f)")
-      name -> best
+      val r1 = timeOnce(name, fn)
+      val r2 = if (r1 >= 0) timeOnce(name, fn) else -1.0
+      val r3 = if (r2 >= 0) timeOnce(name, fn) else -1.0
+      val runs = Seq(r1, r2, r3)
+      val med = if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(1)
+      System.err.println(
+        f"[bench] $name%-26s $med%8.2f s (runs: ${runs.map(r => f"$r%.2f").mkString(", ")})")
+      name -> med
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

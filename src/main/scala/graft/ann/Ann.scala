@@ -91,34 +91,17 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
-  /** Deterministic random hyperplanes: 8 planes × 64 dims from a
-    * fixed-seed generator, inlined as literal arrays so the bucket
-    * computation is a pure projection. The SAME decimal strings are
-    * emitted into both the Spark and DuckDB dialects, so both parse
-    * to bit-identical doubles. */
-  private val planeStrs: Seq[Seq[String]] = {
-    val rng = new scala.util.Random(42)
-    // Locale.ROOT: a comma-decimal default locale would emit "0,51…"
-    // and break both SQL dialects
-    Seq.fill(8, 64)(rng.nextGaussian())
-      .map(_.map(v => String.format(java.util.Locale.ROOT, "%.17g", Double.box(v))))
-  }
-
-  private val planesSql: String =
-    planeStrs.map(_.map(_ + "D").mkString("array(", ",", ")"))
-      .mkString("array(", ",", ")")
-
-  /** DuckDB list literal for plane i (0-based). */
+  /** Deterministic random hyperplanes (shared module): 8 planes ×
+    * 64 dims inlined as literal arrays so the bucket computation is
+    * a pure projection. The SAME decimal strings are emitted into
+    * both the Spark and DuckDB dialects, so both parse to
+    * bit-identical doubles. */
   private def planeDuck(i: Int): String =
-    planeStrs(i).mkString("[", ",", "]")
+    graft.functions.Hyperplanes.planeDuck(i)
 
   /** Sign-bucket id: bit i = (embedding · plane_i) > 0. */
-  private def bucketExpr(embCol: String): Column = expr(
-    s"""aggregate(sequence(0, 7), 0, (acc, i) ->
-       |  acc + IF(aggregate(zip_with(element_at($planesSql, i + 1), $embCol,
-       |                              (p, x) -> p * CAST(x AS DOUBLE)),
-       |                     0D, (s, v) -> s + v) > 0,
-       |           shiftleft(1, i), 0))""".stripMargin)
+  private def bucketExpr(embCol: String): Column =
+    graft.functions.Hyperplanes.signBucketExpr(embCol, 8)
 
   /** a28: LSH-bucketed ANN — 8 random hyperplanes → 256 sign
     * buckets; each query scores only its bucket-mates, then exact

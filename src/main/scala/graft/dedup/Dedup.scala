@@ -226,6 +226,73 @@ object Dedup {
       .repartition(1).sortWithinPartitions("vec_a", "vec_b")
   }
 
+  /** d28: bucketed embedding near-dup — d26's pair semantics
+    * (exact cosine ≥ 0.4, vec_a < vec_b) with LSH-bucketed candidate
+    * generation instead of the all-pairs product: 4 bands × 8
+    * deterministic hyperplanes (graft.functions.Hyperplanes) give
+    * each vector 4 sign-bucket band values; candidates are pairs
+    * sharing ≥ 1 band bucket, found by a band equi-join. The
+    * first-equal-band predicate makes each pair emerge from exactly
+    * ONE band — unique by construction, no distinct-pairs shuffle.
+    *
+    * This is the 100 TB embedding-dedup path: candidate volume is
+    * Σ_bucket |bucket|² instead of n², and the join shuffles on
+    * (band_id, band_val) — a key with ~4×256 values here, and at
+    * scale as many planes as needed. Approximate by construction
+    * (recall < 1 vs d26 — a pair is missed iff every band splits
+    * it); DedupSpec pins the pairs-subset property and recall.
+    * The oracle is exact because the planes are literal decimal
+    * strings parsed identically by both engines (same construction
+    * as a28's oracle, Ann.scala). */
+  def d28EmbedNeardupLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, dir).select("vec_id", "embedding"))
+      .withColumn("bands",
+        graft.functions.Hyperplanes.bandsExpr("embedding", nBands = 4, planesPerBand = 8))
+    val chunks = e.select(
+      col("vec_id"), col("embedding"), col("norm"), col("bands"),
+      posexplode(col("bands")).as(Seq("band_id", "band_val")))
+    // probe side repartitioned on the band key: the join explodes the
+    // per-band stream and must parallelize beyond the input's splits
+    val probe = chunks.repartition(col("band_id"), col("band_val"))
+    probe.as("a").join(chunks.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.vec_id") < col("b.vec_id") &&
+          col("a.band_id") === SetExprs.firstEqualBand(col("a.bands"), col("b.bands"), 1))
+      .select(
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(dot("a.embedding", "b.embedding") / (col("a.norm") * col("b.norm")), 4)
+          .as("cosine"))
+      .filter(col("cosine") >= 0.4)
+      // single-partition presentation sort: see d25 note
+      .repartition(1).sortWithinPartitions("vec_a", "vec_b")
+  }
+
+  /** DuckDB equivalent of d28 — identical literal planes, band
+    * values as four scalar columns, candidates = pairs agreeing on
+    * ≥ 1 band (the OR-join emits each pair once, so no DISTINCT),
+    * identical double cosine and 0.4 threshold. */
+  val d28Sql: String = {
+    import graft.functions.Hyperplanes.bandDuck
+    val bandCols = (0 until 4)
+      .map(b => s"${bandDuck("embedding", b, 8)} AS band$b").mkString(",\n  ")
+    """WITH e AS (
+      | SELECT * FROM (
+      |  SELECT vec_id, embedding,
+      |   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm,
+      |  BANDCOLS
+      |  FROM embeddings) WHERE norm > 0)
+      |SELECT vec_a, vec_b, cosine FROM (
+      | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |          p -> CAST(p[1] AS DOUBLE) * p[2])) / (a.norm * b.norm), 4) AS cosine
+      | FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |  AND (a.band0 = b.band0 OR a.band1 = b.band1
+      |       OR a.band2 = b.band2 OR a.band3 = b.band3))
+      |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
+      .replace("BANDCOLS", bandCols)
+  }
+
   /** DuckDB equivalent of d25 — bigram shingles via index-zip,
     * identical double math, identical 0.05 threshold. */
   val d25Sql: String =
@@ -380,10 +447,12 @@ object Dedup {
     "d24_dedup_simhash" -> (d24DedupSimhash _),
     "d25_ngram_jaccard" -> (d25NgramJaccard _),
     "d26_embed_neardup" -> (d26EmbedNeardup _),
-    "d27_dedup_components" -> (d27DedupComponents _))
+    "d27_dedup_components" -> (d27DedupComponents _),
+    "d28_embed_neardup_lsh" -> (d28EmbedNeardupLsh _))
 
   def oracles: Map[String, String] = Map(
     "d22_dedup_exact" -> d22Sql,
     "d25_ngram_jaccard" -> d25Sql,
-    "d26_embed_neardup" -> d26Sql)
+    "d26_embed_neardup" -> d26Sql,
+    "d28_embed_neardup_lsh" -> d28Sql)
 }

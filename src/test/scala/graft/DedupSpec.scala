@@ -92,6 +92,25 @@ class DedupSpec extends SparkSpec {
       "keep = min doc per component")
   }
 
+  test("d28 bucketed embed near-dup: subset of d26's exact pairs, identical cosines, full recall on identical vectors") {
+    val exact = Dedup.d26EmbedNeardup(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val lsh = Dedup.d28EmbedNeardupLsh(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty, "bucketed path must find pairs on the corpus")
+    lsh.foreach { case (a, b, c) =>
+      assert(exact.contains((a, b)), s"($a,$b) not in exact pair set")
+      assert(math.abs(exact((a, b)) - c) < 1e-9, s"cosine differs for ($a,$b)")
+    }
+    // identical vectors agree on every plane → land in every shared
+    // band bucket → can never be split: recall 1.0 on cosine==1 pairs
+    val perfect = exact.collect { case (p, c) if c == 1.0 => p }.toSet
+    val got = lsh.map(r => (r._1, r._2)).toSet
+    assert(perfect.subsetOf(got),
+      s"exact-duplicate pairs missed: ${perfect -- got}")
+  }
+
   test("d22 exact dedup groups whitespace/case variants at sf0.001") {
     // engine-level check on real data: group count == distinct fingerprint count
     val out = Dedup.d22DedupExact(spark, sfDir)

@@ -51,6 +51,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "LSH must be an equi-join")
   }
 
+  test("d28 bucketed embedding near-dup is an equi-join on the band key, never all-pairs") {
+    val (plan, _) = planOf("d28_embed_neardup_lsh")
+    assert(!plan.contains("CartesianProduct"),
+      "bucketed embedding dedup must be an equi-join, not all-pairs")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "bucketed embedding dedup must be an equi-join")
+  }
+
   test("a27 broadcasts the query vectors; the corpus scan is never exchanged before scoring") {
     val (plan, _) = planOf("a27_ann_brute")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
