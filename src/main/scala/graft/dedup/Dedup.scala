@@ -97,26 +97,31 @@ object Dedup {
     * shingle → 16-hash minhash signature → 4 bands × 4 rows →
     * band-hash bucket join → verified Jaccard ≥ 0.7 on candidates.
     * Band parameters: (1/b)^(1/r) = (1/4)^(1/4) ≈ 0.71 threshold. */
-  def d23DedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), shingleSet.as("sh"))
+  /** LSH candidate pairs from the band stream: band equi-join over
+    * (band_id, band_hash). The probe side is repartitioned — the
+    * band stream is tiny (4 rows/doc) but the join explodes it by
+    * orders of magnitude; without this the explosion happens in as
+    * few tasks as the input had splits. The firstEqualBand predicate
+    * makes each pair emerge from exactly ONE band — unique by
+    * construction, no distinct-pairs shuffle (valid here because no
+    * band rows are ever dropped). */
+  private def bandCandidatePairs(docs: DataFrame): DataFrame = {
     val bands = minhashBands(docs)
-    // repartition the probe side: the band stream is tiny (4 rows/doc)
-    // but the join explodes it by orders of magnitude — without this
-    // the explosion happens in as few tasks as the input had splits.
-    // The firstEqualBand predicate makes each pair emerge from
-    // exactly ONE band — unique by construction, no distinct-pairs
-    // shuffle (valid here because no band rows are ever dropped).
     val probe = bands.repartition(col("band_id"), col("band_hash"))
-    val pairs = probe.as("a").join(bands.as("b"),
+    probe.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id") &&
           col("a.band_id") === SetExprs.firstEqualBand(col("a.mh"), col("b.mh"), 4))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+  }
+
+  def d23DedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), shingleSet.as("sh"))
     // rows-only driver check: no presentation sort (a global sort
     // range-partitions by sampling, executing the pipeline twice)
-    verifyPairs(pairs, docs)
+    verifyPairs(bandCandidatePairs(docs), docs)
   }
 
   /** d24: SimHash near-dup — 64-bit signature via the native
@@ -155,14 +160,17 @@ object Dedup {
     * at scale the block key becomes an LSH band as in d23.
     * Bigram shingles via a sliding zip of the token array with its
     * own tail — pure higher-order functions. */
+  /** Bigram shingles: a sliding zip of the token array with its own
+    * tail — pure higher-order functions. */
+  private def bigramShingles: Column = expr(
+    """array_distinct(zip_with(
+      |  slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+      |  slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+      |  (x, y) -> concat(x, ' ', y)))""".stripMargin)
+
   def d25NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"),
-        expr(
-          """array_distinct(zip_with(
-            |  slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
-            |  slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
-            |  (x, y) -> concat(x, ' ', y)))""".stripMargin).as("sh"))
+      .select(col("doc_id"), col("lang"), bigramShingles.as("sh"))
     // slim id-level blocking first; shingles attach to pairs via
     // broadcast so the blocked self-join shuffles ids only
     // salt the block key: a join whose only equi-key is `lang` hashes
@@ -191,6 +199,31 @@ object Dedup {
       // whole pair pipeline twice; the output is small enough to sort
       // in one partition while the pipeline stays parallel
       .repartition(1).sortWithinPartitions("doc_a", "doc_b")
+  }
+
+  /** d25b: n-gram Jaccard at scale — the same exact bigram-Jaccard
+    * verify as d25, but candidate generation through d23's minhash
+    * band blocking instead of the `lang` block. d25's lang blocking
+    * is O(n²) within each language no matter the cluster size; band
+    * blocking bounds candidates to bucket-mates, which is the
+    * standard web-scale shape. The trade is the threshold: LSH bands
+    * tuned at (1/4)^(1/4) ≈ 0.71 cannot surface 0.05-Jaccard pairs
+    * (no sub-quadratic method can), so this entry targets the
+    * near-duplicate regime — exact bigram Jaccard ≥ 0.7 on pairs
+    * whose unigram minhash signatures agree on ≥ 1 band. Rows-only
+    * (LSH candidate sets aren't SQL-expressible in DuckDB at
+    * reasonable cost); DedupSpec pins the corpus-level superset
+    * property vs lang-blocked d25 ≥ 0.7 and score equality. */
+  def d25NgramJaccardBanded(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+    val uni = base.select(col("doc_id"), shingleSet.as("sh"))
+    val bigrams = base.select(col("doc_id"), bigramShingles.as("sh"))
+    val hashed = bigrams.select(col("doc_id"), hashedShingles(col("sh")).as("shz"))
+    bandCandidatePairs(uni)
+      .join(broadcast(hashed.select(col("doc_id").as("doc_a"), col("shz").as("shz_a"))), "doc_a")
+      .join(broadcast(hashed.select(col("doc_id").as("doc_b"), col("shz").as("shz_b"))), "doc_b")
+      .select(col("doc_a"), col("doc_b"), pairJaccard("shz_a", "shz_b").as("jaccard"))
+      .filter(col("jaccard") >= 0.7)
   }
 
   /** Cosine similarity over float-array embeddings, with norms
@@ -446,6 +479,7 @@ object Dedup {
     "d23_dedup_minhash" -> (d23DedupMinhash _),
     "d24_dedup_simhash" -> (d24DedupSimhash _),
     "d25_ngram_jaccard" -> (d25NgramJaccard _),
+    "d25b_ngram_banded" -> (d25NgramJaccardBanded _),
     "d26_embed_neardup" -> (d26EmbedNeardup _),
     "d27_dedup_components" -> (d27DedupComponents _),
     "d28_embed_neardup_lsh" -> (d28EmbedNeardupLsh _))

@@ -92,6 +92,25 @@ class DedupSpec extends SparkSpec {
       "keep = min doc per component")
   }
 
+  test("d25b band-blocked ngram jaccard: superset of lang-blocked pairs at >= 0.7, identical scores") {
+    val langBlocked = Dedup.d25NgramJaccard(spark, sfDir)
+      .filter(col("jaccard") >= 0.7)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val banded = Dedup.d25NgramJaccardBanded(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(langBlocked.nonEmpty, "corpus must contain >=0.7 bigram near-dups")
+    // band blocking sees ALL near-dup pairs the lang block sees (and
+    // also cross-lang ones the lang block is blind to, if any)
+    val missed = langBlocked.keySet -- banded.keySet
+    assert(missed.isEmpty, s"band blocking missed near-dup pairs: $missed")
+    banded.foreach { case (p, j) =>
+      langBlocked.get(p).foreach(lj =>
+        assert(math.abs(lj - j) < 1e-9, s"jaccard differs for $p"))
+    }
+  }
+
   test("d28 bucketed embed near-dup: subset of d26's exact pairs, identical cosines, full recall on identical vectors") {
     val exact = Dedup.d26EmbedNeardup(spark, sfDir)
       .as[(Long, Long, Double)].collect()

@@ -51,6 +51,12 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "LSH must be an equi-join")
   }
 
+  test("d25b band-blocked ngram jaccard contains no cartesian product") {
+    val (plan, _) = planOf("d25b_ngram_banded")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "band-blocked candidate generation must be an equi-join")
+  }
+
   test("d28 bucketed embedding near-dup is an equi-join on the band key, never all-pairs") {
     val (plan, _) = planOf("d28_embed_neardup_lsh")
     assert(!plan.contains("CartesianProduct"),
