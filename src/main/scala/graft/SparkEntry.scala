@@ -6,6 +6,7 @@ import graft.text.TextOps
 import graft.dedup.Dedup
 import graft.ann.Ann
 import graft.multimodal.Multimodal
+import graft.sources.Export
 import graft.streaming.Streaming
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -17,11 +18,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextOps.queries ++ Dedup.queries ++ Ann.queries ++
-      Multimodal.queries ++ Streaming.queries
+      Multimodal.queries ++ Streaming.queries ++ Export.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextOps.oracles ++ Dedup.oracles ++ Ann.oracles ++
-      Multimodal.oracles ++ Streaming.oracles
+      Multimodal.oracles ++ Streaming.oracles ++ Export.oracles
 }

@@ -1,0 +1,115 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Export-side operators: incremental high-watermark extraction and
+  * export-format conversion.
+  *
+  * Reference patterns:
+  * - Incremental export reads the DESTINATION's max update watermark
+  *   and extracts only newer rows (reference: src/lakehouse/notebooks/
+  *   "BQ Writer receipts_origin_transaction.py":36-60, same shape in
+  *   "BQ Writer Stream.py") — the single most common production
+  *   export pattern.
+  * - Format conversion exports each table per time-partition into an
+  *   interchange format (reference: "NEAR Public Datasets.py":396-417,
+  *   `delta_to_avro`). The Avro *connector* (spark-avro module) is
+  *   not in this container — /opt/spark/jars carries only the avro
+  *   core/ipc/mapred jars, and `format("avro")` needs the external
+  *   spark-avro datasource — so the sink is format-parameterized and
+  *   exercised end-to-end with ORC, Spark's other built-in columnar
+  *   interchange format. With spark-avro on the classpath the same
+  *   code runs with format = "avro" unchanged.
+  */
+object Export {
+
+  /** Deterministic scratch dir per (op, input dir) — repeated runs
+    * overwrite rather than accumulate. */
+  private[graft] def scratch(tag: String, dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_${tag}_${Integer.toHexString(dir.hashCode)}"
+
+  /** q30: incremental high-watermark export. The target (a persisted
+    * snapshot of rows already exported) is materialized, then its
+    * max(o_orderdate) is read back FROM THE TARGET — not re-derived
+    * from the source — and the source is filtered to strictly-newer
+    * rows. The watermark is a 1-row aggregate joined in via
+    * broadcast, so the filter itself is a declarative plan Catalyst
+    * can push around (no driver-side collect of the watermark).
+    *
+    * Scale notes: the watermark read is an O(1)-output aggregation
+    * on the target (at 100 TB: a partition-pruned max over the
+    * latest partition, or the destination's metadata); the export
+    * scan's `> wm` predicate is pushed to the parquet reader, so an
+    * o_orderdate-partitioned source prunes all already-exported
+    * partitions. Strictly-greater semantics match the reference:
+    * date-granular updates make the max exported day complete, so
+    * `>` neither re-exports nor loses rows. */
+  def q30IncrementalExport(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val tgt = scratch("q30_target", dir)
+    // the already-exported snapshot: everything before the cutoff
+    orders.filter(col("o_orderdate") < lit("1995-07-01").cast("timestamp"))
+      .write.mode("overwrite").parquet(tgt)
+    val wm = s.read.parquet(tgt).agg(max(col("o_orderdate")).as("wm"))
+    orders.join(broadcast(wm), col("o_orderdate") > col("wm"))
+      .select(
+        col("o_orderkey").as("order_key"),
+        col("o_custkey").as("cust_key"),
+        col("o_orderstatus").as("order_status"),
+        col("o_totalprice").as("total_price"),
+        col("o_orderdate").as("order_date"))
+      .orderBy("order_key")
+  }
+
+  val q30Sql: String =
+    """SELECT o_orderkey AS order_key, o_custkey AS cust_key,
+      | o_orderstatus AS order_status, o_totalprice AS total_price,
+      | o_orderdate AS order_date
+      |FROM orders
+      |WHERE o_orderdate > (SELECT max(o_orderdate) FROM orders
+      |                     WHERE o_orderdate < TIMESTAMP '1995-07-01')
+      |ORDER BY order_key""".stripMargin
+
+  /** Format-parameterized export sink: one time-partition directory
+    * per bucket value, repartitioned by the bucket first so each
+    * partition directory is written by one task (the at-scale
+    * defense against the small-files explosion of NxM task-level
+    * partition writes). */
+  def exportConvert(df: DataFrame, outDir: String, format: String,
+      partitionCol: String): Unit =
+    df.repartition(col(partitionCol))
+      .write.mode("overwrite").format(format)
+      .partitionBy(partitionCol).save(outDir)
+
+  /** q31: export-format round-trip — events converted to
+    * hour-partitioned ORC (see object doc for why not Avro in this
+    * container), read back, schema-asserted, and value-compared
+    * against the source via the oracle. */
+  def q31ExportRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"),
+      col("ts"), date_format(col("ts"), "yyyy-MM-dd-HH").as("hour_bucket"))
+    val out = scratch("q31_orc", dir)
+    exportConvert(src, out, "orc", "hour_bucket")
+    val back = s.read.format("orc").load(out)
+    require(back.columns.sorted.sameElements(src.columns.sorted),
+      s"round-trip schema mismatch: ${back.columns.mkString(",")}")
+    back.select("event_id", "user_id", "event_type", "value", "ts", "hour_bucket")
+      .orderBy("event_id")
+  }
+
+  val q31Sql: String =
+    """SELECT event_id, user_id, event_type, value, ts,
+      | strftime(ts, '%Y-%m-%d-%H') AS hour_bucket
+      |FROM events ORDER BY event_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_incremental_export" -> (q30IncrementalExport _),
+    "q31_export_roundtrip" -> (q31ExportRoundtrip _))
+
+  def oracles: Map[String, String] = Map(
+    "q30_incremental_export" -> q30Sql,
+    "q31_export_roundtrip" -> q31Sql)
+}

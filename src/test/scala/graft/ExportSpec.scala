@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Export
+
+/** Specs for the export operators: watermark semantics beyond what
+  * the oracle pins (strictness, completeness) and the physical
+  * layout of the format-conversion output. */
+class ExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q30 exports exactly the rows strictly after the persisted watermark") {
+    val out = Export.q30IncrementalExport(spark, sfDir)
+    val dates = out.select(col("order_date")).as[java.sql.Timestamp].collect()
+    assert(dates.nonEmpty, "source must contain rows newer than the snapshot")
+    val all = Tables.orders(spark, sfDir)
+      .select(col("o_orderdate")).as[java.sql.Timestamp].collect()
+    val wm = all.filter(_.before(java.sql.Timestamp.valueOf("1995-07-01 00:00:00"))).max
+    assert(dates.forall(_.after(wm)), "every exported row is strictly newer than the watermark")
+    assert(dates.length == all.count(_.after(wm)), "no newer row is dropped")
+  }
+
+  test("q31 writes one directory per hour bucket and round-trips losslessly") {
+    val out = Export.q31ExportRoundtrip(spark, sfDir)
+    val src = Tables.events(spark, sfDir)
+    assert(out.count() == src.count(), "row-lossless round trip")
+    // hour-partitioned physical layout: hour_bucket=... directories
+    val dir = new java.io.File(Export.scratch("q31_orc", sfDir))
+    val parts = dir.listFiles().map(_.getName).filter(_.startsWith("hour_bucket="))
+    val hours = src.select(date_format(col("ts"), "yyyy-MM-dd-HH")).distinct().count()
+    assert(parts.length == hours, s"expected $hours partition dirs, found ${parts.length}")
+  }
+}
