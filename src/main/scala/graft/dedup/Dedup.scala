@@ -394,63 +394,82 @@ object Dedup {
   }
 
   /** Connected components over an undirected edge list via
-    * iterative min-label propagation: every vertex starts labeled
-    * with itself; each round every vertex takes the minimum label
-    * among itself and its neighbors; fixpoint = components labeled
-    * by their minimum member.
+    * alternating large-star / small-star contraction (the MapReduce
+    * CC algorithm of Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14): each round every vertex hooks
+    * its larger neighbors (large-star) and then its smaller
+    * neighbors (small-star) onto the minimum of its closed
+    * neighborhood. Paths contract logarithmically, so a length-n
+    * chain converges in O(log n) rounds — plain min-label
+    * propagation needs diameter rounds and dies on adversarial
+    * chains. Fixpoint = a star forest: every vertex points at its
+    * component's minimum member.
     *
-    * Scale notes: each iteration is one shuffle (groupBy vertex);
-    * rounds = graph diameter, which for near-dup clusters is tiny
-    * (dup clusters are dense). Labels are persisted per round and
-    * the loop exits on a converged count — the only driver-side
-    * state is the loop counter. For adversarial long-chain graphs
-    * at 100 TB the same skeleton upgrades to large-star/small-star
-    * (alternating min-propagation that contracts paths
-    * logarithmically). */
+    * Scale notes: each round is two groupBy/join rounds over the
+    * edge set (state is O(|E|), no per-vertex driver state), and the
+    * edge set only shrinks toward one star edge per non-root vertex.
+    * Plans are cut per round with localCheckpoint — an iterative
+    * self-referencing plan otherwise grows its lineage exponentially
+    * and OOMs the driver (observed at ~30 rounds). In a production
+    * cluster, use a reliable checkpoint dir instead. */
   def connectedComponents(vertices: DataFrame, edges: DataFrame): DataFrame = {
-    // symmetric neighbor list: (src, dst) + (dst, src), materialized
-    // ONCE — otherwise every iteration re-executes the upstream edge
-    // pipeline (for d27: the whole LSH + verify dag) from scratch
-    val sym = edges.select(col("src"), col("dst"))
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
-    // localCheckpoint each round: an iterative self-referencing plan
-    // otherwise grows its lineage exponentially and OOMs the driver
-    // on long-diameter graphs (observed at ~30 rounds). In a
-    // production cluster, use a reliable checkpoint dir instead.
-    var labels = vertices.select(col("id"), col("id").as("component"))
-      .localCheckpoint(true)
+    // canonical undirected edge: (hi, lo), hi > lo, deduped
+    def canon(e: DataFrame): DataFrame = e
+      .select(greatest(col("src"), col("dst")).as("hi"),
+        least(col("src"), col("dst")).as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct()
+
+    // large-star: u hooks every strictly-larger neighbor v onto
+    // m(u) = min(Γ(u) ∪ {u}) → edge (v, m(u)); v > u ≥ m keeps the
+    // output canonical with no self-loops
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbr = e.select(col("hi").as("u"), col("lo").as("v"))
+        .unionAll(e.select(col("lo").as("u"), col("hi").as("v")))
+      val m = nbr.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      nbr.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+    }
+
+    // small-star: u hooks its smaller neighbors (and itself) onto
+    // m(u) = min of those neighbors; with canonical input each edge
+    // (h, l) is exactly h's view of a smaller neighbor
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy("hi").agg(min(col("lo")).as("m"))
+      val out = e.join(m, "hi")
+        .select(col("lo").as("src"), col("m").as("dst"))
+        .unionAll(m.select(col("hi").as("src"), col("m").as("dst")))
+      canon(out)
+    }
+
+    var e = canon(edges.select(col("src"), col("dst"))).localCheckpoint(true)
     var converged = false
     var iter = 0
-    val maxIter = 200
+    val maxIter = 100
     while (!converged && iter < maxIter) {
-      val candidate = sym
-        .join(labels.withColumnRenamed("id", "dst_id"),
-          col("dst") === col("dst_id"))
-        .select(col("src").as("id"), col("component"))
-        .unionAll(labels)
-        .groupBy("id")
-        .agg(min(col("component")).as("component"))
-        .localCheckpoint(true)
-      val changed = candidate.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.component") =!= col("o.component"))
-        .limit(1).count()
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // set equality: same cardinality and next \ e empty (both deduped)
+      converged = next.count() == e.count() &&
+        next.join(e, Seq("hi", "lo"), "left_anti").limit(1).count() == 0
       // best-effort release of the superseded round (checkpoint
       // blocks are ultimately freed by the ContextCleaner once the
-      // RDD is unreachable; labels are narrow so the per-round
-      // residue is small)
-      labels.unpersist()
-      labels = candidate
-      converged = changed == 0
+      // RDD is unreachable)
+      e.unpersist()
+      e = next
       iter += 1
     }
-    sym.unpersist()
-    // wrong labels are worse than no labels: a graph whose diameter
-    // exceeds the round budget must fail loudly
+    // wrong labels are worse than no labels: a run that exhausts the
+    // round budget must fail loudly
     require(converged,
       s"connectedComponents did not converge within $maxIter rounds")
-    labels
+    // star forest → labels: every non-root appears exactly once as
+    // `hi` pointing at its component min; roots and isolated
+    // vertices label themselves
+    vertices
+      .join(e.select(col("hi").as("id"), col("lo").as("comp")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("component"))
   }
 
   /** d27: near-duplicate clustering — the step that turns pairwise

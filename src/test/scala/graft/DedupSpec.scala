@@ -78,6 +78,19 @@ class DedupSpec extends SparkSpec {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("connected components: 10k-vertex path graph converges (logarithmic contraction)") {
+    // a single path 1-2-3-…-10000: diameter-round propagation would
+    // exhaust any sane round budget; large-star/small-star must
+    // contract it in O(log n) rounds
+    val n = 10000L
+    val verts = spark.range(1, n + 1).toDF("id")
+    val edges = spark.range(1, n).select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val comp = Dedup.connectedComponents(verts, edges)
+      .as[(Long, Long)].collect()
+    assert(comp.length == n)
+    assert(comp.forall(_._2 == 1L), "all vertices label to the path minimum")
+  }
+
   test("d27 clusters near-dups and keeps exactly one doc per component") {
     docsOf(
       1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
