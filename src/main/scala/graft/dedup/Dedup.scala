@@ -493,6 +493,55 @@ object Dedup {
         (col("id") === col("component")).as("keep"))
   }
 
+  /** d27b: the d27 clustering semantics over a DuckDB-expressible
+    * edge set, which upgrades connected components from rows-only to
+    * oracle-checked. d27's own edges come from capped MinHash LSH —
+    * seeded xxhash64 signatures have no DuckDB equivalent, so THAT
+    * edge set can't be re-derived by the oracle; the bigram-Jaccard
+    * ≥ 0.7 pairs (d25, oracle-green) are deterministic in both
+    * engines, and the oracle closes them with a recursive min-label
+    * CTE. Same operator, same output shape as d27 — only the edge
+    * generator differs. */
+  def d27bComponentsOracle(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id").as("id"))
+    val edges = d25NgramJaccard(s, dir).filter(col("jaccard") >= 0.7)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    connectedComponents(docs, edges)
+      .select(
+        col("id").as("doc_id"),
+        col("component").as("component_id"),
+        (col("id") === col("component")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for d27b: the d25 ≥ 0.7 pair set symmetrized into
+    * an edge list, closed with a recursive reachability CTE (UNION
+    * dedups, so the recursion terminates), then min-label per doc =
+    * the component id. */
+  val d27bSql: String =
+    """WITH RECURSIVE sh AS (
+      | SELECT doc_id, lang,
+      |  list_distinct(list_transform(range(1, len(string_split(text,' '))),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS sh
+      | FROM documents),
+      |pairs AS (
+      | SELECT doc_a, doc_b FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |   ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |     / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+      |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+      | WHERE jaccard >= 0.7),
+      |edges AS (
+      | SELECT doc_a AS src, doc_b AS dst FROM pairs
+      | UNION ALL
+      | SELECT doc_b AS src, doc_a AS dst FROM pairs),
+      |reach(a, b) AS (
+      | SELECT doc_id, doc_id FROM documents
+      | UNION
+      | SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+      |SELECT a AS doc_id, MIN(b) AS component_id, MIN(b) = a AS keep
+      |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d22_dedup_exact" -> (d22DedupExact _),
     "d23_dedup_minhash" -> (d23DedupMinhash _),
@@ -501,11 +550,13 @@ object Dedup {
     "d25b_ngram_banded" -> (d25NgramJaccardBanded _),
     "d26_embed_neardup" -> (d26EmbedNeardup _),
     "d27_dedup_components" -> (d27DedupComponents _),
+    "d27b_components_oracle" -> (d27bComponentsOracle _),
     "d28_embed_neardup_lsh" -> (d28EmbedNeardupLsh _))
 
   def oracles: Map[String, String] = Map(
     "d22_dedup_exact" -> d22Sql,
     "d25_ngram_jaccard" -> d25Sql,
     "d26_embed_neardup" -> d26Sql,
+    "d27b_components_oracle" -> d27bSql,
     "d28_embed_neardup_lsh" -> d28Sql)
 }
