@@ -168,7 +168,9 @@ object Dedup {
       |  slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
       |  (x, y) -> concat(x, ' ', y)))""".stripMargin)
 
-  def d25NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+  /** Unsorted d25 pair stream — consumers (d27b's edge generator)
+    * take this; the presentation entry point adds the sort. */
+  private def d25PairsUnsorted(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), bigramShingles.as("sh"))
     // slim id-level blocking first; shingles attach to pairs via
@@ -194,12 +196,15 @@ object Dedup {
       .join(broadcast(hashed.select(col("doc_id").as("doc_b"), col("shz").as("shz_b"))), "doc_b")
       .select(col("doc_a"), col("doc_b"), pairJaccard("shz_a", "shz_b").as("jaccard"))
       .filter(col("jaccard") >= 0.05)
+  }
+
+  def d25NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    d25PairsUnsorted(s, dir)
       // deterministic total order without a range-partitioned sort:
       // orderBy samples the child to pick split points, executing the
       // whole pair pipeline twice; the output is small enough to sort
       // in one partition while the pipeline stays parallel
       .repartition(1).sortWithinPartitions("doc_a", "doc_b")
-  }
 
   /** d25b: n-gram Jaccard at scale — the same exact bigram-Jaccard
     * verify as d25, but candidate generation through d23's minhash
@@ -213,7 +218,12 @@ object Dedup {
     * whose unigram minhash signatures agree on ≥ 1 band. Rows-only
     * (LSH candidate sets aren't SQL-expressible in DuckDB at
     * reasonable cost); DedupSpec pins the corpus-level superset
-    * property vs lang-blocked d25 ≥ 0.7 and score equality. */
+    * property vs lang-blocked d25 ≥ 0.7 and score equality.
+    *
+    * The CANDIDATE stage is the 100 TB part. The verify stage here
+    * broadcasts the hashed-shingle table (right for verification
+    * scale); at corpus scale the attach becomes two shuffle joins
+    * keyed on doc_id — same plan shape, bigger exchange. */
   def d25NgramJaccardBanded(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(s, dir)
     val uni = base.select(col("doc_id"), shingleSet.as("sh"))
@@ -281,21 +291,32 @@ object Dedup {
     val e = withNorm(Tables.embeddings(s, dir).select("vec_id", "embedding"))
       .withColumn("bands",
         graft.functions.Hyperplanes.bandsExpr("embedding", nBands = 4, planesPerBand = 8))
-    val chunks = e.select(
-      col("vec_id"), col("embedding"), col("norm"), col("bands"),
+    // slim candidate generation: only (vec_id, bands) rides the 4×
+    // band explosion and both shuffles — the 64-float embedding
+    // payload attaches to the surviving pairs afterwards (broadcast
+    // at verification scale; a shuffle join keyed on vec_id at
+    // corpus scale), mirroring verifyPairs' shingle-attach pattern
+    val chunks = e.select(col("vec_id"), col("bands"),
       posexplode(col("bands")).as(Seq("band_id", "band_val")))
     // probe side repartitioned on the band key: the join explodes the
     // per-band stream and must parallelize beyond the input's splits
     val probe = chunks.repartition(col("band_id"), col("band_val"))
-    probe.as("a").join(chunks.as("b"),
+    val pairs = probe.as("a").join(chunks.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_val") === col("b.band_val") &&
           col("a.vec_id") < col("b.vec_id") &&
           col("a.band_id") === SetExprs.firstEqualBand(col("a.bands"), col("b.bands"), 1))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    val emb = e.select(col("vec_id"), col("embedding"), col("norm"))
+    pairs
+      .join(broadcast(emb.select(col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a"), col("norm").as("norm_a"))), "vec_a")
+      .join(broadcast(emb.select(col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b"), col("norm").as("norm_b"))), "vec_b")
       .select(
-        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(dot("a.embedding", "b.embedding") / (col("a.norm") * col("b.norm")), 4)
-          .as("cosine"))
+        col("vec_a"), col("vec_b"),
+        round(graft.functions.VectorExprs.floatDot(col("emb_a"), col("emb_b"))
+          / (col("norm_a") * col("norm_b")), 4).as("cosine"))
       .filter(col("cosine") >= 0.4)
       // single-partition presentation sort: see d25 note
       .repartition(1).sortWithinPartitions("vec_a", "vec_b")
@@ -504,7 +525,9 @@ object Dedup {
     * generator differs. */
   def d27bComponentsOracle(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id").as("id"))
-    val edges = d25NgramJaccard(s, dir).filter(col("jaccard") >= 0.7)
+    // raw unsorted pair stream — the edge consumer must not inherit
+    // the presentation entry point's repartition(1) funnel
+    val edges = d25PairsUnsorted(s, dir).filter(col("jaccard") >= 0.7)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     connectedComponents(docs, edges)
       .select(

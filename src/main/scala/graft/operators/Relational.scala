@@ -667,7 +667,7 @@ object Relational {
 
   val q24Sql: String =
     """SELECT user_id,
-      | string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS event_types,
+      | coalesce(string_agg(DISTINCT event_type, ',' ORDER BY event_type), '') AS event_types,
       | CAST(COUNT(DISTINCT event_type) AS INT) AS distinct_types,
       | COUNT(*) AS events_count
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin

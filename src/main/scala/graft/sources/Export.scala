@@ -52,7 +52,12 @@ object Export {
     // the already-exported snapshot: everything before the cutoff
     orders.filter(col("o_orderdate") < lit("1995-07-01").cast("timestamp"))
       .write.mode("overwrite").parquet(tgt)
-    val wm = s.read.parquet(tgt).agg(max(col("o_orderdate")).as("wm"))
+    // cold-start: an empty target yields a NULL max, and `> NULL`
+    // would silently export NOTHING — the opposite of first-export
+    // semantics. An epoch-floor sentinel makes the empty-target case
+    // export everything.
+    val wm = s.read.parquet(tgt).agg(
+      coalesce(max(col("o_orderdate")), lit("1000-01-01").cast("timestamp")).as("wm"))
     orders.join(broadcast(wm), col("o_orderdate") > col("wm"))
       .select(
         col("o_orderkey").as("order_key"),
@@ -68,7 +73,8 @@ object Export {
       | o_orderstatus AS order_status, o_totalprice AS total_price,
       | o_orderdate AS order_date
       |FROM orders
-      |WHERE o_orderdate > (SELECT max(o_orderdate) FROM orders
+      |WHERE o_orderdate > (SELECT coalesce(max(o_orderdate), TIMESTAMP '1000-01-01')
+      |                     FROM orders
       |                     WHERE o_orderdate < TIMESTAMP '1995-07-01')
       |ORDER BY order_key""".stripMargin
 

@@ -135,12 +135,23 @@ class DedupSpec extends SparkSpec {
       assert(exact.contains((a, b)), s"($a,$b) not in exact pair set")
       assert(math.abs(exact((a, b)) - c) < 1e-9, s"cosine differs for ($a,$b)")
     }
-    // identical vectors agree on every plane → land in every shared
-    // band bucket → can never be split: recall 1.0 on cosine==1 pairs
-    val perfect = exact.collect { case (p, c) if c == 1.0 => p }.toSet
+    // BIT-identical vectors agree on every plane → land in every
+    // band bucket together → can never be split: recall 1.0. (Keyed
+    // on the raw float arrays, not rounded cosine == 1.0 — a
+    // cosine-0.99996 pair rounds to 1.0 yet may legitimately be
+    // split by a hyperplane.)
+    val byVec = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+      .filter(_._2.exists(_ != 0f)) // zero-norm vectors are excluded by withNorm
+      .groupBy(_._2.toSeq).values.filter(_.length > 1)
+    val perfect = byVec.flatMap { grp =>
+      val ids = grp.map(_._1).sorted
+      for (i <- ids.indices; j <- i + 1 until ids.length) yield (ids(i), ids(j))
+    }.toSet
     val got = lsh.map(r => (r._1, r._2)).toSet
     assert(perfect.subsetOf(got),
-      s"exact-duplicate pairs missed: ${perfect -- got}")
+      s"bit-identical duplicate pairs missed: ${perfect -- got}")
   }
 
   test("d22 exact dedup groups whitespace/case variants at sf0.001") {
