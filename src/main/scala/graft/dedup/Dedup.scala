@@ -124,6 +124,101 @@ object Dedup {
     verifyPairs(bandCandidatePairs(docs), docs)
   }
 
+  /** d23b: oracle-checked MinHash LSH. d23's signature hash
+    * (seeded xxhash64) is Spark-native with no DuckDB counterpart,
+    * which is why d23 is a rows-only entry; this variant derives the
+    * per-seed token hash from md5 — identical lowercase hex in both
+    * engines — so the ENTIRE LSH pipeline (signature → bands →
+    * bucket candidates → exact-Jaccard verify) is reproduced by the
+    * oracle and hash-checked end-to-end. The 16-hex-char prefix
+    * compares lexicographically exactly like its unsigned numeric
+    * value, so `min` over hex strings IS minhash.
+    *
+    * Slower than d23 (md5 vs xxhash64 on the signature path) — d23
+    * stays the production entry; this one exists to pin LSH
+    * semantics cross-engine. Same band structure (4 bands × 4 rows),
+    * same ≥ 0.7 verify threshold. */
+  /** Affine minhash coefficients: 16 (a, b) pairs from a fixed seed,
+    * inlined as literals in BOTH dialects. a·h+b stays below 2^59
+    * (a < 2^31, h < 2^28), so the arithmetic is overflow-free under
+    * ANSI mode and identical cross-engine. */
+  private val minhashCoeffs: Seq[(Int, Int)] = {
+    val rng = new scala.util.Random(7)
+    Seq.fill(16)((1 + rng.nextInt(Int.MaxValue - 1), rng.nextInt(Int.MaxValue)))
+  }
+
+  def d23bMinhashOracle(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), shingleSet.as("sh"))
+    // ONE md5 per (doc, token), codegen'd on exploded rows — an
+    // interpreted transform(seq(16), transform(sh, md5…)) lambda
+    // nest costs 16 md5/token and ran ~6× slower end-to-end
+    val toks = docs.select(col("doc_id"), explode(col("sh")).as("t"))
+      .withColumn("h", expr("cast(conv(substring(md5(t), 1, 7), 16, 10) as bigint)"))
+    // 16 min-aggregations = map-side partial mins; the exchange
+    // carries 16 longs per doc
+    val sigs = toks.groupBy("doc_id").agg(
+      min(expr(s"(${minhashCoeffs.head._1}L * h + ${minhashCoeffs.head._2}L) % 2147483647")).as("m0"),
+      minhashCoeffs.tail.zipWithIndex.map { case ((a, b), i) =>
+        min(expr(s"(${a}L * h + ${b}L) % 2147483647")).as(s"m${i + 1}")
+      }: _*)
+    val banded = sigs.withColumn("bandh", expr(
+      """array(xxhash64(m0, m1, m2, m3), xxhash64(m4, m5, m6, m7),
+        |      xxhash64(m8, m9, m10, m11), xxhash64(m12, m13, m14, m15))""".stripMargin))
+    val stream = banded.select(col("doc_id"), col("bandh"),
+      posexplode(col("bandh")).as(Seq("band_id", "band_hash")))
+    val probe = stream.repartition(col("band_id"), col("band_hash"))
+    val pairs = probe.as("a").join(stream.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.band_id") === SetExprs.firstEqualBand(col("a.bandh"), col("b.bandh"), 1))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val hashed = docs.select(col("doc_id"), hashedShingles(col("sh")).as("shz"))
+    pairs
+      .join(broadcast(hashed.select(col("doc_id").as("doc_a"), col("shz").as("shz_a"))), "doc_a")
+      .join(broadcast(hashed.select(col("doc_id").as("doc_b"), col("shz").as("shz_b"))), "doc_b")
+      .select(col("doc_a"), col("doc_b"), pairJaccard("shz_a", "shz_b").as("jaccard"))
+      .filter(col("jaccard") >= 0.7)
+    // no presentation sort: the output is millions of pairs on the
+    // near-dup corpus and the driver compare sorts rows itself — a
+    // repartition(1) sort would funnel the whole result through one
+    // task (measured +7 s at sf0.1)
+  }
+
+  /** DuckDB oracle for d23b: same md5-derived base hash and affine
+    * minhash signatures (identical literal coefficients), bands as
+    * 4-way conjunctions (the Spark side xxhash64's the same tuples
+    * only to get a fixed-width join key), candidates = pairs
+    * agreeing on ≥ 1 band position, exact token-set Jaccard. */
+  val d23bSql: String = {
+    val mins = minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * h + $b) % 2147483647) AS m$i"
+    }.mkString(",\n  ")
+    val bandEq = (0 until 4).map { bnd =>
+      (0 until 4).map(r => s"a.m${4 * bnd + r} = b.m${4 * bnd + r}").mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    s"""WITH docs AS (
+       | SELECT doc_id, list_distinct(string_split(text, ' ')) AS sh FROM documents),
+       |toks AS (
+       | SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 7)) AS BIGINT) AS h
+       | FROM (SELECT doc_id, unnest(sh) AS t FROM docs)),
+       |sigs AS (
+       | SELECT doc_id,
+       |  $mins
+       | FROM toks GROUP BY doc_id),
+       |banded AS (
+       | SELECT s.doc_id, d.sh, s.* EXCLUDE (doc_id)
+       | FROM sigs s JOIN docs d ON s.doc_id = d.doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+       | FROM banded a JOIN banded b ON a.doc_id < b.doc_id
+       |  AND ($bandEq))
+       |WHERE jaccard >= 0.7""".stripMargin
+  }
+
   /** d24: SimHash near-dup — 64-bit signature via the native
     * SimHash64 expression (tokens hashed once, one generated loop
     * per doc — a pure projection, no shuffle), 8 bands of 8 bits
@@ -568,6 +663,7 @@ object Dedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d22_dedup_exact" -> (d22DedupExact _),
     "d23_dedup_minhash" -> (d23DedupMinhash _),
+    "d23b_minhash_oracle" -> (d23bMinhashOracle _),
     "d24_dedup_simhash" -> (d24DedupSimhash _),
     "d25_ngram_jaccard" -> (d25NgramJaccard _),
     "d25b_ngram_banded" -> (d25NgramJaccardBanded _),
@@ -578,6 +674,7 @@ object Dedup {
 
   def oracles: Map[String, String] = Map(
     "d22_dedup_exact" -> d22Sql,
+    "d23b_minhash_oracle" -> d23bSql,
     "d25_ngram_jaccard" -> d25Sql,
     "d26_embed_neardup" -> d26Sql,
     "d27b_components_oracle" -> d27bSql,

@@ -51,6 +51,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "LSH must be an equi-join")
   }
 
+  test("d23b oracle-checked minhash is an equi-join with map-side partial min aggregation") {
+    val (plan, _) = planOf("d23b_minhash_oracle")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "LSH candidate generation must be an equi-join")
+    assert(plan.linesIterator.count(l => l.contains("HashAggregate")) >= 2,
+      "signature mins must partial-aggregate before the exchange")
+  }
+
   test("d25b band-blocked ngram jaccard contains no cartesian product") {
     val (plan, _) = planOf("d25b_ngram_banded")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
