@@ -250,6 +250,78 @@ object Dedup {
       .filter(col("hamming") <= 7)
   }
 
+  /** d24b: oracle-checked SimHash. Like d23b for MinHash, this
+    * variant re-derives d24's semantics from a dual-dialect hash so
+    * the ENTIRE pipeline — signature, banding, bucket candidates,
+    * hamming verify — is reproduced by the DuckDB oracle. Base hash:
+    * 60-bit md5 hex prefix (identical in both engines). Signature:
+    * per-bit vote sums over exploded tokens (60 map-side partial SUM
+    * aggregations — one generated loop, no interpreted lambdas).
+    * Banding: 6 chunks × 10 bits; pigeonhole guarantees any pair
+    * with hamming ≤ 5 shares ≥ 1 chunk. d24 (native SimHash64,
+    * 8×8 on 64 bits) stays the production entry. */
+  def d24bSimhashOracle(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), shingleSet.as("sh"))
+    val toks = docs.select(col("doc_id"), explode(col("sh")).as("t"))
+      .withColumn("h", expr("cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"))
+    val votes = toks.groupBy("doc_id").agg(
+      sum(expr("IF(((h >> 0) & 1) = 1, 1, -1)")).as("v0"),
+      (1 until 60).map(j =>
+        sum(expr(s"IF(((h >> $j) & 1) = 1, 1, -1)")).as(s"v$j")): _*)
+    val sig = votes.select(col("doc_id"),
+      expr((0 until 60).map(j => s"IF(v$j > 0, ${1L << j}L, 0L)")
+        .mkString("", " + ", "")).as("sig"))
+    val chunks = sig
+      .withColumn("chunk_arr", expr("transform(sequence(0,5), c -> (sig >> (10*c)) & 1023)"))
+      .select(col("doc_id"), col("sig"), col("chunk_arr"),
+        posexplode(col("chunk_arr")).as(Seq("chunk_id", "chunk_val")))
+    val probe = chunks.repartition(col("chunk_id"), col("chunk_val"))
+    probe.as("a").join(chunks.as("b"),
+        col("a.chunk_id") === col("b.chunk_id") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.chunk_id") === SetExprs.firstEqualBand(col("a.chunk_arr"), col("b.chunk_arr"), 1))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .filter(col("hamming") <= 5)
+    // no presentation sort — see d23b note
+  }
+
+  /** DuckDB oracle for d24b: identical base hash, vote sums, and
+    * signature assembly; candidates = pairs agreeing on ≥ 1 of the
+    * 6 ten-bit chunks; verify = bit_count(xor) ≤ 5. */
+  val d24bSql: String = {
+    val voteCols = (0 until 60)
+      .map(j => s"sum(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS v$j")
+      .mkString(",\n  ")
+    val sigTerms = (0 until 60)
+      .map(j => s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    val chunkCols = (0 until 6)
+      .map(c => s"((sig >> ${10 * c}) & 1023) AS c$c").mkString(", ")
+    val chunkEq = (0 until 6).map(c => s"a.c$c = b.c$c").mkString(" OR ")
+    s"""WITH docs AS (
+       | SELECT doc_id, list_distinct(string_split(text, ' ')) AS sh FROM documents),
+       |toks AS (
+       | SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
+       | FROM (SELECT doc_id, unnest(sh) AS t FROM docs)),
+       |votes AS (
+       | SELECT doc_id,
+       |  $voteCols
+       | FROM toks GROUP BY doc_id),
+       |sigs AS (
+       | SELECT doc_id, $sigTerms AS sig FROM votes),
+       |chunked AS (
+       | SELECT doc_id, sig, $chunkCols FROM sigs)
+       |SELECT doc_a, doc_b, hamming FROM (
+       | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+       | FROM chunked a JOIN chunked b ON a.doc_id < b.doc_id
+       |  AND ($chunkEq))
+       |WHERE hamming <= 5""".stripMargin
+  }
+
   /** d25: n-gram (bigram) Jaccard similarity over candidate pairs.
     * Candidates here are blocked on `lang` (the cheap prefilter);
     * at scale the block key becomes an LSH band as in d23.
@@ -665,6 +737,7 @@ object Dedup {
     "d23_dedup_minhash" -> (d23DedupMinhash _),
     "d23b_minhash_oracle" -> (d23bMinhashOracle _),
     "d24_dedup_simhash" -> (d24DedupSimhash _),
+    "d24b_simhash_oracle" -> (d24bSimhashOracle _),
     "d25_ngram_jaccard" -> (d25NgramJaccard _),
     "d25b_ngram_banded" -> (d25NgramJaccardBanded _),
     "d26_embed_neardup" -> (d26EmbedNeardup _),
@@ -675,6 +748,7 @@ object Dedup {
   def oracles: Map[String, String] = Map(
     "d22_dedup_exact" -> d22Sql,
     "d23b_minhash_oracle" -> d23bSql,
+    "d24b_simhash_oracle" -> d24bSql,
     "d25_ngram_jaccard" -> d25Sql,
     "d26_embed_neardup" -> d26Sql,
     "d27b_components_oracle" -> d27bSql,

@@ -59,6 +59,12 @@ class PlanSpec extends SparkSpec {
       "signature mins must partial-aggregate before the exchange")
   }
 
+  test("d24b oracle-checked simhash is an equi-join on the chunk key") {
+    val (plan, _) = planOf("d24b_simhash_oracle")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "simhash candidate generation must be an equi-join")
+  }
+
   test("d25b band-blocked ngram jaccard contains no cartesian product") {
     val (plan, _) = planOf("d25b_ngram_banded")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
