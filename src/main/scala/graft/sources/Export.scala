@@ -46,11 +46,17 @@ object Export {
     * partitions. Strictly-greater semantics match the reference:
     * date-granular updates make the max exported day complete, so
     * `>` neither re-exports nor loses rows. */
-  def q30IncrementalExport(s: SparkSession, dir: String): DataFrame = {
+  def q30IncrementalExport(s: SparkSession, dir: String): DataFrame =
+    incrementalExport(s, dir, "1995-07-01")
+
+  /** Cutoff-parameterized form; a cutoff before the data's epoch
+    * produces an EMPTY target — the cold-start path ExportSpec
+    * exercises. */
+  def incrementalExport(s: SparkSession, dir: String, cutoff: String): DataFrame = {
     val orders = Tables.orders(s, dir)
-    val tgt = scratch("q30_target", dir)
+    val tgt = scratch(s"q30_target_$cutoff", dir)
     // the already-exported snapshot: everything before the cutoff
-    orders.filter(col("o_orderdate") < lit("1995-07-01").cast("timestamp"))
+    orders.filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
       .write.mode("overwrite").parquet(tgt)
     // cold-start: an empty target yields a NULL max, and `> NULL`
     // would silently export NOTHING — the opposite of first-export

@@ -291,6 +291,29 @@ object Streaming {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark(key)
 
+  /** Deterministic batch equivalent of dedup-at-ingest: keep the
+    * EARLIEST record per key (ts, then event_id tie-break) — what
+    * dropDuplicates* keeps on an in-order stream, made reproducible
+    * for the oracle. One shuffle on the dedup key. */
+  def dedupBatch(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    events.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+  }
+
+  /** s38 queries entry — batch dedup-at-ingest on the events table. */
+  def s38StreamDedup(s: SparkSession, dir: String): DataFrame =
+    dedupBatch(Tables.events(s, dir))
+
+  val s38Sql: String =
+    """SELECT event_id, ts, user_id, event_type, value FROM (
+      | SELECT event_id, ts, user_id, event_type, value,
+      |  row_number() OVER (PARTITION BY user_id, event_type
+      |                     ORDER BY ts, event_id) AS rn
+      | FROM events) WHERE rn = 1""".stripMargin
+
   /** Attach the gold-merge sink to a stream of events. */
   def goldMergeQuery(events: DataFrame, targetDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -302,11 +325,13 @@ object Streaming {
     "s34_stream_tumbling" -> (s34StreamTumbling _),
     "s35_stream_join" -> (s35StreamJoin _),
     "s36_sessionize" -> (s36Sessionize _),
-    "s37_cumulative" -> (s37Cumulative _))
+    "s37_cumulative" -> (s37Cumulative _),
+    "s38_stream_dedup" -> (s38StreamDedup _))
 
   def oracles: Map[String, String] = Map(
     "s34_stream_tumbling" -> s34Sql,
     "s35_stream_join" -> s35Sql,
     "s36_sessionize" -> s36Sql,
-    "s37_cumulative" -> s37Sql)
+    "s37_cumulative" -> s37Sql,
+    "s38_stream_dedup" -> s38Sql)
 }

@@ -20,6 +20,14 @@ class ExportSpec extends SparkSpec {
     assert(dates.length == all.count(_.after(wm)), "no newer row is dropped")
   }
 
+  test("q30 cold start: an empty target exports everything, not nothing") {
+    // cutoff before the data's epoch → empty snapshot → NULL max
+    // watermark; the export must fall back to export-all
+    val out = Export.incrementalExport(spark, sfDir, "1800-01-01")
+    assert(out.count() == Tables.orders(spark, sfDir).count(),
+      "empty target must export the full source")
+  }
+
   test("q31 writes one directory per hour bucket and round-trips losslessly") {
     val out = Export.q31ExportRoundtrip(spark, sfDir)
     val src = Tables.events(spark, sfDir)

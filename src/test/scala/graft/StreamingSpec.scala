@@ -59,6 +59,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s38 streaming dedup suppresses in-watermark duplicates; batch form keeps the earliest") {
+    val in = MemoryStream[Ev](spark)
+    val q = Streaming.dedupStream(in.toDF(), "user_id")
+      .writeStream.format("memory").queryName("s38out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Ev(1, ts(0), 1, "click", 1.0),
+        Ev(2, ts(5), 1, "view", 2.0), // dup key within watermark → dropped
+        Ev(3, ts(10), 2, "click", 3.0))
+      q.processAllAvailable()
+      val got = spark.table("s38out").select("event_id").as[Long].collect().toSet
+      assert(got == Set(1L, 3L), s"first arrival kept per key, got $got")
+    } finally q.stop()
+    // deterministic batch form: earliest (ts, event_id) per key
+    val batch = Streaming.dedupBatch(Seq(
+      Ev(2, ts(5), 1, "click", 2.0),
+      Ev(1, ts(0), 1, "click", 1.0),
+      Ev(3, ts(10), 2, "click", 3.0)).toDF())
+      .select("event_id").as[Long].collect().toSet
+    assert(batch == Set(1L, 3L))
+  }
+
   test("s34/s35 batch equivalents equal their streaming output on the same data") {
     val evs = Seq(
       Ev(1, ts(0), 1, "click", 1.0),
