@@ -130,9 +130,10 @@ object Dedup {
     * per-seed token hash from md5 — identical lowercase hex in both
     * engines — so the ENTIRE LSH pipeline (signature → bands →
     * bucket candidates → exact-Jaccard verify) is reproduced by the
-    * oracle and hash-checked end-to-end. The 16-hex-char prefix
-    * compares lexicographically exactly like its unsigned numeric
-    * value, so `min` over hex strings IS minhash.
+    * oracle and hash-checked end-to-end. Base hash: a 28-bit md5
+    * hex prefix parsed to BIGINT identically in both dialects;
+    * signature: min over 16 affine transforms (a·h+b) mod p with
+    * literal coefficients (see minhashCoeffs).
     *
     * Slower than d23 (md5 vs xxhash64 on the signature path) — d23
     * stays the production entry; this one exists to pin LSH
@@ -157,11 +158,10 @@ object Dedup {
       .withColumn("h", expr("cast(conv(substring(md5(t), 1, 7), 16, 10) as bigint)"))
     // 16 min-aggregations = map-side partial mins; the exchange
     // carries 16 longs per doc
-    val sigs = toks.groupBy("doc_id").agg(
-      min(expr(s"(${minhashCoeffs.head._1}L * h + ${minhashCoeffs.head._2}L) % 2147483647")).as("m0"),
-      minhashCoeffs.tail.zipWithIndex.map { case ((a, b), i) =>
-        min(expr(s"(${a}L * h + ${b}L) % 2147483647")).as(s"m${i + 1}")
-      }: _*)
+    val minCols = minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      min(expr(s"(${a}L * h + ${b}L) % 2147483647")).as(s"m$i")
+    }
+    val sigs = toks.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
     val banded = sigs.withColumn("bandh", expr(
       """array(xxhash64(m0, m1, m2, m3), xxhash64(m4, m5, m6, m7),
         |      xxhash64(m8, m9, m10, m11), xxhash64(m12, m13, m14, m15))""".stripMargin))
@@ -174,16 +174,12 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id") &&
           col("a.band_id") === SetExprs.firstEqualBand(col("a.bandh"), col("b.bandh"), 1))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    val hashed = docs.select(col("doc_id"), hashedShingles(col("sh")).as("shz"))
-    pairs
-      .join(broadcast(hashed.select(col("doc_id").as("doc_a"), col("shz").as("shz_a"))), "doc_a")
-      .join(broadcast(hashed.select(col("doc_id").as("doc_b"), col("shz").as("shz_b"))), "doc_b")
-      .select(col("doc_a"), col("doc_b"), pairJaccard("shz_a", "shz_b").as("jaccard"))
-      .filter(col("jaccard") >= 0.7)
-    // no presentation sort: the output is millions of pairs on the
+    // same verify as d23 — shared so the two can never diverge.
+    // No presentation sort: the output is millions of pairs on the
     // near-dup corpus and the driver compare sorts rows itself — a
     // repartition(1) sort would funnel the whole result through one
     // task (measured +7 s at sf0.1)
+    verifyPairs(pairs, docs)
   }
 
   /** DuckDB oracle for d23b: same md5-derived base hash and affine
@@ -264,10 +260,9 @@ object Dedup {
     val docs = Tables.documents(s, dir).select(col("doc_id"), shingleSet.as("sh"))
     val toks = docs.select(col("doc_id"), explode(col("sh")).as("t"))
       .withColumn("h", expr("cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"))
-    val votes = toks.groupBy("doc_id").agg(
-      sum(expr("IF(((h >> 0) & 1) = 1, 1, -1)")).as("v0"),
-      (1 until 60).map(j =>
-        sum(expr(s"IF(((h >> $j) & 1) = 1, 1, -1)")).as(s"v$j")): _*)
+    val voteCols = (0 until 60).map(j =>
+      sum(expr(s"IF(((h >> $j) & 1) = 1, 1, -1)")).as(s"v$j"))
+    val votes = toks.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
     val sig = votes.select(col("doc_id"),
       expr((0 until 60).map(j => s"IF(v$j > 0, ${1L << j}L, 0L)")
         .mkString("", " + ", "")).as("sig"))

@@ -287,9 +287,9 @@ object Streaming {
     * evicted afterwards, so dedup state is O(keys-per-watermark),
     * not O(stream). The training-pipeline use: fingerprint-keyed
     * exact dedup (d22's key) applied before documents ever land. */
-  def dedupStream(events: DataFrame, key: String): DataFrame =
+  def dedupStream(events: DataFrame, keys: String*): DataFrame =
     events.withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark(key)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
   /** Deterministic batch equivalent of dedup-at-ingest: keep the
     * EARLIEST record per key (ts, then event_id tie-break) — what

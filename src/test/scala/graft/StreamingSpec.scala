@@ -60,26 +60,29 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("s38 streaming dedup suppresses in-watermark duplicates; batch form keeps the earliest") {
+    // same composite key in BOTH forms: (user_id, event_type) —
+    // user 1 has a same-key duplicate (dropped) and a different-type
+    // event (kept), so the composite key is actually observable
+    val evs = Seq(
+      Ev(1, ts(0), 1, "click", 1.0),
+      Ev(2, ts(5), 1, "click", 2.0), // dup (1, click) → dropped
+      Ev(3, ts(7), 1, "view", 4.0),  // different type → kept
+      Ev(4, ts(10), 2, "click", 3.0))
     val in = MemoryStream[Ev](spark)
-    val q = Streaming.dedupStream(in.toDF(), "user_id")
+    val q = Streaming.dedupStream(in.toDF(), "user_id", "event_type")
       .writeStream.format("memory").queryName("s38out")
       .outputMode("append").start()
     try {
-      in.addData(
-        Ev(1, ts(0), 1, "click", 1.0),
-        Ev(2, ts(5), 1, "view", 2.0), // dup key within watermark → dropped
-        Ev(3, ts(10), 2, "click", 3.0))
+      in.addData(evs: _*)
       q.processAllAvailable()
       val got = spark.table("s38out").select("event_id").as[Long].collect().toSet
-      assert(got == Set(1L, 3L), s"first arrival kept per key, got $got")
+      assert(got == Set(1L, 3L, 4L), s"first arrival kept per key, got $got")
     } finally q.stop()
-    // deterministic batch form: earliest (ts, event_id) per key
-    val batch = Streaming.dedupBatch(Seq(
-      Ev(2, ts(5), 1, "click", 2.0),
-      Ev(1, ts(0), 1, "click", 1.0),
-      Ev(3, ts(10), 2, "click", 3.0)).toDF())
+    // deterministic batch form: earliest (ts, event_id) per the SAME
+    // key — equal output on the same (in-order) data
+    val batch = Streaming.dedupBatch(scala.util.Random.shuffle(evs).toDF())
       .select("event_id").as[Long].collect().toSet
-    assert(batch == Set(1L, 3L))
+    assert(batch == Set(1L, 3L, 4L))
   }
 
   test("s34/s35 batch equivalents equal their streaming output on the same data") {
