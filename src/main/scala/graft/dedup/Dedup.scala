@@ -85,7 +85,17 @@ object Dedup {
     * points sort; consumers like d27 use the raw edge stream. */
   private def verifyPairs(pairs: DataFrame, docs: DataFrame): DataFrame = {
     val hashed = docs.select(col("doc_id"), hashedShingles(col("sh")).as("shz"))
+    // SOUND size prefilter (see d25NgramJaccardBanded): a shingle-set
+    // size ratio < 0.7 proves jaccard < 0.7, so those candidates are
+    // dropped against a 1-int-per-doc broadcast before the expensive
+    // array attach + merge-walk. Output is provably unchanged —
+    // d23b's DuckDB oracle (no prefilter) pins this byte-exactly.
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
     pairs
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a"))), "doc_a")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b"))), "doc_b")
+      .filter(least(col("n_a"), col("n_b")).cast("double")
+        / greatest(col("n_a"), col("n_b")) >= 0.7)
       .join(broadcast(hashed.select(col("doc_id").as("doc_a"), col("shz").as("shz_a"))), "doc_a")
       .join(broadcast(hashed.select(col("doc_id").as("doc_b"), col("shz").as("shz_b"))), "doc_b")
       .withColumn("jaccard", pairJaccard("shz_a", "shz_b"))
