@@ -648,19 +648,24 @@ object Dedup {
     }
 
     var e = canon(edges.select(col("src"), col("dst"))).localCheckpoint(true)
+    var eCount = e.count()
     var converged = false
     var iter = 0
     val maxIter = 100
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
-      // set equality: same cardinality and next \ e empty (both deduped)
-      converged = next.count() == e.count() &&
+      // set equality: same cardinality and next \ e empty (both
+      // deduped). The previous round's cardinality is carried over,
+      // so each round costs two driver actions, not three.
+      val nextCount = next.count()
+      converged = nextCount == eCount &&
         next.join(e, Seq("hi", "lo"), "left_anti").limit(1).count() == 0
       // best-effort release of the superseded round (checkpoint
       // blocks are ultimately freed by the ContextCleaner once the
       // RDD is unreachable)
       e.unpersist()
       e = next
+      eCount = nextCount
       iter += 1
     }
     // wrong labels are worse than no labels: a run that exhausts the
@@ -704,7 +709,10 @@ object Dedup {
     * ≥ 0.7 pairs (d25, oracle-green) are deterministic in both
     * engines, and the oracle closes them with a recursive min-label
     * CTE. Same operator, same output shape as d27 — only the edge
-    * generator differs. */
+    * generator differs. d27 (capped-LSH edges, linear candidate
+    * generation) is the production path; this entry exists to pin
+    * the clustering semantics cross-engine, so it tolerates the
+    * quadratic lang-blocked edge generator the oracle requires. */
   def d27bComponentsOracle(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id").as("id"))
     // raw unsorted pair stream — the edge consumer must not inherit
