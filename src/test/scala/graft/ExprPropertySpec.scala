@@ -66,6 +66,19 @@ class ExprPropertySpec extends SparkSpec {
     cases.zip(got).foreach { case (hs, g) => assert(g == reference(hs)) }
   }
 
+  test("size-ratio prefilter soundness: ratio < t implies jaccard < t on random sets") {
+    // the theorem verifyPairs/d25b rely on: J(A,B) = |∩|/|∪| ≤
+    // min(|A|,|B|)/max(|A|,|B|), so a size-ratio cut can never drop
+    // a pair at or above the threshold
+    for (_ <- 1 to 500) {
+      val a = Array.fill(1 + rng.nextInt(60))(rng.nextInt(40)).toSet
+      val b = Array.fill(1 + rng.nextInt(60))(rng.nextInt(40)).toSet
+      val j = a.intersect(b).size.toDouble / a.union(b).size
+      val ratio = math.min(a.size, b.size).toDouble / math.max(a.size, b.size)
+      assert(j <= ratio + 1e-12, s"jaccard $j exceeds size-ratio bound $ratio")
+    }
+  }
+
   test("FirstEqualBand: result is the first index where all band rows agree") {
     // small value domain (0..3) makes equal bands common
     val cases = Seq.fill(50) {
