@@ -85,6 +85,26 @@ class PlanSpec extends SparkSpec {
       s"queries side must broadcast:\n$plan")
   }
 
+  test("sweep: no query plan contains an unintended cartesian or nested-loop join") {
+    // Every BNLJ below is a deliberate broadcast of a tiny side:
+    //   a27  exact brute-force baseline — 8 query vectors broadcast
+    //   a29  IVF cell routing via array_contains — 8 query rows
+    //   d26  exact all-pairs verification baseline (d28 = scale path)
+    //   q28  date-spine span attach — 1-row min/max bounds
+    //   q30  incremental-export watermark — 1-row aggregate
+    // Nothing may use CartesianProduct, and no NEW query may grow a
+    // BNLJ without being justified here.
+    val allowedBnlj = Set("a27_ann_brute", "a29_ann_ivf", "d26_embed_neardup",
+      "q28_date_spine", "q30_incremental_export")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name grew a cartesian product")
+      if (!allowedBnlj(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name grew a nested-loop join — broadcast-justify it or fix the plan")
+    }
+  }
+
   test("native expressions appear in the optimized plans (not HOF fallbacks)") {
     val (plan26, _) = planOf("d26_embed_neardup")
     assert(plan26.contains("float_dot") || plan26.contains("FloatDot"),
