@@ -184,9 +184,17 @@ object Ann {
     val nprobe = 4
     val corpus = withNorm(Tables.embeddings(s, dir).select("vec_id", "embedding"))
       .withColumn("features", array_to_vector(col("embedding")))
+    // the quantizer trains on a bounded deterministic sample, never
+    // the full corpus: a 16-centroid coarse quantizer needs thousands
+    // of representative points, and a full KMeans fit at 100 TB would
+    // be an iterative ML pass over everything. The fraction keeps the
+    // sample representative at small SF; the limit hard-bounds the
+    // fit's input at any scale (65k × 64 floats ≈ 17 MB).
+    val trainSample = corpus.sample(withReplacement = false, 0.5, seed = 42L)
+      .limit(65536)
     val model = new KMeans()
       .setK(nlist).setSeed(42L).setMaxIter(10).setFeaturesCol("features")
-      .fit(corpus)
+      .fit(trainSample)
     val assigned = model.transform(corpus)
       .select(col("vec_id"), col("embedding"), col("norm"),
         col("prediction").as("cell"))

@@ -25,6 +25,38 @@ import graft.functions.SetExprs
   */
 object Dedup {
 
+  /** How per-doc payload tables (shingle arrays, set sizes,
+    * embeddings) are attached to a candidate-pair stream in the
+    * verify stage of the LSH paths (d23/d23b/d25b/d28).
+    *
+    * - [[Attach.Auto]] (production default): no hint. Catalyst plans
+    *   from stats and AQE re-plans from runtime shuffle sizes, so at
+    *   verification scale the small attach table broadcasts, while at
+    *   corpus scale (where a full-corpus broadcast would blow the
+    *   driver and the broadcast ceiling long before the pair stream
+    *   is the problem) the same code degrades to a shuffle join keyed
+    *   on doc_id. This is the strategy that survives a 100× corpus.
+    * - [[Attach.Broadcast]]: hard broadcast() hint — only safe when
+    *   the corpus is known to fit the broadcast limit.
+    * - [[Attach.Shuffle]]: force a sort-merge shuffle join via the
+    *   MERGE hint — the explicit large-corpus path; PlanSpec pins
+    *   that this mode really shuffles and Broadcast really
+    *   broadcasts, and DedupSpec pins that all three modes produce
+    *   identical rows. */
+  sealed trait Attach
+  object Attach {
+    case object Auto extends Attach
+    case object Broadcast extends Attach
+    case object Shuffle extends Attach
+  }
+
+  private def attachSide(df: DataFrame, attach: Attach): DataFrame =
+    attach match {
+      case Attach.Auto      => df
+      case Attach.Broadcast => broadcast(df)
+      case Attach.Shuffle   => df.hint("merge")
+    }
+
   /** d22: exact dedup — md5 over whitespace-normalized lowercased
     * text, keep the minimum doc_id per group.
     * Reference analog: content hashing as in DeployContract
@@ -78,28 +110,45 @@ object Dedup {
             |  element_at(mh, 4*b+3), element_at(mh, 4*b+4)))""".stripMargin))
           .as(Seq("band_id", "band_hash")))
 
-  /** Verify stage: attach hashed sorted shingle sets to candidate
-    * pairs via broadcast (doc→hashes map is tiny relative to the
-    * pair stream), compute Jaccard with the native merge-walk
-    * intersect, keep pairs ≥ 0.7. Unordered — presentation entry
-    * points sort; consumers like d27 use the raw edge stream. */
-  private def verifyPairs(pairs: DataFrame, docs: DataFrame): DataFrame = {
+  /** The verify threshold is applied to ROUND(jaccard, 4), so the set
+    * of kept pairs is exactly { true J ≥ 0.69995 } (HALF_UP rounds
+    * everything at or above the lower edge up to ≥ 0.7000). Any sound
+    * prefilter must therefore cut at this EDGE, not at 0.7: a pair
+    * with true J = 0.69996 rounds to 0.7 and passes the verify, yet
+    * its size ratio (≥ J, but possibly < 0.7) would be dropped by a
+    * 0.7 cut — diverging from the prefilter-free DuckDB oracles on
+    * tie-prone data. ExprPropertySpec pins the edge with an exact-tie
+    * construction. */
+  private val verifyThreshold = 0.7
+  private val prefilterEdge = 0.69995
+
+  /** Verify stage: attach shingle-set sizes (for the sound prefilter)
+    * and hashed sorted shingle sets to candidate pairs, compute
+    * Jaccard with the native merge-walk intersect, keep pairs ≥ 0.7.
+    * The attach join strategy is size-adaptive (see [[Attach]]) —
+    * broadcast at verification scale, shuffle-on-doc_id at corpus
+    * scale. Unordered — presentation entry points sort; consumers
+    * like d27 use the raw edge stream. */
+  private[graft] def verifyPairs(pairs: DataFrame, docs: DataFrame,
+      attach: Attach = Attach.Auto): DataFrame = {
     val hashed = docs.select(col("doc_id"), hashedShingles(col("sh")).as("shz"))
-    // SOUND size prefilter (see d25NgramJaccardBanded): a shingle-set
-    // size ratio < 0.7 proves jaccard < 0.7, so those candidates are
-    // dropped against a 1-int-per-doc broadcast before the expensive
-    // array attach + merge-walk. Output is provably unchanged —
-    // d23b's DuckDB oracle (no prefilter) pins this byte-exactly.
+    // SOUND size prefilter (see d25NgramJaccardBanded): J ≤
+    // min(|A|,|B|)/max(|A|,|B|), so a size ratio below the rounded
+    // threshold's lower edge proves the pair can't pass the verify —
+    // those candidates are dropped against a 1-int-per-doc attach
+    // before the expensive array attach + merge-walk. Output is
+    // provably unchanged — d23b's DuckDB oracle (no prefilter) pins
+    // this byte-exactly.
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
     pairs
-      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a"))), "doc_a")
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b"))), "doc_b")
+      .join(attachSide(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), attach), "doc_a")
+      .join(attachSide(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), attach), "doc_b")
       .filter(least(col("n_a"), col("n_b")).cast("double")
-        / greatest(col("n_a"), col("n_b")) >= 0.7)
-      .join(broadcast(hashed.select(col("doc_id").as("doc_a"), col("shz").as("shz_a"))), "doc_a")
-      .join(broadcast(hashed.select(col("doc_id").as("doc_b"), col("shz").as("shz_b"))), "doc_b")
+        / greatest(col("n_a"), col("n_b")) >= prefilterEdge)
+      .join(attachSide(hashed.select(col("doc_id").as("doc_a"), col("shz").as("shz_a")), attach), "doc_a")
+      .join(attachSide(hashed.select(col("doc_id").as("doc_b"), col("shz").as("shz_b")), attach), "doc_b")
       .withColumn("jaccard", pairJaccard("shz_a", "shz_b"))
-      .filter(col("jaccard") >= 0.7)
+      .filter(col("jaccard") >= verifyThreshold)
       .select("doc_a", "doc_b", "jaccard")
   }
 
@@ -126,12 +175,19 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
   }
 
-  def d23DedupMinhash(s: SparkSession, dir: String): DataFrame = {
+  def d23DedupMinhash(s: SparkSession, dir: String): DataFrame =
+    d23DedupMinhashAttach(s, dir, Attach.Auto)
+
+  /** Attach-strategy-parameterized form (see [[Attach]]); DedupSpec
+    * pins identical output across all three modes, PlanSpec pins the
+    * join type each explicit mode plans. */
+  private[graft] def d23DedupMinhashAttach(s: SparkSession, dir: String,
+      attach: Attach): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), shingleSet.as("sh"))
     // rows-only driver check: no presentation sort (a global sort
     // range-partitions by sampling, executing the pipeline twice)
-    verifyPairs(bandCandidatePairs(docs), docs)
+    verifyPairs(bandCandidatePairs(docs), docs, attach)
   }
 
   /** d23b: oracle-checked MinHash LSH. d23's signature hash
@@ -178,6 +234,15 @@ object Dedup {
     val stream = banded.select(col("doc_id"), col("bandh"),
       posexplode(col("bandh")).as(Seq("band_id", "band_hash")))
     val probe = stream.repartition(col("band_id"), col("band_hash"))
+    // COLLISION ASYMMETRY: the Spark side equi-joins on
+    // xxhash64(m0..m3) band hashes (a fixed-width join key), while
+    // the DuckDB oracle matches the four min values directly — a
+    // 64-bit band-hash collision between docs that share no truly
+    // equal band would emit a candidate only on the Spark side. The
+    // candidate would still need to pass the exact-Jaccard verify to
+    // diverge, so the probability of a visible difference is
+    // ≪ 2⁻⁶⁴/pair — the same w.h.p. stance as hashedShingles,
+    // documented here because the asymmetry is cross-engine.
     val pairs = probe.as("a").join(stream.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_hash") === col("b.band_hash") &&
@@ -341,12 +406,20 @@ object Dedup {
       |  (x, y) -> concat(x, ' ', y)))""".stripMargin)
 
   /** Unsorted d25 pair stream — consumers (d27b's edge generator)
-    * take this; the presentation entry point adds the sort. */
-  private def d25PairsUnsorted(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    * take this; the presentation entry point adds the sort.
+    * `langs` restricts the corpus to a deterministic language slice
+    * (d27b's oracle uses it so the quadratic lang-blocked edge
+    * generation — the price of DuckDB expressibility — runs on a
+    * fraction of the corpus instead of dominating the bench). */
+  private def d25PairsUnsorted(s: SparkSession, dir: String,
+      langs: Option[Seq[String]] = None): DataFrame = {
+    val base = Tables.documents(s, dir)
+    val sliced = langs.map(ls => base.filter(col("lang").isin(ls: _*))).getOrElse(base)
+    val docs = sliced
       .select(col("doc_id"), col("lang"), bigramShingles.as("sh"))
-    // slim id-level blocking first; shingles attach to pairs via
-    // broadcast so the blocked self-join shuffles ids only
+    // slim id-level blocking first; shingles attach to pairs
+    // afterwards (size-adaptive) so the blocked self-join shuffles
+    // ids only
     // salt the block key: a join whose only equi-key is `lang` hashes
     // into ≤ #languages tasks no matter the cluster, serializing the
     // quadratic explosion. Side a takes bucket = doc_id % 16; side b
@@ -363,9 +436,11 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     val hashed = docs.select(col("doc_id"), hashedShingles(col("sh")).as("shz"))
+    // no join hint — Catalyst/AQE pick broadcast vs shuffle from
+    // stats, the Attach.Auto behavior (see attachSide)
     pairs
-      .join(broadcast(hashed.select(col("doc_id").as("doc_a"), col("shz").as("shz_a"))), "doc_a")
-      .join(broadcast(hashed.select(col("doc_id").as("doc_b"), col("shz").as("shz_b"))), "doc_b")
+      .join(hashed.select(col("doc_id").as("doc_a"), col("shz").as("shz_a")), "doc_a")
+      .join(hashed.select(col("doc_id").as("doc_b"), col("shz").as("shz_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"), pairJaccard("shz_a", "shz_b").as("jaccard"))
       .filter(col("jaccard") >= 0.05)
   }
@@ -392,30 +467,35 @@ object Dedup {
     * reasonable cost); DedupSpec pins the corpus-level superset
     * property vs lang-blocked d25 ≥ 0.7 and score equality.
     *
-    * The CANDIDATE stage is the 100 TB part. The verify stage here
-    * broadcasts the hashed-shingle table (right for verification
-    * scale); at corpus scale the attach becomes two shuffle joins
-    * keyed on doc_id — same plan shape, bigger exchange. */
-  def d25NgramJaccardBanded(s: SparkSession, dir: String): DataFrame = {
+    * The CANDIDATE stage is the 100 TB part. The verify stage's
+    * attach is size-adaptive (see [[Attach]]): broadcast at
+    * verification scale, a shuffle join keyed on doc_id at corpus
+    * scale — same plan shape, bigger exchange. */
+  def d25NgramJaccardBanded(s: SparkSession, dir: String): DataFrame =
+    d25NgramJaccardBandedAttach(s, dir, Attach.Auto)
+
+  private[graft] def d25NgramJaccardBandedAttach(s: SparkSession, dir: String,
+      attach: Attach): DataFrame = {
     val base = Tables.documents(s, dir)
     val uni = base.select(col("doc_id"), shingleSet.as("sh"))
     val bigrams = base.select(col("doc_id"), bigramShingles.as("sh"))
     val hashed = bigrams.select(col("doc_id"), hashedShingles(col("sh")).as("shz"))
     // SOUND size prefilter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so a
-    // size ratio < 0.7 proves the pair can't pass — candidates are
-    // pruned against a 1-int-per-doc broadcast BEFORE the expensive
+    // size ratio below the rounded threshold's lower edge (see
+    // prefilterEdge) proves the pair can't pass — candidates are
+    // pruned against a 1-int-per-doc attach BEFORE the expensive
     // shingle-array attach and merge-walk (≈64% of random-size pairs
-    // pruned on this corpus; never drops a true ≥ 0.7 pair)
+    // pruned on this corpus; never drops a pair the verify keeps)
     val sizes = bigrams.select(col("doc_id"), size(col("sh")).as("n"))
     bandCandidatePairs(uni)
-      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a"))), "doc_a")
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b"))), "doc_b")
+      .join(attachSide(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), attach), "doc_a")
+      .join(attachSide(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), attach), "doc_b")
       .filter(least(col("n_a"), col("n_b")).cast("double")
-        / greatest(col("n_a"), col("n_b")) >= 0.7)
-      .join(broadcast(hashed.select(col("doc_id").as("doc_a"), col("shz").as("shz_a"))), "doc_a")
-      .join(broadcast(hashed.select(col("doc_id").as("doc_b"), col("shz").as("shz_b"))), "doc_b")
+        / greatest(col("n_a"), col("n_b")) >= prefilterEdge)
+      .join(attachSide(hashed.select(col("doc_id").as("doc_a"), col("shz").as("shz_a")), attach), "doc_a")
+      .join(attachSide(hashed.select(col("doc_id").as("doc_b"), col("shz").as("shz_b")), attach), "doc_b")
       .select(col("doc_a"), col("doc_b"), pairJaccard("shz_a", "shz_b").as("jaccard"))
-      .filter(col("jaccard") >= 0.7)
+      .filter(col("jaccard") >= verifyThreshold)
   }
 
   /** Cosine similarity over float-array embeddings, with norms
@@ -469,15 +549,20 @@ object Dedup {
     * The oracle is exact because the planes are literal decimal
     * strings parsed identically by both engines (same construction
     * as a28's oracle, Ann.scala). */
-  def d28EmbedNeardupLsh(s: SparkSession, dir: String): DataFrame = {
+  def d28EmbedNeardupLsh(s: SparkSession, dir: String): DataFrame =
+    d28EmbedNeardupLshAttach(s, dir, Attach.Auto)
+
+  private[graft] def d28EmbedNeardupLshAttach(s: SparkSession, dir: String,
+      attach: Attach): DataFrame = {
     val e = withNorm(Tables.embeddings(s, dir).select("vec_id", "embedding"))
       .withColumn("bands",
         graft.functions.Hyperplanes.bandsExpr("embedding", nBands = 4, planesPerBand = 8))
     // slim candidate generation: only (vec_id, bands) rides the 4×
     // band explosion and both shuffles — the 64-float embedding
-    // payload attaches to the surviving pairs afterwards (broadcast
-    // at verification scale; a shuffle join keyed on vec_id at
-    // corpus scale), mirroring verifyPairs' shingle-attach pattern
+    // payload attaches to the surviving pairs afterwards with the
+    // size-adaptive strategy (broadcast at verification scale; a
+    // shuffle join keyed on vec_id at corpus scale), mirroring
+    // verifyPairs' shingle-attach pattern
     val chunks = e.select(col("vec_id"), col("bands"),
       posexplode(col("bands")).as(Seq("band_id", "band_val")))
     // probe side repartitioned on the band key: the join explodes the
@@ -491,10 +576,10 @@ object Dedup {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
     val emb = e.select(col("vec_id"), col("embedding"), col("norm"))
     pairs
-      .join(broadcast(emb.select(col("vec_id").as("vec_a"),
-        col("embedding").as("emb_a"), col("norm").as("norm_a"))), "vec_a")
-      .join(broadcast(emb.select(col("vec_id").as("vec_b"),
-        col("embedding").as("emb_b"), col("norm").as("norm_b"))), "vec_b")
+      .join(attachSide(emb.select(col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a"), col("norm").as("norm_a")), attach), "vec_a")
+      .join(attachSide(emb.select(col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b"), col("norm").as("norm_b")), attach), "vec_b")
       .select(
         col("vec_a"), col("vec_b"),
         round(graft.functions.VectorExprs.floatDot(col("emb_a"), col("emb_b"))
@@ -573,6 +658,19 @@ object Dedup {
   def d23DedupMinhashCapped(s: SparkSession, dir: String, maxBucket: Int): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), shingleSet.as("sh"))
+    // rows-only driver check: no presentation sort (a global sort
+    // range-partitions by sampling, executing the pipeline twice)
+    verifyPairs(cappedCandidatePairs(s, dir, maxBucket), docs)
+  }
+
+  /** The capped candidate stage alone — exposed so SketchCapSpec can
+    * bound the candidate VOLUME (≤ Σ_cold-bucket |bucket|² ≤
+    * n_buckets·maxBucket²) under an adversarial boilerplate
+    * mega-cluster, not just check the verified output. */
+  private[graft] def cappedCandidatePairs(s: SparkSession, dir: String,
+      maxBucket: Int): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), shingleSet.as("sh"))
     val bands = minhashBands(docs)
     // size buckets on a SLIM (band_id, band_hash) projection — the
     // hot bucket this guards against must never be buffered with
@@ -581,9 +679,12 @@ object Dedup {
       .agg(count(lit(1)).as("bucket_size"))
       .filter(col("bucket_size") > maxBucket)
       .select("band_id", "band_hash")
+    // the hot-key list is genuinely tiny by construction (one row per
+    // OVER-CAP bucket), so a broadcast hint here is size-safe at any
+    // corpus scale — unlike the per-doc attach tables in verifyPairs
     val kept = bands.join(broadcast(hotKeys), Seq("band_id", "band_hash"), "left_anti")
     val probe = kept.repartition(col("band_id"), col("band_hash"))
-    val pairs = probe.as("a").join(kept.as("b"),
+    probe.as("a").join(kept.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -591,9 +692,6 @@ object Dedup {
       // a pair may surface from several surviving bands (its first
       // shared band may have been dropped as hot) → dedup the stream
       .dropDuplicates("doc_a", "doc_b")
-    // rows-only driver check: no presentation sort (a global sort
-    // range-partitions by sampling, executing the pipeline twice)
-    verifyPairs(pairs, docs)
   }
 
   /** Connected components over an undirected edge list via
@@ -615,57 +713,73 @@ object Dedup {
     * self-referencing plan otherwise grows its lineage exponentially
     * and OOMs the driver (observed at ~30 rounds). In a production
     * cluster, use a reliable checkpoint dir instead. */
-  def connectedComponents(vertices: DataFrame, edges: DataFrame): DataFrame = {
-    // canonical undirected edge: (hi, lo), hi > lo, deduped
-    def canon(e: DataFrame): DataFrame = e
-      .select(greatest(col("src"), col("dst")).as("hi"),
-        least(col("src"), col("dst")).as("lo"))
-      .filter(col("hi") =!= col("lo"))
+  // canonical undirected edge: (hi, lo), hi > lo, deduped
+  private def ccCanon(e: DataFrame): DataFrame = e
+    .select(greatest(col("src"), col("dst")).as("hi"),
+      least(col("src"), col("dst")).as("lo"))
+    .filter(col("hi") =!= col("lo"))
+    .distinct()
+
+  // large-star: u hooks every strictly-larger neighbor v onto
+  // m(u) = min(Γ(u) ∪ {u}) → edge (v, m(u)); v > u ≥ m keeps the
+  // output canonical with no self-loops
+  private def ccLargeStar(e: DataFrame): DataFrame = {
+    val nbr = e.select(col("hi").as("u"), col("lo").as("v"))
+      .unionAll(e.select(col("lo").as("u"), col("hi").as("v")))
+    val m = nbr.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"))
+    nbr.join(m, "u").filter(col("v") > col("u"))
+      .select(col("v").as("hi"), col("m").as("lo"))
       .distinct()
+  }
 
-    // large-star: u hooks every strictly-larger neighbor v onto
-    // m(u) = min(Γ(u) ∪ {u}) → edge (v, m(u)); v > u ≥ m keeps the
-    // output canonical with no self-loops
-    def largeStar(e: DataFrame): DataFrame = {
-      val nbr = e.select(col("hi").as("u"), col("lo").as("v"))
-        .unionAll(e.select(col("lo").as("u"), col("hi").as("v")))
-      val m = nbr.groupBy("u").agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("mn"), col("u")).as("m"))
-      nbr.join(m, "u").filter(col("v") > col("u"))
-        .select(col("v").as("hi"), col("m").as("lo"))
-        .distinct()
-    }
+  // small-star: u hooks its smaller neighbors (and itself) onto
+  // m(u) = min of those neighbors; with canonical input each edge
+  // (h, l) is exactly h's view of a smaller neighbor
+  private def ccSmallStar(e: DataFrame): DataFrame = {
+    val m = e.groupBy("hi").agg(min(col("lo")).as("m"))
+    val out = e.join(m, "hi")
+      .select(col("lo").as("src"), col("m").as("dst"))
+      .unionAll(m.select(col("hi").as("src"), col("m").as("dst")))
+    ccCanon(out)
+  }
 
-    // small-star: u hooks its smaller neighbors (and itself) onto
-    // m(u) = min of those neighbors; with canonical input each edge
-    // (h, l) is exactly h's view of a smaller neighbor
-    def smallStar(e: DataFrame): DataFrame = {
-      val m = e.groupBy("hi").agg(min(col("lo")).as("m"))
-      val out = e.join(m, "hi")
-        .select(col("lo").as("src"), col("m").as("dst"))
-        .unionAll(m.select(col("hi").as("src"), col("m").as("dst")))
-      canon(out)
-    }
+  /** One large-star + small-star round over a canonical edge set —
+    * exposed lazily so PlanSpec can audit the per-round plan shape
+    * without running the iteration to convergence. */
+  private[graft] def ccRound(canonicalEdges: DataFrame): DataFrame =
+    ccSmallStar(ccLargeStar(canonicalEdges))
 
-    var e = canon(edges.select(col("src"), col("dst"))).localCheckpoint(true)
-    var eCount = e.count()
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // plan-cut between rounds: localCheckpoint (executor blocks) by
+    // default; with a reliable checkpoint dir — the production story
+    // on a real cluster, where executor loss must not kill a
+    // multi-hour job — cut via checkpoint() to durable storage
+    val session = vertices.sparkSession
+    checkpointDir.foreach(session.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    var e = cut(ccCanon(edges.select(col("src"), col("dst"))))
     var converged = false
     var iter = 0
     val maxIter = 100
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
-      // set equality: same cardinality and next \ e empty (both
-      // deduped). The previous round's cardinality is carried over,
-      // so each round costs two driver actions, not three.
-      val nextCount = next.count()
-      converged = nextCount == eCount &&
-        next.join(e, Seq("hi", "lo"), "left_anti").limit(1).count() == 0
+      val next = cut(ccRound(e))
+      // set equality in ONE driver action: both sides are deduped, so
+      // the sets are equal iff the symmetric difference is empty —
+      // checked with take(1) over the union of the two anti-joins
+      // (the eager checkpoint above already materialized `next`, so
+      // each round costs exactly one extra action)
+      converged = next.join(e, Seq("hi", "lo"), "left_anti")
+        .unionAll(e.join(next, Seq("hi", "lo"), "left_anti"))
+        .isEmpty
       // best-effort release of the superseded round (checkpoint
       // blocks are ultimately freed by the ContextCleaner once the
       // RDD is unreachable)
       e.unpersist()
       e = next
-      eCount = nextCount
       iter += 1
     }
     // wrong labels are worse than no labels: a run that exhausts the
@@ -712,12 +826,22 @@ object Dedup {
     * generator differs. d27 (capped-LSH edges, linear candidate
     * generation) is the production path; this entry exists to pin
     * the clustering semantics cross-engine, so it tolerates the
-    * quadratic lang-blocked edge generator the oracle requires. */
+    * quadratic lang-blocked edge generator the oracle requires —
+    * but on a deterministic LANGUAGE SLICE ('de','fr': ~29% of docs,
+    * ~18% of the quadratic pair volume), so the oracle scaffolding
+    * measures clustering, not edge generation, in the bench. The
+    * slice keeps ≥ 0.7 near-dup pairs at every SF, so the recursive
+    * closure is still exercised on real multi-doc components. */
+  private val d27bLangs = Seq("de", "fr")
+
   def d27bComponentsOracle(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id").as("id"))
+    val docs = Tables.documents(s, dir)
+      .filter(col("lang").isin(d27bLangs: _*))
+      .select(col("doc_id").as("id"))
     // raw unsorted pair stream — the edge consumer must not inherit
     // the presentation entry point's repartition(1) funnel
-    val edges = d25PairsUnsorted(s, dir).filter(col("jaccard") >= 0.7)
+    val edges = d25PairsUnsorted(s, dir, Some(d27bLangs))
+      .filter(col("jaccard") >= 0.7)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     connectedComponents(docs, edges)
       .select(
@@ -731,29 +855,31 @@ object Dedup {
     * an edge list, closed with a recursive reachability CTE (UNION
     * dedups, so the recursion terminates), then min-label per doc =
     * the component id. */
-  val d27bSql: String =
-    """WITH RECURSIVE sh AS (
-      | SELECT doc_id, lang,
-      |  list_distinct(list_transform(range(1, len(string_split(text,' '))),
-      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS sh
-      | FROM documents),
-      |pairs AS (
-      | SELECT doc_a, doc_b FROM (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |   ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |     / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
-      |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
-      | WHERE jaccard >= 0.7),
-      |edges AS (
-      | SELECT doc_a AS src, doc_b AS dst FROM pairs
-      | UNION ALL
-      | SELECT doc_b AS src, doc_a AS dst FROM pairs),
-      |reach(a, b) AS (
-      | SELECT doc_id, doc_id FROM documents
-      | UNION
-      | SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
-      |SELECT a AS doc_id, MIN(b) AS component_id, MIN(b) = a AS keep
-      |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+  val d27bSql: String = {
+    val langList = d27bLangs.map(l => s"'$l'").mkString(", ")
+    s"""WITH RECURSIVE sh AS (
+       | SELECT doc_id, lang,
+       |  list_distinct(list_transform(range(1, len(string_split(text,' '))),
+       |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS sh
+       | FROM documents WHERE lang IN ($langList)),
+       |pairs AS (
+       | SELECT doc_a, doc_b FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |   ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |     / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+       |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+       | WHERE jaccard >= 0.7),
+       |edges AS (
+       | SELECT doc_a AS src, doc_b AS dst FROM pairs
+       | UNION ALL
+       | SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |reach(a, b) AS (
+       | SELECT doc_id, doc_id FROM documents WHERE lang IN ($langList)
+       | UNION
+       | SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+       |SELECT a AS doc_id, MIN(b) AS component_id, MIN(b) = a AS keep
+       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d22_dedup_exact" -> (d22DedupExact _),

@@ -25,10 +25,15 @@ import graft.Tables
   */
 object Export {
 
-  /** Deterministic scratch dir per (op, input dir) — repeated runs
-    * overwrite rather than accumulate. */
+  /** Deterministic scratch dir per (JVM, op, input dir) — repeated
+    * runs in one JVM overwrite rather than accumulate, while the
+    * per-JVM token keeps CONCURRENT processes over the same data dir
+    * (bench + test suite, two CI jobs on one host) from racing on
+    * one q30/q31 output directory with mode=overwrite. */
+  private lazy val jvmToken: String =
+    java.util.UUID.randomUUID().toString.take(8)
   private[graft] def scratch(tag: String, dir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_${tag}_${Integer.toHexString(dir.hashCode)}"
+    s"${sys.props("java.io.tmpdir")}/graft_${jvmToken}_${tag}_${Integer.toHexString(dir.hashCode)}"
 
   /** q30: incremental high-watermark export. The target (a persisted
     * snapshot of rows already exported) is materialized, then its
@@ -99,13 +104,21 @@ object Export {
     * hour-partitioned ORC (see object doc for why not Avro in this
     * container), read back, schema-asserted, and value-compared
     * against the source via the oracle. */
-  def q31ExportRoundtrip(s: SparkSession, dir: String): DataFrame = {
+  def q31ExportRoundtrip(s: SparkSession, dir: String): DataFrame =
+    exportRoundtrip(s, dir, "orc")
+
+  /** Format-parameterized round-trip (ExportSpec runs the matrix over
+    * orc AND parquet, proving the sink's format parameterization is
+    * real — with spark-avro on the classpath, "avro" slots in
+    * unchanged). */
+  private[graft] def exportRoundtrip(s: SparkSession, dir: String,
+      format: String): DataFrame = {
     val src = Tables.events(s, dir).select(
       col("event_id"), col("user_id"), col("event_type"), col("value"),
       col("ts"), date_format(col("ts"), "yyyy-MM-dd-HH").as("hour_bucket"))
-    val out = scratch("q31_orc", dir)
-    exportConvert(src, out, "orc", "hour_bucket")
-    val back = s.read.format("orc").load(out)
+    val out = scratch(s"q31_$format", dir)
+    exportConvert(src, out, format, "hour_bucket")
+    val back = s.read.format(format).load(out)
     require(back.columns.sorted.sameElements(src.columns.sorted),
       s"round-trip schema mismatch: ${back.columns.mkString(",")}")
     back.select("event_id", "user_id", "event_type", "value", "ts", "hour_bucket")

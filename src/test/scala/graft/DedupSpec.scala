@@ -69,6 +69,37 @@ class DedupSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("attach strategy: d23 output identical under Auto, Broadcast, and Shuffle attach") {
+    // the size-adaptive verify/attach must be a pure physical choice:
+    // the oracle-pinned row set may not depend on which join strategy
+    // attaches the shingle/size tables to the pair stream
+    val dir = sfDir
+    def rows(a: Dedup.Attach): Set[Seq[Any]] =
+      Dedup.d23DedupMinhashAttach(spark, dir, a).collect().map(_.toSeq).toSet
+    val auto = rows(Dedup.Attach.Auto)
+    assert(auto.nonEmpty, "corpus must contain near-dups")
+    assert(rows(Dedup.Attach.Broadcast) == auto, "Broadcast attach diverged")
+    assert(rows(Dedup.Attach.Shuffle) == auto, "Shuffle attach diverged")
+  }
+
+  test("attach strategy: d28 output identical under Auto, Broadcast, and Shuffle attach") {
+    def rows(a: Dedup.Attach): Set[Seq[Any]] =
+      Dedup.d28EmbedNeardupLshAttach(spark, sfDir, a).collect().map(_.toSeq).toSet
+    val auto = rows(Dedup.Attach.Auto)
+    assert(auto.nonEmpty)
+    assert(rows(Dedup.Attach.Broadcast) == auto)
+    assert(rows(Dedup.Attach.Shuffle) == auto)
+  }
+
+  test("connected components: reliable checkpoint dir produces the same labels") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graftccckpt").toString
+    val verts = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    val edges = Seq((2L, 1L), (2L, 3L), (5L, 6L)).toDF("src", "dst")
+    val comp = Dedup.connectedComponents(verts, edges, Some(ckpt))
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("connected components: chains merge, isolated vertices stand alone") {
     val verts = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
     // chain 1-2-3, pair 5-6, isolated 4

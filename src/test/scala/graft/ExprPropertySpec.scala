@@ -79,6 +79,46 @@ class ExprPropertySpec extends SparkSpec {
     }
   }
 
+  test("prefilter soundness under ROUNDING: any pair the rounded verify keeps has ratio >= 0.69995") {
+    // the verify filter applies to ROUND(J, 4), so it keeps every
+    // pair with true J >= 0.69995 (HALF_UP) — including true J in
+    // [0.69995, 0.7), whose size ratio can also be < 0.7. The
+    // prefilter must therefore cut at the rounded threshold's lower
+    // edge, never at 0.7 itself.
+    for (_ <- 1 to 2000) {
+      val a = Array.fill(1 + rng.nextInt(200))(rng.nextInt(150)).toSet
+      val b = Array.fill(1 + rng.nextInt(200))(rng.nextInt(150)).toSet
+      val j = a.intersect(b).size.toDouble / a.union(b).size
+      val rounded = BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val ratio = math.min(a.size, b.size).toDouble / math.max(a.size, b.size)
+      if (rounded >= 0.7)
+        assert(ratio >= 0.69995,
+          s"rounded-kept pair (J=$j) would be dropped by an edge-0.69995 prefilter (ratio=$ratio)")
+    }
+  }
+
+  test("verifyPairs keeps a rounding-tie pair whose size ratio is below 0.7") {
+    // adversarial construction (ADVICE r2, medium): |A|=25000 tokens,
+    // B = first 17499 of them → true J = 17499/25000 = 0.69996,
+    // which ROUND(·,4) keeps (→ 0.7000), while the size ratio equals
+    // J = 0.69996 < 0.7 — a prefilter cutting at 0.7 drops the pair
+    // and diverges from the prefilter-free DuckDB oracle. The
+    // edge-0.69995 cut must keep it, with the rounded score.
+    // (The exact tie 13999/20000 is NOT such a case: its nearest
+    // double is just below 0.69995, so HALF_UP gives 0.6999 in both
+    // engines and the pair is consistently dropped.)
+    import org.apache.spark.sql.functions._
+    val docA = (0 until 25000).map(i => s"t$i").mkString(" ")
+    val docB = (0 until 17499).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, docA), (2L, docB)).toDF("doc_id", "text")
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("sh"))
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val out = graft.dedup.Dedup.verifyPairs(pairs, docs)
+      .as[(Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 0.7)),
+      s"tie pair must survive the prefilter with rounded jaccard 0.7, got ${out.toSeq}")
+  }
+
   test("FirstEqualBand: result is the first index where all band rows agree") {
     // small value domain (0..3) makes equal bands common
     val cases = Seq.fill(50) {

@@ -51,6 +51,47 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "LSH must be an equi-join")
   }
 
+  test("attach strategy pins the join type: Broadcast broadcasts, Shuffle sort-merges") {
+    // the size-adaptive verify/attach (VERDICT r2 #1): each explicit
+    // mode must plan the join type it names — Broadcast = the
+    // verification-scale path, Shuffle = the 100 TB corpus path where
+    // a full-corpus broadcast would blow the driver. d23 has 4 attach
+    // joins (2 size + 2 shingle), d28 has 2 (embedding per side).
+    val bPlan = graft.dedup.Dedup
+      .d23DedupMinhashAttach(spark, sfDir, graft.dedup.Dedup.Attach.Broadcast)
+      .queryExecution.executedPlan.toString
+    assert(bPlan.linesIterator.count(_.contains("BroadcastHashJoin")) >= 4,
+      s"Broadcast attach must plan >=4 broadcast joins:\n$bPlan")
+    val sPlan = graft.dedup.Dedup
+      .d23DedupMinhashAttach(spark, sfDir, graft.dedup.Dedup.Attach.Shuffle)
+      .queryExecution.executedPlan.toString
+    assert(sPlan.linesIterator.count(_.contains("SortMergeJoin")) >= 4,
+      s"Shuffle attach must plan >=4 sort-merge joins:\n$sPlan")
+    val s28 = graft.dedup.Dedup
+      .d28EmbedNeardupLshAttach(spark, sfDir, graft.dedup.Dedup.Attach.Shuffle)
+      .queryExecution.executedPlan.toString
+    assert(s28.linesIterator.count(_.contains("SortMergeJoin")) >= 2,
+      s"d28 Shuffle attach must plan >=2 sort-merge joins:\n$s28")
+  }
+
+  test("capped minhash candidate stage plans as an equi-join (lazy, no execution)") {
+    // d27's edge generator — audited on the LAZY candidate form so
+    // the plan check never runs the full capped pipeline
+    val plan = graft.dedup.Dedup.cappedCandidatePairs(spark, sfDir, 500)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"capped candidate generation must be an equi-join:\n$plan")
+  }
+
+  test("connected-components round plans as equi-joins (lazy, no iteration)") {
+    import spark.implicits._
+    val edges = Seq((5L, 1L), (9L, 5L), (7L, 3L)).toDF("hi", "lo")
+    val plan = graft.dedup.Dedup.ccRound(edges)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"CC round must never plan a cartesian:\n$plan")
+  }
+
   test("d23b oracle-checked minhash is an equi-join with map-side partial min aggregation") {
     val (plan, _) = planOf("d23b_minhash_oracle")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
@@ -96,7 +137,17 @@ class PlanSpec extends SparkSpec {
     // BNLJ without being justified here.
     val allowedBnlj = Set("a27_ann_brute", "a29_ann_ivf", "d26_embed_neardup",
       "q28_date_spine", "q30_incremental_export")
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // Entries whose DataFrame CONSTRUCTION executes real work (q30/q31
+    // write full exports, d27/d27b iterate connected components to a
+    // fixpoint) are skipped: a plan sweep must inspect plans, not
+    // re-run the correctness suite. Their join shapes are audited
+    // piecewise instead — the lazy capped-candidate and CC-round
+    // tests above, q30's 1-row watermark BNLJ justified here, and
+    // ExportSpec exercises both exports end-to-end.
+    val eagerEntries = Set("q30_incremental_export", "q31_export_roundtrip",
+      "d27_dedup_components", "d27b_components_oracle")
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => eagerEntries(q._1)).foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name grew a cartesian product")
       if (!allowedBnlj(name))
