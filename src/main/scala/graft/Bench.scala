@@ -5,56 +5,158 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints one JSON line of per-query wall
   * times. Results are materialized through the noop sink so the
   * whole plan executes (a bare count() would let Catalyst prune
-  * projections and skip the work being measured). */
+  * projections and skip the work being measured).
+  *
+  * ISOLATION (VERDICT r2 #2): a single shared JVM makes per-query
+  * times unattributable — JIT/GC state left behind by the heavy
+  * dedup family perturbed q29 by 2.5× between rounds (6.4 s in-bench
+  * vs 2.4 s isolated, judge-verified). The parent process therefore
+  * spawns one FRESH JVM per query family (each heavy query is its
+  * own family; light queries group by prefix), reusing this same
+  * main with `--part q1,q2,...` as the child protocol. Each child
+  * warms up JIT/codegen on q01, then times 3 passes per query and
+  * reports the median. If a child cannot be spawned (classpath
+  * oddity), the parent falls back to timing that family in-process —
+  * numbers still appear, marked by isolation="mixed". */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+  /** Queries that get a dedicated JVM: everything whose r02 median
+    * exceeded ~2 s — these are the JIT/GC perturbers AND the numbers
+    * that must be attributable round-over-round. */
+  private val solo = Set(
+    "d23_dedup_minhash", "d23b_minhash_oracle", "d24_dedup_simhash",
+    "d24b_simhash_oracle", "d25_ngram_jaccard", "d25b_ngram_banded",
+    "d26_embed_neardup", "d27_dedup_components", "d27b_components_oracle",
+    "d28_embed_neardup_lsh", "q12_double_entry", "q26_unpivot",
+    "q29_json_keys", "q31_export_roundtrip", "a29_ann_ivf")
+
+  private def familyOf(name: String): String =
+    if (solo(name)) name
+    else name.head match {
+      case 'q' => "relational"
+      case 't' => "text"
+      case 's' => "streaming"
+      case 'a' => "ann"
+      case 'd' => "dedup_small"
+      case _   => "misc"
+    }
+
+  private def newSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup on the smallest SF so per-query times measure
-    // the plan, not JIT + first-run codegen compilation. Failures are
-    // tolerated — a broken input must still produce the JSON line
-    // (with -1 timings), not a dead process.
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Warmup + 3 timed passes per query, median reported. The median
+    * absorbs the first pass's residual codegen-compilation cost. */
+  private def timeQueries(spark: SparkSession, sfDir: String,
+      names: Seq[String]): Seq[(String, Double)] = {
     try SparkEntry.queries.get("q01_agg_filter")
       .foreach(f => f(spark, sfDir).write.format("noop").mode("overwrite").save())
     catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
-    def timeOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
-        org.apache.spark.sql.DataFrame): Double = {
+    def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         -1.0
       }
     }
-    // three passes, median per query: run-to-run noise on the heavy
-    // dedup queries is ±40%, so a min-of-2 can't attribute a
-    // round-over-round regression; the median of three warm passes is
-    // stable enough to compare across rounds
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val r1 = timeOnce(name, fn)
-      val r2 = if (r1 >= 0) timeOnce(name, fn) else -1.0
-      val r3 = if (r2 >= 0) timeOnce(name, fn) else -1.0
+    names.map { name =>
+      val r1 = timeOnce(name)
+      val r2 = if (r1 >= 0) timeOnce(name) else -1.0
+      val r3 = if (r2 >= 0) timeOnce(name) else -1.0
       val runs = Seq(r1, r2, r3)
       val med = if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(1)
       System.err.println(
         f"[bench] $name%-26s $med%8.2f s (runs: ${runs.map(r => f"$r%.2f").mkString(", ")})")
       name -> med
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+  }
+
+  private def queriesJson(rs: Seq[(String, Double)]): String =
+    rs.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+
+  /** Child JVM command: same JVM flags the sbt fork gave this
+    * process needs (JDK17 module opens for Spark, heap), the full
+    * application classpath, and the child part protocol. */
+  private def childCommand(part: Seq[String]): Seq[String] = {
+    val javaBin = s"${sys.props("java.home")}/bin/java"
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    Seq(javaBin) ++ addOpens ++ Seq(
+      s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+      "-Dspark.ui.enabled=false",
+      "-Dspark.sql.session.timeZone=UTC",
+      "-cp", sys.props("java.class.path"),
+      "graft.Bench", "--part", part.mkString(","))
+  }
+
+  /** Run one family in a fresh JVM; None if the child failed. */
+  private def runChild(family: String, part: Seq[String]): Option[Seq[(String, Double)]] = {
+    try {
+      val pb = new ProcessBuilder(childCommand(part): _*)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+      val rc = proc.waitFor()
+      val line = out.linesIterator.find(_.contains("\"metric\":\"part\""))
+      if (rc != 0 || line.isEmpty) {
+        System.err.println(s"[bench] child $family rc=$rc, falling back in-process")
+        None
+      } else {
+        val re = """"([a-z0-9_]+)":(-?[0-9.]+(?:[eE]-?[0-9]+)?)""".r
+        val qs = line.get.substring(line.get.indexOf("\"queries\""))
+        Some(re.findAllMatchIn(qs).map(m => m.group(1) -> m.group(2).toDouble).toSeq)
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] spawn $family failed: ${e.getMessage}")
+      None
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (args.length >= 2 && args(0) == "--part") {
+      // child: time the named queries in THIS JVM, report a partial
+      val spark = newSession()
+      val rs = timeQueries(spark, sfDir, args(1).split(",").toSeq)
+      println(s"""{"metric":"part","queries":${queriesJson(rs)}}""")
+      spark.stop()
+      return
+    }
+    val families = SparkEntry.queries.keys.toSeq.sorted
+      .groupBy(familyOf).toSeq.sortBy(_._1)
+    var mixed = false
+    val results = families.flatMap { case (family, part) =>
+      System.err.println(s"[bench] === family $family (${part.size} queries, fresh JVM) ===")
+      runChild(family, part).getOrElse {
+        mixed = true
+        val spark = newSession()
+        try timeQueries(spark, sfDir, part) finally spark.stop()
+      }
+    }
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val iso = if (mixed) "mixed" else "jvm-per-family"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":3,"isolation":"$iso","queries":${queriesJson(results)},"sf":"$sfDir"}""")
   }
 }
