@@ -89,24 +89,28 @@ object Bench {
     rs.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
 
-  /** Child JVM command: same JVM flags the sbt fork gave this
-    * process needs (JDK17 module opens for Spark, heap), the full
-    * application classpath, and the child part protocol. */
+  /** Child JVM command: FORWARD the parent's own JVM flags (module
+    * opens, heap, -D system props) so parent and child can never
+    * drift — a hardcoded copy of build.sbt's javaOptions would
+    * silently degrade every family to the in-process fallback the
+    * first time the required flags change. Plus the full application
+    * classpath (real here because build.sbt forks `run`) and the
+    * child part protocol. */
   private def childCommand(part: Seq[String]): Seq[String] = {
+    import scala.jdk.CollectionConverters._
     val javaBin = s"${sys.props("java.home")}/bin/java"
-    val addOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar",
-    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    Seq(javaBin) ++ addOpens ++ Seq(
-      s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-      "-Dspark.ui.enabled=false",
-      "-Dspark.sql.session.timeZone=UTC",
+    val parentArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+    val forwarded = parentArgs.zipWithIndex.flatMap { case (a, i) =>
+      if (a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
+          a.startsWith("--enable-native-access"))
+        // tokenized form: the module spec rides in the NEXT argument
+        if (a.contains("=") || i + 1 >= parentArgs.length) Seq(a)
+        else Seq(a, parentArgs(i + 1))
+      else if (a.startsWith("-Xmx") || a.startsWith("-Xms") || a.startsWith("-D")) Seq(a)
+      else Seq.empty
+    }
+    Seq(javaBin) ++ forwarded ++ Seq(
       "-cp", sys.props("java.class.path"),
       "graft.Bench", "--part", part.mkString(","))
   }

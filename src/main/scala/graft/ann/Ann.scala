@@ -187,11 +187,13 @@ object Ann {
     // the quantizer trains on a bounded deterministic sample, never
     // the full corpus: a 16-centroid coarse quantizer needs thousands
     // of representative points, and a full KMeans fit at 100 TB would
-    // be an iterative ML pass over everything. The fraction keeps the
-    // sample representative at small SF; the limit hard-bounds the
-    // fit's input at any scale (65k × 64 floats ≈ 17 MB).
-    val trainSample = corpus.sample(withReplacement = false, 0.5, seed = 42L)
-      .limit(65536)
+    // be an iterative ML pass over everything. The hash-order top-k
+    // (TakeOrderedAndProject: per-partition top-k, no full sort) is a
+    // uniform pseudorandom pick that depends only on vec_id values —
+    // NOT on partition layout or parallelism, unlike sample()+limit —
+    // and hard-bounds the fit's input at any scale (65k × 64 floats
+    // ≈ 17 MB).
+    val trainSample = corpus.orderBy(xxhash64(col("vec_id"))).limit(65536)
     val model = new KMeans()
       .setK(nlist).setSeed(42L).setMaxIter(10).setFeaturesCol("features")
       .fit(trainSample)

@@ -183,8 +183,7 @@ object Dedup {
     * join type each explicit mode plans. */
   private[graft] def d23DedupMinhashAttach(s: SparkSession, dir: String,
       attach: Attach): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), shingleSet.as("sh"))
+    val docs = shingledDocs(s, dir)
     // rows-only driver check: no presentation sort (a global sort
     // range-partitions by sampling, executing the pipeline twice)
     verifyPairs(bandCandidatePairs(docs), docs, attach)
@@ -215,8 +214,7 @@ object Dedup {
   }
 
   def d23bMinhashOracle(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), shingleSet.as("sh"))
+    val docs = shingledDocs(s, dir)
     // ONE md5 per (doc, token), codegen'd on exploded rows — an
     // interpreted transform(seq(16), transform(sh, md5…)) lambda
     // nest costs 16 md5/token and ran ~6× slower end-to-end
@@ -655,13 +653,13 @@ object Dedup {
     * shares a cold band is still found (no first-band predicate
     * here — the pair stream is deduped instead), so capped with
     * maxBucket → ∞ is exactly d23DedupMinhash. */
-  def d23DedupMinhashCapped(s: SparkSession, dir: String, maxBucket: Int): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), shingleSet.as("sh"))
+  private def shingledDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), shingleSet.as("sh"))
+
+  def d23DedupMinhashCapped(s: SparkSession, dir: String, maxBucket: Int): DataFrame =
     // rows-only driver check: no presentation sort (a global sort
     // range-partitions by sampling, executing the pipeline twice)
-    verifyPairs(cappedCandidatePairs(s, dir, maxBucket), docs)
-  }
+    verifyPairs(cappedCandidatePairs(s, dir, maxBucket), shingledDocs(s, dir))
 
   /** The capped candidate stage alone — exposed so SketchCapSpec can
     * bound the candidate VOLUME (≤ Σ_cold-bucket |bucket|² ≤
@@ -669,9 +667,7 @@ object Dedup {
     * mega-cluster, not just check the verified output. */
   private[graft] def cappedCandidatePairs(s: SparkSession, dir: String,
       maxBucket: Int): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), shingleSet.as("sh"))
-    val bands = minhashBands(docs)
+    val bands = minhashBands(shingledDocs(s, dir))
     // size buckets on a SLIM (band_id, band_hash) projection — the
     // hot bucket this guards against must never be buffered with
     // its signature payload — then anti-join the hot keys away
@@ -759,8 +755,17 @@ object Dedup {
     val session = vertices.sparkSession
     checkpointDir.foreach(session.sparkContext.setCheckpointDir)
     def cut(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(true)
-      else df.localCheckpoint(true)
+      if (checkpointDir.isDefined) {
+        // persist BEFORE a reliable checkpoint: Dataset.checkpoint's
+        // eager materialization job and ReliableRDDCheckpointData's
+        // file-writing job otherwise each recompute the round from
+        // lineage — doubling the dominant per-round cost. With the
+        // persist, the second job reads cached blocks.
+        val cached = df.persist()
+        val ck = cached.checkpoint(true)
+        cached.unpersist()
+        ck
+      } else df.localCheckpoint(true)
     var e = cut(ccCanon(edges.select(col("src"), col("dst"))))
     var converged = false
     var iter = 0
@@ -775,9 +780,13 @@ object Dedup {
       converged = next.join(e, Seq("hi", "lo"), "left_anti")
         .unionAll(e.join(next, Seq("hi", "lo"), "left_anti"))
         .isEmpty
-      // best-effort release of the superseded round (checkpoint
-      // blocks are ultimately freed by the ContextCleaner once the
-      // RDD is unreachable)
+      // best-effort release of the superseded round. localCheckpoint
+      // blocks are freed by the ContextCleaner once the RDD is
+      // unreachable; RELIABLE checkpoint files are only deleted when
+      // spark.cleaner.referenceTracking.cleanCheckpoints=true (set it
+      // for the production run — otherwise up to maxIter superseded
+      // edge-set snapshots accumulate in the checkpoint dir until the
+      // application exits)
       e.unpersist()
       e = next
       iter += 1

@@ -32,8 +32,24 @@ object Export {
     * one q30/q31 output directory with mode=overwrite. */
   private lazy val jvmToken: String =
     java.util.UUID.randomUUID().toString.take(8)
-  private[graft] def scratch(tag: String, dir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_${jvmToken}_${tag}_${Integer.toHexString(dir.hashCode)}"
+  // the random token makes each JVM's dirs unique, so THIS JVM must
+  // delete them on exit — otherwise every bench child / test run
+  // leaves full-table exports behind in tmp until the disk fills
+  private val created = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val cleanupHook: Unit = Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    created.forEach { p =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(p))
+    }))
+  private[graft] def scratch(tag: String, dir: String): String = {
+    cleanupHook
+    val p = s"${sys.props("java.io.tmpdir")}/graft_${jvmToken}_${tag}_${Integer.toHexString(dir.hashCode)}"
+    created.add(p)
+    p
+  }
 
   /** q30: incremental high-watermark export. The target (a persisted
     * snapshot of rows already exported) is materialized, then its

@@ -93,11 +93,19 @@ class DedupSpec extends SparkSpec {
 
   test("connected components: reliable checkpoint dir produces the same labels") {
     val ckpt = java.nio.file.Files.createTempDirectory("graftccckpt").toString
-    val verts = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
-    val edges = Seq((2L, 1L), (2L, 3L), (5L, 6L)).toDF("src", "dst")
-    val comp = Dedup.connectedComponents(verts, edges, Some(ckpt))
-      .as[(Long, Long)].collect().toMap
-    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+    try {
+      val verts = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+      val edges = Seq((2L, 1L), (2L, 3L), (5L, 6L)).toDF("src", "dst")
+      val comp = Dedup.connectedComponents(verts, edges, Some(ckpt))
+        .as[(Long, Long)].collect().toMap
+      assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(ckpt))
+    }
   }
 
   test("connected components: chains merge, isolated vertices stand alone") {

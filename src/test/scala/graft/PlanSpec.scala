@@ -132,18 +132,16 @@ class PlanSpec extends SparkSpec {
     //   a29  IVF cell routing via array_contains — 8 query rows
     //   d26  exact all-pairs verification baseline (d28 = scale path)
     //   q28  date-spine span attach — 1-row min/max bounds
-    //   q30  incremental-export watermark — 1-row aggregate
     // Nothing may use CartesianProduct, and no NEW query may grow a
     // BNLJ without being justified here.
     val allowedBnlj = Set("a27_ann_brute", "a29_ann_ivf", "d26_embed_neardup",
-      "q28_date_spine", "q30_incremental_export")
+      "q28_date_spine")
     // Entries whose DataFrame CONSTRUCTION executes real work (q30/q31
     // write full exports, d27/d27b iterate connected components to a
     // fixpoint) are skipped: a plan sweep must inspect plans, not
     // re-run the correctness suite. Their join shapes are audited
     // piecewise instead — the lazy capped-candidate and CC-round
-    // tests above, q30's 1-row watermark BNLJ justified here, and
-    // ExportSpec exercises both exports end-to-end.
+    // tests above and the dedicated q30/q31 plan test below.
     val eagerEntries = Set("q30_incremental_export", "q31_export_roundtrip",
       "d27_dedup_components", "d27b_components_oracle")
     SparkEntry.queries.toSeq.sortBy(_._1)
@@ -154,6 +152,21 @@ class PlanSpec extends SparkSpec {
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"$name grew a nested-loop join — broadcast-justify it or fix the plan")
     }
+  }
+
+  test("q30/q31 export plans: watermark BNLJ is the only nested loop, no cartesian") {
+    // dedicated coverage for the two entries the sweep skips as
+    // eager — constructed ONCE here (one cheap sf0.001 export write
+    // each), then plan-audited: q30's only BNLJ must be the 1-row
+    // watermark broadcast; q31's read-back plan must be join-free
+    val (plan30, _) = planOf("q30_incremental_export")
+    assert(!plan30.contains("CartesianProduct"))
+    assert(plan30.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      s"q30 may only nested-loop the 1-row watermark:\n$plan30")
+    val (plan31, _) = planOf("q31_export_roundtrip")
+    assert(!plan31.contains("CartesianProduct") &&
+      !plan31.contains("BroadcastNestedLoopJoin"),
+      s"q31 read-back must be join-free:\n$plan31")
   }
 
   test("native expressions appear in the optimized plans (not HOF fallbacks)") {
