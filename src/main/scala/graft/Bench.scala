@@ -53,10 +53,20 @@ object Bench {
     s
   }
 
-  /** Warmup + 3 timed passes per query, median reported. The median
-    * absorbs the first pass's residual codegen-compilation cost. */
+  /** One measured query: median plus the min/max band. The band is
+    * the honest error bar — this container is a shared host whose
+    * throughput drifts minute-to-minute (measured: the SAME query in
+    * the SAME warm JVM spans 10.6–13.8 s back-to-back), so a bare
+    * median invites misreading environmental noise as a regression.
+    * Compare rounds against the overlap of the bands. */
+  case class Timing(name: String, med: Double, lo: Double, hi: Double)
+
+  /** Warmup + timed passes per query: 3 for heavy queries, 5 when
+    * the query is cheap (< 2 s — extra samples cost little and tame
+    * JIT/scheduler jitter that dominates sub-second timings). The
+    * median absorbs the first pass's residual codegen compilation. */
   private def timeQueries(spark: SparkSession, sfDir: String,
-      names: Seq[String]): Seq[(String, Double)] = {
+      names: Seq[String]): Seq[Timing] = {
     try SparkEntry.queries.get("q01_agg_filter")
       .foreach(f => f(spark, sfDir).write.format("noop").mode("overwrite").save())
     catch { case e: Throwable =>
@@ -75,18 +85,23 @@ object Bench {
     }
     names.map { name =>
       val r1 = timeOnce(name)
-      val r2 = if (r1 >= 0) timeOnce(name) else -1.0
-      val r3 = if (r2 >= 0) timeOnce(name) else -1.0
-      val runs = Seq(r1, r2, r3)
-      val med = if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(1)
+      val n = if (r1 >= 0 && r1 < 2.0) 5 else 3
+      val runs = Iterator.iterate(Seq(r1)) { acc =>
+        if (acc.last < 0) acc else acc :+ timeOnce(name)
+      }.drop(n - 1).next()
+      val med =
+        if (runs.exists(_ < 0)) -1.0
+        else runs.sorted.apply(runs.length / 2)
+      val (lo, hi) =
+        if (runs.exists(_ < 0)) (-1.0, -1.0) else (runs.min, runs.max)
       System.err.println(
         f"[bench] $name%-26s $med%8.2f s (runs: ${runs.map(r => f"$r%.2f").mkString(", ")})")
-      name -> med
+      Timing(name, med, lo, hi)
     }
   }
 
-  private def queriesJson(rs: Seq[(String, Double)]): String =
-    rs.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
+  private def numJson(rs: Seq[Timing], f: Timing => Double): String =
+    rs.sortBy(_.name).map(t => "\"" + t.name + "\":" + f(t))
       .mkString("{", ",", "}")
 
   /** Child JVM command: FORWARD the parent's own JVM flags (module
@@ -116,7 +131,7 @@ object Bench {
   }
 
   /** Run one family in a fresh JVM; None if the child failed. */
-  private def runChild(family: String, part: Seq[String]): Option[Seq[(String, Double)]] = {
+  private def runChild(family: String, part: Seq[String]): Option[Seq[Timing]] = {
     try {
       val pb = new ProcessBuilder(childCommand(part): _*)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
@@ -129,8 +144,15 @@ object Bench {
         None
       } else {
         val re = """"([a-z0-9_]+)":(-?[0-9.]+(?:[eE]-?[0-9]+)?)""".r
-        val qs = line.get.substring(line.get.indexOf("\"queries\""))
-        Some(re.findAllMatchIn(qs).map(m => m.group(1) -> m.group(2).toDouble).toSeq)
+        def section(tag: String): Map[String, Double] = {
+          val from = line.get.indexOf("\"" + tag + "\"")
+          val obj = line.get.substring(line.get.indexOf('{', from),
+            line.get.indexOf('}', from) + 1)
+          re.findAllMatchIn(obj).map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+        val (med, lo, hi) = (section("queries"), section("qlo"), section("qhi"))
+        Some(med.keys.toSeq.sorted.map(k =>
+          Timing(k, med(k), lo.getOrElse(k, med(k)), hi.getOrElse(k, med(k)))))
       }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] spawn $family failed: ${e.getMessage}")
@@ -144,7 +166,7 @@ object Bench {
       // child: time the named queries in THIS JVM, report a partial
       val spark = newSession()
       val rs = timeQueries(spark, sfDir, args(1).split(",").toSeq)
-      println(s"""{"metric":"part","queries":${queriesJson(rs)}}""")
+      println(s"""{"metric":"part","queries":${numJson(rs, _.med)},"qlo":${numJson(rs, _.lo)},"qhi":${numJson(rs, _.hi)}}""")
       spark.stop()
       return
     }
@@ -159,8 +181,8 @@ object Bench {
         try timeQueries(spark, sfDir, part) finally spark.stop()
       }
     }
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = results.map(_.med).filter(_ >= 0).sum
     val iso = if (mixed) "mixed" else "jvm-per-family"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":3,"isolation":"$iso","queries":${queriesJson(results)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":"3 (5 when median < 2s)","isolation":"$iso","queries":${numJson(results, _.med)},"queries_lo":${numJson(results, _.lo)},"queries_hi":${numJson(results, _.hi)},"sf":"$sfDir"}""")
   }
 }

@@ -74,6 +74,23 @@ class PlanSpec extends SparkSpec {
       s"d28 Shuffle attach must plan >=2 sort-merge joins:\n$s28")
   }
 
+  test("Shuffle attach survives AQE re-planning: FINAL plan keeps the sort-merge attach") {
+    // the initial plan honoring the MERGE hint is necessary but not
+    // sufficient — AQE re-plans joins at runtime from shuffle stats,
+    // and the 100 TB story depends on the explicit Shuffle mode NOT
+    // being silently converted back to a broadcast. Execute, then
+    // audit the final adaptive plan.
+    val df = graft.dedup.Dedup
+      .d23DedupMinhashAttach(spark, sfDir, graft.dedup.Dedup.Attach.Shuffle)
+    // collect() drives df's OWN QueryExecution (a write/count would
+    // execute a fresh one and leave this plan un-finalized)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("isFinalPlan=false"), s"plan did not finalize:\n$plan")
+    assert(plan.linesIterator.count(_.contains("SortMergeJoin")) >= 4,
+      s"AQE must not convert the hinted shuffle attach to broadcast:\n$plan")
+  }
+
   test("capped minhash candidate stage plans as an equi-join (lazy, no execution)") {
     // d27's edge generator — audited on the LAZY candidate form so
     // the plan check never runs the full capped pipeline

@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Byte-level exactness audit — STRONGER than verify_local.py.
+
+verify_local compares floats with a tiny epsilon; the driver may hash
+exactly. This script compares Spark and DuckDB results with plain
+tuple equality (repr-level, no tolerance), which is what caught the
+cross-engine ROUND-tie bug in round 1.
+
+Usage:
+  sbt -batch "runMain graft.Verify /root/testdata/sf0.1 /tmp/vout01"
+  python3 tools/exact_audit.py /root/testdata/sf0.1 /tmp/vout01
+"""
+import json
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    fails = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            sdesc = con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet' LIMIT 0").description
+            scols = [d[0] for d in sdesc]
+            order = sorted(range(len(scols)), key=lambda i: scols[i])
+            srows = con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall()
+            orows = con.sql(sql).fetchall()
+            ocols = [d[0] for d in con.sql(sql).description]
+            oorder = sorted(range(len(ocols)), key=lambda i: ocols[i])
+            if sorted(scols) != sorted(ocols):
+                print(f"FAIL {name}: columns {sorted(scols)} vs {sorted(ocols)}")
+                fails += 1
+                continue
+            s = sorted(tuple(r[i] for i in order) for r in srows)
+            o = sorted(tuple(r[i] for i in oorder) for r in orows)
+            if len(s) != len(o):
+                print(f"FAIL {name}: {len(s)} vs {len(o)} rows")
+                fails += 1
+                continue
+            bad = [(a, b) for a, b in zip(s, o) if a != b]
+            if bad:
+                print(f"FAIL {name}: {len(bad)} differing rows; first: {bad[0]}")
+                fails += 1
+            else:
+                print(f"EXACT {name} ({len(s)} rows)")
+        except Exception as e:
+            print(f"ERROR {name}: {e}")
+            fails += 1
+    print(f"{len(oracle) - fails}/{len(oracle)} byte-exact")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
