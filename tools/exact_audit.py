@@ -40,8 +40,13 @@ def main(sf_dir, out_dir):
                 print(f"FAIL {name}: columns {sorted(scols)} vs {sorted(ocols)}")
                 fails += 1
                 continue
-            s = sorted(tuple(r[i] for i in order) for r in srows)
-            o = sorted(tuple(r[i] for i in oorder) for r in orows)
+            # NULL-safe total order (q25's asof join emits NULL sides);
+            # equality below stays plain tuple equality — no tolerance.
+            def key(row):
+                return tuple((v is None, repr(type(v)), v if v is not None else 0)
+                             for v in row)
+            s = sorted((tuple(r[i] for i in order) for r in srows), key=key)
+            o = sorted((tuple(r[i] for i in oorder) for r in orows), key=key)
             if len(s) != len(o):
                 print(f"FAIL {name}: {len(s)} vs {len(o)} rows")
                 fails += 1
