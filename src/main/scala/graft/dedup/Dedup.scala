@@ -304,7 +304,10 @@ object Dedup {
       .select(
         col("doc_id"), col("simhash"), col("chunk_arr"),
         posexplode(col("chunk_arr")).as(Seq("chunk_id", "chunk_val")))
-    val a = chunks.as("a")
+    // probe side repartitioned on the chunk key (consistency with
+    // d23/d23b/d24b/d28): the equi-join explodes the 8-chunk stream
+    // and must parallelize beyond the input's split count
+    val a = chunks.repartition(col("chunk_id"), col("chunk_val")).as("a")
     val b = chunks.as("b")
     // each pair emitted by exactly its first matching chunk — unique
     // by construction, no distinct-pairs shuffle
@@ -444,12 +447,11 @@ object Dedup {
   }
 
   def d25NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    // no presentation sort (dropped round 4, with d26/d28's): the
+    // driver compare sorts rows itself and every spec is set-based,
+    // so the repartition(1) funnel bought nothing but a single-task
+    // stage on the full pair output
     d25PairsUnsorted(s, dir)
-      // deterministic total order without a range-partitioned sort:
-      // orderBy samples the child to pick split points, executing the
-      // whole pair pipeline twice; the output is small enough to sort
-      // in one partition while the pipeline stays parallel
-      .repartition(1).sortWithinPartitions("doc_a", "doc_b")
 
   /** d25b: n-gram Jaccard at scale — the same exact bigram-Jaccard
     * verify as d25, but candidate generation through d23's minhash
@@ -525,8 +527,7 @@ object Dedup {
         round(dot("a.embedding", "b.embedding") / (col("a.norm") * col("b.norm")), 4)
           .as("cosine"))
       .filter(col("cosine") >= 0.4)
-      // single-partition presentation sort: see d25 note
-      .repartition(1).sortWithinPartitions("vec_a", "vec_b")
+    // no presentation sort — see d28 note; driver compare sorts rows
   }
 
   /** d28: bucketed embedding near-dup — d26's pair semantics
@@ -583,8 +584,9 @@ object Dedup {
         round(graft.functions.VectorExprs.floatDot(col("emb_a"), col("emb_b"))
           / (col("norm_a") * col("norm_b")), 4).as("cosine"))
       .filter(col("cosine") >= 0.4)
-      // single-partition presentation sort: see d25 note
-      .repartition(1).sortWithinPartitions("vec_a", "vec_b")
+    // no presentation sort: this is the production 100 TB path, and a
+    // repartition(1) funnel would push every verified pair through a
+    // single task; the driver compare sorts rows itself (see d23b)
   }
 
   /** DuckDB equivalent of d28 — identical literal planes, band
@@ -753,7 +755,12 @@ object Dedup {
     // on a real cluster, where executor loss must not kill a
     // multi-hour job — cut via checkpoint() to durable storage
     val session = vertices.sparkSession
+    // setCheckpointDir mutates GLOBAL SparkContext state; remember the
+    // previous dir and restore it on exit so later checkpoint() users
+    // in the same session don't silently inherit this job's dir
+    val prevCheckpointDir = session.sparkContext.getCheckpointDir
     checkpointDir.foreach(session.sparkContext.setCheckpointDir)
+    try {
     def cut(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) {
         // persist BEFORE a reliable checkpoint: Dataset.checkpoint's
@@ -801,6 +808,12 @@ object Dedup {
     vertices
       .join(e.select(col("hi").as("id"), col("lo").as("comp")), Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("component"))
+    } finally {
+      // the checkpoints above ran eagerly, so restoring here is safe
+      // even though the returned labels DataFrame is still lazy
+      if (checkpointDir.isDefined)
+        session.sparkContext.setCheckpointDir(prevCheckpointDir.orNull)
+    }
   }
 
   /** d27: near-duplicate clustering — the step that turns pairwise

@@ -36,16 +36,27 @@ object Export {
   // delete them on exit — otherwise every bench child / test run
   // leaves full-table exports behind in tmp until the disk fills
   private val created = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def rm(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rm))
+    f.delete(): Unit
+  }
   private lazy val cleanupHook: Unit = Runtime.getRuntime.addShutdownHook(new Thread(() =>
-    created.forEach { p =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(new java.io.File(p))
-    }))
+    created.forEach(p => rm(new java.io.File(p)))))
+  // a child killed hard (OOM/SIGKILL) never runs its shutdown hook,
+  // and the unique token means its dirs are never reclaimed by
+  // overwrite — so the first scratch() in each JVM also sweeps
+  // leftovers from DEAD runs: any graft_* dir untouched for a day
+  // (a live concurrent run's dir has a fresh mtime and is skipped)
+  private lazy val sweepStale: Unit = {
+    val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+    Option(new java.io.File(sys.props("java.io.tmpdir")).listFiles())
+      .foreach(_.foreach { f =>
+        if (f.getName.startsWith("graft_") && f.lastModified < cutoff) rm(f)
+      })
+  }
   private[graft] def scratch(tag: String, dir: String): String = {
     cleanupHook
+    sweepStale
     val p = s"${sys.props("java.io.tmpdir")}/graft_${jvmToken}_${tag}_${Integer.toHexString(dir.hashCode)}"
     created.add(p)
     p

@@ -135,6 +135,23 @@ class PlanSpec extends SparkSpec {
       "bucketed embedding dedup must be an equi-join, not all-pairs")
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       "bucketed embedding dedup must be an equi-join")
+    // VERDICT r3 #1: the production path must have NO single-task
+    // stage — at corpus scale the old repartition(1) presentation
+    // funnel pushed every verified pair through one task
+    assert(!plan.contains("SinglePartition"),
+      s"d28 must not contain a single-partition exchange:\n$plan")
+  }
+
+  test("dedup pair pipelines have no single-partition exchange (d25/d26/d28)") {
+    // the repartition(1) presentation sorts were dropped in round 4;
+    // this pins that none creeps back into any pair-producing entry
+    Seq("d25_ngram_jaccard", "d26_embed_neardup", "d28_embed_neardup_lsh",
+      "d23_dedup_minhash", "d23b_minhash_oracle", "d24_dedup_simhash",
+      "d24b_simhash_oracle", "d25b_ngram_banded").foreach { name =>
+      val (plan, _) = planOf(name)
+      assert(!plan.contains("SinglePartition"),
+        s"$name grew a single-partition exchange:\n$plan")
+    }
   }
 
   test("a27 broadcasts the query vectors; the corpus scan is never exchanged before scoring") {

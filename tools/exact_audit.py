@@ -10,6 +10,7 @@ Usage:
   sbt -batch "runMain graft.Verify /root/testdata/sf0.1 /tmp/vout01"
   python3 tools/exact_audit.py /root/testdata/sf0.1 /tmp/vout01
 """
+import decimal
 import json
 import sys
 
@@ -41,10 +42,19 @@ def main(sf_dir, out_dir):
                 fails += 1
                 continue
             # NULL-safe total order (q25's asof join emits NULL sides);
-            # equality below stays plain tuple equality — no tolerance.
+            # numerics normalized to one class token + float value so
+            # int-vs-Decimal type drift across engines can't misalign
+            # the zip; equality below stays plain tuple equality on the
+            # RAW tuples — no tolerance.
+            def keyval(v):
+                if v is None:
+                    return (True, "none", 0)
+                if isinstance(v, (bool, int, float, decimal.Decimal)):
+                    return (False, "num", float(v))
+                return (False, repr(type(v)), v)
+
             def key(row):
-                return tuple((v is None, repr(type(v)), v if v is not None else 0)
-                             for v in row)
+                return tuple(keyval(v) for v in row)
             s = sorted((tuple(r[i] for i in order) for r in srows), key=key)
             o = sorted((tuple(r[i] for i in oorder) for r in orows), key=key)
             if len(s) != len(o):
