@@ -29,13 +29,16 @@ object Dedup {
     * embeddings) are attached to a candidate-pair stream in the
     * verify stage of the LSH paths (d23/d23b/d25b/d28).
     *
-    * - [[Attach.Auto]] (production default): no hint. Catalyst plans
-    *   from stats and AQE re-plans from runtime shuffle sizes, so at
-    *   verification scale the small attach table broadcasts, while at
-    *   corpus scale (where a full-corpus broadcast would blow the
-    *   driver and the broadcast ceiling long before the pair stream
-    *   is the problem) the same code degrades to a shuffle join keyed
-    *   on doc_id. This is the strategy that survives a 100× corpus.
+    * - [[Attach.Auto]]: no hint. Catalyst plans from stats and AQE
+    *   re-plans from runtime shuffle sizes, so at verification scale
+    *   the small attach table broadcasts, while at corpus scale
+    *   (where a full-corpus broadcast would blow the driver and the
+    *   broadcast ceiling long before the pair stream is the problem)
+    *   the same code degrades to a shuffle join keyed on doc_id.
+    *   Default for d28, whose embedding attach is slim. For the
+    *   SHINGLE attach pipelines (d23/d23b/d25b) the measured default
+    *   is Shuffle: AQE's size heuristic keeps broadcasting the fat
+    *   shingle arrays past the real cost crossover (SURVEY §5).
     * - [[Attach.Broadcast]]: hard broadcast() hint — only safe when
     *   the corpus is known to fit the broadcast limit.
     * - [[Attach.Shuffle]]: force a sort-merge shuffle join via the
@@ -176,7 +179,15 @@ object Dedup {
   }
 
   def d23DedupMinhash(s: SparkSession, dir: String): DataFrame =
-    d23DedupMinhashAttach(s, dir, Attach.Auto)
+    // Shuffle default (round 4, measured — SURVEY §5): the shingle
+    // attach side is the FULL corpus with fat hashed-shingle arrays,
+    // never a small dim. AQE's size-threshold heuristic keeps
+    // broadcasting past the real cost crossover (~5k docs): measured
+    // at sf0.1 the hint-free Auto plan is ~1.8× slower than the
+    // sort-merge attach (9.2-12.6 s vs 5.0-8.1 s), while at toy scale
+    // Shuffle costs only +0.4 s — and at true corpus scale Auto
+    // converges to this same shuffle plan anyway.
+    d23DedupMinhashAttach(s, dir, Attach.Shuffle)
 
   /** Attach-strategy-parameterized form (see [[Attach]]); DedupSpec
     * pins identical output across all three modes, PlanSpec pins the
@@ -252,7 +263,7 @@ object Dedup {
     // near-dup corpus and the driver compare sorts rows itself — a
     // repartition(1) sort would funnel the whole result through one
     // task (measured +7 s at sf0.1)
-    verifyPairs(pairs, docs)
+    verifyPairs(pairs, docs, Attach.Shuffle) // same default as d23 — see its note
   }
 
   /** DuckDB oracle for d23b: same md5-derived base hash and affine
@@ -472,7 +483,11 @@ object Dedup {
     * verification scale, a shuffle join keyed on doc_id at corpus
     * scale — same plan shape, bigger exchange. */
   def d25NgramJaccardBanded(s: SparkSession, dir: String): DataFrame =
-    d25NgramJaccardBandedAttach(s, dir, Attach.Auto)
+    // Shuffle default: fat bigram-shingle attach, same measured
+    // crossover as d23 (see its note / SURVEY §5). d28 stays Auto —
+    // its embedding attach is slim (64 floats/row) and Auto measured
+    // best there.
+    d25NgramJaccardBandedAttach(s, dir, Attach.Shuffle)
 
   private[graft] def d25NgramJaccardBandedAttach(s: SparkSession, dir: String,
       attach: Attach): DataFrame = {
@@ -661,7 +676,8 @@ object Dedup {
   def d23DedupMinhashCapped(s: SparkSession, dir: String, maxBucket: Int): DataFrame =
     // rows-only driver check: no presentation sort (a global sort
     // range-partitions by sampling, executing the pipeline twice)
-    verifyPairs(cappedCandidatePairs(s, dir, maxBucket), shingledDocs(s, dir))
+    verifyPairs(cappedCandidatePairs(s, dir, maxBucket), shingledDocs(s, dir),
+      Attach.Shuffle) // same shingle-attach default as d23 — see its note
 
   /** The capped candidate stage alone — exposed so SketchCapSpec can
     * bound the candidate VOLUME (≤ Σ_cold-bucket |bucket|² ≤

@@ -8,12 +8,16 @@ import org.apache.spark.sql.SparkSession
   * hits both arms equally. Test scope on purpose — not part of the
   * shipped library or the bench protocol.
   *
-  * Usage: sbt "Test/runMain graft.AttachBench /root/testdata/sf0.1 3"
+  * Usage: sbt "Test/runMain graft.AttachBench /root/testdata/sf0.1 3 d23"
+  * (third arg: d23 = shingle attach, d28 = embedding attach)
   */
 object AttachBench {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = if (args.length > 1) args(1).toInt else 3
+    val entry: (SparkSession, String, dedup.Dedup.Attach) => org.apache.spark.sql.DataFrame =
+      if (args.length > 2 && args(2) == "d28") dedup.Dedup.d28EmbedNeardupLshAttach
+      else dedup.Dedup.d23DedupMinhashAttach
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -24,7 +28,7 @@ object AttachBench {
 
     def run(mode: dedup.Dedup.Attach): Double = {
       val t0 = System.nanoTime()
-      dedup.Dedup.d23DedupMinhashAttach(spark, dir, mode)
+      entry(spark, dir, mode)
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
