@@ -212,18 +212,100 @@ object TextOps {
       |   ' +', ' ', 'g'))) AS INT) AS removed_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** t35: intra-document repetition filter — the MassiveText-style
+    * repetition gate of a training-data pipeline (Rae et al. 2021,
+    * "Scaling Language Models", §A.1.1), adapted to this corpus:
+    * documents are single-line, so the duplicate-LINE family
+    * degenerates and the token/2-gram family carries the signal.
+    * Per doc: most-frequent-token fraction, most-frequent-bigram
+    * fraction, duplicate-bigram fraction (occurrences of bigrams
+    * seen ≥ 2×), each in IEEE-deterministic basis points (see t30's
+    * rounding note), plus the filter verdict.
+    *
+    * Shape at scale: ONE explode of a (kind, gram) stream and a
+    * two-level aggregate — a wordcount. The (doc_id, k, g) count
+    * partial-aggregates map-side, the per-doc rollup carries four
+    * longs per doc; no per-doc state ever materializes a frequency
+    * map wider than the exchange row. Thresholds (15% top token,
+    * 12% top bigram, 25% duplicated bigram mass) flag ~8% of the
+    * synthetic corpus with zero short-doc artifacts (a 10-token doc
+    * of all-unique bigrams scores 1/9 ≈ 11.1% and must NOT trip the
+    * bigram gate); a real deployment tunes them per corpus. */
+  def t35Repetition(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    // sliding zip of the token array with its own tail = bigrams
+    val grams = zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (x, y) => concat(x, lit(" "), y))
+    val kg = Tables.documents(s, dir).select(
+      col("doc_id"), size(toks).as("n_tokens"),
+      explode(concat(
+        transform(toks, t => struct(lit(1).as("k"), t.as("g"))),
+        transform(grams, g => struct(lit(2).as("k"), g.as("g"))))).as("kg"))
+    val counts = kg
+      .groupBy(col("doc_id"), col("n_tokens"),
+        col("kg.k").as("k"), col("kg.g").as("g"))
+      .agg(count(lit(1)).as("c"))
+    val st = counts.groupBy("doc_id", "n_tokens").agg(
+      max(when(col("k") === 1, col("c"))).as("max_tok"),
+      coalesce(max(when(col("k") === 2, col("c"))), lit(0L)).as("max_gram"),
+      coalesce(sum(when(col("k") === 2, col("c"))), lit(0L)).as("n_grams"),
+      coalesce(sum(when(col("k") === 2 && col("c") >= 2, col("c"))), lit(0L))
+        .as("dup_grams"))
+    def bp(num: Column, den: Column): Column =
+      floor(num.cast("double") * 10000.0 / den + 0.5).cast("int")
+    val topTok = bp(col("max_tok"), col("n_tokens"))
+    val topGram = bp(col("max_gram"), greatest(col("n_grams"), lit(1L)))
+    val dupGram = bp(col("dup_grams"), greatest(col("n_grams"), lit(1L)))
+    st.select(
+      col("doc_id"),
+      col("n_tokens").cast("int").as("n_tokens"),
+      topTok.as("top_token_bp"),
+      topGram.as("top_bigram_bp"),
+      dupGram.as("dup_bigram_bp"),
+      (topTok > 1500 || topGram > 1200 || dupGram > 2500).as("repetitive"))
+      .orderBy("doc_id")
+  }
+
+  val t35Sql: String =
+    """WITH d AS (SELECT doc_id, string_split(text,' ') AS a FROM documents),
+      |g AS (
+      | SELECT doc_id, len(a) AS n_tokens, 1 AS k, unnest(a) AS g FROM d
+      | UNION ALL
+      | SELECT doc_id, len(a) AS n_tokens, 2 AS k,
+      |   unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS g FROM d),
+      |c AS (SELECT doc_id, n_tokens, k, g, count(*) AS c FROM g GROUP BY 1,2,3,4),
+      |st AS (
+      | SELECT doc_id, n_tokens,
+      |  max(CASE WHEN k=1 THEN c END) AS max_tok,
+      |  coalesce(max(CASE WHEN k=2 THEN c END), 0) AS max_gram,
+      |  coalesce(sum(CASE WHEN k=2 THEN c END), 0) AS n_grams,
+      |  coalesce(sum(CASE WHEN k=2 AND c>=2 THEN c END), 0) AS dup_grams
+      | FROM c GROUP BY 1,2)
+      |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+      | CAST(floor(max_tok*10000.0/n_tokens + 0.5) AS INT) AS top_token_bp,
+      | CAST(floor(max_gram*10000.0/greatest(n_grams,1) + 0.5) AS INT) AS top_bigram_bp,
+      | CAST(floor(dup_grams*10000.0/greatest(n_grams,1) + 0.5) AS INT) AS dup_bigram_bp,
+      | (floor(max_tok*10000.0/n_tokens + 0.5) > 1500
+      |  OR floor(max_gram*10000.0/greatest(n_grams,1) + 0.5) > 1200
+      |  OR floor(dup_grams*10000.0/greatest(n_grams,1) + 0.5) > 2500) AS repetitive
+      |FROM st ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t29_langid" -> (t29LangId _),
     "t30_quality" -> (t30Quality _),
     "t31_tokens" -> (t31Tokens _),
     "t32_fingerprint" -> (t32Fingerprint _),
     "t33_sketch_stats" -> (t33SketchStats _),
-    "t34_scrub" -> (t34Scrub _))
+    "t34_scrub" -> (t34Scrub _),
+    "t35_repetition" -> (t35Repetition _))
 
   def oracles: Map[String, String] = Map(
     "t29_langid" -> t29Sql,
     "t30_quality" -> t30Sql,
     "t31_tokens" -> t31Sql,
     "t32_fingerprint" -> t32Sql,
-    "t34_scrub" -> t34Sql)
+    "t34_scrub" -> t34Sql,
+    "t35_repetition" -> t35Sql)
 }

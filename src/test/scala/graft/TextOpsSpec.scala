@@ -55,4 +55,35 @@ class TextOpsSpec extends SparkSpec {
       .select("fingerprint").as[String].collect()
     assert(fps.distinct.length == 1)
   }
+
+  test("t35 repetition: degenerate, healthy, and bigram-loop docs get the right stats and verdict") {
+    val dir = docsOf(
+      1L -> "a a a a a a a a a a",              // one token repeated 10×
+      2L -> "q w e r t y u i o p",              // 10 distinct tokens, unique bigrams
+      3L -> "x y x y x y x y x y x y")          // 2-token loop: top bigram dominates
+    val out = TextOps.t35Repetition(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    val d1 = out(1L) // n=10, max_tok=10, bigrams: "a a"×9 → all dup
+    assert(d1.getAs[Int]("n_tokens") == 10)
+    assert(d1.getAs[Int]("top_token_bp") == 10000)
+    assert(d1.getAs[Int]("top_bigram_bp") == 10000)
+    assert(d1.getAs[Int]("dup_bigram_bp") == 10000)
+    assert(d1.getAs[Boolean]("repetitive"))
+
+    val d2 = out(2L) // max_tok=1 → 1000bp; 9 unique bigrams → 1/9 = 1111bp
+    assert(d2.getAs[Int]("top_token_bp") == 1000)
+    assert(d2.getAs[Int]("top_bigram_bp") == 1111)
+    assert(d2.getAs[Int]("dup_bigram_bp") == 0)
+    // the short-doc artifact must NOT trip the gate: all-unique
+    // bigrams in a 10-token doc sit just under the 1200bp threshold
+    assert(!d2.getAs[Boolean]("repetitive"))
+
+    val d3 = out(3L) // 12 tokens; bigrams: "x y"×6, "y x"×5 → all dup
+    assert(d3.getAs[Int]("n_tokens") == 12)
+    assert(d3.getAs[Int]("top_token_bp") == 5000)          // 6/12
+    assert(d3.getAs[Int]("top_bigram_bp") == 5455)         // 6/11
+    assert(d3.getAs[Int]("dup_bigram_bp") == 10000)        // 11/11
+    assert(d3.getAs[Boolean]("repetitive"))
+  }
 }
