@@ -851,6 +851,57 @@ object Relational {
       |      FROM payloads)
       |ORDER BY event_id, obj_key""".stripMargin
 
+  /** SCD Type-2 history build — the natural lakehouse extension of
+    * q08's SCD1 (reference does SCD1 only: APPLY CHANGES ... STORED
+    * AS SCD TYPE 1, Silver Lake Mainnet - SCD tables.sql:10-44; the
+    * DLT engine's TYPE 2 mode is the same change stream with
+    * half-open validity windows instead of overwrite).
+    *
+    * The change stream is `events` sequenced by (ts, event_id) per
+    * user; the tracked attribute is event_type. Consecutive
+    * duplicates are collapsed (a version opens only when the
+    * attribute CHANGES — lag() change detection), then each version
+    * gets a half-open [valid_from, valid_to) window via lead(), a
+    * monotone version number, and an is_current flag on the open
+    * tail.
+    *
+    * Scale: two window passes over ONE shuffle — both windows
+    * partition on user_id with the same ordering, so Catalyst plans
+    * a single exchange + sort and runs lag-filter-lead-rank in one
+    * pipelined stage (PlanSpec pins one exchange). At 100 TB this is
+    * the same shape as q08: pre-bucket the change log on the key and
+    * the shuffle disappears entirely. */
+  def q32Scd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .select(
+        col("user_id"),
+        col("event_type").as("attr_value"),
+        col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(w).as("valid_to"),
+        row_number().over(w).as("version"),
+        lead(col("ts"), 1).over(w).isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  val q32Sql: String =
+    """WITH seq AS (
+      | SELECT user_id, event_type, ts, event_id,
+      |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      | FROM events),
+      |chg AS (
+      | SELECT user_id, event_type, ts, event_id FROM seq
+      | WHERE prev_type IS NULL OR prev_type <> event_type)
+      |SELECT user_id, event_type AS attr_value, ts AS valid_from,
+      | lead(ts) OVER w AS valid_to,
+      | CAST(row_number() OVER w AS INT) AS version,
+      | (lead(ts) OVER w IS NULL) AS is_current
+      |FROM chg
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, version""".stripMargin
+
   /** All relational queries, keyed per SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_filter" -> (q01AggFilter _),
@@ -881,7 +932,8 @@ object Relational {
     "q26_unpivot" -> (q26Unpivot _),
     "q27_percentiles" -> (q27Percentiles _),
     "q28_date_spine" -> (q28DateSpine _),
-    "q29_json_keys" -> (q29JsonKeys _))
+    "q29_json_keys" -> (q29JsonKeys _),
+    "q32_scd2" -> (q32Scd2 _))
 
   def oracles: Map[String, String] = Map(
     "q01_agg_filter" -> q01Sql,
@@ -912,5 +964,6 @@ object Relational {
     "q26_unpivot" -> q26Sql,
     "q27_percentiles" -> q27Sql,
     "q28_date_spine" -> q28Sql,
-    "q29_json_keys" -> q29Sql)
+    "q29_json_keys" -> q29Sql,
+    "q32_scd2" -> q32Sql)
 }

@@ -118,14 +118,31 @@ object Export {
 
   /** Format-parameterized export sink: one time-partition directory
     * per bucket value, repartitioned by the bucket first so each
-    * partition directory is written by one task (the at-scale
+    * partition directory is written by FEW tasks (the at-scale
     * defense against the small-files explosion of NxM task-level
-    * partition writes). */
+    * partition writes).
+    *
+    * Write parallelism is a dial, not a constant: with the default
+    * `writeTasksPerBucket = 1` each bucket is one task — the right
+    * shape when buckets are small and many (hourly exports). When a
+    * single bucket's output is large (a hot day at corpus scale),
+    * raise it: rows are repartitioned on (bucket, rowhash % n), so
+    * each bucket fans out to ≤ n writer tasks while still touching
+    * only its own directory. The salt is a full-row xxhash64 —
+    * deterministic, no extra column needed from the caller.
+    * `maxRecordsPerFile` additionally caps file size WITHIN a task
+    * (0 = Spark default, unlimited). */
   def exportConvert(df: DataFrame, outDir: String, format: String,
-      partitionCol: String): Unit =
-    df.repartition(col(partitionCol))
-      .write.mode("overwrite").format(format)
+      partitionCol: String, writeTasksPerBucket: Int = 1,
+      maxRecordsPerFile: Long = 0L): Unit = {
+    val keyed =
+      if (writeTasksPerBucket <= 1) df.repartition(col(partitionCol))
+      else df.repartition(col(partitionCol),
+        pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(writeTasksPerBucket)))
+    keyed.write.mode("overwrite").format(format)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCol).save(outDir)
+  }
 
   /** q31: export-format round-trip — events converted to
     * hour-partitioned ORC (see object doc for why not Avro in this

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -292,6 +293,110 @@ object TextOps {
       |  OR floor(dup_grams*10000.0/greatest(n_grams,1) + 0.5) > 2500) AS repetitive
       |FROM st ORDER BY doc_id""".stripMargin
 
+  /** t36: deterministic stratified sampling — per-language sampling
+    * rates applied via a content-independent hash draw, the standard
+    * way a training pipeline downweights overrepresented languages /
+    * sources when composing a mixture (e.g. the per-source sampling
+    * of Gopher/MassiveText and The Pile).
+    *
+    * The draw is md5(doc_id)'s first 7 hex digits as a uniform
+    * 28-bit integer (the d23b dual-dialect idiom) compared against
+    * floor(rate·2^28) — deterministic, reproducible across engines
+    * and runs, and stable under repartitioning, unlike rand(seed)
+    * which is seed-per-partition. Rates here: en 1/2, es+fr 1/4,
+    * de 1/8, other 1/16.
+    *
+    * Scale: a pure filter projection — no shuffle, predicate runs in
+    * the scan stage, and downstream sees a corpus whose language mix
+    * is reweighted without any coordination. */
+  def t36Sample(s: SparkSession, dir: String): DataFrame = {
+    val u = expr(
+      "cast(conv(substring(md5(cast(doc_id as string)), 1, 7), 16, 10) as bigint)")
+    val threshold =
+      when(col("lang") === "en", 134217728L)          // 2^28 / 2
+        .when(col("lang").isin("es", "fr"), 67108864L) // 2^28 / 4
+        .when(col("lang") === "de", 33554432L)         // 2^28 / 8
+        .otherwise(16777216L)                          // 2^28 / 16
+    Tables.documents(s, dir)
+      .withColumn("sample_key", u)
+      .filter(col("sample_key") < threshold)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("sample_key"))
+      .orderBy("doc_id")
+  }
+
+  val t36Sql: String =
+    """SELECT doc_id, lang, source, n_chars, sample_key
+      |FROM (
+      | SELECT doc_id, lang, source, n_chars,
+      |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) AS sample_key
+      | FROM documents)
+      |WHERE sample_key < CASE WHEN lang = 'en' THEN 134217728
+      |                        WHEN lang IN ('es','fr') THEN 67108864
+      |                        WHEN lang = 'de' THEN 33554432
+      |                        ELSE 16777216 END
+      |ORDER BY doc_id""".stripMargin
+
+  /** Per-language token budget for t37 — calibrated so selection is
+    * partial at every test SF (each language carries ≥ ~3.5k tokens
+    * at sf0.001; a real run parameterizes this per mixture spec). */
+  private[graft] val tokenBudget = 2000L
+
+  /** t37: token-budget mixture selection — keep, per language, the
+    * prefix of a deterministic hash-priority ordering whose running
+    * token total stays within the budget. This is the "take N
+    * tokens of language X" step of composing a training mixture:
+    * reproducible (hash priority, not rand), prefix-greedy (a doc
+    * that would cross the budget is excluded, and so is everything
+    * after it in priority order — a prefix rule, not a knapsack).
+    *
+    * Scale shape: the naive formulation is ONE window cumsum per
+    * language — a single sorted task per language, which dies on a
+    * 100 TB monolingual corpus. Implemented instead as a two-phase
+    * cumulative sum: (1) per-(lang, 2-hex-digit priority bucket)
+    * token totals — a 256-rows-per-language aggregate — get a
+    * running offset via a window over that TINY rollup; (2) the
+    * within-bucket cumsum windows over (lang, bucket) — 256-way
+    * parallel per language, each task seeing ~1/256 of a language —
+    * and adds the broadcast offset. Because the bucket is a prefix
+    * of the priority, offset + within-bucket cumsum IS the global
+    * cumsum; the DuckDB oracle computes the naive single-window
+    * form, so the gate cross-checks the decomposition exactly. */
+  def t37TokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(
+      col("doc_id"), col("lang"),
+      size(tokens(col("text"))).cast("long").as("ws_tokens"),
+      md5(col("doc_id").cast("string").cast("binary")).as("priority"))
+      .withColumn("bucket", substring(col("priority"), 1, 2))
+    val offsets = base.groupBy("lang", "bucket")
+      .agg(sum("ws_tokens").as("btok"))
+      .withColumn("cum_before", coalesce(
+        sum(col("btok")).over(Window.partitionBy("lang").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("lang", "bucket", "cum_before")
+    val wIn = Window.partitionBy("lang", "bucket").orderBy("priority", "doc_id")
+    base.join(broadcast(offsets), Seq("lang", "bucket"))
+      .withColumn("cum_tokens", col("cum_before") + sum(col("ws_tokens")).over(wIn))
+      .filter(col("cum_tokens") <= tokenBudget)
+      .select(col("lang"), col("doc_id"), col("ws_tokens"), col("cum_tokens"))
+      .orderBy("lang", "doc_id")
+  }
+
+  val t37Sql: String =
+    s"""WITH base AS (
+       | SELECT doc_id, lang,
+       |  CAST(len(string_split(text,' ')) AS BIGINT) AS ws_tokens,
+       |  md5(CAST(doc_id AS VARCHAR)) AS priority
+       | FROM documents)
+       |SELECT lang, doc_id, ws_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+       |FROM (
+       | SELECT lang, doc_id, ws_tokens,
+       |  sum(ws_tokens) OVER (PARTITION BY lang ORDER BY priority, doc_id
+       |                       ROWS UNBOUNDED PRECEDING) AS cum_tokens
+       | FROM base)
+       |WHERE cum_tokens <= $tokenBudget
+       |ORDER BY lang, doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t29_langid" -> (t29LangId _),
     "t30_quality" -> (t30Quality _),
@@ -299,7 +404,9 @@ object TextOps {
     "t32_fingerprint" -> (t32Fingerprint _),
     "t33_sketch_stats" -> (t33SketchStats _),
     "t34_scrub" -> (t34Scrub _),
-    "t35_repetition" -> (t35Repetition _))
+    "t35_repetition" -> (t35Repetition _),
+    "t36_sample" -> (t36Sample _),
+    "t37_token_budget" -> (t37TokenBudget _))
 
   def oracles: Map[String, String] = Map(
     "t29_langid" -> t29Sql,
@@ -307,5 +414,7 @@ object TextOps {
     "t31_tokens" -> t31Sql,
     "t32_fingerprint" -> t32Sql,
     "t34_scrub" -> t34Sql,
-    "t35_repetition" -> t35Sql)
+    "t35_repetition" -> t35Sql,
+    "t36_sample" -> t36Sql,
+    "t37_token_budget" -> t37Sql)
 }

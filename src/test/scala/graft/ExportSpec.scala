@@ -44,6 +44,49 @@ class ExportSpec extends SparkSpec {
     }
   }
 
+  test("export write parallelism: salt fans a bucket out to n tasks; maxRecordsPerFile splits within a task") {
+    val src = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts"),
+        date_format(col("ts"), "yyyy-MM-dd-HH").as("hour_bucket"))
+    def dataFiles(root: java.io.File): Map[String, Int] =
+      root.listFiles().filter(_.getName.startsWith("hour_bucket=")).map { d =>
+        d.getName -> d.listFiles().count(f => f.getName.endsWith(".parquet"))
+      }.toMap
+    // default: exactly one writer task -> one file per bucket directory
+    val out1 = Export.scratch("par_default", sfDir)
+    Export.exportConvert(src, out1, "parquet", "hour_bucket")
+    val files1 = dataFiles(new java.io.File(out1))
+    assert(files1.nonEmpty && files1.values.forall(_ == 1),
+      "default export writes exactly one file per bucket")
+    // writeTasksPerBucket = 2: row-hash salt spreads each bucket over
+    // up to 2 writer tasks. The salt is probabilistic per bucket (a
+    // tiny bucket can land all rows on one salt), so assert the
+    // aggregate fan-out, not per-bucket exactness.
+    val out2 = Export.scratch("par_salted", sfDir)
+    Export.exportConvert(src, out2, "parquet", "hour_bucket", writeTasksPerBucket = 2)
+    val files2 = dataFiles(new java.io.File(out2))
+    assert(files2.keySet == files1.keySet, "same bucket directories")
+    assert(files2.values.forall(n => n >= 1 && n <= 2), "at most n files per bucket")
+    assert(files2.values.count(_ == 2) > files2.size / 2,
+      "most buckets fan out to 2 writer files")
+    // maxRecordsPerFile: deterministic within-task split — every
+    // bucket with r rows yields ceil(r/5) files
+    val out3 = Export.scratch("par_maxrec", sfDir)
+    Export.exportConvert(src, out3, "parquet", "hour_bucket", maxRecordsPerFile = 5L)
+    val files3 = dataFiles(new java.io.File(out3))
+    val rowsPerBucket = src.groupBy("hour_bucket").count().collect()
+      .map(r => s"hour_bucket=${r.getString(0)}" -> r.getLong(1)).toMap
+    assert(files3.forall { case (d, n) =>
+      n == math.ceil(rowsPerBucket(d) / 5.0).toInt },
+      "maxRecordsPerFile=5 yields ceil(rows/5) files per bucket")
+    // parallelism dials change LAYOUT only, never content
+    val back = spark.read.parquet(out2)
+      .select(src.columns.map(col).toSeq: _*)
+    assert(back.except(src).isEmpty && src.except(back).isEmpty,
+      "salted export is value-lossless")
+  }
+
   test("q31 writes one directory per hour bucket and round-trips losslessly") {
     val out = Export.q31ExportRoundtrip(spark, sfDir)
     val src = Tables.events(spark, sfDir)
