@@ -919,6 +919,58 @@ object Dedup {
        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
   }
 
+  /** d29: benchmark decontamination — flag training documents that
+    * share a token 8-gram with any document of a held-out evaluation
+    * set (here the deterministic doc_id % 53 == 0 slice standing in
+    * for a benchmark suite). This is the standard train/test-overlap
+    * scrub every serious LLM data pipeline runs (GPT-3 appendix C
+    * used 13-grams; these docs are 10-99 tokens so 8 keeps every doc
+    * checkable).
+    *
+    * Scale shape (100 TB): the corpus explodes to (doc_id, gram-hash)
+    * rows in the scan stage — a pure projection. The EVAL side after
+    * distinct() is benchmark-sized (thousands of docs, not corpus-
+    * sized), so it broadcasts; the corpus stream is filtered by a
+    * broadcast LEFT SEMI join and never shuffles for the match. The
+    * only corpus-keyed exchange is the final per-doc distinct count
+    * over the MATCHED grams — contamination hits, a vanishing
+    * fraction of the corpus. Gram key: 60-bit md5 prefix (the d24b
+    * dual-dialect idiom) so the oracle hashes identically. */
+  def d29Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(toks) < 8 THEN array()
+          |ELSE transform(sequence(1, size(toks) - 7), i ->
+          |  cast(conv(substring(md5(cast(concat_ws(' ', slice(toks, i, 8)) as binary)), 1, 15), 16, 10) as bigint))
+          |END""".stripMargin)).as("gram"))
+    val evalGrams = grams.filter(col("doc_id") % 53 === 0)
+      .select("gram").distinct()
+    grams.filter(col("doc_id") % 53 =!= 0)
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("shared_grams"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for d29: same tokenization (single-space split),
+    * same 8-token windows (list slice t[i:i+7] is inclusive = Spark
+    * slice(toks, i, 8)), same 60-bit md5-prefix gram key. */
+  val d29Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |grams AS (
+      | SELECT doc_id,
+      |  CAST(('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15)) AS BIGINT) AS gram
+      | FROM (SELECT doc_id, t,
+      |        unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i
+      |       FROM toks)),
+      |eval_grams AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 53 = 0)
+      |SELECT doc_id, count(DISTINCT gram) AS shared_grams
+      |FROM grams
+      |WHERE doc_id % 53 <> 0 AND gram IN (SELECT gram FROM eval_grams)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d22_dedup_exact" -> (d22DedupExact _),
     "d23_dedup_minhash" -> (d23DedupMinhash _),
@@ -930,7 +982,8 @@ object Dedup {
     "d26_embed_neardup" -> (d26EmbedNeardup _),
     "d27_dedup_components" -> (d27DedupComponents _),
     "d27b_components_oracle" -> (d27bComponentsOracle _),
-    "d28_embed_neardup_lsh" -> (d28EmbedNeardupLsh _))
+    "d28_embed_neardup_lsh" -> (d28EmbedNeardupLsh _),
+    "d29_decontaminate" -> (d29Decontaminate _))
 
   def oracles: Map[String, String] = Map(
     "d22_dedup_exact" -> d22Sql,
@@ -939,5 +992,6 @@ object Dedup {
     "d25_ngram_jaccard" -> d25Sql,
     "d26_embed_neardup" -> d26Sql,
     "d27b_components_oracle" -> d27bSql,
-    "d28_embed_neardup_lsh" -> d28Sql)
+    "d28_embed_neardup_lsh" -> d28Sql,
+    "d29_decontaminate" -> d29Sql)
 }

@@ -201,4 +201,19 @@ class DedupSpec extends SparkSpec {
     assert(n == distinctFp)
     assert(out.filter(col("dup_count") < 1).isEmpty)
   }
+
+  test("d29 decontamination: shared 8-grams counted exactly, clean docs absent, eval docs never flagged") {
+    // doc 0 and 53 are the eval slice (doc_id % 53 == 0)
+    docsOf(
+      0L  -> "a b c d e f g h i j",            // eval: 3 8-grams
+      53L -> "p q r s t u v w x y",            // eval
+      1L  -> "z a b c d e f g h y",            // shares exactly [a..h] with doc 0
+      2L  -> "k l m n o kk ll mm nn oo",       // disjoint: must not appear
+      3L  -> "a b c d e f g h i j",            // exact copy of eval doc 0: all 3 grams
+      4L  -> "p q r s t u v w x yy")           // shares [p..w], [q..x] with doc 53
+    val out = Dedup.d29Decontaminate(spark, tmp)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 3L -> 3L, 4L -> 2L),
+      s"got $out")
+  }
 }

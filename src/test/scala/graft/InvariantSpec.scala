@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cross-query invariants on real data — properties the oracle gate
@@ -28,6 +29,60 @@ class InvariantSpec extends SparkSpec {
     val days = out.select("event_date").distinct().count()
     assert(out.count() == users * days,
       "spine must be the full user × day cross product")
+  }
+
+  test("q32 SCD2 on handcrafted changes: collapse, windows, versions, current flag") {
+    // ts written as long nanos — the same physical shape the driver's
+    // events table has, so Tables.events' nanos→micros path is exercised
+    val dir = java.nio.file.Files.createTempDirectory("graftevents").toString
+    Seq( // (event_id, user_id, event_type, ts_sec)
+      (1L, 1L, "signup", 100L),
+      (2L, 1L, "signup", 200L),   // consecutive dup: must collapse into v1
+      (3L, 1L, "purchase", 300L),
+      (4L, 1L, "signup", 400L),   // back to signup: a NEW version, not merged
+      (5L, 2L, "error", 150L))
+      .toDF("event_id", "user_id", "event_type", "ts_sec")
+      .withColumn("ts", col("ts_sec") * 1000000000L)
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .drop("ts_sec")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val out = SparkEntry.queries("q32_scd2")(spark, dir)
+      .select(col("user_id"), col("version"), col("attr_value"),
+        col("valid_from").cast("long"), col("valid_to").cast("long"),
+        col("is_current"))
+      .as[(Long, Int, String, Long, Option[Long], Boolean)].collect().toSet
+    assert(out == Set(
+      (1L, 1, "signup", 100L, Some(300L), false),
+      (1L, 2, "purchase", 300L, Some(400L), false),
+      (1L, 3, "signup", 400L, None, true),
+      (2L, 1, "error", 150L, None, true)))
+  }
+
+  test("q32 SCD2 invariants: one open version per user, chained windows, no repeated consecutive attr") {
+    val out = SparkEntry.queries("q32_scd2")(spark, sfDir).cache()
+    try {
+      val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+      assert(out.filter(col("is_current")).count() == users,
+        "exactly one open version per user")
+      val w = Window.partitionBy("user_id").orderBy("version")
+      val chained = out
+        .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+        .withColumn("next_ver", lead(col("version"), 1).over(w))
+        .withColumn("next_attr", lead(col("attr_value"), 1).over(w))
+      assert(chained.filter(col("next_from").isNotNull &&
+        col("valid_to") =!= col("next_from")).count() == 0,
+        "each version's valid_to must equal the next version's valid_from")
+      assert(chained.filter(col("next_from").isNull &&
+        col("valid_to").isNotNull).count() == 0,
+        "only the open tail may have a NULL valid_to")
+      assert(chained.filter(col("next_ver").isNotNull &&
+        col("next_ver") =!= col("version") + 1).count() == 0,
+        "versions are consecutive from 1")
+      assert(chained.filter(col("next_attr").isNotNull &&
+        col("next_attr") === col("attr_value")).count() == 0,
+        "consecutive versions must differ (dup collapse)")
+    } finally { out.unpersist(): Unit }
   }
 
   test("d27 components partition the corpus: every doc appears once, one keeper per component") {

@@ -45,6 +45,29 @@ class PlanSpec extends SparkSpec {
       s"SCD1 must not re-shuffle beyond the key partition + presentation sort:\n$plan")
   }
 
+  test("q32 SCD2's two window passes share ONE key exchange") {
+    // lag change-detection and the lead/row_number version windows
+    // both partition on user_id with the same ordering — Catalyst
+    // must plan one hashpartitioning exchange and pipeline the two
+    // window operators over it; the only other exchange allowed is
+    // the final presentation rangepartitioning sort.
+    val (plan, _) = planOf("q32_scd2")
+    assert(plan.linesIterator.count(_.contains("Exchange")) <= 2,
+      s"SCD2 must reuse one user_id shuffle across both window passes:\n$plan")
+    assert(plan.linesIterator.count(l =>
+      l.contains("Exchange") && l.contains("hashpartitioning")) == 1,
+      s"expected exactly one key exchange:\n$plan")
+  }
+
+  test("d29 decontamination matches via a broadcast LEFT SEMI join (corpus never shuffles to match)") {
+    val (plan, _) = planOf("d29_decontaminate")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi")),
+      s"eval gram set must broadcast into a semi join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("d23 candidate generation contains no cartesian product and no pair-dedup aggregate") {
     val (plan, _) = planOf("d23_dedup_minhash")
     assert(!plan.contains("CartesianProduct"), "LSH must be an equi-join, not all-pairs")

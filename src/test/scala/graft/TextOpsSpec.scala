@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.text.TextOps
 
@@ -85,5 +86,82 @@ class TextOpsSpec extends SparkSpec {
     assert(d3.getAs[Int]("top_bigram_bp") == 5455)         // 6/11
     assert(d3.getAs[Int]("dup_bigram_bp") == 10000)        // 11/11
     assert(d3.getAs[Boolean]("repetitive"))
+  }
+
+  /** The 28-bit uniform draw t36 derives in-engine, recomputed
+    * independently on the JVM so the spec would catch a dialect slip
+    * in EITHER the Spark conv() path or the DuckDB hex-cast path. */
+  private def md5Draw(id: Long): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(7), 16)
+
+  test("t36 sampling: the hash draw matches an independent md5, rates select exactly the expected docs") {
+    val langs = Seq("en", "es", "de", "ja")
+    val dir = java.nio.file.Files.createTempDirectory("graftdocs").toString
+    (1L to 400L).map(i => (i, s"doc body $i", langs((i % 4).toInt)))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("test"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def threshold(lang: String): Long = lang match {
+      case "en"        => 1L << 27 // 1/2
+      case "es" | "fr" => 1L << 26 // 1/4
+      case "de"        => 1L << 25 // 1/8
+      case _           => 1L << 24 // 1/16
+    }
+    val expected = (1L to 400L)
+      .filter(i => md5Draw(i) < threshold(langs((i % 4).toInt)))
+      .map(i => i -> md5Draw(i)).toMap
+
+    val out = TextOps.t36Sample(spark, dir)
+      .select("doc_id", "sample_key").as[(Long, Long)].collect().toMap
+    assert(out == expected,
+      s"survivor set mismatch: got ${out.keySet}, want ${expected.keySet}")
+  }
+
+  test("t36 sampling is deterministic and stable under repartitioning") {
+    val a = TextOps.t36Sample(spark, sfDir).select("doc_id").as[Long].collect().sorted
+    val b = TextOps.t36Sample(spark, sfDir).repartition(7)
+      .select("doc_id").as[Long].collect().sorted
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
+  test("t37 two-phase bucketed cumsum selects exactly the naive single-window prefix") {
+    // the naive formulation: ONE window per language — correct but a
+    // single sorted task per language at corpus scale. t37's bucketed
+    // decomposition must be row-identical to it.
+    val naive = {
+      val base = Tables.documents(spark, sfDir).select(
+        col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        md5(col("doc_id").cast("string").cast("binary")).as("priority"))
+      val w = Window.partitionBy("lang").orderBy("priority", "doc_id")
+      base.withColumn("cum_tokens", sum("ws_tokens").over(w))
+        .filter(col("cum_tokens") <= TextOps.tokenBudget)
+        .select("lang", "doc_id", "ws_tokens", "cum_tokens")
+        .as[(String, Long, Long, Long)].collect().toSet
+    }
+    val out = TextOps.t37TokenBudget(spark, sfDir)
+      .select("lang", "doc_id", "ws_tokens", "cum_tokens")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(out == naive)
+  }
+
+  test("t37 selection is partial for every language (the budget actually binds)") {
+    val selected = TextOps.t37TokenBudget(spark, sfDir)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val totals = Tables.documents(spark, sfDir)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(selected.nonEmpty)
+    selected.foreach { case (lang, n) =>
+      assert(n < totals(lang),
+        s"budget must exclude some $lang docs, kept $n of ${totals(lang)}")
+      assert(n > 0)
+    }
+    // every language present in the corpus gets a non-empty slice
+    assert(selected.keySet == totals.keySet)
   }
 }
