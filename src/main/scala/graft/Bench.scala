@@ -61,6 +61,35 @@ object Bench {
     * Compare rounds against the overlap of the bands. */
   case class Timing(name: String, med: Double, lo: Double, hi: Double)
 
+  /** A family's timings bracketed by the drift sentinel: the fixed
+    * micro-query (q01) timed immediately before and after the family.
+    * Round 4 proved min/max bands alone can't flag a contended
+    * window — the driver recorded 54.8 s as a MEDIAN for a 1.2 s
+    * query. A sentinel that should always take ~the same time makes
+    * each family's numbers self-identify as clean (ratio ≈ 1, small
+    * absolute sentinel) or polluted (inflated sentinel on either
+    * side). */
+  case class FamilyTiming(timings: Seq[Timing],
+      sentBefore: Double, sentAfter: Double)
+
+  /** Median-of-3 q01 wall time — the drift sentinel. Cheap (~1 s at
+    * sf0.1) and fixed across rounds, so its inflation measures the
+    * HOST, not the code. */
+  private def sentinelTime(spark: SparkSession, sfDir: String): Double = {
+    val runs = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries("q01_agg_filter")(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] sentinel failed: ${e.getMessage}")
+        -1.0
+      }
+    }
+    if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(1)
+  }
+
   /** Warmup + timed passes per query: 3 for heavy queries, 5 when
     * the query is cheap (< 2 s — extra samples cost little and tame
     * JIT/scheduler jitter that dominates sub-second timings). The
@@ -104,8 +133,24 @@ object Bench {
     }
   }
 
+  /** timeQueries bracketed by the drift sentinel. The leading
+    * sentinel is a median of 3, so q01's one-off codegen-compile cost
+    * (it is also the first thing timeQueries warms) lands in a single
+    * run and never in the reported median. */
+  private def timeFamily(spark: SparkSession, sfDir: String,
+      names: Seq[String]): FamilyTiming = {
+    val before = sentinelTime(spark, sfDir)
+    val ts = timeQueries(spark, sfDir, names)
+    val after = sentinelTime(spark, sfDir)
+    FamilyTiming(ts, before, after)
+  }
+
   private def numJson(rs: Seq[Timing], f: Timing => Double): String =
     rs.sortBy(_.name).map(t => "\"" + t.name + "\":" + f(t))
+      .mkString("{", ",", "}")
+
+  private def mapJson(m: Seq[(String, Double)]): String =
+    m.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
 
   /** Child JVM command: FORWARD the parent's own JVM flags (module
@@ -135,7 +180,7 @@ object Bench {
   }
 
   /** Run one family in a fresh JVM; None if the child failed. */
-  private def runChild(family: String, part: Seq[String]): Option[Seq[Timing]] = {
+  private def runChild(family: String, part: Seq[String]): Option[FamilyTiming] = {
     try {
       val pb = new ProcessBuilder(childCommand(part): _*)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
@@ -166,8 +211,11 @@ object Bench {
           case Some(med) =>
             val lo = section("qlo").getOrElse(Map.empty[String, Double])
             val hi = section("qhi").getOrElse(Map.empty[String, Double])
-            Some(med.keys.toSeq.sorted.map(k =>
-              Timing(k, med(k), lo.getOrElse(k, med(k)), hi.getOrElse(k, med(k)))))
+            val sent = section("sent").getOrElse(Map.empty[String, Double])
+            Some(FamilyTiming(
+              med.keys.toSeq.sorted.map(k =>
+                Timing(k, med(k), lo.getOrElse(k, med(k)), hi.getOrElse(k, med(k)))),
+              sent.getOrElse("before", -1.0), sent.getOrElse("after", -1.0)))
           case None =>
             System.err.println(
               s"[bench] child $family emitted malformed part JSON, falling back in-process")
@@ -185,30 +233,58 @@ object Bench {
     if (args.length >= 2 && args(0) == "--part") {
       // child: time the named queries in THIS JVM, report a partial
       val spark = newSession()
-      val rs = timeQueries(spark, sfDir, args(1).split(",").toSeq)
-      println(s"""{"metric":"part","queries":${numJson(rs, _.med)},"qlo":${numJson(rs, _.lo)},"qhi":${numJson(rs, _.hi)}}""")
+      val ft = timeFamily(spark, sfDir, args(1).split(",").toSeq)
+      val rs = ft.timings
+      println(s"""{"metric":"part","sent":{"before":${ft.sentBefore},"after":${ft.sentAfter}},"queries":${numJson(rs, _.med)},"qlo":${numJson(rs, _.lo)},"qhi":${numJson(rs, _.hi)}}""")
       spark.stop()
       return
     }
     val families = SparkEntry.queries.keys.toSeq.sorted
       .groupBy(familyOf).toSeq.sortBy(_._1)
     var mixed = false
-    val results = families.flatMap { case (family, part) =>
+    val famResults = families.map { case (family, part) =>
       System.err.println(s"[bench] === family $family (${part.size} queries, fresh JVM) ===")
-      runChild(family, part).getOrElse {
+      family -> runChild(family, part).getOrElse {
         mixed = true
         val spark = newSession()
-        try timeQueries(spark, sfDir, part) finally spark.stop()
+        try timeFamily(spark, sfDir, part) finally spark.stop()
       }
     }
+    val results = famResults.flatMap(_._2.timings)
     val total = results.map(_.med).filter(_ >= 0).sum
     val iso = if (mixed) "mixed" else "jvm-per-family"
+    // DRIFT SENTINEL (VERDICT r4 #3): each family's numbers are
+    // bracketed by a fixed micro-query (q01) timed in the same JVM.
+    // The two sides live at DIFFERENT JVM ages (before = JIT-cold
+    // right after session start, after = fully warm), so each side is
+    // normalized against its own best across the run — all "befores"
+    // share a lifecycle, all "afters" share a lifecycle — and
+    // sentinel_ratio is the worse of the two per-side ratios. A
+    // family measured in a contended window stamps itself (the r4
+    // failures this detects were 10-45× on a 1.2 s query); a
+    // uniformly slow run shows in the absolute before/after seconds.
+    // Ratios ≳ 3 mean: do not trust round-over-round deltas for that
+    // family.
+    val sentBefore = famResults.map { case (f, ft) => f -> ft.sentBefore }
+    val sentAfter = famResults.map { case (f, ft) => f -> ft.sentAfter }
+    def bestOf(side: Seq[(String, Double)]): Double = {
+      val pos = side.map(_._2).filter(_ > 0)
+      if (pos.nonEmpty) pos.min else -1.0
+    }
+    val (bestBefore, bestAfter) = (bestOf(sentBefore), bestOf(sentAfter))
+    val sentRatio = famResults.map { case (f, ft) =>
+      def side(v: Double, best: Double): Double =
+        if (v > 0 && best > 0) v / best else -1.0
+      val worse = math.max(side(ft.sentBefore, bestBefore),
+        side(ft.sentAfter, bestAfter))
+      f -> (if (worse > 0) math.rint(worse * 100) / 100 else -1.0)
+    }
     // medians LAST (VERDICT r3 #4): the driver captures a tail window
     // of this line, so the primary numbers must sit at the end to
     // survive truncation; the noise bands are the expendable head.
     // The same line is also written to bench_out.json so a full copy
     // exists regardless of any capture window.
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","n":"3 (5 when a warm pass < 2s)","isolation":"$iso","sf":"$sfDir","queries_lo":${numJson(results, _.lo)},"queries_hi":${numJson(results, _.hi)},"queries":${numJson(results, _.med)}}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","n":"3 (5 when a warm pass < 2s)","isolation":"$iso","sf":"$sfDir","sentinel_before_sec":${mapJson(sentBefore)},"sentinel_after_sec":${mapJson(sentAfter)},"sentinel_ratio":${mapJson(sentRatio)},"queries_lo":${numJson(results, _.lo)},"queries_hi":${numJson(results, _.hi)},"queries":${numJson(results, _.med)}}"""
     println(json)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_out.json"), (json + "\n").getBytes("UTF-8"))

@@ -15,10 +15,15 @@ case class MediaMeta(mime: String, width: Int, height: Int, durationMs: Long)
 case class MediaRecord(doc_id: Long, modality: String,
                        payload: Array[Byte], meta: MediaMeta)
 
-/** Extracted features for one record. `feat` stands in for a model
-  * embedding; its computation is the STUB (see decodeStub). */
+/** Extracted features for one record. The decoded_* columns are REAL
+  * for the formats [[ImageCodec]] parses (BMP, PPM); decoded_format
+  * = "stub" marks payloads whose codec isn't in this container.
+  * `feat` stands in for a model embedding; its computation is the
+  * STUB (see decodeBatch). */
 case class MediaFeatures(doc_id: Long, modality: String, n_bytes: Int,
-                         payload_crc: Long, feat: Array[Float])
+                         payload_crc: Long, decoded_format: String,
+                         width: Int, height: Int, pixel_crc: Long,
+                         feat: Array[Float])
 
 /** m33: multimodal binary-column plumbing.
   *
@@ -27,8 +32,14 @@ case class MediaFeatures(doc_id: Long, modality: String, n_bytes: Int,
   * per-partition decoding via `mapPartitions` (the Scala analog of
   * `mapInPandas` — the iterator is processed in fixed-size batches
   * exactly as an Arrow batch UDF would be), and a columnar feature
-  * output. The decode itself is a clearly-marked deterministic stub
-  * because no image/audio codec libraries exist in this container.
+  * output. The image DECODE is real for the two uncompressed formats
+  * parseable without codec libraries — BMP and PPM, via
+  * [[ImageCodec]]; image rows of the media table carry genuine BMP
+  * payloads, so the pipeline decodes real containers end-to-end
+  * (width/height/channel-means/pixel-CRC, spec-pinned). Compressed
+  * image formats and all audio/video stay on a clearly-marked
+  * deterministic stub, because their codecs don't exist in this
+  * container.
   *
   * Scale notes: decoding is a pure per-partition map — no shuffle,
   * scales linearly with executors. Batch size bounds peak memory
@@ -40,10 +51,21 @@ object Multimodal {
 
   val BatchSize = 64
 
+  /** Deterministic BMP payload for an image row: dimensions and
+    * pixels are pure functions of doc_id, so every field downstream
+    * is reproducible and the spec can recompute them independently. */
+  private[multimodal] def syntheticBmp(docId: Long): (Int, Int, Array[Byte]) = {
+    val w = 1 + (docId % 8).toInt
+    val h = 1 + (docId % 6).toInt
+    val rgb = Array.tabulate(3 * w * h)(i => ((docId * 31 + i * 7) % 256).toByte)
+    (w, h, ImageCodec.encodeBmp(w, h, rgb))
+  }
+
   /** Deterministic fake media table derived from `documents`:
-    * payload = utf-8 text bytes standing in for media bytes,
-    * modality cycles image/audio/video, metadata derived from
-    * doc_id/length so every field is reproducible. */
+    * image rows carry a REAL generated BMP payload (decoded for real
+    * downstream); audio/video payloads are utf-8 text bytes standing
+    * in for media bytes. Modality cycles image/audio/video; metadata
+    * is derived from doc_id/length so every field is reproducible. */
   def mediaTable(s: SparkSession, dir: String): Dataset[MediaRecord] = {
     import s.implicits._
     Tables.documents(s, dir)
@@ -53,20 +75,30 @@ object Multimodal {
           (col("doc_id") % 3 + 1).cast("int")).as("modality"),
         col("text").cast("binary").as("payload"),
         struct(
-          element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
+          element_at(array(lit("image/bmp"), lit("audio/wav"), lit("video/mp4")),
             (col("doc_id") % 3 + 1).cast("int")).as("mime"),
           (col("n_chars") % 1920).cast("int").as("width"),
           (col("n_chars") % 1080).cast("int").as("height"),
           (col("n_chars") * 100).as("durationMs")).as("meta"))
       .as[MediaRecord]
+      .map { r =>
+        if (r.modality != "image") r
+        else {
+          val (w, h, bmp) = syntheticBmp(r.doc_id)
+          r.copy(payload = bmp, meta = r.meta.copy(width = w, height = h))
+        }
+      }
   }
 
-  /** STUB — the real implementation would decode image/audio/video
-    * bytes with a codec library and run a feature extractor. Here:
-    * a deterministic 8-dim projection of the payload bytes (strided
-    * byte sums) + a CRC, so tests can pin exact values. The
-    * *signature and batch shape* are the real contract. */
-  private def decodeStub(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+  /** Batched decode. REAL for BMP/PPM payloads ([[ImageCodec]] —
+    * header parse, channel means, canonical pixel CRC); STUB for
+    * everything else (decoded_format = "stub", -1 dimensions): the
+    * real implementation would decode with a codec library absent
+    * from this container. `feat`'s 8-dim strided-byte-sum projection
+    * stands in for a model embedding on ALL rows — deterministic, so
+    * tests pin exact values. The *signature and batch shape* are the
+    * contract either way. */
+  private def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
     batch.map { r =>
       val crc = new java.util.zip.CRC32()
       crc.update(r.payload)
@@ -76,14 +108,21 @@ object Multimodal {
         while (i < r.payload.length) { s += r.payload(i) & 0xff; i += 8 }
         s.toFloat / math.max(r.payload.length, 1)
       }
-      MediaFeatures(r.doc_id, r.modality, r.payload.length, crc.getValue, feat)
+      ImageCodec.decode(r.payload) match {
+        case Some(img) =>
+          MediaFeatures(r.doc_id, r.modality, r.payload.length, crc.getValue,
+            img.format, img.width, img.height, img.pixelCrc, feat)
+        case None =>
+          MediaFeatures(r.doc_id, r.modality, r.payload.length, crc.getValue,
+            "stub", -1, -1, -1L, feat)
+      }
     }
 
   /** Batched per-partition decode: iterator → fixed-size batches →
     * decode → flat iterator (mapInPandas-shaped, typed). */
   def decodeFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
-    ds.mapPartitions(_.grouped(BatchSize).flatMap(decodeStub))
+    ds.mapPartitions(_.grouped(BatchSize).flatMap(decodeBatch))
   }
 
   /** m33 queries entry: features for every media record. The typed

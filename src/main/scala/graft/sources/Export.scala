@@ -137,8 +137,19 @@ object Export {
       maxRecordsPerFile: Long = 0L): Unit = {
     val keyed =
       if (writeTasksPerBucket <= 1) df.repartition(col(partitionCol))
-      else df.repartition(col(partitionCol),
-        pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(writeTasksPerBucket)))
+      else {
+        // EXPLICIT partition count (round 5, fixing the round-4 no-op):
+        // a count-less repartition(cols…) is an AQE-coalescible hint,
+        // so the small (bucket, salt) shuffle was folded back into few
+        // tasks and the salt never materialized as separate writer
+        // tasks. A user-fixed count is exempt from AQE coalescing, so
+        // the fan-out is real. The session's shuffle-partition setting
+        // is the right magnitude: it's the cluster-sized parallelism
+        // the user already tuned, and empty partitions write nothing.
+        val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+        df.repartition(n, col(partitionCol),
+          pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(writeTasksPerBucket)))
+      }
     keyed.write.mode("overwrite").format(format)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCol).save(outDir)

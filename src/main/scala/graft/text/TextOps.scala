@@ -175,6 +175,34 @@ object TextOps {
         percentile_approx(col("n_chars"), lit(0.5), lit(1000)).as("approx_median_chars"),
         count(lit(1)).as("docs_count"))
 
+  /** t33b: the DuckDB-expressible half of t33 (VERDICT r4 #5) —
+    * exact per-language corpus stats (distinct sources, exact
+    * interpolated median, total chars, doc count), upgrading the
+    * groupBy pipeline from rows-only to oracle-checked; the sketch
+    * columns stay in t33, error-bounded against these exact values
+    * by TextOpsSpec. Same b-variant idiom as d23b/d24b/d27b. */
+  def t33bExactStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(
+        countDistinct(col("source")).as("exact_sources"),
+        // exact linear-interpolated median: Spark percentile and
+        // DuckDB quantile_cont both evaluate at rank (n-1)·p, and
+        // integer inputs make the interpolation exact in binary
+        // (x.0 or x.5) — cross-engine hash-safe without rounding
+        expr("percentile(n_chars, 0.5)").as("exact_median_chars"),
+        sum(col("n_chars")).as("total_chars"),
+        count(lit(1)).as("docs_count"))
+      .orderBy("lang")
+
+  val t33bSql: String =
+    """SELECT lang,
+      | count(DISTINCT source) AS exact_sources,
+      | quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS exact_median_chars,
+      | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      | count(*) AS docs_count
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   /** t34: text scrubbing — the normalization stage of a training
     * pipeline: digit bucketing, punctuation strip, whitespace
     * collapse, lowercase; emits cleaned text + how much was removed
@@ -403,6 +431,7 @@ object TextOps {
     "t31_tokens" -> (t31Tokens _),
     "t32_fingerprint" -> (t32Fingerprint _),
     "t33_sketch_stats" -> (t33SketchStats _),
+    "t33b_exact_stats" -> (t33bExactStats _),
     "t34_scrub" -> (t34Scrub _),
     "t35_repetition" -> (t35Repetition _),
     "t36_sample" -> (t36Sample _),
@@ -413,6 +442,7 @@ object TextOps {
     "t30_quality" -> t30Sql,
     "t31_tokens" -> t31Sql,
     "t32_fingerprint" -> t32Sql,
+    "t33b_exact_stats" -> t33bSql,
     "t34_scrub" -> t34Sql,
     "t35_repetition" -> t35Sql,
     "t36_sample" -> t36Sql,

@@ -211,9 +211,37 @@ class DedupSpec extends SparkSpec {
       2L  -> "k l m n o kk ll mm nn oo",       // disjoint: must not appear
       3L  -> "a b c d e f g h i j",            // exact copy of eval doc 0: all 3 grams
       4L  -> "p q r s t u v w x yy")           // shares [p..w], [q..x] with doc 53
-    val out = Dedup.d29Decontaminate(spark, tmp)
+    val out = Dedup.d29DecontaminateN(spark, tmp, 8)
       .as[(Long, Long)].collect().toMap
     assert(out == Map(1L -> 1L, 3L -> 3L, 4L -> 2L),
       s"got $out")
+  }
+
+  test("d29 adversarial skew: a gram shared by EVERY doc flags all train docs exactly once") {
+    // worst-case hot key: one 8-gram (a common boilerplate prefix)
+    // appears in every document, eval and train alike. The broadcast
+    // semi-join shape means the hot gram never shuffles the corpus —
+    // correctness must hold: every train doc shares exactly that one
+    // gram (suffixes are unique), eval docs never appear.
+    val prefix = (1 to 8).map(i => s"p$i").mkString(" ")
+    val docs = (0L until 64L).map(id => id -> s"$prefix u${id}a u${id}b")
+    docsOf(docs: _*)
+    val out = Dedup.d29DecontaminateN(spark, tmp, 8)
+      .as[(Long, Long)].collect().toMap
+    val train = docs.map(_._1).filter(_ % 53 != 0).toSet
+    assert(out.keySet == train, "every train doc flagged, no eval doc present")
+    assert(out.values.forall(_ == 1L),
+      s"each train doc shares exactly the boilerplate gram, got ${out.filter(_._2 != 1L)}")
+  }
+
+  test("d29 gate is non-vacuous: the default gram size finds contamination on the test corpus") {
+    // ADVICE r4: at n=8 the synthetic corpus shares ZERO grams across
+    // the eval split at every SF, so the DuckDB comparison passed as
+    // 0 == 0 and never exercised the gram-key expression on real
+    // output. The default (n=4) must keep the gate non-vacuous — if
+    // corpus regeneration ever breaks this, the oracle is vacuous
+    // again and this test fails loudly instead.
+    assert(Dedup.d29Decontaminate(spark, sfDir).count() > 0,
+      "d29 output is empty at the test SF — the cross-engine gate is vacuous")
   }
 }

@@ -120,19 +120,25 @@ class ExprPropertySpec extends SparkSpec {
   }
 
   test("FirstEqualBand: result is the first index where all band rows agree") {
-    // small value domain (0..3) makes equal bands common
+    // small value domain (0..3) makes equal bands common; a third of
+    // the cases have UNEQUAL lengths (incl. non-multiples of r) to pin
+    // the min(numElements)/bandRows truncation the generated loop and
+    // the interpreted eval must agree on
     val cases = Seq.fill(50) {
       val r = 1 + rng.nextInt(4)
       val n = 1 + rng.nextInt(5)
-      (Array.fill(n * r)(rng.nextInt(4).toLong),
-        Array.fill(n * r)(rng.nextInt(4).toLong), r)
+      val (lenA, lenB) =
+        if (rng.nextInt(3) == 0) (rng.nextInt(4 * r + 2), rng.nextInt(4 * r + 2))
+        else (n * r, n * r)
+      (Array.fill(lenA)(rng.nextInt(4).toLong),
+        Array.fill(lenB)(rng.nextInt(4).toLong), r)
     }
     cases.groupBy(_._3).foreach { case (r, group) =>
       val got = group.map(c => (c._1, c._2)).toDF("x", "y")
         .select(SetExprs.firstEqualBand(col("x"), col("y"), r))
         .as[Int].collect()
       group.zip(got).foreach { case ((a, b, _), g) =>
-        val want = (0 until a.length / r).find { band =>
+        val want = (0 until math.min(a.length, b.length) / r).find { band =>
           (0 until r).forall(i => a(band * r + i) == b(band * r + i))
         }.getOrElse(-1)
         assert(g == want, s"r=$r ${a.toSeq} vs ${b.toSeq}")
