@@ -90,17 +90,14 @@ object Bench {
     if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(1)
   }
 
-  /** Warmup + timed passes per query: 3 for heavy queries, 5 when
-    * the query is cheap (< 2 s — extra samples cost little and tame
+  /** Timed passes per query: 3 for heavy queries, 5 when the query
+    * is cheap (< 2 s — extra samples cost little and tame
     * JIT/scheduler jitter that dominates sub-second timings). The
     * median absorbs the first pass's residual codegen compilation. */
   private def timeQueries(spark: SparkSession, sfDir: String,
       names: Seq[String]): Seq[Timing] = {
-    try SparkEntry.queries.get("q01_agg_filter")
-      .foreach(f => f(spark, sfDir).write.format("noop").mode("overwrite").save())
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] warmup failed: ${e.getMessage}")
-    }
+    // no separate warmup pass: the only caller is timeFamily, whose
+    // leading sentinel has just run q01 three times in this JVM
     def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try {
@@ -134,9 +131,9 @@ object Bench {
   }
 
   /** timeQueries bracketed by the drift sentinel. The leading
-    * sentinel is a median of 3, so q01's one-off codegen-compile cost
-    * (it is also the first thing timeQueries warms) lands in a single
-    * run and never in the reported median. */
+    * sentinel doubles as the JVM warmup: its median-of-3 absorbs
+    * q01's one-off codegen-compile cost in a single run, and by the
+    * time the family is measured the session is warm. */
   private def timeFamily(spark: SparkSession, sfDir: String,
       names: Seq[String]): FamilyTiming = {
     val before = sentinelTime(spark, sfDir)
@@ -145,13 +142,12 @@ object Bench {
     FamilyTiming(ts, before, after)
   }
 
-  private def numJson(rs: Seq[Timing], f: Timing => Double): String =
-    rs.sortBy(_.name).map(t => "\"" + t.name + "\":" + f(t))
-      .mkString("{", ",", "}")
-
   private def mapJson(m: Seq[(String, Double)]): String =
     m.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+
+  private def numJson(rs: Seq[Timing], f: Timing => Double): String =
+    mapJson(rs.map(t => t.name -> f(t)))
 
   /** Child JVM command: FORWARD the parent's own JVM flags (module
     * opens, heap, -D system props) so parent and child can never

@@ -108,7 +108,13 @@ object Multimodal {
         while (i < r.payload.length) { s += r.payload(i) & 0xff; i += 8 }
         s.toFloat / math.max(r.payload.length, 1)
       }
-      ImageCodec.decode(r.payload) match {
+      // gate on modality, don't sniff every payload: an audio/video
+      // payload whose leading bytes happen to spell "P6 w h 255 …"
+      // (possible — non-image payloads here are raw text) must stay
+      // on the stub path, preserving the non-image → stub contract
+      val decoded =
+        if (r.modality == "image") ImageCodec.decode(r.payload) else None
+      decoded match {
         case Some(img) =>
           MediaFeatures(r.doc_id, r.modality, r.payload.length, crc.getValue,
             img.format, img.width, img.height, img.pixelCrc, feat)

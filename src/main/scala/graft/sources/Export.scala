@@ -146,7 +146,12 @@ object Export {
         // the fan-out is real. The session's shuffle-partition setting
         // is the right magnitude: it's the cluster-sized parallelism
         // the user already tuned, and empty partitions write nothing.
-        val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+        // parse-with-fallback: some deployments set this conf to a
+        // non-numeric value (e.g. an "auto" shuffle mode) and a bare
+        // .toInt would turn the export into a crash path
+        val n = scala.util.Try(
+          df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+          .getOrElse(200).max(writeTasksPerBucket)
         df.repartition(n, col(partitionCol),
           pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(writeTasksPerBucket)))
       }

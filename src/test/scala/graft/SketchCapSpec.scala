@@ -109,4 +109,32 @@ class SketchCapSpec extends SparkSpec {
       assert(med > 0, "median must be positive")
     }
   }
+
+  test("t33b exact stats agree with t33's exact columns and the approx median brackets the exact one") {
+    // pins the b-variant claim: t33b oracle-checks the SAME pipeline
+    // whose sketch columns stay rows-only in t33 — the shared exact
+    // columns must be identical, and t33's percentile_approx must
+    // land within the per-language n_chars range around t33b's exact
+    // interpolated median (percentile_approx with accuracy 1000 on
+    // ≤ ~200 rows/lang is exact up to choosing an actual data point)
+    val dir = "/root/testdata/sf0.001"
+    val sketch = TextOps.t33SketchStats(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exact = TextOps.t33bExactStats(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(sketch.keySet == exact.keySet, "same language groups")
+    exact.foreach { case (lang, e) =>
+      val s = sketch(lang)
+      assert(s.getAs[Long]("exact_sources") == e.getAs[Long]("exact_sources"))
+      assert(s.getAs[Long]("docs_count") == e.getAs[Long]("docs_count"))
+      val approxMed = s.getAs[Long]("approx_median_chars").toDouble
+      val exactMed = e.getAs[Double]("exact_median_chars")
+      // approx median picks a real data point at rank ~n/2; the exact
+      // interpolated median sits between the two middle points — they
+      // can differ by at most the gap between adjacent observations,
+      // bounded loosely here by 10% of the median's own magnitude
+      assert(math.abs(approxMed - exactMed) <= math.max(exactMed * 0.1, 2.0),
+        s"$lang: approx median $approxMed vs exact $exactMed")
+    }
+  }
 }
