@@ -996,6 +996,77 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Gram size for d30 — like [[d29GramSize]], a corpus-tuned dial:
+    * 4 keeps the cross-engine gate non-vacuous on the synthetic
+    * corpus (real deployments use ~50-token windows per Lee et al.;
+    * these docs are 10-99 tokens). */
+  private[graft] val d30GramSize = 4
+
+  /** d30: cross-document repeated-passage statistics — for each
+    * document, how much of it consists of token n-grams that also
+    * appear in at least one OTHER document. This is the
+    * inter-document half of the duplication audit of Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * which dedups exact substrings repeated across a corpus);
+    * intra-document repetition is t35's domain, and train/eval
+    * overlap is d29's. Output: per-doc gram count, repeated-gram
+    * count (positions whose gram occurs in ≥ 2 distinct docs), and
+    * the repeated fraction in IEEE-deterministic basis points.
+    *
+    * Scale shape (100 TB): the gram stream is a scan-stage
+    * projection (one md5 per position). "Repeated" grams are found
+    * with a min≠max doc_id rollup — map-side partial min/max, never
+    * a count-distinct — and attached back by a gram-keyed shuffle
+    * join whose build side cannot be broadcast at corpus scale by
+    * construction (it IS corpus-sized); both sides shuffle on the
+    * uniform 60-bit gram key, AQE handles the boilerplate-gram skew.
+    * The final per-doc rollup carries two longs per doc. */
+  def d30RepeatedNgrams(s: SparkSession, dir: String): DataFrame = {
+    val n = d30GramSize
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(toks) < $n THEN array()
+           |ELSE transform(sequence(1, size(toks) - ${n - 1}), i ->
+           |  cast(conv(substring(md5(cast(concat_ws(' ', slice(toks, i, $n)) as binary)), 1, 15), 16, 10) as bigint))
+           |END""".stripMargin)).as("gram"))
+    // grams seen in ≥ 2 DISTINCT docs: min(doc) ≠ max(doc) — exact,
+    // and partial-aggregable where count(distinct) is not. A gram
+    // repeated only within one doc is t35's business, not d30's.
+    val repeated = grams.groupBy("gram")
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("gram"), lit(1L).as("is_rep"))
+    grams.join(repeated, Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("is_rep"), lit(0L))).as("rep_grams"))
+      .withColumn("rep_bp",
+        floor(col("rep_grams") * 10000.0 / col("n_grams") + 0.5).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for d30: same tokenization, same n-token windows,
+    * same 60-bit md5-prefix gram key, same min≠max repetition rule. */
+  val d30Sql: String = {
+    val n = d30GramSize
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |grams AS (
+       | SELECT doc_id,
+       |  CAST(('0x' || substr(md5(array_to_string(t[i:i+${n - 1}], ' ')), 1, 15)) AS BIGINT) AS gram
+       | FROM (SELECT doc_id, t,
+       |        unnest(generate_series(1, greatest(len(t) - ${n - 1}, 0))) AS i
+       |       FROM toks)),
+       |rep AS (SELECT gram FROM grams GROUP BY gram HAVING min(doc_id) <> max(doc_id))
+       |SELECT doc_id,
+       | CAST(count(*) AS BIGINT) AS n_grams,
+       | CAST(sum(CASE WHEN gram IN (SELECT gram FROM rep) THEN 1 ELSE 0 END) AS BIGINT) AS rep_grams,
+       | CAST(floor(sum(CASE WHEN gram IN (SELECT gram FROM rep) THEN 1 ELSE 0 END) * 10000.0
+       |            / count(*) + 0.5) AS INT) AS rep_bp
+       |FROM grams GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d22_dedup_exact" -> (d22DedupExact _),
     "d23_dedup_minhash" -> (d23DedupMinhash _),
@@ -1008,7 +1079,8 @@ object Dedup {
     "d27_dedup_components" -> (d27DedupComponents _),
     "d27b_components_oracle" -> (d27bComponentsOracle _),
     "d28_embed_neardup_lsh" -> (d28EmbedNeardupLsh _),
-    "d29_decontaminate" -> (d29Decontaminate _))
+    "d29_decontaminate" -> (d29Decontaminate _),
+    "d30_repeated_ngrams" -> (d30RepeatedNgrams _))
 
   def oracles: Map[String, String] = Map(
     "d22_dedup_exact" -> d22Sql,
@@ -1018,5 +1090,6 @@ object Dedup {
     "d26_embed_neardup" -> d26Sql,
     "d27b_components_oracle" -> d27bSql,
     "d28_embed_neardup_lsh" -> d28Sql,
-    "d29_decontaminate" -> d29Sql)
+    "d29_decontaminate" -> d29Sql,
+    "d30_repeated_ngrams" -> d30Sql)
 }

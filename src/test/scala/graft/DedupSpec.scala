@@ -234,6 +234,24 @@ class DedupSpec extends SparkSpec {
       s"each train doc shares exactly the boilerplate gram, got ${out.filter(_._2 != 1L)}")
   }
 
+  test("d30 repeated-passage stats: cross-doc grams counted, intra-doc repeats and short docs excluded") {
+    docsOf(
+      1L -> "a b c d e f g h",  // 5 4-grams; shares [a b c d] with doc 2
+      2L -> "x a b c d y z w",  // 5 grams; [a b c d] is its 2nd
+      3L -> "p q r s t u v ww", // 5 unique grams
+      4L -> "one two three",    // < 4 tokens → no grams → absent
+      5L -> "m m m m m m m m")  // one gram 5×, but only in THIS doc → not repeated
+    val out = Dedup.d30RepeatedNgrams(spark, tmp)
+      .as[(Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out == Map(
+      1L -> ((5L, 1L, 2000)),
+      2L -> ((5L, 1L, 2000)),
+      3L -> ((5L, 0L, 0)),
+      5L -> ((5L, 0L, 0))),
+      s"got $out")
+  }
+
   test("d29 gate is non-vacuous: the default gram size finds contamination on the test corpus") {
     // ADVICE r4: at n=8 the synthetic corpus shares ZERO grams across
     // the eval split at every SF, so the DuckDB comparison passed as
