@@ -68,6 +68,23 @@ class PlanSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("d30 repeated-gram rollup is partial-aggregable: no count-distinct Expand, equi-joins only") {
+    // the min≠max formulation exists precisely so the corpus-sized
+    // gram rollup partial-aggregates map-side; a count(distinct
+    // doc_id) would plan an Expand + double shuffle. The attach-back
+    // join must be an equi-join on the gram key (AQE may legitimately
+    // broadcast the repeated list at TEST scale — at corpus scale it
+    // degrades to the gram-keyed shuffle join, same Attach.Auto
+    // stance as the dedup verify stages).
+    val (plan, _) = planOf("d30_repeated_ngrams")
+    assert(!plan.contains("Expand"),
+      s"min≠max rollup must not plan a count-distinct Expand:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("partial_min") || plan.contains("min("),
+      s"expected a map-side partial min/max rollup:\n$plan")
+  }
+
   test("d23 candidate generation contains no cartesian product and no pair-dedup aggregate") {
     val (plan, _) = planOf("d23_dedup_minhash")
     assert(!plan.contains("CartesianProduct"), "LSH must be an equi-join, not all-pairs")
