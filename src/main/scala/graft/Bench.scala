@@ -28,7 +28,8 @@ object Bench {
     "d24b_simhash_oracle", "d25_ngram_jaccard", "d25b_ngram_banded",
     "d26_embed_neardup", "d27_dedup_components", "d27b_components_oracle",
     "d28_embed_neardup_lsh", "q12_double_entry", "q26_unpivot",
-    "q29_json_keys", "q31_export_roundtrip", "a29_ann_ivf")
+    "q29_json_keys", "q31_export_roundtrip", "a29_ann_ivf",
+    "d31_passage_scrub")
 
   private def familyOf(name: String): String =
     if (solo(name)) name

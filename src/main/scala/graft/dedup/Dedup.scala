@@ -1067,6 +1067,103 @@ object Dedup {
        |FROM grams GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** d31: cross-document repeated-passage SCRUB — the action half of
+    * d30's audit. Every token position covered by an n-gram that also
+    * appears in at least one OTHER document is removed, and the
+    * surviving tokens are rejoined in order — the ExactSubstr-removal
+    * step of Lee et al. 2021 ("Deduplicating Training Data Makes
+    * Language Models Better"), restated set-wise over gram-hash keys
+    * instead of a suffix array (the suffix array is the single-node
+    * formulation; the gram-join is the shuffle-native one). Output:
+    * per-doc token count, removed-token count, and the scrubbed text
+    * ('' when the whole document was repeated passages).
+    *
+    * Scale shape (100 TB): the (pos, gram) stream is a scan-stage
+    * projection; "repeated" grams come from the same partial-
+    * aggregable min≠max rollup as d30 (never a count-distinct); the
+    * covered-position explode is n× the MATCHED gram rows only, not
+    * the corpus; the kept-token anti-join is an equi-join on
+    * (doc_id, pos); reconstruction is a doc_id-keyed exchange whose
+    * per-group state is one document — the same bound as holding the
+    * doc's text, so it cannot blow up on any corpus whose individual
+    * documents fit in a task. No driver state, no count-distinct.
+    * The corpus is scanned three times (gram stream, token stream,
+    * doc base) — deliberate: Spark does not reuse an uncached scan
+    * across branches, and at corpus scale a persisted tokenized
+    * intermediate (or one combined token/gram projection) is the
+    * deployment lever if scan cost dominates the gram shuffle. */
+  def d31PassageScrub(s: SparkSession, dir: String): DataFrame = {
+    val n = d30GramSize
+    val toksDf = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val grams = toksDf.select(col("doc_id"), explode(expr(
+      s"""CASE WHEN size(toks) < $n THEN array()
+         |ELSE transform(sequence(1, size(toks) - ${n - 1}), i -> named_struct(
+         |  'pos', i,
+         |  'gram', cast(conv(substring(md5(cast(concat_ws(' ', slice(toks, i, $n)) as binary)), 1, 15), 16, 10) as bigint)))
+         |END""".stripMargin)).as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
+    val repeated = grams.groupBy("gram")
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select("gram")
+    // positions blanked by SOME repeated gram window; duplicates are
+    // fine (left_anti ignores multiplicity), so no distinct shuffle
+    val covered = grams.join(repeated, Seq("gram"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
+    val tokens = toksDf
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("i0", "tok")))
+      .select(col("doc_id"), (col("i0") + 1).as("p"), col("tok"))
+    val kept = tokens.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("kept_toks"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("p"), col("tok")))),
+          x => x("tok"))).as("scrubbed_text"))
+    toksDf.select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_toks"),
+        (col("n_toks") - coalesce(col("kept_toks"), lit(0L))).as("removed_toks"),
+        coalesce(col("scrubbed_text"), lit("")).as("scrubbed_text"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for d31: same tokenization, gram key, and min≠max
+    * repetition rule as d30's oracle; covered positions via a
+    * constant-bounds series cross join; ordered reconstruction via
+    * string_agg(… ORDER BY position). */
+  val d31Sql: String = {
+    val n = d30GramSize
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |grams AS (
+       | SELECT doc_id, i,
+       |  CAST(('0x' || substr(md5(array_to_string(t[i:i+${n - 1}], ' ')), 1, 15)) AS BIGINT) AS gram
+       | FROM (SELECT doc_id, t,
+       |        unnest(generate_series(1, greatest(len(t) - ${n - 1}, 0))) AS i
+       |       FROM toks)),
+       |rep AS (SELECT gram FROM grams GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+       |cov AS (SELECT DISTINCT g.doc_id, g.i + gs.off AS p
+       |        FROM grams g CROSS JOIN generate_series(0, ${n - 1}) AS gs(off)
+       |        WHERE g.gram IN (SELECT gram FROM rep)),
+       |tokens AS (SELECT doc_id, i AS p, t[i] AS tok
+       |           FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+       |                 FROM toks)),
+       |kept AS (SELECT tk.doc_id, tk.p, tk.tok FROM tokens tk
+       |         WHERE NOT EXISTS (SELECT 1 FROM cov c
+       |                           WHERE c.doc_id = tk.doc_id AND c.p = tk.p))
+       |SELECT toks.doc_id,
+       | CAST(len(toks.t) AS BIGINT) AS n_toks,
+       | CAST(len(toks.t) - count(k.p) AS BIGINT) AS removed_toks,
+       | coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '') AS scrubbed_text
+       |FROM toks LEFT JOIN kept k ON k.doc_id = toks.doc_id
+       |GROUP BY toks.doc_id, len(toks.t)
+       |ORDER BY toks.doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d22_dedup_exact" -> (d22DedupExact _),
     "d23_dedup_minhash" -> (d23DedupMinhash _),
@@ -1080,7 +1177,8 @@ object Dedup {
     "d27b_components_oracle" -> (d27bComponentsOracle _),
     "d28_embed_neardup_lsh" -> (d28EmbedNeardupLsh _),
     "d29_decontaminate" -> (d29Decontaminate _),
-    "d30_repeated_ngrams" -> (d30RepeatedNgrams _))
+    "d30_repeated_ngrams" -> (d30RepeatedNgrams _),
+    "d31_passage_scrub" -> (d31PassageScrub _))
 
   def oracles: Map[String, String] = Map(
     "d22_dedup_exact" -> d22Sql,
@@ -1091,5 +1189,6 @@ object Dedup {
     "d27b_components_oracle" -> d27bSql,
     "d28_embed_neardup_lsh" -> d28Sql,
     "d29_decontaminate" -> d29Sql,
-    "d30_repeated_ngrams" -> d30Sql)
+    "d30_repeated_ngrams" -> d30Sql,
+    "d31_passage_scrub" -> d31Sql)
 }

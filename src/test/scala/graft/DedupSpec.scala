@@ -252,6 +252,47 @@ class DedupSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("d31 passage scrub: covered windows union across partners, full-scrub empties, short/intra-doc docs untouched") {
+    docsOf(
+      1L -> "a b c d e f g h",   // [a b c d] shared with 2 covers 1-4; [e f g h] shared with 6 covers 5-8 → fully scrubbed by TWO partners
+      2L -> "x a b c d y z w",   // [a b c d] at pos 2 covers 2-5
+      3L -> "p q r s t u v ww",  // unique grams → untouched
+      4L -> "one two three",     // < 4 tokens → no grams → untouched
+      5L -> "m m m m m m m m",   // repeats only within itself → untouched
+      6L -> "e f g h q1 q2 q3 q4") // [e f g h] at pos 1 covers 1-4
+    val out = Dedup.d31PassageScrub(spark, tmp)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out == Map(
+      1L -> ((8L, 8L, "")),
+      2L -> ((8L, 4L, "x y z w")),
+      3L -> ((8L, 0L, "p q r s t u v ww")),
+      4L -> ((3L, 0L, "one two three")),
+      5L -> ((8L, 0L, "m m m m m m m m")),
+      6L -> ((8L, 4L, "q1 q2 q3 q4"))),
+      s"got $out")
+  }
+
+  test("d31 agrees with d30: a doc is scrubbed iff d30 reports repeated grams, and untouched docs keep their text verbatim") {
+    // cross-operator invariant on the REAL corpus: d30's rep_grams>0
+    // is exactly d31's removed_toks>0 (both sides define "repeated"
+    // by the same min≠max gram rollup), and a doc d31 leaves alone
+    // must round-trip its original text through split/concat_ws.
+    val scrub = Dedup.d31PassageScrub(spark, sfDir)
+      .select("doc_id", "removed_toks", "scrubbed_text")
+    val stats = Dedup.d30RepeatedNgrams(spark, sfDir)
+      .select("doc_id", "rep_grams")
+    val joined = scrub.join(stats, Seq("doc_id"), "left")
+    assert(joined.filter(
+      (coalesce(col("rep_grams"), lit(0L)) > 0) =!=
+        (col("removed_toks") > 0)).isEmpty,
+      "d30 repeated-gram docs and d31 scrubbed docs must coincide")
+    val untouched = scrub.filter(col("removed_toks") === 0)
+      .join(graft.Tables.documents(spark, sfDir), Seq("doc_id"))
+    assert(untouched.filter(col("scrubbed_text") =!= col("text")).isEmpty,
+      "untouched docs must keep their exact text")
+  }
+
   test("d29 gate is non-vacuous: the default gram size finds contamination on the test corpus") {
     // ADVICE r4: at n=8 the synthetic corpus shares ZERO grams across
     // the eval split at every SF, so the DuckDB comparison passed as

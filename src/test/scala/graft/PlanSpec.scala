@@ -85,6 +85,21 @@ class PlanSpec extends SparkSpec {
       s"expected a map-side partial min/max rollup:\n$plan")
   }
 
+  test("d31 passage scrub: no count-distinct Expand, equi-joins only, anti-join keyed on (doc, pos)") {
+    // same partial-aggregable min≠max stance as d30, plus: the
+    // kept-token stage must be a genuine ANTI equi-join — a
+    // non-equi (range) formulation of "position covered by some
+    // window" would plan a nested loop and die at corpus scale.
+    val (plan, _) = planOf("d31_passage_scrub")
+    assert(!plan.contains("Expand"),
+      s"min≠max rollup must not plan a count-distinct Expand:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"covered-position membership must stay an equi-join:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"kept tokens must come from an anti equi-join:\n$plan")
+  }
+
   test("d23 candidate generation contains no cartesian product and no pair-dedup aggregate") {
     val (plan, _) = planOf("d23_dedup_minhash")
     assert(!plan.contains("CartesianProduct"), "LSH must be an equi-join, not all-pairs")
