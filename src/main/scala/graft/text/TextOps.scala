@@ -425,6 +425,163 @@ object TextOps {
        |WHERE cum_tokens <= $tokenBudget
        |ORDER BY lang, doc_id""".stripMargin
 
+  /** t38: keyphrase extraction — per-document top-3 bigrams by
+    * TF-IDF. TF is the in-doc bigram count over the doc's bigram
+    * total; IDF is the LINEAR ratio N/df (not log(N/df)): a rational
+    * of exact integers, so the score is one IEEE-correctly-rounded
+    * division in both engines and the cross-engine gate stays
+    * byte-exact — no transcendental whose last ulp differs between
+    * Java's fdlibm and DuckDB's libm. (Linear idf reweights ranking
+    * vs the classic log form; for keyphrase top-k it is the same
+    * family of signal, and the choice is documented, not hidden.)
+    * Ties break on the bigram string, so top-3 is deterministic.
+    *
+    * Scale shape (100 TB): two wordcount-shaped aggregates (per-doc
+    * bigram counts, then df over the count table — both partial-
+    * aggregable map-side), one dictionary-sized equi-join to attach
+    * df (vocab², corpus-independent — AQE broadcasts it when it
+    * fits), a 1-row broadcast for N, and a doc-keyed window whose
+    * per-group state is one document's vocabulary. No count-distinct
+    * (df counts rows of the already-distinct (doc, gram) table). */
+  def t38Keyphrase(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val grams = zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (x, y) => concat(x, lit(" "), y))
+    val base = Tables.documents(s, dir).select(
+      col("doc_id"), size(toks).minus(1).cast("long").as("n_grams"),
+      explode(grams).as("gram"))
+    val tf = base.groupBy("doc_id", "n_grams", "gram")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("gram").agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(s, dir)
+      .agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("gram"))
+      .crossJoin(broadcast(nDocs))
+      // exact-int rational: tf·1e4·N / (n_grams·df), products < 2^53
+      .withColumn("score_bp",
+        floor(col("tf") * 10000.0 * col("n_docs")
+          / (col("n_grams") * col("df")) + 0.5).cast("int"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_bp").desc, col("gram"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("gram").as("keyphrase"),
+        col("tf"), col("df"), col("score_bp"))
+      .orderBy("doc_id", "rk")
+  }
+
+  val t38Sql: String =
+    """WITH d AS (SELECT doc_id, string_split(text,' ') AS a FROM documents),
+      |bg AS (
+      | SELECT doc_id, CAST(len(a)-1 AS BIGINT) AS n_grams,
+      |  a[i] || ' ' || a[i+1] AS gram
+      | FROM (SELECT doc_id, a, unnest(generate_series(1, len(a)-1)) AS i FROM d)),
+      |tf AS (SELECT doc_id, n_grams, gram, count(*) AS tf FROM bg GROUP BY 1,2,3),
+      |df AS (SELECT gram, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      | SELECT tf.doc_id, tf.gram, tf.tf, df.df,
+      |  CAST(floor(tf.tf * 10000.0 * (SELECT n_docs FROM n)
+      |       / (tf.n_grams * df.df) + 0.5) AS INT) AS score_bp
+      | FROM tf JOIN df USING (gram)),
+      |ranked AS (
+      | SELECT doc_id, gram, tf, df, score_bp,
+      |  row_number() OVER (PARTITION BY doc_id ORDER BY score_bp DESC, gram) AS rk
+      | FROM scored)
+      |SELECT doc_id, CAST(rk AS INT) AS rk, gram AS keyphrase,
+      | CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score_bp
+      |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
+  /** Low-quality gate for t39 in ppm of transition probability —
+    * calibrated on the synthetic corpus so the flag is non-vacuous
+    * (≈7% flagged at sf0.01; a real deployment tunes per corpus). */
+  private[graft] val t39LowQualityPpm = 33000L
+
+  /** t39: corpus-trained bigram-LM quality scoring — the CCNet-style
+    * perplexity gate of a training pipeline (Wenzek et al. 2020
+    * train a KenLM and drop the worst-perplexity tail) restated
+    * self-contained: train add-one-smoothed bigram transition
+    * probabilities on the corpus itself, score each document by its
+    * mean transition probability, flag the low tail. Probabilities
+    * are quantized to exact-integer ppm — floor((c12+1)·1e6 /
+    * (c1+V)) — so per-doc sums are exact long arithmetic: no
+    * float-sum ordering hazard across partitions and no logarithm
+    * whose ulp differs across engines (the classical log-domain
+    * perplexity is a monotone transform of the same per-transition
+    * signal; ppm keeps the cross-engine gate byte-exact). c1 is the
+    * context count (occurrences of w1 as a bigram prefix), so the
+    * smoothed conditional sums to ≤ 1 per context.
+    *
+    * Scale shape (100 TB): the transition-count table is ONE
+    * wordcount over the bigram stream (map-side partials); c1 is a
+    * rollup OF THAT TABLE (dictionary-sized input, not the corpus);
+    * both attach to the dictionary before the single probe join, so
+    * the corpus-sized stream is shuffled once on the gram key. V and
+    * doc count are 1-row broadcasts. Per-doc rollup carries three
+    * longs; docs with <2 tokens pass through unflagged via the
+    * doc-keyed left join (nothing to score). */
+  def t39BigramLm(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val grams = zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (x, y) => struct(x.as("w1"), concat(x, lit(" "), y).as("gram")))
+    val bg = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(grams).as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.gram").as("gram"))
+    val c12 = bg.groupBy("w1", "gram").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val vocab = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    val dict = c12.join(c1, Seq("w1")).crossJoin(broadcast(vocab))
+      // exact-int rational: (c12+1)·1e6 / (c1+V), products < 2^53
+      .withColumn("ppm",
+        floor((col("c12") + 1) * 1000000.0 / (col("c1") + col("v")))
+          .cast("long"))
+      .select("gram", "ppm")
+    val perDoc = bg.join(dict, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("ppm").as("sum_ppm"),
+        min("ppm").as("min_ppm"))
+      .withColumn("avg_ppm",
+        floor(col("sum_ppm") * 1.0 / col("n_bigrams") + 0.5).cast("long"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_ppm"), col("min_ppm"),
+        coalesce(col("avg_ppm") < t39LowQualityPpm, lit(false))
+          .as("low_quality"))
+      .orderBy("doc_id")
+  }
+
+  val t39Sql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS a FROM documents),
+       |bg AS (
+       | SELECT doc_id, a[i] AS w1, a[i] || ' ' || a[i+1] AS gram
+       | FROM (SELECT doc_id, a, unnest(generate_series(1, len(a)-1)) AS i FROM d)),
+       |c12 AS (SELECT w1, gram, count(*) AS c12 FROM bg GROUP BY 1,2),
+       |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+       |v AS (SELECT count(*) AS v FROM (SELECT DISTINCT unnest(a) AS tok FROM d)),
+       |dict AS (
+       | SELECT c12.gram,
+       |  CAST(floor((c12.c12+1) * 1000000.0 / (c1.c1 + (SELECT v FROM v))) AS BIGINT) AS ppm
+       | FROM c12 JOIN c1 USING (w1)),
+       |per_doc AS (
+       | SELECT bg.doc_id, count(*) AS n_bigrams, sum(ppm) AS sum_ppm, min(ppm) AS min_ppm
+       | FROM bg JOIN dict USING (gram) GROUP BY 1)
+       |SELECT d.doc_id,
+       | CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       | CAST(floor(p.sum_ppm * 1.0 / p.n_bigrams + 0.5) AS BIGINT) AS avg_ppm,
+       | CAST(p.min_ppm AS BIGINT) AS min_ppm,
+       | coalesce(floor(p.sum_ppm * 1.0 / p.n_bigrams + 0.5) < $t39LowQualityPpm, false) AS low_quality
+       |FROM d LEFT JOIN per_doc p USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t29_langid" -> (t29LangId _),
     "t30_quality" -> (t30Quality _),
@@ -435,7 +592,9 @@ object TextOps {
     "t34_scrub" -> (t34Scrub _),
     "t35_repetition" -> (t35Repetition _),
     "t36_sample" -> (t36Sample _),
-    "t37_token_budget" -> (t37TokenBudget _))
+    "t37_token_budget" -> (t37TokenBudget _),
+    "t38_keyphrase" -> (t38Keyphrase _),
+    "t39_bigram_lm" -> (t39BigramLm _))
 
   def oracles: Map[String, String] = Map(
     "t29_langid" -> t29Sql,
@@ -446,5 +605,7 @@ object TextOps {
     "t34_scrub" -> t34Sql,
     "t35_repetition" -> t35Sql,
     "t36_sample" -> t36Sql,
-    "t37_token_budget" -> t37Sql)
+    "t37_token_budget" -> t37Sql,
+    "t38_keyphrase" -> t38Sql,
+    "t39_bigram_lm" -> t39Sql)
 }

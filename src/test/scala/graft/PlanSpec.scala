@@ -100,6 +100,29 @@ class PlanSpec extends SparkSpec {
       s"kept tokens must come from an anti equi-join:\n$plan")
   }
 
+  test("t38 keyphrase: df without a count-distinct Expand; doc-keyed top-k window") {
+    // df counts rows of the already-distinct (doc, gram) count table,
+    // so no distinct aggregate (and no Expand) may appear; the only
+    // nested loop is the 1-row doc-count broadcast (sweep-justified).
+    val (plan, _) = planOf("t38_keyphrase")
+    assert(!plan.contains("Expand"),
+      s"df must count rows of the tf table, not count-distinct docs:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("row_number"),
+      s"top-k must be a doc-keyed rank window:\n$plan")
+  }
+
+  test("t39 bigram LM: dictionary enrichment before the single corpus probe join") {
+    // c1 and ppm attach to the DICTIONARY (c12 table) and the
+    // corpus-sized bigram stream joins once on the gram key — an
+    // equi-join; the only nested loop is the 1-row vocabulary-size
+    // broadcast (sweep-justified).
+    val (plan, _) = planOf("t39_bigram_lm")
+    assert(!plan.contains("CartesianProduct"))
+    val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"only the 1-row V broadcast may nested-loop:\n$plan")
+  }
+
   test("d23 candidate generation contains no cartesian product and no pair-dedup aggregate") {
     val (plan, _) = planOf("d23_dedup_minhash")
     assert(!plan.contains("CartesianProduct"), "LSH must be an equi-join, not all-pairs")
@@ -221,10 +244,12 @@ class PlanSpec extends SparkSpec {
     //   a29  IVF cell routing via array_contains — 8 query rows
     //   d26  exact all-pairs verification baseline (d28 = scale path)
     //   q28  date-spine span attach — 1-row min/max bounds
+    //   t38  corpus doc-count N attach — 1-row aggregate broadcast
+    //   t39  vocabulary-size V attach — 1-row aggregate broadcast
     // Nothing may use CartesianProduct, and no NEW query may grow a
     // BNLJ without being justified here.
     val allowedBnlj = Set("a27_ann_brute", "a29_ann_ivf", "d26_embed_neardup",
-      "q28_date_spine")
+      "q28_date_spine", "t38_keyphrase", "t39_bigram_lm")
     // Entries whose DataFrame CONSTRUCTION executes real work (q30/q31
     // write full exports, d27/d27b iterate connected components to a
     // fixpoint) are skipped: a plan sweep must inspect plans, not

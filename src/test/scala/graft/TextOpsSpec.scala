@@ -164,4 +164,53 @@ class TextOpsSpec extends SparkSpec {
     // every language present in the corpus gets a non-empty slice
     assert(selected.keySet == totals.keySet)
   }
+
+  test("t38 keyphrase: hand-computed tf-idf scores, ranks, and tie-break") {
+    val dir = docsOf(
+      1L -> "a b a b c", // bigrams: "a b"×2, "b a", "b c"; n_grams 4
+      2L -> "x y x")     // bigrams: "x y", "y x"; n_grams 2
+    // N=2; every bigram has df=1
+    val out = TextOps.t38Keyphrase(spark, dir)
+      .select("doc_id", "rk", "keyphrase", "score_bp")
+      .as[(Long, Int, String, Int)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1, "a b", 10000), // 2·10000·2/(4·1)
+      (1L, 2, "b a", 5000),  // 1·10000·2/(4·1)
+      (1L, 3, "b c", 5000),  // tie with "b a" → gram asc puts "b a" first
+      (2L, 1, "x y", 10000), // 1·10000·2/(2·1); tie → gram asc
+      (2L, 2, "y x", 10000))) // only 2 bigrams → no rk 3 row
+  }
+
+  test("t39 bigram LM: hand-computed smoothed transition ppm and per-doc rollup") {
+    val dir = docsOf(
+      1L -> "a b a b", // bigrams: "a b", "b a", "a b"
+      2L -> "a b c",   // bigrams: "a b", "b c"
+      3L -> "z")       // no bigrams: passes through unflagged
+    // V = {a,b,c,z} = 4; c12: (a,"a b")=3, (b,"b a")=1, (b,"b c")=1
+    // c1: a=3, b=2
+    // ppm("a b") = 4e6/(3+4) = 571428.57 → 571428
+    // ppm("b a") = 2e6/(2+4) = 333333.33 → 333333; ppm("b c") same
+    val out = TextOps.t39BigramLm(spark, dir)
+      .as[(Long, Long, Option[Long], Option[Long], Boolean)].collect().toSeq
+    assert(out == Seq(
+      // doc1: sum=571428+333333+571428=1476189, avg=floor(492063+0.5)
+      (1L, 3L, Some(492063L), Some(333333L), false),
+      // doc2: sum=571428+333333=904761, avg=floor(452380.5+0.5)
+      (2L, 2L, Some(452381L), Some(333333L), false),
+      (3L, 0L, None, None, false)))
+  }
+
+  test("t39 flags the unpredictable-transition tail and not the predictable mass") {
+    // 50 boilerplate docs make context 'a' common; doc 51's sole
+    // transition out of 'a' is unique → low smoothed probability
+    val rows = (1L to 50L).map(i => i -> "a b a b a b") :+ (51L -> "a x")
+    val dir = docsOf(rows: _*)
+    // c12(a,"a x")=1, c1(a)=151, V={a,b,x}=3 → 2e6/154 = 12987.01
+    val out = TextOps.t39BigramLm(spark, dir)
+      .select("doc_id", "avg_ppm", "low_quality")
+      .as[(Long, Option[Long], Boolean)].collect()
+    val flagged = out.filter(_._3).map(_._1).toSet
+    assert(flagged == Set(51L))
+    assert(out.find(_._1 == 51L).get._2.contains(12987L))
+  }
 }
