@@ -582,6 +582,117 @@ object TextOps {
        |FROM d LEFT JOIN per_doc p USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Quality floor for t40 in t30's basis points — calibrated so the
+    * gate drops ≈5% of the synthetic corpus (min 4300, median 6033);
+    * a real deployment tunes per corpus. */
+  private[graft] val t40QualityMinBp = 5000
+
+  /** t40: the preprocessing front-end END-TO-END — one declarative
+    * plan chaining the individual operators a training pipeline runs
+    * in sequence: quality gate (t30's score ≥ [[t40QualityMinBp]]) ∧
+    * repetition gate (t35's verdict) → normalization scrub (t34's
+    * chain) → exact dedup on the canonical fingerprint, keep-min doc
+    * (d22 semantics) → deterministic stratified sampling (t36's hash
+    * draw and rates). Output: the surviving mixture with per-doc
+    * clean-token counts. This is the integration proof that the
+    * pieces compose without materialization barriers: Catalyst fuses
+    * the scrub into the scan-stage projection, the gates are plain
+    * predicates, and the intermediate orderings of the reused
+    * operators are eliminated (spec-pinned: one final Sort).
+    *
+    * Scale shape (100 TB): gates and scrub live in the scan stage;
+    * t35's verdict is the wordcount-shaped agg joined back on
+    * doc_id; dedup is ONE hash shuffle on the fingerprint; the
+    * sample is a pure filter. Nothing in the chain materializes the
+    * corpus more than the component operators would alone. */
+  def t40Pipeline(s: SparkSession, dir: String): DataFrame = {
+    val cleaned = trim(regexp_replace(regexp_replace(regexp_replace(
+      lower(col("text")),
+      "[0-9]+", "0"),
+      "[^a-z0-9 ]", ""),
+      " +", " "))
+    val gated = Tables.documents(s, dir)
+      .join(t30Quality(s, dir).select("doc_id", "quality_score_bp"),
+        Seq("doc_id"))
+      .join(t35Repetition(s, dir).select("doc_id", "repetitive"),
+        Seq("doc_id"))
+      .filter(col("quality_score_bp") >= t40QualityMinBp && !col("repetitive"))
+      .select(col("doc_id"), col("lang"), col("quality_score_bp"),
+        cleaned.as("clean_text"))
+    val fp = gated.withColumn("fp", fingerprint(col("clean_text")))
+    val keep = fp.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+    val deduped = fp.join(keep, Seq("fp", "doc_id"), "left_semi")
+    val u = expr(
+      "cast(conv(substring(md5(cast(doc_id as string)), 1, 7), 16, 10) as bigint)")
+    val threshold =
+      when(col("lang") === "en", 134217728L)
+        .when(col("lang").isin("es", "fr"), 67108864L)
+        .when(col("lang") === "de", 33554432L)
+        .otherwise(16777216L)
+    deduped.withColumn("sample_key", u)
+      .filter(col("sample_key") < threshold)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("clean_text"), " ")).as("clean_tokens"),
+        col("quality_score_bp"), col("sample_key"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for t40: the t30/t34/t35/d22/t36 oracle fragments
+    * composed into one CTE chain — each fragment byte-exact on its
+    * own gate, so a t40 mismatch isolates a composition bug. */
+  val t40Sql: String =
+    s"""WITH t AS (SELECT doc_id, lang, text, string_split(text,' ') AS a FROM documents),
+       |q AS (
+       | SELECT doc_id,
+       |  CAST(floor((least(len(a)/100.0, 1.0)*0.5
+       |   + (CAST(len(list_distinct(a)) AS DOUBLE)/len(a))*0.3
+       |   + (1.0 - CAST(len(list_filter(a, x -> list_contains(${stopList("en")}, x))) AS DOUBLE)/len(a))*0.2
+       |   ) * 10000.0 + 0.5) AS INT) AS quality_score_bp
+       | FROM t),
+       |g AS (
+       | SELECT doc_id, len(a) AS n_tokens, 1 AS k, unnest(a) AS gr FROM t
+       | UNION ALL
+       | SELECT doc_id, len(a) AS n_tokens, 2 AS k,
+       |   unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS gr FROM t),
+       |c AS (SELECT doc_id, n_tokens, k, gr, count(*) AS c FROM g GROUP BY 1,2,3,4),
+       |st AS (
+       | SELECT doc_id, n_tokens,
+       |  max(CASE WHEN k=1 THEN c END) AS max_tok,
+       |  coalesce(max(CASE WHEN k=2 THEN c END), 0) AS max_gram,
+       |  coalesce(sum(CASE WHEN k=2 THEN c END), 0) AS n_grams,
+       |  coalesce(sum(CASE WHEN k=2 AND c>=2 THEN c END), 0) AS dup_grams
+       | FROM c GROUP BY 1,2),
+       |rep AS (
+       | SELECT doc_id,
+       |  (floor(max_tok*10000.0/n_tokens + 0.5) > 1500
+       |   OR floor(max_gram*10000.0/greatest(n_grams,1) + 0.5) > 1200
+       |   OR floor(dup_grams*10000.0/greatest(n_grams,1) + 0.5) > 2500) AS repetitive
+       | FROM st),
+       |gated AS (
+       | SELECT t.doc_id, t.lang, q.quality_score_bp,
+       |  trim(regexp_replace(regexp_replace(regexp_replace(lower(t.text),
+       |    '[0-9]+', '0', 'g'),
+       |    '[^a-z0-9 ]', '', 'g'),
+       |    ' +', ' ', 'g')) AS clean_text
+       | FROM t JOIN q USING (doc_id) JOIN rep USING (doc_id)
+       | WHERE q.quality_score_bp >= $t40QualityMinBp AND NOT rep.repetitive),
+       |f AS (SELECT gated.*, md5(regexp_replace(lower(trim(clean_text)), '\\s+', ' ', 'g')) AS fp FROM gated),
+       |keep AS (SELECT fp, min(doc_id) AS doc_id FROM f GROUP BY fp),
+       |ded AS (SELECT f.* FROM f JOIN keep ON keep.fp = f.fp AND keep.doc_id = f.doc_id),
+       |samp AS (
+       | SELECT doc_id, lang, clean_text, quality_score_bp,
+       |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) AS sample_key
+       | FROM ded)
+       |SELECT doc_id, lang,
+       | CAST(len(string_split(clean_text,' ')) AS INT) AS clean_tokens,
+       | quality_score_bp, sample_key
+       |FROM samp
+       |WHERE sample_key < CASE WHEN lang = 'en' THEN 134217728
+       |                        WHEN lang IN ('es','fr') THEN 67108864
+       |                        WHEN lang = 'de' THEN 33554432
+       |                        ELSE 16777216 END
+       |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t29_langid" -> (t29LangId _),
     "t30_quality" -> (t30Quality _),
@@ -594,7 +705,8 @@ object TextOps {
     "t36_sample" -> (t36Sample _),
     "t37_token_budget" -> (t37TokenBudget _),
     "t38_keyphrase" -> (t38Keyphrase _),
-    "t39_bigram_lm" -> (t39BigramLm _))
+    "t39_bigram_lm" -> (t39BigramLm _),
+    "t40_pipeline" -> (t40Pipeline _))
 
   def oracles: Map[String, String] = Map(
     "t29_langid" -> t29Sql,
@@ -607,5 +719,6 @@ object TextOps {
     "t36_sample" -> t36Sql,
     "t37_token_budget" -> t37Sql,
     "t38_keyphrase" -> t38Sql,
-    "t39_bigram_lm" -> t39Sql)
+    "t39_bigram_lm" -> t39Sql,
+    "t40_pipeline" -> t40Sql)
 }

@@ -123,6 +123,21 @@ class PlanSpec extends SparkSpec {
     assert(bnlj <= 1, s"only the 1-row V broadcast may nested-loop:\n$plan")
   }
 
+  test("t40 pipeline: reused operators' intermediate orderings are eliminated (one final Sort)") {
+    // t30/t35 end in presentation ORDER BYs; composed under joins
+    // those sorts are dead weight and EliminateSorts must drop them —
+    // a surviving mid-plan Sort would be a materialization barrier
+    // the 100 TB chain doesn't need. Exactly the final doc_id Sort
+    // may remain.
+    val (plan, _) = planOf("t40_pipeline")
+    // global=true marks presentation sorts; join-local sorts (global=
+    // false, e.g. under a sort-merge join) are legitimate
+    val globalSorts = "Sort \\[[^\\]]*\\], true".r.findAllIn(plan).size
+    assert(globalSorts == 1,
+      s"expected exactly 1 global Sort, found $globalSorts:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("d23 candidate generation contains no cartesian product and no pair-dedup aggregate") {
     val (plan, _) = planOf("d23_dedup_minhash")
     assert(!plan.contains("CartesianProduct"), "LSH must be an equi-join, not all-pairs")

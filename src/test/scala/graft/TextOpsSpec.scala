@@ -213,4 +213,26 @@ class TextOpsSpec extends SparkSpec {
     assert(flagged == Set(51L))
     assert(out.find(_._1 == 51L).get._2.contains(12987L))
   }
+
+  test("t40 pipeline equals the composition of its component operators") {
+    // independently run t30/t35/t34/t36 and replay the chain driver-
+    // side; the fused single-plan pipeline must select the same docs
+    val quality = TextOps.t30Quality(spark, sfDir)
+      .select("doc_id", "quality_score_bp").as[(Long, Int)].collect().toMap
+    val repetitive = TextOps.t35Repetition(spark, sfDir)
+      .select("doc_id", "repetitive").as[(Long, Boolean)].collect().toMap
+    val clean = TextOps.t34Scrub(spark, sfDir)
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    val sampled = TextOps.t36Sample(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    val gated = clean.keySet
+      .filter(id => quality(id) >= TextOps.t40QualityMinBp && !repetitive(id))
+    val kept = gated.groupBy(clean).values.map(_.min).toSet
+    val expected = kept.filter(sampled)
+    val out = TextOps.t40Pipeline(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == expected)
+    assert(out.nonEmpty && out.size < clean.size,
+      "every gate must bind: some docs dropped, some kept")
+  }
 }
