@@ -76,13 +76,30 @@ object TextOps {
        | FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  private def distinctRatio(toks: Column): Column =
+    size(array_distinct(toks)).cast("double") / size(toks)
+
+  private def stopRatioEn(toks: Column): Column =
+    hits(toks, stop("en")).cast("double") / size(toks)
+
+  /** t30's composite quality score in basis points — single
+    * definition shared by t30 and t40's gate (the [[fingerprint]]
+    * precedent), so the pipeline can never drift from the component
+    * operator. Basis points via floor(x*1e4 + 0.5): ROUND(x,4) ties
+    * at the 5th decimal resolve differently across engines (Spark
+    * BigDecimal HALF_UP on the binary expansion vs DuckDB), but
+    * floor/mul/add are IEEE-deterministic on identical doubles. */
+  private[graft] def qualityScoreBp(toks: Column): Column =
+    floor((least(size(toks).cast("double") / 100.0, lit(1.0)) * 0.5
+        + distinctRatio(toks) * 0.3
+        + (lit(1.0) - stopRatioEn(toks)) * 0.2) * 10000.0 + 0.5)
+      .cast("int")
+
   /** t30: quality scoring — length, word count, distinct-token ratio,
     * stopword ratio, mean word length, and a composite score. */
   def t30Quality(s: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
     val nWords = size(toks)
-    val distinctRatio = size(array_distinct(toks)).cast("double") / nWords
-    val stopRatio = hits(toks, stop("en")).cast("double") / nWords
     val meanWordLen =
       (length(col("text")) - (nWords - 1)).cast("double") / nWords
     Tables.documents(s, dir)
@@ -90,16 +107,10 @@ object TextOps {
         col("doc_id"),
         length(col("text")).as("text_len"),
         nWords.as("n_words"),
-        round(distinctRatio, 4).as("distinct_ratio"),
-        round(stopRatio, 4).as("stop_ratio"),
+        round(distinctRatio(toks), 4).as("distinct_ratio"),
+        round(stopRatioEn(toks), 4).as("stop_ratio"),
         round(meanWordLen, 4).as("mean_word_len"),
-        // basis points via floor(x*1e4 + 0.5): ROUND(x,4) ties at the
-        // 5th decimal resolve differently across engines (Spark
-        // BigDecimal HALF_UP on the binary expansion vs DuckDB), but
-        // floor/mul/add are IEEE-deterministic on identical doubles
-        floor((least(nWords.cast("double") / 100.0, lit(1.0)) * 0.5
-            + distinctRatio * 0.3 + (lit(1.0) - stopRatio) * 0.2) * 10000.0 + 0.5)
-          .cast("int").as("quality_score_bp"))
+        qualityScoreBp(toks).as("quality_score_bp"))
       .orderBy("doc_id")
   }
 
@@ -208,12 +219,17 @@ object TextOps {
     * collapse, lowercase; emits cleaned text + how much was removed
     * (regexes restricted to the Java∩RE2 common dialect so both
     * engines agree). */
-  def t34Scrub(s: SparkSession, dir: String): DataFrame = {
-    val cleaned = trim(regexp_replace(regexp_replace(regexp_replace(
-      lower(col("text")),
+  /** t34's normalization chain — single definition shared by t34 and
+    * t40 so the pipeline can never drift from the component op. */
+  private[graft] def scrubbed(text: Column): Column =
+    trim(regexp_replace(regexp_replace(regexp_replace(
+      lower(text),
       "[0-9]+", "0"),           // bucket numbers
       "[^a-z0-9 ]", ""),        // strip punctuation/symbols
       " +", " "))               // collapse spaces
+
+  def t34Scrub(s: SparkSession, dir: String): DataFrame = {
+    val cleaned = scrubbed(col("text"))
     Tables.documents(s, dir)
       .select(
         col("doc_id"),
@@ -337,17 +353,21 @@ object TextOps {
     * Scale: a pure filter projection — no shuffle, predicate runs in
     * the scan stage, and downstream sees a corpus whose language mix
     * is reweighted without any coordination. */
+  /** t36's deterministic 28-bit hash draw and per-language keep
+    * thresholds — single definitions shared by t36 and t40. */
+  private[graft] val sampleDraw: Column = expr(
+    "cast(conv(substring(md5(cast(doc_id as string)), 1, 7), 16, 10) as bigint)")
+
+  private[graft] def sampleThreshold(lang: Column): Column =
+    when(lang === "en", 134217728L)          // 2^28 / 2
+      .when(lang.isin("es", "fr"), 67108864L) // 2^28 / 4
+      .when(lang === "de", 33554432L)         // 2^28 / 8
+      .otherwise(16777216L)                   // 2^28 / 16
+
   def t36Sample(s: SparkSession, dir: String): DataFrame = {
-    val u = expr(
-      "cast(conv(substring(md5(cast(doc_id as string)), 1, 7), 16, 10) as bigint)")
-    val threshold =
-      when(col("lang") === "en", 134217728L)          // 2^28 / 2
-        .when(col("lang").isin("es", "fr"), 67108864L) // 2^28 / 4
-        .when(col("lang") === "de", 33554432L)         // 2^28 / 8
-        .otherwise(16777216L)                          // 2^28 / 16
     Tables.documents(s, dir)
-      .withColumn("sample_key", u)
-      .filter(col("sample_key") < threshold)
+      .withColumn("sample_key", sampleDraw)
+      .filter(col("sample_key") < sampleThreshold(col("lang")))
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         col("sample_key"))
       .orderBy("doc_id")
@@ -600,37 +620,35 @@ object TextOps {
     * predicates, and the intermediate orderings of the reused
     * operators are eliminated (spec-pinned: one final Sort).
     *
-    * Scale shape (100 TB): gates and scrub live in the scan stage;
-    * t35's verdict is the wordcount-shaped agg joined back on
-    * doc_id; dedup is ONE hash shuffle on the fingerprint; the
-    * sample is a pure filter. Nothing in the chain materializes the
-    * corpus more than the component operators would alone. */
+    * Scale shape (100 TB): the quality score, scrub, and sample draw
+    * are evaluated INLINE on the main scan via the shared expression
+    * helpers ([[qualityScoreBp]], [[scrubbed]], [[sampleDraw]]) —
+    * never by re-joining the per-row component operators back on
+    * doc_id, which would be an extra corpus-sized self-join. The only
+    * corpus join is the unavoidable one: t35's verdict (a genuine
+    * aggregate) attaches on doc_id. Dedup is a keep-min WINDOW over
+    * the fingerprint — one fp-keyed shuffle — rather than d22's
+    * groupBy + semi-join, which in this composed plan would recompute
+    * the entire gated upstream (t35 aggregate included) on both join
+    * sides; the plan spec pins the corpus-scan count at 2. The
+    * sample is a pure filter. */
   def t40Pipeline(s: SparkSession, dir: String): DataFrame = {
-    val cleaned = trim(regexp_replace(regexp_replace(regexp_replace(
-      lower(col("text")),
-      "[0-9]+", "0"),
-      "[^a-z0-9 ]", ""),
-      " +", " "))
+    val toks = tokens(col("text"))
     val gated = Tables.documents(s, dir)
-      .join(t30Quality(s, dir).select("doc_id", "quality_score_bp"),
-        Seq("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        qualityScoreBp(toks).as("quality_score_bp"),
+        scrubbed(col("text")).as("clean_text"))
       .join(t35Repetition(s, dir).select("doc_id", "repetitive"),
         Seq("doc_id"))
       .filter(col("quality_score_bp") >= t40QualityMinBp && !col("repetitive"))
-      .select(col("doc_id"), col("lang"), col("quality_score_bp"),
-        cleaned.as("clean_text"))
-    val fp = gated.withColumn("fp", fingerprint(col("clean_text")))
-    val keep = fp.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
-    val deduped = fp.join(keep, Seq("fp", "doc_id"), "left_semi")
-    val u = expr(
-      "cast(conv(substring(md5(cast(doc_id as string)), 1, 7), 16, 10) as bigint)")
-    val threshold =
-      when(col("lang") === "en", 134217728L)
-        .when(col("lang").isin("es", "fr"), 67108864L)
-        .when(col("lang") === "de", 33554432L)
-        .otherwise(16777216L)
-    deduped.withColumn("sample_key", u)
-      .filter(col("sample_key") < threshold)
+      .drop("repetitive")
+    val wFp = Window.partitionBy("fp").orderBy("doc_id")
+    val deduped = gated.withColumn("fp", fingerprint(col("clean_text")))
+      .withColumn("rn", row_number().over(wFp))
+      .filter(col("rn") === 1)
+      .drop("rn", "fp")
+    deduped.withColumn("sample_key", sampleDraw)
+      .filter(col("sample_key") < sampleThreshold(col("lang")))
       .select(col("doc_id"), col("lang"),
         size(split(col("clean_text"), " ")).as("clean_tokens"),
         col("quality_score_bp"), col("sample_key"))

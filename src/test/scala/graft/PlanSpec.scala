@@ -108,6 +108,8 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Expand"),
       s"df must count rows of the tf table, not count-distinct docs:\n$plan")
     assert(!plan.contains("CartesianProduct"))
+    val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"only the 1-row N broadcast may nested-loop:\n$plan")
     assert(plan.contains("row_number"),
       s"top-k must be a doc-keyed rank window:\n$plan")
   }
@@ -136,6 +138,14 @@ class PlanSpec extends SparkSpec {
     assert(globalSorts == 1,
       s"expected exactly 1 global Sort, found $globalSorts:\n$plan")
     assert(!plan.contains("CartesianProduct"))
+    // per-row stages (quality score, scrub, sample draw) must be
+    // inline scan-stage expressions, not re-joins of the component
+    // operators: only the main scan and t35's aggregate input may
+    // read the corpus
+    val scans = plan.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("documents.parquet"))
+    assert(scans <= 2,
+      s"expected ≤ 2 documents scans (main + t35 agg), found $scans:\n$plan")
   }
 
   test("d23 candidate generation contains no cartesian product and no pair-dedup aggregate") {

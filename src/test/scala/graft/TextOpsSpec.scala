@@ -235,4 +235,43 @@ class TextOpsSpec extends SparkSpec {
     assert(out.nonEmpty && out.size < clean.size,
       "every gate must bind: some docs dropped, some kept")
   }
+
+  test("t40 pipeline: every stage bites on a corpus built to trigger each gate") {
+    // The crafted victims sit at ids that PASS the 1/16 hash draw
+    // (27, 59, 60, 63 — verified below), so each one's absence from
+    // the output is attributable to exactly the stage under test,
+    // not to sampling. Fillers are healthy: 13 distinct words,
+    // unique last token, no digits so the scrub can't merge them.
+    val draw = (1L << 24) // docsOf writes lang 'xx' → 1/16 rate
+    val victims = Set(27L, 59L, 60L, 63L)
+    victims.foreach(i => assert(md5Draw(i) < draw,
+      s"victim id $i must pass the sample draw"))
+    val filler = (1L to 200L).filterNot(victims).map(i =>
+      i -> s"kilo lima mike november oscar papa quebec romeo sierra tango uniform victor ${"z" * i.toInt}")
+    val fiftyTokens = (0 until 50)
+      .map(k => s"${('a' + k / 26).toChar}${('a' + k % 26).toChar}").mkString(" ")
+    val dupBase = "mono duo tri tetra penta hexa hepta octa nona deca ennea dodeca"
+    val dir = docsOf(filler ++ Seq(
+      // quality gate: 4 tokens, 1 distinct, all stopwords → 950 bp
+      27L -> "the the the the",
+      // repetition gate: healthy quality (8560 bp: 100 tokens, 52
+      // distinct, no stopwords) but one bigram repeated 25× →
+      // dup-bigram mass 4949 bp > 2500
+      59L -> (fiftyTokens + " " + Seq.fill(25)("rr ss").mkString(" ")),
+      // exact-dup pair modulo scrub: differ only in digits/punctuation;
+      // keep-min keeps 60, dedup drops 63
+      60L -> (dupBase + " 123"),
+      63L -> (dupBase + " 456!")): _*)
+    val out = TextOps.t40Pipeline(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    val expected = (1L to 200L)
+      .filter(i => !Set(27L, 59L, 63L)(i) && md5Draw(i) < draw).toSet
+    assert(out == expected)
+    assert(out.contains(60L), "the canonical twin must survive the whole chain")
+    assert(!out.contains(27L), "quality gate must bite")
+    assert(!out.contains(59L), "repetition gate must bite")
+    assert(!out.contains(63L), "dedup must drop the non-canonical twin")
+    // sampling bites too: healthy fillers that fail the draw
+    assert((1L to 200L).exists(i => !victims(i) && md5Draw(i) >= draw))
+  }
 }
