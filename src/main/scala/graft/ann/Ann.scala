@@ -228,12 +228,107 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** a30: scalar-quantized ANN (SQ8, the FAISS ScalarQuantizer
+    * layout) — the COMPRESSED-domain scale path that complements
+    * a28's candidate pruning and a29's cell routing: each float is
+    * quantized to an 8-bit code against per-dimension corpus
+    * [min,max] bounds, shrinking a 64-float vector to 64 bytes, and
+    * queries score asymmetrically (full-precision query × dequantized
+    * corpus — ADC). At 100 TB the corpus of codes is 4× smaller than
+    * the floats, which is the difference between an in-memory scan
+    * and a disk-bound one; the per-dimension bounds are 64 pairs of
+    * doubles — fixed-size mergeable aggregate state, broadcast back
+    * as one row.
+    *
+    * Everything is exact-deterministic (floor of IEEE-rounded
+    * divisions, sequential array-order dot products), so unlike the
+    * trained a29 quantizer this one is fully DuckDB-oracle-checked:
+    * quantize, dequantize, score, and rank replay bit-identically
+    * cross-engine. */
+  def a30AnnSq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val stats = corpus
+      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("i").agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(i, mn))), s -> s.mn)").as("mns"),
+        expr("transform(array_sort(collect_list(struct(i, mx))), s -> s.mx)").as("mxs"))
+    val dq = corpus.crossJoin(broadcast(stats))
+      .withColumn("dqe", expr(
+        """transform(embedding, (x, i) ->
+          |  CASE WHEN mxs[i] > mns[i]
+          |  THEN mns[i] + floor((cast(x as double) - mns[i]) * 255.0 / (mxs[i] - mns[i]))
+          |       * (mxs[i] - mns[i]) / 255.0
+          |  ELSE mns[i] END)""".stripMargin))
+      .withColumn("dq_norm", expr("sqrt(aggregate(dqe, 0.0d, (a, v) -> a + v * v))"))
+      .filter(col("dq_norm") > 0)
+      .select("vec_id", "dqe", "dq_norm")
+    val queries = withNorm(corpus).filter(col("vec_id") < NQ).select(
+      col("vec_id").as("query_id"),
+      col("embedding").as("q_embedding"),
+      col("norm").as("q_norm"))
+    val adc = expr(
+      "aggregate(zip_with(q_embedding, dqe, (a, b) -> cast(a as double) * b), 0.0d, (acc, v) -> acc + v)")
+    val scored = dq.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(adc / (col("q_norm") * col("dq_norm")), 4).as("cosine"))
+      .as[(Long, Long, Double)]
+    scored.groupByKey(_._1)
+      .agg(new TopKAgg(K).toColumn.name("topk"))
+      .flatMap { case (q, buf) =>
+        buf.items.zipWithIndex.map { case ((c, id), i) => (q, i + 1, id, c) }
+      }
+      .toDF("query_id", "rank", "neighbor_id", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB oracle for a30: same per-dimension bounds, same
+    * quantize/dequantize arithmetic (identical operation order, so
+    * identical IEEE results), same asymmetric score and tie-break. */
+  val a30Sql: String = {
+    val dequant =
+      """list_transform(list_zip(embedding, (SELECT mns FROM stats), (SELECT mxs FROM stats)),
+        | p -> CASE WHEN p[3] > p[2]
+        |      THEN p[2] + floor((CAST(p[1] AS DOUBLE) - p[2]) * 255.0 / (p[3] - p[2]))
+        |           * (p[3] - p[2]) / 255.0
+        |      ELSE p[2] END)""".stripMargin
+    val adcScore =
+      """ROUND(list_sum(list_transform(list_zip(q.embedding, c.dqe),
+        |  p -> CAST(p[1] AS DOUBLE) * p[2])) / (q.norm * c.dq_norm), 4)""".stripMargin
+    s"""WITH dims AS (
+       | SELECT i, CAST(embedding[i] AS DOUBLE) AS x
+       | FROM (SELECT embedding, unnest(generate_series(1, len(embedding))) AS i
+       |       FROM embeddings)),
+       |stats AS (
+       | SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+       | FROM (SELECT i, min(x) AS mn, max(x) AS mx FROM dims GROUP BY i)),
+       |dq AS (
+       | SELECT vec_id, dqe,
+       |  sqrt(list_sum(list_transform(dqe, v -> v * v))) AS dq_norm
+       | FROM (SELECT vec_id, $dequant AS dqe FROM embeddings)),
+       |q AS (
+       | SELECT vec_id, embedding,
+       |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
+       | FROM embeddings WHERE vec_id < $NQ)
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM (
+       | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  $adcScore AS cosine,
+       |  row_number() OVER (PARTITION BY q.vec_id
+       |    ORDER BY $adcScore DESC, c.vec_id) AS rank
+       | FROM q JOIN dq c ON c.vec_id <> q.vec_id AND c.dq_norm > 0 AND q.norm > 0)
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a27_ann_brute" -> (a27AnnBrute _),
     "a28_ann_lsh" -> (a28AnnLsh _),
-    "a29_ann_ivf" -> (a29AnnIvf _))
+    "a29_ann_ivf" -> (a29AnnIvf _),
+    "a30_ann_sq" -> (a30AnnSq _))
 
   def oracles: Map[String, String] = Map(
     "a27_ann_brute" -> a27Sql,
-    "a28_ann_lsh" -> a28Sql)
+    "a28_ann_lsh" -> a28Sql,
+    "a30_ann_sq" -> a30Sql)
 }

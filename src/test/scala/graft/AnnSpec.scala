@@ -73,6 +73,32 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@5=$recall")
   }
 
+  test("a30 sq8: quantization distorts cosine by < 0.02 and keeps recall@5 high") {
+    val brute = Ann.a27AnnBrute(spark, sfDir)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    val sq = Ann.a30AnnSq(spark, sfDir)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect()
+    sq.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length).toSeq, s"ranks for $q")
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).toSeq.sorted.reverse,
+        s"cosine monotone for $q")
+    }
+    // 8-bit codes against corpus-wide [min,max] per dim: each value
+    // is off by < (mx-mn)/255, so the cosine error stays tiny
+    val bruteMap = brute.map(r => (r._1, r._2) -> r._3).toMap
+    val overlaps = sq.flatMap(r => bruteMap.get((r._1, r._3)).map(c => (r._4, c)))
+    assert(overlaps.nonEmpty)
+    overlaps.foreach { case (sqCos, exact) =>
+      assert(math.abs(sqCos - exact) < 0.02, s"sq $sqCos vs exact $exact")
+    }
+    val bruteSet = brute.map(r => (r._1, r._2)).toSet
+    val recall = (bruteSet & sq.map(r => (r._1, r._3)).toSet).size.toDouble / bruteSet.size
+    assert(recall >= 0.8, s"recall@5=$recall")
+  }
+
   test("a28 lsh returns fewer-or-equal candidates than brute force k") {
     val bruteN = Ann.a27AnnBrute(spark, sfDir).count()
     val lshN = Ann.a28AnnLsh(spark, sfDir).count()
