@@ -958,15 +958,21 @@ object Dedup {
   def d29Decontaminate(s: SparkSession, dir: String): DataFrame =
     d29DecontaminateN(s, dir, d29GramSize)
 
+  /** The n-token gram keys of a token array as 60-bit md5 prefixes
+    * (the dual-dialect idiom) — single definition shared by d29,
+    * d30, and the streaming decontamination (s39), so the batch and
+    * streaming scrub can never disagree on the key. */
+  private[graft] def gramKeys(toks: Column, n: Int): Column =
+    when(size(toks) < n, expr("cast(array() as array<bigint>)"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+        conv(substring(md5(concat_ws(" ", slice(toks, i, lit(n))).cast("binary")),
+          1, 15), 16, 10).cast("long")))
+
   private[graft] def d29DecontaminateN(s: SparkSession, dir: String,
       n: Int): DataFrame = {
     val grams = Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), explode(expr(
-        s"""CASE WHEN size(toks) < $n THEN array()
-           |ELSE transform(sequence(1, size(toks) - ${n - 1}), i ->
-           |  cast(conv(substring(md5(cast(concat_ws(' ', slice(toks, i, $n)) as binary)), 1, 15), 16, 10) as bigint))
-           |END""".stripMargin)).as("gram"))
+      .select(col("doc_id"), explode(gramKeys(col("toks"), n)).as("gram"))
     val evalGrams = grams.filter(col("doc_id") % 53 === 0)
       .select("gram").distinct()
     grams.filter(col("doc_id") % 53 =!= 0)
@@ -1025,11 +1031,7 @@ object Dedup {
     val n = d30GramSize
     val grams = Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), explode(expr(
-        s"""CASE WHEN size(toks) < $n THEN array()
-           |ELSE transform(sequence(1, size(toks) - ${n - 1}), i ->
-           |  cast(conv(substring(md5(cast(concat_ws(' ', slice(toks, i, $n)) as binary)), 1, 15), 16, 10) as bigint))
-           |END""".stripMargin)).as("gram"))
+      .select(col("doc_id"), explode(gramKeys(col("toks"), n)).as("gram"))
     // grams seen in ≥ 2 DISTINCT docs: min(doc) ≠ max(doc) — exact,
     // and partial-aggregable where count(distinct) is not. A gram
     // repeated only within one doc is t35's business, not d30's.

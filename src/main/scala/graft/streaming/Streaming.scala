@@ -314,6 +314,74 @@ object Streaming {
       |                     ORDER BY ts, event_id) AS rn
       | FROM events) WHERE rn = 1""".stripMargin
 
+  /** Decontamination-at-ingest: drop any incoming document that
+    * shares a token n-gram with the held-out eval set — d29's scrub
+    * moved to the stream boundary, so contaminated documents never
+    * land. The eval side arrives as ONE static row holding the
+    * distinct gram-key array (benchmark-sized, broadcast); the match
+    * is a stream-static LEFT ANTI join at DOC granularity on
+    * `arrays_overlap`, which is STATELESS — no watermark, no state
+    * store, each input row decided once on arrival. The shared
+    * [[graft.dedup.Dedup.gramKeys]] expression guarantees the stream
+    * and d29's batch scrub key grams identically.
+    *
+    * (The batch-optimal formulation of the same semantics is d29's
+    * exploded broadcast SEMI join; this transform deliberately keeps
+    * the doc-granularity shape because that is what a stream can run
+    * statelessly — the s39 batch entry runs THIS transform so the
+    * oracle pins exactly what the stream computes.) */
+  def decontaminateStream(docs: DataFrame, evalGramRow: DataFrame,
+      n: Int): DataFrame =
+    docs.withColumn("grams",
+        graft.dedup.Dedup.gramKeys(split(col("text"), " "), n))
+      .join(evalGramRow,
+        arrays_overlap(col("grams"), col("eval_grams")), "left_anti")
+      .drop("grams")
+
+  /** The 1-row eval gram set for [[decontaminateStream]]: distinct
+    * 60-bit gram keys of the eval slice collected into one array —
+    * benchmark-sized static state, the stream side's broadcast. */
+  def evalGramRow(evalDocs: DataFrame, n: Int): DataFrame =
+    evalDocs.select(explode(
+        graft.dedup.Dedup.gramKeys(split(col("text"), " "), n)).as("g"))
+      .agg(collect_set(col("g")).as("eval_grams"))
+
+  /** s39 queries entry — the decontaminated corpus: train-side docs
+    * (doc_id % 53 ≠ 0, mirroring d29's eval split) that survive the
+    * stream transform, run in batch mode on the documents table. */
+  def s39StreamDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val n = graft.dedup.Dedup.d29GramSize
+    val docs = graft.Tables.documents(s, dir)
+    val eval = evalGramRow(docs.filter(col("doc_id") % 53 === 0), n)
+    decontaminateStream(docs.filter(col("doc_id") % 53 =!= 0), broadcast(eval), n)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for s39: same tokenization, windows, and 60-bit
+    * gram key as d29's oracle; survivors via NOT EXISTS against the
+    * eval gram set. */
+  val s39Sql: String = {
+    val n = graft.dedup.Dedup.d29GramSize
+    s"""WITH toks AS (
+       | SELECT doc_id, lang, source, n_chars, string_split(text, ' ') AS t
+       | FROM documents),
+       |grams AS (
+       | SELECT doc_id,
+       |  CAST(('0x' || substr(md5(array_to_string(t[i:i+${n - 1}], ' ')), 1, 15)) AS BIGINT) AS gram
+       | FROM (SELECT doc_id, t,
+       |        unnest(generate_series(1, greatest(len(t) - ${n - 1}, 0))) AS i
+       |       FROM toks)),
+       |eval_grams AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 53 = 0)
+       |SELECT doc_id, lang, source, n_chars
+       |FROM toks
+       |WHERE doc_id % 53 <> 0
+       |  AND NOT EXISTS (SELECT 1 FROM grams g
+       |                  WHERE g.doc_id = toks.doc_id
+       |                    AND g.gram IN (SELECT gram FROM eval_grams))
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Attach the gold-merge sink to a stream of events. */
   def goldMergeQuery(events: DataFrame, targetDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -326,12 +394,14 @@ object Streaming {
     "s35_stream_join" -> (s35StreamJoin _),
     "s36_sessionize" -> (s36Sessionize _),
     "s37_cumulative" -> (s37Cumulative _),
-    "s38_stream_dedup" -> (s38StreamDedup _))
+    "s38_stream_dedup" -> (s38StreamDedup _),
+    "s39_stream_decontaminate" -> (s39StreamDecontaminate _))
 
   def oracles: Map[String, String] = Map(
     "s34_stream_tumbling" -> s34Sql,
     "s35_stream_join" -> s35Sql,
     "s36_sessionize" -> s36Sql,
     "s37_cumulative" -> s37Sql,
-    "s38_stream_dedup" -> s38Sql)
+    "s38_stream_dedup" -> s38Sql,
+    "s39_stream_decontaminate" -> s39Sql)
 }

@@ -8,6 +8,8 @@ import graft.streaming.Streaming
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
               event_type: String, value: Double)
 
+case class Doc(doc_id: Long, text: String)
+
 /** Drives the streaming transforms through MemoryStream → watermark
   * → memory sink, proving the same logic that passes the batch
   * oracle also runs incrementally with bounded state. */
@@ -83,6 +85,47 @@ class StreamingSpec extends SparkSpec {
     val batch = Streaming.dedupBatch(scala.util.Random.shuffle(evs).toDF())
       .select("event_id").as[Long].collect().toSet
     assert(batch == Set(1L, 3L, 4L))
+  }
+
+  test("s39 streaming decontamination drops gram-overlap docs statelessly; batch form agrees") {
+    // eval doc contributes the 4-gram "one two three four"; doc 11
+    // contains it (dropped), doc 12 shares only shorter overlaps
+    // (kept), doc 13 is disjoint (kept)
+    val evalDocs = Seq(Doc(0L, "one two three four five")).toDF()
+    val stream = Seq(
+      Doc(11L, "zz one two three four yy"),  // shares a 4-gram → dropped
+      Doc(12L, "one two three zz yy ww qq"), // only a 3-gram → kept
+      Doc(13L, "aa bb cc dd ee ff"))         // disjoint → kept
+    val evalRow = Streaming.evalGramRow(evalDocs, 4)
+    val in = MemoryStream[Doc](spark)
+    val q = Streaming.decontaminateStream(in.toDF(), evalRow, 4)
+      .writeStream.format("memory").queryName("s39out")
+      .outputMode("append").start()
+    try {
+      in.addData(stream: _*)
+      q.processAllAvailable()
+      val got = spark.table("s39out").select("doc_id").as[Long].collect().toSet
+      assert(got == Set(12L, 13L), s"stateless doc-granularity scrub, got $got")
+    } finally q.stop()
+    // the same transform in batch mode returns the same survivors
+    val batch = Streaming.decontaminateStream(stream.toDF(), evalRow, 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(batch == Set(12L, 13L))
+  }
+
+  test("s39 batch entry agrees with d29: flagged docs are exactly the non-survivors") {
+    // d29 flags contaminated train docs; s39 keeps the complement —
+    // together they partition the train side of the corpus
+    val flagged = graft.dedup.Dedup.d29Decontaminate(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    val kept = Streaming.s39StreamDecontaminate(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    val train = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 53 =!= 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(flagged.nonEmpty && kept.nonEmpty)
+    assert((flagged & kept).isEmpty)
+    assert((flagged | kept) == train)
   }
 
   test("s34/s35 batch equivalents equal their streaming output on the same data") {
