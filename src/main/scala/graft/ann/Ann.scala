@@ -64,6 +64,23 @@ object Ann {
       org.apache.spark.sql.Encoders.product[TopKBuf]
   }
 
+  /** The shared (query_id, neighbor_id, cosine) → ranked top-k tail
+    * of a27/a30: bounded-buffer partial aggregation (≤ k rows per
+    * query and map task cross the network), then rank expansion. One
+    * definition so the exact baseline and the quantized path can
+    * never diverge on tie-break or output contract. */
+  private def rankedTopK(s: SparkSession,
+      scored: org.apache.spark.sql.Dataset[(Long, Long, Double)]): DataFrame = {
+    import s.implicits._
+    scored.groupByKey(_._1)
+      .agg(new TopKAgg(K).toColumn.name("topk"))
+      .flatMap { case (q, buf) =>
+        buf.items.zipWithIndex.map { case ((c, id), i) => (q, i + 1, id, c) }
+      }
+      .toDF("query_id", "rank", "neighbor_id", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
   /** a27: brute-force cosine top-k.
     * Exact baseline: score all query×corpus pairs, keep top-k per
     * query with a typed bounded-buffer Aggregator — partial
@@ -82,13 +99,7 @@ object Ann {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cosine, 4).as("cosine"))
       .as[(Long, Long, Double)]
-    scored.groupByKey(_._1)
-      .agg(new TopKAgg(K).toColumn.name("topk"))
-      .flatMap { case (q, buf) =>
-        buf.items.zipWithIndex.map { case ((c, id), i) => (q, i + 1, id, c) }
-      }
-      .toDF("query_id", "rank", "neighbor_id", "cosine")
-      .orderBy("query_id", "rank")
+    rankedTopK(s, scored)
   }
 
   /** Deterministic random hyperplanes (shared module): 8 planes ×
@@ -275,13 +286,7 @@ object Ann {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(adc / (col("q_norm") * col("dq_norm")), 4).as("cosine"))
       .as[(Long, Long, Double)]
-    scored.groupByKey(_._1)
-      .agg(new TopKAgg(K).toColumn.name("topk"))
-      .flatMap { case (q, buf) =>
-        buf.items.zipWithIndex.map { case ((c, id), i) => (q, i + 1, id, c) }
-      }
-      .toDF("query_id", "rank", "neighbor_id", "cosine")
-      .orderBy("query_id", "rank")
+    rankedTopK(s, scored)
   }
 
   /** DuckDB oracle for a30: same per-dimension bounds, same

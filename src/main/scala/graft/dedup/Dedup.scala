@@ -1098,13 +1098,12 @@ object Dedup {
     val n = d30GramSize
     val toksDf = Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-    val grams = toksDf.select(col("doc_id"), explode(expr(
-      s"""CASE WHEN size(toks) < $n THEN array()
-         |ELSE transform(sequence(1, size(toks) - ${n - 1}), i -> named_struct(
-         |  'pos', i,
-         |  'gram', cast(conv(substring(md5(cast(concat_ws(' ', slice(toks, i, $n)) as binary)), 1, 15), 16, 10) as bigint)))
-         |END""".stripMargin)).as("pg"))
-      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
+    // positions ride along as posexplode's 0-based index + 1, so the
+    // gram HASH comes from the same shared gramKeys expression as
+    // d29/d30/s39 — the scrub can never key differently than the audit
+    val grams = toksDf
+      .select(col("doc_id"), posexplode(gramKeys(col("toks"), n)).as(Seq("g0", "gram")))
+      .select(col("doc_id"), (col("g0") + 1).as("pos"), col("gram"))
     val repeated = grams.groupBy("gram")
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
       .filter(col("mn") =!= col("mx"))
