@@ -145,4 +145,53 @@ class ExprPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("gramKeys == JVM md5-window reference on random token arrays") {
+    // load-bearing for d29/d30/d31/s39: every n-window's 60-bit
+    // md5-prefix key, including the short-doc empty case and n=1
+    def reference(toks: Array[String], n: Int): Seq[Long] =
+      if (toks.length < n) Seq.empty
+      else (0 to toks.length - n).map { i =>
+        val gram = toks.slice(i, i + n).mkString(" ")
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(gram.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString.take(15)
+        java.lang.Long.parseLong(hex, 16)
+      }
+    val vocab = Array("aa", "bb", "cc", "dd", "")
+    val cases = Seq.fill(40) {
+      val n = 1 + rng.nextInt(5)
+      (Array.fill(rng.nextInt(12))(vocab(rng.nextInt(vocab.length))), n)
+    }
+    cases.groupBy(_._2).foreach { case (n, group) =>
+      val got = group.map(_._1).toDF("toks")
+        .select(graft.dedup.Dedup.gramKeys(col("toks"), n))
+        .as[Seq[Long]].collect()
+      group.zip(got).foreach { case ((toks, _), g) =>
+        assert(g == reference(toks, n), s"n=$n toks=${toks.toSeq}")
+      }
+    }
+  }
+
+  test("a30 scalar quantization: dequantized value within one code step of the input") {
+    // the error bound the AnnSpec distortion assertion rests on:
+    // |dq(x) - x| ≤ (mx - mn)/255 for x ∈ [mn, mx], and bounds are
+    // reproduced exactly (code 0 → mn; x = mx → code 255 → mx)
+    val cases = Seq.fill(200) {
+      val mn = rng.nextDouble() * 10 - 5
+      val mx = mn + rng.nextDouble() * 10
+      val x = mn + rng.nextDouble() * (mx - mn)
+      (x, mn, mx)
+    } ++ Seq((1.5, 1.5, 1.5), (2.0, 2.0, 5.0), (5.0, 2.0, 5.0))
+    val got = cases.toDF("x", "mn", "mx").select(expr(
+      """CASE WHEN mx > mn
+        |THEN mn + floor((x - mn) * 255.0 / (mx - mn)) * (mx - mn) / 255.0
+        |ELSE mn END""".stripMargin)).as[Double].collect()
+    cases.zip(got).foreach { case ((x, mn, mx), dq) =>
+      val step = if (mx > mn) (mx - mn) / 255.0 else 0.0
+      assert(dq >= mn - 1e-12 && dq <= mx + 1e-12, s"dq $dq outside [$mn,$mx]")
+      assert(math.abs(dq - x) <= step + 1e-12,
+        s"|dq($x) - $x| = ${math.abs(dq - x)} > step $step (mn=$mn mx=$mx)")
+    }
+  }
 }
