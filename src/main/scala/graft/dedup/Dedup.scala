@@ -1165,6 +1165,67 @@ object Dedup {
        |ORDER BY toks.doc_id""".stripMargin
   }
 
+  /** d32: embedding near-dup DEDUP end-to-end — the action half of
+    * d28, exactly as d27 completes d23/d25: connected components over
+    * d28's verified pair graph (SemDeDup-style semantic dedup — one
+    * representative kept per near-duplicate embedding cluster), keep
+    * the minimum vec_id per component, isolated vectors label
+    * themselves. Because d28's edge generator is already dual-dialect
+    * (literal hyperplanes, double cosine), the WHOLE chain — banding,
+    * verify, clustering — is oracle-checked: the DuckDB side
+    * regenerates the same pairs and closes them with a recursive
+    * min-label CTE (the d27b idiom, but over the PRODUCTION edge set
+    * rather than an oracle-only slice).
+    *
+    * Scale shape: inherits d28's slim candidate generation and
+    * size-adaptive attach plus d27's logarithmic large-star/
+    * small-star rounds; the final labeling is one left join on
+    * vec_id. */
+  def d32EmbedDedup(s: SparkSession, dir: String): DataFrame = {
+    val verts = Tables.embeddings(s, dir).select(col("vec_id").as("id"))
+    val edges = d28EmbedNeardupLsh(s, dir)
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+    connectedComponents(verts, edges)
+      .select(col("id").as("vec_id"), col("component").as("component_id"),
+        (col("id") === col("component")).as("keep"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB oracle for d32: d28's pair CTE verbatim + the d27b
+    * recursive min-label closure, over ALL embeddings (zero-norm
+    * vectors are isolated singletons on both sides). */
+  val d32Sql: String = {
+    import graft.functions.Hyperplanes.bandDuck
+    val bandCols = (0 until 4)
+      .map(b => s"${bandDuck("embedding", b, 8)} AS band$b").mkString(",\n  ")
+    """WITH RECURSIVE e AS (
+      | SELECT * FROM (
+      |  SELECT vec_id, embedding,
+      |   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm,
+      |  BANDCOLS
+      |  FROM embeddings) WHERE norm > 0),
+      |pairs AS (
+      | SELECT vec_a, vec_b FROM (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |   ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |           p -> CAST(p[1] AS DOUBLE) * p[2])) / (a.norm * b.norm), 4) AS cosine
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |   AND (a.band0 = b.band0 OR a.band1 = b.band1
+      |        OR a.band2 = b.band2 OR a.band3 = b.band3))
+      | WHERE cosine >= 0.4),
+      |edges AS (
+      | SELECT vec_a AS src, vec_b AS dst FROM pairs
+      | UNION ALL
+      | SELECT vec_b AS src, vec_a AS dst FROM pairs),
+      |reach(a, b) AS (
+      | SELECT vec_id, vec_id FROM embeddings
+      | UNION
+      | SELECT r.a, g.dst FROM reach r JOIN edges g ON r.b = g.src)
+      |SELECT a AS vec_id, MIN(b) AS component_id, MIN(b) = a AS keep
+      |FROM reach GROUP BY a ORDER BY vec_id""".stripMargin
+      .replace("BANDCOLS", bandCols)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d22_dedup_exact" -> (d22DedupExact _),
     "d23_dedup_minhash" -> (d23DedupMinhash _),
@@ -1179,7 +1240,8 @@ object Dedup {
     "d28_embed_neardup_lsh" -> (d28EmbedNeardupLsh _),
     "d29_decontaminate" -> (d29Decontaminate _),
     "d30_repeated_ngrams" -> (d30RepeatedNgrams _),
-    "d31_passage_scrub" -> (d31PassageScrub _))
+    "d31_passage_scrub" -> (d31PassageScrub _),
+    "d32_embed_dedup" -> (d32EmbedDedup _))
 
   def oracles: Map[String, String] = Map(
     "d22_dedup_exact" -> d22Sql,
@@ -1191,5 +1253,6 @@ object Dedup {
     "d28_embed_neardup_lsh" -> d28Sql,
     "d29_decontaminate" -> d29Sql,
     "d30_repeated_ngrams" -> d30Sql,
-    "d31_passage_scrub" -> d31Sql)
+    "d31_passage_scrub" -> d31Sql,
+    "d32_embed_dedup" -> d32Sql)
 }

@@ -303,4 +303,25 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.d29Decontaminate(spark, sfDir).count() > 0,
       "d29 output is empty at the test SF — the cross-engine gate is vacuous")
   }
+
+  test("d32: d28 pairs share a component, keep-count = component count, gate non-vacuous") {
+    import spark.implicits._
+    val labels = Dedup.d32EmbedDedup(spark, sfDir)
+      .select("vec_id", "component_id", "keep")
+      .as[(Long, Long, Boolean)].collect()
+    val comp = labels.map(r => r._1 -> r._2).toMap
+    val pairs = Dedup.d28EmbedNeardupLsh(spark, sfDir)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "no d28 pairs at the test SF — gate is vacuous")
+    pairs.foreach { case (a, b) =>
+      assert(comp(a) == comp(b), s"pair ($a,$b) split across components")
+    }
+    labels.foreach { case (id, c, keep) =>
+      assert(keep == (id == c), s"keep flag wrong for $id")
+      assert(c <= id, s"component label must be the min member: $id -> $c")
+    }
+    assert(labels.count(_._3) == labels.map(_._2).distinct.length)
+    // merges actually happen: fewer components than vectors
+    assert(labels.map(_._2).distinct.length < labels.length)
+  }
 }

@@ -286,7 +286,7 @@ class PlanSpec extends SparkSpec {
     // piecewise instead — the lazy capped-candidate and CC-round
     // tests above and the dedicated q30/q31 plan test below.
     val eagerEntries = Set("q30_incremental_export", "q31_export_roundtrip",
-      "d27_dedup_components", "d27b_components_oracle")
+      "d27_dedup_components", "d27b_components_oracle", "d32_embed_dedup")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => eagerEntries(q._1)).foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
