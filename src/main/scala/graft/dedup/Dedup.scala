@@ -605,30 +605,40 @@ object Dedup {
     // single task; the driver compare sorts rows itself (see d23b)
   }
 
-  /** DuckDB equivalent of d28 — identical literal planes, band
-    * values as four scalar columns, candidates = pairs agreeing on
-    * ≥ 1 band (the OR-join emits each pair once, so no DISTINCT),
-    * identical double cosine and 0.4 threshold. */
-  val d28Sql: String = {
+  /** The shared DuckDB CTE prefix for d28's edge semantics — norm/
+    * band projection (`e`) + verified pairs (`pairs`). ONE definition
+    * used by both d28Sql and d32Sql, so a change to the edge
+    * semantics (threshold, band count, precision) cannot drift
+    * between the pair query and the clustering oracle built on it. */
+  private val d28PairsCte: String = {
     import graft.functions.Hyperplanes.bandDuck
     val bandCols = (0 until 4)
       .map(b => s"${bandDuck("embedding", b, 8)} AS band$b").mkString(",\n  ")
-    """WITH e AS (
+    """e AS (
       | SELECT * FROM (
       |  SELECT vec_id, embedding,
       |   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm,
       |  BANDCOLS
-      |  FROM embeddings) WHERE norm > 0)
-      |SELECT vec_a, vec_b, cosine FROM (
-      | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-      |  ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
-      |          p -> CAST(p[1] AS DOUBLE) * p[2])) / (a.norm * b.norm), 4) AS cosine
-      | FROM e a JOIN e b ON a.vec_id < b.vec_id
-      |  AND (a.band0 = b.band0 OR a.band1 = b.band1
-      |       OR a.band2 = b.band2 OR a.band3 = b.band3))
-      |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
+      |  FROM embeddings) WHERE norm > 0),
+      |pairs AS (
+      | SELECT vec_a, vec_b, cosine FROM (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |   ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |           p -> CAST(p[1] AS DOUBLE) * p[2])) / (a.norm * b.norm), 4) AS cosine
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |   AND (a.band0 = b.band0 OR a.band1 = b.band1
+      |        OR a.band2 = b.band2 OR a.band3 = b.band3))
+      | WHERE cosine >= 0.4)""".stripMargin
       .replace("BANDCOLS", bandCols)
   }
+
+  /** DuckDB equivalent of d28 — identical literal planes, band
+    * values as four scalar columns, candidates = pairs agreeing on
+    * ≥ 1 band (the OR-join emits each pair once, so no DISTINCT),
+    * identical double cosine and 0.4 threshold. */
+  val d28Sql: String =
+    s"""WITH $d28PairsCte
+       |SELECT vec_a, vec_b, cosine FROM pairs ORDER BY vec_a, vec_b""".stripMargin
 
   /** DuckDB equivalent of d25 — bigram shingles via index-zip,
     * identical double math, identical 0.05 threshold. */
@@ -1185,46 +1195,28 @@ object Dedup {
     val verts = Tables.embeddings(s, dir).select(col("vec_id").as("id"))
     val edges = d28EmbedNeardupLsh(s, dir)
       .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+    // no presentation sort: production path, the driver compare
+    // sorts rows itself (d27/d28/d23b precedent)
     connectedComponents(verts, edges)
       .select(col("id").as("vec_id"), col("component").as("component_id"),
         (col("id") === col("component")).as("keep"))
-      .orderBy("vec_id")
   }
 
-  /** DuckDB oracle for d32: d28's pair CTE verbatim + the d27b
+  /** DuckDB oracle for d32: d28's shared pair CTE + the d27b
     * recursive min-label closure, over ALL embeddings (zero-norm
     * vectors are isolated singletons on both sides). */
-  val d32Sql: String = {
-    import graft.functions.Hyperplanes.bandDuck
-    val bandCols = (0 until 4)
-      .map(b => s"${bandDuck("embedding", b, 8)} AS band$b").mkString(",\n  ")
-    """WITH RECURSIVE e AS (
-      | SELECT * FROM (
-      |  SELECT vec_id, embedding,
-      |   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm,
-      |  BANDCOLS
-      |  FROM embeddings) WHERE norm > 0),
-      |pairs AS (
-      | SELECT vec_a, vec_b FROM (
-      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-      |   ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
-      |           p -> CAST(p[1] AS DOUBLE) * p[2])) / (a.norm * b.norm), 4) AS cosine
-      |  FROM e a JOIN e b ON a.vec_id < b.vec_id
-      |   AND (a.band0 = b.band0 OR a.band1 = b.band1
-      |        OR a.band2 = b.band2 OR a.band3 = b.band3))
-      | WHERE cosine >= 0.4),
-      |edges AS (
-      | SELECT vec_a AS src, vec_b AS dst FROM pairs
-      | UNION ALL
-      | SELECT vec_b AS src, vec_a AS dst FROM pairs),
-      |reach(a, b) AS (
-      | SELECT vec_id, vec_id FROM embeddings
-      | UNION
-      | SELECT r.a, g.dst FROM reach r JOIN edges g ON r.b = g.src)
-      |SELECT a AS vec_id, MIN(b) AS component_id, MIN(b) = a AS keep
-      |FROM reach GROUP BY a ORDER BY vec_id""".stripMargin
-      .replace("BANDCOLS", bandCols)
-  }
+  val d32Sql: String =
+    s"""WITH RECURSIVE $d28PairsCte,
+       |edges AS (
+       | SELECT vec_a AS src, vec_b AS dst FROM pairs
+       | UNION ALL
+       | SELECT vec_b AS src, vec_a AS dst FROM pairs),
+       |reach(a, b) AS (
+       | SELECT vec_id, vec_id FROM embeddings
+       | UNION
+       | SELECT r.a, g.dst FROM reach r JOIN edges g ON r.b = g.src)
+       |SELECT a AS vec_id, MIN(b) AS component_id, MIN(b) = a AS keep
+       |FROM reach GROUP BY a ORDER BY vec_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d22_dedup_exact" -> (d22DedupExact _),
