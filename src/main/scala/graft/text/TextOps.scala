@@ -19,6 +19,21 @@ object TextOps {
 
   private def tokens(c: Column): Column = split(c, " ")
 
+  /** Adjacent-token pairs as structs of (w1, gram) — the ONE
+    * definition of bigram formation (sliding zip of the token array
+    * with its own tail), shared by t35/t38/t39 so separator, bounds,
+    * and tokenization can never drift between the repetition gate,
+    * the keyphrase extractor, and the LM scorer. */
+  private[graft] def bigramPairs(toks: Column): Column =
+    zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (x, y) => struct(x.as("w1"), concat(x, lit(" "), y).as("gram")))
+
+  /** Just the bigram strings of [[bigramPairs]]. */
+  private[graft] def bigrams(toks: Column): Column =
+    transform(bigramPairs(toks), p => p.getField("gram"))
+
   /** THE canonical exact-dedup key: md5 over whitespace-normalized,
     * lowercased text. Single definition shared by t32 and d22 so
     * fingerprints always match the keys dedup actually groups on. */
@@ -278,11 +293,7 @@ object TextOps {
     * bigram gate); a real deployment tunes them per corpus. */
   def t35Repetition(s: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
-    // sliding zip of the token array with its own tail = bigrams
-    val grams = zip_with(
-      slice(toks, lit(1), size(toks) - 1),
-      slice(toks, lit(2), size(toks) - 1),
-      (x, y) => concat(x, lit(" "), y))
+    val grams = bigrams(toks)
     val kg = Tables.documents(s, dir).select(
       col("doc_id"), size(toks).as("n_tokens"),
       explode(concat(
@@ -465,10 +476,7 @@ object TextOps {
     * (df counts rows of the already-distinct (doc, gram) table). */
   def t38Keyphrase(s: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
-    val grams = zip_with(
-      slice(toks, lit(1), size(toks) - 1),
-      slice(toks, lit(2), size(toks) - 1),
-      (x, y) => concat(x, lit(" "), y))
+    val grams = bigrams(toks)
     val base = Tables.documents(s, dir).select(
       col("doc_id"), size(toks).minus(1).cast("long").as("n_grams"),
       explode(grams).as("gram"))
@@ -479,7 +487,11 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df, Seq("gram"))
       .crossJoin(broadcast(nDocs))
-      // exact-int rational: tf·1e4·N / (n_grams·df), products < 2^53
+      // exact-int rational tf·1e4·N / (n_grams·df) while the products
+      // stay < 2^53 (holds up to ~1e9-doc corpora at these tf caps);
+      // beyond that the quotient is merely correctly-rounded — both
+      // engines still agree bit-for-bit (identical IEEE op sequence),
+      // but the integer-exactness invariant relaxes
       .withColumn("score_bp",
         floor(col("tf") * 10000.0 * col("n_docs")
           / (col("n_grams") * col("df")) + 0.5).cast("int"))
@@ -544,12 +556,8 @@ object TextOps {
     * doc-keyed left join (nothing to score). */
   def t39BigramLm(s: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
-    val grams = zip_with(
-      slice(toks, lit(1), size(toks) - 1),
-      slice(toks, lit(2), size(toks) - 1),
-      (x, y) => struct(x.as("w1"), concat(x, lit(" "), y).as("gram")))
     val bg = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(grams).as("g"))
+      .select(col("doc_id"), explode(bigramPairs(toks)).as("g"))
       .select(col("doc_id"), col("g.w1").as("w1"), col("g.gram").as("gram"))
     val c12 = bg.groupBy("w1", "gram").agg(count(lit(1)).as("c12"))
     val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
@@ -557,7 +565,10 @@ object TextOps {
       .select(explode(tokens(col("text"))).as("tok"))
       .agg(countDistinct(col("tok")).as("v"))
     val dict = c12.join(c1, Seq("w1")).crossJoin(broadcast(vocab))
-      // exact-int rational: (c12+1)·1e6 / (c1+V), products < 2^53
+      // exact-int rational (c12+1)·1e6 / (c1+V) while (c12+1)·1e6 stays
+      // < 2^53 (holds to ~9e9 occurrences of a single bigram); beyond
+      // that both engines still agree bit-for-bit (identical IEEE op
+      // sequence), but the integer-exactness invariant relaxes
       .withColumn("ppm",
         floor((col("c12") + 1) * 1000000.0 / (col("c1") + col("v")))
           .cast("long"))
