@@ -16,13 +16,16 @@ case class MediaRecord(doc_id: Long, modality: String,
                        payload: Array[Byte], meta: MediaMeta)
 
 /** Extracted features for one record. The decoded_* columns are REAL
-  * for the formats [[ImageCodec]] parses (BMP, PPM); decoded_format
-  * = "stub" marks payloads whose codec isn't in this container.
-  * `feat` stands in for a model embedding; its computation is the
-  * STUB (see decodeBatch). */
+  * for the formats [[ImageCodec]] (BMP, PPM) and [[AudioCodec]]
+  * (WAV/PCM16 mono) parse; decoded_format = "stub" marks payloads
+  * whose codec isn't in this container. Image fields (width/height/
+  * pixel_crc) are -1 for non-images; audio fields (sample_rate/
+  * n_samples) are -1 for non-audio. `feat` stands in for a model
+  * embedding; its computation is the STUB (see decodeBatch). */
 case class MediaFeatures(doc_id: Long, modality: String, n_bytes: Int,
                          payload_crc: Long, decoded_format: String,
                          width: Int, height: Int, pixel_crc: Long,
+                         sample_rate: Int, n_samples: Int, sample_crc: Long,
                          feat: Array[Float])
 
 /** m33: multimodal binary-column plumbing.
@@ -61,10 +64,21 @@ object Multimodal {
     (w, h, ImageCodec.encodeBmp(w, h, rgb))
   }
 
+  /** Deterministic WAV payload for an audio row: sample count and
+    * PCM values are pure functions of doc_id, so every decoded field
+    * is reproducible and the spec can recompute them independently. */
+  private[multimodal] def syntheticWav(docId: Long): (Int, Array[Byte]) = {
+    val n = 16 + (docId % 64).toInt
+    val samples = Array.tabulate(n)(i =>
+      ((docId * 131 + i.toLong * i * 7) % 32768).toShort)
+    (n, AudioCodec.encodeWav(8000, samples))
+  }
+
   /** Deterministic fake media table derived from `documents`:
-    * image rows carry a REAL generated BMP payload (decoded for real
-    * downstream); audio/video payloads are utf-8 text bytes standing
-    * in for media bytes. Modality cycles image/audio/video; metadata
+    * image rows carry a REAL generated BMP payload and audio rows a
+    * REAL generated WAV/PCM16 payload (both decoded for real
+    * downstream); video payloads are utf-8 text bytes standing in
+    * for media bytes. Modality cycles image/audio/video; metadata
     * is derived from doc_id/length so every field is reproducible. */
   def mediaTable(s: SparkSession, dir: String): Dataset[MediaRecord] = {
     import s.implicits._
@@ -82,10 +96,15 @@ object Multimodal {
           (col("n_chars") * 100).as("durationMs")).as("meta"))
       .as[MediaRecord]
       .map { r =>
-        if (r.modality != "image") r
-        else {
-          val (w, h, bmp) = syntheticBmp(r.doc_id)
-          r.copy(payload = bmp, meta = r.meta.copy(width = w, height = h))
+        r.modality match {
+          case "image" =>
+            val (w, h, bmp) = syntheticBmp(r.doc_id)
+            r.copy(payload = bmp, meta = r.meta.copy(width = w, height = h))
+          case "audio" =>
+            val (n, wav) = syntheticWav(r.doc_id)
+            r.copy(payload = wav,
+              meta = r.meta.copy(durationMs = n * 1000L / 8000))
+          case _ => r
         }
       }
   }
@@ -108,19 +127,24 @@ object Multimodal {
         while (i < r.payload.length) { s += r.payload(i) & 0xff; i += 8 }
         s.toFloat / math.max(r.payload.length, 1)
       }
-      // gate on modality, don't sniff every payload: an audio/video
-      // payload whose leading bytes happen to spell "P6 w h 255 …"
-      // (possible — non-image payloads here are raw text) must stay
-      // on the stub path, preserving the non-image → stub contract
-      val decoded =
-        if (r.modality == "image") ImageCodec.decode(r.payload) else None
-      decoded match {
-        case Some(img) =>
-          MediaFeatures(r.doc_id, r.modality, r.payload.length, crc.getValue,
-            img.format, img.width, img.height, img.pixelCrc, feat)
-        case None =>
-          MediaFeatures(r.doc_id, r.modality, r.payload.length, crc.getValue,
-            "stub", -1, -1, -1L, feat)
+      // gate on modality, don't sniff every payload: a video payload
+      // whose leading bytes happen to spell "P6 w h 255 …" or "RIFF…"
+      // (possible — video payloads here are raw text) must stay on
+      // the stub path, preserving the wrong-modality → stub contract
+      def stub = MediaFeatures(r.doc_id, r.modality, r.payload.length,
+        crc.getValue, "stub", -1, -1, -1L, -1, -1, -1L, feat)
+      r.modality match {
+        case "image" =>
+          ImageCodec.decode(r.payload).fold(stub)(img =>
+            MediaFeatures(r.doc_id, r.modality, r.payload.length,
+              crc.getValue, img.format, img.width, img.height,
+              img.pixelCrc, -1, -1, -1L, feat))
+        case "audio" =>
+          AudioCodec.decode(r.payload).fold(stub)(a =>
+            MediaFeatures(r.doc_id, r.modality, r.payload.length,
+              crc.getValue, a.format, -1, -1, -1L,
+              a.sampleRate, a.nSamples, a.sampleCrc, feat))
+        case _ => stub
       }
     }
 

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.types._
-import graft.multimodal.{ImageCodec, MediaRecord, MediaMeta, Multimodal}
+import graft.multimodal.{AudioCodec, ImageCodec, MediaRecord, MediaMeta, Multimodal}
 
 /** Pins the multimodal plumbing contract: schema, batch shape,
   * determinism, exact stub-feature values, and the REAL BMP/PPM
@@ -21,7 +21,9 @@ class MultimodalSpec extends SparkSpec {
     // image rows carry a genuine BMP container, not stand-in bytes
     assert(first.payload(0) == 'B' && first.payload(1) == 'M')
     val audio = ds.filter(_.doc_id == 1L).head()
-    assert(audio.modality == "audio" && new String(audio.payload, "UTF-8").nonEmpty)
+    // audio rows carry a genuine RIFF/WAVE container, not stand-in bytes
+    assert(audio.modality == "audio" &&
+      new String(audio.payload.take(4), "US-ASCII") == "RIFF")
   }
 
   test("decodeFeatures is deterministic and exact on a known payload") {
@@ -81,7 +83,8 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.count() == docs)
     assert(feats.schema.fieldNames.toSeq ==
       Seq("doc_id", "modality", "n_bytes", "payload_crc", "decoded_format",
-        "width", "height", "pixel_crc", "feat"))
+        "width", "height", "pixel_crc", "sample_rate", "n_samples",
+        "sample_crc", "feat"))
   }
 
   test("BMP decode: handcrafted 2x2 pixels round-trip with exact dims, means, and pixel CRC") {
@@ -143,8 +146,60 @@ class MultimodalSpec extends SparkSpec {
       crc.update(rgb)
       assert(f.pixel_crc == crc.getValue, s"doc ${f.doc_id} pixel CRC")
     }
-    // non-image payloads have no parseable container → labeled stub
-    assert(feats.filter(_.modality != "image").forall(f =>
+    // video payloads have no parseable container → labeled stub
+    assert(feats.filter(_.modality == "video").forall(f =>
       f.decoded_format == "stub" && f.width == -1 && f.pixel_crc == -1L))
+  }
+
+  test("WAV decode: handcrafted samples round-trip with exact rate, count, rms, and sample CRC") {
+    val samples = Array[Short](0, 100, -100, 32767, -32768)
+    val wav = AudioCodec.encodeWav(8000, samples)
+    val a = AudioCodec.decode(wav).get
+    assert(a.format == "wav" && a.sampleRate == 8000 && a.nSamples == 5)
+    assert(a.durationMs == 5 * 1000L / 8000)
+    val sumSq = samples.map(s => s.toDouble * s).sum
+    assert(a.rms == math.sqrt(sumSq / 5))
+    // CRC over the little-endian PCM bytes (the last 10 of the file)
+    val crc = new java.util.zip.CRC32()
+    crc.update(wav.drop(44))
+    assert(a.sampleCrc == crc.getValue)
+  }
+
+  test("WAV corrupt/truncated payloads: decode is total, never throws") {
+    val wav = AudioCodec.encodeWav(8000, Array[Short](1, 2, 3, 4))
+    for (cut <- Seq(0, 3, 11, 20, 43, wav.length - 1))
+      assert(AudioCodec.decode(wav.take(cut)).isEmpty, s"truncated at $cut")
+    assert(AudioCodec.decode("RIFFxxxxWAVE then garbage".getBytes).isEmpty)
+    // stereo and non-PCM format tags must be rejected
+    val stereo = wav.clone(); stereo(22) = 2
+    assert(AudioCodec.decode(stereo).isEmpty, "stereo must stay stub")
+    val nonPcm = wav.clone(); nonPcm(20) = 3
+    assert(AudioCodec.decode(nonPcm).isEmpty, "non-PCM must stay stub")
+    // a declared data size larger than the file must be rejected
+    val overrun = wav.clone(); overrun(40) = 127
+    assert(AudioCodec.decode(overrun).isEmpty, "data overrun must be rejected")
+  }
+
+  test("m33 pipeline decodes audio rows for real: fields match an independent recompute") {
+    val feats = Multimodal.decodeFeatures(Multimodal.mediaTable(spark, sfDir))
+      .collect()
+    val audio = feats.filter(_.modality == "audio")
+    assert(audio.nonEmpty)
+    audio.foreach { f =>
+      assert(f.decoded_format == "wav", s"doc ${f.doc_id} not decoded")
+      val n = 16 + (f.doc_id % 64).toInt
+      assert(f.sample_rate == 8000 && f.n_samples == n)
+      // recompute the PCM bytes from the same doc_id derivation
+      val samples = Array.tabulate(n)(i =>
+        ((f.doc_id * 131 + i.toLong * i * 7) % 32768).toShort)
+      val pcm = new Array[Byte](2 * n)
+      samples.indices.foreach { i =>
+        pcm(2 * i) = samples(i).toByte
+        pcm(2 * i + 1) = (samples(i) >> 8).toByte
+      }
+      val crc = new java.util.zip.CRC32()
+      crc.update(pcm)
+      assert(f.sample_crc == crc.getValue, s"doc ${f.doc_id} sample CRC")
+    }
   }
 }
