@@ -1,8 +1,9 @@
 package graft.multimodal
 
 /** One decoded PCM clip in canonical form: rate, sample count, the
-  * derived duration, RMS amplitude over the samples, and a CRC32
-  * over the little-endian sample bytes. */
+  * derived duration (rounded to the nearest ms, so a non-empty
+  * sub-millisecond clip reports 1, never 0), RMS amplitude over the
+  * samples, and a CRC32 over the little-endian sample bytes. */
 case class DecodedAudio(format: String, sampleRate: Int, nSamples: Int,
     durationMs: Long, rms: Double, sampleCrc: Long)
 
@@ -19,13 +20,7 @@ case class DecodedAudio(format: String, sampleRate: Int, nSamples: Int,
   * None (the caller falls back to the stub path), never throw —
   * the [[ImageCodec]] contract, for sound. */
 object AudioCodec {
-
-  private def le32(b: Array[Byte], off: Int): Int =
-    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
-      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
-
-  private def le16(b: Array[Byte], off: Int): Int =
-    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  import ByteIO.{le16, le32}
 
   /** Sniff the RIFF/WAVE magic and decode if PCM16 mono. */
   def decode(b: Array[Byte]): Option[DecodedAudio] = {
@@ -64,7 +59,8 @@ object AudioCodec {
       i += 1
     }
     val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
-    Some(DecodedAudio("wav", sampleRate, n, n * 1000L / sampleRate,
+    Some(DecodedAudio("wav", sampleRate, n,
+      (n * 1000L + sampleRate / 2) / sampleRate,
       rms, crc.getValue))
   }
 
@@ -75,13 +71,8 @@ object AudioCodec {
     require(sampleRate > 0, "sampleRate must be positive")
     val dataLen = samples.length * 2
     val out = new Array[Byte](44 + dataLen)
-    def putLe32(off: Int, v: Int): Unit = {
-      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
-      out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
-    }
-    def putLe16(off: Int, v: Int): Unit = {
-      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
-    }
+    def putLe32(off: Int, v: Int): Unit = ByteIO.putLe32(out, off, v)
+    def putLe16(off: Int, v: Int): Unit = ByteIO.putLe16(out, off, v)
     out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
     putLe32(4, 36 + dataLen)
     out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'

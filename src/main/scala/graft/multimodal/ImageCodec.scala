@@ -25,13 +25,7 @@ case class DecodedImage(format: String, width: Int, height: Int,
   * Everything is bounds-checked: truncated or corrupt bytes return
   * None (the caller falls back to the stub path), never throw. */
 object ImageCodec {
-
-  private def le32(b: Array[Byte], off: Int): Int =
-    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
-      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
-
-  private def le16(b: Array[Byte], off: Int): Int =
-    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  import ByteIO.{le16, le32}
 
   /** Sniff the magic bytes and decode if the format is supported. */
   def decode(bytes: Array[Byte]): Option[DecodedImage] =
@@ -132,10 +126,7 @@ object ImageCodec {
     val stride = ((w * 3 + 3) / 4) * 4
     val dataSize = stride * h
     val out = new Array[Byte](54 + dataSize)
-    def putLe32(off: Int, v: Int): Unit = {
-      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
-      out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
-    }
+    def putLe32(off: Int, v: Int): Unit = ByteIO.putLe32(out, off, v)
     out(0) = 'B'; out(1) = 'M'
     putLe32(2, 54 + dataSize) // file size
     putLe32(10, 54)           // pixel data offset

@@ -37,10 +37,12 @@ case class MediaFeatures(doc_id: Long, modality: String, n_bytes: Int,
   * exactly as an Arrow batch UDF would be), and a columnar feature
   * output. The image DECODE is real for the two uncompressed formats
   * parseable without codec libraries — BMP and PPM, via
-  * [[ImageCodec]]; image rows of the media table carry genuine BMP
-  * payloads, so the pipeline decodes real containers end-to-end
-  * (width/height/channel-means/pixel-CRC, spec-pinned). Compressed
-  * image formats and all audio/video stay on a clearly-marked
+  * [[ImageCodec]] — and the audio decode is real for WAV/PCM16 mono
+  * via [[AudioCodec]]; image rows carry genuine BMP payloads and
+  * audio rows genuine WAV payloads, so the pipeline decodes real
+  * containers end-to-end (dims/means/pixel-CRC for images,
+  * rate/count/RMS/sample-CRC for audio — spec-pinned). Compressed
+  * image/audio formats and video stay on a clearly-marked
   * deterministic stub, because their codecs don't exist in this
   * container.
   *
@@ -103,17 +105,18 @@ object Multimodal {
           case "audio" =>
             val (n, wav) = syntheticWav(r.doc_id)
             r.copy(payload = wav,
-              meta = r.meta.copy(durationMs = n * 1000L / 8000))
+              meta = r.meta.copy(durationMs = (n * 1000L + 4000) / 8000))
           case _ => r
         }
       }
   }
 
-  /** Batched decode. REAL for BMP/PPM payloads ([[ImageCodec]] —
-    * header parse, channel means, canonical pixel CRC); STUB for
-    * everything else (decoded_format = "stub", -1 dimensions): the
-    * real implementation would decode with a codec library absent
-    * from this container. `feat`'s 8-dim strided-byte-sum projection
+  /** Batched decode. REAL for BMP/PPM image payloads ([[ImageCodec]]
+    * — header parse, channel means, canonical pixel CRC) and for
+    * WAV/PCM16 audio payloads ([[AudioCodec]] — rate, count, RMS,
+    * sample CRC); STUB for everything else (decoded_format = "stub",
+    * -1 fields): the real implementation would decode with a codec
+    * library absent from this container. `feat`'s 8-dim strided-byte-sum projection
     * stands in for a model embedding on ALL rows — deterministic, so
     * tests pin exact values. The *signature and batch shape* are the
     * contract either way. */

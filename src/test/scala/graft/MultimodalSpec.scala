@@ -146,9 +146,14 @@ class MultimodalSpec extends SparkSpec {
       crc.update(rgb)
       assert(f.pixel_crc == crc.getValue, s"doc ${f.doc_id} pixel CRC")
     }
-    // video payloads have no parseable container → labeled stub
+    // video payloads have no parseable container → labeled stub, with
+    // BOTH modality-specific field families at their -1 sentinels
     assert(feats.filter(_.modality == "video").forall(f =>
-      f.decoded_format == "stub" && f.width == -1 && f.pixel_crc == -1L))
+      f.decoded_format == "stub" && f.width == -1 && f.pixel_crc == -1L &&
+        f.sample_rate == -1 && f.n_samples == -1 && f.sample_crc == -1L))
+    // cross-family sentinels: image rows carry no audio fields
+    assert(feats.filter(_.modality == "image").forall(f =>
+      f.sample_rate == -1 && f.n_samples == -1 && f.sample_crc == -1L))
   }
 
   test("WAV decode: handcrafted samples round-trip with exact rate, count, rms, and sample CRC") {
@@ -156,7 +161,9 @@ class MultimodalSpec extends SparkSpec {
     val wav = AudioCodec.encodeWav(8000, samples)
     val a = AudioCodec.decode(wav).get
     assert(a.format == "wav" && a.sampleRate == 8000 && a.nSamples == 5)
-    assert(a.durationMs == 5 * 1000L / 8000)
+    // duration rounds to the NEAREST ms: a real 0.625 ms clip must
+    // report 1, not truncate to 0 (indistinguishable from empty)
+    assert(a.durationMs == 1L)
     val sumSq = samples.map(s => s.toDouble * s).sum
     assert(a.rms == math.sqrt(sumSq / 5))
     // CRC over the little-endian PCM bytes (the last 10 of the file)
@@ -189,6 +196,8 @@ class MultimodalSpec extends SparkSpec {
       assert(f.decoded_format == "wav", s"doc ${f.doc_id} not decoded")
       val n = 16 + (f.doc_id % 64).toInt
       assert(f.sample_rate == 8000 && f.n_samples == n)
+      // decoded audio carries no image fields
+      assert(f.width == -1 && f.height == -1 && f.pixel_crc == -1L)
       // recompute the PCM bytes from the same doc_id derivation
       val samples = Array.tabulate(n)(i =>
         ((f.doc_id * 131 + i.toLong * i * 7) % 32768).toShort)
