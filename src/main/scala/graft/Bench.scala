@@ -26,6 +26,7 @@ object Bench {
   private val solo = Set(
     "d23_dedup_minhash", "d23b_minhash_oracle", "d24_dedup_simhash",
     "d24b_simhash_oracle", "d25_ngram_jaccard", "d25b_ngram_banded",
+    "d25c_ngram_banded_oracle",
     "d26_embed_neardup", "d27_dedup_components", "d27b_components_oracle",
     "d28_embed_neardup_lsh", "q12_double_entry", "q26_unpivot",
     "q29_json_keys", "q31_export_roundtrip", "a29_ann_ivf",

@@ -239,6 +239,110 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** a29b: oracle-checked IVF — identical routing/scoring semantics
+    * to a29, but the 16 coarse centroids are FIXED LITERAL arrays
+    * (the Hyperplanes idiom: the same decimal strings are emitted
+    * into both dialects, so both parse to bit-identical doubles)
+    * instead of a trained KMeans model. Cell assignment (argmin of
+    * exact squared-L2 to each centroid), nprobe-cell query routing,
+    * and candidate scoring are all DuckDB-expressible, so the WHOLE
+    * IVF pipeline is hash-checked cross-engine — which a trained
+    * quantizer can never be (KMeans isn't replayable in SQL).
+    *
+    * Seeded-Gaussian literals make this a random-Voronoi coarse
+    * quantizer: training moves centroids (recall), never the
+    * routing/scoring SEMANTICS this entry pins. At 100 TB the
+    * centroids are exactly this shape of executor-side constant —
+    * nlist × dim doubles from a29's bounded-sample fit, shipped as
+    * literals/broadcast — so a29b is the scale path's semantics pin,
+    * as d23b pins d23. */
+  private val centroidStrs: Seq[Seq[String]] = {
+    val rng = new scala.util.Random(1234)
+    Seq.fill(16, 64)(rng.nextGaussian())
+      .map(_.map(v => String.format(java.util.Locale.ROOT, "%.17g", Double.box(v))))
+  }
+
+  /** Per-vector squared-L2 distances to the 16 literal centroids, as
+    * array<double> — subtract/square/sequential-sum in the same
+    * order both engines evaluate, so the argmin is bit-reproducible. */
+  private def centroidDistsExpr(embCol: String): Column = {
+    val cents = centroidStrs
+      .map(_.map(_ + "D").mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
+    expr(
+      s"""transform($cents, c ->
+         |  aggregate(zip_with(c, $embCol,
+         |      (p, x) -> (p - CAST(x AS DOUBLE)) * (p - CAST(x AS DOUBLE))),
+         |    0D, (s, v) -> s + v))""".stripMargin)
+  }
+
+  def a29bAnnIvfOracle(s: SparkSession, dir: String): DataFrame = {
+    val nprobe = 4
+    val corpus = withNorm(Tables.embeddings(s, dir).select("vec_id", "embedding"))
+      .withColumn("dl", centroidDistsExpr("embedding"))
+      // argmin via first-position-of-min: ties (bit-equal distances)
+      // break to the lowest cell id in BOTH engines
+      .withColumn("cell", expr("CAST(array_position(dl, array_min(dl)) - 1 AS INT)"))
+    // nprobe nearest cells per query: sort (distance, cell) structs —
+    // lexicographic struct order = distance asc, ties by cell id —
+    // and take the first nprobe indices. The query's own cell is by
+    // construction probe_cells[0].
+    val queries = corpus.filter(col("vec_id") < NQ).select(
+      col("vec_id").as("query_id"),
+      col("embedding").as("q_embedding"),
+      col("norm").as("q_norm"),
+      expr(s"""transform(slice(array_sort(
+              |  zip_with(dl, sequence(0, 15), (d, i) -> struct(d, i))), 1, $nprobe),
+              |  s -> s.i)""".stripMargin).as("probe_cells"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    corpus.select("vec_id", "embedding", "norm", "cell")
+      .join(broadcast(queries),
+        array_contains(col("probe_cells"), col("cell")) &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine, 4).as("cosine"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= K)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB oracle for a29b: identical literal centroids, identical
+    * squared-L2 / argmin / nprobe routing (row_number over
+    * (distance, cell) replays the struct sort), identical cosine
+    * scoring and tie-break. */
+  val a29bSql: String = {
+    val centsDuck = centroidStrs.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    s"""WITH e AS (
+       | SELECT * FROM (
+       |  SELECT vec_id, embedding,
+       |   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm,
+       |   list_transform($centsDuck,
+       |     c -> list_sum(list_transform(list_zip(c, embedding),
+       |            p -> (p[1] - CAST(p[2] AS DOUBLE)) * (p[1] - CAST(p[2] AS DOUBLE))))) AS dl
+       |  FROM embeddings) WHERE norm > 0),
+       |cells AS (
+       | SELECT vec_id, embedding, norm, dl,
+       |  CAST(list_indexof(dl, list_min(dl)) - 1 AS INT) AS cell FROM e),
+       |qprobe AS (
+       | SELECT vec_id, list(cell ORDER BY rnk) AS probe_cells FROM (
+       |  SELECT vec_id, CAST(i - 1 AS INT) AS cell,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY dl[i], i) AS rnk
+       |  FROM (SELECT vec_id, dl, unnest(generate_series(1, 16)) AS i
+       |        FROM cells WHERE vec_id < $NQ))
+       | WHERE rnk <= 4 GROUP BY vec_id)
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM (
+       | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  $duckCosine AS cosine,
+       |  row_number() OVER (PARTITION BY q.vec_id
+       |    ORDER BY $duckCosine DESC, c.vec_id) AS rank
+       | FROM (SELECT e2.vec_id, e2.embedding, e2.norm, p.probe_cells
+       |       FROM cells e2 JOIN qprobe p ON e2.vec_id = p.vec_id) q
+       |  JOIN cells c ON list_contains(q.probe_cells, c.cell)
+       |   AND c.vec_id <> q.vec_id)
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  }
+
   /** a30: scalar-quantized ANN (SQ8, the FAISS ScalarQuantizer
     * layout) — the COMPRESSED-domain scale path that complements
     * a28's candidate pruning and a29's cell routing: each float is

@@ -203,21 +203,6 @@ object Dedup {
     verifyPairs(bandCandidatePairs(docs), docs, attach)
   }
 
-  /** d23b: oracle-checked MinHash LSH. d23's signature hash
-    * (seeded xxhash64) is Spark-native with no DuckDB counterpart,
-    * which is why d23 is a rows-only entry; this variant derives the
-    * per-seed token hash from md5 — identical lowercase hex in both
-    * engines — so the ENTIRE LSH pipeline (signature → bands →
-    * bucket candidates → exact-Jaccard verify) is reproduced by the
-    * oracle and hash-checked end-to-end. Base hash: a 28-bit md5
-    * hex prefix parsed to BIGINT identically in both dialects;
-    * signature: min over 16 affine transforms (a·h+b) mod p with
-    * literal coefficients (see minhashCoeffs).
-    *
-    * Slower than d23 (md5 vs xxhash64 on the signature path) — d23
-    * stays the production entry; this one exists to pin LSH
-    * semantics cross-engine. Same band structure (4 bands × 4 rows),
-    * same ≥ 0.7 verify threshold. */
   /** Affine minhash coefficients: 16 (a, b) pairs from a fixed seed,
     * inlined as literals in BOTH dialects. a·h+b stays below 2^59
     * (a < 2^31, h < 2^28), so the arithmetic is overflow-free under
@@ -227,8 +212,15 @@ object Dedup {
     Seq.fill(16)((1 + rng.nextInt(Int.MaxValue - 1), rng.nextInt(Int.MaxValue)))
   }
 
-  def d23bMinhashOracle(s: SparkSession, dir: String): DataFrame = {
-    val docs = shingledDocs(s, dir)
+  /** Candidate pairs from the md5-affine band stream — the
+    * DuckDB-replayable twin of [[bandCandidatePairs]]. Shared by
+    * d23b (unigram verify) and d25c (bigram verify) so the
+    * oracle-checked LSH candidate stage is ONE code path: band
+    * candidates proven byte-exact by d23b's oracle feed d25c's
+    * exact bigram Jaccard, hash-checking the whole web-scale
+    * pipeline end-to-end. Takes unigram-shingled docs
+    * (doc_id, sh). */
+  private[graft] def md5BandCandidatePairs(docs: DataFrame): DataFrame = {
     // ONE md5 per (doc, token), codegen'd on exploded rows — an
     // interpreted transform(seq(16), transform(sh, md5…)) lambda
     // nest costs 16 md5/token and ran ~6× slower end-to-end
@@ -255,18 +247,37 @@ object Dedup {
     // diverge, so the probability of a visible difference is
     // ≪ 2⁻⁶⁴/pair — the same w.h.p. stance as hashedShingles,
     // documented here because the asymmetry is cross-engine.
-    val pairs = probe.as("a").join(stream.as("b"),
+    probe.as("a").join(stream.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id") &&
           col("a.band_id") === SetExprs.firstEqualBand(col("a.bandh"), col("b.bandh"), 1))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+  }
+
+  /** d23b: oracle-checked MinHash LSH. d23's signature hash
+    * (seeded xxhash64) is Spark-native with no DuckDB counterpart,
+    * which is why d23 is a rows-only entry; this variant derives the
+    * per-seed token hash from md5 — identical lowercase hex in both
+    * engines — so the ENTIRE LSH pipeline (signature → bands →
+    * bucket candidates → exact-Jaccard verify) is reproduced by the
+    * oracle and hash-checked end-to-end. Base hash: a 28-bit md5
+    * hex prefix parsed to BIGINT identically in both dialects;
+    * signature: min over 16 affine transforms (a·h+b) mod p with
+    * literal coefficients (see minhashCoeffs).
+    *
+    * Slower than d23 (md5 vs xxhash64 on the signature path) — d23
+    * stays the production entry; this one exists to pin LSH
+    * semantics cross-engine. Same band structure (4 bands × 4 rows),
+    * same ≥ 0.7 verify threshold. */
+  def d23bMinhashOracle(s: SparkSession, dir: String): DataFrame = {
+    val docs = shingledDocs(s, dir)
     // same verify as d23 — shared so the two can never diverge.
     // No presentation sort: the output is millions of pairs on the
     // near-dup corpus and the driver compare sorts rows itself — a
     // repartition(1) sort would funnel the whole result through one
     // task (measured +7 s at sf0.1)
-    verifyPairs(pairs, docs, Attach.Auto) // same default as d23 — see its note
+    verifyPairs(md5BandCandidatePairs(docs), docs, Attach.Auto) // same default as d23 — see its note
   }
 
   /** DuckDB oracle for d23b: same md5-derived base hash and affine
@@ -274,22 +285,30 @@ object Dedup {
     * 4-way conjunctions (the Spark side xxhash64's the same tuples
     * only to get a fixed-width join key), candidates = pairs
     * agreeing on ≥ 1 band position, exact token-set Jaccard. */
-  val d23bSql: String = {
-    val mins = minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
-      s"min(($a * h + $b) % 2147483647) AS m$i"
-    }.mkString(",\n  ")
-    val bandEq = (0 until 4).map { bnd =>
-      (0 until 4).map(r => s"a.m${4 * bnd + r} = b.m${4 * bnd + r}").mkString("(", " AND ", ")")
-    }.mkString(" OR ")
-    s"""WITH docs AS (
+  /** Shared SQL fragments for the md5-affine LSH oracles (d23b and
+    * d25c): the 16 affine min-aggregations, the 4-band agreement
+    * disjunction, and the docs→toks→sigs CTE chain — one definition
+    * so the two oracles replay the IDENTICAL candidate stage, just
+    * as the Spark side shares [[md5BandCandidatePairs]]. */
+  private val affineMinsSql: String = minhashCoeffs.zipWithIndex.map {
+    case ((a, b), i) => s"min(($a * h + $b) % 2147483647) AS m$i"
+  }.mkString(",\n  ")
+  private val bandEqSql: String = (0 until 4).map { bnd =>
+    (0 until 4).map(r => s"a.m${4 * bnd + r} = b.m${4 * bnd + r}").mkString("(", " AND ", ")")
+  }.mkString(" OR ")
+  private val md5SigsCte: String =
+    s"""docs AS (
        | SELECT doc_id, list_distinct(string_split(text, ' ')) AS sh FROM documents),
        |toks AS (
        | SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 7)) AS BIGINT) AS h
        | FROM (SELECT doc_id, unnest(sh) AS t FROM docs)),
        |sigs AS (
        | SELECT doc_id,
-       |  $mins
-       | FROM toks GROUP BY doc_id),
+       |  $affineMinsSql
+       | FROM toks GROUP BY doc_id)""".stripMargin
+
+  val d23bSql: String =
+    s"""WITH $md5SigsCte,
        |banded AS (
        | SELECT s.doc_id, d.sh, s.* EXCLUDE (doc_id)
        | FROM sigs s JOIN docs d ON s.doc_id = d.doc_id)
@@ -298,9 +317,32 @@ object Dedup {
        |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
        |    / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
        | FROM banded a JOIN banded b ON a.doc_id < b.doc_id
-       |  AND ($bandEq))
+       |  AND ($bandEqSql))
        |WHERE jaccard >= 0.7""".stripMargin
-  }
+
+  /** DuckDB oracle for d25c: identical md5-affine signature CTEs as
+    * d23b (shared fragments above), candidates = pairs agreeing on
+    * ≥ 1 of the 4 unigram-minhash bands, verify = exact BIGRAM
+    * Jaccard ≥ 0.7 (same index-zip bigram idiom as d25Sql). No size
+    * prefilter on the oracle side — the Spark prefilter is sound, so
+    * the hash check proves it drops nothing the verify keeps. */
+  val d25cSql: String =
+    s"""WITH $md5SigsCte,
+       |big AS (
+       | SELECT doc_id,
+       |  list_distinct(list_transform(range(1, len(string_split(text,' '))),
+       |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS sh
+       | FROM documents),
+       |banded AS (
+       | SELECT s.doc_id, g.sh, s.* EXCLUDE (doc_id)
+       | FROM sigs s JOIN big g ON s.doc_id = g.doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+       | FROM banded a JOIN banded b ON a.doc_id < b.doc_id
+       |  AND ($bandEqSql))
+       |WHERE jaccard >= 0.7""".stripMargin
 
   /** d24: SimHash near-dup — 64-bit signature via the native
     * SimHash64 expression (tokens hashed once, one generated loop
@@ -494,16 +536,25 @@ object Dedup {
       attach: Attach): DataFrame = {
     val base = Tables.documents(s, dir)
     val uni = base.select(col("doc_id"), shingleSet.as("sh"))
+    bigramVerify(bandCandidatePairs(uni), base, attach)
+  }
+
+  /** The exact-bigram-Jaccard verify stage shared by d25b and d25c —
+    * attaches bigram-set sizes (sound prefilter) and hashed sorted
+    * bigram sets to a candidate-pair stream, keeps pairs ≥ 0.7.
+    * SOUND size prefilter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so a
+    * size ratio below the rounded threshold's lower edge (see
+    * prefilterEdge) proves the pair can't pass — candidates are
+    * pruned against a 1-int-per-doc attach BEFORE the expensive
+    * shingle-array attach and merge-walk (≈64% of random-size pairs
+    * pruned on this corpus; never drops a pair the verify keeps —
+    * d25c's prefilter-free DuckDB oracle pins this byte-exactly). */
+  private def bigramVerify(pairs: DataFrame, base: DataFrame,
+      attach: Attach): DataFrame = {
     val bigrams = base.select(col("doc_id"), bigramShingles.as("sh"))
     val hashed = bigrams.select(col("doc_id"), hashedShingles(col("sh")).as("shz"))
-    // SOUND size prefilter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so a
-    // size ratio below the rounded threshold's lower edge (see
-    // prefilterEdge) proves the pair can't pass — candidates are
-    // pruned against a 1-int-per-doc attach BEFORE the expensive
-    // shingle-array attach and merge-walk (≈64% of random-size pairs
-    // pruned on this corpus; never drops a pair the verify keeps)
     val sizes = bigrams.select(col("doc_id"), size(col("sh")).as("n"))
-    bandCandidatePairs(uni)
+    pairs
       .join(attachSide(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), attach), "doc_a")
       .join(attachSide(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), attach), "doc_b")
       .filter(least(col("n_a"), col("n_b")).cast("double")
@@ -512,6 +563,24 @@ object Dedup {
       .join(attachSide(hashed.select(col("doc_id").as("doc_b"), col("shz").as("shz_b")), attach), "doc_b")
       .select(col("doc_a"), col("doc_b"), pairJaccard("shz_a", "shz_b").as("jaccard"))
       .filter(col("jaccard") >= verifyThreshold)
+  }
+
+  /** d25c: the 100 TB near-dup flagship, oracle-checked END-TO-END.
+    * Same pipeline shape as d25b — band-blocked candidates → sound
+    * size prefilter → exact bigram Jaccard ≥ 0.7 — but the candidate
+    * stage is d23b's md5-affine band stream ([[md5BandCandidatePairs]],
+    * DuckDB-replayable) instead of d23's seeded-xxhash64 bands, so
+    * the WHOLE web-scale chain is reproduced by the oracle and
+    * hash-checked: candidates, prefilter soundness, and verify all
+    * pinned cross-engine in one CORRECTNESS row. d25b (xxhash64
+    * bands, cheaper signatures) stays the production entry; this is
+    * its semantic pin, exactly as d23b pins d23.
+    * Reference anchor: the near-dup regime of content-hash dedup
+    * (Silver Lake Mainnet.sql:219-236) scaled out to web corpora. */
+  def d25cNgramBandedOracle(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+    val uni = base.select(col("doc_id"), shingleSet.as("sh"))
+    bigramVerify(md5BandCandidatePairs(uni), base, Attach.Auto)
   }
 
   /** Cosine similarity over float-array embeddings, with norms
@@ -1226,6 +1295,7 @@ object Dedup {
     "d24b_simhash_oracle" -> (d24bSimhashOracle _),
     "d25_ngram_jaccard" -> (d25NgramJaccard _),
     "d25b_ngram_banded" -> (d25NgramJaccardBanded _),
+    "d25c_ngram_banded_oracle" -> (d25cNgramBandedOracle _),
     "d26_embed_neardup" -> (d26EmbedNeardup _),
     "d27_dedup_components" -> (d27DedupComponents _),
     "d27b_components_oracle" -> (d27bComponentsOracle _),
@@ -1240,6 +1310,7 @@ object Dedup {
     "d23b_minhash_oracle" -> d23bSql,
     "d24b_simhash_oracle" -> d24bSql,
     "d25_ngram_jaccard" -> d25Sql,
+    "d25c_ngram_banded_oracle" -> d25cSql,
     "d26_embed_neardup" -> d26Sql,
     "d27b_components_oracle" -> d27bSql,
     "d28_embed_neardup_lsh" -> d28Sql,

@@ -163,6 +163,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d25c md5-band ngram jaccard: superset of lang-blocked >= 0.7 pairs, scores agree with d25b on shared pairs") {
+    // d25c is d25b with the candidate stage swapped to the
+    // oracle-replayable md5-affine bands; both verify with the SAME
+    // exact bigram Jaccard, so (1) like d25b it must see every
+    // lang-blocked near-dup pair, and (2) any pair both find must
+    // score identically (shared bigramVerify — this pins that the
+    // two candidate streams feed one verify code path)
+    val langBlocked = Dedup.d25NgramJaccard(spark, sfDir)
+      .filter(col("jaccard") >= 0.7)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val md5Banded = Dedup.d25cNgramBandedOracle(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(langBlocked.nonEmpty, "corpus must contain >=0.7 bigram near-dups")
+    val missed = langBlocked.keySet -- md5Banded.keySet
+    assert(missed.isEmpty, s"md5 band blocking missed near-dup pairs: $missed")
+    val xxBanded = Dedup.d25NgramJaccardBanded(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val shared = md5Banded.keySet intersect xxBanded.keySet
+    assert(shared.nonEmpty, "the two band streams must overlap on near-dups")
+    shared.foreach(p =>
+      assert(math.abs(md5Banded(p) - xxBanded(p)) < 1e-9, s"jaccard differs for $p"))
+  }
+
   test("d28 bucketed embed near-dup: subset of d26's exact pairs, identical cosines, full recall on identical vectors") {
     val exact = Dedup.d26EmbedNeardup(spark, sfDir)
       .as[(Long, Long, Double)].collect()

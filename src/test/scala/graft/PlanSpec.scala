@@ -226,10 +226,12 @@ class PlanSpec extends SparkSpec {
       "simhash candidate generation must be an equi-join")
   }
 
-  test("d25b band-blocked ngram jaccard contains no cartesian product") {
-    val (plan, _) = planOf("d25b_ngram_banded")
-    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
-      "band-blocked candidate generation must be an equi-join")
+  test("d25b/d25c band-blocked ngram jaccard contain no cartesian product") {
+    Seq("d25b_ngram_banded", "d25c_ngram_banded_oracle").foreach { name =>
+      val (plan, _) = planOf(name)
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name: band-blocked candidate generation must be an equi-join")
+    }
   }
 
   test("d28 bucketed embedding near-dup is an equi-join on the band key, never all-pairs") {
@@ -250,7 +252,8 @@ class PlanSpec extends SparkSpec {
     // this pins that none creeps back into any pair-producing entry
     Seq("d25_ngram_jaccard", "d26_embed_neardup", "d28_embed_neardup_lsh",
       "d23_dedup_minhash", "d23b_minhash_oracle", "d24_dedup_simhash",
-      "d24b_simhash_oracle", "d25b_ngram_banded").foreach { name =>
+      "d24b_simhash_oracle", "d25b_ngram_banded",
+      "d25c_ngram_banded_oracle").foreach { name =>
       val (plan, _) = planOf(name)
       assert(!plan.contains("SinglePartition"),
         s"$name grew a single-partition exchange:\n$plan")
