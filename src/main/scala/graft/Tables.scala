@@ -21,14 +21,22 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame       = load(s, dir, "part")
   def orders(s: SparkSession, dir: String): DataFrame     = load(s, dir, "orders")
   def lineitem(s: SparkSession, dir: String): DataFrame   = load(s, dir, "lineitem")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as long and convert to a
-    * microsecond timestamp (matches DuckDB's ns→us truncation). */
+  /** events.parquet has shipped `ts` in two physical layouts across
+    * driver testdata generations: TIMESTAMP(NANOS) (which Spark's
+    * vectorized reader rejects — read nanos as long, truncate to a
+    * microsecond timestamp, matching DuckDB's ns→us truncation) and
+    * plain TIMESTAMP micros (read natively). Adapt by the loaded
+    * dtype so either generation works; either way the column lands
+    * as a session-zone (UTC) microsecond timestamp. */
   def events(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.LongType
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, dir: String): DataFrame  = load(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
