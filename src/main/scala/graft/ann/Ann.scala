@@ -434,10 +434,12 @@ object Ann {
     "a27_ann_brute" -> (a27AnnBrute _),
     "a28_ann_lsh" -> (a28AnnLsh _),
     "a29_ann_ivf" -> (a29AnnIvf _),
+    "a29b_ann_ivf_oracle" -> (a29bAnnIvfOracle _),
     "a30_ann_sq" -> (a30AnnSq _))
 
   def oracles: Map[String, String] = Map(
     "a27_ann_brute" -> a27Sql,
     "a28_ann_lsh" -> a28Sql,
+    "a29b_ann_ivf_oracle" -> a29bSql,
     "a30_ann_sq" -> a30Sql)
 }

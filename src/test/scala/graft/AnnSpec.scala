@@ -73,6 +73,28 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@5=$recall")
   }
 
+  test("a29b literal-centroid ivf: well-formed ranks, exact cosines vs brute on overlap") {
+    val brute = Ann.a27AnnBrute(spark, sfDir)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, c) => (q, n) -> c }.toMap
+    val ivf = Ann.a29bAnnIvfOracle(spark, sfDir)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(ivf.nonEmpty, "a29b must route at least one candidate per probe set")
+    ivf.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length).toSeq, s"ranks for $q")
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).toSeq.sorted.reverse,
+        s"cosine monotone for $q")
+    }
+    // scoring is the SAME exact cosine as brute force — any (q, n)
+    // pair both return must carry an identical rounded score
+    val overlaps = ivf.flatMap(r => brute.get((r._1, r._3)).map(c => (r._4, c)))
+    assert(overlaps.nonEmpty)
+    overlaps.foreach { case (c, bc) => assert(math.abs(c - bc) < 1e-9) }
+  }
+
   test("a30 sq8: quantization distorts cosine by < 0.02 and keeps recall@5 high") {
     val brute = Ann.a27AnnBrute(spark, sfDir)
       .select("query_id", "neighbor_id", "cosine")

@@ -270,6 +270,7 @@ class PlanSpec extends SparkSpec {
     // Every BNLJ below is a deliberate broadcast of a tiny side:
     //   a27  exact brute-force baseline — 8 query vectors broadcast
     //   a29  IVF cell routing via array_contains — 8 query rows
+    //   a29b same routing shape with literal centroids (oracle twin)
     //   d26  exact all-pairs verification baseline (d28 = scale path)
     //   q28  date-spine span attach — 1-row min/max bounds
     //   t38  corpus doc-count N attach — 1-row aggregate broadcast
@@ -279,7 +280,8 @@ class PlanSpec extends SparkSpec {
     //        stateless stream-static shape, deliberately kept in batch)
     // Nothing may use CartesianProduct, and no NEW query may grow a
     // BNLJ without being justified here.
-    val allowedBnlj = Set("a27_ann_brute", "a29_ann_ivf", "d26_embed_neardup",
+    val allowedBnlj = Set("a27_ann_brute", "a29_ann_ivf", "a29b_ann_ivf_oracle",
+      "d26_embed_neardup",
       "q28_date_spine", "t38_keyphrase", "t39_bigram_lm", "a30_ann_sq",
       "s39_stream_decontaminate")
     // Entries whose DataFrame CONSTRUCTION executes real work (q30/q31
@@ -313,6 +315,50 @@ class PlanSpec extends SparkSpec {
     assert(!plan31.contains("CartesianProduct") &&
       !plan31.contains("BroadcastNestedLoopJoin"),
       s"q31 read-back must be join-free:\n$plan31")
+  }
+
+  test("date-partitioned layout: a date predicate becomes a PartitionFilter and skips files") {
+    // the 100 TB linchpin SURVEY §5 assumes: lakehouse tables are
+    // date-partitioned (the reference partitions everything by
+    // block_date) and a date predicate must prune PARTITIONS at
+    // planning time — not filter rows after a full scan. Pin both
+    // halves: the predicate lands in PartitionFilters (not just
+    // PushedFilters), and the executed scan reads strictly fewer
+    // files than the table holds.
+    import org.apache.spark.sql.functions.{col, to_date}
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val dir = java.nio.file.Files.createTempDirectory("graftpart").toString
+    Tables.events(spark, sfDir)
+      .withColumn("event_date", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("event_date").parquet(dir)
+    val back = spark.read.parquet(dir)
+    val pick = back.selectExpr("max(event_date)").head.getDate(0)
+    val q = back.filter(col("event_date") === pick).groupBy("event_type").count()
+    val fmt = q.queryExecution.explainString(FormattedMode)
+    val partLine = fmt.linesIterator.find(_.contains("PartitionFilters"))
+    assert(partLine.exists(_.contains("event_date")),
+      s"date predicate must be a partition filter, got:\n$fmt")
+    q.collect()
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      // materialized AQE stages hold their subtree in `plan`, not
+      // `children` — a bare children-walk stops at the stage boundary
+      case q: QueryStageExec        => scans(q.plan)
+      case s: FileSourceScanExec    => Seq(s)
+      case other                    => other.children.flatMap(scans)
+    }
+    val scan = scans(q.queryExecution.executedPlan).head
+    val filesRead = scan.metrics("numFiles").value
+    val totalFiles = {
+      val it = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try it.filter(_.toString.endsWith(".parquet")).count()
+      finally it.close()
+    }
+    val totalPartitions = back.selectExpr("count(distinct event_date)").head.getLong(0)
+    assert(totalPartitions > 1, "fixture must span multiple dates to prove pruning")
+    assert(filesRead >= 1 && filesRead < totalFiles,
+      s"scan must skip unselected partitions: read $filesRead of $totalFiles files")
   }
 
   test("native expressions appear in the optimized plans (not HOF fallbacks)") {
