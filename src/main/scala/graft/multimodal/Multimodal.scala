@@ -16,16 +16,19 @@ case class MediaRecord(doc_id: Long, modality: String,
                        payload: Array[Byte], meta: MediaMeta)
 
 /** Extracted features for one record. The decoded_* columns are REAL
-  * for the formats [[ImageCodec]] (BMP, PPM) and [[AudioCodec]]
-  * (WAV/PCM16 mono) parse; decoded_format = "stub" marks payloads
-  * whose codec isn't in this container. Image fields (width/height/
-  * pixel_crc) are -1 for non-images; audio fields (sample_rate/
-  * n_samples) are -1 for non-audio. `feat` stands in for a model
-  * embedding; its computation is the STUB (see decodeBatch). */
+  * for the formats [[ImageCodec]] (BMP, PPM), [[AudioCodec]]
+  * (WAV/PCM16 mono), and [[VideoCodec]] (Y4M) parse;
+  * decoded_format = "stub" marks payloads whose codec isn't in this
+  * container. Image/video fields (width/height/pixel_crc) are -1
+  * for other modalities; audio fields (sample_rate/n_samples) are
+  * -1 for non-audio; video fields (n_frames/fps_x1000) are -1 for
+  * non-video. `feat` stands in for a model embedding; its
+  * computation is the STUB (see decodeBatch). */
 case class MediaFeatures(doc_id: Long, modality: String, n_bytes: Int,
                          payload_crc: Long, decoded_format: String,
                          width: Int, height: Int, pixel_crc: Long,
                          sample_rate: Int, n_samples: Int, sample_crc: Long,
+                         n_frames: Int, fps_x1000: Int,
                          feat: Array[Float])
 
 /** m33: multimodal binary-column plumbing.
@@ -35,16 +38,17 @@ case class MediaFeatures(doc_id: Long, modality: String, n_bytes: Int,
   * per-partition decoding via `mapPartitions` (the Scala analog of
   * `mapInPandas` — the iterator is processed in fixed-size batches
   * exactly as an Arrow batch UDF would be), and a columnar feature
-  * output. The image DECODE is real for the two uncompressed formats
-  * parseable without codec libraries — BMP and PPM, via
-  * [[ImageCodec]] — and the audio decode is real for WAV/PCM16 mono
-  * via [[AudioCodec]]; image rows carry genuine BMP payloads and
-  * audio rows genuine WAV payloads, so the pipeline decodes real
-  * containers end-to-end (dims/means/pixel-CRC for images,
-  * rate/count/RMS/sample-CRC for audio — spec-pinned). Compressed
-  * image/audio formats and video stay on a clearly-marked
-  * deterministic stub, because their codecs don't exist in this
-  * container.
+  * output. The DECODE is real for every uncompressed format
+  * parseable without codec libraries: BMP and PPM images via
+  * [[ImageCodec]], WAV/PCM16 mono audio via [[AudioCodec]], and Y4M
+  * (YUV4MPEG2) video via [[VideoCodec]]. Image rows carry genuine
+  * BMP payloads, audio rows genuine WAV payloads, and video rows
+  * genuine Y4M payloads, so the pipeline decodes real containers
+  * end-to-end (dims/means/pixel-CRC for images, rate/count/RMS/
+  * sample-CRC for audio, dims/rate/frame-count/plane-means/frame-CRC
+  * for video — spec-pinned). Compressed formats (JPEG/MP3/H.264/…)
+  * stay on a clearly-marked deterministic stub, because their
+  * codecs don't exist in this container.
   *
   * Scale notes: decoding is a pure per-partition map — no shuffle,
   * scales linearly with executors. Batch size bounds peak memory
@@ -76,12 +80,26 @@ object Multimodal {
     (n, AudioCodec.encodeWav(8000, samples))
   }
 
+  /** Deterministic Y4M payload for a video row: dims (even, for
+    * 4:2:0), frame count, and plane bytes are pure functions of
+    * doc_id, so every decoded field is reproducible and the spec can
+    * recompute them independently. */
+  private[multimodal] def syntheticY4m(docId: Long): (Int, Int, Int, Array[Byte]) = {
+    val w = 2 * (1 + (docId % 4).toInt)  // 2/4/6/8
+    val h = 2 * (1 + (docId % 3).toInt)  // 2/4/6
+    val nFrames = 1 + (docId % 5).toInt
+    val frameBytes = w * h * 3 / 2
+    val frames = (0 until nFrames).map(f =>
+      Array.tabulate(frameBytes)(i => ((docId * 17 + f * 59 + i * 13) % 256).toByte))
+    (w, h, nFrames, VideoCodec.encodeY4m(w, h, 25, 1, frames))
+  }
+
   /** Deterministic fake media table derived from `documents`:
-    * image rows carry a REAL generated BMP payload and audio rows a
-    * REAL generated WAV/PCM16 payload (both decoded for real
-    * downstream); video payloads are utf-8 text bytes standing in
-    * for media bytes. Modality cycles image/audio/video; metadata
-    * is derived from doc_id/length so every field is reproducible. */
+    * image rows carry a REAL generated BMP payload, audio rows a
+    * REAL generated WAV/PCM16 payload, and video rows a REAL
+    * generated Y4M payload (all three decoded for real downstream).
+    * Modality cycles image/audio/video; metadata is derived from
+    * doc_id/length so every field is reproducible. */
   def mediaTable(s: SparkSession, dir: String): Dataset[MediaRecord] = {
     import s.implicits._
     Tables.documents(s, dir)
@@ -91,7 +109,7 @@ object Multimodal {
           (col("doc_id") % 3 + 1).cast("int")).as("modality"),
         col("text").cast("binary").as("payload"),
         struct(
-          element_at(array(lit("image/bmp"), lit("audio/wav"), lit("video/mp4")),
+          element_at(array(lit("image/bmp"), lit("audio/wav"), lit("video/y4m")),
             (col("doc_id") % 3 + 1).cast("int")).as("mime"),
           (col("n_chars") % 1920).cast("int").as("width"),
           (col("n_chars") % 1080).cast("int").as("height"),
@@ -106,20 +124,26 @@ object Multimodal {
             val (n, wav) = syntheticWav(r.doc_id)
             r.copy(payload = wav,
               meta = r.meta.copy(durationMs = (n * 1000L + 4000) / 8000))
-          case _ => r
+          case _ =>
+            val (w, h, nFrames, y4m) = syntheticY4m(r.doc_id)
+            r.copy(payload = y4m,
+              meta = r.meta.copy(width = w, height = h,
+                durationMs = nFrames * 40L)) // 25 fps → 40 ms per frame
         }
       }
   }
 
   /** Batched decode. REAL for BMP/PPM image payloads ([[ImageCodec]]
-    * — header parse, channel means, canonical pixel CRC) and for
-    * WAV/PCM16 audio payloads ([[AudioCodec]] — rate, count, RMS,
-    * sample CRC); STUB for everything else (decoded_format = "stub",
-    * -1 fields): the real implementation would decode with a codec
-    * library absent from this container. `feat`'s 8-dim strided-byte-sum projection
-    * stands in for a model embedding on ALL rows — deterministic, so
-    * tests pin exact values. The *signature and batch shape* are the
-    * contract either way. */
+    * — header parse, channel means, canonical pixel CRC), WAV/PCM16
+    * audio payloads ([[AudioCodec]] — rate, count, RMS, sample CRC),
+    * and Y4M video payloads ([[VideoCodec]] — dims, rate, frame
+    * count, plane means, frame CRC); STUB for everything else
+    * (decoded_format = "stub", -1 fields): the real implementation
+    * would decode with a codec library absent from this container.
+    * `feat`'s 8-dim strided-byte-sum projection stands in for a
+    * model embedding on ALL rows — deterministic, so tests pin exact
+    * values. The *signature and batch shape* are the contract either
+    * way. */
   private def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
     batch.map { r =>
       val crc = new java.util.zip.CRC32()
@@ -130,23 +154,29 @@ object Multimodal {
         while (i < r.payload.length) { s += r.payload(i) & 0xff; i += 8 }
         s.toFloat / math.max(r.payload.length, 1)
       }
-      // gate on modality, don't sniff every payload: a video payload
-      // whose leading bytes happen to spell "P6 w h 255 …" or "RIFF…"
-      // (possible — video payloads here are raw text) must stay on
-      // the stub path, preserving the wrong-modality → stub contract
+      // gate on modality, don't sniff every payload: a payload whose
+      // leading bytes happen to spell another container's magic must
+      // stay on ITS modality's decoder (or the stub), preserving the
+      // wrong-modality → stub contract
       def stub = MediaFeatures(r.doc_id, r.modality, r.payload.length,
-        crc.getValue, "stub", -1, -1, -1L, -1, -1, -1L, feat)
+        crc.getValue, "stub", -1, -1, -1L, -1, -1, -1L, -1, -1, feat)
       r.modality match {
         case "image" =>
           ImageCodec.decode(r.payload).fold(stub)(img =>
             MediaFeatures(r.doc_id, r.modality, r.payload.length,
               crc.getValue, img.format, img.width, img.height,
-              img.pixelCrc, -1, -1, -1L, feat))
+              img.pixelCrc, -1, -1, -1L, -1, -1, feat))
         case "audio" =>
           AudioCodec.decode(r.payload).fold(stub)(a =>
             MediaFeatures(r.doc_id, r.modality, r.payload.length,
               crc.getValue, a.format, -1, -1, -1L,
-              a.sampleRate, a.nSamples, a.sampleCrc, feat))
+              a.sampleRate, a.nSamples, a.sampleCrc, -1, -1, feat))
+        case "video" =>
+          VideoCodec.decode(r.payload).fold(stub)(v =>
+            MediaFeatures(r.doc_id, r.modality, r.payload.length,
+              crc.getValue, v.format, v.width, v.height, v.frameCrc,
+              -1, -1, -1L, v.nFrames,
+              (v.fpsNum.toLong * 1000 / v.fpsDen).toInt, feat))
         case _ => stub
       }
     }
@@ -190,18 +220,35 @@ object Multimodal {
   case class Frame(doc_id: Long, frame_idx: Int, frame_ms: Long,
                    frame_payload: Array[Byte])
 
-  /** STUB frame sampling — real impl seeks the container and decodes
-    * keyframes. Here: one frame per `everyMs` of metadata duration,
-    * payload sliced deterministically per frame. Row explosion
-    * (1 video → N frames) and ordering are the real contract. */
+  /** Frame sampling. REAL for Y4M payloads: the container is walked
+    * frame-by-frame ([[VideoCodec.frames]]) and every `everyMs` of
+    * stream time the nearest actual frame is emitted with its raw
+    * planar payload and true presentation timestamp. STUB for
+    * unparseable containers (real impl would seek with a codec):
+    * one frame per `everyMs` of metadata duration, payload sliced
+    * deterministically. Row explosion (1 video → N frames) and
+    * ordering are the contract either way; no shuffle in any case. */
   def sampleFrames(ds: Dataset[MediaRecord], everyMs: Long): Dataset[Frame] = {
     import ds.sparkSession.implicits._
     ds.filter(_.modality == "video").flatMap { r =>
-      val n = math.max(1, (r.meta.durationMs / everyMs).toInt)
-      val chunk = math.max(1, r.payload.length / n)
-      (0 until n).map { i =>
-        Frame(r.doc_id, i, i * everyMs,
-          r.payload.slice(i * chunk, math.min((i + 1) * chunk, r.payload.length)))
+      VideoCodec.parseHeader(r.payload) match {
+        case Some(hdr) =>
+          val fs = VideoCodec.frames(r.payload).getOrElse(Seq.empty)
+          // one sampled frame per everyMs tick: frame index = the
+          // frame showing at tick time (floor of t * fps)
+          val step = math.max(1L,
+            everyMs * hdr.fpsNum / (1000L * hdr.fpsDen)).toInt
+          (0 until fs.length by step).zipWithIndex.map { case (fi, i) =>
+            Frame(r.doc_id, i,
+              VideoCodec.frameMs(fi, hdr.fpsNum, hdr.fpsDen), fs(fi))
+          }
+        case None =>
+          val n = math.max(1, (r.meta.durationMs / everyMs).toInt)
+          val chunk = math.max(1, r.payload.length / n)
+          (0 until n).map { i =>
+            Frame(r.doc_id, i, i * everyMs,
+              r.payload.slice(i * chunk, math.min((i + 1) * chunk, r.payload.length)))
+          }
       }
     }
   }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.types._
-import graft.multimodal.{AudioCodec, ImageCodec, MediaRecord, MediaMeta, Multimodal}
+import graft.multimodal.{AudioCodec, ImageCodec, VideoCodec, MediaRecord, MediaMeta, Multimodal}
 
 /** Pins the multimodal plumbing contract: schema, batch shape,
   * determinism, exact stub-feature values, and the REAL BMP/PPM
@@ -24,6 +24,10 @@ class MultimodalSpec extends SparkSpec {
     // audio rows carry a genuine RIFF/WAVE container, not stand-in bytes
     assert(audio.modality == "audio" &&
       new String(audio.payload.take(4), "US-ASCII") == "RIFF")
+    val video = ds.filter(_.doc_id == 2L).head()
+    // video rows carry a genuine YUV4MPEG2 container, not stand-in bytes
+    assert(video.modality == "video" &&
+      new String(video.payload.take(9), "US-ASCII") == "YUV4MPEG2")
   }
 
   test("decodeFeatures is deterministic and exact on a known payload") {
@@ -84,7 +88,7 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.schema.fieldNames.toSeq ==
       Seq("doc_id", "modality", "n_bytes", "payload_crc", "decoded_format",
         "width", "height", "pixel_crc", "sample_rate", "n_samples",
-        "sample_crc", "feat"))
+        "sample_crc", "n_frames", "fps_x1000", "feat"))
   }
 
   test("BMP decode: handcrafted 2x2 pixels round-trip with exact dims, means, and pixel CRC") {
@@ -146,14 +150,10 @@ class MultimodalSpec extends SparkSpec {
       crc.update(rgb)
       assert(f.pixel_crc == crc.getValue, s"doc ${f.doc_id} pixel CRC")
     }
-    // video payloads have no parseable container → labeled stub, with
-    // BOTH modality-specific field families at their -1 sentinels
-    assert(feats.filter(_.modality == "video").forall(f =>
-      f.decoded_format == "stub" && f.width == -1 && f.pixel_crc == -1L &&
-        f.sample_rate == -1 && f.n_samples == -1 && f.sample_crc == -1L))
-    // cross-family sentinels: image rows carry no audio fields
+    // cross-family sentinels: image rows carry no audio/video fields
     assert(feats.filter(_.modality == "image").forall(f =>
-      f.sample_rate == -1 && f.n_samples == -1 && f.sample_crc == -1L))
+      f.sample_rate == -1 && f.n_samples == -1 && f.sample_crc == -1L &&
+        f.n_frames == -1 && f.fps_x1000 == -1))
   }
 
   test("WAV decode: handcrafted samples round-trip with exact rate, count, rms, and sample CRC") {
@@ -185,6 +185,110 @@ class MultimodalSpec extends SparkSpec {
     // a declared data size larger than the file must be rejected
     val overrun = wav.clone(); overrun(40) = 127
     assert(AudioCodec.decode(overrun).isEmpty, "data overrun must be rejected")
+  }
+
+  test("Y4M decode: handcrafted 2x2 frames round-trip with exact dims, count, means, and frame CRC") {
+    // two 2x2 C420 frames (6 bytes each: 4 Y + 1 U + 1 V) with
+    // distinct plane values, so any plane-order or size slip changes
+    // the means or the CRC
+    val f0 = Array[Byte](10, 20, 30, 40, 50, 60)
+    val f1 = Array[Byte](70, 80, 90, 100, 110, 120)
+    val y4m = VideoCodec.encodeY4m(2, 2, 25, 1, Seq(f0, f1))
+    val v = VideoCodec.decode(y4m).get
+    assert(v.format == "y4m" && v.width == 2 && v.height == 2)
+    assert(v.fpsNum == 25 && v.fpsDen == 1 && v.nFrames == 2)
+    assert(v.durationMs == 80L) // 2 frames at 25 fps
+    assert(v.yMean == (10 + 20 + 30 + 40 + 70 + 80 + 90 + 100) / 8.0)
+    assert(v.uMean == (50 + 110) / 2.0)
+    assert(v.vMean == (60 + 120) / 2.0)
+    val crc = new java.util.zip.CRC32()
+    crc.update(f0); crc.update(f1)
+    assert(v.frameCrc == crc.getValue)
+    // the frame walk recovers the exact raw payloads, in order
+    assert(VideoCodec.frames(y4m).get.map(_.toSeq) == Seq(f0.toSeq, f1.toSeq))
+  }
+
+  test("Y4M header variants: frame params, mono/444 colorspaces, fps rounding") {
+    // FRAME params between marker and newline must be accepted
+    val base = VideoCodec.encodeY4m(2, 2, 30, 1, Seq(Array[Byte](1, 2, 3, 4, 5, 6)))
+    val withParams = new String(base, "ISO-8859-1")
+      .replaceFirst("FRAME\n", "FRAME Ixyz\n").getBytes("ISO-8859-1")
+    assert(VideoCodec.decode(withParams).exists(_.nFrames == 1))
+    // Cmono: Y plane only, odd dims legal
+    val mono = "YUV4MPEG2 W3 H1 F24:1 Cmono\nFRAME\n".getBytes("US-ASCII") ++
+      Array[Byte](7, 8, 9)
+    val m = VideoCodec.decode(mono).get
+    assert(m.nFrames == 1 && m.yMean == 8.0 && m.uMean == 0.0)
+    // C444: full-resolution chroma
+    val c444 = "YUV4MPEG2 W1 H1 F24:1 C444\nFRAME\n".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3)
+    assert(VideoCodec.decode(c444).exists(v => v.uMean == 2.0 && v.vMean == 3.0))
+    // 30000:1001 NTSC: duration rounds to nearest ms (30 frames ≈ 1001 ms)
+    val ntsc = VideoCodec.encodeY4m(2, 2, 30, 1,
+      Seq.fill(3)(Array[Byte](0, 0, 0, 0, 0, 0)))
+    val ntscHdr = new String(ntsc, "ISO-8859-1")
+      .replaceFirst("F30:1", "F30000:1001").getBytes("ISO-8859-1")
+    assert(VideoCodec.decode(ntscHdr).exists(_.durationMs == 100L))
+  }
+
+  test("Y4M corrupt/truncated payloads: decode is total, never throws") {
+    val y4m = VideoCodec.encodeY4m(4, 2, 25, 1,
+      Seq(Array.tabulate(12)(_.toByte), Array.tabulate(12)(i => (i + 50).toByte)))
+    for (cut <- Seq(0, 5, 9, 20, y4m.length - 13, y4m.length - 1))
+      assert(VideoCodec.decode(y4m.take(cut)).isEmpty, s"truncated at $cut")
+    assert(VideoCodec.decode("not a video".getBytes).isEmpty)
+    // odd dims are illegal for 4:2:0
+    assert(VideoCodec.decode(
+      "YUV4MPEG2 W3 H2 F25:1 C420\nFRAME\n   ".getBytes("ISO-8859-1")).isEmpty)
+    // unknown colorspace must be rejected, not mis-sized
+    assert(VideoCodec.decode(
+      "YUV4MPEG2 W2 H2 F25:1 C411\nFRAME\n".getBytes ++ new Array[Byte](6)).isEmpty)
+    // a non-FRAME marker where a frame should start
+    val bad = y4m.clone(); bad(y4m.length - 18) = 'X'
+    assert(VideoCodec.decode(bad).isEmpty || VideoCodec.decode(y4m).get.nFrames == 2)
+    // dims whose plane product overflows must be rejected up front
+    assert(VideoCodec.decode(
+      "YUV4MPEG2 W65536 H65536 F25:1 C420\nFRAME\n".getBytes).isEmpty)
+  }
+
+  test("m33 pipeline decodes video rows for real: fields match an independent recompute") {
+    val feats = Multimodal.decodeFeatures(Multimodal.mediaTable(spark, sfDir))
+      .collect()
+    val video = feats.filter(_.modality == "video")
+    assert(video.nonEmpty)
+    video.foreach { f =>
+      assert(f.decoded_format == "y4m", s"doc ${f.doc_id} not decoded")
+      val w = 2 * (1 + (f.doc_id % 4).toInt)
+      val h = 2 * (1 + (f.doc_id % 3).toInt)
+      val nFrames = 1 + (f.doc_id % 5).toInt
+      assert(f.width == w && f.height == h)
+      assert(f.n_frames == nFrames && f.fps_x1000 == 25000)
+      // decoded video carries no audio fields
+      assert(f.sample_rate == -1 && f.n_samples == -1 && f.sample_crc == -1L)
+      // recompute the frame bytes from the same doc_id derivation
+      val crc = new java.util.zip.CRC32()
+      (0 until nFrames).foreach { fr =>
+        crc.update(Array.tabulate(w * h * 3 / 2)(i =>
+          ((f.doc_id * 17 + fr * 59 + i * 13) % 256).toByte))
+      }
+      assert(f.pixel_crc == crc.getValue, s"doc ${f.doc_id} frame CRC")
+    }
+  }
+
+  test("frame sampling on a REAL Y4M container emits true frames at true timestamps") {
+    // 10 frames at 25 fps = 400 ms; sampling every 120 ms → frame
+    // step = floor(120*25/1000) = 3 → frames 0,3,6,9 at their real
+    // presentation times
+    val frames10 = (0 until 10).map(f =>
+      Array.tabulate(6)(i => (f * 10 + i).toByte))
+    val y4m = VideoCodec.encodeY4m(2, 2, 25, 1, frames10)
+    val rec = MediaRecord(9L, "video", y4m, MediaMeta("video/y4m", 2, 2, 400))
+    val got = Multimodal.sampleFrames(Seq(rec).toDS(), 120L)
+      .collect().sortBy(_.frame_idx)
+    assert(got.length == 4)
+    assert(got.map(_.frame_ms).toSeq == Seq(0L, 120L, 240L, 360L))
+    assert(got(1).frame_payload.toSeq == frames10(3).toSeq)
+    assert(got(3).frame_payload.toSeq == frames10(9).toSeq)
   }
 
   test("m33 pipeline decodes audio rows for real: fields match an independent recompute") {
