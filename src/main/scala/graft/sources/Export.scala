@@ -156,7 +156,15 @@ object Export {
     // .toInt would turn the export into a crash path
     val n = scala.util.Try(
       df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
-      .getOrElse(200).max(writeTasksPerBucket)
+      .getOrElse {
+        // visible fallback (VERDICT r5): a mis-set conf silently
+        // becoming 200 write tasks is exactly the kind of drift an
+        // operator should be able to find in the logs
+        System.err.println(
+          "[export] spark.sql.shuffle.partitions is non-numeric; " +
+            "falling back to 200 write tasks")
+        200
+      }.max(writeTasksPerBucket)
     val keyed =
       if (writeTasksPerBucket <= 1) df.repartition(n, col(partitionCol))
       else df.repartition(n, col(partitionCol),

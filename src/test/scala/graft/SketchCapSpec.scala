@@ -110,6 +110,23 @@ class SketchCapSpec extends SparkSpec {
     }
   }
 
+  test("t33 sketch columns are REPRODUCIBLE on the fixed corpus: exact pinned values") {
+    // VERDICT r5 #6: HLL++ registers merge by max (order- and
+    // partition-layout-insensitive) and percentile_approx at
+    // accuracy 1000 on ≤200-row groups picks a deterministic data
+    // point — so for a FIXED corpus the sketch outputs are not just
+    // error-bounded but exactly reproducible. Pin the sf0.001
+    // values: a drift here means the sketch implementation (or its
+    // hash seed) changed, which an error-band spec would miss.
+    val out = TextOps.t33SketchStats(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("approx_sources"), r.getAs[Long]("approx_median_chars"))))
+      .toMap
+    assert(out == Map(
+      "de" -> ((20L, 308L)), "en" -> ((20L, 293L)), "fr" -> ((20L, 352L)),
+      "es" -> ((20L, 324L)), "zh" -> ((19L, 316L))), s"sketch drift: $out")
+  }
+
   test("t33b exact stats agree with t33's exact columns and the approx median brackets the exact one") {
     // pins the b-variant claim: t33b oracle-checks the SAME pipeline
     // whose sketch columns stay rows-only in t33 — the shared exact
