@@ -722,6 +722,113 @@ object TextOps {
        |                        ELSE 16777216 END
        |ORDER BY doc_id""".stripMargin
 
+  /** t41 chunking geometry: 64-token windows every 48 tokens
+    * (16-token overlap) — the embedding-index shape; a real run
+    * parameterizes both. */
+  private[graft] val chunkSize = 64
+  private[graft] val chunkStride = 48
+
+  /** t41: overlapping token-window chunking — split every document
+    * into `chunkSize`-token windows starting every `chunkStride`
+    * tokens (RAG/embedding-index preprocessing: chunks small enough
+    * to embed, overlapping so no span is cut mid-context). Emits one
+    * row per (doc, window) with the window's token count and
+    * reassembled text; the final window is the natural remainder.
+    *
+    * Scale shape (100 TB): a pure per-row explode — tokenize once,
+    * `sequence(0, n-1, stride)` for the start offsets, `slice` +
+    * `array_join` per chunk. No shuffle at all except the
+    * presentation sort (dropped at scale for a partitioned write);
+    * output volume is the size×stride overlap factor (~4/3 here),
+    * which is the operator's real cost and the user's dial. */
+  def t41Chunk(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("start",
+        explode(sequence(lit(0), col("n_tok") - 1, lit(chunkStride))))
+      .select(
+        col("doc_id"), col("lang"),
+        (col("start") / chunkStride).cast("int").as("chunk_idx"),
+        col("start").as("start_tok"),
+        least(lit(chunkSize), col("n_tok") - col("start")).cast("int")
+          .as("chunk_tokens"),
+        array_join(slice(col("toks"), col("start") + 1, lit(chunkSize)), " ")
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val t41Sql: String =
+    s"""WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS a FROM documents),
+       |s AS (
+       | SELECT doc_id, lang, a, len(a) AS n,
+       |  unnest(generate_series(0, CAST(len(a) AS BIGINT) - 1, $chunkStride)) AS start
+       | FROM t)
+       |SELECT doc_id, lang,
+       | CAST(start // $chunkStride AS INT) AS chunk_idx,
+       | CAST(start AS INT) AS start_tok,
+       | CAST(least($chunkSize, n - start) AS INT) AS chunk_tokens,
+       | array_to_string(list_slice(a, start + 1, least(start + $chunkSize, n)), ' ') AS chunk_text
+       |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** t42 context-window capacity in whitespace tokens. */
+  private[graft] val packBudget = 2048L
+
+  /** t42: sequence packing — assign every document its position in
+    * the GPT-style packed training layout: documents concatenated in
+    * a fixed deterministic order (lang, then doc_id) and the token
+    * stream sliced into `packBudget`-token context windows. For each
+    * doc: the running token count before it (`cum_before`), the
+    * context window its first token lands in (`bin_id`), and the
+    * offset within that window (`bin_offset`) — exactly what a
+    * trainer needs to build packed examples without re-scanning.
+    *
+    * Scale shape (100 TB): the naive form is one window cumsum per
+    * language (single sorted task — dies on a monolingual corpus).
+    * Implemented as t37's two-phase cumulative sum with the bucket
+    * now a PREFIX OF THE ORDER KEY (doc_id >> 6): per-(lang, bucket)
+    * token totals get a running offset via a window over the tiny
+    * rollup, the within-bucket cumsum parallelizes per bucket, and
+    * offset + within-bucket sum IS the global cumsum. The DuckDB
+    * oracle computes the naive single-window form, so the gate
+    * cross-checks the decomposition exactly. */
+  def t42Pack(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(
+      col("doc_id"), col("lang"),
+      size(tokens(col("text"))).cast("long").as("ws_tokens"))
+      .withColumn("bucket", shiftright(col("doc_id"), 6))
+    val offsets = base.groupBy("lang", "bucket")
+      .agg(sum("ws_tokens").as("btok"))
+      .withColumn("bucket_before", coalesce(
+        sum(col("btok")).over(Window.partitionBy("lang").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("lang", "bucket", "bucket_before")
+    val wIn = Window.partitionBy("lang", "bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(offsets), Seq("lang", "bucket"))
+      .withColumn("cum_before",
+        col("bucket_before") + coalesce(sum(col("ws_tokens")).over(wIn), lit(0L)))
+      .select(col("lang"), col("doc_id"), col("ws_tokens"), col("cum_before"),
+        (col("cum_before") / packBudget).cast("long").as("bin_id"),
+        (col("cum_before") % packBudget).as("bin_offset"))
+      .orderBy("lang", "doc_id")
+  }
+
+  val t42Sql: String =
+    s"""WITH base AS (
+       | SELECT doc_id, lang,
+       |  CAST(len(string_split(text,' ')) AS BIGINT) AS ws_tokens
+       | FROM documents),
+       |c AS (
+       | SELECT lang, doc_id, ws_tokens,
+       |  coalesce(sum(ws_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       | FROM base)
+       |SELECT lang, doc_id, ws_tokens, cum_before,
+       | CAST(cum_before // $packBudget AS BIGINT) AS bin_id,
+       | CAST(cum_before % $packBudget AS BIGINT) AS bin_offset
+       |FROM c ORDER BY lang, doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t29_langid" -> (t29LangId _),
     "t30_quality" -> (t30Quality _),
@@ -735,7 +842,9 @@ object TextOps {
     "t37_token_budget" -> (t37TokenBudget _),
     "t38_keyphrase" -> (t38Keyphrase _),
     "t39_bigram_lm" -> (t39BigramLm _),
-    "t40_pipeline" -> (t40Pipeline _))
+    "t40_pipeline" -> (t40Pipeline _),
+    "t41_chunk" -> (t41Chunk _),
+    "t42_pack" -> (t42Pack _))
 
   def oracles: Map[String, String] = Map(
     "t29_langid" -> t29Sql,
@@ -749,5 +858,7 @@ object TextOps {
     "t37_token_budget" -> t37Sql,
     "t38_keyphrase" -> t38Sql,
     "t39_bigram_lm" -> t39Sql,
-    "t40_pipeline" -> t40Sql)
+    "t40_pipeline" -> t40Sql,
+    "t41_chunk" -> t41Sql,
+    "t42_pack" -> t42Sql)
 }

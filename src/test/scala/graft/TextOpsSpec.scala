@@ -274,4 +274,72 @@ class TextOpsSpec extends SparkSpec {
     // sampling bites too: healthy fillers that fail the draw
     assert((1L to 200L).exists(i => !victims(i) && md5Draw(i) >= draw))
   }
+
+  test("t41 chunks tile every document: full coverage, correct overlap, exact texts") {
+    val out = TextOps.t41Chunk(spark, sfDir)
+      .select("doc_id", "chunk_idx", "start_tok", "chunk_tokens", "chunk_text")
+      .as[(Long, Int, Int, Int, String)].collect()
+      .groupBy(_._1)
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out.keySet == docs.keySet, "one chunk set per document")
+    out.foreach { case (id, chunks) =>
+      val toks = docs(id).split(" ", -1)
+      val sorted = chunks.sortBy(_._2)
+      // starts advance by exactly the stride from zero
+      assert(sorted.map(_._3).toSeq ==
+        sorted.indices.map(_ * TextOps.chunkStride))
+      // every chunk is the exact token slice it claims
+      sorted.foreach { case (_, _, start, n, text) =>
+        assert(n == math.min(TextOps.chunkSize, toks.length - start))
+        assert(text == toks.slice(start, start + n).mkString(" "), s"doc $id @$start")
+      }
+      // coverage: the last chunk reaches the document's end
+      val (_, _, lastStart, lastN, _) = sorted.last
+      assert(lastStart + lastN == toks.length)
+      assert(lastStart < toks.length, "no empty trailing chunk")
+    }
+  }
+
+  test("t42 two-phase packed layout equals the naive single-window cumsum exactly") {
+    // same decomposition-vs-naive pin as t37, with the bucket a
+    // prefix of the (lang, doc_id) order key
+    val naive = {
+      val base = Tables.documents(spark, sfDir).select(
+        col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"))
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      base.withColumn("cum_before", coalesce(sum("ws_tokens").over(w), lit(0L)))
+        .select("lang", "doc_id", "ws_tokens", "cum_before")
+        .as[(String, Long, Long, Long)].collect().toSet
+    }
+    val out = TextOps.t42Pack(spark, sfDir)
+      .select("lang", "doc_id", "ws_tokens", "cum_before")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(out == naive)
+  }
+
+  test("t42 window assignment is consistent: bins advance monotonically and split at the budget") {
+    val rows = TextOps.t42Pack(spark, sfDir)
+      .select("lang", "doc_id", "ws_tokens", "cum_before", "bin_id", "bin_offset")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1)
+    rows.foreach { case (lang, docs) =>
+      val sorted = docs.sortBy(_._2)
+      // the packed stream is gapless: each doc starts where the
+      // previous one ended
+      sorted.sliding(2).foreach {
+        case Array((_, _, n0, c0, _, _), (_, _, _, c1, _, _)) =>
+          assert(c1 == c0 + n0, s"$lang stream must be gapless")
+        case _ =>
+      }
+      sorted.foreach { case (_, id, _, cum, bin, off) =>
+        assert(bin == cum / TextOps.packBudget, s"doc $id bin")
+        assert(off == cum % TextOps.packBudget, s"doc $id offset")
+      }
+      // the corpus actually spans multiple context windows
+      assert(sorted.last._5 > 0, s"$lang must fill more than one window")
+    }
+  }
 }
