@@ -809,7 +809,9 @@ object TextOps {
       .withColumn("cum_before",
         col("bucket_before") + coalesce(sum(col("ws_tokens")).over(wIn), lit(0L)))
       .select(col("lang"), col("doc_id"), col("ws_tokens"), col("cum_before"),
-        (col("cum_before") / packBudget).cast("long").as("bin_id"),
+        // integer div, not a double round-trip: a 100 TB token
+        // stream passes 2^53 where double division can mis-floor
+        expr(s"cum_before div $packBudget").as("bin_id"),
         (col("cum_before") % packBudget).as("bin_offset"))
       .orderBy("lang", "doc_id")
   }
