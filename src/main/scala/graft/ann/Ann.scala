@@ -70,10 +70,11 @@ object Ann {
     * definition so the exact baseline and the quantized path can
     * never diverge on tie-break or output contract. */
   private def rankedTopK(s: SparkSession,
-      scored: org.apache.spark.sql.Dataset[(Long, Long, Double)]): DataFrame = {
+      scored: org.apache.spark.sql.Dataset[(Long, Long, Double)],
+      k: Int = K): DataFrame = {
     import s.implicits._
     scored.groupByKey(_._1)
-      .agg(new TopKAgg(K).toColumn.name("topk"))
+      .agg(new TopKAgg(k).toColumn.name("topk"))
       .flatMap { case (q, buf) =>
         buf.items.zipWithIndex.map { case ((c, id), i) => (q, i + 1, id, c) }
       }
@@ -360,7 +361,12 @@ object Ann {
     * trained a29 quantizer this one is fully DuckDB-oracle-checked:
     * quantize, dequantize, score, and rank replay bit-identically
     * cross-engine. */
-  def a30AnnSq(s: SparkSession, dir: String): DataFrame = {
+  /** The quantized (SQ8/ADC) scored stream shared by a30 and a31:
+    * (query_id, neighbor_id, rounded quantized cosine). One
+    * definition so the standalone compressed-domain entry and the
+    * rerank pipeline's coarse stage can never diverge. */
+  private def sqScored(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
     import s.implicits._
     val corpus = Tables.embeddings(s, dir).select("vec_id", "embedding")
     val stats = corpus
@@ -386,11 +392,104 @@ object Ann {
       col("norm").as("q_norm"))
     val adc = expr(
       "aggregate(zip_with(q_embedding, dqe, (a, b) -> cast(a as double) * b), 0.0d, (acc, v) -> acc + v)")
-    val scored = dq.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+    dq.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(adc / (col("q_norm") * col("dq_norm")), 4).as("cosine"))
       .as[(Long, Long, Double)]
-    rankedTopK(s, scored)
+  }
+
+  def a30AnnSq(s: SparkSession, dir: String): DataFrame =
+    rankedTopK(s, sqScored(s, dir))
+
+  /** a31 coarse-candidate width: quantized top-32 feed the exact
+    * re-rank (the 100 TB dial: bigger C = more recall, more exact
+    * scoring). */
+  private[ann] val RerankC = 32
+
+  /** a31: two-stage retrieve-then-rerank — THE production ANN shape.
+    * Stage 1 scans the 4×-compressed SQ8 corpus (a30's scored
+    * stream) and keeps the quantized top-C per query via the
+    * bounded-buffer aggregator; stage 2 rescores ONLY those N×C
+    * candidates at full precision and re-ranks to top-k. The corpus
+    * is scanned once in compressed form and never shuffled: the
+    * candidate list (queries × C rows) broadcasts back onto the
+    * corpus as an equi-join for the exact vectors.
+    *
+    * Fully deterministic (quantized floor arithmetic + exact
+    * sequential dot products + rounded tie-breaks), so the WHOLE
+    * two-stage pipeline is DuckDB-oracle-checked — coarse_rank in
+    * the output pins stage 1's candidate order, rank pins stage 2's
+    * final order. */
+  def a31AnnRerank(s: SparkSession, dir: String): DataFrame = {
+    val coarse = rankedTopK(s, sqScored(s, dir), RerankC)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").as("coarse_rank"))
+    val corpus = withNorm(Tables.embeddings(s, dir).select("vec_id", "embedding"))
+    val queries = corpus.filter(col("vec_id") < NQ).select(
+      col("vec_id").as("query_id"),
+      col("embedding").as("q_embedding"),
+      col("norm").as("q_norm"))
+    val exact = broadcast(coarse)
+      .join(corpus.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("coarse_rank"),
+        round(cosine, 4).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= K)
+      .select("query_id", "rank", "neighbor_id", "cosine", "coarse_rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB oracle for a31: a30's quantized CTE chain kept to top-C,
+    * then the exact-cosine re-rank with identical rounding and
+    * tie-breaks. */
+  val a31Sql: String = {
+    val dequant =
+      """list_transform(list_zip(embedding, (SELECT mns FROM stats), (SELECT mxs FROM stats)),
+        | p -> CASE WHEN p[3] > p[2]
+        |      THEN p[2] + floor((CAST(p[1] AS DOUBLE) - p[2]) * 255.0 / (p[3] - p[2]))
+        |           * (p[3] - p[2]) / 255.0
+        |      ELSE p[2] END)""".stripMargin
+    val adcScore =
+      """ROUND(list_sum(list_transform(list_zip(q.embedding, c.dqe),
+        |  p -> CAST(p[1] AS DOUBLE) * p[2])) / (q.norm * c.dq_norm), 4)""".stripMargin
+    val exactScore =
+      """ROUND(list_sum(list_transform(list_zip(q.embedding, n.embedding),
+        |  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (q.norm * n.norm), 4)""".stripMargin
+    s"""WITH dims AS (
+       | SELECT i, CAST(embedding[i] AS DOUBLE) AS x
+       | FROM (SELECT embedding, unnest(generate_series(1, len(embedding))) AS i
+       |       FROM embeddings)),
+       |stats AS (
+       | SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+       | FROM (SELECT i, min(x) AS mn, max(x) AS mx FROM dims GROUP BY i)),
+       |dq AS (
+       | SELECT vec_id, dqe,
+       |  sqrt(list_sum(list_transform(dqe, v -> v * v))) AS dq_norm
+       | FROM (SELECT vec_id, $dequant AS dqe FROM embeddings)),
+       |alln AS (
+       | SELECT vec_id, embedding,
+       |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
+       | FROM embeddings),
+       |q AS (SELECT * FROM alln WHERE vec_id < $NQ),
+       |coarse AS (
+       | SELECT query_id, neighbor_id, coarse_rank FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |   row_number() OVER (PARTITION BY q.vec_id
+       |     ORDER BY $adcScore DESC, c.vec_id) AS coarse_rank
+       |  FROM q JOIN dq c ON c.vec_id <> q.vec_id AND c.dq_norm > 0 AND q.norm > 0)
+       | WHERE coarse_rank <= $RerankC)
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine,
+       | CAST(coarse_rank AS INT) AS coarse_rank FROM (
+       | SELECT co.query_id, co.neighbor_id, co.coarse_rank,
+       |  $exactScore AS cosine,
+       |  row_number() OVER (PARTITION BY co.query_id
+       |    ORDER BY $exactScore DESC, co.neighbor_id) AS rank
+       | FROM coarse co
+       |  JOIN alln n ON n.vec_id = co.neighbor_id AND n.norm > 0
+       |  JOIN q ON q.vec_id = co.query_id)
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   }
 
   /** DuckDB oracle for a30: same per-dimension bounds, same
@@ -435,11 +534,13 @@ object Ann {
     "a28_ann_lsh" -> (a28AnnLsh _),
     "a29_ann_ivf" -> (a29AnnIvf _),
     "a29b_ann_ivf_oracle" -> (a29bAnnIvfOracle _),
-    "a30_ann_sq" -> (a30AnnSq _))
+    "a30_ann_sq" -> (a30AnnSq _),
+    "a31_ann_rerank" -> (a31AnnRerank _))
 
   def oracles: Map[String, String] = Map(
     "a27_ann_brute" -> a27Sql,
     "a28_ann_lsh" -> a28Sql,
     "a29b_ann_ivf_oracle" -> a29bSql,
-    "a30_ann_sq" -> a30Sql)
+    "a30_ann_sq" -> a30Sql,
+    "a31_ann_rerank" -> a31Sql)
 }

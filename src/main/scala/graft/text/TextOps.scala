@@ -831,6 +831,77 @@ object TextOps {
        | CAST(cum_before % $packBudget AS BIGINT) AS bin_offset
        |FROM c ORDER BY lang, doc_id""".stripMargin
 
+  /** PII patterns shared by t43's count and redact stages. Written
+    * in the Java∩RE2 regex dialect intersection (the t34 stance):
+    * character classes, bounded repetition, \d and \b only — no
+    * lookaround, so Spark's Java engine and DuckDB's RE2 match
+    * identically. */
+  private[graft] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val phoneRe = "\\+\\d{8,15}"
+  private[graft] val ipRe =
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** t43: PII detection + redaction — the scrub-before-training step
+    * every published pipeline runs (emails, plus-prefixed phone
+    * numbers, IPv4s → typed placeholders, with per-doc counts for
+    * the audit trail). Pure per-row projection: zero shuffles,
+    * embarrassingly parallel, same scale shape as t34.
+    *
+    * The synthetic corpus carries no PII (zero digits anywhere), so
+    * the entry PLANTS deterministic PII derived from doc_id — the
+    * mediaTable stance: both engines derive the identical enriched
+    * text in-dialect, making the cross-engine gate a NON-VACUOUS
+    * check of regex semantics, counts, and redaction order rather
+    * than an identity map over clean text. Redaction order matters
+    * and is pinned: emails first (their local part may contain
+    * digits), then phones, then IPs. */
+  def t43Pii(s: SparkSession, dir: String): DataFrame = {
+    val did = col("doc_id")
+    val enriched = concat(
+      col("text"),
+      when(did % 5 === 0, concat(lit(" contact user"), did.cast("string"),
+        lit("@example.com now"))).otherwise(lit("")),
+      when(did % 7 === 0, concat(lit(" from 10."), (did % 256).cast("string"),
+        lit(".0."), (did % 100).cast("string"), lit(" logged"))).otherwise(lit("")),
+      when(did % 11 === 0, concat(lit(" call +1555"),
+        lpad((did % 10000).cast("string"), 7, "0"), lit(" soon"))).otherwise(lit("")))
+    Tables.documents(s, dir)
+      .select(did, col("lang"), enriched.as("enriched"))
+      .select(
+        col("doc_id"), col("lang"),
+        regexp_count(col("enriched"), lit(emailRe)).cast("int").as("n_emails"),
+        regexp_count(col("enriched"), lit(phoneRe)).cast("int").as("n_phones"),
+        regexp_count(col("enriched"), lit(ipRe)).cast("int").as("n_ips"),
+        regexp_replace(regexp_replace(regexp_replace(col("enriched"),
+          emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), ipRe, "<IP>")
+          .as("redacted_text"))
+      .orderBy("doc_id")
+  }
+
+  val t43Sql: String =
+    s"""WITH e AS (
+       | SELECT doc_id, lang,
+       |  text
+       |   || CASE WHEN doc_id % 5 = 0
+       |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+       |      ELSE '' END
+       |   || CASE WHEN doc_id % 7 = 0
+       |      THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+       |        || '.0.' || CAST(doc_id % 100 AS VARCHAR) || ' logged'
+       |      ELSE '' END
+       |   || CASE WHEN doc_id % 11 = 0
+       |      THEN ' call +1555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 7, '0') || ' soon'
+       |      ELSE '' END AS enriched
+       | FROM documents)
+       |SELECT doc_id, lang,
+       | CAST(len(regexp_extract_all(enriched, '$emailRe')) AS INT) AS n_emails,
+       | CAST(len(regexp_extract_all(enriched, '$phoneRe')) AS INT) AS n_phones,
+       | CAST(len(regexp_extract_all(enriched, '$ipRe')) AS INT) AS n_ips,
+       | regexp_replace(regexp_replace(regexp_replace(enriched,
+       |   '$emailRe', '<EMAIL>', 'g'), '$phoneRe', '<PHONE>', 'g'),
+       |   '$ipRe', '<IP>', 'g') AS redacted_text
+       |FROM e ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t29_langid" -> (t29LangId _),
     "t30_quality" -> (t30Quality _),
@@ -846,7 +917,8 @@ object TextOps {
     "t39_bigram_lm" -> (t39BigramLm _),
     "t40_pipeline" -> (t40Pipeline _),
     "t41_chunk" -> (t41Chunk _),
-    "t42_pack" -> (t42Pack _))
+    "t42_pack" -> (t42Pack _),
+    "t43_pii" -> (t43Pii _))
 
   def oracles: Map[String, String] = Map(
     "t29_langid" -> t29Sql,
@@ -862,5 +934,6 @@ object TextOps {
     "t39_bigram_lm" -> t39Sql,
     "t40_pipeline" -> t40Sql,
     "t41_chunk" -> t41Sql,
-    "t42_pack" -> t42Sql)
+    "t42_pack" -> t42Sql,
+    "t43_pii" -> t43Sql)
 }

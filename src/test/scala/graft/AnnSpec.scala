@@ -121,6 +121,38 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall@5=$recall")
   }
 
+  test("a31 rerank: exact final scores, coarse candidates bounded, recall at least a30's") {
+    val brute = Ann.a27AnnBrute(spark, sfDir)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    val bruteMap = brute.map(r => (r._1, r._2) -> r._3).toMap
+    val rr = Ann.a31AnnRerank(spark, sfDir)
+      .select("query_id", "rank", "neighbor_id", "cosine", "coarse_rank")
+      .as[(Long, Int, Long, Double, Int)].collect()
+    assert(rr.nonEmpty)
+    rr.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length).toSeq, s"ranks for $q")
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).toSeq.sorted.reverse,
+        s"cosine monotone for $q")
+    }
+    // stage-2 scores are EXACT cosine — identical to brute force on
+    // any shared pair — and stage-1 candidates respect the C bound
+    rr.foreach { case (q, _, n, c, cr) =>
+      assert(cr >= 1 && cr <= 32, s"coarse_rank $cr out of bounds")
+      bruteMap.get((q, n)).foreach(bc => assert(math.abs(bc - c) < 1e-9))
+    }
+    // reranking a 32-wide quantized candidate set can only improve
+    // on ranking the quantized top-5 directly
+    val bruteSet = brute.map(r => (r._1, r._2)).toSet
+    val sqSet = Ann.a30AnnSq(spark, sfDir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rrSet = rr.map(r => (r._1, r._3)).toSet
+    val recallSq = (bruteSet & sqSet).size.toDouble / bruteSet.size
+    val recallRr = (bruteSet & rrSet).size.toDouble / bruteSet.size
+    assert(recallRr >= recallSq, s"rerank $recallRr vs sq $recallSq")
+  }
+
   test("a28 lsh returns fewer-or-equal candidates than brute force k") {
     val bruteN = Ann.a27AnnBrute(spark, sfDir).count()
     val lshN = Ann.a28AnnLsh(spark, sfDir).count()

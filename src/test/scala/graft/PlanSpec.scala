@@ -276,6 +276,7 @@ class PlanSpec extends SparkSpec {
     //   t38  corpus doc-count N attach — 1-row aggregate broadcast
     //   t39  vocabulary-size V attach — 1-row aggregate broadcast
     //   a30  per-dim bound stats (1 row) + 8 query vectors broadcast
+    //   a31  same stats/query broadcasts in its coarse (a30) stage
     //   s39  eval gram set — 1-row arrays_overlap anti join (the
     //        stateless stream-static shape, deliberately kept in batch)
     // Nothing may use CartesianProduct, and no NEW query may grow a
@@ -283,7 +284,7 @@ class PlanSpec extends SparkSpec {
     val allowedBnlj = Set("a27_ann_brute", "a29_ann_ivf", "a29b_ann_ivf_oracle",
       "d26_embed_neardup",
       "q28_date_spine", "t38_keyphrase", "t39_bigram_lm", "a30_ann_sq",
-      "s39_stream_decontaminate")
+      "a31_ann_rerank", "s39_stream_decontaminate")
     // Entries whose DataFrame CONSTRUCTION executes real work (q30/q31
     // write full exports, d27/d27b iterate connected components to a
     // fixpoint) are skipped: a plan sweep must inspect plans, not

@@ -275,6 +275,31 @@ class TextOpsSpec extends SparkSpec {
     assert((1L to 200L).exists(i => !victims(i) && md5Draw(i) >= draw))
   }
 
+  test("t43 detects and redacts planted + in-text PII with pinned counts and order") {
+    // doc 1: no planted PII (1 % 5/7/11 all nonzero) — only the
+    // in-text occurrences count; doc 0: all three planted forms
+    val dir = docsOf(
+      0L -> "clean words only",
+      1L -> "write bob@test.org or ping 1.2.3.4 soon",
+      2L -> "a@1.2.3.4.com")
+    val out = TextOps.t43Pii(spark, dir)
+      .select("doc_id", "n_emails", "n_phones", "n_ips", "redacted_text")
+      .as[(Long, Int, Int, Int, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 0 gets user0@example.com, 10.0.0.0, +15550000000 planted
+    assert(out(0L)._2 == 1 && out(0L)._3 == 1 && out(0L)._4 == 1)
+    assert(out(0L)._5 ==
+      "clean words only contact <EMAIL> now from <IP> logged call <PHONE> soon")
+    assert(out(1L)._2 == 1 && out(1L)._3 == 0 && out(1L)._4 == 1)
+    assert(out(1L)._5 == "write <EMAIL> or ping <IP> soon")
+    // redaction-order pin: a host that LOOKS like an IP inside an
+    // email address is consumed by the email pass first — one
+    // <EMAIL>, no partial <IP> splice; the count columns audit raw
+    // pattern occurrences BEFORE redaction, so n_ips still sees it
+    assert(out(2L)._5 == "<EMAIL>")
+    assert(out(2L)._2 == 1 && out(2L)._4 == 1)
+  }
+
   test("t41 chunks tile every document: full coverage, correct overlap, exact texts") {
     val out = TextOps.t41Chunk(spark, sfDir)
       .select("doc_id", "chunk_idx", "start_tok", "chunk_tokens", "chunk_text")
