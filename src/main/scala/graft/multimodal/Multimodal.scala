@@ -231,24 +231,40 @@ object Multimodal {
   def sampleFrames(ds: Dataset[MediaRecord], everyMs: Long): Dataset[Frame] = {
     import ds.sparkSession.implicits._
     ds.filter(_.modality == "video").flatMap { r =>
-      VideoCodec.parseHeader(r.payload) match {
-        case Some(hdr) =>
-          val fs = VideoCodec.frames(r.payload).getOrElse(Seq.empty)
-          // one sampled frame per everyMs tick: frame index = the
-          // frame showing at tick time (floor of t * fps)
-          val step = math.max(1L,
-            everyMs * hdr.fpsNum / (1000L * hdr.fpsDen)).toInt
-          (0 until fs.length by step).zipWithIndex.map { case (fi, i) =>
-            Frame(r.doc_id, i,
-              VideoCodec.frameMs(fi, hdr.fpsNum, hdr.fpsDen), fs(fi))
-          }
-        case None =>
-          val n = math.max(1, (r.meta.durationMs / everyMs).toInt)
-          val chunk = math.max(1, r.payload.length / n)
-          (0 until n).map { i =>
-            Frame(r.doc_id, i, i * everyMs,
-              r.payload.slice(i * chunk, math.min((i + 1) * chunk, r.payload.length)))
-          }
+      val real = for {
+        hdr  <- VideoCodec.parseHeader(r.payload)
+        offs <- VideoCodec.frameOffsets(r.payload, hdr)
+      } yield {
+        // the frame showing at tick i·everyMs is floor(t · fps),
+        // computed PER TICK in Long arithmetic: a constant integer
+        // step drifts off the tick grid whenever frames-per-tick is
+        // non-integer (NTSC 30000/1001 accumulates ~a frame per
+        // tick), and a truncated step can hit zero on a crafted
+        // header. Sub-frame-interval ticks collapse onto the same
+        // frame → emitted once. Negative fi (Long overflow on an
+        // absurd header × everyMs) terminates the walk.
+        val fis = Iterator.from(0)
+          .map(i => i.toLong * everyMs * hdr.fpsNum / (1000L * hdr.fpsDen))
+          .takeWhile(fi => fi >= 0 && fi < offs.length)
+          .toSeq.distinct
+        // copy ONLY the sampled frames' bytes — the walk touches
+        // offsets, never the skipped frames' payloads
+        fis.zipWithIndex.map { case (fi, i) =>
+          val off = offs(fi.toInt)
+          Frame(r.doc_id, i, VideoCodec.frameMs(fi.toInt, hdr.fpsNum, hdr.fpsDen),
+            java.util.Arrays.copyOfRange(r.payload, off, off + hdr.frameBytes))
+        }
+      }
+      real.getOrElse {
+        // stub slicing for unparseable containers AND header-valid/
+        // body-corrupt payloads — a video never silently vanishes
+        // from the sampled output
+        val n = math.max(1, (r.meta.durationMs / everyMs).toInt)
+        val chunk = math.max(1, r.payload.length / n)
+        (0 until n).map { i =>
+          Frame(r.doc_id, i, i * everyMs,
+            r.payload.slice(i * chunk, math.min((i + 1) * chunk, r.payload.length)))
+        }
       }
     }
   }

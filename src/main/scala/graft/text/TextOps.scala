@@ -749,7 +749,9 @@ object TextOps {
         explode(sequence(lit(0), col("n_tok") - 1, lit(chunkStride))))
       .select(
         col("doc_id"), col("lang"),
-        (col("start") / chunkStride).cast("int").as("chunk_idx"),
+        // integer div (the t42 stance): same convention, exact
+        // semantics with no double round-trip
+        expr(s"start div $chunkStride").cast("int").as("chunk_idx"),
         col("start").as("start_tok"),
         least(lit(chunkSize), col("n_tok") - col("start")).cast("int")
           .as("chunk_tokens"),
@@ -774,6 +776,17 @@ object TextOps {
   /** t42 context-window capacity in whitespace tokens. */
   private[graft] val packBudget = 2048L
 
+  /** t42 bucket width: doc_id >> shift. The offsets rollup carries
+    * ~N/2^shift rows (broadcast + one tiny window) and each
+    * within-bucket window sorts ~2^shift docs, so the shift is the
+    * SQRT DIAL of the two-phase decomposition: pick ≈ log2(√N).
+    * 6 suits the test SFs (8–80 buckets over 500–5000 docs); a
+    * 10^10-doc corpus would run ~17 (130k-doc buckets, 75k-row
+    * rollup). Unlike t37's fixed 256 hash-prefix buckets, the
+    * order-key prefix must scale with N — the dial, its formula,
+    * and why are the contract here. */
+  private[graft] val packBucketShift = 6
+
   /** t42: sequence packing — assign every document its position in
     * the GPT-style packed training layout: documents concatenated in
     * a fixed deterministic order (lang, then doc_id) and the token
@@ -796,7 +809,7 @@ object TextOps {
     val base = Tables.documents(s, dir).select(
       col("doc_id"), col("lang"),
       size(tokens(col("text"))).cast("long").as("ws_tokens"))
-      .withColumn("bucket", shiftright(col("doc_id"), 6))
+      .withColumn("bucket", shiftright(col("doc_id"), packBucketShift))
     val offsets = base.groupBy("lang", "bucket")
       .agg(sum("ws_tokens").as("btok"))
       .withColumn("bucket_before", coalesce(

@@ -243,9 +243,12 @@ class MultimodalSpec extends SparkSpec {
     // unknown colorspace must be rejected, not mis-sized
     assert(VideoCodec.decode(
       "YUV4MPEG2 W2 H2 F25:1 C411\nFRAME\n".getBytes ++ new Array[Byte](6)).isEmpty)
-    // a non-FRAME marker where a frame should start
+    // a non-FRAME marker where a frame should start must reject the
+    // whole stream (fixture sanity first: the uncorrupted original
+    // really has 2 frames and length-18 is the second marker's 'F')
+    assert(VideoCodec.decode(y4m).get.nFrames == 2)
     val bad = y4m.clone(); bad(y4m.length - 18) = 'X'
-    assert(VideoCodec.decode(bad).isEmpty || VideoCodec.decode(y4m).get.nFrames == 2)
+    assert(VideoCodec.decode(bad).isEmpty, "corrupt FRAME marker must reject")
     // dims whose plane product overflows must be rejected up front
     assert(VideoCodec.decode(
       "YUV4MPEG2 W65536 H65536 F25:1 C420\nFRAME\n".getBytes).isEmpty)
@@ -289,6 +292,34 @@ class MultimodalSpec extends SparkSpec {
     assert(got.map(_.frame_ms).toSeq == Seq(0L, 120L, 240L, 360L))
     assert(got(1).frame_payload.toSeq == frames10(3).toSeq)
     assert(got(3).frame_payload.toSeq == frames10(9).toSeq)
+  }
+
+  test("frame sampling tracks the tick grid on non-integer rates and never silently drops videos") {
+    // NTSC 30000/1001 at everyMs=1000: frames-per-tick ≈ 29.97, so a
+    // constant integer step drifts ~a frame per tick — the per-tick
+    // floor must pick frame 29 at tick 1, 59 at tick 2, 89 at tick 3
+    val frames90 = (0 until 90).map(f => Array.tabulate(6)(i => (f + i).toByte))
+    val ntsc = new String(VideoCodec.encodeY4m(2, 2, 30, 1, frames90), "ISO-8859-1")
+      .replaceFirst("F30:1", "F30000:1001").getBytes("ISO-8859-1")
+    val got = Multimodal.sampleFrames(
+      Seq(MediaRecord(1L, "video", ntsc, MediaMeta("video/y4m", 2, 2, 3003))).toDS(), 1000L)
+      .collect().sortBy(_.frame_idx)
+    assert(got.map(_.frame_payload.head.toInt).toSeq == Seq(0, 29, 59, 89))
+    // header-valid but body-corrupt payloads fall back to the stub
+    // slicing path — at least one frame row always comes out
+    val corrupt = VideoCodec.encodeY4m(2, 2, 25, 1,
+      Seq(Array.tabulate(6)(_.toByte))).dropRight(2)
+    val fallback = Multimodal.sampleFrames(
+      Seq(MediaRecord(2L, "video", corrupt, MediaMeta("video/y4m", 2, 2, 40))).toDS(), 1000L)
+      .collect()
+    assert(fallback.nonEmpty, "body-corrupt video must not vanish")
+    // a crafted huge fpsNum must neither throw nor loop: totality
+    val weird = "YUV4MPEG2 W2 H2 F2147483647:1 C420\nFRAME\n".getBytes("US-ASCII") ++
+      new Array[Byte](6)
+    val wOut = Multimodal.sampleFrames(
+      Seq(MediaRecord(3L, "video", weird, MediaMeta("video/y4m", 2, 2, 1))).toDS(), 2000L)
+      .collect()
+    assert(wOut.length == 1, "first tick always lands on frame 0")
   }
 
   test("m33 pipeline decodes audio rows for real: fields match an independent recompute") {
