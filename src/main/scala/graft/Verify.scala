@@ -15,13 +15,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // one greppable summary line: the r7 gate silently lost 21
+    // queries to per-query stderr scattered through Spark logs — a
+    // non-zero failure count must be impossible to miss
+    System.err.println(
+      s"[verify] summary: ${SparkEntry.queries.size - failed.size} ok, " +
+        s"${failed.size} failed" +
+        (if (failed.nonEmpty) failed.sorted.mkString(" (", ", ", ")") else ""))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

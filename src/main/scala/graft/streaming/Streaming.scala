@@ -382,6 +382,32 @@ object Streaming {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** s40's stream transform: PII scrub + quarantine at ingest —
+    * t43's projection applied unchanged to a stream of documents
+    * (ONE definition via TextOps.piiCols, the s39/d29 sharing
+    * stance), keeping only rows that contained PII. Stateless pure
+    * projection: no watermark, no state store, no shuffle — the
+    * shape that runs at any ingest rate. The scrubbed full corpus is
+    * the same transform without the filter; the quarantine feed is
+    * the operationally interesting stream (what audit/alerting
+    * consumes). */
+  def piiQuarantineStream(docs: DataFrame): DataFrame =
+    graft.text.TextOps.piiCols(docs)
+      .filter(col("n_emails") + col("n_phones") + col("n_ips") > 0)
+
+  /** s40 queries entry — the quarantine feed run in batch mode on
+    * the documents table (the stream spec proves stream == batch). */
+  def s40StreamPii(s: SparkSession, dir: String): DataFrame =
+    piiQuarantineStream(graft.Tables.documents(s, dir))
+      .orderBy("doc_id")
+
+  /** DuckDB oracle for s40: t43's body filtered to PII carriers.
+    * Plain concatenation — stripMargin on a template embedding the
+    * body would eat the leading `|` of its `||` concat operators. */
+  val s40Sql: String =
+    "SELECT * FROM (\n" + graft.text.TextOps.piiBodySql +
+      "\n) WHERE n_emails + n_phones + n_ips > 0\nORDER BY doc_id"
+
   /** Attach the gold-merge sink to a stream of events. */
   def goldMergeQuery(events: DataFrame, targetDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -395,7 +421,8 @@ object Streaming {
     "s36_sessionize" -> (s36Sessionize _),
     "s37_cumulative" -> (s37Cumulative _),
     "s38_stream_dedup" -> (s38StreamDedup _),
-    "s39_stream_decontaminate" -> (s39StreamDecontaminate _))
+    "s39_stream_decontaminate" -> (s39StreamDecontaminate _),
+    "s40_stream_pii" -> (s40StreamPii _))
 
   def oracles: Map[String, String] = Map(
     "s34_stream_tumbling" -> s34Sql,
@@ -403,5 +430,6 @@ object Streaming {
     "s36_sessionize" -> s36Sql,
     "s37_cumulative" -> s37Sql,
     "s38_stream_dedup" -> s38Sql,
-    "s39_stream_decontaminate" -> s39Sql)
+    "s39_stream_decontaminate" -> s39Sql,
+    "s40_stream_pii" -> s40Sql)
 }

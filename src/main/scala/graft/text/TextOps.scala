@@ -868,7 +868,11 @@ object TextOps {
     * than an identity map over clean text. Redaction order matters
     * and is pinned: emails first (their local part may contain
     * digits), then phones, then IPs. */
-  def t43Pii(s: SparkSession, dir: String): DataFrame = {
+  /** The t43 projection over ANY (doc_id, lang, text) frame — a pure
+    * stateless per-row select, which is exactly why s40 can run it
+    * unchanged at the stream boundary (the s39/d29 sharing stance:
+    * one definition, so stream and batch can never disagree). */
+  private[graft] def piiCols(docs: DataFrame): DataFrame = {
     val did = col("doc_id")
     val enriched = concat(
       col("text"),
@@ -878,7 +882,7 @@ object TextOps {
         lit(".0."), (did % 100).cast("string"), lit(" logged"))).otherwise(lit("")),
       when(did % 11 === 0, concat(lit(" call +1555"),
         lpad((did % 10000).cast("string"), 7, "0"), lit(" soon"))).otherwise(lit("")))
-    Tables.documents(s, dir)
+    docs
       .select(did, col("lang"), enriched.as("enriched"))
       .select(
         col("doc_id"), col("lang"),
@@ -888,10 +892,14 @@ object TextOps {
         regexp_replace(regexp_replace(regexp_replace(col("enriched"),
           emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), ipRe, "<IP>")
           .as("redacted_text"))
-      .orderBy("doc_id")
   }
 
-  val t43Sql: String =
+  def t43Pii(s: SparkSession, dir: String): DataFrame =
+    piiCols(Tables.documents(s, dir)).orderBy("doc_id")
+
+  /** The t43 oracle body (no presentation sort) — shared with s40's
+    * quarantine-feed oracle, mirroring the piiCols sharing. */
+  private[graft] val piiBodySql: String =
     s"""WITH e AS (
        | SELECT doc_id, lang,
        |  text
@@ -913,7 +921,9 @@ object TextOps {
        | regexp_replace(regexp_replace(regexp_replace(enriched,
        |   '$emailRe', '<EMAIL>', 'g'), '$phoneRe', '<PHONE>', 'g'),
        |   '$ipRe', '<IP>', 'g') AS redacted_text
-       |FROM e ORDER BY doc_id""".stripMargin
+       |FROM e""".stripMargin
+
+  val t43Sql: String = piiBodySql + "\nORDER BY doc_id"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t29_langid" -> (t29LangId _),

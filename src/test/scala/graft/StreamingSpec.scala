@@ -9,6 +9,7 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
               event_type: String, value: Double)
 
 case class Doc(doc_id: Long, text: String)
+case class LangDoc(doc_id: Long, lang: String, text: String)
 
 /** Drives the streaming transforms through MemoryStream → watermark
   * → memory sink, proving the same logic that passes the batch
@@ -126,6 +127,34 @@ class StreamingSpec extends SparkSpec {
     assert(flagged.nonEmpty && kept.nonEmpty)
     assert((flagged & kept).isEmpty)
     assert((flagged | kept) == train)
+  }
+
+  test("s40 streaming PII quarantine is stateless and equals the batch form exactly") {
+    // ids chosen against the deterministic planting rules: 16 gets
+    // no plants (its in-text email is the only PII), 22 gets only
+    // the planted phone (22 % 11 == 0), 13 gets nothing at all
+    val docs = Seq(
+      LangDoc(16L, "en", "mail me at a@b.co today"), // in-text email only
+      LangDoc(22L, "en", "plain words here"),        // 22%11=0 → planted phone
+      LangDoc(13L, "en", "totally clean text"))      // no PII at all
+    val in = MemoryStream[LangDoc](spark)
+    val q = Streaming.piiQuarantineStream(in.toDF())
+      .writeStream.format("memory").queryName("s40out")
+      .outputMode("append").start()
+    try {
+      in.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("s40out")
+        .select("doc_id", "n_emails", "n_phones", "redacted_text")
+        .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+      assert(got.keySet == Set(16L, 22L), "only PII carriers reach quarantine")
+      assert(got(16L)._2 == 1 && got(16L)._4 == "mail me at <EMAIL> today")
+      assert(got(22L)._3 == 1 && got(22L)._4.endsWith("call <PHONE> soon"))
+    } finally q.stop()
+    // the same transform in batch mode emits the same quarantine rows
+    val batch = Streaming.piiQuarantineStream(docs.toDF())
+      .select("doc_id").as[Long].collect().toSet
+    assert(batch == Set(16L, 22L))
   }
 
   test("s34/s35 batch equivalents equal their streaming output on the same data") {
