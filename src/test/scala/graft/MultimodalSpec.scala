@@ -254,6 +254,30 @@ class MultimodalSpec extends SparkSpec {
       "YUV4MPEG2 W65536 H65536 F25:1 C420\nFRAME\n".getBytes).isEmpty)
   }
 
+  test("Y4M property: random frames round-trip with recomputed plane means and CRC") {
+    val rng = new scala.util.Random(77)
+    for (_ <- 1 to 25) {
+      val w = 2 * (1 + rng.nextInt(6))
+      val h = 2 * (1 + rng.nextInt(5))
+      val n = 1 + rng.nextInt(6)
+      val fb = w * h * 3 / 2
+      val frames = Seq.fill(n)(Array.fill(fb)(rng.nextInt(256).toByte))
+      val v = VideoCodec.decode(VideoCodec.encodeY4m(w, h, 25, 1, frames)).get
+      assert(v.width == w && v.height == h && v.nFrames == n)
+      val y = frames.flatMap(_.take(w * h).map(_ & 0xff))
+      val u = frames.flatMap(_.slice(w * h, w * h + fb / 6).map(_ & 0xff))
+      val vv = frames.flatMap(_.drop(w * h + fb / 6).map(_ & 0xff))
+      assert(v.yMean == y.sum.toDouble / y.length, s"${w}x$h n=$n yMean")
+      assert(v.uMean == u.sum.toDouble / u.length)
+      assert(v.vMean == vv.sum.toDouble / vv.length)
+      val crc = new java.util.zip.CRC32()
+      frames.foreach(crc.update)
+      assert(v.frameCrc == crc.getValue)
+      assert(VideoCodec.frames(VideoCodec.encodeY4m(w, h, 25, 1, frames))
+        .get.map(_.toSeq) == frames.map(_.toSeq))
+    }
+  }
+
   test("m33 pipeline decodes video rows for real: fields match an independent recompute") {
     val feats = Multimodal.decodeFeatures(Multimodal.mediaTable(spark, sfDir))
       .collect()
