@@ -1081,6 +1081,125 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Bloom-filter geometry for d33: m = 2²⁰ bits (a fixed 128 KiB
+    * bitmap), k = 3 probes. Probe positions are `gram % pⱼ` for three
+    * distinct primes just below m — deterministic, overflow-free
+    * (gram < 2⁶⁰), and identical in both SQL dialects, so even the
+    * filter's FALSE POSITIVES replay byte-exactly in DuckDB. Joint
+    * uniformity: by CRT the triple (g mod p₁, g mod p₂, g mod p₃) is
+    * determined by g mod p₁p₂p₃ ≈ 1.152e18, and the 60-bit gram
+    * range (1.153e18) covers that product to within 0.07% — the
+    * three positions are jointly near-uniform, the textbook Bloom
+    * assumption. */
+  private[graft] val bloomBits = 1 << 20
+  private[graft] val bloomWords = bloomBits / 64 // 16384 longs
+  private val bloomPrimes = Seq(1048573L, 1048571L, 1048559L)
+
+  /** The k probe positions of a gram key, as columns. */
+  private def bloomPositions(gram: Column): Seq[Column] =
+    bloomPrimes.map(p => gram % p)
+
+  /** Build the dense bitmap from a gram-keyed eval stream: word-level
+    * `bit_or` aggregation DISTRIBUTED over the eval grams, then a
+    * driver collect of at most [[bloomWords]] (word, bits) rows. The
+    * collect is the point, not a compromise: what crosses the driver
+    * is the 128 KiB BITMAP (bounded by geometry, not data volume),
+    * never the gram set — at 100 TB the eval side is benchmark-sized
+    * anyway, and the bitmap stays 128 KiB if it isn't. */
+  private[graft] def bloomBitmap(evalGrams: DataFrame): Array[Long] = {
+    val words = evalGrams
+      .select(explode(array(bloomPositions(col("gram")): _*)).as("p"))
+      .select(shiftright(col("p"), 6).as("w"),
+        expr("shiftleft(1L, cast(p % 64 as int))").as("b"))
+      .groupBy("w").agg(expr("bit_or(b)").as("bits"))
+      .collect()
+    val dense = Array.fill(bloomWords)(0L)
+    words.foreach(r => dense(r.getLong(0).toInt) = r.getLong(1))
+    dense
+  }
+
+  /** One Bloom probe as a predicate: bit `pos % 64` of word
+    * `pos >> 6` in the literal bitmap. `element_at` on a Literal
+    * array is an O(1) indexed read inside codegen. */
+  private def bloomHit(bitmap: Column, pos: Column): Column =
+    call_function("shiftright",
+      element_at(bitmap, (shiftright(pos, 6) + lit(1)).cast("int")),
+      (pos % 64).cast("int")).bitwiseAND(lit(1L)) === lit(1L)
+
+  /** d33: Bloom-filter decontamination — d29's train/eval n-gram
+    * scrub re-shaped for 100 TB. d29 broadcasts the distinct eval
+    * gram SET, which grows with the benchmark suite; d33 compresses
+    * it into a fixed 128 KiB bitmap that ships to every task as a
+    * plan literal, and the corpus side probes it in the SCAN stage —
+    * no join at all on the match path, the classic production shape
+    * (GPT-3 appendix C ran exactly this: a Bloom gate over eval
+    * n-grams). The price is false positives: a gram whose k=3
+    * positions are all set by OTHER grams flags spuriously. FP
+    * direction is the safe one (over-scrubbing, the d29 stance), the
+    * rate is geometry-bounded (|S| bits set of m=2²⁰; at sf0.1's
+    * eval slice fpp ≈ (|S|/m)³ ≲ 1e-5), and — because positions are
+    * prime-modulus arithmetic on the dual-dialect gram key — the
+    * oracle replays the SAME false positives byte-exactly, so the
+    * CORRECTNESS hash pins the whole filter including its error
+    * behavior, not an idealized version of it.
+    *
+    * Scale shape: the ONLY corpus-keyed exchange is the final
+    * per-doc rollup of Bloom HITS (a vanishing fraction); everything
+    * upstream of it is a scan-stage projection + filter. The build
+    * side runs as its own distributed aggregation bounded by the
+    * bitmap geometry (see [[bloomBitmap]]). */
+  def d33BloomDecontaminate(s: SparkSession, dir: String): DataFrame =
+    d33BloomDecontaminateN(s, dir, d29GramSize)
+
+  private[graft] def d33BloomDecontaminateN(s: SparkSession, dir: String,
+      n: Int): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(gramKeys(col("toks"), n)).as("gram"))
+    val dense = bloomBitmap(grams.filter(col("doc_id") % 53 === 0).select("gram"))
+    // ONE literal in the plan (not a per-row column): referenced only
+    // inside the filter predicate, so the 128 KiB constant is never
+    // materialized into rows or exchanged
+    val bitmap = typedLit(dense.toSeq)
+    val allSet = bloomPositions(col("gram"))
+      .map(pos => bloomHit(bitmap, pos))
+      .reduce(_ && _)
+    grams.filter(col("doc_id") % 53 =!= 0)
+      .filter(allSet)
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("bloom_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for d33: the bitmap is replayed as the DISTINCT
+    * set of eval probe positions (set-of-set-bits == bitmap, exactly),
+    * and a train gram hits iff ALL THREE of its positions are in
+    * that set — the membership semantics of the Spark-side bit
+    * probes, false positives included. */
+  val d33Sql: String = {
+    val n = d29GramSize
+    val Seq(p1, p2, p3) = bloomPrimes
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |grams AS (
+       | SELECT doc_id,
+       |  CAST(('0x' || substr(md5(array_to_string(t[i:i+${n - 1}], ' ')), 1, 15)) AS BIGINT) AS gram
+       | FROM (SELECT doc_id, t,
+       |        unnest(generate_series(1, greatest(len(t) - ${n - 1}, 0))) AS i
+       |       FROM toks)),
+       |bloom AS (SELECT DISTINCT p FROM (
+       | SELECT gram % $p1 AS p FROM grams WHERE doc_id % 53 = 0
+       | UNION ALL SELECT gram % $p2 FROM grams WHERE doc_id % 53 = 0
+       | UNION ALL SELECT gram % $p3 FROM grams WHERE doc_id % 53 = 0))
+       |SELECT doc_id, count(DISTINCT gram) AS bloom_hits
+       |FROM grams
+       |WHERE doc_id % 53 <> 0
+       | AND gram % $p1 IN (SELECT p FROM bloom)
+       | AND gram % $p2 IN (SELECT p FROM bloom)
+       | AND gram % $p3 IN (SELECT p FROM bloom)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Gram size for d30 — like [[d29GramSize]], a corpus-tuned dial:
     * 4 keeps the cross-engine gate non-vacuous on the synthetic
     * corpus (real deployments use ~50-token windows per Lee et al.;
@@ -1301,6 +1420,7 @@ object Dedup {
     "d27b_components_oracle" -> (d27bComponentsOracle _),
     "d28_embed_neardup_lsh" -> (d28EmbedNeardupLsh _),
     "d29_decontaminate" -> (d29Decontaminate _),
+    "d33_bloom_decontaminate" -> (d33BloomDecontaminate _),
     "d30_repeated_ngrams" -> (d30RepeatedNgrams _),
     "d31_passage_scrub" -> (d31PassageScrub _),
     "d32_embed_dedup" -> (d32EmbedDedup _))
@@ -1315,6 +1435,7 @@ object Dedup {
     "d27b_components_oracle" -> d27bSql,
     "d28_embed_neardup_lsh" -> d28Sql,
     "d29_decontaminate" -> d29Sql,
+    "d33_bloom_decontaminate" -> d33Sql,
     "d30_repeated_ngrams" -> d30Sql,
     "d31_passage_scrub" -> d31Sql,
     "d32_embed_dedup" -> d32Sql)

@@ -330,6 +330,52 @@ class DedupSpec extends SparkSpec {
       "d29 output is empty at the test SF — the cross-engine gate is vacuous")
   }
 
+  test("d33 bloom never misses: flags a superset of d29's docs, hit counts dominate") {
+    import spark.implicits._
+    // No false negatives is the Bloom guarantee: every gram d29's
+    // exact semi-join matches has all 3 of its positions set by
+    // construction, so every d29 doc appears in d33 with
+    // bloom_hits ≥ shared_grams (false-positive grams can only ADD).
+    val exact = Dedup.d29Decontaminate(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    val bloom = Dedup.d33BloomDecontaminate(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    assert(exact.nonEmpty, "empty d29 baseline — superset check is vacuous")
+    exact.foreach { case (doc, shared) =>
+      assert(bloom.contains(doc), s"doc $doc flagged by exact d29 but missed by the bloom")
+      assert(bloom(doc) >= shared,
+        s"doc $doc: bloom_hits ${bloom(doc)} < exact shared_grams $shared")
+    }
+  }
+
+  test("d33 handcrafted corpus: bloom output equals exact d29 (no FPs at toy scale)") {
+    import spark.implicits._
+    // At toy scale the bitmap holds ≤ a few dozen of 2^20 bits, so
+    // fpp ≈ (set/m)^3 < 1e-12 — the bloom must reproduce the exact
+    // scrub bit-for-bit, pinning probe/build agreement end-to-end.
+    docsOf(
+      0L  -> "a b c d e f g h i j",
+      53L -> "p q r s t u v w x y",
+      1L  -> "z a b c d e f g h y",
+      2L  -> "k l m n o kk ll mm nn oo",
+      3L  -> "a b c d e f g h i j",
+      4L  -> "p q r s t u v w x yy")
+    val exact = Dedup.d29DecontaminateN(spark, tmp, 8).as[(Long, Long)].collect().toMap
+    val bloom = Dedup.d33BloomDecontaminateN(spark, tmp, 8).as[(Long, Long)].collect().toMap
+    assert(bloom == exact, s"bloom $bloom != exact $exact")
+  }
+
+  test("d33 bitmap build: set bits are exactly the 3 prime-modulus positions per eval gram") {
+    import spark.implicits._
+    val grams = Seq(7L, 1048574L, (1L << 59) + 12345L) // incl. > every prime
+    val bits = Dedup.bloomBitmap(grams.toDF("gram"))
+    val expected = grams.flatMap(g =>
+      Seq(1048573L, 1048571L, 1048559L).map(p => g % p)).toSet
+    val set = (0 until Dedup.bloomBits).filter(i =>
+      (bits(i >> 6) >> (i & 63) & 1L) == 1L).map(_.toLong).toSet
+    assert(set == expected, s"bitmap bits $set != expected positions $expected")
+  }
+
   test("d32: d28 pairs share a component, keep-count = component count, gate non-vacuous") {
     import spark.implicits._
     val labels = Dedup.d32EmbedDedup(spark, sfDir)
