@@ -529,18 +529,165 @@ object Ann {
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   }
 
+  /** a32 geometry: 64 dims split into M=8 subspaces × 8 dims, one
+    * 16-entry codebook per subspace → 8 4-bit-addressable codes per
+    * vector (stored as 8 small ints here; 8 BYTES against 256 bytes
+    * of floats at production layout — 32× compression, vs SQ8's 4×).
+    * Codebooks are FIXED seeded-Gaussian literals, the a29b stance:
+    * k-means-trained codebooks move RECALL, never the
+    * encode/LUT/ADC SEMANTICS this entry pins — and literals make
+    * the whole pipeline DuckDB-replayable where a trained quantizer
+    * never is. Per-entry squared norms are precomputed in Scala from
+    * the SAME parsed doubles both engines read (literals round-trip
+    * via %.17g), so the reconstruction norm is one lookup per
+    * subspace in both dialects. */
+  private val pqM = 8
+  private val pqD = 8
+  private val pqKs = 16
+
+  /** codebooks(m)(j)(d): %.17g decimal strings, identical in both
+    * dialects. */
+  private[graft] val pqCodebookStrs: Seq[Seq[Seq[String]]] = {
+    val rng = new scala.util.Random(97531)
+    Seq.fill(pqM, pqKs, pqD)(rng.nextGaussian())
+      .map(_.map(_.map(v => String.format(java.util.Locale.ROOT, "%.17g", Double.box(v)))))
+  }
+
+  /** Squared L2 norm of each codebook entry, computed once from the
+    * parsed literal doubles (sequential sum) and re-emitted as a
+    * literal — both engines look it up instead of recomputing. */
+  private val pqNormSqStrs: Seq[Seq[String]] =
+    pqCodebookStrs.map(_.map { entry =>
+      val n = entry.map(_.toDouble).foldLeft(0.0)((s, v) => s + v * v)
+      String.format(java.util.Locale.ROOT, "%.17g", Double.box(n))
+    })
+
+  private def pqCbSpark(m: Int): String =
+    pqCodebookStrs(m).map(_.map(_ + "D").mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
+  private def pqNormSqSpark(m: Int): String =
+    pqNormSqStrs(m).map(_ + "D").mkString("array(", ",", ")")
+
+  /** a32: product-quantized ANN (PQ/ADC, the FAISS IndexPQ layout) —
+    * completes the quantization family: a30 compresses 4× and keeps
+    * per-dim resolution; PQ compresses 32× by coding each 8-dim
+    * SUBVECTOR to its nearest codebook entry. Encoding is a pure
+    * scan-stage projection (8 argmins over 16 literal centroids);
+    * scoring is the classic ADC scan — each query precomputes an
+    * 8×16 lookup table of subspace dot products ONCE, then every
+    * corpus vector costs 8 table lookups + an add chain, no float
+    * math against the original vector at all. The corpus is scanned
+    * in code form and never shuffled (bounded-buffer top-k, a27's
+    * shape); at 100 TB the codes table is what lives in memory.
+    *
+    * Everything — argmin encode (first-min tie-break, a29b's), LUT,
+    * reconstruction norm, rounded cosine, rank tie-break — is
+    * deterministic and replayed by the DuckDB oracle with unrolled
+    * per-subspace SQL sharing the same literals. */
+  def a32AnnPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    // encode: per subspace, squared-L2 to the 16 entries, argmin.
+    // Intermediate dl_m columns so each distance list is computed
+    // once (not once for min + once for position).
+    val enc0 = (0 until pqM).foldLeft(corpus) { (df, m) =>
+      df.withColumn(s"dl_$m", expr(
+        s"""transform(${pqCbSpark(m)}, c ->
+           |  aggregate(zip_with(c, slice(embedding, ${m * pqD + 1}, $pqD),
+           |      (p, x) -> (p - CAST(x AS DOUBLE)) * (p - CAST(x AS DOUBLE))),
+           |    0D, (s, v) -> s + v))""".stripMargin))
+        .withColumn(s"code_$m", expr(
+          s"CAST(array_position(dl_$m, array_min(dl_$m)) - 1 AS INT)"))
+    }
+    val reconNorm = sqrt((0 until pqM).map(m =>
+      expr(s"element_at(${pqNormSqSpark(m)}, code_$m + 1)")).reduce(_ + _))
+    val enc = enc0.select(Seq(col("vec_id")) ++
+      (0 until pqM).map(m => col(s"code_$m")) :+ reconNorm.as("recon_norm"): _*)
+      .filter(col("recon_norm") > 0)
+    // queries: full-precision LUT per subspace (16 dot products) —
+    // computed once per query row, broadcast with it
+    val queries0 = withNorm(corpus).filter(col("vec_id") < NQ)
+    val queries = (0 until pqM).foldLeft(queries0) { (df, m) =>
+      df.withColumn(s"lut_$m", expr(
+        s"""transform(${pqCbSpark(m)}, c ->
+           |  aggregate(zip_with(c, slice(embedding, ${m * pqD + 1}, $pqD),
+           |      (p, x) -> p * CAST(x AS DOUBLE)),
+           |    0D, (s, v) -> s + v))""".stripMargin))
+    }.filter(col("norm") > 0)
+      .select(Seq(col("vec_id").as("query_id"), col("norm").as("q_norm")) ++
+        (0 until pqM).map(m => col(s"lut_$m")): _*)
+    val adc = (0 until pqM).map(m =>
+      expr(s"element_at(lut_$m, code_$m + 1)")).reduce(_ + _)
+    val scored = enc.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(adc / (col("q_norm") * col("recon_norm")), 4).as("cosine"))
+      .as[(Long, Long, Double)]
+    rankedTopK(s, scored)
+  }
+
+  /** DuckDB oracle for a32: identical codebook/normsq literals,
+    * per-subspace SQL unrolled from the same Scala loop — encode
+    * argmin (list_indexof of list_min = first-min tie-break), LUT,
+    * lookup-sum ADC score, rounded tie-broken rank. */
+  val a32Sql: String = {
+    def cbDuck(m: Int) =
+      pqCodebookStrs(m).map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    def nsqDuck(m: Int) = pqNormSqStrs(m).mkString("[", ",", "]")
+    val dlCols = (0 until pqM).map { m =>
+      s"""list_transform(${cbDuck(m)}, c ->
+         | list_sum(list_transform(list_zip(c, embedding[${m * pqD + 1}:${(m + 1) * pqD}]),
+         |  p -> (p[1] - CAST(p[2] AS DOUBLE)) * (p[1] - CAST(p[2] AS DOUBLE))))) AS dl_$m""".stripMargin
+    }.mkString(",\n  ")
+    val codeCols = (0 until pqM).map(m =>
+      s"CAST(list_indexof(dl_$m, list_min(dl_$m)) - 1 AS INT) AS code_$m").mkString(",\n  ")
+    val reconNorm = "sqrt(" + (0 until pqM).map(m =>
+      s"${nsqDuck(m)}[code_$m + 1]").mkString(" + ") + ")"
+    val lutCols = (0 until pqM).map { m =>
+      s"""list_transform(${cbDuck(m)}, c ->
+         | list_sum(list_transform(list_zip(c, embedding[${m * pqD + 1}:${(m + 1) * pqD}]),
+         |  p -> p[1] * CAST(p[2] AS DOUBLE)))) AS lut_$m""".stripMargin
+    }.mkString(",\n  ")
+    val adc = (0 until pqM).map(m => s"q.lut_$m[c.code_$m + 1]").mkString(" + ")
+    val score = s"ROUND(($adc) / (q.q_norm * c.recon_norm), 4)"
+    s"""WITH dls AS (
+       | SELECT vec_id,
+       |  $dlCols
+       | FROM embeddings),
+       |enc0 AS (
+       | SELECT vec_id,
+       |  $codeCols
+       | FROM dls),
+       |enc AS (
+       | SELECT *, $reconNorm AS recon_norm FROM enc0),
+       |q AS (
+       | SELECT vec_id,
+       |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS q_norm,
+       |  $lutCols
+       | FROM embeddings WHERE vec_id < $NQ)
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM (
+       | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  $score AS cosine,
+       |  row_number() OVER (PARTITION BY q.vec_id
+       |    ORDER BY $score DESC, c.vec_id) AS rank
+       | FROM q JOIN enc c ON c.vec_id <> q.vec_id
+       |  AND c.recon_norm > 0 AND q.q_norm > 0)
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a27_ann_brute" -> (a27AnnBrute _),
     "a28_ann_lsh" -> (a28AnnLsh _),
     "a29_ann_ivf" -> (a29AnnIvf _),
     "a29b_ann_ivf_oracle" -> (a29bAnnIvfOracle _),
     "a30_ann_sq" -> (a30AnnSq _),
-    "a31_ann_rerank" -> (a31AnnRerank _))
+    "a31_ann_rerank" -> (a31AnnRerank _),
+    "a32_ann_pq" -> (a32AnnPq _))
 
   def oracles: Map[String, String] = Map(
     "a27_ann_brute" -> a27Sql,
     "a28_ann_lsh" -> a28Sql,
     "a29b_ann_ivf_oracle" -> a29bSql,
     "a30_ann_sq" -> a30Sql,
-    "a31_ann_rerank" -> a31Sql)
+    "a31_ann_rerank" -> a31Sql,
+    "a32_ann_pq" -> a32Sql)
 }

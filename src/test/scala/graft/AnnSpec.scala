@@ -153,6 +153,60 @@ class AnnSpec extends SparkSpec {
     assert(recallRr >= recallSq, s"rerank $recallRr vs sq $recallSq")
   }
 
+  test("a32 pq: well-formed ranks, ADC score is a true cosine, deterministic") {
+    val pq = Ann.a32AnnPq(spark, sfDir)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(pq.nonEmpty)
+    pq.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length).toSeq, s"ranks for $q")
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).toSeq.sorted.reverse,
+        s"cosine monotone for $q")
+    }
+    // The ADC score is dot(q, recon)/(|q|·|recon|) — a GENUINE cosine
+    // of the query against the reconstructed vector, so despite the
+    // 32× compression it can never leave [-1, 1] (rounding slack 1e-4)
+    pq.foreach { case (_, _, _, c) =>
+      assert(c >= -1.0001 && c <= 1.0001, s"ADC cosine $c outside [-1,1]")
+    }
+    val again = Ann.a32AnnPq(spark, sfDir)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(pq.sortBy(r => (r._1, r._2)).toSeq == again.sortBy(r => (r._1, r._2)).toSeq,
+      "a32 must be deterministic across runs")
+  }
+
+  test("a32 pq is EXACT on vectors assembled from codebook entries") {
+    // If every 8-dim subvector IS a codebook entry, encoding recovers
+    // its index, reconstruction is (float-rounding-close to) the
+    // vector itself, and the ADC lookup-sum equals the exact dot —
+    // so a32's cosines must agree with brute-force a27's on the same
+    // corpus. This pins encode-argmin, LUT, and scoring end-to-end.
+    val cb = Ann.pqCodebookStrs.map(_.map(_.map(_.toDouble)))
+    val rng = new scala.util.Random(5)
+    val rows = (0L until 24L).map { id =>
+      val v = (0 until 8).flatMap(m => cb(m)(rng.nextInt(16))).map(_.toFloat).toArray
+      (id, v)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graftpq").toString
+    rows.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val brute = Ann.a27AnnBrute(spark, dir)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val pq = Ann.a32AnnPq(spark, dir)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    assert(pq.nonEmpty)
+    pq.foreach { case (q, n, c) =>
+      val exact = brute((q, n))
+      // float()-rounding of the assembled corpus vectors vs the
+      // double codebook entries costs ~1e-7; both sides round to 4dp
+      assert(math.abs(c - exact) <= 2e-4, s"($q,$n): pq $c vs exact $exact")
+    }
+  }
+
   test("a28 lsh returns fewer-or-equal candidates than brute force k") {
     val bruteN = Ann.a27AnnBrute(spark, sfDir).count()
     val lshN = Ann.a28AnnLsh(spark, sfDir).count()
