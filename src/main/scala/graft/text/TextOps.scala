@@ -925,6 +925,71 @@ object TextOps {
 
   val t43Sql: String = piiBodySql + "\nORDER BY doc_id"
 
+  /** t44 vocabulary width: the top-V tokens reported. The dial a
+    * tokenizer-training run would set to its vocab budget. */
+  private[graft] val t44TopV = 100
+
+  /** t44: corpus vocabulary / Zipf statistics — the vocab-induction
+    * front-end of tokenizer training (BPE/WordPiece start from
+    * exactly this table): the top-V tokens by corpus frequency with
+    * document frequency, rank, and exact-integer ppm coverage +
+    * cumulative coverage (how much of the token stream the top-V
+    * vocabulary explains).
+    *
+    * Scale shape (100 TB): term frequency is wordcount — map-side
+    * partial counts, one shuffle on the token key. Document
+    * frequency counts the DISTINCT (token, doc) table (t38's stance
+    * — never a count-distinct agg). Top-V runs as orderBy+limit =
+    * TakeOrderedAndProject: a bounded top-k that keeps ≤ V rows per
+    * partition before one ≤ V·P-row gather, never a global sort of
+    * the vocabulary. The cumulative window then orders V rows — its
+    * input is bounded by the REPORT size, not the corpus, which is
+    * why a window t37 had to two-phase away is legitimate here.
+    * Coverage math is pure integer (×1e6, `div`), so both engines
+    * agree exactly; the total-token count attaches as a broadcast
+    * 1-row cross join (a scalar, never a shuffle key). */
+  def t44Vocab(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val freqs = toks.groupBy("token").agg(count(lit(1)).as("freq"))
+    val dfreq = toks.select("token", "doc_id").distinct()
+      .groupBy("token").agg(count(lit(1)).as("doc_freq"))
+    val total = toks.agg(count(lit(1)).as("total_tokens"))
+    val top = freqs.join(dfreq, "token")
+      .orderBy(col("freq").desc, col("token")).limit(t44TopV)
+    val w = Window.orderBy(col("freq").desc, col("token"))
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_freq", sum(col("freq")).over(w))
+      .select(
+        col("token"), col("rank"), col("freq"), col("doc_freq"),
+        expr("freq * 1000000 div total_tokens").as("coverage_ppm"),
+        expr("cum_freq * 1000000 div total_tokens").as("cum_coverage_ppm"))
+      .orderBy("rank")
+  }
+
+  /** DuckDB oracle for t44: identical tokenization, tie-break, and
+    * integer (// vs div) coverage math; sums cast back to BIGINT
+    * (DuckDB widens SUM to HUGEINT). */
+  val t44Sql: String =
+    s"""WITH toks AS (
+       | SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |freqs AS (SELECT token, count(*) AS freq FROM toks GROUP BY token),
+       |dfreq AS (
+       | SELECT token, count(*) AS doc_freq
+       | FROM (SELECT DISTINCT token, doc_id FROM toks) GROUP BY token),
+       |total AS (SELECT count(*) AS total_tokens FROM toks),
+       |top AS (
+       | SELECT f.token, f.freq, d.doc_freq,
+       |  row_number() OVER (ORDER BY f.freq DESC, f.token) AS rank
+       | FROM freqs f JOIN dfreq d USING (token)
+       | ORDER BY f.freq DESC, f.token LIMIT $t44TopV)
+       |SELECT token, CAST(rank AS INT) AS rank, freq, doc_freq,
+       | freq * 1000000 // (SELECT total_tokens FROM total) AS coverage_ppm,
+       | CAST(CAST(sum(freq) OVER (ORDER BY rank) AS BIGINT) * 1000000
+       |   // (SELECT total_tokens FROM total) AS BIGINT) AS cum_coverage_ppm
+       |FROM top ORDER BY rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t29_langid" -> (t29LangId _),
     "t30_quality" -> (t30Quality _),
@@ -941,7 +1006,8 @@ object TextOps {
     "t40_pipeline" -> (t40Pipeline _),
     "t41_chunk" -> (t41Chunk _),
     "t42_pack" -> (t42Pack _),
-    "t43_pii" -> (t43Pii _))
+    "t43_pii" -> (t43Pii _),
+    "t44_vocab" -> (t44Vocab _))
 
   def oracles: Map[String, String] = Map(
     "t29_langid" -> t29Sql,
@@ -958,5 +1024,6 @@ object TextOps {
     "t40_pipeline" -> t40Sql,
     "t41_chunk" -> t41Sql,
     "t42_pack" -> t42Sql,
-    "t43_pii" -> t43Sql)
+    "t43_pii" -> t43Sql,
+    "t44_vocab" -> t44Sql)
 }

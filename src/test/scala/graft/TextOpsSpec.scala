@@ -367,4 +367,31 @@ class TextOpsSpec extends SparkSpec {
       assert(sorted.last._5 > 0, s"$lang must fill more than one window")
     }
   }
+
+  test("t44 vocab: hand-computed frequencies, ranks, doc freq, and ppm coverage") {
+    val dir = docsOf(
+      1L -> "a a a b b c",   // a:3 b:2 c:1
+      2L -> "a b d",         // a:1 b:1 d:1
+      3L -> "a")             // a:1
+    // totals: a=5(3 docs) b=3(2) c=1(1) d=1(1); 10 tokens overall
+    val got = TextOps.t44Vocab(spark, dir)
+      .as[(String, Int, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", 1, 5L, 3L, 500000L, 500000L),
+      ("b", 2, 3L, 2L, 300000L, 800000L),
+      ("c", 3, 1L, 1L, 100000L, 900000L),   // freq tie c<d broken by token
+      ("d", 4, 1L, 1L, 100000L, 1000000L)), s"got $got")
+  }
+
+  test("t44 vocab caps the report at top-V and keeps cumulative coverage monotone") {
+    val vocab = TextOps.t44Vocab(spark, sfDir)
+      .as[(String, Int, Long, Long, Long, Long)].collect().toSeq
+    assert(vocab.nonEmpty && vocab.size <= TextOps.t44TopV)
+    assert(vocab.map(_._2) == (1 to vocab.size), "ranks contiguous")
+    assert(vocab.map(_._3).sliding(2).forall(p => p.head >= p.last),
+      "freq non-increasing in rank order")
+    assert(vocab.map(_._6).sliding(2).forall(p => p.head <= p.last),
+      "cumulative coverage monotone")
+    assert(vocab.last._6 <= 1000000L, "coverage cannot exceed 100%")
+  }
 }
