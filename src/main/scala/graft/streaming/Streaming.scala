@@ -408,6 +408,33 @@ object Streaming {
     "SELECT * FROM (\n" + graft.text.TextOps.piiBodySql +
       "\n) WHERE n_emails + n_phones + n_ips > 0\nORDER BY doc_id"
 
+  /** s41's stream transform: quality-gate-at-ingest — t30's
+    * composite score (ONE definition via TextOps.qualityScoreBp, the
+    * s39/s40 sharing stance) computed statelessly at the stream
+    * boundary, admitting only docs at or above t40's pipeline
+    * threshold. The MassiveText-style front gate run where a real
+    * ingest runs it: before anything is stored. Stateless pure
+    * projection + filter — no watermark, no state store, no shuffle,
+    * any ingest rate. */
+  def qualityGateStream(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("quality_score_bp",
+        graft.text.TextOps.qualityScoreBp(split(col("text"), " ")))
+      .filter(col("quality_score_bp") >= graft.text.TextOps.t40QualityMinBp)
+
+  /** s41 queries entry — the admitted corpus run in batch mode on
+    * the documents table (the stream spec proves stream == batch). */
+  def s41StreamQuality(s: SparkSession, dir: String): DataFrame =
+    qualityGateStream(graft.Tables.documents(s, dir))
+      .select("doc_id", "lang", "source", "n_chars", "quality_score_bp")
+      .orderBy("doc_id")
+
+  /** DuckDB oracle for s41: t30's score body (shared fragment)
+    * filtered at the same threshold. */
+  val s41Sql: String =
+    "SELECT * FROM (\n" + graft.text.TextOps.qualityBodySql +
+      s"\n) WHERE quality_score_bp >= ${graft.text.TextOps.t40QualityMinBp}\nORDER BY doc_id"
+
   /** Attach the gold-merge sink to a stream of events. */
   def goldMergeQuery(events: DataFrame, targetDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -422,7 +449,8 @@ object Streaming {
     "s37_cumulative" -> (s37Cumulative _),
     "s38_stream_dedup" -> (s38StreamDedup _),
     "s39_stream_decontaminate" -> (s39StreamDecontaminate _),
-    "s40_stream_pii" -> (s40StreamPii _))
+    "s40_stream_pii" -> (s40StreamPii _),
+    "s41_stream_quality" -> (s41StreamQuality _))
 
   def oracles: Map[String, String] = Map(
     "s34_stream_tumbling" -> s34Sql,
@@ -431,5 +459,6 @@ object Streaming {
     "s37_cumulative" -> s37Sql,
     "s38_stream_dedup" -> s38Sql,
     "s39_stream_decontaminate" -> s39Sql,
-    "s40_stream_pii" -> s40Sql)
+    "s40_stream_pii" -> s40Sql,
+    "s41_stream_quality" -> s41Sql)
 }

@@ -147,6 +147,21 @@ object TextOps {
        | FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  /** The t30 quality-score oracle body shared with s41's
+    * gate-at-ingest oracle (the piiBodySql stance): per-doc passthrough
+    * columns plus quality_score_bp, arithmetic shape identical to
+    * t30Sql so the two can never drift. */
+  private[graft] val qualityBodySql: String =
+    s"""SELECT doc_id, lang, source, n_chars,
+       | CAST(floor((least(n_words/100.0, 1.0)*0.5 + distinct_ratio*0.3 + (1.0-stop_ratio)*0.2) * 10000.0 + 0.5) AS INT) AS quality_score_bp
+       |FROM (
+       | SELECT doc_id, lang, source, n_chars,
+       |  len(string_split(text,' ')) AS n_words,
+       |  CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)/len(string_split(text,' ')) AS distinct_ratio,
+       |  CAST(len(list_filter(string_split(text,' '), t -> list_contains(${stopList("en")}, t))) AS DOUBLE)
+       |    / len(string_split(text,' ')) AS stop_ratio
+       | FROM documents)""".stripMargin
+
   /** t31: token counting — whitespace tokens, regex word-ish tokens
     * (a BPE-ish `[a-z0-9]+` chunking), and a chars/4 subword estimate
     * (the standard ~4-chars-per-token heuristic). */

@@ -157,6 +157,30 @@ class StreamingSpec extends SparkSpec {
     assert(batch == Set(16L, 22L))
   }
 
+  test("s41 streaming quality gate is stateless, bites, and equals the batch form exactly") {
+    // score = least(n/100,1)*0.5 + distinct_ratio*0.3 + (1-stop_ratio_en)*0.2
+    val docs = Seq(
+      Doc(1L, "the the the the"), // 950 bp: short, degenerate, all stopwords → rejected
+      Doc(2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // 5500 bp → admitted
+      Doc(3L, "a a a a a a a a a a a a"))                                  // low distinct → rejected
+    val in = MemoryStream[Doc](spark)
+    val q = Streaming.qualityGateStream(in.toDF())
+      .writeStream.format("memory").queryName("s41out")
+      .outputMode("append").start()
+    try {
+      in.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("s41out")
+        .select("doc_id", "quality_score_bp")
+        .as[(Long, Int)].collect().toMap
+      assert(got.keySet == Set(2L), s"only the quality doc is admitted, got $got")
+      assert(got(2L) == 5500, s"hand-computed score, got ${got(2L)}")
+    } finally q.stop()
+    val batch = Streaming.qualityGateStream(docs.toDF())
+      .select("doc_id").as[Long].collect().toSet
+    assert(batch == Set(2L), "batch form must equal the stream")
+  }
+
   test("s34/s35 batch equivalents equal their streaming output on the same data") {
     val evs = Seq(
       Ev(1, ts(0), 1, "click", 1.0),
