@@ -902,6 +902,56 @@ object Relational {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, version""".stripMargin
 
+  /** q33: bucketed co-located fact-fact join — the storage-layout
+    * answer to the shuffle SURVEY §4 promises to avoid. Both orders
+    * and lineitem are written `bucketBy(8, orderkey).sortBy(orderkey)`
+    * (external-path tables in the in-memory catalog — no Hive
+    * metastore needed), so the subsequent join reads bucket i
+    * against bucket i and Spark plans a SortMergeJoin with NO
+    * ShuffleExchange on either side (PlanSpec pins zero exchanges
+    * below the join; the merge hint keeps AQE from substituting a
+    * broadcast at toy scale, since the point is the fact-fact
+    * regime where NEITHER side broadcasts). At 100 TB this is the
+    * difference between re-shuffling two corpus-sized tables per
+    * join and a pure scan-side merge: the shuffle is paid ONCE at
+    * write time and amortized over every downstream join on the key
+    * — the lakehouse layout the reference's receipts⋈blocks views
+    * would use (BQ Writer Views.py clusters by the join key for the
+    * same reason).
+    *
+    * Oracle: bucketing changes LAYOUT, never semantics — DuckDB
+    * computes the identical join+rollup from the raw parquet. */
+  def q33BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graftbucket").toString
+    Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$tmp/orders_b").saveAsTable("graft_bucketed_orders")
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$tmp/lineitem_b").saveAsTable("graft_bucketed_lineitem")
+    val o = s.table("graft_bucketed_orders")
+    val l = s.table("graft_bucketed_lineitem")
+    o.hint("merge")
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q33Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      | ROUND(SUM(l_extendedprice*(1.0-l_discount)),4) AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** All relational queries, keyed per SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_filter" -> (q01AggFilter _),
@@ -933,7 +983,8 @@ object Relational {
     "q27_percentiles" -> (q27Percentiles _),
     "q28_date_spine" -> (q28DateSpine _),
     "q29_json_keys" -> (q29JsonKeys _),
-    "q32_scd2" -> (q32Scd2 _))
+    "q32_scd2" -> (q32Scd2 _),
+    "q33_bucketed_join" -> (q33BucketedJoin _))
 
   def oracles: Map[String, String] = Map(
     "q01_agg_filter" -> q01Sql,
@@ -965,5 +1016,6 @@ object Relational {
     "q27_percentiles" -> q27Sql,
     "q28_date_spine" -> q28Sql,
     "q29_json_keys" -> q29Sql,
-    "q32_scd2" -> q32Sql)
+    "q32_scd2" -> q32Sql,
+    "q33_bucketed_join" -> q33Sql)
 }

@@ -59,6 +59,33 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one key exchange:\n$plan")
   }
 
+  test("q33 bucketed join: sort-merge with ZERO exchange on the join key, bucketed scans") {
+    // the whole point of the layout: both sides were written
+    // bucketBy(8, orderkey), so the join must read bucket-aligned
+    // splits and never shuffle either fact table. The only allowed
+    // exchanges are the priority rollup and the presentation sort.
+    val (plan, fmt) = planOf("q33_bucketed_join")
+    assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+    assert(!plan.linesIterator.exists(l => l.contains("Exchange") &&
+      (l.contains("o_orderkey") || l.contains("l_orderkey"))),
+      s"bucketed fact-fact join must not shuffle on the join key:\n$plan")
+    assert(fmt.contains("SelectedBucketsCount") || fmt.contains("Bucketed: true"),
+      "scans must actually be bucketed reads")
+  }
+
+  test("d33 bloom probe path has NO join at all — a literal-bitmap filter plus one rollup") {
+    // d29 matches via a broadcast semi join; d33's entire selling
+    // point is that the match is a scan-stage bit probe against a
+    // plan literal: no join operator of any kind on the corpus path.
+    // All exchanges sit on the post-probe HIT stream (a vanishing
+    // fraction of the corpus): the (doc,gram) distinct, the per-doc
+    // rollup, and the presentation sort.
+    val (plan, _) = planOf("d33_bloom_decontaminate")
+    assert(!plan.contains("Join"), s"bloom probe must not join:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Exchange")) <= 3,
+      s"only distinct + rollup + presentation sort may exchange:\n$plan")
+  }
+
   test("d29 decontamination matches via a broadcast LEFT SEMI join (corpus never shuffles to match)") {
     val (plan, _) = planOf("d29_decontaminate")
     assert(plan.linesIterator.exists(l =>
@@ -279,20 +306,29 @@ class PlanSpec extends SparkSpec {
     //   a31  same stats/query broadcasts in its coarse (a30) stage
     //   s39  eval gram set — 1-row arrays_overlap anti join (the
     //        stateless stream-static shape, deliberately kept in batch)
+    //   a32  PQ/ADC scan — the same 8-query-row broadcast as a27/a30
+    //        (codes side scans, query LUTs broadcast)
+    //   t44  total-token-count attach — 1-row aggregate broadcast
+    //        (the q28/t38/t39 scalar-attach shape)
     // Nothing may use CartesianProduct, and no NEW query may grow a
     // BNLJ without being justified here.
     val allowedBnlj = Set("a27_ann_brute", "a29_ann_ivf", "a29b_ann_ivf_oracle",
       "d26_embed_neardup",
       "q28_date_spine", "t38_keyphrase", "t39_bigram_lm", "a30_ann_sq",
-      "a31_ann_rerank", "s39_stream_decontaminate")
+      "a31_ann_rerank", "s39_stream_decontaminate", "a32_ann_pq", "t44_vocab")
     // Entries whose DataFrame CONSTRUCTION executes real work (q30/q31
     // write full exports, d27/d27b iterate connected components to a
     // fixpoint) are skipped: a plan sweep must inspect plans, not
     // re-run the correctness suite. Their join shapes are audited
     // piecewise instead — the lazy capped-candidate and CC-round
     // tests above and the dedicated q30/q31 plan test below.
+    // (q33 writes its bucketed tables at construction — its zero-
+    // shuffle join is pinned by the dedicated test above; d33 runs
+    // the bitmap-build job at construction — its no-join probe path
+    // is pinned by the dedicated test below)
     val eagerEntries = Set("q30_incremental_export", "q31_export_roundtrip",
-      "d27_dedup_components", "d27b_components_oracle", "d32_embed_dedup")
+      "d27_dedup_components", "d27b_components_oracle", "d32_embed_dedup",
+      "q33_bucketed_join", "d33_bloom_decontaminate")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => eagerEntries(q._1)).foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
