@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -63,10 +64,14 @@ object Multimodal {
   /** Deterministic BMP payload for an image row: dimensions and
     * pixels are pure functions of doc_id, so every field downstream
     * is reproducible and the spec can recompute them independently. */
-  private[multimodal] def syntheticBmp(docId: Long): (Int, Int, Array[Byte]) = {
+  private[multimodal] def syntheticRgb(docId: Long): (Int, Int, Array[Byte]) = {
     val w = 1 + (docId % 8).toInt
     val h = 1 + (docId % 6).toInt
-    val rgb = Array.tabulate(3 * w * h)(i => ((docId * 31 + i * 7) % 256).toByte)
+    (w, h, Array.tabulate(3 * w * h)(i => ((docId * 31 + i * 7) % 256).toByte))
+  }
+
+  private[multimodal] def syntheticBmp(docId: Long): (Int, Int, Array[Byte]) = {
+    val (w, h, rgb) = syntheticRgb(docId)
     (w, h, ImageCodec.encodeBmp(w, h, rgb))
   }
 
@@ -269,8 +274,83 @@ object Multimodal {
     }
   }
 
+  /** m34's content-id modulus: payload CONTENT derives from
+    * doc_id % this, so distinct doc_ids deliberately carry duplicate
+    * content (the t43 planting stance — the base corpus has no
+    * natural media duplicates, and a dedup gate that matches nothing
+    * is vacuous). 193 gives groups of 2–3 at the test SFs. */
+  private[multimodal] val m34ContentMod = 193L
+
+  /** m34's corpus: the m33 media table with PLANTED duplicate
+    * content. Content (pixels / PCM samples / frames) is a function
+    * of content_id = doc_id % [[m34ContentMod]]; modality follows
+    * content_id so duplicates share a modality. Image rows
+    * additionally ALTERNATE CONTAINERS — the same pixels encode as
+    * BMP or PPM by (doc_id / mod) parity — so byte-level hashing
+    * (d22's shape, m33's payload_crc) would MISS those pairs: only
+    * the decoded, format-independent content identity finds them. */
+  private[graft] def mediaTableWithDups(s: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    mediaTable(s, dir).map { r =>
+      val cid = r.doc_id % m34ContentMod
+      (cid % 3).toInt match {
+        case 0 =>
+          val (w, h, rgb) = syntheticRgb(cid)
+          val payload =
+            if ((r.doc_id / m34ContentMod) % 2 == 0) ImageCodec.encodeBmp(w, h, rgb)
+            else ImageCodec.encodePpm(w, h, rgb)
+          r.copy(modality = "image", payload = payload,
+            meta = r.meta.copy(mime = "image/*", width = w, height = h))
+        case 1 =>
+          val (n, wav) = syntheticWav(cid)
+          r.copy(modality = "audio", payload = wav,
+            meta = r.meta.copy(mime = "audio/wav",
+              durationMs = (n * 1000L + 4000) / 8000))
+        case _ =>
+          val (w, h, nFrames, y4m) = syntheticY4m(cid)
+          r.copy(modality = "video", payload = y4m,
+            meta = r.meta.copy(mime = "video/y4m", width = w, height = h,
+              durationMs = nFrames * 40L))
+      }
+    }
+  }
+
+  /** m34: content-addressed media dedup — the d22 hash-groupBy idea
+    * applied to what the payload DECODES TO, not its bytes. The
+    * content key is the modality's decoded CRC (pixel_crc /
+    * sample_crc / frame_crc), which [[ImageCodec]] computes
+    * format-independently: a BMP and a PPM of the same pixels — and
+    * at 100 TB, the same image re-encoded by different crawlers —
+    * share a key while their byte hashes differ. Keep-min per
+    * (modality, content) group, group size reported.
+    *
+    * Scale shape: decode is the m33 per-partition batched map (no
+    * shuffle); the dedup is ONE window over (modality, content_crc)
+    * — equivalently a groupBy — on an 8-byte key per row, d22's
+    * uniform-key single exchange. Rows-only entry (payloads are
+    * JVM-encoded containers no SQL engine can replay); the spec pins
+    * planted group structure, cross-container capture, and keep-min
+    * selection. */
+  def m34MediaDedup(s: SparkSession, dir: String): DataFrame = {
+    val feats = decodeFeatures(mediaTableWithDups(s, dir)).toDF()
+    // content key per modality: audio's is sample_crc; image and
+    // video share the pixel_crc field (the video frame-CRC lands
+    // there — see decodeBatch), and modality is part of the group
+    // key so the two can never cross-match
+    val keyed = feats.select(
+      col("doc_id"), col("modality"), col("decoded_format"),
+      when(col("modality") === "audio", col("sample_crc"))
+        .otherwise(col("pixel_crc")).as("content_crc"))
+    val w = Window.partitionBy("modality", "content_crc")
+    keyed
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "m33_multimodal" -> (m33Multimodal _))
+    "m33_multimodal" -> (m33Multimodal _),
+    "m34_media_dedup" -> (m34MediaDedup _))
 
   def oracles: Map[String, String] = Map.empty
 }

@@ -370,4 +370,41 @@ class MultimodalSpec extends SparkSpec {
       assert(f.sample_crc == crc.getValue, s"doc ${f.doc_id} sample CRC")
     }
   }
+
+  test("m34 content dedup: planted groups exact, keep-min, cross-container capture") {
+    val out = Multimodal.m34MediaDedup(spark, sfDir)
+      .select("doc_id", "modality", "decoded_format", "content_crc", "group_size", "keep")
+      .as[(Long, String, String, Long, Long, Boolean)].collect()
+    val ids = Tables.documents(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.map(_._1).toSet == ids, "one dedup row per media record")
+    assert(!out.exists(_._3 == "stub"), "every planted payload must decode for real")
+    // planted structure: content identity == doc_id % m34ContentMod,
+    // so the expected group of a doc is exactly its residue class
+    val expectedGroup = ids.groupBy(_ % 193L)
+    out.foreach { case (id, _, _, _, size, keep) =>
+      val grp = expectedGroup(id % 193L)
+      assert(size == grp.size, s"doc $id: group_size $size != planted ${grp.size}")
+      assert(keep == (id == grp.min), s"doc $id: keep-min violated")
+    }
+    // groups agree with the CONTENT key: same residue -> same crc,
+    // different residue never collides (within a modality) on this corpus
+    val byCrc = out.groupBy(r => (r._2, r._4)).values
+    byCrc.foreach { grp =>
+      assert(grp.map(_._1 % 193L).distinct.length == 1,
+        s"content group mixes residues: ${grp.toSeq}")
+    }
+    // the cross-container story: at least one image group holds BOTH
+    // a BMP and a PPM of the same pixels -- byte hashing (m33's
+    // payload_crc) would split it, the decoded content key must not
+    val cross = out.filter(_._2 == "image").groupBy(_._4).values
+      .filter(g => g.map(_._3).distinct.sorted.toSeq == Seq("bmp", "ppm"))
+    assert(cross.nonEmpty, "expected a mixed BMP/PPM content group")
+    val mixed = cross.head.map(_._1).toSeq
+    val byteCrcs = Multimodal.decodeFeatures(
+        Multimodal.mediaTableWithDups(spark, sfDir))
+      .filter(f => mixed.contains(f.doc_id)).collect().map(_.payload_crc)
+    assert(byteCrcs.distinct.length > 1,
+      "containers differ at byte level, so byte-hash dedup would have missed the pair")
+  }
 }
