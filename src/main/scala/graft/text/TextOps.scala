@@ -963,17 +963,26 @@ object TextOps {
     * Coverage math is pure integer (×1e6, `div`), so both engines
     * agree exactly; the total-token count attaches as a broadcast
     * 1-row cross join (a scalar, never a shuffle key). */
-  def t44Vocab(s: SparkSession, dir: String): DataFrame = {
+  /** The top-V (token, freq, doc_freq) stage shared by t44 (which
+    * adds rank + coverage) and t45 (which needs token→rank only) —
+    * one definition so the applied vocab can never drift from the
+    * reported one. */
+  private def t44Top(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
     val freqs = toks.groupBy("token").agg(count(lit(1)).as("freq"))
     val dfreq = toks.select("token", "doc_id").distinct()
       .groupBy("token").agg(count(lit(1)).as("doc_freq"))
-    val total = toks.agg(count(lit(1)).as("total_tokens"))
-    val top = freqs.join(dfreq, "token")
+    freqs.join(dfreq, "token")
       .orderBy(col("freq").desc, col("token")).limit(t44TopV)
+  }
+
+  def t44Vocab(s: SparkSession, dir: String): DataFrame = {
+    val total = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .agg(count(lit(1)).as("total_tokens"))
     val w = Window.orderBy(col("freq").desc, col("token"))
-    top.crossJoin(broadcast(total))
+    t44Top(s, dir).crossJoin(broadcast(total))
       .withColumn("rank", row_number().over(w))
       .withColumn("cum_freq", sum(col("freq")).over(w))
       .select(
@@ -1005,6 +1014,67 @@ object TextOps {
        |   // (SELECT total_tokens FROM total) AS BIGINT) AS cum_coverage_ppm
        |FROM top ORDER BY rank""".stripMargin
 
+  /** t45: vocabulary application — the tokenize step that follows
+    * t44's induction: every corpus token maps to its vocab id
+    * (= t44 rank; 0 is UNK), yielding per-doc id sequences and the
+    * out-of-vocabulary rate (exact ppm) — the signal a pipeline
+    * watches to size its vocab or flag domain drift.
+    *
+    * Scale shape (100 TB): the vocab is top-V rows — it BROADCASTS,
+    * and the corpus token stream maps through a broadcast LEFT join
+    * in its scan stage (never shuffled to match). The only
+    * corpus-keyed exchange is the per-doc rollup; the id sequence
+    * reassembles position-ordered inside the aggregation (sorted
+    * struct collect, bounded by one document), emitted as CSV so the
+    * driver compare — which can't hash array cells — gets a scalar. */
+  def t45VocabApply(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("freq").desc, col("token"))
+    val vocab = t44Top(s, dir)
+      .withColumn("tok_id", row_number().over(w))
+      .select("token", "tok_id")
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .withColumn("tok_id", coalesce(col("tok_id"), lit(0)))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("tok_id") === 0, 1L).otherwise(0L)).as("n_oov"),
+        expr("""array_join(transform(array_sort(collect_list(struct(pos, tok_id))),
+               |  s -> cast(s.tok_id as string)), ',')""".stripMargin).as("ids_csv"))
+      .withColumn("oov_ppm", expr("n_oov * 1000000 div n_tokens"))
+      .select("doc_id", "n_tokens", "n_oov", "oov_ppm", "ids_csv")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for t45: t44's vocab CTE chain (same literals and
+    * tie-breaks), LEFT-joined token stream, position-ordered
+    * string_agg, integer-div ppm. */
+  val t45Sql: String =
+    s"""WITH toks0 AS (
+       | SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |freqs AS (SELECT token, count(*) AS freq FROM toks0 GROUP BY token),
+       |top AS (
+       | SELECT token, row_number() OVER (ORDER BY freq DESC, token) AS tok_id
+       | FROM freqs ORDER BY freq DESC, token LIMIT $t44TopV),
+       |toks AS (
+       | SELECT doc_id, i AS pos, t[i] AS token
+       | FROM (SELECT doc_id, string_split(text, ' ') AS t,
+       |        unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+       |       FROM documents)),
+       |mapped AS (
+       | SELECT toks.doc_id, toks.pos,
+       |  CAST(coalesce(top.tok_id, 0) AS INT) AS tok_id
+       | FROM toks LEFT JOIN top ON toks.token = top.token)
+       |SELECT doc_id,
+       | count(*) AS n_tokens,
+       | CAST(sum(CASE WHEN tok_id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       | CAST(sum(CASE WHEN tok_id = 0 THEN 1 ELSE 0 END) * 1000000
+       |   // count(*) AS BIGINT) AS oov_ppm,
+       | string_agg(CAST(tok_id AS VARCHAR), ',' ORDER BY pos) AS ids_csv
+       |FROM mapped GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t29_langid" -> (t29LangId _),
     "t30_quality" -> (t30Quality _),
@@ -1022,7 +1092,8 @@ object TextOps {
     "t41_chunk" -> (t41Chunk _),
     "t42_pack" -> (t42Pack _),
     "t43_pii" -> (t43Pii _),
-    "t44_vocab" -> (t44Vocab _))
+    "t44_vocab" -> (t44Vocab _),
+    "t45_vocab_apply" -> (t45VocabApply _))
 
   def oracles: Map[String, String] = Map(
     "t29_langid" -> t29Sql,
@@ -1040,5 +1111,6 @@ object TextOps {
     "t41_chunk" -> t41Sql,
     "t42_pack" -> t42Sql,
     "t43_pii" -> t43Sql,
-    "t44_vocab" -> t44Sql)
+    "t44_vocab" -> t44Sql,
+    "t45_vocab_apply" -> t45Sql)
 }

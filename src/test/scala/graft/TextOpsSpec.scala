@@ -383,6 +383,21 @@ class TextOpsSpec extends SparkSpec {
       ("d", 4, 1L, 1L, 100000L, 1000000L)), s"got $got")
   }
 
+  test("t45 vocab-apply: hand-computed ids in position order, OOV past top-V, exact ppm") {
+    // 121 distinct tokens: "common" (freq 3) ranks 1; t001..t120
+    // (freq 1 each) tie-break by token asc, so t001..t099 take ranks
+    // 2..100 and t100..t120 fall OUT of the top-100 vocab → id 0
+    val longDoc = (1 to 120).map(i => f"t$i%03d").mkString(" ")
+    val dir = docsOf(
+      1L -> "common common common",
+      2L -> longDoc)
+    val gotById = TextOps.t45VocabApply(spark, dir)
+      .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(gotById(1L) == ((1L, 3L, 0L, 0L, "1,1,1")), s"got ${gotById(1L)}")
+    val expIds = ((2 to 100).map(_.toString) ++ Seq.fill(21)("0")).mkString(",")
+    assert(gotById(2L) == ((2L, 120L, 21L, 175000L, expIds)), s"got ${gotById(2L)}")
+  }
+
   test("t44 vocab caps the report at top-V and keeps cumulative coverage monotone") {
     val vocab = TextOps.t44Vocab(spark, sfDir)
       .as[(String, Int, Long, Long, Long, Long)].collect().toSeq
