@@ -29,8 +29,8 @@ object Bench {
     "d25c_ngram_banded_oracle",
     "d26_embed_neardup", "d27_dedup_components", "d27b_components_oracle",
     "d28_embed_neardup_lsh", "q12_double_entry", "q26_unpivot",
-    "q29_json_keys", "q31_export_roundtrip", "a29_ann_ivf",
-    "a29b_ann_ivf_oracle",
+    "q29_json_keys", "q31_export_roundtrip", "q33_bucketed_join",
+    "a29_ann_ivf", "a29b_ann_ivf_oracle",
     "d31_passage_scrub", "d32_embed_dedup")
 
   private def familyOf(name: String): String =

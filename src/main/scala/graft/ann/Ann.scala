@@ -568,7 +568,9 @@ object Ann {
   private def pqNormSqSpark(m: Int): String =
     pqNormSqStrs(m).map(_ + "D").mkString("array(", ",", ")")
 
-  /** a32: product-quantized ANN (PQ/ADC, the FAISS IndexPQ layout) —
+  /** a32: product-quantized ANN (PQ/ADC — Jégou, Douze & Schmid,
+    * "Product Quantization for Nearest Neighbor Search", TPAMI 2011;
+    * the FAISS IndexPQ layout) —
     * completes the quantization family: a30 compresses 4× and keeps
     * per-dim resolution; PQ compresses 32× by coding each 8-dim
     * SUBVECTOR to its nearest codebook entry. Encoding is a pure

@@ -1126,7 +1126,8 @@ object Dedup {
       element_at(bitmap, (shiftright(pos, 6) + lit(1)).cast("int")),
       (pos % 64).cast("int")).bitwiseAND(lit(1L)) === lit(1L)
 
-  /** d33: Bloom-filter decontamination — d29's train/eval n-gram
+  /** d33: Bloom-filter decontamination (Bloom 1970's filter applied
+    * as GPT-3 appendix C applies it) — d29's train/eval n-gram
     * scrub re-shaped for 100 TB. d29 broadcasts the distinct eval
     * gram SET, which grows with the benchmark suite; d33 compresses
     * it into a fixed 128 KiB bitmap that ships to every task as a

@@ -940,14 +940,22 @@ object Relational {
       .groupBy("o_orderpriority")
       .agg(
         count(lit(1)).as("n_items"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
-          .as("revenue"))
+        // DECIMAL sum, not a rounded double sum: with ~10^5 rows per
+        // group the double partial-agg addition ORDER differs between
+        // engines and a 4-dp round landed on a half-ULP tie at sf0.1
+        // (…8477 vs …8476, caught by exact_audit). The per-row
+        // product rounds to decimal(20,6) identically in both
+        // engines; decimal addition is exact and order-independent,
+        // so the group sum is byte-stable at ANY scale — the q13
+        // exact-arithmetic stance.
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(20,6)")).as("revenue"))
       .orderBy("o_orderpriority")
   }
 
   val q33Sql: String =
     """SELECT o_orderpriority, COUNT(*) AS n_items,
-      | ROUND(SUM(l_extendedprice*(1.0-l_discount)),4) AS revenue
+      | SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(20,6))) AS revenue
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
