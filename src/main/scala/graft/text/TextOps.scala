@@ -944,6 +944,20 @@ object TextOps {
     * tokenizer-training run would set to its vocab budget. */
   private[graft] val t44TopV = 100
 
+  /** The top-V (token, freq, doc_freq) stage shared by t44 (which
+    * adds rank + coverage) and t45 (which needs token→rank only) —
+    * one definition so the applied vocab can never drift from the
+    * reported one. */
+  private def t44Top(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val freqs = toks.groupBy("token").agg(count(lit(1)).as("freq"))
+    val dfreq = toks.select("token", "doc_id").distinct()
+      .groupBy("token").agg(count(lit(1)).as("doc_freq"))
+    freqs.join(dfreq, "token")
+      .orderBy(col("freq").desc, col("token")).limit(t44TopV)
+  }
+
   /** t44: corpus vocabulary / Zipf statistics — the vocab-induction
     * front-end of tokenizer training (BPE/WordPiece start from
     * exactly this table): the top-V tokens by corpus frequency with
@@ -963,20 +977,6 @@ object TextOps {
     * Coverage math is pure integer (×1e6, `div`), so both engines
     * agree exactly; the total-token count attaches as a broadcast
     * 1-row cross join (a scalar, never a shuffle key). */
-  /** The top-V (token, freq, doc_freq) stage shared by t44 (which
-    * adds rank + coverage) and t45 (which needs token→rank only) —
-    * one definition so the applied vocab can never drift from the
-    * reported one. */
-  private def t44Top(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-    val freqs = toks.groupBy("token").agg(count(lit(1)).as("freq"))
-    val dfreq = toks.select("token", "doc_id").distinct()
-      .groupBy("token").agg(count(lit(1)).as("doc_freq"))
-    freqs.join(dfreq, "token")
-      .orderBy(col("freq").desc, col("token")).limit(t44TopV)
-  }
-
   def t44Vocab(s: SparkSession, dir: String): DataFrame = {
     val total = Tables.documents(s, dir)
       .select(explode(tokens(col("text"))).as("token"))
