@@ -257,7 +257,7 @@ object Ann {
     * nlist × dim doubles from a29's bounded-sample fit, shipped as
     * literals/broadcast — so a29b is the scale path's semantics pin,
     * as d23b pins d23. */
-  private val centroidStrs: Seq[Seq[String]] = {
+  private[graft] val centroidStrs: Seq[Seq[String]] = {
     val rng = new scala.util.Random(1234)
     Seq.fill(16, 64)(rng.nextGaussian())
       .map(_.map(v => String.format(java.util.Locale.ROOT, "%.17g", Double.box(v))))
@@ -676,6 +676,154 @@ object Ann {
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   }
 
+  /** a33: IVF+PQ ANN (the FAISS IndexIVFPQ layout — Jégou et al.
+    * 2011 §IV; THE production billion-scale shape) — composes the two
+    * pinned halves: a29b's 16 literal coarse centroids route vectors
+    * to cells, and a32's literal codebooks PQ-encode the RESIDUAL
+    * x − centroid(cell) (residual coding is why IVFPQ beats flat PQ:
+    * residuals are small, so the same codebook budget spends its
+    * resolution near zero). Scoring is residual-domain ADC over
+    * squared L2: each (query, probed cell) precomputes an 8×16 table
+    * of ‖(q − c)ₘ − cbₘ[j]‖² ONCE, then every corpus vector in the
+    * cell costs 8 lookups + an add chain — no float math against the
+    * original vector, and only nprobe/nlist of the corpus is touched
+    * at all.
+    *
+    * At 100 TB: the codes table (cell, 8 nibbles) is what lives in
+    * memory — 32× smaller than the floats; queries × nprobe LUT rows
+    * broadcast (NQ × 4 rows of 8×16 doubles); the corpus is scanned
+    * cell-pruned in code form and never shuffled (bounded-buffer
+    * top-k). Every stage — argmin cell, residual, argmin encode,
+    * LUT, lookup-sum, rounded rank — is deterministic literal math,
+    * so the WHOLE composed pipeline is DuckDB-oracle-checked, which
+    * neither trained half of a real FAISS index can be. */
+  private def centsSparkLit: String =
+    centroidStrs.map(_.map(_ + "D").mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
+
+  def a33AnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nprobe = 4
+    val base = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      .withColumn("dl", centroidDistsExpr("embedding"))
+      .withColumn("cell", expr("CAST(array_position(dl, array_min(dl)) - 1 AS INT)"))
+    // corpus: residual vs the assigned cell's centroid, PQ-encoded
+    // with a32's codebooks (one global residual codebook set — the
+    // FAISS IVFPQ default). Encode is a pure scan-stage projection.
+    val resid = base.withColumn("resid", expr(
+      s"zip_with(embedding, element_at($centsSparkLit, cell + 1), (x, p) -> CAST(x AS DOUBLE) - p)"))
+    val enc0 = (0 until pqM).foldLeft(resid) { (df, m) =>
+      df.withColumn(s"dl_$m", expr(
+        s"""transform(${pqCbSpark(m)}, c ->
+           |  aggregate(zip_with(c, slice(resid, ${m * pqD + 1}, $pqD),
+           |      (p, x) -> (p - x) * (p - x)),
+           |    0D, (s, v) -> s + v))""".stripMargin))
+        .withColumn(s"code_$m", expr(
+          s"CAST(array_position(dl_$m, array_min(dl_$m)) - 1 AS INT)"))
+    }
+    val enc = enc0.select(Seq(col("vec_id"), col("cell")) ++
+      (0 until pqM).map(m => col(s"code_$m")): _*)
+    // queries: a29b's nprobe routing (struct-sort of (distance, cell)),
+    // exploded to one row per probed cell, each with the residual-domain
+    // squared-L2 LUT for THAT cell's centroid
+    val qx = base.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("embedding"),
+        explode(expr(
+          s"""transform(slice(array_sort(
+             |  zip_with(dl, sequence(0, 15), (d, i) -> struct(d, i))), 1, $nprobe),
+             |  s -> s.i)""".stripMargin)).as("pcell"))
+      .withColumn("qresid", expr(
+        s"zip_with(embedding, element_at($centsSparkLit, pcell + 1), (x, p) -> CAST(x AS DOUBLE) - p)"))
+    val qlut = (0 until pqM).foldLeft(qx) { (df, m) =>
+      df.withColumn(s"lut_$m", expr(
+        s"""transform(${pqCbSpark(m)}, c ->
+           |  aggregate(zip_with(c, slice(qresid, ${m * pqD + 1}, $pqD),
+           |      (p, x) -> (p - x) * (p - x)),
+           |    0D, (s, v) -> s + v))""".stripMargin))
+    }.select(Seq(col("query_id"), col("pcell")) ++
+      (0 until pqM).map(m => col(s"lut_$m")): _*)
+    val adc = (0 until pqM).map(m =>
+      expr(s"element_at(lut_$m, code_$m + 1)")).reduce(_ + _)
+    // rank ascending d² via the shared bounded-buffer top-k on −d²
+    // (its order is score desc, id asc = d² asc, id asc); negate back
+    // on output. −round(x) == round(−x), and −(−0.0) restores +0.0.
+    val scored = enc.join(broadcast(qlut),
+        col("cell") === col("pcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        -round(adc, 4).as("neg_d2"))
+      .as[(Long, Long, Double)]
+    rankedTopK(s, scored)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        (-col("cosine")).as("dist2"))
+  }
+
+  /** DuckDB oracle for a33: same centroid + codebook literals, same
+    * cell argmin / residual / encode argmin / LUT / lookup-sum ADC,
+    * same rounded (d², neighbor_id) rank order. */
+  val a33Sql: String = {
+    val centsDuck = centroidStrs.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    def cbDuck(m: Int) =
+      pqCodebookStrs(m).map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    val dlCols = (0 until pqM).map { m =>
+      s"""list_transform(${cbDuck(m)}, c ->
+         | list_sum(list_transform(list_zip(c, r[${m * pqD + 1}:${(m + 1) * pqD}]),
+         |  p -> (p[1] - p[2]) * (p[1] - p[2])))) AS dl_$m""".stripMargin
+    }.mkString(",\n  ")
+    val codeCols = (0 until pqM).map(m =>
+      s"CAST(list_indexof(dl_$m, list_min(dl_$m)) - 1 AS INT) AS code_$m").mkString(",\n  ")
+    val lutCols = (0 until pqM).map { m =>
+      s"""list_transform(${cbDuck(m)}, c ->
+         | list_sum(list_transform(list_zip(c, qr[${m * pqD + 1}:${(m + 1) * pqD}]),
+         |  p -> (p[1] - p[2]) * (p[1] - p[2])))) AS lut_$m""".stripMargin
+    }.mkString(",\n  ")
+    val adc = (0 until pqM).map(m => s"q.lut_$m[c.code_$m + 1]").mkString(" + ")
+    s"""WITH cents AS (SELECT $centsDuck AS cs),
+       |e AS (
+       | SELECT vec_id, embedding,
+       |  list_transform((SELECT cs FROM cents),
+       |    c -> list_sum(list_transform(list_zip(c, embedding),
+       |           p -> (p[1] - CAST(p[2] AS DOUBLE)) * (p[1] - CAST(p[2] AS DOUBLE))))) AS dl
+       | FROM embeddings),
+       |cells AS (
+       | SELECT vec_id, embedding, dl,
+       |  CAST(list_indexof(dl, list_min(dl)) - 1 AS INT) AS cell FROM e),
+       |resid AS (
+       | SELECT vec_id, cell,
+       |  list_transform(list_zip(embedding, (SELECT cs FROM cents)[cell + 1]),
+       |    p -> CAST(p[1] AS DOUBLE) - p[2]) AS r
+       | FROM cells),
+       |dls AS (
+       | SELECT vec_id, cell,
+       |  $dlCols
+       | FROM resid),
+       |enc AS (
+       | SELECT vec_id, cell,
+       |  $codeCols
+       | FROM dls),
+       |qprobe AS (
+       | SELECT vec_id AS query_id, CAST(i - 1 AS INT) AS pcell,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY dl[i], i) AS rnk
+       | FROM (SELECT vec_id, dl, unnest(generate_series(1, 16)) AS i
+       |       FROM cells WHERE vec_id < $NQ)
+       | QUALIFY rnk <= 4),
+       |qres AS (
+       | SELECT qp.query_id, qp.pcell,
+       |  list_transform(list_zip(c.embedding, (SELECT cs FROM cents)[qp.pcell + 1]),
+       |    p -> CAST(p[1] AS DOUBLE) - p[2]) AS qr
+       | FROM qprobe qp JOIN cells c ON c.vec_id = qp.query_id),
+       |qlut AS (
+       | SELECT query_id, pcell,
+       |  $lutCols
+       | FROM qres)
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, dist2 FROM (
+       | SELECT q.query_id, c.vec_id AS neighbor_id,
+       |  ROUND($adc, 4) AS dist2,
+       |  row_number() OVER (PARTITION BY q.query_id
+       |    ORDER BY ROUND($adc, 4), c.vec_id) AS rank
+       | FROM qlut q JOIN enc c ON c.cell = q.pcell AND c.vec_id <> q.query_id)
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a27_ann_brute" -> (a27AnnBrute _),
     "a28_ann_lsh" -> (a28AnnLsh _),
@@ -683,7 +831,8 @@ object Ann {
     "a29b_ann_ivf_oracle" -> (a29bAnnIvfOracle _),
     "a30_ann_sq" -> (a30AnnSq _),
     "a31_ann_rerank" -> (a31AnnRerank _),
-    "a32_ann_pq" -> (a32AnnPq _))
+    "a32_ann_pq" -> (a32AnnPq _),
+    "a33_ann_ivfpq" -> (a33AnnIvfPq _))
 
   def oracles: Map[String, String] = Map(
     "a27_ann_brute" -> a27Sql,
@@ -691,5 +840,6 @@ object Ann {
     "a29b_ann_ivf_oracle" -> a29bSql,
     "a30_ann_sq" -> a30Sql,
     "a31_ann_rerank" -> a31Sql,
-    "a32_ann_pq" -> a32Sql)
+    "a32_ann_pq" -> a32Sql,
+    "a33_ann_ivfpq" -> a33Sql)
 }

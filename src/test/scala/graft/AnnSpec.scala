@@ -207,6 +207,47 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("a33 ivfpq: well-formed ranks, every neighbor lies in a probed cell, deterministic") {
+    val res = Ann.a33AnnIvfPq(spark, sfDir)
+      .select("query_id", "rank", "neighbor_id", "dist2")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(res.nonEmpty)
+    res.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length).toSeq, s"ranks for $q")
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).toSeq.sorted,
+        s"dist2 monotone non-decreasing for $q")
+      assert(sorted.forall(_._4 >= 0.0), s"squared distance must be >= 0 for $q")
+    }
+    // cell-pruning soundness: recompute cell assignment and nprobe
+    // routing in memory from the SAME centroid literals, and assert
+    // every returned neighbor sits in one of its query's probed cells
+    val cents = Ann.centroidStrs.map(_.map(_.toDouble))
+    val emb = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    def dists(v: Array[Float]): Seq[Double] = cents.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { val d = c(i) - v(i).toDouble; s += d * d; i += 1 }
+      s
+    }
+    val cell = emb.map { case (id, v) =>
+      val dl = dists(v); id -> dl.indexOf(dl.min)
+    }.toMap
+    val probed = emb.filter(_._1 < 8).map { case (id, v) =>
+      id -> dists(v).zipWithIndex.sortBy(identity).take(4).map(_._2).toSet
+    }.toMap
+    res.foreach { case (q, _, n, _) =>
+      assert(n != q, "self-match excluded")
+      assert(probed(q).contains(cell(n)),
+        s"neighbor $n (cell ${cell(n)}) not in query $q's probe set ${probed(q)}")
+    }
+    val again = Ann.a33AnnIvfPq(spark, sfDir)
+      .select("query_id", "rank", "neighbor_id", "dist2")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(res.sortBy(r => (r._1, r._2)).toSeq == again.sortBy(r => (r._1, r._2)).toSeq,
+      "a33 must be deterministic across runs")
+  }
+
   test("a28 lsh returns fewer-or-equal candidates than brute force k") {
     val bruteN = Ann.a27AnnBrute(spark, sfDir).count()
     val lshN = Ann.a28AnnLsh(spark, sfDir).count()
