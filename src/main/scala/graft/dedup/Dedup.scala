@@ -1364,6 +1364,89 @@ object Dedup {
        |ORDER BY toks.doc_id""".stripMargin
   }
 
+  /** d34: line-level exact dedup (the CCNet paragraph-hash step —
+    * Wenzek et al. 2020 §3.1, also RefinedWeb's line dedup): the
+    * corpus is cut into DISJOINT fixed-length token segments (the
+    * stand-in for "lines" in this newline-free corpus), each segment
+    * keyed by the shared 60-bit md5 prefix, and every segment whose
+    * key appears in ≥ 2 DISTINCT documents is dropped from ALL of
+    * them — boilerplate removal, so no keep-first: a paragraph shared
+    * across documents is noise everywhere it appears. Survivors are
+    * rejoined in segment order. Complements d31: the scrub there
+    * covers token positions via OVERLAPPING n-grams (exact-substring
+    * semantics, n× gram rows); this is the 1/L-cost hash-per-segment
+    * form CCNet actually ships — the segment table is tokens/L rows,
+    * which at 100 TB is the difference between an 8-byte-keyed
+    * shuffle of 1/8 the corpus and one of 8× the corpus.
+    *
+    * Scale shape: segmentation is a scan-stage projection (no
+    * overlap, so each token is read once); the dup set is the d30
+    * min≠max rollup (partial-aggregable, never count-distinct); one
+    * shuffle join on the 8-byte key; reconstruction is a doc_id
+    * rollup whose state is bounded by one document. */
+  private val d34SegLen = 8
+
+  private def d34SegKey(seg: Column): Column =
+    conv(substring(md5(seg.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  def d34LineDedup(s: SparkSession, dir: String): DataFrame = {
+    val L = d34SegLen
+    val toksDf = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // disjoint L-token segments; greatest(…, 0) keeps the sequence
+    // ascending (and yields one ''-segment) on a pathological empty
+    // token array, matching the oracle's generate_series clamp
+    val segs = toksDf.select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), greatest(
+            ceil(size(col("toks")) / lit(L.toDouble)).cast("int") - 1, lit(0))),
+          i => concat_ws(" ", slice(col("toks"), i * L + 1, lit(L)))))
+          .as(Seq("seg_i", "seg")))
+      .withColumn("k", d34SegKey(col("seg")))
+    val dup = segs.groupBy("k")
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("k"), lit(true).as("dup"))
+    segs.join(dup, Seq("k"), "left")
+      .withColumn("is_dup", coalesce(col("dup"), lit(false)))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("dropped_segments"),
+        concat_ws(" ", transform(
+          filter(array_sort(collect_list(
+            struct(col("seg_i"), col("seg"), col("is_dup")))),
+            x => !x("is_dup").cast("boolean")),
+          x => x("seg"))).as("kept_text"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for d34: same split, same disjoint slices, same
+    * 60-bit key, same min≠max drop-everywhere rule, string_agg in
+    * segment order (NULLs — dropped segments — skipped). */
+  val d34Sql: String = {
+    val L = d34SegLen
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |segs AS (
+       | SELECT doc_id, i AS seg_i,
+       |  array_to_string(t[i*$L+1 : i*$L+$L], ' ') AS seg
+       | FROM (SELECT doc_id, t,
+       |        unnest(generate_series(0,
+       |          greatest(CAST(ceil(len(t) / $L.0) AS INT) - 1, 0))) AS i
+       |       FROM toks)),
+       |keyed AS (
+       | SELECT doc_id, seg_i, seg,
+       |  CAST(('0x' || substr(md5(seg), 1, 15)) AS BIGINT) AS k FROM segs),
+       |dup AS (SELECT k FROM keyed GROUP BY k HAVING min(doc_id) <> max(doc_id))
+       |SELECT doc_id,
+       | CAST(count(*) AS BIGINT) AS n_segments,
+       | CAST(sum(CASE WHEN k IN (SELECT k FROM dup) THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS dropped_segments,
+       | coalesce(string_agg(CASE WHEN k NOT IN (SELECT k FROM dup) THEN seg END,
+       |   ' ' ORDER BY seg_i), '') AS kept_text
+       |FROM keyed GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** d32: embedding near-dup DEDUP end-to-end — the action half of
     * d28, exactly as d27 completes d23/d25: connected components over
     * d28's verified pair graph (SemDeDup-style semantic dedup — one
@@ -1424,7 +1507,8 @@ object Dedup {
     "d33_bloom_decontaminate" -> (d33BloomDecontaminate _),
     "d30_repeated_ngrams" -> (d30RepeatedNgrams _),
     "d31_passage_scrub" -> (d31PassageScrub _),
-    "d32_embed_dedup" -> (d32EmbedDedup _))
+    "d32_embed_dedup" -> (d32EmbedDedup _),
+    "d34_line_dedup" -> (d34LineDedup _))
 
   def oracles: Map[String, String] = Map(
     "d22_dedup_exact" -> d22Sql,
@@ -1439,5 +1523,6 @@ object Dedup {
     "d33_bloom_decontaminate" -> d33Sql,
     "d30_repeated_ngrams" -> d30Sql,
     "d31_passage_scrub" -> d31Sql,
-    "d32_embed_dedup" -> d32Sql)
+    "d32_embed_dedup" -> d32Sql,
+    "d34_line_dedup" -> d34Sql)
 }

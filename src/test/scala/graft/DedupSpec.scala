@@ -396,4 +396,46 @@ class DedupSpec extends SparkSpec {
     // merges actually happen: fewer components than vectors
     assert(labels.map(_._2).distinct.length < labels.length)
   }
+
+  test("d34 line dedup: shared segment dropped EVERYWHERE, unique segments kept in order, counts exact") {
+    // segment length is 8: each text below is exactly 16 tokens =
+    // 2 segments. Docs 1 and 2 share their FIRST segment verbatim
+    // (planted boilerplate); every other segment is unique.
+    val boiler = "the quick brown fox jumps over lazy dogs"
+      .split(" ").take(8).mkString(" ")
+    assert(boiler.split(" ").length == 8)
+    docsOf(
+      1L -> (boiler + " u1a u1b u1c u1d u1e u1f u1g u1h"),
+      2L -> (boiler + " u2a u2b u2c u2d u2e u2f u2g u2h"),
+      3L -> "v3a v3b v3c v3d v3e v3f v3g v3h v3i v3j v3k v3l v3m v3n v3o v3p",
+      4L -> "w4a w4b w4c w4d w4e") // 5 tokens -> one short segment
+    val res = Dedup.d34LineDedup(spark, tmp)
+      .select("doc_id", "n_segments", "dropped_segments", "kept_text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // boilerplate dropped from BOTH carriers (no keep-first), their
+    // unique second segments survive verbatim
+    assert(res(1L) == ((1L, 2L, 1L, "u1a u1b u1c u1d u1e u1f u1g u1h")))
+    assert(res(2L) == ((2L, 2L, 1L, "u2a u2b u2c u2d u2e u2f u2g u2h")))
+    // untouched doc reconstructs exactly, partial tail segment counts
+    assert(res(3L)._2 == 2L && res(3L)._3 == 0L &&
+      res(3L)._4 == "v3a v3b v3c v3d v3e v3f v3g v3h v3i v3j v3k v3l v3m v3n v3o v3p")
+    assert(res(4L) == ((4L, 1L, 0L, "w4a w4b w4c w4d w4e")))
+  }
+
+  test("d34 full-drop doc empties; within-doc repeat alone is NOT dropped (cross-doc rule)") {
+    val seg = "s1 s2 s3 s4 s5 s6 s7 s8"
+    docsOf(
+      1L -> seg,                 // doc 1 IS the shared segment
+      2L -> seg,                 // doc 2 too -> both empty out
+      3L -> (("r1 r2 r3 r4 r5 r6 r7 r8 " * 2).trim)) // same segment twice WITHIN one doc
+    val res = Dedup.d34LineDedup(spark, tmp)
+      .select("doc_id", "n_segments", "dropped_segments", "kept_text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(res(1L) == ((1L, 1L, 1L, "")), "fully-duplicated doc must empty")
+    assert(res(2L) == ((2L, 1L, 1L, "")))
+    // min(doc)==max(doc) for the intra-doc repeat: kept both times —
+    // intra-doc repetition is t35's business, not d34's
+    assert(res(3L)._3 == 0L && res(3L)._4 ==
+      "r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8")
+  }
 }
