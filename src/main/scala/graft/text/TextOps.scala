@@ -1075,6 +1075,74 @@ object TextOps {
        | string_agg(CAST(tok_id AS VARCHAR), ',' ORDER BY pos) AS ids_csv
        |FROM mapped GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** t46: the Gopher document-quality rules (Rae et al. 2021,
+    * Appendix A1.1 — the rule set MassiveText ships and most modern
+    * corpus pipelines inherit), as per-rule audit flags plus the
+    * conjunctive keep verdict — unlike t30's weighted score, these
+    * are hard pass/fail gates:
+    *  - word count in [50, 100 000];
+    *  - mean word length in [3, 10] — restated as the exact integer
+    *    comparison 3·n ≤ word_chars ≤ 10·n (word_chars = text length
+    *    minus separators on this single-space corpus), so no
+    *    float division crosses engines;
+    *  - ≥ 80% of words contain an alphabetic character, restated
+    *    5·alpha_words ≥ 4·n;
+    *  - ≥ 2 distinct required stopwords. Gopher's English list
+    *    (the/be/to/of/and/that/have/with) barely intersects this
+    *    synthetic vocabulary, which would make the rule a constant —
+    *    so the required list is the SAME shared English stopword
+    *    table t29/t30 score against (the [[qualityScoreBp]] sharing
+    *    stance), keeping the gate non-vacuous and the engine's
+    *    stopword notion single-sourced. Gopher's symbol-ratio and
+    *    line-shape rules need symbols/newlines this corpus has
+    *    neither of; their engine shape (per-token regex counts) is
+    *    already pinned by t30/t43.
+    *
+    * Everything is integer arithmetic on scan-stage projections —
+    * zero shuffles, byte-exact cross-engine. */
+  def t46GopherRules(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val wordChars = length(col("text")) - (n - 1)
+    val alphaWords = size(filter(toks, t => t.rlike("[a-zA-Z]")))
+    val reqStops = size(filter(
+      array(stop("en").map(lit): _*), w => array_contains(toks, w)))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        n.as("n_words"), wordChars.as("word_chars"),
+        alphaWords.as("alpha_words"), reqStops.as("req_stops"))
+      .withColumn("rule_wc", col("n_words").between(50, 100000))
+      .withColumn("rule_mwl",
+        col("word_chars") >= col("n_words") * 3 &&
+          col("word_chars") <= col("n_words") * 10)
+      .withColumn("rule_alpha", col("alpha_words") * 5 >= col("n_words") * 4)
+      .withColumn("rule_stop", col("req_stops") >= 2)
+      .withColumn("keep",
+        col("rule_wc") && col("rule_mwl") && col("rule_alpha") && col("rule_stop"))
+      .orderBy("doc_id")
+  }
+
+  val t46Sql: String =
+    s"""SELECT doc_id, n_words, word_chars, alpha_words, req_stops,
+       | (n_words BETWEEN 50 AND 100000) AS rule_wc,
+       | (word_chars >= n_words * 3 AND word_chars <= n_words * 10) AS rule_mwl,
+       | (alpha_words * 5 >= n_words * 4) AS rule_alpha,
+       | (req_stops >= 2) AS rule_stop,
+       | ((n_words BETWEEN 50 AND 100000)
+       |  AND word_chars >= n_words * 3 AND word_chars <= n_words * 10
+       |  AND alpha_words * 5 >= n_words * 4
+       |  AND req_stops >= 2) AS keep
+       |FROM (
+       | SELECT doc_id,
+       |  CAST(len(string_split(text,' ')) AS INT) AS n_words,
+       |  CAST(length(text) - (len(string_split(text,' ')) - 1) AS INT) AS word_chars,
+       |  CAST(len(list_filter(string_split(text,' '),
+       |    t -> regexp_matches(t, '[a-zA-Z]'))) AS INT) AS alpha_words,
+       |  CAST(len(list_filter(${stopList("en")},
+       |    w -> list_contains(string_split(text,' '), w))) AS INT) AS req_stops
+       | FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t29_langid" -> (t29LangId _),
     "t30_quality" -> (t30Quality _),
@@ -1093,7 +1161,8 @@ object TextOps {
     "t42_pack" -> (t42Pack _),
     "t43_pii" -> (t43Pii _),
     "t44_vocab" -> (t44Vocab _),
-    "t45_vocab_apply" -> (t45VocabApply _))
+    "t45_vocab_apply" -> (t45VocabApply _),
+    "t46_gopher_rules" -> (t46GopherRules _))
 
   def oracles: Map[String, String] = Map(
     "t29_langid" -> t29Sql,
@@ -1112,5 +1181,6 @@ object TextOps {
     "t42_pack" -> t42Sql,
     "t43_pii" -> t43Sql,
     "t44_vocab" -> t44Sql,
-    "t45_vocab_apply" -> t45Sql)
+    "t45_vocab_apply" -> t45Sql,
+    "t46_gopher_rules" -> t46Sql)
 }

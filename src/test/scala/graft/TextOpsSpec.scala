@@ -409,4 +409,43 @@ class TextOpsSpec extends SparkSpec {
       "cumulative coverage monotone")
     assert(vocab.last._6 <= 1000000L, "coverage cannot exceed 100%")
   }
+
+  test("t46 gopher rules: each rule rejects its designed offender and passes the healthy doc") {
+    // one healthy doc and one offender per rule; filler keeps the
+    // healthy/offender word counts inside [50, 100000] except for
+    // the word-count offender itself
+    val healthy = (Seq("the", "and", "of") ++
+      (1 to 57).map(i => s"word$i")).mkString(" ") // 60 words, mwl ok
+    val short = "the and tiny doc" // 4 words -> rule_wc fails
+    val longWords = (Seq("the", "and") ++
+      (1 to 58).map(i => "x" * 20 + i)).mkString(" ") // mwl > 10
+    val numeric = (Seq("the", "and") ++
+      (1 to 58).map(_.toString)).mkString(" ") // 2/60 alphabetic < 80%
+    val noStops = (1 to 60).map(i => s"term$i").mkString(" ") // 0 required stopwords
+    val dir = docsOf(1L -> healthy, 2L -> short, 3L -> longWords,
+      4L -> numeric, 5L -> noStops)
+    val res = graft.text.TextOps.t46GopherRules(spark, dir)
+      .select("doc_id", "rule_wc", "rule_mwl", "rule_alpha", "rule_stop", "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(res(1L) == ((1L, true, true, true, true, true)), "healthy doc keeps")
+    assert(!res(2L)._2 && !res(2L)._6, "short doc fails word count")
+    assert(res(3L)._2 && !res(3L)._3 && !res(3L)._6, "long words fail mean length only on that rule")
+    assert(res(4L)._2 && !res(4L)._4 && !res(4L)._6, "numeric doc fails alpha ratio")
+    assert(res(5L)._2 && res(5L)._3 && res(5L)._4 && !res(5L)._5 && !res(5L)._6,
+      "stopword-free doc fails only the stopword rule")
+  }
+
+  test("t46 gopher verdict is non-vacuous on the corpus and counts are integer-consistent") {
+    val rows = graft.text.TextOps.t46GopherRules(spark, sfDir)
+      .select("doc_id", "n_words", "word_chars", "alpha_words", "req_stops", "keep")
+      .as[(Long, Int, Int, Int, Int, Boolean)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_._6) && rows.exists(!_._6),
+      "both keep outcomes must occur or the gate is vacuous")
+    rows.foreach { case (id, n, wc, alpha, stops, _) =>
+      assert(n >= 1 && wc >= n && alpha <= n, s"doc $id count sanity")
+      assert(stops >= 0 && stops <= 6, s"doc $id required-stopword count bounded by list size")
+    }
+  }
 }
