@@ -960,6 +960,84 @@ object Relational {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Bit-interleave of the low 16 bits of two nonnegative long
+    * columns — the Z-order (Morton) value. Pure integer shift/mask
+    * arithmetic over a constant-bounds sequence: identical in both
+    * dialects, codegen'd, no UDF. */
+  private def zInterleave(xCol: String, yCol: String): Column = expr(
+    s"""aggregate(sequence(0, 15), 0L, (acc, i) ->
+       | acc + shiftleft(shiftright($xCol, i) & 1, 2*i)
+       |     + shiftleft(shiftright($yCol, i) & 1, 2*i+1))""".stripMargin)
+
+  /** q34: Z-order clustered layout — the third leg of the storage-
+    * layout family (q31 partitions by time, q33 buckets on a join
+    * key, q34 CLUSTERS on two filter dimensions at once): the Delta
+    * `OPTIMIZE ZORDER BY` / BigQuery multi-column clustering shape,
+    * which the reference's BQ tables use for their (block_date,
+    * height-range) pruning. Orders get a Morton z-value interleaving
+    * customer key and order day; files are laid out by z-bucket
+    * (top bits of z — a deterministic pure function of the row, so
+    * the layout is replayable, unlike sampled range partitioning),
+    * which makes every file's footer min/max TIGHT IN BOTH
+    * dimensions simultaneously — a 1-D sort is tight in its leading
+    * column only. At 100 TB this is what turns a 2-D box predicate
+    * (customer range × date range) into a file-skipping scan that
+    * reads the curve cells the box intersects instead of every file
+    * that matches the leading dimension; ExportSpec measures the
+    * bucket rectangles and pins the skip rate.
+    *
+    * The one scalar driver read (max z, to size the bucket shift) is
+    * the q30 high-watermark stance: one aggregated value, never a
+    * row loop. Oracle: layout never changes semantics — DuckDB runs
+    * the same interleave arithmetic and box query on the raw table;
+    * z_min/z_max in the output pin the Morton math itself
+    * cross-engine, not just the filtered aggregate. */
+  def q34Zorder(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .withColumn("zx", col("o_custkey") % 65536L)
+      .withColumn("zy",
+        datediff(to_date(col("o_orderdate")), to_date(lit("1995-01-01")))
+          .cast("long") % 65536L)
+      .withColumn("zval", zInterleave("zx", "zy"))
+      .drop("zx", "zy")
+    val zmax = base.agg(max("zval")).head.getLong(0)
+    // shift so ~32 z-aligned cells cover the populated z-range
+    val k = math.max(64 - java.lang.Long.numberOfLeadingZeros(zmax) - 5, 0)
+    val out = graft.sources.Export.scratch("q34_zorder", dir)
+    base.withColumn("zbucket", expr(s"shiftright(zval, $k)"))
+      .repartition(col("zbucket"))
+      .sortWithinPartitions("zval")
+      .write.mode("overwrite").partitionBy("zbucket").parquet(out)
+    s.read.parquet(out)
+      .filter(col("o_custkey").between(100, 200) &&
+        to_date(col("o_orderdate")).between(lit("1997-01-01"), lit("1997-12-31")))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        // exact decimal sum, the q33 stance
+        sum(col("o_totalprice").cast("decimal(20,6)")).as("revenue"),
+        min("zval").as("z_min"),
+        max("zval").as("z_max"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q34Sql: String =
+    """WITH z AS (
+      | SELECT o_orderpriority, o_totalprice, o_custkey,
+      |  CAST(o_orderdate AS DATE) AS od,
+      |  list_sum(list_transform(generate_series(0, 15), i ->
+      |    ((((o_custkey % 65536) >> i) & 1) << (2*i))
+      |    + (((((CAST(o_orderdate AS DATE) - DATE '1995-01-01') % 65536) >> i) & 1) << (2*i+1))))
+      |   AS zval
+      | FROM orders)
+      |SELECT o_orderpriority, count(*) AS n_orders,
+      | SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS revenue,
+      | CAST(MIN(zval) AS BIGINT) AS z_min, CAST(MAX(zval) AS BIGINT) AS z_max
+      |FROM z
+      |WHERE o_custkey BETWEEN 100 AND 200
+      | AND od BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** All relational queries, keyed per SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_filter" -> (q01AggFilter _),
@@ -992,7 +1070,8 @@ object Relational {
     "q28_date_spine" -> (q28DateSpine _),
     "q29_json_keys" -> (q29JsonKeys _),
     "q32_scd2" -> (q32Scd2 _),
-    "q33_bucketed_join" -> (q33BucketedJoin _))
+    "q33_bucketed_join" -> (q33BucketedJoin _),
+    "q34_zorder" -> (q34Zorder _))
 
   def oracles: Map[String, String] = Map(
     "q01_agg_filter" -> q01Sql,
@@ -1025,5 +1104,6 @@ object Relational {
     "q28_date_spine" -> q28Sql,
     "q29_json_keys" -> q29Sql,
     "q32_scd2" -> q32Sql,
-    "q33_bucketed_join" -> q33Sql)
+    "q33_bucketed_join" -> q33Sql,
+    "q34_zorder" -> q34Sql)
 }

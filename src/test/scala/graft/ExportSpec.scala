@@ -117,4 +117,49 @@ class ExportSpec extends SparkSpec {
     val hours = src.select(date_format(col("ts"), "yyyy-MM-dd-HH")).distinct().count()
     assert(parts.length == hours, s"expected $hours partition dirs, found ${parts.length}")
   }
+
+  test("q34 z-order layout: bucket stats are tight in BOTH dims and skip most buckets for the box") {
+    import graft.operators.Relational
+    // sf0.01, not the suite's sf0.001: the layout claims need a 2-D
+    // key grid with real extent (sf0.001's 150 customers leave only
+    // ~5 populated z-cells, and the box covers a third of the key
+    // range — the skip-rate thresholds would measure noise)
+    val sf = "/root/testdata/sf0.01"
+    val res = Relational.q34Zorder(spark, sf).collect()
+    assert(res.nonEmpty, "box query must match rows at the test SF")
+    // the operator's scratch path is deterministic within this JVM
+    val out = Export.scratch("q34_zorder", sf)
+    val stats = spark.read.parquet(out)
+      .withColumn("od", to_date(col("o_orderdate")))
+      .groupBy("zbucket")
+      .agg(min("o_custkey").as("ck_min"), max("o_custkey").as("ck_max"),
+        min("od").as("d_min"), max("od").as("d_max"))
+      .collect()
+    assert(stats.length >= 8, s"expected a multi-bucket layout, got ${stats.length}")
+    val (bLo, bHi) = (100L, 200L)
+    val (dLo, dHi) =
+      (java.sql.Date.valueOf("1997-01-01"), java.sql.Date.valueOf("1997-12-31"))
+    def hits(r: org.apache.spark.sql.Row): Boolean =
+      !(r.getLong(2) < bLo || r.getLong(1) > bHi ||
+        r.getDate(4).before(dLo) || r.getDate(3).after(dHi))
+    val hit = stats.count(hits)
+    // a file-stats pruner consults exactly these min/max rectangles:
+    // the 2-D box must skip most of the corpus
+    assert(hit < stats.length / 2,
+      s"z-order should skip most buckets: $hit of ${stats.length} intersect the box")
+    // both-dims locality: z-aligned cells bound the custkey span of
+    // every bucket far below the full key range — a date-sorted
+    // layout would carry the FULL custkey width in every file
+    val fullCk = stats.map(_.getLong(1)).max - stats.map(_.getLong(2)).min
+    val meanCk = stats.map(r => r.getLong(1) - r.getLong(2)).sum.toDouble / stats.length
+    assert(meanCk <= fullCk * 0.7,
+      s"mean per-bucket custkey width $meanCk vs full range $fullCk")
+    // soundness: every row the box query returns lives in a hit bucket
+    val boxBuckets = spark.read.parquet(out)
+      .filter(col("o_custkey").between(bLo, bHi) &&
+        to_date(col("o_orderdate")).between(lit("1997-01-01"), lit("1997-12-31")))
+      .select("zbucket").distinct().as[Int].collect().toSet
+    val hitSet = stats.filter(hits).map(_.getInt(0)).toSet
+    assert(boxBuckets.subsetOf(hitSet), "stats-based pruning must never drop a matching row")
+  }
 }
