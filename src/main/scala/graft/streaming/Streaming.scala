@@ -11,6 +11,10 @@ case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
 case class RunningState(seq: Int, total: Double)
 case class RunningOut(user_id: Long, event_id: Long, event_seq: Int,
                       running_value: Double)
+/** Current-row emission of the APPLY CHANGES stream (s42): one row
+  * per key per micro-batch; is_deleted marks a tombstoned key. */
+case class ApplyOut(user_id: Long, event_id: Long, event_type: String,
+                    value: Double, is_deleted: Boolean)
 
 /** Structured Streaming jobs mirroring the reference's DLT streaming
   * tables, plus their batch equivalents for the oracle gate.
@@ -435,6 +439,95 @@ object Streaming {
     "SELECT * FROM (\n" + graft.text.TextOps.qualityBodySql +
       s"\n) WHERE quality_score_bp >= ${graft.text.TextOps.t40QualityMinBp}\nORDER BY doc_id"
 
+  /** s42: APPLY CHANGES INTO — the DLT CDC operator the reference's
+    * silver layer is built on (`dlt.apply_changes(keys=…,
+    * sequence_by=…, stored_as_scd_type=1, apply_as_deletes=…)`,
+    * Silver Lake Mainnet accounts pipeline), re-expressed Spark-
+    * first. Change rows are keyed by user_id, sequenced by
+    * (ts, event_id), and 'error' rows act as the delete marker: the
+    * target holds each key's highest-sequence row, and a key whose
+    * latest change is a delete is ABSENT (tombstoned).
+    *
+    * Three faces, one semantics:
+    * - [[applyChangesSnapshot]]: the full-recompute batch form
+    *   (latest-per-key INCLUDING tombstone rows — they must keep
+    *   their sequence so late-arriving stale updates still lose);
+    * - [[applyChangesStream]]: Update-mode arbitrary state
+    *   (mapGroupsWithState keeping one row per key — O(keys) state),
+    *   emitting the key's current row (or its tombstone) each
+    *   micro-batch; the out-of-order guard is the state comparison;
+    * - [[s42ApplyChanges]], the queries entry: the INCREMENTAL path —
+    *   a persisted pre-cutoff target snapshot (scratch parquet, the
+    *   q30 persisted-gold stance) merged with the post-cutoff change
+    *   stream. The oracle is the FULL RECOMPUTE in DuckDB: the gate
+    *   pins DLT's central correctness property, incremental apply ==
+    *   recompute from scratch.
+    *
+    * Scale: snapshot and merge are each one shuffle on the key;
+    * state in the streaming face is one row per key; tombstones ride
+    * in-band (filtered only at serving), so retention is a DELETE
+    * WHERE on the target, not a special path. */
+  def applyChangesSnapshot(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    events.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "ts", "event_type", "value")
+  }
+
+  def applyChangesStream(events: Dataset[EventRow]): Dataset[ApplyOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[EventRow], state: GroupState[EventRow]) =>
+          // Timestamp.compareTo keeps full micro/nano precision —
+          // getTime would truncate to millis and disagree with the
+          // batch face's ts ordering on sub-millisecond ties
+          val newest = (state.getOption.iterator ++ rows)
+            .maxBy(r => (r.ts, r.event_id))(
+              Ordering.Tuple2(Ordering.ordered[java.sql.Timestamp], Ordering.Long))
+          state.update(newest)
+          ApplyOut(user, newest.event_id, newest.event_type, newest.value,
+            newest.event_type == "error")
+      }
+  }
+
+  private val s42Cutoff = "2024-01-16 00:00:00"
+
+  def s42ApplyChanges(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val targetDir = graft.sources.Export.scratch("s42_target", dir)
+    // initial gold: snapshot of everything up to the cutoff,
+    // PERSISTED and read back — the merge sees a real table, not a
+    // plan branch
+    applyChangesSnapshot(ev.filter(col("ts") <= lit(s42Cutoff)))
+      .write.mode("overwrite").parquet(targetDir)
+    val changes = ev.filter(col("ts") > lit(s42Cutoff))
+      .select("user_id", "event_id", "ts", "event_type", "value")
+    applyChangesSnapshot(s.read.parquet(targetDir).unionByName(changes))
+      .filter(col("event_type") =!= "error") // tombstones leave the serving view
+      .select(
+        col("user_id"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"),
+        round(col("value"), 4).as("last_value"))
+      .orderBy("user_id")
+  }
+
+  /** DuckDB oracle for s42: the full recompute — latest-per-key over
+    * ALL events with the delete rule applied at the end. Matching
+    * the incremental Spark path IS the correctness property. */
+  val s42Sql: String =
+    """SELECT user_id, event_id AS last_event_id,
+      | event_type AS last_event_type, ROUND(value,4) AS last_value
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1 AND event_type <> 'error'
+      |ORDER BY user_id""".stripMargin
+
   /** Attach the gold-merge sink to a stream of events. */
   def goldMergeQuery(events: DataFrame, targetDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -450,7 +543,8 @@ object Streaming {
     "s38_stream_dedup" -> (s38StreamDedup _),
     "s39_stream_decontaminate" -> (s39StreamDecontaminate _),
     "s40_stream_pii" -> (s40StreamPii _),
-    "s41_stream_quality" -> (s41StreamQuality _))
+    "s41_stream_quality" -> (s41StreamQuality _),
+    "s42_apply_changes" -> (s42ApplyChanges _))
 
   def oracles: Map[String, String] = Map(
     "s34_stream_tumbling" -> s34Sql,
@@ -460,5 +554,6 @@ object Streaming {
     "s38_stream_dedup" -> s38Sql,
     "s39_stream_decontaminate" -> s39Sql,
     "s40_stream_pii" -> s40Sql,
-    "s41_stream_quality" -> s41Sql)
+    "s41_stream_quality" -> s41Sql,
+    "s42_apply_changes" -> s42Sql)
 }

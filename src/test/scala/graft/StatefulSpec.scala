@@ -33,6 +33,56 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s42 apply-changes stream: out-of-order stale update loses, delete tombstones, state == batch snapshot") {
+    val in = MemoryStream[EventRow](spark)
+    val q = Streaming.applyChangesStream(in.toDS())
+      .writeStream.format("memory").queryName("s42out")
+      .outputMode("update").start()
+    try {
+      in.addData(
+        EventRow(10, ts(5), 1, "click", 1.0),   // user 1 current
+        EventRow(20, ts(3), 2, "view", 2.0),    // user 2
+        EventRow(30, ts(4), 3, "signup", 3.0))  // user 3
+      q.processAllAvailable()
+      in.addData(
+        EventRow(11, ts(1), 1, "purchase", 9.0), // STALE: older ts than event 10
+        EventRow(21, ts(6), 2, "error", 0.0),    // delete marker for user 2
+        EventRow(31, ts(7), 3, "view", 4.0))     // normal upsert
+      q.processAllAvailable()
+      // last emission per key = the live state
+      val current = spark.table("s42out")
+        .as[(Long, Long, String, Double, Boolean)].collect()
+        .zipWithIndex.groupBy(_._1._1).map { case (u, rs) => u -> rs.maxBy(_._2)._1 }
+      assert(current(1L) == ((1L, 10L, "click", 1.0, false)),
+        "stale out-of-order update must not overwrite newer state")
+      assert(current(2L) == ((2L, 21L, "error", 0.0, true)),
+        "latest delete marker tombstones the key")
+      assert(current(3L) == ((3L, 31L, "view", 4.0, false)))
+      // stream state == full-recompute batch snapshot on the same rows
+      val allRows = Seq(
+        EventRow(10, ts(5), 1, "click", 1.0), EventRow(20, ts(3), 2, "view", 2.0),
+        EventRow(30, ts(4), 3, "signup", 3.0), EventRow(11, ts(1), 1, "purchase", 9.0),
+        EventRow(21, ts(6), 2, "error", 0.0), EventRow(31, ts(7), 3, "view", 4.0))
+      val snap = Streaming.applyChangesSnapshot(allRows.toDS().toDF())
+        .as[(Long, Long, Timestamp, String, Double)].collect()
+        .map(r => r._1 -> ((r._1, r._2, r._4, r._5, r._4 == "error"))).toMap
+      assert(current == snap, "streaming state must equal the batch snapshot")
+    } finally q.stop()
+  }
+
+  test("s42 incremental apply equals full recompute at the test SF") {
+    import org.apache.spark.sql.functions.{col, round}
+    val full = Streaming.applyChangesSnapshot(Tables.events(spark, sfDir))
+      .filter(col("event_type") =!= "error")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        round(col("value"), 4))
+      .as[(Long, Long, String, Double)].collect().toSet
+    val incr = Streaming.s42ApplyChanges(spark, sfDir)
+      .as[(Long, Long, String, Double)].collect().toSet
+    assert(incr == full, "incremental apply-changes must equal recompute from scratch")
+    assert(incr.nonEmpty)
+  }
+
   test("foreachBatch gold MERGE accumulates per-key totals across micro-batches") {
     val target = java.nio.file.Files.createTempDirectory("gold").toString + "/gold"
     val in = MemoryStream[EventRow](spark)
