@@ -1038,6 +1038,102 @@ object Relational {
       | AND od BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** q35: snapshot change feed (Delta CDF `table_changes()` /
+    * BigQuery CHANGES — the mechanism the reference's BQ Writer
+    * would consume instead of its high-watermark extracts): given
+    * two versions of a keyed table, emit one row per changed key
+    * labeled insert / update_preimage+update_postimage / delete.
+    * Here the two versions are s42's APPLY CHANGES target before and
+    * after the cutoff (both persisted to scratch parquet, read back —
+    * real snapshots, not plan branches), so the CDC chain is closed:
+    * s42 APPLIES a change stream, q35 RECOVERS one from the results.
+    *
+    * Shape: ONE full-outer join on the key classifies everything;
+    * update rows emit both images (the Delta CDF contract) via a
+    * 2-element explode on the matched-and-different branch. One
+    * shuffle per side on the key — and both sides being snapshots of
+    * the same table, at scale they'd share a bucketed layout (q33)
+    * and the join would be exchange-free.
+    *
+    * Oracle: both snapshots are deterministic latest-per-key
+    * selections, so DuckDB rebuilds them as CTEs and replays the
+    * same outer-join classification. */
+  def q35SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.Streaming
+    val ev = Tables.events(s, dir)
+    val scratch = graft.sources.Export.scratch("q35_snapshots", dir)
+    Streaming.applyChangesSnapshot(ev.filter(col("ts") <= lit(Streaming.s42Cutoff)))
+      .filter(col("event_type") =!= "error")
+      .write.mode("overwrite").parquet(s"$scratch/v1")
+    Streaming.applyChangesSnapshot(ev)
+      .filter(col("event_type") =!= "error")
+      .write.mode("overwrite").parquet(s"$scratch/v2")
+    val v1 = s.read.parquet(s"$scratch/v1").select(
+      col("user_id"), col("event_id").as("old_event_id"),
+      col("event_type").as("old_type"), round(col("value"), 4).as("old_value"))
+    val v2 = s.read.parquet(s"$scratch/v2").select(
+      col("user_id"), col("event_id").as("new_event_id"),
+      col("event_type").as("new_type"), round(col("value"), 4).as("new_value"))
+    v1.join(v2, Seq("user_id"), "full_outer")
+      .withColumn("change_type", when(col("old_event_id").isNull, "insert")
+        .when(col("new_event_id").isNull, "delete")
+        .when(col("old_event_id") === col("new_event_id"), "unchanged")
+        .otherwise("update"))
+      .filter(col("change_type") =!= "unchanged")
+      // the Delta CDF contract: updates carry BOTH images
+      .select(col("user_id"), explode(when(col("change_type") === "update",
+          array(lit("update_preimage"), lit("update_postimage")))
+        .otherwise(array(col("change_type")))).as("change_type"),
+        col("old_event_id"), col("old_type"), col("old_value"),
+        col("new_event_id"), col("new_type"), col("new_value"))
+      .select(col("user_id"), col("change_type"),
+        when(col("change_type").isin("delete", "update_preimage"),
+          col("old_event_id")).otherwise(col("new_event_id")).as("event_id"),
+        when(col("change_type").isin("delete", "update_preimage"),
+          col("old_type")).otherwise(col("new_type")).as("event_type"),
+        when(col("change_type").isin("delete", "update_preimage"),
+          col("old_value")).otherwise(col("new_value")).as("value"))
+      .orderBy("user_id", "change_type")
+  }
+
+  val q35Sql: String =
+    s"""WITH ranked AS (
+      | SELECT *, row_number() OVER (PARTITION BY user_id
+      |   ORDER BY ts DESC, event_id DESC) AS rn
+      | FROM events WHERE ts <= TIMESTAMP '${graft.streaming.Streaming.s42Cutoff}'),
+      |v1 AS (SELECT user_id, event_id AS old_event_id, event_type AS old_type,
+      |        ROUND(value,4) AS old_value FROM ranked
+      |       WHERE rn = 1 AND event_type <> 'error'),
+      |ranked2 AS (
+      | SELECT *, row_number() OVER (PARTITION BY user_id
+      |   ORDER BY ts DESC, event_id DESC) AS rn
+      | FROM events),
+      |v2 AS (SELECT user_id, event_id AS new_event_id, event_type AS new_type,
+      |        ROUND(value,4) AS new_value FROM ranked2
+      |       WHERE rn = 1 AND event_type <> 'error'),
+      |classified AS (
+      | SELECT coalesce(v1.user_id, v2.user_id) AS user_id,
+      |  v1.* EXCLUDE (user_id), v2.* EXCLUDE (user_id),
+      |  CASE WHEN v1.user_id IS NULL THEN 'insert'
+      |       WHEN v2.user_id IS NULL THEN 'delete'
+      |       WHEN old_event_id = new_event_id THEN 'unchanged'
+      |       ELSE 'update' END AS ct
+      | FROM v1 FULL OUTER JOIN v2 ON v1.user_id = v2.user_id),
+      |expanded AS (
+      | SELECT user_id, unnest(CASE WHEN ct = 'update'
+      |    THEN ['update_preimage', 'update_postimage'] ELSE [ct] END) AS change_type,
+      |  old_event_id, old_type, old_value, new_event_id, new_type, new_value
+      | FROM classified WHERE ct <> 'unchanged')
+      |SELECT user_id, change_type,
+      | CASE WHEN change_type IN ('delete', 'update_preimage')
+      |      THEN old_event_id ELSE new_event_id END AS event_id,
+      | CASE WHEN change_type IN ('delete', 'update_preimage')
+      |      THEN old_type ELSE new_type END AS event_type,
+      | CASE WHEN change_type IN ('delete', 'update_preimage')
+      |      THEN old_value ELSE new_value END AS value
+      |FROM expanded
+      |ORDER BY user_id, change_type""".stripMargin
+
   /** All relational queries, keyed per SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_filter" -> (q01AggFilter _),
@@ -1071,7 +1167,8 @@ object Relational {
     "q29_json_keys" -> (q29JsonKeys _),
     "q32_scd2" -> (q32Scd2 _),
     "q33_bucketed_join" -> (q33BucketedJoin _),
-    "q34_zorder" -> (q34Zorder _))
+    "q34_zorder" -> (q34Zorder _),
+    "q35_snapshot_diff" -> (q35SnapshotDiff _))
 
   def oracles: Map[String, String] = Map(
     "q01_agg_filter" -> q01Sql,
@@ -1105,5 +1202,6 @@ object Relational {
     "q29_json_keys" -> q29Sql,
     "q32_scd2" -> q32Sql,
     "q33_bucketed_join" -> q33Sql,
-    "q34_zorder" -> q34Sql)
+    "q34_zorder" -> q34Sql,
+    "q35_snapshot_diff" -> q35Sql)
 }

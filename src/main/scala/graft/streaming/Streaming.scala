@@ -493,7 +493,9 @@ object Streaming {
       }
   }
 
-  private val s42Cutoff = "2024-01-16 00:00:00"
+  /** Snapshot cutoff shared by s42 (incremental apply) and q35 (the
+    * snapshot diff recovers the post-cutoff change feed). */
+  private[graft] val s42Cutoff = "2024-01-16 00:00:00"
 
   def s42ApplyChanges(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)

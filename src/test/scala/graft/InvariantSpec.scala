@@ -94,4 +94,39 @@ class InvariantSpec extends SparkSpec {
       .filter(col("keepers") =!= 1).count()
     assert(perComponent == 0, "exactly one kept doc per component")
   }
+
+  test("q35 change feed closes the CDC loop: v1 + diff == v2, images pair up") {
+    import graft.streaming.Streaming
+    import graft.operators.Relational
+    def snapshot(pre: Boolean): Set[(Long, Long, String, Double)] = {
+      val ev = Tables.events(spark, sfDir)
+      val src = if (pre) ev.filter(col("ts") <= lit(Streaming.s42Cutoff)) else ev
+      Streaming.applyChangesSnapshot(src)
+        .filter(col("event_type") =!= "error")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          round(col("value"), 4))
+        .as[(Long, Long, String, Double)].collect().toSet
+    }
+    val (v1, v2) = (snapshot(pre = true), snapshot(pre = false))
+    val diff = Relational.q35SnapshotDiff(spark, sfDir)
+      .as[(Long, String, Long, String, Double)].collect()
+    assert(diff.nonEmpty)
+    // update images arrive in pairs on the same key with different rows
+    val byType = diff.groupBy(_._2)
+    val pre = byType.getOrElse("update_preimage", Array.empty).map(_._1).sorted
+    val post = byType.getOrElse("update_postimage", Array.empty).map(_._1).sorted
+    assert(pre.toSeq == post.toSeq, "every update has both images on the same key")
+    // applying the feed to v1 reproduces v2 exactly
+    val removedKeys = diff.filter(r => r._2 == "delete" || r._2 == "update_preimage")
+      .map(_._1).toSet
+    val added = diff.filter(r => r._2 == "insert" || r._2 == "update_postimage")
+      .map(r => (r._1, r._3, r._4, r._5)).toSet
+    val reconstructed = v1.filterNot(r => removedKeys(r._1)) ++ added
+    assert(reconstructed == v2, "v1 + change feed must reconstruct v2")
+    // and the feed is minimal: no unchanged rows leak through
+    diff.filter(_._2 == "update_preimage").foreach { r =>
+      assert(v2.exists(x => x._1 == r._1 && x._2 != r._3),
+        s"preimage for key ${r._1} must differ from the v2 row")
+    }
+  }
 }
