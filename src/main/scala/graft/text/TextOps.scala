@@ -1143,6 +1143,79 @@ object TextOps {
        | FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  /** t47: content-defined chunking (Rabin/CDC — the chunker of
+    * dedup-aware storage and of shift-resistant corpus chunking;
+    * FastCDC's core loop without the min/max clamps): a chunk
+    * boundary falls AFTER token position e whenever the 4-token
+    * window ending at e hashes to 0 mod 16 (mean chunk ≈ 16 tokens).
+    * Because boundaries depend only on window CONTENT, inserting or
+    * deleting a token re-synchronizes at the next content boundary
+    * and every later chunk survives byte-identical — the property
+    * t41's fixed-stride windows lack (one inserted token shifts
+    * every downstream t41 chunk). TextOpsSpec pins exactly that:
+    * prepend a token, all chunks after the first are unchanged.
+    *
+    * The window key is the SHARED [[graft.dedup.Dedup.gramKeys]]
+    * 60-bit md5 expression (the d29/d30/d31/s39 stance) so chunking
+    * can never key windows differently than the gram ops — and so
+    * the whole operator replays in DuckDB (RollingHash64, the O(1)
+    * production fingerprint, has no SQL twin — same split as
+    * d23/d23b). Everything is a scan-stage projection + in-row
+    * explode: ZERO shuffles; each chunk carries its md5 content key,
+    * ready for d22-style hash-groupBy dedup. */
+  def t47CdcChunk(s: SparkSession, dir: String): DataFrame = {
+    val w = 4; val div = 16
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("gk", graft.dedup.Dedup.gramKeys(col("toks"), w))
+      // boundary ends: window STARTING at s ends at s+w-1; gk is
+      // empty (guarded) when the doc is shorter than one window
+      .withColumn("ends", expr(
+        s"""filter(transform(sequence(1, greatest(size(toks) - ${w - 1}, 1)),
+           |  s -> IF(s <= size(gk) AND element_at(gk, s) % $div = 0, s + ${w - 1}, -1)),
+           |  x -> x > 0)""".stripMargin))
+      .withColumn("cuts", expr("concat(array(0), ends, array(size(toks)))"))
+      // adjacent-equal cuts (a boundary at the doc end) yield empty
+      // chunks — dropped by width, keeping cut order untouched
+      .select(col("doc_id"),
+        posexplode(expr(
+          """filter(transform(sequence(1, size(cuts) - 1),
+            |  j -> struct(
+            |    element_at(cuts, j + 1) - element_at(cuts, j) AS width,
+            |    concat_ws(' ', slice(toks, element_at(cuts, j) + 1,
+            |      element_at(cuts, j + 1) - element_at(cuts, j))) AS txt)),
+            |  x -> x.width > 0)""".stripMargin)).as(Seq("i0", "ch")))
+      .select(col("doc_id"), (col("i0") + 1).as("chunk_i"),
+        col("ch.width").as("n_tokens"),
+        md5(col("ch.txt").cast("binary")).as("chunk_key"),
+        col("ch.txt").as("chunk_text"))
+      .orderBy("doc_id", "chunk_i")
+  }
+
+  /** DuckDB oracle for t47: same shared 60-bit window key (d30Sql's
+    * spelling), same end positions, same cut list with empty chunks
+    * dropped by width, row_number in cut order. */
+  val t47Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |ends AS (
+      | SELECT doc_id, t, len(t) AS n,
+      |  list_filter(list_transform(generate_series(1, greatest(len(t) - 3, 0)),
+      |    s -> CASE WHEN CAST(('0x' || substr(md5(array_to_string(t[s:s+3], ' ')), 1, 15)) AS BIGINT) % 16 = 0
+      |              THEN s + 3 ELSE -1 END), x -> x > 0) AS e
+      | FROM toks),
+      |cuts AS (SELECT doc_id, t, ([0] || e || [n]) AS c FROM ends),
+      |chunks AS (
+      | SELECT doc_id, j, c[j+1] - c[j] AS width,
+      |  array_to_string(t[c[j]+1 : c[j+1]], ' ') AS chunk_text
+      | FROM (SELECT doc_id, t, c, unnest(generate_series(1, len(c) - 1)) AS j
+      |       FROM cuts)
+      | WHERE c[j+1] > c[j])
+      |SELECT doc_id,
+      | CAST(row_number() OVER (PARTITION BY doc_id ORDER BY j) AS INT) AS chunk_i,
+      | CAST(width AS INT) AS n_tokens,
+      | md5(chunk_text) AS chunk_key, chunk_text
+      |FROM chunks ORDER BY doc_id, chunk_i""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t29_langid" -> (t29LangId _),
     "t30_quality" -> (t30Quality _),
@@ -1162,7 +1235,8 @@ object TextOps {
     "t43_pii" -> (t43Pii _),
     "t44_vocab" -> (t44Vocab _),
     "t45_vocab_apply" -> (t45VocabApply _),
-    "t46_gopher_rules" -> (t46GopherRules _))
+    "t46_gopher_rules" -> (t46GopherRules _),
+    "t47_cdc_chunk" -> (t47CdcChunk _))
 
   def oracles: Map[String, String] = Map(
     "t29_langid" -> t29Sql,
@@ -1182,5 +1256,6 @@ object TextOps {
     "t43_pii" -> t43Sql,
     "t44_vocab" -> t44Sql,
     "t45_vocab_apply" -> t45Sql,
-    "t46_gopher_rules" -> t46Sql)
+    "t46_gopher_rules" -> t46Sql,
+    "t47_cdc_chunk" -> t47Sql)
 }

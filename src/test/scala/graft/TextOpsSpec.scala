@@ -436,6 +436,52 @@ class TextOpsSpec extends SparkSpec {
       "stopword-free doc fails only the stopword rule")
   }
 
+  test("t47 cdc chunks tile every document and chunk keys fingerprint content") {
+    val chunks = graft.text.TextOps.t47CdcChunk(spark, sfDir)
+      .select("doc_id", "chunk_i", "n_tokens", "chunk_key", "chunk_text")
+      .as[(Long, Int, Int, String, String)].collect()
+    assert(chunks.nonEmpty)
+    val texts = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to cs.length).toSeq, s"chunk ids for $id")
+      assert(sorted.map(_._5).mkString(" ") == texts(id),
+        s"chunks must tile doc $id exactly")
+      assert(sorted.map(_._3).sum == texts(id).split(" ").length,
+        s"token counts must sum to doc $id's length")
+      sorted.foreach(c => assert(c._3 == c._5.split(" ").length))
+    }
+    assert(chunks.groupBy(_._1).values.exists(_.length >= 2),
+      "content boundaries must actually fire at this SF")
+    // identical content -> identical key, regardless of position
+    chunks.groupBy(_._4).values.foreach { same =>
+      assert(same.map(_._5).distinct.length == 1, "one key, one content")
+    }
+  }
+
+  test("t47 cdc chunking is shift-resistant: chunks after the first survive a prepended token") {
+    // pick a real multi-chunk doc, prepend one token, re-chunk: every
+    // chunk after the original first must be byte-identical — the
+    // property that makes CDC dedup-stable where fixed-stride
+    // chunking (t41) shifts everything downstream
+    val orig = graft.text.TextOps.t47CdcChunk(spark, sfDir)
+      .select("doc_id", "chunk_i", "chunk_text")
+      .as[(Long, Int, String)].collect()
+    val multi = orig.groupBy(_._1).filter(_._2.length >= 2)
+    assert(multi.nonEmpty, "need a multi-chunk doc at this SF")
+    val (docId, cs) = multi.minBy(_._1)
+    val text = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") === docId).select("text").as[String].head()
+    val dir = docsOf(1L -> ("prepended " + text))
+    val mod = graft.text.TextOps.t47CdcChunk(spark, dir)
+      .select("chunk_i", "chunk_text").as[(Int, String)].collect()
+      .sortBy(_._1).map(_._2)
+    val tail = cs.sortBy(_._2).map(_._3).drop(1)
+    assert(mod.takeRight(tail.length).toSeq == tail.toSeq,
+      "all chunks after the first must survive the shift byte-identically")
+  }
+
   test("t46 gopher verdict is non-vacuous on the corpus and counts are integer-consistent") {
     val rows = graft.text.TextOps.t46GopherRules(spark, sfDir)
       .select("doc_id", "n_words", "word_chars", "alpha_words", "req_stops", "keep")
