@@ -824,6 +824,56 @@ object Ann {
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   }
 
+  /** a34: metadata-FILTERED vector search (the production "filtered
+    * ANN" every vector store ships — search within a class/tenant/
+    * time slice): each query retrieves its top-k among corpus
+    * vectors sharing its `label`, with PRE-FILTER semantics — the
+    * filter is part of candidate generation, so the result always
+    * has k neighbors when k exist (post-filtering an unfiltered
+    * top-k can come back short, the classic filtered-ANN bug; the
+    * spec pins exactly this against a27). The label rides the
+    * broadcast-join condition as an equi-key: zero extra shuffle
+    * here, and at 100 TB the same key is the PARTITION key of a
+    * label-partitioned layout — the filter becomes partition
+    * pruning before any distance math, the q34-for-vectors. Scoring
+    * and ranking are a27's exact cosine + bounded-buffer top-k. */
+  def a34AnnFiltered(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = withNorm(Tables.embeddings(s, dir)
+      .select("vec_id", "embedding", "label"))
+    val queries = corpus.filter(col("vec_id") < NQ).select(
+      col("vec_id").as("query_id"),
+      col("embedding").as("q_embedding"),
+      col("norm").as("q_norm"),
+      col("label").as("q_label"))
+    val scored = corpus.join(broadcast(queries),
+        col("label") === col("q_label") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine, 4).as("cosine"))
+      .as[(Long, Long, Double)]
+    val labels = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("query_id"), col("label"))
+    rankedTopK(s, scored)
+      .join(broadcast(labels), Seq("query_id"))
+      .select("query_id", "label", "rank", "neighbor_id", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
+  val a34Sql: String =
+    s"""WITH e AS (
+       | SELECT vec_id, embedding, label,
+       |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
+       | FROM embeddings),
+       |q AS (SELECT * FROM e WHERE vec_id < $NQ AND norm > 0)
+       |SELECT query_id, label, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM (
+       | SELECT q.vec_id AS query_id, q.label AS label, c.vec_id AS neighbor_id,
+       |  $duckCosine AS cosine,
+       |  row_number() OVER (PARTITION BY q.vec_id
+       |    ORDER BY $duckCosine DESC, c.vec_id) AS rank
+       | FROM q JOIN e c ON c.label = q.label AND c.vec_id <> q.vec_id
+       |  AND c.norm > 0)
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a27_ann_brute" -> (a27AnnBrute _),
     "a28_ann_lsh" -> (a28AnnLsh _),
@@ -832,7 +882,8 @@ object Ann {
     "a30_ann_sq" -> (a30AnnSq _),
     "a31_ann_rerank" -> (a31AnnRerank _),
     "a32_ann_pq" -> (a32AnnPq _),
-    "a33_ann_ivfpq" -> (a33AnnIvfPq _))
+    "a33_ann_ivfpq" -> (a33AnnIvfPq _),
+    "a34_ann_filtered" -> (a34AnnFiltered _))
 
   def oracles: Map[String, String] = Map(
     "a27_ann_brute" -> a27Sql,
@@ -841,5 +892,6 @@ object Ann {
     "a30_ann_sq" -> a30Sql,
     "a31_ann_rerank" -> a31Sql,
     "a32_ann_pq" -> a32Sql,
-    "a33_ann_ivfpq" -> a33Sql)
+    "a33_ann_ivfpq" -> a33Sql,
+    "a34_ann_filtered" -> a34Sql)
 }

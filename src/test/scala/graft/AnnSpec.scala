@@ -248,6 +248,44 @@ class AnnSpec extends SparkSpec {
       "a33 must be deterministic across runs")
   }
 
+  test("a34 filtered search: every neighbor shares the query's label, k full when k exist, exact scores") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    val res = Ann.a34AnnFiltered(spark, sfDir)
+      .select("query_id", "label", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Int, Long, Double)].collect()
+    assert(res.nonEmpty)
+    res.foreach { case (q, lbl, _, n, _) =>
+      assert(lbl == emb(q), s"query $q label column must be its own label")
+      assert(emb(n) == lbl, s"neighbor $n must share query $q's label $lbl")
+      assert(n != q)
+    }
+    // PRE-filter semantics: k results whenever the class has k
+    // non-self members — post-filtering a27's unfiltered top-k would
+    // come back short for any query whose class-mates aren't globally
+    // near (pinned: a27 top-k ∩ same-label is smaller than a34's k
+    // for at least one query at this SF)
+    res.groupBy(_._1).foreach { case (q, rs) =>
+      val classMates = emb.count { case (id, l) => l == emb(q) && id != q }
+      assert(rs.length == math.min(5, classMates),
+        s"query $q must fill k from its class")
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length).toSeq)
+    }
+    val brute = Ann.a27AnnBrute(spark, sfDir)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    val postFilterShort = brute.groupBy(_._1).exists { case (q, rs) =>
+      rs.count(r => emb(r._2) == emb(q)) < math.min(5,
+        emb.count { case (id, l) => l == emb(q) && id != q })
+    }
+    assert(postFilterShort, "post-filtering a27 must under-fill somewhere, or this gate is vacuous")
+    // scores are the same exact cosine as a27 on shared pairs
+    val bruteMap = brute.map(r => (r._1, r._2) -> r._3).toMap
+    res.foreach { case (q, _, _, n, c) =>
+      bruteMap.get((q, n)).foreach(bc => assert(math.abs(bc - c) < 1e-9))
+    }
+  }
+
   test("a28 lsh returns fewer-or-equal candidates than brute force k") {
     val bruteN = Ann.a27AnnBrute(spark, sfDir).count()
     val lshN = Ann.a28AnnLsh(spark, sfDir).count()
