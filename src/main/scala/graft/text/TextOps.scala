@@ -1216,6 +1216,71 @@ object TextOps {
       | md5(chunk_text) AS chunk_key, chunk_text
       |FROM chunks ORDER BY doc_id, chunk_i""".stripMargin
 
+  /** t48: mixture resampling — the data-mixing step that turns a
+    * crawled language distribution into a TARGET training mixture
+    * (The Pile's per-source epochs, Gopher/MassiveText's source
+    * weights, the lever DoReMi tunes): given target shares in ppm
+    * and a total output budget of half the corpus, each language's
+    * keep probability is p_l = target_l·out_total / (10⁶·cnt_l),
+    * capped at 1, and docs are kept by t36's SHARED deterministic
+    * 28-bit hash draw (the sampleDraw stance — t48 derives the
+    * RATES t36 hard-codes). Everything is exact integer arithmetic:
+    * thresholds are floor-divisions of bigint products (identical
+    * left-assoc order both engines; products stay < 2⁶³ for corpora
+    * to ~10⁹ docs — beyond that the same formula runs in decimal),
+    * so the gate pins rate derivation AND selection byte-exactly.
+    *
+    * Fully declarative — per-language counts and the corpus total
+    * are aggregates joined back in-plan (broadcast: 5 rows), never
+    * a driver loop; the draw filter runs in the scan stage. */
+  private val t48TargetPpm: Map[String, Long] = Map(
+    "en" -> 400000L, "de" -> 150000L, "es" -> 150000L,
+    "fr" -> 150000L, "zh" -> 150000L)
+
+  private def t48Target(lang: Column): Column =
+    t48TargetPpm.foldLeft(lit(0L)) { case (acc, (l, ppm)) =>
+      when(lang === l, ppm).otherwise(acc)
+    }
+
+  def t48MixtureResample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+    // `div` (integer floor division), never `/`: the numerator
+    // product exceeds 2^53, where double division loses exactness
+    val withTarget = counts
+      .crossJoin(counts.agg(sum(col("cnt")).as("total")))
+      .withColumn("target_ppm", t48Target(col("lang")))
+      .select(col("lang"),
+        least(lit(1L << 28),
+          expr("(268435456L * target_ppm * (total div 2)) div (1000000L * cnt)"))
+          .as("keep_threshold"))
+    docs
+      .withColumn("sample_key", sampleDraw)
+      .join(broadcast(withTarget), Seq("lang"))
+      .filter(col("sample_key") < col("keep_threshold"))
+      .select("doc_id", "lang", "source", "sample_key", "keep_threshold")
+      .orderBy("doc_id")
+  }
+
+  val t48Sql: String = {
+    val target = t48TargetPpm.toSeq.sortBy(_._1).map { case (l, p) =>
+      s"WHEN '$l' THEN $p" }.mkString("CASE lang ", " ", " ELSE 0 END")
+    s"""WITH cnts AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+       |thr AS (
+       | SELECT lang, least(CAST(268435456 AS BIGINT),
+       |   (CAST(268435456 AS BIGINT) * ($target) * ((SELECT sum(cnt) FROM cnts) // 2))
+       |     // (CAST(1000000 AS BIGINT) * cnt)) AS keep_threshold
+       | FROM cnts)
+       |SELECT doc_id, lang, source, sample_key, CAST(keep_threshold AS BIGINT) AS keep_threshold
+       |FROM (
+       | SELECT d.doc_id, d.lang, d.source,
+       |  CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7)) AS BIGINT) AS sample_key,
+       |  thr.keep_threshold
+       | FROM documents d JOIN thr ON d.lang = thr.lang)
+       |WHERE sample_key < keep_threshold
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t29_langid" -> (t29LangId _),
     "t30_quality" -> (t30Quality _),
@@ -1236,7 +1301,8 @@ object TextOps {
     "t44_vocab" -> (t44Vocab _),
     "t45_vocab_apply" -> (t45VocabApply _),
     "t46_gopher_rules" -> (t46GopherRules _),
-    "t47_cdc_chunk" -> (t47CdcChunk _))
+    "t47_cdc_chunk" -> (t47CdcChunk _),
+    "t48_mixture_resample" -> (t48MixtureResample _))
 
   def oracles: Map[String, String] = Map(
     "t29_langid" -> t29Sql,
@@ -1257,5 +1323,6 @@ object TextOps {
     "t44_vocab" -> t44Sql,
     "t45_vocab_apply" -> t45Sql,
     "t46_gopher_rules" -> t46Sql,
-    "t47_cdc_chunk" -> t47Sql)
+    "t47_cdc_chunk" -> t47Sql,
+    "t48_mixture_resample" -> t48Sql)
 }

@@ -482,6 +482,36 @@ class TextOpsSpec extends SparkSpec {
       "all chunks after the first must survive the shift byte-identically")
   }
 
+  test("t48 mixture resample: thresholds and kept set match an exact in-memory recompute") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val target = Map("en" -> 400000L, "de" -> 150000L, "es" -> 150000L,
+      "fr" -> 150000L, "zh" -> 150000L)
+    val cnt = docs.groupBy(_._2).map { case (l, d) => l -> d.length.toLong }
+    val out = docs.length.toLong / 2
+    def thr(l: String): Long = math.min(1L << 28,
+      (268435456L * target.getOrElse(l, 0L) * out) / (1000000L * cnt(l)))
+    def draw(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map(b => f"$b%02x").mkString.take(7), 16)
+    }
+    val expected = docs.filter { case (id, l) => draw(id) < thr(l) }
+      .map(_._1).toSet
+    val got = graft.text.TextOps.t48MixtureResample(spark, sfDir)
+      .select("doc_id", "lang", "keep_threshold")
+      .as[(Long, String, Long)].collect()
+    assert(got.map(_._1).toSet == expected, "kept set must match the exact recompute")
+    got.foreach { case (_, l, t) => assert(t == thr(l), s"threshold for $l") }
+    // the mixture moves TOWARD the target: overrepresented en keeps a
+    // smaller fraction than underrepresented languages
+    val keptByLang = got.groupBy(_._2).map { case (l, r) => l -> r.length.toDouble }
+    val keepRate = keptByLang.map { case (l, k) => l -> k / cnt(l) }
+    assert(keepRate("en") < keepRate("zh"),
+      s"en (overrepresented) must be downsampled harder: $keepRate")
+    assert(got.nonEmpty && got.length < docs.length, "a real subsample")
+  }
+
   test("t46 gopher verdict is non-vacuous on the corpus and counts are integer-consistent") {
     val rows = graft.text.TextOps.t46GopherRules(spark, sfDir)
       .select("doc_id", "n_words", "word_chars", "alpha_words", "req_stops", "keep")
