@@ -31,7 +31,8 @@ object Bench {
     "d28_embed_neardup_lsh", "q12_double_entry", "q26_unpivot",
     "q29_json_keys", "q31_export_roundtrip", "q33_bucketed_join",
     "a29_ann_ivf", "a29b_ann_ivf_oracle",
-    "d31_passage_scrub", "d32_embed_dedup")
+    "d31_passage_scrub", "d32_embed_dedup",
+    "a33_ann_ivfpq", "q34_zorder")
 
   private def familyOf(name: String): String =
     if (solo(name)) name

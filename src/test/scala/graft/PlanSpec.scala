@@ -310,12 +310,16 @@ class PlanSpec extends SparkSpec {
     //        (codes side scans, query LUTs broadcast)
     //   t44  total-token-count attach — 1-row aggregate broadcast
     //        (the q28/t38/t39 scalar-attach shape)
+    //   t48  corpus-total attach onto the 5-row language counts —
+    //        the same 1-row scalar-attach cross, feeding the 5-row
+    //        threshold broadcast
     // Nothing may use CartesianProduct, and no NEW query may grow a
     // BNLJ without being justified here.
     val allowedBnlj = Set("a27_ann_brute", "a29_ann_ivf", "a29b_ann_ivf_oracle",
       "d26_embed_neardup",
       "q28_date_spine", "t38_keyphrase", "t39_bigram_lm", "a30_ann_sq",
-      "a31_ann_rerank", "s39_stream_decontaminate", "a32_ann_pq", "t44_vocab")
+      "a31_ann_rerank", "s39_stream_decontaminate", "a32_ann_pq", "t44_vocab",
+      "t48_mixture_resample")
     // Entries whose DataFrame CONSTRUCTION executes real work (q30/q31
     // write full exports, d27/d27b iterate connected components to a
     // fixpoint) are skipped: a plan sweep must inspect plans, not
@@ -326,9 +330,14 @@ class PlanSpec extends SparkSpec {
     // shuffle join is pinned by the dedicated test above; d33 runs
     // the bitmap-build job at construction — its no-join probe path
     // is pinned by the dedicated test below)
+    // (q34/q35/s42 likewise write their clustered layout / snapshots /
+    // pre-cutoff gold at construction — q34's skip behavior is pinned
+    // by ExportSpec's bucket-rectangle audit, q35/s42's join shapes
+    // are plain keyed joins pinned by their oracles and specs)
     val eagerEntries = Set("q30_incremental_export", "q31_export_roundtrip",
       "d27_dedup_components", "d27b_components_oracle", "d32_embed_dedup",
-      "q33_bucketed_join", "d33_bloom_decontaminate")
+      "q33_bucketed_join", "d33_bloom_decontaminate",
+      "q34_zorder", "q35_snapshot_diff", "s42_apply_changes")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => eagerEntries(q._1)).foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
