@@ -1134,6 +1134,100 @@ object Relational {
       |FROM expanded
       |ORDER BY user_id, change_type""".stripMargin
 
+  /** q36: lockup/vesting schedule evaluation — the reference's
+    * lockups API arithmetic (rust-extract-apis/lockups/src/
+    * lockup.rs:105-200, itself a copy of near/core-contracts
+    * lockup/getters.rs) re-expressed as a DISTRIBUTED scan-stage
+    * computation instead of an account-at-a-time RPC service: per
+    * key, locked(t) = amount before the lockup timestamp, afterwards
+    * max(unreleased, unvested) where unreleased decays linearly over
+    * the release window and unvested is cliff-then-linear over the
+    * vesting window — the exact shape `get_locked_amount` /
+    * `get_unvested_amount` compute per account, evaluated here for
+    * every key × 4 literal checkpoint timestamps in one pass.
+    *
+    * Arithmetic fidelity: the contract uses U256 floor division
+    * (amount × time_left / duration). amount × micros products reach
+    * ~10²⁵ — past bigint — so the Spark side computes in
+    * decimal(38,0) with `div` (truncation toward zero = floor for
+    * the nonnegative operands here) and DuckDB in HUGEINT with `//`;
+    * both floor identically, so the oracle pins the integer math
+    * bit-for-bit. Schedules derive deterministically from the events
+    * table (start = each user's first event; amount a pure function
+    * of user_id — the t43 planted-data stance); one shuffle (the
+    * min-ts rollup), then a 4-way literal-array explode and pure
+    * projection. */
+  def q36LockupSchedule(s: SparkSession, dir: String): DataFrame = {
+    val day = 86400000000L // one day of microseconds
+    val checkpoints = Seq("2024-01-05", "2024-01-12", "2024-01-25", "2024-02-20")
+      .map(d => s"TIMESTAMP '$d 00:00:00'").mkString("array(", ",", ")")
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(min(unix_micros(col("ts"))).as("start_u"))
+      .withColumn("amount",
+        (lit(1000000000000L) + col("user_id") * lit(1000000007L)))
+      .withColumn("lockup_u", col("start_u") + lit(2L * day))   // transfers + lockup_duration
+      .withColumn("rel_end_u", col("lockup_u") + lit(20L * day)) // release window
+      .withColumn("cliff_u", col("start_u") + lit(4L * day))    // vesting cliff
+      .withColumn("vest_end_u", col("start_u") + lit(16L * day)) // vesting end
+      .select(col("*"),
+        explode(expr(s"transform($checkpoints, t -> unix_micros(t))")).as("t_u"))
+      .withColumn("unreleased", expr(
+        """CASE WHEN t_u >= rel_end_u THEN 0L
+          |     ELSE (CAST(amount AS DECIMAL(38,0)) * (rel_end_u - t_u))
+          |            div (rel_end_u - lockup_u) END""".stripMargin))
+      .withColumn("unvested", expr(
+        """CASE WHEN t_u < cliff_u THEN amount
+          |     WHEN t_u >= vest_end_u THEN 0L
+          |     ELSE (CAST(amount AS DECIMAL(38,0)) * (vest_end_u - t_u))
+          |            div (vest_end_u - start_u) END""".stripMargin))
+      .select(col("user_id"),
+        timestamp_micros(col("t_u")).as("checkpoint"),
+        col("amount"),
+        when(col("t_u") < col("lockup_u"), col("amount"))
+          .otherwise(greatest(col("unreleased"), col("unvested"))).as("locked"))
+      .withColumn("unlocked", col("amount") - col("locked"))
+      .orderBy("user_id", "checkpoint")
+  }
+
+  val q36Sql: String =
+    """WITH sched AS (
+      | SELECT user_id,
+      |  epoch_us(min(ts)) AS start_u,
+      |  1000000000000 + user_id * 1000000007 AS amount
+      | FROM events GROUP BY user_id),
+      |full AS (
+      | SELECT user_id, amount, start_u,
+      |  start_u + 2  * 86400000000 AS lockup_u,
+      |  start_u + 22 * 86400000000 AS rel_end_u,
+      |  start_u + 4  * 86400000000 AS cliff_u,
+      |  start_u + 16 * 86400000000 AS vest_end_u
+      | FROM sched),
+      |pts AS (
+      | SELECT f.*, epoch_us(t.t) AS t_u
+      | FROM full f CROSS JOIN (
+      |   SELECT unnest([TIMESTAMP '2024-01-05 00:00:00',
+      |                  TIMESTAMP '2024-01-12 00:00:00',
+      |                  TIMESTAMP '2024-01-25 00:00:00',
+      |                  TIMESTAMP '2024-02-20 00:00:00']) AS t) t),
+      |calc AS (
+      | SELECT user_id, t_u, amount, lockup_u,
+      |  CASE WHEN t_u >= rel_end_u THEN 0
+      |       ELSE CAST((CAST(amount AS HUGEINT) * (rel_end_u - t_u))
+      |              // (rel_end_u - lockup_u) AS BIGINT) END AS unreleased,
+      |  CASE WHEN t_u < cliff_u THEN amount
+      |       WHEN t_u >= vest_end_u THEN 0
+      |       ELSE CAST((CAST(amount AS HUGEINT) * (vest_end_u - t_u))
+      |              // (vest_end_u - start_u) AS BIGINT) END AS unvested
+      | FROM pts)
+      |SELECT user_id, make_timestamp(t_u) AS checkpoint, amount,
+      | locked, amount - locked AS unlocked
+      |FROM (
+      | SELECT *, CASE WHEN t_u < lockup_u THEN amount
+      |                ELSE greatest(unreleased, unvested) END AS locked
+      | FROM calc)
+      |ORDER BY user_id, checkpoint""".stripMargin
+
   /** All relational queries, keyed per SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_filter" -> (q01AggFilter _),
@@ -1168,7 +1262,8 @@ object Relational {
     "q32_scd2" -> (q32Scd2 _),
     "q33_bucketed_join" -> (q33BucketedJoin _),
     "q34_zorder" -> (q34Zorder _),
-    "q35_snapshot_diff" -> (q35SnapshotDiff _))
+    "q35_snapshot_diff" -> (q35SnapshotDiff _),
+    "q36_lockup_schedule" -> (q36LockupSchedule _))
 
   def oracles: Map[String, String] = Map(
     "q01_agg_filter" -> q01Sql,
@@ -1203,5 +1298,6 @@ object Relational {
     "q32_scd2" -> q32Sql,
     "q33_bucketed_join" -> q33Sql,
     "q34_zorder" -> q34Sql,
-    "q35_snapshot_diff" -> q35Sql)
+    "q35_snapshot_diff" -> q35Sql,
+    "q36_lockup_schedule" -> q36Sql)
 }
