@@ -922,19 +922,28 @@ object Relational {
     * Oracle: bucketing changes LAYOUT, never semantics — DuckDB
     * computes the identical join+rollup from the raw parquet. */
   def q33BucketedJoin(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graftbucket").toString
+    // scratch path + per-JVM-token table names: two concurrent
+    // sessions (bench + test suite on one host) must not race on one
+    // catalog entry with mode=overwrite — the q30/q31 Export stance,
+    // now applied to the catalog too (ADVICE r8). scratch() also
+    // registers the dir for cleanup-on-exit, so bucket files no
+    // longer accumulate in /tmp across runs.
+    val tmp = graft.sources.Export.scratch("q33_buckets", dir)
+    val tok = graft.sources.Export.sessionToken
+    val ordersTbl = s"graft_bucketed_orders_$tok"
+    val lineitemTbl = s"graft_bucketed_lineitem_$tok"
     Tables.orders(s, dir)
       .select("o_orderkey", "o_orderpriority", "o_totalprice")
       .write.mode("overwrite").format("parquet")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .option("path", s"$tmp/orders_b").saveAsTable("graft_bucketed_orders")
+      .option("path", s"$tmp/orders_b").saveAsTable(ordersTbl)
     Tables.lineitem(s, dir)
       .select("l_orderkey", "l_extendedprice", "l_discount")
       .write.mode("overwrite").format("parquet")
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .option("path", s"$tmp/lineitem_b").saveAsTable("graft_bucketed_lineitem")
-    val o = s.table("graft_bucketed_orders")
-    val l = s.table("graft_bucketed_lineitem")
+      .option("path", s"$tmp/lineitem_b").saveAsTable(lineitemTbl)
+    val o = s.table(ordersTbl)
+    val l = s.table(lineitemTbl)
     o.hint("merge")
       .join(l, o("o_orderkey") === l("l_orderkey"))
       .groupBy("o_orderpriority")
@@ -948,14 +957,19 @@ object Relational {
         // engines; decimal addition is exact and order-independent,
         // so the group sum is byte-stable at ANY scale — the q13
         // exact-arithmetic stance.
+        // cast the SUM to an explicit width: Spark widens
+        // sum(decimal(20,6)) to (30,6), DuckDB to (38,6) — values
+        // identical, but the driver's gate hashes result DTYPES too
+        // (CORRECTNESS_r08), so both dialects pin (38,6) explicitly
         sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(20,6)")).as("revenue"))
+          .cast("decimal(20,6)")).cast("decimal(38,6)").as("revenue"))
       .orderBy("o_orderpriority")
   }
 
   val q33Sql: String =
     """SELECT o_orderpriority, COUNT(*) AS n_items,
-      | SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(20,6))) AS revenue
+      | CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(20,6)))
+      |   AS DECIMAL(38,6)) AS revenue
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
@@ -1000,7 +1014,9 @@ object Relational {
           .cast("long") % 65536L)
       .withColumn("zval", zInterleave("zx", "zy"))
       .drop("zx", "zy")
-    val zmax = base.agg(max("zval")).head.getLong(0)
+    // coalesce: max over an EMPTY orders table is NULL — getLong
+    // would NPE (ADVICE r8); 0 makes k=0, a single bucket, still sound
+    val zmax = base.agg(coalesce(max("zval"), lit(0L))).head.getLong(0)
     // shift so ~32 z-aligned cells cover the populated z-range
     val k = math.max(64 - java.lang.Long.numberOfLeadingZeros(zmax) - 5, 0)
     val out = graft.sources.Export.scratch("q34_zorder", dir)
@@ -1014,8 +1030,10 @@ object Relational {
       .groupBy("o_orderpriority")
       .agg(
         count(lit(1)).as("n_orders"),
-        // exact decimal sum, the q33 stance
-        sum(col("o_totalprice").cast("decimal(20,6)")).as("revenue"),
+        // exact decimal sum, the q33 stance — explicit (38,6) output
+        // width on both engines (dtype-sensitive driver hash)
+        sum(col("o_totalprice").cast("decimal(20,6)"))
+          .cast("decimal(38,6)").as("revenue"),
         min("zval").as("z_min"),
         max("zval").as("z_max"))
       .orderBy("o_orderpriority")
@@ -1031,7 +1049,7 @@ object Relational {
       |   AS zval
       | FROM orders)
       |SELECT o_orderpriority, count(*) AS n_orders,
-      | SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS revenue,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS revenue,
       | CAST(MIN(zval) AS BIGINT) AS z_min, CAST(MAX(zval) AS BIGINT) AS z_max
       |FROM z
       |WHERE o_custkey BETWEEN 100 AND 200
@@ -1196,7 +1214,7 @@ object Relational {
       |  epoch_us(min(ts)) AS start_u,
       |  1000000000000 + user_id * 1000000007 AS amount
       | FROM events GROUP BY user_id),
-      |full AS (
+      |win AS (
       | SELECT user_id, amount, start_u,
       |  start_u + 2  * 86400000000 AS lockup_u,
       |  start_u + 22 * 86400000000 AS rel_end_u,
@@ -1205,7 +1223,7 @@ object Relational {
       | FROM sched),
       |pts AS (
       | SELECT f.*, epoch_us(t.t) AS t_u
-      | FROM full f CROSS JOIN (
+      | FROM win f CROSS JOIN (
       |   SELECT unnest([TIMESTAMP '2024-01-05 00:00:00',
       |                  TIMESTAMP '2024-01-12 00:00:00',
       |                  TIMESTAMP '2024-01-25 00:00:00',
@@ -1227,6 +1245,121 @@ object Relational {
       |                ELSE greatest(unreleased, unvested) END AS locked
       | FROM calc)
       |ORDER BY user_id, checkpoint""".stripMargin
+
+  /** q37: lockup termination & contract-bug variants — the rest of
+    * the reference's get_locked_amount (rust-extract-apis/lockups/
+    * src/lockup.rs:105-167) that q36 didn't model:
+    *  - lockup start = max(transfers_ts + lockup_duration, explicit
+    *    lockup_timestamp) — the std::cmp::max at lockup.rs:111;
+    *  - termination_withdrawn_tokens: pre-lockup locked is
+    *    amount − withdrawn, post-lockup the unreleased leg is
+    *    saturating_sub(unreleased, withdrawn) (lockup.rs:151-153);
+    *  - VestingInformation::Terminating → unvested is the STORED
+    *    constant, overriding the cliff/linear schedule
+    *    (lockup.rs:148, :172);
+    *  - has_bug (is_bug_inside_contract): the release window starts
+    *    at transfers_ts instead of the lockup timestamp
+    *    (lockup.rs:122-126) — same 20-day duration, earlier decay.
+    * Branch population is the t43 planted-data stance: user_id%3==0
+    * gets an explicit lockup timestamp (pins the max), %5==0 the bug
+    * variant, %7==0 terminating vesting with withdrawn =
+    * (amount div 20)·(user_id%3) — so %35 users compose bug+
+    * termination and the 01-25 checkpoint drives saturating_sub to
+    * exactly 0 both by equality (user 7) and by clamping (user 35).
+    * Same scale shape as q36: one min-ts rollup then a literal
+    * explode and pure integer projection. */
+  def q37LockupTermination(s: SparkSession, dir: String): DataFrame = {
+    val day = 86400000000L
+    val checkpoints = Seq("2024-01-05", "2024-01-12", "2024-01-25", "2024-02-20")
+      .map(d => s"TIMESTAMP '$d 00:00:00'").mkString("array(", ",", ")")
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(min(unix_micros(col("ts"))).as("start_u"))
+      .withColumn("amount",
+        (lit(1000000000000L) + col("user_id") * lit(1000000007L)))
+      .withColumn("explicit_u", when(col("user_id") % 3 === 0,
+        col("start_u") + lit(3L * day)).otherwise(lit(0L)))
+      .withColumn("lockup_u",
+        greatest(col("start_u") + lit(2L * day), col("explicit_u")))
+      .withColumn("rel_start_u", when(col("user_id") % 5 === 0,
+        col("start_u")).otherwise(col("lockup_u"))) // has_bug branch
+      .withColumn("rel_end_u", col("rel_start_u") + lit(20L * day))
+      .withColumn("withdrawn", when(col("user_id") % 7 === 0,
+        expr("(amount div 20) * (user_id % 3)")).otherwise(lit(0L)))
+      .withColumn("cliff_u", col("start_u") + lit(4L * day))
+      .withColumn("vest_end_u", col("start_u") + lit(16L * day))
+      .select(col("*"),
+        explode(expr(s"transform($checkpoints, t -> unix_micros(t))")).as("t_u"))
+      .withColumn("unreleased", expr(
+        // denominator is release_duration (20 d), NOT rel_end−lockup:
+        // under has_bug the window starts before lockup, so they differ
+        s"""CASE WHEN t_u >= rel_end_u THEN 0L
+           |     ELSE (CAST(amount AS DECIMAL(38,0)) * (rel_end_u - t_u))
+           |            div ${20L * day} END""".stripMargin))
+      .withColumn("unvested", expr(
+        """CASE WHEN user_id % 7 = 0 THEN amount div 3
+          |     WHEN t_u < cliff_u THEN amount
+          |     WHEN t_u >= vest_end_u THEN 0L
+          |     ELSE (CAST(amount AS DECIMAL(38,0)) * (vest_end_u - t_u))
+          |            div (vest_end_u - start_u) END""".stripMargin))
+      .select(col("user_id"),
+        timestamp_micros(col("t_u")).as("checkpoint"),
+        col("amount"), col("withdrawn"),
+        when(col("t_u") < col("lockup_u"), col("amount") - col("withdrawn"))
+          .otherwise(greatest(
+            greatest(col("unreleased") - col("withdrawn"), lit(0L)),
+            col("unvested"))).as("locked"))
+      .withColumn("liquid", col("amount") - col("withdrawn") - col("locked"))
+      .orderBy("user_id", "checkpoint")
+  }
+
+  val q37Sql: String = {
+    val day = 86400000000L
+    s"""WITH sched AS (
+       | SELECT user_id,
+       |  epoch_us(min(ts)) AS start_u,
+       |  1000000000000 + user_id * 1000000007 AS amount
+       | FROM events GROUP BY user_id),
+       |win AS (
+       | SELECT user_id, amount, start_u,
+       |  greatest(start_u + ${2L * day},
+       |   CASE WHEN user_id % 3 = 0 THEN start_u + ${3L * day} ELSE 0 END) AS lockup_u,
+       |  CASE WHEN user_id % 5 = 0 THEN start_u
+       |   ELSE greatest(start_u + ${2L * day},
+       |    CASE WHEN user_id % 3 = 0 THEN start_u + ${3L * day} ELSE 0 END)
+       |  END + ${20L * day} AS rel_end_u,
+       |  CASE WHEN user_id % 7 = 0 THEN (amount // 20) * (user_id % 3)
+       |   ELSE 0 END AS withdrawn,
+       |  start_u + ${4L * day} AS cliff_u,
+       |  start_u + ${16L * day} AS vest_end_u
+       | FROM sched),
+       |pts AS (
+       | SELECT f.*, epoch_us(t.t) AS t_u
+       | FROM win f CROSS JOIN (
+       |   SELECT unnest([TIMESTAMP '2024-01-05 00:00:00',
+       |                  TIMESTAMP '2024-01-12 00:00:00',
+       |                  TIMESTAMP '2024-01-25 00:00:00',
+       |                  TIMESTAMP '2024-02-20 00:00:00']) AS t) t),
+       |calc AS (
+       | SELECT user_id, t_u, amount, lockup_u, withdrawn,
+       |  CASE WHEN t_u >= rel_end_u THEN 0
+       |       ELSE CAST((CAST(amount AS HUGEINT) * (rel_end_u - t_u))
+       |              // ${20L * day} AS BIGINT) END AS unreleased,
+       |  CASE WHEN user_id % 7 = 0 THEN amount // 3
+       |       WHEN t_u < cliff_u THEN amount
+       |       WHEN t_u >= vest_end_u THEN 0
+       |       ELSE CAST((CAST(amount AS HUGEINT) * (vest_end_u - t_u))
+       |              // (vest_end_u - start_u) AS BIGINT) END AS unvested
+       | FROM pts)
+       |SELECT user_id, make_timestamp(t_u) AS checkpoint, amount, withdrawn,
+       | locked, amount - withdrawn - locked AS liquid
+       |FROM (
+       | SELECT *, CASE WHEN t_u < lockup_u THEN amount - withdrawn
+       |                ELSE greatest(greatest(unreleased - withdrawn, 0), unvested)
+       |           END AS locked
+       | FROM calc)
+       |ORDER BY user_id, checkpoint""".stripMargin
+  }
 
   /** All relational queries, keyed per SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1263,7 +1396,8 @@ object Relational {
     "q33_bucketed_join" -> (q33BucketedJoin _),
     "q34_zorder" -> (q34Zorder _),
     "q35_snapshot_diff" -> (q35SnapshotDiff _),
-    "q36_lockup_schedule" -> (q36LockupSchedule _))
+    "q36_lockup_schedule" -> (q36LockupSchedule _),
+    "q37_lockup_termination" -> (q37LockupTermination _))
 
   def oracles: Map[String, String] = Map(
     "q01_agg_filter" -> q01Sql,
@@ -1299,5 +1433,6 @@ object Relational {
     "q33_bucketed_join" -> q33Sql,
     "q34_zorder" -> q34Sql,
     "q35_snapshot_diff" -> q35Sql,
-    "q36_lockup_schedule" -> q36Sql)
+    "q36_lockup_schedule" -> q36Sql,
+    "q37_lockup_termination" -> q37Sql)
 }

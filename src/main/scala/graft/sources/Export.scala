@@ -54,6 +54,11 @@ object Export {
         if (f.getName.startsWith("graft_") && f.lastModified < cutoff) rm(f)
       })
   }
+  /** The per-JVM token, for callers that need unique CATALOG names
+    * (q33's bucketed tables) with the same concurrency rationale as
+    * scratch() paths. */
+  private[graft] def sessionToken: String = jvmToken
+
   private[graft] def scratch(tag: String, dir: String): String = {
     cleanupHook
     sweepStale

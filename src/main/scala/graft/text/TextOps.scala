@@ -854,7 +854,8 @@ object TextOps {
        |  coalesce(sum(ws_tokens) OVER (PARTITION BY lang ORDER BY doc_id
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
        | FROM base)
-       |SELECT lang, doc_id, ws_tokens, cum_before,
+       |SELECT lang, doc_id, ws_tokens,
+       | CAST(cum_before AS BIGINT) AS cum_before,
        | CAST(cum_before // $packBudget AS BIGINT) AS bin_id,
        | CAST(cum_before % $packBudget AS BIGINT) AS bin_offset
        |FROM c ORDER BY lang, doc_id""".stripMargin

@@ -129,4 +129,143 @@ class InvariantSpec extends SparkSpec {
         s"preimage for key ${r._1} must differ from the v2 row")
     }
   }
+
+  test("q36 lockup schedule: hand-computed cliff/linear/full checkpoints + BigInt floor mirror") {
+    // Handcrafted schedules pinning every branch of the reference's
+    // get_locked_amount / get_unvested_amount (lockup.rs:105-200):
+    // user 1 starts 2024-01-04T00:00:00Z, so the four checkpoints hit
+    //   01-05: pre-lockup AND pre-cliff  → locked = amount
+    //   01-12: mid-release × mid-vesting → max of two linear decays
+    //   01-25: post-vest-end, release tail → unreleased only
+    //   02-20: past both windows         → locked = 0
+    // User 2 starts 1 µs later, so every duration is non-round and
+    // the floor-division (decimal `div`) behavior is exercised on
+    // inexact quotients, not just .0-tail ones.
+    val dir = java.nio.file.Files.createTempDirectory("graftlockup").toString
+    val startSec = 1704326400L // 2024-01-04T00:00:00Z
+    Seq( // (event_id, user_id, ts_nanos) — q36 keys on min(ts) per user
+      (1L, 1L, startSec * 1000000000L),
+      (2L, 1L, (startSec + 864000L) * 1000000000L), // later event: min() must win
+      (3L, 2L, startSec * 1000000000L + 1000L))     // +1 µs start
+      .toDF("event_id", "user_id", "ts")
+      .withColumn("event_type", lit("signup"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val out = SparkEntry.queries("q36_lockup_schedule")(spark, dir)
+      .select(col("user_id"), unix_micros(col("checkpoint")),
+        col("amount"), col("locked"), col("unlocked"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => ((r._1, r._2), (r._3, r._4, r._5))).toMap
+    assert(out.size == 8, "2 users x 4 checkpoints")
+
+    val day = 86400000000L
+    val chks = Seq("2024-01-05", "2024-01-12", "2024-01-25", "2024-02-20")
+      .map(d => java.time.Instant.parse(s"${d}T00:00:00Z").getEpochSecond * 1000000L)
+
+    // user 1 literals, hand-computed (amount = 1e12 + 1*1000000007):
+    // 01-12 → max(floor(a*14/20), floor(a*8/16)) = floor(a*7/10)
+    //   1001000000007*7 = 7007000000049 → /10 floors to ...004 (not .9-rounded)
+    // 01-25 → floor(a/20) = 50050000000.35 → 50050000000
+    val a1 = 1001000000007L
+    assert(out((1L, chks(0))) == ((a1, a1, 0L)), "pre-lockup: fully locked")
+    assert(out((1L, chks(1))) == ((a1, 700700000004L, a1 - 700700000004L)),
+      "mid linear: floor(amount*7/10), truncated not rounded")
+    assert(out((1L, chks(2))) == ((a1, 50050000000L, a1 - 50050000000L)),
+      "release tail after vest end: floor(amount/20)")
+    assert(out((1L, chks(3))) == ((a1, 0L, a1)), "past both windows: all unlocked")
+
+    // BigInt mirror of the contract arithmetic for EVERY cell — an
+    // independent floor-division path (BigInt /) checking Spark's
+    // decimal(38,0) `div` bit-for-bit on the non-round user-2 offsets
+    for (uid <- Seq(1L, 2L); t <- chks) {
+      val start = startSec * 1000000L + (if (uid == 2L) 1L else 0L)
+      val amount = BigInt(1000000000000L) + BigInt(uid) * 1000000007L
+      val (lockup, relEnd, cliff, vestEnd) =
+        (start + 2 * day, start + 22 * day, start + 4 * day, start + 16 * day)
+      val unreleased =
+        if (t >= relEnd) BigInt(0) else amount * (relEnd - t) / (relEnd - lockup)
+      val unvested =
+        if (t < cliff) amount
+        else if (t >= vestEnd) BigInt(0)
+        else amount * (vestEnd - t) / (vestEnd - start)
+      val locked = if (t < lockup) amount else unreleased.max(unvested)
+      assert(out((uid, t)) == ((amount.toLong, locked.toLong, (amount - locked).toLong)),
+        s"user $uid at t=$t")
+    }
+  }
+
+  test("q37 lockup termination: bug/terminating/explicit-lockup branches + saturating_sub pins") {
+    // Users picked to cover every branch of get_locked_amount
+    // (lockup.rs:105-167): 1 = plain, 3 = explicit lockup_timestamp
+    // (the max at :111, +1 µs start so floors are inexact), 5 = the
+    // has_bug release-start shift, 7 = terminating vesting with
+    // withdrawn tokens, 21 = terminating with ZERO withdrawn
+    // (21 % 3 = 0), 35 = bug + terminating composed.
+    val dir = java.nio.file.Files.createTempDirectory("graftterm").toString
+    val startSec = 1704326400L // 2024-01-04T00:00:00Z
+    Seq(1L, 3L, 5L, 7L, 21L, 35L).zipWithIndex.map { case (uid, i) =>
+      (i.toLong, uid, startSec * 1000000000L + (if (uid == 3L) 1000L else 0L))
+    }.toDF("event_id", "user_id", "ts")
+      .withColumn("event_type", lit("signup"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val out = SparkEntry.queries("q37_lockup_termination")(spark, dir)
+      .select(col("user_id"), unix_micros(col("checkpoint")),
+        col("amount"), col("withdrawn"), col("locked"), col("liquid"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => ((r._1, r._2), (r._3, r._4, r._5, r._6))).toMap
+    assert(out.size == 24, "6 users x 4 checkpoints")
+
+    val day = 86400000000L
+    val chks = Seq("2024-01-05", "2024-01-12", "2024-01-25", "2024-02-20")
+      .map(d => java.time.Instant.parse(s"${d}T00:00:00Z").getEpochSecond * 1000000L)
+
+    // BigInt mirror of the full branch structure — independent floor
+    // division path, checked for every (user, checkpoint) cell
+    def mirror(uid: Long, start: Long, t: Long): (Long, Long, Long, Long) = {
+      val amount = BigInt(1000000000000L) + BigInt(uid) * 1000000007L
+      val explicitU = if (uid % 3 == 0) start + 3 * day else 0L
+      val lockup = math.max(start + 2 * day, explicitU)
+      val relStart = if (uid % 5 == 0) start else lockup
+      val relEnd = relStart + 20 * day
+      val withdrawn = if (uid % 7 == 0) (amount / 20) * (uid % 3) else BigInt(0)
+      val (cliff, vestEnd) = (start + 4 * day, start + 16 * day)
+      val unreleased =
+        if (t >= relEnd) BigInt(0) else amount * (relEnd - t) / (20 * day)
+      val unvested =
+        if (uid % 7 == 0) amount / 3
+        else if (t < cliff) amount
+        else if (t >= vestEnd) BigInt(0)
+        else amount * (vestEnd - t) / (vestEnd - start)
+      val locked =
+        if (t < lockup) amount - withdrawn
+        else (unreleased - withdrawn).max(BigInt(0)).max(unvested)
+      (amount.toLong, withdrawn.toLong, locked.toLong,
+        (amount - withdrawn - locked).toLong)
+    }
+    for (uid <- Seq(1L, 3L, 5L, 7L, 21L, 35L); t <- chks) {
+      val start = startSec * 1000000L + (if (uid == 3L) 1L else 0L)
+      assert(out((uid, t)) == mirror(uid, start, t), s"user $uid at t=$t")
+    }
+
+    // saturating_sub pinned both ways at the 01-25 checkpoint:
+    // user 7 (no bug): unreleased = amount*1d div 20d = withdrawn
+    //   exactly → sub is 0 by EQUALITY; locked falls to amount div 3
+    val a7 = 1000000000000L + 7L * 1000000007L
+    assert(out((7L, chks(2)))._3 == a7 / 3,
+      "user 7: unreleased-withdrawn hits exactly 0, terminating floor holds")
+    // user 35 (bug): release window ended 01-24 → unreleased = 0,
+    //   withdrawn > 0 → raw sub is NEGATIVE, clamp must engage
+    val a35 = 1000000000000L + 35L * 1000000007L
+    assert(out((35L, chks(2)))._3 == a35 / 3,
+      "user 35: negative sub clamped to 0, locked = terminating unvested")
+    // and the explicit-lockup max: user 3 still fully locked at 01-05
+    // though transfers+2d would have unlocked on 01-06 — via 01-12 the
+    // window is shifted one day vs user 1 (check at exactly lockup+ε
+    // not needed; mirror covers it — here just pin the pre-lockup row)
+    assert(out((3L, chks(0)))._3 == out((3L, chks(0)))._1,
+      "user 3 fully locked pre-lockup")
+  }
 }

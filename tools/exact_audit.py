@@ -41,6 +41,18 @@ def main(sf_dir, out_dir):
                 print(f"FAIL {name}: columns {sorted(scols)} vs {sorted(ocols)}")
                 fails += 1
                 continue
+            # driver hash is dtype-sensitive (r08: q33/q34/t42 red on
+            # decimal/hugeint width with byte-identical values)
+            srel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet' LIMIT 0")
+            orel = con.sql(sql)
+            stypes = dict(zip(srel.columns, [str(t) for t in srel.types]))
+            otypes = dict(zip(orel.columns, [str(t) for t in orel.types]))
+            dt = [f"{c}: spark={stypes[c]} oracle={otypes[c]}"
+                  for c in sorted(stypes) if stypes[c] != otypes[c]]
+            if dt:
+                print(f"FAIL {name}: dtype mismatch: {'; '.join(dt)}")
+                fails += 1
+                continue
             # NULL-safe total order (q25's asof join emits NULL sides);
             # numerics normalized to one class token + float value so
             # int-vs-Decimal type drift across engines can't misalign
