@@ -365,10 +365,20 @@ object Ann {
     * (query_id, neighbor_id, rounded quantized cosine). One
     * definition so the standalone compressed-domain entry and the
     * rerank pipeline's coarse stage can never diverge. */
-  private def sqScored(s: SparkSession, dir: String)
+  /** withinLabel=true (a35) restricts the compressed scan to the
+    * query's label slice — the same pre-filter equi-key a34 uses,
+    * pushed down into the COARSE stage so the compressed-domain work
+    * is label-pruned too. Quantization stats stay GLOBAL (one stats
+    * literal for the whole corpus, not per label: at 100 TB the
+    * per-dim bounds are a fixed 2×64-double broadcast either way,
+    * and global bounds mean one codebook to ship, not one per
+    * filter value). */
+  private def sqScored(s: SparkSession, dir: String,
+      withinLabel: Boolean = false)
       : org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
     import s.implicits._
-    val corpus = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val base = Tables.embeddings(s, dir)
+    val corpus = base.select("vec_id", "embedding")
     val stats = corpus
       .select(posexplode(col("embedding")).as(Seq("i", "x")))
       .groupBy("i").agg(min(col("x").cast("double")).as("mn"),
@@ -376,7 +386,11 @@ object Ann {
       .agg(
         expr("transform(array_sort(collect_list(struct(i, mn))), s -> s.mn)").as("mns"),
         expr("transform(array_sort(collect_list(struct(i, mx))), s -> s.mx)").as("mxs"))
-    val dq = corpus.crossJoin(broadcast(stats))
+    val dqIn = if (withinLabel) base.select("vec_id", "embedding", "label")
+               else corpus
+    val dqCols = Seq("vec_id", "dqe", "dq_norm") ++
+      (if (withinLabel) Seq("label") else Nil)
+    val dq = dqIn.crossJoin(broadcast(stats))
       .withColumn("dqe", expr(
         """transform(embedding, (x, i) ->
           |  CASE WHEN mxs[i] > mns[i]
@@ -385,14 +399,23 @@ object Ann {
           |  ELSE mns[i] END)""".stripMargin))
       .withColumn("dq_norm", expr("sqrt(aggregate(dqe, 0.0d, (a, v) -> a + v * v))"))
       .filter(col("dq_norm") > 0)
-      .select("vec_id", "dqe", "dq_norm")
-    val queries = withNorm(corpus).filter(col("vec_id") < NQ).select(
-      col("vec_id").as("query_id"),
-      col("embedding").as("q_embedding"),
-      col("norm").as("q_norm"))
+      .select(dqCols.map(col): _*)
+    val qIn = if (withinLabel)
+      withNorm(base.select("vec_id", "embedding", "label"))
+        .withColumnRenamed("label", "q_label")
+    else withNorm(corpus)
+    val queries = qIn.filter(col("vec_id") < NQ).select(
+      Seq(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding"),
+        col("norm").as("q_norm")) ++
+        (if (withinLabel) Seq(col("q_label")) else Nil): _*)
+    val cond =
+      if (withinLabel) col("label") === col("q_label") &&
+        col("vec_id") =!= col("query_id")
+      else col("vec_id") =!= col("query_id")
     val adc = expr(
       "aggregate(zip_with(q_embedding, dqe, (a, b) -> cast(a as double) * b), 0.0d, (acc, v) -> acc + v)")
-    dq.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+    dq.join(broadcast(queries), cond)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(adc / (col("q_norm") * col("dq_norm")), 4).as("cosine"))
       .as[(Long, Long, Double)]
@@ -874,6 +897,100 @@ object Ann {
        |  AND c.norm > 0)
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
+  /** a35: filtered ANN at the 100 TB shape — a34's PRE-FILTER
+    * semantics (candidates restricted to the query's label slice
+    * before any scoring, so top-k can always fill) composed with
+    * a31's two-stage retrieve-then-rerank: the coarse stage scans
+    * the 4×-compressed SQ8 corpus WITHIN the label (the filter is an
+    * equi-key on the broadcast query join, pruned before a single
+    * dot product is spent), keeps the quantized top-C per query via
+    * the bounded-buffer aggregator, and only those N×C candidates
+    * get full-precision rescoring. a34 stays as the exact semantics
+    * pin; this entry is what the VERDICT r8 perf note asked for —
+    * the production filtered-search plan where the expensive scan is
+    * label-pruned AND compressed-domain. Corpus never shuffled;
+    * queries, candidate list, and quantization stats all broadcast.
+    *
+    * Fully deterministic (global SQ8 floor arithmetic + sequential
+    * dot products + rounded tie-breaks) → the whole pipeline is
+    * DuckDB-replayed; coarse_rank pins stage 1, rank pins stage 2.
+    * AnnSpec additionally proves recall vs a34's exact within-label
+    * top-k. */
+  def a35AnnFilteredRerank(s: SparkSession, dir: String): DataFrame = {
+    val coarse = rankedTopK(s, sqScored(s, dir, withinLabel = true), RerankC)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").as("coarse_rank"))
+    val corpus = withNorm(Tables.embeddings(s, dir).select("vec_id", "embedding"))
+    val queries = corpus.filter(col("vec_id") < NQ).select(
+      col("vec_id").as("query_id"),
+      col("embedding").as("q_embedding"),
+      col("norm").as("q_norm"))
+    val labels = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("query_id"), col("label"))
+    val exact = broadcast(coarse)
+      .join(corpus.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("coarse_rank"),
+        round(cosine, 4).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= K)
+      .join(broadcast(labels), Seq("query_id"))
+      .select("query_id", "label", "rank", "neighbor_id", "cosine", "coarse_rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB oracle for a35: a31's quantized-coarse + exact-rerank
+    * CTE chain with the label equi-key added to the coarse join. */
+  val a35Sql: String = {
+    val dequant =
+      """list_transform(list_zip(embedding, (SELECT mns FROM stats), (SELECT mxs FROM stats)),
+        | p -> CASE WHEN p[3] > p[2]
+        |      THEN p[2] + floor((CAST(p[1] AS DOUBLE) - p[2]) * 255.0 / (p[3] - p[2]))
+        |           * (p[3] - p[2]) / 255.0
+        |      ELSE p[2] END)""".stripMargin
+    val adcScore =
+      """ROUND(list_sum(list_transform(list_zip(q.embedding, c.dqe),
+        |  p -> CAST(p[1] AS DOUBLE) * p[2])) / (q.norm * c.dq_norm), 4)""".stripMargin
+    val exactScore =
+      """ROUND(list_sum(list_transform(list_zip(q.embedding, n.embedding),
+        |  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (q.norm * n.norm), 4)""".stripMargin
+    s"""WITH dims AS (
+       | SELECT i, CAST(embedding[i] AS DOUBLE) AS x
+       | FROM (SELECT embedding, unnest(generate_series(1, len(embedding))) AS i
+       |       FROM embeddings)),
+       |stats AS (
+       | SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+       | FROM (SELECT i, min(x) AS mn, max(x) AS mx FROM dims GROUP BY i)),
+       |dq AS (
+       | SELECT vec_id, label, dqe,
+       |  sqrt(list_sum(list_transform(dqe, v -> v * v))) AS dq_norm
+       | FROM (SELECT vec_id, label, $dequant AS dqe FROM embeddings)),
+       |alln AS (
+       | SELECT vec_id, embedding, label,
+       |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
+       | FROM embeddings),
+       |q AS (SELECT * FROM alln WHERE vec_id < $NQ),
+       |coarse AS (
+       | SELECT query_id, neighbor_id, coarse_rank FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |   row_number() OVER (PARTITION BY q.vec_id
+       |     ORDER BY $adcScore DESC, c.vec_id) AS coarse_rank
+       |  FROM q JOIN dq c ON c.label = q.label AND c.vec_id <> q.vec_id
+       |   AND c.dq_norm > 0 AND q.norm > 0)
+       | WHERE coarse_rank <= $RerankC)
+       |SELECT query_id, label, CAST(rank AS INT) AS rank, neighbor_id, cosine,
+       | CAST(coarse_rank AS INT) AS coarse_rank FROM (
+       | SELECT co.query_id, q.label AS label, co.neighbor_id, co.coarse_rank,
+       |  $exactScore AS cosine,
+       |  row_number() OVER (PARTITION BY co.query_id
+       |    ORDER BY $exactScore DESC, co.neighbor_id) AS rank
+       | FROM coarse co
+       |  JOIN alln n ON n.vec_id = co.neighbor_id AND n.norm > 0
+       |  JOIN q ON q.vec_id = co.query_id)
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a27_ann_brute" -> (a27AnnBrute _),
     "a28_ann_lsh" -> (a28AnnLsh _),
@@ -883,7 +1000,8 @@ object Ann {
     "a31_ann_rerank" -> (a31AnnRerank _),
     "a32_ann_pq" -> (a32AnnPq _),
     "a33_ann_ivfpq" -> (a33AnnIvfPq _),
-    "a34_ann_filtered" -> (a34AnnFiltered _))
+    "a34_ann_filtered" -> (a34AnnFiltered _),
+    "a35_ann_filtered_rerank" -> (a35AnnFilteredRerank _))
 
   def oracles: Map[String, String] = Map(
     "a27_ann_brute" -> a27Sql,
@@ -893,5 +1011,6 @@ object Ann {
     "a31_ann_rerank" -> a31Sql,
     "a32_ann_pq" -> a32Sql,
     "a33_ann_ivfpq" -> a33Sql,
-    "a34_ann_filtered" -> a34Sql)
+    "a34_ann_filtered" -> a34Sql,
+    "a35_ann_filtered_rerank" -> a35Sql)
 }

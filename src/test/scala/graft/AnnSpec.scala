@@ -286,6 +286,40 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("a35 filtered rerank: label-pure, exact scores, high recall vs a34's exact pin") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    val res = Ann.a35AnnFilteredRerank(spark, sfDir)
+      .select("query_id", "label", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Int, Long, Double)].collect()
+    assert(res.nonEmpty)
+    // pre-filter semantics survive the compressed coarse stage:
+    // every candidate that reaches the rerank came from the label
+    // slice, so every final neighbor is label-pure and k fills
+    res.foreach { case (q, lbl, _, n, _) =>
+      assert(lbl == emb(q) && emb(n) == lbl && n != q)
+    }
+    val exact = Ann.a34AnnFiltered(spark, sfDir)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    res.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.length == exact.count(_._1 == q),
+        s"query $q must fill the same k as the exact filtered search")
+    }
+    // stage 2 rescoring is the same full-precision cosine as a34
+    val exactMap = exact.map(r => (r._1, r._2) -> r._3).toMap
+    res.foreach { case (q, _, _, n, c) =>
+      exactMap.get((q, n)).foreach(ec => assert(math.abs(ec - c) < 1e-9,
+        s"rerank score for ($q,$n) must equal a34's exact score"))
+    }
+    // recall vs the exact within-label top-k: C=32 coarse candidates
+    // over ~50-vector label slices must recover nearly all true
+    // neighbors (the dial a31 documents: larger C → higher recall)
+    val hit = res.count { case (q, _, _, n, _) => exactMap.contains((q, n)) }
+    assert(hit >= math.ceil(0.9 * exact.length).toInt,
+      s"recall ${hit.toDouble / exact.length} vs a34 below 0.9")
+  }
+
   test("a28 lsh returns fewer-or-equal candidates than brute force k") {
     val bruteN = Ann.a27AnnBrute(spark, sfDir).count()
     val lshN = Ann.a28AnnLsh(spark, sfDir).count()

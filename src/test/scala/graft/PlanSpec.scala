@@ -313,13 +313,17 @@ class PlanSpec extends SparkSpec {
     //   t48  corpus-total attach onto the 5-row language counts —
     //        the same 1-row scalar-attach cross, feeding the 5-row
     //        threshold broadcast
+    //   a35  a31's coarse-stage broadcasts, label-restricted: the
+    //        1-row SQ8 stats cross + the 8-query broadcast (the
+    //        label equi-key itself hash-joins; only the tiny sides
+    //        are BNLJ)
     // Nothing may use CartesianProduct, and no NEW query may grow a
     // BNLJ without being justified here.
     val allowedBnlj = Set("a27_ann_brute", "a29_ann_ivf", "a29b_ann_ivf_oracle",
       "d26_embed_neardup",
       "q28_date_spine", "t38_keyphrase", "t39_bigram_lm", "a30_ann_sq",
       "a31_ann_rerank", "s39_stream_decontaminate", "a32_ann_pq", "t44_vocab",
-      "t48_mixture_resample")
+      "t48_mixture_resample", "a35_ann_filtered_rerank")
     // Entries whose DataFrame CONSTRUCTION executes real work (q30/q31
     // write full exports, d27/d27b iterate connected components to a
     // fixpoint) are skipped: a plan sweep must inspect plans, not
