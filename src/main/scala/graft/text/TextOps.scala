@@ -1226,10 +1226,13 @@ object TextOps {
     * capped at 1, and docs are kept by t36's SHARED deterministic
     * 28-bit hash draw (the sampleDraw stance — t48 derives the
     * RATES t36 hard-codes). Everything is exact integer arithmetic:
-    * thresholds are floor-divisions of bigint products (identical
-    * left-assoc order both engines; products stay < 2⁶³ for corpora
-    * to ~10⁹ docs — beyond that the same formula runs in decimal),
-    * so the gate pins rate derivation AND selection byte-exactly.
+    * thresholds are floor-divisions of DECIMAL(38,0) products —
+    * 2²⁸·ppm·(total/2) passes 2⁶³ at only ~1.7·10⁵ docs (ADVICE r8
+    * corrected the earlier ~10⁹ claim), so the numerator runs in
+    * decimal on the Spark side and HUGEINT on the DuckDB side
+    * (where sum(BIGINT) already promotes); identical left-assoc
+    * order, so the gate pins rate derivation AND selection
+    * byte-exactly at any corpus size that fits 38 digits.
     *
     * Fully declarative — per-language counts and the corpus total
     * are aggregates joined back in-plan (broadcast: 5 rows), never
@@ -1247,13 +1250,15 @@ object TextOps {
     val docs = Tables.documents(s, dir)
     val counts = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
     // `div` (integer floor division), never `/`: the numerator
-    // product exceeds 2^53, where double division loses exactness
+    // product exceeds 2^53, where double division loses exactness —
+    // and exceeds 2^63 at ~172k docs, so it runs in decimal(38,0)
     val withTarget = counts
       .crossJoin(counts.agg(sum(col("cnt")).as("total")))
       .withColumn("target_ppm", t48Target(col("lang")))
       .select(col("lang"),
         least(lit(1L << 28),
-          expr("(268435456L * target_ppm * (total div 2)) div (1000000L * cnt)"))
+          expr("""(CAST(268435456 AS DECIMAL(38,0)) * target_ppm * (total div 2))
+                 | div (1000000L * cnt)""".stripMargin))
           .as("keep_threshold"))
     docs
       .withColumn("sample_key", sampleDraw)
