@@ -1287,6 +1287,86 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** t49 feature-hash dimensionality. */
+  private val t49D = 512
+
+  /** Literal weight vector for the t49 linear scorer, emitted as the
+    * SAME %.17g decimal strings into both dialects so both engines
+    * parse bit-identical doubles (the a32 codebook stance: TRAINED
+    * weights move accuracy, never the featurize/score semantics this
+    * entry pins — and literals keep the whole pipeline
+    * DuckDB-replayable where a trained model never is). */
+  private[graft] val t49WeightStrs: Seq[String] = {
+    val rng = new scala.util.Random(24601)
+    Seq.fill(t49D)(rng.nextGaussian() * 0.5)
+      .map(v => String.format(java.util.Locale.ROOT, "%.17g", Double.box(v)))
+  }
+
+  /** t49: learned quality classifier — the fastText-style linear
+    * filter every published pretrain pipeline runs after the
+    * heuristics (CCNet's LM filter, LLaMA's "quality classifier",
+    * the model-based complement of t30's ratio heuristics and t46's
+    * hard Gopher gates): hashed bag-of-features (unigrams + the
+    * SHARED [[bigrams]] definition), one literal weight per bucket,
+    * mean-pooled dot product = logit, keep at logit ≥ 0 (= p ≥ 0.5
+    * without evaluating the sigmoid — exp() is libm-dependent and
+    * would break cross-engine byte equality; the DECISION and the
+    * logit are exactly portable, the probability is monotone in
+    * them).
+    *
+    * Feature hash is the sampleDraw md5 idiom per token (md5 → 7 hex
+    * digits → mod D), identical in both dialects; summation is a
+    * sequential left fold in document order on both sides (Spark
+    *  aggregate HOF = DuckDB list_sum — the a30/a31 precedent), so
+    * the logit matches bit-for-bit. Scan-stage only: zero shuffles,
+    * the weight vector rides the plan as a literal (at 100 TB: a
+    * ~4 KB broadcast, the same shape as shipping a real fastText
+    * model to executors — never a join, never a driver loop). */
+  def t49QualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val w = t49WeightStrs.map(_ + "d").mkString("array(", ",", ")")
+    def bucketSum(arrExpr: String): String =
+      s"""aggregate(transform($arrExpr, t ->
+         |  element_at($w,
+         |    cast(cast(conv(substring(md5(t), 1, 7), 16, 10) as bigint)
+         |      % $t49D as int) + 1)),
+         | 0.0d, (a, v) -> a + v)""".stripMargin
+    Tables.documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("grams", bigrams(col("toks")))
+      .withColumn("n_feats",
+        (size(col("toks")) + size(col("grams"))).cast("int"))
+      .withColumn("logit",
+        (expr(bucketSum("toks")) + expr(bucketSum("grams"))) / col("n_feats"))
+      .select(col("doc_id"), col("lang"), col("n_feats"),
+        round(col("logit"), 4).as("logit"),
+        (col("logit") >= 0.0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val t49Sql: String = {
+    val w = t49WeightStrs.mkString("[", ",", "]")
+    def bucketSum(arrExpr: String): String =
+      s"""coalesce(list_sum(list_transform($arrExpr, t ->
+         |  ($w)[CAST(CAST(('0x' || substr(md5(t), 1, 7)) AS BIGINT)
+         |        % $t49D AS INT) + 1])), 0.0)""".stripMargin
+    s"""WITH d AS (
+       | SELECT doc_id, lang, string_split(text, ' ') AS a FROM documents),
+       |f AS (
+       | SELECT doc_id, lang, a,
+       |  list_transform(generate_series(1, len(a) - 1),
+       |    i -> a[i] || ' ' || a[i+1]) AS g
+       | FROM d),
+       |sc AS (
+       | SELECT doc_id, lang,
+       |  CAST(len(a) + len(g) AS INT) AS n_feats,
+       |  (${bucketSum("a")} + ${bucketSum("g")})
+       |    / (len(a) + len(g)) AS logit_raw
+       | FROM f)
+       |SELECT doc_id, lang, n_feats, ROUND(logit_raw, 4) AS logit,
+       | logit_raw >= 0.0 AS keep
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t29_langid" -> (t29LangId _),
     "t30_quality" -> (t30Quality _),
@@ -1308,7 +1388,8 @@ object TextOps {
     "t45_vocab_apply" -> (t45VocabApply _),
     "t46_gopher_rules" -> (t46GopherRules _),
     "t47_cdc_chunk" -> (t47CdcChunk _),
-    "t48_mixture_resample" -> (t48MixtureResample _))
+    "t48_mixture_resample" -> (t48MixtureResample _),
+    "t49_quality_classifier" -> (t49QualityClassifier _))
 
   def oracles: Map[String, String] = Map(
     "t29_langid" -> t29Sql,
@@ -1330,5 +1411,6 @@ object TextOps {
     "t45_vocab_apply" -> t45Sql,
     "t46_gopher_rules" -> t46Sql,
     "t47_cdc_chunk" -> t47Sql,
-    "t48_mixture_resample" -> t48Sql)
+    "t48_mixture_resample" -> t48Sql,
+    "t49_quality_classifier" -> t49Sql)
 }

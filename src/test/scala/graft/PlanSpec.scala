@@ -293,6 +293,36 @@ class PlanSpec extends SparkSpec {
       s"queries side must broadcast:\n$plan")
   }
 
+  test("a35 label-filters via hash join and never exchanges the corpus before the coarse scan") {
+    // The production filtered-ANN claim in code: the label equi-key
+    // must become a BroadcastHashJoin (not a post-scoring filter),
+    // and the corpus side of the coarse scan must be scan→score with
+    // no Exchange between the parquet read and the join (queries +
+    // SQ8 stats broadcast; corpus never shuffled).
+    val (plan, _) = planOf("a35_ann_filtered_rerank")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"label equi-key must hash-join against the broadcast queries:\n$plan")
+    assert(plan.contains("Scan parquet"), "expected a parquet corpus scan")
+    // every Exchange must be: a broadcast (queries/stats/candidates),
+    // the final presentation range sort, or a hashpartitioning ON
+    // query_id — the post-partial-agg top-C stream, which the
+    // bounded-buffer aggregator caps at <=C rows per (query, map
+    // task) BEFORE it crosses the wire. Nothing may shuffle the
+    // scored corpus stream itself (that key would be vec_id/label).
+    plan.split("\n").filter(_.contains("Exchange")).foreach { l =>
+      assert(l.contains("Broadcast") || l.contains("rangepartitioning") ||
+        l.contains("SinglePartition") ||
+        (l.contains("hashpartitioning") &&
+          (l.contains("query_id") || l.contains("value#") ||
+            l.contains("i#"))),
+        s"unexpected corpus/score shuffle: $l")
+      // "value#" is groupByKey's serialized key column — the typed
+      // top-C aggregator keyed on query_id; "i#" is the per-DIMENSION
+      // stats rollup (64 rows, bounded by dimensionality not data)
+      // feeding the 1-row SQ8 bounds broadcast
+    }
+  }
+
   test("sweep: no query plan contains an unintended cartesian or nested-loop join") {
     // Every BNLJ below is a deliberate broadcast of a tiny side:
     //   a27  exact brute-force baseline — 8 query vectors broadcast

@@ -524,4 +524,45 @@ class TextOpsSpec extends SparkSpec {
       assert(stops >= 0 && stops <= 6, s"doc $id required-stopword count bounded by list size")
     }
   }
+
+  test("t49 classifier matches an independent JVM mirror of hash->bucket->fold on handcrafted docs") {
+    // Independent implementation path: java MessageDigest for the
+    // md5, the same %.17g-parsed weights, an explicit sequential
+    // fold — none of Spark's md5/conv/aggregate machinery. If
+    // tokenization, hex slicing, bucket arithmetic, pooling order,
+    // or the decision threshold drift, this disagrees.
+    val w = TextOps.t49WeightStrs.map(_.toDouble).toArray
+    def bucket(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 7)
+      (java.lang.Long.parseLong(hex, 16) % w.length).toInt
+    }
+    def logitOf(text: String): Double = {
+      val toks = text.split(" ", -1) // split(c," ") keeps empties
+      val grams = toks.dropRight(1).zip(toks.drop(1)).map(p => s"${p._1} ${p._2}")
+      val su = toks.foldLeft(0.0)((a, t) => a + w(bucket(t)))
+      val sb = grams.foldLeft(0.0)((a, g) => a + w(bucket(g)))
+      (su + sb) / (toks.length + grams.length)
+    }
+    val texts = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "a", // single token: zero bigrams, denominator stays 1
+      3L -> "data data data data data", // repeated token, repeated bigram
+      4L -> "exact arithmetic keeps engines honest across scales")
+    val dir = docsOf(texts: _*)
+    val out = SparkEntry.queries("t49_quality_classifier")(spark, dir)
+      .select("doc_id", "n_feats", "logit", "keep")
+      .as[(Long, Int, Double, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    texts.foreach { case (id, text) =>
+      val exp = logitOf(text)
+      val nToks = text.split(" ", -1).length
+      val (nf, lg, keep) = out(id)
+      assert(nf == 2 * nToks - 1, s"doc $id n_feats = unigrams + bigrams")
+      assert(math.abs(lg - math.rint(exp * 1e4) / 1e4) < 1e-12 ||
+        math.abs(lg - exp) < 5e-5, s"doc $id logit $lg vs mirror $exp")
+      assert(keep == (exp >= 0.0), s"doc $id keep decision")
+    }
+  }
 }
