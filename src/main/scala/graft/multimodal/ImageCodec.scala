@@ -34,6 +34,51 @@ object ImageCodec {
     else if (bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
     else None
 
+  /** Canonical 64-bit DIFFERENCE hash (dHash) over the decoded
+    * pixels: sample the top-down grayscale image on a 9×8
+    * nearest-neighbor grid, bit = right neighbor strictly brighter
+    * than its left. Container-independent (the same pixels as BMP
+    * and PPM hash identically, like pixelCrc) AND perceptually
+    * robust where the CRC is brittle: a global brightness shift
+    * changes every byte and the CRC but no GRADIENT, so the dHash
+    * is unchanged — the property m35 builds on. Integer-only
+    * arithmetic (BT.601 luma in fixed point, floor-division grid),
+    * so the hash is bit-stable across platforms. */
+  private[multimodal] def dHashOf(w: Int, h: Int,
+      pixel: (Int, Int, Int) => Int): Long = {
+    def gray(gx: Int, gy: Int): Int = {
+      val x = math.min(gx * w / 9, w - 1)
+      val y = math.min(gy * h / 8, h - 1)
+      (pixel(x, y, 0) * 299 + pixel(x, y, 1) * 587 + pixel(x, y, 2) * 114) / 1000
+    }
+    var hash = 0L
+    var bit = 0
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (gray(gx + 1, gy) > gray(gx, gy)) hash |= 1L << bit
+        bit += 1
+        gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
+
+  /** Decode + dHash in one pass, any supported container. */
+  def decodeDHash(bytes: Array[Byte]): Option[Long] =
+    decodeAccessor(bytes).map { case (_, w, h, px) => dHashOf(w, h, px) }
+
+  /** Parse a payload down to (format, w, h, pixel accessor) without
+    * walking pixels — shared by the stats pass and the dHash pass. */
+  private def decodeAccessor(bytes: Array[Byte])
+      : Option[(String, Int, Int, (Int, Int, Int) => Int)] =
+    if (bytes == null || bytes.length < 2) None
+    else if (bytes(0) == 'B' && bytes(1) == 'M') parseBmp(bytes)
+    else if (bytes(0) == 'P' && bytes(1) == '6') parsePpm(bytes)
+    else None
+
   /** Canonical stats pass shared by both decoders: `pixel(x, y, c)`
     * returns the channel byte (c: 0=R,1=G,2=B) of the TOP-DOWN
     * row-major image. */
@@ -62,7 +107,11 @@ object ImageCodec {
   /** BMP: 24-bit uncompressed BITMAPINFOHEADER only — the format a
     * round-trip spec can construct by hand. Other depths/compressions
     * → None. */
-  private[multimodal] def decodeBmp(b: Array[Byte]): Option[DecodedImage] = {
+  private[multimodal] def decodeBmp(b: Array[Byte]): Option[DecodedImage] =
+    parseBmp(b).map { case (f, w, h, px) => stats(f, w, h, px) }
+
+  private def parseBmp(b: Array[Byte])
+      : Option[(String, Int, Int, (Int, Int, Int) => Int)] = {
     if (b.length < 54) return None
     val dataOffset = le32(b, 10)
     val dibSize = le32(b, 14)
@@ -79,7 +128,7 @@ object ImageCodec {
     val stride = ((w.toLong * 3 + 3) / 4) * 4
     if (w > (Int.MaxValue - 3) / 3 || stride * h > Int.MaxValue.toLong ||
         dataOffset < 54 || dataOffset.toLong + stride * h > b.length) return None
-    Some(stats("bmp", w, h, (x, y, c) => {
+    Some(("bmp", w, h, (x: Int, y: Int, c: Int) => {
       val srcRow = if (topDown) y else h - 1 - y // stored bottom-up by default
       val base = dataOffset + srcRow * stride.toInt + 3 * x
       // BGR on disk → channel c (0=R,1=G,2=B) reads byte (2-c)
@@ -89,7 +138,11 @@ object ImageCodec {
 
   /** PPM P6: ASCII header (`P6 <w> <h> <maxval≤255>`, #-comments
     * allowed, ONE whitespace byte after maxval), then raw RGB. */
-  private[multimodal] def decodePpm(b: Array[Byte]): Option[DecodedImage] = {
+  private[multimodal] def decodePpm(b: Array[Byte]): Option[DecodedImage] =
+    parsePpm(b).map { case (f, w, h, px) => stats(f, w, h, px) }
+
+  private def parsePpm(b: Array[Byte])
+      : Option[(String, Int, Int, (Int, Int, Int) => Int)] = {
     var pos = 2 // past "P6"
     def token(): Option[Int] = {
       // skip whitespace and #-comments
@@ -115,7 +168,8 @@ object ImageCodec {
           w <= (Int.MaxValue - 3) / 3 / math.max(h, 1) &&
             pos.toLong + 3L * w * h <= b.length
         }
-    } yield stats("ppm", w, h, (x, y, c) => b(pos + 3 * (y * w + x) + c) & 0xff)
+    } yield ("ppm", w, h,
+      (x: Int, y: Int, c: Int) => b(pos + 3 * (y * w + x) + c) & 0xff)
   }
 
   /** Encode row-major top-down RGB pixels as a 24-bit BI_RGB BMP

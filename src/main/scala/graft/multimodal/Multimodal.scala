@@ -348,9 +348,98 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** m35 content-group modulus and the planted variant scheme. */
+  private[multimodal] val m35ContentMod = 40L
+
+  /** Bounded-channel pixels (0..199) so the +4 brightness variant
+    * can never wrap a byte — wrapping would invert a gradient and
+    * break the invariance the spec pins. Sized ≥ the 9×8 dHash grid
+    * so downsampling is real, not degenerate upsampling. */
+  private[graft] def m35Rgb(cid: Long, bright: Int): (Int, Int, Array[Byte]) = {
+    val w = 9 + (cid % 8).toInt
+    val h = 8 + (cid % 5).toInt
+    (w, h, Array.tabulate(3 * w * h)(i =>
+      (((cid * 31 + i * 7) % 200 + bright).toByte)))
+  }
+
+  /** Image table with planted PERCEPTUAL near-duplicates: each
+    * content id appears as (variant 0) a BMP, (variant 1) the same
+    * pixels as PPM — the m34 cross-container case — and (variant 2)
+    * a BMP with every channel shifted +4: different bytes, different
+    * pixel CRC (m34's key misses it), same gradients (m35's key
+    * catches it). */
+  private[graft] def mediaTableNearImages(s: SparkSession, dir: String)
+      : Dataset[MediaRecord] = {
+    import s.implicits._
+    mediaTable(s, dir).map { r =>
+      val cid = r.doc_id % m35ContentMod
+      val variant = (r.doc_id / m35ContentMod) % 3
+      val (w, h, rgb) = m35Rgb(cid, if (variant == 2) 4 else 0)
+      val payload =
+        if (variant == 1) ImageCodec.encodePpm(w, h, rgb)
+        else ImageCodec.encodeBmp(w, h, rgb)
+      r.copy(modality = "image", payload = payload,
+        meta = r.meta.copy(mime = "image/*", width = w, height = h))
+    }
+  }
+
+  /** m35: perceptual image near-dup — the d24 SimHash pipeline
+    * applied to PIXELS instead of text: per-partition batched decode
+    * → canonical 64-bit dHash ([[ImageCodec.dHashOf]]: 9×8
+    * grayscale-gradient grid, container-independent AND
+    * brightness-shift-invariant, which is exactly what m34's
+    * decoded-content CRC cannot give — a re-encoded, slightly
+    * re-leveled crawl image changes every byte and the CRC but not
+    * its gradients), then 4×16-bit band equi-join (pigeonhole: any
+    * pair within Hamming ≤ 3 shares at least one intact band),
+    * first-equal-band uniqueness (the d23 stance — no pair-dedup
+    * shuffle), and an exact popcount verify on the 64-bit hashes.
+    *
+    * Scale shape: decode+hash is the m33 per-partition map (zero
+    * shuffle, 8 bytes of hash per image cross the wire — not
+    * pixels); candidates are a bucketed equi-join on (band, chunk),
+    * never all-pairs; the verify is one codegen'd xor+bit_count per
+    * candidate. Rows-only entry (payloads are JVM-encoded containers
+    * no SQL engine can decode); MultimodalSpec pins the planted
+    * group structure, the brightness-invariance capture, and the
+    * pigeonhole soundness. */
+  def m35MediaNeardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = mediaTableNearImages(s, dir)
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map(r =>
+        (r.doc_id, ImageCodec.decodeDHash(r.payload).getOrElse(-1L)))))
+      .toDF("doc_id", "dhash")
+      .filter(col("dhash") =!= -1L)
+    val banded = hashes.select(col("doc_id"), col("dhash"),
+      explode(expr(
+        """transform(sequence(0, 3), i ->
+          |  struct(i AS band, shiftright(dhash, 16 * i) & 65535 AS chunk))"""
+          .stripMargin)).as("b"))
+      .select(col("doc_id"), col("dhash"),
+        col("b.band").as("band"), col("b.chunk").as("chunk"))
+    val a = banded.select(col("band"), col("chunk"),
+      col("doc_id").as("doc_a"), col("dhash").as("hash_a"))
+    val b = banded.select(col("band"), col("chunk"),
+      col("doc_id").as("doc_b"), col("dhash").as("hash_b"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      // first-equal-band: emit each pair from exactly ONE band — a
+      // pure projection filter on the two hashes, no distinct shuffle
+      .filter(col("band") === expr(
+        """CASE WHEN (hash_a & 65535) = (hash_b & 65535) THEN 0
+          |     WHEN (shiftright(hash_a, 16) & 65535) = (shiftright(hash_b, 16) & 65535) THEN 1
+          |     WHEN (shiftright(hash_a, 32) & 65535) = (shiftright(hash_b, 32) & 65535) THEN 2
+          |     ELSE 3 END""".stripMargin))
+      .withColumn("hamming", expr("bit_count(hash_a ^ hash_b)"))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m33_multimodal" -> (m33Multimodal _),
-    "m34_media_dedup" -> (m34MediaDedup _))
+    "m34_media_dedup" -> (m34MediaDedup _),
+    "m35_media_neardup" -> (m35MediaNeardup _))
 
   def oracles: Map[String, String] = Map.empty
 }

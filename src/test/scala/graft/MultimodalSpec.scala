@@ -407,4 +407,51 @@ class MultimodalSpec extends SparkSpec {
     assert(byteCrcs.distinct.length > 1,
       "containers differ at byte level, so byte-hash dedup would have missed the pair")
   }
+
+  test("m35 perceptual near-dup: planted groups complete, brightness invariance, pair uniqueness") {
+    val pairs = SparkEntry.queries("m35_media_neardup")(spark, sfDir)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.nonEmpty)
+    // contract: ordered pairs, bounded hamming, first-equal-band
+    // uniqueness (each pair emitted from exactly one band)
+    pairs.foreach { case (a, b, h) =>
+      assert(a < b && h >= 0 && h <= 3, s"pair ($a,$b,$h) contract")
+    }
+    assert(pairs.map(p => (p._1, p._2)).distinct.length == pairs.length,
+      "band join must emit each pair exactly once")
+    // every planted same-content pair (all three variants share the
+    // dHash by construction) must be found — banding loses nothing
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    val ids = Multimodal.mediaTableNearImages(spark, sfDir)
+      .select("doc_id").as[Long].collect()
+    val byCid = ids.groupBy(_ % 40L)
+    byCid.values.foreach { group =>
+      val sorted = group.sorted
+      for (i <- sorted.indices; j <- i + 1 until sorted.length)
+        assert(found((sorted(i), sorted(j))),
+          s"planted pair (${sorted(i)},${sorted(j)}) missed")
+    }
+    // the m35-over-m34 claim, proven on one concrete trio: same cid's
+    // variant-0 (BMP base) and variant-2 (BMP +4 brightness) have
+    // DIFFERENT pixels and pixel CRCs — m34's content key misses
+    // them — but identical dHash (gradients unchanged)
+    val cid = ids.min % 40L
+    def payloadOf(variant: Long): Array[Byte] = {
+      val (w, h, rgb) = Multimodal.m35Rgb(cid, if (variant == 2) 4 else 0)
+      graft.multimodal.ImageCodec.encodeBmp(w, h, rgb)
+    }
+    val img0 = graft.multimodal.ImageCodec.decode(payloadOf(0)).get
+    val img2 = graft.multimodal.ImageCodec.decode(payloadOf(2)).get
+    assert(img0.pixelCrc != img2.pixelCrc,
+      "brightness shift changes the content CRC (m34 key diverges)")
+    assert(graft.multimodal.ImageCodec.decodeDHash(payloadOf(0)) ==
+      graft.multimodal.ImageCodec.decodeDHash(payloadOf(2)),
+      "dHash is brightness-shift invariant (m35 key holds)")
+    // and container independence carries over from m34: BMP vs PPM of
+    // the same pixels hash identically
+    val (w, h, rgb) = Multimodal.m35Rgb(cid, 0)
+    assert(graft.multimodal.ImageCodec.decodeDHash(
+      graft.multimodal.ImageCodec.encodePpm(w, h, rgb)) ==
+      graft.multimodal.ImageCodec.decodeDHash(payloadOf(0)))
+  }
 }
