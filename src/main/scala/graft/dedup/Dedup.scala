@@ -1490,6 +1490,87 @@ object Dedup {
        |SELECT a AS vec_id, MIN(b) AS component_id, MIN(b) = a AS keep
        |FROM reach GROUP BY a ORDER BY vec_id""".stripMargin
 
+  /** d35 planted-content map. With batch = id ≡ 0 (mod 4), a single
+    * modulus can't populate all three outcome classes (a modulus
+    * ≡ 0 mod 4 keeps every content class inside one parity — no
+    * index hits; ≡ 2 mod 4 crosses parities — no in-batch dups), so
+    * content is planted piecewise on id mod 12 (batch residues
+    * 0, 4, 8): id ≡ 4 copies id−4 (a batch twin → dup_in_batch),
+    * id ≡ 8 copies id−5 (≡ 3, historical → dup_of_index), and id ≡ 0
+    * keeps its own text (its only copy is the ≡ 4 batch twin →
+    * accepted as batch-min). Every class is non-empty at any SF. */
+  private val d35Cid =
+    """CASE WHEN doc_id % 12 = 4 THEN doc_id - 4
+      |     WHEN doc_id % 12 = 8 THEN doc_id - 5
+      |     ELSE doc_id END""".stripMargin
+
+  /** d35: incremental dedup against a persisted fingerprint index —
+    * the shape a daily-crawl pipeline actually runs at 100 TB: you
+    * never re-dedup the corpus, you dedup the NEW BATCH against (a)
+    * the accumulated index and (b) itself. The index here is a real
+    * persisted artifact (parquet snapshot of historical
+    * fingerprints, read back — the q30/s42 persisted-state stance,
+    * not a plan branch), keyed by d22's canonical [[graft.text
+    * .TextOps.fingerprint]] so batch and full dedup can never
+    * disagree on the key.
+    *
+    * The sf corpus has zero EXACT duplicates (500 distinct
+    * fingerprints in 500 docs), so the entry plants a deterministic
+    * dup structure both engines derive identically (the t43 stance):
+    * each doc's text is replaced by the text of doc [[d35Cid]] via a
+    * self-join. Batch = id ≡ 0 (mod 4).
+    *
+    * Shape: one fingerprint groupBy for the index build, one
+    * fingerprint-keyed left join + one batch-local window for
+    * classification. At 100 TB the index is written bucketed by
+    * fingerprint (q33), making the daily batch-vs-index join
+    * exchange-free on the index side; the batch-local window
+    * shuffles only the day's batch, never the corpus. Statuses:
+    * dup_of_index / dup_in_batch / accepted — accepted rows are
+    * exactly what gets appended to the index, and DedupSpec proves
+    * index ∪ accepted == the full-recompute d22 key set (the s42
+    * incremental==recompute property, for dedup). */
+  def d35IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val planted = docs.select(col("doc_id"), expr(d35Cid).as("cid"))
+      .join(docs.select(col("doc_id").as("cid"), col("text").as("ctext")), "cid")
+      .select(col("doc_id"),
+        graft.text.TextOps.fingerprint(col("ctext")).as("fingerprint"))
+    val idxDir = graft.sources.Export.scratch("d35_index", dir)
+    planted.filter(col("doc_id") % 4 =!= 0)
+      .groupBy("fingerprint").agg(min("doc_id").as("index_doc_id"))
+      .write.mode("overwrite").parquet(idxDir)
+    val index = s.read.parquet(idxDir)
+    val batch = planted.filter(col("doc_id") % 4 === 0)
+    val wFp = org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")
+    batch
+      .join(index.withColumn("in_index", lit(true)), Seq("fingerprint"), "left")
+      .withColumn("batch_min", min(col("doc_id")).over(wFp))
+      .select(col("doc_id"), col("fingerprint"),
+        when(col("in_index"), "dup_of_index")
+          .when(col("doc_id") =!= col("batch_min"), "dup_in_batch")
+          .otherwise("accepted").as("status"))
+      .orderBy("doc_id")
+  }
+
+  val d35Sql: String =
+    s"""WITH planted AS (
+       | SELECT d.doc_id,
+       |  md5(regexp_replace(lower(trim(b.text)), '\\s+', ' ', 'g')) AS fingerprint
+       | FROM documents d JOIN documents b ON b.doc_id =
+       |  CASE WHEN d.doc_id % 12 = 4 THEN d.doc_id - 4
+       |       WHEN d.doc_id % 12 = 8 THEN d.doc_id - 5
+       |       ELSE d.doc_id END),
+       |idx AS (
+       | SELECT fingerprint FROM planted WHERE doc_id % 4 <> 0 GROUP BY 1),
+       |batch AS (SELECT * FROM planted WHERE doc_id % 4 = 0)
+       |SELECT doc_id, fingerprint,
+       | CASE WHEN fingerprint IN (SELECT fingerprint FROM idx) THEN 'dup_of_index'
+       |      WHEN doc_id <> min(doc_id) OVER (PARTITION BY fingerprint)
+       |        THEN 'dup_in_batch'
+       |      ELSE 'accepted' END AS status
+       |FROM batch ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d22_dedup_exact" -> (d22DedupExact _),
     "d23_dedup_minhash" -> (d23DedupMinhash _),
@@ -1508,7 +1589,8 @@ object Dedup {
     "d30_repeated_ngrams" -> (d30RepeatedNgrams _),
     "d31_passage_scrub" -> (d31PassageScrub _),
     "d32_embed_dedup" -> (d32EmbedDedup _),
-    "d34_line_dedup" -> (d34LineDedup _))
+    "d34_line_dedup" -> (d34LineDedup _),
+    "d35_incremental_dedup" -> (d35IncrementalDedup _))
 
   def oracles: Map[String, String] = Map(
     "d22_dedup_exact" -> d22Sql,
@@ -1524,5 +1606,6 @@ object Dedup {
     "d30_repeated_ngrams" -> d30Sql,
     "d31_passage_scrub" -> d31Sql,
     "d32_embed_dedup" -> d32Sql,
-    "d34_line_dedup" -> d34Sql)
+    "d34_line_dedup" -> d34Sql,
+    "d35_incremental_dedup" -> d35Sql)
 }

@@ -438,4 +438,44 @@ class DedupSpec extends SparkSpec {
     assert(res(3L)._3 == 0L && res(3L)._4 ==
       "r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8")
   }
+
+  test("d35 incremental dedup equals the full recompute and classifies every planted shape") {
+    val out = SparkEntry.queries("d35_incremental_dedup")(spark, sfDir)
+      .as[(Long, String, String)].collect()
+    assert(out.nonEmpty)
+    val byStatus = out.groupBy(_._3).view.mapValues(_.toSeq).toMap
+    // all three planted outcome classes occur, or the gate is vacuous
+    Seq("accepted", "dup_in_batch", "dup_of_index").foreach(s =>
+      assert(byStatus.contains(s), s"status $s never produced"))
+    // the planted structure is exact: id≡4 (mod 12) pairs with its
+    // batch twin id−4 (one accepted, one dup_in_batch); id≡8's twin
+    // is historical, so every id≡8 batch doc is an index hit
+    out.foreach { case (id, _, st) =>
+      (id % 12) match {
+        case 0L => assert(st == "accepted", s"doc $id (batch-min of its pair)")
+        case 4L => assert(st == "dup_in_batch", s"doc $id (its twin $id-4 wins)")
+        case 8L => assert(st == "dup_of_index", s"doc $id (historical twin)")
+        case r  => fail(s"doc $id with residue $r should not be in the batch")
+      }
+    }
+    // THE incremental==recompute property (the s42 stance for dedup):
+    // index fingerprints ∪ accepted fingerprints == the full-corpus
+    // distinct key set of the planted corpus, and the two are disjoint
+    val docs = Tables.documents(spark, sfDir)
+    val planted = docs.select(col("doc_id"), expr(
+      """CASE WHEN doc_id % 12 = 4 THEN doc_id - 4
+        |     WHEN doc_id % 12 = 8 THEN doc_id - 5
+        |     ELSE doc_id END""".stripMargin).as("cid"))
+      .join(docs.select(col("doc_id").as("cid"), col("text").as("ctext")), "cid")
+      .select(col("doc_id"),
+        graft.text.TextOps.fingerprint(col("ctext")).as("fp"))
+    val all = planted.select("fp").as[String].collect().toSet
+    val index = planted.filter(col("doc_id") % 4 =!= 0)
+      .select("fp").as[String].collect().toSet
+    val accepted = byStatus("accepted").map(_._2).toSet
+    assert((index ++ accepted) == all,
+      "index + accepted must cover every distinct fingerprint")
+    assert((index & accepted).isEmpty,
+      "accepted keys must be NEW to the index")
+  }
 }

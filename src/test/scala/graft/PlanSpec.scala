@@ -368,10 +368,14 @@ class PlanSpec extends SparkSpec {
     // pre-cutoff gold at construction — q34's skip behavior is pinned
     // by ExportSpec's bucket-rectangle audit, q35/s42's join shapes
     // are plain keyed joins pinned by their oracles and specs)
+    // (d35 writes its fingerprint index snapshot at construction —
+    // its join shapes are one keyed left join + one batch window,
+    // pinned by its oracle and the DedupSpec recompute property)
     val eagerEntries = Set("q30_incremental_export", "q31_export_roundtrip",
       "d27_dedup_components", "d27b_components_oracle", "d32_embed_dedup",
       "q33_bucketed_join", "d33_bloom_decontaminate",
-      "q34_zorder", "q35_snapshot_diff", "s42_apply_changes")
+      "q34_zorder", "q35_snapshot_diff", "s42_apply_changes",
+      "d35_incremental_dedup")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => eagerEntries(q._1)).foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
