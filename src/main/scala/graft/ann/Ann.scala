@@ -266,7 +266,7 @@ object Ann {
   /** Per-vector squared-L2 distances to the 16 literal centroids, as
     * array<double> — subtract/square/sequential-sum in the same
     * order both engines evaluate, so the argmin is bit-reproducible. */
-  private def centroidDistsExpr(embCol: String): Column = {
+  private[graft] def centroidDistsExpr(embCol: String): Column = {
     val cents = centroidStrs
       .map(_.map(_ + "D").mkString("array(", ",", ")"))
       .mkString("array(", ",", ")")

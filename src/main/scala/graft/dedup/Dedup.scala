@@ -1571,6 +1571,65 @@ object Dedup {
        |      ELSE 'accepted' END AS status
        |FROM batch ORDER BY doc_id""".stripMargin
 
+  /** d36 per-cell quota. */
+  private val d36Quota = 8
+
+  /** d36: cluster-balanced sampling — the semantic-diversity
+    * subsample (the SemDeDup/DataComp curation shape: cluster the
+    * embedding space, then take a bounded quota per cluster so the
+    * subsample covers the SPACE rather than mirroring the corpus's
+    * topic skew — the head topic contributes its quota, not its
+    * share). Routing reuses a29b's literal-centroid argmin
+    * ([[graft.ann.Ann.centroidDistsExpr]] — ONE definition, so the
+    * sampler and the IVF index can never disagree about cells);
+    * within a cell the quota keeps the q lowest deterministic draws
+    * (t36's md5 draw on vec_id), so the per-cell selection is a
+    * uniform random-but-replayable sample, not a quality ranking.
+    *
+    * Scale shape: routing is a scan-stage projection (16 literal
+    * centroids, zero joins); the quota is ONE window over cell —
+    * 16 cells at any corpus size, and at 100 TB the window becomes
+    * a bounded top-q-per-key aggregation (the a27 bounded-buffer
+    * shape) rather than a full sort; output is corpus-sized with a
+    * keep flag. Fully deterministic → DuckDB replays routing, draw,
+    * rank, and quota bit-for-bit. */
+  def d36ClusterSample(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cell").orderBy("draw", "vec_id")
+    Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      .withColumn("dl", graft.ann.Ann.centroidDistsExpr("embedding"))
+      .withColumn("cell",
+        expr("CAST(array_position(dl, array_min(dl)) - 1 AS INT)"))
+      .withColumn("draw", expr(
+        "cast(conv(substring(md5(cast(vec_id as string)), 1, 7), 16, 10) as bigint)"))
+      .withColumn("cell_rank", row_number().over(w))
+      .select(col("vec_id"), col("cell"), col("draw"),
+        col("cell_rank"), (col("cell_rank") <= d36Quota).as("keep"))
+      .orderBy("vec_id")
+  }
+
+  val d36Sql: String = {
+    val centsDuck = graft.ann.Ann.centroidStrs
+      .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    s"""WITH cells AS (
+       | SELECT vec_id,
+       |  CAST(list_indexof(dl, list_min(dl)) - 1 AS INT) AS cell,
+       |  CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 7)) AS BIGINT) AS draw
+       | FROM (
+       |  SELECT vec_id,
+       |   list_transform($centsDuck,
+       |     c -> list_sum(list_transform(list_zip(c, embedding),
+       |            p -> (p[1] - CAST(p[2] AS DOUBLE)) * (p[1] - CAST(p[2] AS DOUBLE))))) AS dl
+       |  FROM embeddings))
+       |SELECT vec_id, cell, draw,
+       | CAST(cell_rank AS INT) AS cell_rank, cell_rank <= $d36Quota AS keep
+       |FROM (
+       | SELECT *, row_number() OVER (PARTITION BY cell ORDER BY draw, vec_id)
+       |   AS cell_rank
+       | FROM cells)
+       |ORDER BY vec_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d22_dedup_exact" -> (d22DedupExact _),
     "d23_dedup_minhash" -> (d23DedupMinhash _),
@@ -1590,7 +1649,8 @@ object Dedup {
     "d31_passage_scrub" -> (d31PassageScrub _),
     "d32_embed_dedup" -> (d32EmbedDedup _),
     "d34_line_dedup" -> (d34LineDedup _),
-    "d35_incremental_dedup" -> (d35IncrementalDedup _))
+    "d35_incremental_dedup" -> (d35IncrementalDedup _),
+    "d36_cluster_sample" -> (d36ClusterSample _))
 
   def oracles: Map[String, String] = Map(
     "d22_dedup_exact" -> d22Sql,
@@ -1607,5 +1667,6 @@ object Dedup {
     "d31_passage_scrub" -> d31Sql,
     "d32_embed_dedup" -> d32Sql,
     "d34_line_dedup" -> d34Sql,
-    "d35_incremental_dedup" -> d35Sql)
+    "d35_incremental_dedup" -> d35Sql,
+    "d36_cluster_sample" -> d36Sql)
 }

@@ -478,4 +478,41 @@ class DedupSpec extends SparkSpec {
     assert((index & accepted).isEmpty,
       "accepted keys must be NEW to the index")
   }
+
+  test("d36 cluster sample: quota per cell exactly, balanced despite skew, replayable draws") {
+    val out = SparkEntry.queries("d36_cluster_sample")(spark, sfDir)
+      .as[(Long, Int, Long, Int, Boolean)].collect()
+    val total = Tables.embeddings(spark, sfDir).count()
+    assert(out.length == total, "one row per vector, corpus-sized output")
+    val byCell = out.groupBy(_._2)
+    byCell.foreach { case (cell, rows) =>
+      val kept = rows.count(_._5)
+      assert(kept == math.min(8, rows.length),
+        s"cell $cell must keep min(quota, size)")
+      // keep == the q lowest (draw, vec_id) — selection is uniform
+      // in the deterministic draw, not correlated with vec_id order
+      val sorted = rows.sortBy(r => (r._3, r._1)).map(_._1).take(kept).toSet
+      assert(rows.filter(_._5).map(_._1).toSet == sorted,
+        s"cell $cell keeps exactly the lowest draws")
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length).toSeq,
+        s"cell $cell ranks are a permutation")
+    }
+    // the balancing property is non-vacuous on this corpus: cell
+    // sizes are SKEWED (max > 2x min over populated cells) yet every
+    // cell large enough contributes the identical quota
+    val sizes = byCell.values.map(_.length).toSeq
+    assert(sizes.max > 2 * sizes.min || sizes.size == 1,
+      s"expected a skewed routing distribution, got $sizes")
+    val fullCells = byCell.values.filter(_.length >= 8)
+    assert(fullCells.nonEmpty &&
+      fullCells.forall(_.count(_._5) == 8),
+      "every full cell contributes exactly the quota - the head topic is capped")
+    // draw replays: md5-based, independent recompute
+    out.take(20).foreach { case (id, _, draw, _, _) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 7)
+      assert(draw == java.lang.Long.parseLong(hex, 16), s"draw of $id")
+    }
+  }
 }
