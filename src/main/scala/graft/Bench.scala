@@ -32,7 +32,12 @@ object Bench {
     "q29_json_keys", "q31_export_roundtrip", "q33_bucketed_join",
     "a29_ann_ivf", "a29b_ann_ivf_oracle",
     "d31_passage_scrub", "d32_embed_dedup",
-    "a33_ann_ivfpq", "q34_zorder")
+    "a33_ann_ivfpq", "q34_zorder",
+    // r9: every query whose clean sf0.1 median crossed ~2 s joins
+    // the attribution set (t35/t38/t40/s39 sat in family groups; m35
+    // is pair-volume-heavy on the planted-dup corpus)
+    "t35_repetition", "t38_keyphrase", "t40_pipeline",
+    "s39_stream_decontaminate", "m35_media_neardup")
 
   private def familyOf(name: String): String =
     if (solo(name)) name
