@@ -37,7 +37,9 @@ object Bench {
     // the attribution set (t35/t38/t40/s39 sat in family groups; m35
     // is pair-volume-heavy on the planted-dup corpus)
     "t35_repetition", "t38_keyphrase", "t40_pipeline",
-    "s39_stream_decontaminate", "m35_media_neardup")
+    "s39_stream_decontaminate", "m35_media_neardup",
+    // d23b-scale pair volume (1.96M verified pairs at sf0.1)
+    "d37_incremental_neardup")
 
   private def familyOf(name: String): String =
     if (solo(name)) name

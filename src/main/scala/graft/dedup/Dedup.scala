@@ -220,7 +220,11 @@ object Dedup {
     * exact bigram Jaccard, hash-checking the whole web-scale
     * pipeline end-to-end. Takes unigram-shingled docs
     * (doc_id, sh). */
-  private[graft] def md5BandCandidatePairs(docs: DataFrame): DataFrame = {
+  /** The md5-affine band stream (doc_id, bandh, band_id, band_hash)
+    * shared by d23b/d25c's candidate join and d37's persisted index —
+    * one definition, so the incremental index and the full-corpus
+    * candidate stage can never disagree on a band hash. */
+  private[graft] def md5BandStream(docs: DataFrame): DataFrame = {
     // ONE md5 per (doc, token), codegen'd on exploded rows — an
     // interpreted transform(seq(16), transform(sh, md5…)) lambda
     // nest costs 16 md5/token and ran ~6× slower end-to-end
@@ -235,8 +239,12 @@ object Dedup {
     val banded = sigs.withColumn("bandh", expr(
       """array(xxhash64(m0, m1, m2, m3), xxhash64(m4, m5, m6, m7),
         |      xxhash64(m8, m9, m10, m11), xxhash64(m12, m13, m14, m15))""".stripMargin))
-    val stream = banded.select(col("doc_id"), col("bandh"),
+    banded.select(col("doc_id"), col("bandh"),
       posexplode(col("bandh")).as(Seq("band_id", "band_hash")))
+  }
+
+  private[graft] def md5BandCandidatePairs(docs: DataFrame): DataFrame = {
+    val stream = md5BandStream(docs)
     val probe = stream.repartition(col("band_id"), col("band_hash"))
     // COLLISION ASYMMETRY: the Spark side equi-joins on
     // xxhash64(m0..m3) band hashes (a fixed-width join key), while
@@ -1630,6 +1638,66 @@ object Dedup {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** d37: incremental NEAR-dup against a persisted band index — d35's
+    * daily-crawl stance applied to d23's LSH: the history's md5-affine
+    * band stream ([[md5BandStream]] — the SAME definition d23b/d25c's
+    * full-corpus candidate stage uses) is persisted as the index;
+    * the new batch probes it with a band equi-join (new-vs-old
+    * candidates) and runs the ordinary band self-join within itself
+    * (new-vs-new candidates); both streams feed the ONE shared
+    * [[verifyPairs]] exact-Jaccard verify. Output labels each
+    * surviving pair vs_index / in_batch.
+    *
+    * Scale shape: the index is append-only band rows (4 per doc,
+    * 3 longs each) — at 100 TB it lives bucketed by (band_id,
+    * band_hash), so the daily probe join is exchange-free on the
+    * index side and only the day's band rows shuffle; the verify
+    * attaches shingles for candidate pairs ONLY (d23's size-ratio
+    * prefilter applies unchanged). Fully DuckDB-replayed: the oracle
+    * reruns the identical affine signatures with the split as a
+    * join-predicate CASE — incremental banding loses nothing the
+    * full-corpus oracle finds across the split. */
+  def d37IncrementalNeardup(s: SparkSession, dir: String): DataFrame = {
+    val docs = shingledDocs(s, dir)
+    val idxDir = graft.sources.Export.scratch("d37_index", dir)
+    md5BandStream(docs.filter(col("doc_id") % 4 =!= 0))
+      .write.mode("overwrite").parquet(idxDir)
+    val index = s.read.parquet(idxDir)
+    val batchDocs = docs.filter(col("doc_id") % 4 === 0)
+    val batchStream = md5BandStream(batchDocs)
+      .repartition(col("band_id"), col("band_hash"))
+    val vsIndex = index.as("a").join(batchStream.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.band_id") ===
+            SetExprs.firstEqualBand(col("a.bandh"), col("b.bandh"), 1))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val inBatch = md5BandCandidatePairs(batchDocs)
+    // rows-only presentation: no global sort (the d23b stance — the
+    // driver compare sorts rows itself)
+    verifyPairs(vsIndex.union(inBatch), docs, Attach.Auto)
+      .withColumn("source",
+        when(col("doc_a") % 4 === 0, "in_batch").otherwise("vs_index"))
+  }
+
+  val d37Sql: String =
+    s"""WITH $md5SigsCte,
+       |banded AS (
+       | SELECT s.doc_id, d.sh, s.* EXCLUDE (doc_id)
+       | FROM sigs s JOIN docs d ON s.doc_id = d.doc_id)
+       |SELECT doc_a, doc_b, jaccard,
+       | CASE WHEN doc_a % 4 = 0 THEN 'in_batch' ELSE 'vs_index' END AS source
+       |FROM (
+       | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+       | FROM banded a JOIN banded b
+       |  ON b.doc_id % 4 = 0
+       |  AND (CASE WHEN a.doc_id % 4 = 0 THEN a.doc_id < b.doc_id
+       |            ELSE a.doc_id <> b.doc_id END)
+       |  AND ($bandEqSql))
+       |WHERE jaccard >= 0.7""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d22_dedup_exact" -> (d22DedupExact _),
     "d23_dedup_minhash" -> (d23DedupMinhash _),
@@ -1650,7 +1718,8 @@ object Dedup {
     "d32_embed_dedup" -> (d32EmbedDedup _),
     "d34_line_dedup" -> (d34LineDedup _),
     "d35_incremental_dedup" -> (d35IncrementalDedup _),
-    "d36_cluster_sample" -> (d36ClusterSample _))
+    "d36_cluster_sample" -> (d36ClusterSample _),
+    "d37_incremental_neardup" -> (d37IncrementalNeardup _))
 
   def oracles: Map[String, String] = Map(
     "d22_dedup_exact" -> d22Sql,
@@ -1668,5 +1737,6 @@ object Dedup {
     "d32_embed_dedup" -> d32Sql,
     "d34_line_dedup" -> d34Sql,
     "d35_incremental_dedup" -> d35Sql,
-    "d36_cluster_sample" -> d36Sql)
+    "d36_cluster_sample" -> d36Sql,
+    "d37_incremental_neardup" -> d37Sql)
 }

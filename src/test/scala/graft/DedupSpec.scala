@@ -515,4 +515,30 @@ class DedupSpec extends SparkSpec {
       assert(draw == java.lang.Long.parseLong(hex, 16), s"draw of $id")
     }
   }
+
+  test("d37 incremental near-dup equals the full recompute restricted to batch-touching pairs") {
+    val inc = SparkEntry.queries("d37_incremental_neardup")(spark, sfDir)
+      .as[(Long, Long, Double, String)].collect().toSet
+    assert(inc.nonEmpty)
+    assert(inc.exists(_._4 == "vs_index") && inc.exists(_._4 == "in_batch"),
+      "both candidate sources must occur or the gate is vacuous")
+    // d23b is the full-corpus recompute on the same md5-affine bands;
+    // restricting its pairs to those touching the batch and
+    // reorienting (vs_index pairs put the HISTORICAL doc first, the
+    // index side) must reproduce d37 exactly — the daily incremental
+    // run finds precisely what a from-scratch rerun would
+    val full = Dedup.d23bMinhashOracle(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+    val expected = full.flatMap { case (a, b, j) =>
+      (a % 4 == 0, b % 4 == 0) match {
+        case (true, true)  => Some((a, b, j, "in_batch"))
+        case (true, false) => Some((b, a, j, "vs_index"))
+        case (false, true) => Some((a, b, j, "vs_index"))
+        case _             => None
+      }
+    }.toSet
+    assert(inc == expected,
+      s"incremental != restricted recompute: missing=${(expected -- inc).take(3)} " +
+        s"extra=${(inc -- expected).take(3)}")
+  }
 }

@@ -375,7 +375,11 @@ class PlanSpec extends SparkSpec {
       "d27_dedup_components", "d27b_components_oracle", "d32_embed_dedup",
       "q33_bucketed_join", "d33_bloom_decontaminate",
       "q34_zorder", "q35_snapshot_diff", "s42_apply_changes",
-      "d35_incremental_dedup")
+      "d35_incremental_dedup",
+      // d37 persists its band index at construction; its joins are
+      // the d23b band equi-joins + shared verify, pinned by its
+      // oracle and the DedupSpec restricted-recompute property
+      "d37_incremental_neardup")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => eagerEntries(q._1)).foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
