@@ -24,9 +24,24 @@ object Verify {
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_(name)) }
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // DECIMAL output columns can never hash-match in the driver's
+        // gate: its two sides canonicalize decimals through different
+        // host types (DuckDB result → float64, Spark parquet → object
+        // Decimal — VERDICT r9). Exact decimal arithmetic stays legal
+        // INTERNALLY; the driver-visible schema must emit it as
+        // string/double/long (q13/q33/q34 stance). Fail loudly here so
+        // the class cannot be reintroduced.
+        val decCols = df.schema.fields.collect {
+          case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] => f.name
+        }
+        if (decCols.nonEmpty)
+          throw new IllegalStateException(
+            s"DECIMAL in driver-visible output schema: ${decCols.mkString(",")} " +
+              "— cast to string/double/long (driver hashes decimals asymmetrically)")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

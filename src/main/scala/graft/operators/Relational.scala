@@ -944,7 +944,7 @@ object Relational {
       .option("path", s"$tmp/lineitem_b").saveAsTable(lineitemTbl)
     val o = s.table(ordersTbl)
     val l = s.table(lineitemTbl)
-    o.hint("merge")
+    val joined = o.hint("merge")
       .join(l, o("o_orderkey") === l("l_orderkey"))
       .groupBy("o_orderpriority")
       .agg(
@@ -957,19 +957,32 @@ object Relational {
         // engines; decimal addition is exact and order-independent,
         // so the group sum is byte-stable at ANY scale — the q13
         // exact-arithmetic stance.
-        // cast the SUM to an explicit width: Spark widens
-        // sum(decimal(20,6)) to (30,6), DuckDB to (38,6) — values
-        // identical, but the driver's gate hashes result DTYPES too
-        // (CORRECTNESS_r08), so both dialects pin (38,6) explicitly
+        // the exact (38,6) sum is then emitted as STRING: the
+        // driver's two hash paths canonicalize decimals through
+        // different host types (DuckDB result → float64, Spark
+        // parquet → object Decimal — VERDICT r9), so a decimal-typed
+        // OUTPUT column can never hash-match; strings map identically
+        // on both paths (the q13 event_index precedent). The
+        // arithmetic stays exact decimal internally.
         sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(20,6)")).cast("decimal(38,6)").as("revenue"))
+          .cast("decimal(20,6)")).cast("decimal(38,6)")
+          .cast("string").as("revenue"))
       .orderBy("o_orderpriority")
+    // the Datasets above are ANALYZED eagerly, so their plans hold the
+    // resolved bucketed file relations — dropping the catalog entries
+    // now leaves no dangling names in the session catalog (ADVICE r9)
+    // while execution still reads the bucket files (EXTERNAL tables:
+    // DROP removes metadata only; Export.scratch reclaims the files
+    // at JVM exit).
+    s.sql(s"DROP TABLE IF EXISTS $ordersTbl")
+    s.sql(s"DROP TABLE IF EXISTS $lineitemTbl")
+    joined
   }
 
   val q33Sql: String =
     """SELECT o_orderpriority, COUNT(*) AS n_items,
-      | CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(20,6)))
-      |   AS DECIMAL(38,6)) AS revenue
+      | CAST(CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(20,6)))
+      |   AS DECIMAL(38,6)) AS VARCHAR) AS revenue
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
@@ -1030,10 +1043,11 @@ object Relational {
       .groupBy("o_orderpriority")
       .agg(
         count(lit(1)).as("n_orders"),
-        // exact decimal sum, the q33 stance — explicit (38,6) output
-        // width on both engines (dtype-sensitive driver hash)
+        // exact decimal sum, emitted as STRING — the q33 stance:
+        // decimal output columns hash asymmetrically in the driver
+        // (VERDICT r9), so the exact (38,6) value crosses as VARCHAR
         sum(col("o_totalprice").cast("decimal(20,6)"))
-          .cast("decimal(38,6)").as("revenue"),
+          .cast("decimal(38,6)").cast("string").as("revenue"),
         min("zval").as("z_min"),
         max("zval").as("z_max"))
       .orderBy("o_orderpriority")
@@ -1049,7 +1063,7 @@ object Relational {
       |   AS zval
       | FROM orders)
       |SELECT o_orderpriority, count(*) AS n_orders,
-      | CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS revenue,
+      | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS VARCHAR) AS revenue,
       | CAST(MIN(zval) AS BIGINT) AS z_min, CAST(MAX(zval) AS BIGINT) AS z_max
       |FROM z
       |WHERE o_custkey BETWEEN 100 AND 200

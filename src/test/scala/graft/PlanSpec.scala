@@ -382,11 +382,24 @@ class PlanSpec extends SparkSpec {
       "d37_incremental_neardup")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => eagerEntries(q._1)).foreach { case (name, fn) =>
-      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      val df = fn(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name grew a cartesian product")
       if (!allowedBnlj(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"$name grew a nested-loop join — broadcast-justify it or fix the plan")
+      // no DECIMAL in driver-visible output: the driver's hash
+      // canonicalizes decimals asymmetrically (DuckDB→float64, Spark
+      // parquet→object Decimal — VERDICT r9), so a decimal-typed
+      // output column can NEVER match. Exact decimal arithmetic stays
+      // internal; emit string/double/long (q13/q33/q34 stance).
+      // Verify.scala enforces the same invariant for the eager
+      // entries this sweep skips.
+      val decCols = df.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] => f.name
+      }
+      assert(decCols.isEmpty,
+        s"$name emits DECIMAL column(s) ${decCols.mkString(",")} — driver hash cannot match; cast to string/double/long")
     }
   }
 

@@ -20,7 +20,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, partial=False):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -30,7 +30,15 @@ def main(sf_dir, out_dir):
     for name, sql in sorted(oracle.items()):
         import os
         if not os.path.isdir(f"{out_dir}/{name}"):
-            skipped += 1  # partial Verify dump (single-query iteration)
+            # missing dump = failure unless --partial (single-query
+            # iteration) — see ADVICE r9: a crashed query must not
+            # silently pass the byte-exact gate
+            if partial:
+                skipped += 1
+            else:
+                print(f"FAIL {name}: no Spark dump (pass --partial for "
+                      f"single-query iteration)")
+                fails += 1
             continue
         try:
             sdesc = con.sql(
@@ -94,4 +102,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    argv = [a for a in sys.argv[1:] if a != "--partial"]
+    sys.exit(main(argv[0], argv[1], partial="--partial" in sys.argv))

@@ -42,7 +42,7 @@ def dtype_mismatches(con, spark_rel_sql, oracle_sql):
     return out
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, partial=False):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -52,7 +52,15 @@ def main(sf_dir, out_dir):
     for name, sql in sorted(oracle.items()):
         import os
         if not os.path.isdir(f"{out_dir}/{name}"):
-            skipped += 1  # partial Verify dump (single-query iteration)
+            # a registered oracle with no dump is a FAILURE unless the
+            # run explicitly opted into a partial dump (--partial, the
+            # single-query iteration flow) — otherwise a query that
+            # crashed mid-Verify would silently pass the gate (ADVICE r9)
+            if partial:
+                skipped += 1
+            else:
+                fails.append((name, "no Spark dump (query crashed in Verify? "
+                                    "pass --partial for single-query iteration)"))
             continue
         try:
             spark_df = con.sql(
@@ -116,4 +124,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    argv = [a for a in sys.argv[1:] if a != "--partial"]
+    sys.exit(main(argv[0], argv[1], partial="--partial" in sys.argv))
