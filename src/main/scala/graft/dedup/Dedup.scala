@@ -1512,6 +1512,10 @@ object Dedup {
       |     WHEN doc_id % 12 = 8 THEN doc_id - 5
       |     ELSE doc_id END""".stripMargin
 
+  /** d35 batch split: id ≡ 0 (mod this) is "today's batch", the rest
+    * is history. Shared by the query and (interpolated) the oracle. */
+  private val d35BatchMod = 4
+
   /** d35: incremental dedup against a persisted fingerprint index —
     * the shape a daily-crawl pipeline actually runs at 100 TB: you
     * never re-dedup the corpus, you dedup the NEW BATCH against (a)
@@ -1545,11 +1549,11 @@ object Dedup {
       .select(col("doc_id"),
         graft.text.TextOps.fingerprint(col("ctext")).as("fingerprint"))
     val idxDir = graft.sources.Export.scratch("d35_index", dir)
-    planted.filter(col("doc_id") % 4 =!= 0)
+    planted.filter(col("doc_id") % d35BatchMod =!= 0)
       .groupBy("fingerprint").agg(min("doc_id").as("index_doc_id"))
       .write.mode("overwrite").parquet(idxDir)
     val index = s.read.parquet(idxDir)
-    val batch = planted.filter(col("doc_id") % 4 === 0)
+    val batch = planted.filter(col("doc_id") % d35BatchMod === 0)
     val wFp = org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")
     batch
       .join(index.withColumn("in_index", lit(true)), Seq("fingerprint"), "left")
@@ -1561,17 +1565,19 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // the planted-content CASE and the batch split are INTERPOLATED from
+  // the same constants the Spark query uses (d35Cid, d35BatchMod) —
+  // one definition, so an edit cannot desynchronize query and oracle
+  // (ADVICE r9; the d36Sql centroid stance)
   val d35Sql: String =
     s"""WITH planted AS (
        | SELECT d.doc_id,
        |  md5(regexp_replace(lower(trim(b.text)), '\\s+', ' ', 'g')) AS fingerprint
        | FROM documents d JOIN documents b ON b.doc_id =
-       |  CASE WHEN d.doc_id % 12 = 4 THEN d.doc_id - 4
-       |       WHEN d.doc_id % 12 = 8 THEN d.doc_id - 5
-       |       ELSE d.doc_id END),
+       |  ${d35Cid.replace("doc_id", "d.doc_id")}),
        |idx AS (
-       | SELECT fingerprint FROM planted WHERE doc_id % 4 <> 0 GROUP BY 1),
-       |batch AS (SELECT * FROM planted WHERE doc_id % 4 = 0)
+       | SELECT fingerprint FROM planted WHERE doc_id % $d35BatchMod <> 0 GROUP BY 1),
+       |batch AS (SELECT * FROM planted WHERE doc_id % $d35BatchMod = 0)
        |SELECT doc_id, fingerprint,
        | CASE WHEN fingerprint IN (SELECT fingerprint FROM idx) THEN 'dup_of_index'
        |      WHEN doc_id <> min(doc_id) OVER (PARTITION BY fingerprint)
@@ -1595,22 +1601,51 @@ object Dedup {
     * uniform random-but-replayable sample, not a quality ranking.
     *
     * Scale shape: routing is a scan-stage projection (16 literal
-    * centroids, zero joins); the quota is ONE window over cell —
-    * 16 cells at any corpus size, and at 100 TB the window becomes
-    * a bounded top-q-per-key aggregation (the a27 bounded-buffer
-    * shape) rather than a full sort; output is corpus-sized with a
-    * keep flag. Fully deterministic → DuckDB replays routing, draw,
-    * rank, and quota bit-for-bit. */
+    * centroids, zero joins). The per-cell rank is NOT one window over
+    * cell (that funnels the whole corpus through 16 reducers with a
+    * full per-cell sort — the r9 perf_weak): because `draw` is
+    * md5-uniform over [0, 2^28), the draw space splits into 32 FIXED
+    * width-2^23 ranges (`dbkt = draw >> 23`) that are balanced at any
+    * corpus size and at any topic skew (the bucket key is the hash
+    * draw, not the skew-prone cell population), and deterministic —
+    * no sampled range boundaries to replay. Rank locally within
+    * (cell, dbkt) — cells × 32 parallel, bounded partitions — then
+    * add the per-(cell, dbkt) row-count prefix offset, a ≤ cells×32-
+    * row table whose prefix sum is computed on the driver-side-tiny
+    * aggregate and BROADCAST back. Exact: every row in a lower dbkt
+    * of the same cell has a strictly smaller draw, so global rank =
+    * lower-bucket count + local rank. (A bounded top-q-per-key
+    * aggregation alone cannot produce this entry's per-row
+    * `cell_rank` column — it yields only the top-q set — so the
+    * range-bucketed two-level rank is the scale form that preserves
+    * the exact output.) Output is corpus-sized with a keep flag.
+    * Fully deterministic → DuckDB replays routing, draw, rank, and
+    * quota bit-for-bit with a plain one-window oracle, which doubles
+    * as the cross-engine proof that the two-level rank equals the
+    * single-window rank. */
   def d36ClusterSample(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("cell").orderBy("draw", "vec_id")
-    Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    import org.apache.spark.sql.expressions.Window
+    val wLocal = Window.partitionBy("cell", "dbkt").orderBy("draw", "vec_id")
+    // prefix-offset window runs over the tiny (cell, dbkt) COUNT table
+    // (≤ 16×32 rows), never the corpus
+    val wOff = Window.partitionBy("cell").orderBy("dbkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       .withColumn("dl", graft.ann.Ann.centroidDistsExpr("embedding"))
       .withColumn("cell",
         expr("CAST(array_position(dl, array_min(dl)) - 1 AS INT)"))
       .withColumn("draw", expr(
         "cast(conv(substring(md5(cast(vec_id as string)), 1, 7), 16, 10) as bigint)"))
-      .withColumn("cell_rank", row_number().over(w))
+      .withColumn("dbkt", expr("shiftright(draw, 23)"))
+    val offsets = base.groupBy("cell", "dbkt")
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("boff", coalesce(sum("bn").over(wOff), lit(0L)))
+      .select("cell", "dbkt", "boff")
+    base
+      .withColumn("bucket_rank", row_number().over(wLocal))
+      .join(broadcast(offsets), Seq("cell", "dbkt"))
+      .withColumn("cell_rank",
+        (col("boff") + col("bucket_rank")).cast("int"))
       .select(col("vec_id"), col("cell"), col("draw"),
         col("cell_rank"), (col("cell_rank") <= d36Quota).as("keep"))
       .orderBy("vec_id")

@@ -405,11 +405,18 @@ object Multimodal {
     * pigeonhole soundness. */
   def m35MediaNeardup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // decode failure carries through as a true NULL, not a sentinel:
+    // -1L (all 64 gradient bits set) is a LEGAL dHash — e.g. a
+    // horizontal brightness ramp strictly increasing at every grid
+    // position — and a sentinel would silently drop such images from
+    // near-dup detection (ADVICE r9)
     val hashes = mediaTableNearImages(s, dir)
       .mapPartitions(_.grouped(BatchSize).flatMap(_.map(r =>
-        (r.doc_id, ImageCodec.decodeDHash(r.payload).getOrElse(-1L)))))
+        (r.doc_id,
+          ImageCodec.decodeDHash(r.payload)
+            .map(java.lang.Long.valueOf).orNull))))
       .toDF("doc_id", "dhash")
-      .filter(col("dhash") =!= -1L)
+      .filter(col("dhash").isNotNull)
     val banded = hashes.select(col("doc_id"), col("dhash"),
       explode(expr(
         """transform(sequence(0, 3), i ->

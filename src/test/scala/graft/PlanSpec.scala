@@ -323,6 +323,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("d36 rank is bucketed two-level, never one corpus window per cell") {
+    // The r9 perf_weak: a row_number window partitioned by `cell`
+    // alone funnels the whole corpus through 16 reducers with a full
+    // per-cell sort. The scale form ranks within (cell, dbkt) — dbkt
+    // a fixed md5-uniform draw range, balanced at any skew — and adds
+    // a broadcast prefix offset. Pin it: every corpus-side row_number
+    // window must carry dbkt in its partition spec, and the offset
+    // table must come back as a broadcast join, not a shuffle.
+    val (plan, _) = planOf("d36_cluster_sample")
+    val rnWindows = plan.split("\n").filter(l =>
+      l.contains("Window") && l.contains("row_number"))
+    assert(rnWindows.nonEmpty, s"expected a row_number window:\n$plan")
+    rnWindows.foreach { l =>
+      assert(l.contains("dbkt"),
+        s"row_number window must partition by (cell, dbkt), not cell alone: $l")
+    }
+    assert(plan.contains("BroadcastHashJoin"),
+      s"prefix offsets must broadcast back onto the ranked stream:\n$plan")
+  }
+
   test("sweep: no query plan contains an unintended cartesian or nested-loop join") {
     // Every BNLJ below is a deliberate broadcast of a tiny side:
     //   a27  exact brute-force baseline — 8 query vectors broadcast
