@@ -644,8 +644,12 @@ object Dedup {
   def d28EmbedNeardupLsh(s: SparkSession, dir: String): DataFrame =
     d28EmbedNeardupLshAttach(s, dir, Attach.Auto)
 
-  private[graft] def d28EmbedNeardupLshAttach(s: SparkSession, dir: String,
-      attach: Attach): DataFrame = {
+  /** Norm-filtered embeddings with their 4×8 hyperplane band values,
+    * plus the exploded per-band chunk stream — ONE definition shared
+    * by d28's full-corpus candidate stage AND d38's persisted index /
+    * batch stages (the [[md5BandStream]] stance, for embeddings), so
+    * incremental and full banding cannot disagree. */
+  private def hyperplaneBanded(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val e = withNorm(Tables.embeddings(s, dir).select("vec_id", "embedding"))
       .withColumn("bands",
         graft.functions.Hyperplanes.bandsExpr("embedding", nBands = 4, planesPerBand = 8))
@@ -657,15 +661,30 @@ object Dedup {
     // verifyPairs' shingle-attach pattern
     val chunks = e.select(col("vec_id"), col("bands"),
       posexplode(col("bands")).as(Seq("band_id", "band_val")))
+    (e, chunks)
+  }
+
+  /** Band-bucketed candidate pairs over a hyperplane chunk stream —
+    * (band_id, band_val) equi-join, vec_a < vec_b, first-equal-band
+    * uniqueness. Shared by d28 (full corpus) and d38 (within-batch). */
+  private def hyperplaneCandidatePairs(chunks: DataFrame): DataFrame = {
     // probe side repartitioned on the band key: the join explodes the
     // per-band stream and must parallelize beyond the input's splits
     val probe = chunks.repartition(col("band_id"), col("band_val"))
-    val pairs = probe.as("a").join(chunks.as("b"),
+    probe.as("a").join(chunks.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_val") === col("b.band_val") &&
           col("a.vec_id") < col("b.vec_id") &&
           col("a.band_id") === SetExprs.firstEqualBand(col("a.bands"), col("b.bands"), 1))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+  }
+
+  /** Exact-cosine verify over a candidate pair stream — the ONE
+    * [[verifyPairs]]-style definition both d28 and d38 feed: attach
+    * embedding+norm per side (size-adaptive), double dot / norms,
+    * keep cosine ≥ 0.4. */
+  private def verifyCosine(pairs: DataFrame, e: DataFrame,
+      attach: Attach): DataFrame = {
     val emb = e.select(col("vec_id"), col("embedding"), col("norm"))
     pairs
       .join(attachSide(emb.select(col("vec_id").as("vec_a"),
@@ -677,17 +696,67 @@ object Dedup {
         round(graft.functions.VectorExprs.floatDot(col("emb_a"), col("emb_b"))
           / (col("norm_a") * col("norm_b")), 4).as("cosine"))
       .filter(col("cosine") >= 0.4)
+  }
+
+  private[graft] def d28EmbedNeardupLshAttach(s: SparkSession, dir: String,
+      attach: Attach): DataFrame = {
+    val (e, chunks) = hyperplaneBanded(s, dir)
+    verifyCosine(hyperplaneCandidatePairs(chunks), e, attach)
     // no presentation sort: this is the production 100 TB path, and a
     // repartition(1) funnel would push every verified pair through a
     // single task; the driver compare sorts rows itself (see d23b)
   }
 
-  /** The shared DuckDB CTE prefix for d28's edge semantics — norm/
-    * band projection (`e`) + verified pairs (`pairs`). ONE definition
-    * used by both d28Sql and d32Sql, so a change to the edge
-    * semantics (threshold, band count, precision) cannot drift
-    * between the pair query and the clustering oracle built on it. */
-  private val d28PairsCte: String = {
+  /** d38: incremental EMBEDDING near-dup against a persisted
+    * hyperplane-band index — the d35/d37 daily-crawl stance applied
+    * to d28's LSH, completing the incremental trio (exact / text-LSH /
+    * embedding) a daily 100 TB crawl actually runs: the history's
+    * hyperplane band chunks ([[hyperplaneBanded]] — the SAME
+    * definition d28's full-corpus candidate stage uses) are persisted
+    * as the index; the new batch probes it with a (band_id, band_val)
+    * equi-join (new-vs-old candidates) and band-self-joins within
+    * itself via [[hyperplaneCandidatePairs]] (new-vs-new); both
+    * streams feed the ONE shared [[verifyCosine]] exact verify.
+    * Output labels each surviving pair vs_index / in_batch
+    * (vs_index pairs put the HISTORICAL vector first, the d37
+    * convention).
+    *
+    * Scale shape: the index is append-only band rows (4 per vector,
+    * two ints + the 4-int band array) — at 100 TB it lives bucketed
+    * by (band_id, band_val), so the daily probe join is exchange-free
+    * on the index side and only the day's band chunks shuffle; the
+    * verify attaches embeddings for candidate pairs ONLY. Exactness:
+    * band values are per-vector functions of literal planes (no
+    * corpus-dependent state), so incremental banding finds exactly
+    * the batch-touching subset of the full-corpus recompute —
+    * DedupSpec proves d38 == d28 restricted to batch-touching pairs,
+    * and the DuckDB oracle replays the identical literal-plane bands
+    * with the split as a join-predicate CASE. */
+  def d38IncrementalEmbedNeardup(s: SparkSession, dir: String): DataFrame = {
+    val (e, chunks) = hyperplaneBanded(s, dir)
+    val idxDir = graft.sources.Export.scratch("d38_index", dir)
+    chunks.filter(col("vec_id") % 4 =!= 0)
+      .write.mode("overwrite").parquet(idxDir)
+    val index = s.read.parquet(idxDir)
+    val batchChunks = chunks.filter(col("vec_id") % 4 === 0)
+    val vsIndex = index.as("a")
+      .join(batchChunks.repartition(col("band_id"), col("band_val")).as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.band_id") ===
+            SetExprs.firstEqualBand(col("a.bands"), col("b.bands"), 1))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    val inBatch = hyperplaneCandidatePairs(batchChunks)
+    verifyCosine(vsIndex.union(inBatch), e, Attach.Auto)
+      .withColumn("source",
+        when(col("vec_a") % 4 === 0, "in_batch").otherwise("vs_index"))
+  }
+
+  /** The shared DuckDB norm/band projection (`e`) — ONE definition
+    * used by d28Sql/d32Sql's pair CTE and d38Sql's split pair query,
+    * so the literal planes and norm semantics cannot drift between
+    * the full-corpus and incremental oracles. */
+  private val d28ECte: String = {
     import graft.functions.Hyperplanes.bandDuck
     val bandCols = (0 until 4)
       .map(b => s"${bandDuck("embedding", b, 8)} AS band$b").mkString(",\n  ")
@@ -696,18 +765,54 @@ object Dedup {
       |  SELECT vec_id, embedding,
       |   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm,
       |  BANDCOLS
-      |  FROM embeddings) WHERE norm > 0),
-      |pairs AS (
-      | SELECT vec_a, vec_b, cosine FROM (
-      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-      |   ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
-      |           p -> CAST(p[1] AS DOUBLE) * p[2])) / (a.norm * b.norm), 4) AS cosine
-      |  FROM e a JOIN e b ON a.vec_id < b.vec_id
-      |   AND (a.band0 = b.band0 OR a.band1 = b.band1
-      |        OR a.band2 = b.band2 OR a.band3 = b.band3))
-      | WHERE cosine >= 0.4)""".stripMargin
+      |  FROM embeddings) WHERE norm > 0)""".stripMargin
       .replace("BANDCOLS", bandCols)
   }
+
+  /** Shared DuckDB fragments for d28-family edges: the exact double
+    * cosine between aliases a/b, and the ≥1-equal-band predicate. */
+  private val d28CosSql: String =
+    """ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |           p -> CAST(p[1] AS DOUBLE) * p[2])) / (a.norm * b.norm), 4)""".stripMargin
+  private val d28BandOrSql: String =
+    """(a.band0 = b.band0 OR a.band1 = b.band1
+      |        OR a.band2 = b.band2 OR a.band3 = b.band3)""".stripMargin
+
+  /** The shared DuckDB CTE prefix for d28's edge semantics — norm/
+    * band projection (`e`) + verified pairs (`pairs`). ONE definition
+    * used by both d28Sql and d32Sql, so a change to the edge
+    * semantics (threshold, band count, precision) cannot drift
+    * between the pair query and the clustering oracle built on it. */
+  private val d28PairsCte: String =
+    s"""$d28ECte,
+       |pairs AS (
+       | SELECT vec_a, vec_b, cosine FROM (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |   $d28CosSql AS cosine
+       |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |   AND $d28BandOrSql)
+       | WHERE cosine >= 0.4)""".stripMargin
+
+  /** DuckDB equivalent of d38 — the full-corpus banding (identical
+    * literal planes via the shared `e` CTE) restricted to
+    * batch-touching pairs, split expressed as a join-predicate CASE:
+    * batch-vs-batch pairs keep a < b, index-vs-batch pairs put the
+    * historical vector first (the d37 oracle stance). Incremental
+    * banding loses nothing the full-corpus recompute finds across
+    * the split, because band values are per-vector functions. */
+  val d38Sql: String =
+    s"""WITH $d28ECte
+       |SELECT vec_a, vec_b, cosine,
+       | CASE WHEN vec_a % 4 = 0 THEN 'in_batch' ELSE 'vs_index' END AS source
+       |FROM (
+       | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  $d28CosSql AS cosine
+       | FROM e a JOIN e b
+       |  ON b.vec_id % 4 = 0
+       |  AND (CASE WHEN a.vec_id % 4 = 0 THEN a.vec_id < b.vec_id
+       |            ELSE a.vec_id <> b.vec_id END)
+       |  AND $d28BandOrSql)
+       |WHERE cosine >= 0.4""".stripMargin
 
   /** DuckDB equivalent of d28 — identical literal planes, band
     * values as four scalar columns, candidates = pairs agreeing on
@@ -1754,7 +1859,8 @@ object Dedup {
     "d34_line_dedup" -> (d34LineDedup _),
     "d35_incremental_dedup" -> (d35IncrementalDedup _),
     "d36_cluster_sample" -> (d36ClusterSample _),
-    "d37_incremental_neardup" -> (d37IncrementalNeardup _))
+    "d37_incremental_neardup" -> (d37IncrementalNeardup _),
+    "d38_incremental_embed_neardup" -> (d38IncrementalEmbedNeardup _))
 
   def oracles: Map[String, String] = Map(
     "d22_dedup_exact" -> d22Sql,
@@ -1773,5 +1879,6 @@ object Dedup {
     "d34_line_dedup" -> d34Sql,
     "d35_incremental_dedup" -> d35Sql,
     "d36_cluster_sample" -> d36Sql,
-    "d37_incremental_neardup" -> d37Sql)
+    "d37_incremental_neardup" -> d37Sql,
+    "d38_incremental_embed_neardup" -> d38Sql)
 }

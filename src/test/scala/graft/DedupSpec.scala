@@ -541,4 +541,29 @@ class DedupSpec extends SparkSpec {
       s"incremental != restricted recompute: missing=${(expected -- inc).take(3)} " +
         s"extra=${(inc -- expected).take(3)}")
   }
+
+  test("d38 incremental embed near-dup equals the full d28 recompute restricted to batch-touching pairs") {
+    val inc = SparkEntry.queries("d38_incremental_embed_neardup")(spark, sfDir)
+      .as[(Long, Long, Double, String)].collect().toSet
+    assert(inc.nonEmpty)
+    assert(inc.exists(_._4 == "vs_index") && inc.exists(_._4 == "in_batch"),
+      "both candidate sources must occur or the gate is vacuous")
+    // d28 is the full-corpus recompute on the same literal hyperplane
+    // bands; restricting its pairs to those touching the batch and
+    // reorienting (vs_index pairs put the HISTORICAL vector first)
+    // must reproduce d38 exactly — the d37 property, for embeddings
+    val full = Dedup.d28EmbedNeardupLsh(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+    val expected = full.flatMap { case (a, b, c) =>
+      (a % 4 == 0, b % 4 == 0) match {
+        case (true, true)  => Some((a, b, c, "in_batch"))
+        case (true, false) => Some((b, a, c, "vs_index"))
+        case (false, true) => Some((a, b, c, "vs_index"))
+        case _             => None
+      }
+    }.toSet
+    assert(inc == expected,
+      s"incremental != restricted recompute: missing=${(expected -- inc).take(3)} " +
+        s"extra=${(inc -- expected).take(3)}")
+  }
 }

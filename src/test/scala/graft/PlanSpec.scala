@@ -396,10 +396,11 @@ class PlanSpec extends SparkSpec {
       "q33_bucketed_join", "d33_bloom_decontaminate",
       "q34_zorder", "q35_snapshot_diff", "s42_apply_changes",
       "d35_incremental_dedup",
-      // d37 persists its band index at construction; its joins are
-      // the d23b band equi-joins + shared verify, pinned by its
-      // oracle and the DedupSpec restricted-recompute property
-      "d37_incremental_neardup")
+      // d37/d38 persist their band indexes at construction; their
+      // joins are the d23b/d28 band equi-joins + shared verifies,
+      // pinned by their oracles and the DedupSpec restricted-
+      // recompute properties
+      "d37_incremental_neardup", "d38_incremental_embed_neardup")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => eagerEntries(q._1)).foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
