@@ -1647,18 +1647,30 @@ object Dedup {
     * exactly what gets appended to the index, and DedupSpec proves
     * index ∪ accepted == the full-recompute d22 key set (the s42
     * incremental==recompute property, for dedup). */
-  def d35IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+  /** d35's planted corpus, persisted fingerprint index, and batch
+    * split — ONE definition shared by d35's batch classifier and the
+    * streaming face s43, so the stream's anti-join probes the SAME
+    * persisted artifact the batch run classifies against. Returns
+    * (index read back from parquet, batch docs with planted text). */
+  private[graft] def d35IndexAndBatch(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = Tables.documents(s, dir)
     val planted = docs.select(col("doc_id"), expr(d35Cid).as("cid"))
       .join(docs.select(col("doc_id").as("cid"), col("text").as("ctext")), "cid")
-      .select(col("doc_id"),
-        graft.text.TextOps.fingerprint(col("ctext")).as("fingerprint"))
+      .select(col("doc_id"), col("ctext").as("text"))
     val idxDir = graft.sources.Export.scratch("d35_index", dir)
     planted.filter(col("doc_id") % d35BatchMod =!= 0)
+      .select(col("doc_id"),
+        graft.text.TextOps.fingerprint(col("text")).as("fingerprint"))
       .groupBy("fingerprint").agg(min("doc_id").as("index_doc_id"))
       .write.mode("overwrite").parquet(idxDir)
-    val index = s.read.parquet(idxDir)
-    val batch = planted.filter(col("doc_id") % d35BatchMod === 0)
+    (s.read.parquet(idxDir),
+      planted.filter(col("doc_id") % d35BatchMod === 0))
+  }
+
+  def d35IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val (index, batchDocs) = d35IndexAndBatch(s, dir)
+    val batch = batchDocs.select(col("doc_id"),
+      graft.text.TextOps.fingerprint(col("text")).as("fingerprint"))
     val wFp = org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")
     batch
       .join(index.withColumn("in_index", lit(true)), Seq("fingerprint"), "left")
@@ -1673,16 +1685,20 @@ object Dedup {
   // the planted-content CASE and the batch split are INTERPOLATED from
   // the same constants the Spark query uses (d35Cid, d35BatchMod) —
   // one definition, so an edit cannot desynchronize query and oracle
-  // (ADVICE r9; the d36Sql centroid stance)
-  val d35Sql: String =
-    s"""WITH planted AS (
+  // (ADVICE r9; the d36Sql centroid stance). The CTE prefix is shared
+  // with s43's oracle (Streaming.s43Sql), which probes the same index.
+  private[graft] val d35CtePrefix: String =
+    s"""planted AS (
        | SELECT d.doc_id,
        |  md5(regexp_replace(lower(trim(b.text)), '\\s+', ' ', 'g')) AS fingerprint
        | FROM documents d JOIN documents b ON b.doc_id =
        |  ${d35Cid.replace("doc_id", "d.doc_id")}),
        |idx AS (
        | SELECT fingerprint FROM planted WHERE doc_id % $d35BatchMod <> 0 GROUP BY 1),
-       |batch AS (SELECT * FROM planted WHERE doc_id % $d35BatchMod = 0)
+       |batch AS (SELECT * FROM planted WHERE doc_id % $d35BatchMod = 0)""".stripMargin
+
+  val d35Sql: String =
+    s"""WITH $d35CtePrefix
        |SELECT doc_id, fingerprint,
        | CASE WHEN fingerprint IN (SELECT fingerprint FROM idx) THEN 'dup_of_index'
        |      WHEN doc_id <> min(doc_id) OVER (PARTITION BY fingerprint)

@@ -530,6 +530,49 @@ object Streaming {
       |WHERE rn = 1 AND event_type <> 'error'
       |ORDER BY user_id""".stripMargin
 
+  /** s43's stream transform: dedup-against-history at ingest — d35's
+    * index leg moved to the stream boundary: a stream-static LEFT
+    * ANTI join of incoming docs (fingerprinted in-stream by the
+    * shared [[graft.text.TextOps.fingerprint]], so stream and batch
+    * cannot disagree on the key) against the PERSISTED fingerprint
+    * index — the same parquet artifact d35's batch classifier probes
+    * (one definition via [[graft.dedup.Dedup.d35IndexAndBatch]]).
+    * STATELESS, the s39 stance: the static side is a bounded keyed
+    * relation, no watermark, no state store — each arriving doc is
+    * decided once. Within-stream duplicates are s38's job
+    * (dropDuplicatesWithinWatermark); composing the two reproduces
+    * d35's full three-way classification at ingest: s43 drops
+    * dup_of_index, s38 drops dup_in_batch, survivors == accepted.
+    *
+    * Scale: at 100 TB the index side is the d35 bucketed-by-
+    * fingerprint layout; a micro-batch joins only its own rows
+    * against it (the static side is loaded once and reused across
+    * micro-batches by Structured Streaming). */
+  def indexDedupStream(docs: DataFrame, index: DataFrame): DataFrame =
+    docs.withColumn("fingerprint",
+        graft.text.TextOps.fingerprint(col("text")))
+      .join(index, Seq("fingerprint"), "left_anti")
+
+  /** s43 queries entry — the stream transform run in batch mode on
+    * d35's planted batch against d35's persisted index (the
+    * StreamingSpec proves stream == batch and s43 == d35 minus
+    * dup_of_index). */
+  def s43StreamIndexDedup(s: SparkSession, dir: String): DataFrame = {
+    val (index, batchDocs) = graft.dedup.Dedup.d35IndexAndBatch(s, dir)
+    indexDedupStream(batchDocs, index)
+      .select("doc_id", "fingerprint")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for s43: d35's shared CTE prefix (same planted
+    * content, same index membership), survivors = batch fingerprints
+    * not in the index. */
+  val s43Sql: String =
+    s"""WITH ${graft.dedup.Dedup.d35CtePrefix}
+       |SELECT doc_id, fingerprint FROM batch
+       |WHERE fingerprint NOT IN (SELECT fingerprint FROM idx)
+       |ORDER BY doc_id""".stripMargin
+
   /** Attach the gold-merge sink to a stream of events. */
   def goldMergeQuery(events: DataFrame, targetDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -546,7 +589,8 @@ object Streaming {
     "s39_stream_decontaminate" -> (s39StreamDecontaminate _),
     "s40_stream_pii" -> (s40StreamPii _),
     "s41_stream_quality" -> (s41StreamQuality _),
-    "s42_apply_changes" -> (s42ApplyChanges _))
+    "s42_apply_changes" -> (s42ApplyChanges _),
+    "s43_stream_index_dedup" -> (s43StreamIndexDedup _))
 
   def oracles: Map[String, String] = Map(
     "s34_stream_tumbling" -> s34Sql,
@@ -557,5 +601,6 @@ object Streaming {
     "s39_stream_decontaminate" -> s39Sql,
     "s40_stream_pii" -> s40Sql,
     "s41_stream_quality" -> s41Sql,
-    "s42_apply_changes" -> s42Sql)
+    "s42_apply_changes" -> s42Sql,
+    "s43_stream_index_dedup" -> s43Sql)
 }

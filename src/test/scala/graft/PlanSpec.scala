@@ -400,7 +400,11 @@ class PlanSpec extends SparkSpec {
       // joins are the d23b/d28 band equi-joins + shared verifies,
       // pinned by their oracles and the DedupSpec restricted-
       // recompute properties
-      "d37_incremental_neardup", "d38_incremental_embed_neardup")
+      "d37_incremental_neardup", "d38_incremental_embed_neardup",
+      // s43 persists d35's fingerprint index at construction; its one
+      // join is the stream-static left anti probe, pinned by the
+      // oracle and the StreamingSpec stream==batch property
+      "s43_stream_index_dedup")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => eagerEntries(q._1)).foreach { case (name, fn) =>
       val df = fn(spark, sfDir)

@@ -196,4 +196,37 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().toSet
     assert(joined == Set((1L, 1L, 2L, 10.0)))
   }
+
+  test("s43 stream-static index anti-join drops history dups statelessly; equals d35 minus dup_of_index") {
+    // real stream face: a MemoryStream of docs against a tiny static
+    // fingerprint index — historical content is dropped at ingest,
+    // fresh docs pass; stateless (no watermark, no state store)
+    val index = Seq("dup text", "other old").toDF("text")
+      .select(graft.text.TextOps.fingerprint(col("text")).as("fingerprint"))
+    val in = MemoryStream[Doc](spark)
+    val q = Streaming.indexDedupStream(in.toDF(), index)
+      .writeStream.format("memory").queryName("s43out")
+      .outputMode("append").start()
+    try {
+      in.addData(Doc(1L, "dup text"), Doc(2L, "fresh text"),
+        Doc(3L, "  DUP   text "))  // canonicalization catches re-whitespaced copies too
+      q.processAllAvailable()
+      val got = spark.table("s43out").select("doc_id").as[Long].collect().toSet
+      assert(got == Set(2L), s"expected only the fresh doc, got $got")
+    } finally q.stop()
+    // the batch face over the REAL persisted index equals d35's
+    // classification with the index leg removed: s43 drops exactly
+    // dup_of_index (s38's watermark dedup owns dup_in_batch)
+    val s43 = Streaming.s43StreamIndexDedup(spark, sfDir)
+      .as[(Long, String)].collect().toSet
+    val d35 = SparkEntry.queries("d35_incremental_dedup")(spark, sfDir)
+      .select("doc_id", "fingerprint", "status")
+      .as[(Long, String, String)].collect()
+    val expected = d35.filter(_._3 != "dup_of_index")
+      .map(r => (r._1, r._2)).toSet
+    assert(s43 == expected,
+      s"s43 != d35 minus index dups: missing=${(expected -- s43).take(3)} extra=${(s43 -- expected).take(3)}")
+    // non-vacuous both ways: the index leg bites AND survivors remain
+    assert(d35.exists(_._3 == "dup_of_index") && s43.nonEmpty)
+  }
 }
