@@ -403,20 +403,27 @@ object Multimodal {
     * no SQL engine can decode); MultimodalSpec pins the planted
     * group structure, the brightness-invariance capture, and the
     * pigeonhole soundness. */
-  def m35MediaNeardup(s: SparkSession, dir: String): DataFrame = {
+  /** The decoded-and-hashed image stream — ONE definition shared by
+    * m35's pair finder and m36's closure (vertex set), so the two
+    * cannot disagree about which images participate. Decode failure
+    * carries through as a true NULL, not a sentinel: -1L (all 64
+    * gradient bits set) is a LEGAL dHash — e.g. a horizontal
+    * brightness ramp strictly increasing at every grid position —
+    * and a sentinel would silently drop such images from near-dup
+    * detection (ADVICE r9). */
+  private[graft] def m35Hashes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // decode failure carries through as a true NULL, not a sentinel:
-    // -1L (all 64 gradient bits set) is a LEGAL dHash — e.g. a
-    // horizontal brightness ramp strictly increasing at every grid
-    // position — and a sentinel would silently drop such images from
-    // near-dup detection (ADVICE r9)
-    val hashes = mediaTableNearImages(s, dir)
+    mediaTableNearImages(s, dir)
       .mapPartitions(_.grouped(BatchSize).flatMap(_.map(r =>
         (r.doc_id,
           ImageCodec.decodeDHash(r.payload)
             .map(java.lang.Long.valueOf).orNull))))
       .toDF("doc_id", "dhash")
       .filter(col("dhash").isNotNull)
+  }
+
+  def m35MediaNeardup(s: SparkSession, dir: String): DataFrame = {
+    val hashes = m35Hashes(s, dir)
     val banded = hashes.select(col("doc_id"), col("dhash"),
       explode(expr(
         """transform(sequence(0, 3), i ->
@@ -443,10 +450,44 @@ object Multimodal {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** m36: media dedup closure — m35 verifies Hamming ≤ 3 PAIRS but a
+    * pair list is not a dedup decision: near-dup is not transitive,
+    * so variants chain (A~B, B~C with A‖C) and only the connected-
+    * component closure turns the pair graph into keep/drop sets —
+    * exactly what d32 does for d28's embedding pairs, applied to the
+    * perceptual image graph. Vertices are the DECODED images
+    * ([[m35Hashes]] — the same definition m35's finder uses, so an
+    * undecodable image is neither a vertex nor an edge endpoint);
+    * edges are m35's verified pairs; the closure is the shared
+    * [[graft.dedup.Dedup.connectedComponents]] large-star/small-star
+    * iteration (O(log n) rounds, plan-cut between rounds), and keep
+    * = min doc_id per component (the m34/d32 stance).
+    *
+    * Scale shape: the pair graph is sparse (m35's banded candidates,
+    * never all-pairs); each CC round is two self-joins on an 8-byte
+    * key — the d27 machinery unchanged, so the 100 TB story (bounded
+    * rounds, checkpointed lineage, skew-tolerant star steps) carries
+    * over verbatim. Rows-only entry (JVM decode is not SQL-
+    * replayable); MultimodalSpec proves the closure property against
+    * an independent in-test union-find over m35's own pairs and the
+    * planted-variant grouping (BMP / PPM / +4-brightness collapse to
+    * one keeper). */
+  def m36MediaDedupClosure(s: SparkSession, dir: String): DataFrame = {
+    val verts = m35Hashes(s, dir).select(col("doc_id").as("id"))
+    val edges = m35MediaNeardup(s, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    graft.dedup.Dedup.connectedComponents(verts, edges)
+      .select(col("id").as("doc_id"), col("component").as("component_id"),
+        (col("id") === col("component")).as("keep"))
+    // no presentation sort: production path (d27/d32 precedent) —
+    // the driver compare sorts rows itself
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m33_multimodal" -> (m33Multimodal _),
     "m34_media_dedup" -> (m34MediaDedup _),
-    "m35_media_neardup" -> (m35MediaNeardup _))
+    "m35_media_neardup" -> (m35MediaNeardup _),
+    "m36_media_dedup_closure" -> (m36MediaDedupClosure _))
 
   def oracles: Map[String, String] = Map.empty
 }

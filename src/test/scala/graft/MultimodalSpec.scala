@@ -454,4 +454,37 @@ class MultimodalSpec extends SparkSpec {
       graft.multimodal.ImageCodec.encodePpm(w, h, rgb)) ==
       graft.multimodal.ImageCodec.decodeDHash(payloadOf(0)))
   }
+
+  test("m36 closure equals an independent union-find over m35's pairs; keep-min; variants collapse") {
+    val out = SparkEntry.queries("m36_media_dedup_closure")(spark, sfDir)
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.nonEmpty)
+    val pairs = SparkEntry.queries("m35_media_neardup")(spark, sfDir)
+      .as[(Long, Long, Int)].collect()
+    val verts = Multimodal.m35Hashes(spark, sfDir)
+      .select("doc_id").as[Long].collect()
+    // independent closure: union-find attaching the larger root under
+    // the smaller, so each final root is its component's min label —
+    // the same keep-min contract m36 claims, derived a different way
+    val parent = scala.collection.mutable.Map(verts.map(v => v -> v): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    pairs.foreach { case (a, b, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val comp = verts.map(v => v -> find(v)).toMap
+    val expected = verts.map(v => (v, comp(v), v == comp(v))).toSet
+    assert(out.toSet == expected,
+      s"closure mismatch: missing=${(expected -- out.toSet).take(3)} extra=${(out.toSet -- expected).take(3)}")
+    // exactly one keeper per component, and it is the min label
+    val keepers = out.filter(_._3).map(_._1).toSet
+    assert(keepers == comp.values.toSet)
+    // planted grouping: every content id's variants (BMP, PPM, +4
+    // brightness) land in ONE component — the chain the pair list
+    // alone cannot decide is closed
+    verts.groupBy(_ % 40L).values.filter(_.length > 1).foreach { g =>
+      assert(g.map(comp).distinct.length == 1,
+        s"variants of one content id split across components: $g")
+    }
+  }
 }

@@ -404,7 +404,11 @@ class PlanSpec extends SparkSpec {
       // s43 persists d35's fingerprint index at construction; its one
       // join is the stream-static left anti probe, pinned by the
       // oracle and the StreamingSpec stream==batch property
-      "s43_stream_index_dedup")
+      "s43_stream_index_dedup",
+      // m36 iterates connected components to a fixpoint at
+      // construction (the d27/d32 machinery, whose per-round plan is
+      // audited by the lazy ccRound test)
+      "m36_media_dedup_closure")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => eagerEntries(q._1)).foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
