@@ -1724,49 +1724,30 @@ object Dedup {
     * Scale shape: routing is a scan-stage projection (16 literal
     * centroids, zero joins). The per-cell rank is NOT one window over
     * cell (that funnels the whole corpus through 16 reducers with a
-    * full per-cell sort — the r9 perf_weak): because `draw` is
-    * md5-uniform over [0, 2^28), the draw space splits into 32 FIXED
-    * width-2^23 ranges (`dbkt = draw >> 23`) that are balanced at any
-    * corpus size and at any topic skew (the bucket key is the hash
-    * draw, not the skew-prone cell population), and deterministic —
-    * no sampled range boundaries to replay. Rank locally within
-    * (cell, dbkt) — cells × 32 parallel, bounded partitions — then
-    * add the per-(cell, dbkt) row-count prefix offset, a ≤ cells×32-
-    * row table whose prefix sum is computed on the driver-side-tiny
-    * aggregate and BROADCAST back. Exact: every row in a lower dbkt
-    * of the same cell has a strictly smaller draw, so global rank =
-    * lower-bucket count + local rank. (A bounded top-q-per-key
-    * aggregation alone cannot produce this entry's per-row
-    * `cell_rank` column — it yields only the top-q set — so the
-    * range-bucketed two-level rank is the scale form that preserves
-    * the exact output.) Output is corpus-sized with a keep flag.
-    * Fully deterministic → DuckDB replays routing, draw, rank, and
-    * quota bit-for-bit with a plain one-window oracle, which doubles
-    * as the cross-engine proof that the two-level rank equals the
-    * single-window rank. */
+    * full per-cell sort — the r9 perf_weak) but the shared
+    * [[graft.functions.Ranks.bucketedRank]] two-level rank: draw is
+    * md5-uniform over [0, 2^28), so 32 fixed width-2^23 draw ranges
+    * are balanced at any corpus size and topic skew; rank locally
+    * within (cell, dbkt) and add the broadcast per-bucket prefix
+    * offset. (A bounded top-q-per-key aggregation alone cannot
+    * produce this entry's per-row `cell_rank` column — it yields only
+    * the top-q set — so the range-bucketed two-level rank is the
+    * scale form that preserves the exact output.) Output is
+    * corpus-sized with a keep flag. Fully deterministic → DuckDB
+    * replays routing, draw, rank, and quota bit-for-bit with a plain
+    * one-window oracle, which doubles as the cross-engine proof that
+    * the two-level rank equals the single-window rank. */
   def d36ClusterSample(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wLocal = Window.partitionBy("cell", "dbkt").orderBy("draw", "vec_id")
-    // prefix-offset window runs over the tiny (cell, dbkt) COUNT table
-    // (≤ 16×32 rows), never the corpus
-    val wOff = Window.partitionBy("cell").orderBy("dbkt")
-      .rowsBetween(Window.unboundedPreceding, -1)
     val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       .withColumn("dl", graft.ann.Ann.centroidDistsExpr("embedding"))
       .withColumn("cell",
         expr("CAST(array_position(dl, array_min(dl)) - 1 AS INT)"))
       .withColumn("draw", expr(
         "cast(conv(substring(md5(cast(vec_id as string)), 1, 7), 16, 10) as bigint)"))
-      .withColumn("dbkt", expr("shiftright(draw, 23)"))
-    val offsets = base.groupBy("cell", "dbkt")
-      .agg(count(lit(1)).as("bn"))
-      .withColumn("boff", coalesce(sum("bn").over(wOff), lit(0L)))
-      .select("cell", "dbkt", "boff")
-    base
-      .withColumn("bucket_rank", row_number().over(wLocal))
-      .join(broadcast(offsets), Seq("cell", "dbkt"))
-      .withColumn("cell_rank",
-        (col("boff") + col("bucket_rank")).cast("int"))
+    graft.functions.Ranks
+      .bucketedRank(base, col("cell"), col("draw"), col("vec_id"),
+        bucketShift = 23, rankName = "rank_l")
+      .withColumn("cell_rank", col("rank_l").cast("int"))
       .select(col("vec_id"), col("cell"), col("draw"),
         col("cell_rank"), (col("cell_rank") <= d36Quota).as("keep"))
       .orderBy("vec_id")

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed exact per-key ranking without a corpus-sized per-key
+  * sort — the scale-safe replacement for
+  * `row_number() OVER (PARTITION BY key ORDER BY draw, tie)` when
+  * `key` has few values (cells, shards) and the corpus is large:
+  * that window funnels the whole corpus through |key| reducers.
+  *
+  * Requires `draw` to be hash-uniform on [0, 2^(bucketShift+bucketBits)).
+  * The draw space then splits into 2^bucketBits FIXED width-2^bucketShift
+  * ranges (`dbkt = draw >> bucketShift`) that are balanced at any
+  * corpus size and any key skew (the bucket key is the hash draw,
+  * not the skew-prone key population) and deterministic — no sampled
+  * range boundaries to persist or replay. Rank locally within
+  * (key, dbkt) — |key| × 2^bucketBits bounded partitions — then add
+  * the per-(key, dbkt) row-count prefix offset, a tiny aggregate
+  * whose prefix sum is windowed over ≤ |key| × 2^bucketBits rows and
+  * BROADCAST back. Exact: every row in a lower dbkt of the same key
+  * holds a strictly smaller draw, so
+  * global rank = lower-bucket count + local rank.
+  *
+  * ONE definition shared by d36 (cluster-balanced sampling, key =
+  * centroid cell) and t50 (epoch shard shuffle, key = shard), so the
+  * two cannot drift; each caller's DuckDB oracle is the plain
+  * one-window form, which doubles as the cross-engine proof that the
+  * two-level rank equals the single-window rank. */
+object Ranks {
+  def bucketedRank(df: DataFrame, key: Column, draw: Column, tie: Column,
+      bucketShift: Int, rankName: String): DataFrame = {
+    val wLocal = Window.partitionBy("gr_key", "dbkt").orderBy("gr_draw", "gr_tie")
+    // prefix-offset window runs over the tiny (key, dbkt) COUNT
+    // table, never the corpus
+    val wOff = Window.partitionBy("gr_key").orderBy("dbkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = df
+      .withColumn("gr_key", key)
+      .withColumn("gr_draw", draw)
+      .withColumn("gr_tie", tie)
+      .withColumn("dbkt", shiftright(col("gr_draw"), bucketShift))
+    val offsets = base.groupBy("gr_key", "dbkt")
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("boff", coalesce(sum("bn").over(wOff), lit(0L)))
+      .select("gr_key", "dbkt", "boff")
+    base
+      .withColumn("bucket_rank", row_number().over(wLocal))
+      .join(broadcast(offsets), Seq("gr_key", "dbkt"))
+      .withColumn(rankName, col("boff") + col("bucket_rank"))
+      .drop("gr_key", "gr_draw", "gr_tie", "dbkt", "bn", "boff", "bucket_rank")
+  }
+}

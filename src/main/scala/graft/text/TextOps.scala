@@ -1367,6 +1367,51 @@ object TextOps {
        |FROM sc ORDER BY doc_id""".stripMargin
   }
 
+  /** t50 shard count. */
+  private[graft] val t50Shards = 8L
+
+  /** t50: epoch shard shuffle — the deterministic global training-
+    * order shuffle every pretraining run performs before writing
+    * shards: each document gets a shard and an exact position within
+    * it, both pure functions of doc_id (the t36 [[sampleDraw]] md5
+    * draw — ONE shared definition), so the epoch order is fully
+    * replayable with no RNG state, resumable mid-epoch, and stable
+    * under recompute — the property a 100 TB shard-writing job needs
+    * when it retries.
+    *
+    * shard = draw mod S routes uniformly regardless of doc_id
+    * clustering; position is the rank of draw within the shard — a
+    * uniform random permutation of the shard's members. The rank is
+    * the shared [[graft.functions.Ranks.bucketedRank]] two-level
+    * form (the d36 stance): never one corpus window per shard, so
+    * the job scales past S reducers. At 100 TB the output is written
+    * `partitionBy(shard)` sorted by pos — exactly the shard files a
+    * trainer streams. Oracle: the plain one-window form in DuckDB
+    * (the cross-engine two-level == single-window proof, again). */
+  def t50EpochShuffle(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"))
+      .withColumn("draw", sampleDraw)
+      .withColumn("shard", (col("draw") % t50Shards).cast("int"))
+    graft.functions.Ranks
+      .bucketedRank(base, col("shard"), col("draw"), col("doc_id"),
+        bucketShift = 23, rankName = "rank_l")
+      .withColumn("pos", col("rank_l").cast("int"))
+      .select("doc_id", "shard", "draw", "pos")
+      .orderBy("doc_id")
+  }
+
+  val t50Sql: String =
+    s"""SELECT doc_id, shard, draw,
+       | CAST(row_number() OVER (PARTITION BY shard ORDER BY draw, doc_id) AS INT) AS pos
+       |FROM (
+       | SELECT doc_id, draw, CAST(draw % $t50Shards AS INT) AS shard
+       | FROM (
+       |  SELECT doc_id,
+       |   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) AS draw
+       |  FROM documents))
+       |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t29_langid" -> (t29LangId _),
     "t30_quality" -> (t30Quality _),
@@ -1389,7 +1434,8 @@ object TextOps {
     "t46_gopher_rules" -> (t46GopherRules _),
     "t47_cdc_chunk" -> (t47CdcChunk _),
     "t48_mixture_resample" -> (t48MixtureResample _),
-    "t49_quality_classifier" -> (t49QualityClassifier _))
+    "t49_quality_classifier" -> (t49QualityClassifier _),
+    "t50_epoch_shuffle" -> (t50EpochShuffle _))
 
   def oracles: Map[String, String] = Map(
     "t29_langid" -> t29Sql,
@@ -1412,5 +1458,6 @@ object TextOps {
     "t46_gopher_rules" -> t46Sql,
     "t47_cdc_chunk" -> t47Sql,
     "t48_mixture_resample" -> t48Sql,
-    "t49_quality_classifier" -> t49Sql)
+    "t49_quality_classifier" -> t49Sql,
+    "t50_epoch_shuffle" -> t50Sql)
 }

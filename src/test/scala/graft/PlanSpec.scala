@@ -331,16 +331,18 @@ class PlanSpec extends SparkSpec {
     // a broadcast prefix offset. Pin it: every corpus-side row_number
     // window must carry dbkt in its partition spec, and the offset
     // table must come back as a broadcast join, not a shuffle.
-    val (plan, _) = planOf("d36_cluster_sample")
-    val rnWindows = plan.split("\n").filter(l =>
-      l.contains("Window") && l.contains("row_number"))
-    assert(rnWindows.nonEmpty, s"expected a row_number window:\n$plan")
-    rnWindows.foreach { l =>
-      assert(l.contains("dbkt"),
-        s"row_number window must partition by (cell, dbkt), not cell alone: $l")
+    Seq("d36_cluster_sample", "t50_epoch_shuffle").foreach { name =>
+      val (plan, _) = planOf(name)
+      val rnWindows = plan.split("\n").filter(l =>
+        l.contains("Window") && l.contains("row_number"))
+      assert(rnWindows.nonEmpty, s"$name: expected a row_number window:\n$plan")
+      rnWindows.foreach { l =>
+        assert(l.contains("dbkt"),
+          s"$name: row_number window must partition by (key, dbkt), not the key alone: $l")
+      }
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name: prefix offsets must broadcast back onto the ranked stream:\n$plan")
     }
-    assert(plan.contains("BroadcastHashJoin"),
-      s"prefix offsets must broadcast back onto the ranked stream:\n$plan")
   }
 
   test("sweep: no query plan contains an unintended cartesian or nested-loop join") {

@@ -565,4 +565,31 @@ class TextOpsSpec extends SparkSpec {
       assert(keep == (exp >= 0.0), s"doc $id keep decision")
     }
   }
+
+  test("t50 epoch shuffle: per-shard positions are an exact permutation in (draw, doc_id) order; draw replays") {
+    val out = SparkEntry.queries("t50_epoch_shuffle")(spark, sfDir)
+      .as[(Long, Int, Long, Int)].collect()
+    assert(out.nonEmpty)
+    out.groupBy(_._2).foreach { case (shard, g) =>
+      // pos is exactly 1..n within the shard (no gaps, no ties lost
+      // by the two-level rank)
+      assert(g.map(_._4).sorted.toSeq == (1 to g.length),
+        s"shard $shard positions are not a permutation")
+      // and the order it induces is exactly (draw, doc_id)
+      val byPos = g.sortBy(_._4).map(r => (r._3, r._1)).toSeq
+      assert(byPos == byPos.sorted, s"shard $shard order violates (draw, doc_id)")
+    }
+    // routing replays from an independent MessageDigest md5 and is
+    // draw-uniform: every shard populated, none degenerate
+    out.take(20).foreach { case (id, shard, draw, _) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 7)
+      val d = java.lang.Long.parseLong(hex, 16)
+      assert(draw == d && shard == (d % 8).toInt, s"doc $id routing")
+    }
+    val sizes = out.groupBy(_._2).values.map(_.length)
+    assert(sizes.size == 8 && sizes.max <= 2 * sizes.min,
+      s"shard sizes skewed: $sizes")
+  }
 }
