@@ -991,6 +991,68 @@ object Ann {
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   }
 
+  /** a36: IVF as a PERSISTED parquet index — the d35/d37/d38
+    * persisted-state stance applied to the ANN family: a real vector
+    * system builds its index ONCE (a batch job) and every query run
+    * PROBES the artifact; a29/a29b rebuild routing per run, which is
+    * the verification shape, not the production one. The index here
+    * is the norm-filtered corpus with its a29b cell assignment
+    * (shared [[centroidDistsExpr]] — index and query-time routing
+    * cannot disagree), written `partitionBy(cell)`: the inverted
+    * lists ARE the partition directories, so a probe that filters on
+    * a LITERAL cell set reads nprobe/nlist of the files via Spark
+    * partition pruning — the parquet equivalent of FAISS's invlist
+    * seek, and at 100 TB the difference between scanning 25 TB and
+    * scanning 6 % of it. The literal probe set comes from ONE
+    * bounded driver action over the 8 query rows (the q30 watermark
+    * stance — never a row loop), because only a literal predicate
+    * prunes partitions at plan time.
+    *
+    * Everything downstream (broadcast queries, cosine, top-K window,
+    * tie-breaks) is a29b's code path on the read-back index, so the
+    * correctness property is the d35 one: probe-from-persisted ==
+    * in-memory recompute — AnnSpec asserts row-for-row equality with
+    * a29b, and the oracle IS a29b's (same output by construction). */
+  def a36AnnPersistedIvf(s: SparkSession, dir: String): DataFrame = {
+    val nprobe = 4
+    val corpus = withNorm(Tables.embeddings(s, dir).select("vec_id", "embedding"))
+      .withColumn("dl", centroidDistsExpr("embedding"))
+      .withColumn("cell", expr("CAST(array_position(dl, array_min(dl)) - 1 AS INT)"))
+    val idxDir = graft.sources.Export.scratch("a36_index", dir)
+    corpus.select("vec_id", "embedding", "norm", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(idxDir)
+    val queries = corpus.filter(col("vec_id") < NQ).select(
+      col("vec_id").as("query_id"),
+      col("embedding").as("q_embedding"),
+      col("norm").as("q_norm"),
+      expr(s"""transform(slice(array_sort(
+              |  zip_with(dl, sequence(0, 15), (d, i) -> struct(d, i))), 1, $nprobe),
+              |  s -> s.i)""".stripMargin).as("probe_cells"))
+    // the union of the queries' probe cells as a LITERAL — 8 rows,
+    // one driver action; this is what makes the cell predicate a
+    // partition-pruning filter instead of a post-scan one
+    val probed = queries.select(explode(col("probe_cells")).as("c"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val index = s.read.parquet(idxDir)
+      .filter(col("cell").isin(probed.map(Int.box): _*))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    index.select("vec_id", "embedding", "norm", "cell")
+      .join(broadcast(queries),
+        array_contains(col("probe_cells"), col("cell")) &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine, 4).as("cosine"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= K)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
+  /** a36's oracle IS a29b's: probe-from-persisted must equal the
+    * in-memory recompute — sharing the SQL makes the property the
+    * gate itself checks. */
+  val a36Sql: String = a29bSql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a27_ann_brute" -> (a27AnnBrute _),
     "a28_ann_lsh" -> (a28AnnLsh _),
@@ -1001,7 +1063,8 @@ object Ann {
     "a32_ann_pq" -> (a32AnnPq _),
     "a33_ann_ivfpq" -> (a33AnnIvfPq _),
     "a34_ann_filtered" -> (a34AnnFiltered _),
-    "a35_ann_filtered_rerank" -> (a35AnnFilteredRerank _))
+    "a35_ann_filtered_rerank" -> (a35AnnFilteredRerank _),
+    "a36_ann_persisted_ivf" -> (a36AnnPersistedIvf _))
 
   def oracles: Map[String, String] = Map(
     "a27_ann_brute" -> a27Sql,
@@ -1012,5 +1075,6 @@ object Ann {
     "a32_ann_pq" -> a32Sql,
     "a33_ann_ivfpq" -> a33Sql,
     "a34_ann_filtered" -> a34Sql,
-    "a35_ann_filtered_rerank" -> a35Sql)
+    "a35_ann_filtered_rerank" -> a35Sql,
+    "a36_ann_persisted_ivf" -> a36Sql)
 }

@@ -326,4 +326,17 @@ class AnnSpec extends SparkSpec {
     assert(lshN <= bruteN)
     assert(lshN > 0, "lsh should find at least one bucket-mate at sf0.001")
   }
+
+  test("a36 persisted-index probe equals the a29b in-memory recompute row for row") {
+    // the d35 property for ANN: building the IVF index once as a
+    // parquet artifact and probing it must return exactly what the
+    // per-run recompute returns — same routing (shared centroid
+    // expression), same scoring, same tie-breaks
+    val a36 = SparkEntry.queries("a36_ann_persisted_ivf")(spark, sfDir)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val a29b = SparkEntry.queries("a29b_ann_ivf_oracle")(spark, sfDir)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(a36.nonEmpty && a36 == a29b,
+      s"persisted probe diverged from recompute: ${a36.diff(a29b).take(3)}")
+  }
 }

@@ -345,6 +345,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("a36 probes the persisted IVF index through partition pruning on the cell directories") {
+    // the whole point of partitionBy(cell): the probe's literal cell
+    // set must land in the scan's PartitionFilters (plan-time file
+    // skipping — the invlist seek), not in a post-scan Filter
+    val (_, fmt) = planOf("a36_ann_persisted_ivf")
+    val scanBlock = fmt.linesIterator
+      .filter(l => l.contains("PartitionFilters")).toSeq
+    assert(scanBlock.exists(_.contains("cell")),
+      s"expected a cell partition filter on the index scan:\n$fmt")
+  }
+
   test("sweep: no query plan contains an unintended cartesian or nested-loop join") {
     // Every BNLJ below is a deliberate broadcast of a tiny side:
     //   a27  exact brute-force baseline — 8 query vectors broadcast
@@ -410,7 +421,10 @@ class PlanSpec extends SparkSpec {
       // m36 iterates connected components to a fixpoint at
       // construction (the d27/d32 machinery, whose per-round plan is
       // audited by the lazy ccRound test)
-      "m36_media_dedup_closure")
+      "m36_media_dedup_closure",
+      // a36 writes its partitioned IVF index at construction; its
+      // probe-side pruning is pinned by the dedicated test below
+      "a36_ann_persisted_ivf")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => eagerEntries(q._1)).foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
