@@ -752,6 +752,57 @@ object Dedup {
         when(col("vec_a") % 4 === 0, "in_batch").otherwise("vs_index"))
   }
 
+  /** d39: incremental connected-component maintenance — the last leg
+    * of the daily near-dup pipeline: d38 finds the batch-touching
+    * PAIRS incrementally; this maintains the COMPONENT LABELS
+    * incrementally, so the daily run never re-clusters the corpus.
+    * History's labels (the d32 output restricted to history, built
+    * here from the shared d28 machinery and PERSISTED as a parquet
+    * label index — n rows of two longs) re-enter the update as STAR
+    * EDGES (id → old label): a star edge set reproduces the old
+    * connectivity exactly and is already depth-1, so the update
+    * iteration converges in O(1) extra rounds regardless of history
+    * size. New connectivity is exactly [[d38IncrementalEmbedNeardup]]'s
+    * pair stream. Union, close with the shared
+    * [[connectedComponents]], done.
+    *
+    * Exactness (the whole point): history×history pairs are captured
+    * by the star closure and batch-touching pairs by d38, so
+    * components(star ∪ d38) == components(ALL d28 pairs) — and the
+    * min-label is consistent because an old label is itself a member
+    * id. Hence the oracle IS d32's full-recompute SQL, and DedupSpec
+    * asserts row-for-row equality with d32: incremental == recompute,
+    * for the clustering leg.
+    *
+    * Scale shape: the label index is n (id, component) rows — at
+    * 100 TB a few TB bucketed by id, vs re-verifying the full pair
+    * graph; the update's edge volume is n star edges + the day's
+    * pairs; each CC round is the d27 8-byte-key self-join. */
+  def d39IncrementalComponents(s: SparkSession, dir: String): DataFrame = {
+    val (e, chunks) = hyperplaneBanded(s, dir)
+    // history-only clustering, persisted — the state a daily run carries
+    val histPairs = verifyCosine(
+      hyperplaneCandidatePairs(chunks.filter(col("vec_id") % 4 =!= 0)),
+      e, Attach.Auto)
+    val histVerts = Tables.embeddings(s, dir)
+      .filter(col("vec_id") % 4 =!= 0).select(col("vec_id").as("id"))
+    val idxDir = graft.sources.Export.scratch("d39_labels", dir)
+    connectedComponents(histVerts,
+        histPairs.select(col("vec_a").as("src"), col("vec_b").as("dst")))
+      .write.mode("overwrite").parquet(idxDir)
+    val labels = s.read.parquet(idxDir)
+    // old connectivity as star edges; new connectivity from d38
+    val starEdges = labels.filter(col("id") =!= col("component"))
+      .select(col("id").as("src"), col("component").as("dst"))
+    val newPairs = d38IncrementalEmbedNeardup(s, dir)
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+    val allVerts = Tables.embeddings(s, dir).select(col("vec_id").as("id"))
+    connectedComponents(allVerts, starEdges.union(newPairs))
+      .select(col("id").as("vec_id"), col("component").as("component_id"),
+        (col("id") === col("component")).as("keep"))
+    // no presentation sort (d27/d32 precedent)
+  }
+
   /** The shared DuckDB norm/band projection (`e`) — ONE definition
     * used by d28Sql/d32Sql's pair CTE and d38Sql's split pair query,
     * so the literal planes and norm semantics cannot drift between
@@ -1857,7 +1908,8 @@ object Dedup {
     "d35_incremental_dedup" -> (d35IncrementalDedup _),
     "d36_cluster_sample" -> (d36ClusterSample _),
     "d37_incremental_neardup" -> (d37IncrementalNeardup _),
-    "d38_incremental_embed_neardup" -> (d38IncrementalEmbedNeardup _))
+    "d38_incremental_embed_neardup" -> (d38IncrementalEmbedNeardup _),
+    "d39_incremental_components" -> (d39IncrementalComponents _))
 
   def oracles: Map[String, String] = Map(
     "d22_dedup_exact" -> d22Sql,
@@ -1877,5 +1929,8 @@ object Dedup {
     "d35_incremental_dedup" -> d35Sql,
     "d36_cluster_sample" -> d36Sql,
     "d37_incremental_neardup" -> d37Sql,
-    "d38_incremental_embed_neardup" -> d38Sql)
+    "d38_incremental_embed_neardup" -> d38Sql,
+    // d39's oracle IS the full-recompute d32 SQL: incremental label
+    // maintenance must equal re-clustering from scratch
+    "d39_incremental_components" -> d32Sql)
 }

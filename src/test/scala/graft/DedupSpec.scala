@@ -566,4 +566,20 @@ class DedupSpec extends SparkSpec {
       s"incremental != restricted recompute: missing=${(expected -- inc).take(3)} " +
         s"extra=${(inc -- expected).take(3)}")
   }
+
+  test("d39 incremental label maintenance equals d32's full re-clustering exactly") {
+    val inc = SparkEntry.queries("d39_incremental_components")(spark, sfDir)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val full = SparkEntry.queries("d32_embed_dedup")(spark, sfDir)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(inc.nonEmpty && inc == full,
+      s"incremental != recompute: missing=${(full -- inc).take(3)} extra=${(inc -- full).take(3)}")
+    // non-vacuous: at least one component spans history AND batch —
+    // the star-edges-plus-new-pairs union genuinely merged state, it
+    // didn't just relabel two disjoint halves
+    val byComp = inc.groupBy(_._2)
+    assert(byComp.exists { case (_, g) =>
+      g.exists(_._1 % 4 == 0) && g.exists(_._1 % 4 != 0) && g.size > 1
+    }, "no component spans the batch split — the merge path never ran")
+  }
 }

@@ -414,6 +414,9 @@ class PlanSpec extends SparkSpec {
       // pinned by their oracles and the DedupSpec restricted-
       // recompute properties
       "d37_incremental_neardup", "d38_incremental_embed_neardup",
+      // d39 persists its label index and iterates CC at construction;
+      // the per-round plan is the audited d27 machinery
+      "d39_incremental_components",
       // s43 persists d35's fingerprint index at construction; its one
       // join is the stream-static left anti probe, pinned by the
       // oracle and the StreamingSpec stream==batch property
