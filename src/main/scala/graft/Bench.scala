@@ -39,7 +39,12 @@ object Bench {
     "t35_repetition", "t38_keyphrase", "t40_pipeline",
     "s39_stream_decontaminate", "m35_media_neardup",
     // d23b-scale pair volume (1.96M verified pairs at sf0.1)
-    "d37_incremental_neardup")
+    "d37_incremental_neardup",
+    // r10: the new incremental/closure entries run multi-stage
+    // persisted-state jobs (index build + probe, CC to fixpoint) —
+    // attributable from their first appearance
+    "d38_incremental_embed_neardup", "d39_incremental_components",
+    "m36_media_dedup_closure")
 
   private def familyOf(name: String): String =
     if (solo(name)) name

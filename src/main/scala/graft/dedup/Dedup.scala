@@ -1740,7 +1740,7 @@ object Dedup {
   // with s43's oracle (Streaming.s43Sql), which probes the same index.
   private[graft] val d35CtePrefix: String =
     s"""planted AS (
-       | SELECT d.doc_id,
+       | SELECT d.doc_id, b.text AS text,
        |  md5(regexp_replace(lower(trim(b.text)), '\\s+', ' ', 'g')) AS fingerprint
        | FROM documents d JOIN documents b ON b.doc_id =
        |  ${d35Cid.replace("doc_id", "d.doc_id")}),
@@ -1756,6 +1756,56 @@ object Dedup {
        |        THEN 'dup_in_batch'
        |      ELSE 'accepted' END AS status
        |FROM batch ORDER BY doc_id""".stripMargin
+
+  /** d40: the daily admission pipeline — the capstone composition a
+    * 100 TB crawl actually ships each day, every stage a SHARED
+    * definition already oracle-pinned on its own:
+    * (1) history dedup — s43's stream-static anti join against
+    * d35's persisted fingerprint index ([[graft.streaming.Streaming
+    * .indexDedupStream]] on [[d35IndexAndBatch]]'s artifact);
+    * (2) within-batch dedup — keep the min doc_id per fingerprint
+    * (d35's batch_min leg);
+    * (3) quality gate — t40's threshold on the ONE shared
+    * [[graft.text.TextOps.qualityScoreBp]].
+    * Output is the admitted batch: what actually lands in the corpus
+    * and gets appended to the index. The oracle composes the same
+    * three stages from the SAME shared SQL fragments (d35CtePrefix,
+    * qualityScoreOverASql), so Spark pipeline and SQL pipeline are
+    * built from identical pieces.
+    *
+    * Scale shape: stage 1 is the exchange-free bucketed index probe
+    * (d35), stage 2 shuffles only the day's batch on fingerprint,
+    * stage 3 is scan-stage — the whole admission job touches the
+    * corpus-scale index exactly once, by key. */
+  def d40DailyAdmit(s: SparkSession, dir: String): DataFrame = {
+    val (index, batchDocs) = d35IndexAndBatch(s, dir)
+    val fresh = graft.streaming.Streaming.indexDedupStream(batchDocs, index)
+    val wFp = org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")
+    fresh
+      .withColumn("batch_min", min(col("doc_id")).over(wFp))
+      .filter(col("doc_id") === col("batch_min"))
+      .withColumn("quality_score_bp",
+        graft.text.TextOps.qualityScoreBp(split(col("text"), " ")))
+      .filter(col("quality_score_bp") >= graft.text.TextOps.t40QualityMinBp)
+      .select("doc_id", "fingerprint", "quality_score_bp")
+      .orderBy("doc_id")
+  }
+
+  val d40Sql: String =
+    s"""WITH $d35CtePrefix,
+       |fresh AS (
+       | SELECT doc_id, fingerprint, string_split(text,' ') AS a
+       | FROM (
+       |  SELECT b.*, min(doc_id) OVER (PARTITION BY fingerprint) AS bmin
+       |  FROM batch b
+       |  WHERE fingerprint NOT IN (SELECT fingerprint FROM idx))
+       | WHERE doc_id = bmin)
+       |SELECT doc_id, fingerprint, quality_score_bp FROM (
+       | SELECT doc_id, fingerprint,
+       |  ${graft.text.TextOps.qualityScoreOverASql} AS quality_score_bp
+       | FROM fresh)
+       |WHERE quality_score_bp >= ${graft.text.TextOps.t40QualityMinBp}
+       |ORDER BY doc_id""".stripMargin
 
   /** d36 per-cell quota. */
   private val d36Quota = 8
@@ -1909,7 +1959,8 @@ object Dedup {
     "d36_cluster_sample" -> (d36ClusterSample _),
     "d37_incremental_neardup" -> (d37IncrementalNeardup _),
     "d38_incremental_embed_neardup" -> (d38IncrementalEmbedNeardup _),
-    "d39_incremental_components" -> (d39IncrementalComponents _))
+    "d39_incremental_components" -> (d39IncrementalComponents _),
+    "d40_daily_admit" -> (d40DailyAdmit _))
 
   def oracles: Map[String, String] = Map(
     "d22_dedup_exact" -> d22Sql,
@@ -1932,5 +1983,6 @@ object Dedup {
     "d38_incremental_embed_neardup" -> d38Sql,
     // d39's oracle IS the full-recompute d32 SQL: incremental label
     // maintenance must equal re-clustering from scratch
-    "d39_incremental_components" -> d32Sql)
+    "d39_incremental_components" -> d32Sql,
+    "d40_daily_admit" -> d40Sql)
 }

@@ -684,14 +684,21 @@ object TextOps {
   /** DuckDB oracle for t40: the t30/t34/t35/d22/t36 oracle fragments
     * composed into one CTE chain — each fragment byte-exact on its
     * own gate, so a t40 mismatch isolates a composition bug. */
+  /** The t30 quality score as a SQL expression over a pre-split
+    * token-list column `a` — ONE formula text shared by t40Sql's
+    * gate CTE and d40's daily-admit oracle, so the two gates cannot
+    * drift. */
+  private[graft] val qualityScoreOverASql: String =
+    s"""CAST(floor((least(len(a)/100.0, 1.0)*0.5
+       |   + (CAST(len(list_distinct(a)) AS DOUBLE)/len(a))*0.3
+       |   + (1.0 - CAST(len(list_filter(a, x -> list_contains(${stopList("en")}, x))) AS DOUBLE)/len(a))*0.2
+       |   ) * 10000.0 + 0.5) AS INT)""".stripMargin
+
   val t40Sql: String =
     s"""WITH t AS (SELECT doc_id, lang, text, string_split(text,' ') AS a FROM documents),
        |q AS (
        | SELECT doc_id,
-       |  CAST(floor((least(len(a)/100.0, 1.0)*0.5
-       |   + (CAST(len(list_distinct(a)) AS DOUBLE)/len(a))*0.3
-       |   + (1.0 - CAST(len(list_filter(a, x -> list_contains(${stopList("en")}, x))) AS DOUBLE)/len(a))*0.2
-       |   ) * 10000.0 + 0.5) AS INT) AS quality_score_bp
+       |  $qualityScoreOverASql AS quality_score_bp
        | FROM t),
        |g AS (
        | SELECT doc_id, len(a) AS n_tokens, 1 AS k, unnest(a) AS gr FROM t

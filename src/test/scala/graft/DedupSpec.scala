@@ -582,4 +582,29 @@ class DedupSpec extends SparkSpec {
       g.exists(_._1 % 4 == 0) && g.exists(_._1 % 4 != 0) && g.size > 1
     }, "no component spans the batch split — the merge path never ran")
   }
+
+  test("d40 daily admission equals the composition of its three stage operators, each biting") {
+    val d40 = SparkEntry.queries("d40_daily_admit")(spark, sfDir)
+      .as[(Long, String, Int)].collect()
+    assert(d40.nonEmpty)
+    // stages 1+2 are exactly d35's 'accepted' class
+    val d35 = SparkEntry.queries("d35_incremental_dedup")(spark, sfDir)
+      .as[(Long, String, String)].collect()
+    val accepted = d35.filter(_._3 == "accepted").map(_._1).toSet
+    assert(d40.map(_._1).toSet.subsetOf(accepted),
+      "an admitted doc was not d35-accepted — a dedup stage leaked")
+    // stage 3 bites and is the exact boundary: admitted == accepted
+    // minus the below-threshold docs (scores from the shared scorer,
+    // whose formula is independently pinned by t30's oracle + spec)
+    val (_, batchDocs) = Dedup.d35IndexAndBatch(spark, sfDir)
+    val scores = batchDocs
+      .withColumn("q", graft.text.TextOps.qualityScoreBp(split(col("text"), " ")))
+      .select("doc_id", "q").as[(Long, Int)].collect().toMap
+    val expected = accepted.filter(id => scores(id) >= 5000)
+    assert(d40.map(_._1).toSet == expected,
+      "admitted set != accepted ∩ quality-passing")
+    assert(expected.size < accepted.size,
+      "quality gate never bit — stage 3 is vacuous on this corpus")
+    d40.foreach { case (id, _, q) => assert(q == scores(id) && q >= 5000) }
+  }
 }

@@ -417,6 +417,10 @@ class PlanSpec extends SparkSpec {
       // d39 persists its label index and iterates CC at construction;
       // the per-round plan is the audited d27 machinery
       "d39_incremental_components",
+      // d40 persists d35's fingerprint index at construction; its
+      // stages are the already-pinned s43 anti join + batch window +
+      // scan-stage quality gate
+      "d40_daily_admit",
       // s43 persists d35's fingerprint index at construction; its one
       // join is the stream-static left anti probe, pinned by the
       // oracle and the StreamingSpec stream==batch property
