@@ -229,4 +229,45 @@ class StreamingSpec extends SparkSpec {
     // non-vacuous both ways: the index leg bites AND survivors remain
     assert(d35.exists(_._3 == "dup_of_index") && s43.nonEmpty)
   }
+
+  test("the composed streaming admission (s43 anti-join ∘ stateful dedup ∘ s41 gate) equals d40") {
+    // d40 is the batch daily-admission pipeline; its streaming face
+    // is the composition of transforms this file already proves
+    // individually. Drive the REAL composition through a MemoryStream
+    // fed in doc_id order (first-arrival == batch min under in-order
+    // feed; the stream's dedup state is semantically the growing
+    // index — the production form periodically flushes it into the
+    // d35 persisted artifact) and assert it lands exactly on d40.
+    val (index, batchDocs) = graft.dedup.Dedup.d35IndexAndBatch(spark, sfDir)
+    val rows = batchDocs.select("doc_id", "text").as[(Long, String)]
+      .collect().sortBy(_._1).map { case (id, tx) => Doc(id, tx) }
+    // within ONE micro-batch, streaming dropDuplicates keeps an
+    // ARBITRARY row per key — first-arrival is only deterministic
+    // ACROSS micro-batches (state wins). The planted within-batch
+    // dup pairs are exactly {12k, 12k+4}, so feeding the ≡4 (mod 12)
+    // copies in a second micro-batch makes every collision cross the
+    // boundary: originals enter state first, copies are dropped by
+    // state — first-arrival == batch min, deterministically, while
+    // genuinely exercising cross-batch state carry.
+    val (copies, originals) = rows.partition(_.doc_id % 12 == 4)
+    val in = MemoryStream[Doc](spark)
+    val q = Streaming.qualityGateStream(
+        Streaming.indexDedupStream(in.toDF(), index)
+          .dropDuplicates("fingerprint"))
+      .select("doc_id", "fingerprint", "quality_score_bp")
+      .writeStream.format("memory").queryName("s44out")
+      .outputMode("append").start()
+    try {
+      in.addData(originals: _*)
+      q.processAllAvailable()
+      in.addData(copies: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("s44out")
+        .as[(Long, String, Int)].collect().toSet
+      val batch = SparkEntry.queries("d40_daily_admit")(spark, sfDir)
+        .as[(Long, String, Int)].collect().toSet
+      assert(streamed == batch,
+        s"stream admission != d40: missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    } finally q.stop()
+  }
 }
