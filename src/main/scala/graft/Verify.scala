@@ -1,6 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+/** Schema invariants the driver's hash imposes on every
+  * driver-visible output — shared by Verify's runtime gate and
+  * PlanSpec's sweep so the two checks cannot drift. */
+object SchemaGuards {
+  import org.apache.spark.sql.types._
+  /** True if the type contains a DecimalType ANYWHERE — top level or
+    * nested in arrays/maps/structs: the driver canonicalizes decimals
+    * asymmetrically on its two hash paths (VERDICT r9), and a nested
+    * decimal reaches the parquet dump exactly like a top-level one. */
+  def containsDecimal(dt: DataType): Boolean = dt match {
+    case _: DecimalType     => true
+    case a: ArrayType       => containsDecimal(a.elementType)
+    case m: MapType         => containsDecimal(m.keyType) || containsDecimal(m.valueType)
+    case s: StructType      => s.fields.exists(f => containsDecimal(f.dataType))
+    case _                  => false
+  }
+  def decimalColumns(schema: org.apache.spark.sql.types.StructType): Seq[String] =
+    schema.fields.collect { case f if containsDecimal(f.dataType) => f.name }.toSeq
+}
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
@@ -32,10 +52,9 @@ object Verify {
         // Decimal — VERDICT r9). Exact decimal arithmetic stays legal
         // INTERNALLY; the driver-visible schema must emit it as
         // string/double/long (q13/q33/q34 stance). Fail loudly here so
-        // the class cannot be reintroduced.
-        val decCols = df.schema.fields.collect {
-          case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] => f.name
-        }
+        // the class cannot be reintroduced — nested decimals included
+        // (SchemaGuards recurses through arrays/maps/structs).
+        val decCols = SchemaGuards.decimalColumns(df.schema)
         if (decCols.nonEmpty)
           throw new IllegalStateException(
             s"DECIMAL in driver-visible output schema: ${decCols.mkString(",")} " +

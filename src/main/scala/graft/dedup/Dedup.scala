@@ -734,6 +734,15 @@ object Dedup {
     * with the split as a join-predicate CASE. */
   def d38IncrementalEmbedNeardup(s: SparkSession, dir: String): DataFrame = {
     val (e, chunks) = hyperplaneBanded(s, dir)
+    d38PairsFrom(s, dir, e, chunks)
+  }
+
+  /** d38's body over a caller-supplied banded stream, so d39 can
+    * share ONE (persisted) banding evaluation across its history
+    * clustering and the d38 probe instead of re-banding the corpus
+    * per consumer. */
+  private def d38PairsFrom(s: SparkSession, dir: String,
+      e: DataFrame, chunks: DataFrame): DataFrame = {
     val idxDir = graft.sources.Export.scratch("d38_index", dir)
     chunks.filter(col("vec_id") % 4 =!= 0)
       .write.mode("overwrite").parquet(idxDir)
@@ -779,28 +788,39 @@ object Dedup {
     * graph; the update's edge volume is n star edges + the day's
     * pairs; each CC round is the d27 8-byte-key self-join. */
   def d39IncrementalComponents(s: SparkSession, dir: String): DataFrame = {
-    val (e, chunks) = hyperplaneBanded(s, dir)
-    // history-only clustering, persisted — the state a daily run carries
-    val histPairs = verifyCosine(
-      hyperplaneCandidatePairs(chunks.filter(col("vec_id") % 4 =!= 0)),
-      e, Attach.Auto)
-    val histVerts = Tables.embeddings(s, dir)
-      .filter(col("vec_id") % 4 =!= 0).select(col("vec_id").as("id"))
-    val idxDir = graft.sources.Export.scratch("d39_labels", dir)
-    connectedComponents(histVerts,
-        histPairs.select(col("vec_a").as("src"), col("vec_b").as("dst")))
-      .write.mode("overwrite").parquet(idxDir)
-    val labels = s.read.parquet(idxDir)
-    // old connectivity as star edges; new connectivity from d38
-    val starEdges = labels.filter(col("id") =!= col("component"))
-      .select(col("id").as("src"), col("component").as("dst"))
-    val newPairs = d38IncrementalEmbedNeardup(s, dir)
-      .select(col("vec_a").as("src"), col("vec_b").as("dst"))
-    val allVerts = Tables.embeddings(s, dir).select(col("vec_id").as("id"))
-    connectedComponents(allVerts, starEdges.union(newPairs))
-      .select(col("id").as("vec_id"), col("component").as("component_id"),
-        (col("id") === col("component")).as("keep"))
-    // no presentation sort (d27/d32 precedent)
+    val (e, rawChunks) = hyperplaneBanded(s, dir)
+    // THREE consumers read the banded stream (history self-join,
+    // d38's index write, d38's batch probe) and this entry is eager
+    // (both CC runs materialize during construction) — persist once,
+    // release once everything downstream is checkpointed
+    val chunks = rawChunks
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // history-only clustering, persisted — the state a daily run carries
+      val histPairs = verifyCosine(
+        hyperplaneCandidatePairs(chunks.filter(col("vec_id") % 4 =!= 0)),
+        e, Attach.Auto)
+      val histVerts = Tables.embeddings(s, dir)
+        .filter(col("vec_id") % 4 =!= 0).select(col("vec_id").as("id"))
+      val idxDir = graft.sources.Export.scratch("d39_labels", dir)
+      connectedComponents(histVerts,
+          histPairs.select(col("vec_a").as("src"), col("vec_b").as("dst")))
+        .write.mode("overwrite").parquet(idxDir)
+      val labels = s.read.parquet(idxDir)
+      // old connectivity as star edges; new connectivity from d38,
+      // fed the SAME persisted banding
+      val starEdges = labels.filter(col("id") =!= col("component"))
+        .select(col("id").as("src"), col("component").as("dst"))
+      val newPairs = d38PairsFrom(s, dir, e, chunks)
+        .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      val allVerts = Tables.embeddings(s, dir).select(col("vec_id").as("id"))
+      connectedComponents(allVerts, starEdges.union(newPairs))
+        .select(col("id").as("vec_id"), col("component").as("component_id"),
+          (col("id") === col("component")).as("keep"))
+      // no presentation sort (d27/d32 precedent); the returned plan
+      // hangs off the converged (checkpointed) edge set, so the
+      // unpersist below cannot force a re-band
+    } finally chunks.unpersist()
   }
 
   /** The shared DuckDB norm/band projection (`e`) — ONE definition

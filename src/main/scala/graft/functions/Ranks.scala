@@ -36,11 +36,21 @@ object Ranks {
     // table, never the corpus
     val wOff = Window.partitionBy("gr_key").orderBy("dbkt")
       .rowsBetween(Window.unboundedPreceding, -1)
+    // exact ranking is intrinsically two-pass (pass 1 counts the
+    // buckets, pass 2 ranks within them) — persist the keyed stream
+    // so the passes share ONE evaluation of the upstream projection
+    // (for d36 that projection is the 16-centroid distance scan;
+    // unpersisted, the whole corpus pipeline would execute twice).
+    // MEMORY_AND_DISK is the production posture: at 100 TB this is
+    // the same materialize-once a shard-writing job does anyway, and
+    // blocks are reclaimed by the ContextCleaner when the plan is
+    // dereferenced.
     val base = df
       .withColumn("gr_key", key)
       .withColumn("gr_draw", draw)
       .withColumn("gr_tie", tie)
       .withColumn("dbkt", shiftright(col("gr_draw"), bucketShift))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val offsets = base.groupBy("gr_key", "dbkt")
       .agg(count(lit(1)).as("bn"))
       .withColumn("boff", coalesce(sum("bn").over(wOff), lit(0L)))

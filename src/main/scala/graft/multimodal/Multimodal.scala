@@ -422,8 +422,14 @@ object Multimodal {
       .filter(col("dhash").isNotNull)
   }
 
-  def m35MediaNeardup(s: SparkSession, dir: String): DataFrame = {
-    val hashes = m35Hashes(s, dir)
+  def m35MediaNeardup(s: SparkSession, dir: String): DataFrame =
+    m35PairsFromHashes(m35Hashes(s, dir))
+
+  /** m35's band join + popcount verify over a caller-supplied hash
+    * stream, so m36 can feed ONE (persisted) decode pass to both its
+    * vertex set and its edge finder instead of decoding the corpus
+    * twice. */
+  private def m35PairsFromHashes(hashes: DataFrame): DataFrame = {
     val banded = hashes.select(col("doc_id"), col("dhash"),
       explode(expr(
         """transform(sequence(0, 3), i ->
@@ -473,8 +479,14 @@ object Multimodal {
     * planted-variant grouping (BMP / PPM / +4-brightness collapse to
     * one keeper). */
   def m36MediaDedupClosure(s: SparkSession, dir: String): DataFrame = {
-    val verts = m35Hashes(s, dir).select(col("doc_id").as("id"))
-    val edges = m35MediaNeardup(s, dir)
+    // ONE decode pass feeds both the vertex set and the edge finder
+    // (the JVM decode is the expensive stage); persisted — 16 bytes
+    // per image — and left to the ContextCleaner because the RETURNED
+    // labels plan still reads the vertex side lazily
+    val hashes = m35Hashes(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verts = hashes.select(col("doc_id").as("id"))
+    val edges = m35PairsFromHashes(hashes)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     graft.dedup.Dedup.connectedComponents(verts, edges)
       .select(col("id").as("doc_id"), col("component").as("component_id"),

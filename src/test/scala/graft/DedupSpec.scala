@@ -600,11 +600,12 @@ class DedupSpec extends SparkSpec {
     val scores = batchDocs
       .withColumn("q", graft.text.TextOps.qualityScoreBp(split(col("text"), " ")))
       .select("doc_id", "q").as[(Long, Int)].collect().toMap
-    val expected = accepted.filter(id => scores(id) >= 5000)
+    val minBp = graft.text.TextOps.t40QualityMinBp
+    val expected = accepted.filter(id => scores(id) >= minBp)
     assert(d40.map(_._1).toSet == expected,
       "admitted set != accepted ∩ quality-passing")
     assert(expected.size < accepted.size,
       "quality gate never bit — stage 3 is vacuous on this corpus")
-    d40.foreach { case (id, _, q) => assert(q == scores(id) && q >= 5000) }
+    d40.foreach { case (id, _, q) => assert(q == scores(id) && q >= minBp) }
   }
 }

@@ -445,11 +445,10 @@ class PlanSpec extends SparkSpec {
       // parquet→object Decimal — VERDICT r9), so a decimal-typed
       // output column can NEVER match. Exact decimal arithmetic stays
       // internal; emit string/double/long (q13/q33/q34 stance).
-      // Verify.scala enforces the same invariant for the eager
-      // entries this sweep skips.
-      val decCols = df.schema.fields.collect {
-        case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] => f.name
-      }
+      // ONE recursive guard (SchemaGuards — nested decimals in
+      // array/map/struct included) shared with Verify, which enforces
+      // the same invariant for the eager entries this sweep skips.
+      val decCols = SchemaGuards.decimalColumns(df.schema)
       assert(decCols.isEmpty,
         s"$name emits DECIMAL column(s) ${decCols.mkString(",")} — driver hash cannot match; cast to string/double/long")
     }
