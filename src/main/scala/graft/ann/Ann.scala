@@ -1014,20 +1014,39 @@ object Ann {
     * in-memory recompute — AnnSpec asserts row-for-row equality with
     * a29b, and the oracle IS a29b's (same output by construction). */
   def a36AnnPersistedIvf(s: SparkSession, dir: String): DataFrame = {
-    val nprobe = 4
-    val corpus = withNorm(Tables.embeddings(s, dir).select("vec_id", "embedding"))
-      .withColumn("dl", centroidDistsExpr("embedding"))
-      .withColumn("cell", expr("CAST(array_position(dl, array_min(dl)) - 1 AS INT)"))
+    val corpus = ivfRoutedCorpus(s, dir)
     val idxDir = graft.sources.Export.scratch("a36_index", dir)
     corpus.select("vec_id", "embedding", "norm", "cell")
       .write.mode("overwrite").partitionBy("cell").parquet(idxDir)
-    val queries = corpus.filter(col("vec_id") < NQ).select(
+    probePersistedIvf(s, idxDir, ivfProbeQueries(corpus))
+  }
+
+  /** The a29b-routed corpus (cell = argmin of exact squared-L2 to the
+    * shared literal centroids) — ONE definition feeding a29b's
+    * in-memory recompute shape and every persisted-index entry
+    * (a36 build, a37 build + append), so index-time and query-time
+    * routing can never disagree. */
+  private def ivfRoutedCorpus(s: SparkSession, dir: String): DataFrame =
+    withNorm(Tables.embeddings(s, dir).select("vec_id", "embedding"))
+      .withColumn("dl", centroidDistsExpr("embedding"))
+      .withColumn("cell", expr("CAST(array_position(dl, array_min(dl)) - 1 AS INT)"))
+
+  /** a29b's nprobe-cell query routing over the routed corpus. */
+  private def ivfProbeQueries(corpus: DataFrame, nprobe: Int = 4): DataFrame =
+    corpus.filter(col("vec_id") < NQ).select(
       col("vec_id").as("query_id"),
       col("embedding").as("q_embedding"),
       col("norm").as("q_norm"),
       expr(s"""transform(slice(array_sort(
               |  zip_with(dl, sequence(0, 15), (d, i) -> struct(d, i))), 1, $nprobe),
               |  s -> s.i)""".stripMargin).as("probe_cells"))
+
+  /** Probe a persisted `partitionBy(cell)` IVF artifact: the literal
+    * probe-cell filter (partition pruning — the invlist seek), then
+    * a29b's scoring tail. Shared by a36 and a37 so "what a probe of
+    * the artifact means" has one definition. */
+  private def probePersistedIvf(s: SparkSession, idxDir: String,
+      queries: DataFrame): DataFrame = {
     // the union of the queries' probe cells as a LITERAL — 8 rows,
     // one driver action; this is what makes the cell predicate a
     // partition-pruning filter instead of a post-scan one
@@ -1048,10 +1067,50 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** a37: incremental IVF maintenance — the d35/d37/d38 daily-ingest
+    * stance applied to the index ARTIFACT itself. a36 proves probing
+    * a persisted index; a real vector system also has to ADMIT
+    * yesterday's crawl without rebuilding: the persisted inverted
+    * lists hold only the prior corpus (vec_id % 4 != 0, the shared
+    * batch split), and the new batch is routed with the SAME
+    * [[centroidDistsExpr]] assignment and APPENDED into the same
+    * `partitionBy(cell)` layout — `mode("append")` writes new files
+    * into existing cell directories (or creates a cell dir the old
+    * corpus never populated), which is exactly the FAISS `add` /
+    * IVF-append operation expressed as a lakehouse write. No old file
+    * is rewritten: the day-N cost is O(batch), not O(index).
+    *
+    * The probe then runs against the UPDATED artifact through the
+    * shared [[probePersistedIvf]] path, and the oracle IS a29bSql —
+    * append-then-probe must equal the full in-memory recompute over
+    * old ∪ new, which is the incremental==recompute property the
+    * gate itself checks (the a36/d39 stance). AnnSpec additionally
+    * asserts the result is non-vacuous in the batch: appended
+    * vectors actually surface as neighbors. */
+  def a37AnnIvfInsert(s: SparkSession, dir: String): DataFrame = {
+    val corpus = ivfRoutedCorpus(s, dir)
+    val idxDir = graft.sources.Export.scratch("a37_index", dir)
+    // day-0 build: inverted lists of the PRIOR corpus only
+    corpus.filter(col("vec_id") % 4 =!= 0)
+      .select("vec_id", "embedding", "norm", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(idxDir)
+    // day-1 ingest: route the new batch with the shared assignment
+    // and append into the same cell directories
+    corpus.filter(col("vec_id") % 4 === 0)
+      .select("vec_id", "embedding", "norm", "cell")
+      .write.mode("append").partitionBy("cell").parquet(idxDir)
+    probePersistedIvf(s, idxDir, ivfProbeQueries(corpus))
+  }
+
   /** a36's oracle IS a29b's: probe-from-persisted must equal the
     * in-memory recompute — sharing the SQL makes the property the
     * gate itself checks. */
   val a36Sql: String = a29bSql
+
+  /** a37's oracle IS a29b's too: build-old + append-batch + probe
+    * must land exactly on the full recompute — the incremental ==
+    * recompute property as the gate itself. */
+  val a37Sql: String = a29bSql
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a27_ann_brute" -> (a27AnnBrute _),
@@ -1064,7 +1123,8 @@ object Ann {
     "a33_ann_ivfpq" -> (a33AnnIvfPq _),
     "a34_ann_filtered" -> (a34AnnFiltered _),
     "a35_ann_filtered_rerank" -> (a35AnnFilteredRerank _),
-    "a36_ann_persisted_ivf" -> (a36AnnPersistedIvf _))
+    "a36_ann_persisted_ivf" -> (a36AnnPersistedIvf _),
+    "a37_ann_ivf_insert" -> (a37AnnIvfInsert _))
 
   def oracles: Map[String, String] = Map(
     "a27_ann_brute" -> a27Sql,
@@ -1076,5 +1136,6 @@ object Ann {
     "a33_ann_ivfpq" -> a33Sql,
     "a34_ann_filtered" -> a34Sql,
     "a35_ann_filtered_rerank" -> a35Sql,
-    "a36_ann_persisted_ivf" -> a36Sql)
+    "a36_ann_persisted_ivf" -> a36Sql,
+    "a37_ann_ivf_insert" -> a37Sql)
 }

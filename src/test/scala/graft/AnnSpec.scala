@@ -339,4 +339,22 @@ class AnnSpec extends SparkSpec {
     assert(a36.nonEmpty && a36 == a29b,
       s"persisted probe diverged from recompute: ${a36.diff(a29b).take(3)}")
   }
+
+  test("a37 append-then-probe equals the full recompute and surfaces appended vectors") {
+    // incremental == recompute: building the index from the prior
+    // corpus and APPENDING the routed batch must land exactly on
+    // a29b's in-memory recompute over old ∪ new
+    val a37 = SparkEntry.queries("a37_ann_ivf_insert")(spark, sfDir)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val a29b = SparkEntry.queries("a29b_ann_ivf_oracle")(spark, sfDir)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(a37.nonEmpty && a37 == a29b,
+      s"append-then-probe diverged from recompute: ${a37.diff(a29b).take(3)}")
+    // non-vacuity: the appended day-1 batch (vec_id % 4 == 0) must
+    // actually surface as neighbors — otherwise the append leg could
+    // silently write nothing and the equality above would still pass
+    // on an all-old result
+    assert(a37.exists { case (_, _, nb, _) => nb % 4 == 0 },
+      "no appended (vec_id % 4 == 0) vector appeared as a neighbor")
+  }
 }

@@ -349,11 +349,13 @@ class PlanSpec extends SparkSpec {
     // the whole point of partitionBy(cell): the probe's literal cell
     // set must land in the scan's PartitionFilters (plan-time file
     // skipping — the invlist seek), not in a post-scan Filter
-    val (_, fmt) = planOf("a36_ann_persisted_ivf")
-    val scanBlock = fmt.linesIterator
-      .filter(l => l.contains("PartitionFilters")).toSeq
-    assert(scanBlock.exists(_.contains("cell")),
-      s"expected a cell partition filter on the index scan:\n$fmt")
+    for (entry <- Seq("a36_ann_persisted_ivf", "a37_ann_ivf_insert")) {
+      val (_, fmt) = planOf(entry)
+      val scanBlock = fmt.linesIterator
+        .filter(l => l.contains("PartitionFilters")).toSeq
+      assert(scanBlock.exists(_.contains("cell")),
+        s"$entry: expected a cell partition filter on the index scan:\n$fmt")
+    }
   }
 
   test("sweep: no query plan contains an unintended cartesian or nested-loop join") {
@@ -431,7 +433,11 @@ class PlanSpec extends SparkSpec {
       "m36_media_dedup_closure",
       // a36 writes its partitioned IVF index at construction; its
       // probe-side pruning is pinned by the dedicated test below
-      "a36_ann_persisted_ivf")
+      "a36_ann_persisted_ivf",
+      // a37 writes the day-0 index AND appends the day-1 batch at
+      // construction; its probe is the same shared probePersistedIvf
+      // path the a36 pruning test pins
+      "a37_ann_ivf_insert")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => eagerEntries(q._1)).foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
