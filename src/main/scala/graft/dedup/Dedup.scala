@@ -1956,6 +1956,74 @@ object Dedup {
        |  AND ($bandEqSql))
        |WHERE jaccard >= 0.7""".stripMargin
 
+  /** d41: FUZZY decontamination — the third leg of the
+    * decontamination trio (d29 exact n-gram overlap, d33 the same
+    * membership through a bloom bitmap, d41 whole-document NEAR-dup
+    * similarity): a training document is contaminated not only when
+    * it shares grams verbatim but when it is a near-duplicate of a
+    * benchmark document (light paraphrase, re-wrapped formatting) —
+    * the minhash-against-eval-sets scrub production LLM pipelines
+    * run alongside the exact one. Eval slice: the shared
+    * doc_id % 53 == 0 stand-in (d29/d33's split, so the three legs
+    * scrub the same benchmark).
+    *
+    * The eval side's md5-affine band stream ([[md5BandStream]] — the
+    * SAME definition as d23b/d25c/d37, so benchmark banding cannot
+    * drift from corpus banding) is persisted once as the benchmark
+    * index (the d35/d37 artifact stance — benchmarks change rarely;
+    * the index outlives every crawl). The train stream probes it
+    * with a BROADCAST band equi-join: the index is benchmark-sized,
+    * not corpus-sized, so at 100 TB the probe is exchange-free on
+    * the train side — the d29 broadcast stance, applied to bands.
+    * Candidates flow through the ONE shared [[verifyPairs]] exact-
+    * Jaccard verify, then roll up per train doc (how many benchmark
+    * docs it collides with, the worst similarity, the first such
+    * benchmark id). Oracle: the full md5-affine pipeline replayed
+    * cross-split in DuckDB; DedupSpec additionally proves d41 ==
+    * d23b's full-corpus recompute restricted to cross-split pairs. */
+  def d41FuzzyDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = shingledDocs(s, dir)
+    val idxDir = graft.sources.Export.scratch("d41_index", dir)
+    md5BandStream(docs.filter(col("doc_id") % 53 === 0))
+      .write.mode("overwrite").parquet(idxDir)
+    val index = s.read.parquet(idxDir)
+    val trainStream = md5BandStream(docs.filter(col("doc_id") % 53 =!= 0))
+    val cands = trainStream.as("a").join(broadcast(index.as("b")),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.band_id") ===
+            SetExprs.firstEqualBand(col("a.bandh"), col("b.bandh"), 1))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    verifyPairs(cands, docs, Attach.Auto)
+      .groupBy("doc_a")
+      .agg(count(lit(1)).as("matched_evals"),
+        max(col("jaccard")).as("max_jaccard"),
+        min(col("doc_b")).as("first_eval_id"))
+      .select(col("doc_a").as("doc_id"), col("matched_evals"),
+        col("max_jaccard"), col("first_eval_id"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for d41: identical md5-affine signatures (shared
+    * CTE fragments), candidates = train×eval pairs agreeing on ≥ 1
+    * band, exact unigram Jaccard ≥ 0.7, per-train-doc rollup. */
+  val d41Sql: String =
+    s"""WITH $md5SigsCte,
+       |banded AS (
+       | SELECT s.doc_id, d.sh, s.* EXCLUDE (doc_id)
+       | FROM sigs s JOIN docs d ON s.doc_id = d.doc_id)
+       |SELECT doc_a AS doc_id, count(*) AS matched_evals,
+       | max(jaccard) AS max_jaccard, min(doc_b) AS first_eval_id
+       |FROM (
+       | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+       | FROM banded a JOIN banded b
+       |  ON a.doc_id % 53 <> 0 AND b.doc_id % 53 = 0
+       |  AND ($bandEqSql))
+       |WHERE jaccard >= 0.7
+       |GROUP BY doc_a ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d22_dedup_exact" -> (d22DedupExact _),
     "d23_dedup_minhash" -> (d23DedupMinhash _),
@@ -1980,7 +2048,8 @@ object Dedup {
     "d37_incremental_neardup" -> (d37IncrementalNeardup _),
     "d38_incremental_embed_neardup" -> (d38IncrementalEmbedNeardup _),
     "d39_incremental_components" -> (d39IncrementalComponents _),
-    "d40_daily_admit" -> (d40DailyAdmit _))
+    "d40_daily_admit" -> (d40DailyAdmit _),
+    "d41_fuzzy_decontaminate" -> (d41FuzzyDecontaminate _))
 
   def oracles: Map[String, String] = Map(
     "d22_dedup_exact" -> d22Sql,
@@ -2004,5 +2073,6 @@ object Dedup {
     // d39's oracle IS the full-recompute d32 SQL: incremental label
     // maintenance must equal re-clustering from scratch
     "d39_incremental_components" -> d32Sql,
-    "d40_daily_admit" -> d40Sql)
+    "d40_daily_admit" -> d40Sql,
+    "d41_fuzzy_decontaminate" -> d41Sql)
 }

@@ -542,6 +542,32 @@ class DedupSpec extends SparkSpec {
         s"extra=${(inc -- expected).take(3)}")
   }
 
+  test("d41 fuzzy decontamination equals the full recompute restricted to cross-split pairs") {
+    val d41 = SparkEntry.queries("d41_fuzzy_decontaminate")(spark, sfDir)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(d41.nonEmpty, "no contaminated train doc found — gate is vacuous")
+    assert(d41.forall(_._1 % 53 != 0), "an eval doc leaked into the train-side rollup")
+    // d23b is the full-corpus recompute on the same md5-affine bands;
+    // restricting its pairs to those crossing the eval boundary,
+    // orienting train-first, and rolling up per train doc must
+    // reproduce d41 exactly — the benchmark scrub finds precisely the
+    // cross-split subset of what a full near-dup pass would
+    val full = Dedup.d23bMinhashOracle(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+    val expected = full.flatMap { case (a, b, j) =>
+      (a % 53 == 0, b % 53 == 0) match {
+        case (true, false) => Some((b, a, j))
+        case (false, true) => Some((a, b, j))
+        case _             => None
+      }
+    }.groupBy(_._1).map { case (t, ms) =>
+      (t, ms.length.toLong, ms.map(_._3).max, ms.map(_._2).min)
+    }.toSet
+    assert(d41 == expected,
+      s"fuzzy decon != restricted recompute: missing=${(expected -- d41).take(3)} " +
+        s"extra=${(d41 -- expected).take(3)}")
+  }
+
   test("d38 incremental embed near-dup equals the full d28 recompute restricted to batch-touching pairs") {
     val inc = SparkEntry.queries("d38_incremental_embed_neardup")(spark, sfDir)
       .as[(Long, Long, Double, String)].collect().toSet

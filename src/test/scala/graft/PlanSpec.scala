@@ -437,7 +437,12 @@ class PlanSpec extends SparkSpec {
       // a37 writes the day-0 index AND appends the day-1 batch at
       // construction; its probe is the same shared probePersistedIvf
       // path the a36 pruning test pins
-      "a37_ann_ivf_insert")
+      "a37_ann_ivf_insert",
+      // d41 persists the benchmark band index at construction; its
+      // probe is a broadcast band equi-join feeding the shared
+      // verify, pinned by its oracle and the DedupSpec cross-split
+      // recompute property
+      "d41_fuzzy_decontaminate")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => eagerEntries(q._1)).foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
