@@ -84,7 +84,7 @@ object Dedup {
     * shares one vocabulary, so unigram sets give a meaningful
     * near-dup signal; for web-scale text this generalizes to
     * `sliding` n-word shingles (see d25's bigram variant). */
-  private def shingleSet: Column = array_distinct(split(col("text"), " "))
+  private[graft] def shingleSet: Column = array_distinct(split(col("text"), " "))
 
   /** Shingles hashed to sorted longs, computed ONCE per document.
     * Pairwise Jaccard then runs as a native merge-walk intersect
@@ -301,10 +301,10 @@ object Dedup {
   private val affineMinsSql: String = minhashCoeffs.zipWithIndex.map {
     case ((a, b), i) => s"min(($a * h + $b) % 2147483647) AS m$i"
   }.mkString(",\n  ")
-  private val bandEqSql: String = (0 until 4).map { bnd =>
+  private[graft] val bandEqSql: String = (0 until 4).map { bnd =>
     (0 until 4).map(r => s"a.m${4 * bnd + r} = b.m${4 * bnd + r}").mkString("(", " AND ", ")")
   }.mkString(" OR ")
-  private val md5SigsCte: String =
+  private[graft] val md5SigsCte: String =
     s"""docs AS (
        | SELECT doc_id, list_distinct(string_split(text, ' ')) AS sh FROM documents),
        |toks AS (
@@ -934,7 +934,7 @@ object Dedup {
     * shares a cold band is still found (no first-band predicate
     * here — the pair stream is deduped instead), so capped with
     * maxBucket → ∞ is exactly d23DedupMinhash. */
-  private def shingledDocs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def shingledDocs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(col("doc_id"), shingleSet.as("sh"))
 
   def d23DedupMinhashCapped(s: SparkSession, dir: String, maxBucket: Int): DataFrame =
@@ -1915,21 +1915,36 @@ object Dedup {
     * reruns the identical affine signatures with the split as a
     * join-predicate CASE — incremental banding loses nothing the
     * full-corpus oracle finds across the split. */
-  def d37IncrementalNeardup(s: SparkSession, dir: String): DataFrame = {
-    val docs = shingledDocs(s, dir)
+  /** d37's persisted band index artifact (history = doc_id % 4 != 0,
+    * the shared batch split) — ONE construction shared with s44's
+    * streaming admission, so the ingest-time probe and the batch
+    * incremental run hit the identical artifact. */
+  private[graft] def d37BandIndex(s: SparkSession, dir: String): DataFrame = {
     val idxDir = graft.sources.Export.scratch("d37_index", dir)
-    md5BandStream(docs.filter(col("doc_id") % 4 =!= 0))
+    md5BandStream(shingledDocs(s, dir).filter(col("doc_id") % 4 =!= 0))
       .write.mode("overwrite").parquet(idxDir)
-    val index = s.read.parquet(idxDir)
-    val batchDocs = docs.filter(col("doc_id") % 4 === 0)
-    val batchStream = md5BandStream(batchDocs)
-      .repartition(col("band_id"), col("band_hash"))
-    val vsIndex = index.as("a").join(batchStream.as("b"),
+    s.read.parquet(idxDir)
+  }
+
+  /** Band equi-probe of a persisted index: (historical doc_a,
+    * probing doc_b) candidates, unique per pair via first-equal-band.
+    * Shared by d37 and s44's per-micro-batch admission. */
+  private[graft] def indexBandCandidates(index: DataFrame,
+      probeStream: DataFrame): DataFrame = {
+    val probe = probeStream.repartition(col("band_id"), col("band_hash"))
+    index.as("a").join(probe.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.band_id") ===
             SetExprs.firstEqualBand(col("a.bandh"), col("b.bandh"), 1))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+  }
+
+  def d37IncrementalNeardup(s: SparkSession, dir: String): DataFrame = {
+    val docs = shingledDocs(s, dir)
+    val index = d37BandIndex(s, dir)
+    val batchDocs = docs.filter(col("doc_id") % 4 === 0)
+    val vsIndex = indexBandCandidates(index, md5BandStream(batchDocs))
     val inBatch = md5BandCandidatePairs(batchDocs)
     // rows-only presentation: no global sort (the d23b stance — the
     // driver compare sorts rows itself)

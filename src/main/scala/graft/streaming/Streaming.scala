@@ -573,6 +573,80 @@ object Streaming {
        |WHERE fingerprint NOT IN (SELECT fingerprint FROM idx)
        |ORDER BY doc_id""".stripMargin
 
+  /** s44's per-micro-batch transform: NEAR-dup admission at ingest —
+    * d37's probe leg moved to the stream boundary, the fuzzy
+    * counterpart of s43's exact anti join. A micro-batch of raw docs
+    * is shingled and minhash-banded in flight (the shared
+    * [[graft.dedup.Dedup.shingleSet]] / `md5BandStream` definitions,
+    * so stream-time signatures cannot drift from the index's), band-
+    * probes the PERSISTED d37 artifact
+    * ([[graft.dedup.Dedup.d37BandIndex]] — the same parquet the
+    * batch incremental run reads), verifies candidates with the ONE
+    * shared exact-Jaccard [[graft.dedup.Dedup.verifyPairs]], and
+    * anti-joins the verified near-dups out: what survives is the
+    * admitted slice of the day's stream.
+    *
+    * This is deliberately a `foreachBatch` transform, not a
+    * stream-native join: the probe→verify→anti chain needs two keyed
+    * joins plus a distinct, which Structured Streaming cannot plan
+    * stream-natively without state it doesn't need — each decision
+    * depends only on the micro-batch row and the STATIC index, so
+    * running the batch plan per micro-batch is stateless and exactly
+    * replayable (the documented production pattern for enrich-then-
+    * merge sinks, same stance as [[defaultGoldWriter]]). Scale: the
+    * index side is band-keyed and bucketable (d37's layout); a
+    * micro-batch shuffles only its own band rows; the verify
+    * attaches shingles for candidates only.
+    *
+    * Within-batch near-dups are NOT this stage's job (the s43/s38
+    * decomposition: history at ingest, within-day by the batch
+    * pipeline). */
+  def neardupAdmitBatch(batchDocs: DataFrame, index: DataFrame,
+      corpus: DataFrame): DataFrame = {
+    import graft.dedup.Dedup
+    val shingled = batchDocs.select(col("doc_id"), Dedup.shingleSet.as("sh"))
+    val dropIds = Dedup
+      .verifyPairs(Dedup.indexBandCandidates(index, Dedup.md5BandStream(shingled)),
+        corpus)
+      .select(col("doc_b").as("doc_id")).distinct()
+    batchDocs.select("doc_id").join(dropIds, Seq("doc_id"), "left_anti")
+  }
+
+  /** s44 queries entry — the transform run on the full day's batch
+    * against the real persisted d37 index. StreamingSpec drives the
+    * same transform through real micro-batches and proves the union
+    * equals this batch run. */
+  def s44StreamNeardupAdmit(s: SparkSession, dir: String): DataFrame = {
+    val index = graft.dedup.Dedup.d37BandIndex(s, dir)
+    val raw = Tables.documents(s, dir)
+      .filter(col("doc_id") % 4 === 0).select("doc_id", "text")
+    neardupAdmitBatch(raw, index, graft.dedup.Dedup.shingledDocs(s, dir))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for s44: the identical md5-affine pipeline
+    * (shared CTE fragments), hits = batch docs with a verified
+    * cross-split near-dup in history, admitted = batch minus hits. */
+  val s44Sql: String = {
+    import graft.dedup.Dedup
+    s"""WITH ${Dedup.md5SigsCte},
+       |banded AS (
+       | SELECT s.doc_id, d.sh, s.* EXCLUDE (doc_id)
+       | FROM sigs s JOIN docs d ON s.doc_id = d.doc_id),
+       |hits AS (
+       | SELECT doc_b AS doc_id FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |   ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |     / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+       |  FROM banded a JOIN banded b
+       |   ON a.doc_id % 4 <> 0 AND b.doc_id % 4 = 0
+       |   AND (${Dedup.bandEqSql}))
+       | WHERE jaccard >= 0.7)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id % 4 = 0 AND doc_id NOT IN (SELECT doc_id FROM hits)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Attach the gold-merge sink to a stream of events. */
   def goldMergeQuery(events: DataFrame, targetDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -590,7 +664,8 @@ object Streaming {
     "s40_stream_pii" -> (s40StreamPii _),
     "s41_stream_quality" -> (s41StreamQuality _),
     "s42_apply_changes" -> (s42ApplyChanges _),
-    "s43_stream_index_dedup" -> (s43StreamIndexDedup _))
+    "s43_stream_index_dedup" -> (s43StreamIndexDedup _),
+    "s44_stream_neardup_admit" -> (s44StreamNeardupAdmit _))
 
   def oracles: Map[String, String] = Map(
     "s34_stream_tumbling" -> s34Sql,
@@ -602,5 +677,6 @@ object Streaming {
     "s40_stream_pii" -> s40Sql,
     "s41_stream_quality" -> s41Sql,
     "s42_apply_changes" -> s42Sql,
-    "s43_stream_index_dedup" -> s43Sql)
+    "s43_stream_index_dedup" -> s43Sql,
+    "s44_stream_neardup_admit" -> s44Sql)
 }

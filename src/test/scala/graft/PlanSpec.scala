@@ -442,7 +442,11 @@ class PlanSpec extends SparkSpec {
       // probe is a broadcast band equi-join feeding the shared
       // verify, pinned by its oracle and the DedupSpec cross-split
       // recompute property
-      "d41_fuzzy_decontaminate")
+      "d41_fuzzy_decontaminate",
+      // s44 persists d37's band index at construction; its probe→
+      // verify→anti chain is the audited d37 machinery, pinned by
+      // the oracle and the StreamingSpec micro-batch property
+      "s44_stream_neardup_admit")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => eagerEntries(q._1)).foreach { case (name, fn) =>
       val df = fn(spark, sfDir)

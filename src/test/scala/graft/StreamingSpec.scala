@@ -230,6 +230,39 @@ class StreamingSpec extends SparkSpec {
     assert(d35.exists(_._3 == "dup_of_index") && s43.nonEmpty)
   }
 
+  test("s44 micro-batch near-dup admission over the persisted index equals the batch run") {
+    // the fuzzy counterpart of the s43 property: drive the REAL
+    // foreachBatch transform through micro-batches against the real
+    // persisted d37 artifact; decisions are stateless vs the static
+    // index, so the union across micro-batches must equal one batch
+    // run — proven by executing, not assumed
+    val index = graft.dedup.Dedup.d37BandIndex(spark, sfDir)
+    val corpus = graft.dedup.Dedup.shingledDocs(spark, sfDir)
+    val rows = Tables.documents(spark, sfDir).filter(col("doc_id") % 4 === 0)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, tx) => Doc(id, tx) }
+    val (half1, half2) = rows.partition(_.doc_id % 8 == 0)
+    assert(half1.nonEmpty && half2.nonEmpty)
+    val admitted = scala.collection.mutable.Set[Long]()
+    val in = MemoryStream[Doc](spark)
+    val q = in.toDF().writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        admitted ++= Streaming.neardupAdmitBatch(b.toDF(), index, corpus)
+          .as[Long].collect()
+        ()
+      }.start()
+    try {
+      in.addData(half1: _*); q.processAllAvailable()
+      in.addData(half2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val batch = Streaming.s44StreamNeardupAdmit(spark, sfDir)
+      .as[Long].collect().toSet
+    assert(batch.nonEmpty && admitted.toSet == batch,
+      s"stream union != batch: missing=${(batch -- admitted).take(3)} extra=${(admitted.toSet -- batch).take(3)}")
+    // non-vacuous: the history probe must actually drop someone
+    assert(batch.size < rows.length, "no batch doc was near-dup of history")
+  }
+
   test("the composed streaming admission (s43 anti-join ∘ stateful dedup ∘ s41 gate) equals d40") {
     // d40 is the batch daily-admission pipeline; its streaming face
     // is the composition of transforms this file already proves
