@@ -70,6 +70,18 @@ object ImageCodec {
   def decodeDHash(bytes: Array[Byte]): Option[Long] =
     decodeAccessor(bytes).map { case (_, w, h, px) => dHashOf(w, h, px) }
 
+  /** dHash of a raw grayscale plane (w×h unsigned bytes, row-major) —
+    * the SAME 9×8 gradient grid as the image path, applied to a
+    * video frame's luma plane: equal-luma channels make the BT.601
+    * weighting the identity, so a frame and a gray image with the
+    * same plane hash identically. ONE definition shared by m37's
+    * clip hasher and its spec's independent recompute. Returns None
+    * on a short buffer (corrupt frame) — the codec contract. */
+  private[graft] def grayDHash(w: Int, h: Int,
+      plane: Array[Byte]): Option[Long] =
+    if (w <= 0 || h <= 0 || plane == null || plane.length < w * h) None
+    else Some(dHashOf(w, h, (x, y, _) => plane(y * w + x) & 0xFF))
+
   /** Parse a payload down to (format, w, h, pixel accessor) without
     * walking pixels — shared by the stats pass and the dHash pass. */
   private def decodeAccessor(bytes: Array[Byte])

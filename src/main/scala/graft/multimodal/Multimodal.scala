@@ -495,11 +495,147 @@ object Multimodal {
     // the driver compare sorts rows itself
   }
 
+  /** m37 content-group modulus; variants: 0 the original clip, 1 the
+    * same luma under shifted CHROMA (a re-tinted re-encode — every
+    * byte and the frame CRC change, the luma gradients don't), 2 the
+    * luma plane +4 brightness (m35's variant, per frame). */
+  private[graft] val m37ContentMod = 30L
+
+  /** Planar 4:2:0 YUV frames for a clip: luma carries the cid's
+    * gradient pattern bounded to 0..199 (so +4 never wraps a byte —
+    * the m35Rgb stance), chroma a second bounded pattern (so the
+    * +17 tint never wraps). Dims even (4:2:0) and ≥ the 9×8 dHash
+    * grid; 3–6 frames so the 80 ms sampler keeps ≥ 2 per clip. */
+  private[graft] def m37Planes(cid: Long, yBright: Int, cShift: Int)
+      : (Int, Int, Seq[Array[Byte]]) = {
+    val w = 10 + 2 * (cid % 4).toInt
+    val h = 8 + 2 * (cid % 3).toInt
+    val nF = 3 + (cid % 4).toInt
+    val ySize = w * h
+    val cSize = (w / 2) * (h / 2)
+    // avalanche-mixed luma (murmur3 finalizer), NOT the m35Rgb
+    // linear ramp: any pattern AFFINE in pixel position keeps the
+    // same gradient-sign sequence across cids up to wrap offsets
+    // (a smoke run found 13k cross-group Hamming-≤3 frame
+    // collisions, and a multiplicative post-scale is still affine),
+    // while avalanched luma is independent pseudo-random per
+    // (cid, frame, pixel) — cross-cid hashes sit at Hamming ≈ 32
+    // and only true variants collide
+    def avalanche(x: Long): Long = {
+      var z = x
+      z ^= z >>> 33; z *= 0xff51afd7ed558ccdL
+      z ^= z >>> 33; z *= 0xc4ceb9fe1a85ec53L
+      z ^= z >>> 33; z
+    }
+    def mix(plane: Long, f: Long, pos: Long): Long =
+      Math.floorMod(avalanche((cid << 42) ^ (plane << 40) ^ (f << 20) ^ pos), 200L)
+    val frames = (0 until nF).map { f =>
+      val b = new Array[Byte](ySize + 2 * cSize)
+      var i = 0
+      while (i < ySize) {
+        b(i) = (mix(0L, f, i) + yBright).toByte; i += 1
+      }
+      var j = 0
+      while (j < 2 * cSize) {
+        b(ySize + j) = (mix(1L, f, j) + cShift).toByte; j += 1
+      }
+      b
+    }
+    (w, h, frames)
+  }
+
+  /** Clip table with planted PERCEPTUAL near-duplicate videos: each
+    * content id appears as the original, a re-tinted copy (chroma
+    * shifted — m34's content CRC misses it, the luma dHash doesn't),
+    * and a brightness-shifted copy (the m35 case, per frame). */
+  private[graft] def mediaTableNearClips(s: SparkSession, dir: String)
+      : Dataset[MediaRecord] = {
+    import s.implicits._
+    mediaTable(s, dir).map { r =>
+      val cid = r.doc_id % m37ContentMod
+      val variant = (r.doc_id / m37ContentMod) % 3
+      val (w, h, frames) = m37Planes(cid,
+        if (variant == 2) 4 else 0, if (variant == 1) 17 else 0)
+      r.copy(modality = "video",
+        payload = VideoCodec.encodeY4m(w, h, 25, 1, frames),
+        meta = r.meta.copy(mime = "video/y4m", width = w, height = h,
+          durationMs = frames.length * 40L))
+    }
+  }
+
+  /** m37: perceptual VIDEO near-dup — m35's dHash pipeline lifted to
+    * clips: frames are sampled on the REAL container walk (the
+    * shared [[sampleFrames]] 80 ms tick grid — every other frame at
+    * 25 fps; production tunes the tick, the walk copies only sampled
+    * frames), each sampled frame's LUMA plane is hashed with the
+    * SAME 9×8 gradient grid as the image path
+    * ([[ImageCodec.grayDHash]] — chroma excluded, so a re-tinted
+    * re-encode hashes identically), candidates come from a banded
+    * equi-join requiring the same 16-bit hash chunk at the SAME
+    * sampled frame index (the m35 bands, aligned in time), and the
+    * verify attaches both clips' full frame-hash signatures and
+    * requires ≥ half the aligned frames within Hamming ≤ 3.
+    *
+    * Scale shape: decode + hash is a per-partition map (8 bytes per
+    * sampled frame cross the wire, never pixels); the band join is
+    * a bucketed equi-join on (frame_idx, band, chunk); candidates
+    * then distinct — a pair-keyed shuffle of the SPARSE collision
+    * stream, not all-pairs (unlike m35's single-hash rows a clip
+    * pair can collide on several frames, so first-equal-band can't
+    * dedup it for free); signatures are a per-clip bounded
+    * collect_list (sampled-frame count, not corpus) and the ratio
+    * verify is one codegen'd zip_with over two short arrays.
+    * Rows-only (JVM container walk isn't SQL-replayable);
+    * MultimodalSpec proves planted-group completeness, tint AND
+    * brightness invariance (frame CRCs differ, luma dHashes equal),
+    * alignment, and exactly-once pair emission. */
+  def m37VideoNeardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val clips = mediaTableNearClips(s, dir)
+    val dims = clips.map(r => (r.doc_id, r.meta.width, r.meta.height))
+      .toDF("doc_id", "w", "h")
+    val fhash = sampleFrames(clips, 80L).toDF()
+      .join(dims, "doc_id")
+      .select("doc_id", "frame_idx", "w", "h", "frame_payload")
+      .as[(Long, Int, Int, Int, Array[Byte])]
+      .flatMap { case (id, fi, w, h, p) =>
+        ImageCodec.grayDHash(w, h, p).map(hsh => (id, fi, hsh)) }
+      .toDF("doc_id", "frame_idx", "fhash")
+    val banded = fhash.select(col("doc_id"), col("frame_idx"),
+      explode(expr(
+        """transform(sequence(0, 3), i ->
+          |  struct(i AS band, shiftright(fhash, 16 * i) & 65535 AS chunk))"""
+          .stripMargin)).as("b"))
+      .select(col("doc_id"), col("frame_idx"),
+        col("b.band").as("band"), col("b.chunk").as("chunk"))
+    val cands = banded.select(col("frame_idx"), col("band"), col("chunk"),
+        col("doc_id").as("doc_a"))
+      .join(banded.select(col("frame_idx"), col("band"), col("chunk"),
+        col("doc_id").as("doc_b")), Seq("frame_idx", "band", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sigs = fhash.groupBy("doc_id").agg(expr(
+      "transform(array_sort(collect_list(struct(frame_idx, fhash))), s -> s.fhash)")
+      .as("hs"))
+    cands
+      .join(sigs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .withColumn("matched_frames", expr(
+        "size(filter(zip_with(hs_a, hs_b, (p, q) -> bit_count(p ^ q) <= 3), x -> x))"))
+      .withColumn("total_frames", greatest(size(col("hs_a")), size(col("hs_b"))))
+      .withColumn("match_ratio",
+        round(col("matched_frames").cast("double") / col("total_frames"), 4))
+      .filter(col("match_ratio") >= 0.5)
+      .select("doc_a", "doc_b", "matched_frames", "total_frames", "match_ratio")
+      .orderBy("doc_a", "doc_b")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m33_multimodal" -> (m33Multimodal _),
     "m34_media_dedup" -> (m34MediaDedup _),
     "m35_media_neardup" -> (m35MediaNeardup _),
-    "m36_media_dedup_closure" -> (m36MediaDedupClosure _))
+    "m36_media_dedup_closure" -> (m36MediaDedupClosure _),
+    "m37_video_neardup" -> (m37VideoNeardup _))
 
   def oracles: Map[String, String] = Map.empty
 }

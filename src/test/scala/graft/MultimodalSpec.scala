@@ -455,6 +455,52 @@ class MultimodalSpec extends SparkSpec {
       graft.multimodal.ImageCodec.decodeDHash(payloadOf(0)))
   }
 
+  test("m37 clip near-dup: planted groups complete, tint and brightness invariance, pair uniqueness") {
+    val pairs = SparkEntry.queries("m37_video_neardup")(spark, sfDir)
+      .as[(Long, Long, Int, Int, Double)].collect()
+    assert(pairs.nonEmpty)
+    // contract: ordered pairs, at least one matched frame, ratio ≥ ½
+    pairs.foreach { case (a, b, m, t, r) =>
+      assert(a < b && m >= 1 && m <= t && r >= 0.5, s"pair ($a,$b,$m,$t,$r) contract")
+    }
+    assert(pairs.map(p => (p._1, p._2)).distinct.length == pairs.length,
+      "candidate distinct must emit each pair exactly once")
+    // every planted same-content pair (all three variants share
+    // every luma dHash by construction) must be found, and the
+    // avalanched luma must keep different content ids apart
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    val ids = Multimodal.mediaTableNearClips(spark, sfDir)
+      .select("doc_id").as[Long].collect()
+    val byCid = ids.groupBy(_ % Multimodal.m37ContentMod)
+    byCid.values.foreach { group =>
+      val sorted = group.sorted
+      for (i <- sorted.indices; j <- i + 1 until sorted.length)
+        assert(found((sorted(i), sorted(j))),
+          s"planted pair (${sorted(i)},${sorted(j)}) missed")
+    }
+    found.foreach { case (a, b) =>
+      assert(a % Multimodal.m37ContentMod == b % Multimodal.m37ContentMod,
+        s"cross-content pair ($a,$b) — luma patterns not decorrelated")
+    }
+    // the m37-over-m34 claim on concrete frames: the re-tinted
+    // (chroma-shifted) and re-leveled (+4 luma) variants change the
+    // frame BYTES — any content CRC diverges — but no luma dHash
+    val cid = ids.min % Multimodal.m37ContentMod
+    def frameHashes(yb: Int, cs: Int): Seq[Long] = {
+      val (w, h, frames) = Multimodal.m37Planes(cid, yb, cs)
+      frames.map(f => graft.multimodal.ImageCodec.grayDHash(w, h, f).get)
+    }
+    val base = frameHashes(0, 0)
+    assert(base == frameHashes(4, 0), "brightness shift changed a luma dHash")
+    assert(base == frameHashes(0, 17), "chroma tint changed a luma dHash")
+    assert(Multimodal.m37Planes(cid, 0, 0)._3.head.toSeq !=
+      Multimodal.m37Planes(cid, 0, 17)._3.head.toSeq,
+      "tint variant must differ at the byte level")
+    assert(Multimodal.m37Planes(cid, 0, 0)._3.head.toSeq !=
+      Multimodal.m37Planes(cid, 4, 0)._3.head.toSeq,
+      "brightness variant must differ at the byte level")
+  }
+
   test("m36 closure equals an independent union-find over m35's pairs; keep-min; variants collapse") {
     val out = SparkEntry.queries("m36_media_dedup_closure")(spark, sfDir)
       .as[(Long, Long, Boolean)].collect()
