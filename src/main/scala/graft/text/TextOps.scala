@@ -1419,6 +1419,119 @@ object TextOps {
        |  FROM documents))
        |ORDER BY doc_id""".stripMargin
 
+  /** t51 merge-round count. */
+  private[graft] val t51Rounds = 6
+
+  /** Greedy left-to-right application of ONE BPE merge (left, right)
+    * to a token array, as a left fold: append each token unless the
+    * accumulator's last element equals `left` and the incoming token
+    * equals `right`, in which case replace the last element with the
+    * space-joined merge. The fold IS the textbook greedy scan — a
+    * merged cell can never equal `left` again (it is strictly
+    * longer), so "position consumed by the previous merge" is
+    * encoded by the accumulator state itself, which makes self-pair
+    * runs come out right (aaa → [aa, a], floor-half merges). Merged
+    * tokens stay space-joined strings: raw tokens contain no
+    * spaces (they come from a space split), so merge boundaries stay
+    * unambiguous across rounds. Nested CASE keeps the ANSI
+    * element_at(acc, -1) off the empty-accumulator path. */
+  private def t51ApplyMerge(t: Column, left: String, right: String): Column =
+    aggregate(t, lit(Array.empty[String]), (acc, x) =>
+      when(size(acc) === 0, array(x))
+        .when(element_at(acc, -1) === lit(left) && x === lit(right),
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(concat_ws(" ", element_at(acc, -1), x))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Aligned-bigram counts of the current token stream: the
+    * candidate-pair statistics a BPE round ranks. Map-side partial
+    * counts; the exchange carries one row per DISTINCT pair. */
+  private def t51PairCounts(toks: DataFrame): DataFrame =
+    toks.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(t) - 1),
+          |  i -> struct(element_at(t, i) AS l, element_at(t, i + 1) AS r))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.l").as("left_tok"), col("p.r").as("right_tok"))
+      .agg(count(lit(1)).as("pair_count"))
+
+  /** t51: BPE merge induction — the tokenizer-TRAINING loop itself
+    * (t44 induces the unigram vocabulary; this learns the merge
+    * table): `t51Rounds` rounds of count-all-adjacent-pairs →
+    * argmax (count desc, then lexicographic — deterministic in both
+    * engines' binary string order) → greedy merge application
+    * ([[t51ApplyMerge]]) over the whole corpus. Output is the
+    * learned artifact: (round, left_tok, right_tok, pair_count).
+    *
+    * Each round's winning pair is ONE bounded driver row (the
+    * q30/a36 watermark stance — it IS the learned parameter, which
+    * every distributed BPE trainer centralizes per round) inlined
+    * into the next round's fold as literals, so the per-round plan
+    * stays a scan-stage projection plus one map-side-combined
+    * count; the round's token stream is persisted because two
+    * consumers (this round's argmax, next round's fold) share it.
+    * Scale shape (100 TB): K linear corpus passes — exactly what
+    * sequential merge learning costs; production amortizes by
+    * taking the top-N DISJOINT pairs per pass (noted, not done:
+    * the oracle pins the strictly-sequential semantics). All
+    * round caches are dropped before returning — the output is the
+    * K-row merge table, not corpus data. */
+  def t51BpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    var toks = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val cached = Seq.newBuilder[DataFrame]
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (round <- 0 until t51Rounds) {
+      val cur = toks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached += cur
+      val best = t51PairCounts(cur)
+        .orderBy(col("pair_count").desc, col("left_tok"), col("right_tok"))
+        .limit(1).collect()(0)
+      val (l, r) = (best.getString(0), best.getString(1))
+      merges += ((round, l, r, best.getLong(2)))
+      toks = cur.select(col("doc_id"), t51ApplyMerge(col("t"), l, r).as("t"))
+    }
+    cached.result().foreach(_.unpersist(false))
+    merges.result().toDF("round", "left_tok", "right_tok", "pair_count")
+      .orderBy("round")
+  }
+
+  /** DuckDB oracle for t51: the identical K-round chain — same
+    * bigram counts, same (count desc, lexicographic) argmax, and
+    * the same greedy fold via list_reduce with a list accumulator
+    * (list_reduce seeds from the first element; the Spark fold
+    * seeds from empty and appends it — identical sequences). */
+  val t51Sql: String = {
+    val rounds = (0 until t51Rounds).map { k =>
+      s"""pc_$k AS (
+         | SELECT t[i] AS left_tok, t[i+1] AS right_tok, count(*) AS pair_count
+         | FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+         |       FROM toks_$k WHERE len(t) >= 2)
+         | GROUP BY 1, 2),
+         |best_$k AS (
+         | SELECT left_tok, right_tok, pair_count FROM pc_$k
+         | ORDER BY pair_count DESC, left_tok, right_tok LIMIT 1),
+         |toks_${k + 1} AS (
+         | SELECT doc_id,
+         |  CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[]) ELSE
+         |   list_reduce(list_transform(t, x -> [x]),
+         |     (acc, x) -> CASE WHEN acc[-1] = bb.left_tok AND x[1] = bb.right_tok
+         |                   THEN acc[1:len(acc)-1] || [acc[-1] || ' ' || x[1]]
+         |                   ELSE acc || x END)
+         |  END AS t
+         | FROM toks_$k, best_$k bb)""".stripMargin
+    }.mkString(",\n")
+    val sel = (0 until t51Rounds).map(k =>
+      s"SELECT $k AS round, left_tok, right_tok, pair_count FROM best_$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH toks_0 AS (
+       | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |$rounds
+       |$sel
+       |ORDER BY round""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t29_langid" -> (t29LangId _),
     "t30_quality" -> (t30Quality _),
@@ -1442,7 +1555,8 @@ object TextOps {
     "t47_cdc_chunk" -> (t47CdcChunk _),
     "t48_mixture_resample" -> (t48MixtureResample _),
     "t49_quality_classifier" -> (t49QualityClassifier _),
-    "t50_epoch_shuffle" -> (t50EpochShuffle _))
+    "t50_epoch_shuffle" -> (t50EpochShuffle _),
+    "t51_bpe_merges" -> (t51BpeMerges _))
 
   def oracles: Map[String, String] = Map(
     "t29_langid" -> t29Sql,
@@ -1466,5 +1580,6 @@ object TextOps {
     "t47_cdc_chunk" -> t47Sql,
     "t48_mixture_resample" -> t48Sql,
     "t49_quality_classifier" -> t49Sql,
-    "t50_epoch_shuffle" -> t50Sql)
+    "t50_epoch_shuffle" -> t50Sql,
+    "t51_bpe_merges" -> t51Sql)
 }

@@ -446,7 +446,13 @@ class PlanSpec extends SparkSpec {
       // s44 persists d37's band index at construction; its probe→
       // verify→anti chain is the audited d37 machinery, pinned by
       // the oracle and the StreamingSpec micro-batch property
-      "s44_stream_neardup_admit")
+      "s44_stream_neardup_admit",
+      // t51 runs its K merge rounds at construction (each round's
+      // argmax is one bounded 1-row driver action — the learned
+      // parameter, the q30/a36 stance); per-round plans are a
+      // map-side-combined pair count + a scan-stage fold, pinned by
+      // the oracle and the TextOpsSpec independent-trainer equality
+      "t51_bpe_merges")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => eagerEntries(q._1)).foreach { case (name, fn) =>
       val df = fn(spark, sfDir)

@@ -566,6 +566,44 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("t51 bpe merges equal an independent in-memory greedy trainer") {
+    val got = SparkEntry.queries("t51_bpe_merges")(spark, sfDir)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got.length == TextOps.t51Rounds)
+    // independent reference: plain-Scala greedy BPE over the
+    // collected corpus — same split (limit -1 keeps trailing
+    // empties, matching SQL split), same (count desc, lexicographic)
+    // argmax, same greedy left fold
+    var corpus = Tables.documents(spark, sfDir).select("text").as[String]
+      .collect().toVector.map(_.split(" ", -1).toVector)
+    val expected = (0 until TextOps.t51Rounds).map { round =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      corpus.foreach { t =>
+        var i = 0
+        while (i + 1 < t.length) {
+          val k = (t(i), t(i + 1)); counts(k) = counts.getOrElse(k, 0L) + 1; i += 1
+        }
+      }
+      val ((l, r), c) = counts.toSeq
+        .sortBy { case ((a, b), n) => (-n, a, b) }.head
+      corpus = corpus.map(_.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (acc.last + " " + x)
+        else acc :+ x
+      })
+      (round, l, r, c)
+    }
+    assert(got == expected,
+      s"merge table diverged: got=$got expected=$expected")
+    // the reference fold must itself exhibit the greedy self-pair
+    // law the scaladoc claims (aaa -> [aa, a]) — guards the spec's
+    // own oracle against a broken rewrite
+    val self = Vector("a", "a", "a").foldLeft(Vector.empty[String]) { (acc, x) =>
+      if (acc.nonEmpty && acc.last == "a" && x == "a") acc.init :+ (acc.last + " " + x)
+      else acc :+ x
+    }
+    assert(self == Vector("a a", "a"))
+  }
+
   test("t50 epoch shuffle: per-shard positions are an exact permutation in (draw, doc_id) order; draw replays") {
     val out = SparkEntry.queries("t50_epoch_shuffle")(spark, sfDir)
       .as[(Long, Int, Long, Int)].collect()
