@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.SetExprs
@@ -1674,6 +1675,63 @@ object Dedup {
        |SELECT a AS vec_id, MIN(b) AS component_id, MIN(b) = a AS keep
        |FROM reach GROUP BY a ORDER BY vec_id""".stripMargin
 
+  /** d42: quality-aware dedup keep — d32 collapses each semantic
+    * near-dup cluster to its MIN-ID member, which is the right
+    * deterministic default but not what a production pipeline ships:
+    * when a cluster holds a clean original and a boilerplate-padded
+    * mirror, you keep the BEST copy. Same shared machinery — d32's
+    * components over d28's verified pairs — with the keep rule
+    * replaced by argmax of the ONE shared
+    * [[graft.text.TextOps.qualityScoreBp]] (t30/t40/d40's score —
+    * the dedup decision and the quality gate cannot drift), ties to
+    * the smaller id. The component label stays the min member
+    * (stable across keep-rule changes — downstream lineage keys on
+    * the label, not the keeper).
+    *
+    * Scale shape: the per-component argmax is a window over
+    * component_id — cluster-sized partitions (near-dup clusters are
+    * small by construction; the giant-component case is exactly
+    * what d32's CC rounds already bound), and the quality attach is
+    * a keyed equi-join of two corpus-aligned streams. Oracle: the
+    * d32 recursive closure + the shared quality formula text, keep
+    * replayed as the same window. DedupSpec proves keep == an
+    * independent per-component argmax AND that the rule genuinely
+    * diverges from keep-min on the corpus (non-vacuous). */
+  def d42QualityKeep(s: SparkSession, dir: String): DataFrame = {
+    val comps = d32EmbedDedup(s, dir).select("vec_id", "component_id")
+    val quality = Tables.documents(s, dir).select(
+      col("doc_id").as("vec_id"),
+      graft.text.TextOps.qualityScoreBp(split(col("text"), " "))
+        .as("quality_score_bp"))
+    val w = Window.partitionBy("component_id")
+      .orderBy(col("quality_score_bp").desc, col("vec_id"))
+    comps.join(quality, "vec_id")
+      .withColumn("keep", row_number().over(w) === 1)
+      .select("vec_id", "component_id", "quality_score_bp", "keep")
+    // no presentation sort: d32 stance, the driver compare sorts
+  }
+
+  val d42Sql: String =
+    s"""WITH RECURSIVE $d28PairsCte,
+       |edges AS (
+       | SELECT vec_a AS src, vec_b AS dst FROM pairs
+       | UNION ALL
+       | SELECT vec_b AS src, vec_a AS dst FROM pairs),
+       |reach(a, b) AS (
+       | SELECT vec_id, vec_id FROM embeddings
+       | UNION
+       | SELECT r.a, g.dst FROM reach r JOIN edges g ON r.b = g.src),
+       |comp AS (
+       | SELECT a AS vec_id, MIN(b) AS component_id FROM reach GROUP BY a),
+       |q AS (
+       | SELECT doc_id AS vec_id, ${graft.text.TextOps.qualityScoreOverASql} AS quality_score_bp
+       | FROM (SELECT doc_id, string_split(text, ' ') AS a FROM documents))
+       |SELECT vec_id, component_id, quality_score_bp,
+       | row_number() OVER (PARTITION BY component_id
+       |   ORDER BY quality_score_bp DESC, vec_id) = 1 AS keep
+       |FROM comp JOIN q USING (vec_id)
+       |ORDER BY vec_id""".stripMargin
+
   /** d35 planted-content map. With batch = id ≡ 0 (mod 4), a single
     * modulus can't populate all three outcome classes (a modulus
     * ≡ 0 mod 4 keeps every content class inside one parity — no
@@ -2064,7 +2122,8 @@ object Dedup {
     "d38_incremental_embed_neardup" -> (d38IncrementalEmbedNeardup _),
     "d39_incremental_components" -> (d39IncrementalComponents _),
     "d40_daily_admit" -> (d40DailyAdmit _),
-    "d41_fuzzy_decontaminate" -> (d41FuzzyDecontaminate _))
+    "d41_fuzzy_decontaminate" -> (d41FuzzyDecontaminate _),
+    "d42_quality_keep" -> (d42QualityKeep _))
 
   def oracles: Map[String, String] = Map(
     "d22_dedup_exact" -> d22Sql,
@@ -2089,5 +2148,6 @@ object Dedup {
     // maintenance must equal re-clustering from scratch
     "d39_incremental_components" -> d32Sql,
     "d40_daily_admit" -> d40Sql,
-    "d41_fuzzy_decontaminate" -> d41Sql)
+    "d41_fuzzy_decontaminate" -> d41Sql,
+    "d42_quality_keep" -> d42Sql)
 }

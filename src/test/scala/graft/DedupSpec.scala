@@ -568,6 +568,30 @@ class DedupSpec extends SparkSpec {
         s"extra=${(d41 -- expected).take(3)}")
   }
 
+  test("d42 keeps the per-component quality argmax and genuinely diverges from keep-min") {
+    val d42 = SparkEntry.queries("d42_quality_keep")(spark, sfDir)
+      .as[(Long, Long, Int, Boolean)].collect()
+    val d32 = SparkEntry.queries("d32_embed_dedup")(spark, sfDir)
+      .as[(Long, Long, Boolean)].collect()
+    // identical component partition — only the keep rule changes
+    assert(d42.map(r => (r._1, r._2)).sorted.toSeq ==
+      d32.map(r => (r._1, r._2)).sorted.toSeq)
+    // keep == independent per-component argmax (score desc, id asc)
+    d42.groupBy(_._2).foreach { case (comp, members) =>
+      val keeper = members.minBy(m => (-m._3, m._1))._1
+      members.foreach { m =>
+        assert(m._4 == (m._1 == keeper),
+          s"component $comp: wrong keep flag on ${m._1}")
+      }
+    }
+    // non-vacuous: some multi-member component's best copy is NOT
+    // its min-id member, so the rule actually changes the shipped set
+    val minKeep = d32.filter(_._3).map(_._1).toSet
+    val qKeep = d42.filter(_._4).map(_._1).toSet
+    assert(qKeep != minKeep,
+      "quality argmax never diverged from keep-min — corpus makes the rule vacuous")
+  }
+
   test("d38 incremental embed near-dup equals the full d28 recompute restricted to batch-touching pairs") {
     val inc = SparkEntry.queries("d38_incremental_embed_neardup")(spark, sfDir)
       .as[(Long, Long, Double, String)].collect().toSet

@@ -452,7 +452,11 @@ class PlanSpec extends SparkSpec {
       // parameter, the q30/a36 stance); per-round plans are a
       // map-side-combined pair count + a scan-stage fold, pinned by
       // the oracle and the TextOpsSpec independent-trainer equality
-      "t51_bpe_merges")
+      "t51_bpe_merges",
+      // d42 iterates d32's connected components at construction (the
+      // audited d27 machinery); its own additions are one keyed
+      // quality join + a cluster-sized window, pinned by the oracle
+      "d42_quality_keep")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => eagerEntries(q._1)).foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
