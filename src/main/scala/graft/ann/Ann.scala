@@ -312,7 +312,17 @@ object Ann {
     * squared-L2 / argmin / nprobe routing (row_number over
     * (distance, cell) replays the struct sort), identical cosine
     * scoring and tie-break. */
-  val a29bSql: String = {
+  val a29bSql: String = ivfRecomputeSql("TRUE")
+
+  /** The a29b recompute, parameterized by a corpus predicate — ONE
+    * SQL body for a29b/a36/a37 (predicate TRUE) and a38 (the delete
+    * slice removed), so "what a probe should return" has a single
+    * definition across the whole persisted-index family. The
+    * predicate filters the corpus BEFORE routing; cell assignment
+    * is per-vector against literal centroids, so filtering commutes
+    * with it, and query membership (vec_id < NQ) is evaluated on
+    * the filtered corpus — a deleted query vector stops querying. */
+  private def ivfRecomputeSql(where: String): String = {
     val centsDuck = centroidStrs.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
     s"""WITH e AS (
        | SELECT * FROM (
@@ -321,7 +331,7 @@ object Ann {
        |   list_transform($centsDuck,
        |     c -> list_sum(list_transform(list_zip(c, embedding),
        |            p -> (p[1] - CAST(p[2] AS DOUBLE)) * (p[1] - CAST(p[2] AS DOUBLE))))) AS dl
-       |  FROM embeddings) WHERE norm > 0),
+       |  FROM embeddings WHERE $where) WHERE norm > 0),
        |cells AS (
        | SELECT vec_id, embedding, norm, dl,
        |  CAST(list_indexof(dl, list_min(dl)) - 1 AS INT) AS cell FROM e),
@@ -1026,13 +1036,13 @@ object Ann {
     * in-memory recompute shape and every persisted-index entry
     * (a36 build, a37 build + append), so index-time and query-time
     * routing can never disagree. */
-  private def ivfRoutedCorpus(s: SparkSession, dir: String): DataFrame =
+  private[graft] def ivfRoutedCorpus(s: SparkSession, dir: String): DataFrame =
     withNorm(Tables.embeddings(s, dir).select("vec_id", "embedding"))
       .withColumn("dl", centroidDistsExpr("embedding"))
       .withColumn("cell", expr("CAST(array_position(dl, array_min(dl)) - 1 AS INT)"))
 
   /** a29b's nprobe-cell query routing over the routed corpus. */
-  private def ivfProbeQueries(corpus: DataFrame, nprobe: Int = 4): DataFrame =
+  private[graft] def ivfProbeQueries(corpus: DataFrame, nprobe: Int = 4): DataFrame =
     corpus.filter(col("vec_id") < NQ).select(
       col("vec_id").as("query_id"),
       col("embedding").as("q_embedding"),
@@ -1045,15 +1055,20 @@ object Ann {
     * probe-cell filter (partition pruning — the invlist seek), then
     * a29b's scoring tail. Shared by a36 and a37 so "what a probe of
     * the artifact means" has one definition. */
-  private def probePersistedIvf(s: SparkSession, idxDir: String,
-      queries: DataFrame): DataFrame = {
+  private[graft] def probePersistedIvf(s: SparkSession, idxDir: String,
+      queries: DataFrame, tombstones: Option[DataFrame] = None): DataFrame = {
     // the union of the queries' probe cells as a LITERAL — 8 rows,
     // one driver action; this is what makes the cell predicate a
     // partition-pruning filter instead of a post-scan one
     val probed = queries.select(explode(col("probe_cells")).as("c"))
       .distinct().collect().map(_.getInt(0)).sorted
-    val index = s.read.parquet(idxDir)
+    val pruned = s.read.parquet(idxDir)
       .filter(col("cell").isin(probed.map(Int.box): _*))
+    // between compactions a probe masks the tombstone set in-flight:
+    // a broadcast anti join on vec_id (tombstones are delete-sized,
+    // not index-sized) AFTER pruning, so only probed cells pay it
+    val index = tombstones.fold(pruned)(t =>
+      pruned.join(broadcast(t), Seq("vec_id"), "left_anti"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     index.select("vec_id", "embedding", "norm", "cell")
@@ -1112,6 +1127,56 @@ object Ann {
     * recompute property as the gate itself. */
   val a37Sql: String = a29bSql
 
+  /** a38 delete slice — shared by the tombstone writer, the
+    * compaction filter, and (negated, interpolated) the oracle. */
+  private[graft] val a38DeletedPred = "vec_id % 7 = 3"
+
+  /** a38: DELETE on the persisted IVF index — the missing leg of the
+    * artifact's lifecycle (a36 build, a37 append, a38 delete):
+    * parquet files are immutable, so a delete is (1) a TOMBSTONE
+    * artifact — the deleted vec_ids as their own tiny parquet, the
+    * Iceberg/Delta delete-file shape — masked into every probe by a
+    * broadcast anti join after cell pruning, and (2) COMPACTION,
+    * which rewrites the live rows into a fresh `partitionBy(cell)`
+    * generation and retires the tombstones. This entry runs the full
+    * cycle: build gen-1 from the whole corpus, write tombstones,
+    * compact to gen-2, probe gen-2 through the shared
+    * [[probePersistedIvf]] path. Deletion removes MEMBERSHIP, not
+    * just match candidates: queries are routed from the live corpus,
+    * so a deleted query vector (vec 3 here) stops querying — the
+    * oracle is the SAME parameterized recompute body as
+    * a29b/a36/a37 with the delete slice filtered out
+    * ([[ivfRecomputeSql]]), making delete-then-probe == recompute-
+    * on-live the gate property itself.
+    *
+    * Scale: tombstones are delete-sized; the in-flight mask costs a
+    * broadcast anti join only on probed cells (AnnSpec proves the
+    * masked gen-1 probe equals the compacted gen-2 probe — the
+    * compaction-is-a-no-op law); this entry's full rewrite is the
+    * verification shape — production compacts per-partition when a
+    * cell's tombstone density crosses a threshold, same semantics
+    * cell by cell. */
+  def a38AnnDelete(s: SparkSession, dir: String): DataFrame = {
+    val corpus = ivfRoutedCorpus(s, dir)
+    val idxDir = graft.sources.Export.scratch("a38_index", dir)
+    val tombDir = graft.sources.Export.scratch("a38_tombs", dir)
+    val gen2Dir = graft.sources.Export.scratch("a38_index_g2", dir)
+    corpus.select("vec_id", "embedding", "norm", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(idxDir)
+    corpus.filter(expr(a38DeletedPred)).select("vec_id")
+      .write.mode("overwrite").parquet(tombDir)
+    val tombs = s.read.parquet(tombDir)
+    s.read.parquet(idxDir)
+      .join(broadcast(tombs), Seq("vec_id"), "left_anti")
+      .select("vec_id", "embedding", "norm", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(gen2Dir)
+    val live = corpus.filter(not(expr(a38DeletedPred)))
+    probePersistedIvf(s, gen2Dir, ivfProbeQueries(live))
+  }
+
+  /** a38's oracle: the shared recompute body over the live slice. */
+  val a38Sql: String = ivfRecomputeSql(s"NOT ($a38DeletedPred)")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a27_ann_brute" -> (a27AnnBrute _),
     "a28_ann_lsh" -> (a28AnnLsh _),
@@ -1124,7 +1189,8 @@ object Ann {
     "a34_ann_filtered" -> (a34AnnFiltered _),
     "a35_ann_filtered_rerank" -> (a35AnnFilteredRerank _),
     "a36_ann_persisted_ivf" -> (a36AnnPersistedIvf _),
-    "a37_ann_ivf_insert" -> (a37AnnIvfInsert _))
+    "a37_ann_ivf_insert" -> (a37AnnIvfInsert _),
+    "a38_ann_delete" -> (a38AnnDelete _))
 
   def oracles: Map[String, String] = Map(
     "a27_ann_brute" -> a27Sql,
@@ -1137,5 +1203,6 @@ object Ann {
     "a34_ann_filtered" -> a34Sql,
     "a35_ann_filtered_rerank" -> a35Sql,
     "a36_ann_persisted_ivf" -> a36Sql,
-    "a37_ann_ivf_insert" -> a37Sql)
+    "a37_ann_ivf_insert" -> a37Sql,
+    "a38_ann_delete" -> a38Sql)
 }

@@ -357,4 +357,33 @@ class AnnSpec extends SparkSpec {
     assert(a37.exists { case (_, _, nb, _) => nb % 4 == 0 },
       "no appended (vec_id % 4 == 0) vector appeared as a neighbor")
   }
+
+  test("a38 delete: no deleted id survives, membership removed, tombstone mask equals compaction") {
+    val a38 = SparkEntry.queries("a38_ann_delete")(spark, sfDir)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(a38.nonEmpty)
+    // deletion removes matches AND membership: no deleted id as a
+    // neighbor, and the deleted query vector (vec 3) stops querying
+    a38.foreach { case (q, _, nb, _) =>
+      assert(q % 7 != 3 && nb % 7 != 3, s"deleted id leaked: ($q,$nb)")
+    }
+    assert(!a38.exists(_._1 == 3L) && a38.map(_._1).distinct.length == 7)
+    // the delete must actually change results vs the undeleted probe
+    val a29b = SparkEntry.queries("a29b_ann_ivf_oracle")(spark, sfDir)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(a38 != a29b, "delete changed nothing — corpus makes it vacuous")
+    // compaction-is-a-no-op law: probing gen-1 under the tombstone
+    // mask returns exactly what the compacted gen-2 probe (= a38)
+    // returned. a38 above already wrote both artifacts into this
+    // JVM's deterministic scratch paths.
+    val idxDir = graft.sources.Export.scratch("a38_index", sfDir)
+    val tombs = spark.read.parquet(graft.sources.Export.scratch("a38_tombs", sfDir))
+    val live = Ann.ivfRoutedCorpus(spark, sfDir)
+      .filter(!expr(Ann.a38DeletedPred))
+    val masked = Ann.probePersistedIvf(spark, idxDir,
+        Ann.ivfProbeQueries(live), Some(tombs))
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(masked == a38,
+      s"masked gen-1 probe != compacted probe: ${masked.diff(a38).take(3)}")
+  }
 }

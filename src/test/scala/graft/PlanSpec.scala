@@ -456,7 +456,11 @@ class PlanSpec extends SparkSpec {
       // d42 iterates d32's connected components at construction (the
       // audited d27 machinery); its own additions are one keyed
       // quality join + a cluster-sized window, pinned by the oracle
-      "d42_quality_keep")
+      "d42_quality_keep",
+      // a38 writes gen-1, tombstones, and the compacted gen-2 at
+      // construction; its probe is the shared probePersistedIvf
+      // path the a36 pruning test pins
+      "a38_ann_delete")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => eagerEntries(q._1)).foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
