@@ -1476,8 +1476,15 @@ object TextOps {
     * the oracle pins the strictly-sequential semantics). All
     * round caches are dropped before returning — the output is the
     * K-row merge table, not corpus data. */
-  def t51BpeMerges(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** The K-round training loop: learned merge table + the final
+    * token stream (the corpus with all K merges applied) — ONE loop
+    * shared by t51 (which ships the merges) and t52 (which ships
+    * per-doc tokenization stats), so training and application can
+    * never disagree on a round. Intermediate round caches are
+    * dropped; `keepLast` retains the final round's cache for a
+    * caller that will scan the applied stream. */
+  private def t51Train(s: SparkSession, dir: String, keepLast: Boolean)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     var toks = Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
     val cached = Seq.newBuilder[DataFrame]
@@ -1492,9 +1499,44 @@ object TextOps {
       merges += ((round, l, r, best.getLong(2)))
       toks = cur.select(col("doc_id"), t51ApplyMerge(col("t"), l, r).as("t"))
     }
+    if (keepLast) toks = toks.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cached.result().foreach(_.unpersist(false))
-    merges.result().toDF("round", "left_tok", "right_tok", "pair_count")
+    (merges.result(), toks)
+  }
+
+  def t51BpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t51Train(s, dir, keepLast = false)._1
+      .toDF("round", "left_tok", "right_tok", "pair_count")
       .orderBy("round")
+  }
+
+  /** t52: BPE application — tokenizer INFERENCE over the t51-trained
+    * merges: the corpus re-tokenized through the same K greedy
+    * folds (shared [[t51Train]] loop — train and apply are one code
+    * path), shipped as per-doc stats: whitespace token count,
+    * post-merge token count, merges absorbed, and the post-merge
+    * count in ppm of the original (exact integer arithmetic — no
+    * cross-engine float ratio). This is the shape a tokenizer-aware
+    * pipeline actually materializes per document (budgeting,
+    * packing, and billing all key on post-BPE counts, not
+    * whitespace counts). Scale: the stats pass is one scan-stage
+    * projection over the final fold — the K passes are t51's cost,
+    * shared, and the last round's cache feeds both the merge table
+    * and this scan. Oracle: the SAME K-round CTE chain as t51Sql
+    * ([[t51RoundsCte]] — one SQL builder), aggregated per doc. */
+  def t52BpeApply(s: SparkSession, dir: String): DataFrame = {
+    val (_, toks) = t51Train(s, dir, keepLast = true)
+    toks
+      .select(col("doc_id"),
+        expr("aggregate(t, 0, (n, x) -> n + size(split(x, ' ')))")
+          .as("n_tokens"),
+        size(col("t")).as("n_bpe_tokens"))
+      .withColumn("merged_away", col("n_tokens") - col("n_bpe_tokens"))
+      .withColumn("bpe_ppm", expr(
+        "CAST(n_bpe_tokens AS BIGINT) * 1000000 div CAST(greatest(n_tokens, 1) AS BIGINT)"))
+      .orderBy("doc_id")
   }
 
   /** DuckDB oracle for t51: the identical K-round chain — same
@@ -1502,7 +1544,10 @@ object TextOps {
     * the same greedy fold via list_reduce with a list accumulator
     * (list_reduce seeds from the first element; the Spark fold
     * seeds from empty and appends it — identical sequences). */
-  val t51Sql: String = {
+  /** The K-round DuckDB CTE chain (toks_0 … toks_K with per-round
+    * argmax CTEs) — one SQL builder shared by t51's and t52's
+    * oracles, mirroring the shared [[t51Train]] loop. */
+  private def t51RoundsCte: String = {
     val rounds = (0 until t51Rounds).map { k =>
       s"""pc_$k AS (
          | SELECT t[i] AS left_tok, t[i+1] AS right_tok, count(*) AS pair_count
@@ -1522,15 +1567,34 @@ object TextOps {
          |  END AS t
          | FROM toks_$k, best_$k bb)""".stripMargin
     }.mkString(",\n")
+    s"""toks_0 AS (
+       | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |$rounds""".stripMargin
+  }
+
+  val t51Sql: String = {
     val sel = (0 until t51Rounds).map(k =>
       s"SELECT $k AS round, left_tok, right_tok, pair_count FROM best_$k")
       .mkString("\nUNION ALL ")
-    s"""WITH toks_0 AS (
-       | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-       |$rounds
+    s"""WITH $t51RoundsCte
        |$sel
        |ORDER BY round""".stripMargin
   }
+
+  /** DuckDB oracle for t52: the shared K-round chain, then per-doc
+    * stats over toks_K. Space-joined merge cells split back to the
+    * original whitespace count, so n_tokens needs no second corpus
+    * scan in either engine; integer ppm, no cross-engine floats. */
+  val t52Sql: String =
+    s"""WITH $t51RoundsCte
+       |SELECT doc_id,
+       | CAST(coalesce(list_sum(list_transform(t, x -> len(string_split(x, ' ')))), 0) AS INT) AS n_tokens,
+       | CAST(len(t) AS INT) AS n_bpe_tokens,
+       | CAST(coalesce(list_sum(list_transform(t, x -> len(string_split(x, ' ')))), 0) - len(t) AS INT) AS merged_away,
+       | CAST(CAST(len(t) AS BIGINT) * 1000000
+       |   // greatest(CAST(coalesce(list_sum(list_transform(t, x -> len(string_split(x, ' ')))), 0) AS BIGINT), 1) AS BIGINT) AS bpe_ppm
+       |FROM toks_$t51Rounds
+       |ORDER BY doc_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t29_langid" -> (t29LangId _),
@@ -1556,7 +1620,8 @@ object TextOps {
     "t48_mixture_resample" -> (t48MixtureResample _),
     "t49_quality_classifier" -> (t49QualityClassifier _),
     "t50_epoch_shuffle" -> (t50EpochShuffle _),
-    "t51_bpe_merges" -> (t51BpeMerges _))
+    "t51_bpe_merges" -> (t51BpeMerges _),
+    "t52_bpe_apply" -> (t52BpeApply _))
 
   def oracles: Map[String, String] = Map(
     "t29_langid" -> t29Sql,
@@ -1581,5 +1646,6 @@ object TextOps {
     "t48_mixture_resample" -> t48Sql,
     "t49_quality_classifier" -> t49Sql,
     "t50_epoch_shuffle" -> t50Sql,
-    "t51_bpe_merges" -> t51Sql)
+    "t51_bpe_merges" -> t51Sql,
+    "t52_bpe_apply" -> t52Sql)
 }

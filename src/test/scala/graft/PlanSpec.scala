@@ -460,7 +460,11 @@ class PlanSpec extends SparkSpec {
       // a38 writes gen-1, tombstones, and the compacted gen-2 at
       // construction; its probe is the shared probePersistedIvf
       // path the a36 pruning test pins
-      "a38_ann_delete")
+      "a38_ann_delete",
+      // t52 runs t51's shared training loop at construction; its own
+      // addition is one scan-stage stats projection over the final
+      // fold, pinned by the oracle and the count-law spec
+      "t52_bpe_apply")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => eagerEntries(q._1)).foreach { case (name, fn) =>
       val df = fn(spark, sfDir)

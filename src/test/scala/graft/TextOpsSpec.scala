@@ -604,6 +604,30 @@ class TextOpsSpec extends SparkSpec {
     assert(self == Vector("a a", "a"))
   }
 
+  test("t52 bpe apply stats are consistent with the corpus and the learned merges") {
+    val stats = SparkEntry.queries("t52_bpe_apply")(spark, sfDir)
+      .as[(Long, Int, Int, Int, Long)].collect()
+    val merges = SparkEntry.queries("t51_bpe_merges")(spark, sfDir)
+      .as[(Int, String, String, Long)].collect()
+    // n_tokens must reconstruct the ORIGINAL whitespace count: merge
+    // cells are space-joined, so splitting them back is lossless
+    val orig = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .as[(Long, String)].collect()
+      .map { case (id, tx) => id -> tx.split(" ", -1).length }.toMap
+    assert(stats.length == orig.size)
+    stats.foreach { case (id, n, b, m, ppm) =>
+      assert(n == orig(id), s"doc $id: n_tokens $n != whitespace ${orig(id)}")
+      assert(m == n - b && b >= 1 && b <= n, s"doc $id count laws")
+      assert(ppm == b.toLong * 1000000L / math.max(n, 1).toLong, s"doc $id ppm")
+    }
+    // total absorbed merges: positive (training bit) and bounded by
+    // the pair counts at selection time (greedy application merges
+    // only non-overlapping occurrences, so per round actual ≤ counted)
+    val totalMerged = stats.map(_._4.toLong).sum
+    assert(totalMerged > 0 && totalMerged <= merges.map(_._4).sum,
+      s"merged $totalMerged vs pair-count bound ${merges.map(_._4).sum}")
+  }
+
   test("t50 epoch shuffle: per-shard positions are an exact permutation in (draw, doc_id) order; draw replays") {
     val out = SparkEntry.queries("t50_epoch_shuffle")(spark, sfDir)
       .as[(Long, Int, Long, Int)].collect()
