@@ -22,13 +22,15 @@ case class DecodedAudio(format: String, sampleRate: Int, nSamples: Int,
 object AudioCodec {
   import ByteIO.{le16, le32}
 
-  /** Sniff the RIFF/WAVE magic and decode if PCM16 mono. */
-  def decode(b: Array[Byte]): Option[DecodedAudio] = {
+  /** Chunk-walk a RIFF/WAVE buffer down to its PCM16-mono sample
+    * stream: (data offset, data length, sample rate). Shared by the
+    * stats decode and the perceptual hash so the two can never
+    * parse a container differently. Sizes are attacker-controlled
+    * int32s, so compare in Long and reject negatives. */
+  private def parsePcm(b: Array[Byte]): Option[(Int, Int, Int)] = {
     if (b == null || b.length < 44) return None
     if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
         b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
-    // chunk walk: find "fmt " and "data"; sizes are attacker-
-    // controlled int32s, so compare in Long and reject negatives
     var pos = 12
     var fmt = -1; var channels = -1; var sampleRate = -1; var bits = -1
     var dataOff = -1; var dataLen = -1
@@ -47,7 +49,54 @@ object AudioCodec {
       pos += 8 + sz + (sz & 1) // chunks pad to even boundaries
     }
     if (fmt != 1 || channels != 1 || bits != 16 || sampleRate <= 0 ||
-        dataOff < 0 || dataLen < 0 || dataLen % 2 != 0) return None
+        dataOff < 0 || dataLen < 0 || dataLen % 2 != 0) None
+    else Some((dataOff, dataLen, sampleRate))
+  }
+
+  /** 64-bit energy-difference hash — the audio analog of
+    * [[ImageCodec]]'s dHash: the sample stream splits into 65
+    * floor-division windows (the dHash grid idiom), each window's
+    * energy is the exact integer Σs², and bit w is "window w+1
+    * strictly louder than window w". Robust exactly where a sample
+    * CRC is brittle: a GAIN change scales every window's energy by
+    * the same factor and a DC offset adds the same amount per
+    * window when window sums cancel — energy-DELTA signs survive,
+    * bytes and CRC don't. Integer-only; None for < 65 samples or an
+    * unparseable container (the codec contract). */
+  def energyDHash(b: Array[Byte]): Option[Long] =
+    parsePcm(b).flatMap { case (dataOff, dataLen, _) =>
+      val n = dataLen / 2
+      if (n < 65) None
+      else {
+        val e = new Array[Long](65)
+        var w = 0
+        while (w < 65) {
+          var i = dataOff + 2 * (w * n / 65)
+          val end = dataOff + 2 * ((w + 1) * n / 65)
+          var acc = 0L
+          while (i < end) {
+            val s = le16(b, i).toShort.toInt
+            acc += s.toLong * s
+            i += 2
+          }
+          e(w) = acc
+          w += 1
+        }
+        var hash = 0L
+        var bit = 0
+        while (bit < 64) {
+          if (e(bit + 1) > e(bit)) hash |= 1L << bit
+          bit += 1
+        }
+        Some(hash)
+      }
+    }
+
+  /** Sniff the RIFF/WAVE magic and decode if PCM16 mono. */
+  def decode(b: Array[Byte]): Option[DecodedAudio] = {
+    val parsed = parsePcm(b)
+    if (parsed.isEmpty) return None
+    val (dataOff, dataLen, sampleRate) = parsed.get
     val n = dataLen / 2
     val crc = new java.util.zip.CRC32()
     crc.update(b, dataOff, dataLen)

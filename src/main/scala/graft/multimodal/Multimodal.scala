@@ -495,6 +495,16 @@ object Multimodal {
     // the driver compare sorts rows itself
   }
 
+  /** murmur3 finalizer — the planted-variant generators' mixing
+    * primitive (m37 luma, m38 window amplitudes): full avalanche, so
+    * different content ids' perceptual patterns are decorrelated. */
+  private[graft] def avalanche(x: Long): Long = {
+    var z = x
+    z ^= z >>> 33; z *= 0xff51afd7ed558ccdL
+    z ^= z >>> 33; z *= 0xc4ceb9fe1a85ec53L
+    z ^= z >>> 33; z
+  }
+
   /** m37 content-group modulus; variants: 0 the original clip, 1 the
     * same luma under shifted CHROMA (a re-tinted re-encode — every
     * byte and the frame CRC change, the luma gradients don't), 2 the
@@ -513,20 +523,14 @@ object Multimodal {
     val nF = 3 + (cid % 4).toInt
     val ySize = w * h
     val cSize = (w / 2) * (h / 2)
-    // avalanche-mixed luma (murmur3 finalizer), NOT the m35Rgb
-    // linear ramp: any pattern AFFINE in pixel position keeps the
-    // same gradient-sign sequence across cids up to wrap offsets
-    // (a smoke run found 13k cross-group Hamming-≤3 frame
-    // collisions, and a multiplicative post-scale is still affine),
-    // while avalanched luma is independent pseudo-random per
-    // (cid, frame, pixel) — cross-cid hashes sit at Hamming ≈ 32
-    // and only true variants collide
-    def avalanche(x: Long): Long = {
-      var z = x
-      z ^= z >>> 33; z *= 0xff51afd7ed558ccdL
-      z ^= z >>> 33; z *= 0xc4ceb9fe1a85ec53L
-      z ^= z >>> 33; z
-    }
+    // avalanche-mixed luma, NOT the m35Rgb linear ramp: any pattern
+    // AFFINE in pixel position keeps the same gradient-sign
+    // sequence across cids up to wrap offsets (a smoke run found
+    // 13k cross-group Hamming-≤3 frame collisions, and a
+    // multiplicative post-scale is still affine), while avalanched
+    // luma is independent pseudo-random per (cid, frame, pixel) —
+    // cross-cid hashes sit at Hamming ≈ 32 and only true variants
+    // collide
     def mix(plane: Long, f: Long, pos: Long): Long =
       Math.floorMod(avalanche((cid << 42) ^ (plane << 40) ^ (f << 20) ^ pos), 200L)
     val frames = (0 until nF).map { f =>
@@ -630,12 +634,83 @@ object Multimodal {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** m38 content-group modulus; variants: 0 the original clip, 1 a
+    * −6 dB GAIN copy (every amplitude exactly halved — amplitudes
+    * are even by construction, so the halving is lossless and every
+    * window energy scales by exactly ¼), 2 a +4 DC-offset copy
+    * (window sample sums cancel — alternating ±A over even-length
+    * windows — so each window's energy grows by the same 16·L and
+    * energy DELTAS are untouched). Both change every byte and the
+    * sample CRC; neither changes an energy-delta sign. */
+  private[graft] val m38ContentMod = 25L
+
+  /** Square-wave sample stream for a clip: 65 windows of even
+    * length L, window w at avalanche-derived even amplitude A_w
+    * (alternating ±A_w), so adjacent-window energy comparisons are
+    * pseudo-random per content id and exactly invariant under the
+    * two planted edits. */
+  private[graft] def m38Samples(cid: Long, gainShift: Int,
+      dcOffset: Int): Array[Short] = {
+    val l = 8 + 2 * (cid % 4).toInt
+    Array.tabulate(65 * l) { i =>
+      val w = i / l
+      val a = (64 + 2 * Math.floorMod(avalanche((cid << 20) ^ w), 48).toInt) >> gainShift
+      ((if (i % 2 == 0) a else -a) + dcOffset).toShort
+    }
+  }
+
+  /** Audio table with planted PERCEPTUAL near-duplicates: each
+    * content id appears as the original, a −6 dB copy, and a
+    * DC-shifted copy — the two edits an amplitude-level CRC key
+    * (m34) can never survive and an energy-delta hash must. */
+  private[graft] def mediaTableNearAudio(s: SparkSession, dir: String)
+      : Dataset[MediaRecord] = {
+    import s.implicits._
+    mediaTable(s, dir).map { r =>
+      val cid = r.doc_id % m38ContentMod
+      val variant = (r.doc_id / m38ContentMod) % 3
+      val samples = m38Samples(cid,
+        if (variant == 1) 1 else 0, if (variant == 2) 4 else 0)
+      r.copy(modality = "audio", payload = AudioCodec.encodeWav(8000, samples),
+        meta = r.meta.copy(mime = "audio/wav", width = 0, height = 0,
+          durationMs = (samples.length * 1000L + 4000) / 8000))
+    }
+  }
+
+  /** m38: perceptual AUDIO near-dup — the m35/m37 stance for the
+    * third modality: per-partition batched decode to a 64-bit
+    * energy-difference fingerprint ([[AudioCodec.energyDHash]] —
+    * 65 floor-division windows, exact integer Σs² energies, bit =
+    * next window strictly louder; gain- and DC-invariant where
+    * m34's sample CRC is brittle), then EXACTLY m35's banded
+    * Hamming machinery ([[m35PairsFromHashes]] — one 4×16-bit band
+    * join + popcount verify shared by image and audio, so the two
+    * modalities cannot drift). Scale shape identical to m35: zero
+    * shuffle before banding, 8 hash bytes per clip cross the wire,
+    * bucketed band equi-join, codegen'd xor verify. Rows-only (JVM
+    * container walk isn't SQL-replayable); MultimodalSpec proves
+    * planted-group completeness, gain and DC invariance on concrete
+    * payloads (CRCs diverge, fingerprints don't), and exactly-once
+    * pair emission. */
+  def m38AudioNeardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = mediaTableNearAudio(s, dir)
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map(r =>
+        (r.doc_id,
+          AudioCodec.energyDHash(r.payload)
+            .map(java.lang.Long.valueOf).orNull))))
+      .toDF("doc_id", "dhash")
+      .filter(col("dhash").isNotNull)
+    m35PairsFromHashes(hashes)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m33_multimodal" -> (m33Multimodal _),
     "m34_media_dedup" -> (m34MediaDedup _),
     "m35_media_neardup" -> (m35MediaNeardup _),
     "m36_media_dedup_closure" -> (m36MediaDedupClosure _),
-    "m37_video_neardup" -> (m37VideoNeardup _))
+    "m37_video_neardup" -> (m37VideoNeardup _),
+    "m38_audio_neardup" -> (m38AudioNeardup _))
 
   def oracles: Map[String, String] = Map.empty
 }

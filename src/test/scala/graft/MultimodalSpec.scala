@@ -501,6 +501,48 @@ class MultimodalSpec extends SparkSpec {
       "brightness variant must differ at the byte level")
   }
 
+  test("m38 audio near-dup: planted groups complete, gain and DC invariance, pair uniqueness") {
+    val pairs = SparkEntry.queries("m38_audio_neardup")(spark, sfDir)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b, h) =>
+      assert(a < b && h >= 0 && h <= 3, s"pair ($a,$b,$h) contract")
+    }
+    assert(pairs.map(p => (p._1, p._2)).distinct.length == pairs.length,
+      "band join must emit each pair exactly once")
+    // every planted same-content pair (all three variants share the
+    // fingerprint by construction) must be found; different content
+    // ids must stay apart (avalanched window amplitudes)
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    val ids = Multimodal.mediaTableNearAudio(spark, sfDir)
+      .select("doc_id").as[Long].collect()
+    ids.groupBy(_ % Multimodal.m38ContentMod).values.foreach { group =>
+      val sorted = group.sorted
+      for (i <- sorted.indices; j <- i + 1 until sorted.length)
+        assert(found((sorted(i), sorted(j))),
+          s"planted pair (${sorted(i)},${sorted(j)}) missed")
+    }
+    found.foreach { case (a, b) =>
+      assert(a % Multimodal.m38ContentMod == b % Multimodal.m38ContentMod,
+        s"cross-content pair ($a,$b)")
+    }
+    // the m38-over-m34 claim on concrete payloads: gain and DC edits
+    // change the sample CRC, never the energy-delta fingerprint
+    val cid = ids.min % Multimodal.m38ContentMod
+    def wav(gs: Int, dc: Int): Array[Byte] =
+      graft.multimodal.AudioCodec.encodeWav(8000, Multimodal.m38Samples(cid, gs, dc))
+    val base = graft.multimodal.AudioCodec.energyDHash(wav(0, 0))
+    assert(base.isDefined)
+    assert(base == graft.multimodal.AudioCodec.energyDHash(wav(1, 0)),
+      "gain halving changed the fingerprint")
+    assert(base == graft.multimodal.AudioCodec.energyDHash(wav(0, 4)),
+      "DC offset changed the fingerprint")
+    val crc0 = graft.multimodal.AudioCodec.decode(wav(0, 0)).get.sampleCrc
+    assert(crc0 != graft.multimodal.AudioCodec.decode(wav(1, 0)).get.sampleCrc &&
+      crc0 != graft.multimodal.AudioCodec.decode(wav(0, 4)).get.sampleCrc,
+      "edits must change the sample CRC (m34's key diverges)")
+  }
+
   test("m36 closure equals an independent union-find over m35's pairs; keep-min; variants collapse") {
     val out = SparkEntry.queries("m36_media_dedup_closure")(spark, sfDir)
       .as[(Long, Long, Boolean)].collect()
