@@ -425,6 +425,16 @@ object Multimodal {
   def m35MediaNeardup(s: SparkSession, dir: String): DataFrame =
     m35PairsFromHashes(m35Hashes(s, dir))
 
+  /** First index (0–3) of an equal 16-bit band between hash_a and
+    * hash_b — the exactly-once emission filter shared by every
+    * banded Hamming join (m35 image pairs, m38 audio pairs, m39's
+    * cross-modal thumbnail join). */
+  private val firstEqualBandSql: String =
+    """CASE WHEN (hash_a & 65535) = (hash_b & 65535) THEN 0
+      |     WHEN (shiftright(hash_a, 16) & 65535) = (shiftright(hash_b, 16) & 65535) THEN 1
+      |     WHEN (shiftright(hash_a, 32) & 65535) = (shiftright(hash_b, 32) & 65535) THEN 2
+      |     ELSE 3 END""".stripMargin
+
   /** m35's band join + popcount verify over a caller-supplied hash
     * stream, so m36 can feed ONE (persisted) decode pass to both its
     * vertex set and its edge finder instead of decoding the corpus
@@ -445,11 +455,7 @@ object Multimodal {
       .filter(col("doc_a") < col("doc_b"))
       // first-equal-band: emit each pair from exactly ONE band — a
       // pure projection filter on the two hashes, no distinct shuffle
-      .filter(col("band") === expr(
-        """CASE WHEN (hash_a & 65535) = (hash_b & 65535) THEN 0
-          |     WHEN (shiftright(hash_a, 16) & 65535) = (shiftright(hash_b, 16) & 65535) THEN 1
-          |     WHEN (shiftright(hash_a, 32) & 65535) = (shiftright(hash_b, 32) & 65535) THEN 2
-          |     ELSE 3 END""".stripMargin))
+      .filter(col("band") === expr(firstEqualBandSql))
       .withColumn("hamming", expr("bit_count(hash_a ^ hash_b)"))
       .filter(col("hamming") <= 3)
       .select("doc_a", "doc_b", "hamming")
@@ -593,18 +599,26 @@ object Multimodal {
     * MultimodalSpec proves planted-group completeness, tint AND
     * brightness invariance (frame CRCs differ, luma dHashes equal),
     * alignment, and exactly-once pair emission. */
-  def m37VideoNeardup(s: SparkSession, dir: String): DataFrame = {
+  /** The sampled-frame luma-hash stream (doc_id, frame_idx, fhash) —
+    * ONE definition shared by m37's pair finder and m39's
+    * cross-modal thumbnail join, so the two cannot disagree on
+    * sampling or hashing. */
+  private[graft] def m37FrameHashes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val clips = mediaTableNearClips(s, dir)
     val dims = clips.map(r => (r.doc_id, r.meta.width, r.meta.height))
       .toDF("doc_id", "w", "h")
-    val fhash = sampleFrames(clips, 80L).toDF()
+    sampleFrames(clips, 80L).toDF()
       .join(dims, "doc_id")
       .select("doc_id", "frame_idx", "w", "h", "frame_payload")
       .as[(Long, Int, Int, Int, Array[Byte])]
       .flatMap { case (id, fi, w, h, p) =>
         ImageCodec.grayDHash(w, h, p).map(hsh => (id, fi, hsh)) }
       .toDF("doc_id", "frame_idx", "fhash")
+  }
+
+  def m37VideoNeardup(s: SparkSession, dir: String): DataFrame = {
+    val fhash = m37FrameHashes(s, dir)
     val banded = fhash.select(col("doc_id"), col("frame_idx"),
       explode(expr(
         """transform(sequence(0, 3), i ->
@@ -704,13 +718,92 @@ object Multimodal {
     m35PairsFromHashes(hashes)
   }
 
+  /** Image table for m39: even doc_ids carry a genuine THUMBNAIL —
+    * frame 0 of their cid's clip rendered as an equal-channel gray
+    * BMP (r=g=b=Y makes the BT.601 luma the identity, so the image
+    * dHash equals the frame's [[ImageCodec.grayDHash]] bit for bit —
+    * the cross-modal law m39 executes); odd doc_ids carry avalanche
+    * noise images decorrelated from every clip. */
+  private[graft] def mediaTableNearThumbs(s: SparkSession, dir: String)
+      : Dataset[MediaRecord] = {
+    import s.implicits._
+    mediaTable(s, dir).map { r =>
+      val (w, h, rgb) =
+        if (r.doc_id % 2 == 0) {
+          val cid = r.doc_id % m37ContentMod
+          val (w0, h0, frames) = m37Planes(cid, 0, 0)
+          val y = frames.head
+          (w0, h0, Array.tabulate(3 * w0 * h0)(i => y(i / 3)))
+        } else {
+          val (w0, h0) = (16, 12)
+          (w0, h0, Array.tabulate(3 * w0 * h0)(i =>
+            Math.floorMod(avalanche((r.doc_id << 21) ^ 0x5eedL ^ (i / 3)), 200L).toByte))
+        }
+      r.copy(modality = "image", payload = ImageCodec.encodeBmp(w, h, rgb),
+        meta = r.meta.copy(mime = "image/bmp", width = w, height = h))
+    }
+  }
+
+  /** m39: cross-modal thumbnail detection — does this image appear
+    * INSIDE that video? The production dedup question a crawl with
+    * both modalities must answer (thumbnails, poster frames, still
+    * rips), and the payoff of ONE hashing definition across
+    * modalities: an equal-channel gray image and a video frame with
+    * the same luma plane hash identically ([[ImageCodec.grayDHash]]
+    * scaladoc — here that law becomes an executable join). Image
+    * dHashes and m37's sampled-frame luma hashes
+    * ([[m37FrameHashes]] — the SAME stream m37's pair finder uses)
+    * meet in the m35 banded equi-join, each (image, frame) pair
+    * emitted from its first equal band (shared
+    * [[firstEqualBandSql]] — no distinct shuffle), verified at
+    * Hamming ≤ 3. Output: (image_id, video_id, frame_idx, hamming).
+    *
+    * Scale: both sides reduce to 8-byte hashes at scan stage; the
+    * join is the bucketed (band, chunk) equi-join; pair volume is
+    * thumbnail-collision-sized, never |images| × |frames|.
+    * Rows-only (JVM decode); MultimodalSpec proves the planted
+    * thumbnail ↔ clip-group matches are exactly the output (every
+    * even image matches frame 0 of every clip in its content
+    * group, noise images match nothing). */
+  def m39ThumbnailMatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val imgHashes = mediaTableNearThumbs(s, dir)
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map(r =>
+        (r.doc_id,
+          ImageCodec.decodeDHash(r.payload)
+            .map(java.lang.Long.valueOf).orNull))))
+      .toDF("image_id", "dhash")
+      .filter(col("dhash").isNotNull)
+    val bandsOf = (hc: String) => expr(
+      s"""transform(sequence(0, 3), i ->
+         |  struct(i AS band, shiftright($hc, 16 * i) & 65535 AS chunk))"""
+        .stripMargin)
+    val bi = imgHashes.select(col("image_id"), col("dhash").as("hash_a"),
+        explode(bandsOf("dhash")).as("b"))
+      .select(col("image_id"), col("hash_a"),
+        col("b.band").as("band"), col("b.chunk").as("chunk"))
+    val bf = m37FrameHashes(s, dir)
+      .select(col("doc_id").as("video_id"), col("frame_idx"),
+        col("fhash").as("hash_b"),
+        explode(bandsOf("fhash")).as("b"))
+      .select(col("video_id"), col("frame_idx"), col("hash_b"),
+        col("b.band").as("band"), col("b.chunk").as("chunk"))
+    bi.join(bf, Seq("band", "chunk"))
+      .filter(col("band") === expr(firstEqualBandSql))
+      .withColumn("hamming", expr("bit_count(hash_a ^ hash_b)"))
+      .filter(col("hamming") <= 3)
+      .select("image_id", "video_id", "frame_idx", "hamming")
+      .orderBy("image_id", "video_id", "frame_idx")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m33_multimodal" -> (m33Multimodal _),
     "m34_media_dedup" -> (m34MediaDedup _),
     "m35_media_neardup" -> (m35MediaNeardup _),
     "m36_media_dedup_closure" -> (m36MediaDedupClosure _),
     "m37_video_neardup" -> (m37VideoNeardup _),
-    "m38_audio_neardup" -> (m38AudioNeardup _))
+    "m38_audio_neardup" -> (m38AudioNeardup _),
+    "m39_thumbnail_match" -> (m39ThumbnailMatch _))
 
   def oracles: Map[String, String] = Map.empty
 }

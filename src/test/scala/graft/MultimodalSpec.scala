@@ -543,6 +543,34 @@ class MultimodalSpec extends SparkSpec {
       "edits must change the sample CRC (m34's key diverges)")
   }
 
+  test("m39 thumbnail match is exactly the planted image↔clip-group bipartite set") {
+    val got = SparkEntry.queries("m39_thumbnail_match")(spark, sfDir)
+      .as[(Long, Long, Int, Int)].collect().toSet
+    assert(got.nonEmpty)
+    // expected: every even image matches frame 0 of EVERY clip in
+    // its content group (all three clip variants share the luma
+    // hash), at Hamming 0; noise images match nothing
+    val ids = Multimodal.mediaTableNearClips(spark, sfDir)
+      .select("doc_id").as[Long].collect()
+    val byCid = ids.groupBy(_ % Multimodal.m37ContentMod)
+    val expected = (for {
+      img <- ids if img % 2 == 0
+      vid <- byCid(img % Multimodal.m37ContentMod)
+    } yield (img, vid, 0, 0)).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    // the cross-modal law on one concrete pair: the gray BMP
+    // thumbnail's image dHash IS the frame's grayDHash, bit for bit
+    val cid = ids.min % Multimodal.m37ContentMod
+    val (w, h, frames) = Multimodal.m37Planes(cid, 0, 0)
+    val y = frames.head
+    val bmp = graft.multimodal.ImageCodec.encodeBmp(w, h,
+      Array.tabulate(3 * w * h)(i => y(i / 3)))
+    assert(graft.multimodal.ImageCodec.decodeDHash(bmp) ==
+      graft.multimodal.ImageCodec.grayDHash(w, h, y),
+      "image dHash != frame grayDHash — the shared-definition law broke")
+  }
+
   test("m36 closure equals an independent union-find over m35's pairs; keep-min; variants collapse") {
     val out = SparkEntry.queries("m36_media_dedup_closure")(spark, sfDir)
       .as[(Long, Long, Boolean)].collect()
