@@ -1376,6 +1376,63 @@ object Relational {
   }
 
   /** All relational queries, keyed per SURVEY.md §2. */
+  /** q38 maintenance cutoff: rows strictly before it are the MV's
+    * persisted day-0 state, the rest are "today's" delta. A fixed
+    * calendar literal (orders span the TPC-H 1992–1998 window at
+    * every SF, so both sides are non-empty) shared with the spec. */
+  private[graft] val q38Cutoff = "1997-01-01"
+
+  /** q38: incremental materialized-view maintenance — the
+    * d35/d37/a37 incremental==recompute stance applied to
+    * AGGREGATION, the case every warehouse actually ships as a
+    * "live table": a per-customer order rollup is persisted as its
+    * PARTIAL-AGGREGATE state (count, exact decimal(38,2) sum, max
+    * date — each algebraically mergeable), and the daily refresh
+    * merges the delta's partials into the read-back state by
+    * re-aggregating their union — never touching pre-cutoff fact
+    * rows again. The decimal sum is exact and order-independent
+    * (the q33 stance) so state+delta merge is byte-equal to a full
+    * recompute at any partial split; it crosses the driver as
+    * STRING per the no-decimal-output rule.
+    *
+    * Scale (100 TB): the delta partials are map-side combined over
+    * one day of facts; the state side is MV-sized (one row per
+    * customer, not per order) and lives bucketed by o_custkey, so
+    * the merge shuffles only the day's partials — the whole point
+    * of MV maintenance. Oracle: the full recompute over all
+    * orders — incremental == recompute IS the gate property. */
+  def q38MvMaintenance(s: SparkSession, dir: String): DataFrame = {
+    val mvDir = graft.sources.Export.scratch("q38_mv", dir)
+    val orders = Tables.orders(s, dir).select(
+      col("o_custkey"),
+      to_date(col("o_orderdate")).as("od"),
+      col("o_totalprice").cast("decimal(18,2)").as("p"))
+    def partials(df: DataFrame): DataFrame =
+      df.groupBy("o_custkey").agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("p")).cast("decimal(38,2)").as("total"),
+        max(col("od")).as("last_order_date"))
+    partials(orders.filter(col("od") < lit(q38Cutoff)))
+      .write.mode("overwrite").parquet(mvDir)
+    val state = s.read.parquet(mvDir)
+    val delta = partials(orders.filter(col("od") >= lit(q38Cutoff)))
+    state.unionByName(delta)
+      .groupBy("o_custkey").agg(
+        sum(col("n_orders")).as("n_orders"),
+        sum(col("total")).cast("decimal(38,2)").cast("string")
+          .as("total_price_dec"),
+        max(col("last_order_date")).as("last_order_date"))
+      .orderBy("o_custkey")
+  }
+
+  /** q38's oracle is the FULL recompute — merge-of-partials must be
+    * indistinguishable from never having split the data. */
+  val q38Sql: String =
+    """SELECT o_custkey, count(*) AS n_orders,
+      | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total_price_dec,
+      | max(CAST(o_orderdate AS DATE)) AS last_order_date
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_filter" -> (q01AggFilter _),
     "q02_project_enrich" -> (q02ProjectEnrich _),
@@ -1411,7 +1468,8 @@ object Relational {
     "q34_zorder" -> (q34Zorder _),
     "q35_snapshot_diff" -> (q35SnapshotDiff _),
     "q36_lockup_schedule" -> (q36LockupSchedule _),
-    "q37_lockup_termination" -> (q37LockupTermination _))
+    "q37_lockup_termination" -> (q37LockupTermination _),
+    "q38_mv_maintenance" -> (q38MvMaintenance _))
 
   def oracles: Map[String, String] = Map(
     "q01_agg_filter" -> q01Sql,
@@ -1448,5 +1506,6 @@ object Relational {
     "q34_zorder" -> q34Sql,
     "q35_snapshot_diff" -> q35Sql,
     "q36_lockup_schedule" -> q36Sql,
-    "q37_lockup_termination" -> q37Sql)
+    "q37_lockup_termination" -> q37Sql,
+    "q38_mv_maintenance" -> q38Sql)
 }

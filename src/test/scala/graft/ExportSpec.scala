@@ -107,6 +107,30 @@ class ExportSpec extends SparkSpec {
       "salted export is value-lossless")
   }
 
+  test("q38 merged partials equal an unsplit recompute; both maintenance legs bite") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q38_mv_maintenance")(spark, sfDir)
+      .as[(Long, Long, String, java.sql.Date)].collect().toSeq
+    // independent recompute with NO state/delta split — merging
+    // partials must be indistinguishable from never splitting
+    val full = Tables.orders(spark, sfDir)
+      .groupBy("o_custkey").agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)")
+          .cast("string").as("total_price_dec"),
+        max(to_date(col("o_orderdate"))).as("last_order_date"))
+      .orderBy("o_custkey")
+      .as[(Long, Long, String, java.sql.Date)].collect().toSeq
+    assert(out.nonEmpty && out == full,
+      s"merge != recompute: ${out.diff(full).take(3)}")
+    // both legs non-empty, or the merge is vacuous
+    val sides = Tables.orders(spark, sfDir)
+      .select((to_date(col("o_orderdate")) < lit(graft.operators.Relational.q38Cutoff)).as("pre"))
+      .groupBy("pre").count().as[(Boolean, Long)].collect().toMap
+    assert(sides.getOrElse(true, 0L) > 0 && sides.getOrElse(false, 0L) > 0,
+      s"cutoff leaves a leg empty: $sides")
+  }
+
   test("q31 writes one directory per hour bucket and round-trips losslessly") {
     val out = Export.q31ExportRoundtrip(spark, sfDir)
     val src = Tables.events(spark, sfDir)

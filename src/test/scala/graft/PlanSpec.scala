@@ -464,7 +464,12 @@ class PlanSpec extends SparkSpec {
       // t52 runs t51's shared training loop at construction; its own
       // addition is one scan-stage stats projection over the final
       // fold, pinned by the oracle and the count-law spec
-      "t52_bpe_apply")
+      "t52_bpe_apply",
+      // q38 writes its MV partial-aggregate state at construction;
+      // its merge is one keyed re-aggregation of state ∪ delta,
+      // pinned by the full-recompute oracle and the ExportSpec
+      // equality
+      "q38_mv_maintenance")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => eagerEntries(q._1)).foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
