@@ -1401,28 +1401,47 @@ object Relational {
     * the merge shuffles only the day's partials — the whole point
     * of MV maintenance. Oracle: the full recompute over all
     * orders — incremental == recompute IS the gate property. */
-  def q38MvMaintenance(s: SparkSession, dir: String): DataFrame = {
-    val mvDir = graft.sources.Export.scratch("q38_mv", dir)
-    val orders = Tables.orders(s, dir).select(
+  /** The typed fact stream q38's partials aggregate. */
+  private[graft] def q38Facts(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
       col("o_custkey"),
       to_date(col("o_orderdate")).as("od"),
       col("o_totalprice").cast("decimal(18,2)").as("p"))
-    def partials(df: DataFrame): DataFrame =
-      df.groupBy("o_custkey").agg(
-        count(lit(1)).as("n_orders"),
-        sum(col("p")).cast("decimal(38,2)").as("total"),
-        max(col("od")).as("last_order_date"))
-    partials(orders.filter(col("od") < lit(q38Cutoff)))
-      .write.mode("overwrite").parquet(mvDir)
-    val state = s.read.parquet(mvDir)
-    val delta = partials(orders.filter(col("od") >= lit(q38Cutoff)))
+
+  /** Partial-aggregate state of a fact slice — mergeable by
+    * construction (count, exact decimal sum, max date). */
+  private[graft] def q38Partials(df: DataFrame): DataFrame =
+    df.groupBy("o_custkey").agg(
+      count(lit(1)).as("n_orders"),
+      sum(col("p")).cast("decimal(38,2)").as("total"),
+      max(col("od")).as("last_order_date"))
+
+  /** Merge partial-aggregate states: re-aggregate their union. The
+    * state columns stay in PARTIAL form (decimal total, no string
+    * cast) so merges chain — s45 folds a whole stream of deltas
+    * through this one definition. */
+  private[graft] def q38Merge(state: DataFrame, delta: DataFrame): DataFrame =
     state.unionByName(delta)
       .groupBy("o_custkey").agg(
         sum(col("n_orders")).as("n_orders"),
-        sum(col("total")).cast("decimal(38,2)").cast("string")
-          .as("total_price_dec"),
+        sum(col("total")).cast("decimal(38,2)").as("total"),
         max(col("last_order_date")).as("last_order_date"))
-      .orderBy("o_custkey")
+
+  /** Presentation projection: the exact decimal total crosses the
+    * driver as STRING (the no-decimal-output rule). */
+  private[graft] def q38Present(mv: DataFrame): DataFrame =
+    mv.select(col("o_custkey"), col("n_orders"),
+      col("total").cast("string").as("total_price_dec"),
+      col("last_order_date"))
+
+  def q38MvMaintenance(s: SparkSession, dir: String): DataFrame = {
+    val mvDir = graft.sources.Export.scratch("q38_mv", dir)
+    val orders = q38Facts(s, dir)
+    q38Partials(orders.filter(col("od") < lit(q38Cutoff)))
+      .write.mode("overwrite").parquet(mvDir)
+    val state = s.read.parquet(mvDir)
+    val delta = q38Partials(orders.filter(col("od") >= lit(q38Cutoff)))
+    q38Present(q38Merge(state, delta)).orderBy("o_custkey")
   }
 
   /** q38's oracle is the FULL recompute — merge-of-partials must be

@@ -647,6 +647,50 @@ object Streaming {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** s45: streaming MV refresh — q38's maintenance at the stream
+    * boundary, the Structured-Streaming "live table": the persisted
+    * partial-aggregate state folds forward one micro-batch at a
+    * time through the ONE shared [[graft.operators.Relational
+    * .q38Merge]] (state and delta stay in PARTIAL form — decimal
+    * totals, mergeable maxes — so merges CHAIN; presentation
+    * stringifies once at the end). Because the partial algebra is
+    * associative and the decimal sum exact, ANY micro-batch slicing
+    * of the day lands byte-exactly on the full recompute — this
+    * entry folds two time slices and its oracle IS q38Sql, making
+    * multi-step == one-step == recompute the gate property.
+    * StreamingSpec drives the same fold through a REAL MemoryStream
+    * + foreachBatch generation chain (each batch merges into a new
+    * state generation — the Delta-style MV refresh loop) and lands
+    * on the same rows. Scale: per batch the state side is MV-sized
+    * and bucketed by customer; only the batch's partials shuffle. */
+  def s45StreamMvRefresh(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Relational
+    val mvDir = graft.sources.Export.scratch("s45_mv", dir)
+    val orders = Relational.q38Facts(s, dir)
+    Relational.q38Partials(orders.filter(col("od") < lit(Relational.q38Cutoff)))
+      .write.mode("overwrite").parquet(mvDir)
+    var state = s.read.parquet(mvDir)
+    for (slice <- Seq(
+        col("od") >= lit(Relational.q38Cutoff) && col("od") < lit(s45Mid),
+        col("od") >= lit(s45Mid))) {
+      state = Relational.q38Merge(state,
+        Relational.q38Partials(orders.filter(slice)))
+    }
+    Relational.q38Present(state).orderBy("o_custkey")
+  }
+
+  /** s45's second micro-batch boundary (orders run through 1998 at
+    * every SF, so both slices are non-empty). */
+  private[graft] val s45Mid = "1997-07-01"
+
+  /** s45's oracle IS q38's full recompute: slicing the day into
+    * micro-batches must be invisible. LAZY: Relational's own init
+    * touches Streaming (q35Sql interpolates s42Cutoff), so an eager
+    * read of q38Sql here would observe Relational mid-init (null) —
+    * deferral breaks the cycle; by the time any oracles map is
+    * materialized both objects are fully constructed. */
+  lazy val s45Sql: String = graft.operators.Relational.q38Sql
+
   /** Attach the gold-merge sink to a stream of events. */
   def goldMergeQuery(events: DataFrame, targetDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -665,7 +709,8 @@ object Streaming {
     "s41_stream_quality" -> (s41StreamQuality _),
     "s42_apply_changes" -> (s42ApplyChanges _),
     "s43_stream_index_dedup" -> (s43StreamIndexDedup _),
-    "s44_stream_neardup_admit" -> (s44StreamNeardupAdmit _))
+    "s44_stream_neardup_admit" -> (s44StreamNeardupAdmit _),
+    "s45_stream_mv_refresh" -> (s45StreamMvRefresh _))
 
   def oracles: Map[String, String] = Map(
     "s34_stream_tumbling" -> s34Sql,
@@ -678,5 +723,6 @@ object Streaming {
     "s41_stream_quality" -> s41Sql,
     "s42_apply_changes" -> s42Sql,
     "s43_stream_index_dedup" -> s43Sql,
-    "s44_stream_neardup_admit" -> s44Sql)
+    "s44_stream_neardup_admit" -> s44Sql,
+    "s45_stream_mv_refresh" -> s45Sql)
 }

@@ -469,7 +469,11 @@ class PlanSpec extends SparkSpec {
       // its merge is one keyed re-aggregation of state ∪ delta,
       // pinned by the full-recompute oracle and the ExportSpec
       // equality
-      "q38_mv_maintenance")
+      "q38_mv_maintenance",
+      // s45 writes the same MV state at construction and folds two
+      // slices through q38's shared merge, pinned by the q38Sql
+      // oracle and the StreamingSpec generation-chain property
+      "s45_stream_mv_refresh")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => eagerEntries(q._1)).foreach { case (name, fn) =>
       val df = fn(spark, sfDir)

@@ -263,6 +263,49 @@ class StreamingSpec extends SparkSpec {
     assert(batch.size < rows.length, "no batch doc was near-dup of history")
   }
 
+  test("s45 MV generations fold to the recompute through real micro-batches") {
+    import graft.operators.Relational
+    // gen-0 state: the pre-cutoff partials, persisted
+    val gens = java.nio.file.Files.createTempDirectory("s45gen").toString
+    val orders = Relational.q38Facts(spark, sfDir)
+    Relational.q38Partials(orders.filter(col("od") < lit(Relational.q38Cutoff)))
+      .write.mode("overwrite").parquet(s"$gens/g0")
+    // the day's facts arrive as a REAL stream; each micro-batch
+    // merges into a NEW state generation (the Delta-style refresh
+    // loop — read current, merge, write next), so state carry is
+    // through the ARTIFACT, not executor memory
+    val rows = orders.filter(col("od") >= lit(Relational.q38Cutoff))
+      .select(col("o_custkey"), col("od").cast("string"), col("p").cast("double"))
+      .as[(Long, String, Double)].collect()
+    val (b1, b2) = rows.partition(_._2 < Streaming.s45Mid)
+    assert(b1.nonEmpty && b2.nonEmpty)
+    val gen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val in = MemoryStream[(Long, String, Double)](spark)
+    val q = in.toDF().writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val facts = b.toDF("k", "d", "v").select(
+          col("k").as("o_custkey"), to_date(col("d")).as("od"),
+          col("v").cast("decimal(18,2)").as("p"))
+        val g = gen.get()
+        Relational.q38Merge(spark.read.parquet(s"$gens/g$g"),
+            Relational.q38Partials(facts))
+          .write.mode("overwrite").parquet(s"$gens/g${g + 1}")
+        gen.incrementAndGet()
+        ()
+      }.start()
+    try {
+      in.addData(b1.toSeq: _*); q.processAllAvailable()
+      in.addData(b2.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(gen.get() == 2, s"expected 2 refresh generations, got ${gen.get()}")
+    val streamed = Relational.q38Present(spark.read.parquet(s"$gens/g2"))
+      .as[(Long, Long, String, java.sql.Date)].collect().toSet
+    val batch = SparkEntry.queries("q38_mv_maintenance")(spark, sfDir)
+      .as[(Long, Long, String, java.sql.Date)].collect().toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"generation chain != recompute: missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+  }
+
   test("the composed streaming admission (s43 anti-join ∘ stateful dedup ∘ s41 gate) equals d40") {
     // d40 is the batch daily-admission pipeline; its streaming face
     // is the composition of transforms this file already proves
