@@ -1596,6 +1596,54 @@ object TextOps {
        |FROM toks_$t51Rounds
        |ORDER BY doc_id""".stripMargin
 
+  /** t53: exact-quota stratified split — the train/val/test
+    * partition every corpus release ships. t36/t48 are RATE-based
+    * (Bernoulli by hash draw — cardinality only in expectation);
+    * a release needs EXACT counts: per source stratum of size n,
+    * train gets floor(8n/10), val the next floor(n/10), test the
+    * rest — disjoint, exhaustive, and deterministic integer
+    * arithmetic in both engines. Membership is by rank of the
+    * SHARED [[sampleDraw]] within the stratum (content-independent,
+    * replayable, stable under repartitioning), and the rank is the
+    * shared [[graft.functions.Ranks.bucketedRank]] two-level form —
+    * its fourth consumer (d36 cells, t50 shards, here strata), so
+    * a skewed stratum never funnels the corpus through one reducer.
+    * Stratum sizes are a 5-row aggregate broadcast back (the t48
+    * scalar-attach stance). Oracle: the plain one-window form with
+    * the same floor-division thresholds. */
+  def t53StratifiedSplit(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      .withColumn("draw", sampleDraw)
+    val counts = base.groupBy("source").agg(count(lit(1)).as("n"))
+    graft.functions.Ranks
+      .bucketedRank(base, col("source"), col("draw"), col("doc_id"),
+        bucketShift = 23, rankName = "rank_l")
+      .withColumn("rank", col("rank_l").cast("int")).drop("rank_l")
+      .join(broadcast(counts), "source")
+      .withColumn("split", expr(
+        """CASE WHEN rank <= n * 8 div 10 THEN 'train'
+          |     WHEN rank <= n * 8 div 10 + n div 10 THEN 'val'
+          |     ELSE 'test' END""".stripMargin))
+      .select("doc_id", "source", "rank", "split")
+      .orderBy("doc_id")
+  }
+
+  val t53Sql: String =
+    """WITH d AS (
+      | SELECT doc_id, source,
+      |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) AS draw
+      | FROM documents),
+      |r AS (
+      | SELECT doc_id, source, draw,
+      |  CAST(row_number() OVER (PARTITION BY source ORDER BY draw, doc_id) AS INT) AS rank,
+      |  count(*) OVER (PARTITION BY source) AS n
+      | FROM d)
+      |SELECT doc_id, source, rank,
+      | CASE WHEN rank <= n * 8 // 10 THEN 'train'
+      |      WHEN rank <= n * 8 // 10 + n // 10 THEN 'val'
+      |      ELSE 'test' END AS split
+      |FROM r ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t29_langid" -> (t29LangId _),
     "t30_quality" -> (t30Quality _),
@@ -1621,7 +1669,8 @@ object TextOps {
     "t49_quality_classifier" -> (t49QualityClassifier _),
     "t50_epoch_shuffle" -> (t50EpochShuffle _),
     "t51_bpe_merges" -> (t51BpeMerges _),
-    "t52_bpe_apply" -> (t52BpeApply _))
+    "t52_bpe_apply" -> (t52BpeApply _),
+    "t53_stratified_split" -> (t53StratifiedSplit _))
 
   def oracles: Map[String, String] = Map(
     "t29_langid" -> t29Sql,
@@ -1647,5 +1696,6 @@ object TextOps {
     "t49_quality_classifier" -> t49Sql,
     "t50_epoch_shuffle" -> t50Sql,
     "t51_bpe_merges" -> t51Sql,
-    "t52_bpe_apply" -> t52Sql)
+    "t52_bpe_apply" -> t52Sql,
+    "t53_stratified_split" -> t53Sql)
 }

@@ -628,6 +628,36 @@ class TextOpsSpec extends SparkSpec {
       s"merged $totalMerged vs pair-count bound ${merges.map(_._4).sum}")
   }
 
+  test("t53 stratified split: exact quotas per stratum, disjoint-exhaustive, rank permutation") {
+    val out = SparkEntry.queries("t53_stratified_split")(spark, sfDir)
+      .as[(Long, String, Int, String)].collect()
+    val all = Tables.documents(spark, sfDir).select("doc_id").as[Long].collect()
+    assert(out.length == all.length, "split must be exhaustive")
+    assert(out.map(_._1).toSet == all.toSet, "every doc assigned exactly once")
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      val n = rows.length
+      // ranks are an exact 1..n permutation within the stratum
+      assert(rows.map(_._3).sorted.toSeq == (1 to n), s"$src rank permutation")
+      // quota law: floor(8n/10) train, floor(n/10) val, rest test
+      val bySplit = rows.groupBy(_._4).view.mapValues(_.length).toMap
+      assert(bySplit.getOrElse("train", 0) == n * 8 / 10, s"$src train quota")
+      assert(bySplit.getOrElse("val", 0) == n / 10, s"$src val quota")
+      assert(bySplit.getOrElse("test", 0) == n - n * 8 / 10 - n / 10, s"$src test quota")
+      // membership is by draw-rank: the train set is exactly the
+      // lowest-draw prefix (independent md5 recompute)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def draw(id: Long): Long = {
+        val hex = md.digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(7)
+        java.lang.Long.parseLong(hex, 16)
+      }
+      val ordered = rows.map(r => (draw(r._1), r._1)).sorted.map(_._2)
+      val trainExpected = ordered.take(n * 8 / 10).toSet
+      assert(rows.filter(_._4 == "train").map(_._1).toSet == trainExpected,
+        s"$src train membership != lowest-draw prefix")
+    }
+  }
+
   test("t50 epoch shuffle: per-shard positions are an exact permutation in (draw, doc_id) order; draw replays") {
     val out = SparkEntry.queries("t50_epoch_shuffle")(spark, sfDir)
       .as[(Long, Int, Long, Int)].collect()
