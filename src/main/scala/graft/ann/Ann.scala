@@ -1177,6 +1177,43 @@ object Ann {
   /** a38's oracle: the shared recompute body over the live slice. */
   val a38Sql: String = ivfRecomputeSql(s"NOT ($a38DeletedPred)")
 
+  /** a39: recall evaluation — index QUALITY as a first-class
+    * operator: per query, how many of the exact top-K (a27's
+    * brute-force pipeline, unchanged) does the IVF probe (a29b's
+    * pipeline, unchanged) return? A vector platform runs exactly
+    * this as its index-health monitor after every build/append/
+    * compaction (a36/a37/a38), because IVF recall degrades silently
+    * as the data drifts from the centroids — and the measurement
+    * must be the DEPLOYED pipelines, not re-derivations, which is
+    * why both sides here are the registered entries composed, and
+    * the oracle composes the SAME two SQL bodies as subqueries.
+    * Recall ships as exact-integer ppm (matched·10⁶ div K — no
+    * cross-engine float ratio). Scale: both sides are the already-
+    * audited bounded-top-K pipelines; the comparison joins two
+    * NQ·K-row results — evaluation-sized, not corpus-sized. */
+  def a39RecallEval(s: SparkSession, dir: String): DataFrame = {
+    val exact = a27AnnBrute(s, dir).select("query_id", "neighbor_id")
+    val approx = a29bAnnIvfOracle(s, dir).select("query_id", "neighbor_id")
+    val matched = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("m"))
+    exact.select("query_id").distinct()
+      .join(matched, Seq("query_id"), "left")
+      .withColumn("matched", coalesce(col("m"), lit(0L)).cast("int"))
+      .withColumn("recall_ppm",
+        expr(s"CAST(matched AS BIGINT) * 1000000 div $K"))
+      .select("query_id", "matched", "recall_ppm")
+      .orderBy("query_id")
+  }
+
+  /** a39's oracle: the two registered pipelines' SQL bodies composed
+    * as subqueries — the evaluation measures what ships. */
+  val a39Sql: String =
+    s"""SELECT e.query_id, CAST(count(a.neighbor_id) AS INT) AS matched,
+       | count(a.neighbor_id) * 1000000 // $K AS recall_ppm
+       |FROM ($a27Sql) e LEFT JOIN ($a29bSql) a
+       | ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a27_ann_brute" -> (a27AnnBrute _),
     "a28_ann_lsh" -> (a28AnnLsh _),
@@ -1190,7 +1227,8 @@ object Ann {
     "a35_ann_filtered_rerank" -> (a35AnnFilteredRerank _),
     "a36_ann_persisted_ivf" -> (a36AnnPersistedIvf _),
     "a37_ann_ivf_insert" -> (a37AnnIvfInsert _),
-    "a38_ann_delete" -> (a38AnnDelete _))
+    "a38_ann_delete" -> (a38AnnDelete _),
+    "a39_recall_eval" -> (a39RecallEval _))
 
   def oracles: Map[String, String] = Map(
     "a27_ann_brute" -> a27Sql,
@@ -1204,5 +1242,6 @@ object Ann {
     "a35_ann_filtered_rerank" -> a35Sql,
     "a36_ann_persisted_ivf" -> a36Sql,
     "a37_ann_ivf_insert" -> a37Sql,
-    "a38_ann_delete" -> a38Sql)
+    "a38_ann_delete" -> a38Sql,
+    "a39_recall_eval" -> a39Sql)
 }

@@ -386,4 +386,21 @@ class AnnSpec extends SparkSpec {
     assert(masked == a38,
       s"masked gen-1 probe != compacted probe: ${masked.diff(a38).take(3)}")
   }
+
+  test("a39 recall measures exactly the exact∩approx overlap of the shipped pipelines") {
+    val out = SparkEntry.queries("a39_recall_eval")(spark, sfDir)
+      .as[(Long, Int, Long)].collect().toSeq
+    val exact = Ann.a27AnnBrute(spark, sfDir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Ann.a29bAnnIvfOracle(spark, sfDir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(out.map(_._1).toSet == exact.keySet, "every exact query measured")
+    out.foreach { case (q, m, ppm) =>
+      val expected = (exact(q) & approx.getOrElse(q, Set.empty)).size
+      assert(m == expected, s"query $q: matched $m != overlap $expected")
+      assert(m >= 0 && m <= 5 && ppm == m.toLong * 1000000L / 5)
+    }
+  }
 }
