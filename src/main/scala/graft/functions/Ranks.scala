@@ -29,6 +29,40 @@ import org.apache.spark.sql.functions._
   * one-window form, which doubles as the cross-engine proof that the
   * two-level rank equals the single-window rank. */
 object Ranks {
+  /** The prefix-SUM sibling of [[bucketedRank]]: exact inclusive
+    * running total of `value` per key in (draw, tie) order, through
+    * the same two-level decomposition — a local window sum within
+    * (key, dbkt) plus broadcast per-bucket SUM offsets — so a global
+    * cumulative sum (t54's token offsets within a shard) never runs
+    * one corpus-sized window per key. Exactness argument is
+    * bucketedRank's: every row in a lower dbkt of the same key holds
+    * a strictly smaller draw, so global cumsum = lower-bucket total
+    * + local cumsum. `value` must be non-nullable integral (sums in
+    * LongType). */
+  def bucketedCumsum(df: DataFrame, key: Column, draw: Column, tie: Column,
+      value: Column, bucketShift: Int, cumName: String): DataFrame = {
+    val wLocal = Window.partitionBy("gc_key", "dbkt").orderBy("gc_draw", "gc_tie")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.partitionBy("gc_key").orderBy("dbkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = df
+      .withColumn("gc_key", key)
+      .withColumn("gc_draw", draw)
+      .withColumn("gc_tie", tie)
+      .withColumn("gc_val", value.cast("long"))
+      .withColumn("dbkt", shiftright(col("gc_draw"), bucketShift))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val offsets = base.groupBy("gc_key", "dbkt")
+      .agg(sum("gc_val").as("bs"))
+      .withColumn("soff", coalesce(sum("bs").over(wOff), lit(0L)))
+      .select("gc_key", "dbkt", "soff")
+    base
+      .withColumn("bucket_cum", sum(col("gc_val")).over(wLocal))
+      .join(broadcast(offsets), Seq("gc_key", "dbkt"))
+      .withColumn(cumName, col("soff") + col("bucket_cum"))
+      .drop("gc_key", "gc_draw", "gc_tie", "gc_val", "dbkt", "bs", "soff", "bucket_cum")
+  }
+
   def bucketedRank(df: DataFrame, key: Column, draw: Column, tie: Column,
       bucketShift: Int, rankName: String): DataFrame = {
     val wLocal = Window.partitionBy("gr_key", "dbkt").orderBy("gr_draw", "gr_tie")

@@ -1611,7 +1611,10 @@ object TextOps {
     * Stratum sizes are a 5-row aggregate broadcast back (the t48
     * scalar-attach stance). Oracle: the plain one-window form with
     * the same floor-division thresholds. */
-  def t53StratifiedSplit(s: SparkSession, dir: String): DataFrame = {
+  /** t53's assignment WITHOUT the presentation sort — shared with
+    * t54, whose manifest must start from the identical membership
+    * rule. Carries (doc_id, source, draw, rank, split). */
+  private[graft] def t53Core(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(s, dir).select(col("doc_id"), col("source"))
       .withColumn("draw", sampleDraw)
     val counts = base.groupBy("source").agg(count(lit(1)).as("n"))
@@ -1624,9 +1627,12 @@ object TextOps {
         """CASE WHEN rank <= n * 8 div 10 THEN 'train'
           |     WHEN rank <= n * 8 div 10 + n div 10 THEN 'val'
           |     ELSE 'test' END""".stripMargin))
+  }
+
+  def t53StratifiedSplit(s: SparkSession, dir: String): DataFrame =
+    t53Core(s, dir)
       .select("doc_id", "source", "rank", "split")
       .orderBy("doc_id")
-  }
 
   val t53Sql: String =
     """WITH d AS (
@@ -1643,6 +1649,71 @@ object TextOps {
       |      WHEN rank <= n * 8 // 10 + n // 10 THEN 'val'
       |      ELSE 'test' END AS split
       |FROM r ORDER BY doc_id""".stripMargin
+
+  /** t54: the release manifest — the capstone composition a corpus
+    * release actually writes to disk: the TRAIN split (t53's shared
+    * membership rule via [[t53Core]] — the manifest cannot disagree
+    * with the split), shuffled into epoch shards by the SHARED
+    * [[sampleDraw]] (t50's routing), each shard's documents packed
+    * in draw order into [[packBudget]]-token context windows. Per
+    * doc: shard, exact in-shard position, token count, the global
+    * token offset where it starts, and the first/last context
+    * window it spans — what a trainer needs to stream shards
+    * without re-scanning.
+    *
+    * Scale: position is the shared
+    * [[graft.functions.Ranks.bucketedRank]]; the token offset is
+    * its new prefix-SUM sibling [[graft.functions.Ranks
+    * .bucketedCumsum]] — same two-level (key, dbkt) decomposition,
+    * so neither the rank nor the running total ever funnels a shard
+    * through one reducer (the d36/t50/t53 stance, completed for
+    * sums). Oracle: plain one-window row_number + running-sum forms
+    * over the same membership CTEs, byte-exact. */
+  def t54ReleaseManifest(s: SparkSession, dir: String): DataFrame = {
+    val train = t53Core(s, dir).filter(col("split") === "train")
+      .select("doc_id")
+    val toks = Tables.documents(s, dir).select(col("doc_id"),
+      size(split(col("text"), " ")).as("n_tokens"))
+    val base = train.join(toks, "doc_id")
+      .withColumn("draw", sampleDraw)
+      .withColumn("shard", (col("draw") % t50Shards).cast("int"))
+    val ranked = graft.functions.Ranks.bucketedRank(base,
+      col("shard"), col("draw"), col("doc_id"), 23, "pos_l")
+    graft.functions.Ranks.bucketedCumsum(ranked,
+        col("shard"), col("draw"), col("doc_id"), col("n_tokens"), 23, "cum")
+      .withColumn("pos", col("pos_l").cast("int"))
+      .withColumn("start_tok", col("cum") - col("n_tokens"))
+      .withColumn("win_first", expr(s"start_tok div $packBudget"))
+      .withColumn("win_last", expr(s"(cum - 1) div $packBudget"))
+      .select("doc_id", "shard", "pos", "n_tokens",
+        "start_tok", "win_first", "win_last")
+      .orderBy("doc_id")
+  }
+
+  val t54Sql: String =
+    s"""WITH d AS (
+       | SELECT doc_id, source,
+       |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) AS draw,
+       |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+       | FROM documents),
+       |r AS (
+       | SELECT doc_id, draw, n_tokens,
+       |  row_number() OVER (PARTITION BY source ORDER BY draw, doc_id) AS rank,
+       |  count(*) OVER (PARTITION BY source) AS n
+       | FROM d),
+       |t AS (
+       | SELECT doc_id, draw, n_tokens, CAST(draw % $t50Shards AS INT) AS shard
+       | FROM r WHERE rank <= n * 8 // 10),
+       |c AS (
+       | SELECT doc_id, shard, n_tokens,
+       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY draw, doc_id) AS INT) AS pos,
+       |  CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY draw, doc_id) AS BIGINT) AS cum
+       | FROM t)
+       |SELECT doc_id, shard, pos, n_tokens,
+       | cum - n_tokens AS start_tok,
+       | (cum - n_tokens) // $packBudget AS win_first,
+       | (cum - 1) // $packBudget AS win_last
+       |FROM c ORDER BY doc_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t29_langid" -> (t29LangId _),
@@ -1670,7 +1741,8 @@ object TextOps {
     "t50_epoch_shuffle" -> (t50EpochShuffle _),
     "t51_bpe_merges" -> (t51BpeMerges _),
     "t52_bpe_apply" -> (t52BpeApply _),
-    "t53_stratified_split" -> (t53StratifiedSplit _))
+    "t53_stratified_split" -> (t53StratifiedSplit _),
+    "t54_release_manifest" -> (t54ReleaseManifest _))
 
   def oracles: Map[String, String] = Map(
     "t29_langid" -> t29Sql,
@@ -1697,5 +1769,6 @@ object TextOps {
     "t50_epoch_shuffle" -> t50Sql,
     "t51_bpe_merges" -> t51Sql,
     "t52_bpe_apply" -> t52Sql,
-    "t53_stratified_split" -> t53Sql)
+    "t53_stratified_split" -> t53Sql,
+    "t54_release_manifest" -> t54Sql)
 }

@@ -332,7 +332,7 @@ class PlanSpec extends SparkSpec {
     // window must carry dbkt in its partition spec, and the offset
     // table must come back as a broadcast join, not a shuffle.
     Seq("d36_cluster_sample", "t50_epoch_shuffle",
-        "t53_stratified_split").foreach { name =>
+        "t53_stratified_split", "t54_release_manifest").foreach { name =>
       val (plan, _) = planOf(name)
       val rnWindows = plan.split("\n").filter(l =>
         l.contains("Window") && l.contains("row_number"))

@@ -658,6 +658,29 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("t54 release manifest: train membership, contiguous offsets, window-span laws") {
+    val out = SparkEntry.queries("t54_release_manifest")(spark, sfDir)
+      .as[(Long, Int, Int, Int, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // membership: exactly t53's train split
+    val train = SparkEntry.queries("t53_stratified_split")(spark, sfDir)
+      .as[(Long, String, Int, String)].collect()
+      .filter(_._4 == "train").map(_._1).toSet
+    assert(out.map(_._1).toSet == train, "manifest != train split membership")
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      val ordered = rows.sortBy(_._3)
+      // positions are 1..n and token offsets are CONTIGUOUS: each
+      // doc starts exactly where its predecessor ended
+      assert(ordered.map(_._3).toSeq == (1 to rows.length), s"shard $shard pos")
+      ordered.foldLeft(0L) { case (expectedStart, (id, _, _, n, start, wf, wl)) =>
+        assert(start == expectedStart, s"doc $id: start $start != $expectedStart")
+        assert(wf == start / 2048 && wl == (start + n - 1) / 2048 && wl >= wf,
+          s"doc $id window span")
+        start + n
+      }
+    }
+  }
+
   test("t50 epoch shuffle: per-shard positions are an exact permutation in (draw, doc_id) order; draw replays") {
     val out = SparkEntry.queries("t50_epoch_shuffle")(spark, sfDir)
       .as[(Long, Int, Long, Int)].collect()
