@@ -1452,6 +1452,62 @@ object Relational {
       | max(CAST(o_orderdate AS DATE)) AS last_order_date
       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  /** q39: the skew-salted hot-key join — the fact side's join key is
+    * adversarially skewed (an "anonymous user" pathology: 3/4 of all
+    * events collapse onto key 0, emulating the null/default-key hot
+    * spot every web-scale event log has), and a plain equi-join
+    * would hash every hot row into ONE reducer no matter the cluster
+    * size. The salted form replicates the DIMENSION side over
+    * [[q39Salt]] salt values (a tiny table grows 16×) and routes each
+    * fact row to `pmod(xxhash64(event_id), 16)`, so the join key
+    * becomes (uid, salt) and the hot key fans out across 16
+    * reducers while every fact row still meets exactly one dim copy
+    * — the join result multiset is unchanged by construction.
+    *
+    * Scale (100 TB): this is the skew weapon AQE's skew-join can't
+    * apply — AQE splits oversized PARTITIONS after the map stage,
+    * but a single key hotter than a partition can only be split by
+    * changing the key itself. The dim side is salt-replicated
+    * BEFORE the exchange (16× a dimension is still dimension-sized);
+    * the post-join rollup is map-side combined, so the hot key's
+    * groupBy contributes one partial row per task, not per event.
+    * Oracle: the plain unsalted join + rollup — salt invariance IS
+    * the gate property. d25's block-key salt (Dedup.scala:489)
+    * salts a self-join's bucket key; this is the complementary
+    * fact-dim replication form. */
+  private[graft] val q39Salt = 16
+
+  /** The skew-synthesizing fact projection shared by query and spec:
+    * (uid, value basis points). */
+  private[graft] def q39Facts(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id"),
+      when(col("user_id") % 4 =!= 0, lit(0L))
+        .otherwise(col("user_id")).as("uid"),
+      floor(col("value") * 10000.0 + 0.5).cast("long").as("value_bp"))
+
+  def q39SkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val facts = q39Facts(s, dir)
+      .withColumn("salt", pmod(xxhash64(col("event_id")), lit(q39Salt)))
+    val dim = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .withColumn("d_salt",
+        explode(sequence(lit(0), lit(q39Salt - 1)).cast("array<long>")))
+    facts.join(dim,
+        col("uid") === col("c_custkey") && col("salt") === col("d_salt"))
+      .groupBy("uid", "c_mktsegment")
+      .agg(count(lit(1)).as("n_events"), sum("value_bp").as("value_bp_sum"))
+      .orderBy("uid", "c_mktsegment")
+  }
+
+  val q39Sql: String =
+    """SELECT uid, c_mktsegment, count(*) AS n_events,
+      | CAST(SUM(CAST(floor(value*10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_bp_sum
+      |FROM (SELECT CASE WHEN user_id % 4 <> 0 THEN 0 ELSE user_id END AS uid, value
+      |      FROM events) e
+      |JOIN customer c ON e.uid = c.c_custkey
+      |GROUP BY uid, c_mktsegment ORDER BY uid, c_mktsegment""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_filter" -> (q01AggFilter _),
     "q02_project_enrich" -> (q02ProjectEnrich _),
@@ -1488,7 +1544,8 @@ object Relational {
     "q35_snapshot_diff" -> (q35SnapshotDiff _),
     "q36_lockup_schedule" -> (q36LockupSchedule _),
     "q37_lockup_termination" -> (q37LockupTermination _),
-    "q38_mv_maintenance" -> (q38MvMaintenance _))
+    "q38_mv_maintenance" -> (q38MvMaintenance _),
+    "q39_skew_join" -> (q39SkewJoin _))
 
   def oracles: Map[String, String] = Map(
     "q01_agg_filter" -> q01Sql,
@@ -1526,5 +1583,6 @@ object Relational {
     "q35_snapshot_diff" -> q35Sql,
     "q36_lockup_schedule" -> q36Sql,
     "q37_lockup_termination" -> q37Sql,
-    "q38_mv_maintenance" -> q38Sql)
+    "q38_mv_maintenance" -> q38Sql,
+    "q39_skew_join" -> q39Sql)
 }

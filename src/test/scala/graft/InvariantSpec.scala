@@ -268,4 +268,32 @@ class InvariantSpec extends SparkSpec {
     assert(out((3L, chks(0)))._3 == out((3L, chks(0)))._1,
       "user 3 fully locked pre-lockup")
   }
+
+  test("q39 salted join is salt-invariant and the skew is non-vacuous") {
+    import graft.operators.Relational
+    val salted = SparkEntry.queries("q39_skew_join")(spark, sfDir)
+    // the plain unsalted join + rollup, built here independently —
+    // salt invariance means the salted plan is indistinguishable
+    val facts = Relational.q39Facts(spark, sfDir)
+    val dim = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_mktsegment"))
+    val plain = facts.join(dim, col("uid") === col("c_custkey"))
+      .groupBy("uid", "c_mktsegment")
+      .agg(count(lit(1)).as("n_events"), sum("value_bp").as("value_bp_sum"))
+      .orderBy("uid", "c_mktsegment")
+    assert(salted.collect().toSeq == plain.collect().toSeq,
+      "salting must not change the join result")
+    // non-vacuous: the synthesized hot key really dominates (≈ 3/4 of
+    // all events) — without it the operator tests nothing
+    val total = facts.count()
+    val hot = salted.filter(col("uid") === 0L)
+      .agg(sum("n_events")).as[Long].head()
+    assert(hot >= total / 2, s"hot key holds $hot of $total events")
+    // and the salt really fans the hot key out: at sf0.001 the hot
+    // key's fact rows land in every one of the 16 salt buckets
+    val hotSalts = facts.filter(col("uid") === 0L)
+      .select(pmod(xxhash64(col("event_id")), lit(Relational.q39Salt)))
+      .distinct().count()
+    assert(hotSalts == Relational.q39Salt,
+      "hot key must spread across all salt buckets")
+  }
 }
