@@ -1214,6 +1214,65 @@ object Ann {
        | ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
 
+  /** a40's shard count: vec_id-keyed, so shard membership is
+    * deterministic and oracle-replayable. */
+  private[graft] val a40Shards = 8
+
+  /** a40's scatter stage, exposed for the spec's bound assertions:
+    * per (query, shard) exact top-K over that shard's slice — the
+    * composite long key `query_id * a40Shards + shard` feeds the
+    * UNCHANGED [[TopKAgg]], so per-shard and global top-K share one
+    * tie-break definition. Output: (query_id, neighbor_id, cosine),
+    * ≤ K rows per (query, shard). */
+  private[graft] def a40Candidates(s: SparkSession, dir: String):
+      org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    import s.implicits._
+    val corpus = withNorm(Tables.embeddings(s, dir).select("vec_id", "embedding"))
+    val queries = corpus.filter(col("vec_id") < NQ).select(
+      col("vec_id").as("query_id"),
+      col("embedding").as("q_embedding"),
+      col("norm").as("q_norm"))
+    corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(
+        (col("query_id") * a40Shards + pmod(col("vec_id"), lit(a40Shards)))
+          .as("qshard"),
+        col("vec_id").as("neighbor_id"),
+        round(cosine, 4).as("cosine"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(new TopKAgg(K).toColumn.name("topk"))
+      .flatMap { case (qs, buf) =>
+        buf.items.map { case (c, id) => (qs / a40Shards, id, c) }
+      }
+  }
+
+  /** a40: scatter-gather sharded serving — the topology a deployed
+    * 100 TB vector index actually answers queries with. The corpus
+    * is partitioned into [[a40Shards]] disjoint shards (each shard =
+    * one serving node's index); the SCATTER stage computes an exact
+    * per-shard top-K (bounded: ≤ K rows per query leave each shard —
+    * never scores, never vectors), and the GATHER stage merges the
+    * ≤ K·S candidates per query through the same [[TopKAgg]]. The
+    * result equals the unsharded global top-K by the scatter-gather
+    * law: any global top-K member is, within its own shard, among
+    * that shard's top K — so the gather's candidate set always
+    * contains the global answer. The oracle is therefore a27's exact
+    * SQL, verbatim: shard decomposition must be observationally
+    * invisible.
+    *
+    * a27 proves the BOUNDED-AGGREGATION property (partial top-K per
+    * map task); a40 makes the SERVING topology explicit — per-shard
+    * candidate lists with a merge the gather can meter (the shape
+    * a36's per-cell persisted index serves under, completed from
+    * routing to answer). Scale: gather traffic is K·S rows per
+    * query regardless of corpus size; adding shards grows scatter
+    * parallelism linearly while the gather stays evaluation-sized. */
+  def a40AnnShard(s: SparkSession, dir: String): DataFrame =
+    rankedTopK(s, a40Candidates(s, dir))
+
+  /** a40's oracle IS a27's: shard decomposition changes nothing. */
+  val a40Sql: String = a27Sql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a27_ann_brute" -> (a27AnnBrute _),
     "a28_ann_lsh" -> (a28AnnLsh _),
@@ -1228,7 +1287,8 @@ object Ann {
     "a36_ann_persisted_ivf" -> (a36AnnPersistedIvf _),
     "a37_ann_ivf_insert" -> (a37AnnIvfInsert _),
     "a38_ann_delete" -> (a38AnnDelete _),
-    "a39_recall_eval" -> (a39RecallEval _))
+    "a39_recall_eval" -> (a39RecallEval _),
+    "a40_ann_shard" -> (a40AnnShard _))
 
   def oracles: Map[String, String] = Map(
     "a27_ann_brute" -> a27Sql,
@@ -1243,5 +1303,6 @@ object Ann {
     "a36_ann_persisted_ivf" -> a36Sql,
     "a37_ann_ivf_insert" -> a37Sql,
     "a38_ann_delete" -> a38Sql,
-    "a39_recall_eval" -> a39Sql)
+    "a39_recall_eval" -> a39Sql,
+    "a40_ann_shard" -> a40Sql)
 }

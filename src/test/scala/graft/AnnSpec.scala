@@ -403,4 +403,24 @@ class AnnSpec extends SparkSpec {
       assert(m >= 0 && m <= 5 && ppm == m.toLong * 1000000L / 5)
     }
   }
+
+  test("a40 scatter-gather equals the unsharded a27 answer with bounded gather traffic") {
+    val sharded = SparkEntry.queries("a40_ann_shard")(spark, sfDir)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val global = Ann.a27AnnBrute(spark, sfDir)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(sharded == global, "shard decomposition must be invisible")
+    // gather traffic bound: ≤ K rows per (query, shard) leave the
+    // scatter stage — the whole point of the topology
+    val cands = Ann.a40Candidates(spark, sfDir).collect().toSeq
+    val perShard = cands.groupBy(c => (c._1, c._2 % Ann.a40Shards))
+      .view.mapValues(_.size)
+    assert(perShard.values.forall(_ <= 5), "a shard leaked more than K candidates")
+    assert(cands.size <= 8 * Ann.a40Shards * 5, "gather traffic exceeds K·S per query")
+    // non-vacuous: the merge genuinely fuses shards — some query's
+    // final top-K spans at least two shards
+    val spans = global.groupBy(_._1).values.map(
+      _.map(_._3 % Ann.a40Shards).distinct.size)
+    assert(spans.exists(_ >= 2), "every top-K fell in one shard; shards untested")
+  }
 }

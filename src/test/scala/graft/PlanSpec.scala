@@ -388,8 +388,10 @@ class PlanSpec extends SparkSpec {
     //   a39  composes a27 + a29b unchanged (that is its contract —
     //        measure the shipped pipelines), so it inherits their
     //        justified 8-query-row broadcasts
+    //   a40  is a27's scatter stage sharded — same justified
+    //        8-query-row broadcast non-equi join
     val allowedBnlj = Set("a27_ann_brute", "a29_ann_ivf", "a29b_ann_ivf_oracle",
-      "a39_recall_eval",
+      "a39_recall_eval", "a40_ann_shard",
       "d26_embed_neardup",
       "q28_date_spine", "t38_keyphrase", "t39_bigram_lm", "a30_ann_sq",
       "a31_ann_rerank", "s39_stream_decontaminate", "a32_ann_pq", "t44_vocab",
