@@ -1715,6 +1715,72 @@ object TextOps {
        | (cum - 1) // $packBudget AS win_last
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** t55's curriculum phase thresholds on [[qualityScoreBp]]: phase 0
+    * (highest quality, trained first) at ≥ hi, phase 1 at ≥ lo,
+    * phase 2 the rest — literal cuts near the corpus quartiles so
+    * all three phases are populated at every SF. */
+  private[graft] val t55Hi = 6500
+  private[graft] val t55Lo = 5500
+
+  /** t55: curriculum ordering — the training-order contract
+    * quality-staged runs need: documents are staged into phases by
+    * the SHARED [[qualityScoreBp]] (phase 0 = highest quality first,
+    * the easy-to-clean-first curriculum), and within a phase the
+    * order is the SHARED [[sampleDraw]] shuffle — so curriculum
+    * placement composes the same two definitions the quality gate
+    * (t30/t40) and every sampler (t36/t50/t53) already pin, and can
+    * never disagree with them. Output: per doc its phase, exact
+    * 1-based position within the phase, and the exact global
+    * training position (phase offsets + in-phase rank).
+    *
+    * Scale: the in-phase rank is [[graft.functions.Ranks
+    * .bucketedRank]]'s fifth consumer (3 phases would otherwise
+    * funnel the corpus through 3 reducers); phase offsets are a
+    * 3-row aggregate broadcast back. Oracle: the plain one-window
+    * form over the same arithmetic. */
+  def t55Curriculum(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        qualityScoreBp(tokens(col("text"))).as("bp"),
+        sampleDraw.as("draw"))
+      .withColumn("phase",
+        when(col("bp") >= t55Hi, 0).when(col("bp") >= t55Lo, 1).otherwise(2))
+    val wOff = Window.orderBy("phase")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // 3-row aggregate: the offset window never sees the corpus
+    val offsets = base.groupBy("phase").agg(count(lit(1)).as("n"))
+      .withColumn("poff", coalesce(sum("n").over(wOff), lit(0L)))
+      .select("phase", "poff")
+    graft.functions.Ranks
+      .bucketedRank(base, col("phase"), col("draw"), col("doc_id"), 23, "seq_l")
+      .join(broadcast(offsets), "phase")
+      .select(col("doc_id"), col("phase"),
+        col("seq_l").cast("int").as("seq_in_phase"),
+        (col("poff") + col("seq_l")).as("global_seq"))
+      .orderBy("doc_id")
+  }
+
+  val t55Sql: String =
+    s"""WITH q AS ($qualityBodySql),
+       |p AS (
+       | SELECT doc_id,
+       |  CASE WHEN quality_score_bp >= $t55Hi THEN 0
+       |       WHEN quality_score_bp >= $t55Lo THEN 1 ELSE 2 END AS phase,
+       |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) AS draw
+       | FROM q),
+       |r AS (
+       | SELECT doc_id, phase, draw,
+       |  CAST(row_number() OVER (PARTITION BY phase ORDER BY draw, doc_id) AS INT) AS seq_in_phase
+       | FROM p),
+       |o AS (
+       | SELECT phase,
+       |  CAST(coalesce(sum(n) OVER (ORDER BY phase
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS poff
+       | FROM (SELECT phase, count(*) AS n FROM p GROUP BY phase))
+       |SELECT r.doc_id, r.phase, r.seq_in_phase,
+       | CAST(o.poff + r.seq_in_phase AS BIGINT) AS global_seq
+       |FROM r JOIN o ON r.phase = o.phase ORDER BY r.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t29_langid" -> (t29LangId _),
     "t30_quality" -> (t30Quality _),
@@ -1742,7 +1808,8 @@ object TextOps {
     "t51_bpe_merges" -> (t51BpeMerges _),
     "t52_bpe_apply" -> (t52BpeApply _),
     "t53_stratified_split" -> (t53StratifiedSplit _),
-    "t54_release_manifest" -> (t54ReleaseManifest _))
+    "t54_release_manifest" -> (t54ReleaseManifest _),
+    "t55_curriculum" -> (t55Curriculum _))
 
   def oracles: Map[String, String] = Map(
     "t29_langid" -> t29Sql,
@@ -1770,5 +1837,6 @@ object TextOps {
     "t51_bpe_merges" -> t51Sql,
     "t52_bpe_apply" -> t52Sql,
     "t53_stratified_split" -> t53Sql,
-    "t54_release_manifest" -> t54Sql)
+    "t54_release_manifest" -> t54Sql,
+    "t55_curriculum" -> t55Sql)
 }

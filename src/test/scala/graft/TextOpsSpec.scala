@@ -707,4 +707,45 @@ class TextOpsSpec extends SparkSpec {
     assert(sizes.size == 8 && sizes.max <= 2 * sizes.min,
       s"shard sizes skewed: $sizes")
   }
+
+  test("t55 curriculum: global permutation, contiguous quality-ordered phases, draw order within") {
+    val out = SparkEntry.queries("t55_curriculum")(spark, sfDir)
+      .as[(Long, Int, Int, Long)].collect()
+    // global_seq is an exact permutation of 1..N
+    assert(out.map(_._4).sorted.toSeq == (1L to out.length.toLong),
+      "global_seq is not a permutation")
+    // phases are CONTIGUOUS blocks in ascending phase order, and all
+    // three are populated (the thresholds are non-vacuous)
+    val byPhase = out.groupBy(_._2)
+    assert(byPhase.keySet == Set(0, 1, 2), s"phases: ${byPhase.keySet}")
+    val blocks = byPhase.toSeq.sortBy(_._1).map { case (p, g) =>
+      (p, g.map(_._4).min, g.map(_._4).max, g.length)
+    }
+    blocks.foldLeft(0L) { case (prevEnd, (p, lo, hi, n)) =>
+      assert(lo == prevEnd + 1 && hi == prevEnd + n,
+        s"phase $p block [$lo,$hi] not contiguous after $prevEnd")
+      hi
+    }
+    // phase assignment agrees with the registered quality operator —
+    // the curriculum cannot disagree with t30
+    val bp = SparkEntry.queries("t30_quality")(spark, sfDir)
+      .select("doc_id", "quality_score_bp").as[(Long, Int)].collect().toMap
+    out.foreach { case (id, p, _, _) =>
+      val expected = if (bp(id) >= 6500) 0 else if (bp(id) >= 5500) 1 else 2
+      assert(p == expected, s"doc $id: phase $p, bp ${bp(id)}")
+    }
+    // within a phase the order is exactly (draw, doc_id) — the shared
+    // shuffle, replayed from an independent MessageDigest md5
+    byPhase.values.foreach { g =>
+      val byPos = g.sortBy(_._3).map { r =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(r._1.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 7)
+        (java.lang.Long.parseLong(hex, 16), r._1)
+      }.toSeq
+      assert(byPos == byPos.sorted, "in-phase order violates (draw, doc_id)")
+      assert(g.map(_._3).sorted.toSeq == (1 to g.length), "seq_in_phase gaps")
+    }
+  }
+
 }
