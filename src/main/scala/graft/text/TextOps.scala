@@ -1781,6 +1781,58 @@ object TextOps {
        | CAST(o.poff + r.seq_in_phase AS BIGINT) AS global_seq
        |FROM r JOIN o ON r.phase = o.phase ORDER BY r.doc_id""".stripMargin
 
+  /** t56: the dataset card — the release-documentation rollup every
+    * corpus ship writes: per (lang, source) stratum, document and
+    * token counts, the exact-integer mean of the SHARED
+    * [[qualityScoreBp]], distinct content fingerprints (the SHARED
+    * [[fingerprint]] — d22's key), and how many docs sit in a
+    * GLOBAL duplicate group (fingerprint shared by ≥ 2 docs
+    * anywhere, not just within the stratum — a card must report
+    * cross-stratum contamination). Every statistic composes an
+    * already-pinned definition, so the card can never disagree with
+    * the operators it summarizes.
+    *
+    * Scale: one fingerprint-keyed aggregate (d22's shuffle) marks
+    * duplicate groups, one equi-join attaches the mark, and the
+    * final rollup on the tiny (lang, source) key is map-side
+    * combined. Sums cross as BIGINT; the mean is exact integer
+    * `div` (no cross-engine float). */
+  def t56DatasetCard(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val docs = Tables.documents(s, dir).select(
+      col("doc_id"), col("lang"), col("source"),
+      size(toks).cast("long").as("ws_tokens"),
+      qualityScoreBp(toks).cast("long").as("bp"),
+      fingerprint(col("text")).as("fp"))
+    val dupFps = docs.groupBy("fp").agg(count(lit(1)).as("fp_n"))
+    docs.join(dupFps, "fp")
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("ws_tokens").as("n_tokens"),
+        expr("CAST(sum(bp) div count(*) AS BIGINT)").as("mean_quality_bp"),
+        countDistinct(col("fp")).as("n_fingerprints"),
+        sum(when(col("fp_n") >= 2, 1L).otherwise(0L)).as("dup_docs"))
+      .orderBy("lang", "source")
+  }
+
+  val t56Sql: String =
+    s"""WITH q AS ($qualityBodySql),
+       |d AS (
+       | SELECT doc_id, lang, source,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+       | FROM documents),
+       |f AS (SELECT fp, count(*) AS fp_n FROM d GROUP BY fp)
+       |SELECT d.lang, d.source,
+       | count(*) AS n_docs,
+       | CAST(sum(d.ws_tokens) AS BIGINT) AS n_tokens,
+       | CAST(sum(CAST(q.quality_score_bp AS BIGINT)) // count(*) AS BIGINT) AS mean_quality_bp,
+       | CAST(count(DISTINCT d.fp) AS BIGINT) AS n_fingerprints,
+       | CAST(sum(CASE WHEN f.fp_n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs
+       |FROM d JOIN q ON d.doc_id = q.doc_id JOIN f ON d.fp = f.fp
+       |GROUP BY d.lang, d.source ORDER BY d.lang, d.source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t29_langid" -> (t29LangId _),
     "t30_quality" -> (t30Quality _),
@@ -1809,7 +1861,8 @@ object TextOps {
     "t52_bpe_apply" -> (t52BpeApply _),
     "t53_stratified_split" -> (t53StratifiedSplit _),
     "t54_release_manifest" -> (t54ReleaseManifest _),
-    "t55_curriculum" -> (t55Curriculum _))
+    "t55_curriculum" -> (t55Curriculum _),
+    "t56_dataset_card" -> (t56DatasetCard _))
 
   def oracles: Map[String, String] = Map(
     "t29_langid" -> t29Sql,
@@ -1838,5 +1891,6 @@ object TextOps {
     "t52_bpe_apply" -> t52Sql,
     "t53_stratified_split" -> t53Sql,
     "t54_release_manifest" -> t54Sql,
-    "t55_curriculum" -> t55Sql)
+    "t55_curriculum" -> t55Sql,
+    "t56_dataset_card" -> t56Sql)
 }

@@ -748,4 +748,46 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("t56 dataset card cannot disagree with the operators it summarizes") {
+    val out = SparkEntry.queries("t56_dataset_card")(spark, sfDir)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+    val total = Tables.documents(spark, sfDir).count()
+    assert(out.map(_._3).sum == total, "n_docs must cover the corpus")
+    // token totals == t31's registered count, summed
+    val t31Total = SparkEntry.queries("t31_tokens")(spark, sfDir)
+      .agg(sum(col("ws_tokens"))).as[Long].head()
+    assert(out.map(_._4).sum == t31Total, "n_tokens != t31 total")
+    // global dup membership == d22's registered groups: every doc in
+    // a dup_count ≥ 2 fingerprint group, counted once
+    val d22Dups = SparkEntry.queries("d22_dedup_exact")(spark, sfDir)
+      .filter(col("dup_count") >= 2)
+      .agg(coalesce(sum(col("dup_count")), lit(0L))).as[Long].head()
+    assert(out.map(_._7).sum == d22Dups,
+      "dup_docs != d22 duplicate-group membership")
+    // the sf0.001 corpus has no exact dups (the law above holds at
+    // zero); pin the dup accounting non-vacuously on planted content:
+    // 1 and 2 collide after normalization, 3 is unique
+    val dupDir = docsOf(
+      1L -> "the same   text here",
+      2L -> "The Same Text Here",
+      3L -> "completely different words")
+    val card = TextOps.t56DatasetCard(spark, dupDir)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+    assert(card.length == 1 && card.head._3 == 3 && card.head._6 == 2 &&
+      card.head._7 == 2,
+      s"planted card wrong: ${card.toSeq} (want 3 docs, 2 fps, 2 dup docs)")
+    // per-stratum exact-integer mean against t30's registered scores
+    val bp = SparkEntry.queries("t30_quality")(spark, sfDir)
+      .select("doc_id", "quality_score_bp").as[(Long, Int)].collect().toMap
+    val strata = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "source").as[(Long, String, String)].collect()
+      .groupBy(r => (r._2, r._3))
+    out.foreach { case (lang, source, n, _, mean, nFp, _) =>
+      val ids = strata((lang, source)).map(_._1)
+      assert(n == ids.length)
+      assert(mean == ids.map(id => bp(id).toLong).sum / ids.length,
+        s"($lang,$source) mean_quality_bp")
+      assert(nFp <= n, s"($lang,$source) fingerprints exceed docs")
+    }
+  }
 }
