@@ -1796,20 +1796,28 @@ object Dedup {
       planted.filter(col("doc_id") % d35BatchMod === 0))
   }
 
-  def d35IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+  /** The shared batch-vs-index classification — ONE definition for
+    * d35's verdict and d43's audit, so the audit can never disagree
+    * with the dedup it explains. Carries text so downstream legs
+    * (d43's quality) can extend the verdict. */
+  private[graft] def d35Classified(s: SparkSession, dir: String): DataFrame = {
     val (index, batchDocs) = d35IndexAndBatch(s, dir)
-    val batch = batchDocs.select(col("doc_id"),
+    val batch = batchDocs.select(col("doc_id"), col("text"),
       graft.text.TextOps.fingerprint(col("text")).as("fingerprint"))
     val wFp = org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")
     batch
       .join(index.withColumn("in_index", lit(true)), Seq("fingerprint"), "left")
       .withColumn("batch_min", min(col("doc_id")).over(wFp))
-      .select(col("doc_id"), col("fingerprint"),
+      .select(col("doc_id"), col("text"), col("fingerprint"),
         when(col("in_index"), "dup_of_index")
           .when(col("doc_id") =!= col("batch_min"), "dup_in_batch")
           .otherwise("accepted").as("status"))
-      .orderBy("doc_id")
   }
+
+  def d35IncrementalDedup(s: SparkSession, dir: String): DataFrame =
+    d35Classified(s, dir)
+      .select("doc_id", "fingerprint", "status")
+      .orderBy("doc_id")
 
   // the planted-content CASE and the batch split are INTERPOLATED from
   // the same constants the Spark query uses (d35Cid, d35BatchMod) —
@@ -1884,6 +1892,53 @@ object Dedup {
        | FROM fresh)
        |WHERE quality_score_bp >= ${graft.text.TextOps.t40QualityMinBp}
        |ORDER BY doc_id""".stripMargin
+
+  /** d43: the admission audit — d40 answers "what got in"; d43
+    * answers the question a compliance/debugging team actually asks:
+    * for EVERY document in the day's batch, WHY was it kept or
+    * dropped. One verdict per doc with the same precedence the
+    * admission pipeline applies (history dup > batch dup > quality),
+    * built from the SHARED [[d35Classified]] classification (so the
+    * audit cannot disagree with d35's dedup verdicts) plus the ONE
+    * shared [[graft.text.TextOps.qualityScoreBp]] gate at
+    * [[graft.text.TextOps.t40QualityMinBp]] (so it cannot disagree
+    * with t40/d40 either) — and DedupSpec proves the composition
+    * law: the audit's 'admitted' rows ARE d40's output, byte-equal.
+    *
+    * Scale: identical to d35 (one bucketed index probe + one
+    * batch-local window) plus a scan-stage projection — the audit
+    * costs nothing beyond the admission it explains. Oracle: the
+    * same CASE over the shared CTE prefix and quality formula. */
+  def d43AdmissionAudit(s: SparkSession, dir: String): DataFrame =
+    d35Classified(s, dir)
+      .withColumn("quality_score_bp",
+        graft.text.TextOps.qualityScoreBp(split(col("text"), " ")))
+      .select(col("doc_id"), col("fingerprint"), col("quality_score_bp"),
+        when(col("status") =!= "accepted", col("status"))
+          .when(col("quality_score_bp") < graft.text.TextOps.t40QualityMinBp,
+            "low_quality")
+          .otherwise("admitted").as("verdict"))
+      .orderBy("doc_id")
+
+  val d43Sql: String =
+    s"""WITH $d35CtePrefix,
+       |cls AS (
+       | SELECT doc_id, fingerprint, string_split(text, ' ') AS a,
+       |  CASE WHEN fingerprint IN (SELECT fingerprint FROM idx) THEN 'dup_of_index'
+       |       WHEN doc_id <> min(doc_id) OVER (PARTITION BY fingerprint)
+       |         THEN 'dup_in_batch'
+       |       ELSE 'accepted' END AS status
+       | FROM batch),
+       |q AS (
+       | SELECT doc_id, fingerprint, status,
+       |  ${graft.text.TextOps.qualityScoreOverASql} AS quality_score_bp
+       | FROM cls)
+       |SELECT doc_id, fingerprint, quality_score_bp,
+       | CASE WHEN status <> 'accepted' THEN status
+       |      WHEN quality_score_bp < ${graft.text.TextOps.t40QualityMinBp}
+       |        THEN 'low_quality'
+       |      ELSE 'admitted' END AS verdict
+       |FROM q ORDER BY doc_id""".stripMargin
 
   /** d36 per-cell quota. */
   private val d36Quota = 8
@@ -2123,7 +2178,8 @@ object Dedup {
     "d39_incremental_components" -> (d39IncrementalComponents _),
     "d40_daily_admit" -> (d40DailyAdmit _),
     "d41_fuzzy_decontaminate" -> (d41FuzzyDecontaminate _),
-    "d42_quality_keep" -> (d42QualityKeep _))
+    "d42_quality_keep" -> (d42QualityKeep _),
+    "d43_admission_audit" -> (d43AdmissionAudit _))
 
   def oracles: Map[String, String] = Map(
     "d22_dedup_exact" -> d22Sql,
@@ -2149,5 +2205,6 @@ object Dedup {
     "d39_incremental_components" -> d32Sql,
     "d40_daily_admit" -> d40Sql,
     "d41_fuzzy_decontaminate" -> d41Sql,
-    "d42_quality_keep" -> d42Sql)
+    "d42_quality_keep" -> d42Sql,
+    "d43_admission_audit" -> d43Sql)
 }

@@ -658,4 +658,35 @@ class DedupSpec extends SparkSpec {
       "quality gate never bit — stage 3 is vacuous on this corpus")
     d40.foreach { case (id, _, q) => assert(q == scores(id) && q >= minBp) }
   }
+
+  test("d43 audit partitions the batch and its admitted rows ARE d40's output") {
+    val audit = SparkEntry.queries("d43_admission_audit")(spark, sfDir)
+      .as[(Long, String, Int, String)].collect()
+    // exactly one verdict per batch doc — a drop ledger must cover
+    // the batch, not sample it
+    val (_, batchDocs) = Dedup.d35IndexAndBatch(spark, sfDir)
+    val batchIds = batchDocs.select("doc_id").as[Long].collect().toSet
+    assert(audit.map(_._1).toSet == batchIds && audit.length == batchIds.size,
+      "audit must cover every batch doc exactly once")
+    // dedup verdicts agree with d35's registered classification
+    val d35 = SparkEntry.queries("d35_incremental_dedup")(spark, sfDir)
+      .as[(Long, String, String)].collect().map(r => r._1 -> r._3).toMap
+    audit.foreach { case (id, _, _, v) =>
+      if (v == "dup_of_index" || v == "dup_in_batch")
+        assert(v == d35(id), s"doc $id: audit $v != d35 ${d35(id)}")
+      else assert(d35(id) == "accepted", s"doc $id: $v but d35 says ${d35(id)}")
+    }
+    // the composition law: admitted rows == d40's registered output,
+    // ids AND carried columns
+    val admitted = audit.filter(_._4 == "admitted")
+      .map(r => (r._1, r._2, r._3)).sortBy(_._1).toSeq
+    val d40 = SparkEntry.queries("d40_daily_admit")(spark, sfDir)
+      .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+    assert(admitted == d40, "audit's admitted rows != d40's admission")
+    // every verdict class populated — an audit with dead classes
+    // proves nothing
+    val classes = audit.map(_._4).toSet
+    assert(classes == Set("admitted", "dup_of_index", "dup_in_batch", "low_quality"),
+      s"verdict classes: $classes")
+  }
 }

@@ -430,6 +430,9 @@ class PlanSpec extends SparkSpec {
       // stages are the already-pinned s43 anti join + batch window +
       // scan-stage quality gate
       "d40_daily_admit",
+      // d43 is the shared d35Classified (persisted index at
+      // construction) + the scan-stage quality leg
+      "d43_admission_audit",
       // s43 persists d35's fingerprint index at construction; its one
       // join is the stream-static left anti probe, pinned by the
       // oracle and the StreamingSpec stream==batch property
