@@ -796,6 +796,100 @@ object Multimodal {
       .orderBy("image_id", "video_id", "frame_idx")
   }
 
+  /** m40's planted scene plan for a clip: 2–4 scenes of 2–4 frames
+    * each, all derived from doc_id — the spec recomputes the exact
+    * expected cut positions from this one definition. */
+  private[graft] def m40ScenePlan(id: Long): Seq[Int] = {
+    val nScenes = 2 + (id % 3).toInt
+    (0 until nScenes).map(sc => 2 + ((id + sc) % 3).toInt)
+  }
+
+  /** Clip table with planted SCENES: within a scene every frame is
+    * the same avalanche-mixed luma under a small UNIFORM brightness
+    * jitter (+0/+1/+2 per frame — a uniform shift preserves every
+    * adjacent-sample comparison, so the dHash is bit-identical; the
+    * frame bytes and CRC are not), and a scene boundary switches to
+    * an independent avalanche pattern (Hamming ≈ 32 — the m37
+    * decorrelation argument). The planted law: consecutive-frame
+    * dHash distance is 0 within a scene and large exactly at
+    * boundaries. */
+  private[graft] def m40Planes(id: Long): (Int, Int, Seq[Array[Byte]]) = {
+    val w = 10 + 2 * (id % 4).toInt
+    val h = 8 + 2 * (id % 3).toInt
+    val ySize = w * h
+    val cSize = (w / 2) * (h / 2)
+    def mix(scene: Int, plane: Long, pos: Long): Long =
+      Math.floorMod(avalanche((id << 24) ^ (plane << 22) ^ (scene.toLong << 14) ^ pos), 197L)
+    val frames = m40ScenePlan(id).zipWithIndex.flatMap { case (n, scene) =>
+      (0 until n).map { f =>
+        val jitter = f % 3
+        val b = new Array[Byte](ySize + 2 * cSize)
+        var i = 0
+        while (i < ySize) { b(i) = (mix(scene, 0L, i) + jitter).toByte; i += 1 }
+        var j = 0
+        while (j < 2 * cSize) { b(ySize + j) = mix(scene, 1L, j).toByte; j += 1 }
+        b
+      }
+    }
+    (w, h, frames)
+  }
+
+  private[graft] def mediaTableScenes(s: SparkSession, dir: String)
+      : Dataset[MediaRecord] = {
+    import s.implicits._
+    mediaTable(s, dir).map { r =>
+      val (w, h, frames) = m40Planes(r.doc_id)
+      r.copy(modality = "video",
+        payload = VideoCodec.encodeY4m(w, h, 25, 1, frames),
+        meta = r.meta.copy(mime = "video/y4m", width = w, height = h,
+          durationMs = frames.length * 40L))
+    }
+  }
+
+  /** m40: scene-cut detection — the temporal segmentation every
+    * video-curation pipeline runs before clip-level dedup or
+    * captioning: split each clip where consecutive frames stop
+    * being perceptually similar. Frames walk the REAL container
+    * (the shared [[sampleFrames]] at a 40 ms tick = every frame at
+    * 25 fps), each frame's luma is the SAME
+    * [[ImageCodec.grayDHash]] every perceptual operator (m35/m37/
+    * m39) uses, and a cut is declared where the consecutive-frame
+    * Hamming distance exceeds 10 — uniform brightness flicker
+    * within a scene moves the distance by 0 bits (a uniform shift
+    * preserves every gradient comparison), while an actual content
+    * switch sits near 32 (the avalanche decorrelation argument).
+    * Output: (doc_id, cut_frame, dist) — frame indexes where a new
+    * scene starts.
+    *
+    * Scale: decode + hash is a per-partition map (8 bytes per frame
+    * cross the wire, never pixels); the only shuffle is the lag
+    * window partitioned by doc_id, whose state is bounded by clip
+    * length — embarrassingly parallel across clips. Rows-only (JVM
+    * container walk isn't SQL-replayable); MultimodalSpec proves
+    * the recovered cuts are EXACTLY the planted scene boundaries on
+    * every clip, with zero false cuts from the in-scene jitter. */
+  def m40SceneCut(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val clips = mediaTableScenes(s, dir)
+    val dims = clips.map(r => (r.doc_id, r.meta.width, r.meta.height))
+      .toDF("doc_id", "w", "h")
+    val fh = sampleFrames(clips, 40L).toDF()
+      .join(dims, "doc_id")
+      .select("doc_id", "frame_idx", "w", "h", "frame_payload")
+      .as[(Long, Int, Int, Int, Array[Byte])]
+      .flatMap { case (id, fi, w, h, p) =>
+        ImageCodec.grayDHash(w, h, p).map(hsh => (id, fi, hsh)) }
+      .toDF("doc_id", "frame_idx", "fhash")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    fh.withColumn("prev", lag(col("fhash"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("dist", expr("bit_count(fhash ^ prev)").cast("int"))
+      .filter(col("dist") > 10)
+      .select(col("doc_id"), col("frame_idx").as("cut_frame"), col("dist"))
+      .orderBy("doc_id", "cut_frame")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m33_multimodal" -> (m33Multimodal _),
     "m34_media_dedup" -> (m34MediaDedup _),
@@ -803,7 +897,8 @@ object Multimodal {
     "m36_media_dedup_closure" -> (m36MediaDedupClosure _),
     "m37_video_neardup" -> (m37VideoNeardup _),
     "m38_audio_neardup" -> (m38AudioNeardup _),
-    "m39_thumbnail_match" -> (m39ThumbnailMatch _))
+    "m39_thumbnail_match" -> (m39ThumbnailMatch _),
+    "m40_scene_cut" -> (m40SceneCut _))
 
   def oracles: Map[String, String] = Map.empty
 }

@@ -603,4 +603,33 @@ class MultimodalSpec extends SparkSpec {
         s"variants of one content id split across components: $g")
     }
   }
+
+  test("m40 recovers exactly the planted scene boundaries with zero false cuts") {
+    val got = SparkEntry.queries("m40_scene_cut")(spark, sfDir)
+      .as[(Long, Int, Int)].collect()
+    assert(got.nonEmpty)
+    val ids = Multimodal.mediaTableScenes(spark, sfDir)
+      .select("doc_id").as[Long].collect()
+    // expected cuts: the frame index where each new scene starts —
+    // cumulative sums of the planted per-scene frame counts
+    val expected = (for {
+      id <- ids
+      cut <- Multimodal.m40ScenePlan(id).scanLeft(0)(_ + _).tail.dropRight(1)
+    } yield (id, cut)).toSet
+    assert(got.map(g => (g._1, g._2)).toSet == expected,
+      s"cut sets differ: missing=${(expected -- got.map(g => (g._1, g._2)).toSet).take(3)} " +
+        s"extra=${(got.map(g => (g._1, g._2)).toSet -- expected).take(3)}")
+    // every declared cut is a genuine content switch with real
+    // margin over the threshold (observed corpus minimum is 18 —
+    // avalanche patterns sit near Hamming 32, never near 10)
+    got.foreach { case (id, f, d) => assert(d >= 15, s"doc $id cut at $f: dist $d") }
+    // and the in-scene brightness jitter is hash-invisible: every
+    // clip has exactly nScenes-1 cuts, so no jittered frame ever
+    // crossed the threshold (zero false positives, corpus-wide)
+    val perDoc = got.groupBy(_._1).view.mapValues(_.length).toMap
+    ids.foreach { id =>
+      assert(perDoc.getOrElse(id, 0) == Multimodal.m40ScenePlan(id).length - 1,
+        s"doc $id: ${perDoc.getOrElse(id, 0)} cuts for ${Multimodal.m40ScenePlan(id).length} scenes")
+    }
+  }
 }
