@@ -698,6 +698,46 @@ object Streaming {
       .outputMode("update")
       .foreachBatch(defaultGoldWriter(targetDir))
 
+  /** s46: the LIVE dataset card — t56's release rollup at the stream
+    * boundary, the s45 stance applied to corpus observability: the
+    * card's state persists as FINGERPRINT-level partials
+    * ([[graft.text.TextOps.t56Partials]] — count/token-sum/score-sum
+    * per (lang, source, fp), each algebraically mergeable), each
+    * micro-batch of documents folds in through the ONE shared
+    * [[graft.text.TextOps.t56MergeP]], and presentation
+    * ([[graft.text.TextOps.t56Present]]) derives stratum counts,
+    * exact integer means, distinct fingerprints AND global
+    * cross-stratum dup membership from the partials alone. Because
+    * every statistic is a sum over (lang, source, fp) cells, ANY
+    * micro-batch slicing lands byte-exactly on the full recompute —
+    * this entry folds three doc_id-residue slices and its oracle IS
+    * t56Sql. The key design point: stratum-level partials could NOT
+    * maintain dup_docs (a fingerprint straddling micro-batches or
+    * strata would under-count); fingerprint-level state is the
+    * minimal granularity that keeps the global dup ledger mergeable.
+    *
+    * Scale: state is fingerprint-cardinality (the d35 index size,
+    * bucketable by fp); each refresh shuffles only the batch's
+    * partials; presentation is a card-sized rollup. StreamingSpec
+    * drives the same fold through a REAL MemoryStream + foreachBatch
+    * generation chain and lands on the batch card. */
+  def s46StreamCard(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    val cardDir = graft.sources.Export.scratch("s46_card", dir)
+    val docs = TextOps.t56Project(graft.Tables.documents(s, dir))
+    TextOps.t56Partials(docs.filter(pmod(col("doc_id"), lit(3)) === 0))
+      .write.mode("overwrite").parquet(cardDir)
+    var state = s.read.parquet(cardDir)
+    for (r <- Seq(1, 2))
+      state = TextOps.t56MergeP(state,
+        TextOps.t56Partials(docs.filter(pmod(col("doc_id"), lit(3)) === r)))
+    TextOps.t56Present(state)
+  }
+
+  /** s46's oracle IS t56's full recompute — micro-batch slicing of
+    * the corpus must be invisible. LAZY per the s45Sql stance. */
+  lazy val s46Sql: String = graft.text.TextOps.t56Sql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s34_stream_tumbling" -> (s34StreamTumbling _),
     "s35_stream_join" -> (s35StreamJoin _),
@@ -710,7 +750,8 @@ object Streaming {
     "s42_apply_changes" -> (s42ApplyChanges _),
     "s43_stream_index_dedup" -> (s43StreamIndexDedup _),
     "s44_stream_neardup_admit" -> (s44StreamNeardupAdmit _),
-    "s45_stream_mv_refresh" -> (s45StreamMvRefresh _))
+    "s45_stream_mv_refresh" -> (s45StreamMvRefresh _),
+    "s46_stream_card" -> (s46StreamCard _))
 
   def oracles: Map[String, String] = Map(
     "s34_stream_tumbling" -> s34Sql,
@@ -724,5 +765,6 @@ object Streaming {
     "s42_apply_changes" -> s42Sql,
     "s43_stream_index_dedup" -> s43Sql,
     "s44_stream_neardup_admit" -> s44Sql,
-    "s45_stream_mv_refresh" -> s45Sql)
+    "s45_stream_mv_refresh" -> s45Sql,
+    "s46_stream_card" -> s46Sql)
 }

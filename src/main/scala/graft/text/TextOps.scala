@@ -1797,24 +1797,58 @@ object TextOps {
     * final rollup on the tiny (lang, source) key is map-side
     * combined. Sums cross as BIGINT; the mean is exact integer
     * `div` (no cross-engine float). */
-  def t56DatasetCard(s: SparkSession, dir: String): DataFrame = {
+  /** The per-doc projection t56's partials aggregate — every column
+    * a SHARED definition (tokens, qualityScoreBp, fingerprint).
+    * Takes an arbitrary documents-shaped DataFrame so the batch card
+    * and s46's micro-batch slices project identically. */
+  private[graft] def t56Project(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
-    val docs = Tables.documents(s, dir).select(
+    docs.select(
       col("doc_id"), col("lang"), col("source"),
       size(toks).cast("long").as("ws_tokens"),
       qualityScoreBp(toks).cast("long").as("bp"),
       fingerprint(col("text")).as("fp"))
-    val dupFps = docs.groupBy("fp").agg(count(lit(1)).as("fp_n"))
-    docs.join(dupFps, "fp")
+  }
+
+  /** Partial-aggregate card state of a doc slice — keyed
+    * (lang, source, fp) with count / token-sum / score-sum, each
+    * algebraically mergeable (the q38Partials stance applied to the
+    * card): fingerprint-level partials keep GLOBAL dup accounting
+    * derivable after any slicing, which stratum-level partials
+    * could not. */
+  private[graft] def t56Partials(docs: DataFrame): DataFrame =
+    docs.groupBy("lang", "source", "fp").agg(
+      count(lit(1)).as("cnt"),
+      sum("ws_tokens").as("tok_sum"),
+      sum("bp").as("bp_sum"))
+
+  /** Merge partial card states: re-aggregate their union (sums all
+    * the way down, so merges chain across micro-batches). */
+  private[graft] def t56MergeP(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta).groupBy("lang", "source", "fp").agg(
+      sum("cnt").as("cnt"),
+      sum("tok_sum").as("tok_sum"),
+      sum("bp_sum").as("bp_sum"))
+
+  /** Presentation: fold the fingerprint-level partials into the
+    * per-stratum card. fp_n re-derives the GLOBAL fingerprint count
+    * from the partials, so dup accounting stays cross-stratum after
+    * any number of merges. */
+  private[graft] def t56Present(partials: DataFrame): DataFrame = {
+    val fpTotals = partials.groupBy("fp").agg(sum("cnt").as("fp_n"))
+    partials.join(fpTotals, "fp")
       .groupBy("lang", "source")
       .agg(
-        count(lit(1)).as("n_docs"),
-        sum("ws_tokens").as("n_tokens"),
-        expr("CAST(sum(bp) div count(*) AS BIGINT)").as("mean_quality_bp"),
-        countDistinct(col("fp")).as("n_fingerprints"),
-        sum(when(col("fp_n") >= 2, 1L).otherwise(0L)).as("dup_docs"))
+        sum("cnt").as("n_docs"),
+        sum("tok_sum").as("n_tokens"),
+        expr("CAST(sum(bp_sum) div sum(cnt) AS BIGINT)").as("mean_quality_bp"),
+        count(lit(1)).as("n_fingerprints"),
+        sum(when(col("fp_n") >= 2, col("cnt")).otherwise(lit(0L))).as("dup_docs"))
       .orderBy("lang", "source")
   }
+
+  def t56DatasetCard(s: SparkSession, dir: String): DataFrame =
+    t56Present(t56Partials(t56Project(Tables.documents(s, dir))))
 
   val t56Sql: String =
     s"""WITH q AS ($qualityBodySql),

@@ -433,6 +433,9 @@ class PlanSpec extends SparkSpec {
       // d43 is the shared d35Classified (persisted index at
       // construction) + the scan-stage quality leg
       "d43_admission_audit",
+      // s46 persists its gen-0 card partials at construction; the
+      // per-merge plan is t56's audited aggregate + fp equi-join
+      "s46_stream_card",
       // s43 persists d35's fingerprint index at construction; its one
       // join is the stream-static left anti probe, pinned by the
       // oracle and the StreamingSpec stream==batch property

@@ -306,6 +306,48 @@ class StreamingSpec extends SparkSpec {
       s"generation chain != recompute: missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
   }
 
+  test("s46 live-card generations fold to the batch card through real micro-batches") {
+    import graft.text.TextOps
+    val gens = java.nio.file.Files.createTempDirectory("s46gen").toString
+    val docs = Tables.documents(spark, sfDir)
+    // gen-0 state: the first residue slice's fingerprint partials
+    TextOps.t56Partials(TextOps.t56Project(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0)))
+      .write.mode("overwrite").parquet(s"$gens/g0")
+    // the rest of the corpus arrives as a REAL stream; each
+    // micro-batch merges into a NEW card generation through the
+    // artifact (the s45 refresh loop, for observability state)
+    val rows = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      .select("doc_id", "text", "lang", "source")
+      .as[(Long, String, String, String)].collect()
+    val (b1, b2) = rows.partition(_._1 % 3 == 1)
+    assert(b1.nonEmpty && b2.nonEmpty)
+    val gen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val in = MemoryStream[(Long, String, String, String)](spark)
+    val q = in.toDF().writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val batch = b.toDF("doc_id", "text", "lang", "source")
+        val g = gen.get()
+        TextOps.t56MergeP(spark.read.parquet(s"$gens/g$g"),
+            TextOps.t56Partials(TextOps.t56Project(batch)))
+          .write.mode("overwrite").parquet(s"$gens/g${g + 1}")
+        gen.incrementAndGet()
+        ()
+      }.start()
+    try {
+      in.addData(b1.toSeq: _*); q.processAllAvailable()
+      in.addData(b2.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(gen.get() == 2, s"expected 2 card generations, got ${gen.get()}")
+    val streamed = TextOps.t56Present(spark.read.parquet(s"$gens/g2"))
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSet
+    val batchCard = SparkEntry.queries("t56_dataset_card")(spark, sfDir)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed.nonEmpty && streamed == batchCard,
+      s"card chain != batch card: missing=${(batchCard -- streamed).take(3)} " +
+        s"extra=${(streamed -- batchCard).take(3)}")
+  }
+
   test("the composed streaming admission (s43 anti-join ∘ stateful dedup ∘ s41 gate) equals d40") {
     // d40 is the batch daily-admission pipeline; its streaming face
     // is the composition of transforms this file already proves
