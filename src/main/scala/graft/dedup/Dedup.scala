@@ -2152,6 +2152,175 @@ object Dedup {
        |WHERE jaccard >= 0.7
        |GROUP BY doc_a ORDER BY doc_id""".stripMargin
 
+  // ---- d44: cross-document EXACT-substring dedup (ExactSubstr) ----
+
+  /** d44 geometry: k-token grams fingerprinted by winnowing with
+    * window w ⇒ any shared run of ≥ w+k−1 = 15 consecutive tokens is
+    * GUARANTEED to share a selected fingerprint (Schleimer et al.
+    * 2003, theorem 1 — the MOSS selection rule); shorter matches may
+    * seed candidates but are filtered by [[d44MinRun]] after the
+    * exact verify, so the output is a pure function of the corpus,
+    * independent of which fingerprints were selected. */
+  private[graft] val d44K = 8
+  private[graft] val d44W = 8
+  private[graft] val d44MinRun: Int = d44W + d44K - 1
+
+  /** Winnowing fingerprint stream: (doc_id, pos, gram) for every
+    * gram position i whose 60-bit key equals the minimum of SOME
+    * w-window of consecutive gram keys containing i — the ∃-window
+    * form, a superset of rightmost-min winnowing with the same
+    * guarantee and no order-dependent tiebreak, so it replays
+    * identically in both dialects. Selection is a pure per-row HOF
+    * over the doc's own gram array (O(n·w²) integer compares,
+    * zero shuffle); expected density 2/(w+1) ≈ 22 % of grams —
+    * a 4.5× smaller candidate index than indexing every gram,
+    * bought with a hard guarantee rather than stride sampling's
+    * alignment-dependent misses. Gram keys are the ONE shared
+    * [[gramKeys]] definition (d29/d30/d31/s39/t47 stance). */
+  private[graft] def d44Fingerprints(docs: DataFrame): DataFrame = {
+    val wm1 = d44W - 1
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("g", gramKeys(col("toks"), d44K))
+      .withColumn("m", size(col("g")))
+      .withColumn("pos", explode(expr(
+        s"""filter(if(m < $d44W, array(), sequence(1, m)), i ->
+           |  size(filter(if(least(i, m - $wm1) < greatest(1, i - $wm1), array(),
+           |      sequence(greatest(1, i - $wm1), least(i, m - $wm1))), j ->
+           |    element_at(g, i) = array_min(slice(g, j, $d44W)))) > 0)""".stripMargin)))
+      .select(col("doc_id"), col("pos"),
+        expr("element_at(g, pos)").as("gram"))
+  }
+
+  /** Core of d44, parameterized by the document set so DedupSpec can
+    * run the planted-passage constructions through the exact
+    * production pipeline. Stages: winnowing fingerprints →
+    * candidate seeds by gram equi-join (doc_a < doc_b) → token
+    * arrays attached ([[Attach]] stance) → exact token verify of the
+    * seed gram (hash collisions die here) → maximal run extension
+    * left/right along the seed diagonal (first-mismatch scan via
+    * array_position, O(run) per seed) → best witness per pair
+    * (longest run, then earliest start_a, then earliest start_b) →
+    * keep runs ≥ [[d44MinRun]]. */
+  private[graft] def d44Core(docs: DataFrame,
+      attach: Attach = Attach.Auto): DataFrame = {
+    val km1 = d44K - 1
+    val fps = d44Fingerprints(docs)
+    val cands = fps.as("a").join(fps.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+    val toksTbl = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val ext = cands
+      .join(attachSide(toksTbl.select(col("doc_id").as("doc_a"),
+        col("toks").as("ta")), attach), Seq("doc_a"))
+      .join(attachSide(toksTbl.select(col("doc_id").as("doc_b"),
+        col("toks").as("tb")), attach), Seq("doc_b"))
+      .filter(expr(s"""size(filter(sequence(0, $km1), f ->
+        element_at(ta, pa + f) = element_at(tb, pb + f))) = $d44K"""))
+      .withColumn("dl", expr("least(pa, pb) - 1"))
+      .withColumn("left_ext", expr(
+        s"""coalesce(nullif(array_position(transform(
+           |  if(dl < 1, array(), sequence(1, dl)),
+           |  e -> element_at(ta, pa - e) = element_at(tb, pb - e)),
+           |  false), 0) - 1, dl)""".stripMargin))
+      .withColumn("dr", expr(s"least(size(ta) - pa, size(tb) - pb) - $km1"))
+      .withColumn("right_ext", expr(
+        s"""coalesce(nullif(array_position(transform(
+           |  if(dr < 1, array(), sequence(1, dr)),
+           |  e -> element_at(ta, pa + $km1 + e) = element_at(tb, pb + $km1 + e)),
+           |  false), 0) - 1, dr)""".stripMargin))
+      .select(col("doc_a"), col("doc_b"),
+        (col("pa") - col("left_ext")).cast("long").as("start_a"),
+        (col("pb") - col("left_ext")).cast("long").as("start_b"),
+        (lit(d44K) + col("left_ext") + col("right_ext")).cast("long").as("run_len"))
+    ext
+      .groupBy("doc_a", "doc_b")
+      .agg(max(struct(col("run_len"), (-col("start_a")).as("nsa"),
+        (-col("start_b")).as("nsb"), col("start_a"), col("start_b"))).as("w"))
+      .select(col("doc_a"), col("doc_b"), col("w.start_a").as("start_a"),
+        col("w.start_b").as("start_b"), col("w.run_len").as("run_len"))
+      .filter(col("run_len") >= d44MinRun)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** d44: cross-document exact-substring detection — the ExactSubstr
+    * dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better": drop/trim verbatim ≥ 50-token overlaps;
+    * here the threshold is the winnowing guarantee w+k−1 = 15 tokens,
+    * matched to this corpus's 10–99-token docs), complementing the
+    * set-similarity family: d23/d25 score whole-document overlap and
+    * miss a verbatim paragraph pasted into two otherwise-different
+    * docs; d44 reports exactly that, with the maximal shared run and
+    * its positions per pair.
+    *
+    * Scale (100 TB): fingerprint selection is scan-stage per-row work;
+    * the ONLY corpus-keyed exchanges are the fingerprint equi-join on
+    * a uniform 60-bit key (~22 % of gram volume, winnowing density
+    * 2/(w+1)) and the doc_id-keyed token-array attach, which is
+    * size-adaptive ([[Attach]]). Boilerplate grams that recur across
+    * the corpus concentrate a bucket; the d23 capped-bucket stance
+    * (count per gram, cap + audit) applies unchanged to this join.
+    * Extension is O(run) per seed along one diagonal — never a
+    * per-pair LCS. Reference analog: content-hash dedup generalized
+    * to substring granularity (near/near-public-lakehouse has no
+    * substring dedup; this is a training-pipeline addition). */
+  def d44SubstringDedup(s: SparkSession, dir: String): DataFrame =
+    d44Core(Tables.documents(s, dir))
+
+  /** DuckDB oracle for d44: the SAME winnowing pipeline in list-
+    * lambda form — shared tokenization (single-space split), the
+    * shared 60-bit md5 gram key (d29Sql idiom), the identical
+    * ∃-window selection predicate, identical first-mismatch
+    * extension (list_position not-found = 0 in BOTH engines,
+    * normalized through nullif/coalesce), identical best-witness
+    * ordering — byte-exact including which seeds were selected. */
+  val d44Sql: String = {
+    val (k, w, km1, wm1, minRun) = (d44K, d44W, d44K - 1, d44W - 1, d44MinRun)
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |g AS (SELECT doc_id, t,
+       |  list_transform(generate_series(1, greatest(len(t) - $km1, 0)), i ->
+       |    CAST(('0x' || substr(md5(array_to_string(t[i:i+$km1], ' ')), 1, 15)) AS BIGINT)) AS gk
+       |  FROM toks),
+       |fp AS (SELECT doc_id, t, gk,
+       |  unnest(list_filter(generate_series(1, len(gk)), i ->
+       |    len(list_filter(generate_series(greatest(1, i - $wm1), least(i, len(gk) - $wm1)), j ->
+       |      gk[i] = list_min(gk[j:j+$wm1]))) > 0)) AS pos
+       |  FROM g WHERE len(gk) >= $w),
+       |fpx AS (SELECT doc_id, t, pos, gk[pos] AS gram FROM fp),
+       |ver AS (
+       | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,
+       |        a.t AS ta, b.t AS tb
+       | FROM fpx a JOIN fpx b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       | WHERE len(list_filter(generate_series(0, $km1), f ->
+       |         ta[CAST(pa+f AS INT)] = tb[CAST(pb+f AS INT)])) = $k),
+       |ext AS (
+       | SELECT doc_a, doc_b, pa, pb,
+       |  coalesce(nullif(list_position(list_transform(
+       |    generate_series(1, least(pa, pb) - 1),
+       |    e -> ta[CAST(pa-e AS INT)] = tb[CAST(pb-e AS INT)]), false), 0) - 1,
+       |    least(pa, pb) - 1) AS left_ext,
+       |  coalesce(nullif(list_position(list_transform(
+       |    generate_series(1, least(len(ta) - pa, len(tb) - pb) - $km1),
+       |    e -> ta[CAST(pa+$km1+e AS INT)] = tb[CAST(pb+$km1+e AS INT)]), false), 0) - 1,
+       |    least(len(ta) - pa, len(tb) - pb) - $km1) AS right_ext
+       | FROM ver),
+       |runs AS (
+       | SELECT doc_a, doc_b,
+       |  CAST(pa - left_ext AS BIGINT) AS start_a,
+       |  CAST(pb - left_ext AS BIGINT) AS start_b,
+       |  CAST($k + left_ext + right_ext AS BIGINT) AS run_len
+       | FROM ext),
+       |best AS (
+       | SELECT doc_a, doc_b, start_a, start_b, run_len,
+       |  row_number() OVER (PARTITION BY doc_a, doc_b
+       |    ORDER BY run_len DESC, start_a, start_b) AS rn
+       | FROM runs)
+       |SELECT doc_a, doc_b, start_a, start_b, run_len
+       |FROM best WHERE rn = 1 AND run_len >= $minRun
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d22_dedup_exact" -> (d22DedupExact _),
     "d23_dedup_minhash" -> (d23DedupMinhash _),
@@ -2179,7 +2348,8 @@ object Dedup {
     "d40_daily_admit" -> (d40DailyAdmit _),
     "d41_fuzzy_decontaminate" -> (d41FuzzyDecontaminate _),
     "d42_quality_keep" -> (d42QualityKeep _),
-    "d43_admission_audit" -> (d43AdmissionAudit _))
+    "d43_admission_audit" -> (d43AdmissionAudit _),
+    "d44_substring_dedup" -> (d44SubstringDedup _))
 
   def oracles: Map[String, String] = Map(
     "d22_dedup_exact" -> d22Sql,
@@ -2206,5 +2376,6 @@ object Dedup {
     "d40_daily_admit" -> d40Sql,
     "d41_fuzzy_decontaminate" -> d41Sql,
     "d42_quality_keep" -> d42Sql,
-    "d43_admission_audit" -> d43Sql)
+    "d43_admission_audit" -> d43Sql,
+    "d44_substring_dedup" -> d44Sql)
 }

@@ -689,4 +689,82 @@ class DedupSpec extends SparkSpec {
     assert(classes == Set("admitted", "dup_of_index", "dup_in_batch", "low_quality"),
       s"verdict classes: $classes")
   }
+
+  // ---- d44 cross-document exact-substring dedup ----
+
+  test("d44 finds a planted 15-token passage at the guarantee threshold, not 14") {
+    val run15 = (1 to 15).map(i => s"s$i").mkString(" ")
+    val run14 = (1 to 14).map(i => s"s$i").mkString(" ")
+    docsOf(
+      1L -> s"f1 f2 f3 f4 f5 $run15 g1 g2 g3 g4 g5",
+      2L -> s"h1 h2 h3 h4 h5 h6 h7 $run15 i1 i2 i3",
+      3L -> s"j1 j2 j3 j4 j5 $run14 k1 k2 k3 k4 k5 k6",
+      4L -> s"l1 l2 l3 l4 l5 $run14 n1 n2 n3 n4 n5 n6")
+    val out = Dedup.d44Core(spark.read.parquet(s"$tmp/documents.parquet"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // the ≥ w+k−1 run is guaranteed found, with exact positions
+    assert(out.toSet == Set((1L, 2L, 6L, 8L, 15L)),
+      s"expected exactly the planted 15-run, got ${out.toSet}")
+  }
+
+  test("d44 reported span is maximal and token-exact; longest diagonal wins") {
+    // docs share TWO passages on different diagonals: a 15-run and a
+    // 20-run — the witness must be the 20-run, maximally extended
+    val a = (1 to 15).map(i => s"a$i").mkString(" ")
+    val b = (1 to 20).map(i => s"b$i").mkString(" ")
+    docsOf(
+      1L -> s"x1 x2 $a x3 x4 $b x5 x6",
+      2L -> s"y1 $b y2 y3 y4 $a y5")
+    val docs = spark.read.parquet(s"$tmp/documents.parquet")
+    val out = Dedup.d44Core(docs).as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.length == 1)
+    val (_, _, sa, sb, len) = out.head
+    assert(len == 20L, s"longest shared run must win, got $len")
+    val ta = docs.filter(col("doc_id") === 1).select("text").as[String].head.split(" ")
+    val tb = docs.filter(col("doc_id") === 2).select("text").as[String].head.split(" ")
+    // token-exact across the span
+    (0 until len.toInt).foreach(o =>
+      assert(ta(sa.toInt - 1 + o) == tb(sb.toInt - 1 + o)))
+    // maximal: mismatch (or boundary) on both sides
+    assert(sa == 1 || sb == 1 || ta(sa.toInt - 2) != tb(sb.toInt - 2))
+    assert(sa - 1 + len == ta.length || sb - 1 + len == tb.length ||
+      ta((sa + len).toInt - 1) != tb((sb + len).toInt - 1))
+  }
+
+  test("d44 winnowing selection matches an independent mirror and keeps the guarantee") {
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sfDir)
+    val got = Dedup.d44Fingerprints(docs)
+      .select("doc_id", "pos").as[(Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def gram(toks: Array[String], i: Int): Long = { // 1-based, k tokens
+      val h = md.digest(toks.slice(i - 1, i - 1 + Dedup.d44K).mkString(" ")
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.take(15), 16)
+    }
+    var nSel = 0L; var nGram = 0L
+    texts.foreach { case (id, text) =>
+      val toks = text.split(" ")
+      val m = toks.length - (Dedup.d44K - 1)
+      val g = if (m < 1) Array.empty[Long] else (1 to m).map(gram(toks, _)).toArray
+      val sel = (1 to math.max(m, 0)).filter { i =>
+        val lo = math.max(1, i - (Dedup.d44W - 1))
+        val hi = math.min(i, m - (Dedup.d44W - 1))
+        (lo to hi).exists(j => g(i - 1) == g.slice(j - 1, j - 1 + Dedup.d44W).min)
+      }
+      assert(got.getOrElse(id, Seq.empty) == sel,
+        s"doc $id: winnowing selection differs from mirror")
+      nSel += sel.size; nGram += math.max(m, 0)
+      // guarantee: every full window of w grams contains a selected pos
+      if (m >= Dedup.d44W) (1 to m - Dedup.d44W + 1).foreach { j =>
+        assert(sel.exists(p => p >= j && p < j + Dedup.d44W),
+          s"doc $id: window at $j has no selected fingerprint")
+      }
+    }
+    // density sanity: ~2/(w+1) expected; assert well under indexing-everything
+    assert(nSel.toDouble / nGram < 0.5,
+      s"winnowing density ${nSel.toDouble / nGram} suspiciously high")
+  }
 }
