@@ -71,14 +71,14 @@ object Ann {
     * never diverge on tie-break or output contract. */
   private def rankedTopK(s: SparkSession,
       scored: org.apache.spark.sql.Dataset[(Long, Long, Double)],
-      k: Int = K): DataFrame = {
+      k: Int = K, scoreCol: String = "cosine"): DataFrame = {
     import s.implicits._
     scored.groupByKey(_._1)
       .agg(new TopKAgg(k).toColumn.name("topk"))
       .flatMap { case (q, buf) =>
         buf.items.zipWithIndex.map { case ((c, id), i) => (q, i + 1, id, c) }
       }
-      .toDF("query_id", "rank", "neighbor_id", "cosine")
+      .toDF("query_id", "rank", "neighbor_id", scoreCol)
       .orderBy("query_id", "rank")
   }
 
@@ -1273,6 +1273,120 @@ object Ann {
   /** a40's oracle IS a27's: shard decomposition changes nothing. */
   val a40Sql: String = a27Sql
 
+  /** a41: maximum-inner-product search (MIPS) through the cosine-LSH
+    * machinery via the norm-augmentation reduction (Bachrach et al.
+    * RecSys 2014; Neyshabur & Srebro 2015; Shrivastava & Li 2014's
+    * ALSH is the asymmetric cousin): recommendation/retrieval scores
+    * are raw dot products q·x, which form no metric — hyperplane LSH
+    * buckets cosine, not inner product. Augment every corpus vector
+    * to x̂ = [x, sqrt(M²−‖x‖²)] (M = max corpus norm) and every query
+    * to q̂ = [q, 0]: then ‖x̂‖ = M for ALL corpus vectors and
+    * q̂·x̂ = q·x, so cos(q̂,x̂) = q·x/(‖q‖M) is MONOTONE in the inner
+    * product and the existing sign-bucket machinery retrieves MIPS
+    * candidates. Concretely the query-side bands are d28's 4×8
+    * [[Hyperplanes.bandsExpr]] UNCHANGED (the augmented query coord
+    * is 0) and the corpus side adds one literal weight per plane
+    * times the augmented coord ([[Hyperplanes.augBandsExpr]]) —
+    * banded OR-matching, because a single 8-bit sign bucket's recall
+    * collapses for MIPS (the top-dot neighbors are LARGE-norm
+    * vectors spread across directions; measured 0.025 recall@5 at
+    * spec scale for one bucket — the AnnSpec floor pins the banded
+    * form's measured recall). Candidates stream through
+    * the d28 emit-once shape (band equi-join + FirstEqualBand), are
+    * rescored with the EXACT dot product (native
+    * [[graft.functions.VectorExprs.floatDot]]) and ranked through
+    * the shared bounded-buffer [[rankedTopK]] — ≤ K rows per query
+    * per map task cross the network.
+    *
+    * Scale: M is a single scalar broadcast (1-row cross join — the
+    * q30 watermark stance, in-plan, no driver read); augmentation
+    * and banding are scan-stage projections; the only corpus-keyed
+    * work is the (band_id, band_val) equi-join against the broadcast
+    * query band stream. Approximate by construction (band recall
+    * < 1); AnnSpec pins the reduction's ordering-equivalence law,
+    * a full in-memory mirror, and the recall floor. */
+  /** a41 band geometry: 8 bands × 4 planes (32 shared planes). MIPS
+    * needs coarser bands than d28's 4×8: the top-dot neighbors are
+    * large-norm vectors that need not be tightly aligned with the
+    * query direction, so per-band collision must stay high —
+    * measured recall@5 at spec scale: 0.025 (one 8-bit bucket),
+    * 0.10 (4×8 bands), 0.80 (this 8×4 form, at 0.42 candidate
+    * fraction — both pinned by AnnSpec). At corpus scale the knob
+    * moves back toward finer bands / more planes. */
+  private[graft] val a41Bands = 8
+  private[graft] val a41Ppb = 4
+
+  def a41AnnMips(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = withNorm(Tables.embeddings(s, dir).select("vec_id", "embedding"))
+    val mx = corpus.agg(max(col("norm")).as("mnorm"))
+    val augmented = corpus.crossJoin(broadcast(mx))
+      .withColumn("aug",
+        sqrt(col("mnorm") * col("mnorm") - col("norm") * col("norm")))
+      .withColumn("bands", graft.functions.Hyperplanes.augBandsExpr(
+        "embedding", "aug", a41Bands, a41Ppb))
+    val cChunks = augmented.select(col("vec_id"), col("embedding"), col("bands"),
+      posexplode(col("bands")).as(Seq("band_id", "band_val")))
+    val queries = corpus.filter(col("vec_id") < NQ).select(
+      col("vec_id").as("query_id"),
+      col("embedding").as("q_embedding"),
+      graft.functions.Hyperplanes.bandsExpr("embedding",
+        a41Bands, a41Ppb).as("q_bands"))
+    val qChunks = queries.select(col("query_id"), col("q_embedding"), col("q_bands"),
+      posexplode(col("q_bands")).as(Seq("band_id", "band_val")))
+    val scored = cChunks.join(broadcast(qChunks), Seq("band_id", "band_val"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .filter(col("band_id") === graft.functions.SetExprs.firstEqualBand(
+        col("bands"), col("q_bands"), 1))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(graft.functions.VectorExprs.floatDot(
+          col("q_embedding"), col("embedding")), 4).as("dot"))
+      .as[(Long, Long, Double)]
+    rankedTopK(s, scored, K, "dot")
+  }
+
+  /** DuckDB oracle for a41: the same reduction replayed — max-norm
+    * scalar subquery, sqrt-augmented coordinate, corpus bands with
+    * the shared augmented-dim literals, query bands = the plain
+    * 4×8 [[Hyperplanes.bandDuck]] values, candidates = pairs
+    * agreeing on ≥ 1 band (the d28 OR-join emits each pair once),
+    * exact dot rescoring, identical tie-break. sqrt and max are
+    * IEEE-identical cross-engine, so even WHICH bands each corpus
+    * vector lands in replays byte-exactly. */
+  val a41Sql: String = {
+    def augBandTerm(b: Int): String = (0 until a41Ppb).map { j =>
+      val i = a41Ppb * b + j
+      s"""(CASE WHEN list_sum(list_transform(list_zip(${planeDuck(i)}, embedding),
+         |   p -> p[1] * CAST(p[2] AS DOUBLE))) + ${graft.functions.Hyperplanes.augDuck(i)} * aug > 0
+         |   THEN ${1 << j} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+    val qBandCols = (0 until a41Bands).map(b =>
+      s"(${graft.functions.Hyperplanes.bandDuck("embedding", b, a41Ppb)}) AS qb$b").mkString(",\n ")
+    val cBands = (0 until a41Bands).map(b => s"(${augBandTerm(b)}) AS cb$b").mkString(",\n ")
+    val bandOr = (0 until a41Bands).map(b => s"q.qb$b = c.cb$b").mkString(" OR ")
+    val dot =
+      """ROUND(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |  p -> CAST(p[1] AS DOUBLE) * p[2])), 4)""".stripMargin
+    s"""WITH e AS ($duckCorpus),
+       |qb AS (SELECT vec_id, embedding,
+       | $qBandCols
+       | FROM e WHERE vec_id < $NQ),
+       |mx AS (SELECT max(norm) AS mnorm FROM e),
+       |ax AS (SELECT vec_id, embedding,
+       |         sqrt(mnorm * mnorm - norm * norm) AS aug FROM e, mx),
+       |cb AS (SELECT vec_id, embedding,
+       | $cBands
+       | FROM ax)
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, dot FROM (
+       | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  $dot AS dot,
+       |  row_number() OVER (PARTITION BY q.vec_id
+       |    ORDER BY $dot DESC, c.vec_id) AS rank
+       | FROM qb q JOIN cb c
+       |  ON c.vec_id <> q.vec_id AND ($bandOr))
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a27_ann_brute" -> (a27AnnBrute _),
     "a28_ann_lsh" -> (a28AnnLsh _),
@@ -1288,7 +1402,8 @@ object Ann {
     "a37_ann_ivf_insert" -> (a37AnnIvfInsert _),
     "a38_ann_delete" -> (a38AnnDelete _),
     "a39_recall_eval" -> (a39RecallEval _),
-    "a40_ann_shard" -> (a40AnnShard _))
+    "a40_ann_shard" -> (a40AnnShard _),
+    "a41_ann_mips" -> (a41AnnMips _))
 
   def oracles: Map[String, String] = Map(
     "a27_ann_brute" -> a27Sql,
@@ -1304,5 +1419,6 @@ object Ann {
     "a37_ann_ivf_insert" -> a37Sql,
     "a38_ann_delete" -> a38Sql,
     "a39_recall_eval" -> a39Sql,
-    "a40_ann_shard" -> a40Sql)
+    "a40_ann_shard" -> a40Sql,
+    "a41_ann_mips" -> a41Sql)
 }

@@ -35,6 +35,43 @@ object Hyperplanes {
   def planeDuck(i: Int): String =
     planeStrs(i).mkString("[", ",", "]")
 
+  /** Per-plane weight for the AUGMENTED 65th coordinate used by the
+    * MIPS reduction (graft.ann.Ann#a41AnnMips): corpus vectors gain
+    * one extra dim sqrt(M²−‖x‖²), queries a 0 — so the query-side
+    * bucket is exactly [[signBucketExpr]] while the corpus side adds
+    * aug_i · aug to each plane's dot before the sign. Drawn from an
+    * independent fixed seed so the base 64-dim planes are unchanged
+    * for every existing consumer. */
+  val augStrs: Seq[String] = {
+    val rng = new scala.util.Random(43)
+    Seq.fill(32)(rng.nextGaussian())
+      .map(v => String.format(java.util.Locale.ROOT, "%.17g", Double.box(v)))
+  }
+
+  /** Spark SQL array literal of the first n augmented-dim weights. */
+  def augSql(n: Int): String =
+    augStrs.take(n).map(_ + "D").mkString("array(", ",", ")")
+
+  /** The augmented-dim weight of plane i (0-based), as a SQL-literal
+    * decimal string — identical in both dialects. */
+  def augDuck(i: Int): String = augStrs(i)
+
+  /** Corpus-side LSH bands of the MIPS-augmented vector [x, aug]:
+    * the SAME shape as [[bandsExpr]], with each plane's sign taken on
+    * x · plane_i + aug_i · aug. The 64-dim fold is the identical
+    * zip_with/aggregate form; the single augmented term is added
+    * after the fold, mirroring the oracle's list_sum(...) + aug_i·aug. */
+  def augBandsExpr(embCol: String, augCol: String,
+      nBands: Int, planesPerBand: Int): Column = expr(
+    s"""transform(sequence(0, ${nBands - 1}), b ->
+       |  aggregate(sequence(0, ${planesPerBand - 1}), CAST(0 AS BIGINT), (acc, j) ->
+       |    acc + IF(aggregate(zip_with(
+       |                element_at(${planesSql(nBands * planesPerBand)}, $planesPerBand * b + j + 1),
+       |                $embCol, (p, x) -> p * CAST(x AS DOUBLE)),
+       |              0D, (s, v) -> s + v)
+       |               + element_at(${augSql(nBands * planesPerBand)}, $planesPerBand * b + j + 1) * $augCol > 0,
+       |             shiftleft(1, j), 0)))""".stripMargin)
+
   /** Sign-bucket id over the first nPlanes planes:
     * bit i = (embedding · plane_i) > 0. The dot product uses the
     * zip_with/aggregate double formulation so the oracle's

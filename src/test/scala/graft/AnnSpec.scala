@@ -423,4 +423,100 @@ class AnnSpec extends SparkSpec {
       _.map(_._3 % Ann.a40Shards).distinct.size)
     assert(spans.exists(_ >= 2), "every top-K fell in one shard; shards untested")
   }
+
+  // ---- a41 MIPS via norm augmentation ----
+
+  private def mipsMirror = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length && i < b.length) { acc += a(i).toDouble * b(i); i += 1 }
+      acc
+    }
+    val kept = emb.filter(e => math.sqrt(dot(e._2, e._2)) > 0)
+    (kept, dot _)
+  }
+
+  test("a41 mips: the norm-augmentation reduction law holds on the real corpus") {
+    val (kept, dot) = mipsMirror
+    val m = kept.map(e => math.sqrt(dot(e._2, e._2))).max
+    val queries = kept.filter(_._1 < 8)
+    kept.foreach { case (_, x) =>
+      val nx = math.sqrt(dot(x, x))
+      val aug = math.sqrt(m * m - nx * nx)
+      // ‖x̂‖ = M for every corpus vector — the constant-norm trick
+      assert(math.abs(math.sqrt(dot(x, x) + aug * aug) - m) < 1e-9)
+    }
+    // cos(q̂, x̂) = q·x/(‖q‖M): the augmented cosine ORDERS exactly as
+    // the raw inner product, for every query and corpus pair
+    queries.foreach { case (qid, q) =>
+      val nq = math.sqrt(dot(q, q))
+      val others = kept.filter(_._1 != qid)
+      val byDot = others.sortBy { case (id, x) => (-dot(q, x), id) }.map(_._1)
+      val byAugCos = others.sortBy { case (id, x) =>
+        (-(dot(q, x) / (nq * m)), id)
+      }.map(_._1)
+      assert(byDot.toSeq == byAugCos.toSeq, s"query $qid: orderings diverge")
+    }
+  }
+
+  test("a41 mips equals a full in-memory mirror of bands, rescore, and top-k") {
+    val (kept, dot) = mipsMirror
+    val m = kept.map(e => math.sqrt(dot(e._2, e._2))).max
+    val planes = graft.functions.Hyperplanes.planeStrs.take(32)
+      .map(_.map(_.toDouble).toArray)
+    val augW = graft.functions.Hyperplanes.augStrs.take(32).map(_.toDouble)
+    def planeDot(p: Array[Double], x: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < p.length && i < x.length) { acc += p(i) * x(i).toDouble; i += 1 }
+      acc
+    }
+    val (nb, ppb) = (Ann.a41Bands, Ann.a41Ppb)
+    def qBands(x: Array[Float]): Seq[Long] = (0 until nb).map(b =>
+      (0 until ppb).map(j =>
+        if (planeDot(planes(ppb * b + j), x) > 0) 1L << j else 0L).sum)
+    def cBands(x: Array[Float]): Seq[Long] = {
+      val nx = math.sqrt(dot(x, x))
+      val aug = math.sqrt(m * m - nx * nx)
+      (0 until nb).map(b => (0 until ppb).map(j =>
+        if (planeDot(planes(ppb * b + j), x) + augW(ppb * b + j) * aug > 0)
+          1L << j else 0L).sum)
+    }
+    def r4(v: Double): Double =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val queries = kept.filter(_._1 < 8)
+    val expected = queries.flatMap { case (qid, q) =>
+      val qb = qBands(q)
+      kept.filter(c => c._1 != qid &&
+          cBands(c._2).zip(qb).exists { case (a, b) => a == b })
+        .map { case (id, x) => (id, r4(dot(q, x))) }
+        .sortBy { case (id, d) => (-d, id) }.take(5).zipWithIndex
+        .map { case ((id, d), i) => (qid, i + 1, id, d) }
+    }.toSet
+    val got = SparkEntry.queries("a41_ann_mips")(spark, sfDir)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(got == expected,
+      s"a41 != mirror; only-got=${(got -- expected).take(3)} only-exp=${(expected -- got).take(3)}")
+    assert(got.nonEmpty, "a41 returned nothing at spec scale — vacuous")
+    // recall vs the EXACT MIPS ranking (what the reduction approximates)
+    val exact = queries.flatMap { case (qid, q) =>
+      kept.filter(_._1 != qid).map { case (id, x) => (qid, id, r4(dot(q, x))) }
+        .sortBy { case (_, id, d) => (-d, id) }.take(5).map(t => (t._1, t._2))
+    }.toSet
+    val hit = got.map(t => (t._1, t._3)).count(exact.contains)
+    assert(hit.toDouble / exact.size >= 0.4,
+      s"MIPS band recall ${hit.toDouble / exact.size} collapsed")
+    // the approximation is genuine: the band join admits strictly
+    // fewer candidates than brute force scores
+    val candFrac = queries.map { case (qid, q) =>
+      val qb = qBands(q)
+      kept.count(c => c._1 != qid &&
+        cBands(c._2).zip(qb).exists { case (a, b) => a == b }).toDouble /
+        (kept.length - 1)
+    }.sum / queries.length
+    assert(candFrac < 0.8, s"candidate fraction $candFrac ~ brute force")
+    info(f"a41 recall@5=${hit.toDouble / exact.size}%.2f candFrac=$candFrac%.2f")
+  }
 }
