@@ -1545,7 +1545,89 @@ object Relational {
     "q36_lockup_schedule" -> (q36LockupSchedule _),
     "q37_lockup_termination" -> (q37LockupTermination _),
     "q38_mv_maintenance" -> (q38MvMaintenance _),
-    "q39_skew_join" -> (q39SkewJoin _))
+    "q39_skew_join" -> (q39SkewJoin _),
+    "q40_expectations" -> (q40Expectations _))
+
+  // ---- q40: data-quality expectations audit (DLT expectations) ----
+
+  /** The q40 rule table — ONE definition per rule, as a dialect-
+    * neutral SQL predicate string evaluated verbatim by BOTH Spark
+    * (`expr(p)`) and DuckDB (inlined), so the gate and its oracle
+    * cannot disagree on a rule's semantics. (name, action, predicate):
+    * `drop` rules gate the pipeline (DLT `expect_or_drop`), `warn`
+    * rules only meter (DLT `expect`). valid_user is genuinely
+    * violated in the corpus (orphan/anonymous user_ids ≤ 0);
+    * value_expected meters a real tail; the other two pass — the
+    * audit must prove both populated and clean rules. */
+  private[graft] val q40Rules: Seq[(String, String, String)] = Seq(
+    ("valid_user", "drop", "user_id > 0"),
+    ("known_type", "drop",
+      "event_type IN ('click','view','purchase','signup','error')"),
+    ("value_expected", "warn", "value > 0 AND value < 100"),
+    ("fresh_ts", "warn",
+      "ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-02-01 00:00:00'"))
+
+  /** q40: expectations audit — Delta Live Tables data-quality
+    * expectations (the platform contract the reference's DLT
+    * pipeline runs under: `@dlt.expect` / `expect_or_drop`,
+    * `CONSTRAINT … EXPECT … ON VIOLATION DROP ROW`), re-expressed as
+    * one declarative pass: per rule, violation count, passed count,
+    * and exact-integer pass ppm (div, no float); plus the
+    * `__retained__` summary row — rows surviving ALL drop rules
+    * conjointly, the cardinality the downstream table actually sees.
+    * A NULL predicate counts as violated in BOTH dialects (the
+    * when/otherwise vs CASE/ELSE shape — DLT's own convention:
+    * expectations on NULL fail).
+    *
+    * Scale (100 TB): ONE scan of the fact table with every rule as a
+    * map-side conditional sum — no shuffle at all until the 1-row
+    * global aggregate crosses (4+1 longs per map task); the per-rule
+    * output rows are a `stack` over that single row, never a second
+    * scan (a UNION-of-selects formulation would rescan the corpus
+    * once per rule). */
+  def q40Expectations(s: SparkSession, dir: String): DataFrame = {
+    val total = count(lit(1)).as("total")
+    val viols = q40Rules.map { case (n, _, p) =>
+      sum(when(expr(p), 0L).otherwise(1L)).as(s"viol_$n") }
+    val dropConj = q40Rules.filter(_._2 == "drop").map(_._3)
+      .map(p => s"($p)").mkString(" AND ")
+    val retained = sum(when(expr(dropConj), 1L).otherwise(0L)).as("retained")
+    val agg = Tables.events(s, dir).agg(total, viols :+ retained: _*)
+    val stackArgs = (q40Rules.map { case (n, a, _) =>
+      s"'$n', '$a', viol_$n, total - viol_$n, (total - viol_$n) * 1000000L div total"
+    } :+ s"'__retained__', 'summary', total - retained, retained, retained * 1000000L div total")
+      .mkString(", ")
+    agg.selectExpr(
+      s"stack(${q40Rules.size + 1}, $stackArgs) AS (rule, action, violations, passed, pass_ppm)")
+      .orderBy("rule")
+  }
+
+  /** DuckDB oracle for q40: the same single-aggregate + per-rule
+    * projection, each predicate the SAME string the Spark side
+    * evaluates; sums cross as BIGINT (never HUGEINT), ppm as `//`
+    * floor division. */
+  val q40Sql: String = {
+    val violSums = q40Rules.map { case (n, _, p) =>
+      s"CAST(sum(CASE WHEN $p THEN 0 ELSE 1 END) AS BIGINT) AS viol_$n" }
+      .mkString(",\n  ")
+    val dropConj = q40Rules.filter(_._2 == "drop").map(_._3)
+      .map(p => s"($p)").mkString(" AND ")
+    val ruleRows = q40Rules.map { case (n, a, _) =>
+      s"""SELECT '$n' AS rule, '$a' AS action, viol_$n AS violations,
+         | total - viol_$n AS passed,
+         | (total - viol_$n) * 1000000 // total AS pass_ppm FROM agg""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH agg AS (
+       | SELECT CAST(count(*) AS BIGINT) AS total,
+       |  $violSums,
+       |  CAST(sum(CASE WHEN $dropConj THEN 1 ELSE 0 END) AS BIGINT) AS retained
+       | FROM events)
+       |$ruleRows
+       |UNION ALL
+       |SELECT '__retained__', 'summary', total - retained, retained,
+       | retained * 1000000 // total FROM agg
+       |ORDER BY rule""".stripMargin
+  }
 
   def oracles: Map[String, String] = Map(
     "q01_agg_filter" -> q01Sql,
@@ -1584,5 +1666,6 @@ object Relational {
     "q36_lockup_schedule" -> q36Sql,
     "q37_lockup_termination" -> q37Sql,
     "q38_mv_maintenance" -> q38Sql,
-    "q39_skew_join" -> q39Sql)
+    "q39_skew_join" -> q39Sql,
+    "q40_expectations" -> q40Sql)
 }

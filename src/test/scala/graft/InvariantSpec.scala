@@ -296,4 +296,50 @@ class InvariantSpec extends SparkSpec {
     assert(hotSalts == Relational.q39Salt,
       "hot key must spread across all salt buckets")
   }
+
+  test("q40 expectations: independent recount, NULL-fails convention, retained law") {
+    import graft.operators.Relational
+    val lo = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val hi = java.time.Instant.parse("2024-02-01T00:00:00Z")
+    val known = Set("click", "view", "purchase", "signup", "error")
+    val rows = Tables.events(spark, sfDir)
+      .select("user_id", "event_type", "value", "ts").collect()
+    // rule semantics mirrored independently; a NULL input FAILS the
+    // expectation (the DLT convention the operator documents)
+    def pass(r: org.apache.spark.sql.Row): Map[String, Boolean] = Map(
+      "valid_user" -> (!r.isNullAt(0) && r.getLong(0) > 0),
+      "known_type" -> (!r.isNullAt(1) && known(r.getString(1))),
+      "value_expected" -> (!r.isNullAt(2) && r.getDouble(2) > 0 && r.getDouble(2) < 100),
+      "fresh_ts" -> (!r.isNullAt(3) && {
+        val t = r.getTimestamp(3).toInstant
+        !t.isBefore(lo) && t.isBefore(hi)
+      }))
+    val per = rows.map(pass)
+    val total = rows.length.toLong
+    val got = SparkEntry.queries("q40_expectations")(spark, sfDir)
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet ==
+      Relational.q40Rules.map(_._1).toSet + "__retained__")
+    Relational.q40Rules.foreach { case (n, a, _) =>
+      val viol = per.count(!_(n))
+      val (_, action, v, p, ppm) = got(n)
+      assert(action == a && v == viol && p == total - viol,
+        s"$n: got ($v,$p) expected ($viol,${total - viol})")
+      assert(ppm == (total - viol) * 1000000L / total, s"$n ppm")
+    }
+    // retained = rows passing ALL drop rules conjointly; warn rules
+    // must NOT gate
+    val dropRules = Relational.q40Rules.filter(_._2 == "drop").map(_._1)
+    val retained = per.count(m => dropRules.forall(m))
+    val (_, _, rv, rp, rppm) = got("__retained__")
+    assert(rp == retained && rv == total - retained &&
+      rppm == retained * 1000000L / total, "retained law")
+    assert(per.exists(m => !m("value_expected") && dropRules.forall(m)),
+      "a warn-violating row must survive the drop gate — else warn==drop")
+    // non-vacuous in both directions: a violated rule and a clean rule
+    val viols = Relational.q40Rules.map { case (n, _, _) => per.count(!_(n)) }
+    assert(viols.exists(_ > 0) && viols.contains(0),
+      s"need both violated and clean rules, got $viols")
+  }
 }
