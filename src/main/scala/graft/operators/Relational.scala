@@ -1585,22 +1585,35 @@ object Relational {
     * output rows are a `stack` over that single row, never a second
     * scan (a UNION-of-selects formulation would rescan the corpus
     * once per rule). */
-  def q40Expectations(s: SparkSession, dir: String): DataFrame = {
-    val total = count(lit(1)).as("total")
+  /** q40's mergeable partial: ONE row of conditional-sum counters
+    * (total, per-rule violations, retained) — associative under
+    * union+re-sum, so the audit folds across micro-batches (s47's
+    * streaming face) exactly like q38's MV partials. */
+  private[graft] def q40Partials(ev: DataFrame): DataFrame = {
     val viols = q40Rules.map { case (n, _, p) =>
       sum(when(expr(p), 0L).otherwise(1L)).as(s"viol_$n") }
     val dropConj = q40Rules.filter(_._2 == "drop").map(_._3)
       .map(p => s"($p)").mkString(" AND ")
     val retained = sum(when(expr(dropConj), 1L).otherwise(0L)).as("retained")
-    val agg = Tables.events(s, dir).agg(total, viols :+ retained: _*)
+    ev.agg(count(lit(1)).as("total"), viols :+ retained: _*)
+  }
+
+  /** Fold a partials stream to the presented per-rule audit rows. */
+  private[graft] def q40Present(partials: DataFrame): DataFrame = {
+    val folded = partials.agg(sum("total").as("total"),
+      q40Rules.map { case (n, _, _) => sum(s"viol_$n").as(s"viol_$n") } :+
+        sum("retained").as("retained"): _*)
     val stackArgs = (q40Rules.map { case (n, a, _) =>
       s"'$n', '$a', viol_$n, total - viol_$n, (total - viol_$n) * 1000000L div total"
     } :+ s"'__retained__', 'summary', total - retained, retained, retained * 1000000L div total")
       .mkString(", ")
-    agg.selectExpr(
+    folded.selectExpr(
       s"stack(${q40Rules.size + 1}, $stackArgs) AS (rule, action, violations, passed, pass_ppm)")
       .orderBy("rule")
   }
+
+  def q40Expectations(s: SparkSession, dir: String): DataFrame =
+    q40Present(q40Partials(Tables.events(s, dir)))
 
   /** DuckDB oracle for q40: the same single-aggregate + per-rule
     * projection, each predicate the SAME string the Spark side

@@ -738,6 +738,41 @@ object Streaming {
     * the corpus must be invisible. LAZY per the s45Sql stance. */
   lazy val s46Sql: String = graft.text.TextOps.t56Sql
 
+  /** s47: streaming expectations — q40's DLT data-quality audit kept
+    * LIVE over an arriving event stream, the way a deployed DLT
+    * pipeline actually surfaces expectations (per-micro-batch
+    * metrics folded into the event log, not a nightly batch scan).
+    * The rule table, the per-rule counters, and the presentation are
+    * q40's OWN definitions ([[graft.operators.Relational.q40Rules]] /
+    * q40Partials / q40Present) — the live audit cannot disagree with
+    * the batch audit on any rule. Registered entry: the corpus
+    * arrives as three residue micro-batches; batch 0's 1-row partial
+    * persists as the audit state artifact, later batches fold in by
+    * union (counter partials are associative), presentation at the
+    * end — StreamingSpec drives the same fold through a REAL
+    * MemoryStream + foreachBatch generation chain.
+    *
+    * Scale: state is ONE row of counters per generation regardless
+    * of corpus size; each micro-batch contributes a map-side
+    * conditional-sum row — the cheapest possible streaming
+    * observability operator. */
+  def s47StreamExpectations(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Relational
+    val stateDir = graft.sources.Export.scratch("s47_exp", dir)
+    val ev = graft.Tables.events(s, dir)
+    Relational.q40Partials(ev.filter(pmod(col("event_id"), lit(3)) === 0))
+      .write.mode("overwrite").parquet(stateDir)
+    var state = s.read.parquet(stateDir)
+    for (r <- Seq(1, 2))
+      state = state.union(
+        Relational.q40Partials(ev.filter(pmod(col("event_id"), lit(3)) === r)))
+    Relational.q40Present(state)
+  }
+
+  /** s47's oracle IS q40's full recompute — micro-batch slicing of
+    * the audit must be invisible. LAZY per the s45Sql stance. */
+  lazy val s47Sql: String = graft.operators.Relational.q40Sql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s34_stream_tumbling" -> (s34StreamTumbling _),
     "s35_stream_join" -> (s35StreamJoin _),
@@ -751,7 +786,8 @@ object Streaming {
     "s43_stream_index_dedup" -> (s43StreamIndexDedup _),
     "s44_stream_neardup_admit" -> (s44StreamNeardupAdmit _),
     "s45_stream_mv_refresh" -> (s45StreamMvRefresh _),
-    "s46_stream_card" -> (s46StreamCard _))
+    "s46_stream_card" -> (s46StreamCard _),
+    "s47_stream_expectations" -> (s47StreamExpectations _))
 
   def oracles: Map[String, String] = Map(
     "s34_stream_tumbling" -> s34Sql,
@@ -766,5 +802,6 @@ object Streaming {
     "s43_stream_index_dedup" -> s43Sql,
     "s44_stream_neardup_admit" -> s44Sql,
     "s45_stream_mv_refresh" -> s45Sql,
-    "s46_stream_card" -> s46Sql)
+    "s46_stream_card" -> s46Sql,
+    "s47_stream_expectations" -> s47Sql)
 }

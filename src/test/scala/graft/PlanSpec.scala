@@ -483,6 +483,8 @@ class PlanSpec extends SparkSpec {
       // pinned by the full-recompute oracle and the ExportSpec
       // equality
       "q38_mv_maintenance",
+      // s47 persists its gen-0 audit-counter partial at construction
+      "s47_stream_expectations",
       // s45 writes the same MV state at construction and folds two
       // slices through q38's shared merge, pinned by the q38Sql
       // oracle and the StreamingSpec generation-chain property

@@ -388,4 +388,45 @@ class StreamingSpec extends SparkSpec {
         s"stream admission != d40: missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
     } finally q.stop()
   }
+
+  test("s47 expectation counters fold to the batch q40 audit through real micro-batches") {
+    import graft.operators.Relational
+    val gens = java.nio.file.Files.createTempDirectory("s47gen").toString
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    // gen-0 state: the first residue slice's 1-row counter partial
+    Relational.q40Partials(ev.filter(pmod(col("event_id"), lit(3)) === 0))
+      .write.mode("overwrite").parquet(s"$gens/g0")
+    val rows = ev.filter(pmod(col("event_id"), lit(3)) =!= 0)
+      .as[Ev].collect()
+    val (b1, b2) = rows.partition(_.event_id % 3 == 1)
+    assert(b1.nonEmpty && b2.nonEmpty)
+    val gen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val in = MemoryStream[Ev](spark)
+    val q = in.toDF().writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val g = gen.get()
+        spark.read.parquet(s"$gens/g$g")
+          .union(Relational.q40Partials(b.toDF()))
+          .write.mode("overwrite").parquet(s"$gens/g${g + 1}")
+        gen.incrementAndGet()
+        ()
+      }.start()
+    try {
+      in.addData(b1.toSeq: _*); q.processAllAvailable()
+      in.addData(b2.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(gen.get() == 2, s"expected 2 audit generations, got ${gen.get()}")
+    val streamed = Relational.q40Present(spark.read.parquet(s"$gens/g2"))
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    val batchAudit = SparkEntry.queries("q40_expectations")(spark, sfDir)
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(streamed.nonEmpty && streamed == batchAudit,
+      s"live audit != batch audit: missing=${(batchAudit -- streamed).take(3)} " +
+        s"extra=${(streamed -- batchAudit).take(3)}")
+    // and the registered s47 entry lands on the same rows
+    val reg = SparkEntry.queries("s47_stream_expectations")(spark, sfDir)
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(reg == batchAudit, "registered s47 != batch q40")
+  }
 }
