@@ -2202,7 +2202,14 @@ object Dedup {
     * array_position, O(run) per seed) → best witness per pair
     * (longest run, then earliest start_a, then earliest start_b) →
     * keep runs ≥ [[d44MinRun]]. */
-  private[graft] def d44Core(docs: DataFrame,
+  /** The maximal-run seed stream shared by d44 (best witness per
+    * pair) and d45 (span scrub): every verified seed extended to its
+    * maximal run — (doc_a, doc_b, start_a, start_b, run_len), one
+    * row per surviving seed (seeds on one diagonal inside the same
+    * run all extend to the IDENTICAL row; coverage consumers are
+    * insensitive to that multiplicity and d44's witness aggregate
+    * collapses it). */
+  private[graft] def d44Runs(docs: DataFrame,
       attach: Attach = Attach.Auto): DataFrame = {
     val km1 = d44K - 1
     val fps = d44Fingerprints(docs)
@@ -2211,7 +2218,7 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.pos").as("pa"), col("b.pos").as("pb"))
     val toksTbl = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
-    val ext = cands
+    cands
       .join(attachSide(toksTbl.select(col("doc_id").as("doc_a"),
         col("toks").as("ta")), attach), Seq("doc_a"))
       .join(attachSide(toksTbl.select(col("doc_id").as("doc_b"),
@@ -2234,7 +2241,11 @@ object Dedup {
         (col("pa") - col("left_ext")).cast("long").as("start_a"),
         (col("pb") - col("left_ext")).cast("long").as("start_b"),
         (lit(d44K) + col("left_ext") + col("right_ext")).cast("long").as("run_len"))
-    ext
+  }
+
+  private[graft] def d44Core(docs: DataFrame,
+      attach: Attach = Attach.Auto): DataFrame =
+    d44Runs(docs, attach)
       .groupBy("doc_a", "doc_b")
       .agg(max(struct(col("run_len"), (-col("start_a")).as("nsa"),
         (-col("start_b")).as("nsb"), col("start_a"), col("start_b"))).as("w"))
@@ -2242,7 +2253,6 @@ object Dedup {
         col("w.start_b").as("start_b"), col("w.run_len").as("run_len"))
       .filter(col("run_len") >= d44MinRun)
       .orderBy("doc_a", "doc_b")
-  }
 
   /** d44: cross-document exact-substring detection — the ExactSubstr
     * dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
@@ -2275,9 +2285,12 @@ object Dedup {
     * extension (list_position not-found = 0 in BOTH engines,
     * normalized through nullif/coalesce), identical best-witness
     * ordering — byte-exact including which seeds were selected. */
-  val d44Sql: String = {
-    val (k, w, km1, wm1, minRun) = (d44K, d44W, d44K - 1, d44W - 1, d44MinRun)
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  /** The shared d44 CTE chain (tokens → gram keys → winnowing
+    * fingerprints → verified seeds → maximal runs) — one SQL body
+    * for d44's witness aggregation AND d45's span scrub. */
+  private val d44RunsCte: String = {
+    val (k, w, km1, wm1) = (d44K, d44W, d44K - 1, d44W - 1)
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        |g AS (SELECT doc_id, t,
        |  list_transform(generate_series(1, greatest(len(t) - $km1, 0)), i ->
        |    CAST(('0x' || substr(md5(array_to_string(t[i:i+$km1], ' ')), 1, 15)) AS BIGINT)) AS gk
@@ -2310,16 +2323,82 @@ object Dedup {
        |  CAST(pa - left_ext AS BIGINT) AS start_a,
        |  CAST(pb - left_ext AS BIGINT) AS start_b,
        |  CAST($k + left_ext + right_ext AS BIGINT) AS run_len
-       | FROM ext),
+       | FROM ext)""".stripMargin
+  }
+
+  val d44Sql: String =
+    s"""WITH $d44RunsCte,
        |best AS (
        | SELECT doc_a, doc_b, start_a, start_b, run_len,
        |  row_number() OVER (PARTITION BY doc_a, doc_b
        |    ORDER BY run_len DESC, start_a, start_b) AS rn
        | FROM runs)
        |SELECT doc_a, doc_b, start_a, start_b, run_len
-       |FROM best WHERE rn = 1 AND run_len >= $minRun
+       |FROM best WHERE rn = 1 AND run_len >= $d44MinRun
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** d45: exact-substring SCRUB — the remediation half of Lee et al.
+    * 2022's ExactSubstr (the paper's action: REMOVE one copy of every
+    * verbatim ≥ T-token overlap, keeping one); d44 detects, d45 acts.
+    * Authority is keep-first (the d22/d42 keep-min stance): in every
+    * d44 run the LOWER doc_id keeps its copy, and the higher doc's
+    * covered span is redacted. A doc hit by several runs (possibly
+    * overlapping, from different partners) removes the UNION of its
+    * spans — coverage is an existence test per token position, so
+    * duplicate seed rows in [[d44Runs]] are harmless. Output: one row
+    * per AFFECTED doc — kept text, removed/kept token counts.
+    *
+    * Scale: runs ≥ [[d44MinRun]] group by doc_b into a bounded span
+    * list (spans per doc ≤ doc length / minRun partners — in
+    * practice a handful); the scrub itself is a per-row HOF over the
+    * doc's own positions (O(n · spans)); the only exchanges are
+    * d44's (fingerprint join, token attach) plus the doc_b-keyed
+    * span rollup. */
+  def d45SubstringScrub(s: SparkSession, dir: String): DataFrame =
+    d45Core(Tables.documents(s, dir))
+
+  private[graft] def d45Core(docs: DataFrame,
+      attach: Attach = Attach.Auto): DataFrame = {
+    val spans = d44Runs(docs, attach)
+      .filter(col("run_len") >= d44MinRun)
+      .select(col("doc_b").as("doc_id"), col("start_b").as("lo"),
+        (col("start_b") + col("run_len") - 1).as("hi"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("lo"), col("hi"))).as("spans"))
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .join(spans, Seq("doc_id"))
+      .withColumn("kept_pos", expr(
+        """filter(sequence(1, size(toks)), p ->
+          |  !exists(spans, sp -> p >= sp.lo AND p <= sp.hi))""".stripMargin))
+      .select(col("doc_id"),
+        (size(col("toks")) - size(col("kept_pos"))).cast("long").as("removed_tokens"),
+        size(col("kept_pos")).cast("long").as("kept_tokens"),
+        expr("array_join(transform(kept_pos, p -> element_at(toks, p)), ' ')")
+          .as("kept_text"))
+      .orderBy("doc_id")
   }
+
+  /** DuckDB oracle for d45: the shared [[d44RunsCte]] chain, spans
+    * rolled up per doc_b as parallel lo/hi lists, the identical
+    * existence-test coverage per position, identical keep-first
+    * orientation. */
+  val d45Sql: String =
+    s"""WITH $d44RunsCte,
+       |spans AS (
+       | SELECT doc_b AS doc_id, list(start_b) AS los,
+       |  list(start_b + run_len - 1) AS his
+       | FROM runs WHERE run_len >= $d44MinRun GROUP BY doc_b)
+       |SELECT t.doc_id,
+       | CAST(len(t.t) - len(kept) AS BIGINT) AS removed_tokens,
+       | CAST(len(kept) AS BIGINT) AS kept_tokens,
+       | coalesce(array_to_string(list_transform(kept, p -> t.t[CAST(p AS INT)]), ' '), '') AS kept_text
+       |FROM (
+       | SELECT tk.doc_id, tk.t,
+       |  list_filter(generate_series(1, len(tk.t)), p ->
+       |    len(list_filter(generate_series(1, len(s.los)), i ->
+       |      p >= s.los[i] AND p <= s.his[i])) = 0) AS kept
+       | FROM toks tk JOIN spans s ON tk.doc_id = s.doc_id) t
+       |ORDER BY t.doc_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d22_dedup_exact" -> (d22DedupExact _),
@@ -2349,7 +2428,8 @@ object Dedup {
     "d41_fuzzy_decontaminate" -> (d41FuzzyDecontaminate _),
     "d42_quality_keep" -> (d42QualityKeep _),
     "d43_admission_audit" -> (d43AdmissionAudit _),
-    "d44_substring_dedup" -> (d44SubstringDedup _))
+    "d44_substring_dedup" -> (d44SubstringDedup _),
+    "d45_substring_scrub" -> (d45SubstringScrub _))
 
   def oracles: Map[String, String] = Map(
     "d22_dedup_exact" -> d22Sql,
@@ -2377,5 +2457,6 @@ object Dedup {
     "d41_fuzzy_decontaminate" -> d41Sql,
     "d42_quality_keep" -> d42Sql,
     "d43_admission_audit" -> d43Sql,
-    "d44_substring_dedup" -> d44Sql)
+    "d44_substring_dedup" -> d44Sql,
+    "d45_substring_scrub" -> d45Sql)
 }
