@@ -767,4 +767,54 @@ class DedupSpec extends SparkSpec {
     assert(nSel.toDouble / nGram < 0.5,
       s"winnowing density ${nSel.toDouble / nGram} suspiciously high")
   }
+
+  // ---- d45 exact-substring scrub ----
+
+  test("d45 keep-first span-union scrub: doc hit by two overlapping partners") {
+    // doc 3 shares x1..x15 with doc 1 and x6..x20 with doc 2; docs 1
+    // and 2 overlap each other by only 10 tokens (< minRun 15) so
+    // neither is the other's partner. Keep-first: 1 and 2 (the lower
+    // ids in their runs) keep their copies and do NOT appear in the
+    // output; doc 3 removes the UNION x1..x20 — the x6..x15 overlap
+    // of the two spans is counted exactly once.
+    val x = (1 to 20).map(i => s"x$i")
+    docsOf(
+      1L -> s"p1 p2 p3 ${x.take(15).mkString(" ")} q1 q2",
+      2L -> s"r1 r2 ${x.drop(5).mkString(" ")} s1 s2 s3",
+      3L -> s"t1 ${x.mkString(" ")} u1 u2")
+    val rows = Dedup.d45Core(spark.read.parquet(s"$tmp/documents.parquet"))
+      .as[(Long, Long, Long, String)].collect()
+    assert(rows.map(_._1).toSeq == Seq(3L),
+      s"only the higher-id doc is scrubbed, got ${rows.map(_._1).toSeq}")
+    val (_, removed, kept, keptText) = rows.head
+    assert(removed == 20L, s"span union is 20 tokens, got $removed")
+    assert(kept == 3L && keptText == "t1 u1 u2",
+      s"kept must be the uncovered positions in order, got '$keptText'")
+  }
+
+  test("d45 output equals an independent in-memory scrub of d44's runs") {
+    // the composition law: d45 is EXACTLY span-union coverage over
+    // d44Runs' >= minRun rows, recomputed here from d44's own output
+    // with a plain Scala mirror on the real corpus
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sfDir)
+    val spans = Dedup.d44Runs(docs)
+      .filter(col("run_len") >= Dedup.d44MinRun)
+      .select("doc_b", "start_b", "run_len").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(r => (r._2, r._2 + r._3 - 1)).toSeq).toMap
+    assert(spans.nonEmpty, "corpus must exercise the scrub (vacuity guard)")
+    val texts = docs.select("doc_id", "text").as[(Long, String)]
+      .collect().toMap
+    val expected = spans.map { case (id, sps) =>
+      val toks = texts(id).split(" ")
+      val keptPos = (1 to toks.length)
+        .filterNot(p => sps.exists(sp => p >= sp._1 && p <= sp._2))
+      (id, (toks.length - keptPos.size).toLong, keptPos.size.toLong,
+        keptPos.map(p => toks(p - 1)).mkString(" "))
+    }.toSet
+    val got = SparkEntry.queries("d45_substring_scrub")(spark, sfDir)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got == expected, "d45 != independent scrub of d44Runs")
+  }
 }
