@@ -2165,6 +2165,22 @@ object Dedup {
   private[graft] val d44W = 8
   private[graft] val d44MinRun: Int = d44W + d44K - 1
 
+  /** Hot-gram cap for d44's fingerprint equi-join — the d23
+    * capped-bucket stance ([[cappedCandidatePairs]]) applied to the
+    * winnowing index: a boilerplate gram selected in B docs
+    * contributes O(B²) candidate seeds, so a license header shared
+    * by 10⁶ docs would emit ~10¹² pairs before the verify. Grams
+    * whose bucket exceeds the cap are dropped BEFORE the join,
+    * bounding any bucket to maxBucket² seeds. Recall contract: a run
+    * is lost only if EVERY fingerprint winnowing selects inside it
+    * is hot — a ≥15-token run selects ~2/(w+1) of its grams, so only
+    * overlap that is ITSELF corpus-wide boilerplate disappears,
+    * exactly the mass d22/d34 (exact/line dedup) handle linearly.
+    * 64 does not bind on this corpus (max 8-gram bucket at sf0.1 is
+    * 4) — results are identical to uncapped here, and the cap is a
+    * hard volume bound at 100 TB. The oracle applies the SAME cap. */
+  private[graft] val d44MaxBucket = 64
+
   /** Winnowing fingerprint stream: (doc_id, pos, gram) for every
     * gram position i whose 60-bit key equals the minimum of SOME
     * w-window of consecutive gram keys containing i — the ∃-window
@@ -2210,9 +2226,19 @@ object Dedup {
     * insensitive to that multiplicity and d44's witness aggregate
     * collapses it). */
   private[graft] def d44Runs(docs: DataFrame,
-      attach: Attach = Attach.Auto): DataFrame = {
+      attach: Attach = Attach.Auto,
+      maxBucket: Int = d44MaxBucket): DataFrame = {
     val km1 = d44K - 1
-    val fps = d44Fingerprints(docs)
+    val fps0 = d44Fingerprints(docs)
+    // [[d44MaxBucket]]: size buckets on the slim gram projection,
+    // broadcast the (tiny, one row per over-cap gram) hot list, and
+    // anti-join it away before the pair join — cappedCandidatePairs'
+    // exact shape on the winnowing index
+    val hotGrams = fps0.groupBy("gram")
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket)
+      .select("gram")
+    val fps = fps0.join(broadcast(hotGrams), Seq("gram"), "left_anti")
     val cands = fps.as("a").join(fps.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -2244,8 +2270,9 @@ object Dedup {
   }
 
   private[graft] def d44Core(docs: DataFrame,
-      attach: Attach = Attach.Auto): DataFrame =
-    d44Runs(docs, attach)
+      attach: Attach = Attach.Auto,
+      maxBucket: Int = d44MaxBucket): DataFrame =
+    d44Runs(docs, attach, maxBucket)
       .groupBy("doc_a", "doc_b")
       .agg(max(struct(col("run_len"), (-col("start_a")).as("nsa"),
         (-col("start_b")).as("nsb"), col("start_a"), col("start_b"))).as("w"))
@@ -2270,7 +2297,9 @@ object Dedup {
     * 2/(w+1)) and the doc_id-keyed token-array attach, which is
     * size-adaptive ([[Attach]]). Boilerplate grams that recur across
     * the corpus concentrate a bucket; the d23 capped-bucket stance
-    * (count per gram, cap + audit) applies unchanged to this join.
+    * IS applied to this join ([[d44MaxBucket]] — slim count per
+    * gram, broadcast anti-join of over-cap grams, recall contract
+    * and oracle parity documented there, spec'd in SketchCapSpec).
     * Extension is O(run) per seed along one diagonal — never a
     * per-pair LCS. Reference analog: content-hash dedup generalized
     * to substring granularity (near/near-public-lakehouse has no
@@ -2301,10 +2330,12 @@ object Dedup {
        |      gk[i] = list_min(gk[j:j+$wm1]))) > 0)) AS pos
        |  FROM g WHERE len(gk) >= $w),
        |fpx AS (SELECT doc_id, t, pos, gk[pos] AS gram FROM fp),
+       |hot AS (SELECT gram FROM fpx GROUP BY gram HAVING count(*) > $d44MaxBucket),
+       |fpc AS (SELECT * FROM fpx WHERE gram NOT IN (SELECT gram FROM hot)),
        |ver AS (
        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,
        |        a.t AS ta, b.t AS tb
-       | FROM fpx a JOIN fpx b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       | FROM fpc a JOIN fpc b ON a.gram = b.gram AND a.doc_id < b.doc_id
        | WHERE len(list_filter(generate_series(0, $km1), f ->
        |         ta[CAST(pa+f AS INT)] = tb[CAST(pb+f AS INT)])) = $k),
        |ext AS (

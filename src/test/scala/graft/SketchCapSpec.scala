@@ -97,6 +97,52 @@ class SketchCapSpec extends SparkSpec {
     assert(capped == full)
   }
 
+  test("d44 capped fingerprint join: hot boilerplate grams dropped, normal passage kept") {
+    // the d23 mega-cluster story on the winnowing index: 80
+    // IDENTICAL boilerplate docs (identical ⇒ identical gram streams
+    // ⇒ identical winnowing selection ⇒ every selected gram's bucket
+    // is exactly 80 > cap, so the whole cluster vanishes BEFORE the
+    // pair join instead of emitting C(80,2)·seeds candidate rows)
+    // plus one normal pair sharing a unique 15-token run, which must
+    // come through byte-identically
+    val run = (1 to 15).map(i => s"x$i").mkString(" ")
+    val boiler = (100L until 180L).map(i =>
+      i -> "standard error page template content shared across the whole site is repeated verbatim here again")
+    val near = Seq(
+      1L -> s"p1 p2 p3 $run q1 q2",
+      2L -> s"r1 r2 r3 r4 $run s1")
+    val dir = docsOf((boiler ++ near): _*)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+    val uncapped = Dedup.d44Core(docs, maxBucket = Int.MaxValue)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(uncapped.exists(p => p._1 >= 100L),
+      "uncapped must find the boilerplate cluster (test premise)")
+    assert(uncapped.contains((1L, 2L, 4L, 5L, 15L)),
+      "uncapped finds the planted run")
+
+    val capped = Dedup.d44Core(docs, maxBucket = 8)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L, 4L, 5L, 15L)),
+      s"capped = exactly the normal pair, got $capped")
+    // the dropped cluster is exactly what exact dedup handles linearly
+    val exact = Dedup.d22DedupExact(spark, dir)
+      .filter(col("dup_count") > 1).collect()
+    assert(exact.length == 1 && exact(0).getAs[Long]("dup_count") == 80L)
+  }
+
+  test("d44 default cap does not bind on the real corpus: capped == uncapped") {
+    // recall contract lower bound: with no over-cap grams the output
+    // is identical — and the sf corpus has none (max 8-gram bucket
+    // at sf0.1 is 4), so the registered d44/d45 results are exactly
+    // the uncapped semantics the oracle also replays
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val full = Dedup.d44Core(docs, maxBucket = Int.MaxValue)
+      .collect().map(_.toSeq).toSet
+    val capped = Dedup.d44Core(docs).collect().map(_.toSeq).toSet
+    assert(capped == full)
+  }
+
   test("sketch stats: HLL distinct within 5% of exact, approx median within range") {
     val out = TextOps.t33SketchStats(spark, "/root/testdata/sf0.001").collect()
     assert(out.nonEmpty)
