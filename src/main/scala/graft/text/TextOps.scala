@@ -1512,6 +1512,127 @@ object TextOps {
       .orderBy("round")
   }
 
+  /** t57 batch size (max merges learned per corpus pass) and scan
+    * horizon (ranked candidates examined per pass — ONE bounded
+    * driver action of ≤ scanM+1 rows, the t51 argmax stance widened
+    * from 1 row to a constant). */
+  private[graft] val t57BatchN = 8
+  private[graft] val t57ScanM = 64
+
+  /** t57's per-pass selection rule, exposed for the spec: from the
+    * ranked (count desc, left, right) candidate list, accept the
+    * longest CONTIGUOUS prefix that is pairwise COUNT-INVARIANT,
+    * then truncate it to strict dominance over everything outside.
+    *
+    * Count-invariance: applying merge A=(a,b) destroys only
+    * adjacencies overlapping a merged site — pairs (x,a) (right
+    * element = A's left) and (b,y) (left element = A's right) — so
+    * candidate p is invariant under accepted s iff p.left ≠ s.right
+    * AND p.right ≠ s.left (sharing a LEFT token or a RIGHT token is
+    * harmless). The scan stops at the first conflicting candidate.
+    *
+    * Strict dominance: every pair a sequential trainer could prefer
+    * mid-batch is bounded by cStop = the count of the first
+    * non-accepted candidate — conflicting pairs all rank at or
+    * after the stop point, and a NEW pair (x, "l r") / ("l r", y)
+    * created by an accepted merge occupies sites that carried a
+    * pre-pass adjacency (x,l) / (r,y), both conflicting, so its
+    * count is ≤ a conflicting pair's pre-count ≤ cStop. Keeping
+    * only accepted candidates with count STRICTLY > cStop therefore
+    * makes the j-th accepted merge the exact argmax a sequential
+    * round j would compute (ties inside the prefix resolve in the
+    * same (count desc, lex) order both trainers use). If the whole
+    * candidate list was scanned with no conflict there is nothing
+    * outside to dominate and the prefix stands; if truncation
+    * empties the batch, fall back to the top-1 candidate, which is
+    * the sequential argmax by definition — the pass degrades to
+    * sequential, never to wrong. */
+  private[graft] def t57SelectBatch(
+      ranked: Seq[(String, String, Long)], exhaustive: Boolean,
+      maxN: Int): Seq[(String, String, Long)] = {
+    val acc = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+    var cStop = -1L
+    var open = true
+    ranked.foreach { case cand @ (l, r, c) =>
+      if (open && acc.size < maxN &&
+          !acc.exists(s => l == s._2 || r == s._1)) acc += cand
+      else if (open) { cStop = c; open = false }
+    }
+    val kept =
+      if (open && exhaustive) acc.toSeq // nothing outside the prefix
+      else {
+        // a conflict-free scan that did NOT exhaust the pair space
+        // must assume a conflicting pair just past the horizon, at
+        // most as frequent as the last row scanned
+        val bound = if (open) ranked.last._3 else cStop
+        acc.toSeq.takeWhile(_._3 > bound)
+      }
+    if (kept.isEmpty) ranked.take(1) else kept
+  }
+
+  /** The batched training loop: [[t51Train]]'s amortization done —
+    * up to [[t57BatchN]] merges learned per corpus pass instead of
+    * one, K/N-ish passes for K merges (a real 32k-merge vocab stops
+    * costing 32k corpus scans). Each pass counts pairs ONCE, selects
+    * a sound batch ([[t57SelectBatch]]), and applies the whole batch
+    * as CHAINED greedy folds in one projection — one scan, and
+    * chained [[t51ApplyMerge]] folds are literally sequential
+    * application, so only SELECTION needed a soundness argument.
+    * Returns (round, pass, left, right, count) — byte-identical to
+    * [[t51Train]]'s merge table by the dominance rule, with the
+    * pass structure exposed for the spec. */
+  private[graft] def t57TrainBatched(s: SparkSession, dir: String,
+      totalMerges: Int = t51Rounds): Seq[(Int, Int, String, String, Long)] = {
+    var toks = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val merges = Seq.newBuilder[(Int, Int, String, String, Long)]
+    val cached = Seq.newBuilder[DataFrame]
+    var done = 0
+    var pass = 0
+    while (done < totalMerges) {
+      val cur = toks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached += cur
+      val collected = t51PairCounts(cur)
+        .orderBy(col("pair_count").desc, col("left_tok"), col("right_tok"))
+        .limit(t57ScanM + 1).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      require(collected.nonEmpty, "no adjacent pairs left to merge")
+      val exhaustive = collected.length <= t57ScanM
+      val batch = t57SelectBatch(collected.take(t57ScanM), exhaustive,
+        math.min(t57BatchN, totalMerges - done))
+      batch.foreach { case (l, r, c) =>
+        merges += ((done, pass, l, r, c)); done += 1
+      }
+      val folded = batch.foldLeft(col("t")) {
+        case (t, (l, r, _)) => t51ApplyMerge(t, l, r)
+      }
+      toks = cur.select(col("doc_id"), folded.as("t"))
+      pass += 1
+    }
+    cached.result().foreach(_.unpersist(false))
+    merges.result()
+  }
+
+  /** t57: batched BPE merge induction — t51's learned artifact at
+    * t51's semantics, minus the K-sequential-passes cost: the merge
+    * table is BYTE-IDENTICAL to t51's (same rounds, same counts —
+    * the oracle IS t51's SQL, the d36/t50 two-level == one-window
+    * stance applied to a training loop), but learned in ~K/N corpus
+    * passes via the dominance-sound per-pass batching of
+    * [[t57SelectBatch]]. Scale (100 TB): each pass is one map-side-
+    * combined pair count (one exchange of distinct-pair rows) + one
+    * scan-stage chain of ≤ N greedy folds; driver traffic is ≤
+    * scanM+1 rows per pass. A corpus where the rule cannot batch
+    * degrades to t51's sequential passes — never to a different
+    * table. */
+  def t57BpeBatched(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t57TrainBatched(s, dir)
+      .map { case (round, _, l, r, c) => (round, l, r, c) }
+      .toDF("round", "left_tok", "right_tok", "pair_count")
+      .orderBy("round")
+  }
+
   /** t52: BPE application — tokenizer INFERENCE over the t51-trained
     * merges: the corpus re-tokenized through the same K greedy
     * folds (shared [[t51Train]] loop — train and apply are one code
@@ -1896,7 +2017,8 @@ object TextOps {
     "t53_stratified_split" -> (t53StratifiedSplit _),
     "t54_release_manifest" -> (t54ReleaseManifest _),
     "t55_curriculum" -> (t55Curriculum _),
-    "t56_dataset_card" -> (t56DatasetCard _))
+    "t56_dataset_card" -> (t56DatasetCard _),
+    "t57_bpe_batched" -> (t57BpeBatched _))
 
   def oracles: Map[String, String] = Map(
     "t29_langid" -> t29Sql,
@@ -1923,6 +2045,9 @@ object TextOps {
     "t50_epoch_shuffle" -> t50Sql,
     "t51_bpe_merges" -> t51Sql,
     "t52_bpe_apply" -> t52Sql,
+    // t57's oracle IS t51's sequential SQL: batched selection must
+    // reproduce the sequential merge table byte-exactly
+    "t57_bpe_batched" -> t51Sql,
     "t53_stratified_split" -> t53Sql,
     "t54_release_manifest" -> t54Sql,
     "t55_curriculum" -> t55Sql,

@@ -478,6 +478,12 @@ class PlanSpec extends SparkSpec {
       // addition is one scan-stage stats projection over the final
       // fold, pinned by the oracle and the count-law spec
       "t52_bpe_apply",
+      // t57 runs the batched training loop at construction (one
+      // ≤ scanM+1-row bounded driver action per pass instead of
+      // t51's per-round 1-row argmax); per-pass plans are the same
+      // map-side-combined pair count + a scan-stage CHAIN of folds,
+      // pinned by t51's sequential oracle byte-exactly
+      "t57_bpe_batched",
       // q38 writes its MV partial-aggregate state at construction;
       // its merge is one keyed re-aggregation of state ∪ delta,
       // pinned by the full-recompute oracle and the ExportSpec

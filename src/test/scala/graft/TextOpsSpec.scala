@@ -604,6 +604,88 @@ class TextOpsSpec extends SparkSpec {
     assert(self == Vector("a a", "a"))
   }
 
+  test("t57 batched merges equal t51's sequential table even when no pass can batch") {
+    // sf0.001's pair distribution is flat with a head conflict
+    // ((order,order) right-collides with (order,fast)), so EVERY
+    // pass here degrades to the top-1 fallback — the boundary the
+    // dominance rule must get right: identical table, zero drift.
+    // (At sf0.01, the gate's SF, the same rule batches all 6 merges
+    // into ONE pass and the t51Sql oracle pins byte-exactness; the
+    // planted test below pins a mid-size batch with pass structure.)
+    val batched = TextOps.t57TrainBatched(spark, sfDir)
+    val got = batched.map { case (round, _, l, r, c) => (round, l, r, c) }
+    val seq = SparkEntry.queries("t51_bpe_merges")(spark, sfDir)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == seq, s"batched table diverged from sequential:\n$got\n$seq")
+  }
+
+  test("t57 dominance rule survives the case naive disjoint batching gets wrong") {
+    // counts: (x,a)=5, (a,b)=5, (c,d)=3. Sequential: round0 (a,b)
+    // (lex tiebreak), round1 the NEW pair (x,'a b')=5 — which beats
+    // the token-disjoint (c,d)=3 a naive batcher would have taken
+    // in pass 0 — round2 (c,d). The cStop guard forces pass 0 down
+    // to top-1, then pass 1 batches rounds 1+2 soundly.
+    val dir = docsOf((1L to 5L).map(i => i -> "x a b") ++
+      Seq(6L -> "c d", 7L -> "c d", 8L -> "c d"): _*)
+    val batched = TextOps.t57TrainBatched(spark, dir, totalMerges = 3)
+    assert(batched == Seq(
+      (0, 0, "a", "b", 5L),
+      (1, 1, "x", "a b", 5L),
+      (2, 1, "c", "d", 3L)), s"got $batched")
+    // pin the exact sequential table too (guards the test's own
+    // expectation): in-memory mirror, same argmax, same greedy fold
+    var corpus = Vector.fill(5)(Vector("x", "a", "b")) ++
+      Vector.fill(3)(Vector("c", "d"))
+    val expected = (0 until 3).map { round =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      corpus.foreach { t =>
+        t.sliding(2).filter(_.length == 2).foreach { p =>
+          val k = (p(0), p(1)); counts(k) = counts.getOrElse(k, 0L) + 1 }
+      }
+      val ((l, r), c) = counts.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.head
+      corpus = corpus.map(_.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (acc.last + " " + x)
+        else acc :+ x
+      })
+      (round, l, r, c)
+    }
+    assert(batched.map(b => (b._1, b._3, b._4, b._5)) == expected,
+      s"batched $batched vs sequential mirror $expected")
+    // and the amortization shape: 2 passes for 3 merges
+    assert(batched.map(_._2) == Seq(0, 1, 1), s"pass ids ${batched.map(_._2)}")
+  }
+
+  test("t57SelectBatch: conflict stop, strict-dominance truncation, top-1 fallback, cap") {
+    def p(l: String, r: String, c: Long) = (l, r, c)
+    // conflict ((e,a) right==a==first left) stops the scan; the
+    // accepted (a,b),(c,d) survive only while count > cStop=4
+    assert(TextOps.t57SelectBatch(
+      Seq(p("a", "b", 9), p("c", "d", 5), p("e", "a", 4), p("f", "g", 3)),
+      exhaustive = true, maxN = 8) == Seq(p("a", "b", 9), p("c", "d", 5)))
+    // tie at the boundary: accepted count == cStop is NOT strictly
+    // dominant → truncated; fallback ships top-1
+    assert(TextOps.t57SelectBatch(
+      Seq(p("a", "b", 5), p("e", "a", 5)),
+      exhaustive = true, maxN = 8) == Seq(p("a", "b", 5)))
+    // exhaustive conflict-free scan keeps equal-count prefixes whole
+    assert(TextOps.t57SelectBatch(
+      Seq(p("a", "b", 5), p("c", "d", 5), p("e", "f", 5)),
+      exhaustive = true, maxN = 8).length == 3)
+    // the same scan NON-exhaustive must assume a conflicting tail at
+    // count 5 → nothing strictly dominates → top-1 fallback
+    assert(TextOps.t57SelectBatch(
+      Seq(p("a", "b", 5), p("c", "d", 5), p("e", "f", 5)),
+      exhaustive = false, maxN = 8) == Seq(p("a", "b", 5)))
+    // sharing a LEFT or RIGHT token is count-invariant and batches
+    assert(TextOps.t57SelectBatch(
+      Seq(p("a", "b", 9), p("a", "c", 5), p("d", "b", 4)),
+      exhaustive = true, maxN = 8).length == 3)
+    // maxN caps the batch
+    assert(TextOps.t57SelectBatch(
+      Seq(p("a", "b", 9), p("c", "d", 8), p("e", "f", 7)),
+      exhaustive = true, maxN = 2) == Seq(p("a", "b", 9), p("c", "d", 8)))
+  }
+
   test("t52 bpe apply stats are consistent with the corpus and the learned merges") {
     val stats = SparkEntry.queries("t52_bpe_apply")(spark, sfDir)
       .as[(Long, Int, Int, Int, Long)].collect()
