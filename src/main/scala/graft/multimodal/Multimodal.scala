@@ -439,7 +439,7 @@ object Multimodal {
     * stream, so m36 can feed ONE (persisted) decode pass to both its
     * vertex set and its edge finder instead of decoding the corpus
     * twice. */
-  private def m35PairsFromHashes(hashes: DataFrame): DataFrame = {
+  private[graft] def m35PairsFromHashes(hashes: DataFrame): DataFrame = {
     val banded = hashes.select(col("doc_id"), col("dhash"),
       explode(expr(
         """transform(sequence(0, 3), i ->
@@ -890,15 +890,88 @@ object Multimodal {
       .orderBy("doc_id", "cut_frame")
   }
 
+  // ---- m35b: the band/verify stage oracle-checked (the d23b split) ----
+
+  /** The dual-dialect literal hash table m35b feeds the PRODUCTION
+    * pair finder: 120 docs, 40 content groups × 3 variants on the
+    * m35 planted scheme — variant 0 and 1 share the group's 60-bit
+    * md5 hash exactly (the BMP/PPM same-pixels case), variant 2
+    * flips two deterministic bit positions (cid%60 and (7·cid+13)%60,
+    * never equal: 6·cid ≡ 47 (mod 60) has no solution), the
+    * brightness-shift near-dup at Hamming 2. The same md5 formula
+    * is emitted into DuckDB, so the INPUT is byte-identical in both
+    * engines and the comparison isolates exactly the stage m35
+    * cannot oracle-check through JVM decode: 4×16-bit banding, the
+    * pigeonhole candidate join, first-equal-band exactly-once
+    * emission, and the xor/popcount ≤ 3 verify. */
+  private[graft] def m35bHashLiterals(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"))
+      .filter(col("doc_id") < 120)
+      .withColumn("cid", col("doc_id") % m35ContentMod)
+      .withColumn("base", expr(
+        "cast(conv(substring(md5(cast(cid as string)), 1, 15), 16, 10) as bigint)"))
+      .withColumn("dhash", expr(
+        s"""CASE WHEN (doc_id div $m35ContentMod) % 3 = 2
+           | THEN base ^ (shiftleft(CAST(1 AS BIGINT), CAST(cid % 60 AS INT)) |
+           |              shiftleft(CAST(1 AS BIGINT), CAST((cid * 7 + 13) % 60 AS INT)))
+           | ELSE base END""".stripMargin))
+      .select("doc_id", "dhash")
+
+  /** m35b: m35's band join + Hamming verify, oracle-checked — the
+    * d23/d23b split applied to the multimodal family: m35 stays
+    * rows-only because its INPUT (container decode → dHash) is JVM
+    * work no SQL engine can replay, but everything downstream of the
+    * hash is relational, so m35b routes a dialect-replayable literal
+    * hash stream through the VERY SAME [[m35PairsFromHashes]] the
+    * production finder uses (one function object — the band layout,
+    * first-equal-band filter, and ≤ 3 threshold cannot drift apart)
+    * and DuckDB replays banding + verify byte-exactly. */
+  def m35bNeardupOracle(s: SparkSession, dir: String): DataFrame =
+    m35PairsFromHashes(m35bHashLiterals(s, dir))
+
+  /** DuckDB oracle for m35b: identical md5 literal hashes, identical
+    * two-bit variant flips, the identical 4×16-bit band explode,
+    * first-equal-band CASE, and bit_count verify. */
+  val m35bSql: String = {
+    val mod = m35ContentMod
+    s"""WITH h AS (
+       | SELECT doc_id,
+       |  CASE WHEN (doc_id // $mod) % 3 = 2
+       |   THEN xor(base, (CAST(1 AS BIGINT) << CAST(cid % 60 AS INT))
+       |              | (CAST(1 AS BIGINT) << CAST((cid * 7 + 13) % 60 AS INT)))
+       |   ELSE base END AS dhash
+       | FROM (
+       |  SELECT doc_id, doc_id % $mod AS cid,
+       |   CAST(('0x' || substr(md5(CAST(doc_id % $mod AS VARCHAR)), 1, 15)) AS BIGINT) AS base
+       |  FROM documents WHERE doc_id < 120)),
+       |bx AS (
+       | SELECT doc_id, dhash, band, (dhash >> CAST(16 * band AS INT)) & 65535 AS chunk
+       | FROM (SELECT doc_id, dhash, unnest(generate_series(0, 3)) AS band FROM h))
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(hash_a, hash_b)) AS INT) AS hamming
+       |FROM (
+       | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |        a.dhash AS hash_a, b.dhash AS hash_b, a.band
+       | FROM bx a JOIN bx b
+       |  ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+       |WHERE band = (CASE WHEN (hash_a & 65535) = (hash_b & 65535) THEN 0
+       |  WHEN ((hash_a >> 16) & 65535) = ((hash_b >> 16) & 65535) THEN 1
+       |  WHEN ((hash_a >> 32) & 65535) = ((hash_b >> 32) & 65535) THEN 2
+       |  ELSE 3 END)
+       | AND bit_count(xor(hash_a, hash_b)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m33_multimodal" -> (m33Multimodal _),
     "m34_media_dedup" -> (m34MediaDedup _),
     "m35_media_neardup" -> (m35MediaNeardup _),
+    "m35b_neardup_oracle" -> (m35bNeardupOracle _),
     "m36_media_dedup_closure" -> (m36MediaDedupClosure _),
     "m37_video_neardup" -> (m37VideoNeardup _),
     "m38_audio_neardup" -> (m38AudioNeardup _),
     "m39_thumbnail_match" -> (m39ThumbnailMatch _),
     "m40_scene_cut" -> (m40SceneCut _))
 
-  def oracles: Map[String, String] = Map.empty
+  def oracles: Map[String, String] = Map(
+    "m35b_neardup_oracle" -> m35bSql)
 }

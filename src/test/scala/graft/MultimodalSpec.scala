@@ -632,4 +632,32 @@ class MultimodalSpec extends SparkSpec {
         s"doc $id: ${perDoc.getOrElse(id, 0)} cuts for ${Multimodal.m40ScenePlan(id).length} scenes")
     }
   }
+
+  // ---- m35b: the band/verify stage oracle-checked ----
+
+  test("m35b planted structure: exact-dup at Hamming 0, two-bit variant at 2; mirror agrees") {
+    val out = Multimodal.m35bNeardupOracle(spark, sfDir)
+      .as[(Long, Long, Int)].collect().toSet
+    // 40 content groups of docs (cid, cid+40, cid+80): v0-v1 share
+    // the md5 hash exactly, v2 differs in exactly the two planted
+    // bit positions -- and nothing else pairs (random 60-bit hashes
+    // never land within Hamming 3 of each other)
+    val expected = (0L until 40L).flatMap { cid =>
+      Seq((cid, cid + 40L, 0), (cid, cid + 80L, 2), (cid + 40L, cid + 80L, 2))
+    }.toSet
+    assert(out == expected, s"planted pair structure broken: ${out.size} pairs")
+    // independent in-memory mirror of the banding pigeonhole + the
+    // popcount verify over the SAME literal hashes -- guards the
+    // production m35PairsFromHashes path m35b routes through
+    val hashes = Multimodal.m35bHashLiterals(spark, sfDir)
+      .as[(Long, Long)].collect()
+    val mirror = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes
+      if a < b
+      if (0 to 3).exists(i => ((ha >> (16 * i)) & 0xFFFFL) == ((hb >> (16 * i)) & 0xFFFFL))
+      h = java.lang.Long.bitCount(ha ^ hb)
+      if h <= 3
+    } yield (a, b, h)).toSet
+    assert(mirror == out, "banding/verify mirror disagrees")
+  }
 }
