@@ -1443,7 +1443,7 @@ object Ann {
     * integer mean), final assignment. Returns (vec_id, embedding,
     * cell) plus the refined centroids. Everything is in-plan — no
     * driver collect anywhere in the build. */
-  private[graft] def a42Index(s: SparkSession, dir: String)
+  private[graft] def a42Refine(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     val base = a42Base(s, dir)
     val draw = expr(
@@ -1466,10 +1466,31 @@ object Ann {
       .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)")
         .as("qv"))
       .select(col("cell").as("cid"), col("qv"))
+    (base, c1)
+  }
+
+  private[graft] def a42Index(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val (base, c1) = a42Refine(s, dir)
     val a1 = base.crossJoin(broadcast(a42Packed(c1)))
       .withColumn("cell", a42CellExpr)
       .select("vec_id", "embedding", "cell")
     (a1, c1)
+  }
+
+  /** Multi-assignment: every vector with its `m` nearest refined
+    * cells (same integer distances, same cell-id tie rule) — the
+    * SemDeDup boundary-miss mitigation d46 rides. */
+  private[graft] def a42AssignTop(s: SparkSession, dir: String, m: Int)
+      : DataFrame = {
+    val (base, c1) = a42Refine(s, dir)
+    base.crossJoin(broadcast(a42Packed(c1)))
+      .withColumn("cells", expr(
+        s"""transform(slice(array_sort(transform(cents, c -> struct(
+           |  aggregate(zip_with(c.qv, qv, (a, b) -> (a - b) * (a - b)),
+           |    0L, (s, v) -> s + v) AS d,
+           |  c.cid AS cid))), 1, $m), s -> s.cid)""".stripMargin))
+      .select("vec_id", "cells")
   }
 
   /** a42: IVF-MIPS — a41's norm-augmentation reduction composed with
@@ -1538,13 +1559,19 @@ object Ann {
     * and (draw, vec_id) seed ranking, same integer-L2 argmin with
     * cell-id ties, same floor-div integer centroid means in pos
     * order, same nprobe routing, same exact-dot rescore. */
-  val a42Sql: String = {
-    val quant = (v: String) =>
-      s"CAST(floor(($v + 2.0) * 10000 + 0.5) AS BIGINT)"
-    val intL2 = (a: String, b: String) =>
-      s"""list_sum(list_transform(list_zip($a, $b),
-         |  p -> (p[1] - p[2]) * (p[1] - p[2])))""".stripMargin
-    s"""WITH e AS (
+  private def a42QuantDuck(v: String): String =
+    s"CAST(floor(($v + 2.0) * 10000 + 0.5) AS BIGINT)"
+  private def a42IntL2Duck(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b),
+       |  p -> (p[1] - p[2]) * (p[1] - p[2])))""".stripMargin
+
+  /** The deterministic index build as DuckDB CTEs (e … c1) — ONE SQL
+    * body shared by a42's oracle and d46's (semantic dedup rides the
+    * same refined cells). */
+  private[graft] val a42BuildCte: String = {
+    val quant = a42QuantDuck _
+    val intL2 = a42IntL2Duck _
+    s"""e AS (
        | SELECT * FROM (
        |  SELECT vec_id, embedding,
        |   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
@@ -1573,7 +1600,13 @@ object Ann {
        |   SELECT cell, unnest(qv) AS v,
        |          unnest(generate_series(1, len(qv))) AS i
        |   FROM a0)
-       |  GROUP BY cell, i) GROUP BY cell),
+       |  GROUP BY cell, i) GROUP BY cell)""".stripMargin
+  }
+
+  val a42Sql: String = {
+    val quant = a42QuantDuck _
+    val intL2 = a42IntL2Duck _
+    s"""WITH $a42BuildCte,
        |a1 AS (
        | SELECT vec_id, embedding, cell FROM (
        |  SELECT x.vec_id, x.embedding, c.cid AS cell,

@@ -2431,6 +2431,79 @@ object Dedup {
        | FROM toks tk JOIN spans s ON tk.doc_id = s.doc_id) t
        |ORDER BY t.doc_id""".stripMargin
 
+  // ---- d46: semantic dedup (SemDeDup) ----
+
+  /** d46: semantic deduplication — the SemDeDup stance (Abbas et al.
+    * 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication"): d26's exact cosine rule is O(n²); the
+    * production form restricts candidate pairs to vectors sharing a
+    * coarse-quantizer cell and verifies exactly within cells. Rides
+    * a42's deterministic integer-Lloyd cells (ONE routing definition
+    * — the ANN index and the semantic dedup cannot disagree about
+    * the partition), with TOP-2 multi-assignment to cut boundary
+    * misses (captures 40/59 of d26's global ≥0.4 pairs at sf0.01 vs
+    * 20/59 single-assign — measured; the standing SemDeDup recall
+    * tradeoff, spec-pinned). A vector is dropped iff a LOWER-id
+    * vector shares an assigned cell and ROUND(cosine, 4) ≥ 0.4 —
+    * d26's verify rule verbatim; dup_of = the minimum such partner
+    * (the d22/d42 keep-min stance). Output one row per vector:
+    * (vec_id, keep, dup_of) — integers and booleans only.
+    *
+    * Scale (100 TB): candidates are within-cell pairs (Σ|cell|² ≪
+    * n²; cells are bounded by the Lloyd balance the a42 spec pins),
+    * the verify is the codegen'd float dot over candidates only, the
+    * rollup one keyed min; the build cost is a42's, shared. The
+    * oracle replays the ENTIRE pipeline — build, top-2 assignment,
+    * within-cell pairing, verify, keep-min — byte-exactly. */
+  def d46SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, dir).select("vec_id", "embedding"))
+    val ex = graft.ann.Ann.a42AssignTop(s, dir, 2)
+      .select(col("vec_id"), explode(col("cells")).as("cell"))
+    val cand = ex.as("a").join(ex.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      // a pair can share both assigned cells — emit once
+      .dropDuplicates("va", "vb")
+    val ver = cand
+      .join(e.select(col("vec_id").as("va"), col("embedding").as("ea"),
+        col("norm").as("na")), Seq("va"))
+      .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+        col("norm").as("nb")), Seq("vb"))
+      .filter(round(dot("ea", "eb") / (col("na") * col("nb")), 4) >= 0.4)
+    val drp = ver.groupBy(col("vb").as("vec_id")).agg(min(col("va")).as("dup_of"))
+    e.select("vec_id").join(drp, Seq("vec_id"), "left")
+      .withColumn("keep", col("dup_of").isNull)
+      .select("vec_id", "keep", "dup_of")
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB oracle for d46: a42's shared build CTEs, the identical
+    * top-2 integer-L2 assignment, DISTINCT within-cell pairs, d26's
+    * rounded-cosine verify, keep-min rollup. Lazy: cross-object
+    * oracle refs at init are the known NPE cycle. */
+  lazy val d46Sql: String =
+    s"""WITH ${graft.ann.Ann.a42BuildCte},
+       |asg AS (
+       | SELECT vec_id, cell FROM (
+       |  SELECT x.vec_id, c.cid AS cell,
+       |   row_number() OVER (PARTITION BY x.vec_id
+       |     ORDER BY list_sum(list_transform(list_zip(x.qv, c.qv),
+       |       p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rnk
+       |  FROM ax x, c1 c) WHERE rnk <= 2),
+       |cand AS (
+       | SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       | FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |ver AS (
+       | SELECT va, vb FROM cand
+       | JOIN e ea ON ea.vec_id = cand.va
+       | JOIN e eb ON eb.vec_id = cand.vb
+       | WHERE ROUND(list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+       |     p -> CAST(p[1] AS DOUBLE) * p[2])) / (ea.norm * eb.norm), 4) >= 0.4),
+       |drp AS (SELECT vb AS vec_id, min(va) AS dup_of FROM ver GROUP BY vb)
+       |SELECT e.vec_id, drp.vec_id IS NULL AS keep, drp.dup_of
+       |FROM e LEFT JOIN drp ON e.vec_id = drp.vec_id
+       |ORDER BY e.vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d22_dedup_exact" -> (d22DedupExact _),
     "d23_dedup_minhash" -> (d23DedupMinhash _),
@@ -2460,7 +2533,8 @@ object Dedup {
     "d42_quality_keep" -> (d42QualityKeep _),
     "d43_admission_audit" -> (d43AdmissionAudit _),
     "d44_substring_dedup" -> (d44SubstringDedup _),
-    "d45_substring_scrub" -> (d45SubstringScrub _))
+    "d45_substring_scrub" -> (d45SubstringScrub _),
+    "d46_semantic_dedup" -> (d46SemanticDedup _))
 
   def oracles: Map[String, String] = Map(
     "d22_dedup_exact" -> d22Sql,
@@ -2489,5 +2563,6 @@ object Dedup {
     "d42_quality_keep" -> d42Sql,
     "d43_admission_audit" -> d43Sql,
     "d44_substring_dedup" -> d44Sql,
-    "d45_substring_scrub" -> d45Sql)
+    "d45_substring_scrub" -> d45Sql,
+    "d46_semantic_dedup" -> d46Sql)
 }

@@ -817,4 +817,48 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long, String)].collect().toSet
     assert(got == expected, "d45 != independent scrub of d44Runs")
   }
+
+  // ---- d46 semantic dedup (SemDeDup) ----
+
+  test("d46 equals an in-memory mirror of the cell-restricted drop rule; capture floor holds") {
+    val sfDir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("d46_semantic_dedup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq.sortBy(_._1)
+    // mirror: a42's own top-2 assignment + d26's rounded-cosine rule
+    val cells = graft.ann.Ann.a42AssignTop(spark, sfDir, 2)
+      .as[(Long, Seq[Int])].collect().toMap
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      .filter(e => math.sqrt(e._2.map(x => x.toDouble * x).sum) > 0)
+      .sortBy(_._1)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      math.rint(d / (math.sqrt(na) * math.sqrt(nb)) * 1e4) / 1e4
+    }
+    val expected = emb.map { case (v, ev) =>
+      val dupOf = emb.filter { case (u, eu) =>
+        u < v && cells(u).intersect(cells(v)).nonEmpty && cos(eu, ev) >= 0.4
+      }.map(_._1).sorted.headOption
+      (v, dupOf.isEmpty, dupOf)
+    }.toSeq
+    assert(got == expected, "d46 != mirror of the cell-restricted keep-min rule")
+    // non-vacuous both ways
+    val nDrop = got.count(!_._2)
+    assert(nDrop > 0 && nDrop < got.size, s"degenerate output: $nDrop drops")
+    // capture floor vs d26's registered global pairs: the top-2
+    // cell restriction must keep the majority of true near-dup pairs
+    // candidate-visible (measured 42/66 here, 40/59 at sf0.01)
+    val d26 = SparkEntry.queries("d26_embed_neardup")(spark, sfDir)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect()
+    val captured = d26.count { case (a, b) =>
+      cells(a).intersect(cells(b)).nonEmpty }
+    assert(captured.toDouble / d26.length >= 0.55,
+      s"cell capture $captured/${d26.length} below the SemDeDup floor")
+    info(f"d46 drops=$nDrop/${got.size} capture=${captured.toDouble / d26.length}%.2f")
+  }
 }

@@ -395,6 +395,8 @@ class PlanSpec extends SparkSpec {
       // a42's cross joins are all 1-row broadcasts (max-norm scalar,
       // packed 96-centroid array) — the q30 watermark stance
       "a42_ann_ivf_mips",
+      // d46 rides a42's build (same 1-row broadcasts)
+      "d46_semantic_dedup",
       "d26_embed_neardup",
       "q28_date_spine", "t38_keyphrase", "t39_bigram_lm", "a30_ann_sq",
       "a31_ann_rerank", "s39_stream_decontaminate", "a32_ann_pq", "t44_vocab",
