@@ -569,7 +569,11 @@ object TextOps {
     * doc count are 1-row broadcasts. Per-doc rollup carries three
     * longs; docs with <2 tokens pass through unflagged via the
     * doc-keyed left join (nothing to score). */
-  def t39BigramLm(s: SparkSession, dir: String): DataFrame = {
+  /** t39's per-doc LM scores (doc_id, n_bigrams, sum_ppm, min_ppm,
+    * avg_ppm) — ONE scoring definition shared by t39's gate and
+    * t58's CCNet bucketing, so flag and bucket can never disagree
+    * about a document's fluency. */
+  private[graft] def t39PerDoc(s: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
     val bg = Tables.documents(s, dir)
       .select(col("doc_id"), explode(bigramPairs(toks)).as("g"))
@@ -588,14 +592,17 @@ object TextOps {
         floor((col("c12") + 1) * 1000000.0 / (col("c1") + col("v")))
           .cast("long"))
       .select("gram", "ppm")
-    val perDoc = bg.join(dict, Seq("gram"))
+    bg.join(dict, Seq("gram"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("ppm").as("sum_ppm"),
         min("ppm").as("min_ppm"))
       .withColumn("avg_ppm",
         floor(col("sum_ppm") * 1.0 / col("n_bigrams") + 0.5).cast("long"))
+  }
+
+  def t39BigramLm(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir).select(col("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
+      .join(t39PerDoc(s, dir), Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
@@ -605,21 +612,26 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t39's scoring CTE chain (d … per_doc) — one SQL body shared by
+    * t39's and t58's oracles, mirroring the shared [[t39PerDoc]]. */
+  private val t39ScoreCte: String =
+    """d AS (SELECT doc_id, lang, string_split(text,' ') AS a FROM documents),
+      |bg AS (
+      | SELECT doc_id, a[i] AS w1, a[i] || ' ' || a[i+1] AS gram
+      | FROM (SELECT doc_id, a, unnest(generate_series(1, len(a)-1)) AS i FROM d)),
+      |c12 AS (SELECT w1, gram, count(*) AS c12 FROM bg GROUP BY 1,2),
+      |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+      |v AS (SELECT count(*) AS v FROM (SELECT DISTINCT unnest(a) AS tok FROM d)),
+      |dict AS (
+      | SELECT c12.gram,
+      |  CAST(floor((c12.c12+1) * 1000000.0 / (c1.c1 + (SELECT v FROM v))) AS BIGINT) AS ppm
+      | FROM c12 JOIN c1 USING (w1)),
+      |per_doc AS (
+      | SELECT bg.doc_id, count(*) AS n_bigrams, sum(ppm) AS sum_ppm, min(ppm) AS min_ppm
+      | FROM bg JOIN dict USING (gram) GROUP BY 1)""".stripMargin
+
   val t39Sql: String =
-    s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS a FROM documents),
-       |bg AS (
-       | SELECT doc_id, a[i] AS w1, a[i] || ' ' || a[i+1] AS gram
-       | FROM (SELECT doc_id, a, unnest(generate_series(1, len(a)-1)) AS i FROM d)),
-       |c12 AS (SELECT w1, gram, count(*) AS c12 FROM bg GROUP BY 1,2),
-       |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
-       |v AS (SELECT count(*) AS v FROM (SELECT DISTINCT unnest(a) AS tok FROM d)),
-       |dict AS (
-       | SELECT c12.gram,
-       |  CAST(floor((c12.c12+1) * 1000000.0 / (c1.c1 + (SELECT v FROM v))) AS BIGINT) AS ppm
-       | FROM c12 JOIN c1 USING (w1)),
-       |per_doc AS (
-       | SELECT bg.doc_id, count(*) AS n_bigrams, sum(ppm) AS sum_ppm, min(ppm) AS min_ppm
-       | FROM bg JOIN dict USING (gram) GROUP BY 1)
+    s"""WITH $t39ScoreCte
        |SELECT d.doc_id,
        | CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
        | CAST(floor(p.sum_ppm * 1.0 / p.n_bigrams + 0.5) AS BIGINT) AS avg_ppm,
@@ -627,6 +639,68 @@ object TextOps {
        | coalesce(floor(p.sum_ppm * 1.0 / p.n_bigrams + 0.5) < $t39LowQualityPpm, false) AS low_quality
        |FROM d LEFT JOIN per_doc p USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
+
+  /** t58: CCNet perplexity bucketing — the step the CCNet pipeline
+    * (Wenzek et al. 2020) runs AFTER LM scoring: split each
+    * language's documents into head/middle/tail terciles by LM
+    * fluency, so downstream consumers can train on 'head', ablate on
+    * 'middle', and drop or re-weight 'tail'. t39 flags documents
+    * against a FIXED ppm threshold; t58 ranks them against EACH
+    * OTHER — the distribution-relative cut CCNet actually ships
+    * (a fixed threshold goes stale as the corpus mix drifts;
+    * terciles cannot). Fluency is t39's avg_ppm through the shared
+    * [[t39PerDoc]] (bigram-less docs take fluency −1: no evidence of
+    * fluency sorts to the tail bottom, deterministically); rank =
+    * fluency DESC, doc_id — most-predictable first; buckets by the
+    * t53 exact floor-division quotas (head = first n/3, middle to
+    * 2n/3, tail the rest — disjoint, exhaustive, integer-exact).
+    *
+    * Scale: the rank is [[graft.functions.Ranks.bucketedRank]] with
+    * the VALUE as the draw (dbkt = −fluency >> 13, i.e. fixed
+    * 8192-ppm score bands): exactness needs only shiftright
+    * monotonicity, which holds for ANY draw — the hash-uniformity
+    * precondition buys balance, not correctness, so here balance
+    * degrades to the width of the densest score band rather than
+    * being guaranteed; the languages × bands offset table stays
+    * tiny and broadcast. Oracle: the plain one-window form (the
+    * d36/t50 cross-form proof again). */
+  def t58CcnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      .join(t39PerDoc(s, dir).select("doc_id", "avg_ppm"), Seq("doc_id"), "left")
+      .withColumn("fluency", coalesce(col("avg_ppm"), lit(-1L)))
+    val counts = scored.groupBy("lang").agg(count(lit(1)).as("n"))
+    graft.functions.Ranks
+      .bucketedRank(scored, col("lang"), -col("fluency"), col("doc_id"),
+        bucketShift = 13, rankName = "rank_l")
+      .withColumn("rank", col("rank_l").cast("int")).drop("rank_l")
+      .join(broadcast(counts), "lang")
+      .withColumn("bucket", expr(
+        """CASE WHEN rank <= n div 3 THEN 'head'
+          |     WHEN rank <= 2 * n div 3 THEN 'middle'
+          |     ELSE 'tail' END""".stripMargin))
+      .select("doc_id", "lang", "fluency", "rank", "bucket")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for t58: the shared scoring CTEs, the identical
+    * −1 fluency default, and the plain one-window rank + quota CASE. */
+  val t58Sql: String =
+    s"""WITH $t39ScoreCte,
+       |sc AS (
+       | SELECT d.doc_id, d.lang,
+       |  coalesce(CAST(floor(p.sum_ppm * 1.0 / p.n_bigrams + 0.5) AS BIGINT), -1) AS fluency
+       | FROM d LEFT JOIN per_doc p USING (doc_id)),
+       |r AS (
+       | SELECT doc_id, lang, fluency,
+       |  CAST(row_number() OVER (PARTITION BY lang
+       |    ORDER BY fluency DESC, doc_id) AS INT) AS rank,
+       |  count(*) OVER (PARTITION BY lang) AS n
+       | FROM sc)
+       |SELECT doc_id, lang, fluency, rank,
+       | CASE WHEN rank <= n // 3 THEN 'head'
+       |      WHEN rank <= 2 * n // 3 THEN 'middle'
+       |      ELSE 'tail' END AS bucket
+       |FROM r ORDER BY doc_id""".stripMargin
 
   /** Quality floor for t40 in t30's basis points — calibrated so the
     * gate drops ≈5% of the synthetic corpus (min 4300, median 6033);
@@ -2018,7 +2092,8 @@ object TextOps {
     "t54_release_manifest" -> (t54ReleaseManifest _),
     "t55_curriculum" -> (t55Curriculum _),
     "t56_dataset_card" -> (t56DatasetCard _),
-    "t57_bpe_batched" -> (t57BpeBatched _))
+    "t57_bpe_batched" -> (t57BpeBatched _),
+    "t58_ccnet_buckets" -> (t58CcnetBuckets _))
 
   def oracles: Map[String, String] = Map(
     "t29_langid" -> t29Sql,
@@ -2048,6 +2123,7 @@ object TextOps {
     // t57's oracle IS t51's sequential SQL: batched selection must
     // reproduce the sequential merge table byte-exactly
     "t57_bpe_batched" -> t51Sql,
+    "t58_ccnet_buckets" -> t58Sql,
     "t53_stratified_split" -> t53Sql,
     "t54_release_manifest" -> t54Sql,
     "t55_curriculum" -> t55Sql,

@@ -399,6 +399,8 @@ class PlanSpec extends SparkSpec {
       "d46_semantic_dedup",
       "d26_embed_neardup",
       "q28_date_spine", "t38_keyphrase", "t39_bigram_lm", "a30_ann_sq",
+      // t58 rides t39's scoring (the same 1-row vocab broadcast)
+      "t58_ccnet_buckets",
       "a31_ann_rerank", "s39_stream_decontaminate", "a32_ann_pq", "t44_vocab",
       "t48_mixture_resample", "a35_ann_filtered_rerank")
     // Entries whose DataFrame CONSTRUCTION executes real work (q30/q31

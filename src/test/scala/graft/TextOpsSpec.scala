@@ -686,6 +686,37 @@ class TextOpsSpec extends SparkSpec {
       exhaustive = true, maxN = 2) == Seq(p("a", "b", 9), p("c", "d", 8)))
   }
 
+  test("t58 ccnet buckets: exact terciles per language, rank-monotone, t39-consistent") {
+    val out = SparkEntry.queries("t58_ccnet_buckets")(spark, sfDir)
+      .as[(Long, String, Long, Int, String)].collect()
+    val t39 = SparkEntry.queries("t39_bigram_lm")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(out.length == t39.size, "every doc bucketed exactly once")
+    out.foreach { case (id, _, fl, _, _) =>
+      assert(fl == t39(id), s"doc $id fluency $fl != t39 avg_ppm ${t39(id)}")
+    }
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      val n = rows.length
+      // ranks are an exact 1..n permutation, fluency non-increasing
+      val byRank = rows.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1 to n), s"$lang rank permutation")
+      byRank.sliding(2).foreach { w =>
+        if (w.length == 2) assert(w(0)._3 >= w(1)._3, s"$lang fluency order")
+      }
+      // exact floor-division tercile quotas
+      val sizes = rows.groupBy(_._5).view.mapValues(_.length).toMap
+      assert(sizes.getOrElse("head", 0) == n / 3, s"$lang head quota")
+      assert(sizes.getOrElse("middle", 0) == 2 * n / 3 - n / 3, s"$lang middle quota")
+      assert(sizes.getOrElse("tail", 0) == n - 2 * n / 3, s"$lang tail quota")
+      // bucket is a pure function of rank
+      byRank.foreach { case (_, _, _, r, b) =>
+        val want = if (r <= n / 3) "head" else if (r <= 2 * n / 3) "middle" else "tail"
+        assert(b == want, s"$lang rank $r bucket $b != $want")
+      }
+    }
+  }
+
   test("t52 bpe apply stats are consistent with the corpus and the learned merges") {
     val stats = SparkEntry.queries("t52_bpe_apply")(spark, sfDir)
       .as[(Long, Int, Int, Int, Long)].collect()
