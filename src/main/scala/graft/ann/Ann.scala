@@ -1559,6 +1559,39 @@ object Ann {
     * and (draw, vec_id) seed ranking, same integer-L2 argmin with
     * cell-id ties, same floor-div integer centroid means in pos
     * order, same nprobe routing, same exact-dot rescore. */
+  /** a43: the MIPS index as a PERSISTED parquet artifact — a36's
+    * build-once/probe-forever stance applied to a42, completing the
+    * MIPS lifecycle: the deterministic integer-Lloyd assignment is
+    * written `partitionBy(cell)` so the inverted lists ARE the
+    * partition directories, and a probe filtering on the LITERAL
+    * 20-cell union reads nprobe/nlist of the files via plan-time
+    * partition pruning (PlanSpec pins the PartitionFilters entry,
+    * as for a36/a37). The probe-cell literal is ONE bounded driver
+    * action over the 8 query rows (the q30/a36 stance); scoring is
+    * a42's exact-dot tail on the read-back index. Correctness is the
+    * d35/a36 law: probe-from-persisted == in-memory recompute —
+    * AnnSpec asserts row-for-row equality with a42 and the oracle IS
+    * a42's SQL (same output by construction). */
+  def a43PersistedMips(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (a1, c1) = a42Index(s, dir)
+    val idxDir = graft.sources.Export.scratch("a43_index", dir)
+    a1.write.mode("overwrite").partitionBy("cell").parquet(idxDir)
+    val queries = a42ProbeQueries(s, dir, c1)
+    val probed = queries.select(explode(col("probe_cells")).as("c"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val pruned = s.read.parquet(idxDir)
+      .filter(col("cell").isin(probed.map(Int.box): _*))
+    val scored = pruned.join(broadcast(queries),
+        array_contains(col("probe_cells"), col("cell")) &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(graft.functions.VectorExprs.floatDot(
+          col("q_embedding"), col("embedding")), 4).as("dot"))
+      .as[(Long, Long, Double)]
+    rankedTopK(s, scored, K, "dot")
+  }
+
   private def a42QuantDuck(v: String): String =
     s"CAST(floor(($v + 2.0) * 10000 + 0.5) AS BIGINT)"
   private def a42IntL2Duck(a: String, b: String): String =
@@ -1656,7 +1689,8 @@ object Ann {
     "a39_recall_eval" -> (a39RecallEval _),
     "a40_ann_shard" -> (a40AnnShard _),
     "a41_ann_mips" -> (a41AnnMips _),
-    "a42_ann_ivf_mips" -> (a42AnnIvfMips _))
+    "a42_ann_ivf_mips" -> (a42AnnIvfMips _),
+    "a43_persisted_mips" -> (a43PersistedMips _))
 
   def oracles: Map[String, String] = Map(
     "a27_ann_brute" -> a27Sql,
@@ -1674,5 +1708,7 @@ object Ann {
     "a39_recall_eval" -> a39Sql,
     "a40_ann_shard" -> a40Sql,
     "a41_ann_mips" -> a41Sql,
-    "a42_ann_ivf_mips" -> a42Sql)
+    "a42_ann_ivf_mips" -> a42Sql,
+    // a43's oracle IS a42's: probe-from-persisted == recompute
+    "a43_persisted_mips" -> a42Sql)
 }

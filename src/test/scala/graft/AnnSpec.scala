@@ -555,4 +555,16 @@ class AnnSpec extends SparkSpec {
       s"largest cell holds $maxCell/$n vectors — index degenerated")
     info(f"a42 recall@5=$recall%.3f candFrac=$candFrac%.3f maxCell=$maxCell")
   }
+
+  test("a43 persisted-MIPS probe equals the a42 in-memory recompute row for row") {
+    // the d35/a36 law for the MIPS artifact: writing the integer-
+    // Lloyd assignment partitionBy(cell) and probing the pruned
+    // read-back must change nothing
+    val a42 = SparkEntry.queries("a42_ann_ivf_mips")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val a43 = SparkEntry.queries("a43_persisted_mips")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(a43.nonEmpty && a43 == a42,
+      s"persisted probe diverged from recompute: ${a43.diff(a42).take(3)}")
+  }
 }

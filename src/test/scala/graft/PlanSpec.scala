@@ -350,7 +350,8 @@ class PlanSpec extends SparkSpec {
     // the whole point of partitionBy(cell): the probe's literal cell
     // set must land in the scan's PartitionFilters (plan-time file
     // skipping — the invlist seek), not in a post-scan Filter
-    for (entry <- Seq("a36_ann_persisted_ivf", "a37_ann_ivf_insert")) {
+    for (entry <- Seq("a36_ann_persisted_ivf", "a37_ann_ivf_insert",
+        "a43_persisted_mips")) {
       val (_, fmt) = planOf(entry)
       val scanBlock = fmt.linesIterator
         .filter(l => l.contains("PartitionFilters")).toSeq
@@ -451,6 +452,9 @@ class PlanSpec extends SparkSpec {
       // construction (the d27/d32 machinery, whose per-round plan is
       // audited by the lazy ccRound test)
       "m36_media_dedup_closure",
+      // a43 writes the partitioned MIPS index at construction; its
+      // pruned probe is pinned by the partition-filter test above
+      "a43_persisted_mips",
       // a36 writes its partitioned IVF index at construction; its
       // probe-side pruning is pinned by the dedicated test below
       "a36_ann_persisted_ivf",
