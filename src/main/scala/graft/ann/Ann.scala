@@ -1415,9 +1415,15 @@ object Ann {
     * sqrt(M²−‖x‖²)], so all corpus vectors share norm M and cosine
     * in the augmented space is monotone in the inner product) in
     * a42's fixed-point basis. */
-  private[graft] def a42Base(s: SparkSession, dir: String): DataFrame = {
+  /** `histPred` restricts the TRAINING population (max-norm scalar,
+    * seeds, Lloyd step) — the s48 stream stance where the quantizer
+    * is fit on history and the batch is only ROUTED through it; the
+    * quantized basis (history's M) applies to every row so batch
+    * vectors land in the same geometry. Default: train on all. */
+  private[graft] def a42Base(s: SparkSession, dir: String,
+      histPred: Column = lit(true)): DataFrame = {
     val corpus = withNorm(Tables.embeddings(s, dir).select("vec_id", "embedding"))
-    val mx = corpus.agg(max(col("norm")).as("mnorm"))
+    val mx = corpus.filter(histPred).agg(max(col("norm")).as("mnorm"))
     corpus.crossJoin(broadcast(mx))
       .withColumn("aug", sqrt(greatest(
         col("mnorm") * col("mnorm") - col("norm") * col("norm"), lit(0.0))))
@@ -1443,18 +1449,19 @@ object Ann {
     * integer mean), final assignment. Returns (vec_id, embedding,
     * cell) plus the refined centroids. Everything is in-plan — no
     * driver collect anywhere in the build. */
-  private[graft] def a42Refine(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
-    val base = a42Base(s, dir)
+  private[graft] def a42Refine(s: SparkSession, dir: String,
+      histPred: Column = lit(true)): (DataFrame, DataFrame) = {
+    val base = a42Base(s, dir, histPred)
+    val train = base.filter(histPred)
     val draw = expr(
       "cast(conv(substring(md5(cast(vec_id as string)), 1, 7), 16, 10) as bigint)")
     // 96 rows total: the unpartitioned window is bounded by the limit
     val w = Window.orderBy(col("draw"), col("vec_id"))
-    val c0 = base.withColumn("draw", draw)
+    val c0 = train.withColumn("draw", draw)
       .orderBy("draw", "vec_id").limit(a42NList)
       .withColumn("cid", row_number().over(w).cast("int"))
       .select("cid", "qv")
-    val a0 = base.crossJoin(broadcast(a42Packed(c0)))
+    val a0 = train.crossJoin(broadcast(a42Packed(c0)))
       .withColumn("cell", a42CellExpr)
     // element-wise integer mean per cell: explode to (cell, pos, v),
     // sum/count (order-independent BIGINT), reassemble in pos order
@@ -1478,20 +1485,44 @@ object Ann {
     (a1, c1)
   }
 
-  /** Multi-assignment: every vector with its `m` nearest refined
-    * cells (same integer distances, same cell-id tie rule) — the
-    * SemDeDup boundary-miss mitigation d46 rides. */
+  /** The `m`-nearest-cells projection over a packed centroid array
+    * (same integer distances, same cell-id tie rule everywhere). */
+  private def a42TopCellsExpr(m: Int): Column = expr(
+    s"""transform(slice(array_sort(transform(cents, c -> struct(
+       |  aggregate(zip_with(c.qv, qv, (a, b) -> (a - b) * (a - b)),
+       |    0L, (s, v) -> s + v) AS d,
+       |  c.cid AS cid))), 1, $m), s -> s.cid)""".stripMargin)
+
+  /** Multi-assignment of a quantized stream against refined
+    * centroids — the SemDeDup boundary-miss mitigation d46 rides,
+    * and s48's index-build leg. */
+  private[graft] def a42AssignTopFrom(base: DataFrame, c1: DataFrame,
+      m: Int): DataFrame =
+    base.crossJoin(broadcast(a42Packed(c1)))
+      .withColumn("cells", a42TopCellsExpr(m))
+      .select("vec_id", "cells")
+
   private[graft] def a42AssignTop(s: SparkSession, dir: String, m: Int)
       : DataFrame = {
     val (base, c1) = a42Refine(s, dir)
-    base.crossJoin(broadcast(a42Packed(c1)))
-      .withColumn("cells", expr(
-        s"""transform(slice(array_sort(transform(cents, c -> struct(
-           |  aggregate(zip_with(c.qv, qv, (a, b) -> (a - b) * (a - b)),
-           |    0L, (s, v) -> s + v) AS d,
-           |  c.cid AS cid))), 1, $m), s -> s.cid)""".stripMargin))
-      .select("vec_id", "cells")
+    a42AssignTopFrom(base, c1, m)
   }
+
+  /** Route a RAW vector batch through a persisted quantizer artifact
+    * (centroid table + the training corpus' max-norm scalar — the
+    * index metadata a real system stores beside the lists): quantize
+    * in the trained basis, explode to the `m` nearest cells. The
+    * s48 stream-time leg; one definition with the build-side
+    * assignment, so ingest routing cannot drift from the index. */
+  private[graft] def a42RouteBatch(batch: DataFrame, mnorm: Double,
+      c1: DataFrame, m: Int): DataFrame =
+    withNorm(batch)
+      .withColumn("aug", sqrt(greatest(
+        lit(mnorm) * lit(mnorm) - col("norm") * col("norm"), lit(0.0))))
+      .withColumn("qv", a42Quant("embedding", "aug"))
+      .crossJoin(broadcast(a42Packed(c1)))
+      .withColumn("cell", explode(a42TopCellsExpr(m)))
+      .select("vec_id", "embedding", "norm", "cell")
 
   /** a42: IVF-MIPS — a41's norm-augmentation reduction composed with
     * the IVF cell-routing stance, so maximum-inner-product search
@@ -1599,9 +1630,12 @@ object Ann {
        |  p -> (p[1] - p[2]) * (p[1] - p[2])))""".stripMargin
 
   /** The deterministic index build as DuckDB CTEs (e … c1) — ONE SQL
-    * body shared by a42's oracle and d46's (semantic dedup rides the
-    * same refined cells). */
-  private[graft] val a42BuildCte: String = {
+    * body shared by a42's oracle, d46's (semantic dedup rides the
+    * same refined cells), and s48's (quantizer trained on history
+    * only: `where` restricts the max-norm scalar, the seed draw, and
+    * the Lloyd step, while ax quantizes EVERY row in the trained
+    * basis — mirroring a42Base/a42Refine's histPred). */
+  private[graft] def a42BuildCteWhere(where: String): String = {
     val quant = a42QuantDuck _
     val intL2 = a42IntL2Duck _
     s"""e AS (
@@ -1609,7 +1643,7 @@ object Ann {
        |  SELECT vec_id, embedding,
        |   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
        |  FROM embeddings) WHERE norm > 0),
-       |mx AS (SELECT max(norm) AS mnorm FROM e),
+       |mx AS (SELECT max(norm) AS mnorm FROM e WHERE $where),
        |ax AS (
        | SELECT vec_id, embedding,
        |  list_append(
@@ -1620,13 +1654,13 @@ object Ann {
        | SELECT qv, CAST(row_number() OVER (ORDER BY
        |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 7)) AS BIGINT),
        |    vec_id) AS INT) AS cid
-       | FROM ax QUALIFY cid <= $a42NList),
+       | FROM ax WHERE $where QUALIFY cid <= $a42NList),
        |a0 AS (
        | SELECT vec_id, qv, cell FROM (
        |  SELECT x.vec_id, x.qv, s.cid AS cell,
        |   row_number() OVER (PARTITION BY x.vec_id
        |     ORDER BY ${intL2("x.qv", "s.qv")}, s.cid) AS rnk
-       |  FROM ax x, sd s) WHERE rnk = 1),
+       |  FROM (SELECT * FROM ax WHERE $where) x, sd s) WHERE rnk = 1),
        |c1 AS (
        | SELECT cell AS cid, list(cv ORDER BY pos) AS qv FROM (
        |  SELECT cell, i AS pos, CAST(sum(v) // count(*) AS BIGINT) AS cv FROM (
@@ -1635,6 +1669,8 @@ object Ann {
        |   FROM a0)
        |  GROUP BY cell, i) GROUP BY cell)""".stripMargin
   }
+
+  private[graft] val a42BuildCte: String = a42BuildCteWhere("TRUE")
 
   val a42Sql: String = {
     val quant = a42QuantDuck _

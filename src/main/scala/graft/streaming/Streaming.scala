@@ -773,6 +773,95 @@ object Streaming {
     * the audit must be invisible. LAZY per the s45Sql stance. */
   lazy val s47Sql: String = graft.operators.Relational.q40Sql
 
+  /** s48's per-micro-batch transform: SEMANTIC admission at ingest —
+    * d46's SemDeDup drop rule moved to the stream boundary, the
+    * embedding counterpart of s44 (s43 exact text / s44 fuzzy text /
+    * s48 semantic). A micro-batch of RAW vectors is routed through
+    * the persisted quantizer artifact in flight
+    * ([[graft.ann.Ann.a42RouteBatch]] — ONE definition with the
+    * index build, so ingest routing cannot drift), probes the
+    * history index with a cell equi-join, verifies candidates with
+    * d46's rounded-cosine ≥ 0.4 rule verbatim, and anti-joins the
+    * semantic near-dups out. Stateless vs the static artifact —
+    * the s44 foreachBatch stance, same rationale. Within-batch
+    * semantic dups are the batch pipeline's job (d46) — the s43/s38
+    * decomposition. Scale: the index side is cell-keyed (Σ|cell|²
+    * candidate bound, the d46 argument); a micro-batch shuffles only
+    * its own routed rows; centroids + max-norm ride the broadcast. */
+  def semanticAdmitBatch(batchRaw: DataFrame, mnorm: Double, c1: DataFrame,
+      index: DataFrame): DataFrame = {
+    val routed = graft.ann.Ann.a42RouteBatch(batchRaw, mnorm, c1, 2)
+    val dropIds = routed.as("b").join(index.as("h"),
+        col("b.cell") === col("h.cell"))
+      .filter(round(graft.functions.VectorExprs.floatDot(
+          col("b.embedding"), col("h.embedding"))
+        / (col("b.norm") * col("h.norm")), 4) >= 0.4)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    graft.functions.VectorExprs.withNorm(batchRaw).select("vec_id")
+      .join(dropIds, Seq("vec_id"), "left_anti")
+  }
+
+  /** s48 queries entry: build the history artifact (quantizer trained
+    * on vec_id % 4 ≠ 0 ONLY — the shared batch split; index = history
+    * vectors exploded to their top-2 cells; metadata = centroid table
+    * + max-norm scalar, all persisted parquet), then run the admission
+    * transform on the full day's batch. StreamingSpec drives the same
+    * transform through real micro-batches and proves the union equals
+    * this batch run. */
+  def s48StreamSemanticAdmit(s: SparkSession, dir: String): DataFrame = {
+    import graft.ann.Ann
+    val hist = col("vec_id") % 4 =!= 0
+    val (base, c1raw) = Ann.a42Refine(s, dir, hist)
+    val e = graft.functions.VectorExprs.withNorm(
+      Tables.embeddings(s, dir).select("vec_id", "embedding"))
+    val idxDir = graft.sources.Export.scratch("s48_index", dir)
+    Ann.a42AssignTopFrom(base.filter(hist), c1raw, 2)
+      .select(col("vec_id"), explode(col("cells")).as("cell"))
+      .join(e, Seq("vec_id"))
+      .write.mode("overwrite").parquet(idxDir)
+    val c1Dir = graft.sources.Export.scratch("s48_cents", dir)
+    c1raw.write.mode("overwrite").parquet(c1Dir)
+    // the artifact's max-norm scalar: one bounded 1-row driver
+    // action (the q30/a36 stance — it IS the index metadata)
+    val mnorm = e.filter(hist).agg(max(col("norm"))).collect()(0).getDouble(0)
+    val batchRaw = Tables.embeddings(s, dir)
+      .select("vec_id", "embedding").filter(col("vec_id") % 4 === 0)
+    semanticAdmitBatch(batchRaw, mnorm, s.read.parquet(c1Dir),
+      s.read.parquet(idxDir))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB oracle for s48: the shared a42 build CTEs restricted to
+    * history, both splits routed to their top-2 cells in the trained
+    * basis, cell-join + rounded-cosine verify, batch minus hits.
+    * Lazy: cross-object oracle refs at init are the known NPE cycle. */
+  lazy val s48Sql: String =
+    s"""WITH ${graft.ann.Ann.a42BuildCteWhere("vec_id % 4 <> 0")},
+       |asgh AS (
+       | SELECT vec_id, cell FROM (
+       |  SELECT x.vec_id, c.cid AS cell,
+       |   row_number() OVER (PARTITION BY x.vec_id
+       |     ORDER BY list_sum(list_transform(list_zip(x.qv, c.qv),
+       |       p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rnk
+       |  FROM (SELECT * FROM ax WHERE vec_id % 4 <> 0) x, c1 c) WHERE rnk <= 2),
+       |asgb AS (
+       | SELECT vec_id, cell FROM (
+       |  SELECT x.vec_id, c.cid AS cell,
+       |   row_number() OVER (PARTITION BY x.vec_id
+       |     ORDER BY list_sum(list_transform(list_zip(x.qv, c.qv),
+       |       p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rnk
+       |  FROM (SELECT * FROM ax WHERE vec_id % 4 = 0) x, c1 c) WHERE rnk <= 2),
+       |hits AS (
+       | SELECT DISTINCT b.vec_id FROM asgb b
+       | JOIN asgh h ON b.cell = h.cell
+       | JOIN e eb ON eb.vec_id = b.vec_id
+       | JOIN e eh ON eh.vec_id = h.vec_id
+       | WHERE ROUND(list_sum(list_transform(list_zip(eb.embedding, eh.embedding),
+       |     p -> CAST(p[1] AS DOUBLE) * p[2])) / (eb.norm * eh.norm), 4) >= 0.4)
+       |SELECT vec_id FROM e
+       |WHERE vec_id % 4 = 0 AND vec_id NOT IN (SELECT vec_id FROM hits)
+       |ORDER BY vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s34_stream_tumbling" -> (s34StreamTumbling _),
     "s35_stream_join" -> (s35StreamJoin _),
@@ -787,7 +876,8 @@ object Streaming {
     "s44_stream_neardup_admit" -> (s44StreamNeardupAdmit _),
     "s45_stream_mv_refresh" -> (s45StreamMvRefresh _),
     "s46_stream_card" -> (s46StreamCard _),
-    "s47_stream_expectations" -> (s47StreamExpectations _))
+    "s47_stream_expectations" -> (s47StreamExpectations _),
+    "s48_stream_semantic_admit" -> (s48StreamSemanticAdmit _))
 
   def oracles: Map[String, String] = Map(
     "s34_stream_tumbling" -> s34Sql,
@@ -803,5 +893,6 @@ object Streaming {
     "s44_stream_neardup_admit" -> s44Sql,
     "s45_stream_mv_refresh" -> s45Sql,
     "s46_stream_card" -> s46Sql,
-    "s47_stream_expectations" -> s47Sql)
+    "s47_stream_expectations" -> s47Sql,
+    "s48_stream_semantic_admit" -> s48Sql)
 }

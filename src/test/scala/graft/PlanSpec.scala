@@ -471,6 +471,11 @@ class PlanSpec extends SparkSpec {
       // verify→anti chain is the audited d37 machinery, pinned by
       // the oracle and the StreamingSpec micro-batch property
       "s44_stream_neardup_admit",
+      // s48 persists the history quantizer artifact (cells index,
+      // centroids, max-norm scalar) at construction; its probe→
+      // verify→anti chain is the d46 machinery, pinned by the
+      // oracle and the StreamingSpec micro-batch property
+      "s48_stream_semantic_admit",
       // t51 runs its K merge rounds at construction (each round's
       // argmax is one bounded 1-row driver action — the learned
       // parameter, the q30/a36 stance); per-round plans are a

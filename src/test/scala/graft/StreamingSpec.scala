@@ -10,6 +10,7 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
 
 case class Doc(doc_id: Long, text: String)
 case class LangDoc(doc_id: Long, lang: String, text: String)
+case class Vec(vec_id: Long, embedding: Seq[Float])
 
 /** Drives the streaming transforms through MemoryStream → watermark
   * → memory sink, proving the same logic that passes the batch
@@ -261,6 +262,48 @@ class StreamingSpec extends SparkSpec {
       s"stream union != batch: missing=${(batch -- admitted).take(3)} extra=${(admitted.toSet -- batch).take(3)}")
     // non-vacuous: the history probe must actually drop someone
     assert(batch.size < rows.length, "no batch doc was near-dup of history")
+  }
+
+  test("s48 micro-batch semantic admission over the persisted artifact equals the batch run") {
+    // the embedding leg of the s43/s44 property: route each RAW
+    // micro-batch through the persisted quantizer artifact (cells
+    // index + centroid table + max-norm scalar), verify vs history,
+    // anti-join — stateless vs the static artifact, so the union
+    // across micro-batches must equal one batch run
+    import graft.ann.Ann
+    val hist = col("vec_id") % 4 =!= 0
+    val (base, c1) = Ann.a42Refine(spark, sfDir, hist)
+    val e = graft.functions.VectorExprs.withNorm(
+      Tables.embeddings(spark, sfDir).select("vec_id", "embedding"))
+    val index = Ann.a42AssignTopFrom(base.filter(hist), c1, 2)
+      .select(col("vec_id"), explode(col("cells")).as("cell"))
+      .join(e, Seq("vec_id"))
+      .persist()
+    val mnorm = e.filter(hist).agg(max(col("norm"))).collect()(0).getDouble(0)
+    val rows = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 4 === 0).select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().map { case (id, v) => Vec(id, v) }
+    val (half1, half2) = rows.partition(_.vec_id % 8 == 0)
+    assert(half1.nonEmpty && half2.nonEmpty)
+    val admitted = scala.collection.mutable.Set[Long]()
+    val in = MemoryStream[Vec](spark)
+    val q = in.toDF().writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        admitted ++= Streaming.semanticAdmitBatch(b.toDF(), mnorm, c1, index)
+          .as[Long].collect()
+        ()
+      }.start()
+    try {
+      in.addData(half1: _*); q.processAllAvailable()
+      in.addData(half2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val batch = Streaming.s48StreamSemanticAdmit(spark, sfDir)
+      .as[Long].collect().toSet
+    assert(batch.nonEmpty && admitted.toSet == batch,
+      s"stream union != batch: missing=${(batch -- admitted).take(3)} extra=${(admitted.toSet -- batch).take(3)}")
+    // non-vacuous: the history probe must actually drop someone
+    assert(batch.size < rows.length, "no batch vector was a semantic dup of history")
+    index.unpersist()
   }
 
   test("s45 MV generations fold to the recompute through real micro-batches") {
