@@ -1508,6 +1508,45 @@ object Relational {
       |JOIN customer c ON e.uid = c.c_custkey
       |GROUP BY uid, c_mktsegment ORDER BY uid, c_mktsegment""".stripMargin
 
+  /** q41: approximate heavy hitters — the bounded-memory "top users/
+    * sources/tokens" every 100 TB pipeline dashboard runs when the
+    * key domain is too large for an exact groupBy: the [[graft
+    * .functions.MisraGries]] typed Aggregator (k = 256 counters)
+    * folds each partition into a ≤ k-counter summary and partials
+    * merge by the Agarwal-2013 mergeable rule, so the exchange
+    * carries ≤ k rows per map task regardless of cardinality; the
+    * top 20 are then ranked from the ≤ 256 surviving counters (a
+    * bounded global window — 256 rows, never the corpus). The sketch
+    * guarantees counter ∈ [true − err, true] with err ≤ n/(k+1);
+    * on this table (150 distinct users < k) err = 0, the sketch is
+    * EXACT and partitioning-independent — which is what makes the
+    * plain exact-count SQL a byte-exact oracle. SketchCapSpec pins
+    * the approximate regime: a planted 5000-key stream over the
+    * 256-counter budget keeps every guaranteed-frequency key and
+    * honors the additive bound. */
+  def q41HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sketch = Tables.events(s, dir).select(col("user_id")).as[Long]
+      .select(new graft.functions.MisraGries(256).toColumn.name("mg"))
+      .as[graft.functions.MGBuf]
+    val rows = sketch.flatMap(_.counters.toSeq)
+      .toDF("user_id", "events_count")
+    val w = Window.orderBy(col("events_count").desc, col("user_id"))
+    rows.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 20)
+      .select("rank", "user_id", "events_count")
+      .orderBy("rank")
+  }
+
+  /** DuckDB oracle for q41: plain exact top-20 — valid because the
+    * sketch is in its exact regime on this table (see scaladoc). */
+  val q41Sql: String =
+    """SELECT rank, user_id, events_count FROM (
+      | SELECT user_id, count(*) AS events_count,
+      |  CAST(row_number() OVER (ORDER BY count(*) DESC, user_id) AS INT) AS rank
+      | FROM events GROUP BY user_id)
+      |WHERE rank <= 20 ORDER BY rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_filter" -> (q01AggFilter _),
     "q02_project_enrich" -> (q02ProjectEnrich _),
@@ -1546,7 +1585,8 @@ object Relational {
     "q37_lockup_termination" -> (q37LockupTermination _),
     "q38_mv_maintenance" -> (q38MvMaintenance _),
     "q39_skew_join" -> (q39SkewJoin _),
-    "q40_expectations" -> (q40Expectations _))
+    "q40_expectations" -> (q40Expectations _),
+    "q41_heavy_hitters" -> (q41HeavyHitters _))
 
   // ---- q40: data-quality expectations audit (DLT expectations) ----
 
@@ -1680,5 +1720,6 @@ object Relational {
     "q37_lockup_termination" -> q37Sql,
     "q38_mv_maintenance" -> q38Sql,
     "q39_skew_join" -> q39Sql,
-    "q40_expectations" -> q40Sql)
+    "q40_expectations" -> q40Sql,
+    "q41_heavy_hitters" -> q41Sql)
 }

@@ -143,6 +143,57 @@ class SketchCapSpec extends SparkSpec {
     assert(capped == full)
   }
 
+  test("q41 misra-gries: exact regime matches exact counts, order-independent") {
+    import graft.functions.{MisraGries, MGBuf}
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q41_heavy_hitters")(spark, dir)
+      .as[(Int, Long, Long)].collect().toSeq
+    val exact = Tables.events(spark, dir).select("user_id").as[Long].collect()
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case (u, c) => (u, c) }
+      .sortBy { case (u, c) => (-c, u) }.take(20).zipWithIndex
+      .map { case ((u, c), i) => (i + 1, u, c) }
+    assert(got == exact, s"sketch in exact regime != exact top-20")
+    // exact regime ⇒ partitioning-independent: different merge trees
+    // land on the identical counter map with err = 0
+    val users = Tables.events(spark, dir).select("user_id").as[Long].collect().toSeq
+    val agg = new MisraGries(256)
+    def fold(xs: Seq[Long]): MGBuf = xs.foldLeft(agg.zero)(agg.reduce)
+    val m1 = agg.merge(fold(users.take(100)), fold(users.drop(100)))
+    val groups = users.grouped(777).map(fold).toSeq
+    val m2 = groups.reduce(agg.merge)
+    assert(m1.err == 0 && m2.err == 0 && m1.counters == m2.counters)
+  }
+
+  test("q41 misra-gries: over-budget regime keeps guaranteed keys and honors the additive bound") {
+    import graft.functions.MisraGries
+    // 5000 distinct one-off keys flood the 256-counter budget around
+    // one genuine heavy hitter — the web-scale long-tail shape
+    val k = 256
+    val agg = new MisraGries(k)
+    val stream = Seq.fill(2000)(7L) ++ (0L until 5000L).map(10000L + _)
+    val n = stream.length
+    def fold(xs: Seq[Long]) = xs.foldLeft(agg.zero)(agg.reduce)
+    // a realistic merge tree (three unequal partitions)
+    val parts = Seq(stream.take(1500), stream.slice(1500, 4000), stream.drop(4000))
+    val merged = parts.map(fold).reduce(agg.merge)
+    assert(merged.counters.size <= k, "counter budget exceeded")
+    // total undercount mass obeys the n/(k+1) bound
+    assert(merged.err <= n / (k + 1),
+      s"err ${merged.err} above the additive bound ${n / (k + 1)}")
+    // a key with true frequency above err is GUARANTEED tracked,
+    // with a counter inside [true − err, true]
+    val hh = merged.counters.get(7L)
+    assert(hh.isDefined, "heavy hitter evicted — violates the MG guarantee")
+    assert(hh.get >= 2000 - merged.err && hh.get <= 2000,
+      s"counter ${hh.get} outside [${2000 - merged.err}, 2000]")
+    // no counter may overcount
+    merged.counters.foreach { case (key, c) =>
+      val truth = if (key == 7L) 2000L else 1L
+      assert(c <= truth, s"key $key overcounted: $c > $truth")
+    }
+  }
+
   test("sketch stats: HLL distinct within 5% of exact, approx median within range") {
     val out = TextOps.t33SketchStats(spark, "/root/testdata/sf0.001").collect()
     assert(out.nonEmpty)
