@@ -862,6 +862,100 @@ object Streaming {
        |WHERE vec_id % 4 = 0 AND vec_id NOT IN (SELECT vec_id FROM hits)
        |ORDER BY vec_id""".stripMargin
 
+  /** s49 micro-batch boundaries (events run Jan 1–30 at every SF, so
+    * all three slices are non-empty). */
+  private[graft] val s49Cut1 = "2024-01-11 00:00:00"
+  private[graft] val s49Cut2 = "2024-01-21 00:00:00"
+  private[graft] val s49K = 256
+
+  /** A bounded-key [[graft.functions.MisraGries]] summary of a
+    * DataFrame slice, as (counters rows, 1-row err) — the sketch
+    * STATE in relational form, writable as a parquet artifact. */
+  private[graft] def mgSketchTables(s: SparkSession, keys: DataFrame)
+      : (DataFrame, DataFrame) = {
+    import s.implicits._
+    val buf = keys.as[Long]
+      .select(new graft.functions.MisraGries(s49K).toColumn.name("mg"))
+      .as[graft.functions.MGBuf]
+      .collect()(0) // ≤ k counters by construction — bounded state,
+                    // the artifact a real sketch MV persists
+    (buf.counters.toSeq.toDF("user_id", "cnt"),
+      Seq(buf.err).toDF("err"))
+  }
+
+  /** ONE Misra–Gries merge step as DataFrame ops over two bounded
+    * counter tables — the relational twin of [[graft.functions
+    * .MisraGries.merge]] (counter-sum, then subtract the (k+1)-th
+    * largest and keep positives; the cut value is a multiset order
+    * statistic, so the row_number tie-break cannot change it). All
+    * windows run over ≤ 2k+1 rows — state-sized, never the stream. */
+  private[graft] def mgMergeTables(state: (DataFrame, DataFrame),
+      delta: (DataFrame, DataFrame), k: Int): (DataFrame, DataFrame) = {
+    val summed = state._1.unionAll(delta._1)
+      .groupBy("user_id").agg(sum("cnt").as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("user_id"))
+    val ranked = summed.withColumn("rn", row_number().over(w))
+    val cut = ranked.agg(
+      coalesce(max(when(col("rn") === k + 1, col("cnt"))), lit(0L)).as("cut"))
+    val merged = ranked.crossJoin(broadcast(cut))
+      .withColumn("cnt", col("cnt") - col("cut"))
+      .filter(col("cnt") > 0)
+      .select("user_id", "cnt")
+    val err = state._2.crossJoin(delta._2.select(col("err").as("derr")))
+      .crossJoin(broadcast(cut))
+      .select((col("err") + col("derr") + col("cut")).as("err"))
+    (merged, err)
+  }
+
+  /** s49: streaming heavy hitters — q41's Misra–Gries sketch as a
+    * LIVE mergeable-summary MV, the s45/s46 stance applied to the
+    * frequency dashboard: the persisted state is the ≤ k-counter
+    * table (+ its err scalar — artifact metadata like s48's
+    * max-norm), and each micro-batch folds in through ONE merge rule
+    * shared in law with the batch Aggregator ([[mgMergeTables]] ==
+    * MisraGries.merge — StreamingSpec proves the fold equals the
+    * one-shot batch sketch). Because the summary is mergeable
+    * (Agarwal et al. 2013), ANY micro-batch slicing lands on a state
+    * honoring the same [true−err, true] brackets; in the gate's
+    * exact regime (150 users < k) every slicing lands on the EXACT
+    * counts, so the oracle is q41's exact-count SQL verbatim.
+    * Scale: per batch the exchange is the batch's own ≤ k-per-task
+    * partials plus the k-row state — never history. */
+  def s49StreamHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("ts"), col("user_id"))
+    val stateDir = graft.sources.Export.scratch("s49_state", dir)
+    val g0 = mgSketchTables(s,
+      ev.filter(col("ts") < lit(s49Cut1)).select("user_id"))
+    g0._1.write.mode("overwrite").parquet(s"$stateDir/g0/counters")
+    g0._2.write.mode("overwrite").parquet(s"$stateDir/g0/meta")
+    var state = (s.read.parquet(s"$stateDir/g0/counters"),
+      s.read.parquet(s"$stateDir/g0/meta"))
+    val slices = Seq(
+      col("ts") >= lit(s49Cut1) && col("ts") < lit(s49Cut2),
+      col("ts") >= lit(s49Cut2))
+    slices.zipWithIndex.foreach { case (slice, i) =>
+      val delta = mgSketchTables(s, ev.filter(slice).select("user_id"))
+      val next = mgMergeTables(state, delta, s49K)
+      next._1.write.mode("overwrite").parquet(s"$stateDir/g${i + 1}/counters")
+      next._2.write.mode("overwrite").parquet(s"$stateDir/g${i + 1}/meta")
+      state = (s.read.parquet(s"$stateDir/g${i + 1}/counters"),
+        s.read.parquet(s"$stateDir/g${i + 1}/meta"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("user_id"))
+    state._1
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 20)
+      .select(col("rank"), col("user_id"), col("cnt").as("events_count"))
+      .orderBy("rank")
+  }
+
+  /** s49's oracle IS q41's exact top-20: in the exact regime every
+    * micro-batch slicing of the stream folds to the exact counts.
+    * Lazy: cross-object oracle refs at init are the known NPE cycle. */
+  lazy val s49Sql: String = graft.operators.Relational.q41Sql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s34_stream_tumbling" -> (s34StreamTumbling _),
     "s35_stream_join" -> (s35StreamJoin _),
@@ -877,7 +971,8 @@ object Streaming {
     "s45_stream_mv_refresh" -> (s45StreamMvRefresh _),
     "s46_stream_card" -> (s46StreamCard _),
     "s47_stream_expectations" -> (s47StreamExpectations _),
-    "s48_stream_semantic_admit" -> (s48StreamSemanticAdmit _))
+    "s48_stream_semantic_admit" -> (s48StreamSemanticAdmit _),
+    "s49_stream_heavy_hitters" -> (s49StreamHeavyHitters _))
 
   def oracles: Map[String, String] = Map(
     "s34_stream_tumbling" -> s34Sql,
@@ -894,5 +989,6 @@ object Streaming {
     "s45_stream_mv_refresh" -> s45Sql,
     "s46_stream_card" -> s46Sql,
     "s47_stream_expectations" -> s47Sql,
-    "s48_stream_semantic_admit" -> s48Sql)
+    "s48_stream_semantic_admit" -> s48Sql,
+    "s49_stream_heavy_hitters" -> s49Sql)
 }

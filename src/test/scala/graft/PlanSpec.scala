@@ -476,6 +476,12 @@ class PlanSpec extends SparkSpec {
       // verify→anti chain is the d46 machinery, pinned by the
       // oracle and the StreamingSpec micro-batch property
       "s48_stream_semantic_admit",
+      // s49 folds bounded ≤k-counter sketch generations through
+      // parquet artifacts at construction (each collect is the
+      // k-bounded sketch state itself); its windows run over
+      // state-sized tables, pinned by the oracle and the
+      // StreamingSpec fold-equals-batch property
+      "s49_stream_heavy_hitters",
       // t51 runs its K merge rounds at construction (each round's
       // argmax is one bounded 1-row driver action — the learned
       // parameter, the q30/a36 stance); per-round plans are a

@@ -306,6 +306,57 @@ class StreamingSpec extends SparkSpec {
     index.unpersist()
   }
 
+  test("s49 sketch generations fold to the batch sketch through real micro-batches") {
+    // the mergeable-summaries property executed: drive event slices
+    // through a REAL MemoryStream; each micro-batch folds its own
+    // MG summary into the persisted counter state via the relational
+    // merge; the final state must equal both the one-shot Aggregator
+    // over all events AND q41's registered output (exact regime)
+    val ev = Tables.events(spark, sfDir).select(col("ts"), col("user_id"))
+    val gens = java.nio.file.Files.createTempDirectory("s49gen").toString
+    val g0 = Streaming.mgSketchTables(spark,
+      ev.filter(col("ts") < lit(Streaming.s49Cut1)).select("user_id"))
+    g0._1.write.mode("overwrite").parquet(s"$gens/g0/counters")
+    g0._2.write.mode("overwrite").parquet(s"$gens/g0/meta")
+    val rows = ev.filter(col("ts") >= lit(Streaming.s49Cut1))
+      .select("user_id").as[Long].collect()
+    // an UNEVEN slicing, different from the entry's two time slices —
+    // mergeability says the landing state must not care
+    val parts = rows.grouped(math.max(rows.length / 3, 1)).toSeq
+    assert(parts.length >= 3)
+    val gen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val in = MemoryStream[Long](spark)
+    val q = in.toDF().writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val delta = Streaming.mgSketchTables(spark,
+          b.toDF("user_id").select("user_id"))
+        val g = gen.get()
+        val state = (spark.read.parquet(s"$gens/g$g/counters"),
+          spark.read.parquet(s"$gens/g$g/meta"))
+        val next = Streaming.mgMergeTables(state, delta, Streaming.s49K)
+        next._1.write.mode("overwrite").parquet(s"$gens/g${g + 1}/counters")
+        next._2.write.mode("overwrite").parquet(s"$gens/g${g + 1}/meta")
+        gen.incrementAndGet()
+        ()
+      }.start()
+    try {
+      parts.foreach { p => in.addData(p.toSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val finalState = spark.read.parquet(s"$gens/g${gen.get()}/counters")
+      .as[(Long, Long)].collect().toMap
+    // == the one-shot batch sketch (exact regime: identical counters)
+    val oneShot = Streaming.mgSketchTables(spark, ev.select("user_id"))
+    assert(oneShot._2.as[Long].head() == 0L, "exact-regime premise broken")
+    assert(finalState == oneShot._1.as[(Long, Long)].collect().toMap,
+      "folded state != one-shot sketch")
+    // == q41's registered top-20
+    val q41 = SparkEntry.queries("q41_heavy_hitters")(spark, sfDir)
+      .as[(Int, Long, Long)].collect().toSeq
+    val top = finalState.toSeq.sortBy { case (u, c) => (-c, u) }.take(20)
+      .zipWithIndex.map { case ((u, c), i) => (i + 1, u, c) }
+    assert(top == q41, "folded state's top-20 != q41")
+  }
+
   test("s45 MV generations fold to the recompute through real micro-batches") {
     import graft.operators.Relational
     // gen-0 state: the pre-cutoff partials, persisted
