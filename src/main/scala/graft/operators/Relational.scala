@@ -1547,6 +1547,42 @@ object Relational {
       | FROM events GROUP BY user_id)
       |WHERE rank <= 20 ORDER BY rank""".stripMargin
 
+  /** q43: CUBE / grouping-sets aggregate — the OLAP cross-tab q18's
+    * one-path ROLLUP cannot express: every subset of (mktsegment,
+    * orderpriority) totals in ONE pass (Spark plans a single Expand +
+    * one aggregation — four groupBys' worth of answers for one
+    * shuffle, exactly what a 100 TB dashboard refresh wants), with
+    * `grouping_id` disambiguating a subtotal NULL from a data NULL —
+    * the part naive NULL-coalescing rollups get wrong. The bitmask
+    * convention (first grouping column = high bit) matches DuckDB's
+    * GROUPING(), so gid crosses the oracle verbatim. Cube on the raw
+    * join attributes, aliases after the agg (the q18 Spark-4
+    * DetectAmbiguousSelfJoin stance). */
+  def q43Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .cube(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        round(sum(col("o_totalprice")), 2).as("total_sales"),
+        count(lit(1)).as("orders_count"))
+      .select(
+        col("gid"),
+        coalesce(col("c_mktsegment"), lit("ALL")).as("mktsegment"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
+        col("total_sales"), col("orders_count"))
+      .orderBy("gid", "mktsegment", "orderpriority")
+
+  val q43Sql: String =
+    """SELECT CAST(GROUPING(c_mktsegment, o_orderpriority) AS INT) AS gid,
+      | coalesce(c_mktsegment, 'ALL') AS mktsegment,
+      | coalesce(o_orderpriority, 'ALL') AS orderpriority,
+      | ROUND(SUM(o_totalprice), 2) AS total_sales,
+      | COUNT(*) AS orders_count
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY CUBE(c_mktsegment, o_orderpriority)
+      |ORDER BY gid, mktsegment, orderpriority""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_filter" -> (q01AggFilter _),
     "q02_project_enrich" -> (q02ProjectEnrich _),
@@ -1586,7 +1622,8 @@ object Relational {
     "q38_mv_maintenance" -> (q38MvMaintenance _),
     "q39_skew_join" -> (q39SkewJoin _),
     "q40_expectations" -> (q40Expectations _),
-    "q41_heavy_hitters" -> (q41HeavyHitters _))
+    "q41_heavy_hitters" -> (q41HeavyHitters _),
+    "q43_cube" -> (q43Cube _))
 
   // ---- q40: data-quality expectations audit (DLT expectations) ----
 
@@ -1721,5 +1758,6 @@ object Relational {
     "q38_mv_maintenance" -> q38Sql,
     "q39_skew_join" -> q39Sql,
     "q40_expectations" -> q40Sql,
-    "q41_heavy_hitters" -> q41Sql)
+    "q41_heavy_hitters" -> q41Sql,
+    "q43_cube" -> q43Sql)
 }

@@ -139,7 +139,8 @@ object Export {
     * (0 = Spark default, unlimited). */
   def exportConvert(df: DataFrame, outDir: String, format: String,
       partitionCol: String, writeTasksPerBucket: Int = 1,
-      maxRecordsPerFile: Long = 0L): Unit = {
+      maxRecordsPerFile: Long = 0L,
+      options: Map[String, String] = Map.empty): Unit = {
     // EXPLICIT partition count in BOTH modes (round 5): a count-less
     // repartition(cols…) is an AQE-coalescible hint, and coalescing
     // is wrong for this writer twice over. Salted mode (the round-4
@@ -176,6 +177,7 @@ object Export {
         pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(writeTasksPerBucket)))
     keyed.write.mode("overwrite").format(format)
       .option("maxRecordsPerFile", maxRecordsPerFile)
+      .options(options)
       .partitionBy(partitionCol).save(outDir)
   }
 
@@ -209,11 +211,48 @@ object Export {
       | strftime(ts, '%Y-%m-%d-%H') AS hour_bucket
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** q42: JSON-lines round-trip — the interchange format training
+    * corpora actually ship between pipelines (every open-data corpus
+    * release and the reference's pubsub writer emit JSONL), through
+    * the SAME partitioned sink machinery as q31's columnar formats.
+    * Two contracts q31's self-describing formats never exercise:
+    * (1) JSON has no timestamp type, so fidelity is an OPTION, not a
+    * given — the writer pins an explicit micros-precision
+    * timestampFormat (the default millis format silently truncates
+    * event times; the oracle's byte compare is what catches that
+    * class of bug); (2) reading is schema-ON-READ — the reader takes
+    * the writer's schema explicitly, because inference would type ts
+    * as string and value by sampling. Scale: identical write path to
+    * q31 (bucket-spread parallel writer); JSONL trades 3–5× size for
+    * splittable line-oriented interchange — the standard corpus-
+    * release tradeoff. */
+  def q42JsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    val src = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"),
+      col("ts"), date_format(col("ts"), "yyyy-MM-dd-HH").as("hour_bucket"))
+    val out = scratch("q42_json", dir)
+    exportConvert(src, out, "json", "hour_bucket",
+      options = Map("timestampFormat" -> tsFmt))
+    val back = s.read.schema(src.schema)
+      .option("timestampFormat", tsFmt).format("json").load(out)
+    require(back.columns.sorted.sameElements(src.columns.sorted),
+      s"round-trip schema mismatch: ${back.columns.mkString(",")}")
+    back.select("event_id", "user_id", "event_type", "value", "ts", "hour_bucket")
+      .orderBy("event_id")
+  }
+
+  /** q42's oracle IS q31's: a faithful round-trip in any format must
+    * land on the same rows as the source projection. */
+  val q42Sql: String = q31Sql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_incremental_export" -> (q30IncrementalExport _),
-    "q31_export_roundtrip" -> (q31ExportRoundtrip _))
+    "q31_export_roundtrip" -> (q31ExportRoundtrip _),
+    "q42_jsonl_roundtrip" -> (q42JsonlRoundtrip _))
 
   def oracles: Map[String, String] = Map(
     "q30_incremental_export" -> q30Sql,
-    "q31_export_roundtrip" -> q31Sql)
+    "q31_export_roundtrip" -> q31Sql,
+    "q42_jsonl_roundtrip" -> q42Sql)
 }

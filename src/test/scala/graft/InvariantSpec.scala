@@ -15,6 +15,33 @@ class InvariantSpec extends SparkSpec {
       "every event must get a unique index")
   }
 
+  test("q43 cube partitions: leaves match groupBy, subtotals sum, gid marks levels") {
+    val out = SparkEntry.queries("q43_cube")(spark, sfDir)
+      .as[(Int, String, String, Double, Long)].collect()
+    // gid semantics: 0 = leaf, 1 = orderpriority rolled away,
+    // 2 = mktsegment rolled away, 3 = grand total
+    val byGid = out.groupBy(_._1)
+    assert(byGid.keySet == Set(0, 1, 2, 3))
+    val leaves = byGid(0)
+    val total = byGid(3).head
+    assert(byGid(3).size == 1 && total._2 == "ALL" && total._3 == "ALL")
+    // counts partition exactly at every level
+    assert(leaves.map(_._5).sum == total._5)
+    byGid(1).foreach { case (_, seg, _, _, n) =>
+      assert(leaves.filter(_._2 == seg).map(_._5).sum == n,
+        s"segment $seg subtotal != its leaves") }
+    byGid(2).foreach { case (_, _, pri, _, n) =>
+      assert(leaves.filter(_._3 == pri).map(_._5).sum == n,
+        s"priority $pri subtotal != its leaves") }
+    // the leaf slice IS the plain groupBy (cube adds, never distorts)
+    val plain = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "o_orderpriority").count()
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(leaves.map(l => (l._2, l._3) -> l._5).toMap == plain)
+  }
+
   test("q25 as-of join emits every purchase exactly once") {
     val purchases = Tables.events(spark, sfDir)
       .filter(col("event_type") === "purchase").count()

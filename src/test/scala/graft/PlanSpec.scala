@@ -422,6 +422,9 @@ class PlanSpec extends SparkSpec {
     // its join shapes are one keyed left join + one batch window,
     // pinned by its oracle and the DedupSpec recompute property)
     val eagerEntries = Set("q30_incremental_export", "q31_export_roundtrip",
+      // q42 writes its hour-partitioned JSONL export at construction;
+      // same audited sink machinery as q31
+      "q42_jsonl_roundtrip",
       "d27_dedup_components", "d27b_components_oracle", "d32_embed_dedup",
       "q33_bucketed_join", "d33_bloom_decontaminate",
       "q34_zorder", "q35_snapshot_diff", "s42_apply_changes",
