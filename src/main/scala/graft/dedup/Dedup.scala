@@ -1781,11 +1781,17 @@ object Dedup {
     * streaming face s43, so the stream's anti-join probes the SAME
     * persisted artifact the batch run classifies against. Returns
     * (index read back from parquet, batch docs with planted text). */
-  private[graft] def d35IndexAndBatch(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  /** d35's planted corpus alone — shared with d47, whose forget leg
+    * needs the un-aggregated history postings. */
+  private[graft] def d35Planted(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val planted = docs.select(col("doc_id"), expr(d35Cid).as("cid"))
+    docs.select(col("doc_id"), expr(d35Cid).as("cid"))
       .join(docs.select(col("doc_id").as("cid"), col("text").as("ctext")), "cid")
       .select(col("doc_id"), col("ctext").as("text"))
+  }
+
+  private[graft] def d35IndexAndBatch(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val planted = d35Planted(s, dir)
     val idxDir = graft.sources.Export.scratch("d35_index", dir)
     planted.filter(col("doc_id") % d35BatchMod =!= 0)
       .select(col("doc_id"),
@@ -1800,8 +1806,12 @@ object Dedup {
     * d35's verdict and d43's audit, so the audit can never disagree
     * with the dedup it explains. Carries text so downstream legs
     * (d43's quality) can extend the verdict. */
-  private[graft] def d35Classified(s: SparkSession, dir: String): DataFrame = {
-    val (index, batchDocs) = d35IndexAndBatch(s, dir)
+  /** The classification rule alone, parameterized by (batch docs,
+    * index) — shared by d35's verdict, d43's audit, and d47's
+    * post-forget re-classification, so "what a probe of the index
+    * means" has one definition across the artifact's lifecycle. */
+  private[graft] def d35Classify(batchDocs: DataFrame,
+      index: DataFrame): DataFrame = {
     val batch = batchDocs.select(col("doc_id"), col("text"),
       graft.text.TextOps.fingerprint(col("text")).as("fingerprint"))
     val wFp = org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")
@@ -1814,6 +1824,11 @@ object Dedup {
           .otherwise("accepted").as("status"))
   }
 
+  private[graft] def d35Classified(s: SparkSession, dir: String): DataFrame = {
+    val (index, batchDocs) = d35IndexAndBatch(s, dir)
+    d35Classify(batchDocs, index)
+  }
+
   def d35IncrementalDedup(s: SparkSession, dir: String): DataFrame =
     d35Classified(s, dir)
       .select("doc_id", "fingerprint", "status")
@@ -1824,15 +1839,22 @@ object Dedup {
   // one definition, so an edit cannot desynchronize query and oracle
   // (ADVICE r9; the d36Sql centroid stance). The CTE prefix is shared
   // with s43's oracle (Streaming.s43Sql), which probes the same index.
-  private[graft] val d35CtePrefix: String =
+  /** `idxWhere` additionally restricts which HISTORY docs back the
+    * index — TRUE for d35/s43/d40; d47 interpolates its forget
+    * predicate's negation (deletion = the index is rebuilt as if the
+    * forgotten docs never existed). */
+  private[graft] def d35CteWith(idxWhere: String): String =
     s"""planted AS (
        | SELECT d.doc_id, b.text AS text,
        |  md5(regexp_replace(lower(trim(b.text)), '\\s+', ' ', 'g')) AS fingerprint
        | FROM documents d JOIN documents b ON b.doc_id =
        |  ${d35Cid.replace("doc_id", "d.doc_id")}),
        |idx AS (
-       | SELECT fingerprint FROM planted WHERE doc_id % $d35BatchMod <> 0 GROUP BY 1),
+       | SELECT fingerprint FROM planted
+       | WHERE doc_id % $d35BatchMod <> 0 AND ($idxWhere) GROUP BY 1),
        |batch AS (SELECT * FROM planted WHERE doc_id % $d35BatchMod = 0)""".stripMargin
+
+  private[graft] val d35CtePrefix: String = d35CteWith("TRUE")
 
   val d35Sql: String =
     s"""WITH $d35CtePrefix
@@ -2504,6 +2526,69 @@ object Dedup {
        |FROM e LEFT JOIN drp ON e.vec_id = drp.vec_id
        |ORDER BY e.vec_id""".stripMargin
 
+  // ---- d47: forget propagation through the fingerprint index ----
+
+  /** d47's takedown list: history docs ≡ 3 (mod 24). Under d35's
+    * planting every fingerprint has exactly ONE history holder, and
+    * batch docs ≡ 8 (mod 12) hit the index through history doc
+    * id−5 ≡ 3 (mod 12) — so forgetting the ≡ 3 (mod 24) half
+    * flips batch docs ≡ 8 (mod 24) from dup_of_index to accepted
+    * while their ≡ 20 (mod 24) twins stay dup_of_index: both the
+    * effect and the non-effect are non-empty at any SF. */
+  private[graft] val d47ForgetPred = "doc_id % 24 = 3"
+
+  /** d47: right-to-be-forgotten propagation through the persisted
+    * dedup artifact — a38's deletion stance applied to d35's
+    * fingerprint index, completing the dedup index lifecycle (build
+    * d35, probe s43, append d40, audit d43, DELETE d47). A takedown
+    * cannot stop at the corpus: the index built FROM deleted docs
+    * still "remembers" them and would keep rejecting future
+    * near-copies as dup_of_index. The artifact therefore persists in
+    * its tombstone-able form — per-doc POSTINGS (doc_id,
+    * fingerprint), of which d35's serving index is the keep-min
+    * compaction — and forget = a broadcast anti-join mask over the
+    * postings followed by re-compaction, after which the batch is
+    * re-classified through the ONE shared [[d35Classify]] rule.
+    * Output: the post-forget verdict per batch doc.
+    *
+    * The gate law is a38's: mask-then-compact == rebuild-from-
+    * scratch-without-the-forgotten (the oracle rebuilds; DedupSpec
+    * additionally proves the flip set is exactly the ≡ 8 (mod 24)
+    * batch docs and that no other verdict moved). Scale: the mask is
+    * a delete-sized broadcast anti-join over the postings (the a38
+    * tombstone argument), compaction one fingerprint-keyed min, and
+    * the re-probe d35's exchange-free bucketed join. */
+  def d47IndexForget(s: SparkSession, dir: String): DataFrame = {
+    val planted = d35Planted(s, dir)
+    val postDir = graft.sources.Export.scratch("d47_postings", dir)
+    planted.filter(col("doc_id") % d35BatchMod =!= 0)
+      .select(col("doc_id"),
+        graft.text.TextOps.fingerprint(col("text")).as("fingerprint"))
+      .write.mode("overwrite").parquet(postDir)
+    val postings = s.read.parquet(postDir)
+    val forget = postings.filter(expr(d47ForgetPred)).select("doc_id")
+    val idx2Dir = graft.sources.Export.scratch("d47_index2", dir)
+    postings.join(broadcast(forget), Seq("doc_id"), "left_anti")
+      .groupBy("fingerprint").agg(min("doc_id").as("index_doc_id"))
+      .write.mode("overwrite").parquet(idx2Dir)
+    d35Classify(planted.filter(col("doc_id") % d35BatchMod === 0),
+      s.read.parquet(idx2Dir))
+      .select("doc_id", "fingerprint", "status")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for d47: d35's shared CTE chain with the index
+    * rebuilt as if the forgotten docs never existed — the rebuild
+    * side of the mask==rebuild law. */
+  val d47Sql: String =
+    s"""WITH ${d35CteWith(s"NOT ($d47ForgetPred)")}
+       |SELECT doc_id, fingerprint,
+       | CASE WHEN fingerprint IN (SELECT fingerprint FROM idx) THEN 'dup_of_index'
+       |      WHEN doc_id <> min(doc_id) OVER (PARTITION BY fingerprint)
+       |        THEN 'dup_in_batch'
+       |      ELSE 'accepted' END AS status
+       |FROM batch ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d22_dedup_exact" -> (d22DedupExact _),
     "d23_dedup_minhash" -> (d23DedupMinhash _),
@@ -2534,7 +2619,8 @@ object Dedup {
     "d43_admission_audit" -> (d43AdmissionAudit _),
     "d44_substring_dedup" -> (d44SubstringDedup _),
     "d45_substring_scrub" -> (d45SubstringScrub _),
-    "d46_semantic_dedup" -> (d46SemanticDedup _))
+    "d46_semantic_dedup" -> (d46SemanticDedup _),
+    "d47_index_forget" -> (d47IndexForget _))
 
   def oracles: Map[String, String] = Map(
     "d22_dedup_exact" -> d22Sql,
@@ -2564,5 +2650,6 @@ object Dedup {
     "d43_admission_audit" -> d43Sql,
     "d44_substring_dedup" -> d44Sql,
     "d45_substring_scrub" -> d45Sql,
-    "d46_semantic_dedup" -> d46Sql)
+    "d46_semantic_dedup" -> d46Sql,
+    "d47_index_forget" -> d47Sql)
 }

@@ -818,6 +818,42 @@ class DedupSpec extends SparkSpec {
     assert(got == expected, "d45 != independent scrub of d44Runs")
   }
 
+  // ---- d47 index forget ----
+
+  test("d47 mask==rebuild law; the flip set is exact and nothing else moves") {
+    val sfDir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("d47_index_forget")(spark, sfDir)
+      .as[(Long, String, String)].collect().map(r => r._1 -> r._3).toMap
+    // rebuild side of the law, computed independently in-Spark: index
+    // from scratch on surviving history through the shared classify
+    val planted = Dedup.d35Planted(spark, sfDir)
+    val rebuilt = planted
+      .filter(col("doc_id") % 4 =!= 0 && !expr(Dedup.d47ForgetPred))
+      .select(col("doc_id"),
+        graft.text.TextOps.fingerprint(col("text")).as("fingerprint"))
+      .groupBy("fingerprint").agg(min("doc_id").as("index_doc_id"))
+    val expected = Dedup.d35Classify(
+        planted.filter(col("doc_id") % 4 === 0), rebuilt)
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(got == expected, "mask-then-compact != rebuild-without-forgotten")
+    // vs d35: exactly the ≡8 (mod 24) batch docs flip
+    // dup_of_index → accepted; every other verdict is untouched
+    val before = SparkEntry.queries("d35_incremental_dedup")(spark, sfDir)
+      .as[(Long, String, String)].collect().map(r => r._1 -> r._3).toMap
+    val flips = before.keySet.filter(id => before(id) != got(id))
+    assert(flips.nonEmpty, "forget had no visible effect (vacuous)")
+    flips.foreach { id =>
+      assert(id % 24 == 8, s"unexpected flip at doc $id")
+      assert(before(id) == "dup_of_index" && got(id) == "accepted",
+        s"doc $id flipped ${before(id)} → ${got(id)}")
+    }
+    assert(before.keySet.filter(_ % 24 == 8).subsetOf(flips),
+      "every ≡8 (mod 24) batch doc must flip")
+    // the still-indexed twins must keep their verdict
+    before.keySet.filter(_ % 24 == 20).foreach { id =>
+      assert(got(id) == "dup_of_index", s"doc $id lost its index hit") }
+  }
+
   // ---- d46 semantic dedup (SemDeDup) ----
 
   test("d46 equals an in-memory mirror of the cell-restricted drop rule; capture floor holds") {

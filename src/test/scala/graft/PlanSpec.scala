@@ -479,6 +479,11 @@ class PlanSpec extends SparkSpec {
       // verify→anti chain is the d46 machinery, pinned by the
       // oracle and the StreamingSpec micro-batch property
       "s48_stream_semantic_admit",
+      // d47 persists the postings artifact and its compacted
+      // successor at construction; probe/mask shapes are d35's
+      // bucketed join + a delete-sized broadcast anti join, pinned
+      // by the rebuild oracle and the DedupSpec flip-set law
+      "d47_index_forget",
       // s49 folds bounded ≤k-counter sketch generations through
       // parquet artifacts at construction (each collect is the
       // k-bounded sketch state itself); its windows run over
