@@ -44,7 +44,15 @@ object Bench {
     // persisted-state jobs (index build + probe, CC to fixpoint) —
     // attributable from their first appearance
     "d38_incremental_embed_neardup", "d39_incremental_components",
-    "m36_media_dedup_closure")
+    "m36_media_dedup_closure",
+    // r11: the r10 text-family sentinel hit 5.69 because t51/t52's
+    // persist-heavy training loops sat INSIDE the shared text
+    // window — every multi-pass/persisted-artifact entry ≥ ~2 s gets
+    // its own JVM so the family windows stay sentinel-clean
+    "t51_bpe_merges", "t52_bpe_apply", "t57_bpe_batched",
+    "d44_substring_dedup", "d45_substring_scrub", "d46_semantic_dedup",
+    "a42_ann_ivf_mips", "a43_persisted_mips",
+    "s48_stream_semantic_admit", "s49_stream_heavy_hitters")
 
   private def familyOf(name: String): String =
     if (solo(name)) name
