@@ -2526,6 +2526,86 @@ object Dedup {
        |FROM e LEFT JOIN drp ON e.vec_id = drp.vec_id
        |ORDER BY e.vec_id""".stripMargin
 
+  // ---- d48: containment dedup (asymmetric overlap) ----
+
+  private[graft] val d48Threshold = 0.5
+
+  /** d48: containment dedup — the asymmetric-overlap case the whole
+    * Jaccard family structurally misses: a short doc pasted verbatim
+    * into a much longer one has |∩|/|∪| ≈ |short|/|long| → d23/d25
+    * score it as distinct, yet for a training corpus the short doc
+    * is pure redundancy. Containment normalizes by the SMALLER
+    * side's distinct-gram count (Broder 1997's containment, on the
+    * ONE shared 60-bit [[gramKeys]] k=8-token grams): c(s ⊆ l) =
+    * |G_s ∩ G_l| / |G_s| ≥ 0.5 flags the pair, oriented (container,
+    * contained) with the fewer-gram doc contained (ties: higher id).
+    *
+    * Candidates ride d44's CAPPED winnowing fingerprint join (the
+    * third consumer of [[d44Runs]]'s machinery): any pair whose
+    * shared content includes a ≥ 15-token verbatim run is GUARANTEED
+    * a candidate (the winnowing theorem), which covers the verbatim-
+    * paste case containment exists for; fragmented overlap with no
+    * 15-token run falls to the set-similarity family (d23/d25) —
+    * the documented division of labor. Scale: d44's exchanges (the
+    * capped fingerprint join) + two doc-keyed gram-set attaches on
+    * the surviving PAIR stream only; the containment itself is a
+    * per-row set intersection. Oracle: the shared [[d44RunsCte]]
+    * chain + identical gram-set math, byte-exact. */
+  def d48ContainmentDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = d44Runs(docs).filter(col("run_len") >= d44MinRun)
+      .select("doc_a", "doc_b").distinct()
+    val grams = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), array_distinct(gramKeys(col("t"), d44K)).as("g"))
+      .filter(size(col("g")) > 0)
+    pairs
+      .join(grams.select(col("doc_id").as("doc_a"), col("g").as("ga")), Seq("doc_a"))
+      .join(grams.select(col("doc_id").as("doc_b"), col("g").as("gb")), Seq("doc_b"))
+      .withColumn("containment", round(
+        size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          least(size(col("ga")), size(col("gb"))), 4))
+      .filter(col("containment") >= d48Threshold)
+      .select(
+        when(size(col("ga")) < size(col("gb")), col("doc_b"))
+          .when(size(col("gb")) < size(col("ga")), col("doc_a"))
+          .otherwise(least(col("doc_a"), col("doc_b"))).as("container"),
+        when(size(col("ga")) < size(col("gb")), col("doc_a"))
+          .when(size(col("gb")) < size(col("ga")), col("doc_b"))
+          .otherwise(greatest(col("doc_a"), col("doc_b"))).as("contained"),
+        col("containment"))
+      .orderBy("container", "contained")
+  }
+
+  /** DuckDB oracle for d48: the shared winnowing-runs chain, the
+    * identical distinct-gram sets (same md5 60-bit keys), the
+    * identical containment and orientation rules. */
+  val d48Sql: String = {
+    val km1 = d44K - 1
+    s"""WITH $d44RunsCte,
+       |prs AS (
+       | SELECT DISTINCT doc_a, doc_b FROM runs WHERE run_len >= $d44MinRun),
+       |gsets AS (
+       | SELECT doc_id,
+       |  list_distinct(list_transform(generate_series(1, greatest(len(t) - $km1, 0)), i ->
+       |    CAST(('0x' || substr(md5(array_to_string(t[i:i+$km1], ' ')), 1, 15)) AS BIGINT))) AS g
+       | FROM toks),
+       |scored AS (
+       | SELECT doc_a, doc_b, len(a.g) AS ca, len(b.g) AS cb,
+       |  ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+       |    / least(len(a.g), len(b.g)), 4) AS containment
+       | FROM prs JOIN gsets a ON a.doc_id = prs.doc_a
+       |          JOIN gsets b ON b.doc_id = prs.doc_b
+       | WHERE len(a.g) > 0 AND len(b.g) > 0)
+       |SELECT
+       | CASE WHEN ca < cb THEN doc_b WHEN cb < ca THEN doc_a
+       |      ELSE least(doc_a, doc_b) END AS container,
+       | CASE WHEN ca < cb THEN doc_a WHEN cb < ca THEN doc_b
+       |      ELSE greatest(doc_a, doc_b) END AS contained,
+       | containment
+       |FROM scored WHERE containment >= $d48Threshold
+       |ORDER BY container, contained""".stripMargin
+  }
+
   // ---- d47: forget propagation through the fingerprint index ----
 
   /** d47's takedown list: history docs ≡ 3 (mod 24). Under d35's
@@ -2620,7 +2700,8 @@ object Dedup {
     "d44_substring_dedup" -> (d44SubstringDedup _),
     "d45_substring_scrub" -> (d45SubstringScrub _),
     "d46_semantic_dedup" -> (d46SemanticDedup _),
-    "d47_index_forget" -> (d47IndexForget _))
+    "d47_index_forget" -> (d47IndexForget _),
+    "d48_containment_dedup" -> (d48ContainmentDedup _))
 
   def oracles: Map[String, String] = Map(
     "d22_dedup_exact" -> d22Sql,
@@ -2651,5 +2732,6 @@ object Dedup {
     "d44_substring_dedup" -> d44Sql,
     "d45_substring_scrub" -> d45Sql,
     "d46_semantic_dedup" -> d46Sql,
-    "d47_index_forget" -> d47Sql)
+    "d47_index_forget" -> d47Sql,
+    "d48_containment_dedup" -> d48Sql)
 }

@@ -897,4 +897,76 @@ class DedupSpec extends SparkSpec {
       s"cell capture $captured/${d26.length} below the SemDeDup floor")
     info(f"d46 drops=$nDrop/${got.size} capture=${captured.toDouble / d26.length}%.2f")
   }
+
+  // ---- d48 containment dedup (asymmetric overlap) ----
+
+  test("d48 flags the short-doc-pasted-into-long case that Jaccard misses") {
+    // doc 2 (20 tokens) is pasted verbatim into doc 1 (100 tokens):
+    // containment(2 ⊆ 1) = 1.0, but gram-Jaccard = 13/93 ≈ 0.14 —
+    // far below any d23/d25 threshold. doc 3 is unrelated.
+    val run = (1 to 20).map(i => s"s$i").mkString(" ")
+    docsOf(
+      1L -> s"${(1 to 40).map(i => s"p$i").mkString(" ")} $run ${(1 to 40).map(i => s"q$i").mkString(" ")}",
+      2L -> run,
+      3L -> (1 to 30).map(i => s"u$i").mkString(" "))
+    val out = Dedup.d48ContainmentDedup(spark, tmp)
+      .as[(Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 1.0)),
+      s"expected exactly (container=1, contained=2, 1.0), got ${out.toSeq}")
+    // witness the division of labor: the same pair's gram-Jaccard is
+    // tiny, so the symmetric family is structurally blind to it
+    val jac = 13.0 / 93.0
+    assert(jac < Dedup.d48Threshold / 2,
+      s"planted pair must be a Jaccard miss, jaccard=$jac")
+  }
+
+  test("d48 orientation: fewer-gram doc is contained; equal counts tie to ids") {
+    // docs 5 and 6: 30 tokens each (23 grams each), sharing a
+    // 20-token run → containment = 13/23 ≈ 0.5652 ≥ 0.5; the gram
+    // counts TIE, so orientation falls to (least, greatest) = (5, 6).
+    val run = (1 to 20).map(i => s"v$i").mkString(" ")
+    docsOf(
+      5L -> s"${(1 to 10).map(i => s"a$i").mkString(" ")} $run",
+      6L -> s"$run ${(1 to 10).map(i => s"b$i").mkString(" ")}")
+    val out = Dedup.d48ContainmentDedup(spark, tmp)
+      .as[(Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((5L, 6L, 0.5652)),
+      s"tie must orient (least, greatest) with containment 13/23, got ${out.toSeq}")
+  }
+
+  test("d48 equals an independent in-memory mirror on the real corpus") {
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sfDir)
+    val pairs = Dedup.d44Runs(docs)
+      .filter(col("run_len") >= Dedup.d44MinRun)
+      .select("doc_a", "doc_b").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.nonEmpty, "corpus must exercise d48 (vacuity guard)")
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def gramSet(text: String): Set[Long] = {
+      val toks = text.split(" ")
+      (0 to toks.length - Dedup.d44K).map { i =>
+        val h = md.digest(toks.slice(i, i + Dedup.d44K).mkString(" ")
+          .getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(h.take(15), 16)
+      }.toSet
+    }
+    val expected = pairs.toSeq.flatMap { case (a, b) =>
+      val (ga, gb) = (gramSet(texts(a)), gramSet(texts(b)))
+      if (ga.isEmpty || gb.isEmpty) None
+      else {
+        val c = BigDecimal(ga.intersect(gb).size.toDouble / math.min(ga.size, gb.size))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if (c < Dedup.d48Threshold) None
+        else if (ga.size < gb.size) Some((b, a, c))
+        else if (gb.size < ga.size) Some((a, b, c))
+        else Some((math.min(a, b), math.max(a, b), c))
+      }
+    }.sorted
+    val got = SparkEntry.queries("d48_containment_dedup")(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == expected, "d48 != independent containment mirror")
+    assert(got.nonEmpty, "d48 must flag pairs on the real corpus")
+  }
 }
