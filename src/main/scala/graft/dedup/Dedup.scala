@@ -1246,25 +1246,31 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** DuckDB oracle for d29: same tokenization (single-space split),
-    * same n-token windows (list slice t[i:i+(n-1)] is inclusive =
-    * Spark slice(toks, i, n)), same 60-bit md5-prefix gram key. */
-  val d29Sql: String = {
-    val n = d29GramSize
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  /** The toks/grams CTE pair of the gram-keyed corpus in DuckDB —
+    * same tokenization (single-space split), same n-token windows
+    * (list slice t[i:i+(n-1)] is inclusive = Spark slice(toks, i,
+    * n)), same 60-bit md5-prefix gram key. ONE SQL body for the
+    * decontamination scrub (d29) and the contamination report (d49),
+    * so the two directions of the train/eval overlap check cannot
+    * disagree about what a gram is. */
+  private[graft] def gramCteSql(n: Int): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        |grams AS (
        | SELECT doc_id,
        |  CAST(('0x' || substr(md5(array_to_string(t[i:i+${n - 1}], ' ')), 1, 15)) AS BIGINT) AS gram
        | FROM (SELECT doc_id, t,
        |        unnest(generate_series(1, greatest(len(t) - ${n - 1}, 0))) AS i
-       |       FROM toks)),
+       |       FROM toks))""".stripMargin
+
+  /** DuckDB oracle for d29: the shared [[gramCteSql]] corpus. */
+  val d29Sql: String =
+    s"""WITH ${gramCteSql(d29GramSize)},
        |eval_grams AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 53 = 0)
        |SELECT doc_id, count(DISTINCT gram) AS shared_grams
        |FROM grams
        |WHERE doc_id % 53 <> 0 AND gram IN (SELECT gram FROM eval_grams)
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
-  }
 
   /** Bloom-filter geometry for d33: m = 2²⁰ bits (a fixed 128 KiB
     * bitmap), k = 3 probes. Probe positions are `gram % pⱼ` for three
@@ -2606,6 +2612,78 @@ object Dedup {
        |ORDER BY container, contained""".stripMargin
   }
 
+  // ---- d49: contamination report (per-eval-doc dirtiness) ----
+
+  /** d49: the contamination REPORT — the other direction of the d29
+    * train/eval overlap check. d29 answers "which TRAINING docs must
+    * be scrubbed"; d49 answers the question every eval release asks
+    * (GPT-3 appendix C's clean/dirty split): for each BENCHMARK doc,
+    * what fraction of its distinct n-grams also occurs in the
+    * training split, and is it clean (zero overlap — its scores are
+    * trustworthy) or dirty. One row per eval doc — including
+    * zero-overlap and sub-n-token docs (total_grams 0, clean), so
+    * the report is a complete ledger, not a hit list. Gram identity
+    * is the ONE shared [[gramKeys]] n=4 definition (and the shared
+    * [[gramCteSql]] body oracle-side), so d29's scrub and d49's
+    * report can never disagree about overlap.
+    *
+    * Scale shape (100 TB): the eval side is benchmark-sized, so its
+    * distinct (doc_id, gram) rows broadcast; the corpus-sized train
+    * stream is a scan + broadcast LEFT SEMI against the eval gram
+    * set, and what survives — matched grams, bounded by the EVAL
+    * gram count, not the corpus — is distinct-ed and broadcast back
+    * onto the eval rows. No corpus-keyed exchange at all: the only
+    * aggregations group benchmark-sized streams. The report is
+    * eval-proportional end to end. */
+  def d49ContaminationReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(gramKeys(col("toks"), d29GramSize)).as("gram"))
+    val evalGrams = grams.filter(col("doc_id") % 53 === 0).distinct()
+    val matched = grams.filter(col("doc_id") % 53 =!= 0)
+      .join(broadcast(evalGrams.select("gram").distinct()), Seq("gram"), "left_semi")
+      .select("gram").distinct()
+    val perDoc = evalGrams
+      .join(broadcast(matched.withColumn("hit", lit(1))), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("total_grams"), count(col("hit")).as("matched_grams"))
+    docs.filter(col("doc_id") % 53 === 0).select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("total_grams"), lit(0L)).as("total_grams"),
+        coalesce(col("matched_grams"), lit(0L)).as("matched_grams"),
+        when(coalesce(col("total_grams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(col("matched_grams").cast("double") / col("total_grams"), 4))
+          .as("contamination"),
+        when(coalesce(col("matched_grams"), lit(0L)) > 0, lit("dirty"))
+          .otherwise(lit("clean")).as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for d49: the shared [[gramCteSql]] corpus, the
+    * identical eval/train split, overlap rule, and ledger shape. */
+  val d49Sql: String =
+    s"""WITH ${gramCteSql(d29GramSize)},
+       |eval_g AS (SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 53 = 0),
+       |hit_g AS (
+       | SELECT DISTINCT gram FROM grams
+       | WHERE doc_id % 53 <> 0 AND gram IN (SELECT gram FROM eval_g)),
+       |agg AS (
+       | SELECT doc_id, count(*) AS total_grams,
+       |  count(CASE WHEN gram IN (SELECT gram FROM hit_g) THEN 1 END) AS matched_grams
+       | FROM eval_g GROUP BY doc_id)
+       |SELECT d.doc_id,
+       | coalesce(total_grams, 0) AS total_grams,
+       | coalesce(matched_grams, 0) AS matched_grams,
+       | CASE WHEN coalesce(total_grams, 0) = 0 THEN 0.0
+       |      ELSE ROUND(CAST(matched_grams AS DOUBLE) / total_grams, 4) END AS contamination,
+       | CASE WHEN coalesce(matched_grams, 0) > 0 THEN 'dirty' ELSE 'clean' END AS verdict
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 53 = 0) d
+       |LEFT JOIN agg ON agg.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---- d47: forget propagation through the fingerprint index ----
 
   /** d47's takedown list: history docs ≡ 3 (mod 24). Under d35's
@@ -2701,7 +2779,8 @@ object Dedup {
     "d45_substring_scrub" -> (d45SubstringScrub _),
     "d46_semantic_dedup" -> (d46SemanticDedup _),
     "d47_index_forget" -> (d47IndexForget _),
-    "d48_containment_dedup" -> (d48ContainmentDedup _))
+    "d48_containment_dedup" -> (d48ContainmentDedup _),
+    "d49_contamination_report" -> (d49ContaminationReport _))
 
   def oracles: Map[String, String] = Map(
     "d22_dedup_exact" -> d22Sql,
@@ -2733,5 +2812,6 @@ object Dedup {
     "d45_substring_scrub" -> d45Sql,
     "d46_semantic_dedup" -> d46Sql,
     "d47_index_forget" -> d47Sql,
-    "d48_containment_dedup" -> d48Sql)
+    "d48_containment_dedup" -> d48Sql,
+    "d49_contamination_report" -> d49Sql)
 }

@@ -969,4 +969,58 @@ class DedupSpec extends SparkSpec {
     assert(got == expected, "d48 != independent containment mirror")
     assert(got.nonEmpty, "d48 must flag pairs on the real corpus")
   }
+
+  // ---- d49 contamination report ----
+
+  test("d49 ledger: planted fractions, clean rows, and sub-n-token docs all appear") {
+    // eval docs are ids = 0 (mod 53). doc 53 shares 2 of its 4 grams
+    // with train doc 1 (0.5); doc 106's single gram is fully in train
+    // doc 2 (1.0); doc 159 is clean; doc 212 has 3 tokens < n=4 so
+    // its ledger row is (0, 0, 0.0, clean) — present, not dropped.
+    docsOf(
+      1L -> "t1 t2 e1 e2 e3 e4 e5 t3",
+      2L -> "f1 f2 f3 f4 u1 u2 u3",
+      53L -> "e1 e2 e3 e4 e5 e6 e7",
+      106L -> "f1 f2 f3 f4",
+      159L -> "g1 g2 g3 g4 g5 g6",
+      212L -> "h1 h2 h3")
+    val got = Dedup.d49ContaminationReport(spark, tmp)
+      .as[(Long, Long, Long, Double, String)].collect().toSeq
+    assert(got == Seq(
+      (53L, 4L, 2L, 0.5, "dirty"),
+      (106L, 1L, 1L, 1.0, "dirty"),
+      (159L, 3L, 0L, 0.0, "clean"),
+      (212L, 0L, 0L, 0.0, "clean")),
+      s"planted ledger mismatch: $got")
+  }
+
+  test("d49 equals an independent gram-set mirror on the real corpus") {
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sfDir)
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = 4
+    def gramSet(text: String): Set[Long] = {
+      val toks = text.split(" ")
+      (0 to toks.length - n).map { i =>
+        val h = md.digest(toks.slice(i, i + n).mkString(" ")
+          .getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(h.take(15), 16)
+      }.toSet
+    }
+    val trainGrams = texts.filter(_._1 % 53 != 0).map(t => gramSet(t._2))
+      .foldLeft(Set.empty[Long])(_ ++ _)
+    val expected = texts.filter(_._1 % 53 == 0).sortBy(_._1).map { case (id, text) =>
+      val g = gramSet(text)
+      val m = g.count(trainGrams)
+      val frac = if (g.isEmpty) 0.0
+        else BigDecimal(m.toDouble / g.size)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, g.size.toLong, m.toLong, frac, if (m > 0) "dirty" else "clean")
+    }.toSeq
+    val got = SparkEntry.queries("d49_contamination_report")(spark, sfDir)
+      .as[(Long, Long, Long, Double, String)].collect().toSeq
+    assert(got == expected, "d49 != independent gram-set mirror")
+    assert(got.exists(_._5 == "dirty"), "corpus must exercise the dirty class")
+  }
 }
