@@ -1583,6 +1583,78 @@ object Relational {
       |GROUP BY CUBE(c_mktsegment, o_orderpriority)
       |ORDER BY gid, mktsegment, orderpriority""".stripMargin
 
+  /** q44: ordered conversion funnel — the product-analytics staple
+    * (view → click → purchase, each step strictly AFTER the previous
+    * step's witness and within a 1-day horizon). The witness rule is
+    * first-match: a user's funnel entry is their FIRST view; the
+    * click leg is the first click after that view within the
+    * horizon; the purchase leg is the first purchase after THAT
+    * click. This is the standard "strict ordered funnel" semantic
+    * (each step re-anchors the clock), not mere per-type existence —
+    * a purchase before the first view does not count. Output: one
+    * row per step with the surviving-user count and the conversion
+    * rate vs step 1.
+    *
+    * Scale shape (100 TB of events): every aggregation and join is
+    * keyed on user_id — the event-type filters cut each substream in
+    * the scan stage, each leg is one keyed exchange of its FILTERED
+    * substream, and the step-2/3 joins co-locate with the same key
+    * the aggregates just produced. The conversion window runs over
+    * exactly 3 rows (one per step) — bounded by funnel depth, not
+    * data. No driver-side logic. */
+  def q44Funnel(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(s, dir)
+    val v = events.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
+    val c = events.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") > col("v_ts") &&
+        col("ts") <= col("v_ts") + expr("INTERVAL 1 DAY"))
+      .groupBy("user_id").agg(min(col("ts")).as("c_ts"))
+    val p = events.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") > col("c_ts") &&
+        col("ts") <= col("c_ts") + expr("INTERVAL 1 DAY"))
+      .groupBy("user_id").agg(min(col("ts")).as("p_ts"))
+    val steps = v.agg(count(lit(1)).as("users"))
+      .select(lit(1).as("step"), lit("view").as("step_name"), col("users"))
+      .unionByName(c.agg(count(lit(1)).as("users"))
+        .select(lit(2).as("step"), lit("click").as("step_name"), col("users")))
+      .unionByName(p.agg(count(lit(1)).as("users"))
+        .select(lit(3).as("step"), lit("purchase").as("step_name"), col("users")))
+    steps
+      .withColumn("conversion", round(
+        col("users").cast("double") /
+          first(col("users")).over(Window.orderBy("step")), 4))
+      .orderBy("step")
+  }
+
+  /** DuckDB oracle for q44: the identical three-leg re-anchored
+    * funnel with scalar-subquery step counts. */
+  val q44Sql: String =
+    """WITH v AS (
+      | SELECT user_id, min(ts) AS v_ts FROM events
+      | WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      | SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+      | JOIN v ON e.user_id = v.user_id
+      | WHERE e.event_type = 'click' AND e.ts > v.v_ts
+      |   AND e.ts <= v.v_ts + INTERVAL 1 DAY GROUP BY 1),
+      |p AS (
+      | SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+      | JOIN c ON e.user_id = c.user_id
+      | WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+      |   AND e.ts <= c.c_ts + INTERVAL 1 DAY GROUP BY 1),
+      |steps AS (
+      | SELECT 1 AS step, 'view' AS step_name, (SELECT count(*) FROM v) AS users
+      | UNION ALL
+      | SELECT 2, 'click', (SELECT count(*) FROM c)
+      | UNION ALL
+      | SELECT 3, 'purchase', (SELECT count(*) FROM p))
+      |SELECT step, step_name, users,
+      | ROUND(CAST(users AS DOUBLE) / (SELECT count(*) FROM v), 4) AS conversion
+      |FROM steps ORDER BY step""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_filter" -> (q01AggFilter _),
     "q02_project_enrich" -> (q02ProjectEnrich _),
@@ -1623,7 +1695,8 @@ object Relational {
     "q39_skew_join" -> (q39SkewJoin _),
     "q40_expectations" -> (q40Expectations _),
     "q41_heavy_hitters" -> (q41HeavyHitters _),
-    "q43_cube" -> (q43Cube _))
+    "q43_cube" -> (q43Cube _),
+    "q44_funnel" -> (q44Funnel _))
 
   // ---- q40: data-quality expectations audit (DLT expectations) ----
 
@@ -1759,5 +1832,6 @@ object Relational {
     "q39_skew_join" -> q39Sql,
     "q40_expectations" -> q40Sql,
     "q41_heavy_hitters" -> q41Sql,
-    "q43_cube" -> q43Sql)
+    "q43_cube" -> q43Sql,
+    "q44_funnel" -> q44Sql)
 }

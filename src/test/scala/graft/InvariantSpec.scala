@@ -369,4 +369,40 @@ class InvariantSpec extends SparkSpec {
     assert(viols.exists(_ > 0) && viols.contains(0),
       s"need both violated and clean rules, got $viols")
   }
+
+  test("q44 funnel: re-anchoring, strict order, horizon, and no-view exclusion") {
+    // user 1: purchase BEFORE the first view must not count, nor may
+    //   the purchase that lands between view and click — only the
+    //   purchase after the click witness converts (full depth).
+    // user 2: click 25h after view — outside the 1-day horizon.
+    // user 3: purchase 25h after its click witness — outside horizon.
+    // user 4: click+purchase but NO view — never enters the funnel.
+    // user 5: click at the exact view timestamp is NOT strictly
+    //   after (skipped); the 1h click is the witness, so the 30m
+    //   purchase precedes it and only the 2h purchase converts.
+    val dir = java.nio.file.Files.createTempDirectory("graftfunnel").toString
+    val h = 3600L * 1000000000L // 1h in nanos
+    val t0 = 1704067200L * 1000000000L // 2024-01-01T00:00:00Z
+    Seq(
+      (1L, 1L, t0, "purchase"), (2L, 1L, t0 + h, "view"),
+      (3L, 1L, t0 + 2 * h, "purchase"), (4L, 1L, t0 + 3 * h, "click"),
+      (5L, 1L, t0 + 4 * h, "purchase"),
+      (6L, 2L, t0, "view"), (7L, 2L, t0 + 25 * h, "click"),
+      (8L, 3L, t0, "view"), (9L, 3L, t0 + h, "click"),
+      (10L, 3L, t0 + 26 * h, "purchase"),
+      (11L, 4L, t0, "click"), (12L, 4L, t0 + h, "purchase"),
+      (13L, 5L, t0, "view"), (14L, 5L, t0, "click"),
+      (15L, 5L, t0 + h, "click"), (16L, 5L, t0 + h / 2, "purchase"),
+      (17L, 5L, t0 + 2 * h, "purchase"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q44_funnel")(spark, dir)
+      .as[(Int, String, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1, "view", 4L, 1.0),
+      (2, "click", 3L, 0.75),
+      (3, "purchase", 2L, 0.5)),
+      s"funnel semantics mismatch: $got")
+  }
 }
