@@ -617,8 +617,16 @@ object Multimodal {
       .toDF("doc_id", "frame_idx", "fhash")
   }
 
-  def m37VideoNeardup(s: SparkSession, dir: String): DataFrame = {
-    val fhash = m37FrameHashes(s, dir)
+  def m37VideoNeardup(s: SparkSession, dir: String): DataFrame =
+    m37PairsFromFrameHashes(m37FrameHashes(s, dir))
+
+  /** m37's whole downstream — frame-aligned banding, candidate
+    * distinct, signature attach, zip_with ratio verify — as ONE
+    * function of the (doc_id, frame_idx, fhash) stream, shared by
+    * the production pair finder and m37b's oracle-checked literal
+    * run (the m35/m35b split), so the banded-join layout and the
+    * ≥ 0.5 ratio rule cannot drift between them. */
+  private[graft] def m37PairsFromFrameHashes(fhash: DataFrame): DataFrame = {
     val banded = fhash.select(col("doc_id"), col("frame_idx"),
       explode(expr(
         """transform(sequence(0, 3), i ->
@@ -961,6 +969,91 @@ object Multimodal {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---- m37b: the frame-aligned band/ratio stage oracle-checked ----
+
+  /** The dual-dialect literal FRAME-hash table m37b feeds the
+    * production video pair finder: 60 clips = 20 content groups × 3
+    * variants, 6 frames each. Per (cid, frame) the base hash is a
+    * 60-bit md5; variants 0 and 1 carry it unchanged (the re-encode
+    * case), variant 2 keeps the base on its leading frames but takes
+    * an unrelated md5 ('x'-salted) on the rest — 3 of 6 frames for
+    * even cids (ratio exactly 0.5, the ≥ threshold boundary) and 2
+    * of 6 for odd cids (0.3333, dropped). The same md5 formulas are
+    * emitted into DuckDB, so the INPUT is byte-identical and the
+    * comparison isolates exactly the stage m37 cannot oracle-check
+    * through the JVM container walk: the frame-ALIGNED 4×16-bit band
+    * join, candidate distinct, signature zip, and the ≥ 0.5 aligned-
+    * frame ratio verify. */
+  private[graft] def m37bFrameHashLiterals(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"))
+      .filter(col("doc_id") < 60)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(5))).as("frame_idx"))
+      .withColumn("cid", col("doc_id") % 20)
+      .withColumn("base", expr(
+        """cast(conv(substring(md5(concat(cast(cid as string), ':',
+          |  cast(frame_idx as string))), 1, 15), 16, 10) as bigint)""".stripMargin))
+      .withColumn("alt", expr(
+        """cast(conv(substring(md5(concat('x', cast(cid as string), ':',
+          |  cast(frame_idx as string))), 1, 15), 16, 10) as bigint)""".stripMargin))
+      .withColumn("fhash", expr(
+        "CASE WHEN (doc_id div 20) % 3 = 2 AND frame_idx >= 3 - cid % 2 THEN alt ELSE base END"))
+      .select("doc_id", "frame_idx", "fhash")
+
+  /** m37b: m37's frame-aligned band join + ratio verify, oracle-
+    * checked — the m35/m35b split applied to the video path, whose
+    * downstream is NOT m35's (per-frame alignment, multi-collision
+    * candidate distinct, signature ratio — none of it exercised by
+    * m35b). Routes a dialect-replayable literal frame-hash stream
+    * through the VERY SAME [[m37PairsFromFrameHashes]] the
+    * production finder uses; DuckDB replays everything downstream of
+    * the hash byte-exactly, m37 itself stays rows-only only for the
+    * JVM decode. */
+  def m37bVideoOracle(s: SparkSession, dir: String): DataFrame =
+    m37PairsFromFrameHashes(m37bFrameHashLiterals(s, dir))
+
+  /** DuckDB oracle for m37b: identical md5 literal frame hashes,
+    * frame-aligned band explode, pair distinct, and the per-aligned-
+    * frame Hamming ≤ 3 ratio — the join-on-frame_idx form is exact
+    * because every literal clip has the same 6 contiguous frames, so
+    * positional zip and aligned join coincide. */
+  val m37bSql: String =
+    """WITH f AS (
+      | SELECT doc_id, doc_id % 20 AS cid,
+      |  unnest(generate_series(0, 5)) AS frame_idx
+      | FROM documents WHERE doc_id < 60),
+      |h AS (
+      | SELECT doc_id, frame_idx,
+      |  CASE WHEN (doc_id // 20) % 3 = 2 AND frame_idx >= 3 - cid % 2
+      |   THEN CAST(('0x' || substr(md5('x' || CAST(cid AS VARCHAR) || ':'
+      |     || CAST(frame_idx AS VARCHAR)), 1, 15)) AS BIGINT)
+      |   ELSE CAST(('0x' || substr(md5(CAST(cid AS VARCHAR) || ':'
+      |     || CAST(frame_idx AS VARCHAR)), 1, 15)) AS BIGINT) END AS fhash
+      | FROM f),
+      |bx AS (
+      | SELECT doc_id, frame_idx, fhash,
+      |  band, (fhash >> CAST(16 * band AS INT)) & 65535 AS chunk
+      | FROM (SELECT h.*, unnest(generate_series(0, 3)) AS band FROM h)),
+      |pairs AS (
+      | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      | FROM bx a JOIN bx b
+      |  ON a.frame_idx = b.frame_idx AND a.band = b.band
+      |   AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+      |per AS (
+      | SELECT p.doc_a, p.doc_b,
+      |  CAST(count(CASE WHEN bit_count(xor(a.fhash, b.fhash)) <= 3
+      |    THEN 1 END) AS INT) AS matched_frames,
+      |  CAST(count(*) AS INT) AS total_frames
+      | FROM pairs p
+      | JOIN h a ON a.doc_id = p.doc_a
+      | JOIN h b ON b.doc_id = p.doc_b AND b.frame_idx = a.frame_idx
+      | GROUP BY p.doc_a, p.doc_b)
+      |SELECT doc_a, doc_b, matched_frames, total_frames,
+      | ROUND(CAST(matched_frames AS DOUBLE) / total_frames, 4) AS match_ratio
+      |FROM per
+      |WHERE ROUND(CAST(matched_frames AS DOUBLE) / total_frames, 4) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m33_multimodal" -> (m33Multimodal _),
     "m34_media_dedup" -> (m34MediaDedup _),
@@ -968,10 +1061,12 @@ object Multimodal {
     "m35b_neardup_oracle" -> (m35bNeardupOracle _),
     "m36_media_dedup_closure" -> (m36MediaDedupClosure _),
     "m37_video_neardup" -> (m37VideoNeardup _),
+    "m37b_video_oracle" -> (m37bVideoOracle _),
     "m38_audio_neardup" -> (m38AudioNeardup _),
     "m39_thumbnail_match" -> (m39ThumbnailMatch _),
     "m40_scene_cut" -> (m40SceneCut _))
 
   def oracles: Map[String, String] = Map(
-    "m35b_neardup_oracle" -> m35bSql)
+    "m35b_neardup_oracle" -> m35bSql,
+    "m37b_video_oracle" -> m37bSql)
 }

@@ -660,4 +660,43 @@ class MultimodalSpec extends SparkSpec {
     } yield (a, b, h)).toSet
     assert(mirror == out, "banding/verify mirror disagrees")
   }
+
+  // ---- m37b: the frame-aligned band/ratio stage oracle-checked ----
+
+  test("m37b planted structure: re-encodes at 1.0, even-cid variants at the 0.5 boundary; mirror agrees") {
+    val out = Multimodal.m37bVideoOracle(spark, sfDir)
+      .as[(Long, Long, Int, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // 20 content groups (cid, cid+20, cid+40): v0-v1 share all 6
+    // frame hashes (ratio 1.0); v2 matches 3 of 6 for even cids
+    // (exactly the >= 0.5 boundary — kept) and 2 of 6 for odd cids
+    // (0.3333 — dropped by the ratio verify)
+    val expected = (0L until 20L).flatMap { cid =>
+      val full = Seq((cid, cid + 20L) -> (6, 6, 1.0))
+      if (cid % 2 == 0)
+        full ++ Seq((cid, cid + 40L) -> (3, 6, 0.5),
+          (cid + 20L, cid + 40L) -> (3, 6, 0.5))
+      else full
+    }.toMap
+    assert(out == expected,
+      s"planted pair structure broken: ${out.size} pairs vs ${expected.size}")
+    // independent mirror: brute-force over the SAME literal stream —
+    // frame-aligned band pigeonhole, per-frame popcount, ratio rule
+    val frames = Multimodal.m37bFrameHashLiterals(spark, sfDir)
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val ids = frames.keys.toSeq.sorted
+    val mirror = (for {
+      a <- ids; b <- ids
+      if a < b
+      ha = frames(a); hb = frames(b)
+      if ha.indices.exists(fi => (0 to 3).exists(i =>
+        ((ha(fi) >> (16 * i)) & 0xFFFFL) == ((hb(fi) >> (16 * i)) & 0xFFFFL)))
+      m = ha.indices.count(fi => java.lang.Long.bitCount(ha(fi) ^ hb(fi)) <= 3)
+      r = BigDecimal(m.toDouble / ha.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if r >= 0.5
+    } yield (a, b) -> (m, ha.size, r)).toMap
+    assert(mirror == out, "frame-aligned banding/ratio mirror disagrees")
+  }
 }
