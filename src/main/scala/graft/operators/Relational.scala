@@ -1655,6 +1655,163 @@ object Relational {
       | ROUND(CAST(users AS DOUBLE) / (SELECT count(*) FROM v), 4) AS conversion
       |FROM steps ORDER BY step""".stripMargin
 
+  /** q45: RFM segmentation — the marketing-analytics staple: per
+    * customer recency (days since last order at a fixed analysis
+    * date — a parameter, as in production), frequency (order count),
+    * monetary (total spend), each scored 1–5 against the customer
+    * population's exact quintile boundaries, then segmented by a
+    * fixed precedence rule. Scoring is boundary-comparison — a PURE
+    * function of the metric value — NOT a global ntile: ntile needs
+    * a single total order over all customers (one partition at
+    * 100 TB) and makes tied customers' scores depend on row order;
+    * boundaries need one q27-stance exact-percentile aggregate over
+    * the customer-proportional rollup (production swaps in
+    * approx_percentile, same shape) and broadcast back as ONE row,
+    * so scoring stays codegen'd in the scan of the rollup.
+    *
+    * Scale: one customer-keyed exchange (the rollup), one bounded
+    * aggregate (3×4 boundary doubles), one broadcast cross of a
+    * 1-row frame — nothing else. */
+  def q45Rfm(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("cust_key"))
+      .agg(
+        datediff(lit("2001-09-01").cast("date"), to_date(max(col("o_orderdate"))))
+          .as("recency_days"),
+        count(lit(1)).as("frequency"),
+        round(sum(col("o_totalprice")), 2).as("monetary"))
+    val qs = "array(0.2D, 0.4D, 0.6D, 0.8D)"
+    val bounds = per.agg(
+      expr(s"percentile(recency_days, $qs)").as("rb"),
+      expr(s"percentile(frequency, $qs)").as("fb"),
+      expr(s"percentile(monetary, $qs)").as("mb"))
+    val scored = per.crossJoin(broadcast(bounds))
+      .withColumn("r_score",
+        lit(5) - size(filter(col("rb"), x => col("recency_days") > x)))
+      .withColumn("f_score",
+        lit(1) + size(filter(col("fb"), x => col("frequency") > x)))
+      .withColumn("m_score",
+        lit(1) + size(filter(col("mb"), x => col("monetary") > x)))
+    scored.select(
+      col("cust_key"), col("recency_days"), col("frequency"), col("monetary"),
+      col("r_score"), col("f_score"), col("m_score"),
+      when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4,
+        "champion")
+        .when(col("f_score") >= 4, "loyal")
+        .when(col("m_score") >= 4, "big_spender")
+        .when(col("r_score") <= 2 && (col("f_score") >= 3 || col("m_score") >= 3),
+          "at_risk")
+        .when(col("r_score") <= 2, "hibernating")
+        .otherwise("regular").as("segment"))
+      .orderBy("cust_key")
+  }
+
+  /** DuckDB oracle for q45: identical rollup, quantile_cont
+    * boundaries (the q27 percentile equivalence), identical
+    * strictly-greater boundary counting and segment precedence. */
+  val q45Sql: String =
+    """WITH per AS (
+      | SELECT o_custkey AS cust_key,
+      |  CAST(datediff('day', CAST(max(o_orderdate) AS DATE), DATE '2001-09-01') AS INT)
+      |    AS recency_days,
+      |  count(*) AS frequency,
+      |  ROUND(sum(o_totalprice), 2) AS monetary
+      | FROM orders GROUP BY 1),
+      |b AS (
+      | SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rb,
+      |        quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fb,
+      |        quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mb
+      | FROM per),
+      |scored AS (
+      | SELECT cust_key, recency_days, frequency, monetary,
+      |  CAST(5 - len(list_filter(rb, x -> recency_days > x)) AS INT) AS r_score,
+      |  CAST(1 + len(list_filter(fb, x -> frequency > x)) AS INT) AS f_score,
+      |  CAST(1 + len(list_filter(mb, x -> monetary > x)) AS INT) AS m_score
+      | FROM per, b)
+      |SELECT cust_key, recency_days, frequency, monetary,
+      | r_score, f_score, m_score,
+      | CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+      |  WHEN f_score >= 4 THEN 'loyal'
+      |  WHEN m_score >= 4 THEN 'big_spender'
+      |  WHEN r_score <= 2 AND (f_score >= 3 OR m_score >= 3) THEN 'at_risk'
+      |  WHEN r_score <= 2 THEN 'hibernating'
+      |  ELSE 'regular' END AS segment
+      |FROM scored ORDER BY cust_key""".stripMargin
+
+  /** q46: co-purchase association mining — the market-basket
+    * operator (Agrawal & Srikant 1994's support/confidence/lift on
+    * 2-itemsets): for every unordered part pair appearing together
+    * in ≥ 2 orders, the pair support, both per-part order counts,
+    * both directed confidences, and the lift, top-100 by support
+    * with a full deterministic tiebreak.
+    *
+    * Scale: the item stream dedups (order, part) in one keyed
+    * exchange; the pair expansion is a SELF-equi-join on l_orderkey
+    * — co-partitioned, one shuffle, and bounded per order by the
+    * basket size squared (the classic market-basket shape, NOT a
+    * corpus cross join); per-part counts are one part-keyed
+    * aggregate joined back on the pair stream's own keys; the order
+    * total broadcasts as one row; the top-100 is
+    * TakeOrderedAndProject — per-partition partial top-k, never a
+    * global sort. */
+  def q46CoPurchase(s: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .join(items.select(col("l_orderkey"), col("l_partkey").as("part_b")),
+        Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("pair_orders"))
+      .filter(col("pair_orders") >= 2)
+    val perPart = items.groupBy("l_partkey").agg(count(lit(1)).as("part_orders"))
+    val total = items.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("total_orders"))
+    pairs
+      .join(perPart.select(col("l_partkey").as("part_a"),
+        col("part_orders").as("orders_a")), Seq("part_a"))
+      .join(perPart.select(col("l_partkey").as("part_b"),
+        col("part_orders").as("orders_b")), Seq("part_b"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("part_a"), col("part_b"), col("pair_orders"),
+        col("orders_a"), col("orders_b"),
+        round(col("pair_orders").cast("double") / col("orders_a"), 4)
+          .as("conf_a_b"),
+        round(col("pair_orders").cast("double") / col("orders_b"), 4)
+          .as("conf_b_a"),
+        round(col("pair_orders").cast("double") * col("total_orders") /
+          (col("orders_a") * col("orders_b")), 4).as("lift"))
+      .orderBy(col("pair_orders").desc, col("part_a"), col("part_b"))
+      .limit(100)
+  }
+
+  /** DuckDB oracle for q46: identical dedup, pair expansion,
+    * support floor, confidence/lift arithmetic, and tiebroken
+    * top-100. */
+  val q46Sql: String =
+    """WITH items AS (
+      | SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |pairs AS (
+      | SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+      |        count(*) AS pair_orders
+      | FROM items a JOIN items b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      | GROUP BY 1, 2 HAVING count(*) >= 2),
+      |per_part AS (
+      | SELECT l_partkey, count(*) AS part_orders FROM items GROUP BY 1),
+      |total AS (SELECT count(DISTINCT l_orderkey) AS total_orders FROM items)
+      |SELECT part_a, part_b, pair_orders,
+      | pa.part_orders AS orders_a, pb.part_orders AS orders_b,
+      | ROUND(CAST(pair_orders AS DOUBLE) / pa.part_orders, 4) AS conf_a_b,
+      | ROUND(CAST(pair_orders AS DOUBLE) / pb.part_orders, 4) AS conf_b_a,
+      | ROUND(CAST(pair_orders AS DOUBLE) * total_orders
+      |   / (pa.part_orders * pb.part_orders), 4) AS lift
+      |FROM pairs
+      |JOIN per_part pa ON pa.l_partkey = part_a
+      |JOIN per_part pb ON pb.l_partkey = part_b
+      |CROSS JOIN total
+      |ORDER BY pair_orders DESC, part_a, part_b LIMIT 100""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_filter" -> (q01AggFilter _),
     "q02_project_enrich" -> (q02ProjectEnrich _),
@@ -1696,7 +1853,9 @@ object Relational {
     "q40_expectations" -> (q40Expectations _),
     "q41_heavy_hitters" -> (q41HeavyHitters _),
     "q43_cube" -> (q43Cube _),
-    "q44_funnel" -> (q44Funnel _))
+    "q44_funnel" -> (q44Funnel _),
+    "q45_rfm" -> (q45Rfm _),
+    "q46_copurchase" -> (q46CoPurchase _))
 
   // ---- q40: data-quality expectations audit (DLT expectations) ----
 
@@ -1833,5 +1992,7 @@ object Relational {
     "q40_expectations" -> q40Sql,
     "q41_heavy_hitters" -> q41Sql,
     "q43_cube" -> q43Sql,
-    "q44_funnel" -> q44Sql)
+    "q44_funnel" -> q44Sql,
+    "q45_rfm" -> q45Sql,
+    "q46_copurchase" -> q46Sql)
 }

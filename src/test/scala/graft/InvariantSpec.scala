@@ -370,6 +370,77 @@ class InvariantSpec extends SparkSpec {
       s"need both violated and clean rules, got $viols")
   }
 
+  test("q45 RFM equals an in-memory quintile mirror; all scores and segments exercised") {
+    val got = SparkEntry.queries("q45_rfm")(spark, sfDir)
+      .as[(Long, Int, Long, Double, Int, Int, Int, String)].collect().toSeq
+    // mirror: same rollup, same exact interpolated percentiles
+    // (idx = p·(n−1), linear between neighbors — the percentile /
+    // quantile_cont definition), same strictly-greater counting
+    val per = Tables.orders(spark, sfDir)
+      .groupBy("o_custkey")
+      .agg(datediff(lit("2001-09-01").cast("date"),
+          to_date(max(col("o_orderdate")))).as("r"),
+        count(lit(1)).as("f"),
+        round(sum(col("o_totalprice")), 2).as("m"))
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._1)
+    def bounds(vs: Seq[Double]): Seq[Double] = {
+      val s = vs.sorted
+      Seq(0.2, 0.4, 0.6, 0.8).map { p =>
+        val idx = p * (s.length - 1)
+        val lo = s(idx.toInt)
+        val hi = s(math.min(idx.toInt + 1, s.length - 1))
+        lo + (idx - idx.toInt) * (hi - lo)
+      }
+    }
+    val (rb, fb, mb) = (bounds(per.map(_._2.toDouble)),
+      bounds(per.map(_._3.toDouble)), bounds(per.map(_._4)))
+    val expected = per.map { case (ck, r, f, m) =>
+      val rs = 5 - rb.count(r > _)
+      val fs = 1 + fb.count(f > _)
+      val ms = 1 + mb.count(m > _)
+      val seg =
+        if (rs >= 4 && fs >= 4 && ms >= 4) "champion"
+        else if (fs >= 4) "loyal"
+        else if (ms >= 4) "big_spender"
+        else if (rs <= 2 && (fs >= 3 || ms >= 3)) "at_risk"
+        else if (rs <= 2) "hibernating"
+        else "regular"
+      (ck, r, f, m, rs, fs, ms, seg)
+    }.toSeq
+    assert(got == expected, "q45 != in-memory quintile mirror")
+    // every score level and several segments must be live
+    (1 to 5).foreach { v =>
+      assert(got.exists(_._5 == v) && got.exists(_._6 == v) && got.exists(_._7 == v),
+        s"score level $v unexercised") }
+    assert(got.map(_._8).distinct.size >= 4,
+      s"segments degenerate: ${got.map(_._8).distinct}")
+  }
+
+  test("q46 co-purchase equals an in-memory association mirror; floor and tiebreak hold") {
+    val got = SparkEntry.queries("q46_copurchase")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double)].collect().toSeq
+    val items = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val byOrder = items.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val partOrders = items.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val totalOrders = byOrder.size.toLong
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val support = byOrder.values.toSeq
+      .flatMap(ps => for (a <- ps; b <- ps if a < b) yield (a, b))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = support.toSeq.filter(_._2 >= 2)
+      .map { case ((a, b), n) =>
+        (a, b, n, partOrders(a), partOrders(b),
+          r4(n.toDouble / partOrders(a)), r4(n.toDouble / partOrders(b)),
+          r4(n.toDouble * totalOrders / (partOrders(a) * partOrders(b))))
+      }
+      .sortBy(t => (-t._3, t._1, t._2)).take(100)
+    assert(got == expected, "q46 != in-memory association mirror")
+    assert(got.nonEmpty && got.forall(_._3 >= 2), "support floor violated")
+    assert(got.exists(_._8 > 1.0) , "corpus must exercise positive lift")
+  }
+
   test("q44 funnel: re-anchoring, strict order, horizon, and no-view exclusion") {
     // user 1: purchase BEFORE the first view must not count, nor may
     //   the purchase that lands between view and click — only the

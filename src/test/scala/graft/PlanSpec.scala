@@ -400,6 +400,9 @@ class PlanSpec extends SparkSpec {
       "d46_semantic_dedup",
       "d26_embed_neardup",
       "q28_date_spine", "t38_keyphrase", "t39_bigram_lm", "a30_ann_sq",
+      // q45/q46's cross joins are 1-row broadcasts (the quintile
+      // boundary frame / the order-total scalar) — the q28 stance
+      "q45_rfm", "q46_copurchase",
       // t58 rides t39's scoring (the same 1-row vocab broadcast)
       "t58_ccnet_buckets",
       "a31_ann_rerank", "s39_stream_decontaminate", "a32_ann_pq", "t44_vocab",
