@@ -956,6 +956,109 @@ object Streaming {
     * Lazy: cross-object oracle refs at init are the known NPE cycle. */
   lazy val s49Sql: String = graft.operators.Relational.q41Sql
 
+  /** s50's per-micro-batch state fold: the live funnel. State = one
+    * row per user seen so far with the three witness timestamps
+    * (v_ts, c_ts, p_ts — each null until its leg converts). A batch
+    * folds in with q44's EXACT leg rules: the first view fills v_ts
+    * (once — coalesce keeps the earlier witness); clicks qualify
+    * only strictly after the (possibly just-filled) view witness and
+    * within its 1-day horizon; purchases only strictly after the
+    * click witness within ITS horizon. Precondition — and the
+    * reason this fold is exact rather than approximate: micro-
+    * batches arrive in EVENT-TIME ORDER (each batch is a later time
+    * slice), the replay/backfill stance of q30 — under ordered
+    * slicing every witness is final the moment it is written, so
+    * fold(b1…bn) lands byte-exactly on the batch funnel over the
+    * union (late data would need retained candidate events; that is
+    * the documented tradeoff, not silent wrongness — the spec drives
+    * the ordered form). Scale: per batch, three user-keyed
+    * exchanges of the BATCH's filtered substreams against user-sized
+    * state (bucketable by user_id); history never reshuffles. */
+  def funnelFoldBatch(state: DataFrame, batch: DataFrame): DataFrame = {
+    val bv = batch.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("bv"))
+    val base = state.join(bv, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("v_ts"), col("bv")).as("v1"),
+        col("c_ts").as("c0"), col("p_ts").as("p0"))
+    val bc = batch.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+      .join(base.select(col("user_id"), col("v1")), Seq("user_id"))
+      .filter(col("ts") > col("v1") &&
+        col("ts") <= col("v1") + expr("INTERVAL 1 DAY"))
+      .groupBy("user_id").agg(min(col("ts")).as("bc"))
+    val withC = base.join(bc, Seq("user_id"), "left")
+      .select(col("user_id"), col("v1"),
+        coalesce(col("c0"), col("bc")).as("c1"), col("p0"))
+    val bp = batch.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+      .join(withC.select(col("user_id"), col("c1")), Seq("user_id"))
+      .filter(col("ts") > col("c1") &&
+        col("ts") <= col("c1") + expr("INTERVAL 1 DAY"))
+      .groupBy("user_id").agg(min(col("ts")).as("bp"))
+    withC.join(bp, Seq("user_id"), "left")
+      .select(col("user_id"), col("v1").as("v_ts"), col("c1").as("c_ts"),
+        coalesce(col("p0"), col("bp")).as("p_ts"))
+  }
+
+  /** Present the funnel state as q44's 3-row step table (witness
+    * counts are leg counts: p_ts non-null ⇒ c_ts non-null ⇒ v_ts
+    * non-null by construction). */
+  def funnelPresent(state: DataFrame): DataFrame =
+    state.agg(
+        count(col("v_ts")).as("u1"),
+        count(col("c_ts")).as("u2"),
+        count(col("p_ts")).as("u3"))
+      .select(explode(array(
+        struct(lit(1).as("step"), lit("view").as("step_name"),
+          col("u1").as("users")),
+        struct(lit(2).as("step"), lit("click").as("step_name"),
+          col("u2").as("users")),
+        struct(lit(3).as("step"), lit("purchase").as("step_name"),
+          col("u3").as("users")))).as("st"), col("u1"))
+      .select(col("st.step").as("step"), col("st.step_name").as("step_name"),
+        col("st.users").as("users"),
+        round(col("st.users").cast("double") / col("u1"), 4).as("conversion"))
+      .orderBy("step")
+
+  /** s50's micro-batch boundaries (events run Jan 1–30 2024 at every
+    * SF, so all three slices are non-empty). */
+  private[graft] val s50Cut1 = "2024-01-11"
+  private[graft] val s50Cut2 = "2024-01-21"
+
+  /** s50: the LIVE conversion funnel — q44 kept current over the
+    * arriving event stream, the s45/s49 generation stance applied to
+    * per-user witness state: state persists as a real parquet
+    * artifact, each micro-batch (an event-time slice — the ordered
+    * precondition [[funnelFoldBatch]] documents) folds in through
+    * the ONE shared leg rule, and presentation derives the step
+    * table from witness counts alone. The oracle IS q44's batch
+    * recompute — under ordered slicing the fold must be invisible.
+    * StreamingSpec drives the same fold through a REAL MemoryStream
+    * + foreachBatch generation chain and lands on the batch rows. */
+  def s50StreamFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val stateDir = graft.sources.Export.scratch("s50_funnel", dir)
+    val empty = ev.select(col("user_id"), col("ts").as("v_ts"),
+      col("ts").as("c_ts"), col("ts").as("p_ts")).filter(lit(false))
+    empty.write.mode("overwrite").parquet(s"$stateDir/g0")
+    var state = s.read.parquet(s"$stateDir/g0")
+    val slices = Seq(
+      col("ts") < lit(s50Cut1),
+      col("ts") >= lit(s50Cut1) && col("ts") < lit(s50Cut2),
+      col("ts") >= lit(s50Cut2))
+    slices.zipWithIndex.foreach { case (slice, i) =>
+      funnelFoldBatch(state, ev.filter(slice))
+        .write.mode("overwrite").parquet(s"$stateDir/g${i + 1}")
+      state = s.read.parquet(s"$stateDir/g${i + 1}")
+    }
+    funnelPresent(state)
+  }
+
+  /** s50's oracle IS q44's batch funnel — ordered micro-batch
+    * slicing must be invisible. Lazy per the s45Sql stance. */
+  lazy val s50Sql: String = graft.operators.Relational.q44Sql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s34_stream_tumbling" -> (s34StreamTumbling _),
     "s35_stream_join" -> (s35StreamJoin _),
@@ -972,7 +1075,8 @@ object Streaming {
     "s46_stream_card" -> (s46StreamCard _),
     "s47_stream_expectations" -> (s47StreamExpectations _),
     "s48_stream_semantic_admit" -> (s48StreamSemanticAdmit _),
-    "s49_stream_heavy_hitters" -> (s49StreamHeavyHitters _))
+    "s49_stream_heavy_hitters" -> (s49StreamHeavyHitters _),
+    "s50_stream_funnel" -> (s50StreamFunnel _))
 
   def oracles: Map[String, String] = Map(
     "s34_stream_tumbling" -> s34Sql,
@@ -990,5 +1094,6 @@ object Streaming {
     "s46_stream_card" -> s46Sql,
     "s47_stream_expectations" -> s47Sql,
     "s48_stream_semantic_admit" -> s48Sql,
-    "s49_stream_heavy_hitters" -> s49Sql)
+    "s49_stream_heavy_hitters" -> s49Sql,
+    "s50_stream_funnel" -> s50Sql)
 }

@@ -493,6 +493,11 @@ class PlanSpec extends SparkSpec {
       // state-sized tables, pinned by the oracle and the
       // StreamingSpec fold-equals-batch property
       "s49_stream_heavy_hitters",
+      // s50 folds witness-state generations through parquet
+      // artifacts at construction; per-batch plans are three
+      // user-keyed equi-joins/aggs, pinned by the q44 oracle and
+      // the StreamingSpec fold-equals-batch property
+      "s50_stream_funnel",
       // t51 runs its K merge rounds at construction (each round's
       // argmax is one bounded 1-row driver action — the learned
       // parameter, the q30/a36 stance); per-round plans are a

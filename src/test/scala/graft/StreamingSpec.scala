@@ -442,6 +442,54 @@ class StreamingSpec extends SparkSpec {
         s"extra=${(streamed -- batchCard).take(3)}")
   }
 
+  test("s50 live-funnel generations fold to the batch funnel through real micro-batches") {
+    val gens = java.nio.file.Files.createTempDirectory("s50gen").toString
+    val ev = Tables.events(spark, sfDir)
+    // gen-0: empty witness state through the artifact
+    ev.select(col("user_id"), col("ts").as("v_ts"), col("ts").as("c_ts"),
+        col("ts").as("p_ts")).filter(lit(false))
+      .write.mode("overwrite").parquet(s"$gens/g0")
+    // the month's events arrive as a REAL stream in EVENT-TIME ORDER
+    // (the fold's documented precondition): three contiguous slices
+    val rows = ev.select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect().sortBy(_.ts.getTime)
+    val cut1 = Timestamp.valueOf("2024-01-11 00:00:00")
+    val cut2 = Timestamp.valueOf("2024-01-21 00:00:00")
+    val batches = Seq(
+      rows.filter(_.ts.before(cut1)),
+      rows.filter(r => !r.ts.before(cut1) && r.ts.before(cut2)),
+      rows.filter(r => !r.ts.before(cut2)))
+    assert(batches.forall(_.nonEmpty))
+    val gen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val in = MemoryStream[Ev](spark)
+    val q = in.toDF().writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val g = gen.get()
+        Streaming.funnelFoldBatch(spark.read.parquet(s"$gens/g$g"), b.toDF())
+          .write.mode("overwrite").parquet(s"$gens/g${g + 1}")
+        gen.incrementAndGet()
+        ()
+      }.start()
+    try {
+      batches.foreach { b => in.addData(b.toSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    assert(gen.get() == 3, s"expected 3 state generations, got ${gen.get()}")
+    // mid-chain sanity: after the first slice the funnel is partial —
+    // some users have a view witness but no click witness yet
+    val g1 = spark.read.parquet(s"$gens/g1")
+    assert(g1.filter(col("v_ts").isNotNull && col("c_ts").isNull).count() > 0,
+      "first generation must hold partially-converted users")
+    val streamed = Streaming.funnelPresent(spark.read.parquet(s"$gens/g3"))
+      .as[(Int, String, Long, Double)].collect().toSeq
+    val batch = SparkEntry.queries("q44_funnel")(spark, sfDir)
+      .as[(Int, String, Long, Double)].collect().toSeq
+    assert(streamed == batch,
+      s"funnel generation chain != batch funnel: $streamed vs $batch")
+    val s50 = SparkEntry.queries("s50_stream_funnel")(spark, sfDir)
+      .as[(Int, String, Long, Double)].collect().toSeq
+    assert(s50 == batch, "s50's registered fold != batch funnel")
+  }
+
   test("the composed streaming admission (s43 anti-join ∘ stateful dedup ∘ s41 gate) equals d40") {
     // d40 is the batch daily-admission pipeline; its streaming face
     // is the composition of transforms this file already proves
