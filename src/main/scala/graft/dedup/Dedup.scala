@@ -2684,6 +2684,122 @@ object Dedup {
        |LEFT JOIN agg ON agg.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---- d50: URL canonicalization + dedup ----
+
+  /** Canonicalize a URL column — the crawl-dedup normalizer every
+    * web-scale corpus runs before content dedup (the same page
+    * arrives under scheme/host case variants, explicit default
+    * ports, tracking parameters, fragments, and trailing slashes):
+    * lowercase scheme and host; strip the scheme's OWN default port
+    * only (:443 for https, :80 for http — :80 on an https URL is
+    * NOT default and survives); drop the fragment; drop utm_* /
+    * fbclid / gclid tracking params; SORT the surviving query params
+    * (param order is transport noise); strip trailing slashes from
+    * the path. Pure column expressions — regexp splits + one
+    * filter/sort HOF, codegen-friendly, dialect-replayable. */
+  private[graft] def urlCanonical(u: Column): Column = {
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val host = when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .otherwise(hostport)
+    val path = regexp_replace(
+      regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1),
+      "/+$", "")
+    val query = regexp_extract(u, "\\?([^#]*)", 1)
+    val params = array_join(array_sort(filter(split(query, "&"),
+      p => !(p.rlike("^(utm_[^=]*|fbclid|gclid)(=|$)") || p === ""))), "&")
+    concat(scheme, lit("://"), host, path,
+      when(params === "", lit("")).otherwise(concat(lit("?"), params)))
+  }
+
+  /** The dual-dialect literal URL table d50 dedups: 200 docs = 50
+    * pages × 4 transport variants (clean; SCHEME/HOST upcased +
+    * explicit :443 + fragment; utm-injected; trailing slash) plus
+    * 20 distinct control URLs whose params arrive unsorted. The
+    * same format strings are emitted into DuckDB, so the INPUT is
+    * byte-identical and the gate isolates the canonicalizer. */
+  private[graft] def d50Urls(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"))
+      .filter(col("doc_id") < 220)
+      .withColumn("cid", col("doc_id") % 50)
+      .withColumn("url", expr(
+        """CASE doc_id div 50
+          | WHEN 0 THEN concat('https://shop', cid, '.example.com/cat',
+          |   cid % 7, '/item?id=', cid)
+          | WHEN 1 THEN concat('HTTPS://SHOP', cid, '.EXAMPLE.COM:443/cat',
+          |   cid % 7, '/item?id=', cid, '#ref')
+          | WHEN 2 THEN concat('https://shop', cid, '.example.com/cat',
+          |   cid % 7, '/item?utm_source=feed&id=', cid, '&utm_campaign=w', cid)
+          | WHEN 3 THEN concat('https://shop', cid, '.example.com/cat',
+          |   cid % 7, '/item/?id=', cid)
+          | ELSE concat('https://ctrl', doc_id, '.example.net/p', doc_id,
+          |   '?z=', doc_id, '&a=1')
+          |END""".stripMargin))
+      .select("doc_id", "url")
+
+  /** d50: URL dedup — canonicalize, group, keep-min (the d22
+    * stance on the transport-normalized key). One row per doc with
+    * its canonical form and dup_of (null for the keeper). Scale:
+    * canonicalization is a scan-stage expression; the only exchange
+    * is one canonical-keyed min + the keyed join back — d22's exact
+    * shape on a computed key. */
+  def d50UrlDedup(s: SparkSession, dir: String): DataFrame = {
+    val urls = d50Urls(s, dir).withColumn("canonical", urlCanonical(col("url")))
+    val keep = urls.groupBy("canonical").agg(min(col("doc_id")).as("keep_id"))
+    urls.join(keep, Seq("canonical"))
+      .select(col("doc_id"), col("canonical"),
+        when(col("doc_id") === col("keep_id"), lit(null).cast("long"))
+          .otherwise(col("keep_id")).as("dup_of"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for d50: identical literal URLs, identical
+    * regex decomposition, default-port/tracking/fragment/slash
+    * rules, param sort, and keep-min grouping. */
+  val d50Sql: String =
+    """WITH u AS (
+      | SELECT doc_id,
+      |  CASE doc_id // 50
+      |   WHEN 0 THEN concat('https://shop', cid, '.example.com/cat',
+      |     cid % 7, '/item?id=', cid)
+      |   WHEN 1 THEN concat('HTTPS://SHOP', cid, '.EXAMPLE.COM:443/cat',
+      |     cid % 7, '/item?id=', cid, '#ref')
+      |   WHEN 2 THEN concat('https://shop', cid, '.example.com/cat',
+      |     cid % 7, '/item?utm_source=feed&id=', cid, '&utm_campaign=w', cid)
+      |   WHEN 3 THEN concat('https://shop', cid, '.example.com/cat',
+      |     cid % 7, '/item/?id=', cid)
+      |   ELSE concat('https://ctrl', doc_id, '.example.net/p', doc_id,
+      |     '?z=', doc_id, '&a=1')
+      |  END AS url
+      | FROM (SELECT doc_id, doc_id % 50 AS cid FROM documents WHERE doc_id < 220)),
+      |c AS (
+      | SELECT doc_id, url,
+      |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+      |  regexp_replace(regexp_extract(url,
+      |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$', '') AS path,
+      |  regexp_extract(url, '\?([^#]*)', 1) AS query
+      | FROM u),
+      |canon AS (
+      | SELECT doc_id,
+      |  concat(scheme, '://',
+      |   CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+      |        WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+      |        ELSE hostport END,
+      |   path,
+      |   CASE WHEN params = '' THEN '' ELSE concat('?', params) END) AS canonical
+      | FROM (
+      |  SELECT c.*, array_to_string(list_sort(list_filter(string_split(query, '&'),
+      |    p -> NOT (regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)(=|$)') OR p = ''))),
+      |    '&') AS params
+      |  FROM c)),
+      |keep AS (SELECT canonical, min(doc_id) AS keep_id FROM canon GROUP BY 1)
+      |SELECT canon.doc_id, canon.canonical,
+      | CASE WHEN canon.doc_id = keep_id THEN NULL ELSE keep_id END AS dup_of
+      |FROM canon JOIN keep ON canon.canonical = keep.canonical
+      |ORDER BY canon.doc_id""".stripMargin
+
   // ---- d47: forget propagation through the fingerprint index ----
 
   /** d47's takedown list: history docs ≡ 3 (mod 24). Under d35's
@@ -2780,7 +2896,8 @@ object Dedup {
     "d46_semantic_dedup" -> (d46SemanticDedup _),
     "d47_index_forget" -> (d47IndexForget _),
     "d48_containment_dedup" -> (d48ContainmentDedup _),
-    "d49_contamination_report" -> (d49ContaminationReport _))
+    "d49_contamination_report" -> (d49ContaminationReport _),
+    "d50_url_dedup" -> (d50UrlDedup _))
 
   def oracles: Map[String, String] = Map(
     "d22_dedup_exact" -> d22Sql,
@@ -2813,5 +2930,6 @@ object Dedup {
     "d46_semantic_dedup" -> d46Sql,
     "d47_index_forget" -> d47Sql,
     "d48_containment_dedup" -> d48Sql,
-    "d49_contamination_report" -> d49Sql)
+    "d49_contamination_report" -> d49Sql,
+    "d50_url_dedup" -> d50Sql)
 }

@@ -1023,4 +1023,48 @@ class DedupSpec extends SparkSpec {
     assert(got == expected, "d49 != independent gram-set mirror")
     assert(got.exists(_._5 == "dirty"), "corpus must exercise the dirty class")
   }
+
+  // ---- d50 URL canonicalization + dedup ----
+
+  test("d50 canonicalizer: every rule pinned on handcrafted edges") {
+    val cases = Seq(
+      // case-fold + default port + fragment + trailing slash
+      ("HTTPS://Shop.Example.COM:443/a/b/?id=3#frag",
+        "https://shop.example.com/a/b?id=3"),
+      // :80 is NOT https' default port — it survives
+      ("https://h.example:80/p", "https://h.example:80/p"),
+      // :80 IS http's default; :443 on http is not
+      ("http://h.example:80/p", "http://h.example/p"),
+      ("http://h.example:443/p", "http://h.example:443/p"),
+      // tracking params die wherever they sit; survivors sort
+      ("https://h/p?utm_source=a&z=2&fbclid=x&a=1&utm_campaign=b",
+        "https://h/p?a=1&z=2"),
+      // all params stripped → no bare '?'
+      ("https://h/p?utm_source=a&gclid=b", "https://h/p"),
+      // bare utm key without '=' also dies
+      ("https://h/p?utm_x&a=1", "https://h/p?a=1"),
+      // multiple trailing slashes collapse; root path becomes empty
+      ("https://h/a///", "https://h/a"),
+      ("https://h/?b=2&a=1", "https://h?a=1&b=2"))
+    val got = cases.map(_._1).toDF("url")
+      .select(Dedup.urlCanonical(col("url")).as("c")).as[String].collect().toSeq
+    assert(got == cases.map(_._2),
+      s"canonicalizer rules broken:\n${got.zip(cases).filter(p => p._1 != p._2._2)}")
+  }
+
+  test("d50 planted structure: 4 transport variants collapse, controls stay distinct") {
+    val out = SparkEntry.queries("d50_url_dedup")(spark, sfDir)
+      .as[(Long, String, Option[Long])].collect().toSeq
+    assert(out.size == 220 && out.map(_._2).distinct.size == 70,
+      "expected 70 canonical groups over 220 urls")
+    (0L until 50L).foreach { cid =>
+      val grp = out.filter(r => r._1 % 50 == cid && r._1 < 200)
+      assert(grp.map(_._2).distinct.size == 1,
+        s"variants of page $cid must share one canonical")
+      assert(grp.map(_._3).toSet == Set(None, Some(cid)),
+        s"page $cid: keeper is min id, others point at it")
+    }
+    assert(out.filter(_._1 >= 200).forall(_._3.isEmpty),
+      "control urls must not dedup")
+  }
 }
