@@ -2800,6 +2800,67 @@ object Dedup {
       |FROM canon JOIN keep ON canon.canonical = keep.canonical
       |ORDER BY canon.doc_id""".stripMargin
 
+  // ---- d51: near-dup pipeline eval (banding recall/precision) ----
+
+  /** d51: LSH health as an operator — the a39 recall-eval stance
+    * applied to the DEDUP family: how much of the exact truth does
+    * d23's banding actually surface, and how noisy is its candidate
+    * stream? Truth = exact token-set Jaccard ≥ 0.7 over ALL pairs
+    * (the declared-quadratic eval leg, run on a SAMPLE at corpus
+    * scale exactly like a39's ground truth — an eval, not a serving
+    * path); candidates = the d23b md5-affine band join VERBATIM
+    * ([[md5BandCandidatePairs]], the dialect-replayable twin of
+    * d23's banding — one definition, so the eval measures the
+    * shipped pipeline); captured = candidates ∩ truth, which IS
+    * d23b's verified output by construction (DedupSpec pins that
+    * equality against the registered entry). One metrics row:
+    * counts + band_recall (truth captured by banding — the LSH
+    * miss rate made visible) + band_precision (verify work that
+    * survives — the wasted-verify rate). Scale: the truth leg is
+    * the eval's sampled cost; banding and the intersection are the
+    * production exchanges. */
+  def d51NeardupEval(s: SparkSession, dir: String): DataFrame = {
+    val docs = shingledDocs(s, dir)
+    val ids = docs.select(col("doc_id"))
+    val allPairs = ids.select(col("doc_id").as("doc_a"))
+      .crossJoin(ids.select(col("doc_id").as("doc_b")))
+      .filter(col("doc_a") < col("doc_b"))
+    val truth = verifyPairs(allPairs, docs).select("doc_a", "doc_b")
+    val cands = md5BandCandidatePairs(docs)
+    val captured = truth.join(cands, Seq("doc_a", "doc_b"))
+    truth.agg(count(lit(1)).as("truth_pairs"))
+      .crossJoin(broadcast(cands.agg(count(lit(1)).as("candidate_pairs"))))
+      .crossJoin(broadcast(captured.agg(count(lit(1)).as("captured_pairs"))))
+      .select(col("truth_pairs"), col("candidate_pairs"), col("captured_pairs"),
+        round(col("captured_pairs").cast("double") / col("truth_pairs"), 4)
+          .as("band_recall"),
+        round(col("captured_pairs").cast("double") / col("candidate_pairs"), 4)
+          .as("band_precision"))
+  }
+
+  /** DuckDB oracle for d51: the shared md5-affine signature CTEs,
+    * the identical band disjunction, brute-force exact truth, and
+    * the same metric arithmetic. */
+  val d51Sql: String =
+    s"""WITH $md5SigsCte,
+       |cand AS (
+       | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       | FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ($bandEqSql)),
+       |truth AS (
+       | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       | FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+       | WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |   / len(list_distinct(a.sh || b.sh)), 4) >= 0.7),
+       |m AS (SELECT
+       | (SELECT count(*) FROM truth) AS truth_pairs,
+       | (SELECT count(*) FROM cand) AS candidate_pairs,
+       | (SELECT count(*) FROM truth t JOIN cand c
+       |   ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS captured_pairs)
+       |SELECT truth_pairs, candidate_pairs, captured_pairs,
+       | ROUND(CAST(captured_pairs AS DOUBLE) / truth_pairs, 4) AS band_recall,
+       | ROUND(CAST(captured_pairs AS DOUBLE) / candidate_pairs, 4) AS band_precision
+       |FROM m""".stripMargin
+
   // ---- d47: forget propagation through the fingerprint index ----
 
   /** d47's takedown list: history docs ≡ 3 (mod 24). Under d35's
@@ -2897,7 +2958,8 @@ object Dedup {
     "d47_index_forget" -> (d47IndexForget _),
     "d48_containment_dedup" -> (d48ContainmentDedup _),
     "d49_contamination_report" -> (d49ContaminationReport _),
-    "d50_url_dedup" -> (d50UrlDedup _))
+    "d50_url_dedup" -> (d50UrlDedup _),
+    "d51_neardup_eval" -> (d51NeardupEval _))
 
   def oracles: Map[String, String] = Map(
     "d22_dedup_exact" -> d22Sql,
@@ -2931,5 +2993,6 @@ object Dedup {
     "d47_index_forget" -> d47Sql,
     "d48_containment_dedup" -> d48Sql,
     "d49_contamination_report" -> d49Sql,
-    "d50_url_dedup" -> d50Sql)
+    "d50_url_dedup" -> d50Sql,
+    "d51_neardup_eval" -> d51Sql)
 }

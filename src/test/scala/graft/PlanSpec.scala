@@ -403,6 +403,10 @@ class PlanSpec extends SparkSpec {
       // q45/q46's cross joins are 1-row broadcasts (the quintile
       // boundary frame / the order-total scalar) — the q28 stance
       "q45_rfm", "q46_copurchase",
+      // d51's all-pairs truth leg is the declared-quadratic EVAL
+      // (the a39/d26 stance: sampled at corpus scale), and its
+      // metric assembly crosses three 1-row counts
+      "d51_neardup_eval",
       // t58 rides t39's scoring (the same 1-row vocab broadcast)
       "t58_ccnet_buckets",
       "a31_ann_rerank", "s39_stream_decontaminate", "a32_ann_pq", "t44_vocab",
