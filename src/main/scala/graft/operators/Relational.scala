@@ -886,21 +886,29 @@ object Relational {
       .orderBy("user_id", "version")
   }
 
-  val q32Sql: String =
-    """WITH seq AS (
+  /** The SCD2 dimension as a DuckDB CTE chain — ONE body shared by
+    * q32's gate and q47's point-in-time join, so the dimension the
+    * PIT join probes is definitionally q32's. */
+  private val q32DimCte: String =
+    """seq AS (
       | SELECT user_id, event_type, ts, event_id,
       |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
       | FROM events),
       |chg AS (
       | SELECT user_id, event_type, ts, event_id FROM seq
-      | WHERE prev_type IS NULL OR prev_type <> event_type)
-      |SELECT user_id, event_type AS attr_value, ts AS valid_from,
-      | lead(ts) OVER w AS valid_to,
-      | CAST(row_number() OVER w AS INT) AS version,
-      | (lead(ts) OVER w IS NULL) AS is_current
-      |FROM chg
-      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-      |ORDER BY user_id, version""".stripMargin
+      | WHERE prev_type IS NULL OR prev_type <> event_type),
+      |dim AS (
+      | SELECT user_id, event_type AS attr_value, ts AS valid_from,
+      |  lead(ts) OVER w AS valid_to,
+      |  CAST(row_number() OVER w AS INT) AS version,
+      |  (lead(ts) OVER w IS NULL) AS is_current
+      | FROM chg
+      | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))""".stripMargin
+
+  val q32Sql: String =
+    s"""WITH $q32DimCte
+       |SELECT user_id, attr_value, valid_from, valid_to, version, is_current
+       |FROM dim ORDER BY user_id, version""".stripMargin
 
   /** q33: bucketed co-located fact-fact join — the storage-layout
     * answer to the shuffle SURVEY §4 promises to avoid. Both orders
@@ -1812,6 +1820,53 @@ object Relational {
       |CROSS JOIN total
       |ORDER BY pair_orders DESC, part_a, part_b LIMIT 100""".stripMargin
 
+  /** q47: point-in-time (as-of-version) join against the SCD2
+    * dimension — the temporal-correctness join every warehouse
+    * feature pipeline needs and most get wrong by joining the
+    * CURRENT dimension row (leaking future attribute values into
+    * historical facts): each purchase fact is joined to the q32
+    * dimension VERSION valid at its own timestamp — valid_from ≤ ts
+    * AND (ts < valid_to OR open-ended). The dimension is
+    * [[q32Scd2]] VERBATIM (one definition; the PIT join probes
+    * exactly the registered SCD2 output), and because q32's
+    * versions tile each user's timeline from their first event —
+    * empty [t, t) intervals from same-timestamp changes can match
+    * nothing — every fact matches EXACTLY one version (the spec
+    * proves the bijection). This differs from q25's as-of join in
+    * kind: q25 matches the nearest preceding EVENT, q47 matches a
+    * maintained INTERVAL dimension — the SCD2 contract.
+    *
+    * Scale: equi-join on user_id with the interval predicate as a
+    * residual — SortMergeJoin co-partitioned with the dimension's
+    * own build shuffle, never a range-explosion; at 100 TB both
+    * sides bucket by the key (the q32/q08 stance). */
+  def q47PitJoin(s: SparkSession, dir: String): DataFrame = {
+    val dim = q32Scd2(s, dir).as("d")
+    val facts = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(col("value"), 4).as("purchase_value")).as("f")
+    facts.join(dim,
+        col("f.user_id") === col("d.user_id") &&
+          col("f.ts") >= col("d.valid_from") &&
+          (col("d.valid_to").isNull || col("f.ts") < col("d.valid_to")))
+      .select(col("f.user_id").as("user_id"), col("event_id"), col("ts"),
+        col("attr_value"), col("version"), col("purchase_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** DuckDB oracle for q47: the shared [[q32DimCte]] dimension and
+    * the identical interval predicate. */
+  val q47Sql: String =
+    s"""WITH $q32DimCte
+       |SELECT f.user_id, f.event_id, f.ts, d.attr_value, d.version,
+       | ROUND(f.value, 4) AS purchase_value
+       |FROM (SELECT * FROM events WHERE event_type = 'purchase') f
+       |JOIN dim d ON d.user_id = f.user_id
+       | AND f.ts >= d.valid_from
+       | AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+       |ORDER BY f.user_id, f.event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_filter" -> (q01AggFilter _),
     "q02_project_enrich" -> (q02ProjectEnrich _),
@@ -1855,7 +1910,8 @@ object Relational {
     "q43_cube" -> (q43Cube _),
     "q44_funnel" -> (q44Funnel _),
     "q45_rfm" -> (q45Rfm _),
-    "q46_copurchase" -> (q46CoPurchase _))
+    "q46_copurchase" -> (q46CoPurchase _),
+    "q47_pit_join" -> (q47PitJoin _))
 
   // ---- q40: data-quality expectations audit (DLT expectations) ----
 
@@ -1994,5 +2050,6 @@ object Relational {
     "q43_cube" -> q43Sql,
     "q44_funnel" -> q44Sql,
     "q45_rfm" -> q45Sql,
-    "q46_copurchase" -> q46Sql)
+    "q46_copurchase" -> q46Sql,
+    "q47_pit_join" -> q47Sql)
 }

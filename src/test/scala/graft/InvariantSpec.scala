@@ -441,6 +441,38 @@ class InvariantSpec extends SparkSpec {
     assert(got.exists(_._8 > 1.0) , "corpus must exercise positive lift")
   }
 
+  test("q47 PIT join: fact bijection and as-of-version correctness against a replay mirror") {
+    val got = SparkEntry.queries("q47_pit_join")(spark, sfDir)
+      .as[(Long, Long, java.sql.Timestamp, String, Int, Double)].collect().toSeq
+    val ev = Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "ts", "event_type")
+      .as[(Long, Long, java.sql.Timestamp, String)].collect()
+    // bijection: every purchase fact appears exactly once
+    val purchases = ev.filter(_._4 == "purchase")
+    assert(got.size == purchases.length &&
+      got.map(_._2).distinct.size == got.size,
+      s"PIT join must be 1:1 with facts: ${got.size} vs ${purchases.length}")
+    // as-of correctness: the joined attr_value must equal the state
+    // of a sequential replay of the user's change log at fact time —
+    // the last CHANGE event at or before ts (ties broken by event_id
+    // like the dimension's window order)
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000 + t.getNanos / 1000
+    val byUser = ev.groupBy(_._1).view.mapValues(
+      _.sortBy(e => (micros(e._3), e._2)).toSeq).toMap
+    got.foreach { case (u, eid, ts, attr, _, _) =>
+      val log = byUser(u)
+      var cur: String = null
+      val changes = scala.collection.mutable.ListBuffer.empty[(Long, String)]
+      log.foreach { e =>
+        if (cur == null || cur != e._4) { changes += ((micros(e._3), e._4)); cur = e._4 }
+      }
+      val valid = changes.filter(c => c._1 <= micros(ts)).lastOption
+      assert(valid.exists(_._2 == attr),
+        s"user $u fact $eid at $ts: joined '$attr' != replay '${valid.map(_._2)}'")
+    }
+  }
+
   test("q44 funnel: re-anchoring, strict order, horizon, and no-view exclusion") {
     // user 1: purchase BEFORE the first view must not count, nor may
     //   the purchase that lands between view and click — only the
