@@ -937,16 +937,17 @@ object Multimodal {
   def m35bNeardupOracle(s: SparkSession, dir: String): DataFrame =
     m35PairsFromHashes(m35bHashLiterals(s, dir))
 
-  /** DuckDB oracle for m35b: identical md5 literal hashes, identical
-    * two-bit variant flips, the identical 4×16-bit band explode,
-    * first-equal-band CASE, and bit_count verify. */
-  val m35bSql: String = {
+  /** The m35b literal-hash + band/verify pipeline as a DuckDB CTE
+    * chain ending in `pairs (doc_a, doc_b, hamming)` — ONE body
+    * shared by m35b's pair gate and m36b's closure gate, so the two
+    * cannot disagree about the edge set. */
+  private val m35bPairsCte: String = {
     val mod = m35ContentMod
-    s"""WITH h AS (
+    s"""h AS (
        | SELECT doc_id,
        |  CASE WHEN (doc_id // $mod) % 3 = 2
-       |   THEN xor(base, (CAST(1 AS BIGINT) << CAST(cid % 60 AS INT))
-       |              | (CAST(1 AS BIGINT) << CAST((cid * 7 + 13) % 60 AS INT)))
+       |   THEN xor(base, (CAST(1 AS BIGINT) << CAST(cid % 60 AS INT)) |
+       |     (CAST(1 AS BIGINT) << CAST((cid * 7 + 13) % 60 AS INT)))
        |   ELSE base END AS dhash
        | FROM (
        |  SELECT doc_id, doc_id % $mod AS cid,
@@ -954,20 +955,64 @@ object Multimodal {
        |  FROM documents WHERE doc_id < 120)),
        |bx AS (
        | SELECT doc_id, dhash, band, (dhash >> CAST(16 * band AS INT)) & 65535 AS chunk
-       | FROM (SELECT doc_id, dhash, unnest(generate_series(0, 3)) AS band FROM h))
-       |SELECT doc_a, doc_b, CAST(bit_count(xor(hash_a, hash_b)) AS INT) AS hamming
-       |FROM (
-       | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |        a.dhash AS hash_a, b.dhash AS hash_b, a.band
-       | FROM bx a JOIN bx b
-       |  ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
-       |WHERE band = (CASE WHEN (hash_a & 65535) = (hash_b & 65535) THEN 0
-       |  WHEN ((hash_a >> 16) & 65535) = ((hash_b >> 16) & 65535) THEN 1
-       |  WHEN ((hash_a >> 32) & 65535) = ((hash_b >> 32) & 65535) THEN 2
-       |  ELSE 3 END)
-       | AND bit_count(xor(hash_a, hash_b)) <= 3
-       |ORDER BY doc_a, doc_b""".stripMargin
+       | FROM (SELECT doc_id, dhash, unnest(generate_series(0, 3)) AS band FROM h)),
+       |pairs AS (
+       | SELECT doc_a, doc_b, CAST(bit_count(xor(hash_a, hash_b)) AS INT) AS hamming
+       | FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.dhash AS hash_a, b.dhash AS hash_b, a.band
+       |  FROM bx a JOIN bx b
+       |   ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+       | WHERE band = (CASE WHEN (hash_a & 65535) = (hash_b & 65535) THEN 0
+       |   WHEN ((hash_a >> 16) & 65535) = ((hash_b >> 16) & 65535) THEN 1
+       |   WHEN ((hash_a >> 32) & 65535) = ((hash_b >> 32) & 65535) THEN 2
+       |   ELSE 3 END)
+       |  AND bit_count(xor(hash_a, hash_b)) <= 3)""".stripMargin
   }
+
+  /** DuckDB oracle for m35b: identical md5 literal hashes, identical
+    * two-bit variant flips, the identical 4×16-bit band explode,
+    * first-equal-band CASE, and bit_count verify. */
+  val m35bSql: String =
+    s"""WITH $m35bPairsCte
+       |SELECT doc_a, doc_b, hamming FROM pairs
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** m36b: m36's closure stage oracle-checked — the same split one
+    * level up: m36 stays rows-only because its edges come from JVM
+    * decode, but the CLOSURE over any edge set is relational, so
+    * m36b routes the m35b literal pairs through the VERY SAME
+    * [[graft.dedup.Dedup.connectedComponents]] the production
+    * closure uses and DuckDB replays it with a recursive
+    * reachability CTE (the d27b pattern). With m35b + m37b this
+    * leaves JVM decode — and nothing relational — outside the
+    * oracle gate for the whole perceptual family. */
+  def m36bClosureOracle(s: SparkSession, dir: String): DataFrame = {
+    val hashes = m35bHashLiterals(s, dir)
+    val verts = hashes.select(col("doc_id").as("id"))
+    val edges = m35PairsFromHashes(hashes)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    graft.dedup.Dedup.connectedComponents(verts, edges)
+      .select(col("id").as("doc_id"), col("component").as("component_id"),
+        (col("id") === col("component")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for m36b: the shared [[m35bPairsCte]] edge set,
+    * symmetrized and closed with the d27b recursive-reachability
+    * idiom, min label per vertex. */
+  val m36bSql: String =
+    s"""WITH RECURSIVE $m35bPairsCte,
+       |edges AS (
+       | SELECT doc_a AS src, doc_b AS dst FROM pairs
+       | UNION ALL
+       | SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |reach(a, b) AS (
+       | SELECT doc_id, doc_id FROM h
+       | UNION
+       | SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+       |SELECT a AS doc_id, MIN(b) AS component_id, MIN(b) = a AS keep
+       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
   // ---- m37b: the frame-aligned band/ratio stage oracle-checked ----
 
@@ -1060,6 +1105,7 @@ object Multimodal {
     "m35_media_neardup" -> (m35MediaNeardup _),
     "m35b_neardup_oracle" -> (m35bNeardupOracle _),
     "m36_media_dedup_closure" -> (m36MediaDedupClosure _),
+    "m36b_closure_oracle" -> (m36bClosureOracle _),
     "m37_video_neardup" -> (m37VideoNeardup _),
     "m37b_video_oracle" -> (m37bVideoOracle _),
     "m38_audio_neardup" -> (m38AudioNeardup _),
@@ -1068,5 +1114,6 @@ object Multimodal {
 
   def oracles: Map[String, String] = Map(
     "m35b_neardup_oracle" -> m35bSql,
+    "m36b_closure_oracle" -> m36bSql,
     "m37b_video_oracle" -> m37bSql)
 }

@@ -661,6 +661,30 @@ class MultimodalSpec extends SparkSpec {
     assert(mirror == out, "banding/verify mirror disagrees")
   }
 
+  // ---- m36b: the closure stage oracle-checked ----
+
+  test("m36b planted structure: every triplet closes to its min id; union-find mirror agrees") {
+    val out = Multimodal.m36bClosureOracle(spark, sfDir)
+      .as[(Long, Long, Boolean)].collect().toSet
+    // 40 content groups (cid, cid+40, cid+80) are each fully
+    // connected through the m35b pair structure → component = cid
+    val expected = (0L until 40L).flatMap { cid =>
+      Seq((cid, cid, true), (cid + 40L, cid, false), (cid + 80L, cid, false))
+    }.toSet
+    assert(out == expected, s"closure structure broken: ${out.size} rows")
+    // independent union-find over the registered m35b pair stream
+    val pairs = SparkEntry.queries("m35b_neardup_oracle")(spark, sfDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map((0L until 120L).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val mirror = (0L until 120L).map(i => (i, find(i), find(i) == i)).toSet
+    assert(mirror == out, "union-find mirror disagrees with the closure")
+  }
+
   // ---- m37b: the frame-aligned band/ratio stage oracle-checked ----
 
   test("m37b planted structure: re-encodes at 1.0, even-cid variants at the 0.5 boundary; mirror agrees") {
