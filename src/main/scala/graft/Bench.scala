@@ -52,7 +52,12 @@ object Bench {
     "t51_bpe_merges", "t52_bpe_apply", "t57_bpe_batched",
     "d44_substring_dedup", "d45_substring_scrub", "d46_semantic_dedup",
     "a42_ann_ivf_mips", "a43_persisted_mips",
-    "s48_stream_semantic_admit", "s49_stream_heavy_hitters")
+    "s48_stream_semantic_admit", "s49_stream_heavy_hitters",
+    // r11 second window: d47/s50 fold persisted artifact generations,
+    // d48 rides the d44-class winnowing join, d51 runs the declared-
+    // quadratic truth leg — all attributable from first appearance
+    "d47_index_forget", "d48_containment_dedup", "d51_neardup_eval",
+    "s50_stream_funnel")
 
   private def familyOf(name: String): String =
     if (solo(name)) name
