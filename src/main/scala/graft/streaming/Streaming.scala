@@ -1059,6 +1059,92 @@ object Streaming {
     * slicing must be invisible. Lazy per the s45Sql stance. */
   lazy val s50Sql: String = graft.operators.Relational.q44Sql
 
+  /** s51's per-micro-batch state fold: the live SCD2 dimension.
+    * State = q32's full dimension table so far (closed rows + one
+    * OPEN row per user). A batch of raw events folds in with q32's
+    * exact change rule: an event is a change iff its type differs
+    * from the previous EVENT's type — and between changes every
+    * event carries the last change's type, so seeding the batch's
+    * lag chain with the open row's attr_value is EQUAL to q32's
+    * full-history lag (the induction the scaladoc of q32 relies
+    * on). New versions continue the user's numbering (offset by the
+    * open row's version), the open row closes at the batch's first
+    * change, untouched users pass through. Exact under the same
+    * event-time-ordered precondition as [[funnelFoldBatch]] — the
+    * q30 replay stance, spec-driven. Scale: per batch one
+    * user-keyed window over (seed ∪ batch) — batch-sized, never
+    * history — plus user-keyed joins against the OPEN slice of the
+    * state (one row per user, bucketable); closed history rows are
+    * append-only and never reshuffle. */
+  def scd2FoldBatch(state: DataFrame, batch: DataFrame): DataFrame = {
+    val open = state.filter(col("is_current"))
+      .select(col("user_id"), col("attr_value"), col("valid_from"), col("version"))
+    val seed = open.select(col("user_id"),
+      col("attr_value").as("event_type"), col("valid_from").as("ts"),
+      lit(-1L).as("event_id"), lit(true).as("is_seed"))
+    val ev = batch.select(col("user_id"), col("event_type"), col("ts"),
+      col("event_id"), lit(false).as("is_seed"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val chg = seed.unionByName(ev)
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(!col("is_seed") &&
+        (col("prev").isNull || col("prev") =!= col("event_type")))
+      .withColumn("bseq", row_number().over(w))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+    val newRows = chg
+      .join(open.select(col("user_id"), col("version").as("v0")), Seq("user_id"), "left")
+      .select(col("user_id"), col("event_type").as("attr_value"),
+        col("ts").as("valid_from"), col("next_ts").as("valid_to"),
+        (coalesce(col("v0"), lit(0)) + col("bseq")).cast("int").as("version"),
+        col("next_ts").isNull.as("is_current"))
+    val firstChg = chg.filter(col("bseq") === 1)
+      .select(col("user_id"), col("ts").as("close_ts"))
+    val closedOpen = open.join(firstChg, Seq("user_id"))
+      .select(col("user_id"), col("attr_value"), col("valid_from"),
+        col("close_ts").as("valid_to"), col("version"), lit(false).as("is_current"))
+    val untouchedOpen = open.join(firstChg, Seq("user_id"), "left_anti")
+      .select(col("user_id"), col("attr_value"), col("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"), col("version"),
+        lit(true).as("is_current"))
+    state.filter(!col("is_current"))
+      .select("user_id", "attr_value", "valid_from", "valid_to", "version",
+        "is_current")
+      .unionByName(closedOpen).unionByName(untouchedOpen).unionByName(newRows)
+  }
+
+  /** s51: the LIVE SCD2 dimension — q32 maintained at the stream
+    * boundary through persisted state generations (the s45/s50
+    * stance), completing the temporal triangle: q32 builds the
+    * dimension, q47 probes it point-in-time, s51 keeps it current.
+    * The oracle IS q32's full recompute — ordered micro-batch
+    * slicing must be invisible — and StreamingSpec drives the same
+    * fold through a REAL MemoryStream + foreachBatch generation
+    * chain onto the batch rows. */
+  def s51StreamScd2(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val stateDir = graft.sources.Export.scratch("s51_scd2", dir)
+    val empty = ev.select(col("user_id"), col("event_type").as("attr_value"),
+      col("ts").as("valid_from"), col("ts").as("valid_to"),
+      lit(1).as("version"), lit(true).as("is_current")).filter(lit(false))
+    empty.write.mode("overwrite").parquet(s"$stateDir/g0")
+    var state = s.read.parquet(s"$stateDir/g0")
+    val slices = Seq(
+      col("ts") < lit(s50Cut1),
+      col("ts") >= lit(s50Cut1) && col("ts") < lit(s50Cut2),
+      col("ts") >= lit(s50Cut2))
+    slices.zipWithIndex.foreach { case (slice, i) =>
+      scd2FoldBatch(state, ev.filter(slice))
+        .write.mode("overwrite").parquet(s"$stateDir/g${i + 1}")
+      state = s.read.parquet(s"$stateDir/g${i + 1}")
+    }
+    state.orderBy("user_id", "version")
+  }
+
+  /** s51's oracle IS q32's SCD2 build — ordered slicing must be
+    * invisible. Lazy per the s45Sql stance. */
+  lazy val s51Sql: String = graft.operators.Relational.q32Sql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s34_stream_tumbling" -> (s34StreamTumbling _),
     "s35_stream_join" -> (s35StreamJoin _),
@@ -1076,7 +1162,8 @@ object Streaming {
     "s47_stream_expectations" -> (s47StreamExpectations _),
     "s48_stream_semantic_admit" -> (s48StreamSemanticAdmit _),
     "s49_stream_heavy_hitters" -> (s49StreamHeavyHitters _),
-    "s50_stream_funnel" -> (s50StreamFunnel _))
+    "s50_stream_funnel" -> (s50StreamFunnel _),
+    "s51_stream_scd2" -> (s51StreamScd2 _))
 
   def oracles: Map[String, String] = Map(
     "s34_stream_tumbling" -> s34Sql,
@@ -1095,5 +1182,6 @@ object Streaming {
     "s47_stream_expectations" -> s47Sql,
     "s48_stream_semantic_admit" -> s48Sql,
     "s49_stream_heavy_hitters" -> s49Sql,
-    "s50_stream_funnel" -> s50Sql)
+    "s50_stream_funnel" -> s50Sql,
+    "s51_stream_scd2" -> s51Sql)
 }

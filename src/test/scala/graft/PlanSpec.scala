@@ -502,6 +502,11 @@ class PlanSpec extends SparkSpec {
       // user-keyed equi-joins/aggs, pinned by the q44 oracle and
       // the StreamingSpec fold-equals-batch property
       "s50_stream_funnel",
+      // s51 folds SCD2 dimension generations through parquet
+      // artifacts at construction; per-batch plans are one
+      // user-keyed window + open-slice joins, pinned by the q32
+      // oracle and the StreamingSpec fold-equals-batch property
+      "s51_stream_scd2",
       // t51 runs its K merge rounds at construction (each round's
       // argmax is one bounded 1-row driver action — the learned
       // parameter, the q30/a36 stance); per-round plans are a

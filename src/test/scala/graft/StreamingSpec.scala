@@ -490,6 +490,56 @@ class StreamingSpec extends SparkSpec {
     assert(s50 == batch, "s50's registered fold != batch funnel")
   }
 
+  test("s51 live-SCD2 generations fold to the batch dimension through real micro-batches") {
+    val gens = java.nio.file.Files.createTempDirectory("s51gen").toString
+    val ev = Tables.events(spark, sfDir)
+    ev.select(col("user_id"), col("event_type").as("attr_value"),
+        col("ts").as("valid_from"), col("ts").as("valid_to"),
+        lit(1).as("version"), lit(true).as("is_current")).filter(lit(false))
+      .write.mode("overwrite").parquet(s"$gens/g0")
+    val rows = ev.select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect().sortBy(_.ts.getTime)
+    val cut1 = Timestamp.valueOf("2024-01-11 00:00:00")
+    val cut2 = Timestamp.valueOf("2024-01-21 00:00:00")
+    val batches = Seq(
+      rows.filter(_.ts.before(cut1)),
+      rows.filter(r => !r.ts.before(cut1) && r.ts.before(cut2)),
+      rows.filter(r => !r.ts.before(cut2)))
+    assert(batches.forall(_.nonEmpty))
+    val gen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val in = MemoryStream[Ev](spark)
+    val q = in.toDF().writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val g = gen.get()
+        Streaming.scd2FoldBatch(spark.read.parquet(s"$gens/g$g"), b.toDF())
+          .write.mode("overwrite").parquet(s"$gens/g${g + 1}")
+        gen.incrementAndGet()
+        ()
+      }.start()
+    try {
+      batches.foreach { b => in.addData(b.toSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    assert(gen.get() == 3, s"expected 3 dimension generations, got ${gen.get()}")
+    // mid-chain sanity: generation 1 must hold open rows that later
+    // generations close (the dimension is genuinely incremental)
+    val g1open = spark.read.parquet(s"$gens/g1")
+      .filter(col("is_current")).select("user_id", "version")
+      .as[(Long, Int)].collect().toSet
+    val g3 = spark.read.parquet(s"$gens/g3")
+    val g3closed = g3.filter(!col("is_current")).select("user_id", "version")
+      .as[(Long, Int)].collect().toSet
+    assert(g1open.intersect(g3closed).nonEmpty,
+      "some generation-1 open row must be closed by later batches")
+    val streamed = g3.orderBy("user_id", "version")
+      .as[(Long, String, Timestamp, Option[Timestamp], Int, Boolean)].collect().toSeq
+    val batch = SparkEntry.queries("q32_scd2")(spark, sfDir)
+      .as[(Long, String, Timestamp, Option[Timestamp], Int, Boolean)].collect().toSeq
+    assert(streamed == batch, "SCD2 generation chain != batch dimension")
+    val s51 = SparkEntry.queries("s51_stream_scd2")(spark, sfDir)
+      .as[(Long, String, Timestamp, Option[Timestamp], Int, Boolean)].collect().toSeq
+    assert(s51 == batch, "s51's registered fold != batch dimension")
+  }
+
   test("the composed streaming admission (s43 anti-join ∘ stateful dedup ∘ s41 gate) equals d40") {
     // d40 is the batch daily-admission pipeline; its streaming face
     // is the composition of transforms this file already proves
