@@ -1708,6 +1708,57 @@ object Ann {
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   }
 
+  /** a44: IVF cell-balance stats — the index-health dashboard that
+    * completes a39's eval story (a39 measures recall, a44 measures
+    * the LOAD SKEW that decides whether the pruning promise holds):
+    * one ledger row per refined a42 centroid with its assigned
+    * vector count and load factor (count × nlist / n — 1.0 is
+    * perfect balance), empty cells included with 0 (the rows a
+    * rebalancer would split or retire). Assignment is
+    * [[a42AssignTopFrom]] with m = 1 — the SAME routing the index,
+    * semantic dedup (d46), and stream admission (s48) use, so the
+    * dashboard measures the shipped partition, not a twin. Scale:
+    * one pass of the quantized stream against the broadcast packed
+    * centroids + one cell-keyed count; the ledger is nlist-sized. */
+  def a44CellStats(s: SparkSession, dir: String): DataFrame = {
+    val (base, c1) = a42Refine(s, dir)
+    val assign = a42AssignTopFrom(base, c1, 1)
+      .select(col("vec_id"), col("cells").getItem(0).cast("int").as("cell"))
+    val counts = assign.groupBy("cell").agg(count(lit(1)).as("vectors"))
+    val totals = assign.agg(count(lit(1)).as("n"))
+      .crossJoin(c1.agg(count(lit(1)).as("nlist")))
+    c1.select(col("cid").cast("int").as("cell"))
+      .join(counts, Seq("cell"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("cell"),
+        coalesce(col("vectors"), lit(0L)).as("vectors"),
+        round(coalesce(col("vectors"), lit(0L)).cast("double") *
+          col("nlist") / col("n"), 4).as("load_factor"))
+      .orderBy("cell")
+  }
+
+  /** DuckDB oracle for a44: the shared a42 build CTEs, the identical
+    * rnk-1 assignment against the refined centroids, and the same
+    * ledger arithmetic. */
+  val a44Sql: String = {
+    val intL2 = a42IntL2Duck _
+    s"""WITH $a42BuildCte,
+       |a1 AS (
+       | SELECT vec_id, cell FROM (
+       |  SELECT x.vec_id, c.cid AS cell,
+       |   row_number() OVER (PARTITION BY x.vec_id
+       |     ORDER BY ${intL2("x.qv", "c.qv")}, c.cid) AS rnk
+       |  FROM a0 x, c1 c) WHERE rnk = 1),
+       |cnt AS (SELECT cell, count(*) AS vectors FROM a1 GROUP BY 1),
+       |t AS (SELECT (SELECT count(*) FROM a1) AS n,
+       |             (SELECT count(*) FROM c1) AS nlist)
+       |SELECT CAST(c1.cid AS INT) AS cell,
+       | coalesce(vectors, 0) AS vectors,
+       | ROUND(CAST(coalesce(vectors, 0) AS DOUBLE) * nlist / n, 4) AS load_factor
+       |FROM c1 LEFT JOIN cnt ON cnt.cell = c1.cid CROSS JOIN t
+       |ORDER BY cell""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a27_ann_brute" -> (a27AnnBrute _),
     "a28_ann_lsh" -> (a28AnnLsh _),
@@ -1726,7 +1777,8 @@ object Ann {
     "a40_ann_shard" -> (a40AnnShard _),
     "a41_ann_mips" -> (a41AnnMips _),
     "a42_ann_ivf_mips" -> (a42AnnIvfMips _),
-    "a43_persisted_mips" -> (a43PersistedMips _))
+    "a43_persisted_mips" -> (a43PersistedMips _),
+    "a44_cell_stats" -> (a44CellStats _))
 
   def oracles: Map[String, String] = Map(
     "a27_ann_brute" -> a27Sql,
@@ -1746,5 +1798,6 @@ object Ann {
     "a41_ann_mips" -> a41Sql,
     "a42_ann_ivf_mips" -> a42Sql,
     // a43's oracle IS a42's: probe-from-persisted == recompute
-    "a43_persisted_mips" -> a42Sql)
+    "a43_persisted_mips" -> a42Sql,
+    "a44_cell_stats" -> a44Sql)
 }

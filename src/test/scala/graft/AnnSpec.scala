@@ -567,4 +567,34 @@ class AnnSpec extends SparkSpec {
     assert(a43.nonEmpty && a43 == a42,
       s"persisted probe diverged from recompute: ${a43.diff(a42).take(3)}")
   }
+
+  // ---- a44 cell-balance stats ----
+
+  test("a44 ledger: complete over cells, counts conserve the corpus, load factors exact") {
+    val got = SparkEntry.queries("a44_cell_stats")(spark, sfDir)
+      .as[(Int, Long, Double)].collect().toSeq
+    val (base, c1) = Ann.a42Refine(spark, sfDir)
+    val nlist = c1.count()
+    assert(got.size == nlist && got.map(_._1).distinct.size == got.size,
+      "one ledger row per refined centroid")
+    // conservation: every routed vector lands in exactly one cell
+    val n = base.count()
+    assert(got.map(_._2).sum == n,
+      s"cell counts ${got.map(_._2).sum} must conserve the corpus $n")
+    // the ledger measures the SHIPPED routing: recompute from the
+    // registered m=1 assignment
+    val mirror = Ann.a42AssignTop(spark, sfDir, 1)
+      .select(col("vec_id"), col("cells").getItem(0).cast("int"))
+      .as[(Long, Int)].collect().groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    got.foreach { case (cell, v, lf) =>
+      assert(mirror.getOrElse(cell, 0L) == v, s"cell $cell count != routing mirror")
+      val exp = BigDecimal(v.toDouble * nlist / n)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(lf == exp, s"cell $cell load factor $lf != $exp")
+    }
+    // non-degenerate: the corpus actually skews (some cell above and
+    // some below perfect balance)
+    assert(got.exists(_._3 > 1.0) && got.exists(_._3 < 1.0),
+      "load factors degenerate — no skew visible")
+  }
 }

@@ -398,6 +398,8 @@ class PlanSpec extends SparkSpec {
       "a42_ann_ivf_mips",
       // d46 rides a42's build (same 1-row broadcasts)
       "d46_semantic_dedup",
+      // a44 rides a42's build + a 1-row totals cross
+      "a44_cell_stats",
       "d26_embed_neardup",
       "q28_date_spine", "t38_keyphrase", "t39_bigram_lm", "a30_ann_sq",
       // q45/q46's cross joins are 1-row broadcasts (the quintile
