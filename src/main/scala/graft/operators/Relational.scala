@@ -1867,6 +1867,93 @@ object Relational {
        | AND (d.valid_to IS NULL OR f.ts < d.valid_to)
        |ORDER BY f.user_id, f.event_id""".stripMargin
 
+  /** q48's qualifying-activity predicate — ONE dialect-neutral SQL
+    * string evaluated verbatim by both engines (the q40 rule
+    * stance): the retention universe is HIGH-VALUE PURCHASERS,
+    * which on this corpus is sparse enough that the matrix shows
+    * genuine decay (every user fires *some* event every week, so
+    * all-events cohorts would be a vacuous all-1.0 gate). */
+  private[graft] val q48Qualifies: String =
+    "event_type = 'purchase' AND value > 80"
+
+  /** q48's weekly activity pairs — ONE definition of "a user was
+    * active in week w" shared by the batch matrix and s52's live
+    * fold: distinct (user_id, ISO-week-start DATE) over qualifying
+    * events. Both engines truncate weeks to Monday (Spark
+    * date_trunc('week') == DuckDB date_trunc('week')), and the
+    * distinct makes every downstream aggregate insensitive to event
+    * multiplicity. */
+  private[graft] def q48ActivityPairs(ev: DataFrame): DataFrame =
+    ev.filter(expr(q48Qualifies))
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("week"))
+      .distinct()
+
+  /** Fold (user, week) activity pairs to the cohort retention
+    * matrix — shared verbatim by q48 and s52's presentation, so the
+    * batch matrix and the live fold cannot disagree on cohort or
+    * retention arithmetic. */
+  private[graft] def q48Present(act: DataFrame): DataFrame = {
+    val cohort = act.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    val sizes = cohort.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+    act.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        expr("CAST(datediff(week, cohort_week) div 7 AS INT)").as("week_offset"))
+      .agg(count(lit(1)).as("active_users"))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("active_users"),
+        col("cohort_size"),
+        round(col("active_users").cast("double") / col("cohort_size"), 4)
+          .as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** q48: cohort retention matrix — the product-analytics companion
+    * to q44's funnel: users are grouped into WEEKLY COHORTS by their
+    * first qualifying-activity week ([[q48Qualifies]] — high-value
+    * purchasers, the slice with genuine decay on this corpus), and
+    * each (cohort, week-offset) cell counts how many of that cohort
+    * were active that many weeks later, as a retention rate against
+    * the cohort's size. Week = ISO Monday truncation in both
+    * engines; offset-0 retention is 1.0 by construction (a user is
+    * active in their own first week). Activity is DISTINCT
+    * (user, week) — multiplicity within a week is irrelevant, which
+    * is also what makes s52's live fold of the same matrix exact
+    * under ANY micro-batch slicing (union of distinct-pair sets,
+    * then the same [[q48Present]]).
+    *
+    * Scale (100 TB of events): the distinct is one user-keyed
+    * exchange of (user, week) pairs cut to ≤ users×weeks rows in
+    * the map-side partial; the cohort min RE-USES the same user
+    * partitioning (co-located groupBy then join on user_id); the
+    * matrix rollup exchanges ≤ weeks² keys and the per-cohort size
+    * frame (weeks rows) comes back by broadcast. Nothing driver-
+    * side. */
+  def q48Retention(s: SparkSession, dir: String): DataFrame =
+    q48Present(q48ActivityPairs(Tables.events(s, dir)))
+
+  /** DuckDB oracle for q48: identical pair/cohort/offset/retention
+    * arithmetic (`//` == Spark integral div on the exact multiple-
+    * of-7 day difference; week truncation is Monday in both). */
+  val q48Sql: String =
+    s"""WITH act AS (
+      | SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      | FROM events WHERE $q48Qualifies),
+      |coh AS (SELECT user_id, min(week) AS cohort_week FROM act GROUP BY 1),
+      |sizes AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+      | FROM coh GROUP BY 1),
+      |cells AS (
+      | SELECT c.cohort_week,
+      |  CAST(datediff('day', c.cohort_week, a.week) // 7 AS INT) AS week_offset,
+      |  CAST(count(*) AS BIGINT) AS active_users
+      | FROM act a JOIN coh c ON a.user_id = c.user_id
+      | GROUP BY 1, 2)
+      |SELECT cells.cohort_week AS cohort_week, week_offset, active_users,
+      | cohort_size,
+      | ROUND(CAST(active_users AS DOUBLE) / cohort_size, 4) AS retention
+      |FROM cells JOIN sizes ON cells.cohort_week = sizes.cohort_week
+      |ORDER BY cells.cohort_week, week_offset""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_filter" -> (q01AggFilter _),
     "q02_project_enrich" -> (q02ProjectEnrich _),
@@ -1911,7 +1998,8 @@ object Relational {
     "q44_funnel" -> (q44Funnel _),
     "q45_rfm" -> (q45Rfm _),
     "q46_copurchase" -> (q46CoPurchase _),
-    "q47_pit_join" -> (q47PitJoin _))
+    "q47_pit_join" -> (q47PitJoin _),
+    "q48_retention" -> (q48Retention _))
 
   // ---- q40: data-quality expectations audit (DLT expectations) ----
 
@@ -2051,5 +2139,6 @@ object Relational {
     "q44_funnel" -> q44Sql,
     "q45_rfm" -> q45Sql,
     "q46_copurchase" -> q46Sql,
-    "q47_pit_join" -> q47Sql)
+    "q47_pit_join" -> q47Sql,
+    "q48_retention" -> q48Sql)
 }

@@ -508,4 +508,52 @@ class InvariantSpec extends SparkSpec {
       (3, "purchase", 2L, 0.5)),
       s"funnel semantics mismatch: $got")
   }
+
+  test("q48 retention: planted cohorts, qualifying predicate, distinct weeks, decay laws") {
+    // Weeks (Mondays): w1=2024-01-01, w2=01-08, w3=01-15.
+    // user 1: qualifies w1, w2, w3           → cohort w1, offsets 0,1,2
+    // user 2: qualifies w1 only              → cohort w1, offset 0
+    // user 3: first qualifies w2 (TWICE in w2 — distinct must
+    //         collapse), again w3            → cohort w2, offsets 0,1
+    // user 4: only NON-qualifying activity (cheap purchase, views)
+    //         in every week                  → excluded entirely
+    val dir = java.nio.file.Files.createTempDirectory("graftret").toString
+    val d = 24L * 3600 * 1000000000L // 1 day in nanos
+    val t0 = 1704067200L * 1000000000L // 2024-01-01T00:00:00Z (a Monday)
+    Seq(
+      (1L, 1L, t0 + 1 * d, "purchase", 100.0),
+      (2L, 1L, t0 + 8 * d, "purchase", 90.0),
+      (3L, 1L, t0 + 15 * d, "purchase", 85.0),
+      (4L, 2L, t0 + 2 * d, "purchase", 99.0),
+      (5L, 3L, t0 + 7 * d, "purchase", 95.0),  // Mon of w2
+      (6L, 3L, t0 + 13 * d, "purchase", 88.0), // Sun of w2 — same week
+      (7L, 3L, t0 + 14 * d, "purchase", 82.0), // Mon of w3
+      (8L, 4L, t0 + 1 * d, "purchase", 10.0),  // below the value bar
+      (9L, 4L, t0 + 8 * d, "view", 100.0),     // wrong event type
+      (10L, 2L, t0 + 9 * d, "click", 100.0))   // wrong type, week 2
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q48_retention")(spark, dir)
+      .as[(java.sql.Date, Int, Long, Long, Double)].collect().toSeq
+    val w1 = java.sql.Date.valueOf("2024-01-01")
+    val w2 = java.sql.Date.valueOf("2024-01-08")
+    assert(got == Seq(
+      (w1, 0, 2L, 2L, 1.0), (w1, 1, 1L, 2L, 0.5), (w1, 2, 1L, 2L, 0.5),
+      (w2, 0, 1L, 1L, 1.0), (w2, 1, 1L, 1L, 1.0)),
+      s"retention semantics mismatch: $got")
+  }
+
+  test("q48 retention on the real corpus: offset-0 law, bounds, non-vacuity") {
+    val got = SparkEntry.queries("q48_retention")(spark, sfDir)
+      .as[(java.sql.Date, Int, Long, Long, Double)].collect().toSeq
+    // every cohort's offset-0 cell retains the whole cohort
+    got.filter(_._2 == 0).foreach { c =>
+      assert(c._3 == c._4 && c._5 == 1.0, s"offset-0 must be full: $c") }
+    // cells never exceed the cohort
+    got.foreach(c => assert(c._3 <= c._4 && c._5 <= 1.0, s"cell exceeds cohort: $c"))
+    // the high-value slice genuinely decays on this corpus
+    assert(got.map(_._1).distinct.size >= 3, "expected >= 3 cohorts")
+    assert(got.exists(_._5 < 1.0), "expected a sub-1.0 retention cell")
+  }
 }
