@@ -1145,6 +1145,55 @@ object Streaming {
     * invisible. Lazy per the s45Sql stance. */
   lazy val s51Sql: String = graft.operators.Relational.q32Sql
 
+  /** s52's per-micro-batch state fold: the live retention activity
+    * set. State = the distinct qualifying (user_id, week) pairs seen
+    * so far — exactly [[graft.operators.Relational.q48ActivityPairs]]
+    * of everything folded — and a batch folds in by unioning ITS
+    * pairs and re-distincting. Unlike s50/s51 this fold needs NO
+    * event-time-ordering precondition: distinct-set union is
+    * commutative, associative, and IDEMPOTENT, so any slicing —
+    * out-of-order batches, overlapping redelivery, at-least-once
+    * sources — lands on the same state (the strongest replay
+    * guarantee in this family; StreamingSpec drives a shuffled AND
+    * redelivered chain to the same matrix). Scale: per batch one
+    * user-keyed exchange of the BATCH's qualifying pairs (cut by the
+    * predicate in the scan stage and by map-side distinct partials);
+    * state is ≤ users × weeks rows, bucketable by user_id so the
+    * union-distinct and the downstream cohort min co-locate. */
+  def retentionFoldBatch(state: DataFrame, batch: DataFrame): DataFrame =
+    state.unionByName(
+      graft.operators.Relational.q48ActivityPairs(batch)).distinct()
+
+  /** s52: the LIVE cohort retention matrix — q48 kept current over
+    * the arriving event stream through persisted state generations
+    * (the s45/s50 stance): state is the activity-pair set, each
+    * micro-batch folds in through [[retentionFoldBatch]], and
+    * presentation derives the matrix through the SAME
+    * q48Present body the batch entry uses. The oracle IS q48's
+    * batch recompute — slicing (ordered or not) must be invisible. */
+  def s52StreamRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val stateDir = graft.sources.Export.scratch("s52_retention", dir)
+    val empty = ev.select(col("user_id"),
+      col("ts").cast("date").as("week")).filter(lit(false))
+    empty.write.mode("overwrite").parquet(s"$stateDir/g0")
+    var state = s.read.parquet(s"$stateDir/g0")
+    val slices = Seq(
+      col("ts") < lit(s50Cut1),
+      col("ts") >= lit(s50Cut1) && col("ts") < lit(s50Cut2),
+      col("ts") >= lit(s50Cut2))
+    slices.zipWithIndex.foreach { case (slice, i) =>
+      retentionFoldBatch(state, ev.filter(slice))
+        .write.mode("overwrite").parquet(s"$stateDir/g${i + 1}")
+      state = s.read.parquet(s"$stateDir/g${i + 1}")
+    }
+    graft.operators.Relational.q48Present(state)
+  }
+
+  /** s52's oracle IS q48's batch retention matrix. Lazy per the
+    * s45Sql stance. */
+  lazy val s52Sql: String = graft.operators.Relational.q48Sql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s34_stream_tumbling" -> (s34StreamTumbling _),
     "s35_stream_join" -> (s35StreamJoin _),
@@ -1163,7 +1212,8 @@ object Streaming {
     "s48_stream_semantic_admit" -> (s48StreamSemanticAdmit _),
     "s49_stream_heavy_hitters" -> (s49StreamHeavyHitters _),
     "s50_stream_funnel" -> (s50StreamFunnel _),
-    "s51_stream_scd2" -> (s51StreamScd2 _))
+    "s51_stream_scd2" -> (s51StreamScd2 _),
+    "s52_stream_retention" -> (s52StreamRetention _))
 
   def oracles: Map[String, String] = Map(
     "s34_stream_tumbling" -> s34Sql,
@@ -1183,5 +1233,6 @@ object Streaming {
     "s48_stream_semantic_admit" -> s48Sql,
     "s49_stream_heavy_hitters" -> s49Sql,
     "s50_stream_funnel" -> s50Sql,
-    "s51_stream_scd2" -> s51Sql)
+    "s51_stream_scd2" -> s51Sql,
+    "s52_stream_retention" -> s52Sql)
 }

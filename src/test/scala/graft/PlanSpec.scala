@@ -509,6 +509,11 @@ class PlanSpec extends SparkSpec {
       // user-keyed window + open-slice joins, pinned by the q32
       // oracle and the StreamingSpec fold-equals-batch property
       "s51_stream_scd2",
+      // s52 folds activity-pair-set generations through parquet
+      // artifacts at construction; per-batch plans are one
+      // user-keyed union-distinct, pinned by the q48 oracle and
+      // the StreamingSpec shuffled-redelivery fold property
+      "s52_stream_retention",
       // t51 runs its K merge rounds at construction (each round's
       // argmax is one bounded 1-row driver action — the learned
       // parameter, the q30/a36 stance); per-round plans are a

@@ -540,6 +540,53 @@ class StreamingSpec extends SparkSpec {
     assert(s51 == batch, "s51's registered fold != batch dimension")
   }
 
+  test("s52 live retention folds to the batch matrix even shuffled and redelivered") {
+    val gens = java.nio.file.Files.createTempDirectory("s52gen").toString
+    val ev = Tables.events(spark, sfDir)
+    ev.select(col("user_id"), col("ts").cast("date").as("week"))
+      .filter(lit(false)).write.mode("overwrite").parquet(s"$gens/g0")
+    // the fold's claimed property is stronger than s50/s51's: NO
+    // ordering precondition. Drive it adversarially — slices by
+    // event_id residue (each spans the whole month, interleaved),
+    // and REDELIVER the middle slice (at-least-once semantics).
+    val rows = ev.select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect()
+    val batches = Seq(
+      rows.filter(_.event_id % 3 == 0),
+      rows.filter(_.event_id % 3 == 1),
+      rows.filter(_.event_id % 3 == 1), // duplicate delivery
+      rows.filter(_.event_id % 3 == 2))
+    assert(batches.forall(_.nonEmpty))
+    val gen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val in = MemoryStream[Ev](spark)
+    val q = in.toDF().writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val g = gen.get()
+        Streaming.retentionFoldBatch(spark.read.parquet(s"$gens/g$g"), b.toDF())
+          .write.mode("overwrite").parquet(s"$gens/g${g + 1}")
+        gen.incrementAndGet()
+        ()
+      }.start()
+    try {
+      batches.foreach { b => in.addData(b.toSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    assert(gen.get() == 4, s"expected 4 state generations, got ${gen.get()}")
+    // state is a SET: the redelivered batch must not have grown it
+    val g2 = spark.read.parquet(s"$gens/g2").count()
+    val g3 = spark.read.parquet(s"$gens/g3").count()
+    assert(g2 == g3, s"idempotence: redelivery grew the state $g2 -> $g3")
+    val streamed = graft.operators.Relational.q48Present(
+        spark.read.parquet(s"$gens/g4"))
+      .as[(java.sql.Date, Int, Long, Long, Double)].collect().toSeq
+    val batch = SparkEntry.queries("q48_retention")(spark, sfDir)
+      .as[(java.sql.Date, Int, Long, Long, Double)].collect().toSeq
+    assert(streamed == batch,
+      s"shuffled+redelivered retention chain != batch matrix")
+    val s52 = SparkEntry.queries("s52_stream_retention")(spark, sfDir)
+      .as[(java.sql.Date, Int, Long, Long, Double)].collect().toSeq
+    assert(s52 == batch, "s52's registered fold != batch matrix")
+  }
+
   test("the composed streaming admission (s43 anti-join ∘ stateful dedup ∘ s41 gate) equals d40") {
     // d40 is the batch daily-admission pipeline; its streaming face
     // is the composition of transforms this file already proves
