@@ -1954,6 +1954,148 @@ object Relational {
       |FROM cells JOIN sizes ON cells.cohort_week = sizes.cohort_week
       |ORDER BY cells.cohort_week, week_offset""".stripMargin
 
+  // ---- q49: deterministic HyperLogLog daily uniques ----
+
+  /** q49's per-event register observations — ONE definition shared
+    * by the batch sketch and s53's live fold: the 60-bit md5 key
+    * (the d23/d34 house hash — dual-dialect exact) splits into a
+    * register index j (low 8 bits) and a 52-bit suffix w whose
+    * leading-zero run sets rho = 53 − bitlength(w) (w = 0 ⇒ the
+    * full run, 53). Every piece is integer arithmetic both engines
+    * replay bit-for-bit — this is what makes a SKETCH oracle-
+    * checkable (the t33/q41 reproducible-sketch stance). */
+  private[graft] def q49Rho(ev: DataFrame): DataFrame =
+    ev.select(col("ts").cast("date").as("day"),
+        expr("cast(conv(substring(md5(cast(user_id as string)),1,15),16,10) as bigint)")
+          .as("h"))
+      .select(col("day"), expr("h % 256").as("j"),
+        expr("h div 256").as("w"))
+      .select(col("day"), col("j"),
+        expr("CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END")
+          .cast("int").as("rho"))
+
+  /** Fold per-event rho observations to the per-(day, register)
+    * max: the HLL register table, the sketch's entire state. Max is
+    * associative and idempotent, so register states merge with the
+    * same operation (s53's fold). */
+  private[graft] def q49Registers(rhos: DataFrame): DataFrame =
+    rhos.groupBy("day", "j").agg(max("rho").as("m"))
+
+  /** q49's raw-estimator arithmetic — alpha_256 · m² · 2⁵³ /
+    * z_scaled, where z_scaled = Σ 2^(53−M[j]) over all 256
+    * registers is an EXACT integer (≤ 2⁶¹) so the only floating-
+    * point steps are one int→double cast and IEEE mul/div —
+    * identical in both engines. */
+  private[graft] val q49RawEst: String =
+    "0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * " +
+      "9007199254740992.0 / CAST(z_scaled AS DOUBLE)"
+
+  /** q49's full estimator — ONE dialect-neutral SQL string (the q40
+    * rule stance): Flajolet et al. 2007's small-range rule — when
+    * the raw estimate is ≤ 2.5 m and empty registers remain, switch
+    * to LINEAR COUNTING m·ln(m/V) (V = zero registers), the regime
+    * where the raw estimator is systematically high. The ln has
+    * exactly 256 possible inputs; all 256 were exhaustively checked
+    * JVM-vs-libm to round identically at 4 decimals, so even the
+    * correction branch crosses engines byte-exact. */
+  private[graft] val q49Estimator: String =
+    s"CASE WHEN $q49RawEst <= 640.0 AND zero_registers > 0 " +
+      "THEN round(256.0 * ln(256.0 / zero_registers), 4) " +
+      s"ELSE round($q49RawEst, 4) END"
+
+  /** Present register state as the daily-uniques dashboard: fill
+    * the 256-register spine per day (empty register ⇒ M = 0 ⇒ it
+    * contributes 2⁵³ to z_scaled), aggregate the exact z_scaled and
+    * zero-register count, apply [[q49Estimator]], and carry the
+    * exact distinct count + relative error — the sketch's honesty
+    * columns. Shared verbatim by q49 and s53's presentation. */
+  private[graft] def q49Present(registers: DataFrame, exact: DataFrame): DataFrame = {
+    val spine = exact.select(col("day"),
+      explode(sequence(lit(0L), lit(255L))).as("j"))
+    val agg = spine.join(registers, Seq("day", "j"), "left")
+      .select(col("day"), coalesce(col("m"), lit(0)).as("m"))
+      .groupBy("day")
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - m)")).as("z_scaled"),
+        sum(when(col("m") === 0, 1L).otherwise(0L)).as("zero_registers"))
+    agg.join(exact, Seq("day"))
+      .withColumn("hll_users", expr(q49Estimator))
+      .withColumn("rel_err",
+        round(abs(col("hll_users") - col("exact_users")) / col("exact_users"), 4))
+      .select("day", "exact_users", "zero_registers", "z_scaled",
+        "hll_users", "rel_err")
+      .orderBy("day")
+  }
+
+  /** q49's exact daily distinct pairs — the gate instrument s53
+    * also folds (idempotent union-distinct, the s52 stance). */
+  private[graft] def q49ExactPairs(ev: DataFrame): DataFrame =
+    ev.select(col("ts").cast("date").as("day"), col("user_id")).distinct()
+
+  /** q49: HyperLogLog daily uniques — the bounded-memory
+    * count-distinct (Flajolet et al. 2007) every 100 TB dashboard
+    * runs where q09's exact count-distinct would exchange the raw
+    * (day, user) universe: per day, 256 max-of-rho registers (the
+    * sketch's ENTIRE state — 256 small ints regardless of input
+    * size), the exact integer z_scaled, and the raw HLL estimate,
+    * alongside the exact distinct count and the relative error —
+    * the estimator's honesty measured in-band, not claimed (the
+    * a41/d51 stance; spec-bounded). The estimator carries
+    * Flajolet's small-range rule: below 2.5 m it switches to linear
+    * counting on the zero-register count — on this corpus (daily
+    * uniques ≪ m) that branch is the live one, and the spec plants
+    * a high-cardinality day to drive the raw branch too. The hash
+    * is the house 60-bit md5, so — unlike production HLLs seeded
+    * per-run — BOTH engines replay every register, the exact
+    * z_scaled, and even the estimator's float path bit-for-bit
+    * through the ONE shared estimator string (the ln's 256 possible
+    * inputs exhaustively checked JVM-vs-libm).
+    *
+    * Scale (100 TB): the register build is ONE scan with a
+    * (day, j) keyed exchange whose map-side partial is ≤ days×256
+    * rows per task — the exchange carries sketch state, never
+    * users; registers max-merge (associative + idempotent), which
+    * is exactly what makes s53's live fold and any shard-then-merge
+    * topology exact. The exact column is the gate instrument — at
+    * production scale you drop it and keep the sketch; here it is
+    * what the error column is measured against. */
+  def q49HllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    q49Present(q49Registers(q49Rho(ev)),
+      q49ExactPairs(ev).groupBy("day").agg(count(lit(1)).as("exact_users")))
+  }
+
+  /** DuckDB oracle for q49: identical hash split, register max,
+    * spine fill, exact z_scaled, and the SAME estimator string. */
+  val q49Sql: String =
+    s"""WITH rho AS (
+       | SELECT CAST(ts AS DATE) AS day,
+       |  h % 256 AS j,
+       |  CASE WHEN h // 256 = 0 THEN 53
+       |       ELSE 53 - length(bin(h // 256)) END AS rho
+       | FROM (SELECT ts,
+       |   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) AS h
+       |  FROM events)),
+       |reg AS (SELECT day, j, max(rho) AS m FROM rho GROUP BY 1, 2),
+       |days AS (SELECT CAST(ts AS DATE) AS day,
+       |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+       | FROM events GROUP BY 1),
+       |filled AS (
+       | SELECT s.day, coalesce(reg.m, 0) AS m
+       | FROM (SELECT d.day, r.range AS j FROM days d CROSS JOIN range(256) r) s
+       | LEFT JOIN reg ON s.day = reg.day AND s.j = reg.j),
+       |agg AS (
+       | SELECT day,
+       |  CAST(sum(CAST(1 AS BIGINT) << (53 - m)) AS BIGINT) AS z_scaled,
+       |  CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_registers
+       | FROM filled GROUP BY 1),
+       |est AS (
+       | SELECT a.day, d.exact_users, a.zero_registers, a.z_scaled,
+       |  $q49Estimator AS hll_users
+       | FROM agg a JOIN days d ON a.day = d.day)
+       |SELECT day, exact_users, zero_registers, z_scaled, hll_users,
+       | round(abs(hll_users - exact_users) / exact_users, 4) AS rel_err
+       |FROM est ORDER BY day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_filter" -> (q01AggFilter _),
     "q02_project_enrich" -> (q02ProjectEnrich _),
@@ -1999,7 +2141,8 @@ object Relational {
     "q45_rfm" -> (q45Rfm _),
     "q46_copurchase" -> (q46CoPurchase _),
     "q47_pit_join" -> (q47PitJoin _),
-    "q48_retention" -> (q48Retention _))
+    "q48_retention" -> (q48Retention _),
+    "q49_hll_distinct" -> (q49HllDistinct _))
 
   // ---- q40: data-quality expectations audit (DLT expectations) ----
 
@@ -2140,5 +2283,6 @@ object Relational {
     "q45_rfm" -> q45Sql,
     "q46_copurchase" -> q46Sql,
     "q47_pit_join" -> q47Sql,
-    "q48_retention" -> q48Sql)
+    "q48_retention" -> q48Sql,
+    "q49_hll_distinct" -> q49Sql)
 }

@@ -251,4 +251,64 @@ class SketchCapSpec extends SparkSpec {
         s"$lang: approx median $approxMed vs exact $exactMed")
     }
   }
+
+  test("q49 HLL: registers equal a MessageDigest mirror; merge law; LC branch pinned") {
+    import graft.operators.Relational
+    val evDf = graft.Tables.events(spark, sfDir)
+    // independent register recompute: MessageDigest md5 → 60-bit
+    // prefix → (j, rho), folded by max — no Spark expressions
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ev = evDf.select(col("ts").cast("date"), col("user_id"))
+      .as[(java.sql.Date, Long)].collect()
+    val mirror = ev.map { case (d, u) =>
+      val h = java.lang.Long.parseLong(md5hex(u.toString).substring(0, 15), 16)
+      val w = h / 256
+      val rho = if (w == 0) 53 else 53 - java.lang.Long.toBinaryString(w).length
+      ((d, h % 256), rho)
+    }.groupBy(_._1).map { case ((d, j), xs) => (d, j, xs.map(_._2).max) }.toSet
+    val full = Relational.q49Registers(Relational.q49Rho(evDf))
+    assert(full.as[(java.sql.Date, Long, Int)].collect().toSet == mirror,
+      "register table != independent mirror")
+    // merge law (what s53's fold and shard-then-merge rely on):
+    // registers of two disjoint halves, max-merged, == full build
+    val m1 = Relational.q49Registers(Relational.q49Rho(
+      evDf.filter(col("event_id") % 2 === 0)))
+    val m2 = Relational.q49Registers(Relational.q49Rho(
+      evDf.filter(col("event_id") % 2 === 1)))
+    val merged = m1.unionByName(m2).groupBy("day", "j").agg(max("m").as("m"))
+    assert(merged.as[(java.sql.Date, Long, Int)].collect().toSet ==
+      full.as[(java.sql.Date, Long, Int)].collect().toSet,
+      "max-merge of disjoint halves != full register build")
+    // on this corpus every day is small-range: the LC branch must be
+    // live and equal m·ln(m/V) at Spark's HALF_UP 4-decimal rounding
+    val out = SparkEntry.queries("q49_hll_distinct")(spark, sfDir)
+      .as[(java.sql.Date, Long, Long, Long, Double, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (d, _, v, _, est, err) =>
+      assert(v > 0, s"$d: expected empty registers in the small range")
+      val lc = BigDecimal(256.0 * math.log(256.0 / v))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(est == lc, s"$d: LC branch $est != $lc")
+      assert(err <= 0.15, s"$d: LC error above bound: $err")
+    }
+  }
+
+  test("q49 HLL: a planted high-cardinality day drives the raw branch inside its bound") {
+    val dir = java.nio.file.Files.createTempDirectory("grafthll").toString
+    val t0 = 1704067200L * 1000000000L
+    (1L to 5000L).map(u => (u, u, t0 + u * 1000000L, "view", 1.0, "{}"))
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q49_hll_distinct")(spark, dir)
+      .as[(java.sql.Date, Long, Long, Long, Double, Double)].collect()
+    assert(out.length == 1)
+    val (_, exact, zeros, _, est, err) = out(0)
+    assert(exact == 5000L)
+    assert(est > 640.0, "5000 uniques must leave the small range")
+    assert(zeros == 0L, "5000 uniques should fill all 256 registers")
+    // raw-regime accuracy: 1.04/sqrt(256) ≈ 6.5% expected; allow 3σ
+    assert(err <= 0.2, s"raw-branch error above bound: $err")
+  }
 }
