@@ -1194,6 +1194,65 @@ object Streaming {
     * s45Sql stance. */
   lazy val s52Sql: String = graft.operators.Relational.q48Sql
 
+  /** s53's register-state fold: the live HLL. State = q49's
+    * (day, j, m) register table; a batch's events hash through the
+    * SAME q49Rho/q49Registers definitions and max-merge in. Max is
+    * associative, commutative, and IDEMPOTENT — the mergeable-
+    * summaries property (Agarwal et al. 2013) HLL is built for —
+    * so like s52 this fold is exact under ANY slicing including
+    * redelivery, and the state is ≤ days × 256 rows no matter how
+    * much data has streamed through. */
+  def hllFoldBatch(state: DataFrame, batch: DataFrame): DataFrame =
+    state.unionByName(graft.operators.Relational.q49Registers(
+        graft.operators.Relational.q49Rho(batch)))
+      .groupBy("day", "j").agg(max("m").as("m"))
+
+  /** s53's exact-anchor fold: the gate instrument's state — the
+    * distinct (day, user) pairs, union-distinct per batch (the s52
+    * idempotent-set stance). At production scale this leg is
+    * dropped and only the register state remains. */
+  def hllExactFoldBatch(state: DataFrame, batch: DataFrame): DataFrame =
+    state.unionByName(
+      graft.operators.Relational.q49ExactPairs(batch)).distinct()
+
+  /** s53: the LIVE daily-uniques dashboard — q49 kept current over
+    * the event stream through persisted state generations (the
+    * s45/s50 stance), with BOTH legs mergeable: registers max-merge,
+    * the exact anchor union-distincts, presentation derives through
+    * the SAME q49Present. The oracle IS q49's batch recompute —
+    * slicing, ordered or not, must be invisible. */
+  def s53StreamHll(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val stateDir = graft.sources.Export.scratch("s53_hll", dir)
+    val emptyReg = ev.select(col("ts").cast("date").as("day"),
+      col("user_id").as("j"), lit(0).as("m")).filter(lit(false))
+    emptyReg.write.mode("overwrite").parquet(s"$stateDir/r0")
+    val emptyPairs = ev.select(col("ts").cast("date").as("day"),
+      col("user_id")).filter(lit(false))
+    emptyPairs.write.mode("overwrite").parquet(s"$stateDir/p0")
+    var reg = s.read.parquet(s"$stateDir/r0")
+    var pairs = s.read.parquet(s"$stateDir/p0")
+    val slices = Seq(
+      col("ts") < lit(s50Cut1),
+      col("ts") >= lit(s50Cut1) && col("ts") < lit(s50Cut2),
+      col("ts") >= lit(s50Cut2))
+    slices.zipWithIndex.foreach { case (slice, i) =>
+      val b = ev.filter(slice)
+      hllFoldBatch(reg, b)
+        .write.mode("overwrite").parquet(s"$stateDir/r${i + 1}")
+      hllExactFoldBatch(pairs, b)
+        .write.mode("overwrite").parquet(s"$stateDir/p${i + 1}")
+      reg = s.read.parquet(s"$stateDir/r${i + 1}")
+      pairs = s.read.parquet(s"$stateDir/p${i + 1}")
+    }
+    graft.operators.Relational.q49Present(reg,
+      pairs.groupBy("day").agg(count(lit(1)).as("exact_users")))
+  }
+
+  /** s53's oracle IS q49's batch sketch. Lazy per the s45Sql
+    * stance. */
+  lazy val s53Sql: String = graft.operators.Relational.q49Sql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s34_stream_tumbling" -> (s34StreamTumbling _),
     "s35_stream_join" -> (s35StreamJoin _),
@@ -1213,7 +1272,8 @@ object Streaming {
     "s49_stream_heavy_hitters" -> (s49StreamHeavyHitters _),
     "s50_stream_funnel" -> (s50StreamFunnel _),
     "s51_stream_scd2" -> (s51StreamScd2 _),
-    "s52_stream_retention" -> (s52StreamRetention _))
+    "s52_stream_retention" -> (s52StreamRetention _),
+    "s53_stream_hll" -> (s53StreamHll _))
 
   def oracles: Map[String, String] = Map(
     "s34_stream_tumbling" -> s34Sql,
@@ -1234,5 +1294,6 @@ object Streaming {
     "s49_stream_heavy_hitters" -> s49Sql,
     "s50_stream_funnel" -> s50Sql,
     "s51_stream_scd2" -> s51Sql,
-    "s52_stream_retention" -> s52Sql)
+    "s52_stream_retention" -> s52Sql,
+    "s53_stream_hll" -> s53Sql)
 }

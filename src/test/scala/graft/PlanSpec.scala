@@ -514,6 +514,12 @@ class PlanSpec extends SparkSpec {
       // user-keyed union-distinct, pinned by the q48 oracle and
       // the StreamingSpec shuffled-redelivery fold property
       "s52_stream_retention",
+      // s53 folds HLL register + exact-anchor generations through
+      // parquet artifacts at construction; per-batch plans are a
+      // (day,j)-keyed max-merge and a user-keyed union-distinct,
+      // pinned by the q49 oracle and the StreamingSpec
+      // shuffled-redelivery fold property
+      "s53_stream_hll",
       // t51 runs its K merge rounds at construction (each round's
       // argmax is one bounded 1-row driver action — the learned
       // parameter, the q30/a36 stance); per-round plans are a

@@ -587,6 +587,60 @@ class StreamingSpec extends SparkSpec {
     assert(s52 == batch, "s52's registered fold != batch matrix")
   }
 
+  test("s53 live HLL folds to the batch sketch even shuffled and redelivered") {
+    val gens = java.nio.file.Files.createTempDirectory("s53gen").toString
+    val ev = Tables.events(spark, sfDir)
+    ev.select(col("ts").cast("date").as("day"), col("user_id").as("j"),
+        lit(0).as("m")).filter(lit(false))
+      .write.mode("overwrite").parquet(s"$gens/r0")
+    ev.select(col("ts").cast("date").as("day"), col("user_id"))
+      .filter(lit(false)).write.mode("overwrite").parquet(s"$gens/p0")
+    // both states are max-merge / set-union: drive the chain
+    // adversarially — residue slices + a redelivered batch
+    val rows = ev.select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect()
+    val batches = Seq(
+      rows.filter(_.event_id % 3 == 0),
+      rows.filter(_.event_id % 3 == 1),
+      rows.filter(_.event_id % 3 == 1), // duplicate delivery
+      rows.filter(_.event_id % 3 == 2))
+    assert(batches.forall(_.nonEmpty))
+    val gen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val in = MemoryStream[Ev](spark)
+    val q = in.toDF().writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val g = gen.get()
+        Streaming.hllFoldBatch(spark.read.parquet(s"$gens/r$g"), b.toDF())
+          .write.mode("overwrite").parquet(s"$gens/r${g + 1}")
+        Streaming.hllExactFoldBatch(spark.read.parquet(s"$gens/p$g"), b.toDF())
+          .write.mode("overwrite").parquet(s"$gens/p${g + 1}")
+        gen.incrementAndGet()
+        ()
+      }.start()
+    try {
+      batches.foreach { b => in.addData(b.toSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    assert(gen.get() == 4, s"expected 4 state generations, got ${gen.get()}")
+    // idempotence: the redelivered batch must not change either state
+    val r2 = spark.read.parquet(s"$gens/r2").collect().toSet
+    val r3 = spark.read.parquet(s"$gens/r3").collect().toSet
+    assert(r2 == r3, "redelivery changed the register state")
+    assert(spark.read.parquet(s"$gens/p2").count() ==
+      spark.read.parquet(s"$gens/p3").count(),
+      "redelivery grew the exact-anchor state")
+    val streamed = graft.operators.Relational.q49Present(
+        spark.read.parquet(s"$gens/r4"),
+        spark.read.parquet(s"$gens/p4").groupBy("day")
+          .agg(count(lit(1)).as("exact_users")))
+      .as[(java.sql.Date, Long, Long, Long, Double, Double)].collect().toSeq
+    val batch = SparkEntry.queries("q49_hll_distinct")(spark, sfDir)
+      .as[(java.sql.Date, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(streamed == batch, "shuffled+redelivered HLL chain != batch sketch")
+    val s53 = SparkEntry.queries("s53_stream_hll")(spark, sfDir)
+      .as[(java.sql.Date, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(s53 == batch, "s53's registered fold != batch sketch")
+  }
+
   test("the composed streaming admission (s43 anti-join ∘ stateful dedup ∘ s41 gate) equals d40") {
     // d40 is the batch daily-admission pipeline; its streaming face
     // is the composition of transforms this file already proves
