@@ -2096,6 +2096,54 @@ object Relational {
        | round(abs(hll_users - exact_users) / exact_users, 4) AS rel_err
        |FROM est ORDER BY day""".stripMargin
 
+  /** q50: user-journey transition matrix — the Markov-chain view of
+    * the event stream (the path/Sankey analysis next to q44's
+    * funnel): for every consecutive event pair within a user's
+    * timeline (ordered by ts, event_id — the q32/q47 total order),
+    * count (from_type → to_type) transitions and normalize per
+    * source state into transition probabilities. q44 asks "did the
+    * canonical path happen"; q50 measures where users ACTUALLY go
+    * next from each state.
+    *
+    * Scale (100 TB): one user-keyed window exchange builds the
+    * successor pairs (the q32 lag shape — each user's partition
+    * streams through lead() in one pass); everything after is
+    * bounded by the TYPE alphabet, not data: the matrix is
+    * ≤ |types|² rows, so its per-source normalization runs as a
+    * window over a 25-row frame and the rollup's exchange carries
+    * ≤ |types|² keys with map-side partials. */
+  def q50EventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val m = Tables.events(s, dir)
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("transitions"))
+    m.withColumn("from_total",
+        sum(col("transitions")).over(Window.partitionBy("from_type")))
+      .withColumn("prob",
+        round(col("transitions").cast("double") / col("from_total"), 4))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** DuckDB oracle for q50: identical lead/count/normalize (window
+    * sums cast back to BIGINT — DuckDB widens to HUGEINT). */
+  val q50Sql: String =
+    """WITH tr AS (
+      | SELECT event_type AS from_type,
+      |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |   AS to_type
+      | FROM events),
+      |m AS (
+      | SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS transitions
+      | FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, transitions,
+      | CAST(sum(transitions) OVER (PARTITION BY from_type) AS BIGINT)
+      |  AS from_total,
+      | ROUND(CAST(transitions AS DOUBLE) /
+      |  sum(transitions) OVER (PARTITION BY from_type), 4) AS prob
+      |FROM m ORDER BY from_type, to_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_filter" -> (q01AggFilter _),
     "q02_project_enrich" -> (q02ProjectEnrich _),
@@ -2142,7 +2190,8 @@ object Relational {
     "q46_copurchase" -> (q46CoPurchase _),
     "q47_pit_join" -> (q47PitJoin _),
     "q48_retention" -> (q48Retention _),
-    "q49_hll_distinct" -> (q49HllDistinct _))
+    "q49_hll_distinct" -> (q49HllDistinct _),
+    "q50_event_transitions" -> (q50EventTransitions _))
 
   // ---- q40: data-quality expectations audit (DLT expectations) ----
 
@@ -2284,5 +2333,6 @@ object Relational {
     "q46_copurchase" -> q46Sql,
     "q47_pit_join" -> q47Sql,
     "q48_retention" -> q48Sql,
-    "q49_hll_distinct" -> q49Sql)
+    "q49_hll_distinct" -> q49Sql,
+    "q50_event_transitions" -> q50Sql)
 }

@@ -544,6 +544,49 @@ class InvariantSpec extends SparkSpec {
       s"retention semantics mismatch: $got")
   }
 
+  test("q50 transitions: planted journeys, per-user boundaries, probability laws") {
+    // user 1: view → click → purchase ; user 2: view → view → click.
+    // Transitions never cross users (user 1's last event has no
+    // successor; user 2's journey contributes nothing to purchase).
+    val dir = java.nio.file.Files.createTempDirectory("grafttr").toString
+    val h = 3600L * 1000000000L
+    val t0 = 1704067200L * 1000000000L
+    Seq(
+      (1L, 1L, t0, "view"), (2L, 1L, t0 + h, "click"),
+      (3L, 1L, t0 + 2 * h, "purchase"),
+      (4L, 2L, t0, "view"), (5L, 2L, t0 + h, "view"),
+      (6L, 2L, t0 + 2 * h, "click"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q50_event_transitions")(spark, dir)
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("click", "purchase", 1L, 1L, 1.0),
+      ("view", "click", 2L, 3L, 0.6667),
+      ("view", "view", 1L, 3L, 0.3333)),
+      s"transition semantics mismatch: $got")
+  }
+
+  test("q50 transitions on the real corpus: stochastic-matrix laws and conservation") {
+    val got = SparkEntry.queries("q50_event_transitions")(spark, sfDir)
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    // from_total really is the row marginal, and rows are stochastic
+    got.groupBy(_._1).foreach { case (ft, rows) =>
+      val total = rows.map(_._3).sum
+      rows.foreach(r => assert(r._4 == total, s"$ft marginal: $r vs $total"))
+      val psum = rows.map(_._5).sum
+      assert(math.abs(psum - 1.0) <= 0.0005 * rows.size,
+        s"$ft probabilities sum to $psum")
+    }
+    // conservation: total transitions == total events − one per user
+    val ev = Tables.events(spark, sfDir)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(got.map(_._3).sum == expected,
+      "every non-final event contributes exactly one transition")
+  }
+
   test("q48 retention on the real corpus: offset-0 law, bounds, non-vacuity") {
     val got = SparkEntry.queries("q48_retention")(spark, sfDir)
       .as[(java.sql.Date, Int, Long, Long, Double)].collect().toSeq
