@@ -57,7 +57,8 @@ object Bench {
     // d48 rides the d44-class winnowing join, d51 runs the declared-
     // quadratic truth leg — all attributable from first appearance
     "d47_index_forget", "d48_containment_dedup", "d51_neardup_eval",
-    "s50_stream_funnel", "s51_stream_scd2", "a44_cell_stats")
+    "s50_stream_funnel", "s51_stream_scd2", "a44_cell_stats",
+    "a45_cell_split")
 
   private def familyOf(name: String): String =
     if (solo(name)) name

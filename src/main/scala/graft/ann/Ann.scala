@@ -1759,6 +1759,152 @@ object Ann {
        |ORDER BY cell""".stripMargin
   }
 
+  /** a45 split budget: how many of the most-loaded lists one
+    * maintenance cycle splits. A fixed budget (not a load
+    * threshold) is the operational form: the rebalancer does a
+    * bounded amount of work per cycle regardless of how skew is
+    * distributed, and the policy is non-vacuous at every corpus
+    * size. */
+  private[graft] val a45Budget = 8
+
+  /** a45: hot-cell split — the REBALANCER that acts on a44's
+    * ledger, completing the index-health loop (a44 measures the
+    * load skew; a45 is the maintenance action a real IVF system
+    * schedules when a list grows hot — a hot cell is a scan in
+    * disguise, and splitting it restores the nprobe/nlist pruning
+    * promise). Policy: the [[a45Budget]] most-loaded lists (ties to
+    * the lower cell id) each split in two; the split is the SAME
+    * deterministic machinery as the build — seeds are the cell's
+    * two lowest-(md5-draw, vec_id) members (the a42 content-blind
+    * seed rule), members route to the nearer seed by the integer-L2
+    * argmin with the same tie stance (distance, then lower sub).
+    * Output is the post-split ledger: one row per resulting list
+    * with parent count, child count, and load factors before/after
+    * (after = against nlist + budget lists).
+    *
+    * Scale (100 TB): the ledger/top-K window is nlist-sized (the
+    * q41 bounded-window stance); only the 8 hot cells' members
+    * reshuffle (keyed by cell — in a43's partitionBy(cell) layout
+    * that is 8 partition directories rewritten, history elsewhere
+    * untouched); the 16 seed rows broadcast. The split leaves every
+    * cold list byte-identical — exactly what an in-place index
+    * maintenance action must do. */
+  def a45CellSplit(s: SparkSession, dir: String): DataFrame = {
+    val (base, c1) = a42Refine(s, dir)
+    // the assigned quantized corpus is consumed three times (counts,
+    // seed ranking, sub-routing) and the ledger four — persist both
+    // so the a42 build runs once, not once per consumer (in
+    // production this frame IS the a43 parquet artifact read back)
+    val aq = base.select(col("vec_id"), col("qv"))
+      .join(a42AssignTopFrom(base, c1, 1)
+        .select(col("vec_id"), col("cells").getItem(0).cast("int").as("cell")),
+        Seq("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = aq.groupBy("cell").agg(count(lit(1)).as("vectors"))
+    val ledger = c1.select(col("cid").cast("int").as("cell"))
+      .join(counts, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("vectors"), lit(0L)).as("parent_vectors"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wtop = Window.orderBy(col("parent_vectors").desc, col("cell"))
+    val hot = ledger.withColumn("hrk", row_number().over(wtop))
+      .filter(col("hrk") <= a45Budget).select("cell")
+    val draw = expr(
+      "cast(conv(substring(md5(cast(vec_id as string)), 1, 7), 16, 10) as bigint)")
+    val wseed = Window.partitionBy("cell").orderBy("draw", "vec_id")
+    val seeds = aq.join(hot, Seq("cell"))
+      .withColumn("draw", draw)
+      .withColumn("srk", row_number().over(wseed))
+      .filter(col("srk") <= 2)
+      .select(col("cell"), (col("srk") - 1).cast("int").as("sub"),
+        col("qv").as("sqv"))
+    val wsub = Window.partitionBy("cell", "vec_id").orderBy(col("d"), col("sub"))
+    val subAssign = aq.join(hot, Seq("cell")).join(broadcast(seeds), Seq("cell"))
+      .withColumn("d", expr(
+        "aggregate(zip_with(sqv, qv, (a, b) -> (a - b) * (a - b)), 0L, (s, v) -> s + v)"))
+      .withColumn("rnk", row_number().over(wsub))
+      .filter(col("rnk") === 1)
+      .select("cell", "sub", "vec_id")
+    val coldRows = ledger.join(hot, Seq("cell"), "left_anti")
+      .select(col("cell"), lit(0).as("sub"), lit(false).as("was_split"),
+        col("parent_vectors"), col("parent_vectors").as("vectors"))
+    val subCounts = subAssign.groupBy("cell", "sub").agg(count(lit(1)).as("cnt"))
+    val hotRows = ledger.join(hot, Seq("cell"))
+      .select(col("cell"), explode(expr("array(0, 1)")).as("sub"),
+        col("parent_vectors"))
+      .join(subCounts, Seq("cell", "sub"), "left")
+      .select(col("cell"), col("sub"), lit(true).as("was_split"),
+        col("parent_vectors"), coalesce(col("cnt"), lit(0L)).as("vectors"))
+    val totals = ledger.agg(sum(col("parent_vectors")).as("n"),
+      count(lit(1)).as("nlist"))
+    coldRows.unionByName(hotRows)
+      .crossJoin(broadcast(totals))
+      .select(col("cell"), col("sub"), col("was_split"),
+        col("parent_vectors"), col("vectors"),
+        round(col("parent_vectors").cast("double") * col("nlist") / col("n"), 4)
+          .as("load_before"),
+        round(col("vectors").cast("double") * (col("nlist") + lit(a45Budget)) /
+          col("n"), 4).as("load_after"))
+      .orderBy("cell", "sub")
+  }
+
+  /** DuckDB oracle for a45: the shared a42 build CTEs, the identical
+    * rnk-1 assignment, the same budgeted top-K hot set, seed
+    * ranking, nearer-seed routing, and ledger arithmetic. */
+  val a45Sql: String = {
+    val intL2 = a42IntL2Duck _
+    s"""WITH $a42BuildCte,
+       |a1 AS (
+       | SELECT vec_id, qv, cell FROM (
+       |  SELECT x.vec_id, x.qv, c.cid AS cell,
+       |   row_number() OVER (PARTITION BY x.vec_id
+       |     ORDER BY ${intL2("x.qv", "c.qv")}, c.cid) AS rnk
+       |  FROM a0 x, c1 c) WHERE rnk = 1),
+       |led AS (
+       | SELECT CAST(c1.cid AS INT) AS cell,
+       |  CAST(coalesce(cnt.vectors, 0) AS BIGINT) AS parent_vectors
+       | FROM c1 LEFT JOIN
+       |  (SELECT cell, count(*) AS vectors FROM a1 GROUP BY 1) cnt
+       |  ON cnt.cell = c1.cid),
+       |hot AS (SELECT cell FROM (
+       |  SELECT cell, row_number() OVER (ORDER BY parent_vectors DESC, cell)
+       |   AS hrk FROM led) WHERE hrk <= $a45Budget),
+       |seeds AS (
+       | SELECT cell, CAST(srk - 1 AS INT) AS sub, qv AS sqv FROM (
+       |  SELECT a.cell, a.qv,
+       |   row_number() OVER (PARTITION BY a.cell ORDER BY
+       |     CAST(('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 7)) AS BIGINT),
+       |     a.vec_id) AS srk
+       |  FROM a1 a JOIN hot USING (cell)) WHERE srk <= 2),
+       |subassign AS (
+       | SELECT cell, sub, vec_id FROM (
+       |  SELECT m.cell, s.sub, m.vec_id,
+       |   row_number() OVER (PARTITION BY m.cell, m.vec_id
+       |     ORDER BY ${intL2("m.qv", "s.sqv")}, s.sub) AS rnk
+       |  FROM (SELECT a.* FROM a1 a JOIN hot USING (cell)) m
+       |  JOIN seeds s ON s.cell = m.cell) WHERE rnk = 1),
+       |t AS (SELECT
+       |  (SELECT CAST(sum(parent_vectors) AS BIGINT) FROM led) AS n,
+       |  (SELECT count(*) FROM led) AS nlist),
+       |out_ AS (
+       | SELECT l.cell, 0 AS sub, FALSE AS was_split,
+       |   l.parent_vectors, l.parent_vectors AS vectors
+       | FROM led l WHERE l.cell NOT IN (SELECT cell FROM hot)
+       | UNION ALL
+       | SELECT l.cell, s.sub, TRUE, l.parent_vectors,
+       |   CAST(coalesce(sc.cnt, 0) AS BIGINT)
+       | FROM led l JOIN hot h ON h.cell = l.cell
+       | CROSS JOIN (SELECT 0 AS sub UNION ALL SELECT 1) s
+       | LEFT JOIN (SELECT cell, sub, count(*) AS cnt FROM subassign
+       |            GROUP BY 1, 2) sc
+       |   ON sc.cell = l.cell AND sc.sub = s.sub)
+       |SELECT cell, CAST(sub AS INT) AS sub, was_split, parent_vectors,
+       | vectors,
+       | ROUND(CAST(parent_vectors AS DOUBLE) * nlist / n, 4) AS load_before,
+       | ROUND(CAST(vectors AS DOUBLE) * (nlist + $a45Budget) / n, 4)
+       |  AS load_after
+       |FROM out_ CROSS JOIN t ORDER BY cell, sub""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a27_ann_brute" -> (a27AnnBrute _),
     "a28_ann_lsh" -> (a28AnnLsh _),
@@ -1778,7 +1924,8 @@ object Ann {
     "a41_ann_mips" -> (a41AnnMips _),
     "a42_ann_ivf_mips" -> (a42AnnIvfMips _),
     "a43_persisted_mips" -> (a43PersistedMips _),
-    "a44_cell_stats" -> (a44CellStats _))
+    "a44_cell_stats" -> (a44CellStats _),
+    "a45_cell_split" -> (a45CellSplit _))
 
   def oracles: Map[String, String] = Map(
     "a27_ann_brute" -> a27Sql,
@@ -1799,5 +1946,6 @@ object Ann {
     "a42_ann_ivf_mips" -> a42Sql,
     // a43's oracle IS a42's: probe-from-persisted == recompute
     "a43_persisted_mips" -> a42Sql,
-    "a44_cell_stats" -> a44Sql)
+    "a44_cell_stats" -> a44Sql,
+    "a45_cell_split" -> a45Sql)
 }

@@ -597,4 +597,48 @@ class AnnSpec extends SparkSpec {
     assert(got.exists(_._3 > 1.0) && got.exists(_._3 < 1.0),
       "load factors degenerate — no skew visible")
   }
+
+  test("a45 split: budget, conservation, cold lists untouched, hot lists genuinely split") {
+    val split = SparkEntry.queries("a45_cell_split")(spark, sfDir)
+      .as[(Int, Int, Boolean, Long, Long, Double, Double)].collect().toSeq
+    val ledger = SparkEntry.queries("a44_cell_stats")(spark, sfDir)
+      .as[(Int, Long, Double)].collect().toSeq
+    val nlist = ledger.size
+    val n = ledger.map(_._2).sum
+    // row shape: every cold cell once, every hot cell twice
+    val hotCells = split.filter(_._3).map(_._1).distinct
+    assert(hotCells.size == 8, s"split budget: ${hotCells.size} cells")
+    assert(split.size == nlist + 8, s"list count: ${split.size}")
+    // the hot set IS the a44 top-8 by (vectors desc, cell)
+    val expectedHot = ledger.sortBy(r => (-r._2, r._1)).take(8).map(_._1).toSet
+    assert(hotCells.toSet == expectedHot, "hot set != a44 top-8")
+    // conservation: child counts partition the corpus
+    assert(split.map(_._5).sum == n, "post-split counts must conserve the corpus")
+    // cold lists pass through byte-identically vs the a44 ledger
+    val a44ByCell = ledger.map(r => r._1 -> r._2).toMap
+    split.filterNot(_._3).foreach { r =>
+      assert(r._2 == 0 && r._5 == r._4 && r._4 == a44ByCell(r._1),
+        s"cold list changed: $r") }
+    // each split cell's children partition the parent, and the split
+    // genuinely rebalances (both children strictly smaller; the two
+    // seeds are distinct members so each child is non-empty)
+    split.filter(_._3).groupBy(_._1).foreach { case (cell, rows) =>
+      assert(rows.map(_._2).sorted == Seq(0, 1), s"cell $cell subs")
+      val parent = rows.head._4
+      assert(rows.map(_._5).sum == parent, s"cell $cell child sum")
+      assert(parent == a44ByCell(cell), s"cell $cell parent vs a44")
+      rows.foreach(r => assert(r._5 < parent && r._5 > 0,
+        s"cell $cell: child ${r._5} must be a strict non-empty split of $parent"))
+    }
+    // load arithmetic: after = vectors · (nlist + 8) / n at 4 decimals
+    split.foreach { r =>
+      val exp = BigDecimal(r._5.toDouble * (nlist + 8) / n)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r._7 == exp, s"load_after ${r._7} != $exp for $r") }
+    // the maintenance action helps: the hottest list's load strictly drops
+    val maxBefore = split.map(_._6).max
+    val maxAfterSplit = split.filter(_._3).map(_._7).max
+    assert(maxAfterSplit < maxBefore,
+      s"splitting must reduce the hottest load: $maxAfterSplit vs $maxBefore")
+  }
 }

@@ -400,6 +400,9 @@ class PlanSpec extends SparkSpec {
       "d46_semantic_dedup",
       // a44 rides a42's build + a 1-row totals cross
       "a44_cell_stats",
+      // a45 rides a42's build + a 1-row totals cross; its seed
+      // frame (16 rows) joins by cell equi-key
+      "a45_cell_split",
       "d26_embed_neardup",
       "q28_date_spine", "t38_keyphrase", "t39_bigram_lm", "a30_ann_sq",
       // q45/q46's cross joins are 1-row broadcasts (the quintile
