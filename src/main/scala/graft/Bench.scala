@@ -58,7 +58,7 @@ object Bench {
     // quadratic truth leg — all attributable from first appearance
     "d47_index_forget", "d48_containment_dedup", "d51_neardup_eval",
     "s50_stream_funnel", "s51_stream_scd2", "a44_cell_stats",
-    "a45_cell_split")
+    "a45_cell_split", "s53_stream_hll", "s54_stream_transitions")
 
   private def familyOf(name: String): String =
     if (solo(name)) name

@@ -2112,19 +2112,31 @@ object Relational {
     * ≤ |types|² rows, so its per-source normalization runs as a
     * window over a 25-row frame and the rollup's exchange carries
     * ≤ |types|² keys with map-side partials. */
-  def q50EventTransitions(s: SparkSession, dir: String): DataFrame = {
+  def q50EventTransitions(s: SparkSession, dir: String): DataFrame =
+    q50Present(q50PairCounts(Tables.events(s, dir)))
+
+  /** q50's successor-pair counting — THE transition definition, one
+    * body for the batch matrix and s54's live fold (which applies it
+    * to seed ∪ batch: under event-time-ordered slicing each user's
+    * carried last event is the true predecessor of the batch's first,
+    * so the union over generations telescopes to this full-history
+    * count). Input needs (user_id, ts, event_id, event_type). */
+  private[graft] def q50PairCounts(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val m = Tables.events(s, dir)
-      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+    ev.withColumn("to_type", lead(col("event_type"), 1).over(w))
       .filter(col("to_type").isNotNull)
       .groupBy(col("event_type").as("from_type"), col("to_type"))
       .agg(count(lit(1)).as("transitions"))
+  }
+
+  /** q50's presentation: per-source normalization over the bounded
+    * |types|² matrix (shared with s54). */
+  private[graft] def q50Present(m: DataFrame): DataFrame =
     m.withColumn("from_total",
         sum(col("transitions")).over(Window.partitionBy("from_type")))
       .withColumn("prob",
         round(col("transitions").cast("double") / col("from_total"), 4))
       .orderBy("from_type", "to_type")
-  }
 
   /** DuckDB oracle for q50: identical lead/count/normalize (window
     * sums cast back to BIGINT — DuckDB widens to HUGEINT). */

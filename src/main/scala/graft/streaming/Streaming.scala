@@ -1253,6 +1253,85 @@ object Streaming {
     * stance. */
   lazy val s53Sql: String = graft.operators.Relational.q49Sql
 
+  /** s54's count-state fold: the live transition matrix. State =
+    * q50's (from_type, to_type) counts so far plus each user's LAST
+    * event (the boundary witness). A batch folds in by running the
+    * ONE shared [[graft.operators.Relational.q50PairCounts]] body
+    * over (last-event seed ∪ batch): under the s50/s51 event-time-
+    * ordered precondition the carried last event is the true
+    * predecessor of the batch's first, so the per-generation counts
+    * telescope to exactly the full-history matrix — counts then
+    * sum-merge (associative + commutative, the q49-register stance,
+    * though NOT idempotent: ordered at-most-once slicing is the
+    * contract, same as s50/s51). Scale: per batch one user-keyed
+    * window over (one seed row per user ∪ batch) — batch-sized,
+    * never history; count state is ≤ |types|² rows; last-event state
+    * is one row per user, bucketable by user_id so seed ∪ batch
+    * co-locates with the window. */
+  def transitionsCountFold(last: DataFrame, cnt: DataFrame,
+      batch: DataFrame): DataFrame = {
+    val cols = Seq("user_id", "ts", "event_id", "event_type")
+    val seed = last.select(cols.map(col): _*)
+    cnt.unionByName(graft.operators.Relational.q50PairCounts(
+        seed.unionByName(batch.select(cols.map(col): _*))))
+      .groupBy("from_type", "to_type")
+      .agg(sum(col("transitions")).as("transitions"))
+  }
+
+  /** s54's boundary-state fold: each user's latest event by the
+    * (ts, event_id) total order over (carried last ∪ batch). */
+  def transitionsLastFold(last: DataFrame, batch: DataFrame): DataFrame = {
+    val cols = Seq("user_id", "ts", "event_id", "event_type")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    last.select(cols.map(col): _*)
+      .unionByName(batch.select(cols.map(col): _*))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).drop("rk")
+  }
+
+  /** s54: the LIVE transition matrix — q50 kept current over the
+    * event stream through persisted state generations (the s45/s50
+    * stance, dual-artifact like s53): the count state sum-merges
+    * each batch's shared-body pair counts, the last-event state
+    * advances per user, presentation derives through the SAME
+    * q50Present. The oracle IS q50's batch recompute — ordered
+    * slicing must be invisible — and StreamingSpec drives the same
+    * folds through a REAL MemoryStream + foreachBatch generation
+    * chain onto the batch rows, with the cross-boundary transitions
+    * proven counted. */
+  def s54StreamTransitions(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val stateDir = graft.sources.Export.scratch("s54_transitions", dir)
+    val emptyLast = ev.select(col("user_id"), col("ts"), col("event_id"),
+      col("event_type")).filter(lit(false))
+    emptyLast.write.mode("overwrite").parquet(s"$stateDir/l0")
+    val emptyCnt = ev.select(col("event_type").as("from_type"),
+      col("event_type").as("to_type"),
+      col("event_id").as("transitions")).filter(lit(false))
+    emptyCnt.write.mode("overwrite").parquet(s"$stateDir/c0")
+    var last = s.read.parquet(s"$stateDir/l0")
+    var cnt = s.read.parquet(s"$stateDir/c0")
+    val slices = Seq(
+      col("ts") < lit(s50Cut1),
+      col("ts") >= lit(s50Cut1) && col("ts") < lit(s50Cut2),
+      col("ts") >= lit(s50Cut2))
+    slices.zipWithIndex.foreach { case (slice, i) =>
+      val b = ev.filter(slice)
+      transitionsCountFold(last, cnt, b)
+        .write.mode("overwrite").parquet(s"$stateDir/c${i + 1}")
+      transitionsLastFold(last, b)
+        .write.mode("overwrite").parquet(s"$stateDir/l${i + 1}")
+      cnt = s.read.parquet(s"$stateDir/c${i + 1}")
+      last = s.read.parquet(s"$stateDir/l${i + 1}")
+    }
+    graft.operators.Relational.q50Present(cnt)
+  }
+
+  /** s54's oracle IS q50's batch matrix. Lazy per the s45Sql
+    * stance. */
+  lazy val s54Sql: String = graft.operators.Relational.q50Sql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s34_stream_tumbling" -> (s34StreamTumbling _),
     "s35_stream_join" -> (s35StreamJoin _),
@@ -1273,7 +1352,8 @@ object Streaming {
     "s50_stream_funnel" -> (s50StreamFunnel _),
     "s51_stream_scd2" -> (s51StreamScd2 _),
     "s52_stream_retention" -> (s52StreamRetention _),
-    "s53_stream_hll" -> (s53StreamHll _))
+    "s53_stream_hll" -> (s53StreamHll _),
+    "s54_stream_transitions" -> (s54StreamTransitions _))
 
   def oracles: Map[String, String] = Map(
     "s34_stream_tumbling" -> s34Sql,
@@ -1295,5 +1375,6 @@ object Streaming {
     "s50_stream_funnel" -> s50Sql,
     "s51_stream_scd2" -> s51Sql,
     "s52_stream_retention" -> s52Sql,
-    "s53_stream_hll" -> s53Sql)
+    "s53_stream_hll" -> s53Sql,
+    "s54_stream_transitions" -> s54Sql)
 }

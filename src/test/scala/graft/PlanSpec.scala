@@ -523,6 +523,12 @@ class PlanSpec extends SparkSpec {
       // pinned by the q49 oracle and the StreamingSpec
       // shuffled-redelivery fold property
       "s53_stream_hll",
+      // s54 folds transition-count + last-event generations through
+      // parquet artifacts at construction; per-batch plans are one
+      // user-keyed window over (seed ∪ batch) + a |types|²-keyed
+      // sum-merge, pinned by the q50 oracle and the StreamingSpec
+      // fold-equals-batch property
+      "s54_stream_transitions",
       // t51 runs its K merge rounds at construction (each round's
       // argmax is one bounded 1-row driver action — the learned
       // parameter, the q30/a36 stance); per-round plans are a

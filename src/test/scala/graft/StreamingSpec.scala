@@ -722,4 +722,71 @@ class StreamingSpec extends SparkSpec {
       .as[(String, String, Long, Long, Long)].collect().toSet
     assert(reg == batchAudit, "registered s47 != batch q40")
   }
+
+  test("s54 live transition matrix folds to the batch matrix through real micro-batches") {
+    val gens = java.nio.file.Files.createTempDirectory("s54gen").toString
+    val ev = Tables.events(spark, sfDir)
+    ev.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .filter(lit(false)).write.mode("overwrite").parquet(s"$gens/l0")
+    ev.select(col("event_type").as("from_type"),
+        col("event_type").as("to_type"), col("event_id").as("transitions"))
+      .filter(lit(false)).write.mode("overwrite").parquet(s"$gens/c0")
+    // event-time-ordered slices — the fold's documented precondition
+    val rows = ev.select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect().sortBy(_.ts.getTime)
+    val cut1 = Timestamp.valueOf("2024-01-11 00:00:00")
+    val cut2 = Timestamp.valueOf("2024-01-21 00:00:00")
+    val batches = Seq(
+      rows.filter(_.ts.before(cut1)),
+      rows.filter(r => !r.ts.before(cut1) && r.ts.before(cut2)),
+      rows.filter(r => !r.ts.before(cut2)))
+    assert(batches.forall(_.nonEmpty))
+    val gen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val in = MemoryStream[Ev](spark)
+    val q = in.toDF().writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val g = gen.get()
+        val last = spark.read.parquet(s"$gens/l$g")
+        Streaming.transitionsCountFold(last,
+            spark.read.parquet(s"$gens/c$g"), b.toDF())
+          .write.mode("overwrite").parquet(s"$gens/c${g + 1}")
+        Streaming.transitionsLastFold(last, b.toDF())
+          .write.mode("overwrite").parquet(s"$gens/l${g + 1}")
+        gen.incrementAndGet()
+        ()
+      }.start()
+    try {
+      batches.foreach { b => in.addData(b.toSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    assert(gen.get() == 3, s"expected 3 state generations, got ${gen.get()}")
+    // conservation law: every event except each user's last is a
+    // 'from', so final transitions total == |events| − |users|
+    def tot(g: Int): Long = spark.read.parquet(s"$gens/c$g")
+      .agg(sum("transitions")).as[Long].head()
+    val users = ev.select("user_id").distinct().count()
+    assert(tot(3) == ev.count() - users,
+      s"conservation: ${tot(3)} != ${ev.count()} - $users")
+    // the batch boundary is genuinely crossed: generation 2's total
+    // exceeds gen-1's + slice-2's INTERNAL pairs — the excess is
+    // exactly the carried-seed → first-batch-event transitions
+    val within2 = graft.operators.Relational.q50PairCounts(
+        ev.filter(col("ts") >= lit("2024-01-11") &&
+          col("ts") < lit("2024-01-21")))
+      .agg(sum("transitions")).as[Long].head()
+    assert(tot(2) > tot(1) + within2,
+      s"no cross-boundary transitions counted: ${tot(2)} vs ${tot(1)} + $within2")
+    // last-event state is one row per user seen so far
+    val l3 = spark.read.parquet(s"$gens/l3")
+    assert(l3.count() == users && l3.select("user_id").distinct().count() == users,
+      "last-event state must hold exactly one row per user")
+    val streamed = graft.operators.Relational.q50Present(
+        spark.read.parquet(s"$gens/c3"))
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    val batch = SparkEntry.queries("q50_event_transitions")(spark, sfDir)
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    assert(streamed == batch, "transition generation chain != batch matrix")
+    val s54 = SparkEntry.queries("s54_stream_transitions")(spark, sfDir)
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    assert(s54 == batch, "s54's registered fold != batch matrix")
+  }
 }
