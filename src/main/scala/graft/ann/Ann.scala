@@ -1905,6 +1905,109 @@ object Ann {
        |FROM out_ CROSS JOIN t ORDER BY cell, sub""".stripMargin
   }
 
+  /** a46: cold-list merge — a45's inverse, completing the IVF
+    * maintenance pair (a44 measures the skew, a45 splits the hot
+    * lists, a46 RETIRES the cold ones: near-empty inverted lists are
+    * pure overhead — every probe that touches one pays a file open
+    * for a handful of vectors, and the centroid still occupies a
+    * routing slot every query scores). Policy: the [[a45Budget]]
+    * LEAST-loaded lists (ties to the lower cell id — the a45 rule
+    * mirrored) are retired; their members re-route to the nearest
+    * SURVIVING centroid by the same integer-L2 argmin with the same
+    * lowest-cell-id tie stance the build uses. Output is the
+    * post-merge ledger: one row per surviving list with its own
+    * count, the absorbed count, and load before/after (after =
+    * against nlist − budget lists).
+    *
+    * Scale (100 TB): only the retired lists' members move — in
+    * a43's partitionBy(cell) layout that is 8 partition directories
+    * re-routed (each batch-appended to its absorbing survivor's
+    * directory, the a37 append stance), history elsewhere untouched;
+    * the 88 survivor centroids broadcast to route them; the ledger
+    * windows are nlist-sized (the q41 bounded-window stance). */
+  def a46CellMerge(s: SparkSession, dir: String): DataFrame = {
+    val (base, c1) = a42Refine(s, dir)
+    // same dual-persist stance as a45: the assigned corpus feeds the
+    // ledger AND the re-routing; the build must run once
+    val aq = base.select(col("vec_id"), col("qv"))
+      .join(a42AssignTopFrom(base, c1, 1)
+        .select(col("vec_id"), col("cells").getItem(0).cast("int").as("cell")),
+        Seq("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = aq.groupBy("cell").agg(count(lit(1)).as("vectors"))
+    val ledger = c1.select(col("cid").cast("int").as("cell"))
+      .join(counts, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("vectors"), lit(0L)).as("parent_vectors"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wcold = Window.orderBy(col("parent_vectors"), col("cell"))
+    val cold = ledger.withColumn("crk", row_number().over(wcold))
+      .filter(col("crk") <= a45Budget).select("cell")
+    val survivors = c1.join(cold.select(col("cell").as("cid")),
+      Seq("cid"), "left_anti")
+    val rerouted = aq.join(cold, Seq("cell"))
+      .crossJoin(broadcast(a42Packed(survivors)))
+      .select(col("vec_id"), a42CellExpr.cast("int").as("cell"))
+    val absorbed = rerouted.groupBy("cell").agg(count(lit(1)).as("abs_cnt"))
+    val totals = ledger.agg(sum(col("parent_vectors")).as("n"),
+      count(lit(1)).as("nlist"))
+    ledger.join(cold, Seq("cell"), "left_anti")
+      .join(absorbed, Seq("cell"), "left")
+      .select(col("cell"), col("parent_vectors"),
+        coalesce(col("abs_cnt"), lit(0L)).as("absorbed"))
+      .crossJoin(broadcast(totals))
+      .select(col("cell"), col("parent_vectors"), col("absorbed"),
+        (col("parent_vectors") + col("absorbed")).as("vectors"),
+        round(col("parent_vectors").cast("double") * col("nlist") / col("n"), 4)
+          .as("load_before"),
+        round((col("parent_vectors") + col("absorbed")).cast("double") *
+          (col("nlist") - lit(a45Budget)) / col("n"), 4).as("load_after"))
+      .orderBy("cell")
+  }
+
+  /** DuckDB oracle for a46: the shared a42 build CTEs, the identical
+    * rnk-1 assignment, the mirrored bottom-K cold set, nearest-
+    * survivor re-routing, and ledger arithmetic. */
+  val a46Sql: String = {
+    val intL2 = a42IntL2Duck _
+    s"""WITH $a42BuildCte,
+       |a1 AS (
+       | SELECT vec_id, qv, cell FROM (
+       |  SELECT x.vec_id, x.qv, c.cid AS cell,
+       |   row_number() OVER (PARTITION BY x.vec_id
+       |     ORDER BY ${intL2("x.qv", "c.qv")}, c.cid) AS rnk
+       |  FROM a0 x, c1 c) WHERE rnk = 1),
+       |led AS (
+       | SELECT CAST(c1.cid AS INT) AS cell,
+       |  CAST(coalesce(cnt.vectors, 0) AS BIGINT) AS parent_vectors
+       | FROM c1 LEFT JOIN
+       |  (SELECT cell, count(*) AS vectors FROM a1 GROUP BY 1) cnt
+       |  ON cnt.cell = c1.cid),
+       |cold AS (SELECT cell FROM (
+       |  SELECT cell, row_number() OVER (ORDER BY parent_vectors, cell)
+       |   AS crk FROM led) WHERE crk <= $a45Budget),
+       |surv AS (SELECT * FROM c1 WHERE cid NOT IN (SELECT cell FROM cold)),
+       |rerouted AS (
+       | SELECT vec_id, cell FROM (
+       |  SELECT m.vec_id, c.cid AS cell,
+       |   row_number() OVER (PARTITION BY m.vec_id
+       |     ORDER BY ${intL2("m.qv", "c.qv")}, c.cid) AS rnk
+       |  FROM (SELECT a.* FROM a1 a JOIN cold USING (cell)) m, surv c)
+       | WHERE rnk = 1),
+       |ab AS (SELECT cell, count(*) AS abs_cnt FROM rerouted GROUP BY 1),
+       |t AS (SELECT
+       |  (SELECT CAST(sum(parent_vectors) AS BIGINT) FROM led) AS n,
+       |  (SELECT count(*) FROM led) AS nlist)
+       |SELECT l.cell, l.parent_vectors,
+       | CAST(coalesce(ab.abs_cnt, 0) AS BIGINT) AS absorbed,
+       | CAST(l.parent_vectors + coalesce(ab.abs_cnt, 0) AS BIGINT) AS vectors,
+       | ROUND(CAST(l.parent_vectors AS DOUBLE) * nlist / n, 4) AS load_before,
+       | ROUND(CAST(l.parent_vectors + coalesce(ab.abs_cnt, 0) AS DOUBLE) *
+       |  (nlist - $a45Budget) / n, 4) AS load_after
+       |FROM led l LEFT JOIN ab ON ab.cell = l.cell CROSS JOIN t
+       |WHERE l.cell NOT IN (SELECT cell FROM cold)
+       |ORDER BY l.cell""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a27_ann_brute" -> (a27AnnBrute _),
     "a28_ann_lsh" -> (a28AnnLsh _),
@@ -1925,7 +2028,8 @@ object Ann {
     "a42_ann_ivf_mips" -> (a42AnnIvfMips _),
     "a43_persisted_mips" -> (a43PersistedMips _),
     "a44_cell_stats" -> (a44CellStats _),
-    "a45_cell_split" -> (a45CellSplit _))
+    "a45_cell_split" -> (a45CellSplit _),
+    "a46_cell_merge" -> (a46CellMerge _))
 
   def oracles: Map[String, String] = Map(
     "a27_ann_brute" -> a27Sql,
@@ -1947,5 +2051,6 @@ object Ann {
     // a43's oracle IS a42's: probe-from-persisted == recompute
     "a43_persisted_mips" -> a42Sql,
     "a44_cell_stats" -> a44Sql,
-    "a45_cell_split" -> a45Sql)
+    "a45_cell_split" -> a45Sql,
+    "a46_cell_merge" -> a46Sql)
 }

@@ -641,4 +641,37 @@ class AnnSpec extends SparkSpec {
     assert(maxAfterSplit < maxBefore,
       s"splitting must reduce the hottest load: $maxAfterSplit vs $maxBefore")
   }
+
+  test("a46 merge: budget, cold set, conservation, survivors' own counts untouched") {
+    val merged = SparkEntry.queries("a46_cell_merge")(spark, sfDir)
+      .as[(Int, Long, Long, Long, Double, Double)].collect().toSeq
+    val ledger = SparkEntry.queries("a44_cell_stats")(spark, sfDir)
+      .as[(Int, Long, Double)].collect().toSeq
+    val nlist = ledger.size
+    val n = ledger.map(_._2).sum
+    // exactly nlist − 8 surviving lists; the retired set is a44's
+    // bottom-8 by (vectors asc, cell) and none of them survive
+    assert(merged.size == nlist - 8, s"survivor count: ${merged.size}")
+    val retired = ledger.sortBy(r => (r._2, r._1)).take(8).map(_._1).toSet
+    assert(merged.map(_._1).toSet.intersect(retired).isEmpty,
+      "a retired cell appears in the merged ledger")
+    assert(merged.map(_._1).toSet ++ retired == ledger.map(_._1).toSet,
+      "survivors ∪ retired != all cells")
+    // conservation: survivors' own counts match a44 row-for-row, and
+    // the absorbed mass is exactly the retired lists' mass
+    val a44ByCell = ledger.map(r => r._1 -> r._2).toMap
+    merged.foreach { r =>
+      assert(r._2 == a44ByCell(r._1), s"survivor own count changed: $r")
+      assert(r._4 == r._2 + r._3, s"vectors != parent + absorbed: $r") }
+    val retiredMass = ledger.filter(r => retired(r._1)).map(_._2).sum
+    assert(merged.map(_._3).sum == retiredMass,
+      s"absorbed ${merged.map(_._3).sum} != retired mass $retiredMass")
+    assert(retiredMass > 0, "test corpus must make the merge non-vacuous")
+    assert(merged.map(_._4).sum == n, "post-merge counts must conserve the corpus")
+    // load arithmetic: after = vectors · (nlist − 8) / n at 4 decimals
+    merged.foreach { r =>
+      val exp = BigDecimal(r._4.toDouble * (nlist - 8) / n)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r._6 == exp, s"load_after ${r._6} != $exp for $r") }
+  }
 }

@@ -403,6 +403,9 @@ class PlanSpec extends SparkSpec {
       // a45 rides a42's build + a 1-row totals cross; its seed
       // frame (16 rows) joins by cell equi-key
       "a45_cell_split",
+      // a46 rides the same build + totals cross; its survivor
+      // centroids (88 rows) broadcast for the re-routing scan
+      "a46_cell_merge",
       "d26_embed_neardup",
       "q28_date_spine", "t38_keyphrase", "t39_bigram_lm", "a30_ann_sq",
       // q45/q46's cross joins are 1-row broadcasts (the quintile
