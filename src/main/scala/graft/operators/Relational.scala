@@ -1746,6 +1746,37 @@ object Relational {
       |  ELSE 'regular' END AS segment
       |FROM scored ORDER BY cust_key""".stripMargin
 
+  /** Shared co-purchase edge body (q46/q51): the deduped
+    * (order, part) item stream, self-joined into unordered part
+    * pairs with the ≥2-order support floor. ONE definition — q46
+    * mines association rules over these pairs and q51 runs PageRank
+    * over the graph they induce, so a support-floor or dedup change
+    * moves the miner and the centrality ranking together. */
+  private[graft] def q46Items(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+
+  private[graft] def q46PairsFrom(items: DataFrame): DataFrame =
+    items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .join(items.select(col("l_orderkey"), col("l_partkey").as("part_b")),
+        Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("pair_orders"))
+      .filter(col("pair_orders") >= 2)
+
+  /** Dialect-shared CTE body for the co-purchase pair stream —
+    * `items` + `pairs` exactly as [[q46PairsFrom]] builds them, so
+    * q46's and q51's oracles replay the SAME edge definition. */
+  val q46PairsCte: String =
+    """items AS (
+      | SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |pairs AS (
+      | SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+      |        count(*) AS pair_orders
+      | FROM items a JOIN items b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      | GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+
   /** q46: co-purchase association mining — the market-basket
     * operator (Agrawal & Srikant 1994's support/confidence/lift on
     * 2-itemsets): for every unordered part pair appearing together
@@ -1763,14 +1794,8 @@ object Relational {
     * TakeOrderedAndProject — per-partition partial top-k, never a
     * global sort. */
   def q46CoPurchase(s: SparkSession, dir: String): DataFrame = {
-    val items = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val pairs = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-      .join(items.select(col("l_orderkey"), col("l_partkey").as("part_b")),
-        Seq("l_orderkey"))
-      .filter(col("part_a") < col("part_b"))
-      .groupBy("part_a", "part_b").agg(count(lit(1)).as("pair_orders"))
-      .filter(col("pair_orders") >= 2)
+    val items = q46Items(s, dir)
+    val pairs = q46PairsFrom(items)
     val perPart = items.groupBy("l_partkey").agg(count(lit(1)).as("part_orders"))
     val total = items.select(col("l_orderkey")).distinct()
       .agg(count(lit(1)).as("total_orders"))
@@ -1797,14 +1822,7 @@ object Relational {
     * support floor, confidence/lift arithmetic, and tiebroken
     * top-100. */
   val q46Sql: String =
-    """WITH items AS (
-      | SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-      |pairs AS (
-      | SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
-      |        count(*) AS pair_orders
-      | FROM items a JOIN items b
-      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      | GROUP BY 1, 2 HAVING count(*) >= 2),
+    s"""WITH $q46PairsCte,
       |per_part AS (
       | SELECT l_partkey, count(*) AS part_orders FROM items GROUP BY 1),
       |total AS (SELECT count(DISTINCT l_orderkey) AS total_orders FROM items)
@@ -2156,6 +2174,107 @@ object Relational {
       |  sum(transitions) OVER (PARTITION BY from_type), 4) AS prob
       |FROM m ORDER BY from_type, to_type""".stripMargin
 
+  /** q51: PageRank over the co-purchase graph — the graph-centrality
+    * staple (Page et al. 1999, the power-iteration form) run where a
+    * warehouse actually has a graph: the part-affinity edges
+    * [[q46PairsFrom]] mines (ONE shared pair body — the same
+    * support-floored edges q46 scores with lift, so the miner and
+    * the centrality ranking move together). Deterministic
+    * SCALED-INTEGER arithmetic (the qualityScoreBp stance): ranks
+    * live in a 1e12-scaled fixed-point, every transfer is
+    * `(rank * w) div W(u)` in BIGINT — exact, summation-order-
+    * independent, byte-identical across engines (float accumulation
+    * order would not be); 3 unrolled Jacobi iterations with damping
+    * 0.85 expressed as (15, 85)/100 integer splits against the
+    * uniform teleport mass. The walk is WEIGHTED: an edge's share of
+    * u's outflow is its pair support over u's total support mass.
+    * Output: top-50 parts by final rank with degree and support
+    * mass, full deterministic tiebreak.
+    *
+    * Scale (100 TB): the edge list is built once (q46's basket
+    * self-join — bounded per order by basket size squared), then
+    * each iteration is ONE src-keyed equi-join of the rank vector
+    * against the persisted weighted edges plus ONE dst-keyed partial
+    * aggregate — the canonical edge-partitioned power iteration;
+    * persisting edges keyed by src lets all 3 iterations reuse one
+    * partitioning; the node count crosses as a 1-row broadcast; the
+    * top-50 is TakeOrderedAndProject, never a global sort. */
+  def q51PageRank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = q46PairsFrom(q46Items(s, dir))
+    val edges = pairs.select(col("part_a").as("src"), col("part_b").as("dst"),
+        col("pair_orders").as("w"))
+      .union(pairs.select(col("part_b").as("src"), col("part_a").as("dst"),
+        col("pair_orders").as("w")))
+    val wsum = edges.groupBy("src").agg(
+      sum(col("w")).as("wtot"), count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ew = edges.join(wsum.select(col("src"), col("wtot")), Seq("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nn = wsum.agg(count(lit(1)).as("n"))
+    var rank = wsum.select(col("src").as("part")).crossJoin(broadcast(nn))
+      .select(col("part"), expr(s"${q51Scale}L div n").as("rank"))
+    for (_ <- 1 to 3) {
+      val contrib = ew.join(rank.withColumnRenamed("part", "src"), Seq("src"))
+        .select(col("dst").as("part"), expr("(rank * w) div wtot").as("c"))
+        .groupBy("part").agg(sum(col("c")).as("cin"))
+      rank = wsum.select(col("src").as("part"))
+        .join(contrib, Seq("part"), "left")
+        .crossJoin(broadcast(nn))
+        .select(col("part"),
+          expr(s"((${q51Scale}L div n) * 15) div 100" +
+            " + (85 * coalesce(cin, 0L)) div 100").as("rank"))
+    }
+    rank.join(wsum.select(col("src").as("part"), col("deg"),
+        col("wtot").as("support_mass")), Seq("part"))
+      .select(col("part"), col("rank").as("rank_sc"), col("deg"),
+        col("support_mass"))
+      .orderBy(col("rank_sc").desc, col("part"))
+      .limit(50)
+  }
+
+  private val q51Scale = 1000000000000L
+
+  /** DuckDB oracle for q51: the shared [[q46PairsCte]] edge body,
+    * then the identical 3 unrolled integer-arithmetic iterations
+    * (`//` is DuckDB's truncating integer division = Spark's `div`
+    * on the non-negative operands here; per-iteration SUMs are cast
+    * back to BIGINT so the fixed-point never widens to HUGEINT). */
+  val q51Sql: String = {
+    def iter(k: Int): String = {
+      val prev = if (k == 1) "r0" else s"r${k - 1}"
+      s"""c$k AS (
+         | SELECT e.dst AS part,
+         |  CAST(sum((r.rank * e.w) // s.wtot) AS BIGINT) AS cin
+         | FROM edges e JOIN wsum s ON s.src = e.src
+         | JOIN $prev r ON r.part = e.src GROUP BY 1),
+         |r$k AS (
+         | SELECT w2.src AS part,
+         |  ((${q51Scale} // nn.n) * 15) // 100
+         |   + (85 * coalesce(c$k.cin, 0)) // 100 AS rank
+         | FROM wsum w2 LEFT JOIN c$k ON c$k.part = w2.src CROSS JOIN nn)"""
+        .stripMargin
+    }
+    s"""WITH $q46PairsCte,
+      |edges AS (
+      | SELECT part_a AS src, part_b AS dst, pair_orders AS w FROM pairs
+      | UNION ALL
+      | SELECT part_b AS src, part_a AS dst, pair_orders AS w FROM pairs),
+      |wsum AS (
+      | SELECT src, CAST(sum(w) AS BIGINT) AS wtot, count(*) AS deg
+      | FROM edges GROUP BY 1),
+      |nn AS (SELECT count(*) AS n FROM wsum),
+      |r0 AS (
+      | SELECT src AS part, ${q51Scale} // nn.n AS rank
+      | FROM wsum CROSS JOIN nn),
+      |${iter(1)},
+      |${iter(2)},
+      |${iter(3)}
+      |SELECT r3.part, CAST(r3.rank AS BIGINT) AS rank_sc, w.deg,
+      | w.wtot AS support_mass
+      |FROM r3 JOIN wsum w ON w.src = r3.part
+      |ORDER BY rank_sc DESC, part LIMIT 50""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_filter" -> (q01AggFilter _),
     "q02_project_enrich" -> (q02ProjectEnrich _),
@@ -2203,7 +2322,8 @@ object Relational {
     "q47_pit_join" -> (q47PitJoin _),
     "q48_retention" -> (q48Retention _),
     "q49_hll_distinct" -> (q49HllDistinct _),
-    "q50_event_transitions" -> (q50EventTransitions _))
+    "q50_event_transitions" -> (q50EventTransitions _),
+    "q51_pagerank" -> (q51PageRank _))
 
   // ---- q40: data-quality expectations audit (DLT expectations) ----
 
@@ -2346,5 +2466,6 @@ object Relational {
     "q47_pit_join" -> q47Sql,
     "q48_retention" -> q48Sql,
     "q49_hll_distinct" -> q49Sql,
-    "q50_event_transitions" -> q50Sql)
+    "q50_event_transitions" -> q50Sql,
+    "q51_pagerank" -> q51Sql)
 }

@@ -441,6 +441,44 @@ class InvariantSpec extends SparkSpec {
     assert(got.exists(_._8 > 1.0) , "corpus must exercise positive lift")
   }
 
+  test("q51 pagerank equals an exact Long-arithmetic mirror; mass and ordering laws hold") {
+    val got = SparkEntry.queries("q51_pagerank")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // mirror: the SAME support-floored pair body, then the SAME
+    // 3-iteration scaled-integer walk in plain Long arithmetic —
+    // Spark's `div` and Scala's `/` agree on non-negative Longs
+    val items = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val support = items.groupBy(_._1).values.toSeq
+      .map(_.map(_._2).sorted.toSeq)
+      .flatMap(ps => for (a <- ps; b <- ps if a < b) yield (a, b))
+      .groupBy(identity).view.mapValues(_.size.toLong).filter(_._2 >= 2)
+    val edges = support.toSeq.flatMap { case ((a, b), w) =>
+      Seq((a, b, w), (b, a, w)) }
+    val wtot = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n = wtot.size.toLong
+    val scale = 1000000000000L
+    val base = scale / n
+    var rank: Map[Long, Long] = wtot.keys.map(_ -> base).toMap
+    for (_ <- 1 to 3) {
+      val cin = edges.groupBy(_._2).view.mapValues(
+        _.map { case (src, _, w) => rank(src) * w / wtot(src) }.sum).toMap
+      rank = wtot.keys.map(p =>
+        p -> (base * 15 / 100 + 85 * cin.getOrElse(p, 0L) / 100)).toMap
+    }
+    val expected = rank.toSeq.map { case (p, r) => (p, r, deg(p), wtot(p)) }
+      .sortBy(t => (-t._2, t._1)).take(50)
+    assert(got == expected, "q51 != Long-arithmetic PageRank mirror")
+    // laws: ranks positive, total mass cannot exceed the fixed-point
+    // scale (integer division only sheds mass), and the corpus must
+    // exercise genuine rank separation (not a uniform vector)
+    assert(got.forall(_._2 > 0), "non-positive rank")
+    assert(rank.values.sum <= scale, "mass exceeds the fixed-point scale")
+    assert(got.map(_._2).distinct.size > 1, "rank vector degenerate")
+  }
+
   test("q47 PIT join: fact bijection and as-of-version correctness against a replay mirror") {
     val got = SparkEntry.queries("q47_pit_join")(spark, sfDir)
       .as[(Long, Long, java.sql.Timestamp, String, Int, Double)].collect().toSeq

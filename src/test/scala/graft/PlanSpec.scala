@@ -411,6 +411,10 @@ class PlanSpec extends SparkSpec {
       // q45/q46's cross joins are 1-row broadcasts (the quintile
       // boundary frame / the order-total scalar) — the q28 stance
       "q45_rfm", "q46_copurchase",
+      // q51's cross joins are the 1-row node-count broadcast attached
+      // to the rank vector each iteration — the q45/q46 stance; the
+      // rank/edge joins themselves are src-keyed equi-joins
+      "q51_pagerank",
       // d51's all-pairs truth leg is the declared-quadratic EVAL
       // (the a39/d26 stance: sampled at corpus scale), and its
       // metric assembly crosses three 1-row counts
