@@ -322,9 +322,12 @@ object Ann {
     * is per-vector against literal centroids, so filtering commutes
     * with it, and query membership (vec_id < NQ) is evaluated on
     * the filtered corpus — a deleted query vector stops querying. */
-  private def ivfRecomputeSql(where: String): String = {
+  /** The corpus-routing prefix of [[ivfRecomputeSql]] (norms, literal-
+    * centroid distance lists, argmin cell), exposed so a47's curve
+    * oracle replays the SAME cell assignment the probe family pins. */
+  private def ivfCellsCte(where: String): String = {
     val centsDuck = centroidStrs.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
-    s"""WITH e AS (
+    s"""e AS (
        | SELECT * FROM (
        |  SELECT vec_id, embedding,
        |   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm,
@@ -334,7 +337,11 @@ object Ann {
        |  FROM embeddings WHERE $where) WHERE norm > 0),
        |cells AS (
        | SELECT vec_id, embedding, norm, dl,
-       |  CAST(list_indexof(dl, list_min(dl)) - 1 AS INT) AS cell FROM e),
+       |  CAST(list_indexof(dl, list_min(dl)) - 1 AS INT) AS cell FROM e)""".stripMargin
+  }
+
+  private def ivfRecomputeSql(where: String): String = {
+    s"""WITH ${ivfCellsCte(where)},
        |qprobe AS (
        | SELECT vec_id, list(cell ORDER BY rnk) AS probe_cells FROM (
        |  SELECT vec_id, CAST(i - 1 AS INT) AS cell,
@@ -2008,6 +2015,127 @@ object Ann {
        |ORDER BY l.cell""".stripMargin
   }
 
+  /** a47's sweep points — literal, so both engines iterate the same
+    * curve; 16 = every cell = the exact scan. */
+  private[graft] val a47Probes = Seq(1, 2, 4, 8, 16)
+
+  /** a47: the nprobe–recall tuning curve — the measurement an IVF
+    * operator actually tunes with, completing the eval story (a39
+    * measures ONE operating point at the shipped nprobe=4; a47
+    * sweeps nprobe ∈ {1,2,4,8,16} and reports, per point, recall@K
+    * against exact truth plus the candidate volume paid for it — the
+    * recall/cost frontier that decides the production setting).
+    *
+    * The trick that makes the sweep ONE scan instead of five: every
+    * corpus vector lives in exactly one cell, and a query's cells
+    * have a fixed probe order (distance asc, cell id — a29b's struct
+    * sort), so each (query, candidate) pair is scored ONCE tagged
+    * with the candidate cell's probe rank; the nprobe=p result is
+    * then "rank within pairs whose probe rank ≤ p" — a filter over
+    * the shared scored stream, not a re-scan. The p=16 point covers
+    * every cell, so the SAME stream also yields the exact truth
+    * (= a27's answer) and both frontier endpoints are self-checking:
+    * recall_ppm(16) = cand_frac_ppm(16) = 10⁶ by construction.
+    * Ratios ship as exact-integer ppm (the a39 stance — no
+    * cross-engine float division).
+    *
+    * Scale (100 TB): the full-corpus scoring is the price of exact
+    * GROUND TRUTH, which any recall eval pays once (a39/a27 stance —
+    * NQ-bounded: 8 queries × corpus, evaluation-sized); the curve
+    * itself adds only scan-side explode (≤ |probes| copies of each
+    * scored row), two bounded-key aggregates, and a 1-row total
+    * broadcast. No join grows with nprobe. */
+  def a47NprobeCurve(s: SparkSession, dir: String): DataFrame = {
+    val corpus = withNorm(Tables.embeddings(s, dir).select("vec_id", "embedding"))
+      .withColumn("dl", centroidDistsExpr("embedding"))
+      .withColumn("cell", expr("CAST(array_position(dl, array_min(dl)) - 1 AS INT)"))
+    val qcells = corpus.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"),
+        col("norm").as("q_norm"),
+        posexplode(expr(
+          """transform(array_sort(
+            |  zip_with(dl, sequence(0, 15), (d, i) -> struct(d, i))), s -> s.i)"""
+            .stripMargin)))
+      .select(col("query_id"), col("q_embedding"), col("q_norm"),
+        (col("pos") + 1).cast("int").as("prnk"), col("col").cast("int").as("cell"))
+    val scored = corpus.select("vec_id", "embedding", "norm", "cell")
+      .join(broadcast(qcells), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine, 4).as("cosine"), col("prnk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wTruth = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val truth = scored.withColumn("rk", row_number().over(wTruth))
+      .filter(col("rk") <= K).select("query_id", "neighbor_id")
+    val exploded = scored.select(col("query_id"), col("neighbor_id"),
+        col("cosine"),
+        explode(expr(s"filter(array(${a47Probes.mkString(", ")}), p -> p >= prnk)"))
+          .as("nprobe"))
+    val wP = Window.partitionBy("nprobe", "query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val matched = exploded.withColumn("rk", row_number().over(wP))
+      .filter(col("rk") <= K)
+      .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("nprobe").agg(count(lit(1)).as("matched"))
+    val cands = exploded.groupBy("nprobe").agg(count(lit(1)).as("candidates"))
+    val total = scored.agg(count(lit(1)).as("total_pairs"))
+    cands.join(matched, Seq("nprobe"))
+      .crossJoin(broadcast(total))
+      .select(col("nprobe"),
+        expr(s"matched * 1000000 div ${NQ * K}").as("recall_ppm"),
+        col("candidates"),
+        expr("candidates * 1000000 div total_pairs").as("cand_frac_ppm"))
+      .orderBy("nprobe")
+  }
+
+  /** DuckDB oracle for a47: the shared [[ivfCellsCte]] routing, the
+    * identical probe-rank tagging (row_number over (distance, cell)),
+    * one shared scored stream feeding truth and every curve point,
+    * and the same integer-ppm arithmetic. */
+  val a47Sql: String =
+    s"""WITH ${ivfCellsCte("TRUE")},
+       |qord AS (
+       | SELECT vec_id AS query_id, CAST(i - 1 AS INT) AS cell,
+       |  CAST(row_number() OVER (PARTITION BY vec_id ORDER BY dl[i], i) AS INT)
+       |   AS prnk
+       | FROM (SELECT vec_id, dl, unnest(generate_series(1, 16)) AS i
+       |       FROM cells WHERE vec_id < $NQ)),
+       |scored AS (
+       | SELECT o.query_id, c.vec_id AS neighbor_id,
+       |  $duckCosine AS cosine, o.prnk
+       | FROM qord o
+       |  JOIN cells q ON q.vec_id = o.query_id
+       |  JOIN cells c ON c.cell = o.cell AND c.vec_id <> o.query_id),
+       |truth AS (
+       | SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+       |  FROM scored) WHERE rk <= $K),
+       |ex AS (
+       | SELECT s.query_id, s.neighbor_id, s.cosine, p.nprobe
+       | FROM scored s JOIN (SELECT unnest([${a47Probes.mkString(", ")}]) AS nprobe) p
+       |  ON p.nprobe >= s.prnk),
+       |ak AS (
+       | SELECT nprobe, query_id, neighbor_id FROM (
+       |  SELECT nprobe, query_id, neighbor_id, row_number() OVER (
+       |    PARTITION BY nprobe, query_id ORDER BY cosine DESC, neighbor_id) AS rk
+       |  FROM ex) WHERE rk <= $K),
+       |mt AS (
+       | SELECT nprobe, count(*) AS matched FROM ak
+       | WHERE EXISTS (SELECT 1 FROM truth t
+       |   WHERE t.query_id = ak.query_id AND t.neighbor_id = ak.neighbor_id)
+       | GROUP BY 1),
+       |cd AS (SELECT nprobe, count(*) AS candidates FROM ex GROUP BY 1),
+       |tot AS (SELECT count(*) AS total_pairs FROM scored)
+       |SELECT CAST(cd.nprobe AS INT) AS nprobe,
+       | CAST(mt.matched * 1000000 // ${NQ * K} AS BIGINT) AS recall_ppm,
+       | CAST(cd.candidates AS BIGINT) AS candidates,
+       | CAST(cd.candidates * 1000000 // tot.total_pairs AS BIGINT)
+       |  AS cand_frac_ppm
+       |FROM cd JOIN mt USING (nprobe) CROSS JOIN tot
+       |ORDER BY nprobe""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a27_ann_brute" -> (a27AnnBrute _),
     "a28_ann_lsh" -> (a28AnnLsh _),
@@ -2029,7 +2157,8 @@ object Ann {
     "a43_persisted_mips" -> (a43PersistedMips _),
     "a44_cell_stats" -> (a44CellStats _),
     "a45_cell_split" -> (a45CellSplit _),
-    "a46_cell_merge" -> (a46CellMerge _))
+    "a46_cell_merge" -> (a46CellMerge _),
+    "a47_nprobe_curve" -> (a47NprobeCurve _))
 
   def oracles: Map[String, String] = Map(
     "a27_ann_brute" -> a27Sql,
@@ -2052,5 +2181,6 @@ object Ann {
     "a43_persisted_mips" -> a42Sql,
     "a44_cell_stats" -> a44Sql,
     "a45_cell_split" -> a45Sql,
-    "a46_cell_merge" -> a46Sql)
+    "a46_cell_merge" -> a46Sql,
+    "a47_nprobe_curve" -> a47Sql)
 }

@@ -642,6 +642,33 @@ class AnnSpec extends SparkSpec {
       s"splitting must reduce the hottest load: $maxAfterSplit vs $maxBefore")
   }
 
+  test("a47 curve: frontier laws, exact endpoint, and the shipped a39 point") {
+    val got = SparkEntry.queries("a47_nprobe_curve")(spark, sfDir)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(1, 2, 4, 8, 16), s"sweep points: ${got.map(_._1)}")
+    // monotone frontier: more cells probed can never lose recall and
+    // always costs at least as many candidates
+    got.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._2 <= b._2, s"recall decreased: $a -> $b")
+      assert(a._3 <= b._3, s"candidates decreased: $a -> $b")
+    }
+    // the p=16 endpoint probes EVERY cell: it IS the exact scan, so
+    // both ratios are exactly 10^6 by construction
+    val full = got.last
+    assert(full._2 == 1000000L, s"recall@nprobe=16 must be exact: $full")
+    assert(full._4 == 1000000L, s"cand_frac@nprobe=16 must be 1: $full")
+    // the curve must be non-trivial: probing 1 cell reads a strict
+    // subset of the corpus
+    assert(got.head._4 < 1000000L, s"nprobe=1 candidate fraction: ${got.head}")
+    // cross-entry pin: the p=4 point IS the shipped operating point —
+    // its recall must equal a39's registered per-query eval aggregated
+    val a39 = SparkEntry.queries("a39_recall_eval")(spark, sfDir)
+      .as[(Long, Int, Long)].collect().toSeq
+    val a39Recall = a39.map(_._2.toLong).sum * 1000000L / (a39.size * 5L)
+    val p4 = got.find(_._1 == 4).get
+    assert(p4._2 == a39Recall, s"a47@4 ${p4._2} != a39 aggregate $a39Recall")
+  }
+
   test("a46 merge: budget, cold set, conservation, survivors' own counts untouched") {
     val merged = SparkEntry.queries("a46_cell_merge")(spark, sfDir)
       .as[(Int, Long, Long, Long, Double, Double)].collect().toSeq

@@ -406,6 +406,9 @@ class PlanSpec extends SparkSpec {
       // a46 rides the same build + totals cross; its survivor
       // centroids (88 rows) broadcast for the re-routing scan
       "a46_cell_merge",
+      // a47's cross is the 1-row total-pairs broadcast onto the
+      // 5-row curve; the scoring join itself is a cell equi-join
+      "a47_nprobe_curve",
       "d26_embed_neardup",
       "q28_date_spine", "t38_keyphrase", "t39_bigram_lm", "a30_ann_sq",
       // q45/q46's cross joins are 1-row broadcasts (the quintile
