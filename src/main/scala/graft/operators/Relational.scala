@@ -2275,6 +2275,102 @@ object Relational {
       |ORDER BY rank_sc DESC, part LIMIT 50""".stripMargin
   }
 
+  /** q52's stacked view of the events table: one (col_name,
+    * value_num, value_str) row per source row per profiled column —
+    * numerics (ids, the double measure, epoch-micros timestamps)
+    * carry value_num, strings carry value_str, a NULL source value
+    * carries neither. ONE definition — the batch profiler (q52)
+    * aggregates it directly and the live profiler (s55) folds its
+    * per-batch summaries, so "what counts as a profiled value" can
+    * never diverge between the two. Scan-stage: the stack is a
+    * generator over one scan, no exchange. */
+  private[graft] def q52Stacked(ev: DataFrame): DataFrame = {
+    def num(name: String, c: Column) = struct(lit(name).as("col_name"),
+      c.cast("double").as("value_num"),
+      lit(null).cast("string").as("value_str"))
+    def str(name: String, c: Column) = struct(lit(name).as("col_name"),
+      lit(null).cast("double").as("value_num"), c.as("value_str"))
+    ev.select(explode(array(
+        num("event_id", col("event_id")),
+        num("ts", unix_micros(col("ts"))),
+        num("user_id", col("user_id")),
+        num("value", col("value")),
+        str("event_type", col("event_type")),
+        str("props", col("props")))).as("s"))
+      .select("s.*")
+  }
+
+  /** q52's MERGEABLE per-column summary over a stacked slice: counts
+    * sum-merge, extrema min/max-merge — every column is an exact
+    * distributive aggregate, so partial summaries of disjoint slices
+    * fold to the full-corpus summary (the s52/s53 mergeable-state
+    * requirement; min/max are raw here — presentation rounds). */
+  private[graft] def q52Stats(st: DataFrame): DataFrame =
+    st.groupBy("col_name").agg(
+      count(lit(1)).as("cnt"),
+      count(when(col("value_num").isNull && col("value_str").isNull, 1))
+        .as("nulls"),
+      min(col("value_num")).as("min_num"), max(col("value_num")).as("max_num"),
+      min(length(col("value_str"))).cast("int").as("min_len"),
+      max(length(col("value_str"))).cast("int").as("max_len"))
+
+  /** q52's presentation: the summary plus the exact NDV leg (count
+    * of distinct values in whichever slot the column populates),
+    * shared verbatim by q52 (dvals = the raw stack) and s55 (dvals =
+    * the folded distinct-value state — same multiset of distincts,
+    * so the same result). */
+  private[graft] def q52Present(stats: DataFrame, dvals: DataFrame): DataFrame = {
+    val ndv = dvals.groupBy("col_name").agg(
+      (countDistinct(col("value_num")) + countDistinct(col("value_str")))
+        .as("ndv"))
+    stats.join(ndv, Seq("col_name"))
+      .select(col("col_name"), col("cnt"), col("nulls"), col("ndv"),
+        round(col("min_num"), 4).as("min_num"),
+        round(col("max_num"), 4).as("max_num"),
+        col("min_len"), col("max_len"))
+      .orderBy("col_name")
+  }
+
+  /** q52: the column profiler — the data-quality staple every
+    * warehouse runs before trusting a table (and the summary a query
+    * optimizer's statistics collector computes): per column of the
+    * events table, row count, NULL count, exact distinct count, and
+    * numeric/length extrema, via ONE stacked scan ([[q52Stacked]])
+    * so a new profiled column is one array entry, not a new query.
+    *
+    * Scale (100 TB): count/null/extrema are distributive aggregates
+    * over the scan stage — map-side partials, |columns|-row result.
+    * The exact NDV leg is the gate-regime instrument (one
+    * (col, value)-keyed expand exchange); at production scale that
+    * leg swaps for q49's HLL registers per column — the same
+    * mergeable-summary trade s53 documents for live uniques. */
+  def q52Profile(s: SparkSession, dir: String): DataFrame = {
+    val st = q52Stacked(Tables.events(s, dir))
+    q52Present(q52Stats(st), st)
+  }
+
+  /** DuckDB oracle for q52: the identical stack (UNION ALL per
+    * column — the oracle may re-scan; the engine must not) and the
+    * identical aggregate arithmetic. */
+  val q52Sql: String =
+    """WITH st AS (
+      | SELECT 'event_id' AS col_name, CAST(event_id AS DOUBLE) AS value_num,
+      |        CAST(NULL AS VARCHAR) AS value_str FROM events
+      | UNION ALL SELECT 'ts', CAST(epoch_us(ts) AS DOUBLE), NULL FROM events
+      | UNION ALL SELECT 'user_id', CAST(user_id AS DOUBLE), NULL FROM events
+      | UNION ALL SELECT 'value', value, NULL FROM events
+      | UNION ALL SELECT 'event_type', NULL, event_type FROM events
+      | UNION ALL SELECT 'props', NULL, props FROM events)
+      |SELECT col_name, count(*) AS cnt,
+      | CAST(count(CASE WHEN value_num IS NULL AND value_str IS NULL
+      |   THEN 1 END) AS BIGINT) AS nulls,
+      | CAST(count(DISTINCT value_num) + count(DISTINCT value_str) AS BIGINT)
+      |  AS ndv,
+      | ROUND(min(value_num), 4) AS min_num, ROUND(max(value_num), 4) AS max_num,
+      | CAST(min(length(value_str)) AS INT) AS min_len,
+      | CAST(max(length(value_str)) AS INT) AS max_len
+      |FROM st GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_filter" -> (q01AggFilter _),
     "q02_project_enrich" -> (q02ProjectEnrich _),
@@ -2323,7 +2419,8 @@ object Relational {
     "q48_retention" -> (q48Retention _),
     "q49_hll_distinct" -> (q49HllDistinct _),
     "q50_event_transitions" -> (q50EventTransitions _),
-    "q51_pagerank" -> (q51PageRank _))
+    "q51_pagerank" -> (q51PageRank _),
+    "q52_profile" -> (q52Profile _))
 
   // ---- q40: data-quality expectations audit (DLT expectations) ----
 
@@ -2467,5 +2564,6 @@ object Relational {
     "q48_retention" -> q48Sql,
     "q49_hll_distinct" -> q49Sql,
     "q50_event_transitions" -> q50Sql,
-    "q51_pagerank" -> q51Sql)
+    "q51_pagerank" -> q51Sql,
+    "q52_profile" -> q52Sql)
 }

@@ -1332,6 +1332,70 @@ object Streaming {
     * stance. */
   lazy val s54Sql: String = graft.operators.Relational.q50Sql
 
+  /** s55's summary-state fold: the live column profile. State = one
+    * MERGEABLE per-column summary row (q52Stats of everything folded
+    * so far); a batch folds in by computing ITS summary through the
+    * SAME shared body and merging — counts sum (associative +
+    * commutative; exactly-once slicing is the contract, the s54
+    * count stance), extrema min/max (idempotent). No ordering
+    * precondition: every aggregate here commutes. */
+  def profileStatsFold(state: DataFrame, batch: DataFrame): DataFrame =
+    state.unionByName(graft.operators.Relational.q52Stats(
+        graft.operators.Relational.q52Stacked(batch)))
+      .groupBy("col_name").agg(
+        sum(col("cnt")).as("cnt"), sum(col("nulls")).as("nulls"),
+        min(col("min_num")).as("min_num"), max(col("max_num")).as("max_num"),
+        min(col("min_len")).as("min_len"), max(col("max_len")).as("max_len"))
+
+  /** s55's exact-NDV anchor fold: the distinct (col_name, value)
+    * set, union-distinct per batch — fully IDEMPOTENT (the s52/s53
+    * set stance), so redelivery cannot grow it. At production scale
+    * this leg swaps for q49's HLL registers per column (the s53
+    * trade); in the gate regime it is the exact instrument. */
+  def profileDistinctFold(state: DataFrame, batch: DataFrame): DataFrame =
+    state.unionByName(
+      graft.operators.Relational.q52Stacked(batch)
+        .filter(col("value_num").isNotNull || col("value_str").isNotNull)
+        .distinct()).distinct()
+
+  /** s55: the LIVE column profile — q52 kept current over the event
+    * stream through persisted state generations (the s45/s50 stance,
+    * dual-artifact like s53): the summary state merges each batch's
+    * q52Stats partials, the distinct-value state union-distincts,
+    * presentation derives through the SAME q52Present. The oracle IS
+    * q52's batch profile — slicing must be invisible. Scale: the
+    * summary state is |columns| rows forever; per batch one
+    * col_name-keyed merge of batch-sized partials. */
+  def s55StreamProfile(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val stateDir = graft.sources.Export.scratch("s55_profile", dir)
+    val emptyStats = graft.operators.Relational.q52Stats(
+      graft.operators.Relational.q52Stacked(ev.filter(lit(false))))
+    emptyStats.write.mode("overwrite").parquet(s"$stateDir/s0")
+    val emptyVals = graft.operators.Relational.q52Stacked(ev.filter(lit(false)))
+    emptyVals.write.mode("overwrite").parquet(s"$stateDir/v0")
+    var stats = s.read.parquet(s"$stateDir/s0")
+    var vals = s.read.parquet(s"$stateDir/v0")
+    val slices = Seq(
+      col("ts") < lit(s50Cut1),
+      col("ts") >= lit(s50Cut1) && col("ts") < lit(s50Cut2),
+      col("ts") >= lit(s50Cut2))
+    slices.zipWithIndex.foreach { case (slice, i) =>
+      val b = ev.filter(slice)
+      profileStatsFold(stats, b)
+        .write.mode("overwrite").parquet(s"$stateDir/s${i + 1}")
+      profileDistinctFold(vals, b)
+        .write.mode("overwrite").parquet(s"$stateDir/v${i + 1}")
+      stats = s.read.parquet(s"$stateDir/s${i + 1}")
+      vals = s.read.parquet(s"$stateDir/v${i + 1}")
+    }
+    graft.operators.Relational.q52Present(stats, vals)
+  }
+
+  /** s55's oracle IS q52's batch profile. Lazy per the s45Sql
+    * stance. */
+  lazy val s55Sql: String = graft.operators.Relational.q52Sql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s34_stream_tumbling" -> (s34StreamTumbling _),
     "s35_stream_join" -> (s35StreamJoin _),
@@ -1353,7 +1417,8 @@ object Streaming {
     "s51_stream_scd2" -> (s51StreamScd2 _),
     "s52_stream_retention" -> (s52StreamRetention _),
     "s53_stream_hll" -> (s53StreamHll _),
-    "s54_stream_transitions" -> (s54StreamTransitions _))
+    "s54_stream_transitions" -> (s54StreamTransitions _),
+    "s55_stream_profile" -> (s55StreamProfile _))
 
   def oracles: Map[String, String] = Map(
     "s34_stream_tumbling" -> s34Sql,
@@ -1376,5 +1441,6 @@ object Streaming {
     "s51_stream_scd2" -> s51Sql,
     "s52_stream_retention" -> s52Sql,
     "s53_stream_hll" -> s53Sql,
-    "s54_stream_transitions" -> s54Sql)
+    "s54_stream_transitions" -> s54Sql,
+    "s55_stream_profile" -> s55Sql)
 }

@@ -479,6 +479,47 @@ class InvariantSpec extends SparkSpec {
     assert(got.map(_._2).distinct.size > 1, "rank vector degenerate")
   }
 
+  test("q52 profile equals an in-memory mirror over the raw events") {
+    val got = SparkEntry.queries("q52_profile")(spark, sfDir)
+      .as[ProfRow].collect().toSeq
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .collect()
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000 + t.getNanos / 1000
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val stacked = ev.toSeq.flatMap { r =>
+      def num(n: String, v: Option[Double]) = (n, v, None: Option[String])
+      def str(n: String, v: Option[String]) = (n, None: Option[Double], v)
+      Seq(
+        num("event_id", if (r.isNullAt(0)) None else Some(r.getLong(0).toDouble)),
+        num("ts", if (r.isNullAt(1)) None else Some(micros(r.getTimestamp(1)).toDouble)),
+        num("user_id", if (r.isNullAt(2)) None else Some(r.getLong(2).toDouble)),
+        num("value", if (r.isNullAt(4)) None else Some(r.getDouble(4))),
+        str("event_type", Option(r.getString(3))),
+        str("props", Option(r.getString(5))))
+    }
+    val expected = stacked.groupBy(_._1).toSeq.map { case (cn, xs) =>
+      val nums = xs.flatMap(_._2); val strs = xs.flatMap(_._3)
+      ProfRow(cn, xs.size.toLong,
+        xs.count(x => x._2.isEmpty && x._3.isEmpty).toLong,
+        (nums.distinct.size + strs.distinct.size).toLong,
+        if (nums.isEmpty) None else Some(r4(nums.min)),
+        if (nums.isEmpty) None else Some(r4(nums.max)),
+        if (strs.isEmpty) None else Some(strs.map(_.length).min),
+        if (strs.isEmpty) None else Some(strs.map(_.length).max))
+    }.sortBy(_.col_name)
+    assert(got == expected, "q52 != in-memory profile mirror")
+    assert(got.size == 6 && got.forall(_.cnt > 0), "profile degenerate")
+    // both slots must be exercised: numeric columns carry extrema and
+    // no lengths, string columns the reverse
+    assert(got.exists(r => r.min_num.isDefined && r.min_len.isEmpty),
+      "no numeric column")
+    assert(got.exists(r => r.min_num.isEmpty && r.min_len.isDefined),
+      "no string column")
+  }
+
   test("q47 PIT join: fact bijection and as-of-version correctness against a replay mirror") {
     val got = SparkEntry.queries("q47_pit_join")(spark, sfDir)
       .as[(Long, Long, java.sql.Timestamp, String, Int, Double)].collect().toSeq

@@ -539,6 +539,12 @@ class PlanSpec extends SparkSpec {
       // sum-merge, pinned by the q50 oracle and the StreamingSpec
       // fold-equals-batch property
       "s54_stream_transitions",
+      // s55 folds profile-summary + distinct-value generations
+      // through parquet artifacts at construction; per-batch plans
+      // are one col_name-keyed merge of scan-stage partials + a
+      // union-distinct, pinned by the q52 oracle and the
+      // StreamingSpec fold-equals-batch property
+      "s55_stream_profile",
       // t51 runs its K merge rounds at construction (each round's
       // argmax is one bounded 1-row driver action — the learned
       // parameter, the q30/a36 stance); per-round plans are a

@@ -8,6 +8,16 @@ import graft.streaming.Streaming
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
               event_type: String, value: Double)
 
+/** Ev plus the props payload — s55's profile folds every events
+  * column, so its driver rows must carry the full schema. */
+case class EvP(event_id: Long, ts: Timestamp, user_id: Long,
+               event_type: String, value: Double, props: String)
+
+/** q52/s55 profile output row (Options for the per-type slots). */
+case class ProfRow(col_name: String, cnt: Long, nulls: Long, ndv: Long,
+                   min_num: Option[Double], max_num: Option[Double],
+                   min_len: Option[Int], max_len: Option[Int])
+
 case class Doc(doc_id: Long, text: String)
 case class LangDoc(doc_id: Long, lang: String, text: String)
 case class Vec(vec_id: Long, embedding: Seq[Float])
@@ -639,6 +649,59 @@ class StreamingSpec extends SparkSpec {
     val s53 = SparkEntry.queries("s53_stream_hll")(spark, sfDir)
       .as[(java.sql.Date, Long, Long, Long, Double, Double)].collect().toSeq
     assert(s53 == batch, "s53's registered fold != batch sketch")
+  }
+
+  test("s55 live profile folds to the batch profile under shuffled slicing") {
+    val gens = java.nio.file.Files.createTempDirectory("s55gen").toString
+    val ev = Tables.events(spark, sfDir)
+    graft.operators.Relational.q52Stats(
+        graft.operators.Relational.q52Stacked(ev.filter(lit(false))))
+      .write.mode("overwrite").parquet(s"$gens/s0")
+    graft.operators.Relational.q52Stacked(ev.filter(lit(false)))
+      .write.mode("overwrite").parquet(s"$gens/v0")
+    // the summary fold's contract is exactly-once but UNORDERED
+    // (sums and extrema commute): drive event_id residue slices,
+    // each spanning the whole month, interleaved out of time order
+    val rows = ev.select("event_id", "ts", "user_id", "event_type",
+      "value", "props").as[EvP].collect()
+    val batches = Seq(
+      rows.filter(_.event_id % 3 == 2),
+      rows.filter(_.event_id % 3 == 0),
+      rows.filter(_.event_id % 3 == 1))
+    assert(batches.forall(_.nonEmpty))
+    val gen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val in = MemoryStream[EvP](spark)
+    val q = in.toDF().writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val g = gen.get()
+        Streaming.profileStatsFold(spark.read.parquet(s"$gens/s$g"), b.toDF())
+          .write.mode("overwrite").parquet(s"$gens/s${g + 1}")
+        Streaming.profileDistinctFold(spark.read.parquet(s"$gens/v$g"), b.toDF())
+          .write.mode("overwrite").parquet(s"$gens/v${g + 1}")
+        gen.incrementAndGet()
+        ()
+      }.start()
+    try {
+      batches.foreach { b => in.addData(b.toSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    assert(gen.get() == 3, s"expected 3 state generations, got ${gen.get()}")
+    val streamed = graft.operators.Relational.q52Present(
+        spark.read.parquet(s"$gens/s3"), spark.read.parquet(s"$gens/v3"))
+      .as[ProfRow].collect().toSeq
+    val batch = SparkEntry.queries("q52_profile")(spark, sfDir)
+      .as[ProfRow].collect().toSeq
+    assert(streamed == batch, "shuffled profile chain != batch profile")
+    // the distinct-value leg is a SET: refolding an already-seen
+    // slice must not grow it (redelivery-safe, unlike the count leg
+    // whose contract is exactly-once — the s54 stance)
+    val v3 = spark.read.parquet(s"$gens/v3")
+    val redelivered = Streaming.profileDistinctFold(
+      v3, ev.filter(expr("event_id % 3 = 1")))
+    assert(redelivered.count() == v3.count(),
+      "redelivery grew the distinct-value state")
+    val s55 = SparkEntry.queries("s55_stream_profile")(spark, sfDir)
+      .as[ProfRow].collect().toSeq
+    assert(s55 == batch, "s55's registered fold != batch profile")
   }
 
   test("the composed streaming admission (s43 anti-join ∘ stateful dedup ∘ s41 gate) equals d40") {
