@@ -2275,6 +2275,70 @@ object Relational {
       |ORDER BY rank_sc DESC, part LIMIT 50""".stripMargin
   }
 
+  /** q53: co-purchase communities — the component/cluster report
+    * completing the graph pair (q51 ranks WITHIN the affinity graph,
+    * q53 reports its SHAPE: how many connected product families
+    * exist, how big, how densely co-bought — the "category
+    * discovery" readout a merchandiser runs on basket data). Edges
+    * are [[q46PairsFrom]] VERBATIM (the third consumer of the ONE
+    * shared pair body, after the q46 miner and the q51 ranking);
+    * labels come from the SAME [[graft.dedup.Dedup.connectedComponents]]
+    * machinery the dedup family ships (d27/d32/m36 — min-label
+    * contract), so the graph stack has one closure definition
+    * engine-wide. Output: one row per community with its vertex
+    * count, internal edge count, and total support mass, ordered
+    * size-desc with full tiebreak.
+    *
+    * Scale (100 TB): the alternating-round CC is the audited d27
+    * machinery (each round a keyed join + min-aggregate, plan-cut
+    * between rounds; rounds ~ log diameter); the stats are two
+    * component-keyed aggregates over label-joined edges. The giant-
+    * component risk is real in basket graphs (sf0.01's graph is one
+    * 1860-vertex family) — the support floor (≥ 2 co-orders) is the
+    * production knob that keeps the graph sparse, and the CC rounds
+    * are label-propagation joins either way, never per-component
+    * materialization. */
+  def q53Communities(s: SparkSession, dir: String): DataFrame = {
+    val pairs = q46PairsFrom(q46Items(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verts = pairs.select(col("part_a").as("id"))
+      .unionByName(pairs.select(col("part_b").as("id"))).distinct()
+    val labels = graft.dedup.Dedup.connectedComponents(verts,
+      pairs.select(col("part_a").as("src"), col("part_b").as("dst")))
+    val sizes = labels.groupBy("component").agg(count(lit(1)).as("size"))
+    val es = pairs.join(labels.withColumnRenamed("id", "part_a"), Seq("part_a"))
+      .groupBy("component").agg(count(lit(1)).as("edges"),
+        sum(col("pair_orders")).as("support"))
+    sizes.join(es, Seq("component"))
+      .select(col("component").as("component_id"), col("size"),
+        col("edges"), col("support"))
+      .orderBy(col("size").desc, col("component_id"))
+  }
+
+  /** DuckDB oracle for q53: the shared [[q46PairsCte]] edge body,
+    * closed with the d27b/m36b recursive-reachability idiom (UNION
+    * dedups → termination), min label per vertex, then the identical
+    * community arithmetic. */
+  val q53Sql: String =
+    s"""WITH RECURSIVE $q46PairsCte,
+      |edges AS (
+      | SELECT part_a AS src, part_b AS dst FROM pairs
+      | UNION ALL SELECT part_b AS src, part_a AS dst FROM pairs),
+      |reach(a, b) AS (
+      | SELECT src, src FROM edges
+      | UNION
+      | SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+      |lab AS (SELECT a AS part, MIN(b) AS component_id FROM reach GROUP BY a),
+      |sz AS (SELECT component_id, count(*) AS size FROM lab GROUP BY 1),
+      |es AS (
+      | SELECT l.component_id, count(*) AS edges,
+      |  CAST(sum(p.pair_orders) AS BIGINT) AS support
+      | FROM pairs p JOIN lab l ON l.part = p.part_a GROUP BY 1)
+      |SELECT sz.component_id, CAST(sz.size AS BIGINT) AS size,
+      | CAST(es.edges AS BIGINT) AS edges, es.support
+      |FROM sz JOIN es USING (component_id)
+      |ORDER BY size DESC, component_id""".stripMargin
+
   /** q52's stacked view of the events table: one (col_name,
     * value_num, value_str) row per source row per profiled column —
     * numerics (ids, the double measure, epoch-micros timestamps)
@@ -2420,7 +2484,8 @@ object Relational {
     "q49_hll_distinct" -> (q49HllDistinct _),
     "q50_event_transitions" -> (q50EventTransitions _),
     "q51_pagerank" -> (q51PageRank _),
-    "q52_profile" -> (q52Profile _))
+    "q52_profile" -> (q52Profile _),
+    "q53_communities" -> (q53Communities _))
 
   // ---- q40: data-quality expectations audit (DLT expectations) ----
 
@@ -2565,5 +2630,6 @@ object Relational {
     "q49_hll_distinct" -> q49Sql,
     "q50_event_transitions" -> q50Sql,
     "q51_pagerank" -> q51Sql,
-    "q52_profile" -> q52Sql)
+    "q52_profile" -> q52Sql,
+    "q53_communities" -> q53Sql)
 }

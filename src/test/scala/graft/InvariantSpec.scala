@@ -520,6 +520,48 @@ class InvariantSpec extends SparkSpec {
       "no string column")
   }
 
+  test("q53 communities equal a union-find mirror; partition and min-label laws hold") {
+    val got = SparkEntry.queries("q53_communities")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // mirror: the SAME support-floored pair body (the q46/q51 mirror
+    // idiom), closed with plain union-find, min member as the label
+    val items = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val support = items.groupBy(_._1).values.toSeq
+      .map(_.map(_._2).sorted.toSeq)
+      .flatMap(ps => for (a <- ps; b <- ps if a < b) yield (a, b))
+      .groupBy(identity).view.mapValues(_.size.toLong).filter(_._2 >= 2).toMap
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    support.keys.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val label = parent.keys.map(v => v -> find(v)).toMap
+    val expected = label.groupBy(_._2).map { case (c, vs) =>
+      val edges = support.keys.count { case (a, _) => label(a) == c }
+      val sup = support.collect { case ((a, _), w) if label(a) == c => w }.sum
+      (c, vs.size.toLong, edges.toLong, sup)
+    }.toSeq.sortBy(t => (-t._2, t._1))
+    assert(got == expected, "q53 != union-find mirror")
+    // laws: components partition the vertex set and the edge set
+    // exactly, and every label is its component's minimum member
+    assert(got.map(_._2).sum == label.size, "sizes must partition vertices")
+    assert(got.map(_._3).sum == support.size, "edges must partition pairs")
+    assert(got.map(_._4).sum == support.values.sum, "support mass conserved")
+    got.foreach { case (c, _, _, _) =>
+      assert(label(c) == c, s"label $c not the min member of its component") }
+    // sf0.001's basket graph closes into ONE giant family (the
+    // multi-component shape is exercised by the sf0.01 oracle, 9
+    // rows) — the law here is that the family is genuinely large
+    assert(got.nonEmpty && got.map(_._2).max >= 10,
+      "corpus must exercise a large connected family")
+  }
+
   test("q47 PIT join: fact bijection and as-of-version correctness against a replay mirror") {
     val got = SparkEntry.queries("q47_pit_join")(spark, sfDir)
       .as[(Long, Long, java.sql.Timestamp, String, Int, Double)].collect().toSeq

@@ -463,6 +463,10 @@ class PlanSpec extends SparkSpec {
       // stages are the already-pinned s43 anti join + batch window +
       // scan-stage quality gate
       "d40_daily_admit",
+      // q53 iterates the audited d27 CC machinery to a fixpoint at
+      // construction; its own joins are two component-keyed
+      // aggregates over the shared q46 pair body
+      "q53_communities",
       // d43 is the shared d35Classified (persisted index at
       // construction) + the scan-stage quality leg
       "d43_admission_audit",
