@@ -2339,6 +2339,79 @@ object Relational {
       |FROM sz JOIN es USING (component_id)
       |ORDER BY size DESC, component_id""".stripMargin
 
+  /** q54: item-item "also bought" recommender — the fourth consumer
+    * of the ONE shared co-purchase pair body (q46 mines association
+    * rules over it, q51 ranks centrality, q53 reports components,
+    * q54 turns it into the per-item recommendation list a retailer
+    * actually serves): for every part, its top-5 neighbors by
+    * JACCARD over order sets — |orders(a) ∩ orders(b)| /
+    * |orders(a) ∪ orders(b)| — the set-overlap normalization that
+    * (unlike raw support) does not just surface globally popular
+    * parts. Scored in scaled-integer basis points (the
+    * qualityScoreBp/q51 stance): pair_orders × 10000 div
+    * (orders_a + orders_b − pair_orders), exact BIGINT arithmetic,
+    * byte-identical across engines. Full deterministic tiebreak
+    * (score desc, support desc, neighbor asc), rank via
+    * row_number partitioned BY PART.
+    *
+    * Scale (100 TB): the directed edge list is 2× the support-
+    * floored pairs (bounded per order by basket size squared, the
+    * q46 shape); per-part order counts join on the part key; the
+    * top-5 window partitions by part — per-key parallelism, never a
+    * single total order (the q15 topn-per-group stance, NOT ntile);
+    * output is |parts| × ≤5 rows, orderable by any consumer. */
+  def q54SimilarParts(s: SparkSession, dir: String): DataFrame = {
+    val items = q46Items(s, dir)
+    val pairs = q46PairsFrom(items)
+    val perPart = items.groupBy("l_partkey").agg(count(lit(1)).as("part_orders"))
+    val directed = pairs.select(col("part_a").as("part"),
+        col("part_b").as("rec"), col("pair_orders"))
+      .unionByName(pairs.select(col("part_b").as("part"),
+        col("part_a").as("rec"), col("pair_orders")))
+    val scored = directed
+      .join(perPart.select(col("l_partkey").as("part"),
+        col("part_orders").as("orders_p")), Seq("part"))
+      .join(perPart.select(col("l_partkey").as("rec"),
+        col("part_orders").as("orders_r")), Seq("rec"))
+      .withColumn("jaccard_bp", expr(
+        "pair_orders * 10000 div (orders_p + orders_r - pair_orders)"))
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("part"))
+          .orderBy(col("jaccard_bp").desc, col("pair_orders").desc,
+            col("rec"))))
+      .filter(col("rank") <= 5)
+      .select(col("part"), col("rec"), col("pair_orders"),
+        col("jaccard_bp"), col("rank").cast("long").as("rank"))
+      .orderBy(col("part"), col("rank"))
+  }
+
+  /** DuckDB oracle for q54: the shared [[q46PairsCte]], the same
+    * directed doubling, the same BIGINT `//` Jaccard basis points
+    * (DuckDB `//` == Spark `div` on the non-negative operands, the
+    * q51 precedent), the same tiebroken per-part window. */
+  val q54Sql: String =
+    s"""WITH $q46PairsCte,
+      |per_part AS (
+      | SELECT l_partkey, count(*) AS part_orders FROM items GROUP BY 1),
+      |directed AS (
+      | SELECT part_a AS part, part_b AS rec, pair_orders FROM pairs
+      | UNION ALL
+      | SELECT part_b AS part, part_a AS rec, pair_orders FROM pairs),
+      |scored AS (
+      | SELECT d.part, d.rec, d.pair_orders,
+      |  d.pair_orders * 10000 // (pp.part_orders + pr.part_orders - d.pair_orders)
+      |    AS jaccard_bp
+      | FROM directed d
+      | JOIN per_part pp ON pp.l_partkey = d.part
+      | JOIN per_part pr ON pr.l_partkey = d.rec),
+      |ranked AS (
+      | SELECT *, row_number() OVER (PARTITION BY part
+      |   ORDER BY jaccard_bp DESC, pair_orders DESC, rec) AS rank
+      | FROM scored)
+      |SELECT part, rec, pair_orders, jaccard_bp, CAST(rank AS BIGINT) AS rank
+      |FROM ranked WHERE rank <= 5 ORDER BY part, rank""".stripMargin
+
   /** q52's stacked view of the events table: one (col_name,
     * value_num, value_str) row per source row per profiled column —
     * numerics (ids, the double measure, epoch-micros timestamps)
@@ -2485,7 +2558,8 @@ object Relational {
     "q50_event_transitions" -> (q50EventTransitions _),
     "q51_pagerank" -> (q51PageRank _),
     "q52_profile" -> (q52Profile _),
-    "q53_communities" -> (q53Communities _))
+    "q53_communities" -> (q53Communities _),
+    "q54_similar_parts" -> (q54SimilarParts _))
 
   // ---- q40: data-quality expectations audit (DLT expectations) ----
 
@@ -2631,5 +2705,6 @@ object Relational {
     "q50_event_transitions" -> q50Sql,
     "q51_pagerank" -> q51Sql,
     "q52_profile" -> q52Sql,
-    "q53_communities" -> q53Sql)
+    "q53_communities" -> q53Sql,
+    "q54_similar_parts" -> q54Sql)
 }

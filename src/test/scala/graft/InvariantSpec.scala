@@ -562,6 +562,40 @@ class InvariantSpec extends SparkSpec {
       "corpus must exercise a large connected family")
   }
 
+  test("q54 similar parts equal a Long-arithmetic Jaccard mirror; rank and symmetry laws hold") {
+    val got = SparkEntry.queries("q54_similar_parts")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val items = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val support = items.groupBy(_._1).values.toSeq
+      .map(_.map(_._2).sorted.toSeq)
+      .flatMap(ps => for (a <- ps; b <- ps if a < b) yield (a, b))
+      .groupBy(identity).view.mapValues(_.size.toLong).filter(_._2 >= 2).toMap
+    val partOrders = items.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val directed = support.toSeq.flatMap { case ((a, b), w) =>
+      Seq((a, b, w), (b, a, w)) }
+    val expected = directed
+      .map { case (p, r, w) =>
+        (p, r, w, w * 10000L / (partOrders(p) + partOrders(r) - w)) }
+      .groupBy(_._1).toSeq.flatMap { case (_, es) =>
+        es.sortBy(e => (-e._4, -e._3, e._2)).take(5).zipWithIndex
+          .map { case ((p, r, w, j), i) => (p, r, w, j, i + 1L) }
+      }.sortBy(t => (t._1, t._5))
+    assert(got == expected, "q54 != Jaccard mirror")
+    // laws: scores are genuine basis points, ranks are a clean
+    // per-part 1..k prefix, no self-recommendation, and Jaccard is
+    // SYMMETRIC (a's score for b == b's score for a wherever both
+    // directions survive the top-5 cut)
+    assert(got.forall(t => t._4 > 0 && t._4 <= 10000), "bp out of range")
+    assert(got.forall(t => t._1 != t._2), "self-recommendation")
+    got.groupBy(_._1).values.foreach { rs =>
+      assert(rs.map(_._5).sorted == (1L to rs.size).toSeq, "rank gap") }
+    val score = got.map(t => (t._1, t._2) -> t._4).toMap
+    score.foreach { case ((a, b), s) =>
+      score.get((b, a)).foreach(s2 => assert(s2 == s, "asymmetric Jaccard")) }
+  }
+
   test("q47 PIT join: fact bijection and as-of-version correctness against a replay mirror") {
     val got = SparkEntry.queries("q47_pit_join")(spark, sfDir)
       .as[(Long, Long, java.sql.Timestamp, String, Int, Double)].collect().toSeq
