@@ -2412,6 +2412,100 @@ object Relational {
       |SELECT part, rec, pair_orders, jaccard_bp, CAST(rank AS BIGINT) AS rank
       |FROM ranked WHERE rank <= 5 ORDER BY part, rank""".stripMargin
 
+  /** q55: multi-touch marketing attribution — the "which channel
+    * gets credit for this conversion" readout every growth team
+    * runs, under the three canonical models AT ONCE so they can be
+    * compared on one scan: for each purchase (the conversion), the
+    * SAME user's touches (view / click / signup) in a 7-day
+    * lookback window share 10000 basis points of credit per model —
+    * FIRST-touch (all to the earliest), LAST-touch (all to the
+    * latest), LINEAR (10000 div k each, division remainder pinned
+    * to the first touch so every conversion's mass is EXACTLY
+    * 10000 — the qualityScoreBp integer stance, no float splits). A
+    * conversion with no touch in the window credits the synthetic
+    * 'direct' channel in full under every model (the left-join row
+    * IS the k=1 case — one code path, no special-casing). Output:
+    * per channel, distinct conversions touched, credited touch
+    * rows, and the three credit masses.
+    *
+    * Scale (100 TB): conversions join touches on user_id with the
+    * lookback as a RESIDUAL predicate — co-partitioned
+    * SortMergeJoin (the q47 PIT stance), bounded per user by 7-day
+    * activity, never a time-range explosion; the per-conversion
+    * k/first/last are one window partitioned by conversion id
+    * (per-key parallelism); the final rollup is a |channels|-row
+    * map-side-partial aggregate. At production scale both sides
+    * bucket by user_id. */
+  def q55Attribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("conv_id"), col("user_id"),
+        col("ts").as("conv_ts"))
+    val touch = ev.filter(col("event_type").isin("view", "click", "signup"))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("ts").as("touch_ts"), col("event_type").as("channel"))
+    val joined = conv.join(touch,
+      conv("user_id") === touch("user_id") &&
+        col("touch_ts") <= col("conv_ts") &&
+        col("touch_ts") > col("conv_ts") - expr("INTERVAL 7 DAY"), "left")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("conv_id"))
+    val credited = joined
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("touch_ts"), col("touch_id"))))
+      .withColumn("k", count(lit(1)).over(w))
+      .select(col("conv_id"),
+        coalesce(col("channel"), lit("direct")).as("channel"),
+        col("touch_id"),
+        when(col("rn") === 1, lit(10000L)).otherwise(lit(0L)).as("first_bp"),
+        when(col("rn") === col("k"), lit(10000L)).otherwise(lit(0L))
+          .as("last_bp"),
+        (expr("10000 div k") + when(col("rn") === 1,
+          lit(10000L) - col("k") * expr("10000 div k")).otherwise(lit(0L)))
+          .as("linear_bp"))
+    credited.groupBy("channel").agg(
+      countDistinct(col("conv_id")).as("conversions"),
+      count(col("touch_id")).as("touches"),
+      sum(col("first_bp")).as("first_bp"),
+      sum(col("last_bp")).as("last_bp"),
+      sum(col("linear_bp")).as("linear_bp"))
+      .orderBy(col("channel"))
+  }
+
+  /** DuckDB oracle for q55: identical lookback left join, identical
+    * window first/last/k, identical `//` remainder-to-first linear
+    * split, identical rollup. */
+  val q55Sql: String =
+    """WITH conv AS (
+      | SELECT event_id AS conv_id, user_id, ts AS conv_ts
+      | FROM events WHERE event_type = 'purchase'),
+      |touch AS (
+      | SELECT user_id, event_id AS touch_id, ts AS touch_ts,
+      |        event_type AS channel
+      | FROM events WHERE event_type IN ('view', 'click', 'signup')),
+      |joined AS (
+      | SELECT c.conv_id, t.touch_id, t.touch_ts, t.channel
+      | FROM conv c LEFT JOIN touch t
+      |  ON t.user_id = c.user_id AND t.touch_ts <= c.conv_ts
+      |   AND t.touch_ts > c.conv_ts - INTERVAL 7 DAY),
+      |credited AS (
+      | SELECT conv_id, COALESCE(channel, 'direct') AS channel, touch_id,
+      |  CASE WHEN rn = 1 THEN 10000 ELSE 0 END AS first_bp,
+      |  CASE WHEN rn = k THEN 10000 ELSE 0 END AS last_bp,
+      |  10000 // k + CASE WHEN rn = 1 THEN 10000 - k * (10000 // k)
+      |               ELSE 0 END AS linear_bp
+      | FROM (SELECT *,
+      |   row_number() OVER (PARTITION BY conv_id
+      |     ORDER BY touch_ts, touch_id) AS rn,
+      |   count(*) OVER (PARTITION BY conv_id) AS k
+      |  FROM joined))
+      |SELECT channel,
+      | CAST(count(DISTINCT conv_id) AS BIGINT) AS conversions,
+      | CAST(count(touch_id) AS BIGINT) AS touches,
+      | CAST(sum(first_bp) AS BIGINT) AS first_bp,
+      | CAST(sum(last_bp) AS BIGINT) AS last_bp,
+      | CAST(sum(linear_bp) AS BIGINT) AS linear_bp
+      |FROM credited GROUP BY channel ORDER BY channel""".stripMargin
+
   /** q52's stacked view of the events table: one (col_name,
     * value_num, value_str) row per source row per profiled column —
     * numerics (ids, the double measure, epoch-micros timestamps)
@@ -2559,7 +2653,8 @@ object Relational {
     "q51_pagerank" -> (q51PageRank _),
     "q52_profile" -> (q52Profile _),
     "q53_communities" -> (q53Communities _),
-    "q54_similar_parts" -> (q54SimilarParts _))
+    "q54_similar_parts" -> (q54SimilarParts _),
+    "q55_attribution" -> (q55Attribution _))
 
   // ---- q40: data-quality expectations audit (DLT expectations) ----
 
@@ -2706,5 +2801,6 @@ object Relational {
     "q51_pagerank" -> q51Sql,
     "q52_profile" -> q52Sql,
     "q53_communities" -> q53Sql,
-    "q54_similar_parts" -> q54Sql)
+    "q54_similar_parts" -> q54Sql,
+    "q55_attribution" -> q55Sql)
 }

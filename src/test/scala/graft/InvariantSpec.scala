@@ -596,6 +596,51 @@ class InvariantSpec extends SparkSpec {
       score.get((b, a)).foreach(s2 => assert(s2 == s, "asymmetric Jaccard")) }
   }
 
+  test("q55 attribution equals an in-memory replay mirror; per-model mass is conserved") {
+    val got = SparkEntry.queries("q55_attribution")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type")
+      .as[(Long, java.sql.Timestamp, Long, String)].collect()
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000 + t.getNanos / 1000
+    val week = 7L * 24 * 3600 * 1000000
+    val touchesByUser = ev.filter(e => Set("view", "click", "signup")(e._4))
+      .groupBy(_._3).view.mapValues(_.toSeq).toMap
+    // per conversion: the windowed touch list sorted (ts, id), then
+    // the three credit vectors exactly as specified
+    val credited = ev.filter(_._4 == "purchase").toSeq.flatMap { c =>
+      val ct = micros(c._2)
+      val ts = touchesByUser.getOrElse(c._3, Seq.empty)
+        .filter(t => micros(t._2) <= ct && micros(t._2) > ct - week)
+        .sortBy(t => (micros(t._2), t._1))
+      if (ts.isEmpty) Seq((c._1, "direct", None: Option[Long], 10000L, 10000L, 10000L))
+      else {
+        val k = ts.size.toLong
+        ts.zipWithIndex.map { case (t, i) =>
+          val first = if (i == 0) 10000L else 0L
+          val last = if (i == ts.size - 1) 10000L else 0L
+          val lin = 10000L / k + (if (i == 0) 10000L - k * (10000L / k) else 0L)
+          (c._1, t._4, Some(t._1), first, last, lin)
+        }
+      }
+    }
+    val expected = credited.groupBy(_._2).map { case (ch, rs) =>
+      (ch, rs.map(_._1).distinct.size.toLong, rs.count(_._3.isDefined).toLong,
+        rs.map(_._4).sum, rs.map(_._5).sum, rs.map(_._6).sum)
+    }.toSeq.sortBy(_._1)
+    assert(got == expected, "q55 != replay mirror")
+    // mass conservation: every model distributes EXACTLY 10000 bp
+    // per conversion — the integer remainder handling is the point
+    val nConv = ev.count(_._4 == "purchase") * 10000L
+    assert(got.map(_._4).sum == nConv, "first-touch mass leaked")
+    assert(got.map(_._5).sum == nConv, "last-touch mass leaked")
+    assert(got.map(_._6).sum == nConv, "linear mass leaked")
+    // the corpus must exercise both attributed and direct conversions
+    assert(got.exists(_._1 == "direct") && got.size >= 3,
+      "corpus must exercise direct and multi-channel attribution")
+  }
+
   test("q47 PIT join: fact bijection and as-of-version correctness against a replay mirror") {
     val got = SparkEntry.queries("q47_pit_join")(spark, sfDir)
       .as[(Long, Long, java.sql.Timestamp, String, Int, Double)].collect().toSeq
