@@ -2438,18 +2438,35 @@ object Relational {
     * bucket by user_id. */
   def q55Attribution(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
-    val conv = ev.filter(col("event_type") === "purchase")
+    attributionRollup(
+      attributionCredits(q55Conversions(ev), q55Touches(ev)))
+  }
+
+  /** q55's conversion stream (shared with s56's live fold). */
+  private[graft] def q55Conversions(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("conv_id"), col("user_id"),
         col("ts").as("conv_ts"))
-    val touch = ev.filter(col("event_type").isin("view", "click", "signup"))
+
+  /** q55's touch stream — view/click/signup ARE the channels
+    * (shared with s56's retained touch buffer). */
+  private[graft] def q55Touches(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type").isin("view", "click", "signup"))
       .select(col("user_id"), col("event_id").as("touch_id"),
         col("ts").as("touch_ts"), col("event_type").as("channel"))
+
+  /** The ONE attribution credit rule — q55 runs it over the whole
+    * table, s56 runs it per micro-batch against the retained touch
+    * buffer: lookback left join, per-conversion (rn, k) window, the
+    * three integer-bp credit vectors with the linear remainder
+    * pinned to the first touch. */
+  def attributionCredits(conv: DataFrame, touch: DataFrame): DataFrame = {
     val joined = conv.join(touch,
       conv("user_id") === touch("user_id") &&
         col("touch_ts") <= col("conv_ts") &&
         col("touch_ts") > col("conv_ts") - expr("INTERVAL 7 DAY"), "left")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("conv_id"))
-    val credited = joined
+    joined
       .withColumn("rn", row_number().over(
         w.orderBy(col("touch_ts"), col("touch_id"))))
       .withColumn("k", count(lit(1)).over(w))
@@ -2462,6 +2479,13 @@ object Relational {
         (expr("10000 div k") + when(col("rn") === 1,
           lit(10000L) - col("k") * expr("10000 div k")).otherwise(lit(0L)))
           .as("linear_bp"))
+  }
+
+  /** Per-channel rollup of credit rows. DISTRIBUTIVE over disjoint
+    * conversion sets (each conversion's rows land in exactly one
+    * micro-batch), which is what lets s56 merge per-generation
+    * deltas by plain per-channel sums. */
+  def attributionRollup(credited: DataFrame): DataFrame =
     credited.groupBy("channel").agg(
       countDistinct(col("conv_id")).as("conversions"),
       count(col("touch_id")).as("touches"),
@@ -2469,7 +2493,6 @@ object Relational {
       sum(col("last_bp")).as("last_bp"),
       sum(col("linear_bp")).as("linear_bp"))
       .orderBy(col("channel"))
-  }
 
   /** DuckDB oracle for q55: identical lookback left join, identical
     * window first/last/k, identical `//` remainder-to-first linear

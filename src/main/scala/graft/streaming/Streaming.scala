@@ -1396,6 +1396,83 @@ object Streaming {
     * stance. */
   lazy val s55Sql: String = graft.operators.Relational.q52Sql
 
+  /** s56's per-micro-batch state fold: the live attribution ledger.
+    * Dual state (the s53/s55 stance): the per-channel credit ledger
+    * (merged by plain sums — [[graft.operators.Relational
+    * .attributionRollup]] is distributive over disjoint conversion
+    * sets, and ordered slicing puts each conversion in exactly one
+    * batch) and the RETAINED TOUCH BUFFER — the touches still inside
+    * any future conversion's 7-day lookback. A batch's conversions
+    * are credited against buffer ∪ batch touches through the ONE
+    * shared [[graft.operators.Relational.attributionCredits]] rule;
+    * the buffer then prunes to touch_ts > nextCut − 7 days — the
+    * watermark law that keeps state BOUNDED (7 days of touches per
+    * user, never the stream's history) while staying exact: a batch-
+    * (i+1) conversion has conv_ts ≥ cut_i, so its lookback floor is
+    * ≥ cut_i − 7 days and nothing pruned can ever be credited.
+    * Exactness precondition: event-time-ordered slices (the
+    * funnelFoldBatch stance) — each touch precedes or shares the
+    * batch of every conversion it can credit. */
+  def attributionFoldBatch(stateAgg: DataFrame, stateTouch: DataFrame,
+      batch: DataFrame,
+      retainAfter: org.apache.spark.sql.Column): (DataFrame, DataFrame) = {
+    val R = graft.operators.Relational
+    val allTouch = stateTouch.unionByName(R.q55Touches(batch))
+    val delta = R.attributionRollup(
+      R.attributionCredits(R.q55Conversions(batch), allTouch))
+    val merged = stateAgg.unionByName(delta).groupBy("channel").agg(
+      sum(col("conversions")).as("conversions"),
+      sum(col("touches")).as("touches"),
+      sum(col("first_bp")).as("first_bp"),
+      sum(col("last_bp")).as("last_bp"),
+      sum(col("linear_bp")).as("linear_bp"))
+    (merged, allTouch.filter(col("touch_ts") > retainAfter))
+  }
+
+  /** s56: LIVE multi-touch attribution — q55 kept current over the
+    * arriving event stream through persisted state generations (the
+    * s45/s50 stance): per batch, [[attributionFoldBatch]] credits
+    * the batch's conversions against the bounded touch buffer and
+    * merges the per-channel ledger; presentation is the ledger
+    * itself, ordered. The oracle IS q55's batch attribution —
+    * ordered slicing must be invisible. Scale: the ledger is
+    * |channels| rows forever; the buffer holds 7 days of touches
+    * (user_id-bucketable); per batch one user-keyed credit join +
+    * one |channels|-row merge — history never reshuffles. */
+  def s56StreamAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val R = graft.operators.Relational
+    val stateDir = graft.sources.Export.scratch("s56_attribution", dir)
+    R.attributionRollup(R.attributionCredits(
+        R.q55Conversions(ev.filter(lit(false))),
+        R.q55Touches(ev.filter(lit(false)))))
+      .write.mode("overwrite").parquet(s"$stateDir/a0")
+    R.q55Touches(ev.filter(lit(false)))
+      .write.mode("overwrite").parquet(s"$stateDir/t0")
+    var agg = s.read.parquet(s"$stateDir/a0")
+    var buf = s.read.parquet(s"$stateDir/t0")
+    val slices = Seq(
+      col("ts") < lit(s50Cut1),
+      col("ts") >= lit(s50Cut1) && col("ts") < lit(s50Cut2),
+      col("ts") >= lit(s50Cut2))
+    val retain = Seq(
+      lit(s50Cut1).cast("timestamp") - expr("INTERVAL 7 DAY"),
+      lit(s50Cut2).cast("timestamp") - expr("INTERVAL 7 DAY"),
+      lit("2024-02-01").cast("timestamp") - expr("INTERVAL 7 DAY"))
+    slices.zip(retain).zipWithIndex.foreach { case ((slice, keep), i) =>
+      val (a, t) = attributionFoldBatch(agg, buf, ev.filter(slice), keep)
+      a.write.mode("overwrite").parquet(s"$stateDir/a${i + 1}")
+      t.write.mode("overwrite").parquet(s"$stateDir/t${i + 1}")
+      agg = s.read.parquet(s"$stateDir/a${i + 1}")
+      buf = s.read.parquet(s"$stateDir/t${i + 1}")
+    }
+    agg.orderBy(col("channel"))
+  }
+
+  /** s56's oracle IS q55's batch attribution. Lazy per the s45Sql
+    * stance. */
+  lazy val s56Sql: String = graft.operators.Relational.q55Sql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s34_stream_tumbling" -> (s34StreamTumbling _),
     "s35_stream_join" -> (s35StreamJoin _),
@@ -1418,7 +1495,8 @@ object Streaming {
     "s52_stream_retention" -> (s52StreamRetention _),
     "s53_stream_hll" -> (s53StreamHll _),
     "s54_stream_transitions" -> (s54StreamTransitions _),
-    "s55_stream_profile" -> (s55StreamProfile _))
+    "s55_stream_profile" -> (s55StreamProfile _),
+    "s56_stream_attribution" -> (s56StreamAttribution _))
 
   def oracles: Map[String, String] = Map(
     "s34_stream_tumbling" -> s34Sql,
@@ -1442,5 +1520,6 @@ object Streaming {
     "s52_stream_retention" -> s52Sql,
     "s53_stream_hll" -> s53Sql,
     "s54_stream_transitions" -> s54Sql,
-    "s55_stream_profile" -> s55Sql)
+    "s55_stream_profile" -> s55Sql,
+    "s56_stream_attribution" -> s56Sql)
 }

@@ -549,6 +549,12 @@ class PlanSpec extends SparkSpec {
       // union-distinct, pinned by the q52 oracle and the
       // StreamingSpec fold-equals-batch property
       "s55_stream_profile",
+      // s56 folds credit-ledger + touch-buffer generations through
+      // parquet artifacts at construction; per-batch plans are one
+      // user-keyed lookback credit join + a |channels|-row sum-
+      // merge, pinned by the q55 oracle and the StreamingSpec
+      // fold-equals-batch property
+      "s56_stream_attribution",
       // t51 runs its K merge rounds at construction (each round's
       // argmax is one bounded 1-row driver action — the learned
       // parameter, the q30/a36 stance); per-round plans are a

@@ -500,6 +500,66 @@ class StreamingSpec extends SparkSpec {
     assert(s50 == batch, "s50's registered fold != batch funnel")
   }
 
+  test("s56 live-attribution generations fold to the batch ledger through real micro-batches") {
+    val gens = java.nio.file.Files.createTempDirectory("s56gen").toString
+    val ev = Tables.events(spark, sfDir)
+    val R = graft.operators.Relational
+    // gen-0: empty ledger + empty touch buffer through the artifact
+    R.attributionRollup(R.attributionCredits(
+        R.q55Conversions(ev.filter(lit(false))),
+        R.q55Touches(ev.filter(lit(false)))))
+      .write.mode("overwrite").parquet(s"$gens/a0")
+    R.q55Touches(ev.filter(lit(false)))
+      .write.mode("overwrite").parquet(s"$gens/t0")
+    val rows = ev.select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect().sortBy(_.ts.getTime)
+    val cut1 = Timestamp.valueOf("2024-01-11 00:00:00")
+    val cut2 = Timestamp.valueOf("2024-01-21 00:00:00")
+    val batches = Seq(
+      rows.filter(_.ts.before(cut1)),
+      rows.filter(r => !r.ts.before(cut1) && r.ts.before(cut2)),
+      rows.filter(r => !r.ts.before(cut2)))
+    assert(batches.forall(_.nonEmpty))
+    val retain = Seq(
+      lit(Streaming.s50Cut1).cast("timestamp") - expr("INTERVAL 7 DAY"),
+      lit(Streaming.s50Cut2).cast("timestamp") - expr("INTERVAL 7 DAY"),
+      lit("2024-02-01").cast("timestamp") - expr("INTERVAL 7 DAY"))
+    val gen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val in = MemoryStream[Ev](spark)
+    val q = in.toDF().writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val g = gen.get()
+        val (a, t) = Streaming.attributionFoldBatch(
+          spark.read.parquet(s"$gens/a$g"), spark.read.parquet(s"$gens/t$g"),
+          b.toDF(), retain(g))
+        a.write.mode("overwrite").parquet(s"$gens/a${g + 1}")
+        t.write.mode("overwrite").parquet(s"$gens/t${g + 1}")
+        gen.incrementAndGet()
+        ()
+      }.start()
+    try {
+      batches.foreach { b => in.addData(b.toSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    assert(gen.get() == 3, s"expected 3 state generations, got ${gen.get()}")
+    // the watermark law: every retained touch is inside the 7-day
+    // lookback of the NEXT slice's earliest possible conversion —
+    // the buffer is bounded by the window, never the history
+    val t1 = spark.read.parquet(s"$gens/t1")
+    assert(t1.filter(col("touch_ts") <=
+      lit(Streaming.s50Cut1).cast("timestamp") - expr("INTERVAL 7 DAY"))
+      .count() == 0, "gen-1 buffer holds touches older than the watermark")
+    assert(t1.count() > 0, "gen-1 buffer must retain in-window touches")
+    val streamed = spark.read.parquet(s"$gens/a3").orderBy("channel")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    val batch = SparkEntry.queries("q55_attribution")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(streamed == batch,
+      s"attribution generation chain != batch ledger: $streamed vs $batch")
+    val s56 = SparkEntry.queries("s56_stream_attribution")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(s56 == batch, "s56's registered fold != batch attribution")
+  }
+
   test("s51 live-SCD2 generations fold to the batch dimension through real micro-batches") {
     val gens = java.nio.file.Files.createTempDirectory("s51gen").toString
     val ev = Tables.events(spark, sfDir)
