@@ -2529,6 +2529,92 @@ object Relational {
       | CAST(sum(linear_bp) AS BIGINT) AS linear_bp
       |FROM credited GROUP BY channel ORDER BY channel""".stripMargin
 
+  /** q56: the A/B experiment readout — deterministic hash-based arm
+    * assignment plus the two-proportion z-test every experimentation
+    * platform ships: each user lands in arm A or B by the PARITY of
+    * the house 60-bit md5 key (the d23/q49 dual-dialect hash — the
+    * assignment is a pure function of user_id, replayable by any
+    * engine, no RNG state anywhere); a user CONVERTS iff they have
+    * a HIGH-VALUE purchase (value > 100 — every user in this corpus
+    * purchases SOMETHING, so bare has-a-purchase is the degenerate
+    * p̂=1 outcome whose z denominator is 0; the thresholded outcome
+    * is genuinely split in both arms at every SF). Per-arm users
+    * and conversions are exact
+    * integers; conversion rates are integer basis points (conv ×
+    * 10000 div users); the z-score is the single closed-form
+    * two-proportion statistic from those four exact counts — one
+    * division each for p̂_a/p̂_b/p̂, one sqrt, ROUND 4 — no float
+    * ACCUMULATION anywhere (the only FP is order-independent
+    * scalar arithmetic, identical IEEE in both engines).
+    *
+    * Scale (100 TB): per-user conversion flags are one map-side-
+    * combined groupBy(user_id); the readout is a conditional
+    * aggregate to ONE row — scan-shaped end to end, no join, no
+    * window, no driver loop. */
+  def q56AbTest(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(s, dir)
+      .groupBy("user_id").agg(
+        max(when(col("event_type") === "purchase" && col("value") > 100,
+          1L).otherwise(0L)).as("converted"))
+      .withColumn("arm", expr(
+        "CASE WHEN cast(conv(substring(md5(cast(user_id as string)),1,15),16,10) " +
+          "as bigint) % 2 = 0 THEN 'A' ELSE 'B' END"))
+    per.agg(
+        sum(when(col("arm") === "A", 1L).otherwise(0L)).as("a_users"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("b_users"),
+        sum(when(col("arm") === "A", col("converted")).otherwise(0L))
+          .as("a_conversions"),
+        sum(when(col("arm") === "B", col("converted")).otherwise(0L))
+          .as("b_conversions"))
+      .select(col("a_users"), col("b_users"),
+        col("a_conversions"), col("b_conversions"),
+        expr("a_conversions * 10000 div a_users").as("a_conv_bp"),
+        expr("b_conversions * 10000 div b_users").as("b_conv_bp"),
+        (expr("b_conversions * 10000 div b_users") -
+          expr("a_conversions * 10000 div a_users")).as("lift_bp"),
+        expr("""ROUND(
+          (CAST(b_conversions AS DOUBLE) / b_users
+            - CAST(a_conversions AS DOUBLE) / a_users)
+          / sqrt(
+            (CAST(a_conversions + b_conversions AS DOUBLE) / (a_users + b_users))
+            * (1.0 - CAST(a_conversions + b_conversions AS DOUBLE) / (a_users + b_users))
+            * (1.0 / a_users + 1.0 / b_users)), 4)""").as("z_score"))
+  }
+
+  /** DuckDB oracle for q56: the q49 dual-dialect md5 key, identical
+    * parity assignment, identical integer bp and closed-form z. */
+  val q56Sql: String =
+    """WITH per AS (
+      | SELECT user_id,
+      |  max(CASE WHEN event_type = 'purchase' AND value > 100
+      |      THEN 1 ELSE 0 END) AS converted,
+      |  CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,15))
+      |        AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+      | FROM events GROUP BY user_id),
+      |counts AS (
+      | SELECT
+      |  CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS a_users,
+      |  CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS b_users,
+      |  CAST(sum(CASE WHEN arm = 'A' THEN converted ELSE 0 END) AS BIGINT)
+      |    AS a_conversions,
+      |  CAST(sum(CASE WHEN arm = 'B' THEN converted ELSE 0 END) AS BIGINT)
+      |    AS b_conversions
+      | FROM per)
+      |SELECT a_users, b_users, a_conversions, b_conversions,
+      | a_conversions * 10000 // a_users AS a_conv_bp,
+      | b_conversions * 10000 // b_users AS b_conv_bp,
+      | b_conversions * 10000 // b_users
+      |   - a_conversions * 10000 // a_users AS lift_bp,
+      | ROUND(
+      |  (CAST(b_conversions AS DOUBLE) / b_users
+      |    - CAST(a_conversions AS DOUBLE) / a_users)
+      |  / sqrt(
+      |   (CAST(a_conversions + b_conversions AS DOUBLE) / (a_users + b_users))
+      |   * (1.0 - CAST(a_conversions + b_conversions AS DOUBLE)
+      |       / (a_users + b_users))
+      |   * (1.0 / a_users + 1.0 / b_users)), 4) AS z_score
+      |FROM counts""".stripMargin
+
   /** q52's stacked view of the events table: one (col_name,
     * value_num, value_str) row per source row per profiled column —
     * numerics (ids, the double measure, epoch-micros timestamps)
@@ -2677,7 +2763,8 @@ object Relational {
     "q52_profile" -> (q52Profile _),
     "q53_communities" -> (q53Communities _),
     "q54_similar_parts" -> (q54SimilarParts _),
-    "q55_attribution" -> (q55Attribution _))
+    "q55_attribution" -> (q55Attribution _),
+    "q56_ab_test" -> (q56AbTest _))
 
   // ---- q40: data-quality expectations audit (DLT expectations) ----
 
@@ -2825,5 +2912,6 @@ object Relational {
     "q52_profile" -> q52Sql,
     "q53_communities" -> q53Sql,
     "q54_similar_parts" -> q54Sql,
-    "q55_attribution" -> q55Sql)
+    "q55_attribution" -> q55Sql,
+    "q56_ab_test" -> q56Sql)
 }

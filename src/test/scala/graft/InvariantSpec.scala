@@ -641,6 +641,45 @@ class InvariantSpec extends SparkSpec {
       "corpus must exercise direct and multi-channel attribution")
   }
 
+  test("q56 A/B readout equals a JVM-md5 mirror; assignment is total and outcome non-degenerate") {
+    val got = SparkEntry.queries("q56_ab_test")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got.size == 1)
+    val (aU, bU, aC, bC, aBp, bBp, lift, z) = got.head
+    val ev = Tables.events(spark, sfDir)
+      .select("user_id", "event_type", "value")
+      .as[(Long, String, Option[Double])].collect()
+    // mirror the house hash: first 15 hex chars of md5(user_id) as a
+    // 60-bit Long, arm by parity — the same pure function all three
+    // engines (Spark, DuckDB, JVM) must agree on
+    def arm(u: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.take(15)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) "A" else "B"
+    }
+    val per = ev.groupBy(_._1).toSeq.map { case (u, es) =>
+      (arm(u), es.exists(e => e._2 == "purchase" && e._3.exists(_ > 100)))
+    }
+    val (eaU, ebU) = (per.count(_._1 == "A").toLong, per.count(_._1 == "B").toLong)
+    val (eaC, ebC) = (per.count(p => p._1 == "A" && p._2).toLong,
+      per.count(p => p._1 == "B" && p._2).toLong)
+    assert((aU, bU, aC, bC) == ((eaU, ebU, eaC, ebC)), "q56 counts != md5 mirror")
+    assert(aBp == eaC * 10000 / eaU && bBp == ebC * 10000 / ebU, "bp mismatch")
+    assert(lift == bBp - aBp, "lift mismatch")
+    val p = (eaC + ebC).toDouble / (eaU + ebU)
+    val ez = BigDecimal((ebC.toDouble / ebU - eaC.toDouble / eaU) /
+        math.sqrt(p * (1 - p) * (1.0 / eaU + 1.0 / ebU)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(z == ez, s"z mismatch: $z vs $ez")
+    // laws: assignment partitions ALL users, both arms populated,
+    // and the outcome is non-degenerate in both arms (else the z
+    // denominator is 0 and the readout is meaningless)
+    assert(aU + bU == ev.map(_._1).distinct.length.toLong, "users leaked")
+    assert(aU > 0 && bU > 0, "an arm is empty")
+    assert(aC > 0 && aC < aU && bC > 0 && bC < bU, "degenerate outcome")
+  }
+
   test("q47 PIT join: fact bijection and as-of-version correctness against a replay mirror") {
     val got = SparkEntry.queries("q47_pit_join")(spark, sfDir)
       .as[(Long, Long, java.sql.Timestamp, String, Int, Double)].collect().toSeq
