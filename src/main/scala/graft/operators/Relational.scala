@@ -2615,6 +2615,73 @@ object Relational {
       |   * (1.0 / a_users + 1.0 / b_users)), 4) AS z_score
       |FROM counts""".stripMargin
 
+  /** q57's daily series — purchase counts per day, the ONE body the
+    * batch detector profiles and s57's live ledger sum-merges. */
+  private[graft] def q57Daily(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type") === "purchase")
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("purchases"))
+
+  /** q57's presentation over a daily ledger: the series median, the
+    * MAD, and the per-day robust z — shared by batch and stream so
+    * the detector has ONE definition. Holistic statistics are fine
+    * HERE because they run over the |days|-sized ledger, never the
+    * raw events (the q52-NDV / s53 trade does not arise: a year is
+    * 365 rows at any corpus scale). */
+  private[graft] def q57Present(daily: DataFrame): DataFrame = {
+    val med = daily.agg(
+      expr("percentile(purchases, 0.5)").as("med"))
+    val mad = daily.crossJoin(broadcast(med))
+      .agg(expr("percentile(abs(purchases - med), 0.5)").as("mad"))
+    daily.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+      .select(col("day"), col("purchases"), col("med"), col("mad"),
+        expr("""CASE WHEN mad = 0.0 THEN 0.0
+          ELSE ROUND((purchases - med) / (1.4826 * mad), 4) END""")
+          .as("robust_z"))
+      .withColumn("is_anomaly", abs(col("robust_z")) >= 3.5)
+      .orderBy(col("day"))
+  }
+
+  /** q57: robust time-series anomaly detection — the median/MAD
+    * z-score flagging ops teams run on every daily metric (robust
+    * because ONE spiky day cannot drag the baseline the way a
+    * mean/stddev z lets it): per day, the purchase count, the
+    * series median, the median absolute deviation, and the robust z
+    * ((x − med) / (1.4826·MAD), the normal-consistency constant),
+    * flagged at |z| ≥ 3.5 (Iglewicz–Hoaglin). Counts are exact
+    * integers; median/MAD of integers are exact halves; the z is
+    * order-independent scalar IEEE — deterministic end to end, no
+    * float accumulation (MAD = 0 is guarded to z = 0, not a
+    * divide-by-zero).
+    *
+    * Scale (100 TB): the daily rollup is one map-side-combined
+    * groupBy(day) over the scan; median/MAD are HOLISTIC but run
+    * over the |days|-sized series (365 rows/year regardless of
+    * corpus size), broadcast back as 1-row joins (the q28/q45
+    * scalar stance); the per-day z is a projection. */
+  def q57Anomaly(s: SparkSession, dir: String): DataFrame =
+    q57Present(q57Daily(Tables.events(s, dir)))
+
+  /** DuckDB oracle for q57: identical rollup, quantile_cont for the
+    * two medians (== Spark percentile, the q27/q45 precedent),
+    * identical guarded z arithmetic. */
+  val q57Sql: String =
+    """WITH daily AS (
+      | SELECT CAST(ts AS DATE) AS day, count(*) AS purchases
+      | FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |med AS (SELECT quantile_cont(purchases, 0.5) AS med FROM daily),
+      |mad AS (
+      | SELECT quantile_cont(abs(purchases - med), 0.5) AS mad
+      | FROM daily CROSS JOIN med)
+      |SELECT day, purchases, med, mad,
+      | CASE WHEN mad = 0.0 THEN 0.0
+      |      ELSE ROUND((purchases - med) / (1.4826 * mad), 4) END AS robust_z,
+      | abs(CASE WHEN mad = 0.0 THEN 0.0
+      |      ELSE ROUND((purchases - med) / (1.4826 * mad), 4) END) >= 3.5
+      |   AS is_anomaly
+      |FROM daily CROSS JOIN med CROSS JOIN mad
+      |ORDER BY day""".stripMargin
+
   /** q52's stacked view of the events table: one (col_name,
     * value_num, value_str) row per source row per profiled column —
     * numerics (ids, the double measure, epoch-micros timestamps)
@@ -2764,7 +2831,8 @@ object Relational {
     "q53_communities" -> (q53Communities _),
     "q54_similar_parts" -> (q54SimilarParts _),
     "q55_attribution" -> (q55Attribution _),
-    "q56_ab_test" -> (q56AbTest _))
+    "q56_ab_test" -> (q56AbTest _),
+    "q57_anomaly" -> (q57Anomaly _))
 
   // ---- q40: data-quality expectations audit (DLT expectations) ----
 
@@ -2913,5 +2981,6 @@ object Relational {
     "q53_communities" -> q53Sql,
     "q54_similar_parts" -> q54Sql,
     "q55_attribution" -> q55Sql,
-    "q56_ab_test" -> q56Sql)
+    "q56_ab_test" -> q56Sql,
+    "q57_anomaly" -> q57Sql)
 }

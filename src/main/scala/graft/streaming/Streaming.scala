@@ -1473,6 +1473,52 @@ object Streaming {
     * stance. */
   lazy val s56Sql: String = graft.operators.Relational.q55Sql
 
+  /** s57's per-micro-batch state fold: the live daily ledger behind
+    * the anomaly detector. State = (day, purchases); a batch folds
+    * in by summing its own q57Daily rollup into the ledger —
+    * sum-merge is associative and commutative over ANY slicing of
+    * the stream (days split across batches just add), so unlike the
+    * witness folds (s50/s56) this one needs NO event-time-order
+    * precondition — only exactly-once delivery (sums are not
+    * idempotent; the spec drives a shuffled residue slicing to pin
+    * the order-independence). */
+  def anomalyFoldBatch(state: DataFrame, batch: DataFrame): DataFrame =
+    state.unionByName(graft.operators.Relational.q57Daily(batch))
+      .groupBy("day").agg(sum(col("purchases")).as("purchases"))
+
+  /** s57: LIVE robust anomaly detection — q57 kept current over the
+    * arriving event stream through persisted ledger generations
+    * (the s45/s50 stance): per batch one day-keyed sum-merge of a
+    * map-side-combined batch rollup; presentation recomputes
+    * median/MAD/z through the SAME q57Present over the |days|-sized
+    * ledger (holistic statistics are fine over 365 rows/year — the
+    * detector re-baselines on every refresh, which is exactly what
+    * a live median/MAD monitor must do as the series grows). The
+    * oracle IS q57's batch SQL — slicing must be invisible. Scale:
+    * the ledger is |days| rows forever; history never reshuffles. */
+  def s57StreamAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val R = graft.operators.Relational
+    val stateDir = graft.sources.Export.scratch("s57_anomaly", dir)
+    R.q57Daily(ev.filter(lit(false)))
+      .write.mode("overwrite").parquet(s"$stateDir/g0")
+    var ledger = s.read.parquet(s"$stateDir/g0")
+    val slices = Seq(
+      col("ts") < lit(s50Cut1),
+      col("ts") >= lit(s50Cut1) && col("ts") < lit(s50Cut2),
+      col("ts") >= lit(s50Cut2))
+    slices.zipWithIndex.foreach { case (slice, i) =>
+      anomalyFoldBatch(ledger, ev.filter(slice))
+        .write.mode("overwrite").parquet(s"$stateDir/g${i + 1}")
+      ledger = s.read.parquet(s"$stateDir/g${i + 1}")
+    }
+    R.q57Present(ledger)
+  }
+
+  /** s57's oracle IS q57's batch anomaly profile. Lazy per the
+    * s45Sql stance. */
+  lazy val s57Sql: String = graft.operators.Relational.q57Sql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s34_stream_tumbling" -> (s34StreamTumbling _),
     "s35_stream_join" -> (s35StreamJoin _),
@@ -1496,7 +1542,8 @@ object Streaming {
     "s53_stream_hll" -> (s53StreamHll _),
     "s54_stream_transitions" -> (s54StreamTransitions _),
     "s55_stream_profile" -> (s55StreamProfile _),
-    "s56_stream_attribution" -> (s56StreamAttribution _))
+    "s56_stream_attribution" -> (s56StreamAttribution _),
+    "s57_stream_anomaly" -> (s57StreamAnomaly _))
 
   def oracles: Map[String, String] = Map(
     "s34_stream_tumbling" -> s34Sql,
@@ -1521,5 +1568,6 @@ object Streaming {
     "s53_stream_hll" -> s53Sql,
     "s54_stream_transitions" -> s54Sql,
     "s55_stream_profile" -> s55Sql,
-    "s56_stream_attribution" -> s56Sql)
+    "s56_stream_attribution" -> s56Sql,
+    "s57_stream_anomaly" -> s57Sql)
 }

@@ -680,6 +680,35 @@ class InvariantSpec extends SparkSpec {
     assert(aC > 0 && aC < aU && bC > 0 && bC < bU, "degenerate outcome")
   }
 
+  test("q57 anomaly profile equals an in-memory median/MAD mirror; flag law holds") {
+    val got = SparkEntry.queries("q57_anomaly")(spark, sfDir)
+      .as[(java.sql.Date, Long, Double, Double, Double, Boolean)].collect().toSeq
+    val ev = Tables.events(spark, sfDir)
+      .select(col("ts").cast("date"), col("event_type"))
+      .as[(java.sql.Date, String)].collect()
+    val daily = ev.filter(_._2 == "purchase").groupBy(_._1).view
+      .mapValues(_.length.toLong).toSeq.sortBy(_._1.getTime)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.size
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val med = median(daily.map(_._2.toDouble))
+    val mad = median(daily.map(d => math.abs(d._2 - med)))
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = daily.map { case (day, n) =>
+      val z = if (mad == 0.0) 0.0 else r4((n - med) / (1.4826 * mad))
+      (day, n, med, mad, z, math.abs(z) >= 3.5)
+    }
+    assert(got == expected, "q57 != median/MAD mirror")
+    // laws: the flag is exactly the |z| >= 3.5 rule, the series is
+    // the full day range, and the baseline is genuinely robust
+    // (median inside the count range)
+    assert(got.forall(r => r._6 == (math.abs(r._5) >= 3.5)), "flag law")
+    assert(med >= daily.map(_._2).min && med <= daily.map(_._2).max)
+    assert(got.map(_._2).sum == ev.count(_._2 == "purchase"), "counts leak")
+  }
+
   test("q47 PIT join: fact bijection and as-of-version correctness against a replay mirror") {
     val got = SparkEntry.queries("q47_pit_join")(spark, sfDir)
       .as[(Long, Long, java.sql.Timestamp, String, Int, Double)].collect().toSeq

@@ -414,6 +414,10 @@ class PlanSpec extends SparkSpec {
       // q45/q46's cross joins are 1-row broadcasts (the quintile
       // boundary frame / the order-total scalar) — the q28 stance
       "q45_rfm", "q46_copurchase",
+      // q57's cross joins are the 1-row series-median and series-MAD
+      // broadcasts attached to the |days|-sized ledger — the q28/q45
+      // scalar stance (s57 presents through the same body)
+      "q57_anomaly", "s57_stream_anomaly",
       // q51's cross joins are the 1-row node-count broadcast attached
       // to the rank vector each iteration — the q45/q46 stance; the
       // rank/edge joins themselves are src-keyed equi-joins
@@ -555,6 +559,11 @@ class PlanSpec extends SparkSpec {
       // merge, pinned by the q55 oracle and the StreamingSpec
       // fold-equals-batch property
       "s56_stream_attribution",
+      // s57 folds daily-ledger generations through parquet artifacts
+      // at construction; per-batch plans are one map-side-combined
+      // rollup + a day-keyed sum-merge, pinned by the q57 oracle and
+      // the StreamingSpec shuffled-slicing fold property
+      "s57_stream_anomaly",
       // t51 runs its K merge rounds at construction (each round's
       // argmax is one bounded 1-row driver action — the learned
       // parameter, the q30/a36 stance); per-round plans are a

@@ -560,6 +560,51 @@ class StreamingSpec extends SparkSpec {
     assert(s56 == batch, "s56's registered fold != batch attribution")
   }
 
+  test("s57 live-anomaly ledger folds to the batch profile even under shuffled slicing") {
+    val gens = java.nio.file.Files.createTempDirectory("s57gen").toString
+    val ev = Tables.events(spark, sfDir)
+    val R = graft.operators.Relational
+    R.q57Daily(ev.filter(lit(false)))
+      .write.mode("overwrite").parquet(s"$gens/g0")
+    // sum-merge needs NO event-time order: drive the chain with
+    // residue slices that interleave every day across all batches
+    val rows = ev.select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect()
+    val batches = Seq(
+      rows.filter(_.event_id % 3 == 0),
+      rows.filter(_.event_id % 3 == 1),
+      rows.filter(_.event_id % 3 == 2))
+    assert(batches.forall(_.nonEmpty))
+    val gen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val in = MemoryStream[Ev](spark)
+    val q = in.toDF().writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val g = gen.get()
+        Streaming.anomalyFoldBatch(spark.read.parquet(s"$gens/g$g"), b.toDF())
+          .write.mode("overwrite").parquet(s"$gens/g${g + 1}")
+        gen.incrementAndGet()
+        ()
+      }.start()
+    try {
+      batches.foreach { b => in.addData(b.toSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    assert(gen.get() == 3, s"expected 3 state generations, got ${gen.get()}")
+    // mid-chain: the partial ledger already covers (almost) every
+    // day — residue slicing interleaves, unlike time slicing
+    assert(spark.read.parquet(s"$gens/g1").count() >=
+      spark.read.parquet(s"$gens/g3").count() - 2,
+      "residue slices must interleave days")
+    val streamed = R.q57Present(spark.read.parquet(s"$gens/g3"))
+      .as[(java.sql.Date, Long, Double, Double, Double, Boolean)].collect().toSeq
+    val batch = SparkEntry.queries("q57_anomaly")(spark, sfDir)
+      .as[(java.sql.Date, Long, Double, Double, Double, Boolean)].collect().toSeq
+    assert(streamed == batch,
+      "anomaly ledger chain != batch profile under shuffled slicing")
+    val s57 = SparkEntry.queries("s57_stream_anomaly")(spark, sfDir)
+      .as[(java.sql.Date, Long, Double, Double, Double, Boolean)].collect().toSeq
+    assert(s57 == batch, "s57's registered fold != batch profile")
+  }
+
   test("s51 live-SCD2 generations fold to the batch dimension through real micro-batches") {
     val gens = java.nio.file.Files.createTempDirectory("s51gen").toString
     val ev = Tables.events(spark, sfDir)
