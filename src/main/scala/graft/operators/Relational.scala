@@ -2682,6 +2682,95 @@ object Relational {
       |FROM daily CROSS JOIN med CROSS JOIN mad
       |ORDER BY day""".stripMargin
 
+  /** q58: point-in-time trailing-window features — the feature-
+    * engineering staple of every training pipeline (and the batch
+    * complement of q47's PIT dimension join): for each purchase,
+    * the user's trailing activity STRICTLY BEFORE it — views /
+    * clicks / purchases in the prior 7 days and total events in the
+    * prior 1 day — plus tenure (whole days since the user's first
+    * event). "Strictly before" is the leakage guard: the RANGE
+    * frame ends 1 microsecond before the purchase, so the label
+    * row can never see itself or same-instant siblings — the
+    * train-serve-skew bug this operator exists to prevent. All
+    * features are exact integer counts over epoch-micros RANGE
+    * frames (identical tie semantics in both engines: peers enter
+    * by VALUE, not row position).
+    *
+    * Scale (100 TB): every feature shares ONE window partitioning —
+    * a single user_id exchange serves all four trailing counts and
+    * the tenure min (Catalyst stacks the Window operators on the
+    * one sorted partitioning: the explained plan has exactly two
+    * exchanges — the user_id shuffle and the final presentation
+    * sort); frames are time-bounded so state per user is 7 days of
+    * activity, never history; the label filter prunes AFTER the
+    * window (features need the full event set — the documented
+    * order). At production scale the events table buckets by
+    * user_id and the exchange disappears. */
+  def q58PitFeatures(s: SparkSession, dir: String): DataFrame = {
+    val week = 7L * 24 * 3600 * 1000000L
+    val day = 24L * 3600 * 1000000L
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("us"))
+    def trailing(lo: Long) = byUser.rangeBetween(-lo, -1L)
+    val feat = ev
+      .withColumn("views_7d", sum(when(col("event_type") === "view", 1L)
+        .otherwise(0L)).over(trailing(week)))
+      .withColumn("clicks_7d", sum(when(col("event_type") === "click", 1L)
+        .otherwise(0L)).over(trailing(week)))
+      .withColumn("purchases_7d", sum(when(col("event_type") === "purchase", 1L)
+        .otherwise(0L)).over(trailing(week)))
+      .withColumn("events_1d", sum(lit(1L)).over(trailing(day)))
+      .withColumn("first_us", min(col("us")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))))
+    feat.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("conv_id"), col("user_id"), col("ts"),
+        coalesce(col("views_7d"), lit(0L)).as("views_7d"),
+        coalesce(col("clicks_7d"), lit(0L)).as("clicks_7d"),
+        coalesce(col("purchases_7d"), lit(0L)).as("purchases_7d"),
+        coalesce(col("events_1d"), lit(0L)).as("events_1d"),
+        expr(s"(us - first_us) div $day").as("tenure_days"))
+      .orderBy(col("conv_id"))
+  }
+
+  /** DuckDB oracle for q58: identical epoch-micros RANGE frames
+    * (BIGINT bounds, so both engines share exact tie semantics),
+    * identical strict-past guard, identical tenure `//`. */
+  val q58Sql: String = {
+    val week = 7L * 24 * 3600 * 1000000L
+    val day = 24L * 3600 * 1000000L
+    s"""WITH ev AS (
+      | SELECT event_id, user_id, ts, event_type,
+      |  epoch_us(ts) AS us FROM events),
+      |feat AS (
+      | SELECT *,
+      |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER
+      |   (PARTITION BY user_id ORDER BY us
+      |    RANGE BETWEEN $week PRECEDING AND 1 PRECEDING) AS views_7d,
+      |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER
+      |   (PARTITION BY user_id ORDER BY us
+      |    RANGE BETWEEN $week PRECEDING AND 1 PRECEDING) AS clicks_7d,
+      |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER
+      |   (PARTITION BY user_id ORDER BY us
+      |    RANGE BETWEEN $week PRECEDING AND 1 PRECEDING) AS purchases_7d,
+      |  SUM(1) OVER
+      |   (PARTITION BY user_id ORDER BY us
+      |    RANGE BETWEEN $day PRECEDING AND 1 PRECEDING) AS events_1d,
+      |  MIN(us) OVER (PARTITION BY user_id) AS first_us
+      | FROM ev)
+      |SELECT event_id AS conv_id, user_id, ts,
+      | CAST(COALESCE(views_7d, 0) AS BIGINT) AS views_7d,
+      | CAST(COALESCE(clicks_7d, 0) AS BIGINT) AS clicks_7d,
+      | CAST(COALESCE(purchases_7d, 0) AS BIGINT) AS purchases_7d,
+      | CAST(COALESCE(events_1d, 0) AS BIGINT) AS events_1d,
+      | (us - first_us) // $day AS tenure_days
+      |FROM feat WHERE event_type = 'purchase'
+      |ORDER BY conv_id""".stripMargin
+  }
+
   /** q52's stacked view of the events table: one (col_name,
     * value_num, value_str) row per source row per profiled column —
     * numerics (ids, the double measure, epoch-micros timestamps)
@@ -2832,7 +2921,8 @@ object Relational {
     "q54_similar_parts" -> (q54SimilarParts _),
     "q55_attribution" -> (q55Attribution _),
     "q56_ab_test" -> (q56AbTest _),
-    "q57_anomaly" -> (q57Anomaly _))
+    "q57_anomaly" -> (q57Anomaly _),
+    "q58_pit_features" -> (q58PitFeatures _))
 
   // ---- q40: data-quality expectations audit (DLT expectations) ----
 
@@ -2982,5 +3072,6 @@ object Relational {
     "q54_similar_parts" -> q54Sql,
     "q55_attribution" -> q55Sql,
     "q56_ab_test" -> q56Sql,
-    "q57_anomaly" -> q57Sql)
+    "q57_anomaly" -> q57Sql,
+    "q58_pit_features" -> q58Sql)
 }

@@ -709,6 +709,46 @@ class InvariantSpec extends SparkSpec {
     assert(got.map(_._2).sum == ev.count(_._2 == "purchase"), "counts leak")
   }
 
+  test("q58 PIT features equal an in-memory replay mirror; the leakage guard provably bites") {
+    val got = SparkEntry.queries("q58_pit_features")(spark, sfDir)
+      .as[(Long, Long, java.sql.Timestamp, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type")
+      .as[(Long, java.sql.Timestamp, Long, String)].collect()
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000 + t.getNanos / 1000
+    val week = 7L * 24 * 3600 * 1000000L
+    val day = 24L * 3600 * 1000000L
+    val byUser = ev.groupBy(_._3)
+    def count(u: Long, lo: Long, hi: Long, tpe: Option[String]): Long =
+      byUser(u).count(e => micros(e._2) >= lo && micros(e._2) <= hi &&
+        tpe.forall(_ == e._4)).toLong
+    val expected = ev.filter(_._4 == "purchase").toSeq.map { p =>
+      val us = micros(p._2)
+      val first = byUser(p._3).map(e => micros(e._2)).min
+      (p._1, p._3, p._2,
+        count(p._3, us - week, us - 1, Some("view")),
+        count(p._3, us - week, us - 1, Some("click")),
+        count(p._3, us - week, us - 1, Some("purchase")),
+        count(p._3, us - day, us - 1, None),
+        (us - first) / day)
+    }.sortBy(_._1)
+    assert(got == expected, "q58 != replay mirror")
+    // bijection with the label set, and non-negative tenure
+    assert(got.size == ev.count(_._4 == "purchase") &&
+      got.map(_._1).distinct.size == got.size, "not 1:1 with purchases")
+    assert(got.forall(_._8 >= 0), "negative tenure")
+    // the strict-past guard must BITE: an inclusive frame would
+    // differ (at minimum the purchase would count itself)
+    val inclusive = ev.filter(_._4 == "purchase").toSeq.map { p =>
+      val us = micros(p._2)
+      count(p._3, us - week, us, Some("purchase"))
+    }
+    assert(expected.map(_._6) != inclusive,
+      "inclusive and strict frames agree — the leakage guard is untested")
+  }
+
   test("q47 PIT join: fact bijection and as-of-version correctness against a replay mirror") {
     val got = SparkEntry.queries("q47_pit_join")(spark, sfDir)
       .as[(Long, Long, java.sql.Timestamp, String, Int, Double)].collect().toSeq
