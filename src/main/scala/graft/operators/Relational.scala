@@ -2771,6 +2771,95 @@ object Relational {
       |ORDER BY conv_id""".stripMargin
   }
 
+  /** q59: PSI drift monitor — the Population Stability Index every
+    * model-monitoring stack computes to answer "has the live
+    * feature distribution drifted from the one the model was
+    * trained on": purchase values split into a REFERENCE window
+    * (Jan 1–15) and a CURRENT window (Jan 16–30); ten equal-
+    * frequency bins whose edges are FROZEN from the reference
+    * deciles (the production discipline — edges move only when the
+    * baseline is re-trained, otherwise drift would hide inside the
+    * re-binning), assignment by the q45 strictly-greater boundary
+    * count; PSI = Σ (q̂ᵢ − p̂ᵢ)·ln(q̂ᵢ/p̂ᵢ) with add-one (Laplace)
+    * smoothing — p̂ᵢ = (nᵢ+1)/(N+10) — so an EMPTY current bin is a
+    * large finite contribution, never ln(0) (deterministic in both
+    * engines, no epsilon knob). Output: per bin, both counts, the
+    * per-bin contribution, and the total PSI (the >0.2 "significant
+    * drift" convention is the consumer's threshold).
+    *
+    * Scale (100 TB): both windows are one filtered scan; the nine
+    * reference edges are a 1-row broadcast (the q45 stance); bin
+    * counting is a 10-group map-side-combined aggregate; the PSI
+    * assembly runs over TEN rows. Nothing here grows with the
+    * corpus but the two scans. */
+  def q59PsiDrift(s: SparkSession, dir: String): DataFrame = {
+    val cut = "2024-01-16"
+    val pur = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("ts"), col("value"))
+    val ref = pur.filter(col("ts") < lit(cut))
+    val cur = pur.filter(col("ts") >= lit(cut))
+    val qs = "array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D)"
+    val edges = ref.agg(expr(s"percentile(value, $qs)").as("edges"))
+    def bins(df: DataFrame) = df.crossJoin(broadcast(edges))
+      .select((lit(1) + size(filter(col("edges"), x => col("value") > x)))
+        .cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+    val refN = bins(ref).withColumnRenamed("n", "ref_n")
+    val curN = bins(cur).withColumnRenamed("n", "cur_n")
+    refN.join(curN, Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+      .withColumn("p", (col("ref_n") + 1).cast("double") /
+        (sum(col("ref_n")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy()) + 10).cast("double"))
+      .withColumn("q", (col("cur_n") + 1).cast("double") /
+        (sum(col("cur_n")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy()) + 10).cast("double"))
+      .withColumn("raw", (col("q") - col("p")) * log(col("q") / col("p")))
+      .select(col("bin"), col("ref_n"), col("cur_n"),
+        round(col("raw"), 6).as("contribution"),
+        round(sum(col("raw")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()), 6)
+          .as("psi"))
+      .orderBy(col("bin"))
+  }
+
+  /** DuckDB oracle for q59: identical frozen-decile edges
+    * (quantile_cont == Spark percentile), identical strictly-
+    * greater bin assignment via list comprehension, identical
+    * smoothed PSI arithmetic. */
+  val q59Sql: String =
+    """WITH pur AS (
+      | SELECT ts, value FROM events WHERE event_type = 'purchase'),
+      |ref AS (SELECT value FROM pur WHERE ts < '2024-01-16'),
+      |cur AS (SELECT value FROM pur WHERE ts >= '2024-01-16'),
+      |e AS (SELECT quantile_cont(value,
+      |  [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS edges FROM ref),
+      |ref_b AS (
+      | SELECT 1 + len(list_filter(edges, x -> value > x)) AS bin,
+      |        count(*) AS ref_n
+      | FROM ref CROSS JOIN e GROUP BY 1),
+      |cur_b AS (
+      | SELECT 1 + len(list_filter(edges, x -> value > x)) AS bin,
+      |        count(*) AS cur_n
+      | FROM cur CROSS JOIN e GROUP BY 1),
+      |j AS (
+      | SELECT COALESCE(ref_b.bin, cur_b.bin) AS bin,
+      |  CAST(COALESCE(ref_n, 0) AS BIGINT) AS ref_n,
+      |  CAST(COALESCE(cur_n, 0) AS BIGINT) AS cur_n
+      | FROM ref_b FULL OUTER JOIN cur_b ON ref_b.bin = cur_b.bin),
+      |w AS (
+      | SELECT *,
+      |  CAST(ref_n + 1 AS DOUBLE) / (SUM(ref_n) OVER () + 10) AS p,
+      |  CAST(cur_n + 1 AS DOUBLE) / (SUM(cur_n) OVER () + 10) AS q
+      | FROM j)
+      |SELECT CAST(bin AS BIGINT) AS bin, ref_n, cur_n,
+      | ROUND((q - p) * ln(q / p), 6) AS contribution,
+      | ROUND(SUM((q - p) * ln(q / p)) OVER (), 6) AS psi
+      |FROM w ORDER BY bin""".stripMargin
+
   /** q52's stacked view of the events table: one (col_name,
     * value_num, value_str) row per source row per profiled column —
     * numerics (ids, the double measure, epoch-micros timestamps)
@@ -2922,7 +3011,8 @@ object Relational {
     "q55_attribution" -> (q55Attribution _),
     "q56_ab_test" -> (q56AbTest _),
     "q57_anomaly" -> (q57Anomaly _),
-    "q58_pit_features" -> (q58PitFeatures _))
+    "q58_pit_features" -> (q58PitFeatures _),
+    "q59_psi_drift" -> (q59PsiDrift _))
 
   // ---- q40: data-quality expectations audit (DLT expectations) ----
 
@@ -3073,5 +3163,6 @@ object Relational {
     "q55_attribution" -> q55Sql,
     "q56_ab_test" -> q56Sql,
     "q57_anomaly" -> q57Sql,
-    "q58_pit_features" -> q58Sql)
+    "q58_pit_features" -> q58Sql,
+    "q59_psi_drift" -> q59Sql)
 }

@@ -749,6 +749,50 @@ class InvariantSpec extends SparkSpec {
       "inclusive and strict frames agree — the leakage guard is untested")
   }
 
+  test("q59 PSI drift equals an in-memory frozen-decile mirror; partition and smoothing laws hold") {
+    val got = SparkEntry.queries("q59_psi_drift")(spark, sfDir)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    val ev = Tables.events(spark, sfDir)
+      .select("ts", "event_type", "value")
+      .as[(java.sql.Timestamp, String, Double)].collect()
+    val cut = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val pur = ev.filter(_._2 == "purchase")
+    val ref = pur.filter(_._1.before(cut)).map(_._3).toSeq
+    val cur = pur.filterNot(_._1.before(cut)).map(_._3).toSeq
+    // Spark percentile / DuckDB quantile_cont: linear interpolation
+    // at rank p·(n−1) over the sorted sample
+    val sortedRef = ref.sorted
+    def pct(p: Double): Double = {
+      val idx = p * (sortedRef.size - 1)
+      val lo = math.floor(idx).toInt
+      val hi = math.ceil(idx).toInt
+      sortedRef(lo) + (idx - lo) * (sortedRef(hi) - sortedRef(lo))
+    }
+    val edges = (1 to 9).map(i => pct(i / 10.0))
+    def bin(v: Double): Long = 1L + edges.count(v > _)
+    val refN = ref.groupBy(bin).view.mapValues(_.size.toLong).toMap
+    val curN = cur.groupBy(bin).view.mapValues(_.size.toLong).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val binsAll = (refN.keySet ++ curN.keySet).toSeq.sorted
+    val raws = binsAll.map { b =>
+      val p = (refN.getOrElse(b, 0L) + 1).toDouble / (ref.size + 10)
+      val q = (curN.getOrElse(b, 0L) + 1).toDouble / (cur.size + 10)
+      (q - p) * math.log(q / p)
+    }
+    val psi = r6(raws.sum)
+    val expected = binsAll.zip(raws).map { case (b, raw) =>
+      (b, refN.getOrElse(b, 0L), curN.getOrElse(b, 0L), r6(raw), psi) }
+    assert(got == expected, "q59 != frozen-decile mirror")
+    // laws: the bins PARTITION both windows exactly, all ten
+    // reference bins are populated (equal-frequency edges), and the
+    // smoothing keeps every contribution finite
+    assert(got.map(_._2).sum == ref.size && got.map(_._3).sum == cur.size,
+      "bin counts must partition the windows")
+    assert(got.size == 10 && got.forall(_._2 > 0), "reference bin empty")
+    assert(got.forall(r => !r._4.isNaN && !r._4.isInfinite), "non-finite PSI")
+  }
+
   test("q47 PIT join: fact bijection and as-of-version correctness against a replay mirror") {
     val got = SparkEntry.queries("q47_pit_join")(spark, sfDir)
       .as[(Long, Long, java.sql.Timestamp, String, Int, Double)].collect().toSeq

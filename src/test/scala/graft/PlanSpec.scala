@@ -418,6 +418,10 @@ class PlanSpec extends SparkSpec {
       // broadcasts attached to the |days|-sized ledger — the q28/q45
       // scalar stance (s57 presents through the same body)
       "q57_anomaly", "s57_stream_anomaly",
+      // q59's cross joins are the 1-row frozen-decile-edge broadcast
+      // onto the two window scans; its unpartitioned windows run
+      // over the TEN bin rows — the q28/q45 scalar stance
+      "q59_psi_drift",
       // q51's cross joins are the 1-row node-count broadcast attached
       // to the rank vector each iteration — the q45/q46 stance; the
       // rank/edge joins themselves are src-keyed equi-joins
