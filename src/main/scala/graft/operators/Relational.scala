@@ -2793,20 +2793,40 @@ object Relational {
     * assembly runs over TEN rows. Nothing here grows with the
     * corpus but the two scans. */
   def q59PsiDrift(s: SparkSession, dir: String): DataFrame = {
-    val cut = "2024-01-16"
     val pur = Tables.events(s, dir)
       .filter(col("event_type") === "purchase")
       .select(col("ts"), col("value"))
-    val ref = pur.filter(col("ts") < lit(cut))
-    val cur = pur.filter(col("ts") >= lit(cut))
-    val qs = "array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D)"
-    val edges = ref.agg(expr(s"percentile(value, $qs)").as("edges"))
-    def bins(df: DataFrame) = df.crossJoin(broadcast(edges))
+    val ref = pur.filter(col("ts") < lit(q59Cut))
+    val cur = pur.filter(col("ts") >= lit(q59Cut))
+    val edges = q59Edges(ref)
+    q59Present(
+      q59Bins(ref, edges).withColumnRenamed("n", "ref_n"),
+      q59Bins(cur, edges).withColumnRenamed("n", "cur_n"))
+  }
+
+  /** The reference/current boundary (shared with s58's fold). */
+  private[graft] val q59Cut = "2024-01-16"
+
+  /** q59's frozen reference-decile edges — the TRAINED parameter of
+    * the monitor (s58 persists this 1-row frame as its artifact,
+    * the s48 history-trained stance). */
+  private[graft] def q59Edges(ref: DataFrame): DataFrame =
+    ref.agg(expr(
+      "percentile(value, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))")
+      .as("edges"))
+
+  /** The ONE bin-assignment + count body both windows (and s58's
+    * per-batch fold) run: the q45 strictly-greater boundary count
+    * against the broadcast frozen edges. */
+  private[graft] def q59Bins(df: DataFrame, edges: DataFrame): DataFrame =
+    df.crossJoin(broadcast(edges))
       .select((lit(1) + size(filter(col("edges"), x => col("value") > x)))
         .cast("long").as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("n"))
-    val refN = bins(ref).withColumnRenamed("n", "ref_n")
-    val curN = bins(cur).withColumnRenamed("n", "cur_n")
+
+  /** The PSI assembly over the two 10-row bin ledgers — shared by
+    * q59 and s58 so the monitor has ONE arithmetic definition. */
+  private[graft] def q59Present(refN: DataFrame, curN: DataFrame): DataFrame =
     refN.join(curN, Seq("bin"), "full_outer")
       .select(col("bin"),
         coalesce(col("ref_n"), lit(0L)).as("ref_n"),
@@ -2824,7 +2844,6 @@ object Relational {
           org.apache.spark.sql.expressions.Window.partitionBy()), 6)
           .as("psi"))
       .orderBy(col("bin"))
-  }
 
   /** DuckDB oracle for q59: identical frozen-decile edges
     * (quantile_cont == Spark percentile), identical strictly-

@@ -1519,6 +1519,63 @@ object Streaming {
     * s45Sql stance. */
   lazy val s57Sql: String = graft.operators.Relational.q57Sql
 
+  /** s58's per-micro-batch state fold: the live current-window bin
+    * ledger behind the PSI monitor. The edges are the FROZEN
+    * artifact (trained once from the reference window, the s48
+    * history-trained stance) — a batch folds in by binning its own
+    * current-window purchases against the broadcast edges and
+    * sum-merging the 10-row ledger. Like s57's sum-merge this is
+    * associative/commutative over ANY slicing — no event-time-order
+    * precondition, only exactly-once delivery. */
+  def psiFoldBatch(state: DataFrame, batch: DataFrame,
+      edges: DataFrame): DataFrame = {
+    val R = graft.operators.Relational
+    val cur = batch.filter(col("event_type") === "purchase")
+      .filter(col("ts") >= lit(R.q59Cut)).select(col("ts"), col("value"))
+    state.unionByName(R.q59Bins(cur, edges))
+      .groupBy("bin").agg(sum(col("n")).as("n"))
+  }
+
+  /** s58: the LIVE PSI drift monitor — q59 kept current over the
+    * arriving stream through persisted ledger generations (the
+    * s45/s50 stance): the reference bin counts and the frozen
+    * decile edges persist ONCE as the monitor's trained artifact
+    * (the s48 stance — baselines move only on re-train); each batch
+    * sum-merges its current-window bins; presentation reruns the
+    * SAME q59Present over the two 10-row ledgers. The oracle IS
+    * q59's batch SQL — slicing must be invisible. Scale: both
+    * ledgers are 10 rows forever; the edge frame is 1 row; per
+    * batch one broadcast bin-count — history never reshuffles. */
+  def s58StreamPsi(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val R = graft.operators.Relational
+    val stateDir = graft.sources.Export.scratch("s58_psi", dir)
+    val ref = ev.filter(col("event_type") === "purchase")
+      .filter(col("ts") < lit(R.q59Cut)).select(col("ts"), col("value"))
+    // the trained artifact: frozen edges + the reference ledger
+    R.q59Edges(ref).write.mode("overwrite").parquet(s"$stateDir/edges")
+    val edges = s.read.parquet(s"$stateDir/edges")
+    R.q59Bins(ref, edges).withColumnRenamed("n", "ref_n")
+      .write.mode("overwrite").parquet(s"$stateDir/ref")
+    R.q59Bins(ref.filter(lit(false)), edges)
+      .write.mode("overwrite").parquet(s"$stateDir/g0")
+    var ledger = s.read.parquet(s"$stateDir/g0")
+    val slices = Seq(
+      col("ts") < lit(s50Cut1),
+      col("ts") >= lit(s50Cut1) && col("ts") < lit(s50Cut2),
+      col("ts") >= lit(s50Cut2))
+    slices.zipWithIndex.foreach { case (slice, i) =>
+      psiFoldBatch(ledger, ev.filter(slice), edges)
+        .write.mode("overwrite").parquet(s"$stateDir/g${i + 1}")
+      ledger = s.read.parquet(s"$stateDir/g${i + 1}")
+    }
+    R.q59Present(s.read.parquet(s"$stateDir/ref"),
+      ledger.withColumnRenamed("n", "cur_n"))
+  }
+
+  /** s58's oracle IS q59's batch PSI. Lazy per the s45Sql stance. */
+  lazy val s58Sql: String = graft.operators.Relational.q59Sql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s34_stream_tumbling" -> (s34StreamTumbling _),
     "s35_stream_join" -> (s35StreamJoin _),
@@ -1543,7 +1600,8 @@ object Streaming {
     "s54_stream_transitions" -> (s54StreamTransitions _),
     "s55_stream_profile" -> (s55StreamProfile _),
     "s56_stream_attribution" -> (s56StreamAttribution _),
-    "s57_stream_anomaly" -> (s57StreamAnomaly _))
+    "s57_stream_anomaly" -> (s57StreamAnomaly _),
+    "s58_stream_psi" -> (s58StreamPsi _))
 
   def oracles: Map[String, String] = Map(
     "s34_stream_tumbling" -> s34Sql,
@@ -1569,5 +1627,6 @@ object Streaming {
     "s54_stream_transitions" -> s54Sql,
     "s55_stream_profile" -> s55Sql,
     "s56_stream_attribution" -> s56Sql,
-    "s57_stream_anomaly" -> s57Sql)
+    "s57_stream_anomaly" -> s57Sql,
+    "s58_stream_psi" -> s58Sql)
 }

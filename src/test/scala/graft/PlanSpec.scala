@@ -421,7 +421,7 @@ class PlanSpec extends SparkSpec {
       // q59's cross joins are the 1-row frozen-decile-edge broadcast
       // onto the two window scans; its unpartitioned windows run
       // over the TEN bin rows — the q28/q45 scalar stance
-      "q59_psi_drift",
+      "q59_psi_drift", "s58_stream_psi",
       // q51's cross joins are the 1-row node-count broadcast attached
       // to the rank vector each iteration — the q45/q46 stance; the
       // rank/edge joins themselves are src-keyed equi-joins
@@ -568,6 +568,12 @@ class PlanSpec extends SparkSpec {
       // rollup + a day-keyed sum-merge, pinned by the q57 oracle and
       // the StreamingSpec shuffled-slicing fold property
       "s57_stream_anomaly",
+      // s58 persists its frozen-edge/reference artifact and folds
+      // bin-ledger generations through parquet at construction;
+      // per-batch plans are one broadcast bin-count + a 10-row
+      // sum-merge, pinned by the q59 oracle and the StreamingSpec
+      // shuffled-slicing fold property
+      "s58_stream_psi",
       // t51 runs its K merge rounds at construction (each round's
       // argmax is one bounded 1-row driver action — the learned
       // parameter, the q30/a36 stance); per-round plans are a

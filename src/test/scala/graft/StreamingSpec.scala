@@ -605,6 +605,56 @@ class StreamingSpec extends SparkSpec {
     assert(s57 == batch, "s57's registered fold != batch profile")
   }
 
+  test("s58 live-PSI ledger folds to the batch monitor even under shuffled slicing") {
+    val gens = java.nio.file.Files.createTempDirectory("s58gen").toString
+    val ev = Tables.events(spark, sfDir)
+    val R = graft.operators.Relational
+    val ref = ev.filter(col("event_type") === "purchase")
+      .filter(col("ts") < lit(R.q59Cut)).select(col("ts"), col("value"))
+    // the trained artifact persists once, before any batch arrives
+    R.q59Edges(ref).write.mode("overwrite").parquet(s"$gens/edges")
+    val edges = spark.read.parquet(s"$gens/edges")
+    R.q59Bins(ref, edges).withColumnRenamed("n", "ref_n")
+      .write.mode("overwrite").parquet(s"$gens/ref")
+    R.q59Bins(ref.filter(lit(false)), edges)
+      .write.mode("overwrite").parquet(s"$gens/g0")
+    val rows = ev.select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect()
+    val batches = Seq(
+      rows.filter(_.event_id % 3 == 0),
+      rows.filter(_.event_id % 3 == 1),
+      rows.filter(_.event_id % 3 == 2))
+    assert(batches.forall(_.nonEmpty))
+    val gen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val in = MemoryStream[Ev](spark)
+    val q = in.toDF().writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val g = gen.get()
+        Streaming.psiFoldBatch(spark.read.parquet(s"$gens/g$g"), b.toDF(),
+            spark.read.parquet(s"$gens/edges"))
+          .write.mode("overwrite").parquet(s"$gens/g${g + 1}")
+        gen.incrementAndGet()
+        ()
+      }.start()
+    try {
+      batches.foreach { b => in.addData(b.toSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    assert(gen.get() == 3, s"expected 3 state generations, got ${gen.get()}")
+    // the ledger is BOUNDED at the bin count from the first batch on
+    assert(spark.read.parquet(s"$gens/g1").count() <= 10 &&
+      spark.read.parquet(s"$gens/g3").count() <= 10, "ledger outgrew bins")
+    val streamed = R.q59Present(spark.read.parquet(s"$gens/ref"),
+        spark.read.parquet(s"$gens/g3").withColumnRenamed("n", "cur_n"))
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    val batch = SparkEntry.queries("q59_psi_drift")(spark, sfDir)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(streamed == batch,
+      "PSI ledger chain != batch monitor under shuffled slicing")
+    val s58 = SparkEntry.queries("s58_stream_psi")(spark, sfDir)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(s58 == batch, "s58's registered fold != batch monitor")
+  }
+
   test("s51 live-SCD2 generations fold to the batch dimension through real micro-batches") {
     val gens = java.nio.file.Files.createTempDirectory("s51gen").toString
     val ev = Tables.events(spark, sfDir)
