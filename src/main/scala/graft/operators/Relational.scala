@@ -2879,6 +2879,74 @@ object Relational {
       | ROUND(SUM((q - p) * ln(q / p)) OVER (), 6) AS psi
       |FROM w ORDER BY bin""".stripMargin
 
+  /** q60: the supplier scorecard — the vendor-performance rollup a
+    * procurement team reviews (and the engine's canonical BROADCAST
+    * DIMENSION join exercise): per supplier, shipped lines, distinct
+    * parts, return rate in integer basis points (l_returnflag = 'R'
+    * over all lines), revenue in INTEGER CENTS — each line's
+    * extendedprice·(1−discount) rounds to cents BEFORE the sum, so
+    * the total is an exact BIGINT, summation-order-independent (the
+    * q33 lesson, re-learned here live: the first draft ROUNDed a
+    * float SUM and the sf0.1 byte audit caught a one-cent tie split
+    * between engines — money never float-accumulates), and the
+    * supplier's revenue RANK WITHIN ITS NATION (row_number on the
+    * integer cents with a suppkey tiebreak).
+    *
+    * Scale (100 TB): the fact rollup is ONE map-side-combined
+    * groupBy(l_suppkey) over the lineitem scan; supplier and nation
+    * are classic small dimensions — both joins BROADCAST (|S| ~
+    * 10k/TB, |N| = 25; the explained plan shows two
+    * BroadcastHashJoins, zero extra exchanges); the per-nation rank
+    * windows by nation key — per-key parallelism over a |S|-sized
+    * frame, never a global sort except the final |S|-row
+    * presentation. */
+  def q60SupplierScorecard(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.lineitem(s, dir)
+      .groupBy(col("l_suppkey").as("supp_key"))
+      .agg(count(lit(1)).as("lines"),
+        countDistinct(col("l_partkey")).as("parts"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("returns"),
+        sum(expr(
+          "cast(round(l_extendedprice * (1.0 - l_discount) * 100, 0) as bigint)"))
+          .as("revenue_cents"))
+    val dims = Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey").as("supp_key"), col("s_name"),
+        col("n_name").as("nation"))
+    per.join(broadcast(dims), Seq("supp_key"))
+      .withColumn("return_bp", expr("returns * 10000 div lines"))
+      .withColumn("nation_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("nation"))
+          .orderBy(col("revenue_cents").desc, col("supp_key"))).cast("long"))
+      .select(col("supp_key"), col("s_name"), col("nation"), col("lines"),
+        col("parts"), col("returns"), col("return_bp"), col("revenue_cents"),
+        col("nation_rank"))
+      .orderBy(col("supp_key"))
+  }
+
+  /** DuckDB oracle for q60: identical rollup, joins, bp division,
+    * and rounded-revenue rank with the same tiebreak. */
+  val q60Sql: String =
+    """WITH per AS (
+      | SELECT l_suppkey AS supp_key, count(*) AS lines,
+      |  count(DISTINCT l_partkey) AS parts,
+      |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS returns,
+      |  CAST(sum(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100, 0)
+      |    AS BIGINT)) AS BIGINT) AS revenue_cents
+      | FROM lineitem GROUP BY 1)
+      |SELECT p.supp_key, s.s_name, n.n_name AS nation,
+      | CAST(p.lines AS BIGINT) AS lines, CAST(p.parts AS BIGINT) AS parts,
+      | p.returns, p.returns * 10000 // p.lines AS return_bp, p.revenue_cents,
+      | CAST(row_number() OVER (PARTITION BY n.n_name
+      |   ORDER BY p.revenue_cents DESC, p.supp_key) AS BIGINT) AS nation_rank
+      |FROM per p
+      |JOIN supplier s ON s.s_suppkey = p.supp_key
+      |JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |ORDER BY p.supp_key""".stripMargin
+
   /** q52's stacked view of the events table: one (col_name,
     * value_num, value_str) row per source row per profiled column —
     * numerics (ids, the double measure, epoch-micros timestamps)
@@ -3031,7 +3099,8 @@ object Relational {
     "q56_ab_test" -> (q56AbTest _),
     "q57_anomaly" -> (q57Anomaly _),
     "q58_pit_features" -> (q58PitFeatures _),
-    "q59_psi_drift" -> (q59PsiDrift _))
+    "q59_psi_drift" -> (q59PsiDrift _),
+    "q60_supplier_scorecard" -> (q60SupplierScorecard _))
 
   // ---- q40: data-quality expectations audit (DLT expectations) ----
 
@@ -3183,5 +3252,6 @@ object Relational {
     "q56_ab_test" -> q56Sql,
     "q57_anomaly" -> q57Sql,
     "q58_pit_features" -> q58Sql,
-    "q59_psi_drift" -> q59Sql)
+    "q59_psi_drift" -> q59Sql,
+    "q60_supplier_scorecard" -> q60Sql)
 }

@@ -793,6 +793,47 @@ class InvariantSpec extends SparkSpec {
     assert(got.forall(r => !r._4.isNaN && !r._4.isInfinite), "non-finite PSI")
   }
 
+  test("q60 supplier scorecard equals an in-memory mirror; rank and coverage laws hold") {
+    val got = SparkEntry.queries("q60_supplier_scorecard")(spark, sfDir)
+      .as[(Long, String, String, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_suppkey", "l_partkey", "l_returnflag", "l_extendedprice",
+        "l_discount")
+      .as[(Long, Long, String, Double, Double)].collect()
+    val sup = Tables.supplier(spark, sfDir)
+      .select("s_suppkey", "s_name", "s_nationkey")
+      .as[(Long, String, Int)].collect()
+    val nat = Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
+      .as[(Int, String)].collect().toMap
+    // per-LINE cents then an exact integer sum — the mirror must be
+    // as order-independent as the operator claims to be
+    def cents(price: Double, disc: Double): Long =
+      BigDecimal(price * (1.0 - disc) * 100)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val per = li.groupBy(_._1).view.mapValues { ls =>
+      (ls.length.toLong, ls.map(_._2).distinct.length.toLong,
+        ls.count(_._3 == "R").toLong,
+        ls.map(l => cents(l._4, l._5)).sum)
+    }.toMap
+    val rows = sup.toSeq.flatMap { case (k, name, nk) =>
+      per.get(k).map { case (lines, parts, rets, rev) =>
+        (k, name, nat(nk), lines, parts, rets, rets * 10000 / lines, rev) }
+    }
+    val ranked = rows.groupBy(_._3).values.flatMap { ns =>
+      ns.sortBy(r => (-r._8, r._1)).zipWithIndex.map { case (r, i) =>
+        (r._1, r._2, r._3, r._4, r._5, r._6, r._7, r._8, i + 1L) }
+    }.toSeq.sortBy(_._1)
+    assert(got == ranked, "q60 != in-memory scorecard mirror")
+    // laws: every supplier with shipped lines appears exactly once,
+    // per-nation ranks are clean 1..k prefixes, bp within range
+    assert(got.map(_._1).distinct.size == got.size &&
+      got.size == per.size, "supplier coverage")
+    got.groupBy(_._3).values.foreach { ns =>
+      assert(ns.map(_._9).sorted == (1L to ns.size).toSeq, "rank gap") }
+    assert(got.forall(r => r._7 >= 0 && r._7 <= 10000), "bp range")
+  }
+
   test("q47 PIT join: fact bijection and as-of-version correctness against a replay mirror") {
     val got = SparkEntry.queries("q47_pit_join")(spark, sfDir)
       .as[(Long, Long, java.sql.Timestamp, String, Int, Double)].collect().toSeq
