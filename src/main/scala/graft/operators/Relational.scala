@@ -2947,6 +2947,70 @@ object Relational {
       |JOIN nation n ON n.n_nationkey = s.s_nationkey
       |ORDER BY p.supp_key""".stripMargin
 
+  /** q61: equi-width histograms — the OTHER statistic an optimizer's
+    * stats collector keeps (q52 profiles scalar summaries; q61 adds
+    * the per-column value DISTRIBUTION a cost model or a data-
+    * quality reviewer bins by): for every numeric profiled column,
+    * ten equal-width bins between the column's exact min and max,
+    * one row per POPULATED bin with its edges and count. The
+    * stacked scan is [[q52Stacked]] VERBATIM (the third consumer
+    * after q52 and s55's fold — a new profiled column is one array
+    * entry and every profiler moves together); bin assignment is
+    * least(9, floor((v − min)·10 / (max − min))) with the constant-
+    * column (max = min) guard pinning everything to bin 0 — every
+    * step identical scalar IEEE in both engines, and the edges are
+    * derived from min/max by the same arithmetic, so the whole
+    * result is byte-exact without any rounding.
+    *
+    * Scale (100 TB): the per-column min/max is a 6-row broadcast
+    * joined back onto the stacked scan (map-side, no shuffle on the
+    * fact side beyond the stats partial); bin counting is a
+    * (column × 10)-group map-side-combined aggregate — two scans
+    * total, both scan-shaped. */
+  def q61Histogram(s: SparkSession, dir: String): DataFrame = {
+    val nums = q52Stacked(Tables.events(s, dir))
+      .filter(col("value_num").isNotNull)
+      .select(col("col_name"), col("value_num"))
+    val stats = nums.groupBy("col_name").agg(
+      min(col("value_num")).as("min_num"), max(col("value_num")).as("max_num"))
+    nums.join(broadcast(stats), Seq("col_name"))
+      .withColumn("bin", expr("""CASE WHEN max_num = min_num THEN 0
+        ELSE least(9, cast(floor((value_num - min_num) * 10
+          / (max_num - min_num)) as bigint)) END"""))
+      .groupBy("col_name", "bin", "min_num", "max_num")
+      .agg(count(lit(1)).as("n"))
+      .select(col("col_name"), col("bin"),
+        expr("min_num + bin * (max_num - min_num) / 10").as("lo"),
+        expr("min_num + (bin + 1) * (max_num - min_num) / 10").as("hi"),
+        col("n"))
+      .orderBy(col("col_name"), col("bin"))
+  }
+
+  /** DuckDB oracle for q61: the shared [[q52StackCte]], identical
+    * guarded bin arithmetic, identical edge derivation. Lazy: it
+    * references [[q52StackCte]], declared later in this object —
+    * the known val-init-order NPE otherwise. */
+  lazy val q61Sql: String =
+    s"""WITH $q52StackCte,
+      |nums AS (
+      | SELECT col_name, value_num FROM st WHERE value_num IS NOT NULL),
+      |stats AS (
+      | SELECT col_name, min(value_num) AS min_num, max(value_num) AS max_num
+      | FROM nums GROUP BY 1),
+      |binned AS (
+      | SELECT n.col_name,
+      |  CASE WHEN max_num = min_num THEN 0
+      |       ELSE least(9, CAST(floor((value_num - min_num) * 10
+      |         / (max_num - min_num)) AS BIGINT)) END AS bin,
+      |  min_num, max_num
+      | FROM nums n JOIN stats s ON s.col_name = n.col_name)
+      |SELECT col_name, CAST(bin AS BIGINT) AS bin,
+      | min_num + bin * (max_num - min_num) / 10 AS lo,
+      | min_num + (bin + 1) * (max_num - min_num) / 10 AS hi,
+      | count(*) AS n
+      |FROM binned GROUP BY col_name, bin, min_num, max_num
+      |ORDER BY col_name, bin""".stripMargin
+
   /** q52's stacked view of the events table: one (col_name,
     * value_num, value_str) row per source row per profiled column —
     * numerics (ids, the double measure, epoch-micros timestamps)
@@ -3024,15 +3088,22 @@ object Relational {
   /** DuckDB oracle for q52: the identical stack (UNION ALL per
     * column — the oracle may re-scan; the engine must not) and the
     * identical aggregate arithmetic. */
-  val q52Sql: String =
-    """WITH st AS (
+  /** Dialect-shared CTE body for the stacked profile scan — the SQL
+    * twin of [[q52Stacked]], shared by q52's oracle and q61's so
+    * "what counts as a profiled value" is ONE definition in both
+    * engines too. */
+  val q52StackCte: String =
+    """st AS (
       | SELECT 'event_id' AS col_name, CAST(event_id AS DOUBLE) AS value_num,
       |        CAST(NULL AS VARCHAR) AS value_str FROM events
       | UNION ALL SELECT 'ts', CAST(epoch_us(ts) AS DOUBLE), NULL FROM events
       | UNION ALL SELECT 'user_id', CAST(user_id AS DOUBLE), NULL FROM events
       | UNION ALL SELECT 'value', value, NULL FROM events
       | UNION ALL SELECT 'event_type', NULL, event_type FROM events
-      | UNION ALL SELECT 'props', NULL, props FROM events)
+      | UNION ALL SELECT 'props', NULL, props FROM events)""".stripMargin
+
+  val q52Sql: String =
+    s"""WITH $q52StackCte
       |SELECT col_name, count(*) AS cnt,
       | CAST(count(CASE WHEN value_num IS NULL AND value_str IS NULL
       |   THEN 1 END) AS BIGINT) AS nulls,
@@ -3100,7 +3171,8 @@ object Relational {
     "q57_anomaly" -> (q57Anomaly _),
     "q58_pit_features" -> (q58PitFeatures _),
     "q59_psi_drift" -> (q59PsiDrift _),
-    "q60_supplier_scorecard" -> (q60SupplierScorecard _))
+    "q60_supplier_scorecard" -> (q60SupplierScorecard _),
+    "q61_histogram" -> (q61Histogram _))
 
   // ---- q40: data-quality expectations audit (DLT expectations) ----
 
@@ -3253,5 +3325,6 @@ object Relational {
     "q57_anomaly" -> q57Sql,
     "q58_pit_features" -> q58Sql,
     "q59_psi_drift" -> q59Sql,
-    "q60_supplier_scorecard" -> q60Sql)
+    "q60_supplier_scorecard" -> q60Sql,
+    "q61_histogram" -> q61Sql)
 }

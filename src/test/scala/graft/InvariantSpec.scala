@@ -834,6 +834,44 @@ class InvariantSpec extends SparkSpec {
     assert(got.forall(r => r._7 >= 0 && r._7 <= 10000), "bp range")
   }
 
+  test("q61 histograms equal an in-memory mirror; bins conserve counts and cover values") {
+    val got = SparkEntry.queries("q61_histogram")(spark, sfDir)
+      .as[(String, Long, Double, Double, Long)].collect().toSeq
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "value")
+      .as[(Option[Long], Option[java.sql.Timestamp], Option[Long], Option[Double])]
+      .collect()
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000 + t.getNanos / 1000
+    val nums: Seq[(String, Double)] = ev.toSeq.flatMap { r =>
+      r._1.map(v => ("event_id", v.toDouble)) ++
+        r._2.map(t => ("ts", micros(t).toDouble)) ++
+        r._3.map(v => ("user_id", v.toDouble)) ++
+        r._4.map(v => ("value", v))
+    }
+    val expected = nums.groupBy(_._1).toSeq.flatMap { case (cn, vs) =>
+      val (mn, mx) = (vs.map(_._2).min, vs.map(_._2).max)
+      def bin(v: Double): Long =
+        if (mx == mn) 0L
+        else math.min(9L, math.floor((v - mn) * 10 / (mx - mn)).toLong)
+      vs.groupBy(v => bin(v._2)).toSeq.map { case (b, bs) =>
+        (cn, b, mn + b * (mx - mn) / 10, mn + (b + 1) * (mx - mn) / 10,
+          bs.size.toLong) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got == expected, "q61 != in-memory histogram mirror")
+    // laws: per column the bins conserve the non-null count, stay in
+    // 0..9, edges tile min..max in order, and all four numeric
+    // columns are profiled
+    assert(got.map(_._1).distinct.sorted ==
+      Seq("event_id", "ts", "user_id", "value"), "column set")
+    got.groupBy(_._1).foreach { case (cn, bs) =>
+      assert(bs.map(_._5).sum == nums.count(_._1 == cn), s"$cn count leak")
+      assert(bs.forall(b => b._2 >= 0 && b._2 <= 9), s"$cn bin range")
+      assert(bs.sortBy(_._2).sliding(2).forall(p =>
+        p.size < 2 || p(0)._4 <= p(1)._3 + 1e-9), s"$cn edges out of order")
+    }
+  }
+
   test("q47 PIT join: fact bijection and as-of-version correctness against a replay mirror") {
     val got = SparkEntry.queries("q47_pit_join")(spark, sfDir)
       .as[(Long, Long, java.sql.Timestamp, String, Int, Double)].collect().toSeq
