@@ -2136,6 +2136,81 @@ object Ann {
        |FROM cd JOIN mt USING (nprobe) CROSS JOIN tot
        |ORDER BY nprobe""".stripMargin
 
+  /** a48: hard-negative mining — the contrastive-training data op
+    * (the reason an embedding pipeline runs ANN at all during
+    * TRAINING, not serving): for every anchor vector, the top-5
+    * most-similar DIFFERENT-label vectors among its IVF cell-mates
+    * — similar enough to be informative gradients, label-disjoint
+    * so they are true negatives — plus the count of same-label
+    * cell-mates the miner refused to emit (the false-negative
+    * guard: emitting a same-label near-neighbor as a "negative" is
+    * the classic contrastive-training data bug). Cells are the
+    * a29/a29b literal-centroid assignment VERBATIM (the shared
+    * quantizer the whole IVF family pins), so mining, probing, and
+    * the a47 tuning curve all agree on what a cell is.
+    *
+    * Scale (100 TB): mining is a cell-keyed SELF-join — quadratic
+    * only WITHIN a cell (the IVF point: nlist grows with the corpus
+    * — a42 uses 96 — keeping cells bounded), never the corpus
+    * cross-product; ranking windows per anchor; the refused-
+    * positives count is one keyed aggregate off the same joined
+    * stream. Every arithmetic step is the audited dual-dialect
+    * cosine/argmin, byte-exact. */
+  def a48HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val corpus = withNorm(Tables.embeddings(s, dir)
+        .select("vec_id", "embedding", "label"))
+      .withColumn("dl", centroidDistsExpr("embedding"))
+      .withColumn("cell",
+        expr("CAST(array_position(dl, array_min(dl)) - 1 AS INT)"))
+      .select("vec_id", "embedding", "norm", "label", "cell")
+    val anchors = corpus.select(col("cell"), col("vec_id").as("anchor_id"),
+      col("embedding").as("q_embedding"), col("norm").as("q_norm"),
+      col("label").as("q_label"))
+    val mates = corpus.join(anchors, Seq("cell"))
+      .filter(col("vec_id") =!= col("anchor_id"))
+    val refused = mates.filter(col("label") === col("q_label"))
+      .groupBy("anchor_id").agg(count(lit(1)).as("same_label_mates"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cosine").desc, col("negative_id"))
+    mates.filter(col("label") =!= col("q_label"))
+      .select(col("anchor_id"), col("vec_id").as("negative_id"),
+        round(cosine, 4).as("cosine"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= K)
+      .join(refused, Seq("anchor_id"), "left")
+      .select(col("anchor_id"), col("rank").cast("int").as("rank"),
+        col("negative_id"), col("cosine"),
+        coalesce(col("same_label_mates"), lit(0L)).as("same_label_mates"))
+      .orderBy("anchor_id", "rank")
+  }
+
+  /** DuckDB oracle for a48: the shared [[ivfCellsCte]] routing plus
+    * a label join, identical cell-mate cosine, identical different-
+    * label ranking and refused-positives count. */
+  val a48Sql: String =
+    s"""WITH ${ivfCellsCte("TRUE")},
+       |labc AS (
+       | SELECT c.vec_id, c.embedding, c.norm, c.cell, l.label
+       | FROM cells c JOIN embeddings l USING (vec_id)),
+       |mates AS (
+       | SELECT a.vec_id AS anchor_id, a.label AS q_label,
+       |  c.vec_id, c.label,
+       |  ROUND(list_sum(list_transform(list_zip(a.embedding, c.embedding),
+       |    p -> CAST(p[1] AS DOUBLE) * p[2])) / (a.norm * c.norm), 4) AS cosine
+       | FROM labc a JOIN labc c ON a.cell = c.cell AND c.vec_id <> a.vec_id),
+       |refused AS (
+       | SELECT anchor_id, count(*) AS same_label_mates
+       | FROM mates WHERE label = q_label GROUP BY 1),
+       |neg AS (
+       | SELECT anchor_id AS n_anchor, vec_id AS negative_id, cosine,
+       |  row_number() OVER (PARTITION BY anchor_id
+       |    ORDER BY cosine DESC, vec_id) AS rank
+       | FROM mates WHERE label <> q_label)
+       |SELECT n.n_anchor AS anchor_id, CAST(rank AS INT) AS rank,
+       | negative_id, cosine,
+       | CAST(COALESCE(same_label_mates, 0) AS BIGINT) AS same_label_mates
+       |FROM neg n LEFT JOIN refused r ON r.anchor_id = n.n_anchor
+       |WHERE rank <= $K ORDER BY anchor_id, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a27_ann_brute" -> (a27AnnBrute _),
     "a28_ann_lsh" -> (a28AnnLsh _),
@@ -2158,7 +2233,8 @@ object Ann {
     "a44_cell_stats" -> (a44CellStats _),
     "a45_cell_split" -> (a45CellSplit _),
     "a46_cell_merge" -> (a46CellMerge _),
-    "a47_nprobe_curve" -> (a47NprobeCurve _))
+    "a47_nprobe_curve" -> (a47NprobeCurve _),
+    "a48_hard_negatives" -> (a48HardNegatives _))
 
   def oracles: Map[String, String] = Map(
     "a27_ann_brute" -> a27Sql,
@@ -2182,5 +2258,6 @@ object Ann {
     "a44_cell_stats" -> a44Sql,
     "a45_cell_split" -> a45Sql,
     "a46_cell_merge" -> a46Sql,
-    "a47_nprobe_curve" -> a47Sql)
+    "a47_nprobe_curve" -> a47Sql,
+    "a48_hard_negatives" -> a48Sql)
 }

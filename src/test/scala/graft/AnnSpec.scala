@@ -33,6 +33,51 @@ class AnnSpec extends SparkSpec {
     got.foreach { case (q, ids) => assert(ids == expected(q), s"query $q") }
   }
 
+  test("a48 hard negatives equal an in-memory cell mirror; label-disjointness and refusal laws hold") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding", "label")
+      .as[(Long, Array[Float], Int)].collect().sortBy(_._1)
+      .filter(_._2.exists(_ != 0f))
+    val cents = Ann.centroidStrs.map(_.map(_.toDouble).toArray)
+    def cell(v: Array[Float]): Int = {
+      val ds = cents.map { c =>
+        var s = 0.0; var i = 0
+        while (i < c.length) { val d = c(i) - v(i).toDouble; s += d * d; i += 1 }
+        s
+      }
+      ds.indexOf(ds.min)
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byCell = emb.groupBy(v => cell(v._2))
+    val expected = emb.toSeq.flatMap { case (aid, av, alab) =>
+      val mates = byCell(cell(av)).filter(_._1 != aid)
+      val refused = mates.count(_._3 == alab).toLong
+      mates.filter(_._3 != alab)
+        .map { case (nid, nv, _) => (nid, r4(cos(av, nv))) }
+        .sortBy { case (nid, c) => (-c, nid) }.take(5).zipWithIndex
+        .map { case ((nid, c), i) => (aid, i + 1, nid, c, refused) }
+    }.sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("a48_hard_negatives")(spark, sfDir)
+      .as[(Long, Int, Long, Double, Long)].collect().toSeq
+    assert(got == expected, "a48 != in-memory cell mirror")
+    // laws: ranks are clean prefixes, the refusal guard BITES on
+    // this corpus (some anchor has same-label cell-mates it refused
+    // to emit), and negatives exist for most anchors
+    got.groupBy(_._1).values.foreach { rs =>
+      assert(rs.map(_._2).sorted == (1 to rs.size).toSeq, "rank gap") }
+    assert(got.exists(_._5 > 0), "refusal guard never exercised")
+    assert(got.map(_._1).distinct.size > emb.length / 2, "mining too sparse")
+  }
+
   test("a28 lsh results are a subset of same-bucket exact scores and ranked correctly") {
     val brute = Ann.a27AnnBrute(spark, sfDir)
       .select("query_id", "neighbor_id", "cosine")
