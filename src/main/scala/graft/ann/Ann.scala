@@ -2144,8 +2144,12 @@ object Ann {
     * so they are true negatives — plus the count of same-label
     * cell-mates the miner refused to emit (the false-negative
     * guard: emitting a same-label near-neighbor as a "negative" is
-    * the classic contrastive-training data bug). Cells are the
-    * a29/a29b literal-centroid assignment VERBATIM (the shared
+    * the classic contrastive-training data bug). An anchor whose
+    * cell-mates are ALL same-label — the worst contamination risk,
+    * and exactly the anchor a negatives-only stream silently drops
+    * (review finding, fixed) — still surfaces as one rank-0
+    * sentinel row (null negative, refusal count intact). Cells are
+    * the a29/a29b literal-centroid assignment VERBATIM (the shared
     * quantizer the whole IVF family pins), so mining, probing, and
     * the a47 tuning curve all agree on what a cell is.
     *
@@ -2168,19 +2172,29 @@ object Ann {
       col("label").as("q_label"))
     val mates = corpus.join(anchors, Seq("cell"))
       .filter(col("vec_id") =!= col("anchor_id"))
-    val refused = mates.filter(col("label") === col("q_label"))
-      .groupBy("anchor_id").agg(count(lit(1)).as("same_label_mates"))
+    val perAnchor = mates.groupBy("anchor_id").agg(
+      count(lit(1)).as("cell_mates"),
+      sum(when(col("label") === col("q_label"), 1L).otherwise(0L))
+        .as("same_label_mates"))
     val w = Window.partitionBy(col("anchor_id"))
       .orderBy(col("cosine").desc, col("negative_id"))
-    mates.filter(col("label") =!= col("q_label"))
+    val negs = mates.filter(col("label") =!= col("q_label"))
       .select(col("anchor_id"), col("vec_id").as("negative_id"),
         round(cosine, 4).as("cosine"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= K)
-      .join(refused, Seq("anchor_id"), "left")
+      .join(perAnchor, Seq("anchor_id"))
       .select(col("anchor_id"), col("rank").cast("int").as("rank"),
-        col("negative_id"), col("cosine"),
-        coalesce(col("same_label_mates"), lit(0L)).as("same_label_mates"))
-      .orderBy("anchor_id", "rank")
+        col("negative_id"), col("cosine"), col("same_label_mates"))
+    // an anchor whose cell-mates are ALL same-label is the WORST
+    // contamination risk — it must still surface its refusal count
+    // (review finding: the negatives-only stream silently dropped
+    // it), so it emits one rank-0 sentinel row with no negative
+    val sentinels = perAnchor
+      .filter(col("same_label_mates") === col("cell_mates"))
+      .select(col("anchor_id"), lit(0).as("rank"),
+        lit(null).cast("long").as("negative_id"),
+        lit(null).cast("double").as("cosine"), col("same_label_mates"))
+    negs.unionByName(sentinels).orderBy("anchor_id", "rank")
   }
 
   /** DuckDB oracle for a48: the shared [[ivfCellsCte]] routing plus
@@ -2197,19 +2211,25 @@ object Ann {
        |  ROUND(list_sum(list_transform(list_zip(a.embedding, c.embedding),
        |    p -> CAST(p[1] AS DOUBLE) * p[2])) / (a.norm * c.norm), 4) AS cosine
        | FROM labc a JOIN labc c ON a.cell = c.cell AND c.vec_id <> a.vec_id),
-       |refused AS (
-       | SELECT anchor_id, count(*) AS same_label_mates
-       | FROM mates WHERE label = q_label GROUP BY 1),
+       |per_anchor AS (
+       | SELECT anchor_id, count(*) AS cell_mates,
+       |  CAST(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS same_label_mates
+       | FROM mates GROUP BY 1),
        |neg AS (
        | SELECT anchor_id AS n_anchor, vec_id AS negative_id, cosine,
        |  row_number() OVER (PARTITION BY anchor_id
        |    ORDER BY cosine DESC, vec_id) AS rank
        | FROM mates WHERE label <> q_label)
        |SELECT n.n_anchor AS anchor_id, CAST(rank AS INT) AS rank,
-       | negative_id, cosine,
-       | CAST(COALESCE(same_label_mates, 0) AS BIGINT) AS same_label_mates
-       |FROM neg n LEFT JOIN refused r ON r.anchor_id = n.n_anchor
-       |WHERE rank <= $K ORDER BY anchor_id, rank""".stripMargin
+       | negative_id, cosine, same_label_mates
+       |FROM neg n JOIN per_anchor p ON p.anchor_id = n.n_anchor
+       |WHERE rank <= $K
+       |UNION ALL
+       |SELECT anchor_id, 0 AS rank, CAST(NULL AS BIGINT) AS negative_id,
+       | CAST(NULL AS DOUBLE) AS cosine, same_label_mates
+       |FROM per_anchor WHERE same_label_mates = cell_mates
+       |ORDER BY anchor_id, rank""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a27_ann_brute" -> (a27AnnBrute _),

@@ -2377,7 +2377,7 @@ object Relational {
         "pair_orders * 10000 div (orders_p + orders_r - pair_orders)"))
     scored
       .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("part"))
+        Window.partitionBy(col("part"))
           .orderBy(col("jaccard_bp").desc, col("pair_orders").desc,
             col("rec"))))
       .filter(col("rank") <= 5)
@@ -2465,7 +2465,7 @@ object Relational {
       conv("user_id") === touch("user_id") &&
         col("touch_ts") <= col("conv_ts") &&
         col("touch_ts") > col("conv_ts") - expr("INTERVAL 7 DAY"), "left")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("conv_id"))
+    val w = Window.partitionBy(col("conv_id"))
     joined
       .withColumn("rn", row_number().over(
         w.orderBy(col("touch_ts"), col("touch_id"))))
@@ -2713,7 +2713,7 @@ object Relational {
       .select(col("event_id"), col("user_id"), col("ts"),
         col("event_type"),
         expr("unix_micros(ts)").as("us"))
-    val byUser = org.apache.spark.sql.expressions.Window
+    val byUser = Window
       .partitionBy(col("user_id")).orderBy(col("us"))
     def trailing(lo: Long) = byUser.rangeBetween(-lo, -1L)
     val feat = ev
@@ -2725,7 +2725,7 @@ object Relational {
         .otherwise(0L)).over(trailing(week)))
       .withColumn("events_1d", sum(lit(1L)).over(trailing(day)))
       .withColumn("first_us", min(col("us")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))))
+        Window.partitionBy(col("user_id"))))
     feat.filter(col("event_type") === "purchase")
       .select(col("event_id").as("conv_id"), col("user_id"), col("ts"),
         coalesce(col("views_7d"), lit(0L)).as("views_7d"),
@@ -2832,16 +2832,16 @@ object Relational {
         coalesce(col("ref_n"), lit(0L)).as("ref_n"),
         coalesce(col("cur_n"), lit(0L)).as("cur_n"))
       .withColumn("p", (col("ref_n") + 1).cast("double") /
-        (sum(col("ref_n")).over(org.apache.spark.sql.expressions.Window
+        (sum(col("ref_n")).over(Window
           .partitionBy()) + 10).cast("double"))
       .withColumn("q", (col("cur_n") + 1).cast("double") /
-        (sum(col("cur_n")).over(org.apache.spark.sql.expressions.Window
+        (sum(col("cur_n")).over(Window
           .partitionBy()) + 10).cast("double"))
       .withColumn("raw", (col("q") - col("p")) * log(col("q") / col("p")))
       .select(col("bin"), col("ref_n"), col("cur_n"),
         round(col("raw"), 6).as("contribution"),
         round(sum(col("raw")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy()), 6)
+          Window.partitionBy()), 6)
           .as("psi"))
       .orderBy(col("bin"))
 
@@ -2918,7 +2918,7 @@ object Relational {
     per.join(broadcast(dims), Seq("supp_key"))
       .withColumn("return_bp", expr("returns * 10000 div lines"))
       .withColumn("nation_rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("nation"))
+        Window.partitionBy(col("nation"))
           .orderBy(col("revenue_cents").desc, col("supp_key"))).cast("long"))
       .select(col("supp_key"), col("s_name"), col("nation"), col("lines"),
         col("parts"), col("returns"), col("return_bp"), col("revenue_cents"),
@@ -2962,7 +2962,8 @@ object Relational {
     * derived from min/max by the same arithmetic, so the whole
     * result is byte-exact without any rounding.
     *
-    * Scale (100 TB): the per-column min/max is a 6-row broadcast
+    * Scale (100 TB): the per-column min/max is a 4-row broadcast
+    * (only the numeric columns survive the value_num filter)
     * joined back onto the stacked scan (map-side, no shuffle on the
     * fact side beyond the stats partial); bin counting is a
     * (column × 10)-group map-side-combined aggregate — two scans
@@ -3085,13 +3086,11 @@ object Relational {
     q52Present(q52Stats(st), st)
   }
 
-  /** DuckDB oracle for q52: the identical stack (UNION ALL per
-    * column — the oracle may re-scan; the engine must not) and the
-    * identical aggregate arithmetic. */
   /** Dialect-shared CTE body for the stacked profile scan — the SQL
     * twin of [[q52Stacked]], shared by q52's oracle and q61's so
     * "what counts as a profiled value" is ONE definition in both
-    * engines too. */
+    * engines too. (UNION ALL per column — the oracle may re-scan;
+    * the engine must not.) */
   val q52StackCte: String =
     """st AS (
       | SELECT 'event_id' AS col_name, CAST(event_id AS DOUBLE) AS value_num,
@@ -3102,6 +3101,8 @@ object Relational {
       | UNION ALL SELECT 'event_type', NULL, event_type FROM events
       | UNION ALL SELECT 'props', NULL, props FROM events)""".stripMargin
 
+  /** DuckDB oracle for q52: the shared [[q52StackCte]] stack and
+    * the identical aggregate arithmetic. */
   val q52Sql: String =
     s"""WITH $q52StackCte
       |SELECT col_name, count(*) AS cnt,

@@ -61,20 +61,29 @@ class AnnSpec extends SparkSpec {
     val expected = emb.toSeq.flatMap { case (aid, av, alab) =>
       val mates = byCell(cell(av)).filter(_._1 != aid)
       val refused = mates.count(_._3 == alab).toLong
-      mates.filter(_._3 != alab)
+      val negs = mates.filter(_._3 != alab)
         .map { case (nid, nv, _) => (nid, r4(cos(av, nv))) }
         .sortBy { case (nid, c) => (-c, nid) }.take(5).zipWithIndex
-        .map { case ((nid, c), i) => (aid, i + 1, nid, c, refused) }
+        .map { case ((nid, c), i) =>
+          (aid, i + 1, Some(nid): Option[Long], Some(c): Option[Double], refused) }
+      // all-same-label anchors surface as the rank-0 sentinel
+      if (negs.isEmpty && mates.nonEmpty)
+        Seq((aid, 0, None: Option[Long], None: Option[Double], refused))
+      else negs
     }.sortBy(t => (t._1, t._2))
     val got = SparkEntry.queries("a48_hard_negatives")(spark, sfDir)
-      .as[(Long, Int, Long, Double, Long)].collect().toSeq
+      .as[(Long, Int, Option[Long], Option[Double], Long)].collect().toSeq
     assert(got == expected, "a48 != in-memory cell mirror")
     // laws: ranks are clean prefixes, the refusal guard BITES on
     // this corpus (some anchor has same-label cell-mates it refused
-    // to emit), and negatives exist for most anchors
+    // to emit), negatives exist for most anchors, and sentinel rows
+    // carry a positive refusal count with no negative attached
     got.groupBy(_._1).values.foreach { rs =>
-      assert(rs.map(_._2).sorted == (1 to rs.size).toSeq, "rank gap") }
+      val ranked = rs.map(_._2).filter(_ > 0)
+      assert(ranked.sorted == (1 to ranked.size).toSeq, "rank gap") }
     assert(got.exists(_._5 > 0), "refusal guard never exercised")
+    got.filter(_._2 == 0).foreach { r =>
+      assert(r._3.isEmpty && r._4.isEmpty && r._5 > 0, "malformed sentinel") }
     assert(got.map(_._1).distinct.size > emb.length / 2, "mining too sparse")
   }
 
