@@ -3012,6 +3012,80 @@ object Relational {
       |FROM binned GROUP BY col_name, bin, min_num, max_num
       |ORDER BY col_name, bin""".stripMargin
 
+  /** q62: calendar gap-fill with FORWARD FILL — the stateful fill
+    * q28's zero-fill spine cannot express (a dashboard or feature
+    * join needs "the last known value as of this day", not zero,
+    * for stock-like series): every calendar day from the first to
+    * the last order date, with that day's order count and revenue
+    * (zero on silent days), the forward-filled last OBSERVED
+    * revenue, and the gap age (days since the last observed day —
+    * the staleness signal a consumer thresholds). Revenue follows
+    * the q60 integer-cents discipline (per-order cents, exact
+    * BIGINT sums). The fill runs on ONE ordered window over the
+    * |days|-row spine — single-partition BY DESIGN, the q57
+    * bounded-series argument: the calendar is ~365 rows/year at ANY
+    * corpus scale, so the sequential pass is over the summary, never
+    * the facts.
+    *
+    * Scale (100 TB): the daily rollup is one map-side-combined
+    * groupBy(day) over the orders scan; the spine is a 1-row range
+    * broadcast exploded to |days| rows; the fill window and the
+    * left join run over that bounded series. */
+  def q62GapFill(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+    val daily = ord.groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("cast(round(o_totalprice * 100, 0) as bigint)"))
+          .as("day_cents"))
+    val range = ord.agg(to_date(min(col("o_orderdate"))).as("d0"),
+      to_date(max(col("o_orderdate"))).as("d1"))
+    val spine = range.select(explode(
+      sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("day"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("day"), "left")
+      .withColumn("ffill_cents",
+        last(col("day_cents"), ignoreNulls = true).over(w))
+      .withColumn("last_obs",
+        last(when(col("n_orders").isNotNull, col("day")), ignoreNulls = true)
+          .over(w))
+      .select(col("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("day_cents"), lit(0L)).as("day_cents"),
+        col("ffill_cents"),
+        datediff(col("day"), col("last_obs")).cast("long").as("gap_days"))
+      .orderBy("day")
+  }
+
+  /** DuckDB oracle for q62: identical spine, identical per-order
+    * cents rollup, last_value IGNORE NULLS for both fills, identical
+    * gap arithmetic. */
+  val q62Sql: String =
+    """WITH daily AS (
+      | SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders,
+      |  CAST(sum(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+      |    AS day_cents
+      | FROM orders GROUP BY 1),
+      |r AS (SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+      |             CAST(max(o_orderdate) AS DATE) AS d1 FROM orders),
+      |spine AS (
+      | SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+      |   AS day FROM r),
+      |filled AS (
+      | SELECT s.day, d.n_orders, d.day_cents,
+      |  last_value(d.day_cents IGNORE NULLS) OVER
+      |   (ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS ffill_cents,
+      |  last_value(CASE WHEN d.n_orders IS NOT NULL THEN s.day END
+      |    IGNORE NULLS) OVER
+      |   (ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS last_obs
+      | FROM spine s LEFT JOIN daily d ON d.day = s.day)
+      |SELECT day, COALESCE(n_orders, 0) AS n_orders,
+      | CAST(COALESCE(day_cents, 0) AS BIGINT) AS day_cents, ffill_cents,
+      | CAST(date_diff('day', last_obs, day) AS BIGINT) AS gap_days
+      |FROM filled ORDER BY day""".stripMargin
+
   /** q52's stacked view of the events table: one (col_name,
     * value_num, value_str) row per source row per profiled column —
     * numerics (ids, the double measure, epoch-micros timestamps)
@@ -3173,7 +3247,8 @@ object Relational {
     "q58_pit_features" -> (q58PitFeatures _),
     "q59_psi_drift" -> (q59PsiDrift _),
     "q60_supplier_scorecard" -> (q60SupplierScorecard _),
-    "q61_histogram" -> (q61Histogram _))
+    "q61_histogram" -> (q61Histogram _),
+    "q62_gap_fill" -> (q62GapFill _))
 
   // ---- q40: data-quality expectations audit (DLT expectations) ----
 
@@ -3327,5 +3402,6 @@ object Relational {
     "q58_pit_features" -> q58Sql,
     "q59_psi_drift" -> q59Sql,
     "q60_supplier_scorecard" -> q60Sql,
-    "q61_histogram" -> q61Sql)
+    "q61_histogram" -> q61Sql,
+    "q62_gap_fill" -> q62Sql)
 }

@@ -872,6 +872,37 @@ class InvariantSpec extends SparkSpec {
     }
   }
 
+  test("q62 gap fill equals a sequential replay mirror; fill and staleness laws hold") {
+    val got = SparkEntry.queries("q62_gap_fill")(spark, sfDir)
+      .as[(java.sql.Date, Long, Long, Long, Long)].collect().toSeq
+    val ord = Tables.orders(spark, sfDir)
+      .select(to_date(col("o_orderdate")).as("d"), col("o_totalprice"))
+      .as[(java.sql.Date, Double)].collect()
+    def cents(p: Double): Long =
+      BigDecimal(p * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val daily = ord.groupBy(_._1).view.mapValues(os =>
+      (os.length.toLong, os.map(o => cents(o._2)).sum)).toMap
+    val days = Iterator.iterate(ord.map(_._1).min.toLocalDate)(_.plusDays(1))
+      .takeWhile(!_.isAfter(ord.map(_._1).max.toLocalDate)).toSeq
+    // the sequential replay the window expresses declaratively
+    var ff = 0L; var lastObs = days.head
+    val expected = days.map { d =>
+      val sd = java.sql.Date.valueOf(d)
+      val obs = daily.get(sd)
+      obs.foreach { o => ff = o._2; lastObs = d }
+      (sd, obs.map(_._1).getOrElse(0L), obs.map(_._2).getOrElse(0L), ff,
+        java.time.temporal.ChronoUnit.DAYS.between(lastObs, d))
+    }
+    assert(got == expected, "q62 != sequential replay mirror")
+    // laws: the corpus exercises real gaps, observed days are fresh,
+    // silent days carry the last observed value, orders conserve
+    assert(got.exists(_._5 > 0), "no gap exercised")
+    got.foreach { r =>
+      if (r._2 > 0) assert(r._5 == 0L, "observed day marked stale")
+      else assert(r._3 == 0L, "silent day has revenue") }
+    assert(got.map(_._2).sum == ord.length.toLong, "order count leaked")
+  }
+
   test("q47 PIT join: fact bijection and as-of-version correctness against a replay mirror") {
     val got = SparkEntry.queries("q47_pit_join")(spark, sfDir)
       .as[(Long, Long, java.sql.Timestamp, String, Int, Double)].collect().toSeq
