@@ -3086,6 +3086,64 @@ object Relational {
       | CAST(date_diff('day', last_obs, day) AS BIGINT) AS gap_days
       |FROM filled ORDER BY day""".stripMargin
 
+  /** q63: Benford first-digit audit — the fraud/synthetic-data
+    * screen auditors run on any money column (natural multi-scale
+    * amounts follow log-uniform first digits; fabricated or
+    * truncated data does not): the distribution of o_totalprice's
+    * leading digit against the Benford expectation log10(1 + 1/d),
+    * with the chi-square statistic from the NINE exact counts. The
+    * digit is integer arithmetic (first char of the floored
+    * amount); expectations are the same nine literal doubles in
+    * both engines; each chi² term (obs − n·p)²/(n·p) is closed-form
+    * scalar IEEE over exact counts (the q56 z stance), and the
+    * nine-term total is a windowed SUM over nine rows, ROUND 4 —
+    * the q59 PSI precedent.
+    *
+    * Scale (100 TB): one scan, a 9-group map-side-combined count,
+    * and a nine-row assembly — nothing else. */
+  def q63Benford(s: SparkSession, dir: String): DataFrame = {
+    val digits = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 0)
+      .select(expr(
+        "cast(substring(cast(cast(floor(o_totalprice) as bigint) as string), 1, 1) as bigint)")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy()
+    digits
+      .withColumn("total", sum(col("n")).over(w))
+      .withColumn("p", expr("log10(1.0 + 1.0 / digit)"))
+      .withColumn("term", expr(
+        "(n - total * p) * (n - total * p) / (total * p)"))
+      .select(col("digit"), col("n"),
+        expr("cast(round(p * 1000000, 0) as bigint)").as("expected_ppm"),
+        expr("n * 1000000 div total").as("obs_ppm"),
+        round(col("term"), 4).as("chi2_term"),
+        round(sum(col("term")).over(w), 4).as("chi2"))
+      .orderBy(col("digit"))
+  }
+
+  /** DuckDB oracle for q63: identical digit extraction, identical
+    * literal-free Benford expectation (log10 both engines),
+    * identical chi-square assembly over the nine rows. */
+  val q63Sql: String =
+    """WITH d AS (
+      | SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+      |   1, 1) AS BIGINT) AS digit, count(*) AS n
+      | FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+      |w AS (
+      | SELECT digit, n, SUM(n) OVER () AS total,
+      |  log10(1.0 + 1.0 / digit) AS p
+      | FROM d),
+      |t AS (
+      | SELECT *, (n - total * p) * (n - total * p) / (total * p) AS term
+      | FROM w)
+      |SELECT digit, n,
+      | CAST(ROUND(p * 1000000, 0) AS BIGINT) AS expected_ppm,
+      | CAST(n * 1000000 // total AS BIGINT) AS obs_ppm,
+      | ROUND(term, 4) AS chi2_term,
+      | ROUND(SUM(term) OVER (), 4) AS chi2
+      |FROM t ORDER BY digit""".stripMargin
+
   /** q52's stacked view of the events table: one (col_name,
     * value_num, value_str) row per source row per profiled column —
     * numerics (ids, the double measure, epoch-micros timestamps)
@@ -3248,7 +3306,8 @@ object Relational {
     "q59_psi_drift" -> (q59PsiDrift _),
     "q60_supplier_scorecard" -> (q60SupplierScorecard _),
     "q61_histogram" -> (q61Histogram _),
-    "q62_gap_fill" -> (q62GapFill _))
+    "q62_gap_fill" -> (q62GapFill _),
+    "q63_benford" -> (q63Benford _))
 
   // ---- q40: data-quality expectations audit (DLT expectations) ----
 
@@ -3403,5 +3462,6 @@ object Relational {
     "q59_psi_drift" -> q59Sql,
     "q60_supplier_scorecard" -> q60Sql,
     "q61_histogram" -> q61Sql,
-    "q62_gap_fill" -> q62Sql)
+    "q62_gap_fill" -> q62Sql,
+    "q63_benford" -> q63Sql)
 }

@@ -903,6 +903,34 @@ class InvariantSpec extends SparkSpec {
     assert(got.map(_._2).sum == ord.length.toLong, "order count leaked")
   }
 
+  test("q63 Benford audit equals an in-memory mirror; digit partition and expectation laws hold") {
+    val got = SparkEntry.queries("q63_benford")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+    val prices = Tables.orders(spark, sfDir)
+      .select("o_totalprice").as[Double].collect().filter(_ > 0)
+    def digit(p: Double): Long = math.floor(p).toLong.toString.head.asDigit.toLong
+    val counts = prices.groupBy(digit).view.mapValues(_.length.toLong).toMap
+    val total = prices.length.toLong
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r0(x: Double) =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val terms = counts.toSeq.sortBy(_._1).map { case (d, n) =>
+      val p = math.log10(1.0 + 1.0 / d)
+      (d, n, p, (n - total * p) * (n - total * p) / (total * p))
+    }
+    val chi2 = r4(terms.map(_._4).sum)
+    val expected = terms.map { case (d, n, p, t) =>
+      (d, n, r0(p * 1000000), n * 1000000 / total, r4(t), chi2) }
+    assert(got == expected, "q63 != Benford mirror")
+    // laws: digits partition the positive amounts, expectations sum
+    // to ~1e6 ppm, and the statistic is finite and non-negative
+    assert(got.map(_._2).sum == total, "digit counts leak")
+    assert(got.forall(r => r._1 >= 1 && r._1 <= 9), "digit range")
+    assert(math.abs(got.map(_._3).sum - 1000000L) <= 2, "expectations drift")
+    assert(got.forall(r => r._5 >= 0 && !r._6.isNaN), "bad statistic")
+  }
+
   test("q47 PIT join: fact bijection and as-of-version correctness against a replay mirror") {
     val got = SparkEntry.queries("q47_pit_join")(spark, sfDir)
       .as[(Long, Long, java.sql.Timestamp, String, Int, Double)].collect().toSeq
