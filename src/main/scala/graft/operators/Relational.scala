@@ -3144,6 +3144,69 @@ object Relational {
       | ROUND(SUM(term) OVER (), 4) AS chi2
       |FROM t ORDER BY digit""".stripMargin
 
+  /** q64: market share with an OTHER rollup — the "top-N plus
+    * other" report every BI layer renders and a naive GROUP BY
+    * cannot produce in one pass (the long tail must collapse
+    * WITHOUT losing mass): per order year, the top-3 customer
+    * market segments by revenue keep their names, the tail rolls
+    * into 'OTHER', and every row carries its share of the year in
+    * integer basis points. Revenue per the q60 integer-cents
+    * discipline; the top-3 cut is a deterministic rank (cents desc,
+    * segment asc); shares are cents × 10000 div year-total — the
+    * sum of shares telescopes to ≤ 10000 exactly (integer division
+    * only sheds).
+    *
+    * Scale (100 TB): orders join customers on the customer key
+    * (both sides bucket by it at production scale); the rollup is a
+    * (year × segment)-group map-side-combined aggregate — a
+    * |years|·|segments| frame; the rank, OTHER collapse, and share
+    * window all run on that summary, never the facts. */
+  def q64MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(year(col("o_orderdate")).as("yr"),
+        col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("orders"),
+        sum(expr("cast(round(o_totalprice * 100, 0) as bigint)"))
+          .as("cents"))
+    val ranked = per.withColumn("rk", row_number().over(
+      Window.partitionBy(col("yr"))
+        .orderBy(col("cents").desc, col("segment"))))
+    ranked
+      .withColumn("seg",
+        when(col("rk") <= 3, col("segment")).otherwise(lit("OTHER")))
+      .groupBy(col("yr"), col("seg").as("segment"))
+      .agg(sum(col("orders")).as("orders"), sum(col("cents")).as("cents"))
+      .withColumn("year_cents",
+        sum(col("cents")).over(Window.partitionBy(col("yr"))))
+      .select(col("yr").cast("long").as("yr"), col("segment"), col("orders"),
+        col("cents"), expr("cents * 10000 div year_cents").as("share_bp"))
+      .orderBy(col("yr"), col("cents").desc, col("segment"))
+  }
+
+  /** DuckDB oracle for q64: identical cents rollup, identical rank
+    * cut and OTHER collapse, identical integer share (year totals
+    * cast back from HUGEINT — the dtype gate). */
+  val q64Sql: String =
+    """WITH per AS (
+      | SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |  c_mktsegment AS segment, count(*) AS orders,
+      |  CAST(sum(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+      |    AS cents
+      | FROM orders JOIN customer ON o_custkey = c_custkey
+      | GROUP BY 1, 2),
+      |ranked AS (
+      | SELECT *, row_number() OVER (PARTITION BY yr
+      |   ORDER BY cents DESC, segment) AS rk FROM per),
+      |bucketed AS (
+      | SELECT yr, CASE WHEN rk <= 3 THEN segment ELSE 'OTHER' END AS segment,
+      |  CAST(sum(orders) AS BIGINT) AS orders, CAST(sum(cents) AS BIGINT) AS cents
+      | FROM ranked GROUP BY 1, 2)
+      |SELECT yr, segment, orders, cents,
+      | CAST(cents * 10000 // CAST(SUM(cents) OVER (PARTITION BY yr) AS BIGINT)
+      |   AS BIGINT) AS share_bp
+      |FROM bucketed ORDER BY yr, cents DESC, segment""".stripMargin
+
   /** q52's stacked view of the events table: one (col_name,
     * value_num, value_str) row per source row per profiled column —
     * numerics (ids, the double measure, epoch-micros timestamps)
@@ -3307,7 +3370,8 @@ object Relational {
     "q60_supplier_scorecard" -> (q60SupplierScorecard _),
     "q61_histogram" -> (q61Histogram _),
     "q62_gap_fill" -> (q62GapFill _),
-    "q63_benford" -> (q63Benford _))
+    "q63_benford" -> (q63Benford _),
+    "q64_market_share" -> (q64MarketShare _))
 
   // ---- q40: data-quality expectations audit (DLT expectations) ----
 
@@ -3463,5 +3527,6 @@ object Relational {
     "q60_supplier_scorecard" -> q60Sql,
     "q61_histogram" -> q61Sql,
     "q62_gap_fill" -> q62Sql,
-    "q63_benford" -> q63Sql)
+    "q63_benford" -> q63Sql,
+    "q64_market_share" -> q64Sql)
 }

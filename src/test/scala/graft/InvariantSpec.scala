@@ -931,6 +931,42 @@ class InvariantSpec extends SparkSpec {
     assert(got.forall(r => r._5 >= 0 && !r._6.isNaN), "bad statistic")
   }
 
+  test("q64 market share equals an in-memory mirror; mass conservation and OTHER laws hold") {
+    val got = SparkEntry.queries("q64_market_share")(spark, sfDir)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    val ord = Tables.orders(spark, sfDir)
+      .select(year(col("o_orderdate")).as("yr"), col("o_custkey"),
+        col("o_totalprice"))
+      .as[(Int, Long, Double)].collect()
+    val seg = Tables.customer(spark, sfDir).select("c_custkey", "c_mktsegment")
+      .as[(Long, String)].collect().toMap
+    def cents(p: Double): Long =
+      BigDecimal(p * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val per = ord.groupBy(o => (o._1.toLong, seg(o._2))).view.mapValues(os =>
+      (os.length.toLong, os.map(o => cents(o._3)).sum)).toSeq
+    val expected = per.groupBy(_._1._1).toSeq.flatMap { case (yr, ss) =>
+      val ranked = ss.sortBy { case ((_, sg), (_, c)) => (-c, sg) }.zipWithIndex
+      val bucketed = ranked.map { case (((_, sg), (n, c)), i) =>
+        (if (i < 3) sg else "OTHER", n, c) }
+        .groupBy(_._1).view.mapValues(bs =>
+          (bs.map(_._2).sum, bs.map(_._3).sum)).toSeq
+      val yearCents = bucketed.map(_._2._2).sum
+      bucketed.map { case (sg, (n, c)) =>
+        (yr, sg, n, c, c * 10000 / yearCents) }
+    }.sortBy(t => (t._1, -t._4, t._2))
+    assert(got == expected, "q64 != in-memory mirror")
+    // laws: per year, orders and cents conserve through the OTHER
+    // collapse, shares telescope to <= 10000 (integer div sheds),
+    // at most 4 rows per year, and OTHER is genuinely exercised
+    val byYr = got.groupBy(_._1)
+    byYr.foreach { case (yr, rs) =>
+      assert(rs.size <= 4, s"$yr has ${rs.size} rows")
+      assert(rs.map(_._5).sum <= 10000, s"$yr shares exceed the year")
+      assert(rs.map(_._3).sum == ord.count(_._1.toLong == yr), s"$yr order leak")
+    }
+    assert(got.exists(_._2 == "OTHER"), "OTHER never exercised")
+  }
+
   test("q47 PIT join: fact bijection and as-of-version correctness against a replay mirror") {
     val got = SparkEntry.queries("q47_pit_join")(spark, sfDir)
       .as[(Long, Long, java.sql.Timestamp, String, Int, Double)].collect().toSeq
