@@ -3101,13 +3101,23 @@ object Relational {
     *
     * Scale (100 TB): one scan, a 9-group map-side-combined count,
     * and a nine-row assembly — nothing else. */
-  def q63Benford(s: SparkSession, dir: String): DataFrame = {
-    val digits = Tables.orders(s, dir)
-      .filter(col("o_totalprice") > 0)
+  def q63Benford(s: SparkSession, dir: String): DataFrame =
+    q63Present(q63Digits(Tables.orders(s, dir)))
+
+  /** q63's digit ledger — one row per leading digit with its exact
+    * count; the ONE body the batch audit aggregates and s59's live
+    * fold sum-merges. */
+  private[graft] def q63Digits(ord: DataFrame): DataFrame =
+    ord.filter(col("o_totalprice") > 0)
       .select(expr(
         "cast(substring(cast(cast(floor(o_totalprice) as bigint) as string), 1, 1) as bigint)")
         .as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n"))
+
+  /** q63's readout over a digit ledger — expectations, ppm, and the
+    * chi-square assembly; shared by batch and stream so the audit
+    * has ONE arithmetic definition. */
+  private[graft] def q63Present(digits: DataFrame): DataFrame = {
     val w = Window.partitionBy()
     digits
       .withColumn("total", sum(col("n")).over(w))

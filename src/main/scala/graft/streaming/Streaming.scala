@@ -1576,6 +1576,48 @@ object Streaming {
   /** s58's oracle IS q59's batch PSI. Lazy per the s45Sql stance. */
   lazy val s58Sql: String = graft.operators.Relational.q59Sql
 
+  /** s59's per-micro-batch state fold: the live Benford digit
+    * ledger. A batch of ORDERS folds in by sum-merging its own
+    * q63Digits rollup — associative/commutative over any slicing
+    * (the s57/s58 sum-merge stance: no event-time-order
+    * precondition, only exactly-once delivery). */
+  def benfordFoldBatch(state: DataFrame, batch: DataFrame): DataFrame =
+    state.unionByName(graft.operators.Relational.q63Digits(batch))
+      .groupBy("digit").agg(sum(col("n")).as("n"))
+
+  /** s59: the LIVE Benford audit — q63 kept current over the
+    * arriving order stream through persisted ledger generations
+    * (the s45/s50 stance): per batch one 9-row digit sum-merge;
+    * presentation reruns the SAME q63Present (expectations are
+    * constants, so the audit re-baselines for free as mass
+    * arrives). The oracle IS q63's batch SQL — slicing must be
+    * invisible. Scale: the ledger is ≤ 9 rows forever; per batch
+    * one map-side-combined digit count — history never
+    * reshuffles. */
+  def s59StreamBenford(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+    val R = graft.operators.Relational
+    val stateDir = graft.sources.Export.scratch("s59_benford", dir)
+    R.q63Digits(ord.filter(lit(false)))
+      .write.mode("overwrite").parquet(s"$stateDir/g0")
+    var ledger = s.read.parquet(s"$stateDir/g0")
+    val slices = Seq(
+      col("o_orderdate") < lit("1998-01-01"),
+      col("o_orderdate") >= lit("1998-01-01") &&
+        col("o_orderdate") < lit("2000-01-01"),
+      col("o_orderdate") >= lit("2000-01-01"))
+    slices.zipWithIndex.foreach { case (slice, i) =>
+      benfordFoldBatch(ledger, ord.filter(slice))
+        .write.mode("overwrite").parquet(s"$stateDir/g${i + 1}")
+      ledger = s.read.parquet(s"$stateDir/g${i + 1}")
+    }
+    R.q63Present(ledger)
+  }
+
+  /** s59's oracle IS q63's batch audit. Lazy per the s45Sql
+    * stance. */
+  lazy val s59Sql: String = graft.operators.Relational.q63Sql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s34_stream_tumbling" -> (s34StreamTumbling _),
     "s35_stream_join" -> (s35StreamJoin _),
@@ -1601,7 +1643,8 @@ object Streaming {
     "s55_stream_profile" -> (s55StreamProfile _),
     "s56_stream_attribution" -> (s56StreamAttribution _),
     "s57_stream_anomaly" -> (s57StreamAnomaly _),
-    "s58_stream_psi" -> (s58StreamPsi _))
+    "s58_stream_psi" -> (s58StreamPsi _),
+    "s59_stream_benford" -> (s59StreamBenford _))
 
   def oracles: Map[String, String] = Map(
     "s34_stream_tumbling" -> s34Sql,
@@ -1628,5 +1671,6 @@ object Streaming {
     "s55_stream_profile" -> s55Sql,
     "s56_stream_attribution" -> s56Sql,
     "s57_stream_anomaly" -> s57Sql,
-    "s58_stream_psi" -> s58Sql)
+    "s58_stream_psi" -> s58Sql,
+    "s59_stream_benford" -> s59Sql)
 }

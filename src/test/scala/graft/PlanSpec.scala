@@ -574,6 +574,11 @@ class PlanSpec extends SparkSpec {
       // sum-merge, pinned by the q59 oracle and the StreamingSpec
       // shuffled-slicing fold property
       "s58_stream_psi",
+      // s59 folds digit-ledger generations through parquet at
+      // construction; per-batch plans are one map-side-combined
+      // digit count + a 9-row sum-merge, pinned by the q63 oracle
+      // and the StreamingSpec shuffled-slicing fold property
+      "s59_stream_benford",
       // t51 runs its K merge rounds at construction (each round's
       // argmax is one bounded 1-row driver action — the learned
       // parameter, the q30/a36 stance); per-round plans are a

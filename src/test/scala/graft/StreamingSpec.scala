@@ -13,6 +13,10 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
 case class EvP(event_id: Long, ts: Timestamp, user_id: Long,
                event_type: String, value: Double, props: String)
 
+/** Order rows for s59's live-Benford drive (q63Digits reads only
+  * o_totalprice; the key rides along for residue slicing). */
+case class OrdB(o_orderkey: Long, o_totalprice: Double)
+
 /** q52/s55 profile output row (Options for the per-type slots). */
 case class ProfRow(col_name: String, cnt: Long, nulls: Long, ndv: Long,
                    min_num: Option[Double], max_num: Option[Double],
@@ -653,6 +657,44 @@ class StreamingSpec extends SparkSpec {
     val s58 = SparkEntry.queries("s58_stream_psi")(spark, sfDir)
       .as[(Long, Long, Long, Double, Double)].collect().toSeq
     assert(s58 == batch, "s58's registered fold != batch monitor")
+  }
+
+  test("s59 live-Benford ledger folds to the batch audit even under shuffled slicing") {
+    val gens = java.nio.file.Files.createTempDirectory("s59gen").toString
+    val ord = Tables.orders(spark, sfDir)
+    val R = graft.operators.Relational
+    R.q63Digits(ord.filter(lit(false)))
+      .write.mode("overwrite").parquet(s"$gens/g0")
+    val rows = ord.select("o_orderkey", "o_totalprice").as[OrdB].collect()
+    val batches = Seq(
+      rows.filter(_.o_orderkey % 3 == 0),
+      rows.filter(_.o_orderkey % 3 == 1),
+      rows.filter(_.o_orderkey % 3 == 2))
+    assert(batches.forall(_.nonEmpty))
+    val gen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val in = MemoryStream[OrdB](spark)
+    val q = in.toDF().writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val g = gen.get()
+        Streaming.benfordFoldBatch(spark.read.parquet(s"$gens/g$g"), b.toDF())
+          .write.mode("overwrite").parquet(s"$gens/g${g + 1}")
+        gen.incrementAndGet()
+        ()
+      }.start()
+    try {
+      batches.foreach { b => in.addData(b.toSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    assert(gen.get() == 3, s"expected 3 state generations, got ${gen.get()}")
+    assert(spark.read.parquet(s"$gens/g3").count() <= 9, "ledger outgrew digits")
+    val streamed = R.q63Present(spark.read.parquet(s"$gens/g3"))
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+    val batch = SparkEntry.queries("q63_benford")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(streamed == batch,
+      "Benford ledger chain != batch audit under shuffled slicing")
+    val s59 = SparkEntry.queries("s59_stream_benford")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(s59 == batch, "s59's registered fold != batch audit")
   }
 
   test("s51 live-SCD2 generations fold to the batch dimension through real micro-batches") {
