@@ -3217,6 +3217,114 @@ object Relational {
       |   AS BIGINT) AS share_bp
       |FROM bucketed ORDER BY yr, cents DESC, segment""".stripMargin
 
+  /** q65: Kaplan–Meier survival — the time-to-second-order curve a
+    * retention team reads as "how long until a new customer
+    * reorders", with CENSORING done right (single-order customers
+    * are not failures; they are observed only up to the corpus
+    * horizon — dropping them is the classic churn-analysis bias
+    * this estimator exists to avoid): per customer, duration =
+    * days from first to second order (event) or to the horizon
+    * (censored); the KM table lists every event time with the
+    * number at risk, events, same-day censored, and the survival
+    * estimate Π (1 − dᵢ/nᵢ). The product is computed as
+    * exp(Σ ln(1 − d/n)) over the event times in ORDER — a
+    * cumulative ordered window, so both engines accumulate the
+    * identical IEEE sequence (ROUND 6); the d = n full-death step
+    * (where ln(0) diverges — Spark returns NULL, DuckDB −inf) is
+    * guarded by a cumulative flag that pins survival to exactly
+    * 0.0 from that step on.
+    *
+    * Scale (100 TB): first/second order dates are one per-customer
+    * window (user-keyed, the q58 stance) + rollup; the KM table
+    * itself is |distinct durations| rows (bounded by the calendar,
+    * the q57/q62 bounded-series argument) — the risk counts, the
+    * flag, and the log-sum all run on that summary, never the
+    * facts. */
+  def q65Survival(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"))
+    val horizon = ord.agg(max(col("d")).as("dmax"))
+    val per = ord
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("o_custkey")).orderBy(col("d"))))
+      .filter(col("rn") <= 2)
+      .groupBy("o_custkey").agg(
+        min(col("d")).as("t1"),
+        max(when(col("rn") === 2, col("d"))).as("t2"))
+    val subj = per.crossJoin(broadcast(horizon)).select(
+      when(col("t2").isNotNull, datediff(col("t2"), col("t1")))
+        .otherwise(datediff(col("dmax"), col("t1"))).cast("long").as("dur"),
+      when(col("t2").isNotNull, 1L).otherwise(0L).as("event"))
+    val byDur = subj.groupBy("dur").agg(
+      sum(col("event")).as("d_events"),
+      sum(lit(1L) - col("event")).as("censored_at"),
+      count(lit(1)).as("at_dur"))
+    val before = Window.orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risked = byDur
+      .withColumn("n_total", sum(col("at_dur")).over(Window.partitionBy()))
+      .withColumn("n_risk", col("n_total") -
+        coalesce(sum(col("at_dur")).over(before), lit(0L)))
+    val cum = Window.orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    risked.filter(col("d_events") > 0)
+      .withColumn("dead", sum(when(col("d_events") === col("n_risk"), 1L)
+        .otherwise(0L)).over(cum))
+      .withColumn("term", when(col("d_events") === col("n_risk"), lit(0.0))
+        .otherwise(expr("ln(1.0 - cast(d_events as double) / n_risk)")))
+      .select(col("dur").as("t_days"), col("n_risk"), col("d_events"),
+        col("censored_at"),
+        when(col("dead") > 0, lit(0.0))
+          .otherwise(round(exp(sum(col("term")).over(cum)), 6))
+          .as("survival"))
+      .orderBy(col("t_days"))
+  }
+
+  /** DuckDB oracle for q65: identical first/second-order windows,
+    * identical risk-set arithmetic, identical guarded ordered
+    * log-sum (ln/exp agree on identical IEEE inputs). */
+  val q65Sql: String =
+    """WITH ord AS (
+      | SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders),
+      |h AS (SELECT max(d) AS dmax FROM ord),
+      |per AS (
+      | SELECT o_custkey, min(d) AS t1,
+      |  max(CASE WHEN rn = 2 THEN d END) AS t2
+      | FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+      |        ORDER BY d) AS rn FROM ord)
+      | WHERE rn <= 2 GROUP BY 1),
+      |subj AS (
+      | SELECT CASE WHEN t2 IS NOT NULL THEN date_diff('day', t1, t2)
+      |         ELSE date_diff('day', t1, dmax) END AS dur,
+      |  CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END AS event
+      | FROM per CROSS JOIN h),
+      |by_dur AS (
+      | SELECT dur, CAST(sum(event) AS BIGINT) AS d_events,
+      |  CAST(sum(1 - event) AS BIGINT) AS censored_at,
+      |  count(*) AS at_dur
+      | FROM subj GROUP BY 1),
+      |risked AS (
+      | SELECT *,
+      |  CAST(SUM(at_dur) OVER () AS BIGINT)
+      |   - CAST(COALESCE(SUM(at_dur) OVER (ORDER BY dur
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |   AS n_risk
+      | FROM by_dur),
+      |ev AS (
+      | SELECT *,
+      |  SUM(CASE WHEN d_events = n_risk THEN 1 ELSE 0 END) OVER
+      |   (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |   AS dead,
+      |  CASE WHEN d_events = n_risk THEN 0.0
+      |       ELSE ln(1.0 - CAST(d_events AS DOUBLE) / n_risk) END AS term
+      | FROM risked WHERE d_events > 0)
+      |SELECT CAST(dur AS BIGINT) AS t_days, n_risk, d_events, censored_at,
+      | CASE WHEN dead > 0 THEN 0.0
+      |      ELSE ROUND(exp(SUM(term) OVER (ORDER BY dur
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) END
+      |  AS survival
+      |FROM ev ORDER BY t_days""".stripMargin
+
   /** q52's stacked view of the events table: one (col_name,
     * value_num, value_str) row per source row per profiled column —
     * numerics (ids, the double measure, epoch-micros timestamps)
@@ -3381,7 +3489,8 @@ object Relational {
     "q61_histogram" -> (q61Histogram _),
     "q62_gap_fill" -> (q62GapFill _),
     "q63_benford" -> (q63Benford _),
-    "q64_market_share" -> (q64MarketShare _))
+    "q64_market_share" -> (q64MarketShare _),
+    "q65_survival" -> (q65Survival _))
 
   // ---- q40: data-quality expectations audit (DLT expectations) ----
 
@@ -3538,5 +3647,6 @@ object Relational {
     "q61_histogram" -> q61Sql,
     "q62_gap_fill" -> q62Sql,
     "q63_benford" -> q63Sql,
-    "q64_market_share" -> q64Sql)
+    "q64_market_share" -> q64Sql,
+    "q65_survival" -> q65Sql)
 }

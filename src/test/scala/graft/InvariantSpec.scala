@@ -967,6 +967,51 @@ class InvariantSpec extends SparkSpec {
     assert(got.exists(_._2 == "OTHER"), "OTHER never exercised")
   }
 
+  test("q65 Kaplan-Meier equals an in-memory replay mirror; monotonicity and censoring laws hold") {
+    val got = SparkEntry.queries("q65_survival")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"))
+      .as[(Long, java.sql.Date)].collect()
+    val dmax = ord.map(_._2.toLocalDate).max(Ordering.by[java.time.LocalDate, Long](_.toEpochDay))
+    def days(a: java.time.LocalDate, b: java.time.LocalDate): Long =
+      java.time.temporal.ChronoUnit.DAYS.between(a, b)
+    val subj = ord.groupBy(_._1).values.toSeq.map { os =>
+      val ds = os.map(_._2.toLocalDate).sortBy(_.toEpochDay)
+      if (ds.size >= 2) (days(ds(0), ds(1)), 1L)
+      else (days(ds(0), dmax), 0L)
+    }
+    val n = subj.size.toLong
+    val byDur = subj.groupBy(_._1).view.mapValues(ss =>
+      (ss.count(_._2 == 1L).toLong, ss.count(_._2 == 0L).toLong,
+        ss.size.toLong)).toSeq.sortBy(_._1)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var cumBefore = 0L; var logSum = 0.0; var dead = false
+    val expected = byDur.flatMap { case (dur, (d, c, at)) =>
+      val nRisk = n - cumBefore
+      cumBefore += at
+      if (d == 0) None
+      else {
+        if (d == nRisk) dead = true
+        else logSum += math.log(1.0 - d.toDouble / nRisk)
+        Some((dur, nRisk, d, c, if (dead) 0.0 else r6(math.exp(logSum))))
+      }
+    }
+    assert(got == expected, "q65 != KM replay mirror")
+    // laws: survival starts < 1 and never increases, n_risk strictly
+    // decreases, the first risk set is EVERY ordering customer, and
+    // the censored mass is exactly the single-order customers
+    assert(got.head._2 == n, "first risk set != all subjects")
+    got.sliding(2).foreach { p => if (p.size == 2) {
+      assert(p(1)._5 <= p(0)._5 + 1e-12, "survival increased")
+      assert(p(1)._2 < p(0)._2, "risk set did not shrink") } }
+    assert(got.forall(r => r._5 >= 0.0 && r._5 <= 1.0), "survival range")
+    val singleOrderCustomers = ord.groupBy(_._1).count(_._2.size == 1).toLong
+    assert(byDur.map(_._2._2).sum == singleOrderCustomers,
+      "censored mass != single-order customers")
+  }
+
   test("q47 PIT join: fact bijection and as-of-version correctness against a replay mirror") {
     val got = SparkEntry.queries("q47_pit_join")(spark, sfDir)
       .as[(Long, Long, java.sql.Timestamp, String, Int, Double)].collect().toSeq

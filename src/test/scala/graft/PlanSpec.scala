@@ -422,6 +422,10 @@ class PlanSpec extends SparkSpec {
       // onto the two window scans; its unpartitioned windows run
       // over the TEN bin rows — the q28/q45 scalar stance
       "q59_psi_drift", "s58_stream_psi",
+      // q65's cross join is the 1-row horizon-date broadcast onto
+      // the per-customer frame; its unpartitioned windows run over
+      // the |durations|-row KM summary — the q28/q45 scalar stance
+      "q65_survival",
       // q51's cross joins are the 1-row node-count broadcast attached
       // to the rank vector each iteration — the q45/q46 stance; the
       // rank/edge joins themselves are src-keyed equi-joins
