@@ -3325,6 +3325,78 @@ object Relational {
       |  AS survival
       |FROM ev ORDER BY t_days""".stripMargin
 
+  /** q66: cohort LTV curves — the cumulative-revenue-by-cohort-age
+    * matrix that completes the retention triptych (q48 counts WHO
+    * comes back, q65 times WHEN they first do, q66 accumulates WHAT
+    * they are worth as they age): customers cohort by first-order
+    * month; every order lands in (cohort, age-in-months) by pure
+    * integer month arithmetic (year×12+month deltas — no calendar
+    * library divergence); per cell, orders and revenue in the q60
+    * integer-cents discipline; the running LTV accumulates per
+    * cohort over age (an ordered window partitioned BY COHORT —
+    * per-key parallelism) and normalizes per original member
+    * (cum-cents div cohort size — integer, so curves compare across
+    * cohorts of different sizes).
+    *
+    * Scale (100 TB): first-order month is one customer-keyed
+    * window/rollup (the q58/q65 stance); the cell rollup is a
+    * (cohort × age)-group map-side-combined aggregate; cumulation
+    * and normalization run on that |cohorts|·|ages| summary
+    * (calendar-bounded both ways), never the facts. */
+  def q66CohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir).select(col("o_custkey"),
+      col("o_orderdate"),
+      expr("year(o_orderdate) * 12 + month(o_orderdate) - 1").as("m"),
+      expr("cast(round(o_totalprice * 100, 0) as bigint)").as("cents"))
+    val first = ord.groupBy("o_custkey").agg(min(col("m")).as("cohort_m"))
+    val cells = ord.join(first, Seq("o_custkey"))
+      .groupBy(col("cohort_m"), (col("m") - col("cohort_m")).as("age"))
+      .agg(count(lit(1)).as("orders"), sum(col("cents")).as("cents"))
+    val sizes = first.groupBy("cohort_m")
+      .agg(count(lit(1)).as("cohort_size"))
+    val cum = Window.partitionBy(col("cohort_m")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.join(sizes, Seq("cohort_m"))
+      .withColumn("cum_cents", sum(col("cents")).over(cum))
+      .select(
+        expr("cast(concat(cohort_m div 12, '-', lpad(cast(cohort_m % 12 + 1 as string), 2, '0')) as string)")
+          .as("cohort"),
+        col("age").cast("long").as("age"), col("cohort_size"),
+        col("orders"), col("cents"), col("cum_cents"),
+        expr("cum_cents div cohort_size").as("ltv_cents"))
+      .orderBy(col("cohort"), col("age"))
+  }
+
+  /** DuckDB oracle for q66: identical integer month arithmetic,
+    * cents rollup, per-cohort ordered cumulation, and integer
+    * normalization (HUGEINT sums cast back — the dtype gate). */
+  val q66Sql: String =
+    """WITH ord AS (
+      | SELECT o_custkey,
+      |  year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+      |  CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      | FROM orders),
+      |first_m AS (
+      | SELECT o_custkey, min(m) AS cohort_m FROM ord GROUP BY 1),
+      |cells AS (
+      | SELECT cohort_m, o.m - cohort_m AS age, count(*) AS orders,
+      |  CAST(sum(cents) AS BIGINT) AS cents
+      | FROM ord o JOIN first_m f USING (o_custkey) GROUP BY 1, 2),
+      |sizes AS (
+      | SELECT cohort_m, count(*) AS cohort_size FROM first_m GROUP BY 1),
+      |cum AS (
+      | SELECT c.*, s.cohort_size,
+      |  CAST(SUM(c.cents) OVER (PARTITION BY c.cohort_m ORDER BY c.age
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |   AS cum_cents
+      | FROM cells c JOIN sizes s USING (cohort_m))
+      |SELECT cohort_m // 12 || '-' || lpad(CAST(cohort_m % 12 + 1 AS VARCHAR), 2, '0')
+      |  AS cohort,
+      | CAST(age AS BIGINT) AS age, CAST(cohort_size AS BIGINT) AS cohort_size,
+      | CAST(orders AS BIGINT) AS orders, cents, cum_cents,
+      | cum_cents // cohort_size AS ltv_cents
+      |FROM cum ORDER BY cohort, age""".stripMargin
+
   /** q52's stacked view of the events table: one (col_name,
     * value_num, value_str) row per source row per profiled column —
     * numerics (ids, the double measure, epoch-micros timestamps)
@@ -3490,7 +3562,8 @@ object Relational {
     "q62_gap_fill" -> (q62GapFill _),
     "q63_benford" -> (q63Benford _),
     "q64_market_share" -> (q64MarketShare _),
-    "q65_survival" -> (q65Survival _))
+    "q65_survival" -> (q65Survival _),
+    "q66_cohort_ltv" -> (q66CohortLtv _))
 
   // ---- q40: data-quality expectations audit (DLT expectations) ----
 
@@ -3648,5 +3721,6 @@ object Relational {
     "q62_gap_fill" -> q62Sql,
     "q63_benford" -> q63Sql,
     "q64_market_share" -> q64Sql,
-    "q65_survival" -> q65Sql)
+    "q65_survival" -> q65Sql,
+    "q66_cohort_ltv" -> q66Sql)
 }

@@ -1012,6 +1012,44 @@ class InvariantSpec extends SparkSpec {
       "censored mass != single-order customers")
   }
 
+  test("q66 cohort LTV equals an in-memory mirror; conservation and monotonicity laws hold") {
+    val got = SparkEntry.queries("q66_cohort_ltv")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        expr("year(o_orderdate) * 12 + month(o_orderdate) - 1"),
+        col("o_totalprice"))
+      .as[(Long, Int, Double)].collect()
+    def cents(p: Double): Long =
+      BigDecimal(p * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val firstM = ord.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val cells = ord.groupBy(o => (firstM(o._1), o._2 - firstM(o._1)))
+      .view.mapValues(os => (os.length.toLong, os.map(o => cents(o._3)).sum))
+      .toSeq
+    val sizes = firstM.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def name(m: Int) = f"${m / 12}-${m % 12 + 1}%02d"
+    val expected = cells.groupBy(_._1._1).toSeq.flatMap { case (cm, cs) =>
+      var cum = 0L
+      cs.sortBy(_._1._2).map { case ((_, age), (n, c)) =>
+        cum += c
+        (name(cm), age.toLong, sizes(cm), n, c, cum, cum / sizes(cm))
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(got == expected, "q66 != in-memory LTV mirror")
+    // laws: every order lands in exactly one cell, cohort sizes
+    // partition the customers, cum_cents is non-decreasing per
+    // cohort, and age 0 exists for every cohort (the first order
+    // IS the cohort definition)
+    assert(got.map(_._4).sum == ord.length.toLong, "orders leak")
+    assert(sizes.values.sum == firstM.size.toLong)
+    got.groupBy(_._1).values.foreach { rs =>
+      val s = rs.sortBy(_._2)
+      assert(s.head._2 == 0L, "cohort missing age 0")
+      s.sliding(2).foreach { p => if (p.size == 2)
+        assert(p(1)._6 >= p(0)._6, "cum_cents decreased") }
+    }
+  }
+
   test("q47 PIT join: fact bijection and as-of-version correctness against a replay mirror") {
     val got = SparkEntry.queries("q47_pit_join")(spark, sfDir)
       .as[(Long, Long, java.sql.Timestamp, String, Int, Double)].collect().toSeq
