@@ -63,6 +63,46 @@ object Ranks {
       .drop("gc_key", "gc_draw", "gc_tie", "gc_val", "dbkt", "bs", "soff", "bucket_cum")
   }
 
+  /** The VALUE-ORDERED sibling of [[bucketedCumsum]]: exact global
+    * running total in a data-dependent sort order (revenue desc for
+    * q67's Pareto cut) where the order column is NOT hash-uniform,
+    * so the fixed-width dbkt trick does not apply. Instead the
+    * frame range-partitions on the total order (`sortCols` MUST be
+    * a total order — include a tie column): repartitionByRange's
+    * sampled boundaries make the PARTITIONING nondeterministic, but
+    * every partition is a contiguous sorted range, so
+    * global cumsum = lower-partition totals + local cumsum
+    * is a pure function of the data — the RESULT is deterministic
+    * for any boundary draw. Local cumsums window per
+    * spark_partition_id (parallel across ranges); the per-partition
+    * totals are a ≤`parts`-row aggregate whose prefix sum
+    * broadcasts back. The keyed stream persists so the offset pass
+    * and the cumsum pass share ONE evaluation — a lost block would
+    * resample boundaries between passes and break the pid
+    * agreement (the bucketedRank posture, same caveat). This is
+    * the production replacement for a single-partition
+    * `SUM OVER (ORDER BY value)` window: the only global sort is
+    * the range exchange Spark's own ORDER BY would do anyway. */
+  def rangeCumsum(df: DataFrame, sortCols: Seq[Column], value: Column,
+      parts: Int, cumName: String): DataFrame = {
+    val base = df.repartitionByRange(parts, sortCols: _*)
+      .withColumn("rc_val", value.cast("long"))
+      .withColumn("rc_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wLocal = Window.partitionBy("rc_pid").orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.orderBy("rc_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("rc_pid").agg(sum("rc_val").as("ps"))
+      .withColumn("poff", coalesce(sum("ps").over(wOff), lit(0L)))
+      .select("rc_pid", "poff")
+    base
+      .withColumn("rc_local", sum(col("rc_val")).over(wLocal))
+      .join(broadcast(offsets), Seq("rc_pid"))
+      .withColumn(cumName, col("poff") + col("rc_local"))
+      .drop("rc_pid", "rc_val", "rc_local", "poff")
+  }
+
   def bucketedRank(df: DataFrame, key: Column, draw: Column, tie: Column,
       bucketShift: Int, rankName: String): DataFrame = {
     val wLocal = Window.partitionBy("gr_key", "dbkt").orderBy("gr_draw", "gr_tie")

@@ -3397,6 +3397,69 @@ object Relational {
       | cum_cents // cohort_size AS ltv_cents
       |FROM cum ORDER BY cohort, age""".stripMargin
 
+  /** q67: ABC / Pareto classification — the inventory-management
+    * cut ("which 20% of parts carry 80% of revenue") every supply
+    * chain runs: parts ordered by revenue desc (integer cents, the
+    * q60 discipline, partkey tiebreak), each with its running
+    * revenue share in basis points and the class the standard cut
+    * assigns — A while the running share is ≤ 8000 bp, B while
+    * ≤ 9500, C for the tail (the boundary part that crosses a
+    * threshold takes the lower class — a deterministic convention,
+    * documented). The running total is [[graft.functions.Ranks
+    * .rangeCumsum]] — the value-ordered two-level cumsum (range-
+    * partitioned contiguous sorted ranges + broadcast prefix
+    * offsets), NOT a single-partition `SUM OVER (ORDER BY …)`
+    * window: |parts| grows with the corpus, so the one-reducer
+    * window is exactly the d36-class perf flaw this machinery
+    * exists to avoid. The DuckDB oracle IS the plain one-window
+    * form — the cross-engine proof the two-level cumsum equals the
+    * textbook window (the d36/t50 stance).
+    *
+    * Scale (100 TB): the revenue rollup is one map-side-combined
+    * groupBy(partkey); the cumsum's only global movement is the
+    * range exchange an ORDER BY would do anyway, its offsets a
+    * ≤32-row broadcast; the grand total is a 1-row broadcast. */
+  def q67AbcPareto(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("part"))
+      .agg(sum(expr(
+        "cast(round(l_extendedprice * (1.0 - l_discount) * 100, 0) as bigint)"))
+        .as("cents"))
+    val cum = graft.functions.Ranks.rangeCumsum(per,
+      Seq(col("cents").desc, col("part")), col("cents"), 32, "cum_cents")
+    val total = per.agg(sum(col("cents")).as("total_cents"))
+    cum.crossJoin(broadcast(total))
+      .withColumn("cum_bp", expr("cum_cents * 10000 div total_cents"))
+      .select(col("part"), col("cents"), col("cum_cents"), col("cum_bp"),
+        when(col("cum_bp") <= 8000, "A")
+          .when(col("cum_bp") <= 9500, "B")
+          .otherwise("C").as("abc_class"))
+      .orderBy(col("cents").desc, col("part"))
+  }
+
+  /** DuckDB oracle for q67: the textbook single-window cumulative
+    * (the proof rangeCumsum equals it), identical cents, identical
+    * bp and class cuts (HUGEINT sums cast back — the dtype gate). */
+  val q67Sql: String =
+    """WITH per AS (
+      | SELECT l_partkey AS part,
+      |  CAST(sum(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100, 0)
+      |    AS BIGINT)) AS BIGINT) AS cents
+      | FROM lineitem GROUP BY 1),
+      |cum AS (
+      | SELECT *,
+      |  CAST(SUM(cents) OVER (ORDER BY cents DESC, part
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |   AS cum_cents,
+      |  CAST(SUM(cents) OVER () AS BIGINT) AS total_cents
+      | FROM per)
+      |SELECT part, cents, cum_cents,
+      | CAST(cum_cents * 10000 // total_cents AS BIGINT) AS cum_bp,
+      | CASE WHEN cum_cents * 10000 // total_cents <= 8000 THEN 'A'
+      |      WHEN cum_cents * 10000 // total_cents <= 9500 THEN 'B'
+      |      ELSE 'C' END AS abc_class
+      |FROM cum ORDER BY cents DESC, part""".stripMargin
+
   /** q52's stacked view of the events table: one (col_name,
     * value_num, value_str) row per source row per profiled column —
     * numerics (ids, the double measure, epoch-micros timestamps)
@@ -3563,7 +3626,8 @@ object Relational {
     "q63_benford" -> (q63Benford _),
     "q64_market_share" -> (q64MarketShare _),
     "q65_survival" -> (q65Survival _),
-    "q66_cohort_ltv" -> (q66CohortLtv _))
+    "q66_cohort_ltv" -> (q66CohortLtv _),
+    "q67_abc_pareto" -> (q67AbcPareto _))
 
   // ---- q40: data-quality expectations audit (DLT expectations) ----
 
@@ -3722,5 +3786,6 @@ object Relational {
     "q63_benford" -> q63Sql,
     "q64_market_share" -> q64Sql,
     "q65_survival" -> q65Sql,
-    "q66_cohort_ltv" -> q66Sql)
+    "q66_cohort_ltv" -> q66Sql,
+    "q67_abc_pareto" -> q67Sql)
 }

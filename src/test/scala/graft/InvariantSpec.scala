@@ -1050,6 +1050,40 @@ class InvariantSpec extends SparkSpec {
     }
   }
 
+  test("q67 ABC Pareto equals a sequential mirror; class ordering and mass laws hold") {
+    val got = SparkEntry.queries("q67_abc_pareto")(spark, sfDir)
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_extendedprice", "l_discount")
+      .as[(Long, Double, Double)].collect()
+    def cents(p: Double, d: Double): Long =
+      BigDecimal(p * (1.0 - d) * 100)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val per = li.groupBy(_._1).view
+      .mapValues(_.map(l => cents(l._2, l._3)).sum).toSeq
+    val total = per.map(_._2).sum
+    var cum = 0L
+    val expected = per.sortBy { case (p, c) => (-c, p) }.map { case (p, c) =>
+      cum += c
+      val bp = cum * 10000 / total
+      (p, c, cum, bp, if (bp <= 8000) "A" else if (bp <= 9500) "B" else "C")
+    }
+    assert(got == expected, "q67 != sequential Pareto mirror")
+    // laws: the two-level cumsum lands exactly on the grand total,
+    // classes are a contiguous A..B..C prefix ordering, all three
+    // classes are populated, and class A's MASS respects the 8000bp
+    // cut. (This synthetic corpus's per-part revenue is near-
+    // uniform, so A is ~80% of parts too — the real-world "A is a
+    // small minority" shape is a data property, not an operator
+    // law, and is deliberately not asserted.)
+    assert(got.last._3 == total, "cumsum misses the total")
+    val classes = got.map(_._5)
+    assert(classes == classes.sorted, "classes not contiguous in cum order")
+    assert(Set("A", "B", "C").subsetOf(classes.toSet), "a class is empty")
+    val aMass = got.filter(_._5 == "A").map(_._2).sum
+    assert(aMass * 10000 / total <= 8000, "A mass exceeds its cut")
+  }
+
   test("q47 PIT join: fact bijection and as-of-version correctness against a replay mirror") {
     val got = SparkEntry.queries("q47_pit_join")(spark, sfDir)
       .as[(Long, Long, java.sql.Timestamp, String, Int, Double)].collect().toSeq

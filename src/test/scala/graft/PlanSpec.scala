@@ -426,6 +426,10 @@ class PlanSpec extends SparkSpec {
       // the per-customer frame; its unpartitioned windows run over
       // the |durations|-row KM summary — the q28/q45 scalar stance
       "q65_survival",
+      // q67's cross join is the 1-row grand-total broadcast onto
+      // the |parts|-row ranked stream; the rangeCumsum's own offset
+      // join is a <=32-row broadcast equi-join on partition id
+      "q67_abc_pareto",
       // q51's cross joins are the 1-row node-count broadcast attached
       // to the rank vector each iteration — the q45/q46 stance; the
       // rank/edge joins themselves are src-keyed equi-joins
