@@ -58,7 +58,18 @@ object Bench {
     // quadratic truth leg — all attributable from first appearance
     "d47_index_forget", "d48_containment_dedup", "d51_neardup_eval",
     "s50_stream_funnel", "s51_stream_scd2", "a44_cell_stats",
-    "a45_cell_split", "s53_stream_hll", "s54_stream_transitions")
+    "a45_cell_split", "s53_stream_hll", "s54_stream_transitions",
+    // r11 third window (review finding: these landed after the list
+    // above without isolation): a46/a47 ride the persisted a42
+    // build, q52/s55 fold profile generations, t58 rides t39's
+    // scored stream; the s56-s59 folds, q53's CC fixpoint, and
+    // a48's persisted cell self-join are attributable from first
+    // appearance
+    "a46_cell_merge", "a47_nprobe_curve", "q52_profile",
+    "s55_stream_profile", "t58_ccnet_buckets",
+    "q53_communities", "a48_hard_negatives",
+    "s56_stream_attribution", "s57_stream_anomaly",
+    "s58_stream_psi", "s59_stream_benford")
 
   private def familyOf(name: String): String =
     if (solo(name)) name

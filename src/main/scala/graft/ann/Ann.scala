@@ -2080,7 +2080,12 @@ object Ann {
       .groupBy("nprobe").agg(count(lit(1)).as("matched"))
     val cands = exploded.groupBy("nprobe").agg(count(lit(1)).as("candidates"))
     val total = scored.agg(count(lit(1)).as("total_pairs"))
-    cands.join(matched, Seq("nprobe"))
+    // LEFT join: a sweep point whose top-K captures NOTHING of the
+    // truth has no `matched` group — an inner join would silently
+    // drop that curve row instead of shipping recall_ppm = 0 (review
+    // finding; the a44/d49 complete-ledger stance applies here too)
+    cands.join(matched, Seq("nprobe"), "left")
+      .withColumn("matched", coalesce(col("matched"), lit(0L)))
       .crossJoin(broadcast(total))
       .select(col("nprobe"),
         expr(s"matched * 1000000 div ${NQ * K}").as("recall_ppm"),
@@ -2129,11 +2134,12 @@ object Ann {
        |cd AS (SELECT nprobe, count(*) AS candidates FROM ex GROUP BY 1),
        |tot AS (SELECT count(*) AS total_pairs FROM scored)
        |SELECT CAST(cd.nprobe AS INT) AS nprobe,
-       | CAST(mt.matched * 1000000 // ${NQ * K} AS BIGINT) AS recall_ppm,
+       | CAST(COALESCE(mt.matched, 0) * 1000000 // ${NQ * K} AS BIGINT)
+       |  AS recall_ppm,
        | CAST(cd.candidates AS BIGINT) AS candidates,
        | CAST(cd.candidates * 1000000 // tot.total_pairs AS BIGINT)
        |  AS cand_frac_ppm
-       |FROM cd JOIN mt USING (nprobe) CROSS JOIN tot
+       |FROM cd LEFT JOIN mt USING (nprobe) CROSS JOIN tot
        |ORDER BY nprobe""".stripMargin
 
   /** a48: hard-negative mining — the contrastive-training data op

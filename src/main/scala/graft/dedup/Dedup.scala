@@ -2262,8 +2262,15 @@ object Dedup {
     // broadcast the (tiny, one row per over-cap gram) hot list, and
     // anti-join it away before the pair join — cappedCandidatePairs'
     // exact shape on the winnowing index
+    // the cap counts DISTINCT DOCS per gram, not selected positions:
+    // one self-repetitive document can winnow the same gram at many
+    // positions, and a position count would let that single doc
+    // evict the gram corpus-wide — losing a genuine cross-doc run it
+    // shares with ONE other doc (review finding; the documented
+    // contract is "a run is lost only if its grams are corpus-wide
+    // boilerplate", which is a statement about doc counts)
     val hotGrams = fps0.groupBy("gram")
-      .agg(count(lit(1)).as("bucket_size"))
+      .agg(countDistinct(col("doc_id")).as("bucket_size"))
       .filter(col("bucket_size") > maxBucket)
       .select("gram")
     val fps = fps0.join(broadcast(hotGrams), Seq("gram"), "left_anti")
@@ -2325,8 +2332,8 @@ object Dedup {
     * 2/(w+1)) and the doc_id-keyed token-array attach, which is
     * size-adaptive ([[Attach]]). Boilerplate grams that recur across
     * the corpus concentrate a bucket; the d23 capped-bucket stance
-    * IS applied to this join ([[d44MaxBucket]] — slim count per
-    * gram, broadcast anti-join of over-cap grams, recall contract
+    * IS applied to this join ([[d44MaxBucket]] — slim DISTINCT-DOC
+    * count per gram, broadcast anti-join of over-cap grams, recall contract
     * and oracle parity documented there, spec'd in SketchCapSpec).
     * Extension is O(run) per seed along one diagonal — never a
     * per-pair LCS. Reference analog: content-hash dedup generalized
@@ -2358,7 +2365,8 @@ object Dedup {
        |      gk[i] = list_min(gk[j:j+$wm1]))) > 0)) AS pos
        |  FROM g WHERE len(gk) >= $w),
        |fpx AS (SELECT doc_id, t, pos, gk[pos] AS gram FROM fp),
-       |hot AS (SELECT gram FROM fpx GROUP BY gram HAVING count(*) > $d44MaxBucket),
+       |hot AS (SELECT gram FROM fpx GROUP BY gram
+       |        HAVING count(DISTINCT doc_id) > $d44MaxBucket),
        |fpc AS (SELECT * FROM fpx WHERE gram NOT IN (SELECT gram FROM hot)),
        |ver AS (
        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,

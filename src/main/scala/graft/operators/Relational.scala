@@ -3508,8 +3508,13 @@ object Relational {
     val ndv = dvals.groupBy("col_name").agg(
       (countDistinct(col("value_num")) + countDistinct(col("value_str")))
         .as("ndv"))
-    stats.join(ndv, Seq("col_name"))
-      .select(col("col_name"), col("cnt"), col("nulls"), col("ndv"),
+    // LEFT join: s55's folded distinct-value state drops both-null
+    // stacked rows, so an all-NULL column has NO ndv group there —
+    // an inner join would silently drop that column's summary row
+    // from the live face only (review finding); ndv coalesces to 0.
+    stats.join(ndv, Seq("col_name"), "left")
+      .select(col("col_name"), col("cnt"), col("nulls"),
+        coalesce(col("ndv"), lit(0L)).as("ndv"),
         round(col("min_num"), 4).as("min_num"),
         round(col("max_num"), 4).as("max_num"),
         col("min_len"), col("max_len"))
