@@ -868,6 +868,48 @@ object Streaming {
   private[graft] val s49Cut2 = "2024-01-21 00:00:00"
   private[graft] val s49K = 256
 
+  /** The ONE micro-batch generation driver shared by every live fold
+    * (s49–s59): persist each initial state frame as a generation-0
+    * parquet artifact, then for each micro-batch run `fold` over the
+    * READ-BACK state generations (state always comes off its
+    * artifact, never a lineage chain — the s45 MV-refresh stance)
+    * and persist the results as generation i+1. `init` pairs each
+    * state frame with its artifact-name prefix; `fold` receives the
+    * current states in `init` order plus the batch index (for
+    * per-batch parameters like s56's advancing retain watermark) and
+    * returns the next states in the same order. Returns the final
+    * generation's frames. Scale: each generation writes only
+    * state-sized artifacts; the loop is driver-side metadata only —
+    * per-batch work is whatever `fold` plans, history never
+    * reshuffles. Extracted from the eleven s49–s59 drivers (the r11
+    * deferred review finding). */
+  private[graft] def foldGenerations(s: SparkSession, stateDir: String,
+      init: Seq[(String, DataFrame)], batches: Seq[DataFrame])(
+      fold: (Seq[DataFrame], DataFrame, Int) => Seq[DataFrame]): Seq[DataFrame] = {
+    var states = init.map { case (p, df) =>
+      df.write.mode("overwrite").parquet(s"$stateDir/${p}0")
+      s.read.parquet(s"$stateDir/${p}0")
+    }
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val next = fold(states, b, i)
+      require(next.size == init.size,
+        s"fold returned ${next.size} states for ${init.size} artifacts")
+      states = init.map(_._1).zip(next).map { case (p, df) =>
+        df.write.mode("overwrite").parquet(s"$stateDir/$p${i + 1}")
+        s.read.parquet(s"$stateDir/$p${i + 1}")
+      }
+    }
+    states
+  }
+
+  /** The standard three event-time micro-batch slices over an event
+    * frame ([[s50Cut1]]/[[s50Cut2]] boundaries — events run Jan 1–30
+    * 2024 at every SF, so all three are non-empty). */
+  private[graft] def eventSlices(ev: DataFrame): Seq[DataFrame] = Seq(
+    ev.filter(col("ts") < lit(s50Cut1)),
+    ev.filter(col("ts") >= lit(s50Cut1) && col("ts") < lit(s50Cut2)),
+    ev.filter(col("ts") >= lit(s50Cut2)))
+
   /** A bounded-key [[graft.functions.MisraGries]] summary of a
     * DataFrame slice, as (counters rows, 1-row err) — the sketch
     * STATE in relational form, writable as a parquet artifact. */
@@ -924,27 +966,21 @@ object Streaming {
     * partials plus the k-row state — never history. */
   def s49StreamHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select(col("ts"), col("user_id"))
-    val stateDir = graft.sources.Export.scratch("s49_state", dir)
     val g0 = mgSketchTables(s,
       ev.filter(col("ts") < lit(s49Cut1)).select("user_id"))
-    g0._1.write.mode("overwrite").parquet(s"$stateDir/g0/counters")
-    g0._2.write.mode("overwrite").parquet(s"$stateDir/g0/meta")
-    var state = (s.read.parquet(s"$stateDir/g0/counters"),
-      s.read.parquet(s"$stateDir/g0/meta"))
-    val slices = Seq(
-      col("ts") >= lit(s49Cut1) && col("ts") < lit(s49Cut2),
-      col("ts") >= lit(s49Cut2))
-    slices.zipWithIndex.foreach { case (slice, i) =>
-      val delta = mgSketchTables(s, ev.filter(slice).select("user_id"))
-      val next = mgMergeTables(state, delta, s49K)
-      next._1.write.mode("overwrite").parquet(s"$stateDir/g${i + 1}/counters")
-      next._2.write.mode("overwrite").parquet(s"$stateDir/g${i + 1}/meta")
-      state = (s.read.parquet(s"$stateDir/g${i + 1}/counters"),
-        s.read.parquet(s"$stateDir/g${i + 1}/meta"))
+    val fin = foldGenerations(s,
+      graft.sources.Export.scratch("s49_state", dir),
+      Seq("c" -> g0._1, "m" -> g0._2),
+      Seq(
+        ev.filter(col("ts") >= lit(s49Cut1) && col("ts") < lit(s49Cut2)),
+        ev.filter(col("ts") >= lit(s49Cut2)))) { (st, b, _) =>
+      val next = mgMergeTables((st(0), st(1)),
+        mgSketchTables(s, b.select("user_id")), s49K)
+      Seq(next._1, next._2)
     }
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("cnt").desc, col("user_id"))
-    state._1
+    fin(0)
       .withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= 20)
       .select(col("rank"), col("user_id"), col("cnt").as("events_count"))
@@ -1038,21 +1074,14 @@ object Streaming {
     * + foreachBatch generation chain and lands on the batch rows. */
   def s50StreamFunnel(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
-    val stateDir = graft.sources.Export.scratch("s50_funnel", dir)
     val empty = ev.select(col("user_id"), col("ts").as("v_ts"),
       col("ts").as("c_ts"), col("ts").as("p_ts")).filter(lit(false))
-    empty.write.mode("overwrite").parquet(s"$stateDir/g0")
-    var state = s.read.parquet(s"$stateDir/g0")
-    val slices = Seq(
-      col("ts") < lit(s50Cut1),
-      col("ts") >= lit(s50Cut1) && col("ts") < lit(s50Cut2),
-      col("ts") >= lit(s50Cut2))
-    slices.zipWithIndex.foreach { case (slice, i) =>
-      funnelFoldBatch(state, ev.filter(slice))
-        .write.mode("overwrite").parquet(s"$stateDir/g${i + 1}")
-      state = s.read.parquet(s"$stateDir/g${i + 1}")
+    val fin = foldGenerations(s,
+      graft.sources.Export.scratch("s50_funnel", dir),
+      Seq("g" -> empty), eventSlices(ev)) { (st, b, _) =>
+      Seq(funnelFoldBatch(st(0), b))
     }
-    funnelPresent(state)
+    funnelPresent(fin(0))
   }
 
   /** s50's oracle IS q44's batch funnel — ordered micro-batch
@@ -1123,22 +1152,15 @@ object Streaming {
     * chain onto the batch rows. */
   def s51StreamScd2(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
-    val stateDir = graft.sources.Export.scratch("s51_scd2", dir)
     val empty = ev.select(col("user_id"), col("event_type").as("attr_value"),
       col("ts").as("valid_from"), col("ts").as("valid_to"),
       lit(1).as("version"), lit(true).as("is_current")).filter(lit(false))
-    empty.write.mode("overwrite").parquet(s"$stateDir/g0")
-    var state = s.read.parquet(s"$stateDir/g0")
-    val slices = Seq(
-      col("ts") < lit(s50Cut1),
-      col("ts") >= lit(s50Cut1) && col("ts") < lit(s50Cut2),
-      col("ts") >= lit(s50Cut2))
-    slices.zipWithIndex.foreach { case (slice, i) =>
-      scd2FoldBatch(state, ev.filter(slice))
-        .write.mode("overwrite").parquet(s"$stateDir/g${i + 1}")
-      state = s.read.parquet(s"$stateDir/g${i + 1}")
+    val fin = foldGenerations(s,
+      graft.sources.Export.scratch("s51_scd2", dir),
+      Seq("g" -> empty), eventSlices(ev)) { (st, b, _) =>
+      Seq(scd2FoldBatch(st(0), b))
     }
-    state.orderBy("user_id", "version")
+    fin(0).orderBy("user_id", "version")
   }
 
   /** s51's oracle IS q32's SCD2 build — ordered slicing must be
@@ -1173,21 +1195,14 @@ object Streaming {
     * batch recompute — slicing (ordered or not) must be invisible. */
   def s52StreamRetention(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
-    val stateDir = graft.sources.Export.scratch("s52_retention", dir)
     val empty = ev.select(col("user_id"),
       col("ts").cast("date").as("week")).filter(lit(false))
-    empty.write.mode("overwrite").parquet(s"$stateDir/g0")
-    var state = s.read.parquet(s"$stateDir/g0")
-    val slices = Seq(
-      col("ts") < lit(s50Cut1),
-      col("ts") >= lit(s50Cut1) && col("ts") < lit(s50Cut2),
-      col("ts") >= lit(s50Cut2))
-    slices.zipWithIndex.foreach { case (slice, i) =>
-      retentionFoldBatch(state, ev.filter(slice))
-        .write.mode("overwrite").parquet(s"$stateDir/g${i + 1}")
-      state = s.read.parquet(s"$stateDir/g${i + 1}")
+    val fin = foldGenerations(s,
+      graft.sources.Export.scratch("s52_retention", dir),
+      Seq("g" -> empty), eventSlices(ev)) { (st, b, _) =>
+      Seq(retentionFoldBatch(st(0), b))
     }
-    graft.operators.Relational.q48Present(state)
+    graft.operators.Relational.q48Present(fin(0))
   }
 
   /** s52's oracle IS q48's batch retention matrix. Lazy per the
@@ -1223,30 +1238,17 @@ object Streaming {
     * slicing, ordered or not, must be invisible. */
   def s53StreamHll(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
-    val stateDir = graft.sources.Export.scratch("s53_hll", dir)
     val emptyReg = ev.select(col("ts").cast("date").as("day"),
       col("user_id").as("j"), lit(0).as("m")).filter(lit(false))
-    emptyReg.write.mode("overwrite").parquet(s"$stateDir/r0")
     val emptyPairs = ev.select(col("ts").cast("date").as("day"),
       col("user_id")).filter(lit(false))
-    emptyPairs.write.mode("overwrite").parquet(s"$stateDir/p0")
-    var reg = s.read.parquet(s"$stateDir/r0")
-    var pairs = s.read.parquet(s"$stateDir/p0")
-    val slices = Seq(
-      col("ts") < lit(s50Cut1),
-      col("ts") >= lit(s50Cut1) && col("ts") < lit(s50Cut2),
-      col("ts") >= lit(s50Cut2))
-    slices.zipWithIndex.foreach { case (slice, i) =>
-      val b = ev.filter(slice)
-      hllFoldBatch(reg, b)
-        .write.mode("overwrite").parquet(s"$stateDir/r${i + 1}")
-      hllExactFoldBatch(pairs, b)
-        .write.mode("overwrite").parquet(s"$stateDir/p${i + 1}")
-      reg = s.read.parquet(s"$stateDir/r${i + 1}")
-      pairs = s.read.parquet(s"$stateDir/p${i + 1}")
+    val fin = foldGenerations(s,
+      graft.sources.Export.scratch("s53_hll", dir),
+      Seq("r" -> emptyReg, "p" -> emptyPairs), eventSlices(ev)) { (st, b, _) =>
+      Seq(hllFoldBatch(st(0), b), hllExactFoldBatch(st(1), b))
     }
-    graft.operators.Relational.q49Present(reg,
-      pairs.groupBy("day").agg(count(lit(1)).as("exact_users")))
+    graft.operators.Relational.q49Present(fin(0),
+      fin(1).groupBy("day").agg(count(lit(1)).as("exact_users")))
   }
 
   /** s53's oracle IS q49's batch sketch. Lazy per the s45Sql
@@ -1302,30 +1304,18 @@ object Streaming {
     * proven counted. */
   def s54StreamTransitions(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
-    val stateDir = graft.sources.Export.scratch("s54_transitions", dir)
     val emptyLast = ev.select(col("user_id"), col("ts"), col("event_id"),
       col("event_type")).filter(lit(false))
-    emptyLast.write.mode("overwrite").parquet(s"$stateDir/l0")
     val emptyCnt = ev.select(col("event_type").as("from_type"),
       col("event_type").as("to_type"),
       col("event_id").as("transitions")).filter(lit(false))
-    emptyCnt.write.mode("overwrite").parquet(s"$stateDir/c0")
-    var last = s.read.parquet(s"$stateDir/l0")
-    var cnt = s.read.parquet(s"$stateDir/c0")
-    val slices = Seq(
-      col("ts") < lit(s50Cut1),
-      col("ts") >= lit(s50Cut1) && col("ts") < lit(s50Cut2),
-      col("ts") >= lit(s50Cut2))
-    slices.zipWithIndex.foreach { case (slice, i) =>
-      val b = ev.filter(slice)
-      transitionsCountFold(last, cnt, b)
-        .write.mode("overwrite").parquet(s"$stateDir/c${i + 1}")
-      transitionsLastFold(last, b)
-        .write.mode("overwrite").parquet(s"$stateDir/l${i + 1}")
-      cnt = s.read.parquet(s"$stateDir/c${i + 1}")
-      last = s.read.parquet(s"$stateDir/l${i + 1}")
+    val fin = foldGenerations(s,
+      graft.sources.Export.scratch("s54_transitions", dir),
+      Seq("l" -> emptyLast, "c" -> emptyCnt), eventSlices(ev)) { (st, b, _) =>
+      Seq(transitionsLastFold(st(0), b),
+        transitionsCountFold(st(0), st(1), b))
     }
-    graft.operators.Relational.q50Present(cnt)
+    graft.operators.Relational.q50Present(fin(1))
   }
 
   /** s54's oracle IS q50's batch matrix. Lazy per the s45Sql
@@ -1368,28 +1358,15 @@ object Streaming {
     * col_name-keyed merge of batch-sized partials. */
   def s55StreamProfile(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
-    val stateDir = graft.sources.Export.scratch("s55_profile", dir)
     val emptyStats = graft.operators.Relational.q52Stats(
       graft.operators.Relational.q52Stacked(ev.filter(lit(false))))
-    emptyStats.write.mode("overwrite").parquet(s"$stateDir/s0")
     val emptyVals = graft.operators.Relational.q52Stacked(ev.filter(lit(false)))
-    emptyVals.write.mode("overwrite").parquet(s"$stateDir/v0")
-    var stats = s.read.parquet(s"$stateDir/s0")
-    var vals = s.read.parquet(s"$stateDir/v0")
-    val slices = Seq(
-      col("ts") < lit(s50Cut1),
-      col("ts") >= lit(s50Cut1) && col("ts") < lit(s50Cut2),
-      col("ts") >= lit(s50Cut2))
-    slices.zipWithIndex.foreach { case (slice, i) =>
-      val b = ev.filter(slice)
-      profileStatsFold(stats, b)
-        .write.mode("overwrite").parquet(s"$stateDir/s${i + 1}")
-      profileDistinctFold(vals, b)
-        .write.mode("overwrite").parquet(s"$stateDir/v${i + 1}")
-      stats = s.read.parquet(s"$stateDir/s${i + 1}")
-      vals = s.read.parquet(s"$stateDir/v${i + 1}")
+    val fin = foldGenerations(s,
+      graft.sources.Export.scratch("s55_profile", dir),
+      Seq("s" -> emptyStats, "v" -> emptyVals), eventSlices(ev)) { (st, b, _) =>
+      Seq(profileStatsFold(st(0), b), profileDistinctFold(st(1), b))
     }
-    graft.operators.Relational.q52Present(stats, vals)
+    graft.operators.Relational.q52Present(fin(0), fin(1))
   }
 
   /** s55's oracle IS q52's batch profile. Lazy per the s45Sql
@@ -1439,34 +1416,32 @@ object Streaming {
     * |channels| rows forever; the buffer holds 7 days of touches
     * (user_id-bucketable); per batch one user-keyed credit join +
     * one |channels|-row merge — history never reshuffles. */
+  /** s56's retain watermark after each batch: the NEXT slice
+    * boundary minus the 7-day lookback. After the LAST batch no
+    * later boundary is known, so the watermark simply does not
+    * advance — it stays at the last slice boundary (never a
+    * corpus-end literal: a regenerated corpus or an added slice
+    * cannot silently prune touches still inside a future
+    * conversion's lookback). */
+  private[graft] def s56RetainCuts: Seq[org.apache.spark.sql.Column] = Seq(
+    lit(s50Cut1).cast("timestamp") - expr("INTERVAL 7 DAY"),
+    lit(s50Cut2).cast("timestamp") - expr("INTERVAL 7 DAY"),
+    lit(s50Cut2).cast("timestamp") - expr("INTERVAL 7 DAY"))
+
   def s56StreamAttribution(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val R = graft.operators.Relational
-    val stateDir = graft.sources.Export.scratch("s56_attribution", dir)
-    R.attributionRollup(R.attributionCredits(
-        R.q55Conversions(ev.filter(lit(false))),
-        R.q55Touches(ev.filter(lit(false)))))
-      .write.mode("overwrite").parquet(s"$stateDir/a0")
-    R.q55Touches(ev.filter(lit(false)))
-      .write.mode("overwrite").parquet(s"$stateDir/t0")
-    var agg = s.read.parquet(s"$stateDir/a0")
-    var buf = s.read.parquet(s"$stateDir/t0")
-    val slices = Seq(
-      col("ts") < lit(s50Cut1),
-      col("ts") >= lit(s50Cut1) && col("ts") < lit(s50Cut2),
-      col("ts") >= lit(s50Cut2))
-    val retain = Seq(
-      lit(s50Cut1).cast("timestamp") - expr("INTERVAL 7 DAY"),
-      lit(s50Cut2).cast("timestamp") - expr("INTERVAL 7 DAY"),
-      lit("2024-02-01").cast("timestamp") - expr("INTERVAL 7 DAY"))
-    slices.zip(retain).zipWithIndex.foreach { case ((slice, keep), i) =>
-      val (a, t) = attributionFoldBatch(agg, buf, ev.filter(slice), keep)
-      a.write.mode("overwrite").parquet(s"$stateDir/a${i + 1}")
-      t.write.mode("overwrite").parquet(s"$stateDir/t${i + 1}")
-      agg = s.read.parquet(s"$stateDir/a${i + 1}")
-      buf = s.read.parquet(s"$stateDir/t${i + 1}")
+    val emptyAgg = R.attributionRollup(R.attributionCredits(
+      R.q55Conversions(ev.filter(lit(false))),
+      R.q55Touches(ev.filter(lit(false)))))
+    val emptyBuf = R.q55Touches(ev.filter(lit(false)))
+    val fin = foldGenerations(s,
+      graft.sources.Export.scratch("s56_attribution", dir),
+      Seq("a" -> emptyAgg, "t" -> emptyBuf), eventSlices(ev)) { (st, b, i) =>
+      val (a, t) = attributionFoldBatch(st(0), st(1), b, s56RetainCuts(i))
+      Seq(a, t)
     }
-    agg.orderBy(col("channel"))
+    fin(0).orderBy(col("channel"))
   }
 
   /** s56's oracle IS q55's batch attribution. Lazy per the s45Sql
@@ -1499,20 +1474,13 @@ object Streaming {
   def s57StreamAnomaly(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val R = graft.operators.Relational
-    val stateDir = graft.sources.Export.scratch("s57_anomaly", dir)
-    R.q57Daily(ev.filter(lit(false)))
-      .write.mode("overwrite").parquet(s"$stateDir/g0")
-    var ledger = s.read.parquet(s"$stateDir/g0")
-    val slices = Seq(
-      col("ts") < lit(s50Cut1),
-      col("ts") >= lit(s50Cut1) && col("ts") < lit(s50Cut2),
-      col("ts") >= lit(s50Cut2))
-    slices.zipWithIndex.foreach { case (slice, i) =>
-      anomalyFoldBatch(ledger, ev.filter(slice))
-        .write.mode("overwrite").parquet(s"$stateDir/g${i + 1}")
-      ledger = s.read.parquet(s"$stateDir/g${i + 1}")
+    val fin = foldGenerations(s,
+      graft.sources.Export.scratch("s57_anomaly", dir),
+      Seq("g" -> R.q57Daily(ev.filter(lit(false)))),
+      eventSlices(ev)) { (st, b, _) =>
+      Seq(anomalyFoldBatch(st(0), b))
     }
-    R.q57Present(ledger)
+    R.q57Present(fin(0))
   }
 
   /** s57's oracle IS q57's batch anomaly profile. Lazy per the
@@ -1557,20 +1525,13 @@ object Streaming {
     val edges = s.read.parquet(s"$stateDir/edges")
     R.q59Bins(ref, edges).withColumnRenamed("n", "ref_n")
       .write.mode("overwrite").parquet(s"$stateDir/ref")
-    R.q59Bins(ref.filter(lit(false)), edges)
-      .write.mode("overwrite").parquet(s"$stateDir/g0")
-    var ledger = s.read.parquet(s"$stateDir/g0")
-    val slices = Seq(
-      col("ts") < lit(s50Cut1),
-      col("ts") >= lit(s50Cut1) && col("ts") < lit(s50Cut2),
-      col("ts") >= lit(s50Cut2))
-    slices.zipWithIndex.foreach { case (slice, i) =>
-      psiFoldBatch(ledger, ev.filter(slice), edges)
-        .write.mode("overwrite").parquet(s"$stateDir/g${i + 1}")
-      ledger = s.read.parquet(s"$stateDir/g${i + 1}")
+    val fin = foldGenerations(s, stateDir,
+      Seq("g" -> R.q59Bins(ref.filter(lit(false)), edges)),
+      eventSlices(ev)) { (st, b, _) =>
+      Seq(psiFoldBatch(st(0), b, edges))
     }
     R.q59Present(s.read.parquet(s"$stateDir/ref"),
-      ledger.withColumnRenamed("n", "cur_n"))
+      fin(0).withColumnRenamed("n", "cur_n"))
   }
 
   /** s58's oracle IS q59's batch PSI. Lazy per the s45Sql stance. */
@@ -1597,21 +1558,17 @@ object Streaming {
   def s59StreamBenford(s: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(s, dir)
     val R = graft.operators.Relational
-    val stateDir = graft.sources.Export.scratch("s59_benford", dir)
-    R.q63Digits(ord.filter(lit(false)))
-      .write.mode("overwrite").parquet(s"$stateDir/g0")
-    var ledger = s.read.parquet(s"$stateDir/g0")
-    val slices = Seq(
-      col("o_orderdate") < lit("1998-01-01"),
-      col("o_orderdate") >= lit("1998-01-01") &&
-        col("o_orderdate") < lit("2000-01-01"),
-      col("o_orderdate") >= lit("2000-01-01"))
-    slices.zipWithIndex.foreach { case (slice, i) =>
-      benfordFoldBatch(ledger, ord.filter(slice))
-        .write.mode("overwrite").parquet(s"$stateDir/g${i + 1}")
-      ledger = s.read.parquet(s"$stateDir/g${i + 1}")
+    val fin = foldGenerations(s,
+      graft.sources.Export.scratch("s59_benford", dir),
+      Seq("g" -> R.q63Digits(ord.filter(lit(false)))),
+      Seq(
+        ord.filter(col("o_orderdate") < lit("1998-01-01")),
+        ord.filter(col("o_orderdate") >= lit("1998-01-01") &&
+          col("o_orderdate") < lit("2000-01-01")),
+        ord.filter(col("o_orderdate") >= lit("2000-01-01")))) { (st, b, _) =>
+      Seq(benfordFoldBatch(st(0), b))
     }
-    R.q63Present(ledger)
+    R.q63Present(fin(0))
   }
 
   /** s59's oracle IS q63's batch audit. Lazy per the s45Sql

@@ -524,10 +524,7 @@ class StreamingSpec extends SparkSpec {
       rows.filter(r => !r.ts.before(cut1) && r.ts.before(cut2)),
       rows.filter(r => !r.ts.before(cut2)))
     assert(batches.forall(_.nonEmpty))
-    val retain = Seq(
-      lit(Streaming.s50Cut1).cast("timestamp") - expr("INTERVAL 7 DAY"),
-      lit(Streaming.s50Cut2).cast("timestamp") - expr("INTERVAL 7 DAY"),
-      lit("2024-02-01").cast("timestamp") - expr("INTERVAL 7 DAY"))
+    val retain = Streaming.s56RetainCuts
     val gen = new java.util.concurrent.atomic.AtomicInteger(0)
     val in = MemoryStream[Ev](spark)
     val q = in.toDF().writeStream.outputMode("append")
