@@ -1715,6 +1715,55 @@ object Ann {
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   }
 
+  /** The ONE assigned-corpus + load-ledger body behind the IVF
+    * index-health family (a44 stats, a45 split, a46 merge): the
+    * quantized corpus routed rnk-1 to its refined a42 cell, and the
+    * nlist-sized ledger of per-cell counts (empty cells included
+    * with 0 — the rows a rebalancer splits or retires). Both frames
+    * persist because the rebalancers consume the corpus up to three
+    * times (counts, seed ranking, re-routing) and the ledger four —
+    * the a42 build must run once, not once per consumer (in
+    * production this frame IS the a43 parquet artifact read back).
+    * Extracted from the a45/a46 twins (the r11 deferred review
+    * finding). */
+  private[graft] def a4xAssignedLedger(base: DataFrame, c1: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val aq = base.select(col("vec_id"), col("qv"))
+      .join(a42AssignTopFrom(base, c1, 1)
+        .select(col("vec_id"), col("cells").getItem(0).cast("int").as("cell")),
+        Seq("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = aq.groupBy("cell").agg(count(lit(1)).as("vectors"))
+    val ledger = c1.select(col("cid").cast("int").as("cell"))
+      .join(counts, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("vectors"), lit(0L)).as("parent_vectors"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (aq, ledger)
+  }
+
+  /** The DuckDB twin of [[a4xAssignedLedger]], pasted once into the
+    * a44/a45/a46 oracles: the rnk-1 assignment (`a1`), the load
+    * ledger (`led`), and the corpus totals (`t`). */
+  private[graft] val a4xLedgerCte: String = {
+    val intL2 = a42IntL2Duck _
+    s"""a1 AS (
+       | SELECT vec_id, qv, cell FROM (
+       |  SELECT x.vec_id, x.qv, c.cid AS cell,
+       |   row_number() OVER (PARTITION BY x.vec_id
+       |     ORDER BY ${intL2("x.qv", "c.qv")}, c.cid) AS rnk
+       |  FROM a0 x, c1 c) WHERE rnk = 1),
+       |led AS (
+       | SELECT CAST(c1.cid AS INT) AS cell,
+       |  CAST(coalesce(cnt.vectors, 0) AS BIGINT) AS parent_vectors
+       | FROM c1 LEFT JOIN
+       |  (SELECT cell, count(*) AS vectors FROM a1 GROUP BY 1) cnt
+       |  ON cnt.cell = c1.cid),
+       |t AS (SELECT
+       |  (SELECT CAST(sum(parent_vectors) AS BIGINT) FROM led) AS n,
+       |  (SELECT count(*) FROM led) AS nlist)""".stripMargin
+  }
+
   /** a44: IVF cell-balance stats — the index-health dashboard that
     * completes a39's eval story (a39 measures recall, a44 measures
     * the LOAD SKEW that decides whether the pruning promise holds):
@@ -1725,46 +1774,32 @@ object Ann {
     * [[a42AssignTopFrom]] with m = 1 — the SAME routing the index,
     * semantic dedup (d46), and stream admission (s48) use, so the
     * dashboard measures the shipped partition, not a twin. Scale:
-    * one pass of the quantized stream against the broadcast packed
-    * centroids + one cell-keyed count; the ledger is nlist-sized. */
+    * the shared [[a4xAssignedLedger]] body — one pass of the
+    * quantized stream against the broadcast packed centroids + one
+    * cell-keyed count; the ledger is nlist-sized. */
   def a44CellStats(s: SparkSession, dir: String): DataFrame = {
     val (base, c1) = a42Refine(s, dir)
-    val assign = a42AssignTopFrom(base, c1, 1)
-      .select(col("vec_id"), col("cells").getItem(0).cast("int").as("cell"))
-    val counts = assign.groupBy("cell").agg(count(lit(1)).as("vectors"))
-    val totals = assign.agg(count(lit(1)).as("n"))
-      .crossJoin(c1.agg(count(lit(1)).as("nlist")))
-    c1.select(col("cid").cast("int").as("cell"))
-      .join(counts, Seq("cell"), "left")
-      .crossJoin(broadcast(totals))
+    val (_, ledger) = a4xAssignedLedger(base, c1)
+    val totals = ledger.agg(sum(col("parent_vectors")).as("n"),
+      count(lit(1)).as("nlist"))
+    ledger.crossJoin(broadcast(totals))
       .select(col("cell"),
-        coalesce(col("vectors"), lit(0L)).as("vectors"),
-        round(coalesce(col("vectors"), lit(0L)).cast("double") *
+        col("parent_vectors").as("vectors"),
+        round(col("parent_vectors").cast("double") *
           col("nlist") / col("n"), 4).as("load_factor"))
       .orderBy("cell")
   }
 
-  /** DuckDB oracle for a44: the shared a42 build CTEs, the identical
-    * rnk-1 assignment against the refined centroids, and the same
-    * ledger arithmetic. */
-  val a44Sql: String = {
-    val intL2 = a42IntL2Duck _
+  /** DuckDB oracle for a44: the shared a42 build CTEs, the shared
+    * [[a4xLedgerCte]] assignment/ledger/totals, and the load
+    * arithmetic (every vector routes to exactly one cell, so the
+    * ledger sum IS the corpus count). */
+  val a44Sql: String =
     s"""WITH $a42BuildCte,
-       |a1 AS (
-       | SELECT vec_id, cell FROM (
-       |  SELECT x.vec_id, c.cid AS cell,
-       |   row_number() OVER (PARTITION BY x.vec_id
-       |     ORDER BY ${intL2("x.qv", "c.qv")}, c.cid) AS rnk
-       |  FROM a0 x, c1 c) WHERE rnk = 1),
-       |cnt AS (SELECT cell, count(*) AS vectors FROM a1 GROUP BY 1),
-       |t AS (SELECT (SELECT count(*) FROM a1) AS n,
-       |             (SELECT count(*) FROM c1) AS nlist)
-       |SELECT CAST(c1.cid AS INT) AS cell,
-       | coalesce(vectors, 0) AS vectors,
-       | ROUND(CAST(coalesce(vectors, 0) AS DOUBLE) * nlist / n, 4) AS load_factor
-       |FROM c1 LEFT JOIN cnt ON cnt.cell = c1.cid CROSS JOIN t
-       |ORDER BY cell""".stripMargin
-  }
+       |$a4xLedgerCte
+       |SELECT cell, parent_vectors AS vectors,
+       | ROUND(CAST(parent_vectors AS DOUBLE) * nlist / n, 4) AS load_factor
+       |FROM led CROSS JOIN t ORDER BY cell""".stripMargin
 
   /** a45 split budget: how many of the most-loaded lists one
     * maintenance cycle splits. A fixed budget (not a load
@@ -1798,20 +1833,7 @@ object Ann {
     * maintenance action must do. */
   def a45CellSplit(s: SparkSession, dir: String): DataFrame = {
     val (base, c1) = a42Refine(s, dir)
-    // the assigned quantized corpus is consumed three times (counts,
-    // seed ranking, sub-routing) and the ledger four — persist both
-    // so the a42 build runs once, not once per consumer (in
-    // production this frame IS the a43 parquet artifact read back)
-    val aq = base.select(col("vec_id"), col("qv"))
-      .join(a42AssignTopFrom(base, c1, 1)
-        .select(col("vec_id"), col("cells").getItem(0).cast("int").as("cell")),
-        Seq("vec_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = aq.groupBy("cell").agg(count(lit(1)).as("vectors"))
-    val ledger = c1.select(col("cid").cast("int").as("cell"))
-      .join(counts, Seq("cell"), "left")
-      .select(col("cell"), coalesce(col("vectors"), lit(0L)).as("parent_vectors"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (aq, ledger) = a4xAssignedLedger(base, c1)
     val wtop = Window.orderBy(col("parent_vectors").desc, col("cell"))
     val hot = ledger.withColumn("hrk", row_number().over(wtop))
       .filter(col("hrk") <= a45Budget).select("cell")
@@ -1860,18 +1882,7 @@ object Ann {
   val a45Sql: String = {
     val intL2 = a42IntL2Duck _
     s"""WITH $a42BuildCte,
-       |a1 AS (
-       | SELECT vec_id, qv, cell FROM (
-       |  SELECT x.vec_id, x.qv, c.cid AS cell,
-       |   row_number() OVER (PARTITION BY x.vec_id
-       |     ORDER BY ${intL2("x.qv", "c.qv")}, c.cid) AS rnk
-       |  FROM a0 x, c1 c) WHERE rnk = 1),
-       |led AS (
-       | SELECT CAST(c1.cid AS INT) AS cell,
-       |  CAST(coalesce(cnt.vectors, 0) AS BIGINT) AS parent_vectors
-       | FROM c1 LEFT JOIN
-       |  (SELECT cell, count(*) AS vectors FROM a1 GROUP BY 1) cnt
-       |  ON cnt.cell = c1.cid),
+       |$a4xLedgerCte,
        |hot AS (SELECT cell FROM (
        |  SELECT cell, row_number() OVER (ORDER BY parent_vectors DESC, cell)
        |   AS hrk FROM led) WHERE hrk <= $a45Budget),
@@ -1889,9 +1900,6 @@ object Ann {
        |     ORDER BY ${intL2("m.qv", "s.sqv")}, s.sub) AS rnk
        |  FROM (SELECT a.* FROM a1 a JOIN hot USING (cell)) m
        |  JOIN seeds s ON s.cell = m.cell) WHERE rnk = 1),
-       |t AS (SELECT
-       |  (SELECT CAST(sum(parent_vectors) AS BIGINT) FROM led) AS n,
-       |  (SELECT count(*) FROM led) AS nlist),
        |out_ AS (
        | SELECT l.cell, 0 AS sub, FALSE AS was_split,
        |   l.parent_vectors, l.parent_vectors AS vectors
@@ -1934,18 +1942,7 @@ object Ann {
     * windows are nlist-sized (the q41 bounded-window stance). */
   def a46CellMerge(s: SparkSession, dir: String): DataFrame = {
     val (base, c1) = a42Refine(s, dir)
-    // same dual-persist stance as a45: the assigned corpus feeds the
-    // ledger AND the re-routing; the build must run once
-    val aq = base.select(col("vec_id"), col("qv"))
-      .join(a42AssignTopFrom(base, c1, 1)
-        .select(col("vec_id"), col("cells").getItem(0).cast("int").as("cell")),
-        Seq("vec_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = aq.groupBy("cell").agg(count(lit(1)).as("vectors"))
-    val ledger = c1.select(col("cid").cast("int").as("cell"))
-      .join(counts, Seq("cell"), "left")
-      .select(col("cell"), coalesce(col("vectors"), lit(0L)).as("parent_vectors"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (aq, ledger) = a4xAssignedLedger(base, c1)
     val wcold = Window.orderBy(col("parent_vectors"), col("cell"))
     val cold = ledger.withColumn("crk", row_number().over(wcold))
       .filter(col("crk") <= a45Budget).select("cell")
@@ -1977,18 +1974,7 @@ object Ann {
   val a46Sql: String = {
     val intL2 = a42IntL2Duck _
     s"""WITH $a42BuildCte,
-       |a1 AS (
-       | SELECT vec_id, qv, cell FROM (
-       |  SELECT x.vec_id, x.qv, c.cid AS cell,
-       |   row_number() OVER (PARTITION BY x.vec_id
-       |     ORDER BY ${intL2("x.qv", "c.qv")}, c.cid) AS rnk
-       |  FROM a0 x, c1 c) WHERE rnk = 1),
-       |led AS (
-       | SELECT CAST(c1.cid AS INT) AS cell,
-       |  CAST(coalesce(cnt.vectors, 0) AS BIGINT) AS parent_vectors
-       | FROM c1 LEFT JOIN
-       |  (SELECT cell, count(*) AS vectors FROM a1 GROUP BY 1) cnt
-       |  ON cnt.cell = c1.cid),
+       |$a4xLedgerCte,
        |cold AS (SELECT cell FROM (
        |  SELECT cell, row_number() OVER (ORDER BY parent_vectors, cell)
        |   AS crk FROM led) WHERE crk <= $a45Budget),
@@ -2000,10 +1986,7 @@ object Ann {
        |     ORDER BY ${intL2("m.qv", "c.qv")}, c.cid) AS rnk
        |  FROM (SELECT a.* FROM a1 a JOIN cold USING (cell)) m, surv c)
        | WHERE rnk = 1),
-       |ab AS (SELECT cell, count(*) AS abs_cnt FROM rerouted GROUP BY 1),
-       |t AS (SELECT
-       |  (SELECT CAST(sum(parent_vectors) AS BIGINT) FROM led) AS n,
-       |  (SELECT count(*) FROM led) AS nlist)
+       |ab AS (SELECT cell, count(*) AS abs_cnt FROM rerouted GROUP BY 1)
        |SELECT l.cell, l.parent_vectors,
        | CAST(coalesce(ab.abs_cnt, 0) AS BIGINT) AS absorbed,
        | CAST(l.parent_vectors + coalesce(ab.abs_cnt, 0) AS BIGINT) AS vectors,
