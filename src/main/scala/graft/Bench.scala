@@ -69,7 +69,10 @@ object Bench {
     "s55_stream_profile", "t58_ccnet_buckets",
     "q53_communities", "a48_hard_negatives",
     "s56_stream_attribution", "s57_stream_anomaly",
-    "s58_stream_psi", "s59_stream_benford")
+    "s58_stream_psi", "s59_stream_benford",
+    // r12: new generation folds + the q68 exact leg's per-group full
+    // sorts — attributable from first appearance
+    "q68_quantile_sketch", "s60_stream_quantiles")
 
   private def familyOf(name: String): String =
     if (solo(name)) name

@@ -3460,6 +3460,172 @@ object Relational {
       |      ELSE 'C' END AS abc_class
       |FROM cum ORDER BY cents DESC, part""".stripMargin
 
+  /** q68's per-group sample budget. 512 is a real sampling regime at
+    * the gate SFs (~3000 orders per priority at sf0.01, ~30000 at
+    * sf0.1) and the degenerate-exact regime at sf0.001 (~300 per
+    * group < k, so the sample IS the group and every estimate is
+    * exact — the t57 boundary stance, spec-pinned). */
+  private[graft] val q68K = 512
+
+  /** q68's quantile probes — median, tail, extreme tail. */
+  private[graft] val q68Probes = Seq(0.5, 0.9, 0.99)
+
+  /** q68's source frame: order money in integer cents (the q60
+    * discipline) keyed by the UNIQUE order key, grouped by
+    * priority — (grp, v, key). ONE definition shared by the batch
+    * sketch, the exact leg, and s60's live folds. */
+  private[graft] def q68Src(ord: DataFrame): DataFrame =
+    ord.select(col("o_orderpriority").as("grp"),
+      expr("cast(round(o_totalprice * 100, 0) as bigint)").as("v"),
+      col("o_orderkey").as("key"))
+
+  /** q68's bounded-memory quantile STATE: the deterministic bottom-k
+    * sample — each row draws a priority from the house md5 idiom
+    * (the a42 seed / q56 assignment draw — content-blind, both
+    * engines replay it byte-exactly) and the k smallest draws per
+    * group survive. This is the KMV/bottom-k form of a mergeable
+    * quantile summary (Agarwal et al. 2013 §"random sampling"): the
+    * merge law is EXACT set algebra, not an approximation —
+    * bottomK(bottomK(A) ∪ B) = bottomK(A ∪ B), because an element of
+    * A among the k smallest of A ∪ B is a fortiori among the k
+    * smallest of A (QuantileSpec pins the law on a real split, plus
+    * idempotency under redelivery: a re-delivered row is either
+    * already in state or out-ranked by everything in it). Scale:
+    * state is ≤ k rows per group FOREVER; the rank window runs over
+    * (state ∪ batch), never history. */
+  private[graft] def q68Sample(src: DataFrame): DataFrame =
+    q68SampleK(src, q68K)
+
+  /** [[q68Sample]] with an explicit budget — QuantileSpec drives the
+    * merge/idempotency laws at a small k so the eviction path is
+    * exercised on the spec corpus (sf0.001 is the degenerate regime
+    * at the shipped k). */
+  private[graft] def q68SampleK(src: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("grp").orderBy(col("draw"), col("key"))
+    src.withColumn("draw", expr(
+        "cast(conv(substring(md5(cast(key as string)), 1, 7), 16, 10) as bigint)"))
+      .withColumn("srk", row_number().over(w))
+      .filter(col("srk") <= k)
+      .select("grp", "v", "key")
+  }
+
+  /** Rank-based (type-1, inverse-CDF) quantiles of a (grp, v, key)
+    * frame: the value at rank ceil(p·n) in (v, key) order, for each
+    * probe. Rank selection, NOT interpolation — the picked value is
+    * a value IN the data, so both engines return the identical
+    * BIGINT cent amount and the cross-engine gate is byte-exact (the
+    * ceil argument is the same IEEE product in both engines). ONE
+    * definition applied to the full corpus (the exact leg) and to
+    * the sample (the estimate) — the instrument and the product
+    * cannot diverge. */
+  private[graft] def q68RankQuantiles(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("grp").orderBy(col("v"), col("key"))
+    val cw = Window.partitionBy("grp")
+    df.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(cw))
+      .select(col("grp"), col("v"), col("n"),
+        explode(array(q68Probes.map(lit(_)): _*)).as("p"), col("rn"))
+      .filter(col("rn") === ceil(col("p") * col("n")))
+      .select("grp", "p", "v", "n")
+  }
+
+  /** q68's readout: estimate vs exact side by side, with the error
+    * IN-BAND (the a41/d51 honesty stance — the sketch ships its own
+    * measured error, integer arithmetic only: absolute cents and
+    * floor basis points of the exact value). Shared verbatim by q68
+    * and s60. */
+  private[graft] def q68Present(full: DataFrame, samp: DataFrame): DataFrame = {
+    val ex = q68RankQuantiles(full)
+      .select(col("grp"), col("p"), col("v").as("exact_cents"), col("n"))
+    val es = q68RankQuantiles(samp)
+      .select(col("grp"), col("p"), col("v").as("est_cents"),
+        col("n").as("sample_k"))
+    ex.join(es, Seq("grp", "p"))
+      .select(col("grp").as("o_orderpriority"), col("p"), col("n"),
+        col("sample_k"), col("exact_cents"), col("est_cents"),
+        abs(col("est_cents") - col("exact_cents")).as("abs_err_cents"),
+        expr("abs(est_cents - exact_cents) * 10000 div exact_cents")
+          .as("err_bp"))
+      .orderBy("o_orderpriority", "p")
+  }
+
+  /** q68: mergeable quantile sketch — the third classic bounded-
+    * memory summary after q41 (Misra–Gries heavy hitters) and q49
+    * (HLL distinct), completing the sketch trio a 100 TB dashboard
+    * needs: per order priority, p50/p90/p99 of the order value
+    * estimated from the [[q68Sample]] deterministic bottom-k sample,
+    * with the exact rank quantile and the measured error in the same
+    * row. The exact leg is the gate instrument (one full sort per
+    * group — the q27 class of work); the SAMPLE is the product: ≤ k
+    * rows per group, mergeable by exact set algebra, so s60 keeps it
+    * live with bounded state under any slicing including redelivery.
+    *
+    * Scale (100 TB): the sample pass is one rank window per group
+    * keyed by (grp, draw) — map-side the filter cannot cut rows (the
+    * draw is content-blind), but state out of the window is ≤ k rows
+    * per group; the estimate then runs rank quantiles over ≤ k·|grp|
+    * rows. At production scale the exact leg drops (the s53/q52
+    * documented trade) and the error column is monitored on gate
+    * corpora only. */
+  def q68QuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    val src = q68Src(Tables.orders(s, dir))
+    q68Present(src, q68Sample(src))
+  }
+
+  /** DuckDB oracle for q68: identical cents source, identical md5
+    * bottom-k sample (the house draw idiom), identical rank-quantile
+    * selection and integer error arithmetic — the whole sketch
+    * replays byte-exactly cross-engine (the q49 reproducible-sketch
+    * stance). */
+  val q68Sql: String =
+    s"""WITH src AS (
+       | SELECT o_orderpriority AS grp,
+       |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v,
+       |  o_orderkey AS key
+       | FROM orders),
+       |samp AS (
+       | SELECT grp, v, key FROM (
+       |  SELECT grp, v, key,
+       |   row_number() OVER (PARTITION BY grp ORDER BY
+       |     CAST(('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 7)) AS BIGINT),
+       |     key) AS srk
+       |  FROM src) WHERE srk <= $q68K),
+       |probes AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS p),
+       |ex AS (
+       | SELECT grp, p, v, n FROM (
+       |   SELECT grp, v,
+       |    row_number() OVER (PARTITION BY grp ORDER BY v, key) AS rn,
+       |    count(*) OVER (PARTITION BY grp) AS n
+       |   FROM src) CROSS JOIN probes
+       | WHERE rn = CAST(ceil(p * n) AS BIGINT)),
+       |es AS (
+       | SELECT grp, p, v, n FROM (
+       |   SELECT grp, v,
+       |    row_number() OVER (PARTITION BY grp ORDER BY v, key) AS rn,
+       |    count(*) OVER (PARTITION BY grp) AS n
+       |   FROM samp) CROSS JOIN probes
+       | WHERE rn = CAST(ceil(p * n) AS BIGINT))
+       |SELECT ex.grp AS o_orderpriority, p, ex.n AS n, es.n AS sample_k,
+       | ex.v AS exact_cents, es.v AS est_cents,
+       | abs(es.v - ex.v) AS abs_err_cents,
+       | abs(es.v - ex.v) * 10000 // ex.v AS err_bp
+       |FROM ex JOIN es USING (grp, p)
+       |ORDER BY o_orderpriority, p""".stripMargin
+
+  /** s60's sample-state fold: (state ∪ batch).distinct re-ranked —
+    * exact by the [[q68Sample]] merge law, IDEMPOTENT under
+    * redelivery (the s52 set stance: a re-delivered row dedups
+    * against state or out-ranks out). */
+  private[graft] def q68SampleFold(state: DataFrame, batch: DataFrame): DataFrame =
+    q68Sample(state.unionByName(q68Src(batch)).distinct())
+
+  /** s60's exact-anchor fold: the distinct (grp, v, key) rows —
+    * union-distinct per batch (the s53 exact-leg stance; at
+    * production scale this leg is dropped and only the sample state
+    * remains). */
+  private[graft] def q68ExactFold(state: DataFrame, batch: DataFrame): DataFrame =
+    state.unionByName(q68Src(batch)).distinct()
+
   /** q52's stacked view of the events table: one (col_name,
     * value_num, value_str) row per source row per profiled column —
     * numerics (ids, the double measure, epoch-micros timestamps)
@@ -3632,7 +3798,8 @@ object Relational {
     "q64_market_share" -> (q64MarketShare _),
     "q65_survival" -> (q65Survival _),
     "q66_cohort_ltv" -> (q66CohortLtv _),
-    "q67_abc_pareto" -> (q67AbcPareto _))
+    "q67_abc_pareto" -> (q67AbcPareto _),
+    "q68_quantile_sketch" -> (q68QuantileSketch _))
 
   // ---- q40: data-quality expectations audit (DLT expectations) ----
 
@@ -3792,5 +3959,6 @@ object Relational {
     "q64_market_share" -> q64Sql,
     "q65_survival" -> q65Sql,
     "q66_cohort_ltv" -> q66Sql,
-    "q67_abc_pareto" -> q67Sql)
+    "q67_abc_pareto" -> q67Sql,
+    "q68_quantile_sketch" -> q68Sql)
 }

@@ -1575,6 +1575,41 @@ object Streaming {
     * stance. */
   lazy val s59Sql: String = graft.operators.Relational.q63Sql
 
+  /** s60: the LIVE quantile dashboard — q68 kept current over the
+    * arriving order stream through persisted state generations (the
+    * s45/s50 stance, dual-artifact like s53): the bottom-k sample
+    * state folds by [[graft.operators.Relational.q68SampleFold]]
+    * (exact merge law + idempotent under redelivery — like s52/s53
+    * this fold is exact under ANY slicing, the strongest replay
+    * guarantee in the family), the exact-anchor state union-
+    * distincts, presentation derives through the SAME q68Present.
+    * The oracle IS q68's batch sketch — slicing must be invisible.
+    * Scale: the sample state is ≤ k rows per group FOREVER — the
+    * bounded-memory promise the quantile sketch exists for; per
+    * batch one (grp, draw)-keyed rank window over (state ∪ batch);
+    * the exact anchor is the declared gate instrument (the s53
+    * trade). */
+  def s60StreamQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+    val R = graft.operators.Relational
+    val empty = R.q68Src(ord.filter(lit(false)))
+    val fin = foldGenerations(s,
+      graft.sources.Export.scratch("s60_quantiles", dir),
+      Seq("s" -> empty, "x" -> empty),
+      Seq(
+        ord.filter(col("o_orderdate") < lit("1998-01-01")),
+        ord.filter(col("o_orderdate") >= lit("1998-01-01") &&
+          col("o_orderdate") < lit("2000-01-01")),
+        ord.filter(col("o_orderdate") >= lit("2000-01-01")))) { (st, b, _) =>
+      Seq(R.q68SampleFold(st(0), b), R.q68ExactFold(st(1), b))
+    }
+    R.q68Present(fin(1), fin(0))
+  }
+
+  /** s60's oracle IS q68's batch sketch. Lazy per the s45Sql
+    * stance. */
+  lazy val s60Sql: String = graft.operators.Relational.q68Sql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s34_stream_tumbling" -> (s34StreamTumbling _),
     "s35_stream_join" -> (s35StreamJoin _),
@@ -1601,7 +1636,8 @@ object Streaming {
     "s56_stream_attribution" -> (s56StreamAttribution _),
     "s57_stream_anomaly" -> (s57StreamAnomaly _),
     "s58_stream_psi" -> (s58StreamPsi _),
-    "s59_stream_benford" -> (s59StreamBenford _))
+    "s59_stream_benford" -> (s59StreamBenford _),
+    "s60_stream_quantiles" -> (s60StreamQuantiles _))
 
   def oracles: Map[String, String] = Map(
     "s34_stream_tumbling" -> s34Sql,
@@ -1629,5 +1665,6 @@ object Streaming {
     "s56_stream_attribution" -> s56Sql,
     "s57_stream_anomaly" -> s57Sql,
     "s58_stream_psi" -> s58Sql,
-    "s59_stream_benford" -> s59Sql)
+    "s59_stream_benford" -> s59Sql,
+    "s60_stream_quantiles" -> s60Sql)
 }

@@ -587,6 +587,12 @@ class PlanSpec extends SparkSpec {
       // digit count + a 9-row sum-merge, pinned by the q63 oracle
       // and the StreamingSpec shuffled-slicing fold property
       "s59_stream_benford",
+      // s60 folds sample + exact-anchor generations through parquet
+      // at construction; per-batch plans are one (grp, draw)-keyed
+      // rank window over (≤ k-per-group state ∪ batch) + a
+      // union-distinct, pinned by the q68 oracle and QuantileSpec's
+      // merge-law/idempotency/fold-equals-batch properties
+      "s60_stream_quantiles",
       // t51 runs its K merge rounds at construction (each round's
       // argmax is one bounded 1-row driver action — the learned
       // parameter, the q30/a36 stance); per-round plans are a
