@@ -2813,10 +2813,12 @@ object Dedup {
   /** d51: LSH health as an operator — the a39 recall-eval stance
     * applied to the DEDUP family: how much of the exact truth does
     * d23's banding actually surface, and how noisy is its candidate
-    * stream? Truth = exact token-set Jaccard ≥ 0.7 over ALL pairs
-    * (the declared-quadratic eval leg, run on a SAMPLE at corpus
-    * scale exactly like a39's ground truth — an eval, not a serving
-    * path); candidates = the d23b md5-affine band join VERBATIM
+    * stream? Truth = exact token-set Jaccard ≥ 0.7 over the eval
+    * universe's pairs — at gate SFs the FULL universe (mod = 1, the
+    * shipped setting); at corpus scale the SAME code samples docs
+    * deterministically via [[d51EvalWith]]'s (keep, mod) parameter,
+    * cutting the pair enumeration quadratically (an eval, not a
+    * serving path); candidates = the d23b md5-affine band join VERBATIM
     * ([[md5BandCandidatePairs]], the dialect-replayable twin of
     * d23's banding — one definition, so the eval measures the
     * shipped pipeline); captured = candidates ∩ truth, which IS
@@ -2827,14 +2829,40 @@ object Dedup {
     * survives — the wasted-verify rate). Scale: the truth leg is
     * the eval's sampled cost; banding and the intersection are the
     * production exchanges. */
-  def d51NeardupEval(s: SparkSession, dir: String): DataFrame = {
-    val docs = shingledDocs(s, dir)
+  def d51NeardupEval(s: SparkSession, dir: String): DataFrame =
+    d51EvalWith(s, dir, 1, 1)
+
+  /** d51's truth leg with the SAMPLE AS CODE, not prose: the eval
+    * universe is the docs whose house md5 draw of doc_id lands in
+    * residue < `keep` of `mod` (the a42-seed / q56-assignment
+    * idiom — deterministic, content-blind, both engines could replay
+    * it), and BOTH legs restrict to that universe — truth enumerates
+    * only sampled-doc pairs (the cross join shrinks QUADRATICALLY in
+    * the doc sample rate: keep 1 of 16 docs → 1/256 of the pairs),
+    * and the banding candidates are masked to sampled endpoints so
+    * recall/precision stay unbiased estimates over a uniform pair
+    * subsample. mod = 1 is the FULL truth — the gate setting the
+    * registered entry ships (byte-identical to the pre-parameter
+    * form); at corpus scale the SAME code runs with mod sized so
+    * n/mod docs fit the eval budget (the a39 sampled-ground-truth
+    * stance). DedupSpec pins sample-vs-full agreement on the gate
+    * corpus. */
+  private[graft] def d51EvalWith(s: SparkSession, dir: String,
+      keep: Int, mod: Int): DataFrame = {
+    val docs0 = shingledDocs(s, dir)
+    val inSample = expr(
+      s"cast(conv(substring(md5(cast(doc_id as string)), 1, 7), 16, 10) as bigint) % $mod < $keep")
+    val docs = if (mod <= 1) docs0 else docs0.filter(inSample)
     val ids = docs.select(col("doc_id"))
     val allPairs = ids.select(col("doc_id").as("doc_a"))
       .crossJoin(ids.select(col("doc_id").as("doc_b")))
       .filter(col("doc_a") < col("doc_b"))
-    val truth = verifyPairs(allPairs, docs).select("doc_a", "doc_b")
-    val cands = md5BandCandidatePairs(docs)
+    val truth = verifyPairs(allPairs, docs0).select("doc_a", "doc_b")
+    val cands0 = md5BandCandidatePairs(docs0)
+    val cands = if (mod <= 1) cands0
+      else cands0.join(ids.select(col("doc_id").as("doc_a")), Seq("doc_a"))
+        .join(ids.select(col("doc_id").as("doc_b")), Seq("doc_b"))
+        .select("doc_a", "doc_b")
     val captured = truth.join(cands, Seq("doc_a", "doc_b"))
     truth.agg(count(lit(1)).as("truth_pairs"))
       .crossJoin(broadcast(cands.agg(count(lit(1)).as("candidate_pairs"))))

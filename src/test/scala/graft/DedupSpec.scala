@@ -1098,4 +1098,29 @@ class DedupSpec extends SparkSpec {
     assert(kp <= tp && kp <= cp && rec < 1.0 && prec < 1.0 && rec > 0 && prec > 0,
       s"degenerate eval: truth=$tp cand=$cp captured=$kp")
   }
+
+  test("d51 sampled truth is code: the doc-sampled eval agrees with the full eval") {
+    val sfDir = "/root/testdata/sf0.001"
+    import graft.dedup.Dedup.d51EvalWith
+    val full = d51EvalWith(spark, sfDir, 1, 1)
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    // mod = 1 IS the registered entry — the parameter cannot drift
+    // the gate setting
+    val reg = SparkEntry.queries("d51_neardup_eval")(spark, sfDir)
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    assert(full == reg, "full-truth parameterization != registered d51")
+    // the at-scale form: keep 1 of 2 docs — the truth enumeration is
+    // ~1/4 the pairs, and the estimate must still see the same
+    // pipeline health (a uniform pair subsample is unbiased; the
+    // tolerance is the sampling noise at this corpus size)
+    val half = d51EvalWith(spark, sfDir, 1, 2)
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    assert(half._1 > 0 && half._1 < full._1,
+      s"sampled truth universe must be non-empty and smaller: ${half._1} vs ${full._1}")
+    assert(half._2 < full._2, "sampled candidate universe must shrink")
+    assert(math.abs(half._4 - full._4) <= 0.2,
+      s"sampled recall ${half._4} drifted from full ${full._4}")
+    assert(math.abs(half._5 - full._5) <= 0.2,
+      s"sampled precision ${half._5} drifted from full ${full._5}")
+  }
 }
