@@ -2021,28 +2021,58 @@ object Relational {
       "THEN round(256.0 * ln(256.0 / zero_registers), 4) " +
       s"ELSE round($q49RawEst, 4) END"
 
+  /** [[q49Estimator]] in INTEGER 1e-4 units via the explicit
+    * float-path rounding floor(x·10⁴ + 0.5), with EVERY literal cast
+    * to DOUBLE — two live cross-engine traps found by q52b's
+    * event_id column (raw estimate 9279.96495…): (1) round(x, 4)
+    * mixes Spark's BigDecimal half-up with DuckDB's float path; (2)
+    * Spark parses bare decimal literals in SQL strings as DECIMAL,
+    * so the "same" estimator arithmetic ran in decimal on one side
+    * and IEEE on the other. With all-DOUBLE literals both engines
+    * execute the identical IEEE op sequence, and floor/mul/add are
+    * bit-exact. The linear-counting branch's 256 possible ln inputs
+    * re-checked exhaustively JVM-vs-libm under this rounding — zero
+    * mismatches. */
+  private[graft] val q49EstimatorE4: String = {
+    val d = (s: String) => s"CAST($s AS DOUBLE)"
+    val raw = s"${d("0.7213")} / (${d("1.0")} + ${d("1.079")} / ${d("256.0")})" +
+      s" * ${d("65536.0")} * ${d("9007199254740992.0")} / CAST(z_scaled AS DOUBLE)"
+    s"CAST(CASE WHEN $raw <= ${d("640.0")} AND zero_registers > 0 " +
+      s"THEN floor(${d("256.0")} * ln(${d("256.0")} / zero_registers) * " +
+      s"${d("10000.0")} + ${d("0.5")}) " +
+      s"ELSE floor(($raw) * ${d("10000.0")} + ${d("0.5")}) END AS BIGINT)"
+  }
+
   /** Present register state as the daily-uniques dashboard: fill
     * the 256-register spine per day (empty register ⇒ M = 0 ⇒ it
     * contributes 2⁵³ to z_scaled), aggregate the exact z_scaled and
     * zero-register count, apply [[q49Estimator]], and carry the
     * exact distinct count + relative error — the sketch's honesty
     * columns. Shared verbatim by q49 and s53's presentation. */
-  private[graft] def q49Present(registers: DataFrame, exact: DataFrame): DataFrame = {
-    val spine = exact.select(col("day"),
-      explode(sequence(lit(0L), lit(255L))).as("j"))
-    val agg = spine.join(registers, Seq("day", "j"), "left")
-      .select(col("day"), coalesce(col("m"), lit(0)).as("m"))
-      .groupBy("day")
-      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - m)")).as("z_scaled"),
-        sum(when(col("m") === 0, 1L).otherwise(0L)).as("zero_registers"))
-    agg.join(exact, Seq("day"))
-      .withColumn("hll_users", expr(q49Estimator))
+  private[graft] def q49Present(registers: DataFrame, exact: DataFrame): DataFrame =
+    hllEstimate(registers, exact.select("day"), "day")
+      .join(exact, Seq("day"))
+      .withColumn("hll_users", col("hll_est"))
       .withColumn("rel_err",
         round(abs(col("hll_users") - col("exact_users")) / col("exact_users"), 4))
       .select("day", "exact_users", "zero_registers", "z_scaled",
         "hll_users", "rel_err")
       .orderBy("day")
-  }
+
+  /** The ONE HLL readout body, keyed generically — q49/s53 run it per
+    * day, q52b per profiled column: fill the 256-register spine per
+    * key (empty register ⇒ M = 0 ⇒ 2⁵³ into z_scaled), aggregate the
+    * exact integer z_scaled and zero-register count, apply the ONE
+    * shared [[q49Estimator]] string. */
+  private[graft] def hllEstimate(registers: DataFrame, keys: DataFrame,
+      key: String, estimator: String = q49Estimator): DataFrame =
+    keys.select(col(key), explode(sequence(lit(0L), lit(255L))).as("j"))
+      .join(registers, Seq(key, "j"), "left")
+      .select(col(key), coalesce(col("m"), lit(0)).as("m"))
+      .groupBy(key)
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - m)")).as("z_scaled"),
+        sum(when(col("m") === 0, 1L).otherwise(0L)).as("zero_registers"))
+      .withColumn("hll_est", expr(estimator))
 
   /** q49's exact daily distinct pairs — the gate instrument s53
     * also folds (idempotent union-distinct, the s52 stance). */
@@ -3734,6 +3764,106 @@ object Relational {
       | CAST(max(length(value_str)) AS INT) AS max_len
       |FROM st GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q52b's per-(column, value) register observations — the q49Rho
+    * split applied to the profile stack. Each populated stacked
+    * value canonicalizes to a tagged hash key: the numeric slot
+    * prints %.6f (deterministic cross-engine for binary doubles — a
+    * decimal tie at the 7th place needs an odd/10⁷ value, never
+    * binary-representable; on this corpus the map is injective —
+    * ids/micros are integers, the measure is 2-decimal money — and
+    * any residual quantization is measured by the exact leg), the
+    * string slot passes through raw; disjoint 'n:'/'s:' tags mirror
+    * q52's ndv = distinct_num + distinct_str universe split. */
+  private[graft] def q52bRho(st: DataFrame): DataFrame =
+    st.select(col("col_name"),
+        when(col("value_num").isNotNull,
+          concat(lit("n:"), format_string("%.6f", col("value_num"))))
+          .when(col("value_str").isNotNull, concat(lit("s:"), col("value_str")))
+          .as("vkey"))
+      .filter(col("vkey").isNotNull)
+      .select(col("col_name"),
+        expr("cast(conv(substring(md5(vkey),1,15),16,10) as bigint)").as("h"))
+      .select(col("col_name"), expr("h % 256").as("j"), expr("h div 256").as("w"))
+      .select(col("col_name"), col("j"),
+        expr("CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END")
+          .cast("int").as("rho"))
+
+  /** q52b: per-column HLL NDV — q52's documented "at production
+    * scale the exact NDV leg swaps for q49's registers" as CODE (the
+    * prose-to-code rule): the profile stack unchanged ([[q52Stacked]]
+    * verbatim), the NDV column carried by 256 max-of-rho registers
+    * per column through the ONE shared [[hllEstimate]] readout
+    * (q49's spine/z_scaled body keyed by col_name, with the
+    * [[q49EstimatorE4]] integer form — this column's raw-branch
+    * estimates land on live round-tie boundaries round(x,4) cannot
+    * cross engines), with the exact NDV and the integer bp error
+    * in-band (the a41/d51/q68 honesty stance). The exact leg is the gate
+    * instrument; the registers are the product: 256 small ints per
+    * column regardless of corpus size, max-mergeable, so s55's
+    * production form folds them exactly like s53 folds q49's.
+    *
+    * Scale (100 TB): the register build is ONE stacked scan with a
+    * (col_name, j)-keyed exchange whose map-side partial is
+    * ≤ |columns|×256 rows per task — the exchange carries sketch
+    * state, never values; the exact-NDV leg is the (col, value)
+    * expand exchange q52 already declares as the gate-only
+    * instrument. */
+  def q52bHllNdv(s: SparkSession, dir: String): DataFrame = {
+    val st = q52Stacked(Tables.events(s, dir))
+    val ndv = st.groupBy("col_name").agg(
+      (countDistinct(col("value_num")) + countDistinct(col("value_str")))
+        .as("ndv"))
+    hllEstimate(q52bRho(st).groupBy("col_name", "j").agg(max("rho").as("m")),
+        ndv.select("col_name"), "col_name", q49EstimatorE4)
+      .join(ndv, Seq("col_name"))
+      .select(col("col_name"), col("ndv"), col("zero_registers"),
+        col("z_scaled"), col("hll_est").as("hll_ndv_e4"),
+        expr("abs(hll_est - ndv * 10000) div ndv").as("err_bp"))
+      .orderBy("col_name")
+  }
+
+  /** DuckDB oracle for q52b: the shared [[q52StackCte]] stack, the
+    * identical tagged canonicalization and hash split, and the SAME
+    * estimator string — the whole per-column sketch replays
+    * byte-exactly (the q49 stance). */
+  val q52bSql: String =
+    s"""WITH $q52StackCte,
+       |vk AS (
+       | SELECT col_name,
+       |  CASE WHEN value_num IS NOT NULL THEN 'n:' || printf('%.6f', value_num)
+       |       WHEN value_str IS NOT NULL THEN 's:' || value_str END AS vkey
+       | FROM st),
+       |rho AS (
+       | SELECT col_name, h % 256 AS j,
+       |  CASE WHEN h // 256 = 0 THEN 53
+       |       ELSE 53 - length(bin(h // 256)) END AS rho
+       | FROM (SELECT col_name,
+       |    CAST(('0x' || substr(md5(vkey),1,15)) AS BIGINT) AS h
+       |   FROM vk WHERE vkey IS NOT NULL)),
+       |reg AS (SELECT col_name, j, max(rho) AS m FROM rho GROUP BY 1, 2),
+       |nd AS (SELECT col_name,
+       |  CAST(count(DISTINCT value_num) + count(DISTINCT value_str) AS BIGINT)
+       |   AS ndv
+       | FROM st GROUP BY 1),
+       |filled AS (
+       | SELECT s.col_name, coalesce(reg.m, 0) AS m
+       | FROM (SELECT n.col_name, r.range AS j
+       |       FROM nd n CROSS JOIN range(256) r) s
+       | LEFT JOIN reg ON s.col_name = reg.col_name AND s.j = reg.j),
+       |agg AS (
+       | SELECT col_name,
+       |  CAST(sum(CAST(1 AS BIGINT) << (53 - m)) AS BIGINT) AS z_scaled,
+       |  CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS zero_registers
+       | FROM filled GROUP BY 1),
+       |est AS (
+       | SELECT a.col_name, n.ndv, a.zero_registers, a.z_scaled,
+       |  $q49EstimatorE4 AS hll_ndv_e4
+       | FROM agg a JOIN nd n USING (col_name))
+       |SELECT col_name, ndv, zero_registers, z_scaled, hll_ndv_e4,
+       | abs(hll_ndv_e4 - ndv * 10000) // ndv AS err_bp
+       |FROM est ORDER BY col_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_filter" -> (q01AggFilter _),
     "q02_project_enrich" -> (q02ProjectEnrich _),
@@ -3799,7 +3929,8 @@ object Relational {
     "q65_survival" -> (q65Survival _),
     "q66_cohort_ltv" -> (q66CohortLtv _),
     "q67_abc_pareto" -> (q67AbcPareto _),
-    "q68_quantile_sketch" -> (q68QuantileSketch _))
+    "q68_quantile_sketch" -> (q68QuantileSketch _),
+    "q52b_hll_ndv" -> (q52bHllNdv _))
 
   // ---- q40: data-quality expectations audit (DLT expectations) ----
 
@@ -3960,5 +4091,6 @@ object Relational {
     "q65_survival" -> q65Sql,
     "q66_cohort_ltv" -> q66Sql,
     "q67_abc_pareto" -> q67Sql,
-    "q68_quantile_sketch" -> q68Sql)
+    "q68_quantile_sketch" -> q68Sql,
+    "q52b_hll_ndv" -> q52bSql)
 }

@@ -520,6 +520,56 @@ class InvariantSpec extends SparkSpec {
       "no string column")
   }
 
+  test("q52b: the HLL NDV leg shares q52's universe and JVM register mirror, error in-band") {
+    val got = SparkEntry.queries("q52b_hll_ndv")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.size == 6, "one row per profiled column")
+    // the exact leg IS q52's ndv column — the instrument is shared,
+    // not a twin
+    val q52Ndv = SparkEntry.queries("q52_profile")(spark, sfDir)
+      .select("col_name", "ndv").as[(String, Long)].collect().toMap
+    got.foreach { case (cn, ndv, _, _, _, _) =>
+      assert(ndv == q52Ndv(cn), s"$cn: q52b exact leg $ndv != q52 ndv") }
+    // JVM register mirror: rebuild every (col, j, max-rho) from the
+    // canonicalized values through MessageDigest — the sketch state
+    // is pinned by a third implementation (the q56 stance)
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .collect()
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000 + t.getNanos / 1000
+    val keys = ev.toSeq.flatMap { r =>
+      def f6(d: Double) = "n:" + String.format("%.6f", Double.box(d))
+      Seq(
+        if (r.isNullAt(0)) None else Some("event_id" -> f6(r.getLong(0).toDouble)),
+        if (r.isNullAt(1)) None else Some("ts" -> f6(micros(r.getTimestamp(1)).toDouble)),
+        if (r.isNullAt(2)) None else Some("user_id" -> f6(r.getLong(2).toDouble)),
+        if (r.isNullAt(4)) None else Some("value" -> f6(r.getDouble(4))),
+        Option(r.getString(3)).map(v => "event_type" -> ("s:" + v)),
+        Option(r.getString(5)).map(v => "props" -> ("s:" + v))).flatten
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val mirror = keys.map { case (cn, k) =>
+      val h = h60(k)
+      ((cn, h % 256), if (h / 256 == 0) 53 else 53 - java.lang.Long.toBinaryString(h / 256).length)
+    }.groupBy(_._1).map { case (k, xs) => (k, xs.map(_._2).max) }
+    val regs = graft.operators.Relational.q52bRho(
+        graft.operators.Relational.q52Stacked(Tables.events(spark, sfDir)))
+      .groupBy("col_name", "j").agg(max("rho").as("m"))
+      .as[(String, Long, Int)].collect()
+      .map { case (cn, j, m) => ((cn, j), m) }.toMap
+    assert(regs == mirror, "register table != JVM MessageDigest mirror")
+    // in-band honesty: the HLL-256 error stays inside the spec band
+    // on the gate corpus (measured max 842 bp at sf0.01, 720 here)
+    got.foreach { case (cn, _, _, _, e4, bp) =>
+      assert(e4 > 0, s"$cn: estimate must be positive")
+      assert(bp <= 1500, s"$cn: err_bp $bp exceeds the 1500 bp contract") }
+  }
+
   test("q53 communities equal a union-find mirror; partition and min-label laws hold") {
     val got = SparkEntry.queries("q53_communities")(spark, sfDir)
       .as[(Long, Long, Long, Long)].collect().toSeq
