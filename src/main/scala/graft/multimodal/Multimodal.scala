@@ -337,16 +337,67 @@ object Multimodal {
     // video share the pixel_crc field (the video frame-CRC lands
     // there — see decodeBatch), and modality is part of the group
     // key so the two can never cross-match
-    val keyed = feats.select(
+    m34KeepMin(feats.select(
       col("doc_id"), col("modality"), col("decoded_format"),
       when(col("modality") === "audio", col("sample_crc"))
-        .otherwise(col("pixel_crc")).as("content_crc"))
+        .otherwise(col("pixel_crc")).as("content_crc")))
+  }
+
+  /** The ONE keep-min body behind content-addressed media dedup —
+    * m34 feeds it decoded CRCs (JVM work), m34b feeds it literal
+    * keys (dialect-replayable), so the dedup rule itself cannot
+    * drift between the rows-only entry and its oracle gate. */
+  private[graft] def m34KeepMin(keyed: DataFrame): DataFrame = {
     val w = Window.partitionBy("modality", "content_crc")
     keyed
       .withColumn("group_size", count(lit(1)).over(w))
       .withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
       .orderBy("doc_id")
   }
+
+  /** m34b's dual-dialect literal key table: 120 docs, modality from
+    * doc_id mod 3, content key the house 60-bit md5 of
+    * (modality, (doc_id div 3) mod 13) — 13 planted groups of 3–4
+    * docs per modality, so keep-min and group sizes are exercised on
+    * multi-member groups in BOTH engines from byte-identical
+    * input (the m35b literal-hash stance). */
+  private[graft] def m34bKeyLiterals(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"))
+      .filter(col("doc_id") < 120)
+      .withColumn("modality", expr(
+        "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"))
+      .withColumn("decoded_format", lit("literal"))
+      .withColumn("content_crc", expr(
+        "cast(conv(substring(md5(concat(cast(doc_id % 3 as string), ':', " +
+          "cast((doc_id div 3) % 13 as string))), 1, 15), 16, 10) as bigint)"))
+      .select("doc_id", "modality", "decoded_format", "content_crc")
+
+  /** m34b: m34's keep-min dedup oracle-checked — the m35b split
+    * applied one entry earlier: m34 stays rows-only because its
+    * content keys are decoded CRCs (JVM container work), but
+    * everything downstream of the key is relational, so m34b routes
+    * a dialect-replayable literal key table through the VERY SAME
+    * [[m34KeepMin]] body and DuckDB replays grouping, group sizes,
+    * and keep-min selection byte-exactly. This closes the weakest
+    * remaining rows-only m-entry's relational tail. */
+  def m34bDedupOracle(s: SparkSession, dir: String): DataFrame =
+    m34KeepMin(m34bKeyLiterals(s, dir))
+
+  /** DuckDB oracle for m34b: identical literal keys, identical
+    * keep-min window arithmetic. */
+  val m34bSql: String =
+    """WITH k AS (
+      | SELECT doc_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |   ELSE 'video' END AS modality,
+      |  'literal' AS decoded_format,
+      |  CAST(('0x' || substr(md5(CAST(doc_id % 3 AS VARCHAR) || ':' ||
+      |    CAST((doc_id // 3) % 13 AS VARCHAR)), 1, 15)) AS BIGINT) AS content_crc
+      | FROM documents WHERE doc_id < 120)
+      |SELECT doc_id, modality, decoded_format, content_crc,
+      | count(*) OVER (PARTITION BY modality, content_crc) AS group_size,
+      | doc_id = min(doc_id) OVER (PARTITION BY modality, content_crc) AS keep
+      |FROM k ORDER BY doc_id""".stripMargin
 
   /** m35 content-group modulus and the planted variant scheme. */
   private[multimodal] val m35ContentMod = 40L
@@ -1102,6 +1153,7 @@ object Multimodal {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m33_multimodal" -> (m33Multimodal _),
     "m34_media_dedup" -> (m34MediaDedup _),
+    "m34b_dedup_oracle" -> (m34bDedupOracle _),
     "m35_media_neardup" -> (m35MediaNeardup _),
     "m35b_neardup_oracle" -> (m35bNeardupOracle _),
     "m36_media_dedup_closure" -> (m36MediaDedupClosure _),
@@ -1113,6 +1165,7 @@ object Multimodal {
     "m40_scene_cut" -> (m40SceneCut _))
 
   def oracles: Map[String, String] = Map(
+    "m34b_dedup_oracle" -> m34bSql,
     "m35b_neardup_oracle" -> m35bSql,
     "m36b_closure_oracle" -> m36bSql,
     "m37b_video_oracle" -> m37bSql)

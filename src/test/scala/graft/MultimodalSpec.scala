@@ -723,4 +723,21 @@ class MultimodalSpec extends SparkSpec {
     } yield (a, b) -> (m, ha.size, r)).toMap
     assert(mirror == out, "frame-aligned banding/ratio mirror disagrees")
   }
+
+  test("m34b rides m34's keep-min body: planted literal groups, one keep per group") {
+    val out = SparkEntry.queries("m34b_dedup_oracle")(spark, sfDir)
+      .select("doc_id", "modality", "content_crc", "group_size", "keep")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(out.length == 120)
+    val groups = out.groupBy(g => (g._2, g._3))
+    // 13 planted groups per modality, sizes 3-4, multi-member — the
+    // keep-min path is exercised, not vacuous
+    assert(groups.keys.map(_._1).toSet.size == 3 && groups.size == 39)
+    groups.values.foreach { g =>
+      assert(g.forall(_._4 == g.size) && Set(3L, 4L)(g.head._4.toLong))
+      assert(g.count(_._5) == 1 && g.filter(_._5).head._1 == g.map(_._1).min,
+        "exactly the min doc_id keeps")
+    }
+  }
 }
