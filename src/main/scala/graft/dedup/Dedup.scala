@@ -2206,7 +2206,10 @@ object Dedup {
     * exactly the mass d22/d34 (exact/line dedup) handle linearly.
     * 64 does not bind on this corpus (max 8-gram bucket at sf0.1 is
     * 4) — results are identical to uncapped here, and the cap is a
-    * hard volume bound at 100 TB. The oracle applies the SAME cap. */
+    * hard volume bound at 100 TB. Both halves of that claim are
+    * SPEC-ASSERTED, not measured prose: SketchCapSpec pins
+    * capped == uncapped at sf0.001 AND the sf0.1 max bucket ≤ 8.
+    * The oracle applies the SAME cap. */
   private[graft] val d44MaxBucket = 64
 
   /** Winnowing fingerprint stream: (doc_id, pos, gram) for every

@@ -76,19 +76,26 @@ object Ranks {
     * for any boundary draw. Local cumsums window per
     * spark_partition_id (parallel across ranges); the per-partition
     * totals are a ≤`parts`-row aggregate whose prefix sum
-    * broadcasts back. The keyed stream persists so the offset pass
-    * and the cumsum pass share ONE evaluation — a lost block would
-    * resample boundaries between passes and break the pid
-    * agreement (the bucketedRank posture, same caveat). This is
-    * the production replacement for a single-partition
-    * `SUM OVER (ORDER BY value)` window: the only global sort is
-    * the range exchange Spark's own ORDER BY would do anyway. */
+    * broadcasts back. Unlike bucketedRank's persist (a pure COST
+    * choice — dbkt is a function of the data, so a recomputed block
+    * re-derives the same bucket), rc_pid is only meaningful for the
+    * materialization it was stamped on: a lost persisted block would
+    * re-run repartitionByRange, whose SAMPLED boundaries can shift
+    * with upstream row order, silently disagreeing with the
+    * already-broadcast offsets. The base therefore LOCAL-CHECKPOINTS
+    * (eager): lineage is cut, so a block can never be recomputed —
+    * losing an executor fails the job loudly instead of corrupting
+    * the cumsum (fail-stop over wrong-answer, the posture a
+    * correctness-critical stamp requires). This is the production
+    * replacement for a single-partition `SUM OVER (ORDER BY value)`
+    * window: the only global sort is the range exchange Spark's own
+    * ORDER BY would do anyway. */
   def rangeCumsum(df: DataFrame, sortCols: Seq[Column], value: Column,
       parts: Int, cumName: String): DataFrame = {
     val base = df.repartitionByRange(parts, sortCols: _*)
       .withColumn("rc_val", value.cast("long"))
       .withColumn("rc_pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val wLocal = Window.partitionBy("rc_pid").orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wOff = Window.orderBy("rc_pid")

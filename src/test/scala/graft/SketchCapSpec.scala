@@ -143,6 +143,24 @@ class SketchCapSpec extends SparkSpec {
     assert(capped == full)
   }
 
+  test("d44 default cap does not bind at sf0.1 either: the scaladoc's bucket claim is asserted, not prose") {
+    // the d44MaxBucket scaladoc claims the cap never binds on the
+    // gate corpora; the sf0.001 half is pinned by capped==uncapped
+    // above, and THIS pins the sf0.1 half (a regenerated, hotter
+    // corpus now fails the build instead of silently capping): the
+    // max distinct-doc bucket over the winnowing fingerprints stays
+    // far under 64
+    val fps = Dedup.d44Fingerprints(
+      graft.Tables.documents(spark, "/root/testdata/sf0.1"))
+    val maxBucket = fps.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("b"))
+      .agg(max("b")).head.getLong(0)
+    assert(maxBucket <= Dedup.d44MaxBucket,
+      s"sf0.1 max 8-gram bucket $maxBucket binds the ${Dedup.d44MaxBucket} cap")
+    assert(maxBucket <= 8, // measured 4 — leave headroom, stay honest
+      s"sf0.1 max 8-gram bucket grew to $maxBucket; update the d44MaxBucket scaladoc")
+  }
+
   test("q41 misra-gries: exact regime matches exact counts, order-independent") {
     import graft.functions.{MisraGries, MGBuf}
     val dir = "/root/testdata/sf0.001"
@@ -158,10 +176,10 @@ class SketchCapSpec extends SparkSpec {
     // land on the identical counter map with err = 0
     val users = Tables.events(spark, dir).select("user_id").as[Long].collect().toSeq
     val agg = new MisraGries(256)
-    def fold(xs: Seq[Long]): MGBuf = xs.foldLeft(agg.zero)(agg.reduce)
-    val m1 = agg.merge(fold(users.take(100)), fold(users.drop(100)))
+    def fold(xs: Seq[Long]) = xs.foldLeft(agg.zero)(agg.reduce)
+    val m1 = agg.finish(agg.merge(fold(users.take(100)), fold(users.drop(100))))
     val groups = users.grouped(777).map(fold).toSeq
-    val m2 = groups.reduce(agg.merge)
+    val m2 = agg.finish(groups.reduce(agg.merge))
     assert(m1.err == 0 && m2.err == 0 && m1.counters == m2.counters)
   }
 
@@ -176,7 +194,7 @@ class SketchCapSpec extends SparkSpec {
     def fold(xs: Seq[Long]) = xs.foldLeft(agg.zero)(agg.reduce)
     // a realistic merge tree (three unequal partitions)
     val parts = Seq(stream.take(1500), stream.slice(1500, 4000), stream.drop(4000))
-    val merged = parts.map(fold).reduce(agg.merge)
+    val merged = agg.finish(parts.map(fold).reduce(agg.merge))
     assert(merged.counters.size <= k, "counter budget exceeded")
     // total undercount mass obeys the n/(k+1) bound
     assert(merged.err <= n / (k + 1),
