@@ -3490,6 +3490,206 @@ object Relational {
       |      ELSE 'C' END AS abc_class
       |FROM cum ORDER BY cents DESC, part""".stripMargin
 
+  /** q69's session gap: a strictly-greater-than-30-minutes silence
+    * starts a new session (exactly 30:00 stays in-session — the
+    * documented boundary convention, integer micros in both
+    * engines). */
+  private[graft] val q69GapUs = 1800000000L
+
+  /** q69: batch sessionization — the session table every product
+    * analytics store derives before anything else (s36 keeps the
+    * STREAMING side; this is the batch twin over history, the
+    * q44/s50 pairing in reverse): events partition into sessions at
+    * >30-min silences via the classic lag-flag-cumsum idiom, then
+    * roll up per session to start/end, event count, duration, and
+    * purchase count. All arithmetic is integer micros; the session
+    * index is a per-user running sum of new-session flags, so the
+    * numbering is deterministic under the (ts, event_id) total
+    * order (the q32/q47 stance).
+    *
+    * Scale (100 TB): ONE user-keyed window exchange (the q32 lag
+    * shape — each user's partition streams through lag + running
+    * sum in one pass) and the rollup reuses the same user-keyed
+    * partitioning (groupBy on user_id, session_idx co-locates);
+    * output rows grow with sessions, not events — this is a
+    * transform, not a driver-side report. */
+  def q69Sessions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val flagged = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > lit(q69GapUs), 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_s"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int"))
+    flagged.groupBy("user_id", "session_idx")
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("events"),
+        expr("(max(us) - min(us)) div 1000000").as("duration_sec"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("purchases"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  /** DuckDB oracle for q69: identical lag-flag-cumsum session
+    * assignment in integer micros, identical rollup. */
+  val q69Sql: String =
+    s"""WITH f AS (
+       | SELECT user_id, ts, event_id, event_type, epoch_us(ts) AS us,
+       |  lag(epoch_us(ts)) OVER
+       |   (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+       | FROM events),
+       |g AS (
+       | SELECT *, CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > $q69GapUs
+       |    THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+       |   AS session_idx
+       | FROM f)
+       |SELECT user_id, session_idx,
+       | min(ts) AS session_start, max(ts) AS session_end,
+       | count(*) AS events,
+       | CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_sec,
+       | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+       |  AS purchases
+       |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q70's as-of date — a REPORT PARAMETER the analyst picks (the
+    * aging question is "outstanding as of when?"), not a hidden
+    * corpus-coupled watermark (the s56 lesson applies to state
+    * pruning, not to an explicit report input); two weeks past the
+    * corpus max order date, which populates all six buckets at every
+    * SF (spec-checked). */
+  private[graft] val q70AsOf = "2001-08-15"
+
+  /** q70: AR aging report — the receivables staple every finance
+    * team runs at close: orders still outstanding (status ≠ 'F')
+    * bucketed by days outstanding against the as-of date
+    * (0-30/31-60/61-90/91-180/181-365/365+), with order count,
+    * integer cents (the q60 money discipline), and the bucket's
+    * share of total outstanding in basis points (integer div — the
+    * q64 sheds-only stance).
+    *
+    * Scale (100 TB): one scan with the age/bucket computed in the
+    * map stage, a 6-group map-side-combined rollup, and a 1-row
+    * grand-total broadcast — nothing else. */
+  def q70Aging(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") =!= "F")
+      .withColumn("age", datediff(lit(q70AsOf).cast("date"),
+        col("o_orderdate").cast("date")))
+      .withColumn("cents", expr("cast(round(o_totalprice * 100, 0) as bigint)"))
+      .withColumn("bucket_ord",
+        when(col("age") <= 30, 0).when(col("age") <= 60, 1)
+          .when(col("age") <= 90, 2).when(col("age") <= 180, 3)
+          .when(col("age") <= 365, 4).otherwise(5))
+      .groupBy("bucket_ord")
+      .agg(count(lit(1)).as("orders"), sum(col("cents")).as("cents"))
+    per.crossJoin(broadcast(per.agg(sum(col("cents")).as("total_cents"))))
+      .select(col("bucket_ord"),
+        expr("CASE bucket_ord WHEN 0 THEN '0-30' WHEN 1 THEN '31-60' " +
+          "WHEN 2 THEN '61-90' WHEN 3 THEN '91-180' WHEN 4 THEN '181-365' " +
+          "ELSE '365+' END").as("bucket"),
+        col("orders"), col("cents"),
+        expr("cents * 10000 div total_cents").as("share_bp"))
+      .orderBy("bucket_ord")
+  }
+
+  /** DuckDB oracle for q70: identical age/bucket cuts, identical
+    * integer cents and share arithmetic. */
+  val q70Sql: String =
+    s"""WITH per AS (
+       | SELECT CASE WHEN age <= 30 THEN 0 WHEN age <= 60 THEN 1
+       |   WHEN age <= 90 THEN 2 WHEN age <= 180 THEN 3
+       |   WHEN age <= 365 THEN 4 ELSE 5 END AS bucket_ord,
+       |  count(*) AS orders,
+       |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+       |   AS cents
+       | FROM (SELECT *,
+       |   date_diff('day', CAST(o_orderdate AS DATE), DATE '$q70AsOf') AS age
+       |  FROM orders WHERE o_orderstatus <> 'F')
+       | GROUP BY 1),
+       |t AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents FROM per)
+       |SELECT bucket_ord,
+       | CASE bucket_ord WHEN 0 THEN '0-30' WHEN 1 THEN '31-60'
+       |  WHEN 2 THEN '61-90' WHEN 3 THEN '91-180' WHEN 4 THEN '181-365'
+       |  ELSE '365+' END AS bucket,
+       | orders, cents,
+       | CAST(cents * 10000 // total_cents AS BIGINT) AS share_bp
+       |FROM per CROSS JOIN t ORDER BY bucket_ord""".stripMargin
+
+  /** q71's readout over a (day, purchases) ledger: the XmR
+    * individuals control chart (Shewhart/Wheeler — the SPC
+    * complement to q57's median/MAD detector: q57 flags outliers
+    * against a ROBUST center, XmR flags special-cause variation
+    * against the process's own short-term noise). ALL integer
+    * arithmetic in 1e-4 units: X̄ and the mean moving range MR̄ are
+    * integer-div e4 scalars, the limits are X̄ ± 2.66·MR̄ with
+    * 2.66 = 266/100 exact, LCL clamps at 0 — both engines replay
+    * every value byte-exactly with no float in sight (the q60/q68
+    * integer discipline). Shared verbatim by q71 and s61. The
+    * moving range runs over the |days|-sized ledger in ONE
+    * unpartitioned window — the documented q57 bounded-series
+    * stance. */
+  private[graft] def q71Present(daily: DataFrame): DataFrame = {
+    val wd = Window.orderBy("day")
+    val withMr = daily
+      .withColumn("mr", abs(col("purchases") -
+        lag(col("purchases"), 1).over(wd)))
+    val stats = withMr.agg(
+      expr("sum(purchases) * 10000 div count(1)").as("xbar_e4"),
+      expr("sum(mr) * 10000 div count(mr)").as("mrbar_e4"))
+    withMr.crossJoin(broadcast(stats))
+      .withColumn("ucl_e4", expr("xbar_e4 + (266 * mrbar_e4) div 100"))
+      .withColumn("lcl_e4",
+        expr("greatest(cast(0 as bigint), xbar_e4 - (266 * mrbar_e4) div 100)"))
+      .select(col("day"), col("purchases"), col("mr"),
+        col("xbar_e4"), col("mrbar_e4"), col("ucl_e4"), col("lcl_e4"),
+        (col("purchases") * lit(10000L) > col("ucl_e4") ||
+          col("purchases") * lit(10000L) < col("lcl_e4")).as("out_of_control"))
+      .orderBy("day")
+  }
+
+  /** q71: XmR control chart over the daily purchase series — q57's
+    * daily ledger (the ONE shared [[q57Daily]] body) read out as the
+    * SPC individuals chart: per day the count, its moving range, the
+    * process center X̄, the mean moving range MR̄, and the
+    * ±2.66·MR̄ natural process limits with the out-of-control flag.
+    *
+    * Scale (100 TB): the ledger build is q57's one map-side-combined
+    * day rollup; everything after runs over |days| rows (the q57
+    * bounded-series stance) with a 1-row stats broadcast. s61 keeps
+    * the same chart live by sum-merging the ledger. */
+  def q71XmrControl(s: SparkSession, dir: String): DataFrame =
+    q71Present(q57Daily(Tables.events(s, dir)))
+
+  /** DuckDB oracle for q71: identical ledger, identical integer e4
+    * X̄/MR̄/limit arithmetic, identical flags. */
+  val q71Sql: String =
+    """WITH d AS (
+      | SELECT CAST(ts AS DATE) AS day, count(*) AS purchases
+      | FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |m AS (
+      | SELECT *, abs(purchases - lag(purchases) OVER (ORDER BY day)) AS mr
+      | FROM d),
+      |st AS (
+      | SELECT CAST(sum(purchases) * 10000 // count(*) AS BIGINT) AS xbar_e4,
+      |  CAST(sum(mr) * 10000 // count(mr) AS BIGINT) AS mrbar_e4
+      | FROM m),
+      |lim AS (
+      | SELECT xbar_e4, mrbar_e4,
+      |  CAST(xbar_e4 + (266 * mrbar_e4) // 100 AS BIGINT) AS ucl_e4,
+      |  CAST(greatest(0, xbar_e4 - (266 * mrbar_e4) // 100) AS BIGINT)
+      |   AS lcl_e4
+      | FROM st)
+      |SELECT day, purchases, mr, xbar_e4, mrbar_e4, ucl_e4, lcl_e4,
+      | (purchases * 10000 > ucl_e4 OR purchases * 10000 < lcl_e4)
+      |  AS out_of_control
+      |FROM m CROSS JOIN lim ORDER BY day""".stripMargin
+
   /** q68's per-group sample budget. 512 is a real sampling regime at
     * the gate SFs (~3000 orders per priority at sf0.01, ~30000 at
     * sf0.1) and the degenerate-exact regime at sf0.001 (~300 per
@@ -3930,7 +4130,10 @@ object Relational {
     "q66_cohort_ltv" -> (q66CohortLtv _),
     "q67_abc_pareto" -> (q67AbcPareto _),
     "q68_quantile_sketch" -> (q68QuantileSketch _),
-    "q52b_hll_ndv" -> (q52bHllNdv _))
+    "q52b_hll_ndv" -> (q52bHllNdv _),
+    "q69_sessions" -> (q69Sessions _),
+    "q70_aging" -> (q70Aging _),
+    "q71_xmr_control" -> (q71XmrControl _))
 
   // ---- q40: data-quality expectations audit (DLT expectations) ----
 
@@ -4092,5 +4295,8 @@ object Relational {
     "q66_cohort_ltv" -> q66Sql,
     "q67_abc_pareto" -> q67Sql,
     "q68_quantile_sketch" -> q68Sql,
-    "q52b_hll_ndv" -> q52bSql)
+    "q52b_hll_ndv" -> q52bSql,
+    "q69_sessions" -> q69Sql,
+    "q70_aging" -> q70Sql,
+    "q71_xmr_control" -> q71Sql)
 }

@@ -1610,6 +1610,34 @@ object Streaming {
     * stance. */
   lazy val s60Sql: String = graft.operators.Relational.q68Sql
 
+  /** s61: the LIVE XmR control chart — q71 kept current over the
+    * arriving event stream through persisted ledger generations (the
+    * s45/s50 stance): the state IS q57's daily ledger, folded by the
+    * SAME [[anomalyFoldBatch]] day-keyed sum-merge s57 uses (one
+    * ledger definition serves TWO live detectors — robust z and SPC
+    * limits), presentation reruns the SAME q71Present, whose limits
+    * re-baseline as the series grows — exactly what a live control
+    * chart must do. Sum-merge needs no event-time order, only
+    * exactly-once delivery (the s57 stance). The oracle IS q71's
+    * batch SQL — slicing must be invisible. Scale: the ledger is
+    * |days| rows forever; per batch one map-side-combined rollup;
+    * history never reshuffles. */
+  def s61StreamXmr(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val R = graft.operators.Relational
+    val fin = foldGenerations(s,
+      graft.sources.Export.scratch("s61_xmr", dir),
+      Seq("g" -> R.q57Daily(ev.filter(lit(false)))),
+      eventSlices(ev)) { (st, b, _) =>
+      Seq(anomalyFoldBatch(st(0), b))
+    }
+    R.q71Present(fin(0))
+  }
+
+  /** s61's oracle IS q71's batch chart. Lazy per the s45Sql
+    * stance. */
+  lazy val s61Sql: String = graft.operators.Relational.q71Sql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s34_stream_tumbling" -> (s34StreamTumbling _),
     "s35_stream_join" -> (s35StreamJoin _),
@@ -1637,7 +1665,8 @@ object Streaming {
     "s57_stream_anomaly" -> (s57StreamAnomaly _),
     "s58_stream_psi" -> (s58StreamPsi _),
     "s59_stream_benford" -> (s59StreamBenford _),
-    "s60_stream_quantiles" -> (s60StreamQuantiles _))
+    "s60_stream_quantiles" -> (s60StreamQuantiles _),
+    "s61_stream_xmr" -> (s61StreamXmr _))
 
   def oracles: Map[String, String] = Map(
     "s34_stream_tumbling" -> s34Sql,
@@ -1666,5 +1695,6 @@ object Streaming {
     "s57_stream_anomaly" -> s57Sql,
     "s58_stream_psi" -> s58Sql,
     "s59_stream_benford" -> s59Sql,
-    "s60_stream_quantiles" -> s60Sql)
+    "s60_stream_quantiles" -> s60Sql,
+    "s61_stream_xmr" -> s61Sql)
 }

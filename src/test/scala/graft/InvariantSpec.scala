@@ -1292,4 +1292,75 @@ class InvariantSpec extends SparkSpec {
     assert(got.map(_._1).distinct.size >= 3, "expected >= 3 cohorts")
     assert(got.exists(_._5 < 1.0), "expected a sub-1.0 retention cell")
   }
+
+  test("q69 sessions equal an in-memory sessionization mirror; event mass conserved") {
+    val sess = SparkEntry.queries("q69_sessions")(spark, sfDir)
+      .as[(Long, Int, java.sql.Timestamp, java.sql.Timestamp, Long, Long, Long)]
+      .collect().toSeq
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000 + t.getNanos / 1000
+    val ev = Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_id", "event_type")
+      .as[(Long, java.sql.Timestamp, Long, String)].collect()
+    // independent mirror: walk each user's (ts, event_id)-ordered
+    // stream, cut at >30-min silences, roll up
+    val mirror = ev.groupBy(_._1).toSeq.flatMap { case (u, xs) =>
+      val sorted = xs.sortBy(x => (us(x._2), x._3))
+      val cuts = sorted.zipWithIndex.map { case (x, i) =>
+        (x, if (i == 0 || us(x._2) - us(sorted(i - 1)._2) > 1800000000L) 1 else 0)
+      }
+      val idx = cuts.scanLeft(0)(_ + _._2).tail
+      cuts.map(_._1).zip(idx).groupBy(_._2).toSeq.map { case (si, g) =>
+        val ts = g.map(x => us(x._1._2))
+        (u, si, g.map(x => us(x._1._2)).min, ts.max, g.size.toLong,
+          (ts.max - ts.min) / 1000000L,
+          g.count(_._1._4 == "purchase").toLong)
+      }
+    }.sortBy(x => (x._1, x._2))
+    val got = sess.map(x => (x._1, x._2, us(x._3), us(x._4), x._5, x._6, x._7))
+    assert(got == mirror, "q69 != in-memory sessionization mirror")
+    assert(sess.map(_._5).sum == ev.length, "session events != total events")
+    // sessionization must be non-trivial: some user has > 1 session
+    // and some session has > 1 event
+    assert(sess.exists(_._2 > 1) && sess.exists(_._5 > 1))
+  }
+
+  test("q70 aging: six populated buckets, shares shed-only, mass conserved") {
+    val got = SparkEntry.queries("q70_aging")(spark, sfDir)
+      .as[(Int, String, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == (0 to 5), "all six buckets must be populated in order")
+    assert(got.forall(_._3 > 0))
+    val open = Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") =!= "F")
+    assert(got.map(_._3).sum == open.count(), "bucket orders != open orders")
+    val cents = open.select(
+      expr("cast(round(o_totalprice * 100, 0) as bigint)")).as[Long].collect().sum
+    assert(got.map(_._4).sum == cents, "bucket cents != open cents")
+    // integer shares shed only: they sum to <= 10000 and > 9990
+    val bp = got.map(_._5).sum
+    assert(bp <= 10000 && bp > 10000 - got.size, s"share mass $bp out of band")
+  }
+
+  test("q71 XmR limits equal an integer mirror; the chart is non-degenerate") {
+    val got = SparkEntry.queries("q71_xmr_control")(spark, sfDir)
+      .as[(java.sql.Date, Long, Option[Long], Long, Long, Long, Long, Boolean)]
+      .collect().toSeq.sortBy(_._1.getTime)
+    val xs = got.map(_._2)
+    val mrs = xs.zip(xs.drop(1)).map { case (a, b) => math.abs(b - a) }
+    val xbar = xs.sum * 10000L / xs.size
+    val mrbar = mrs.sum * 10000L / mrs.size
+    val ucl = xbar + 266L * mrbar / 100L
+    val lcl = math.max(0L, xbar - 266L * mrbar / 100L)
+    got.foreach { r =>
+      assert(r._4 == xbar && r._5 == mrbar && r._6 == ucl && r._7 == lcl,
+        s"limit mirror mismatch on ${r._1}")
+      assert(r._8 == (r._2 * 10000 > ucl || r._2 * 10000 < lcl))
+    }
+    assert(got.head._3.isEmpty && got.drop(1).map(_._3.get) == mrs,
+      "moving ranges != mirror")
+    // s61's live chart is byte-equal (ordered slicing invisible)
+    val live = SparkEntry.queries("s61_stream_xmr")(spark, sfDir).collect().toSeq
+    val batch = SparkEntry.queries("q71_xmr_control")(spark, sfDir).collect().toSeq
+    assert(live == batch, "s61 != q71")
+  }
 }

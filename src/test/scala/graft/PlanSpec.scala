@@ -430,6 +430,12 @@ class PlanSpec extends SparkSpec {
       // the |parts|-row ranked stream; the rangeCumsum's own offset
       // join is a <=32-row broadcast equi-join on partition id
       "q67_abc_pareto",
+      // q70's cross join is the 1-row outstanding-total broadcast
+      // onto the 6-bucket rollup — the q64/q67 scalar stance
+      "q70_aging",
+      // q71's cross join is the 1-row X̄/MR̄ stats broadcast onto the
+      // |days|-sized ledger — the q57 bounded-series stance
+      "q71_xmr_control",
       // q51's cross joins are the 1-row node-count broadcast attached
       // to the rank vector each iteration — the q45/q46 stance; the
       // rank/edge joins themselves are src-keyed equi-joins
@@ -593,6 +599,12 @@ class PlanSpec extends SparkSpec {
       // union-distinct, pinned by the q68 oracle and QuantileSpec's
       // merge-law/idempotency/fold-equals-batch properties
       "s60_stream_quantiles",
+      // s61 folds the q57 daily ledger through parquet generations at
+      // construction; per-batch plans are one map-side-combined
+      // rollup + a day-keyed sum-merge, presentation the q71 1-row
+      // stats broadcast, pinned by the q71 oracle and the
+      // InvariantSpec fold-equals-batch assertion
+      "s61_stream_xmr",
       // t51 runs its K merge rounds at construction (each round's
       // argmax is one bounded 1-row driver action — the learned
       // parameter, the q30/a36 stance); per-round plans are a
