@@ -2062,6 +2062,115 @@ object TextOps {
        |FROM d JOIN q ON d.doc_id = q.doc_id JOIN f ON d.fp = f.fp
        |GROUP BY d.lang, d.source ORDER BY d.lang, d.source""".stripMargin
 
+  /** t59's query workload — literal (query_id, term) pairs, the
+    * retrieval requests a relevance engine serves; terms span the
+    * corpus vocabulary's frequency range so idf genuinely varies. */
+  private[graft] val t59Queries: Seq[(Int, String)] = Seq(
+    1 -> "spark", 1 -> "join",
+    2 -> "window", 2 -> "merge", 2 -> "sort",
+    3 -> "stream", 3 -> "batch",
+    4 -> "customer", 4 -> "filter", 4 -> "big")
+
+  /** t59's per-(term, doc) BM25 contribution in INTEGER e4 units —
+    * ONE dialect-neutral string over columns (tf, df, dl, n, sumdl),
+    * every literal CAST to DOUBLE and the rounding the explicit
+    * float path (the q52b lesson: bare decimal literals parse as
+    * DECIMAL in Spark, and round() mixes rounding methods — floor
+    * (x·10⁴ + 0.5) over all-DOUBLE IEEE is bit-exact cross-engine).
+    * Formula: Robertson/BM25+ idf ln((N − df + 0.5)/(df + 0.5) + 1)
+    * (always > 0) times the k1 = 1.2, b = 0.75 saturation
+    * tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)), with avgdl expanded
+    * as dl·N/Σdl so the op sequence is identical in both engines.
+    * Contributions are integerized PER TERM and summed as BIGINTs —
+    * float summation order can differ between engines and between
+    * Spark runs; integer sums cannot. */
+  private[graft] val t59ContribE4: String =
+    "CAST(floor((" +
+      "ln((CAST(n - df AS DOUBLE) + CAST(0.5 AS DOUBLE)) / " +
+      "(CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) * " +
+      "(CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) / " +
+      "(CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + " +
+      "CAST(0.75 AS DOUBLE) * (CAST(dl AS DOUBLE) * CAST(n AS DOUBLE) / " +
+      "CAST(sumdl AS DOUBLE))))" +
+      ") * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+
+  /** t59: BM25 retrieval — the lexical ranking engine (Robertson et
+    * al.) every corpus-curation stack runs next to its embedding
+    * index (a34/a35 filter ANN by metadata; t59 is the SPARSE
+    * retrieval leg, and at 100 TB the pair is a hybrid retriever):
+    * for each literal query, the top-10 documents by BM25 with
+    * k1 = 1.2, b = 0.75, scored ENTIRELY through the shared
+    * [[t59ContribE4]] integer-e4 term contribution so ranking,
+    * tie-break (score, then doc_id), and the scores themselves
+    * replay byte-exactly in DuckDB.
+    *
+    * Scale (100 TB): the token explode is scan-stage and the
+    * 10-term query vocabulary broadcasts — the posting build
+    * exchanges only (doc, term) hits for matching terms, never the
+    * corpus; df and the length stats are tiny rollups (|terms| rows,
+    * 1 row); scoring joins hits against three broadcasts; top-k is
+    * a per-query window over matched docs only. This is exactly an
+    * inverted-index probe expressed relationally. */
+  def t59Bm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+    val stats = toks.agg(sum(col("dl")).as("sumdl"), count(lit(1)).as("n"))
+    val terms = t59Queries.toDF("query_id", "term")
+    val hits = toks.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .join(broadcast(terms.select("term").distinct()), Seq("term"))
+      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+    val dfs = hits.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val scored = hits
+      .join(broadcast(dfs), Seq("term"))
+      .join(broadcast(terms), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("c_e4", expr(t59ContribE4))
+      .groupBy("query_id", "doc_id").agg(sum(col("c_e4")).as("score_e4"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_e4").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score_e4"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB oracle for t59: identical literal queries, identical
+    * posting/df/length rollups, the SAME contribution string,
+    * integer score sums, identical top-10 rank. */
+  val t59Sql: String = {
+    val values = t59Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    s"""WITH q(query_id, term) AS (VALUES $values),
+       |toks AS (
+       | SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |dls AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+       |st AS (SELECT CAST(sum(dl) AS BIGINT) AS sumdl,
+       |              CAST(count(*) AS BIGINT) AS n FROM dls),
+       |hits AS (
+       | SELECT e.term, e.doc_id, count(*) AS tf
+       | FROM (SELECT doc_id, unnest(toks) AS term FROM toks) e
+       | WHERE e.term IN (SELECT DISTINCT term FROM q)
+       | GROUP BY 1, 2),
+       |dfs AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |        FROM hits GROUP BY 1),
+       |contrib AS (
+       | SELECT q.query_id, h.doc_id, $t59ContribE4 AS c_e4
+       | FROM hits h
+       | JOIN dls ON dls.doc_id = h.doc_id
+       | JOIN dfs ON dfs.term = h.term
+       | JOIN q ON q.term = h.term
+       | CROSS JOIN st),
+       |scored AS (
+       | SELECT query_id, doc_id, CAST(sum(c_e4) AS BIGINT) AS score_e4
+       | FROM contrib GROUP BY 1, 2)
+       |SELECT query_id, rank, doc_id, score_e4 FROM (
+       | SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |   ORDER BY score_e4 DESC, doc_id) AS INT) AS rank
+       | FROM scored)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t29_langid" -> (t29LangId _),
     "t30_quality" -> (t30Quality _),
@@ -2093,7 +2202,8 @@ object TextOps {
     "t55_curriculum" -> (t55Curriculum _),
     "t56_dataset_card" -> (t56DatasetCard _),
     "t57_bpe_batched" -> (t57BpeBatched _),
-    "t58_ccnet_buckets" -> (t58CcnetBuckets _))
+    "t58_ccnet_buckets" -> (t58CcnetBuckets _),
+    "t59_bm25" -> (t59Bm25 _))
 
   def oracles: Map[String, String] = Map(
     "t29_langid" -> t29Sql,
@@ -2124,6 +2234,7 @@ object TextOps {
     // reproduce the sequential merge table byte-exactly
     "t57_bpe_batched" -> t51Sql,
     "t58_ccnet_buckets" -> t58Sql,
+    "t59_bm25" -> t59Sql,
     "t53_stratified_split" -> t53Sql,
     "t54_release_manifest" -> t54Sql,
     "t55_curriculum" -> t55Sql,

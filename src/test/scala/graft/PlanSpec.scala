@@ -436,6 +436,9 @@ class PlanSpec extends SparkSpec {
       // q71's cross join is the 1-row X̄/MR̄ stats broadcast onto the
       // |days|-sized ledger — the q57 bounded-series stance
       "q71_xmr_control",
+      // t59's cross join is the 1-row corpus length-stats broadcast
+      // onto the matched postings — the q28/q45 scalar stance
+      "t59_bm25",
       // q51's cross joins are the 1-row node-count broadcast attached
       // to the rank vector each iteration — the q45/q46 stance; the
       // rank/edge joins themselves are src-keyed equi-joins

@@ -903,4 +903,43 @@ class TextOpsSpec extends SparkSpec {
       assert(nFp <= n, s"($lang,$source) fingerprints exceed docs")
     }
   }
+
+  test("t59 BM25 equals a JVM in-memory mirror (third engine); ranking non-degenerate") {
+    val got = SparkEntry.queries("t59_bm25")(spark, sfDir)
+      .as[(Int, Int, Long, Long)].collect().toSeq
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val n = docs.length.toLong
+    val sumdl = toks.values.map(_.size.toLong).sum
+    val queries = TextOps.t59Queries
+    val qTerms = queries.map(_._2).toSet
+    val tf = docs.flatMap { case (id, _) =>
+      toks(id).filter(qTerms).groupBy(identity).map { case (t, xs) =>
+        (t, id) -> xs.size.toLong }
+    }.toMap
+    val dfm = tf.keys.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    def contrib(t: String, id: Long): Long = {
+      val (tfv, dfv, dl) = (tf((t, id)).toDouble, dfm(t).toDouble,
+        toks(id).size.toDouble)
+      // exact left-assoc op order of t59ContribE4: (idf * (tf*2.2))
+      // / denom, then * 1e4 — a different association differs in ulps
+      val idf = math.log((n - dfv + 0.5) / (dfv + 0.5) + 1.0)
+      val raw = idf * (tfv * 2.2) /
+        (tfv + 1.2 * (0.25 + 0.75 * (dl * n / sumdl)))
+      math.floor(raw * 10000.0 + 0.5).toLong
+    }
+    val mirror = queries.groupBy(_._1).toSeq.flatMap { case (qid, qs) =>
+      val scores = docs.map(_._1).flatMap { id =>
+        val s = qs.map(_._2).filter(t => tf.contains((t, id))).map(contrib(_, id)).sum
+        if (s > 0) Some(id -> s) else None
+      }.sortBy { case (id, s) => (-s, id) }.take(10)
+      scores.zipWithIndex.map { case ((id, s), i) => (qid, i + 1, id, s) }
+    }.sortBy(x => (x._1, x._2))
+    assert(got == mirror, "t59 != JVM BM25 mirror")
+    // non-degenerate: every query returns a full page, scores vary,
+    // and no two queries rank the same doc first for the same reason
+    assert(got.groupBy(_._1).forall(_._2.size == 10))
+    assert(got.map(_._4).distinct.size > 10, "scores suspiciously uniform")
+  }
 }
