@@ -2900,6 +2900,96 @@ object Dedup {
        | ROUND(CAST(captured_pairs AS DOUBLE) / candidate_pairs, 4) AS band_precision
        |FROM m""".stripMargin
 
+  // ---- d52: cross-corpus overlap (KMV resemblance estimate) ----
+
+  /** d52's KMV budget — the same 512 the q68 quantile sample ships. */
+  private[graft] val d52K = 512
+
+  /** d52's gram stream: the ONE shared [[gramKeys]] corpus at d29's
+    * gram size (one definition with the decontamination family). */
+  private[graft] def d52Grams(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(gramKeys(col("toks"), d29GramSize)).as("gram"))
+
+  /** d52: cross-corpus overlap — the dedup-PLANNING query run before
+    * merging corpora ("how much of B is already in A?"): corpus-
+    * level resemblance and containment of the two halves' distinct
+    * shingle sets (Broder 1997), with BOTH the exact legs (the gate
+    * instrument — distinct + one gram-keyed join) and the KMV
+    * bottom-k estimate (the product at 100 TB): the k smallest
+    * distinct gram keys per corpus ARE the sketch (gram keys are
+    * already the uniform house 60-bit md5, so the key doubles as the
+    * KMV draw), the union sketch is the k smallest of the two
+    * sketches' union (the q68 bottom-k merge law — exact set
+    * algebra), and J ≈ |MinK(A∪B) ∩ MinK(A) ∩ MinK(B)| / k. All
+    * integer arithmetic, error in-band in bp (the a41/d51/q68
+    * honesty stance).
+    *
+    * Scale (100 TB): each sketch is ONE scan folding to a
+    * per-partition bottom-k then a driver-merged k-row frame
+    * (Spark's TakeOrderedAndProject — no global sort, k rows cross
+    * the wire per partition); the estimate then runs entirely on
+    * ≤ 3k rows. The exact legs are the declared gate instrument
+    * (the s53/q52/q68 trade — dropped at production scale). */
+  def d52CorpusOverlap(s: SparkSession, dir: String): DataFrame = {
+    val g = d52Grams(s, dir)
+    val a = g.filter(col("doc_id") % 2 === 0).select("gram").distinct()
+    val b = g.filter(col("doc_id") % 2 =!= 0).select("gram").distinct()
+    val sa = a.orderBy("gram").limit(d52K)
+    val sb = b.orderBy("gram").limit(d52K)
+    val su = sa.unionByName(sb).distinct().orderBy("gram").limit(d52K)
+    val matches = su.join(sa, Seq("gram"), "left_semi")
+      .join(sb, Seq("gram"), "left_semi")
+      .agg(count(lit(1)).as("kmv_matches"))
+    a.agg(count(lit(1)).as("n_a"))
+      .crossJoin(broadcast(b.agg(count(lit(1)).as("n_b"))))
+      .crossJoin(broadcast(
+        a.join(b, Seq("gram")).agg(count(lit(1)).as("intersection"))))
+      .crossJoin(broadcast(matches))
+      .crossJoin(broadcast(su.agg(count(lit(1)).as("kmv_k"))))
+      .select(col("n_a"), col("n_b"), col("intersection"),
+        (col("n_a") + col("n_b") - col("intersection")).as("union_grams"),
+        expr("intersection * 10000 div (n_a + n_b - intersection)")
+          .as("jaccard_bp"),
+        expr("intersection * 10000 div n_b").as("containment_b_in_a_bp"),
+        col("kmv_matches"), col("kmv_k"),
+        expr("kmv_matches * 10000 div kmv_k").as("kmv_jaccard_bp"),
+        expr("abs(kmv_matches * 10000 div kmv_k - " +
+          "intersection * 10000 div (n_a + n_b - intersection))").as("err_bp"))
+  }
+
+  /** DuckDB oracle for d52: the shared [[gramCteSql]] corpus, the
+    * identical bottom-k sketches, and the same integer metric
+    * arithmetic — the whole estimator replays byte-exactly. */
+  val d52Sql: String =
+    s"""WITH ${gramCteSql(d29GramSize)},
+       |a AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 2 = 0),
+       |b AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 2 <> 0),
+       |sa AS (SELECT gram FROM a ORDER BY gram LIMIT $d52K),
+       |sb AS (SELECT gram FROM b ORDER BY gram LIMIT $d52K),
+       |su AS (SELECT gram FROM
+       |  (SELECT gram FROM sa UNION SELECT gram FROM sb)
+       |  ORDER BY gram LIMIT $d52K),
+       |m AS (SELECT
+       | (SELECT count(*) FROM a) AS n_a,
+       | (SELECT count(*) FROM b) AS n_b,
+       | (SELECT count(*) FROM a JOIN b USING (gram)) AS intersection,
+       | (SELECT count(*) FROM su WHERE gram IN (SELECT gram FROM sa)
+       |    AND gram IN (SELECT gram FROM sb)) AS kmv_matches,
+       | (SELECT count(*) FROM su) AS kmv_k)
+       |SELECT n_a, n_b, intersection,
+       | CAST(n_a + n_b - intersection AS BIGINT) AS union_grams,
+       | CAST(intersection * 10000 // (n_a + n_b - intersection) AS BIGINT)
+       |  AS jaccard_bp,
+       | CAST(intersection * 10000 // n_b AS BIGINT) AS containment_b_in_a_bp,
+       | kmv_matches, kmv_k,
+       | CAST(kmv_matches * 10000 // kmv_k AS BIGINT) AS kmv_jaccard_bp,
+       | CAST(abs(kmv_matches * 10000 // kmv_k -
+       |   intersection * 10000 // (n_a + n_b - intersection)) AS BIGINT)
+       |  AS err_bp
+       |FROM m""".stripMargin
+
   // ---- d47: forget propagation through the fingerprint index ----
 
   /** d47's takedown list: history docs ≡ 3 (mod 24). Under d35's
@@ -2998,7 +3088,8 @@ object Dedup {
     "d48_containment_dedup" -> (d48ContainmentDedup _),
     "d49_contamination_report" -> (d49ContaminationReport _),
     "d50_url_dedup" -> (d50UrlDedup _),
-    "d51_neardup_eval" -> (d51NeardupEval _))
+    "d51_neardup_eval" -> (d51NeardupEval _),
+    "d52_corpus_overlap" -> (d52CorpusOverlap _))
 
   def oracles: Map[String, String] = Map(
     "d22_dedup_exact" -> d22Sql,
@@ -3033,5 +3124,6 @@ object Dedup {
     "d48_containment_dedup" -> d48Sql,
     "d49_contamination_report" -> d49Sql,
     "d50_url_dedup" -> d50Sql,
-    "d51_neardup_eval" -> d51Sql)
+    "d51_neardup_eval" -> d51Sql,
+    "d52_corpus_overlap" -> d52Sql)
 }

@@ -1123,4 +1123,36 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(half._5 - full._5) <= 0.2,
       s"sampled precision ${half._5} drifted from full ${full._5}")
   }
+
+  test("d52 corpus overlap: metrics mirror, KMV estimator law, honest error band") {
+    val sfDir = "/root/testdata/sf0.001"
+    val row = SparkEntry.queries("d52_corpus_overlap")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().head
+    val (na, nb, inter, uni, jbp, cbp, km, kk, kjbp, ebp) = row
+    // exact legs mirror an in-memory gram-set computation
+    val grams = graft.dedup.Dedup.d52Grams(spark, sfDir)
+      .as[(Long, Long)].collect()
+    val aSet = grams.filter(_._1 % 2 == 0).map(_._2).toSet
+    val bSet = grams.filter(_._1 % 2 != 0).map(_._2).toSet
+    assert(na == aSet.size && nb == bSet.size)
+    assert(inter == (aSet & bSet).size && uni == (aSet | bSet).size)
+    assert(jbp == inter * 10000 / uni && cbp == inter * 10000 / nb)
+    // the KMV estimator mirrors Broder's MinK construction exactly:
+    // union sketch from the two sketches == from the full union (the
+    // q68 bottom-k merge law), matches counted against both sketches
+    val k = graft.dedup.Dedup.d52K
+    val sa = aSet.toSeq.sorted.take(k).toSet
+    val sb = bSet.toSeq.sorted.take(k).toSet
+    val su = (sa | sb).toSeq.sorted.take(k)
+    val suFull = (aSet | bSet).toSeq.sorted.take(k)
+    assert(su == suFull, "bottom-k merge law broken on gram sets")
+    assert(km == su.count(g => sa(g) && sb(g)) && kk == su.size)
+    assert(kjbp == km * 10000 / kk && ebp == math.abs(kjbp - jbp))
+    // the estimate is alive and inside its statistical band on the
+    // gate corpus (measured err 47 bp at sf0.001, 22 bp at sf0.1
+    // against J ≈ 300/993 bp)
+    assert(km > 0, "degenerate sketch: no shared grams sampled")
+    assert(ebp <= 300, s"KMV error $ebp bp outside the contract band")
+  }
 }

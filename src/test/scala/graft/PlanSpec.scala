@@ -443,6 +443,10 @@ class PlanSpec extends SparkSpec {
       // to the rank vector each iteration — the q45/q46 stance; the
       // rank/edge joins themselves are src-keyed equi-joins
       "q51_pagerank",
+      // d52's cross joins are five 1-row metric scalars (the d51
+      // assembly stance); the sketches build via TakeOrdered, the
+      // exact leg is one gram-keyed equi-join
+      "d52_corpus_overlap",
       // d51's all-pairs truth leg is the declared-quadratic EVAL
       // (the a39/d26 stance: sampled at corpus scale), and its
       // metric assembly crosses three 1-row counts
