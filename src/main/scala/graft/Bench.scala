@@ -72,7 +72,8 @@ object Bench {
     "s58_stream_psi", "s59_stream_benford",
     // r12: new generation folds + the q68 exact leg's per-group full
     // sorts — attributable from first appearance
-    "q68_quantile_sketch", "s60_stream_quantiles", "s61_stream_xmr")
+    "q68_quantile_sketch", "s60_stream_quantiles", "s61_stream_xmr",
+    "a49_knn_join", "d52_corpus_overlap")
 
   private def familyOf(name: String): String =
     if (solo(name)) name

@@ -2220,6 +2220,97 @@ object Ann {
        |FROM per_anchor WHERE same_label_mates = cell_mates
        |ORDER BY anchor_id, rank""".stripMargin
 
+  /** a49's graph degree and probe width. 4 probes (vs d46/s48's 2)
+    * because a GRAPH needs the tail of each neighborhood, not just
+    * the nearest twin — the recall/cost point is measured in
+    * AnnSpec and printed honestly (the a41/a47 stance). */
+  private[graft] val a49K = 10
+  private[graft] val a49Probes = 4
+
+  /** a49: k-NN graph join — the all-vectors neighbor-graph build
+    * behind SemDeDup-style clustering, graph-based dedup, and ANN
+    * index construction (a42 answers "top-k for THESE queries"; a49
+    * materializes top-k for EVERY vector — the self-join form): each
+    * vector probes its 2 nearest trained a42 cells (the d46/s48
+    * multi-probe idea widened to [[a49Probes]] cells), candidates are the cell-
+    * cohabitants under the rnk-1 index assignment, and the exact
+    * rounded cosine ranks the top [[a49K]] per source. Everything
+    * rides the SAME deterministic a42 build, so the whole graph
+    * replays byte-exactly in DuckDB (the a42 stance). AnnSpec
+    * measures the honest numbers against an in-memory brute-force
+    * leg: on the spec corpus — STRUCTURELESS at that SF (max pair
+    * cosine < 0.5, no planted twins, so absolute recall is bounded
+    * by geometry) — twin capture 0.578, tail recall@10 0.388, from
+    * a 0.0496 candidate fraction: a 7.8× lift over an equal-size
+    * random candidate set (the a41 candidate-fraction stance).
+    *
+    * Scale (100 TB): candidates are quadratic only WITHIN cells
+    * (Σ|cell|·2m per source — nlist grows with the corpus, the a42
+    * design point); the scoring join is cell-keyed, the top-k a
+    * per-source window over its own candidates; no global sort, no
+    * all-pairs anywhere. */
+  def a49KnnJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExprs
+    val (base, c1) = a42Refine(s, dir)
+    val e = VectorExprs.withNorm(
+      graft.Tables.embeddings(s, dir).select("vec_id", "embedding"))
+    val idx = a42AssignTopFrom(base, c1, 1)
+      .select(col("vec_id").as("dst"), col("cells").getItem(0).as("cell"))
+    val qry = a42AssignTopFrom(base, c1, a49Probes)
+      .select(col("vec_id").as("src"), explode(col("cells")).as("cell"))
+    val cand = qry.join(idx, Seq("cell"))
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+    val scored = cand
+      .join(e.select(col("vec_id").as("src"), col("embedding").as("se"),
+        col("norm").as("sn")), Seq("src"))
+      .join(e.select(col("vec_id").as("dst"), col("embedding").as("de"),
+        col("norm").as("dn")), Seq("dst"))
+      .withColumn("cos", round(
+        VectorExprs.floatDot(col("se"), col("de")) /
+          (col("sn") * col("dn")), 4))
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= a49K)
+      .select(col("src"), col("rank"), col("dst"), col("cos"))
+      .orderBy("src", "rank")
+  }
+
+  /** DuckDB oracle for a49: the shared a42 build CTEs, the identical
+    * rnk-1 index / rnk≤2 probe assignments, cell-join candidates,
+    * and the established rounded-cosine idiom. */
+  val a49Sql: String = {
+    val intL2 = a42IntL2Duck _
+    s"""WITH $a42BuildCte,
+       |i AS (
+       | SELECT vec_id AS dst, cell FROM (
+       |  SELECT x.vec_id, c.cid AS cell,
+       |   row_number() OVER (PARTITION BY x.vec_id
+       |     ORDER BY ${intL2("x.qv", "c.qv")}, c.cid) AS rnk
+       |  FROM ax x, c1 c) WHERE rnk = 1),
+       |qp AS (
+       | SELECT vec_id AS src, cell FROM (
+       |  SELECT x.vec_id, c.cid AS cell,
+       |   row_number() OVER (PARTITION BY x.vec_id
+       |     ORDER BY ${intL2("x.qv", "c.qv")}, c.cid) AS rnk
+       |  FROM ax x, c1 c) WHERE rnk <= $a49Probes),
+       |cand AS (
+       | SELECT DISTINCT qp.src, i.dst FROM qp JOIN i USING (cell)
+       | WHERE qp.src <> i.dst),
+       |scored AS (
+       | SELECT c.src, c.dst,
+       |  ROUND(list_sum(list_transform(list_zip(es.embedding, ed.embedding),
+       |    p -> CAST(p[1] AS DOUBLE) * p[2])) / (es.norm * ed.norm), 4) AS cos
+       | FROM cand c
+       | JOIN e es ON es.vec_id = c.src
+       | JOIN e ed ON ed.vec_id = c.dst)
+       |SELECT src, rank, dst, cos FROM (
+       | SELECT *, CAST(row_number() OVER (PARTITION BY src
+       |   ORDER BY cos DESC, dst) AS INT) AS rank
+       | FROM scored)
+       |WHERE rank <= $a49K ORDER BY src, rank""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a27_ann_brute" -> (a27AnnBrute _),
     "a28_ann_lsh" -> (a28AnnLsh _),
@@ -2243,7 +2334,8 @@ object Ann {
     "a45_cell_split" -> (a45CellSplit _),
     "a46_cell_merge" -> (a46CellMerge _),
     "a47_nprobe_curve" -> (a47NprobeCurve _),
-    "a48_hard_negatives" -> (a48HardNegatives _))
+    "a48_hard_negatives" -> (a48HardNegatives _),
+    "a49_knn_join" -> (a49KnnJoin _))
 
   def oracles: Map[String, String] = Map(
     "a27_ann_brute" -> a27Sql,
@@ -2268,5 +2360,6 @@ object Ann {
     "a45_cell_split" -> a45Sql,
     "a46_cell_merge" -> a46Sql,
     "a47_nprobe_curve" -> a47Sql,
-    "a48_hard_negatives" -> a48Sql)
+    "a48_hard_negatives" -> a48Sql,
+    "a49_knn_join" -> a49Sql)
 }

@@ -439,6 +439,9 @@ class PlanSpec extends SparkSpec {
       // t59's cross join is the 1-row corpus length-stats broadcast
       // onto the matched postings — the q28/q45 scalar stance
       "t59_bm25",
+      // a49 rides a42's build (1-row packed-centroid broadcasts); its
+      // candidate and scoring joins are cell/vec_id equi-joins
+      "a49_knn_join",
       // q51's cross joins are the 1-row node-count broadcast attached
       // to the rank vector each iteration — the q45/q46 stance; the
       // rank/edge joins themselves are src-keyed equi-joins
