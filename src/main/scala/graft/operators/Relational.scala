@@ -3690,6 +3690,120 @@ object Relational {
       |  AS out_of_control
       |FROM m CROSS JOIN lim ORDER BY day""".stripMargin
 
+  /** q72's readout over a (day, purchases) ledger: the seasonal-
+    * naive forecast backtest — forecast(d) = actual(d − 7) (the
+    * no-parameter baseline every real forecast must beat, and the
+    * first number a forecasting platform reports), evaluated on
+    * every day whose lag-7 exists. Per-day absolute error plus the
+    * in-band summary: MAE in 1e-4 units and MAPE in basis points,
+    * both integer-div over integer counts (the q71/q68 discipline —
+    * MAPE is the floor-mean of per-day floor-bp ratios, a documented
+    * integer definition both engines replay exactly). Shared
+    * verbatim by q72 and s62. */
+  private[graft] def q72Present(daily: DataFrame): DataFrame = {
+    val backtest = daily.select(col("day"), col("purchases").as("actual"))
+      .join(daily.select(date_add(col("day"), 7).as("day"),
+        col("purchases").as("forecast")), Seq("day"))
+      .withColumn("abs_err", abs(col("actual") - col("forecast")))
+      .withColumn("ape_bp", expr("abs_err * 10000 div actual"))
+    val summary = backtest.agg(
+      expr("sum(abs_err) * 10000 div count(1)").as("mae_e4"),
+      expr("sum(ape_bp) div count(1)").as("mape_bp"))
+    backtest.crossJoin(broadcast(summary))
+      .select(col("day"), col("actual"), col("forecast"), col("abs_err"),
+        col("ape_bp"), col("mae_e4"), col("mape_bp"))
+      .orderBy("day")
+  }
+
+  /** q72: seasonal-naive forecast backtest — the time-series eval
+    * that completes the daily-series stack (q57 robust anomaly, q71
+    * SPC limits, q62 gap-fill, q72 forecast skill): the week-ago
+    * naive forecast scored against actuals over q57's ONE shared
+    * daily ledger, with MAE/MAPE carried in-band on every row.
+    * Scale (100 TB): the ledger is q57's map-side rollup; the
+    * backtest is a |days|-row self-join on a shifted date key plus a
+    * 1-row summary broadcast. */
+  def q72ForecastBacktest(s: SparkSession, dir: String): DataFrame =
+    q72Present(q57Daily(Tables.events(s, dir)))
+
+  /** DuckDB oracle for q72: identical ledger, lag-7 join, and
+    * integer MAE/MAPE arithmetic. */
+  val q72Sql: String =
+    """WITH d AS (
+      | SELECT CAST(ts AS DATE) AS day, count(*) AS purchases
+      | FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |bt AS (
+      | SELECT a.day, a.purchases AS actual, f.purchases AS forecast,
+      |  abs(a.purchases - f.purchases) AS abs_err,
+      |  CAST(abs(a.purchases - f.purchases) * 10000 // a.purchases AS BIGINT)
+      |   AS ape_bp
+      | FROM d a JOIN d f ON a.day = f.day + INTERVAL 7 DAY),
+      |st AS (
+      | SELECT CAST(sum(abs_err) * 10000 // count(*) AS BIGINT) AS mae_e4,
+      |  CAST(sum(ape_bp) // count(*) AS BIGINT) AS mape_bp
+      | FROM bt)
+      |SELECT day, actual, forecast, abs_err, ape_bp, mae_e4, mape_bp
+      |FROM bt CROSS JOIN st ORDER BY day""".stripMargin
+
+  /** q73: triangle count + local clustering coefficient — the graph
+    * density analytic that completes the co-purchase stack (q46
+    * edges, q51 PageRank, q53 communities, q54 similarity, q73
+    * structure): over the ONE shared [[q46PairsFrom]] edge set, per
+    * part its degree, triangle count, and local clustering
+    * coefficient 2·tri/(deg·(deg−1)) in integer e4 (the q71/q68
+    * discipline). Triangles enumerate once each as ordered (a<b<c)
+    * wedges closed by an (a,c) edge — the standard join-based
+    * node-iterator.
+    *
+    * Scale (100 TB): edges persist once and every join is edge-
+    * keyed equi (wedge on the shared midpoint, closure on the
+    * (a,c) pair); the ordered a<b<c form counts each triangle
+    * exactly once with no orientation dedup pass; per-node rollups
+    * are map-side combines over 8-byte keys. */
+  def q73Triangles(s: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_partkey").distinct()
+    val e = q46PairsFrom(items)
+      .select(col("part_a").as("a"), col("part_b").as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wedges = e.join(
+      e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+    val tris = wedges.join(
+      e.select(col("a"), col("b").as("c")), Seq("a", "c"))
+    val triCounts = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("part"))
+      .groupBy("part").agg(count(lit(1)).as("triangles"))
+    e.select(explode(array(col("a"), col("b"))).as("part"))
+      .groupBy("part").agg(count(lit(1)).as("degree"))
+      .join(triCounts, Seq("part"), "left")
+      .select(col("part"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        expr("CASE WHEN degree >= 2 THEN " +
+          "(2 * coalesce(triangles, 0) * 10000) div (degree * (degree - 1)) " +
+          "ELSE 0 END").as("clustering_e4"))
+      .orderBy("part")
+  }
+
+  /** DuckDB oracle for q73: the shared [[q46PairsCte]] edge set, the
+    * identical ordered wedge/closure joins, identical integer
+    * clustering arithmetic. */
+  val q73Sql: String =
+    s"""WITH $q46PairsCte,
+       |e AS (SELECT part_a AS a, part_b AS b FROM pairs),
+       |w AS (SELECT e1.a, e1.b, e2.b AS c FROM e e1 JOIN e e2 ON e1.b = e2.a),
+       |t AS (SELECT w.a, w.b, w.c FROM w JOIN e e3
+       |      ON e3.a = w.a AND e3.b = w.c),
+       |tc AS (SELECT part, count(*) AS triangles FROM (
+       |  SELECT unnest([a, b, c]) AS part FROM t) GROUP BY 1),
+       |dg AS (SELECT part, count(*) AS degree FROM (
+       |  SELECT unnest([a, b]) AS part FROM e) GROUP BY 1)
+       |SELECT dg.part, CAST(degree AS BIGINT) AS degree,
+       | CAST(coalesce(triangles, 0) AS BIGINT) AS triangles,
+       | CAST(CASE WHEN degree >= 2 THEN
+       |   (2 * coalesce(triangles, 0) * 10000) // (degree * (degree - 1))
+       |   ELSE 0 END AS BIGINT) AS clustering_e4
+       |FROM dg LEFT JOIN tc USING (part) ORDER BY dg.part""".stripMargin
+
   /** q68's per-group sample budget. 512 is a real sampling regime at
     * the gate SFs (~3000 orders per priority at sf0.01, ~30000 at
     * sf0.1) and the degenerate-exact regime at sf0.001 (~300 per
@@ -4133,7 +4247,9 @@ object Relational {
     "q52b_hll_ndv" -> (q52bHllNdv _),
     "q69_sessions" -> (q69Sessions _),
     "q70_aging" -> (q70Aging _),
-    "q71_xmr_control" -> (q71XmrControl _))
+    "q71_xmr_control" -> (q71XmrControl _),
+    "q72_forecast_backtest" -> (q72ForecastBacktest _),
+    "q73_triangles" -> (q73Triangles _))
 
   // ---- q40: data-quality expectations audit (DLT expectations) ----
 
@@ -4298,5 +4414,7 @@ object Relational {
     "q52b_hll_ndv" -> q52bSql,
     "q69_sessions" -> q69Sql,
     "q70_aging" -> q70Sql,
-    "q71_xmr_control" -> q71Sql)
+    "q71_xmr_control" -> q71Sql,
+    "q72_forecast_backtest" -> q72Sql,
+    "q73_triangles" -> q73Sql)
 }

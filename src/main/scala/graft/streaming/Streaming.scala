@@ -1638,6 +1638,33 @@ object Streaming {
     * stance. */
   lazy val s61Sql: String = graft.operators.Relational.q71Sql
 
+  /** s62: the LIVE forecast-skill monitor — q72 kept current over
+    * the arriving event stream through persisted ledger generations:
+    * the state is STILL q57's daily ledger, folded by the SAME
+    * [[anomalyFoldBatch]] sum-merge (ONE ledger definition now
+    * serves THREE live readouts — s57 robust z, s61 SPC limits, s62
+    * forecast skill — the strongest single-definition story in the
+    * family), presentation reruns the SAME q72Present: the backtest
+    * re-scores in full as days close, which is exactly how a
+    * forecast dashboard re-baselines. The oracle IS q72's batch
+    * SQL — slicing must be invisible. Scale: ledger |days| rows
+    * forever, per batch one map-side rollup. */
+  def s62StreamForecast(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val R = graft.operators.Relational
+    val fin = foldGenerations(s,
+      graft.sources.Export.scratch("s62_forecast", dir),
+      Seq("g" -> R.q57Daily(ev.filter(lit(false)))),
+      eventSlices(ev)) { (st, b, _) =>
+      Seq(anomalyFoldBatch(st(0), b))
+    }
+    R.q72Present(fin(0))
+  }
+
+  /** s62's oracle IS q72's batch backtest. Lazy per the s45Sql
+    * stance. */
+  lazy val s62Sql: String = graft.operators.Relational.q72Sql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s34_stream_tumbling" -> (s34StreamTumbling _),
     "s35_stream_join" -> (s35StreamJoin _),
@@ -1666,7 +1693,8 @@ object Streaming {
     "s58_stream_psi" -> (s58StreamPsi _),
     "s59_stream_benford" -> (s59StreamBenford _),
     "s60_stream_quantiles" -> (s60StreamQuantiles _),
-    "s61_stream_xmr" -> (s61StreamXmr _))
+    "s61_stream_xmr" -> (s61StreamXmr _),
+    "s62_stream_forecast" -> (s62StreamForecast _))
 
   def oracles: Map[String, String] = Map(
     "s34_stream_tumbling" -> s34Sql,
@@ -1696,5 +1724,6 @@ object Streaming {
     "s58_stream_psi" -> s58Sql,
     "s59_stream_benford" -> s59Sql,
     "s60_stream_quantiles" -> s60Sql,
-    "s61_stream_xmr" -> s61Sql)
+    "s61_stream_xmr" -> s61Sql,
+    "s62_stream_forecast" -> s62Sql)
 }

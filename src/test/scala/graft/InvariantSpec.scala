@@ -1363,4 +1363,69 @@ class InvariantSpec extends SparkSpec {
     val batch = SparkEntry.queries("q71_xmr_control")(spark, sfDir).collect().toSeq
     assert(live == batch, "s61 != q71")
   }
+
+  test("q72 forecast backtest equals an integer mirror; s62 fold lands byte-equal") {
+    val got = SparkEntry.queries("q72_forecast_backtest")(spark, sfDir)
+      .as[(java.sql.Date, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq.sortBy(_._1.getTime)
+    val daily = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .as[(java.sql.Date, Long)].collect()
+      .map { case (d, n) => d.toLocalDate -> n }.toMap
+    val mirror = daily.keys.toSeq.sorted(Ordering.by[java.time.LocalDate, Long](_.toEpochDay))
+      .flatMap { d =>
+        daily.get(d.minusDays(7)).map { f =>
+          val a = daily(d)
+          (d, a, f, math.abs(a - f), math.abs(a - f) * 10000 / a)
+        }
+      }
+    assert(mirror.nonEmpty && mirror.size == got.size,
+      s"backtest days ${got.size} != mirror ${mirror.size}")
+    val mae = mirror.map(_._4).sum * 10000 / mirror.size
+    val mape = mirror.map(_._5).sum / mirror.size
+    got.zip(mirror).foreach { case (g, m) =>
+      assert((g._1.toLocalDate, g._2, g._3, g._4, g._5) == m, s"row $g != $m")
+      assert(g._6 == mae && g._7 == mape)
+    }
+    // the naive baseline is genuinely imperfect on this corpus
+    assert(got.exists(_._4 > 0), "forecast suspiciously perfect")
+    val live = SparkEntry.queries("s62_stream_forecast")(spark, sfDir).collect().toSeq
+    val batch = SparkEntry.queries("q72_forecast_backtest")(spark, sfDir).collect().toSeq
+    assert(live == batch, "s62 != q72")
+  }
+
+  test("q73 triangles equal an in-memory graph mirror; counting laws hold") {
+    val got = SparkEntry.queries("q73_triangles")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val items = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val byOrder = items.groupBy(_._1).values
+    // .iterator before collect: collecting PAIRS out of a Map
+    // rebuilds a Map and collapses by key (the Map.map gotcha —
+    // this would silently keep one edge per distinct left endpoint)
+    val edges = byOrder.flatMap { xs =>
+      val ps = xs.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.size) yield (ps(i), ps(j))
+    }.groupBy(identity).iterator
+      .collect { case (e, o) if o.size >= 2 => e }.toSet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val triByNode = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((a, b) <- edges; c <- adj(a) & adj(b); if b < c)
+      Seq(a, b, c).foreach(x => triByNode(x) += 1)
+    val mirror = adj.keys.toSeq.sorted.map { p =>
+      val deg = adj(p).size.toLong
+      val tri = triByNode(p)
+      val cc = if (deg >= 2) 2 * tri * 10000 / (deg * (deg - 1)) else 0L
+      (p, deg, tri, cc)
+    }
+    assert(got == mirror, "q73 != in-memory triangle mirror")
+    // laws: per-node triangle mass is 3x the triangle count, and the
+    // graph genuinely has triangles and non-trivial clustering
+    assert(got.map(_._3).sum % 3 == 0)
+    assert(got.exists(_._3 > 0) && got.exists(_._4 > 0))
+  }
 }

@@ -439,6 +439,10 @@ class PlanSpec extends SparkSpec {
       // t59's cross join is the 1-row corpus length-stats broadcast
       // onto the matched postings — the q28/q45 scalar stance
       "t59_bm25",
+      // q72's cross join is the 1-row MAE/MAPE summary broadcast
+      // onto the |days|-row backtest — the q57/q71 bounded-series
+      // stance
+      "q72_forecast_backtest",
       // a49 rides a42's build (1-row packed-centroid broadcasts); its
       // candidate and scoring joins are cell/vec_id equi-joins
       "a49_knn_join",
@@ -609,6 +613,10 @@ class PlanSpec extends SparkSpec {
       // union-distinct, pinned by the q68 oracle and QuantileSpec's
       // merge-law/idempotency/fold-equals-batch properties
       "s60_stream_quantiles",
+      // s62 folds the same q57 daily ledger through parquet
+      // generations at construction (the s57/s61 fold); presentation
+      // is q72's shifted-date self-join + 1-row summary broadcast
+      "s62_stream_forecast",
       // s61 folds the q57 daily ledger through parquet generations at
       // construction; per-batch plans are one map-side-combined
       // rollup + a day-keyed sum-merge, presentation the q71 1-row
