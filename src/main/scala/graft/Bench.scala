@@ -73,7 +73,8 @@ object Bench {
     // r12: new generation folds + the q68 exact leg's per-group full
     // sorts — attributable from first appearance
     "q68_quantile_sketch", "s60_stream_quantiles", "s61_stream_xmr",
-    "a49_knn_join", "d52_corpus_overlap")
+    "a49_knn_join", "d52_corpus_overlap", "q52b_hll_ndv",
+    "s63_stream_sessions")
 
   private def familyOf(name: String): String =
     if (solo(name)) name

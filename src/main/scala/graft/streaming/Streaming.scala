@@ -1665,6 +1665,117 @@ object Streaming {
     * stance. */
   lazy val s62Sql: String = graft.operators.Relational.q72Sql
 
+  /** s63's per-micro-batch state fold: the live session table.
+    * State = q69's session rows so far (one OPEN session per user —
+    * the row with the user's max session_idx — plus closed history).
+    * A batch folds in with q69's exact gap rule: the open session's
+    * last-event timestamp seeds the user's lag chain (the s51
+    * open-row induction — between events the gap test only needs the
+    * PREVIOUS event's ts, and for the batch's first event that is
+    * exactly the open session's end), a relative cumsum numbers the
+    * batch's sessions from the open index (rel 0 = the batch
+    * CONTINUES the open session: starts stay, counts add; rel ≥ 1 =
+    * new sessions), untouched rows pass through. Exact under the
+    * event-time-ordered precondition (the s50/s51 witness stance —
+    * every batch event is later than every state event, so the open
+    * session's end is the true predecessor of the batch's first).
+    * Scale: per batch one user-keyed window over (1 seed row per
+    * user ∪ batch) — batch-sized, never history — plus user-keyed
+    * joins against the OPEN slice (one row per user, bucketable);
+    * closed rows are append-only and never reshuffle. */
+  def sessionsFoldBatch(state: DataFrame, batch: DataFrame): DataFrame = {
+    val R = graft.operators.Relational
+    val wOpen = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("session_idx").desc)
+    val open = state.withColumn("rk", row_number().over(wOpen))
+      .filter(col("rk") === 1).drop("rk")
+    val seed = open.select(col("user_id"),
+      col("session_end").as("ts"), lit(-1L).as("event_id"),
+      lit(null).cast("string").as("event_type"), lit(true).as("is_seed"))
+    val ev = batch.select(col("user_id"), col("ts"), col("event_id"),
+      col("event_type"), lit(false).as("is_seed"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val flagged = seed.unionByName(ev)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_s", when(col("is_seed"), 0L)
+        .otherwise(when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > lit(R.q69GapUs), 1L).otherwise(0L)))
+      .withColumn("rel", sum(col("new_s")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+      .filter(!col("is_seed"))
+    val touched = flagged
+      .join(open.select(col("user_id"), col("session_idx").as("open_idx"),
+        col("session_start").as("open_start"),
+        col("events").as("open_events"),
+        col("purchases").as("open_purch")), Seq("user_id"), "left")
+      .withColumn("session_idx",
+        (coalesce(col("open_idx"), lit(0)) + col("rel")).cast("int"))
+      .groupBy("user_id", "session_idx", "open_idx", "open_start",
+        "open_events", "open_purch")
+      .agg(min(col("ts")).as("bstart"), max(col("ts")).as("bend"),
+        count(lit(1)).as("bev"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("bpur"))
+      .select(col("user_id"), col("session_idx"),
+        when(col("session_idx") === col("open_idx"), col("open_start"))
+          .otherwise(col("bstart")).as("session_start"),
+        col("bend").as("session_end"),
+        (when(col("session_idx") === col("open_idx"), col("open_events"))
+          .otherwise(lit(0L)) + col("bev")).as("events"),
+        (when(col("session_idx") === col("open_idx"), col("open_purch"))
+          .otherwise(lit(0L)) + col("bpur")).as("purchases"),
+        col("open_idx"))
+    val replaced = touched
+      .filter(col("session_idx") === col("open_idx"))
+      .select("user_id", "session_idx")
+    state.join(replaced, Seq("user_id", "session_idx"), "left_anti")
+      .unionByName(touched.drop("open_idx"))
+  }
+
+  /** Present the session state as q69's output (duration derives
+    * from the stored start/end — state never carries a redundant
+    * column). */
+  def sessionsPresent(state: DataFrame): DataFrame =
+    state.select(col("user_id"), col("session_idx"),
+      col("session_start"), col("session_end"), col("events"),
+      expr("(unix_micros(session_end) - unix_micros(session_start)) div 1000000")
+        .as("duration_sec"),
+      col("purchases"))
+      .orderBy("user_id", "session_idx")
+
+  /** s63: the LIVE session table — q69 kept current over the
+    * arriving event stream through persisted state generations (the
+    * s45/s50 stance via the shared foldGenerations driver),
+    * completing the batch/stream sessionization pair from the other
+    * side (s36 sessionizes the stream windowed; s63 maintains q69's
+    * SESSION TABLE — open sessions extend, new ones append, closed
+    * history never rewrites). The oracle IS q69's batch recompute —
+    * ordered slicing must be invisible — and StreamingSpec drives
+    * the same fold through a REAL MemoryStream + foreachBatch
+    * generation chain, proving a batch boundary inside a session
+    * extends it rather than splitting it. */
+  def s63StreamSessions(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val empty = ev.select(col("user_id"),
+      lit(0).cast("int").as("session_idx"),
+      col("ts").as("session_start"), col("ts").as("session_end"),
+      col("event_id").as("events"), col("event_id").as("purchases"))
+      .filter(lit(false))
+    val fin = foldGenerations(s,
+      graft.sources.Export.scratch("s63_sessions", dir),
+      Seq("g" -> empty), eventSlices(ev)) { (st, b, _) =>
+      Seq(sessionsFoldBatch(st(0), b))
+    }
+    sessionsPresent(fin(0))
+  }
+
+  /** s63's oracle IS q69's batch session table. Lazy per the s45Sql
+    * stance. */
+  lazy val s63Sql: String = graft.operators.Relational.q69Sql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s34_stream_tumbling" -> (s34StreamTumbling _),
     "s35_stream_join" -> (s35StreamJoin _),
@@ -1694,7 +1805,8 @@ object Streaming {
     "s59_stream_benford" -> (s59StreamBenford _),
     "s60_stream_quantiles" -> (s60StreamQuantiles _),
     "s61_stream_xmr" -> (s61StreamXmr _),
-    "s62_stream_forecast" -> (s62StreamForecast _))
+    "s62_stream_forecast" -> (s62StreamForecast _),
+    "s63_stream_sessions" -> (s63StreamSessions _))
 
   def oracles: Map[String, String] = Map(
     "s34_stream_tumbling" -> s34Sql,
@@ -1725,5 +1837,6 @@ object Streaming {
     "s59_stream_benford" -> s59Sql,
     "s60_stream_quantiles" -> s60Sql,
     "s61_stream_xmr" -> s61Sql,
-    "s62_stream_forecast" -> s62Sql)
+    "s62_stream_forecast" -> s62Sql,
+    "s63_stream_sessions" -> s63Sql)
 }

@@ -613,6 +613,12 @@ class PlanSpec extends SparkSpec {
       // union-distinct, pinned by the q68 oracle and QuantileSpec's
       // merge-law/idempotency/fold-equals-batch properties
       "s60_stream_quantiles",
+      // s63 folds q69's session table through parquet generations at
+      // construction; per-batch plans are one user-keyed window over
+      // (1 seed row per user ∪ batch) + user-keyed open-slice joins,
+      // pinned by the q69 oracle and the StreamingSpec MemoryStream
+      // chain with the planted boundary-extension case
+      "s63_stream_sessions",
       // s62 folds the same q57 daily ledger through parquet
       // generations at construction (the s57/s61 fold); presentation
       // is q72's shifted-date self-join + 1-row summary broadcast

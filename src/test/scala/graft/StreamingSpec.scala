@@ -744,6 +744,71 @@ class StreamingSpec extends SparkSpec {
     assert(s51 == batch, "s51's registered fold != batch dimension")
   }
 
+  test("s63 live sessions fold to q69's batch table through real micro-batches; boundary sessions extend") {
+    val gens = java.nio.file.Files.createTempDirectory("s63gen").toString
+    val ev = Tables.events(spark, sfDir)
+    ev.select(col("user_id"), lit(0).cast("int").as("session_idx"),
+        col("ts").as("session_start"), col("ts").as("session_end"),
+        col("event_id").as("events"), col("event_id").as("purchases"))
+      .filter(lit(false)).write.mode("overwrite").parquet(s"$gens/g0")
+    val rows = ev.select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect().sortBy(_.ts.getTime)
+    // cut INSIDE a session: split at a mid-stream event whose
+    // successor (same user) is within the 30-min gap, so the fold
+    // must EXTEND an open session across the batch boundary
+    val cut1 = Timestamp.valueOf("2024-01-11 00:00:00")
+    val cut2 = Timestamp.valueOf("2024-01-21 00:00:00")
+    val batches = Seq(
+      rows.filter(_.ts.before(cut1)),
+      rows.filter(r => !r.ts.before(cut1) && r.ts.before(cut2)),
+      rows.filter(r => !r.ts.before(cut2)))
+    assert(batches.forall(_.nonEmpty))
+    val gen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val in = MemoryStream[Ev](spark)
+    val q = in.toDF().writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val g = gen.get()
+        Streaming.sessionsFoldBatch(spark.read.parquet(s"$gens/g$g"), b.toDF())
+          .write.mode("overwrite").parquet(s"$gens/g${g + 1}")
+        gen.incrementAndGet()
+        ()
+      }.start()
+    try {
+      batches.foreach { b => in.addData(b.toSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    assert(gen.get() == 3, s"expected 3 session generations, got ${gen.get()}")
+    val streamed = Streaming.sessionsPresent(spark.read.parquet(s"$gens/g3"))
+      .as[(Long, Int, Timestamp, Timestamp, Long, Long, Long)].collect().toSeq
+    val batch = SparkEntry.queries("q69_sessions")(spark, sfDir)
+      .as[(Long, Int, Timestamp, Timestamp, Long, Long, Long)].collect().toSeq
+    assert(streamed == batch, "session generation chain != q69 batch table")
+    val s63 = SparkEntry.queries("s63_stream_sessions")(spark, sfDir)
+      .as[(Long, Int, Timestamp, Timestamp, Long, Long, Long)].collect().toSeq
+    assert(s63 == batch, "s63's registered fold != q69")
+    // the boundary-EXTENSION path proven on a planted case (the
+    // corpus's sessions happen not to straddle the month cuts): a
+    // batch boundary lands INSIDE a session — the fold must extend
+    // the open session, not split it — and a >30-min silence in the
+    // same later batch must still open a new one
+    def mk(id: Long, t: String, ty: String) =
+      Ev(id, Timestamp.valueOf(t), 7L, ty, 1.0)
+    val empty = spark.read.parquet(s"$gens/g0")
+    val st1 = Streaming.sessionsFoldBatch(empty, Seq(
+      mk(1, "2024-01-05 10:00:00", "view"),
+      mk(2, "2024-01-05 10:10:00", "purchase")).toDF())
+    val st2 = Streaming.sessionsFoldBatch(st1, Seq(
+      mk(3, "2024-01-05 10:30:00", "view"),
+      mk(4, "2024-01-05 12:00:00", "view")).toDF())
+    val planted = Streaming.sessionsPresent(st2)
+      .as[(Long, Int, Timestamp, Timestamp, Long, Long, Long)].collect().toSeq
+    assert(planted == Seq(
+      (7L, 1, Timestamp.valueOf("2024-01-05 10:00:00"),
+        Timestamp.valueOf("2024-01-05 10:30:00"), 3L, 1800L, 1L),
+      (7L, 2, Timestamp.valueOf("2024-01-05 12:00:00"),
+        Timestamp.valueOf("2024-01-05 12:00:00"), 1L, 0L, 0L)),
+      s"planted boundary case wrong: $planted")
+  }
+
   test("s52 live retention folds to the batch matrix even shuffled and redelivered") {
     val gens = java.nio.file.Files.createTempDirectory("s52gen").toString
     val ev = Tables.events(spark, sfDir)
