@@ -246,13 +246,61 @@ object Export {
     * land on the same rows as the source projection. */
   val q42Sql: String = q31Sql
 
+  /** q74: partition-pruned export probe — the a43 plan-time pruning
+    * stance applied to the relational sink: orders export through
+    * the SAME [[exportConvert]] writer partitioned BY YEAR, and the
+    * consumer reads ONE year back with a partition filter — at
+    * corpus scale that is the difference between scanning one
+    * directory and scanning the archive. The rolled-up monthly
+    * report (q60 integer cents) is the oracle-checked face;
+    * PlanSpec's dedicated test pins `PartitionFilters` on the
+    * read-back plan (files outside 1997 are never opened — the scan
+    * proves the layout, not just the answer). */
+  def q74PrunedExport(s: SparkSession, dir: String): DataFrame = {
+    val out = q74Write(s, dir)
+    q74YearRollup(s.read.parquet(out))
+  }
+
+  /** Write the year-partitioned layout once; shared by the query
+    * and PlanSpec's pruning pin so they inspect the SAME files. */
+  private[graft] def q74Write(s: SparkSession, dir: String): String = {
+    val src = Tables.orders(s, dir)
+      .withColumn("o_year", year(col("o_orderdate")))
+    val out = scratch("q74_year", dir)
+    exportConvert(src, out, "parquet", "o_year")
+    out
+  }
+
+  /** The consumer: one year's monthly rollup over the partitioned
+    * read-back (the filter on the partition column is what PlanSpec
+    * pins as a PartitionFilter). */
+  private[graft] def q74YearRollup(back: DataFrame): DataFrame =
+    back.filter(col("o_year") === 1997)
+      .groupBy(month(col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("orders"),
+        sum(expr("cast(round(o_totalprice * 100, 0) as bigint)")).as("cents"))
+      .orderBy("month")
+
+  /** DuckDB oracle for q74: the same year's monthly rollup straight
+    * off the source table — a faithful partitioned round-trip must
+    * be invisible to the report. */
+  val q74Sql: String =
+    """SELECT CAST(month(o_orderdate) AS INT) AS month,
+      | count(*) AS orders,
+      | CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+      |  AS cents
+      |FROM orders WHERE year(o_orderdate) = 1997
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_incremental_export" -> (q30IncrementalExport _),
     "q31_export_roundtrip" -> (q31ExportRoundtrip _),
-    "q42_jsonl_roundtrip" -> (q42JsonlRoundtrip _))
+    "q42_jsonl_roundtrip" -> (q42JsonlRoundtrip _),
+    "q74_pruned_export" -> (q74PrunedExport _))
 
   def oracles: Map[String, String] = Map(
     "q30_incremental_export" -> q30Sql,
     "q31_export_roundtrip" -> q31Sql,
-    "q42_jsonl_roundtrip" -> q42Sql)
+    "q42_jsonl_roundtrip" -> q42Sql,
+    "q74_pruned_export" -> q74Sql)
 }

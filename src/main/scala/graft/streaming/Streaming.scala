@@ -1776,6 +1776,54 @@ object Streaming {
     * stance. */
   lazy val s63Sql: String = graft.operators.Relational.q69Sql
 
+  /** s64's sample-state fold: bottom-k by clock over
+    * (state ∪ batch) — exact by the q68/d52 bottom-k merge law and
+    * IDEMPOTENT under redelivery (the s52 set stance: a re-delivered
+    * doc's deterministic clock either dedups against state or
+    * out-ranks out), so the fold is exact under ANY slicing — the
+    * strongest replay guarantee, which is why the driver below
+    * slices by doc_id RESIDUE, not time. */
+  def t60SampleFold(state: DataFrame, batch: DataFrame): DataFrame = {
+    val T = graft.text.TextOps
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("clock_e15"), col("doc_id"))
+    state.unionByName(T.t60Clocked(batch)).distinct()
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= T.t60K).drop("rk")
+  }
+
+  /** s64: the LIVE weighted sample — t60 kept current over an
+    * arriving document stream through persisted state generations
+    * (the s45/s50 stance via the shared foldGenerations driver): the
+    * state is the ≤ k earliest exponential clocks seen so far, each
+    * batch folds in by the bottom-k law, presentation ranks through
+    * the SAME t60Present. Because clocks are deterministic functions
+    * of content identity, this is reservoir sampling whose result is
+    * INDEPENDENT of arrival order — proven by driving the fold over
+    * doc_id-residue slices (each spanning the whole corpus,
+    * interleaved) rather than time slices. The oracle IS t60's
+    * batch SQL. Scale: state is k rows forever; per batch one
+    * bounded-state rank over (k ∪ batch-clocks). */
+  def s64StreamWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val T = graft.text.TextOps
+    val empty = T.t60Clocked(docs.filter(lit(false)))
+    val fin = foldGenerations(s,
+      graft.sources.Export.scratch("s64_wsample", dir),
+      Seq("g" -> empty),
+      Seq(
+        docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 3 === 1),
+        docs.filter(col("doc_id") % 3 === 2))) { (st, b, _) =>
+      Seq(t60SampleFold(st(0), b))
+    }
+    T.t60Present(fin(0))
+  }
+
+  /** s64's oracle IS t60's batch sample. Lazy per the s45Sql
+    * stance. */
+  lazy val s64Sql: String = graft.text.TextOps.t60Sql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s34_stream_tumbling" -> (s34StreamTumbling _),
     "s35_stream_join" -> (s35StreamJoin _),
@@ -1806,7 +1854,8 @@ object Streaming {
     "s60_stream_quantiles" -> (s60StreamQuantiles _),
     "s61_stream_xmr" -> (s61StreamXmr _),
     "s62_stream_forecast" -> (s62StreamForecast _),
-    "s63_stream_sessions" -> (s63StreamSessions _))
+    "s63_stream_sessions" -> (s63StreamSessions _),
+    "s64_stream_weighted_sample" -> (s64StreamWeightedSample _))
 
   def oracles: Map[String, String] = Map(
     "s34_stream_tumbling" -> s34Sql,
@@ -1838,5 +1887,6 @@ object Streaming {
     "s60_stream_quantiles" -> s60Sql,
     "s61_stream_xmr" -> s61Sql,
     "s62_stream_forecast" -> s62Sql,
-    "s63_stream_sessions" -> s63Sql)
+    "s63_stream_sessions" -> s63Sql,
+    "s64_stream_weighted_sample" -> s64Sql)
 }

@@ -2171,6 +2171,77 @@ object TextOps {
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** t60's sample budget. */
+  private[graft] val t60K = 64
+
+  /** t60's exponential clock in INTEGER e15 units — ONE dialect-
+    * neutral string over columns (draw, w): u = (draw + 1)/2⁶⁰ is
+    * the house-md5 uniform on (0, 1], clock = −ln(u)/w its
+    * Exp(rate w) arrival time, integerized by the explicit float
+    * path floor(x·10¹⁵) with all-DOUBLE literals (the q52b/t59
+    * lessons; ≤ 41.6/1·10¹⁵ < 2⁶³ so no overflow at w ≥ 1). */
+  private[graft] val t60ClockE15: String =
+    "CAST(floor(-ln((CAST(draw AS DOUBLE) + CAST(1.0 AS DOUBLE)) / " +
+      "CAST(1152921504606846976.0 AS DOUBLE)) / CAST(w AS DOUBLE) * " +
+      "CAST(1000000000000000.0 AS DOUBLE)) AS BIGINT)"
+
+  /** t60's clocked corpus: every doc with its weight (n_chars — the
+    * token-budget proxy) and integer clock. ONE definition shared by
+    * the batch sampler and s64's live fold. */
+  private[graft] def t60Clocked(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("n_chars").as("w"))
+      .filter(col("w") > 0)
+      .withColumn("draw", expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"))
+      .withColumn("clock_e15", expr(t60ClockE15))
+      .select("doc_id", "w", "clock_e15")
+
+  /** t60: weighted sampling without replacement — the ROW-LEVEL
+    * data-mixing sampler next to t48's category-level resampler:
+    * draw k docs with probability proportional to LENGTH (the token
+    * budget) via exponential clocks — each doc's clock is an
+    * Exp(w) arrival time from its deterministic house-md5 uniform,
+    * and the k EARLIEST arrivals are exactly an
+    * Efraimidis–Spirakis weighted sample without replacement (the
+    * first arrival among a set of exponential races lands on item i
+    * w.p. wᵢ/Σw, and conditioning repeats — the classic race
+    * argument). The clock is integer e15 so ranking, tie-break, and
+    * the values all replay byte-exactly cross-engine (the q68/t59
+    * discipline), and the top-k is a per-partition bottom-k merge
+    * (TakeOrdered — the d52 scale shape, no global sort).
+    *
+    * Scale (100 TB): one scan stamping clocks in the map stage;
+    * k rows per partition cross the wire; state is k rows. The
+    * sample is MERGEABLE by the q68/d52 bottom-k law, which is what
+    * lets s64 keep it live under any slicing. */
+  def t60WeightedSample(s: SparkSession, dir: String): DataFrame =
+    t60Present(t60Clocked(Tables.documents(s, dir)))
+
+  /** Rank and emit a clocked frame's k earliest arrivals — shared
+    * by t60 and s64 (presentation over bounded state). */
+  private[graft] def t60Present(clocked: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("clock_e15"), col("doc_id"))
+    clocked.orderBy(col("clock_e15"), col("doc_id")).limit(t60K)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .select(col("rank"), col("doc_id"), col("w").as("n_chars"),
+        col("clock_e15"))
+      .orderBy("rank")
+  }
+
+  /** DuckDB oracle for t60: identical draw, the SAME clock string,
+    * identical bottom-k. */
+  val t60Sql: String =
+    s"""WITH c AS (
+       | SELECT doc_id, w, $t60ClockE15 AS clock_e15 FROM (
+       |  SELECT doc_id, n_chars AS w,
+       |   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |    AS draw
+       |  FROM documents WHERE n_chars > 0))
+       |SELECT CAST(row_number() OVER (ORDER BY clock_e15, doc_id) AS INT)
+       |  AS rank, doc_id, w AS n_chars, clock_e15
+       |FROM (SELECT * FROM c ORDER BY clock_e15, doc_id LIMIT $t60K)
+       |ORDER BY rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t29_langid" -> (t29LangId _),
     "t30_quality" -> (t30Quality _),
@@ -2203,7 +2274,8 @@ object TextOps {
     "t56_dataset_card" -> (t56DatasetCard _),
     "t57_bpe_batched" -> (t57BpeBatched _),
     "t58_ccnet_buckets" -> (t58CcnetBuckets _),
-    "t59_bm25" -> (t59Bm25 _))
+    "t59_bm25" -> (t59Bm25 _),
+    "t60_weighted_sample" -> (t60WeightedSample _))
 
   def oracles: Map[String, String] = Map(
     "t29_langid" -> t29Sql,
@@ -2235,6 +2307,7 @@ object TextOps {
     "t57_bpe_batched" -> t51Sql,
     "t58_ccnet_buckets" -> t58Sql,
     "t59_bm25" -> t59Sql,
+    "t60_weighted_sample" -> t60Sql,
     "t53_stratified_split" -> t53Sql,
     "t54_release_manifest" -> t54Sql,
     "t55_curriculum" -> t55Sql,

@@ -613,6 +613,15 @@ class PlanSpec extends SparkSpec {
       // union-distinct, pinned by the q68 oracle and QuantileSpec's
       // merge-law/idempotency/fold-equals-batch properties
       "s60_stream_quantiles",
+      // q74 writes its year-partitioned export at construction; its
+      // read-back pruning is pinned by the dedicated PartitionFilters
+      // test below (the q30/q31 eager-export stance)
+      "q74_pruned_export",
+      // s64 folds the bounded clock sample through parquet
+      // generations at construction; per-batch plans are one
+      // bounded-state rank over (k-row state ∪ batch clocks), pinned
+      // by the t60 oracle and the residue-sliced fold
+      "s64_stream_weighted_sample",
       // s63 folds q69's session table through parquet generations at
       // construction; per-batch plans are one user-keyed window over
       // (1 seed row per user ∪ batch) + user-keyed open-slice joins,
@@ -743,6 +752,39 @@ class PlanSpec extends SparkSpec {
     assert(totalPartitions > 1, "fixture must span multiple dates to prove pruning")
     assert(filesRead >= 1 && filesRead < totalFiles,
       s"scan must skip unselected partitions: read $filesRead of $totalFiles files")
+  }
+
+  test("q74's year read-back prunes partitions at plan time (the export's own layout)") {
+    // q74's contract is the layout, not just the answer: the year
+    // filter on the read-back must land in PartitionFilters and the
+    // executed scan must skip the other years' files — on the very
+    // directory the registered entry writes
+    val out = graft.sources.Export.q74Write(spark, sfDir)
+    val back = spark.read.parquet(out)
+    val q = graft.sources.Export.q74YearRollup(back)
+    val fmt = q.queryExecution.explainString(FormattedMode)
+    val partLine = fmt.linesIterator.find(_.contains("PartitionFilters"))
+    assert(partLine.exists(_.contains("o_year")),
+      s"year predicate must be a partition filter, got:\n$fmt")
+    q.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec        => scans(s.plan)
+      case s: FileSourceScanExec    => Seq(s)
+      case other                    => other.children.flatMap(scans)
+    }
+    val filesRead = scans(q.queryExecution.executedPlan).head
+      .metrics("numFiles").value
+    val totalFiles = {
+      val it = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+      try it.filter(_.toString.endsWith(".parquet")).count()
+      finally it.close()
+    }
+    assert(back.selectExpr("count(distinct o_year)").head.getLong(0) > 1)
+    assert(filesRead >= 1 && filesRead < totalFiles,
+      s"q74 scan must skip other years: read $filesRead of $totalFiles files")
   }
 
   test("native expressions appear in the optimized plans (not HOF fallbacks)") {

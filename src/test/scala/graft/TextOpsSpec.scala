@@ -942,4 +942,38 @@ class TextOpsSpec extends SparkSpec {
     assert(got.groupBy(_._1).forall(_._2.size == 10))
     assert(got.map(_._4).distinct.size > 10, "scores suspiciously uniform")
   }
+
+  test("t60 weighted sample: JVM clock mirror, Efraimidis–Spirakis equivalence, weighted skew") {
+    val got = SparkEntry.queries("t60_weighted_sample")(spark, sfDir)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "n_chars").as[(Long, Long)].collect()
+      .filter(_._2 > 0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def draw(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    // exact op order of t60ClockE15
+    def clock(id: Long, w: Long): Long = math.floor(
+      -math.log((draw(id) + 1.0) / 1.152921504606846976e18) / w * 1.0e15).toLong
+    val mirror = docs.map { case (id, w) => (id, w, clock(id, w)) }
+      .sortBy(x => (x._3, x._1)).take(64).zipWithIndex
+      .map { case ((id, w, c), i) => (i + 1, id, w, c) }.toSeq
+    assert(got == mirror, "t60 != JVM clock mirror")
+    // Efraimidis–Spirakis equivalence: ranking by the exponential
+    // clock −ln(u)/w ascending IS ranking by the ES key u^(1/w)
+    // descending (monotone transform) — the same k docs win
+    val es = docs.map { case (id, w) =>
+      (id, math.pow((draw(id) + 1.0) / 1.152921504606846976e18, 1.0 / w))
+    }.sortBy { case (id, k) => (-k, id) }.take(64).map(_._1).toSet
+    assert(got.map(_._2).toSet == es, "clock sample != ES u^(1/w) sample")
+    // weight-proportional skew: length-weighted sampling must pull
+    // the sample's mean length above the corpus mean
+    val sMean = got.map(_._3).sum.toDouble / got.size
+    val cMean = docs.map(_._2).sum.toDouble / docs.size
+    assert(sMean > cMean,
+      f"sampled mean $sMean%.1f not above corpus mean $cMean%.1f — weighting is vacuous")
+  }
 }
