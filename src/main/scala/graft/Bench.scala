@@ -75,7 +75,7 @@ object Bench {
     "q68_quantile_sketch", "s60_stream_quantiles", "s61_stream_xmr",
     "a49_knn_join", "d52_corpus_overlap", "q52b_hll_ndv",
     "s63_stream_sessions", "s64_stream_weighted_sample",
-    "q74_pruned_export")
+    "s62_stream_forecast", "q74_pruned_export")
 
   private def familyOf(name: String): String =
     if (solo(name)) name

@@ -1733,14 +1733,22 @@ object Ann {
         .select(col("vec_id"), col("cells").getItem(0).cast("int").as("cell")),
         Seq("vec_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = aq.groupBy("cell").agg(count(lit(1)).as("vectors"))
-    val ledger = c1.select(col("cid").cast("int").as("cell"))
-      .join(counts, Seq("cell"), "left")
+    (aq, a4xLedgerFrom(aq, c1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** The nlist-sized load ledger from any (…, cell) assignment — the
+    * shared counting/spine arithmetic alone. a44 rides THIS with the
+    * bare assignment (its dashboard never touches qv, so caching the
+    * corpus-width aq frame for it would be pure overhead — review
+    * finding); the rebalancers get both frames via
+    * [[a4xAssignedLedger]]. */
+  private[graft] def a4xLedgerFrom(assign: DataFrame, c1: DataFrame): DataFrame =
+    c1.select(col("cid").cast("int").as("cell"))
+      .join(assign.groupBy("cell").agg(count(lit(1)).as("vectors")),
+        Seq("cell"), "left")
       .select(col("cell"),
         coalesce(col("vectors"), lit(0L)).as("parent_vectors"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    (aq, ledger)
-  }
 
   /** The DuckDB twin of [[a4xAssignedLedger]], pasted once into the
     * a44/a45/a46 oracles: the rnk-1 assignment (`a1`), the load
@@ -1774,12 +1782,19 @@ object Ann {
     * [[a42AssignTopFrom]] with m = 1 — the SAME routing the index,
     * semantic dedup (d46), and stream admission (s48) use, so the
     * dashboard measures the shipped partition, not a twin. Scale:
-    * the shared [[a4xAssignedLedger]] body — one pass of the
-    * quantized stream against the broadcast packed centroids + one
-    * cell-keyed count; the ledger is nlist-sized. */
+    * the shared [[a4xLedgerFrom]] counting body over the bare
+    * assignment — one pass of the quantized stream against the
+    * broadcast packed centroids + one cell-keyed count; the ledger
+    * is nlist-sized and the corpus-width frame is never cached. */
   def a44CellStats(s: SparkSession, dir: String): DataFrame = {
     val (base, c1) = a42Refine(s, dir)
-    val (_, ledger) = a4xAssignedLedger(base, c1)
+    // the ledger feeds two consumers (totals + output rows): persist
+    // IT — but not the corpus-width aq frame a44 never reads
+    val ledger = a4xLedgerFrom(
+        a42AssignTopFrom(base, c1, 1)
+          .select(col("vec_id"), col("cells").getItem(0).cast("int").as("cell")),
+        c1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = ledger.agg(sum(col("parent_vectors")).as("n"),
       count(lit(1)).as("nlist"))
     ledger.crossJoin(broadcast(totals))
@@ -2231,8 +2246,8 @@ object Ann {
     * behind SemDeDup-style clustering, graph-based dedup, and ANN
     * index construction (a42 answers "top-k for THESE queries"; a49
     * materializes top-k for EVERY vector — the self-join form): each
-    * vector probes its 2 nearest trained a42 cells (the d46/s48
-    * multi-probe idea widened to [[a49Probes]] cells), candidates are the cell-
+    * vector probes its [[a49Probes]] = 4 nearest trained a42 cells
+    * (the d46/s48 multi-probe idea widened), candidates are the cell-
     * cohabitants under the rnk-1 index assignment, and the exact
     * rounded cosine ranks the top [[a49K]] per source. Everything
     * rides the SAME deterministic a42 build, so the whole graph
@@ -2277,8 +2292,8 @@ object Ann {
   }
 
   /** DuckDB oracle for a49: the shared a42 build CTEs, the identical
-    * rnk-1 index / rnk≤2 probe assignments, cell-join candidates,
-    * and the established rounded-cosine idiom. */
+    * rnk-1 index / rnk ≤ [[a49Probes]] probe assignments, cell-join
+    * candidates, and the established rounded-cosine idiom. */
   val a49Sql: String = {
     val intL2 = a42IntL2Duck _
     s"""WITH $a42BuildCte,

@@ -910,6 +910,16 @@ object Streaming {
     ev.filter(col("ts") >= lit(s50Cut1) && col("ts") < lit(s50Cut2)),
     ev.filter(col("ts") >= lit(s50Cut2)))
 
+  /** The [[eventSlices]] twin for the ORDER stream (o_orderdate runs
+    * 1995–2001 at every SF, so all three are non-empty) — one
+    * boundary definition for every order-fed fold (s59/s60; the
+    * review pass caught the copy-paste drift risk). */
+  private[graft] def orderSlices(ord: DataFrame): Seq[DataFrame] = Seq(
+    ord.filter(col("o_orderdate") < lit("1998-01-01")),
+    ord.filter(col("o_orderdate") >= lit("1998-01-01") &&
+      col("o_orderdate") < lit("2000-01-01")),
+    ord.filter(col("o_orderdate") >= lit("2000-01-01")))
+
   /** A bounded-key [[graft.functions.MisraGries]] summary of a
     * DataFrame slice, as (counters rows, 1-row err) — the sketch
     * STATE in relational form, writable as a parquet artifact. */
@@ -1561,11 +1571,7 @@ object Streaming {
     val fin = foldGenerations(s,
       graft.sources.Export.scratch("s59_benford", dir),
       Seq("g" -> R.q63Digits(ord.filter(lit(false)))),
-      Seq(
-        ord.filter(col("o_orderdate") < lit("1998-01-01")),
-        ord.filter(col("o_orderdate") >= lit("1998-01-01") &&
-          col("o_orderdate") < lit("2000-01-01")),
-        ord.filter(col("o_orderdate") >= lit("2000-01-01")))) { (st, b, _) =>
+      orderSlices(ord)) { (st, b, _) =>
       Seq(benfordFoldBatch(st(0), b))
     }
     R.q63Present(fin(0))
@@ -1596,11 +1602,7 @@ object Streaming {
     val fin = foldGenerations(s,
       graft.sources.Export.scratch("s60_quantiles", dir),
       Seq("s" -> empty, "x" -> empty),
-      Seq(
-        ord.filter(col("o_orderdate") < lit("1998-01-01")),
-        ord.filter(col("o_orderdate") >= lit("1998-01-01") &&
-          col("o_orderdate") < lit("2000-01-01")),
-        ord.filter(col("o_orderdate") >= lit("2000-01-01")))) { (st, b, _) =>
+      orderSlices(ord)) { (st, b, _) =>
       Seq(R.q68SampleFold(st(0), b), R.q68ExactFold(st(1), b))
     }
     R.q68Present(fin(1), fin(0))
@@ -1683,12 +1685,12 @@ object Streaming {
     * user ∪ batch) — batch-sized, never history — plus user-keyed
     * joins against the OPEN slice (one row per user, bucketable);
     * closed rows are append-only and never reshuffle. */
-  def sessionsFoldBatch(state: DataFrame, batch: DataFrame): DataFrame = {
+  def sessionsFoldBatch(closed: DataFrame, open: DataFrame,
+      batch: DataFrame): (DataFrame, DataFrame) = {
     val R = graft.operators.Relational
-    val wOpen = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy(col("session_idx").desc)
-    val open = state.withColumn("rk", row_number().over(wOpen))
-      .filter(col("rk") === 1).drop("rk")
+    // the OPEN slice is already one row per active user — no window
+    // over history anywhere in this fold (review finding: the
+    // earlier single-table form ranked the ENTIRE state per batch)
     val seed = open.select(col("user_id"),
       col("session_end").as("ts"), lit(-1L).as("event_id"),
       lit(null).cast("string").as("event_type"), lit(true).as("is_seed"))
@@ -1728,18 +1730,33 @@ object Streaming {
         (when(col("session_idx") === col("open_idx"), col("open_purch"))
           .otherwise(lit(0L)) + col("bpur")).as("purchases"),
         col("open_idx"))
-    val replaced = touched
-      .filter(col("session_idx") === col("open_idx"))
-      .select("user_id", "session_idx")
-    state.join(replaced, Seq("user_id", "session_idx"), "left_anti")
-      .unionByName(touched.drop("open_idx"))
+    // per touched user: the LAST batch session stays open; earlier
+    // ones close (a window over the batch's OWN sessions, never
+    // history)
+    val wLast = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("session_idx").desc)
+    val marked = touched.withColumn("is_last", row_number().over(wLast) === 1)
+    val sessCols = Seq("user_id", "session_idx", "session_start",
+      "session_end", "events", "purchases")
+    val newOpen = marked.filter(col("is_last")).select(sessCols.map(col): _*)
+    val nowClosed = marked.filter(!col("is_last")).select(sessCols.map(col): _*)
+    val touchedUsers = touched.select("user_id").distinct()
+    // a touched user whose open session was NOT continued closes it
+    // verbatim; untouched users keep their open rows
+    val superseded = open
+      .join(touchedUsers, Seq("user_id"), "left_semi")
+      .join(touched.filter(col("session_idx") === col("open_idx"))
+        .select("user_id"), Seq("user_id"), "left_anti")
+    val stillOpen = open.join(touchedUsers, Seq("user_id"), "left_anti")
+    (closed.unionByName(nowClosed).unionByName(superseded),
+      stillOpen.unionByName(newOpen))
   }
 
-  /** Present the session state as q69's output (duration derives
-    * from the stored start/end — state never carries a redundant
-    * column). */
-  def sessionsPresent(state: DataFrame): DataFrame =
-    state.select(col("user_id"), col("session_idx"),
+  /** Present the dual session state (closed ∪ open) as q69's output
+    * (duration derives from the stored start/end — state never
+    * carries a redundant column). */
+  def sessionsPresent(closed: DataFrame, open: DataFrame): DataFrame =
+    closed.unionByName(open).select(col("user_id"), col("session_idx"),
       col("session_start"), col("session_end"), col("events"),
       expr("(unix_micros(session_end) - unix_micros(session_start)) div 1000000")
         .as("duration_sec"),
@@ -1747,16 +1764,21 @@ object Streaming {
       .orderBy("user_id", "session_idx")
 
   /** s63: the LIVE session table — q69 kept current over the
-    * arriving event stream through persisted state generations (the
-    * s45/s50 stance via the shared foldGenerations driver),
-    * completing the batch/stream sessionization pair from the other
-    * side (s36 sessionizes the stream windowed; s63 maintains q69's
-    * SESSION TABLE — open sessions extend, new ones append, closed
-    * history never rewrites). The oracle IS q69's batch recompute —
-    * ordered slicing must be invisible — and StreamingSpec drives
-    * the same fold through a REAL MemoryStream + foreachBatch
-    * generation chain, proving a batch boundary inside a session
-    * extends it rather than splitting it. */
+    * arriving event stream through persisted DUAL state generations
+    * (the s45/s50 stance via the shared foldGenerations driver; the
+    * s53/s55 dual-artifact shape), completing the batch/stream
+    * sessionization pair from the other side (s36 sessionizes the
+    * stream windowed; s63 maintains q69's SESSION TABLE): the OPEN
+    * state is one row per active user — the only state the fold
+    * computes against — and the CLOSED state is append-only history
+    * that enters no window, no join, and no shuffle (the generation
+    * write re-materializes it in full — the harness's artifact form;
+    * a production sink appends the batch's newly-closed rows as
+    * partitions). The oracle IS q69's batch recompute — ordered
+    * slicing must be invisible — and StreamingSpec drives the same
+    * fold through a REAL MemoryStream + foreachBatch generation
+    * chain, proving a batch boundary inside a session extends it
+    * rather than splitting it. */
   def s63StreamSessions(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val empty = ev.select(col("user_id"),
@@ -1766,10 +1788,11 @@ object Streaming {
       .filter(lit(false))
     val fin = foldGenerations(s,
       graft.sources.Export.scratch("s63_sessions", dir),
-      Seq("g" -> empty), eventSlices(ev)) { (st, b, _) =>
-      Seq(sessionsFoldBatch(st(0), b))
+      Seq("c" -> empty, "o" -> empty), eventSlices(ev)) { (st, b, _) =>
+      val (c, o) = sessionsFoldBatch(st(0), st(1), b)
+      Seq(c, o)
     }
-    sessionsPresent(fin(0))
+    sessionsPresent(fin(0), fin(1))
   }
 
   /** s63's oracle IS q69's batch session table. Lazy per the s45Sql

@@ -747,15 +747,14 @@ class StreamingSpec extends SparkSpec {
   test("s63 live sessions fold to q69's batch table through real micro-batches; boundary sessions extend") {
     val gens = java.nio.file.Files.createTempDirectory("s63gen").toString
     val ev = Tables.events(spark, sfDir)
-    ev.select(col("user_id"), lit(0).cast("int").as("session_idx"),
+    val empty = ev.select(col("user_id"), lit(0).cast("int").as("session_idx"),
         col("ts").as("session_start"), col("ts").as("session_end"),
         col("event_id").as("events"), col("event_id").as("purchases"))
-      .filter(lit(false)).write.mode("overwrite").parquet(s"$gens/g0")
+      .filter(lit(false))
+    empty.write.mode("overwrite").parquet(s"$gens/c0")
+    empty.write.mode("overwrite").parquet(s"$gens/o0")
     val rows = ev.select("event_id", "ts", "user_id", "event_type", "value")
       .as[Ev].collect().sortBy(_.ts.getTime)
-    // cut INSIDE a session: split at a mid-stream event whose
-    // successor (same user) is within the 30-min gap, so the fold
-    // must EXTEND an open session across the batch boundary
     val cut1 = Timestamp.valueOf("2024-01-11 00:00:00")
     val cut2 = Timestamp.valueOf("2024-01-21 00:00:00")
     val batches = Seq(
@@ -768,8 +767,11 @@ class StreamingSpec extends SparkSpec {
     val q = in.toDF().writeStream.outputMode("append")
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val g = gen.get()
-        Streaming.sessionsFoldBatch(spark.read.parquet(s"$gens/g$g"), b.toDF())
-          .write.mode("overwrite").parquet(s"$gens/g${g + 1}")
+        val (c, o) = Streaming.sessionsFoldBatch(
+          spark.read.parquet(s"$gens/c$g"), spark.read.parquet(s"$gens/o$g"),
+          b.toDF())
+        c.write.mode("overwrite").parquet(s"$gens/c${g + 1}")
+        o.write.mode("overwrite").parquet(s"$gens/o${g + 1}")
         gen.incrementAndGet()
         ()
       }.start()
@@ -777,7 +779,13 @@ class StreamingSpec extends SparkSpec {
       batches.foreach { b => in.addData(b.toSeq: _*); q.processAllAvailable() }
     } finally q.stop()
     assert(gen.get() == 3, s"expected 3 session generations, got ${gen.get()}")
-    val streamed = Streaming.sessionsPresent(spark.read.parquet(s"$gens/g3"))
+    // the open slice stays one row per active user — the bounded
+    // state the fold's scale story claims
+    val o3 = spark.read.parquet(s"$gens/o3")
+    assert(o3.groupBy("user_id").count().agg(max("count")).head.getLong(0) == 1L,
+      "open state must hold exactly one session per user")
+    val streamed = Streaming.sessionsPresent(
+        spark.read.parquet(s"$gens/c3"), o3)
       .as[(Long, Int, Timestamp, Timestamp, Long, Long, Long)].collect().toSeq
     val batch = SparkEntry.queries("q69_sessions")(spark, sfDir)
       .as[(Long, Int, Timestamp, Timestamp, Long, Long, Long)].collect().toSeq
@@ -792,14 +800,14 @@ class StreamingSpec extends SparkSpec {
     // same later batch must still open a new one
     def mk(id: Long, t: String, ty: String) =
       Ev(id, Timestamp.valueOf(t), 7L, ty, 1.0)
-    val empty = spark.read.parquet(s"$gens/g0")
-    val st1 = Streaming.sessionsFoldBatch(empty, Seq(
+    val emptyS = spark.read.parquet(s"$gens/c0")
+    val (c1, o1) = Streaming.sessionsFoldBatch(emptyS, emptyS, Seq(
       mk(1, "2024-01-05 10:00:00", "view"),
       mk(2, "2024-01-05 10:10:00", "purchase")).toDF())
-    val st2 = Streaming.sessionsFoldBatch(st1, Seq(
+    val (c2, o2) = Streaming.sessionsFoldBatch(c1, o1, Seq(
       mk(3, "2024-01-05 10:30:00", "view"),
       mk(4, "2024-01-05 12:00:00", "view")).toDF())
-    val planted = Streaming.sessionsPresent(st2)
+    val planted = Streaming.sessionsPresent(c2, o2)
       .as[(Long, Int, Timestamp, Timestamp, Long, Long, Long)].collect().toSeq
     assert(planted == Seq(
       (7L, 1, Timestamp.valueOf("2024-01-05 10:00:00"),
