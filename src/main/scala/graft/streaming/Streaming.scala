@@ -1808,11 +1808,8 @@ object Streaming {
     * slices by doc_id RESIDUE, not time. */
   def t60SampleFold(state: DataFrame, batch: DataFrame): DataFrame = {
     val T = graft.text.TextOps
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("clock_e15"), col("doc_id"))
     state.unionByName(T.t60Clocked(batch)).distinct()
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= T.t60K).drop("rk")
+      .orderBy(col("clock_e15"), col("doc_id")).limit(T.t60K)
   }
 
   /** s64: the LIVE weighted sample — t60 kept current over an
@@ -1826,7 +1823,9 @@ object Streaming {
     * doc_id-residue slices (each spanning the whole corpus,
     * interleaved) rather than time slices. The oracle IS t60's
     * batch SQL. Scale: state is k rows forever; per batch one
-    * bounded-state rank over (k ∪ batch-clocks). */
+    * TakeOrdered bottom-k over (k ∪ batch-clocks) — per-partition
+    * partials, no global sort (the r12-advice fix: the fold now
+    * plans exactly like t60Present). */
   def s64StreamWeightedSample(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val T = graft.text.TextOps

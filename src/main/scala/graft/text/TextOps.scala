@@ -2084,15 +2084,40 @@ object TextOps {
     * Contributions are integerized PER TERM and summed as BIGINTs —
     * float summation order can differ between engines and between
     * Spark runs; integer sums cannot. */
-  private[graft] val t59ContribE4: String =
-    "CAST(floor((" +
+  private[graft] val t59ContribPre: String =
+    "(" +
       "ln((CAST(n - df AS DOUBLE) + CAST(0.5 AS DOUBLE)) / " +
       "(CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) * " +
       "(CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) / " +
       "(CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + " +
       "CAST(0.75 AS DOUBLE) * (CAST(dl AS DOUBLE) * CAST(n AS DOUBLE) / " +
       "CAST(sumdl AS DOUBLE))))" +
-      ") * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+      ") * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)"
+
+  private[graft] val t59ContribE4: String =
+    s"CAST(floor($t59ContribPre) AS BIGINT)"
+
+  /** t59's per-(query, term, doc) contribution INPUT frame — the
+    * posting/df/length rollups joined but the contribution not yet
+    * applied; shared by [[t59Bm25]] and IntegerizationMarginSpec's
+    * boundary-margin audit so the audited inputs are exactly the
+    * scored inputs. */
+  private[graft] def t59Joined(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+    val stats = toks.agg(sum(col("dl")).as("sumdl"), count(lit(1)).as("n"))
+    val terms = t59Queries.toDF("query_id", "term")
+    val hits = toks.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .join(broadcast(terms.select("term").distinct()), Seq("term"))
+      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+    val dfs = hits.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    hits
+      .join(broadcast(dfs), Seq("term"))
+      .join(broadcast(terms), Seq("term"))
+      .crossJoin(broadcast(stats))
+  }
 
   /** t59: BM25 retrieval — the lexical ranking engine (Robertson et
     * al.) every corpus-curation stack runs next to its embedding
@@ -2112,20 +2137,7 @@ object TextOps {
     * a per-query window over matched docs only. This is exactly an
     * inverted-index probe expressed relationally. */
   def t59Bm25(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
-    val stats = toks.agg(sum(col("dl")).as("sumdl"), count(lit(1)).as("n"))
-    val terms = t59Queries.toDF("query_id", "term")
-    val hits = toks.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .join(broadcast(terms.select("term").distinct()), Seq("term"))
-      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
-    val dfs = hits.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
-    val scored = hits
-      .join(broadcast(dfs), Seq("term"))
-      .join(broadcast(terms), Seq("term"))
-      .crossJoin(broadcast(stats))
+    val scored = t59Joined(s, dir)
       .withColumn("c_e4", expr(t59ContribE4))
       .groupBy("query_id", "doc_id").agg(sum(col("c_e4")).as("score_e4"))
     val w = Window.partitionBy("query_id")
@@ -2179,11 +2191,29 @@ object TextOps {
     * the house-md5 uniform on (0, 1], clock = −ln(u)/w its
     * Exp(rate w) arrival time, integerized by the explicit float
     * path floor(x·10¹⁵) with all-DOUBLE literals (the q52b/t59
-    * lessons; ≤ 41.6/1·10¹⁵ < 2⁶³ so no overflow at w ≥ 1). */
-  private[graft] val t60ClockE15: String =
-    "CAST(floor(-ln((CAST(draw AS DOUBLE) + CAST(1.0 AS DOUBLE)) / " +
+    * lessons; ≤ 41.6/1·10¹⁵ < 2⁶³ so no overflow at w ≥ 1).
+    *
+    * SINGLE-PLATFORM GATE ASSUMPTION (documented per the r12
+    * advice): at e15 precision the double grid near y ≈ 10¹³ is
+    * coarser than the integer boundaries themselves (ulp(10¹³) ≈
+    * 2·10⁻³), so a measurable fraction of clocks land EXACTLY on an
+    * integer — IntegerizationMarginSpec counts them — and a
+    * 1-ulp-different libm ln on another platform could flip those
+    * floors. The byte-exact gate therefore assumes JVM Math.log and
+    * the oracle engine's log agree to the last ulp on the gate
+    * corpora's ~n draws, which holds on this platform (three green
+    * rounds) but is NOT an IEEE guarantee. Ranking robustness is
+    * unaffected in practice: a ±1-unit e15 flip reorders two docs
+    * only if their clocks collide at e15, and the sample-boundary
+    * gap is spec-measured ≫ 1 unit. Contrast t59's e4 path, where
+    * the margin/wobble ratio is ≥ 5·10⁷ and IS spec-asserted. */
+  private[graft] val t60ClockPre: String =
+    "-ln((CAST(draw AS DOUBLE) + CAST(1.0 AS DOUBLE)) / " +
       "CAST(1152921504606846976.0 AS DOUBLE)) / CAST(w AS DOUBLE) * " +
-      "CAST(1000000000000000.0 AS DOUBLE)) AS BIGINT)"
+      "CAST(1000000000000000.0 AS DOUBLE)"
+
+  private[graft] val t60ClockE15: String =
+    s"CAST(floor($t60ClockPre) AS BIGINT)"
 
   /** t60's clocked corpus: every doc with its weight (n_chars — the
     * token-budget proxy) and integer clock. ONE definition shared by

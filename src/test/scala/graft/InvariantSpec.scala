@@ -539,7 +539,8 @@ class InvariantSpec extends SparkSpec {
     def micros(t: java.sql.Timestamp): Long =
       t.getTime / 1000 * 1000000 + t.getNanos / 1000
     val keys = ev.toSeq.flatMap { r =>
-      def f6(d: Double) = "n:" + String.format("%.6f", Double.box(d))
+      def f6(d: Double) = // Locale.ROOT: Spark's format_string is locale-fixed; the mirror must be too
+        "n:" + String.format(java.util.Locale.ROOT, "%.6f", Double.box(d))
       Seq(
         if (r.isNullAt(0)) None else Some("event_id" -> f6(r.getLong(0).toDouble)),
         if (r.isNullAt(1)) None else Some("ts" -> f6(micros(r.getTimestamp(1)).toDouble)),
