@@ -292,15 +292,128 @@ object Export {
       |FROM orders WHERE year(o_orderdate) = 1997
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q75's compaction target file size, in bytes. Small enough that
+    * the sf0.01/sf0.1 gate corpora genuinely BIN-PACK (several files
+    * per year partition at sf0.1, not coalesce-to-one) — at
+    * production scale the same dial is 128 MiB–1 GiB. */
+  private[graft] val q75TargetBytes: Long = 64L * 1024
+
+  /** Count the parquet data files under a layout — the numFiles
+    * instrument q75 and PlanSpec share. */
+  private[graft] def countParquetFiles(dir: String): Long = {
+    val it = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try it.filter(_.toString.endsWith(".parquet")).count()
+    finally it.close()
+  }
+
+  private[graft] def dataBytes(dir: String): Long = {
+    val it = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try {
+      import scala.jdk.CollectionConverters._
+      it.iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(p => java.nio.file.Files.size(p)).sum
+    } finally it.close()
+  }
+
+  /** The small-files pathology, manufactured deliberately: the naive
+    * task-level partitioned write every streaming sink and unsalted
+    * batch job produces — N hash tasks each opening a file in every
+    * year directory, O(N·years) files each a few KB. This is the
+    * input state Delta's OPTIMIZE exists for (reference: the
+    * medallion pipeline's OPTIMIZE step after "NEAR Public
+    * Datasets.py"-style exports); [[exportConvert]] avoids creating
+    * it, q75 REPAIRS it once it exists. */
+  private[graft] def q75FragmentWrite(s: SparkSession, dir: String): String = {
+    val src = Tables.orders(s, dir)
+      .withColumn("o_year", year(col("o_orderdate")))
+    val out = scratch("q75_frag", dir)
+    src.repartition(48, col("o_orderkey"))
+      .write.mode("overwrite").partitionBy("o_year").parquet(out)
+    out
+  }
+
+  /** One compaction run's ledger: the fragmented input, the
+    * compacted output, and the file counts the layout contract is
+    * stated in. */
+  private[graft] case class Q75Run(fragDir: String, outDir: String,
+      fragFiles: Long, outFiles: Long, targetFiles: Long)
+
+  /** q75's OPTIMIZE bin-pack: list the fragmented layout (a
+    * metadata-only planning pass, O(#files) on the driver — the same
+    * listing OPTIMIZE itself does), translate the byte target into a
+    * records-per-file cap via the layout's measured bytes/row (the
+    * fragmented layout's bytes INCLUDE its per-file overhead, so the
+    * estimate is conservative — overhead is precisely the waste
+    * being reclaimed), and rewrite through the shared
+    * [[exportConvert]] writer: one task per year partition, files
+    * split at the cap. The expected file count is computable in
+    * closed form — Σ_year ceil(rows_year / cap) — and q75Compact
+    * fail-stops unless the rewrite lands EXACTLY on it and strictly
+    * below the fragmented count; PlanSpec re-asserts both on the
+    * spec's own run. Layout never changes semantics (the q33/q74
+    * stance): the oracle checks the rollup off the SOURCE. Scale:
+    * the only driver-side state is the file listing and a
+    * #years-row count; all data movement is one shuffle keyed by
+    * partition value. */
+  private[graft] def q75Compact(s: SparkSession, dir: String): Q75Run = {
+    val frag = q75FragmentWrite(s, dir)
+    val fragFiles = countParquetFiles(frag)
+    val back = s.read.parquet(frag)
+    val rows = back.count()
+    val avgRow = math.max(1L, dataBytes(frag) / math.max(1L, rows))
+    val cap = math.max(1L, q75TargetBytes / avgRow)
+    val out = scratch("q75_opt", dir)
+    exportConvert(back, out, "parquet", "o_year", maxRecordsPerFile = cap)
+    // closed-form target: bounded collect (#years rows)
+    val target = back.groupBy("o_year").count().collect()
+      .map(r => (r.getLong(1) + cap - 1) / cap).sum
+    val outFiles = countParquetFiles(out)
+    require(outFiles == target,
+      s"q75: compacted layout has $outFiles files, expected $target")
+    require(outFiles < fragFiles,
+      s"q75: compaction must shrink the layout ($fragFiles -> $outFiles)")
+    Q75Run(frag, out, fragFiles, outFiles, target)
+  }
+
+  /** q75: small-file compaction — the layout family's missing member
+    * (q31 partitions, q33 buckets, q34 z-orders, q74 prunes; nothing
+    * compacted until now). The registered face is the yearly rollup
+    * over the COMPACTED layout; the oracle computes it off the
+    * source, so the gate proves compaction is invisible to every
+    * reader while the in-run requires + PlanSpec prove the layout
+    * actually changed shape. */
+  def q75Compaction(s: SparkSession, dir: String): DataFrame =
+    q75YearRollup(s.read.parquet(q75Compact(s, dir).outDir))
+
+  private[graft] def q75YearRollup(back: DataFrame): DataFrame =
+    back.groupBy(col("o_year").cast("int").as("o_year"))
+      .agg(count(lit(1)).as("orders"),
+        sum(expr("cast(round(o_totalprice * 100, 0) as bigint)")).as("cents"),
+        countDistinct(col("o_custkey")).as("custs"))
+      .orderBy("o_year")
+
+  /** DuckDB oracle for q75: the same yearly rollup straight off the
+    * source — compaction must be invisible to the report. */
+  val q75Sql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      | count(*) AS orders,
+      | CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+      |  AS cents,
+      | CAST(count(DISTINCT o_custkey) AS BIGINT) AS custs
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_incremental_export" -> (q30IncrementalExport _),
     "q31_export_roundtrip" -> (q31ExportRoundtrip _),
     "q42_jsonl_roundtrip" -> (q42JsonlRoundtrip _),
-    "q74_pruned_export" -> (q74PrunedExport _))
+    "q74_pruned_export" -> (q74PrunedExport _),
+    "q75_compaction" -> (q75Compaction _))
 
   def oracles: Map[String, String] = Map(
     "q30_incremental_export" -> q30Sql,
     "q31_export_roundtrip" -> q31Sql,
     "q42_jsonl_roundtrip" -> q42Sql,
-    "q74_pruned_export" -> q74Sql)
+    "q74_pruned_export" -> q74Sql,
+    "q75_compaction" -> q75Sql)
 }

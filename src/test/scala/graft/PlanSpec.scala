@@ -617,6 +617,11 @@ class PlanSpec extends SparkSpec {
       // read-back pruning is pinned by the dedicated PartitionFilters
       // test below (the q30/q31 eager-export stance)
       "q74_pruned_export",
+      // q75 fragments and then compacts its layout at construction
+      // (both writes fail-stop on file-count deviation inside
+      // q75Compact); the layout contract is pinned by the dedicated
+      // bin-pack test below on the spec's own run
+      "q75_compaction",
       // s64 folds the bounded clock sample through parquet
       // generations at construction; per-batch plans are one
       // bounded-state rank over (k-row state ∪ batch clocks), pinned
@@ -785,6 +790,40 @@ class PlanSpec extends SparkSpec {
     assert(back.selectExpr("count(distinct o_year)").head.getLong(0) > 1)
     assert(filesRead >= 1 && filesRead < totalFiles,
       s"q74 scan must skip other years: read $filesRead of $totalFiles files")
+  }
+
+  test("q75 compaction: pathological input, exact closed-form output count, strict shrink") {
+    // run the registered machinery itself and re-assert the layout
+    // contract from outside (q75Compact's requires are the fail-stop;
+    // this pins the numbers on a spec-visible run)
+    val E = graft.sources.Export
+    val r = E.q75Compact(spark, sfDir)
+    // (a) the input really was the small-files pathology: every year
+    //     directory held many fragments
+    val years = spark.read.parquet(r.fragDir)
+      .selectExpr("count(distinct o_year)").head.getLong(0)
+    assert(years > 1, "fixture must span multiple years")
+    assert(r.fragFiles >= years * 8,
+      s"fragmented layout too healthy: ${r.fragFiles} files over $years years")
+    // (b) compacted count is exactly the closed-form target and a
+    //     strict shrink (q75Compact already required it; re-pin here)
+    assert(r.outFiles == r.targetFiles && r.outFiles < r.fragFiles,
+      s"expected ${r.targetFiles}, got ${r.outFiles} (frag ${r.fragFiles})")
+    // (c) the rewrite is a BIN-PACK, not coalesce-to-one: at the
+    //     sf0.01 gate corpus the 64 KiB target splits year partitions
+    //     into multiple files (sf0.001's years each fit one file, so
+    //     prove the splitting claim where the data supports it)
+    val r01 = E.q75Compact(spark, "/root/testdata/sf0.01")
+    val years01 = spark.read.parquet(r01.outDir)
+      .selectExpr("count(distinct o_year)").head.getLong(0)
+    assert(r01.outFiles > years01,
+      s"sf0.01 must bin-pack into multiple files per year: " +
+        s"${r01.outFiles} files over $years01 years")
+    // (d) compaction is invisible to readers: identical rollup
+    val a = E.q75YearRollup(spark.read.parquet(r.outDir)).collect().toSeq
+    val b = E.q75YearRollup(
+      spark.read.parquet(r.fragDir)).collect().toSeq
+    assert(a == b, "compacted and fragmented rollups must agree")
   }
 
   test("native expressions appear in the optimized plans (not HOF fallbacks)") {
