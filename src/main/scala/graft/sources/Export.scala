@@ -403,17 +403,107 @@ object Export {
       | CAST(count(DISTINCT o_custkey) AS BIGINT) AS custs
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q76's registered probe range — a narrow o_orderkey slice,
+    * non-empty at every SF, selective enough that file skipping
+    * engages at each gate corpus. */
+  private[graft] val q76Lo = 1000L
+  private[graft] val q76Hi = 3000L
+
+  /** q76's clustered layout: orders written as a FLAT directory of
+    * files range-clustered on o_orderkey (repartitionByRange + sort
+    * within), so each file covers a narrow, nearly-disjoint key
+    * span — the precondition for min/max skipping to bite. This is
+    * data skipping BEYOND partition values: the skip column is NOT a
+    * directory key (q74 owns that case); the pruning instrument is a
+    * per-file stats sidecar. */
+  private[graft] def q76Write(s: SparkSession, dir: String): String = {
+    val src = Tables.orders(s, dir)
+      .withColumn("o_year", year(col("o_orderdate")))
+    val out = scratch("q76_skip", dir)
+    src.repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").parquet(out)
+    out
+  }
+
+  /** Build the min/max sidecar for a layout: one row per data file
+    * with the skip column's span, computed distributed (the file
+    * identity comes from the scan's own _metadata.file_path — no
+    * driver-side file walking) and written as a tiny parquet
+    * artifact next to the layout. At 100 TB this is the Delta/
+    * Iceberg stats manifest: O(#files) rows, rebuilt incrementally
+    * per write in a real table format. */
+  private[graft] def q76Sidecar(s: SparkSession, layout: String): String = {
+    val side = layout + "_sidecar"
+    s.read.parquet(layout)
+      .select(col("_metadata.file_path").as("file"), col("o_orderkey"))
+      .groupBy("file")
+      .agg(min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+      .coalesce(1).write.mode("overwrite").parquet(side)
+    side
+  }
+
+  /** Probe a layout THROUGH its sidecar: select the files whose
+    * [min, max] span intersects [lo, hi] (a bounded driver read —
+    * #files sidecar rows, the same metadata a format's planner
+    * holds), read ONLY those, and re-apply the predicate — pruning
+    * is an optimization, never semantics, so a stale or coarse
+    * sidecar can only cost speed (every kept file is still
+    * filtered), while the no-skipped-row law is what the oracle and
+    * ExportSpec check. Returns (rows, filesKept, filesTotal). */
+  private[graft] def q76ProbeFiles(s: SparkSession, layout: String,
+      side: String, lo: Long, hi: Long): (DataFrame, Int, Int) = {
+    val stats = s.read.parquet(side).collect()
+    val keep = stats.filter(r =>
+      r.getLong(1) <= hi && r.getLong(2) >= lo).map(_.getString(0))
+    val base =
+      if (keep.isEmpty) s.read.parquet(layout).filter(lit(false))
+      else s.read.parquet(keep.toIndexedSeq: _*)
+    (base.filter(col("o_orderkey").between(lo, hi)), keep.length, stats.length)
+  }
+
+  /** q76: file-level data skipping — q74's pruning instrument one
+    * level finer. The registered face probes the clustered layout
+    * through the sidecar for the fixed [[q76Lo]]..[[q76Hi]] range
+    * and rolls the hits up by year; it fail-stops unless skipping
+    * actually engaged (files kept < files total). The oracle runs
+    * the same range rollup off the SOURCE, so the gate proves the
+    * sidecar path loses no matching row; ExportSpec additionally
+    * quantifies the law over boundary-straddling and empty ranges
+    * and pins the scan's numFiles metric to the kept count. */
+  def q76DataSkipping(s: SparkSession, dir: String): DataFrame = {
+    val layout = q76Write(s, dir)
+    val side = q76Sidecar(s, layout)
+    val (rows, kept, total) = q76ProbeFiles(s, layout, side, q76Lo, q76Hi)
+    require(kept < total,
+      s"q76: skipping must engage ($kept of $total files kept)")
+    rows.groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg(count(lit(1)).as("orders"),
+        sum(expr("cast(round(o_totalprice * 100, 0) as bigint)")).as("cents"))
+      .orderBy("o_year")
+  }
+
+  val q76Sql: String =
+    s"""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       | count(*) AS orders,
+       | CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+       |  AS cents
+       |FROM orders WHERE o_orderkey BETWEEN $q76Lo AND $q76Hi
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_incremental_export" -> (q30IncrementalExport _),
     "q31_export_roundtrip" -> (q31ExportRoundtrip _),
     "q42_jsonl_roundtrip" -> (q42JsonlRoundtrip _),
     "q74_pruned_export" -> (q74PrunedExport _),
-    "q75_compaction" -> (q75Compaction _))
+    "q75_compaction" -> (q75Compaction _),
+    "q76_data_skipping" -> (q76DataSkipping _))
 
   def oracles: Map[String, String] = Map(
     "q30_incremental_export" -> q30Sql,
     "q31_export_roundtrip" -> q31Sql,
     "q42_jsonl_roundtrip" -> q42Sql,
     "q74_pruned_export" -> q74Sql,
-    "q75_compaction" -> q75Sql)
+    "q75_compaction" -> q75Sql,
+    "q76_data_skipping" -> q76Sql)
 }

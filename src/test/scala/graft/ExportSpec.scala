@@ -210,4 +210,50 @@ class ExportSpec extends SparkSpec {
     assert(line.startsWith("{") && line.endsWith("}") &&
       line.contains("\"event_id\""), s"not a JSON line: $line")
   }
+
+  test("q76 sidecar skipping: no matching row ever skipped, scan reads only kept files") {
+    val layout = Export.q76Write(spark, sfDir)
+    val side = Export.q76Sidecar(spark, layout)
+    val full = spark.read.parquet(layout)
+    val stats = spark.read.parquet(side)
+      .orderBy("min_key").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(stats.length > 2, "layout must hold several files")
+
+    def law(lo: Long, hi: Long): Unit = {
+      val (probe, kept, total) = Export.q76ProbeFiles(spark, layout, side, lo, hi)
+      val exact = full.filter(col("o_orderkey").between(lo, hi))
+        .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+      val got = probe.select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == exact, s"[$lo,$hi]: probe lost/invented rows ($kept/$total files)")
+      assert(kept <= total)
+    }
+    // boundary-straddling: lo exactly on a file's max, hi exactly on
+    // the next file's min — the off-by-one class a <= / < slip creates
+    val b = stats(stats.length / 2)
+    law(b._2, stats(stats.length / 2 + 1)._1)
+    law(b._2 + 1, b._2 + 1)             // point lookup just past a file edge
+    law(Long.MinValue, Long.MaxValue)   // degenerate: keep everything
+    law(-10L, -1L)                      // empty range: zero files kept, zero rows
+    law(Export.q76Lo, Export.q76Hi)     // the registered range
+
+    // selectivity: the registered range skips files, and the executed
+    // scan's numFiles metric equals the kept count (the q74 instrument)
+    val (probe, kept, total) = Export.q76ProbeFiles(
+      spark, layout, side, Export.q76Lo, Export.q76Hi)
+    assert(kept < total, s"registered range must skip files ($kept/$total)")
+    probe.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec        => scans(s.plan)
+      case s: FileSourceScanExec    => Seq(s)
+      case other                    => other.children.flatMap(scans)
+    }
+    val filesRead = scans(probe.queryExecution.executedPlan).head
+      .metrics("numFiles").value
+    assert(filesRead == kept,
+      s"scan must read exactly the kept files: $filesRead vs $kept")
+  }
 }

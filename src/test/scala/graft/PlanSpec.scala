@@ -622,6 +622,11 @@ class PlanSpec extends SparkSpec {
       // q75Compact); the layout contract is pinned by the dedicated
       // bin-pack test below on the spec's own run
       "q75_compaction",
+      // q76 writes its clustered layout + stats sidecar at
+      // construction and reads an explicit kept-file list; the
+      // no-skipped-row law and the numFiles==kept pin live in
+      // ExportSpec's dedicated test
+      "q76_data_skipping",
       // s64 folds the bounded clock sample through parquet
       // generations at construction; per-batch plans are one
       // bounded-state rank over (k-row state ∪ batch clocks), pinned
