@@ -213,19 +213,12 @@ object Dedup {
     Seq.fill(16)((1 + rng.nextInt(Int.MaxValue - 1), rng.nextInt(Int.MaxValue)))
   }
 
-  /** Candidate pairs from the md5-affine band stream — the
-    * DuckDB-replayable twin of [[bandCandidatePairs]]. Shared by
-    * d23b (unigram verify) and d25c (bigram verify) so the
-    * oracle-checked LSH candidate stage is ONE code path: band
-    * candidates proven byte-exact by d23b's oracle feed d25c's
-    * exact bigram Jaccard, hash-checking the whole web-scale
-    * pipeline end-to-end. Takes unigram-shingled docs
-    * (doc_id, sh). */
-  /** The md5-affine band stream (doc_id, bandh, band_id, band_hash)
-    * shared by d23b/d25c's candidate join and d37's persisted index —
-    * one definition, so the incremental index and the full-corpus
-    * candidate stage can never disagree on a band hash. */
-  private[graft] def md5BandStream(docs: DataFrame): DataFrame = {
+  /** The 16-hash md5-affine signature frame (doc_id, m0..m15) — the
+    * DuckDB-replayable twin of d23's xxhash64 signatures, the ONE
+    * source of every md5-banded consumer: d23b/d25c's candidate
+    * stage, d37's persisted index, and d53's whole tuning sweep.
+    * Takes unigram-shingled docs (doc_id, sh). */
+  private[graft] def md5Sigs(docs: DataFrame): DataFrame = {
     // ONE md5 per (doc, token), codegen'd on exploded rows — an
     // interpreted transform(seq(16), transform(sh, md5…)) lambda
     // nest costs 16 md5/token and ran ~6× slower end-to-end
@@ -236,16 +229,36 @@ object Dedup {
     val minCols = minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
       min(expr(s"(${a}L * h + ${b}L) % 2147483647")).as(s"m$i")
     }
-    val sigs = toks.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-    val banded = sigs.withColumn("bandh", expr(
-      """array(xxhash64(m0, m1, m2, m3), xxhash64(m4, m5, m6, m7),
-        |      xxhash64(m8, m9, m10, m11), xxhash64(m12, m13, m14, m15))""".stripMargin))
+    toks.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** Band a signature frame at `rows` minhashes per band (16 must
+    * divide evenly): the d23/d23b production point is rows = 4; d53
+    * sweeps the whole (bands × rows) tradeoff through THIS one
+    * definition, so the tuning curve measures exactly the banding
+    * the pipeline ships. */
+  private[graft] def md5BandStreamFor(sigs: DataFrame, rows: Int): DataFrame = {
+    require(16 % rows == 0, s"rows=$rows must divide the 16 minhashes")
+    val bandExprs = (0 until 16 / rows).map { bnd =>
+      s"xxhash64(${(0 until rows).map(r => s"m${rows * bnd + r}").mkString(", ")})"
+    }
+    val banded = sigs.withColumn("bandh",
+      expr(s"array(${bandExprs.mkString(", ")})"))
     banded.select(col("doc_id"), col("bandh"),
       posexplode(col("bandh")).as(Seq("band_id", "band_hash")))
   }
 
-  private[graft] def md5BandCandidatePairs(docs: DataFrame): DataFrame = {
-    val stream = md5BandStream(docs)
+  private[graft] def md5BandStream(docs: DataFrame): DataFrame =
+    md5BandStreamFor(md5Sigs(docs), 4)
+
+  private[graft] def md5BandCandidatePairs(docs: DataFrame): DataFrame =
+    md5CandidatesFor(md5Sigs(docs), 4)
+
+  /** Candidate pairs for an arbitrary banding of a signature frame —
+    * [[md5BandCandidatePairs]] at the production 4×4, d53 at every
+    * swept operating point. */
+  private[graft] def md5CandidatesFor(sigs: DataFrame, rows: Int): DataFrame = {
+    val stream = md5BandStreamFor(sigs, rows)
     val probe = stream.repartition(col("band_id"), col("band_hash"))
     // COLLISION ASYMMETRY: the Spark side equi-joins on
     // xxhash64(m0..m3) band hashes (a fixed-width join key), while
@@ -302,9 +315,10 @@ object Dedup {
   private val affineMinsSql: String = minhashCoeffs.zipWithIndex.map {
     case ((a, b), i) => s"min(($a * h + $b) % 2147483647) AS m$i"
   }.mkString(",\n  ")
-  private[graft] val bandEqSql: String = (0 until 4).map { bnd =>
-    (0 until 4).map(r => s"a.m${4 * bnd + r} = b.m${4 * bnd + r}").mkString("(", " AND ", ")")
+  private[graft] def bandEqSqlFor(rows: Int): String = (0 until 16 / rows).map { bnd =>
+    (0 until rows).map(r => s"a.m${rows * bnd + r} = b.m${rows * bnd + r}").mkString("(", " AND ", ")")
   }.mkString(" OR ")
+  private[graft] val bandEqSql: String = bandEqSqlFor(4)
   private[graft] val md5SigsCte: String =
     s"""docs AS (
        | SELECT doc_id, list_distinct(string_split(text, ' ')) AS sh FROM documents),
@@ -2853,19 +2867,41 @@ object Dedup {
   private[graft] def d51EvalWith(s: SparkSession, dir: String,
       keep: Int, mod: Int): DataFrame = {
     val docs0 = shingledDocs(s, dir)
+    val ids = d51SampledIds(docs0, keep, mod)
+    d51Metrics(d51Truth(docs0, ids),
+      d51MaskPairs(md5BandCandidatePairs(docs0), ids, mod))
+  }
+
+  /** The eval universe: docs whose house md5 draw of doc_id lands in
+    * residue < keep of mod (mod ≤ 1 = everything). Shared by d51 and
+    * d53 so the eval and the tuning curve sample identically. */
+  private[graft] def d51SampledIds(docs0: DataFrame, keep: Int, mod: Int): DataFrame = {
     val inSample = expr(
       s"cast(conv(substring(md5(cast(doc_id as string)), 1, 7), 16, 10) as bigint) % $mod < $keep")
-    val docs = if (mod <= 1) docs0 else docs0.filter(inSample)
-    val ids = docs.select(col("doc_id"))
+    (if (mod <= 1) docs0 else docs0.filter(inSample)).select(col("doc_id"))
+  }
+
+  /** Exact truth over the universe's pairs: token-set Jaccard ≥ 0.7,
+    * enumerated only over sampled-doc pairs (quadratic in the doc
+    * sample rate — the eval's declared cost). */
+  private[graft] def d51Truth(docs0: DataFrame, ids: DataFrame): DataFrame = {
     val allPairs = ids.select(col("doc_id").as("doc_a"))
       .crossJoin(ids.select(col("doc_id").as("doc_b")))
       .filter(col("doc_a") < col("doc_b"))
-    val truth = verifyPairs(allPairs, docs0).select("doc_a", "doc_b")
-    val cands0 = md5BandCandidatePairs(docs0)
-    val cands = if (mod <= 1) cands0
-      else cands0.join(ids.select(col("doc_id").as("doc_a")), Seq("doc_a"))
-        .join(ids.select(col("doc_id").as("doc_b")), Seq("doc_b"))
-        .select("doc_a", "doc_b")
+    verifyPairs(allPairs, docs0).select("doc_a", "doc_b")
+  }
+
+  /** Mask a candidate stream to sampled endpoints (mod ≤ 1 = no-op),
+    * keeping recall/precision unbiased over the pair subsample. */
+  private[graft] def d51MaskPairs(pairs: DataFrame, ids: DataFrame, mod: Int): DataFrame =
+    if (mod <= 1) pairs
+    else pairs.join(ids.select(col("doc_id").as("doc_a")), Seq("doc_a"))
+      .join(ids.select(col("doc_id").as("doc_b")), Seq("doc_b"))
+      .select("doc_a", "doc_b")
+
+  /** One metrics row from a truth set and a candidate stream — the
+    * d51 arithmetic, shared verbatim by every d53 operating point. */
+  private[graft] def d51Metrics(truth: DataFrame, cands: DataFrame): DataFrame = {
     val captured = truth.join(cands, Seq("doc_a", "doc_b"))
     truth.agg(count(lit(1)).as("truth_pairs"))
       .crossJoin(broadcast(cands.agg(count(lit(1)).as("candidate_pairs"))))
@@ -2875,6 +2911,85 @@ object Dedup {
           .as("band_recall"),
         round(col("captured_pairs").cast("double") / col("candidate_pairs"), 4)
           .as("band_precision"))
+  }
+
+  // ---- d53: banding tuning curve (bands × rows sweep) ----
+
+  /** d53's sweep, as minhashes-per-band over the fixed 16-hash
+    * signature: 1×16, 2×8, 4×4 (the d23/d51 production point), 8×2.
+    * Candidate sets are NESTED along this order — a pair agreeing on
+    * a band agrees on both its half-bands — so candidate count and
+    * recall are monotone by construction (DedupSpec asserts it). */
+  private[graft] val d53RowsSweep = Seq(16, 8, 4, 2)
+
+  /** d53: the banding tuning curve — a47's nprobe-recall pattern
+    * applied to the dedup LSH: recall/precision vs (bands × rows)
+    * over d51's exact truth, every point computed from the SAME 16
+    * affine minhash signatures ([[md5Sigs]], persisted once) through
+    * the SAME candidate join ([[md5CandidatesFor]]) and the SAME
+    * metric arithmetic ([[d51Metrics]]) the shipped 4×4 pipeline
+    * uses — so "we chose 4 bands" becomes a measured tradeoff, not a
+    * constant: more bands buy recall at quadratically-collapsing
+    * precision. The 4×4 row equals d51's registered output
+    * (spec-pinned). Scale: truth is d51's declared sampled leg
+    * (d53CurveWith takes the same (keep, mod)); each point's
+    * candidate join is band-bucketed, never all-pairs; signatures
+    * compute once for the whole sweep. */
+  def d53BandingCurve(s: SparkSession, dir: String): DataFrame =
+    d53CurveWith(s, dir, 1, 1)
+
+  private[graft] def d53CurveWith(s: SparkSession, dir: String,
+      keep: Int, mod: Int): DataFrame = {
+    val docs0 = shingledDocs(s, dir)
+    val ids = d51SampledIds(docs0, keep, mod)
+    val sigs = md5Sigs(docs0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val truth = d51Truth(docs0, ids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val points = d53RowsSweep.map { r =>
+      val cands = d51MaskPairs(md5CandidatesFor(sigs, r), ids, mod)
+      d51Metrics(truth, cands).select(
+        lit(16 / r).cast("int").as("n_bands"),
+        lit(r).cast("int").as("rows_per_band"),
+        col("truth_pairs"), col("candidate_pairs"), col("captured_pairs"),
+        col("band_recall"), col("band_precision"))
+    }
+    points.reduce(_.unionByName(_)).orderBy("n_bands")
+  }
+
+  /** DuckDB oracle for d53: the same signature CTE, one candidate
+    * CTE per swept banding (the generalized band disjunction), the
+    * same truth and metric arithmetic, unioned and ordered. */
+  val d53Sql: String = {
+    val candCtes = d53RowsSweep.map { r =>
+      s"""c${16 / r} AS (
+         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND (${bandEqSqlFor(r)}))"""
+        .stripMargin
+    }.mkString(",\n")
+    val points = d53RowsSweep.map { r =>
+      val nb = 16 / r
+      s"""SELECT CAST($nb AS INT) AS n_bands, CAST($r AS INT) AS rows_per_band,
+         | (SELECT count(*) FROM truth) AS truth_pairs,
+         | (SELECT count(*) FROM c$nb) AS candidate_pairs,
+         | (SELECT count(*) FROM truth t JOIN c$nb c
+         |   ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS captured_pairs"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $md5SigsCte,
+       |truth AS (
+       | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       | FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+       | WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |   / len(list_distinct(a.sh || b.sh)), 4) >= 0.7),
+       |$candCtes
+       |SELECT n_bands, rows_per_band, truth_pairs, candidate_pairs,
+       | captured_pairs,
+       | ROUND(CAST(captured_pairs AS DOUBLE) / truth_pairs, 4) AS band_recall,
+       | ROUND(CAST(captured_pairs AS DOUBLE) / candidate_pairs, 4)
+       |  AS band_precision
+       |FROM ($points)
+       |ORDER BY n_bands""".stripMargin
   }
 
   /** DuckDB oracle for d51: the shared md5-affine signature CTEs,
@@ -3089,7 +3204,8 @@ object Dedup {
     "d49_contamination_report" -> (d49ContaminationReport _),
     "d50_url_dedup" -> (d50UrlDedup _),
     "d51_neardup_eval" -> (d51NeardupEval _),
-    "d52_corpus_overlap" -> (d52CorpusOverlap _))
+    "d52_corpus_overlap" -> (d52CorpusOverlap _),
+    "d53_banding_curve" -> (d53BandingCurve _))
 
   def oracles: Map[String, String] = Map(
     "d22_dedup_exact" -> d22Sql,
@@ -3125,5 +3241,6 @@ object Dedup {
     "d49_contamination_report" -> d49Sql,
     "d50_url_dedup" -> d50Sql,
     "d51_neardup_eval" -> d51Sql,
-    "d52_corpus_overlap" -> d52Sql)
+    "d52_corpus_overlap" -> d52Sql,
+    "d53_banding_curve" -> d53Sql)
 }

@@ -1124,6 +1124,41 @@ class DedupSpec extends SparkSpec {
       s"sampled precision ${half._5} drifted from full ${full._5}")
   }
 
+  test("d53 banding curve: 4x4 point IS d51, nested-candidate monotonicity, real tradeoff") {
+    val sfDir = "/root/testdata/sf0.001"
+    val curve = SparkEntry.queries("d53_banding_curve")(spark, sfDir)
+      .as[(Int, Int, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(curve.map(_._1) == Seq(1, 2, 4, 8), s"one row per swept config: $curve")
+    // the production point IS d51: same truth, same candidate join,
+    // same arithmetic — the curve measures the shipped pipeline
+    val d51 = SparkEntry.queries("d51_neardup_eval")(spark, sfDir)
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    val p44 = curve.find(_._1 == 4).get
+    assert((p44._3, p44._4, p44._5, p44._6, p44._7) == d51,
+      s"4x4 row $p44 != d51 $d51")
+    // candidate sets are NESTED along the sweep (a pair agreeing on a
+    // band agrees on both its half-bands): candidates and captured
+    // monotone, truth constant
+    curve.sliding(2).foreach {
+      case Seq(lo, hi) =>
+        assert(lo._4 <= hi._4 && lo._5 <= hi._5, s"nesting violated: $lo -> $hi")
+      case _ => ()
+    }
+    assert(curve.map(_._3).distinct.size == 1, "truth must not vary with banding")
+    // the tradeoff is real on this corpus: sweeping 1->8 bands grows
+    // the candidate stream strictly and collapses precision
+    assert(curve.last._4 > curve.head._4, "candidate stream must grow with bands")
+    assert(curve.last._7 < curve.head._7,
+      s"precision must fall across the sweep: ${curve.map(_._7)}")
+    assert(curve.last._6 >= curve.head._6, "recall cannot fall with more bands")
+    // the at-scale parameterization (d51's (keep, mod) sample) drives
+    // the same machinery: smaller truth universe, full sweep intact
+    val half = graft.dedup.Dedup.d53CurveWith(spark, sfDir, 1, 2)
+      .as[(Int, Int, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(half.map(_._1) == Seq(1, 2, 4, 8))
+    assert(half.head._3 < curve.head._3, "sampled truth universe must shrink")
+  }
+
   test("d52 corpus overlap: metrics mirror, KMV estimator law, honest error band") {
     val sfDir = "/root/testdata/sf0.001"
     val row = SparkEntry.queries("d52_corpus_overlap")(spark, sfDir)

@@ -458,6 +458,10 @@ class PlanSpec extends SparkSpec {
       // (the a39/d26 stance: sampled at corpus scale), and its
       // metric assembly crosses three 1-row counts
       "d51_neardup_eval",
+      // d53 sweeps banding configs over d51's truth leg (same
+      // declared-quadratic eval, same sampled-at-scale parameter)
+      // and assembles each point from the same three 1-row counts
+      "d53_banding_curve",
       // t58 rides t39's scoring (the same 1-row vocab broadcast)
       "t58_ccnet_buckets",
       "a31_ann_rerank", "s39_stream_decontaminate", "a32_ann_pq", "t44_vocab",
