@@ -1680,14 +1680,39 @@ object Relational {
     * Scale: one customer-keyed exchange (the rollup), one bounded
     * aggregate (3×4 boundary doubles), one broadcast cross of a
     * 1-row frame — nothing else. */
-  def q45Rfm(s: SparkSession, dir: String): DataFrame = {
-    val per = Tables.orders(s, dir)
+  /** q45's per-customer R/F/M rollup — ONE definition shared with
+    * q45b's sketch-boundary variant. */
+  private[graft] def q45Per(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
       .groupBy(col("o_custkey").as("cust_key"))
       .agg(
         datediff(lit("2001-09-01").cast("date"), to_date(max(col("o_orderdate"))))
           .as("recency_days"),
         count(lit(1)).as("frequency"),
         round(sum(col("o_totalprice")), 2).as("monetary"))
+
+  /** q45's segment precedence rule over three 1–5 scores — shared by
+    * q45 and BOTH q45b legs so the rule can never drift. */
+  private[graft] def q45Segment(r: Column, f: Column, m: Column): Column =
+    when(r >= 4 && f >= 4 && m >= 4, "champion")
+      .when(f >= 4, "loyal")
+      .when(m >= 4, "big_spender")
+      .when(r <= 2 && (f >= 3 || m >= 3), "at_risk")
+      .when(r <= 2, "hibernating")
+      .otherwise("regular")
+
+  /** The same precedence rule as a SQL CASE over named score
+    * columns — used by q45's and q45b's oracles. */
+  private[graft] def q45SegmentSql(r: String, f: String, m: String): String =
+    s"""CASE WHEN $r >= 4 AND $f >= 4 AND $m >= 4 THEN 'champion'
+       |  WHEN $f >= 4 THEN 'loyal'
+       |  WHEN $m >= 4 THEN 'big_spender'
+       |  WHEN $r <= 2 AND ($f >= 3 OR $m >= 3) THEN 'at_risk'
+       |  WHEN $r <= 2 THEN 'hibernating'
+       |  ELSE 'regular' END""".stripMargin
+
+  def q45Rfm(s: SparkSession, dir: String): DataFrame = {
+    val per = q45Per(s, dir)
     val qs = "array(0.2D, 0.4D, 0.6D, 0.8D)"
     val bounds = per.agg(
       expr(s"percentile(recency_days, $qs)").as("rb"),
@@ -1703,28 +1728,26 @@ object Relational {
     scored.select(
       col("cust_key"), col("recency_days"), col("frequency"), col("monetary"),
       col("r_score"), col("f_score"), col("m_score"),
-      when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4,
-        "champion")
-        .when(col("f_score") >= 4, "loyal")
-        .when(col("m_score") >= 4, "big_spender")
-        .when(col("r_score") <= 2 && (col("f_score") >= 3 || col("m_score") >= 3),
-          "at_risk")
-        .when(col("r_score") <= 2, "hibernating")
-        .otherwise("regular").as("segment"))
+      q45Segment(col("r_score"), col("f_score"), col("m_score")).as("segment"))
       .orderBy("cust_key")
   }
 
   /** DuckDB oracle for q45: identical rollup, quantile_cont
     * boundaries (the q27 percentile equivalence), identical
     * strictly-greater boundary counting and segment precedence. */
-  val q45Sql: String =
-    """WITH per AS (
+  /** The per-customer rollup CTE — shared by q45's and q45b's
+    * oracles, mirroring the shared [[q45Per]] body. */
+  private[graft] val q45PerCte: String =
+    """per AS (
       | SELECT o_custkey AS cust_key,
       |  CAST(datediff('day', CAST(max(o_orderdate) AS DATE), DATE '2001-09-01') AS INT)
       |    AS recency_days,
       |  count(*) AS frequency,
       |  ROUND(sum(o_totalprice), 2) AS monetary
-      | FROM orders GROUP BY 1),
+      | FROM orders GROUP BY 1)""".stripMargin
+
+  val q45Sql: String =
+    s"""WITH $q45PerCte,
       |b AS (
       | SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rb,
       |        quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fb,
@@ -1738,13 +1761,136 @@ object Relational {
       | FROM per, b)
       |SELECT cust_key, recency_days, frequency, monetary,
       | r_score, f_score, m_score,
-      | CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
-      |  WHEN f_score >= 4 THEN 'loyal'
-      |  WHEN m_score >= 4 THEN 'big_spender'
-      |  WHEN r_score <= 2 AND (f_score >= 3 OR m_score >= 3) THEN 'at_risk'
-      |  WHEN r_score <= 2 THEN 'hibernating'
-      |  ELSE 'regular' END AS segment
+      | ${q45SegmentSql("r_score", "f_score", "m_score")} AS segment
       |FROM scored ORDER BY cust_key""".stripMargin
+
+  /** q45b's customer-sample budget — the q68K regime. */
+  private[graft] val q45bK = 512
+
+  /** q45b: RFM with SKETCHED boundaries — the q52→q52b prose-to-code
+    * rule applied to q45's "production swaps in approx_percentile"
+    * sentence, now implementable with in-house machinery: quintile
+    * boundaries come from a deterministic bottom-k customer sample
+    * (the [[q68Sample]] draw idiom at k = [[q45bK]]) through the
+    * SAME rank-quantile selection ([[q68RankQuantilesAt]]); the
+    * EXACT rank-quantile boundaries stay in as the gate instrument;
+    * every customer row carries BOTH segmentations plus the
+    * agreement flag IN-BAND (the q68 estimate-vs-exact honesty
+    * stance). Scoring counts and segment precedence are q45's
+    * shared bodies ([[q45Segment]]) — one rule, three consumers.
+    *
+    * Scale (100 TB): the sample is one TakeOrdered bottom-k (k rows
+    * per partition cross the wire), boundaries then run rank
+    * quantiles over ≤ 3k rows; the exact leg (three full-corpus
+    * sorts) is the declared gate instrument dropped at production
+    * scale (the q68/s53 trade); scoring stays codegen'd in the
+    * rollup scan against two 1-row boundary broadcasts. */
+  def q45bRfmSketch(s: SparkSession, dir: String): DataFrame =
+    q45bWith(s, dir, q45bK)
+
+  /** [[q45bRfmSketch]] with an explicit budget — InvariantSpec
+    * drives a small k on the spec corpus so the genuinely-sampled
+    * regime is exercised there too (sf0.001's 150 customers < 512
+    * make the shipped k the degenerate-exact regime, the q68/t57
+    * boundary stance). */
+  private[graft] def q45bWith(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val per = q45Per(s, dir)
+    def stacked(src: DataFrame): DataFrame = src.select(explode(array(
+      struct(lit("r").as("grp"), col("recency_days").cast("double").as("v"),
+        col("cust_key").as("key")),
+      struct(lit("f").as("grp"), col("frequency").cast("double").as("v"),
+        col("cust_key").as("key")),
+      struct(lit("m").as("grp"), col("monetary").as("v"),
+        col("cust_key").as("key")))).as("x")).select("x.*")
+    val samp = per.withColumn("draw", expr(
+        "cast(conv(substring(md5(cast(cust_key as string)), 1, 7), 16, 10) as bigint)"))
+      .orderBy(col("draw"), col("cust_key")).limit(k)
+      .drop("draw")
+    val probes = Seq(0.2, 0.4, 0.6, 0.8)
+    // one 1-row frame of sorted boundary arrays per leg (suffix x =
+    // exact instrument, s = sampled product)
+    def wide(src: DataFrame, suffix: String): DataFrame = {
+      val qs = q68RankQuantilesAt(stacked(src), probes)
+      def b(g: String) = qs.filter(col("grp") === g)
+        .agg(array_sort(collect_list(col("v"))).as(s"${g}b$suffix"))
+      b("r").crossJoin(b("f")).crossJoin(b("m"))
+    }
+    val scored = per
+      .crossJoin(broadcast(wide(per, "x")))
+      .crossJoin(broadcast(wide(samp, "s")))
+      .withColumn("r_exact",
+        lit(5) - size(filter(col("rbx"), x => col("recency_days") > x)))
+      .withColumn("f_exact",
+        lit(1) + size(filter(col("fbx"), x => col("frequency") > x)))
+      .withColumn("m_exact",
+        lit(1) + size(filter(col("mbx"), x => col("monetary") > x)))
+      .withColumn("r_est",
+        lit(5) - size(filter(col("rbs"), x => col("recency_days") > x)))
+      .withColumn("f_est",
+        lit(1) + size(filter(col("fbs"), x => col("frequency") > x)))
+      .withColumn("m_est",
+        lit(1) + size(filter(col("mbs"), x => col("monetary") > x)))
+    scored.select(col("cust_key"),
+      col("r_est"), col("f_est"), col("m_est"),
+      q45Segment(col("r_exact"), col("f_exact"), col("m_exact")).as("seg_exact"),
+      q45Segment(col("r_est"), col("f_est"), col("m_est")).as("seg_est"))
+      .withColumn("agree", col("seg_est") === col("seg_exact"))
+      .orderBy("cust_key")
+  }
+
+  /** DuckDB oracle for q45b: identical rollup CTE, identical md5
+    * bottom-k customer sample, identical rank-quantile boundary
+    * selection on both legs, the shared segment CASE — the whole
+    * sketch-vs-exact comparison replays byte-exactly. */
+  val q45bSql: String = {
+    def stackSql(src: String) =
+      s"""SELECT 'r' AS grp, CAST(recency_days AS DOUBLE) AS v, cust_key AS key FROM $src
+         | UNION ALL SELECT 'f', CAST(frequency AS DOUBLE), cust_key FROM $src
+         | UNION ALL SELECT 'm', monetary, cust_key FROM $src""".stripMargin
+    def qSql(stk: String) =
+      s"""SELECT grp, p, v FROM (
+         |  SELECT grp, v,
+         |   row_number() OVER (PARTITION BY grp ORDER BY v, key) AS rn,
+         |   count(*) OVER (PARTITION BY grp) AS n
+         |  FROM $stk) CROSS JOIN probes
+         | WHERE rn = CAST(ceil(p * n) AS BIGINT)""".stripMargin
+    def wideSql(q: String, sfx: String) =
+      s"""SELECT
+         | (SELECT list_sort(list(v)) FROM $q WHERE grp = 'r') AS rb$sfx,
+         | (SELECT list_sort(list(v)) FROM $q WHERE grp = 'f') AS fb$sfx,
+         | (SELECT list_sort(list(v)) FROM $q WHERE grp = 'm') AS mb$sfx""".stripMargin
+    s"""WITH $q45PerCte,
+       |samp AS (
+       | SELECT cust_key, recency_days, frequency, monetary FROM (
+       |  SELECT per.*, row_number() OVER (ORDER BY
+       |    CAST(('0x' || substr(md5(CAST(cust_key AS VARCHAR)), 1, 7)) AS BIGINT),
+       |    cust_key) AS srk
+       |  FROM per) WHERE srk <= $q45bK),
+       |probes AS (SELECT CAST(unnest([0.2, 0.4, 0.6, 0.8]) AS DOUBLE) AS p),
+       |stx AS (${stackSql("per")}),
+       |sts AS (${stackSql("samp")}),
+       |qx AS (${qSql("stx")}),
+       |qs AS (${qSql("sts")}),
+       |wx AS (${wideSql("qx", "x")}),
+       |ws AS (${wideSql("qs", "s")}),
+       |scored AS (
+       | SELECT cust_key,
+       |  CAST(5 - len(list_filter(rbx, x -> recency_days > x)) AS INT) AS r_exact,
+       |  CAST(1 + len(list_filter(fbx, x -> frequency > x)) AS INT) AS f_exact,
+       |  CAST(1 + len(list_filter(mbx, x -> monetary > x)) AS INT) AS m_exact,
+       |  CAST(5 - len(list_filter(rbs, x -> recency_days > x)) AS INT) AS r_est,
+       |  CAST(1 + len(list_filter(fbs, x -> frequency > x)) AS INT) AS f_est,
+       |  CAST(1 + len(list_filter(mbs, x -> monetary > x)) AS INT) AS m_est
+       | FROM per, wx, ws),
+       |seg AS (
+       | SELECT cust_key, r_est, f_est, m_est,
+       |  ${q45SegmentSql("r_exact", "f_exact", "m_exact")} AS seg_exact,
+       |  ${q45SegmentSql("r_est", "f_est", "m_est")} AS seg_est
+       | FROM scored)
+       |SELECT cust_key, r_est, f_est, m_est, seg_exact, seg_est,
+       | (seg_est = seg_exact) AS agree
+       |FROM seg ORDER BY cust_key""".stripMargin
+  }
 
   /** Shared co-purchase edge body (q46/q51): the deduped
     * (order, part) item stream, self-joined into unordered part
@@ -3862,13 +4008,18 @@ object Relational {
     * definition applied to the full corpus (the exact leg) and to
     * the sample (the estimate) — the instrument and the product
     * cannot diverge. */
-  private[graft] def q68RankQuantiles(df: DataFrame): DataFrame = {
+  private[graft] def q68RankQuantiles(df: DataFrame): DataFrame =
+    q68RankQuantilesAt(df, q68Probes)
+
+  /** [[q68RankQuantiles]] at caller-chosen probes — q45b reuses the
+    * identical rank-selection machinery for its quintile boundaries. */
+  private[graft] def q68RankQuantilesAt(df: DataFrame, probes: Seq[Double]): DataFrame = {
     val w = Window.partitionBy("grp").orderBy(col("v"), col("key"))
     val cw = Window.partitionBy("grp")
     df.withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(cw))
       .select(col("grp"), col("v"), col("n"),
-        explode(array(q68Probes.map(lit(_)): _*)).as("p"), col("rn"))
+        explode(array(probes.map(lit(_)): _*)).as("p"), col("rn"))
       .filter(col("rn") === ceil(col("p") * col("n")))
       .select("grp", "p", "v", "n")
   }
@@ -4221,6 +4372,7 @@ object Relational {
     "q43_cube" -> (q43Cube _),
     "q44_funnel" -> (q44Funnel _),
     "q45_rfm" -> (q45Rfm _),
+    "q45b_rfm_sketch" -> (q45bRfmSketch _),
     "q46_copurchase" -> (q46CoPurchase _),
     "q47_pit_join" -> (q47PitJoin _),
     "q48_retention" -> (q48Retention _),
@@ -4388,6 +4540,7 @@ object Relational {
     "q43_cube" -> q43Sql,
     "q44_funnel" -> q44Sql,
     "q45_rfm" -> q45Sql,
+    "q45b_rfm_sketch" -> q45bSql,
     "q46_copurchase" -> q46Sql,
     "q47_pit_join" -> q47Sql,
     "q48_retention" -> q48Sql,

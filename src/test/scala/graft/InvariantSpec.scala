@@ -416,6 +416,39 @@ class InvariantSpec extends SparkSpec {
       s"segments degenerate: ${got.map(_._8).distinct}")
   }
 
+  test("q45b sketch boundaries: degenerate-exact at shipped k, sampled regime in-band vs q45") {
+    // sf0.001 has 150 customers < k = 512, so the shipped budget is
+    // the degenerate-exact regime (the q68/t57 boundary stance): the
+    // sample IS the population and the two legs must agree everywhere
+    val reg = SparkEntry.queries("q45b_rfm_sketch")(spark, sfDir)
+      .as[(Long, Int, Int, Int, String, String, Boolean)].collect().toSeq
+    assert(reg.nonEmpty && reg.forall(_._7),
+      "degenerate regime must have est == exact for every customer")
+    reg.foreach { r => assert(r._7 == (r._5 == r._6), "agree flag inconsistent") }
+    // the exact leg's rank-quantile (type-1) segmentation vs q45's
+    // interpolated-percentile segmentation: different boundary
+    // definitions, near-identical segments (measured: 1.0 at sf0.01)
+    val q45 = SparkEntry.queries("q45_rfm")(spark, sfDir)
+      .as[(Long, Int, Long, Double, Int, Int, Int, String)].collect()
+      .map(r => r._1 -> r._8).toMap
+    val exactAgree = reg.count(r => q45(r._1) == r._5).toDouble / reg.size
+    assert(exactAgree >= 0.95,
+      s"rank-quantile segmentation drifted from q45's: $exactAgree")
+    // the genuinely-sampled regime: a small budget on the spec corpus
+    // still scores every customer, and segment agreement stays in the
+    // band the production swap promises (measured 0.971 at sf0.01
+    // with k=512/1500; k=32/150 is a harsher sample)
+    val small = graft.operators.Relational.q45bWith(spark, sfDir, 32)
+      .as[(Long, Int, Int, Int, String, String, Boolean)].collect().toSeq
+    assert(small.size == reg.size, "sampled boundaries must still score everyone")
+    val sampleAgree = small.count(_._7).toDouble / small.size
+    assert(sampleAgree >= 0.8 && sampleAgree < 1.0,
+      s"sampled-regime agreement out of band: $sampleAgree")
+    // exact leg is k-invariant: only the est columns may move
+    assert(small.map(r => r._1 -> r._5).toMap == reg.map(r => r._1 -> r._5).toMap,
+      "exact leg must not depend on the sample budget")
+  }
+
   test("q46 co-purchase equals an in-memory association mirror; floor and tiebreak hold") {
     val got = SparkEntry.queries("q46_copurchase")(spark, sfDir)
       .as[(Long, Long, Long, Long, Long, Double, Double, Double)].collect().toSeq

@@ -414,6 +414,10 @@ class PlanSpec extends SparkSpec {
       // q45/q46's cross joins are 1-row broadcasts (the quintile
       // boundary frame / the order-total scalar) — the q28 stance
       "q45_rfm", "q46_copurchase",
+      // q45b crosses TWO 1-row boundary frames (exact instrument +
+      // sampled product) onto the rollup — the q45/q68 stance; each
+      // boundary frame itself assembles three 1-row aggregates
+      "q45b_rfm_sketch",
       // q57's cross joins are the 1-row series-median and series-MAD
       // broadcasts attached to the |days|-sized ledger — the q28/q45
       // scalar stance (s57 presents through the same body)
