@@ -1846,6 +1846,75 @@ object Streaming {
     * stance. */
   lazy val s64Sql: String = graft.text.TextOps.t60Sql
 
+  /** s65's guarded fold: the foreachBatch IDEMPOTENT-SINK contract.
+    * State is (ledger, txn): the data table plus a transaction log
+    * holding one row per committed batch id (the Delta txn-log
+    * shape). A batch folds in ONLY if its id is absent from the log;
+    * a replayed id is a structural NO-OP — both artifacts pass
+    * through untouched. The guard consults the log with a bounded
+    * metadata read (|committed batches| rows, never a data scan) —
+    * exactly what a production writer does before committing a
+    * micro-batch to an external table. The data fold itself is
+    * s57's [[anomalyFoldBatch]] day-keyed sum-merge — deliberately
+    * the NON-idempotent fold class (sums double-count on
+    * redelivery), because that is the class the guard exists for:
+    * the set-based folds (s52/s64) survive replay by algebra, the
+    * sum-merges only by this contract. */
+  private[graft] def s65GuardedFold(ledger: DataFrame, txn: DataFrame,
+      batch: DataFrame, batchId: Long): Seq[DataFrame] = {
+    val seen = txn.filter(col("batch_id") === batchId).limit(1).count() > 0
+    if (seen) Seq(ledger, txn)
+    else Seq(
+      anomalyFoldBatch(ledger, batch),
+      txn.unionByName(txn.sparkSession.range(1)
+        .select(lit(batchId).as("batch_id"))))
+  }
+
+  /** s65's delivery schedule: the three standard event slices with
+    * the MIDDLE batch delivered twice under the same id — the
+    * at-least-once redelivery every production sink faces. */
+  private[graft] def s65Deliveries(ev: DataFrame): Seq[(Long, DataFrame)] = {
+    val sl = eventSlices(ev)
+    Seq(0L -> sl(0), 1L -> sl(1), 1L -> sl(1), 2L -> sl(2))
+  }
+
+  /** s65: exactly-once sink semantics — the streaming family proves
+    * fold == batch under slicing and row redelivery; THIS entry
+    * proves a replayed whole BATCH is a no-op through a batch-id
+    * transaction ledger (the foreachBatch idempotent-sink contract).
+    * The daily purchase ledger (q57's rollup — a sum-merge, NOT
+    * idempotent by algebra) folds through [[foldGenerations]] with
+    * batch 1 deliberately delivered twice; the guard skips the
+    * replay, so the oracle — the plain batch rollup over the full
+    * stream — only matches if the duplicate was genuinely dropped
+    * (a failed guard double-counts every overlap day and the gate
+    * hash catches it). StreamingSpec additionally pins
+    * replay-is-identity state-for-state and that the UNGUARDED fold
+    * does diverge. Scale: the guard is an O(|batches|) metadata
+    * read per commit; the data path is s57's bounded day-keyed
+    * sum-merge. */
+  def s65ExactlyOnce(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val R = graft.operators.Relational
+    val deliveries = s65Deliveries(ev)
+    val emptyLedger = R.q57Daily(ev.filter(lit(false)))
+    val emptyTxn = s.range(0).select(col("id").as("batch_id"))
+    val fin = foldGenerations(s,
+      graft.sources.Export.scratch("s65_once", dir),
+      Seq("g" -> emptyLedger, "l" -> emptyTxn),
+      deliveries.map(_._2)) { (st, b, i) =>
+      s65GuardedFold(st(0), st(1), b, deliveries(i)._1)
+    }
+    fin(0).orderBy("day")
+  }
+
+  /** s65's oracle: the daily purchase rollup over the FULL stream —
+    * a correct exactly-once sink is invisible to the report. */
+  val s65Sql: String =
+    """SELECT CAST(ts AS DATE) AS day, count(*) AS purchases
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s34_stream_tumbling" -> (s34StreamTumbling _),
     "s35_stream_join" -> (s35StreamJoin _),
@@ -1877,7 +1946,8 @@ object Streaming {
     "s61_stream_xmr" -> (s61StreamXmr _),
     "s62_stream_forecast" -> (s62StreamForecast _),
     "s63_stream_sessions" -> (s63StreamSessions _),
-    "s64_stream_weighted_sample" -> (s64StreamWeightedSample _))
+    "s64_stream_weighted_sample" -> (s64StreamWeightedSample _),
+    "s65_exactly_once" -> (s65ExactlyOnce _))
 
   def oracles: Map[String, String] = Map(
     "s34_stream_tumbling" -> s34Sql,
@@ -1910,5 +1980,6 @@ object Streaming {
     "s61_stream_xmr" -> s61Sql,
     "s62_stream_forecast" -> s62Sql,
     "s63_stream_sessions" -> s63Sql,
-    "s64_stream_weighted_sample" -> s64Sql)
+    "s64_stream_weighted_sample" -> s64Sql,
+    "s65_exactly_once" -> s65Sql)
 }

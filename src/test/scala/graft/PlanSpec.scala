@@ -640,6 +640,12 @@ class PlanSpec extends SparkSpec {
       // bounded-state rank over (k-row state ∪ batch clocks), pinned
       // by the t60 oracle and the residue-sliced fold
       "s64_stream_weighted_sample",
+      // s65 folds the s57 day ledger + a batch-id txn log through
+      // parquet generations at construction (with a deliberate
+      // duplicate delivery); per-batch plans are the s57 sum-merge
+      // plus an O(|batches|) ledger lookup, pinned by the full-stream
+      // oracle and the StreamingSpec replay-identity test
+      "s65_exactly_once",
       // s63 folds q69's session table through parquet generations at
       // construction; per-batch plans are one user-keyed window over
       // (1 seed row per user ∪ batch) + user-keyed open-slice joins,

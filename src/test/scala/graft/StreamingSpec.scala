@@ -1119,4 +1119,45 @@ class StreamingSpec extends SparkSpec {
       .as[(String, String, Long, Long, Double)].collect().toSeq
     assert(s54 == batch, "s54's registered fold != batch matrix")
   }
+
+  test("s65 exactly-once: replayed batch is a no-op, unguarded sum-merge diverges") {
+    val ev = Tables.events(spark, sfDir)
+    val R = graft.operators.Relational
+    // the registered entry folds batch 1 TWICE through the guard and
+    // must still equal the clean batch rollup
+    val got = SparkEntry.queries("s65_exactly_once")(spark, sfDir)
+      .as[(java.sql.Date, Long)].collect().toSeq
+    val clean = R.q57Daily(ev).orderBy("day")
+      .as[(java.sql.Date, Long)].collect().toSeq
+    assert(got == clean, "guarded fold with redelivery != batch rollup")
+
+    // replay-is-identity, state-for-state: re-offering a committed id
+    // returns BOTH artifacts unchanged (no write, no ledger growth)
+    val deliveries = Streaming.s65Deliveries(ev)
+    val ledger = R.q57Daily(deliveries(0)._2)
+    val txn = spark.range(1).select(lit(0L).as("batch_id"))
+    val replay = Streaming.s65GuardedFold(ledger, txn, deliveries(1)._2, 0L)
+    assert(replay(0).collect().toSeq == ledger.collect().toSeq &&
+      replay(1).as[Long].collect().toSeq == Seq(0L),
+      "replayed id must be a structural no-op")
+    // a FRESH id commits: data folds in and the ledger grows by one
+    val fresh = Streaming.s65GuardedFold(ledger, txn, deliveries(1)._2, 1L)
+    assert(fresh(1).as[Long].collect().sorted.toSeq == Seq(0L, 1L))
+
+    // the guard is NOT redundant: the same schedule through the raw
+    // sum-merge (no ledger) double-counts the replayed batch
+    val unguarded = deliveries.map(_._2).foldLeft(
+      R.q57Daily(ev.filter(lit(false)))) { (st, b) =>
+      Streaming.anomalyFoldBatch(st, b)
+    }.orderBy("day").as[(java.sql.Date, Long)].collect().toSeq
+    assert(unguarded != clean, "unguarded fold should double-count the replay")
+    // and the divergence is exactly the duplicated slice's days
+    val dupDays = R.q57Daily(deliveries(1)._2)
+      .as[(java.sql.Date, Long)].collect().map(r => r._1 -> r._2).toMap
+    val cleanMap = clean.toMap
+    val ungMap = unguarded.toMap
+    assert(dupDays.forall { case (d, c) => ungMap(d) == cleanMap(d) + c },
+      "divergence must be the replayed batch, day for day")
+    assert((ungMap.keySet -- dupDays.keySet).forall(d => ungMap(d) == cleanMap(d)))
+  }
 }
