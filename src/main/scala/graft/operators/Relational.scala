@@ -1174,6 +1174,83 @@ object Relational {
       |FROM expanded
       |ORDER BY user_id, change_type""".stripMargin
 
+  /** q77's version boundaries: version 0 is the base snapshot at the
+    * first cutoff; versions 1–3 append one change window each (the
+    * middle boundary is s42's shared cutoff, so this chain IS s42's
+    * incremental apply generalized to a version history). Version 3
+    * is the head. */
+  private[graft] val q77Cutoffs = Seq(
+    "2024-01-08 00:00:00",
+    graft.streaming.Streaming.s42Cutoff,
+    "2024-01-23 00:00:00")
+
+  /** Persist the version chain: the v0 base snapshot (latest-per-key
+    * INCLUDING tombstones — they keep their sequence so stale
+    * updates still lose, the s42 stance) plus one change-log parquet
+    * per version window. Real artifacts, not plan branches — a
+    * reader holds only the base and the logs, exactly Delta's
+    * checkpoint + commit-log layout. */
+  private[graft] def q77WriteChain(s: SparkSession, dir: String): String = {
+    val S = graft.streaming.Streaming
+    val ev = Tables.events(s, dir)
+      .select("user_id", "event_id", "ts", "event_type", "value")
+    val out = graft.sources.Export.scratch("q77_chain", dir)
+    S.applyChangesSnapshot(ev.filter(col("ts") <= lit(q77Cutoffs(0))))
+      .write.mode("overwrite").parquet(s"$out/v0")
+    (1 to 3).foreach { k =>
+      val lo = q77Cutoffs(k - 1)
+      val win =
+        if (k < 3) ev.filter(col("ts") > lit(lo) && col("ts") <= lit(q77Cutoffs(k)))
+        else ev.filter(col("ts") > lit(lo))
+      win.write.mode("overwrite").parquet(s"$out/changes_$k")
+    }
+    out
+  }
+
+  /** Read AS OF version k: base ∪ change logs ≤ k, replayed through
+    * the ONE latest-per-key rule ([[graft.streaming.Streaming
+    * .applyChangesSnapshot]]) — replay(v0, changes ≤ k) IS the
+    * versioned table. k = 0 reads the base alone (already
+    * latest-per-key; the re-apply is a no-op on it). */
+  private[graft] def q77AsOf(s: SparkSession, chain: String, k: Int): DataFrame = {
+    val parts = s.read.parquet(s"$chain/v0") +:
+      (1 to k).map(i => s.read.parquet(s"$chain/changes_$i"))
+    graft.streaming.Streaming.applyChangesSnapshot(parts.reduce(_.unionByName(_)))
+  }
+
+  /** q77: time-travel read — q35's two-snapshot diff generalized to
+    * a version-parameterized read over a PERSISTED change chain (the
+    * Delta `VERSION AS OF` contract): the registered face reads a
+    * MIDDLE version (k = 2 — neither base nor head, so both the
+    * replay and the truncation genuinely bite) and serves it through
+    * s42's shared serving view. InvariantSpec quantifies the closure
+    * over EVERY version: replay(v0, changes ≤ k) == the direct
+    * snapshot at cutoff k, artifact-level including tombstones, for
+    * k = 0..3, and pins the head to s42's registered output.
+    *
+    * Scale: a versioned read is the base snapshot plus k bounded
+    * change logs — one union + one latest-per-key shuffle; at scale
+    * base and logs share a user-bucketed layout (q33) and the
+    * replay is exchange-free. The chain write is 4 bounded exports
+    * (the q30/q35 persisted-artifact stance). */
+  def q77TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val chain = q77WriteChain(s, dir)
+    graft.streaming.Streaming.applyServing(q77AsOf(s, chain, 2))
+  }
+
+  /** DuckDB oracle for q77: the direct latest-per-key snapshot at
+    * version 2's cutoff — time travel must be indistinguishable from
+    * having queried the table back then. */
+  val q77Sql: String =
+    s"""SELECT user_id, event_id AS last_event_id,
+       | event_type AS last_event_type, ROUND(value, 4) AS last_value
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id
+       |    ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM events WHERE ts <= TIMESTAMP '${q77Cutoffs(2)}')
+       |WHERE rn = 1 AND event_type <> 'error'
+       |ORDER BY user_id""".stripMargin
+
   /** q36: lockup/vesting schedule evaluation — the reference's
     * lockups API arithmetic (rust-extract-apis/lockups/src/
     * lockup.rs:105-200, itself a copy of near/core-contracts
@@ -4363,6 +4440,7 @@ object Relational {
     "q33_bucketed_join" -> (q33BucketedJoin _),
     "q34_zorder" -> (q34Zorder _),
     "q35_snapshot_diff" -> (q35SnapshotDiff _),
+    "q77_time_travel" -> (q77TimeTravel _),
     "q36_lockup_schedule" -> (q36LockupSchedule _),
     "q37_lockup_termination" -> (q37LockupTermination _),
     "q38_mv_maintenance" -> (q38MvMaintenance _),
@@ -4531,6 +4609,7 @@ object Relational {
     "q33_bucketed_join" -> q33Sql,
     "q34_zorder" -> q34Sql,
     "q35_snapshot_diff" -> q35Sql,
+    "q77_time_travel" -> q77Sql,
     "q36_lockup_schedule" -> q36Sql,
     "q37_lockup_termination" -> q37Sql,
     "q38_mv_maintenance" -> q38Sql,

@@ -507,15 +507,21 @@ object Streaming {
       .write.mode("overwrite").parquet(targetDir)
     val changes = ev.filter(col("ts") > lit(s42Cutoff))
       .select("user_id", "event_id", "ts", "event_type", "value")
-    applyChangesSnapshot(s.read.parquet(targetDir).unionByName(changes))
-      .filter(col("event_type") =!= "error") // tombstones leave the serving view
+    applyServing(
+      applyChangesSnapshot(s.read.parquet(targetDir).unionByName(changes)))
+  }
+
+  /** The serving view over an apply-changes snapshot: tombstones
+    * leave, the last-image columns get their serving names. ONE
+    * definition shared by s42 and q77's time-travel reads. */
+  private[graft] def applyServing(snap: DataFrame): DataFrame =
+    snap.filter(col("event_type") =!= "error")
       .select(
         col("user_id"),
         col("event_id").as("last_event_id"),
         col("event_type").as("last_event_type"),
         round(col("value"), 4).as("last_value"))
       .orderBy("user_id")
-  }
 
   /** DuckDB oracle for s42: the full recompute — latest-per-key over
     * ALL events with the delete rule applied at the end. Matching

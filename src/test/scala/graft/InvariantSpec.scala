@@ -449,6 +449,34 @@ class InvariantSpec extends SparkSpec {
       "exact leg must not depend on the sample budget")
   }
 
+  test("q77 time travel: replay(v0, changes<=k) == direct snapshot for EVERY version; head == s42") {
+    val R = graft.operators.Relational
+    val S = graft.streaming.Streaming
+    val ev = Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "ts", "event_type", "value")
+    val chain = R.q77WriteChain(spark, sfDir)
+    val cuts = R.q77Cutoffs
+    // the Delta CDF closure, quantified over every version —
+    // artifact level, INCLUDING tombstone rows
+    for (k <- 0 to 3) {
+      val replayed = R.q77AsOf(spark, chain, k)
+        .orderBy("user_id").collect().toSeq
+      val direct = S.applyChangesSnapshot(
+        if (k < 3) ev.filter(col("ts") <= lit(cuts(k))) else ev)
+        .orderBy("user_id").collect().toSeq
+      assert(replayed == direct, s"version $k: replay != direct snapshot")
+      assert(replayed.nonEmpty, s"version $k empty")
+    }
+    // the head's serving view IS s42's registered incremental apply
+    val head = S.applyServing(R.q77AsOf(spark, chain, 3)).collect().toSeq
+    val s42 = SparkEntry.queries("s42_apply_changes")(spark, sfDir).collect().toSeq
+    assert(head == s42, "head version != s42's incremental apply")
+    // the chain is non-degenerate: versions differ
+    val heads = (0 to 3).map(k => R.q77AsOf(spark, chain, k)
+      .agg(max("event_id")).head.getLong(0))
+    assert(heads.distinct.size >= 2, s"degenerate chain: $heads")
+  }
+
   test("q46 co-purchase equals an in-memory association mirror; floor and tiebreak hold") {
     val got = SparkEntry.queries("q46_copurchase")(spark, sfDir)
       .as[(Long, Long, Long, Long, Long, Double, Double, Double)].collect().toSeq

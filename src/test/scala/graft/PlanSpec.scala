@@ -640,6 +640,12 @@ class PlanSpec extends SparkSpec {
       // bounded-state rank over (k-row state ∪ batch clocks), pinned
       // by the t60 oracle and the residue-sliced fold
       "s64_stream_weighted_sample",
+      // q77 persists its base snapshot + three change logs at
+      // construction (the q35/s42 eager-artifact stance); the AS OF
+      // read is one union + one latest-per-key window, pinned by the
+      // direct-snapshot oracle and the InvariantSpec all-version
+      // closure
+      "q77_time_travel",
       // s65 folds the s57 day ledger + a batch-id txn log through
       // parquet generations at construction (with a deliberate
       // duplicate delivery); per-batch plans are the s57 sum-merge
