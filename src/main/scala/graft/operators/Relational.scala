@@ -1190,11 +1190,12 @@ object Relational {
     * per version window. Real artifacts, not plan branches — a
     * reader holds only the base and the logs, exactly Delta's
     * checkpoint + commit-log layout. */
-  private[graft] def q77WriteChain(s: SparkSession, dir: String): String = {
+  private[graft] def q77WriteChain(s: SparkSession, dir: String,
+      tag: String = "q77_chain"): String = {
     val S = graft.streaming.Streaming
     val ev = Tables.events(s, dir)
       .select("user_id", "event_id", "ts", "event_type", "value")
-    val out = graft.sources.Export.scratch("q77_chain", dir)
+    val out = graft.sources.Export.scratch(tag, dir)
     S.applyChangesSnapshot(ev.filter(col("ts") <= lit(q77Cutoffs(0))))
       .write.mode("overwrite").parquet(s"$out/v0")
     (1 to 3).foreach { k =>
@@ -1236,6 +1237,58 @@ object Relational {
   def q77TimeTravel(s: SparkSession, dir: String): DataFrame = {
     val chain = q77WriteChain(s, dir)
     graft.streaming.Streaming.applyServing(q77AsOf(s, chain, 2))
+  }
+
+  /** q78's retention horizon: versions strictly below it lose their
+    * logs; the checkpoint at the horizon becomes the new base. */
+  private[graft] val q78Horizon = 1
+
+  /** Vacuum a q77 chain IN PLACE to `horizon`: materialize the
+    * checkpoint snapshot AS OF horizon (one replay — the Delta
+    * checkpoint write), then DELETE the base and the compacted logs.
+    * Order matters: the checkpoint is written and durable BEFORE
+    * anything is removed, so a crash mid-vacuum never loses a
+    * readable version. Deletion is O(#files) metadata. */
+  private[graft] def q78VacuumChain(s: SparkSession, chain: String,
+      horizon: Int): Unit = {
+    q77AsOf(s, chain, horizon).write.mode("overwrite").parquet(s"$chain/ckpt")
+    graft.sources.Export.deleteTree(s"$chain/v0")
+    (1 to horizon).foreach(k =>
+      graft.sources.Export.deleteTree(s"$chain/changes_$k"))
+  }
+
+  /** Read AS OF version k against a vacuumed chain: the checkpoint
+    * plus the surviving logs (horizon, k]. k below the horizon is
+    * GONE — the retention contract makes that a fail-fast, not a
+    * wrong answer. */
+  private[graft] def q78AsOf(s: SparkSession, chain: String,
+      horizon: Int, k: Int): DataFrame = {
+    require(k >= horizon,
+      s"version $k is below the retention horizon $horizon")
+    val parts = s.read.parquet(s"$chain/ckpt") +:
+      (horizon + 1 to k).map(i => s.read.parquet(s"$chain/changes_$i"))
+    graft.streaming.Streaming.applyChangesSnapshot(parts.reduce(_.unionByName(_)))
+  }
+
+  /** q78: VACUUM / retention — time travel's other half (q77 reads
+    * any version; q78 bounds how far back "any" goes, which is what
+    * makes a 100 TB change chain storable): checkpoint the table AS
+    * OF the horizon, delete the base and compacted logs in place,
+    * keep serving every surviving version IDENTICALLY. The
+    * registered face reads the SAME middle version q77 serves, but
+    * through the vacuumed chain — so its oracle IS q77's (retention
+    * must be invisible above the horizon; the q42/q31 shared-oracle
+    * stance). InvariantSpec pins the full contract: every surviving
+    * version byte-equal to its pre-vacuum read, below-horizon reads
+    * fail fast, and the dropped artifacts are genuinely gone.
+    *
+    * Scale: the checkpoint is ONE replay of (old base + horizon
+    * logs) — the same one-union-one-window plan as any read; the
+    * deletes are O(#files) metadata; nothing else moves. */
+  def q78Retention(s: SparkSession, dir: String): DataFrame = {
+    val chain = q77WriteChain(s, dir, "q78_chain")
+    q78VacuumChain(s, chain, q78Horizon)
+    graft.streaming.Streaming.applyServing(q78AsOf(s, chain, q78Horizon, 2))
   }
 
   /** DuckDB oracle for q77: the direct latest-per-key snapshot at
@@ -4441,6 +4494,7 @@ object Relational {
     "q34_zorder" -> (q34Zorder _),
     "q35_snapshot_diff" -> (q35SnapshotDiff _),
     "q77_time_travel" -> (q77TimeTravel _),
+    "q78_retention" -> (q78Retention _),
     "q36_lockup_schedule" -> (q36LockupSchedule _),
     "q37_lockup_termination" -> (q37LockupTermination _),
     "q38_mv_maintenance" -> (q38MvMaintenance _),
@@ -4610,6 +4664,9 @@ object Relational {
     "q34_zorder" -> q34Sql,
     "q35_snapshot_diff" -> q35Sql,
     "q77_time_travel" -> q77Sql,
+    // q78 serves the SAME version q77 does, through the vacuumed
+    // chain - retention above the horizon must be invisible
+    "q78_retention" -> q77Sql,
     "q36_lockup_schedule" -> q36Sql,
     "q37_lockup_termination" -> q37Sql,
     "q38_mv_maintenance" -> q38Sql,

@@ -54,6 +54,10 @@ object Export {
         if (f.getName.startsWith("graft_") && f.lastModified < cutoff) rm(f)
       })
   }
+  /** Recursive delete of a scratch SUBTREE — q78's vacuum uses this
+    * to drop compacted version logs in place (O(#files) metadata). */
+  private[graft] def deleteTree(path: String): Unit = rm(new java.io.File(path))
+
   /** The per-JVM token, for callers that need unique CATALOG names
     * (q33's bucketed tables) with the same concurrency rationale as
     * scratch() paths. */

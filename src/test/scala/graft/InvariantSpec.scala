@@ -477,6 +477,36 @@ class InvariantSpec extends SparkSpec {
     assert(heads.distinct.size >= 2, s"degenerate chain: $heads")
   }
 
+  test("q78 vacuum: surviving versions identical, below-horizon fails fast, artifacts gone") {
+    val R = graft.operators.Relational
+    val chain = R.q77WriteChain(spark, sfDir, "q78spec_chain")
+    val h = R.q78Horizon
+    val before = (h to 3).map(k =>
+      R.q77AsOf(spark, chain, k).orderBy("user_id").collect().toSeq)
+    R.q78VacuumChain(spark, chain, h)
+    // every surviving version reads byte-identically through the
+    // checkpoint + surviving logs
+    (h to 3).zip(before).foreach { case (k, b) =>
+      val after = R.q78AsOf(spark, chain, h, k).orderBy("user_id").collect().toSeq
+      assert(after == b, s"version $k changed across vacuum")
+    }
+    // below the horizon: a fail-fast, not a wrong answer
+    intercept[IllegalArgumentException] {
+      R.q78AsOf(spark, chain, h, h - 1)
+    }
+    // the base and compacted logs are genuinely gone; the surviving
+    // logs and the checkpoint are present
+    assert(!new java.io.File(s"$chain/v0").exists, "old base must be deleted")
+    (1 to h).foreach(k => assert(!new java.io.File(s"$chain/changes_$k").exists,
+      s"compacted log $k must be deleted"))
+    assert(new java.io.File(s"$chain/ckpt").exists)
+    (h + 1 to 3).foreach(k => assert(new java.io.File(s"$chain/changes_$k").exists))
+    // the registered face serves exactly what q77 serves
+    val a = SparkEntry.queries("q78_retention")(spark, sfDir).collect().toSeq
+    val b = SparkEntry.queries("q77_time_travel")(spark, sfDir).collect().toSeq
+    assert(a == b, "q78's served version != q77's")
+  }
+
   test("q46 co-purchase equals an in-memory association mirror; floor and tiebreak hold") {
     val got = SparkEntry.queries("q46_copurchase")(spark, sfDir)
       .as[(Long, Long, Long, Long, Long, Double, Double, Double)].collect().toSeq

@@ -646,6 +646,10 @@ class PlanSpec extends SparkSpec {
       // direct-snapshot oracle and the InvariantSpec all-version
       // closure
       "q77_time_travel",
+      // q78 builds its own chain, checkpoints, and deletes in place
+      // at construction; the surviving-version identity and fail-fast
+      // horizon are pinned by the InvariantSpec vacuum test
+      "q78_retention",
       // s65 folds the s57 day ledger + a batch-id txn log through
       // parquet generations at construction (with a deliberate
       // duplicate delivery); per-batch plans are the s57 sum-merge
