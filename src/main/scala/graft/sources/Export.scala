@@ -424,11 +424,17 @@ object Export {
     val src = Tables.orders(s, dir)
       .withColumn("o_year", year(col("o_orderdate")))
     val out = scratch("q76_skip", dir)
-    src.repartitionByRange(8, col("o_orderkey"))
-      .sortWithinPartitions("o_orderkey")
-      .write.mode("overwrite").parquet(out)
+    q76ClusterWrite(src, out, "overwrite")
     out
   }
+
+  /** The range-clustered write q76's skipping depends on — shared by
+    * q76's one-shot layout and q79's append path so both halves of
+    * an appended table carry the same narrow per-file spans. */
+  private[graft] def q76ClusterWrite(df: DataFrame, out: String, mode: String): Unit =
+    df.repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode(mode).parquet(out)
 
   /** Build the min/max sidecar for a layout: one row per data file
     * with the skip column's span, computed distributed (the file
@@ -437,12 +443,18 @@ object Export {
     * artifact next to the layout. At 100 TB this is the Delta/
     * Iceberg stats manifest: O(#files) rows, rebuilt incrementally
     * per write in a real table format. */
-  private[graft] def q76Sidecar(s: SparkSession, layout: String): String = {
-    val side = layout + "_sidecar"
-    s.read.parquet(layout)
+  /** Per-file min/max stats rows for an explicit path set (or a
+    * whole layout dir) — the manifest builder q76's one-shot sidecar
+    * and q79's incremental maintenance share. */
+  private[graft] def q76SidecarRows(s: SparkSession, paths: Seq[String]): DataFrame =
+    s.read.parquet(paths: _*)
       .select(col("_metadata.file_path").as("file"), col("o_orderkey"))
       .groupBy("file")
       .agg(min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+
+  private[graft] def q76Sidecar(s: SparkSession, layout: String): String = {
+    val side = layout + "_sidecar"
+    q76SidecarRows(s, Seq(layout))
       .coalesce(1).write.mode("overwrite").parquet(side)
     side
   }
@@ -481,11 +493,17 @@ object Export {
     val (rows, kept, total) = q76ProbeFiles(s, layout, side, q76Lo, q76Hi)
     require(kept < total,
       s"q76: skipping must engage ($kept of $total files kept)")
+    q76Face(rows)
+  }
+
+  /** The probe's rollup face — shared by q76 and q79 (both answer
+    * the same range query, q79 through the incrementally-maintained
+    * manifest). */
+  private[graft] def q76Face(rows: DataFrame): DataFrame =
     rows.groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
       .agg(count(lit(1)).as("orders"),
         sum(expr("cast(round(o_totalprice * 100, 0) as bigint)")).as("cents"))
       .orderBy("o_year")
-  }
 
   val q76Sql: String =
     s"""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
@@ -495,13 +513,73 @@ object Export {
        |FROM orders WHERE o_orderkey BETWEEN $q76Lo AND $q76Hi
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** List a layout's parquet data files (absolute paths, sorted) —
+    * the metadata read q79's append diff is computed from. */
+  private[graft] def listParquet(dir: String): Seq[String] = {
+    val it = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try {
+      import scala.jdk.CollectionConverters._
+      it.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toVector.sorted
+    } finally it.close()
+  }
+
+  /** q79's appended layout: the initial half of orders clustered and
+    * written, then the second half APPENDED through the same
+    * cluster-write — the listing diff names the new files. Returns
+    * (layout, initialFiles, appendedFiles). */
+  private[graft] def q79Layout(s: SparkSession, dir: String)
+      : (String, Seq[String], Seq[String]) = {
+    val src = Tables.orders(s, dir)
+    val out = scratch("q79_skip", dir)
+    q76ClusterWrite(src.filter(col("o_orderkey") % 2 === 0), out, "overwrite")
+    val first = listParquet(out)
+    q76ClusterWrite(src.filter(col("o_orderkey") % 2 =!= 0), out, "append")
+    val appended = listParquet(out).diff(first)
+    (out, first, appended)
+  }
+
+  /** q79: incremental stats-manifest maintenance — the path a REAL
+    * table format takes (q76 rebuilds its sidecar from the whole
+    * layout; no production manifest is ever rebuilt per append):
+    * after an append, the manifest is updated by scanning ONLY the
+    * new files — named by a listing diff, a metadata read — and
+    * unioning their stats rows into the existing sidecar. The
+    * registered face probes the appended table's full key range
+    * through the incrementally-maintained manifest; its oracle IS
+    * q76's (the two halves union to the whole table, and a correct
+    * manifest is invisible to the reader — the q42/q78 shared-oracle
+    * stance). ExportSpec pins manifest == full rebuild row-for-row,
+    * that the maintenance scan reads EXACTLY the appended files
+    * (numFiles metric), and the no-skipped-row law through the
+    * incremental manifest. Scale: per append the stats cost is
+    * O(new files' rows), the union O(#files) metadata — never a
+    * re-scan of the table. */
+  def q79IncrementalStats(s: SparkSession, dir: String): DataFrame = {
+    val (layout, first, appended) = q79Layout(s, dir)
+    require(first.nonEmpty && appended.nonEmpty,
+      s"q79: both generations must write files (${first.size}/${appended.size})")
+    val side = layout + "_sidecar"
+    q76SidecarRows(s, first)
+      .coalesce(1).write.mode("overwrite").parquet(side)
+    // the incremental maintenance step: old manifest ∪ new-file stats
+    val side2 = layout + "_sidecar_v2"
+    s.read.parquet(side).unionByName(q76SidecarRows(s, appended))
+      .coalesce(1).write.mode("overwrite").parquet(side2)
+    val (rows, kept, total) = q76ProbeFiles(s, layout, side2, q76Lo, q76Hi)
+    require(kept < total,
+      s"q79: skipping must engage ($kept of $total files kept)")
+    q76Face(rows)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_incremental_export" -> (q30IncrementalExport _),
     "q31_export_roundtrip" -> (q31ExportRoundtrip _),
     "q42_jsonl_roundtrip" -> (q42JsonlRoundtrip _),
     "q74_pruned_export" -> (q74PrunedExport _),
     "q75_compaction" -> (q75Compaction _),
-    "q76_data_skipping" -> (q76DataSkipping _))
+    "q76_data_skipping" -> (q76DataSkipping _),
+    "q79_incremental_stats" -> (q79IncrementalStats _))
 
   def oracles: Map[String, String] = Map(
     "q30_incremental_export" -> q30Sql,
@@ -509,5 +587,9 @@ object Export {
     "q42_jsonl_roundtrip" -> q42Sql,
     "q74_pruned_export" -> q74Sql,
     "q75_compaction" -> q75Sql,
-    "q76_data_skipping" -> q76Sql)
+    "q76_data_skipping" -> q76Sql,
+    // q79 answers the same range query over the same (appended) table
+    // through the incrementally-maintained manifest - a correct
+    // manifest is invisible to the reader
+    "q79_incremental_stats" -> q76Sql)
 }

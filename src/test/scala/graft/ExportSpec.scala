@@ -256,4 +256,41 @@ class ExportSpec extends SparkSpec {
     assert(filesRead == kept,
       s"scan must read exactly the kept files: $filesRead vs $kept")
   }
+
+  test("q79 incremental manifest == full rebuild; maintenance scans only the appended files") {
+    val (layout, first, appended) = Export.q79Layout(spark, sfDir)
+    assert(first.nonEmpty && appended.nonEmpty)
+    // the incremental manifest (old rows ∪ new-file stats) equals a
+    // full rebuild over the whole layout, row for row
+    val incremental = Export.q76SidecarRows(spark, first)
+      .unionByName(Export.q76SidecarRows(spark, appended))
+      .orderBy("file").collect().toSeq
+    val rebuilt = Export.q76SidecarRows(spark, Seq(layout))
+      .orderBy("file").collect().toSeq
+    assert(incremental == rebuilt, "incremental manifest != full rebuild")
+    // the maintenance scan touches EXACTLY the appended files — the
+    // incremental cost claim, pinned with the numFiles metric
+    val maint = Export.q76SidecarRows(spark, appended)
+    maint.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec        => scans(s.plan)
+      case s: FileSourceScanExec    => Seq(s)
+      case other                    => other.children.flatMap(scans)
+    }
+    val filesRead = scans(maint.queryExecution.executedPlan).head
+      .metrics("numFiles").value
+    assert(filesRead == appended.size,
+      s"maintenance must scan only new files: $filesRead vs ${appended.size}")
+    // the probe through the incrementally-maintained manifest loses
+    // no rows on the registered range (the q76 law, manifest swapped)
+    val got = SparkEntry.queries("q79_incremental_stats")(spark, sfDir)
+      .collect().toSeq
+    val direct = Export.q76Face(spark.read.parquet(layout)
+      .filter(col("o_orderkey").between(Export.q76Lo, Export.q76Hi)))
+      .collect().toSeq
+    assert(got == direct, "probe through incremental manifest != direct filter")
+  }
 }

@@ -635,6 +635,10 @@ class PlanSpec extends SparkSpec {
       // no-skipped-row law and the numFiles==kept pin live in
       // ExportSpec's dedicated test
       "q76_data_skipping",
+      // q79 writes + appends its layout and maintains the manifest at
+      // construction; manifest==rebuild and the only-new-files cost
+      // pin live in ExportSpec's dedicated test
+      "q79_incremental_stats",
       // s64 folds the bounded clock sample through parquet
       // generations at construction; per-batch plans are one
       // bounded-state rank over (k-row state ∪ batch clocks), pinned
