@@ -1923,43 +1923,53 @@ object Relational {
     * regime is exercised there too (sf0.001's 150 customers < 512
     * make the shipped k the degenerate-exact regime, the q68/t57
     * boundary stance). */
-  private[graft] def q45bWith(s: SparkSession, dir: String, k: Int): DataFrame = {
-    val per = q45Per(s, dir)
-    def stacked(src: DataFrame): DataFrame = src.select(explode(array(
+  /** Stack a (cust_key, recency_days, frequency, monetary) frame
+    * into (grp, v, key) rows for rank-quantile boundary selection —
+    * shared by q45b (double monetary) and s66 (integer cents; the
+    * double cast is exact for both). */
+  private[graft] def q45bStacked(src: DataFrame): DataFrame =
+    src.select(explode(array(
       struct(lit("r").as("grp"), col("recency_days").cast("double").as("v"),
         col("cust_key").as("key")),
       struct(lit("f").as("grp"), col("frequency").cast("double").as("v"),
         col("cust_key").as("key")),
-      struct(lit("m").as("grp"), col("monetary").as("v"),
+      struct(lit("m").as("grp"), col("monetary").cast("double").as("v"),
         col("cust_key").as("key")))).as("x")).select("x.*")
+
+  /** One 1-row frame of sorted quintile-boundary arrays
+    * (rb/fb/mb + suffix) for a metric frame — the boundary pass
+    * q45b runs twice (exact + sampled) and s66 runs on its live
+    * state. */
+  private[graft] def q45bWide(src: DataFrame, suffix: String): DataFrame = {
+    val qs = q68RankQuantilesAt(q45bStacked(src), Seq(0.2, 0.4, 0.6, 0.8))
+    def b(g: String) = qs.filter(col("grp") === g)
+      .agg(array_sort(collect_list(col("v"))).as(s"${g}b$suffix"))
+    b("r").crossJoin(b("f")).crossJoin(b("m"))
+  }
+
+  /** Apply the three boundary-count scores against the `sfx` arrays,
+    * binding them to the given column names — q45's strictly-greater
+    * counting, ONE definition for every consumer. */
+  private[graft] def q45bApplyScores(df: DataFrame, sfx: String,
+      names: (String, String, String)): DataFrame =
+    df.withColumn(names._1,
+        lit(5) - size(filter(col(s"rb$sfx"), x => col("recency_days") > x)))
+      .withColumn(names._2,
+        lit(1) + size(filter(col(s"fb$sfx"), x => col("frequency") > x)))
+      .withColumn(names._3,
+        lit(1) + size(filter(col(s"mb$sfx"), x => col("monetary") > x)))
+
+  private[graft] def q45bWith(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val per = q45Per(s, dir)
     val samp = per.withColumn("draw", expr(
         "cast(conv(substring(md5(cast(cust_key as string)), 1, 7), 16, 10) as bigint)"))
       .orderBy(col("draw"), col("cust_key")).limit(k)
       .drop("draw")
-    val probes = Seq(0.2, 0.4, 0.6, 0.8)
-    // one 1-row frame of sorted boundary arrays per leg (suffix x =
-    // exact instrument, s = sampled product)
-    def wide(src: DataFrame, suffix: String): DataFrame = {
-      val qs = q68RankQuantilesAt(stacked(src), probes)
-      def b(g: String) = qs.filter(col("grp") === g)
-        .agg(array_sort(collect_list(col("v"))).as(s"${g}b$suffix"))
-      b("r").crossJoin(b("f")).crossJoin(b("m"))
-    }
-    val scored = per
-      .crossJoin(broadcast(wide(per, "x")))
-      .crossJoin(broadcast(wide(samp, "s")))
-      .withColumn("r_exact",
-        lit(5) - size(filter(col("rbx"), x => col("recency_days") > x)))
-      .withColumn("f_exact",
-        lit(1) + size(filter(col("fbx"), x => col("frequency") > x)))
-      .withColumn("m_exact",
-        lit(1) + size(filter(col("mbx"), x => col("monetary") > x)))
-      .withColumn("r_est",
-        lit(5) - size(filter(col("rbs"), x => col("recency_days") > x)))
-      .withColumn("f_est",
-        lit(1) + size(filter(col("fbs"), x => col("frequency") > x)))
-      .withColumn("m_est",
-        lit(1) + size(filter(col("mbs"), x => col("monetary") > x)))
+    val scored = q45bApplyScores(q45bApplyScores(
+      per.crossJoin(broadcast(q45bWide(per, "x")))
+        .crossJoin(broadcast(q45bWide(samp, "s"))),
+      "x", ("r_exact", "f_exact", "m_exact")),
+      "s", ("r_est", "f_est", "m_est"))
     scored.select(col("cust_key"),
       col("r_est"), col("f_est"), col("m_est"),
       q45Segment(col("r_exact"), col("f_exact"), col("m_exact")).as("seg_exact"),
@@ -1972,23 +1982,32 @@ object Relational {
     * bottom-k customer sample, identical rank-quantile boundary
     * selection on both legs, the shared segment CASE — the whole
     * sketch-vs-exact comparison replays byte-exactly. */
+  /** The q45b boundary-pass SQL builders — shared with s66's oracle
+    * so the stream's boundary arithmetic replays identically. */
+  private[graft] def q45bStackSql(src: String): String =
+    s"""SELECT 'r' AS grp, CAST(recency_days AS DOUBLE) AS v, cust_key AS key FROM $src
+       | UNION ALL SELECT 'f', CAST(frequency AS DOUBLE), cust_key FROM $src
+       | UNION ALL SELECT 'm', CAST(monetary AS DOUBLE), cust_key FROM $src""".stripMargin
+  private[graft] def q45bQSql(stk: String): String =
+    s"""SELECT grp, p, v FROM (
+       |  SELECT grp, v,
+       |   row_number() OVER (PARTITION BY grp ORDER BY v, key) AS rn,
+       |   count(*) OVER (PARTITION BY grp) AS n
+       |  FROM $stk) CROSS JOIN probes
+       | WHERE rn = CAST(ceil(p * n) AS BIGINT)""".stripMargin
+  private[graft] def q45bWideSql(q: String, sfx: String): String =
+    s"""SELECT
+       | (SELECT list_sort(list(v)) FROM $q WHERE grp = 'r') AS rb$sfx,
+       | (SELECT list_sort(list(v)) FROM $q WHERE grp = 'f') AS fb$sfx,
+       | (SELECT list_sort(list(v)) FROM $q WHERE grp = 'm') AS mb$sfx""".stripMargin
+  /** The probes CTE every q45b-style oracle shares. */
+  private[graft] val q45bProbesCte: String =
+    "probes AS (SELECT CAST(unnest([0.2, 0.4, 0.6, 0.8]) AS DOUBLE) AS p)"
+
   val q45bSql: String = {
-    def stackSql(src: String) =
-      s"""SELECT 'r' AS grp, CAST(recency_days AS DOUBLE) AS v, cust_key AS key FROM $src
-         | UNION ALL SELECT 'f', CAST(frequency AS DOUBLE), cust_key FROM $src
-         | UNION ALL SELECT 'm', monetary, cust_key FROM $src""".stripMargin
-    def qSql(stk: String) =
-      s"""SELECT grp, p, v FROM (
-         |  SELECT grp, v,
-         |   row_number() OVER (PARTITION BY grp ORDER BY v, key) AS rn,
-         |   count(*) OVER (PARTITION BY grp) AS n
-         |  FROM $stk) CROSS JOIN probes
-         | WHERE rn = CAST(ceil(p * n) AS BIGINT)""".stripMargin
-    def wideSql(q: String, sfx: String) =
-      s"""SELECT
-         | (SELECT list_sort(list(v)) FROM $q WHERE grp = 'r') AS rb$sfx,
-         | (SELECT list_sort(list(v)) FROM $q WHERE grp = 'f') AS fb$sfx,
-         | (SELECT list_sort(list(v)) FROM $q WHERE grp = 'm') AS mb$sfx""".stripMargin
+    def stackSql(src: String) = q45bStackSql(src)
+    def qSql(stk: String) = q45bQSql(stk)
+    def wideSql(q: String, sfx: String) = q45bWideSql(q, sfx)
     s"""WITH $q45PerCte,
        |samp AS (
        | SELECT cust_key, recency_days, frequency, monetary FROM (
@@ -1996,7 +2015,7 @@ object Relational {
        |    CAST(('0x' || substr(md5(CAST(cust_key AS VARCHAR)), 1, 7)) AS BIGINT),
        |    cust_key) AS srk
        |  FROM per) WHERE srk <= $q45bK),
-       |probes AS (SELECT CAST(unnest([0.2, 0.4, 0.6, 0.8]) AS DOUBLE) AS p),
+       |$q45bProbesCte,
        |stx AS (${stackSql("per")}),
        |sts AS (${stackSql("samp")}),
        |qx AS (${qSql("stx")}),

@@ -1921,6 +1921,105 @@ object Streaming {
       |FROM events WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** s66's per-customer batch rollup: last order date (max-merge),
+    * order count (sum-merge), spend in integer cents (sum-merge —
+    * the q60 discipline: float sums are order-sensitive across
+    * slicings, integer sums are not, which is what makes this fold
+    * byte-exact under ANY batch boundary). */
+  private[graft] def s66BatchRollup(ord: DataFrame): DataFrame =
+    ord.groupBy(col("o_custkey").as("cust_key"))
+      .agg(to_date(max(col("o_orderdate"))).as("last_odate"),
+        count(lit(1)).as("frequency"),
+        sum(expr("cast(round(o_totalprice * 100, 0) as bigint)")).as("cents"))
+
+  /** s66's state fold: customer-keyed exact merge (max date, two
+    * integer sums) — associative and commutative, so the ledger is
+    * slicing-independent (the s57 sum-merge stance, customer-keyed).
+    * State is one row per customer seen so far. */
+  def rfmFoldBatch(state: DataFrame, batch: DataFrame): DataFrame =
+    state.unionByName(s66BatchRollup(batch))
+      .groupBy("cust_key")
+      .agg(max(col("last_odate")).as("last_odate"),
+        sum(col("frequency")).as("frequency"),
+        sum(col("cents")).as("cents"))
+
+  /** s66's readout: the live customer state scored through q45b's
+    * shared boundary machinery — rank-quantile quintiles over the
+    * state's own population (integer metrics end to end), q45's
+    * shared segment rule. */
+  private[graft] def s66Present(state: DataFrame): DataFrame = {
+    val R = graft.operators.Relational
+    val per = state.select(col("cust_key"),
+      datediff(lit("2001-09-01").cast("date"), col("last_odate"))
+        .as("recency_days"),
+      col("frequency"),
+      col("cents").as("monetary"))
+    val scored = R.q45bApplyScores(
+      per.crossJoin(broadcast(R.q45bWide(per, "x"))),
+      "x", ("r_score", "f_score", "m_score"))
+    scored.select(col("cust_key"), col("recency_days"), col("frequency"),
+      col("monetary").as("monetary_cents"),
+      col("r_score"), col("f_score"), col("m_score"),
+      R.q45Segment(col("r_score"), col("f_score"), col("m_score"))
+        .as("segment"))
+      .orderBy("cust_key")
+  }
+
+  /** s66: LIVE RFM — q45 kept current over the arriving order stream
+    * (the segmentation a marketing platform actually serves: scores
+    * move as orders land, not on a nightly batch): per batch one
+    * customer-keyed exact merge (max date + two integer sums — the
+    * q60 cents discipline makes the fold byte-exact under any
+    * slicing); presentation scores the state through q45b's shared
+    * rank-quantile boundary pass and q45's shared segment rule.
+    * Scale: state is one row per customer; per batch the merge
+    * exchanges |batch customers| rows; the boundary pass at serving
+    * is three sorts over the state — at 100 TB you swap in q45b's
+    * bottom-k sampled boundaries, the documented register swap that
+    * is now CODE (q45b), not prose. */
+  def s66StreamRfm(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+    val fin = foldGenerations(s,
+      graft.sources.Export.scratch("s66_rfm", dir),
+      Seq("g" -> s66BatchRollup(ord.filter(lit(false)))),
+      orderSlices(ord)) { (st, b, _) =>
+      Seq(rfmFoldBatch(st(0), b))
+    }
+    s66Present(fin(0))
+  }
+
+  /** DuckDB oracle for s66: the cents-based rollup straight off the
+    * full order table, the SAME q45b boundary SQL builders, the
+    * SAME segment CASE — slicing must be invisible. LAZY per the
+    * s45Sql stance (an eager val here runs during the
+    * Relational↔Streaming object-init cycle and bakes nulls into
+    * the SQL). */
+  lazy val s66Sql: String = {
+    val R = graft.operators.Relational
+    s"""WITH per AS (
+       | SELECT o_custkey AS cust_key,
+       |  CAST(datediff('day', CAST(max(o_orderdate) AS DATE), DATE '2001-09-01') AS INT)
+       |    AS recency_days,
+       |  count(*) AS frequency,
+       |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+       |   AS monetary
+       | FROM orders GROUP BY 1),
+       |${R.q45bProbesCte},
+       |stx AS (${R.q45bStackSql("per")}),
+       |qx AS (${R.q45bQSql("stx")}),
+       |wx AS (${R.q45bWideSql("qx", "x")}),
+       |scored AS (
+       | SELECT cust_key, recency_days, frequency, monetary,
+       |  CAST(5 - len(list_filter(rbx, x -> recency_days > x)) AS INT) AS r_score,
+       |  CAST(1 + len(list_filter(fbx, x -> frequency > x)) AS INT) AS f_score,
+       |  CAST(1 + len(list_filter(mbx, x -> monetary > x)) AS INT) AS m_score
+       | FROM per, wx)
+       |SELECT cust_key, recency_days, frequency, monetary AS monetary_cents,
+       | r_score, f_score, m_score,
+       | ${R.q45SegmentSql("r_score", "f_score", "m_score")} AS segment
+       |FROM scored ORDER BY cust_key""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s34_stream_tumbling" -> (s34StreamTumbling _),
     "s35_stream_join" -> (s35StreamJoin _),
@@ -1953,7 +2052,8 @@ object Streaming {
     "s62_stream_forecast" -> (s62StreamForecast _),
     "s63_stream_sessions" -> (s63StreamSessions _),
     "s64_stream_weighted_sample" -> (s64StreamWeightedSample _),
-    "s65_exactly_once" -> (s65ExactlyOnce _))
+    "s65_exactly_once" -> (s65ExactlyOnce _),
+    "s66_stream_rfm" -> (s66StreamRfm _))
 
   def oracles: Map[String, String] = Map(
     "s34_stream_tumbling" -> s34Sql,
@@ -1987,5 +2087,6 @@ object Streaming {
     "s62_stream_forecast" -> s62Sql,
     "s63_stream_sessions" -> s63Sql,
     "s64_stream_weighted_sample" -> s64Sql,
-    "s65_exactly_once" -> s65Sql)
+    "s65_exactly_once" -> s65Sql,
+    "s66_stream_rfm" -> s66Sql)
 }

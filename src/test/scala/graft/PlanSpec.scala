@@ -660,6 +660,12 @@ class PlanSpec extends SparkSpec {
       // plus an O(|batches|) ledger lookup, pinned by the full-stream
       // oracle and the StreamingSpec replay-identity test
       "s65_exactly_once",
+      // s66 folds the customer RFM ledger through parquet generations
+      // at construction; per-batch plans are one customer-keyed exact
+      // merge, presentation the q45b boundary pass (two 1-row
+      // broadcasts), pinned by the cents oracle and the StreamingSpec
+      // residue-fold test
+      "s66_stream_rfm",
       // s63 folds q69's session table through parquet generations at
       // construction; per-batch plans are one user-keyed window over
       // (1 seed row per user ∪ batch) + user-keyed open-slice joins,

@@ -1120,6 +1120,25 @@ class StreamingSpec extends SparkSpec {
     assert(s54 == batch, "s54's registered fold != batch matrix")
   }
 
+  test("s66 live RFM: residue fold == time fold == batch; one state row per customer") {
+    val ord = Tables.orders(spark, sfDir)
+    val reg = SparkEntry.queries("s66_stream_rfm")(spark, sfDir).collect().toSeq
+    assert(reg.nonEmpty)
+    // residue slices interleave every customer's orders across all
+    // batches — max/sum merges must not care
+    val folded = Seq(0, 1, 2).map(r => ord.filter(col("o_orderkey") % 3 === r))
+      .foldLeft(Streaming.s66BatchRollup(ord.filter(lit(false)))) {
+        (st, b) => Streaming.rfmFoldBatch(st, b)
+      }
+    assert(folded.count() == folded.select("cust_key").distinct().count(),
+      "state must hold exactly one row per customer")
+    assert(Streaming.s66Present(folded).collect().toSeq == reg,
+      "residue-sliced fold != registered time-sliced fold")
+    // and both equal the unsliced batch rollup
+    assert(Streaming.s66Present(Streaming.s66BatchRollup(ord)).collect().toSeq == reg,
+      "fold != single-batch rollup")
+  }
+
   test("s65 exactly-once: replayed batch is a no-op, unguarded sum-merge diverges") {
     val ev = Tables.events(spark, sfDir)
     val R = graft.operators.Relational
