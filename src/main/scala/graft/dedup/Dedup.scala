@@ -3051,8 +3051,14 @@ object Dedup {
     val g = d52Grams(s, dir)
     val a = g.filter(col("doc_id") % 2 === 0).select("gram").distinct()
     val b = g.filter(col("doc_id") % 2 =!= 0).select("gram").distinct()
-    val sa = a.orderBy("gram").limit(d52K)
-    val sb = b.orderBy("gram").limit(d52K)
+    d52PairFrame(a, b, a.orderBy("gram").limit(d52K), b.orderBy("gram").limit(d52K))
+      .select(d52MetricCols: _*)
+  }
+
+  /** Assemble one corpus pair's 1-row count frame (exact legs + KMV
+    * sketch algebra) — shared by d52 and every d54 matrix cell. */
+  private[graft] def d52PairFrame(a: DataFrame, b: DataFrame,
+      sa: DataFrame, sb: DataFrame): DataFrame = {
     val su = sa.unionByName(sb).distinct().orderBy("gram").limit(d52K)
     val matches = su.join(sa, Seq("gram"), "left_semi")
       .join(sb, Seq("gram"), "left_semi")
@@ -3063,16 +3069,34 @@ object Dedup {
         a.join(b, Seq("gram")).agg(count(lit(1)).as("intersection"))))
       .crossJoin(broadcast(matches))
       .crossJoin(broadcast(su.agg(count(lit(1)).as("kmv_k"))))
-      .select(col("n_a"), col("n_b"), col("intersection"),
-        (col("n_a") + col("n_b") - col("intersection")).as("union_grams"),
-        expr("intersection * 10000 div (n_a + n_b - intersection)")
-          .as("jaccard_bp"),
-        expr("intersection * 10000 div n_b").as("containment_b_in_a_bp"),
-        col("kmv_matches"), col("kmv_k"),
-        expr("kmv_matches * 10000 div kmv_k").as("kmv_jaccard_bp"),
-        expr("abs(kmv_matches * 10000 div kmv_k - " +
-          "intersection * 10000 div (n_a + n_b - intersection))").as("err_bp"))
   }
+
+  /** The d52 metric arithmetic over a pair's count frame — ONE
+    * definition for the single-pair entry and the matrix. */
+  private[graft] def d52MetricCols: Seq[Column] = Seq(
+    col("n_a"), col("n_b"), col("intersection"),
+    (col("n_a") + col("n_b") - col("intersection")).as("union_grams"),
+    expr("intersection * 10000 div (n_a + n_b - intersection)")
+      .as("jaccard_bp"),
+    expr("intersection * 10000 div n_b").as("containment_b_in_a_bp"),
+    col("kmv_matches"), col("kmv_k"),
+    expr("kmv_matches * 10000 div kmv_k").as("kmv_jaccard_bp"),
+    expr("abs(kmv_matches * 10000 div kmv_k - " +
+      "intersection * 10000 div (n_a + n_b - intersection))").as("err_bp"))
+
+  /** The metric SELECT-list over a pair's count columns — shared by
+    * d52's and d54's oracles (mirrors [[d52MetricCols]]). */
+  private[graft] val d52MetricsSql: String =
+    """n_a, n_b, intersection,
+      | CAST(n_a + n_b - intersection AS BIGINT) AS union_grams,
+      | CAST(intersection * 10000 // (n_a + n_b - intersection) AS BIGINT)
+      |  AS jaccard_bp,
+      | CAST(intersection * 10000 // n_b AS BIGINT) AS containment_b_in_a_bp,
+      | kmv_matches, kmv_k,
+      | CAST(kmv_matches * 10000 // kmv_k AS BIGINT) AS kmv_jaccard_bp,
+      | CAST(abs(kmv_matches * 10000 // kmv_k -
+      |   intersection * 10000 // (n_a + n_b - intersection)) AS BIGINT)
+      |  AS err_bp""".stripMargin
 
   /** DuckDB oracle for d52: the shared [[gramCteSql]] corpus, the
     * identical bottom-k sketches, and the same integer metric
@@ -3093,17 +3117,72 @@ object Dedup {
        | (SELECT count(*) FROM su WHERE gram IN (SELECT gram FROM sa)
        |    AND gram IN (SELECT gram FROM sb)) AS kmv_matches,
        | (SELECT count(*) FROM su) AS kmv_k)
-       |SELECT n_a, n_b, intersection,
-       | CAST(n_a + n_b - intersection AS BIGINT) AS union_grams,
-       | CAST(intersection * 10000 // (n_a + n_b - intersection) AS BIGINT)
-       |  AS jaccard_bp,
-       | CAST(intersection * 10000 // n_b AS BIGINT) AS containment_b_in_a_bp,
-       | kmv_matches, kmv_k,
-       | CAST(kmv_matches * 10000 // kmv_k AS BIGINT) AS kmv_jaccard_bp,
-       | CAST(abs(kmv_matches * 10000 // kmv_k -
-       |   intersection * 10000 // (n_a + n_b - intersection)) AS BIGINT)
-       |  AS err_bp
+       |SELECT $d52MetricsSql
        |FROM m""".stripMargin
+
+  // ---- d54: cross-corpus overlap MATRIX ----
+
+  /** d54's corpus count: doc residues mod 4 — four sub-corpora, six
+    * unordered pairs. */
+  private[graft] val d54Corpora = 4
+
+  /** d54: the corpus-merge PLANNING MATRIX — d52 asked "how much of
+    * B is already in A?" for one pair; a real merge plan ranks EVERY
+    * candidate pair (which acquisitions add content, which are
+    * redundant), so d54 computes the full pairwise overlap matrix
+    * over four doc-residue sub-corpora: per pair the exact legs (the
+    * gate instrument) and the KMV bottom-k estimate with its error
+    * in-band, ALL through d52's shared pair assembly
+    * ([[d52PairFrame]]) and metric arithmetic ([[d52MetricCols]]).
+    * The gram sets and sketches build ONCE per corpus (persisted)
+    * and every cell reuses them — 4 set builds for 6 cells, the
+    * triangular-reuse shape that matters when the matrix is 50
+    * corpora wide. Scale: sketches are per-partition bottom-k
+    * merges (k rows per partition cross the wire); at production
+    * the exact legs drop (the d52/q68 declared trade) and each cell
+    * costs k-row set algebra only. */
+  def d54OverlapMatrix(s: SparkSession, dir: String): DataFrame = {
+    val g = d52Grams(s, dir)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sets = (0 until d54Corpora).map { c =>
+      g.filter(col("doc_id") % d54Corpora === c)
+        .select("gram").distinct().persist(lvl)
+    }
+    val sketches = sets.map(_.orderBy("gram").limit(d52K).persist(lvl))
+    val cells = for {
+      i <- 0 until d54Corpora; j <- i + 1 until d54Corpora
+    } yield d52PairFrame(sets(i), sets(j), sketches(i), sketches(j))
+      .select(lit(i).cast("int").as("corpus_a") +:
+        lit(j).cast("int").as("corpus_b") +: d52MetricCols: _*)
+    cells.reduce(_.unionByName(_)).orderBy("corpus_a", "corpus_b")
+  }
+
+  /** DuckDB oracle for d54: per-corpus distinct/sketch CTEs, one
+    * subquery row per pair, the shared metric SELECT. */
+  val d54Sql: String = {
+    val setCtes = (0 until d54Corpora).map { c =>
+      s"""c$c AS (SELECT DISTINCT gram FROM grams WHERE doc_id % $d54Corpora = $c),
+         |k$c AS (SELECT gram FROM c$c ORDER BY gram LIMIT $d52K)""".stripMargin
+    }.mkString(",\n")
+    val pairRows = (for {
+      i <- 0 until d54Corpora; j <- i + 1 until d54Corpora
+    } yield {
+      val su = s"(SELECT gram FROM (SELECT gram FROM k$i UNION SELECT gram FROM k$j) ORDER BY gram LIMIT $d52K)"
+      s"""SELECT CAST($i AS INT) AS corpus_a, CAST($j AS INT) AS corpus_b,
+         | (SELECT count(*) FROM c$i) AS n_a,
+         | (SELECT count(*) FROM c$j) AS n_b,
+         | (SELECT count(*) FROM c$i JOIN c$j USING (gram)) AS intersection,
+         | (SELECT count(*) FROM $su
+         |   WHERE gram IN (SELECT gram FROM k$i)
+         |    AND gram IN (SELECT gram FROM k$j)) AS kmv_matches,
+         | (SELECT count(*) FROM $su) AS kmv_k""".stripMargin
+    }).mkString("\nUNION ALL\n")
+    s"""WITH ${gramCteSql(d29GramSize)},
+       |$setCtes
+       |SELECT corpus_a, corpus_b, $d52MetricsSql
+       |FROM ($pairRows)
+       |ORDER BY corpus_a, corpus_b""".stripMargin
+  }
 
   // ---- d47: forget propagation through the fingerprint index ----
 
@@ -3205,7 +3284,8 @@ object Dedup {
     "d50_url_dedup" -> (d50UrlDedup _),
     "d51_neardup_eval" -> (d51NeardupEval _),
     "d52_corpus_overlap" -> (d52CorpusOverlap _),
-    "d53_banding_curve" -> (d53BandingCurve _))
+    "d53_banding_curve" -> (d53BandingCurve _),
+    "d54_overlap_matrix" -> (d54OverlapMatrix _))
 
   def oracles: Map[String, String] = Map(
     "d22_dedup_exact" -> d22Sql,
@@ -3242,5 +3322,6 @@ object Dedup {
     "d50_url_dedup" -> d50Sql,
     "d51_neardup_eval" -> d51Sql,
     "d52_corpus_overlap" -> d52Sql,
-    "d53_banding_curve" -> d53Sql)
+    "d53_banding_curve" -> d53Sql,
+    "d54_overlap_matrix" -> d54Sql)
 }

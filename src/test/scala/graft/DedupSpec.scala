@@ -1159,6 +1159,37 @@ class DedupSpec extends SparkSpec {
     assert(half.head._3 < curve.head._3, "sampled truth universe must shrink")
   }
 
+  test("d54 overlap matrix: every cell mirrors an in-memory recompute; error in band") {
+    val sfDir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("d54_overlap_matrix")(spark, sfDir)
+      .as[(Int, Int, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got.map(r => (r._1, r._2)) ==
+      (for { i <- 0 until 4; j <- i + 1 until 4 } yield (i, j)),
+      "one row per unordered pair, ordered")
+    // exact legs mirror the in-memory gram sets, cell for cell
+    val grams = graft.dedup.Dedup.d52Grams(spark, sfDir)
+      .as[(Long, Long)].collect()
+    val sets = (0 until 4).map(c => grams.filter(_._1 % 4 == c).map(_._2).toSet)
+    got.foreach { r =>
+      val (a, b) = (sets(r._1), sets(r._2))
+      assert(r._3 == a.size && r._4 == b.size, s"set sizes off in $r")
+      assert(r._5 == (a & b).size && r._6 == (a | b).size, s"overlap off in $r")
+      assert(r._7 == r._5 * 10000 / r._6 && r._8 == r._5 * 10000 / r._4,
+        s"integer metrics off in $r")
+      // KMV mirror: bottom-k of each set, exact set algebra
+      val (ka, kb) = (a.toSeq.sorted.take(512).toSet, b.toSeq.sorted.take(512).toSet)
+      val ku = (ka ++ kb).toSeq.sorted.take(512).toSet
+      val m = ku.count(g => ka(g) && kb(g))
+      assert(r._9 == m && r._10 == ku.size, s"KMV legs off in $r")
+      // honest error: the estimate sits within the d52 band
+      assert(r._12 <= 300, s"err_bp ${r._12} out of band in $r")
+    }
+    // the matrix answers the merge-planning question: overlap varies
+    // across pairs (a constant matrix would be vacuous)
+    assert(got.map(_._7).distinct.size > 1, "jaccard constant across pairs")
+  }
+
   test("d52 corpus overlap: metrics mirror, KMV estimator law, honest error band") {
     val sfDir = "/root/testdata/sf0.001"
     val row = SparkEntry.queries("d52_corpus_overlap")(spark, sfDir)

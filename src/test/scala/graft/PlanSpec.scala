@@ -458,6 +458,10 @@ class PlanSpec extends SparkSpec {
       // assembly stance); the sketches build via TakeOrdered, the
       // exact leg is one gram-keyed equi-join
       "d52_corpus_overlap",
+      // d54 assembles six cells through d52's pair frame — the same
+      // five 1-row metric scalars per cell; set/sketch joins are
+      // gram-keyed equi-joins over persisted per-corpus sets
+      "d54_overlap_matrix",
       // d51's all-pairs truth leg is the declared-quadratic EVAL
       // (the a39/d26 stance: sampled at corpus scale), and its
       // metric assembly crosses three 1-row counts
