@@ -3023,8 +3023,12 @@ object Dedup {
   /** d52's gram stream: the ONE shared [[gramKeys]] corpus at d29's
     * gram size (one definition with the decontamination family). */
   private[graft] def d52Grams(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    d52GramsOf(Tables.documents(s, dir))
+
+  /** The gram stream off an arbitrary document frame — s67's live
+    * fold feeds micro-batch slices through the SAME definition. */
+  private[graft] def d52GramsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(gramKeys(col("toks"), d29GramSize)).as("gram"))
 
   /** d52: cross-corpus overlap — the dedup-PLANNING query run before

@@ -2020,6 +2020,55 @@ object Streaming {
        |FROM scored ORDER BY cust_key""".stripMargin
   }
 
+  /** s67's sketch fold: bottom-k by gram over (state ∪ batch grams)
+    * — EXACT by the q68/d52 bottom-k merge law and IDEMPOTENT under
+    * redelivery (set algebra), so the live sketch equals the batch
+    * sketch under ANY slicing. */
+  def overlapSketchFold(state: DataFrame, grams: DataFrame): DataFrame =
+    state.unionByName(grams).distinct()
+      .orderBy("gram").limit(graft.dedup.Dedup.d52K)
+
+  /** s67's exact-leg fold: the distinct gram SET per corpus — the
+    * s53 set stance (union-distinct, idempotent); the declared gate
+    * instrument dropped at production scale where only the k-row
+    * sketches fold. */
+  def overlapSetFold(state: DataFrame, grams: DataFrame): DataFrame =
+    state.unionByName(grams).distinct()
+
+  /** s67: LIVE corpus overlap — d52 kept current over an arriving
+    * document stream: per batch the batch's grams split by corpus
+    * parity fold into four artifacts (two exact gram sets — the
+    * gate legs; two k-row bottom-k sketches — the product), and
+    * presentation assembles d52's exact-vs-estimate row through the
+    * SAME d52PairFrame/d52MetricCols bodies. The driver slices by
+    * doc_id RESIDUE (the s64 stance: interleaved, order-free) —
+    * every fold is idempotent set algebra, so the strongest replay
+    * guarantee holds. The oracle IS d52's batch SQL. Scale: sketch
+    * state is k rows per corpus forever; the exact sets are the
+    * declared d52/s53 gate trade. */
+  def s67StreamOverlap(s: SparkSession, dir: String): DataFrame = {
+    val D = graft.dedup.Dedup
+    val docs = Tables.documents(s, dir)
+    val emptyG = D.d52GramsOf(docs.filter(lit(false))).select("gram")
+    val slices = Seq(0, 1, 2).map(r => docs.filter(col("doc_id") % 3 === r))
+    val fin = foldGenerations(s,
+      graft.sources.Export.scratch("s67_overlap", dir),
+      Seq("a" -> emptyG, "b" -> emptyG, "sa" -> emptyG, "sb" -> emptyG),
+      slices) { (st, b, _) =>
+      val g = D.d52GramsOf(b)
+      val ga = g.filter(col("doc_id") % 2 === 0).select("gram").distinct()
+      val gb = g.filter(col("doc_id") % 2 =!= 0).select("gram").distinct()
+      Seq(overlapSetFold(st(0), ga), overlapSetFold(st(1), gb),
+        overlapSketchFold(st(2), ga), overlapSketchFold(st(3), gb))
+    }
+    D.d52PairFrame(fin(0), fin(1), fin(2), fin(3))
+      .select(D.d52MetricCols: _*)
+  }
+
+  /** s67's oracle IS d52's batch overlap. Lazy per the s45Sql
+    * stance. */
+  lazy val s67Sql: String = graft.dedup.Dedup.d52Sql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s34_stream_tumbling" -> (s34StreamTumbling _),
     "s35_stream_join" -> (s35StreamJoin _),
@@ -2053,7 +2102,8 @@ object Streaming {
     "s63_stream_sessions" -> (s63StreamSessions _),
     "s64_stream_weighted_sample" -> (s64StreamWeightedSample _),
     "s65_exactly_once" -> (s65ExactlyOnce _),
-    "s66_stream_rfm" -> (s66StreamRfm _))
+    "s66_stream_rfm" -> (s66StreamRfm _),
+    "s67_stream_overlap" -> (s67StreamOverlap _))
 
   def oracles: Map[String, String] = Map(
     "s34_stream_tumbling" -> s34Sql,
@@ -2088,5 +2138,6 @@ object Streaming {
     "s63_stream_sessions" -> s63Sql,
     "s64_stream_weighted_sample" -> s64Sql,
     "s65_exactly_once" -> s65Sql,
-    "s66_stream_rfm" -> s66Sql)
+    "s66_stream_rfm" -> s66Sql,
+    "s67_stream_overlap" -> s67Sql)
 }

@@ -670,6 +670,11 @@ class PlanSpec extends SparkSpec {
       // broadcasts), pinned by the cents oracle and the StreamingSpec
       // residue-fold test
       "s66_stream_rfm",
+      // s67 folds four overlap artifacts (two gram sets, two k-row
+      // sketches) through parquet generations at construction;
+      // presentation is d52's five 1-row metric scalars, pinned by
+      // the d52 oracle and the StreamingSpec merge-law test
+      "s67_stream_overlap",
       // s63 folds q69's session table through parquet generations at
       // construction; per-batch plans are one user-keyed window over
       // (1 seed row per user ∪ batch) + user-keyed open-slice joins,

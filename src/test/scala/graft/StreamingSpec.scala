@@ -1139,6 +1139,32 @@ class StreamingSpec extends SparkSpec {
       "fold != single-batch rollup")
   }
 
+  test("s67 live overlap: folded sketches obey the merge law; redelivery is identity") {
+    val D = graft.dedup.Dedup
+    val docs = Tables.documents(spark, sfDir)
+    // the registered residue-sliced fold == d52's batch row
+    val reg = SparkEntry.queries("s67_stream_overlap")(spark, sfDir).collect().toSeq
+    val batch = SparkEntry.queries("d52_corpus_overlap")(spark, sfDir).collect().toSeq
+    assert(reg == batch, "live overlap != d52 batch row")
+    // merge law live: folding slices yields EXACTLY bottom-k of the
+    // full corpus gram set
+    val g = D.d52GramsOf(docs)
+    val fullA = g.filter(col("doc_id") % 2 === 0).select("gram").distinct()
+    val slices = Seq(0, 1, 2).map(r =>
+      D.d52GramsOf(docs.filter(col("doc_id") % 3 === r))
+        .filter(col("doc_id") % 2 === 0).select("gram").distinct())
+    val folded = slices.foldLeft(fullA.filter(lit(false))) {
+      (st, b) => Streaming.overlapSketchFold(st, b)
+    }
+    val direct = fullA.orderBy("gram").limit(D.d52K)
+    assert(folded.orderBy("gram").as[Long].collect().toSeq ==
+      direct.as[Long].collect().toSeq, "folded sketch != bottom-k of full set")
+    // idempotency: re-delivering a slice changes nothing
+    val replayed = Streaming.overlapSketchFold(folded, slices(1))
+    assert(replayed.orderBy("gram").as[Long].collect().toSeq ==
+      direct.as[Long].collect().toSeq, "redelivery must be identity")
+  }
+
   test("s65 exactly-once: replayed batch is a no-op, unguarded sum-merge diverges") {
     val ev = Tables.events(spark, sfDir)
     val R = graft.operators.Relational
