@@ -1184,6 +1184,67 @@ object Ann {
   /** a38's oracle: the shared recompute body over the live slice. */
   val a38Sql: String = ivfRecomputeSql(s"NOT ($a38DeletedPred)")
 
+  /** Merge persisted IVF shard layouts at the FILE level: every
+    * shard invlist file is copied into the merged layout's matching
+    * cell directory — O(#files) driver-side metadata, NO vector is
+    * read or re-routed (on an object store this is a rename /
+    * manifest union; here java.nio copies stand in). Valid because
+    * every shard routes with the SAME literal centroids
+    * ([[ivfRoutedCorpus]]) — cell identity is global, so invlist
+    * concatenation IS index merge (the FAISS merge_into contract). */
+  private[graft] def a50MergeLayouts(shards: Seq[String], merged: String): Unit = {
+    shards.zipWithIndex.foreach { case (shard, si) =>
+      val root = java.nio.file.Paths.get(shard)
+      val it = java.nio.file.Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        it.iterator().asScala
+          .filter(_.toString.endsWith(".parquet"))
+          .foreach { p =>
+            val cellDir = root.relativize(p).getParent // cell=<k>
+            val tgt = java.nio.file.Paths.get(merged).resolve(cellDir)
+            java.nio.file.Files.createDirectories(tgt)
+            java.nio.file.Files.copy(p,
+              tgt.resolve(s"s${si}_${p.getFileName}"),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+      } finally it.close()
+    }
+  }
+
+  /** a50: IVF shard-index MERGE — the missing lifecycle leg (a36
+    * build, a37 append, a38 delete, a40 scatter-gather; a50 merges):
+    * two shards built INDEPENDENTLY over disjoint corpus halves —
+    * two crawlers, two regions — become one serving index without
+    * re-reading a single vector, because cell identity is global
+    * (the shared literal centroids): the merge is an invlist-file
+    * union per cell directory, O(#files) metadata
+    * ([[a50MergeLayouts]]). The probe then runs against the merged
+    * artifact through the shared [[probePersistedIvf]] path, and
+    * the oracle IS a29b's full recompute (merge-then-probe ==
+    * build-from-everything — the a36/a37 shared-oracle stance).
+    * AnnSpec additionally pins merged == direct full build
+    * row-for-row and that no row's routing changed in transit. */
+  def a50IndexMerge(s: SparkSession, dir: String): DataFrame = {
+    val corpus = ivfRoutedCorpus(s, dir)
+    val shardA = graft.sources.Export.scratch("a50_shard_a", dir)
+    val shardB = graft.sources.Export.scratch("a50_shard_b", dir)
+    val merged = graft.sources.Export.scratch("a50_merged", dir)
+    corpus.filter(col("vec_id") % 2 === 0)
+      .select("vec_id", "embedding", "norm", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(shardA)
+    corpus.filter(col("vec_id") % 2 =!= 0)
+      .select("vec_id", "embedding", "norm", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(shardB)
+    graft.sources.Export.deleteTree(merged)
+    a50MergeLayouts(Seq(shardA, shardB), merged)
+    probePersistedIvf(s, merged, ivfProbeQueries(corpus))
+  }
+
+  /** a50's oracle IS a29b's: the merged artifact must serve exactly
+    * the full-corpus recompute. */
+  val a50Sql: String = a29bSql
+
   /** a39: recall evaluation — index QUALITY as a first-class
     * operator: per query, how many of the exact top-K (a27's
     * brute-force pipeline, unchanged) does the IVF probe (a29b's
@@ -2350,7 +2411,8 @@ object Ann {
     "a46_cell_merge" -> (a46CellMerge _),
     "a47_nprobe_curve" -> (a47NprobeCurve _),
     "a48_hard_negatives" -> (a48HardNegatives _),
-    "a49_knn_join" -> (a49KnnJoin _))
+    "a49_knn_join" -> (a49KnnJoin _),
+    "a50_index_merge" -> (a50IndexMerge _))
 
   def oracles: Map[String, String] = Map(
     "a27_ann_brute" -> a27Sql,
@@ -2376,5 +2438,6 @@ object Ann {
     "a46_cell_merge" -> a46Sql,
     "a47_nprobe_curve" -> a47Sql,
     "a48_hard_negatives" -> a48Sql,
-    "a49_knn_join" -> a49Sql)
+    "a49_knn_join" -> a49Sql,
+    "a50_index_merge" -> a50Sql)
 }

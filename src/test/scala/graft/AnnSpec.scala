@@ -818,4 +818,25 @@ class AnnSpec extends SparkSpec {
     assert(twin >= 0.5 && recall >= 0.3 && recall < 1.0,
       f"measured floors regressed: twin=$twin%.4f recall=$recall%.4f")
   }
+
+  test("a50 merge: file union serves the full build; routing survives transit untouched") {
+    val probe = SparkEntry.queries("a50_index_merge")(spark, sfDir)
+      .collect().toSeq
+    // merge-then-probe == build-from-everything (a36 builds the full
+    // index directly and probes through the same shared path)
+    val direct = SparkEntry.queries("a36_ann_persisted_ivf")(spark, sfDir)
+      .collect().toSeq
+    assert(probe == direct, "merged shards must serve the full-build probe")
+    // the merged artifact holds every vector with its ORIGINAL
+    // routing — the merge never re-reads or re-routes
+    val merged = spark.read.parquet(
+        graft.sources.Export.scratch("a50_merged", sfDir))
+      .select("vec_id", "cell").as[(Long, Int)].collect().sorted.toSeq
+    val routed = Ann.ivfRoutedCorpus(spark, sfDir)
+      .select("vec_id", "cell").as[(Long, Int)].collect().sorted.toSeq
+    assert(merged == routed, "merged rows must equal the routed corpus")
+    // and the shards genuinely partition the corpus (no row lost or
+    // duplicated by the file copy)
+    assert(merged.size == routed.size && merged.map(_._1).distinct.size == merged.size)
+  }
 }

@@ -351,7 +351,7 @@ class PlanSpec extends SparkSpec {
     // set must land in the scan's PartitionFilters (plan-time file
     // skipping — the invlist seek), not in a post-scan Filter
     for (entry <- Seq("a36_ann_persisted_ivf", "a37_ann_ivf_insert",
-        "a43_persisted_mips")) {
+        "a43_persisted_mips", "a50_index_merge")) {
       val (_, fmt) = planOf(entry)
       val scanBlock = fmt.linesIterator
         .filter(l => l.contains("PartitionFilters")).toSeq
@@ -539,6 +539,10 @@ class PlanSpec extends SparkSpec {
       // construction; its probe is the same shared probePersistedIvf
       // path the a36 pruning test pins
       "a37_ann_ivf_insert",
+      // a50 builds two shard indexes and file-merges them at
+      // construction; its probe is the same shared probePersistedIvf
+      // path, pinned by the a36 pruning test (a50 included there)
+      "a50_index_merge",
       // d41 persists the benchmark band index at construction; its
       // probe is a broadcast band equi-join feeding the shared
       // verify, pinned by its oracle and the DedupSpec cross-split
