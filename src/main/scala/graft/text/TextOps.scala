@@ -2272,6 +2272,71 @@ object TextOps {
        |FROM (SELECT * FROM c ORDER BY clock_e15, doc_id LIMIT $t60K)
        |ORDER BY rank""".stripMargin
 
+  /** t61's vocabulary budget and pair-support floor. */
+  private[graft] val t61VocabK = 20
+  private[graft] val t61MinPairDocs = 5
+
+  /** t61: term co-occurrence / collocation mining — the corpus
+    * analysis every data-quality team runs before building mixtures
+    * ("which concepts travel together?"): document-level
+    * co-occurrence of the top-[[t61VocabK]] df terms, scored by LIFT
+    * in integer basis points — n_ab·N·10⁴ div (n_a·n_b), the exp of
+    * PMI. Ranking by lift IS ranking by PMI (ln is monotone), and
+    * the integer form replays byte-exactly cross-engine where an ln
+    * would reintroduce exactly the floor-boundary wobble the r12
+    * advice flagged on t59/t60 (IntegerizationMarginSpec documents
+    * that hazard; t61 simply refuses to enter it). lift_bp > 10⁴ is
+    * positive association, < 10⁴ negative.
+    *
+    * Scale (100 TB): the df rollup is one map-side-combined
+    * exchange; the vocabulary is a TakeOrdered top-k that
+    * BROADCASTS into the scan, so the pair stage sees only vocab
+    * hits (≤ k per doc, ≤ k² pairs per doc — never the corpus
+    * vocabulary); the co-occurrence join is doc-keyed equi; the
+    * N scalar is a 1-row broadcast (the q28/q45 stance). */
+  def t61Cooccurrence(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val docTerms = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("term"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val df = docTerms.groupBy("term").agg(count(lit(1)).as("df"))
+    val vocab = df.orderBy(col("df").desc, col("term")).limit(t61VocabK)
+    val hits = docTerms.join(broadcast(vocab), Seq("term"))
+    val pairs = hits
+      .select(col("doc_id"), col("term").as("term_a"), col("df").as("n_a"))
+      .join(hits.select(col("doc_id"), col("term").as("term_b"),
+        col("df").as("n_b")), Seq("doc_id"))
+      .filter(col("term_a") < col("term_b"))
+      .groupBy("term_a", "term_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= t61MinPairDocs)
+    pairs.crossJoin(broadcast(nDocs))
+      .select(col("term_a"), col("term_b"), col("n_a"), col("n_b"),
+        col("n_ab"), col("n_docs"),
+        expr("n_ab * n_docs * 10000 div (n_a * n_b)").as("lift_bp"))
+      .orderBy("term_a", "term_b")
+  }
+
+  /** DuckDB oracle for t61: identical vocabulary selection, pair
+    * counting, and integer lift. */
+  val t61Sql: String =
+    s"""WITH dt AS (
+       | SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+       | FROM documents),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1),
+       |vocab AS (SELECT term, df FROM df ORDER BY df DESC, term LIMIT $t61VocabK),
+       |hits AS (SELECT dt.doc_id, dt.term, v.df FROM dt JOIN vocab v USING (term)),
+       |pairs AS (
+       | SELECT a.term AS term_a, b.term AS term_b,
+       |  a.df AS n_a, b.df AS n_b, CAST(count(*) AS BIGINT) AS n_ab
+       | FROM hits a JOIN hits b ON a.doc_id = b.doc_id AND a.term < b.term
+       | GROUP BY 1, 2, 3, 4 HAVING count(*) >= $t61MinPairDocs)
+       |SELECT term_a, term_b, n_a, n_b, n_ab, n_docs,
+       | CAST(n_ab * n_docs * 10000 // (n_a * n_b) AS BIGINT) AS lift_bp
+       |FROM pairs CROSS JOIN nd
+       |ORDER BY term_a, term_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t29_langid" -> (t29LangId _),
     "t30_quality" -> (t30Quality _),
@@ -2305,7 +2370,8 @@ object TextOps {
     "t57_bpe_batched" -> (t57BpeBatched _),
     "t58_ccnet_buckets" -> (t58CcnetBuckets _),
     "t59_bm25" -> (t59Bm25 _),
-    "t60_weighted_sample" -> (t60WeightedSample _))
+    "t60_weighted_sample" -> (t60WeightedSample _),
+    "t61_cooccurrence" -> (t61Cooccurrence _))
 
   def oracles: Map[String, String] = Map(
     "t29_langid" -> t29Sql,
@@ -2341,5 +2407,6 @@ object TextOps {
     "t53_stratified_split" -> t53Sql,
     "t54_release_manifest" -> t54Sql,
     "t55_curriculum" -> t55Sql,
-    "t56_dataset_card" -> t56Sql)
+    "t56_dataset_card" -> t56Sql,
+    "t61_cooccurrence" -> t61Sql)
 }

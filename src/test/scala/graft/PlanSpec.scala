@@ -443,6 +443,9 @@ class PlanSpec extends SparkSpec {
       // t59's cross join is the 1-row corpus length-stats broadcast
       // onto the matched postings — the q28/q45 scalar stance
       "t59_bm25",
+      // t61's cross join is the 1-row doc-count broadcast onto the
+      // bounded vocab-pair rollup — the t59/q28 scalar stance
+      "t61_cooccurrence",
       // q72's cross join is the 1-row MAE/MAPE summary broadcast
       // onto the |days|-row backtest — the q57/q71 bounded-series
       // stance
