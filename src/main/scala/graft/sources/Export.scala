@@ -360,23 +360,28 @@ object Export {
     * the only driver-side state is the file listing and a
     * #years-row count; all data movement is one shuffle keyed by
     * partition value. */
-  private[graft] def q75Compact(s: SparkSession, dir: String): Q75Run = {
-    val frag = q75FragmentWrite(s, dir)
+  private[graft] def q75Compact(s: SparkSession, dir: String): Q75Run =
+    q75CompactLayout(s, q75FragmentWrite(s, dir), scratch("q75_opt", dir), "o_year")
+
+  /** The generic OPTIMIZE body over any partitioned layout — q75
+    * repairs its manufactured orders pathology through it, s68 the
+    * one its live sink accumulates. */
+  private[graft] def q75CompactLayout(s: SparkSession, frag: String,
+      out: String, partitionCol: String): Q75Run = {
     val fragFiles = countParquetFiles(frag)
     val back = s.read.parquet(frag)
     val rows = back.count()
     val avgRow = math.max(1L, dataBytes(frag) / math.max(1L, rows))
     val cap = math.max(1L, q75TargetBytes / avgRow)
-    val out = scratch("q75_opt", dir)
-    exportConvert(back, out, "parquet", "o_year", maxRecordsPerFile = cap)
-    // closed-form target: bounded collect (#years rows)
-    val target = back.groupBy("o_year").count().collect()
+    exportConvert(back, out, "parquet", partitionCol, maxRecordsPerFile = cap)
+    // closed-form target: bounded collect (#partitions rows)
+    val target = back.groupBy(partitionCol).count().collect()
       .map(r => (r.getLong(1) + cap - 1) / cap).sum
     val outFiles = countParquetFiles(out)
     require(outFiles == target,
-      s"q75: compacted layout has $outFiles files, expected $target")
+      s"compacted layout has $outFiles files, expected $target")
     require(outFiles < fragFiles,
-      s"q75: compaction must shrink the layout ($fragFiles -> $outFiles)")
+      s"compaction must shrink the layout ($fragFiles -> $outFiles)")
     Q75Run(frag, out, fragFiles, outFiles, target)
   }
 

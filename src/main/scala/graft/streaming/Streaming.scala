@@ -2069,6 +2069,58 @@ object Streaming {
     * stance. */
   lazy val s67Sql: String = graft.dedup.Dedup.d52Sql
 
+  /** s68's sink loop, exposed for the spec: run the micro-batch
+    * appends, returning the layout dir and the file count after
+    * each batch (the pathology's growth curve), then compact.
+    * Returns (perBatchFileCounts, compaction run). */
+  private[graft] def s68Build(s: SparkSession, dir: String)
+      : (Seq[Long], graft.sources.Export.Q75Run) = {
+    val E = graft.sources.Export
+    val ev = Tables.events(s, dir)
+    val out = E.scratch("s68_sink", dir)
+    E.deleteTree(out) // append accumulates across same-JVM reruns
+    val growth = eventSlices(ev).map { b =>
+      // the foreachBatch sink shape: each batch APPENDS its rows into
+      // the day-partitioned serving layout — several writer tasks per
+      // batch, so every day directory gains a handful of small files
+      // per batch: the pathology q75 exists for, accumulating live
+      b.select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts"), col("ts").cast("date").as("day"))
+        .repartition(8, col("event_id"))
+        .write.mode("append").partitionBy("day").parquet(out)
+      E.countParquetFiles(out)
+    }
+    (growth, E.q75CompactLayout(s, out, E.scratch("s68_opt", dir), "day"))
+  }
+
+  /** s68: scheduled OPTIMIZE inside the ingest loop — the q75
+    * compactor applied to the layout a LIVE sink actually produces:
+    * three micro-batches append into a day-partitioned table (one+
+    * new file per day per batch — the real foreachBatch small-files
+    * accumulation), then the shared [[graft.sources.Export
+    * .q75CompactLayout]] bin-packs it (closed-form file-count
+    * target, fail-stop requires). The oracle is the daily rollup
+    * over the FULL stream: neither the append accumulation nor the
+    * compaction may be visible to a reader. Scale: the appends are
+    * O(batch) each (no old file rewritten); the compaction is q75's
+    * one partition-keyed shuffle, run on whatever schedule the
+    * file-count growth curve (spec-pinned monotone) dictates. */
+  def s68StreamCompaction(s: SparkSession, dir: String): DataFrame = {
+    val run = s68Build(s, dir)._2
+    s.read.parquet(run.outDir)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("events"),
+        sum(expr("cast(round(value * 100, 0) as bigint)")).as("value_cents"))
+      .orderBy("day")
+  }
+
+  /** s68's oracle: the daily rollup straight off the events table. */
+  val s68Sql: String =
+    """SELECT CAST(ts AS DATE) AS day, count(*) AS events,
+      | CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+      |  AS value_cents
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s34_stream_tumbling" -> (s34StreamTumbling _),
     "s35_stream_join" -> (s35StreamJoin _),
@@ -2103,7 +2155,8 @@ object Streaming {
     "s64_stream_weighted_sample" -> (s64StreamWeightedSample _),
     "s65_exactly_once" -> (s65ExactlyOnce _),
     "s66_stream_rfm" -> (s66StreamRfm _),
-    "s67_stream_overlap" -> (s67StreamOverlap _))
+    "s67_stream_overlap" -> (s67StreamOverlap _),
+    "s68_stream_compaction" -> (s68StreamCompaction _))
 
   def oracles: Map[String, String] = Map(
     "s34_stream_tumbling" -> s34Sql,
@@ -2139,5 +2192,6 @@ object Streaming {
     "s64_stream_weighted_sample" -> s64Sql,
     "s65_exactly_once" -> s65Sql,
     "s66_stream_rfm" -> s66Sql,
-    "s67_stream_overlap" -> s67Sql)
+    "s67_stream_overlap" -> s67Sql,
+    "s68_stream_compaction" -> s68Sql)
 }

@@ -682,6 +682,11 @@ class PlanSpec extends SparkSpec {
       // presentation is d52's five 1-row metric scalars, pinned by
       // the d52 oracle and the StreamingSpec merge-law test
       "s67_stream_overlap",
+      // s68 appends three micro-batches into its day-partitioned sink
+      // and compacts at construction; the growth curve, closed-form
+      // file target, and layout invariance are pinned by the
+      // StreamingSpec sink-compaction test
+      "s68_stream_compaction",
       // s63 folds q69's session table through parquet generations at
       // construction; per-batch plans are one user-keyed window over
       // (1 seed row per user ∪ batch) + user-keyed open-slice joins,

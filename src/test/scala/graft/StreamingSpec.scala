@@ -1165,6 +1165,26 @@ class StreamingSpec extends SparkSpec {
       direct.as[Long].collect().toSeq, "redelivery must be identity")
   }
 
+  test("s68 sink compaction: fragmentation grows per batch, optimize repairs it invisibly") {
+    val (growth, run) = Streaming.s68Build(spark, sfDir)
+    // the pathology is real and monotone: every append adds files
+    assert(growth.size == 3 && growth.sliding(2).forall {
+      case Seq(a, b) => b > a
+      case _         => true
+    }, s"file count must grow per batch: $growth")
+    assert(run.fragFiles == growth.last)
+    // compaction hit its closed-form target and genuinely shrank
+    assert(run.outFiles == run.targetFiles && run.outFiles < run.fragFiles,
+      s"expected ${run.targetFiles}, got ${run.outFiles} of ${run.fragFiles}")
+    // and is invisible: identical daily rollup off both layouts
+    def roll(p: String) = spark.read.parquet(p).groupBy("day")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(round(value * 100, 0) as bigint)")).as("c"))
+      .orderBy("day").collect().toSeq
+    assert(roll(run.outDir) == roll(run.fragDir),
+      "compaction changed the rollup")
+  }
+
   test("s65 exactly-once: replayed batch is a no-op, unguarded sum-merge diverges") {
     val ev = Tables.events(spark, sfDir)
     val R = graft.operators.Relational
