@@ -577,6 +577,53 @@ object Export {
     q76Face(rows)
   }
 
+  /** q80's layout builder, exposed for the spec: v1 files (no
+    * channel column), then v2 files APPENDED with the column added —
+    * the schema-on-read evolution every long-lived lakehouse table
+    * goes through. Returns (layout, v1 file list). */
+  private[graft] def q80Write(s: SparkSession, dir: String): (String, Seq[String]) = {
+    val src = Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val out = scratch("q80_evo", dir)
+    deleteTree(out) // append accumulates across same-JVM reruns
+    src.filter(col("o_orderkey") % 2 === 0)
+      .write.mode("append").parquet(out)
+    val v1Files = listParquet(out)
+    src.filter(col("o_orderkey") % 2 =!= 0)
+      .withColumn("o_channel",
+        concat(lit("ch_"), pmod(col("o_orderkey"), lit(3)).cast("string")))
+      .write.mode("append").parquet(out)
+    (out, v1Files)
+  }
+
+  /** q80: schema evolution on read — the append-with-new-column
+    * contract (Delta's mergeSchema / BigQuery's ALTER-free column
+    * add): a writer starts emitting a new column mid-table; old
+    * files are NEVER rewritten (the spec pins the v1 file set
+    * byte-untouched); the reader takes the union schema
+    * (mergeSchema) and old rows surface as NULL, which the serving
+    * face maps to the explicit 'legacy' bucket — absence-of-data is
+    * a value the report must own, not an error. Oracle: the channel
+    * derivation replayed off the source with the v1 half CASE'd to
+    * 'legacy'. Scale: evolution is O(0) on existing data — only the
+    * footer-schema union at planning time; the read is one scan. */
+  def q80SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val (out, _) = q80Write(s, dir)
+    s.read.option("mergeSchema", "true").parquet(out)
+      .groupBy(coalesce(col("o_channel"), lit("legacy")).as("channel"))
+      .agg(count(lit(1)).as("orders"),
+        sum(expr("cast(round(o_totalprice * 100, 0) as bigint)")).as("cents"))
+      .orderBy("channel")
+  }
+
+  val q80Sql: String =
+    """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'legacy'
+      |  ELSE 'ch_' || CAST(o_orderkey % 3 AS VARCHAR) END AS channel,
+      | count(*) AS orders,
+      | CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+      |  AS cents
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_incremental_export" -> (q30IncrementalExport _),
     "q31_export_roundtrip" -> (q31ExportRoundtrip _),
@@ -584,7 +631,8 @@ object Export {
     "q74_pruned_export" -> (q74PrunedExport _),
     "q75_compaction" -> (q75Compaction _),
     "q76_data_skipping" -> (q76DataSkipping _),
-    "q79_incremental_stats" -> (q79IncrementalStats _))
+    "q79_incremental_stats" -> (q79IncrementalStats _),
+    "q80_schema_evolution" -> (q80SchemaEvolution _))
 
   def oracles: Map[String, String] = Map(
     "q30_incremental_export" -> q30Sql,
@@ -596,5 +644,6 @@ object Export {
     // q79 answers the same range query over the same (appended) table
     // through the incrementally-maintained manifest - a correct
     // manifest is invisible to the reader
-    "q79_incremental_stats" -> q76Sql)
+    "q79_incremental_stats" -> q76Sql,
+    "q80_schema_evolution" -> q80Sql)
 }

@@ -257,6 +257,30 @@ class ExportSpec extends SparkSpec {
       s"scan must read exactly the kept files: $filesRead vs $kept")
   }
 
+  test("q80 schema evolution: union schema, null-fill on old rows, v1 files untouched") {
+    val (out, v1Files) = Export.q80Write(spark, sfDir)
+    val v1Sizes = v1Files.map(p => p -> java.nio.file.Files.size(
+      java.nio.file.Paths.get(p))).toMap
+    val back = spark.read.option("mergeSchema", "true").parquet(out)
+    // the union schema carries the new column
+    assert(back.columns.contains("o_channel"), back.columns.mkString(","))
+    // old rows (v1 half) null-fill; new rows all carry a value
+    assert(back.filter(col("o_orderkey") % 2 === 0)
+      .filter(col("o_channel").isNotNull).count() == 0,
+      "v1 rows must surface as NULL channel")
+    assert(back.filter(col("o_orderkey") % 2 =!= 0)
+      .filter(col("o_channel").isNull).count() == 0,
+      "v2 rows must all carry the channel")
+    // evolution never rewrites: every v1 file still present, same size
+    v1Sizes.foreach { case (p, sz) =>
+      val path = java.nio.file.Paths.get(p)
+      assert(java.nio.file.Files.exists(path) &&
+        java.nio.file.Files.size(path) == sz, s"v1 file rewritten: $p")
+    }
+    // and the layout genuinely grew (the append wrote new files)
+    assert(Export.listParquet(out).size > v1Files.size)
+  }
+
   test("q79 incremental manifest == full rebuild; maintenance scans only the appended files") {
     val (layout, first, appended) = Export.q79Layout(spark, sfDir)
     assert(first.nonEmpty && appended.nonEmpty)

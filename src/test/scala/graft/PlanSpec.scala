@@ -650,6 +650,10 @@ class PlanSpec extends SparkSpec {
       // construction; manifest==rebuild and the only-new-files cost
       // pin live in ExportSpec's dedicated test
       "q79_incremental_stats",
+      // q80 appends its two schema generations at construction; the
+      // union-schema / null-fill / no-rewrite contract is pinned by
+      // ExportSpec's dedicated test
+      "q80_schema_evolution",
       // s64 folds the bounded clock sample through parquet
       // generations at construction; per-batch plans are one
       // bounded-state rank over (k-row state ∪ batch clocks), pinned
