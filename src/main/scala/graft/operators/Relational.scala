@@ -1304,6 +1304,86 @@ object Relational {
        |WHERE rn = 1 AND event_type <> 'error'
        |ORDER BY user_id""".stripMargin
 
+  /** q81's restore commit timestamp — strictly beyond every event ts
+    * in the chain (the data spans January 2024; see q77Cutoffs), so a
+    * restore row always wins latest-per-key against any historical
+    * row for its key. */
+  private[graft] val q81RestoreTs = "2024-12-31 00:00:00"
+
+  /** The compensating change log RESTORE appends: one row per key
+    * whose head state differs from the target version's state. Keys
+    * inserted after the target version get a tombstone (event_type
+    * 'error' — hidden at serving, the s42 delete rule); keys whose
+    * latest event changed after the target get the target's row
+    * RE-ASSERTED under the restore timestamp. State identity is the
+    * winning event_id (event ids are unique), so no value comparison
+    * enters. The log is bounded by the diff, never the table. */
+  private[graft] def q81RestoreLog(s: SparkSession, chain: String,
+      k: Int): DataFrame = {
+    val head = q77AsOf(s, chain, 3)
+    val target = q77AsOf(s, chain, k)
+      .withColumnsRenamed(Map("event_id" -> "t_event_id",
+        "event_type" -> "t_event_type", "value" -> "t_value"))
+      .drop("ts")
+    head.join(target, Seq("user_id"), "left")
+      .filter(col("t_event_id").isNull ||
+        col("t_event_id") =!= col("event_id"))
+      .select(
+        col("user_id"),
+        coalesce(col("t_event_id"), col("event_id")).as("event_id"),
+        lit(q81RestoreTs).cast("timestamp").as("ts"),
+        coalesce(col("t_event_type"), lit("error")).as("event_type"),
+        coalesce(col("t_value"), col("value")).as("value"))
+  }
+
+  /** The version RESTORE rolls back to — the middle boundary
+    * (s42Cutoff), so both the tombstone and the re-assert branches
+    * genuinely populate. */
+  private[graft] val q81Target = 1
+
+  /** q81: RESTORE TABLE TO VERSION k — time travel's write half (q77
+    * reads any version; q78 bounds retention; q81 makes an old
+    * version the CURRENT one): restore is a NEW commit whose content
+    * equals version k, appended through the same change-log mechanics
+    * every other write uses — history is preserved, never rewritten
+    * (Delta's RESTORE writes a compensating commit; a reader can
+    * still time-travel to the pre-restore head). The compensating
+    * log tombstones keys inserted after k and re-asserts keys whose
+    * state moved; replaying the chain THROUGH the restore commit must
+    * be indistinguishable from having queried at version k — the
+    * oracle is the direct latest-per-key snapshot at k's cutoff (the
+    * q77 gate property, applied to the post-restore head).
+    * InvariantSpec pins: serving equality to the target version at
+    * artifact level, pre-restore versions still readable and
+    * unchanged, restore-to-head appends an EMPTY log (identity), and
+    * the log row count equals the key diff exactly.
+    *
+    * Scale: the diff is one keyed join of two MV-sized snapshots
+    * (a row per key, not per event — at scale both sides share the
+    * q33 bucketed layout and the join is exchange-free); the commit
+    * appends O(diff) rows; nothing is rewritten. */
+  def q81Restore(s: SparkSession, dir: String): DataFrame = {
+    val chain = q77WriteChain(s, dir, "q81_chain")
+    val log = q81RestoreLog(s, chain, q81Target)
+    log.write.mode("overwrite").parquet(s"$chain/changes_4")
+    val replayed = s.read.parquet(s"$chain/changes_4")
+    require(!replayed.isEmpty, "q81: the restore must genuinely bite")
+    graft.streaming.Streaming.applyServing(q77AsOf(s, chain, 4))
+  }
+
+  /** DuckDB oracle for q81: the direct snapshot at the TARGET
+    * version's cutoff — a restored table must be indistinguishable
+    * from the table as of the version it restored to. */
+  val q81Sql: String =
+    s"""SELECT user_id, event_id AS last_event_id,
+       | event_type AS last_event_type, ROUND(value, 4) AS last_value
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id
+       |    ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM events WHERE ts <= TIMESTAMP '${q77Cutoffs(q81Target)}')
+       |WHERE rn = 1 AND event_type <> 'error'
+       |ORDER BY user_id""".stripMargin
+
   /** q36: lockup/vesting schedule evaluation — the reference's
     * lockups API arithmetic (rust-extract-apis/lockups/src/
     * lockup.rs:105-200, itself a copy of near/core-contracts
@@ -4514,6 +4594,7 @@ object Relational {
     "q35_snapshot_diff" -> (q35SnapshotDiff _),
     "q77_time_travel" -> (q77TimeTravel _),
     "q78_retention" -> (q78Retention _),
+    "q81_restore" -> (q81Restore _),
     "q36_lockup_schedule" -> (q36LockupSchedule _),
     "q37_lockup_termination" -> (q37LockupTermination _),
     "q38_mv_maintenance" -> (q38MvMaintenance _),
@@ -4686,6 +4767,7 @@ object Relational {
     // q78 serves the SAME version q77 does, through the vacuumed
     // chain - retention above the horizon must be invisible
     "q78_retention" -> q77Sql,
+    "q81_restore" -> q81Sql,
     "q36_lockup_schedule" -> q36Sql,
     "q37_lockup_termination" -> q37Sql,
     "q38_mv_maintenance" -> q38Sql,

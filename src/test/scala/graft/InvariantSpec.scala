@@ -507,6 +507,46 @@ class InvariantSpec extends SparkSpec {
     assert(a == b, "q78's served version != q77's")
   }
 
+  test("q81 restore: post-restore head serves the target version; history preserved; head-restore is identity") {
+    val R = graft.operators.Relational
+    val S = graft.streaming.Streaming
+    val chain = R.q77WriteChain(spark, sfDir, "q81spec_chain")
+    val k = R.q81Target
+    val headBefore = R.q77AsOf(spark, chain, 3)
+      .orderBy("user_id").collect().toSeq
+    val log = R.q81RestoreLog(spark, chain, k)
+    log.write.mode("overwrite").parquet(s"$chain/changes_4")
+    // serving the post-restore head == serving the target version
+    val restored = S.applyServing(R.q77AsOf(spark, chain, 4)).collect().toSeq
+    val target = S.applyServing(R.q77AsOf(spark, chain, k)).collect().toSeq
+    assert(restored == target, "restored head != target version at serving")
+    // history is preserved: the pre-restore head still reads unchanged
+    val headAfter = R.q77AsOf(spark, chain, 3)
+      .orderBy("user_id").collect().toSeq
+    assert(headAfter == headBefore, "restore must not rewrite history")
+    // the restore genuinely bit: head and restored head differ
+    val headServed = S.applyServing(R.q77AsOf(spark, chain, 3)).collect().toSeq
+    assert(headServed != restored, "degenerate restore: head == target")
+    // both branches populate: >=1 tombstone (insert-after-k undone)
+    // and >=1 re-assert (moved key rolled back)
+    val byType = log.groupBy(col("event_type") === "error")
+      .count().collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(byType.getOrElse(true, 0L) > 0, "no tombstone branch exercised")
+    assert(byType.getOrElse(false, 0L) > 0, "no re-assert branch exercised")
+    // the log is exactly the key diff: one row per key whose winning
+    // event moved (or that did not exist at the target)
+    val h = R.q77AsOf(spark, chain, 3).select("user_id", "event_id")
+      .withColumnRenamed("event_id", "h_eid")
+    val t = R.q77AsOf(spark, chain, k).select("user_id", "event_id")
+      .withColumnRenamed("event_id", "t_eid")
+    val diffKeys = h.join(t, Seq("user_id"), "left")
+      .filter(col("t_eid").isNull || col("t_eid") =!= col("h_eid")).count()
+    assert(log.count() == diffKeys, "restore log must equal the key diff")
+    // restore-to-head is the identity: an EMPTY compensating log
+    assert(R.q81RestoreLog(spark, chain, 3).isEmpty,
+      "restore to the head must append nothing")
+  }
+
   test("q46 co-purchase equals an in-memory association mirror; floor and tiebreak hold") {
     val got = SparkEntry.queries("q46_copurchase")(spark, sfDir)
       .as[(Long, Long, Long, Long, Long, Double, Double, Double)].collect().toSeq
