@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -590,8 +590,7 @@ object Export {
       .write.mode("append").parquet(out)
     val v1Files = listParquet(out)
     src.filter(col("o_orderkey") % 2 =!= 0)
-      .withColumn("o_channel",
-        concat(lit("ch_"), pmod(col("o_orderkey"), lit(3)).cast("string")))
+      .withColumn("o_channel", q80Channel(col("o_orderkey")))
       .write.mode("append").parquet(out)
     (out, v1Files)
   }
@@ -609,12 +608,25 @@ object Export {
     * footer-schema union at planning time; the read is one scan. */
   def q80SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
     val (out, _) = q80Write(s, dir)
-    s.read.option("mergeSchema", "true").parquet(out)
+    q80EvolvedRead(s, out)
+  }
+
+  /** The evolved-schema read face — mergeSchema union, NULL old rows
+    * owned as the explicit 'legacy' bucket, channel rollup. ONE
+    * definition shared by q80's one-shot layout and s69's live sink
+    * (a reader must not care whether evolution happened in a batch
+    * backfill or mid-stream). */
+  private[graft] def q80EvolvedRead(s: SparkSession, layout: String): DataFrame =
+    s.read.option("mergeSchema", "true").parquet(layout)
       .groupBy(coalesce(col("o_channel"), lit("legacy")).as("channel"))
       .agg(count(lit(1)).as("orders"),
         sum(expr("cast(round(o_totalprice * 100, 0) as bigint)")).as("cents"))
       .orderBy("channel")
-  }
+
+  /** The evolved column's ONE derivation — shared by q80's v2 writer
+    * and s69's post-upgrade batches. */
+  private[graft] def q80Channel(key: Column): Column =
+    concat(lit("ch_"), pmod(key, lit(3)).cast("string"))
 
   val q80Sql: String =
     """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'legacy'
@@ -624,6 +636,138 @@ object Export {
       |  AS cents
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q82's bloom geometry: m = 2^18 bits per file, k = 4 probe
+    * positions per value. At ~19k distinct hashes per file (sf0.1,
+    * 8 files) occupancy is ~25% per probe and fpp ≈ (1−e^{−kn/m})^k
+    * < 0.5%; smaller corpora only get sparser. The filter is stored
+    * SPARSE — only words with a set bit get a sidecar row — so an
+    * underfull file costs rows proportional to content, not to m. */
+  private[graft] val q82Bits = 1L << 18
+  private[graft] val q82Probes = 4
+
+  /** The k bit positions of one value: xxhash64 seeded by the probe
+    * index — the standard k-independent-hash construction. Pruning
+    * never crosses the oracle (an optimization, not semantics), so
+    * the hash needs determinism within Spark only, not cross-engine
+    * (the d33 bitmap stance applied at file granularity). */
+  private[graft] def q82Positions(v: Column): Column =
+    array((0 until q82Probes).map(i =>
+      pmod(xxhash64(lit(i), v), lit(q82Bits))): _*)
+
+  /** q82's layout: q76's range-clustered order files with the lookup
+    * hash ADDED — md5(o_orderkey) stands in for the reference's
+    * transaction/receipt hash (the indexer's point-lookup key):
+    * unique per row and uniformly scattered, so per-file min/max on
+    * it prunes NOTHING (every file spans the whole hash space) —
+    * exactly the column class q76's sidecar cannot serve and a bloom
+    * filter index (Bloom 1970; Delta's BLOOMFILTER index) exists
+    * for. */
+  private[graft] def q82Write(s: SparkSession, dir: String): String = {
+    val src = Tables.orders(s, dir)
+      .withColumn("o_hash", md5(col("o_orderkey").cast("string").cast("binary")))
+    val out = scratch("q82_bloom", dir)
+    src.repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").parquet(out)
+    out
+  }
+
+  /** Per-file bloom sidecar rows: every row contributes its k bit
+    * positions; bits pack into 64-bit words through a DISTRIBUTED
+    * groupBy(file, word) bit_or — no driver loop; the artifact is
+    * O(set bits), the Delta bloom-index sidecar shape. */
+  private[graft] def q82SidecarRows(s: SparkSession, paths: Seq[String]): DataFrame =
+    s.read.parquet(paths: _*)
+      .select(col("_metadata.file_path").as("file"),
+        explode(q82Positions(col("o_hash"))).as("pos"))
+      .select(col("file"), shiftright(col("pos"), 6).as("word"),
+        expr("shiftleft(1L, cast(pos % 64 as int))").as("mask"))
+      .groupBy("file", "word").agg(expr("bit_or(mask)").as("bits"))
+
+  /** Probe a layout THROUGH its bloom sidecar: a file survives only
+    * if ALL k of the value's bits are set (a missing word row is an
+    * all-zero word). The keep decision is computed DISTRIBUTED — the
+    * k probe rows broadcast into the sidecar scan, a per-file hit
+    * count keeps the files with k distinct satisfied probes — and
+    * only the kept file NAMES cross the driver (O(matches), never
+    * O(#files × words); a 100 TB manifest stays where it is). A kept
+    * file is still filtered exactly (bloom false positives cost
+    * speed, never rows), and a bloom has NO false negatives, so the
+    * oracle's no-skipped-row law holds by construction. Returns
+    * (rows, filesKept, filesTotal). */
+  private[graft] def q82ProbeFiles(s: SparkSession, layout: String,
+      side: String, hash: String): (DataFrame, Int, Int) = {
+    val pos = s.range(1)
+      .select(posexplode(q82Positions(lit(hash))).as(Seq("pid", "pos")))
+      .select(col("pid"), shiftright(col("pos"), 6).as("word"),
+        expr("shiftleft(1L, cast(pos % 64 as int))").as("mask"))
+    val kept = s.read.parquet(side)
+      .join(broadcast(pos), Seq("word"))
+      .filter(col("bits").bitwiseAND(col("mask")) =!= lit(0L))
+      .groupBy("file").agg(countDistinct("pid").as("hits"))
+      .filter(col("hits") === lit(q82Probes))
+      .select("file").collect().map(_.getString(0)).toIndexedSeq
+    val total = listParquet(layout).length
+    val base =
+      if (kept.isEmpty) s.read.parquet(layout).filter(lit(false))
+      else s.read.parquet(kept: _*)
+    (base.filter(col("o_hash") === lit(hash)), kept.length, total)
+  }
+
+  /** The probed key's hash: md5 of the corpus's MINIMUM o_orderkey —
+    * present at every SF without assuming key density, and re-derived
+    * by the oracle as a scalar subquery so no key is hardcoded.
+    * Spark's md5(), DuckDB's md5(), and this MessageDigest call all
+    * produce the same lowercase hex of the same UTF-8 decimal
+    * string. */
+  private[graft] def q82LookupHash(s: SparkSession, dir: String): String = {
+    val minKey = Tables.orders(s, dir).agg(min("o_orderkey")).head.getLong(0)
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(minKey.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** q82: bloom-filter data skipping — the point-lookup half of the
+    * skipping story (q76 prunes RANGE predicates on a clustered
+    * column; q82 prunes EQUALITY probes on a high-NDV scattered
+    * column, the reference indexer's find-by-transaction-hash shape):
+    * build a per-file bloom sidecar over the hash column, route the
+    * probe through it, read only surviving files, fail-stop unless
+    * pruning engaged. Oracle = the same lookup off the SOURCE (the
+    * sidecar path must lose no matching row); ExportSpec quantifies
+    * the no-false-negative law over a key sample, pins the scan's
+    * numFiles metric to the kept count, and measures the
+    * false-positive rate on planted absent probes.
+    *
+    * Scale: the sidecar is O(set bits) metadata built in one
+    * distributed pass; a probe touches k broadcast rows + the
+    * manifest scan and reads ~1 file out of the table regardless of
+    * table size — the O(1)-files point lookup a 100 TB event store
+    * needs. */
+  def q82BloomSkipping(s: SparkSession, dir: String): DataFrame = {
+    val layout = q82Write(s, dir)
+    val side = layout + "_sidecar"
+    q82SidecarRows(s, Seq(layout))
+      .coalesce(1).write.mode("overwrite").parquet(side)
+    val h = q82LookupHash(s, dir)
+    val (rows, kept, total) = q82ProbeFiles(s, layout, side, h)
+    require(kept < total,
+      s"q82: bloom must prune ($kept of $total files kept)")
+    rows.select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("int").as("o_year"),
+        expr("cast(round(o_totalprice * 100, 0) as bigint)").as("cents"))
+      .orderBy("o_orderkey")
+  }
+
+  val q82Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      | CAST(year(o_orderdate) AS INT) AS o_year,
+      | CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      |FROM orders
+      |WHERE md5(CAST(o_orderkey AS VARCHAR)) =
+      |  (SELECT md5(CAST(min(o_orderkey) AS VARCHAR)) FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_incremental_export" -> (q30IncrementalExport _),
     "q31_export_roundtrip" -> (q31ExportRoundtrip _),
@@ -632,7 +776,8 @@ object Export {
     "q75_compaction" -> (q75Compaction _),
     "q76_data_skipping" -> (q76DataSkipping _),
     "q79_incremental_stats" -> (q79IncrementalStats _),
-    "q80_schema_evolution" -> (q80SchemaEvolution _))
+    "q80_schema_evolution" -> (q80SchemaEvolution _),
+    "q82_bloom_skipping" -> (q82BloomSkipping _))
 
   def oracles: Map[String, String] = Map(
     "q30_incremental_export" -> q30Sql,
@@ -645,5 +790,6 @@ object Export {
     // through the incrementally-maintained manifest - a correct
     // manifest is invisible to the reader
     "q79_incremental_stats" -> q76Sql,
-    "q80_schema_evolution" -> q80Sql)
+    "q80_schema_evolution" -> q80Sql,
+    "q82_bloom_skipping" -> q82Sql)
 }

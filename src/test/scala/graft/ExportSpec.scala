@@ -257,6 +257,60 @@ class ExportSpec extends SparkSpec {
       s"scan must read exactly the kept files: $filesRead vs $kept")
   }
 
+  test("q82 bloom skipping: no false negatives over a key sample, numFiles == kept, fp rate bounded") {
+    val layout = Export.q82Write(spark, sfDir)
+    val side = layout + "_sidecar"
+    Export.q82SidecarRows(spark, Seq(layout))
+      .coalesce(1).write.mode("overwrite").parquet(side)
+    val full = spark.read.parquet(layout)
+      .select(col("o_hash"), col("_metadata.file_path").as("file"))
+
+    // no-false-negative law: for a 40-key sample, the probe's kept
+    // set contains the file that truly holds the key, and the probe
+    // returns exactly that row
+    val sample = full.orderBy("o_hash").limit(40).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    sample.foreach { case (h, trueFile) =>
+      val (rows, kept, total) = Export.q82ProbeFiles(spark, layout, side, h)
+      val got = rows.select("o_hash").collect().map(_.getString(0)).toSeq
+      assert(got == Seq(h), s"probe for $h lost/invented rows")
+      assert(kept >= 1 && kept <= total)
+    }
+
+    // the registered probe prunes, and the executed scan reads
+    // EXACTLY the kept files (the q76 numFiles instrument)
+    val h0 = Export.q82LookupHash(spark, sfDir)
+    val (probe, kept, total) = Export.q82ProbeFiles(spark, layout, side, h0)
+    assert(kept < total, s"registered probe must skip files ($kept/$total)")
+    probe.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec        => scans(s.plan)
+      case s: FileSourceScanExec    => Seq(s)
+      case other                    => other.children.flatMap(scans)
+    }
+    val filesRead = scans(probe.queryExecution.executedPlan).head
+      .metrics("numFiles").value
+    assert(filesRead == kept,
+      s"scan must read exactly the kept files: $filesRead vs $kept")
+
+    // false-positive honesty: absent probes (valid 32-hex strings
+    // that hash no row) keep close to zero files — the bloom is an
+    // optimizer, and this measures how good
+    val absentKept = (0 until 20).map { i =>
+      val fake = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"q82-absent-$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val (rows, k, _) = Export.q82ProbeFiles(spark, layout, side, fake)
+      assert(rows.isEmpty, s"absent probe $i returned rows")
+      k
+    }
+    val avgFp = absentKept.sum.toDouble / (absentKept.size * total)
+    assert(avgFp <= 0.2, s"bloom fp fraction out of band: $avgFp")
+  }
+
   test("q80 schema evolution: union schema, null-fill on old rows, v1 files untouched") {
     val (out, v1Files) = Export.q80Write(spark, sfDir)
     val v1Sizes = v1Files.map(p => p -> java.nio.file.Files.size(
