@@ -2121,6 +2121,54 @@ object Streaming {
       |  AS value_cents
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** s69's sink builder, exposed for the spec: the first order
+    * micro-batch appends WITHOUT the channel column; the writer then
+    * upgrades mid-stream and batches 2–3 append WITH it — the live
+    * form of q80's one-shot backfill. Returns (layout, v1 files). */
+  private[graft] def s69Build(s: SparkSession, dir: String)
+      : (String, Seq[String]) = {
+    val E = graft.sources.Export
+    val ord = Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val out = E.scratch("s69_evo", dir)
+    E.deleteTree(out) // append accumulates across same-JVM reruns
+    val slices = orderSlices(ord)
+    slices.head.write.mode("append").parquet(out)
+    val v1Files = E.listParquet(out)
+    slices.tail.foreach { b =>
+      b.withColumn("o_channel", E.q80Channel(col("o_orderkey")))
+        .write.mode("append").parquet(out)
+    }
+    (out, v1Files)
+  }
+
+  /** s69: schema evolution MID-STREAM — q80's append-with-new-column
+    * contract exercised the way it actually happens in production: a
+    * foreachBatch writer is upgraded between micro-batches and starts
+    * emitting the new column while the sink already holds
+    * old-schema files from earlier batches; nothing is rewritten
+    * (the spec pins the batch-1 file set byte-untouched), and the
+    * reader is the SAME [[graft.sources.Export.q80EvolvedRead]] face
+    * q80 uses — a reader must not care whether evolution arrived by
+    * backfill or mid-stream. Oracle: the channel derivation replayed
+    * off the source with the pre-upgrade slice CASE'd to 'legacy'
+    * (the slice boundary IS [[orderSlices]]'s first cut). Scale: the
+    * upgrade is O(0) on existing data — only the footer-schema union
+    * at read planning; each append stays O(batch). */
+  def s69StreamSchemaEvolution(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Export.q80EvolvedRead(s, s69Build(s, dir)._1)
+
+  /** s69's oracle: the evolved rollup off the source, the
+    * pre-upgrade slice owned as 'legacy'. */
+  val s69Sql: String =
+    """SELECT CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  THEN 'legacy'
+      |  ELSE 'ch_' || CAST(o_orderkey % 3 AS VARCHAR) END AS channel,
+      | count(*) AS orders,
+      | CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+      |  AS cents
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s34_stream_tumbling" -> (s34StreamTumbling _),
     "s35_stream_join" -> (s35StreamJoin _),
@@ -2156,7 +2204,8 @@ object Streaming {
     "s65_exactly_once" -> (s65ExactlyOnce _),
     "s66_stream_rfm" -> (s66StreamRfm _),
     "s67_stream_overlap" -> (s67StreamOverlap _),
-    "s68_stream_compaction" -> (s68StreamCompaction _))
+    "s68_stream_compaction" -> (s68StreamCompaction _),
+    "s69_stream_schema_evolution" -> (s69StreamSchemaEvolution _))
 
   def oracles: Map[String, String] = Map(
     "s34_stream_tumbling" -> s34Sql,
@@ -2193,5 +2242,6 @@ object Streaming {
     "s65_exactly_once" -> s65Sql,
     "s66_stream_rfm" -> s66Sql,
     "s67_stream_overlap" -> s67Sql,
-    "s68_stream_compaction" -> s68Sql)
+    "s68_stream_compaction" -> s68Sql,
+    "s69_stream_schema_evolution" -> s69Sql)
 }

@@ -1185,6 +1185,40 @@ class StreamingSpec extends SparkSpec {
       "compaction changed the rollup")
   }
 
+  test("s69 mid-stream schema evolution: old files untouched, legacy bucket == batch 1, face == q80's reader") {
+    val (out, v1Files) = Streaming.s69Build(spark, sfDir)
+    val v1Sizes = v1Files.map(p => p -> java.nio.file.Files.size(
+      java.nio.file.Paths.get(p))).toMap
+    assert(v1Files.nonEmpty, "batch 1 must write files")
+    val allFiles = graft.sources.Export.listParquet(out)
+    assert(allFiles.size > v1Files.size, "post-upgrade batches must append")
+    // the upgrade rewrote NOTHING: batch-1 files byte-identical
+    v1Sizes.foreach { case (p, sz) =>
+      assert(java.nio.file.Files.size(java.nio.file.Paths.get(p)) == sz,
+        s"pre-upgrade file rewritten: $p")
+    }
+    // the legacy bucket is exactly the pre-upgrade slice
+    val face = graft.sources.Export.q80EvolvedRead(spark, out)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch1 = Streaming.orderSlices(
+      Tables.orders(spark, sfDir))(0).count()
+    assert(face("legacy") == batch1,
+      s"legacy bucket ${face("legacy")} != batch-1 rows $batch1")
+    // every post-upgrade channel is populated
+    (0 to 2).foreach(c => assert(face.contains(s"ch_$c"), s"ch_$c missing"))
+    // and the registered face equals the source-replayed rollup
+    val got = SparkEntry.queries("s69_stream_schema_evolution")(spark, sfDir)
+      .collect().toSeq
+    val replay = Tables.orders(spark, sfDir)
+      .groupBy(when(col("o_orderdate") < lit("1998-01-01"), lit("legacy"))
+        .otherwise(graft.sources.Export.q80Channel(col("o_orderkey")))
+        .as("channel"))
+      .agg(count(lit(1)).as("orders"),
+        sum(expr("cast(round(o_totalprice * 100, 0) as bigint)")).as("cents"))
+      .orderBy("channel").collect().toSeq
+    assert(got == replay, "evolved sink read != source replay")
+  }
+
   test("s65 exactly-once: replayed batch is a no-op, unguarded sum-merge diverges") {
     val ev = Tables.events(spark, sfDir)
     val R = graft.operators.Relational
