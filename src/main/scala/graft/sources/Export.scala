@@ -768,6 +768,87 @@ object Export {
       |  (SELECT md5(CAST(min(o_orderkey) AS VARCHAR)) FROM orders)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** q83's physical schema: data files carry stable PHYSICAL column
+    * ids (Delta column mapping's `delta.columnMapping.physicalName`,
+    * parquet field-id in Iceberg); every logical name lives ONLY in
+    * the mapping manifest. */
+  private[graft] val q83Physical =
+    Seq("c1" -> "long", "c2" -> "long", "c3" -> "double", "c4" -> "timestamp")
+
+  /** The v1 logical mapping, and the v2 mapping after the user runs
+    * RENAME COLUMN o_totalprice TO o_revenue. */
+  private[graft] val q83MapV1 = Seq(
+    "c1" -> "o_orderkey", "c2" -> "o_custkey",
+    "c3" -> "o_totalprice", "c4" -> "o_orderdate")
+  private[graft] val q83MapV2 =
+    q83MapV1.map { case (p, l) =>
+      p -> (if (l == "o_totalprice") "o_revenue" else l) }
+
+  /** Write the physical layout once: orders projected onto the
+    * physical ids. Returns the layout path. */
+  private[graft] def q83Write(s: SparkSession, dir: String): String = {
+    val out = scratch("q83_map", dir)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey").as("c1"), col("o_custkey").as("c2"),
+        col("o_totalprice").as("c3"), col("o_orderdate").as("c4"))
+      .write.mode("overwrite").parquet(out)
+    out
+  }
+
+  /** Persist a mapping manifest (physical → logical), the tiny
+    * metadata artifact a rename rewrites. */
+  private[graft] def q83WriteManifest(s: SparkSession, path: String,
+      mapping: Seq[(String, String)]): Unit = {
+    import s.implicits._
+    mapping.toDF("physical", "logical")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Read a layout THROUGH its mapping manifest: the manifest's ≤
+    * #columns rows cross the driver, and the read is a pure
+    * projection rename — column pruning and predicate pushdown still
+    * reach the physical scan because aliases are transparent to
+    * Catalyst. */
+  private[graft] def q83MappedRead(s: SparkSession, layout: String,
+      manifest: String): DataFrame = {
+    val m = s.read.parquet(manifest).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val phys = s.read.parquet(layout)
+    phys.select(phys.columns.sorted.map(c => col(c).as(m(c))).toIndexedSeq: _*)
+  }
+
+  /** q83: column mapping / RENAME COLUMN as a METADATA-ONLY operation
+    * (Delta's columnMapping name mode; Iceberg field-ids): data files
+    * carry stable physical ids, the logical schema lives in a mapping
+    * manifest, and a rename rewrites the MANIFEST — never a data file
+    * (the spec pins every data file byte-identical across the
+    * rename, and that reads through v1 and v2 return the same values
+    * under the old and new names). The registered face reads the
+    * renamed table and rolls up revenue by year; the oracle replays
+    * it off the source — mapping must never change values. Scale: a
+    * rename on a 100 TB table is one O(#columns) manifest write;
+    * every alternative (rewrite, view-layer shim) either costs a
+    * table rewrite or breaks pushdown, and the spec's plan assertion
+    * shows pushdown survives the mapping. */
+  def q83ColumnMapping(s: SparkSession, dir: String): DataFrame = {
+    val layout = q83Write(s, dir)
+    q83WriteManifest(s, layout + "_map_v1", q83MapV1)
+    // RENAME COLUMN o_totalprice TO o_revenue: manifest-only write
+    q83WriteManifest(s, layout + "_map_v2", q83MapV2)
+    q83MappedRead(s, layout, layout + "_map_v2")
+      .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg(count(lit(1)).as("orders"),
+        sum(expr("cast(round(o_revenue * 100, 0) as bigint)")).as("revenue_cents"))
+      .orderBy("o_year")
+  }
+
+  val q83Sql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      | count(*) AS orders,
+      | CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+      |  AS revenue_cents
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_incremental_export" -> (q30IncrementalExport _),
     "q31_export_roundtrip" -> (q31ExportRoundtrip _),
@@ -777,7 +858,8 @@ object Export {
     "q76_data_skipping" -> (q76DataSkipping _),
     "q79_incremental_stats" -> (q79IncrementalStats _),
     "q80_schema_evolution" -> (q80SchemaEvolution _),
-    "q82_bloom_skipping" -> (q82BloomSkipping _))
+    "q82_bloom_skipping" -> (q82BloomSkipping _),
+    "q83_column_mapping" -> (q83ColumnMapping _))
 
   def oracles: Map[String, String] = Map(
     "q30_incremental_export" -> q30Sql,
@@ -791,5 +873,6 @@ object Export {
     // manifest is invisible to the reader
     "q79_incremental_stats" -> q76Sql,
     "q80_schema_evolution" -> q80Sql,
-    "q82_bloom_skipping" -> q82Sql)
+    "q82_bloom_skipping" -> q82Sql,
+    "q83_column_mapping" -> q83Sql)
 }

@@ -311,6 +311,49 @@ class ExportSpec extends SparkSpec {
     assert(avgFp <= 0.2, s"bloom fp fraction out of band: $avgFp")
   }
 
+  test("q83 column mapping: rename is manifest-only, values invariant, pushdown survives the mapping") {
+    val layout = Export.q83Write(spark, sfDir)
+    Export.q83WriteManifest(spark, layout + "_map_v1", Export.q83MapV1)
+    val files = Export.listParquet(layout)
+    val sizes = files.map(p => p -> java.nio.file.Files.size(
+      java.nio.file.Paths.get(p))).toMap
+    val hashes = files.map { p =>
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+      p -> java.util.Arrays.hashCode(bytes)
+    }.toMap
+
+    // the rename: manifest v2 written, data files byte-identical
+    Export.q83WriteManifest(spark, layout + "_map_v2", Export.q83MapV2)
+    assert(Export.listParquet(layout) == files, "rename touched the file set")
+    files.foreach { p =>
+      val path = java.nio.file.Paths.get(p)
+      assert(java.nio.file.Files.size(path) == sizes(p), s"rewritten: $p")
+      assert(java.util.Arrays.hashCode(
+        java.nio.file.Files.readAllBytes(path)) == hashes(p), s"mutated: $p")
+    }
+
+    // reads through v1 and v2 agree on VALUES; only names move
+    val v1 = Export.q83MappedRead(spark, layout, layout + "_map_v1")
+    val v2 = Export.q83MappedRead(spark, layout, layout + "_map_v2")
+    assert(v1.columns.toSet.contains("o_totalprice") &&
+      v2.columns.toSet.contains("o_revenue") &&
+      !v2.columns.toSet.contains("o_totalprice"), "rename not applied")
+    val a = v1.select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+      .collect().toSeq
+    val b = v2.select("o_orderkey", "o_revenue").orderBy("o_orderkey")
+      .collect().toSeq
+    assert(a == b, "mapping changed values")
+
+    // pushdown survives: a filter on the LOGICAL name reaches the
+    // physical scan as a pushed filter on the physical column
+    val probe = v2.filter(col("o_orderkey") === 42L)
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(c1), EqualTo(c1,42)]") ||
+      plan.contains("EqualTo(c1,42)"),
+      s"logical-name filter must push to the physical column:\n$plan")
+  }
+
   test("q80 schema evolution: union schema, null-fill on old rows, v1 files untouched") {
     val (out, v1Files) = Export.q80Write(spark, sfDir)
     val v1Sizes = v1Files.map(p => p -> java.nio.file.Files.size(
