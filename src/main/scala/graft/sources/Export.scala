@@ -849,6 +849,88 @@ object Export {
       |  AS revenue_cents
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q84's probe range — straddles the spec-evolution boundary so
+    * BOTH specs' pruning paths bite. */
+  private[graft] val q84Lo = "1997-06-01"
+  private[graft] val q84Hi = "1998-03-31"
+
+  /** q84's two-generation layout: files written before the evolution
+    * are partitioned by YEAR; the spec then evolves and newer files
+    * are partitioned by MONTH (the Iceberg partition-spec-evolution
+    * contract: old files are NEVER rewritten to the new spec; each
+    * file is pruned under the spec it was written with). The
+    * evolution boundary is [[graft.streaming.Streaming.orderSlices]]'
+    * first cut (1998-01-01). Returns the layout root with specY/ and
+    * specM/ generations. */
+  private[graft] def q84Write(s: SparkSession, dir: String): String = {
+    val out = scratch("q84_specevo", dir)
+    val src = Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    src.filter(col("o_orderdate") < lit("1998-01-01"))
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(s"$out/specY")
+    src.filter(col("o_orderdate") >= lit("1998-01-01"))
+      .withColumn("o_ym", date_format(col("o_orderdate"), "yyyy-MM"))
+      .write.mode("overwrite").partitionBy("o_ym").parquet(s"$out/specM")
+    out
+  }
+
+  /** Read a date range across both specs: the predicate is
+    * TRANSFORMED into each spec's partition space (year bounds for
+    * the old files, month bounds for the new — what Iceberg's
+    * residual evaluator does per manifest), pruned at the directory
+    * level by Catalyst, then the exact predicate re-applies in-scan.
+    * Pruning is per-spec best-effort (the old spec keeps whole
+    * years), semantics come from the residual filter. */
+  private[graft] def q84RangeRead(s: SparkSession, root: String,
+      lo: String, hi: String): DataFrame = {
+    val residual = col("o_orderdate").between(
+      lit(lo).cast("timestamp"), lit(hi).cast("timestamp"))
+    val oldGen = s.read.parquet(s"$root/specY")
+      .filter(col("o_year").between(lo.substring(0, 4).toInt,
+        hi.substring(0, 4).toInt))
+      .filter(residual)
+    val newGen = s.read.parquet(s"$root/specM")
+      .filter(col("o_ym").between(lo.substring(0, 7), hi.substring(0, 7)))
+      .filter(residual)
+    oldGen.drop("o_year").unionByName(newGen.drop("o_ym"))
+  }
+
+  /** q84: partition-spec evolution — the layout family's
+    * generational case (q31 writes ONE partitioning forever; real
+    * tables outlive their partition choice): a table holds files
+    * under BOTH the old year-spec and the new month-spec, nothing is
+    * rewritten at evolution time (O(0) — the Iceberg contract), and
+    * a range read transforms its predicate into each spec's
+    * granularity, prunes directories per-spec, and re-applies the
+    * exact predicate in-scan. The registered face runs the
+    * boundary-straddling [[q84Lo]]..[[q84Hi]] probe and rolls up by
+    * month; oracle = the same probe off the unpartitioned source
+    * (layout never changes semantics). ExportSpec pins both specs'
+    * pruning with the numFiles instrument and the no-lost-row law at
+    * the year and month boundaries. Scale: old files prune at year
+    * granularity (coarse but correct), new files at month — exactly
+    * the graceful-degradation story a 100 TB table needs while its
+    * history ages out. */
+  def q84PartitionEvolution(s: SparkSession, dir: String): DataFrame = {
+    val root = q84Write(s, dir)
+    q84RangeRead(s, root, q84Lo, q84Hi)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      .agg(count(lit(1)).as("orders"),
+        sum(expr("cast(round(o_totalprice * 100, 0) as bigint)")).as("cents"))
+      .orderBy("ym")
+  }
+
+  val q84Sql: String =
+    s"""SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+       | count(*) AS orders,
+       | CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+       |  AS cents
+       |FROM orders
+       |WHERE o_orderdate BETWEEN TIMESTAMP '$q84Lo 00:00:00'
+       |  AND TIMESTAMP '$q84Hi 00:00:00'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_incremental_export" -> (q30IncrementalExport _),
     "q31_export_roundtrip" -> (q31ExportRoundtrip _),
@@ -859,7 +941,8 @@ object Export {
     "q79_incremental_stats" -> (q79IncrementalStats _),
     "q80_schema_evolution" -> (q80SchemaEvolution _),
     "q82_bloom_skipping" -> (q82BloomSkipping _),
-    "q83_column_mapping" -> (q83ColumnMapping _))
+    "q83_column_mapping" -> (q83ColumnMapping _),
+    "q84_partition_evolution" -> (q84PartitionEvolution _))
 
   def oracles: Map[String, String] = Map(
     "q30_incremental_export" -> q30Sql,
@@ -874,5 +957,6 @@ object Export {
     "q79_incremental_stats" -> q76Sql,
     "q80_schema_evolution" -> q80Sql,
     "q82_bloom_skipping" -> q82Sql,
-    "q83_column_mapping" -> q83Sql)
+    "q83_column_mapping" -> q83Sql,
+    "q84_partition_evolution" -> q84Sql)
 }

@@ -354,6 +354,54 @@ class ExportSpec extends SparkSpec {
       s"logical-name filter must push to the physical column:\n$plan")
   }
 
+  test("q84 partition evolution: both specs prune directories, boundary rows never lost") {
+    val root = Export.q84Write(spark, sfDir)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec        => scans(s.plan)
+      case s: FileSourceScanExec    => Seq(s)
+      case other                    => other.children.flatMap(scans)
+    }
+    // no-lost-row law at the year and month boundaries AND the
+    // registered range: the spec-transformed pruned read equals the
+    // unpruned union filtered exactly
+    val full = spark.read.parquet(s"$root/specY").drop("o_year")
+      .unionByName(spark.read.parquet(s"$root/specM").drop("o_ym"))
+    def law(lo: String, hi: String, mustHit: Boolean): Unit = {
+      val got = Export.q84RangeRead(spark, root, lo, hi)
+        .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+      val exact = full.filter(col("o_orderdate").between(
+          lit(lo).cast("timestamp"), lit(hi).cast("timestamp")))
+        .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == exact, s"[$lo,$hi]: pruned read diverged")
+      if (mustHit) assert(got.nonEmpty, s"[$lo,$hi]: vacuous window")
+    }
+    // exact day-level boundaries (may be empty at tiny SFs — the law
+    // is equality, emptiness is the source's business)
+    law("1997-12-31", "1998-01-01", mustHit = false) // the evolution boundary
+    law("1996-12-31", "1997-01-01", mustHit = false) // old-spec year boundary
+    law("1998-01-31", "1998-02-01", mustHit = false) // new-spec month boundary
+    // month-wide straddles of the same boundaries: populated at every SF
+    law("1997-12-01", "1998-01-31", mustHit = true)
+    law("1996-12-01", "1997-01-31", mustHit = true)
+    law("1998-01-15", "1998-02-15", mustHit = true)
+    law(Export.q84Lo, Export.q84Hi, mustHit = true) // the registered range
+
+    // pruning genuinely engages on BOTH specs for the registered range
+    val probe = Export.q84RangeRead(spark, root, Export.q84Lo, Export.q84Hi)
+    probe.collect()
+    val sc = scans(probe.queryExecution.executedPlan)
+    assert(sc.size == 2, s"expected two generation scans, got ${sc.size}")
+    sc.foreach { scan =>
+      val read = scan.metrics("numFiles").value
+      val total = scan.relation.location.inputFiles.length
+      assert(read < total,
+        s"spec scan must prune (read $read of $total): ${scan.nodeName}")
+    }
+  }
+
   test("q80 schema evolution: union schema, null-fill on old rows, v1 files untouched") {
     val (out, v1Files) = Export.q80Write(spark, sfDir)
     val v1Sizes = v1Files.map(p => p -> java.nio.file.Files.size(
