@@ -819,6 +819,46 @@ class AnnSpec extends SparkSpec {
       f"measured floors regressed: twin=$twin%.4f recall=$recall%.4f")
   }
 
+  test("a51 range search: threshold exact on candidates, honest radius recall vs brute") {
+    import graft.ann.Ann
+    val got = SparkEntry.queries("a51_range_search")(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.nonEmpty, "radius result must be non-empty at the spec SF")
+    assert(got.forall(_._3 >= Ann.a51Tau), "a sub-threshold row returned")
+    assert(got.forall(r => r._1 != r._2), "self-match")
+    // result sets genuinely VARY per query — the property top-k
+    // cannot express
+    val sizes = got.groupBy(_._1).view.mapValues(_.size).values.toSeq
+    assert(sizes.distinct.size > 1, s"degenerate uniform result sizes: $sizes")
+
+    // routed == brute ∩ candidates: the threshold never drops a
+    // candidate the routing surfaced (misses come from routing ONLY)
+    val candPairs = Ann.a49Scored(spark, sfDir, col("vec_id") < 8)
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, e) =>
+        (id, e, math.sqrt(e.map(x => x.toDouble * x).sum))
+      }.filter(_._3 > 0)
+    val brute = (for {
+      (qid, qe, qn) <- vecs.filter(_._1 < 8)
+      (cid, ce, cn) <- vecs if cid != qid
+      cos = BigDecimal(qe.zip(ce).map { case (a, b) => a.toDouble * b }.sum /
+        (qn * cn)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if cos >= Ann.a51Tau
+    } yield (qid, cid, cos)).toSeq
+    val expected = brute.filter(p => candPairs((p._1, p._2)))
+      .sortBy(p => (p._1, -p._3, p._2))
+    assert(got == expected,
+      "routed radius result != brute radius restricted to candidates")
+    // honest radius recall (the a41/a47 measured-and-floored stance)
+    val recall = expected.size.toDouble / brute.size
+    info(f"a51 radius recall: $recall%.4f (${expected.size}/${brute.size} matches surfaced)")
+    assert(recall >= 0.3 && recall < 1.0,
+      f"radius recall floor regressed: $recall%.4f")
+  }
+
   test("a50 merge: file union serves the full build; routing survives transit untouched") {
     val probe = SparkEntry.queries("a50_index_merge")(spark, sfDir)
       .collect().toSeq
