@@ -753,11 +753,17 @@ object Export {
     val (rows, kept, total) = q82ProbeFiles(s, layout, side, h)
     require(kept < total,
       s"q82: bloom must prune ($kept of $total files kept)")
+    q82Face(rows)
+  }
+
+  /** The point-lookup's projection face — shared by q82's one-shot
+    * sidecar and s70's incrementally-maintained one (both answer the
+    * same lookup; a correct sidecar is invisible to the reader). */
+  private[graft] def q82Face(rows: DataFrame): DataFrame =
     rows.select(col("o_orderkey"), col("o_custkey"),
         year(col("o_orderdate")).cast("int").as("o_year"),
         expr("cast(round(o_totalprice * 100, 0) as bigint)").as("cents"))
       .orderBy("o_orderkey")
-  }
 
   val q82Sql: String =
     """SELECT o_orderkey, o_custkey,

@@ -1219,6 +1219,31 @@ class StreamingSpec extends SparkSpec {
     assert(got == replay, "evolved sink read != source replay")
   }
 
+  test("s70 live bloom maintenance: incremental sidecar == full rebuild, probe invisible, growth monotone") {
+    val E = graft.sources.Export
+    val (out, side, growth) = Streaming.s70Build(spark, sfDir)
+    // the pathology is real: every batch appends files
+    assert(growth.size == 3 && growth.sliding(2).forall {
+      case Seq(a, b) => b > a
+      case _         => true
+    }, s"file count must grow per batch: $growth")
+    // incremental maintenance == full rebuild, row-for-row
+    val inc = spark.read.parquet(side)
+      .orderBy("file", "word").collect().toSeq
+    val rebuilt = E.q82SidecarRows(spark, Seq(out))
+      .orderBy("file", "word").collect().toSeq
+    assert(inc == rebuilt, "incremental sidecar diverged from rebuild")
+    // the probe through the incremental sidecar prunes and equals
+    // q82's registered lookup (same key, same table content)
+    val h = E.q82LookupHash(spark, sfDir)
+    val (rows, kept, total) = E.q82ProbeFiles(spark, out, side, h)
+    assert(kept < total, s"pruning must engage ($kept/$total)")
+    val got = E.q82Face(rows).collect().toSeq
+    val q82 = SparkEntry.queries("q82_bloom_skipping")(spark, sfDir)
+      .collect().toSeq
+    assert(got == q82, "live-maintained lookup != q82's one-shot lookup")
+  }
+
   test("s65 exactly-once: replayed batch is a no-op, unguarded sum-merge diverges") {
     val ev = Tables.events(spark, sfDir)
     val R = graft.operators.Relational
