@@ -4179,6 +4179,67 @@ object Relational {
        |   ELSE 0 END AS BIGINT) AS clustering_e4
        |FROM dg LEFT JOIN tc USING (part) ORDER BY dg.part""".stripMargin
 
+  /** q85: k-hop neighborhood reach (k = 2) — the graph FEATURE the
+    * co-purchase stack still lacked (q46 mines edges, q51 ranks
+    * globally, q53 labels components, q73 measures local density;
+    * none answers "how much of the graph is within two hops of this
+    * node" — the friends-of-friends feature recommendation and
+    * fraud models consume): per part, its degree, the count of
+    * DISTINCT nodes at exactly distance 2 (neighbors-of-neighbors
+    * minus direct neighbors minus self), and the total 2-hop reach,
+    * over the ONE shared [[q46PairsFrom]] edge set.
+    *
+    * Scale (100 TB): the adjacency is the edge set both ways (no
+    * blow-up — 2|E| rows); the 2-hop expansion is the SAME
+    * midpoint-keyed wedge join q73 plans (bounded by Σ deg², the
+    * price of the metric itself), deduped with one (u, w) exchange;
+    * the direct-neighbor exclusion is a co-keyed left-anti join;
+    * rollups are map-side combines over 8-byte keys. No iteration,
+    * no driver loop — k is a literal, not a frontier queue. */
+  def q85Khop(s: SparkSession, dir: String): DataFrame = {
+    val e = q46PairsFrom(q46Items(s, dir))
+      .select(col("part_a").as("a"), col("part_b").as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // undirected adjacency: each a<b edge both ways, distinct by
+    // construction (a<b means (u,v) and (v,u) never collide)
+    val adj = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    val deg = adj.groupBy("u").agg(count(lit(1)).as("degree"))
+    val two = adj.join(
+        adj.select(col("u").as("v"), col("v").as("w")), Seq("v"))
+      .filter(col("w") =!= col("u"))
+      .select("u", "w").distinct()
+      .join(adj.select(col("u"), col("v").as("w")), Seq("u", "w"), "left_anti")
+      .groupBy("u").agg(count(lit(1)).as("two_hop"))
+    deg.join(two, Seq("u"), "left")
+      .select(col("u").as("part"), col("degree"),
+        coalesce(col("two_hop"), lit(0L)).as("two_hop"),
+        (col("degree") + coalesce(col("two_hop"), lit(0L))).as("reach2"))
+      .orderBy("part")
+  }
+
+  /** DuckDB oracle for q85: the shared [[q46PairsCte]] edge set, the
+    * identical two-way adjacency, wedge dedup, direct-neighbor
+    * anti-join, and integer rollup. */
+  val q85Sql: String =
+    s"""WITH $q46PairsCte,
+       |adj AS (
+       | SELECT part_a AS u, part_b AS v FROM pairs
+       | UNION ALL
+       | SELECT part_b AS u, part_a AS v FROM pairs),
+       |dg AS (SELECT u, count(*) AS degree FROM adj GROUP BY 1),
+       |two AS (
+       | SELECT u, count(*) AS two_hop FROM (
+       |  SELECT DISTINCT x.u, y.v AS w
+       |  FROM adj x JOIN adj y ON x.v = y.u AND y.v <> x.u
+       |  WHERE NOT EXISTS (
+       |   SELECT 1 FROM adj d WHERE d.u = x.u AND d.v = y.v))
+       | GROUP BY 1)
+       |SELECT dg.u AS part, CAST(degree AS BIGINT) AS degree,
+       | CAST(coalesce(two_hop, 0) AS BIGINT) AS two_hop,
+       | CAST(degree + coalesce(two_hop, 0) AS BIGINT) AS reach2
+       |FROM dg LEFT JOIN two USING (u) ORDER BY part""".stripMargin
+
   /** q68's per-group sample budget. 512 is a real sampling regime at
     * the gate SFs (~3000 orders per priority at sf0.01, ~30000 at
     * sf0.1) and the degenerate-exact regime at sf0.001 (~300 per
@@ -4595,6 +4656,7 @@ object Relational {
     "q77_time_travel" -> (q77TimeTravel _),
     "q78_retention" -> (q78Retention _),
     "q81_restore" -> (q81Restore _),
+    "q85_khop" -> (q85Khop _),
     "q36_lockup_schedule" -> (q36LockupSchedule _),
     "q37_lockup_termination" -> (q37LockupTermination _),
     "q38_mv_maintenance" -> (q38MvMaintenance _),
@@ -4768,6 +4830,7 @@ object Relational {
     // chain - retention above the horizon must be invisible
     "q78_retention" -> q77Sql,
     "q81_restore" -> q81Sql,
+    "q85_khop" -> q85Sql,
     "q36_lockup_schedule" -> q36Sql,
     "q37_lockup_termination" -> q37Sql,
     "q38_mv_maintenance" -> q38Sql,

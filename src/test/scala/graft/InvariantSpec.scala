@@ -547,6 +547,32 @@ class InvariantSpec extends SparkSpec {
       "restore to the head must append nothing")
   }
 
+  test("q85 2-hop reach equals an in-memory BFS mirror; hop sets disjoint") {
+    val got = SparkEntry.queries("q85_khop")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty, "graph must be non-empty at the spec SF")
+    // independent mirror: adjacency map, exact distance-2 sets
+    val edges = graft.operators.Relational.q46PairsFrom(
+        graft.operators.Relational.q46Items(spark, sfDir))
+      .select("part_a", "part_b").as[(Long, Long)].collect().toSeq
+    val adj = (edges ++ edges.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val mirror = adj.map { case (u, h1) =>
+      val h2 = h1.flatMap(adj(_)) - u -- h1
+      u -> (h1.size.toLong, h2.size.toLong)
+    }
+    assert(got.size == mirror.size, "node set mismatch")
+    got.foreach { case (part, deg, two, reach) =>
+      val (md, m2) = mirror(part)
+      assert(deg == md, s"part $part degree $deg != mirror $md")
+      assert(two == m2, s"part $part two_hop $two != mirror $m2")
+      assert(reach == deg + two, s"part $part reach law broken")
+    }
+    // non-vacuity: the 2-hop frontier is genuinely wider than degree
+    // somewhere, and zero somewhere is allowed but not everywhere
+    assert(got.exists(_._3 > 0), "no node has any 2-hop frontier")
+  }
+
   test("q46 co-purchase equals an in-memory association mirror; floor and tiebreak hold") {
     val got = SparkEntry.queries("q46_copurchase")(spark, sfDir)
       .as[(Long, Long, Long, Long, Long, Double, Double, Double)].collect().toSeq
