@@ -453,6 +453,9 @@ class PlanSpec extends SparkSpec {
       // a49 rides a42's build (1-row packed-centroid broadcasts); its
       // candidate and scoring joins are cell/vec_id equi-joins
       "a49_knn_join",
+      // a51 rides the SAME a49Scored body (a42's 1-row broadcasts);
+      // the radius filter adds no join at all
+      "a51_range_search",
       // q51's cross joins are the 1-row node-count broadcast attached
       // to the rank vector each iteration — the q45/q46 stance; the
       // rank/edge joins themselves are src-keyed equi-joins
@@ -669,6 +672,31 @@ class PlanSpec extends SparkSpec {
       // at construction; the surviving-version identity and fail-fast
       // horizon are pinned by the InvariantSpec vacuum test
       "q78_retention",
+      // q81 writes its chain + the compensating restore log at
+      // construction; the diff join is one user-keyed equi-join of
+      // two MV-sized snapshots, pinned by the target-version oracle
+      // and the InvariantSpec restore test
+      "q81_restore",
+      // q82 writes its layout + bloom sidecar at construction and
+      // reads an explicit kept-file list; the no-false-negative and
+      // numFiles==kept pins live in ExportSpec's dedicated test
+      "q82_bloom_skipping",
+      // q83 writes its physical layout + both mapping manifests at
+      // construction; the metadata-only rename and pushdown-survival
+      // pins live in ExportSpec's dedicated test
+      "q83_column_mapping",
+      // q84 writes both partition-spec generations at construction;
+      // per-spec pruning and the boundary no-lost-row law are pinned
+      // by ExportSpec's dedicated test
+      "q84_partition_evolution",
+      // s69 appends its three schema generations at construction; the
+      // no-rewrite / legacy-bucket contract is pinned by the
+      // StreamingSpec mid-stream evolution test
+      "s69_stream_schema_evolution",
+      // s70 appends three batches and maintains the bloom sidecar at
+      // construction; incremental==rebuild and pruning engagement are
+      // pinned by the StreamingSpec live-bloom test
+      "s70_stream_skipping",
       // s65 folds the s57 day ledger + a batch-id txn log through
       // parquet generations at construction (with a deliberate
       // duplicate delivery); per-batch plans are the s57 sum-merge
