@@ -592,6 +592,118 @@ object Relational {
       |FROM target t FULL OUTER JOIN source s ON t.user_id = s.user_id
       |ORDER BY user_id""".stripMargin
 
+  /** q86's merge cutoff (target = rollup before, source = change
+    * rollup after — s42's shared boundary) and staleness horizon
+    * (NOT-MATCHED-BY-SOURCE targets last active before it are
+    * retention-deleted). */
+  private[graft] val q86Cut = graft.streaming.Streaming.s42Cutoff
+  private[graft] val q86Stale = "2024-01-08 00:00:00"
+
+  /** q86: the FULL MERGE matrix — q21 covers the upsert half (WHEN
+    * MATCHED UPDATE / NOT MATCHED INSERT); production MERGE (Delta's
+    * five-clause form) also deletes, in BOTH directions: WHEN MATCHED
+    * AND source says delete (the CDC tombstone — last post-cutoff
+    * event is an 'error') THEN DELETE; WHEN NOT MATCHED BY SOURCE AND
+    * the target row is stale (last activity before [[q86Stale]])
+    * THEN DELETE (the retention sweep a MERGE-maintained gold table
+    * runs). Batch-expressed as ONE full-outer join + one CASE — no
+    * row is visited twice and each surviving row carries its merge
+    * `action` in-band (updated / inserted / kept — the Delta MERGE
+    * metrics made auditable); deleted rows are pinned by ABSENCE,
+    * which the byte-exact oracle and the spec's per-branch recount
+    * both check. Money is integer cents (the q60 discipline).
+    *
+    * Scale: two map-side-combined rollups, one user-keyed full-outer
+    * join (co-partitioned — both sides aggregate on the join key, so
+    * AQE plans one exchange each and zero extra), one codegen'd CASE;
+    * at 100 TB the target side is the MV (a row per user), the
+    * source side one day of changes — the q38 incremental shape. */
+  def q86MergeFull(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val cents = expr("cast(round(value * 100, 0) as bigint)")
+    // branch population planted by user_id residues (the q37 stance —
+    // on the natural corpus every user is active on both sides and
+    // the matrix would degenerate to q21's upsert half): %7 users are
+    // absent from the target (→ INSERT path), %5 users are absent
+    // from the source (→ not-matched-by-source), and %10 users' (a
+    // subset of %5) target history stops before the staleness horizon
+    // (→ retention DELETE); %5-not-%10 users stay fresh (→ kept)
+    val target = ev.filter(col("ts") < lit(q86Cut).cast("timestamp") &&
+        col("user_id") % 7 =!= 0 &&
+        (col("user_id") % 10 =!= 0 ||
+          col("ts") < lit(q86Stale).cast("timestamp")))
+      .groupBy("user_id").agg(sum(cents).as("t_cents"),
+        count(lit(1)).as("t_count"), max(col("ts")).as("t_last"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val post = ev.filter(col("ts") >= lit(q86Cut).cast("timestamp") &&
+      col("user_id") % 5 =!= 0)
+    val source = post.groupBy("user_id").agg(sum(cents).as("s_cents"),
+        count(lit(1)).as("s_count"))
+      .join(post.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), (col("event_type") === "error").as("s_del")),
+        Seq("user_id"))
+    target.join(source, Seq("user_id"), "full_outer")
+      .withColumn("action",
+        when(col("s_count").isNotNull && col("t_count").isNotNull &&
+          col("s_del"), lit("delete"))
+        .when(col("s_count").isNotNull && col("t_count").isNotNull,
+          lit("updated"))
+        .when(col("s_count").isNotNull && !col("s_del"), lit("inserted"))
+        .when(col("s_count").isNotNull, lit("delete")) // tombstone, no target
+        .when(col("t_last") < lit(q86Stale).cast("timestamp"),
+          lit("delete")) // not matched by source, stale
+        .otherwise(lit("kept")))
+      .filter(col("action") =!= "delete")
+      .select(col("user_id"), col("action"),
+        (coalesce(col("t_cents"), lit(0L)) +
+          coalesce(col("s_cents"), lit(0L))).as("total_cents"),
+        (coalesce(col("t_count"), lit(0L)) +
+          coalesce(col("s_count"), lit(0L))).as("events_count"))
+      .orderBy("user_id")
+  }
+
+  /** DuckDB oracle for q86: the identical two rollups, latest-event
+    * delete flag, full-outer CASE, and absence of every deleted
+    * class. */
+  val q86Sql: String =
+    s"""WITH t AS (
+       | SELECT user_id, CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS t_cents,
+       |  count(*) AS t_count, max(ts) AS t_last
+       | FROM events WHERE ts < TIMESTAMP '$q86Cut'
+       |  AND user_id % 7 <> 0
+       |  AND (user_id % 10 <> 0 OR ts < TIMESTAMP '$q86Stale')
+       | GROUP BY 1),
+       |p AS (SELECT * FROM events WHERE ts >= TIMESTAMP '$q86Cut'
+       |      AND user_id % 5 <> 0),
+       |sd AS (
+       | SELECT user_id, (event_type = 'error') AS s_del FROM (
+       |  SELECT user_id, event_type, row_number() OVER (
+       |   PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM p) WHERE rn = 1),
+       |src AS (
+       | SELECT p.user_id,
+       |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS s_cents,
+       |  count(*) AS s_count, any_value(s_del) AS s_del
+       | FROM p JOIN sd USING (user_id) GROUP BY 1),
+       |m AS (
+       | SELECT coalesce(t.user_id, s.user_id) AS user_id,
+       |  CASE
+       |   WHEN s.s_count IS NOT NULL AND t.t_count IS NOT NULL AND s.s_del
+       |    THEN 'delete'
+       |   WHEN s.s_count IS NOT NULL AND t.t_count IS NOT NULL THEN 'updated'
+       |   WHEN s.s_count IS NOT NULL AND NOT s.s_del THEN 'inserted'
+       |   WHEN s.s_count IS NOT NULL THEN 'delete'
+       |   WHEN t.t_last < TIMESTAMP '$q86Stale' THEN 'delete'
+       |   ELSE 'kept' END AS action,
+       |  coalesce(t.t_cents, 0) + coalesce(s.s_cents, 0) AS total_cents,
+       |  coalesce(t.t_count, 0) + coalesce(s.s_count, 0) AS events_count
+       | FROM t FULL OUTER JOIN src s ON t.user_id = s.user_id)
+       |SELECT user_id, action, CAST(total_cents AS BIGINT) AS total_cents,
+       | CAST(events_count AS BIGINT) AS events_count
+       |FROM m WHERE action <> 'delete' ORDER BY user_id""".stripMargin
+
   /** Bronze→silver JSON round trip: each event serialized into a
     * raw JSON envelope (to_json), then parsed back with an explicit
     * schema (from_json) and a parsed array posexploded — the
@@ -4657,6 +4769,7 @@ object Relational {
     "q78_retention" -> (q78Retention _),
     "q81_restore" -> (q81Restore _),
     "q85_khop" -> (q85Khop _),
+    "q86_merge_full" -> (q86MergeFull _),
     "q36_lockup_schedule" -> (q36LockupSchedule _),
     "q37_lockup_termination" -> (q37LockupTermination _),
     "q38_mv_maintenance" -> (q38MvMaintenance _),
@@ -4831,6 +4944,7 @@ object Relational {
     "q78_retention" -> q77Sql,
     "q81_restore" -> q81Sql,
     "q85_khop" -> q85Sql,
+    "q86_merge_full" -> q86Sql,
     "q36_lockup_schedule" -> q36Sql,
     "q37_lockup_termination" -> q37Sql,
     "q38_mv_maintenance" -> q38Sql,

@@ -547,6 +547,62 @@ class InvariantSpec extends SparkSpec {
       "restore to the head must append nothing")
   }
 
+  test("q86 full merge matrix: every branch populated, deletes pinned by absence, totals recount") {
+    val R = graft.operators.Relational
+    val got = SparkEntry.queries("q86_merge_full")(spark, sfDir)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val byAction = got.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    // both surviving actions live, plus kept (the not-matched-by-
+    // source survivor)
+    Seq("updated", "inserted", "kept").foreach(a =>
+      assert(byAction.getOrElse(a, Set.empty).nonEmpty, s"branch $a empty"))
+
+    // independent branch recount from raw events (mirrors the planted
+    // residue population)
+    val ev = Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "ts", "event_type", "value")
+      .as[(Long, Long, java.sql.Timestamp, String, Double)].collect()
+    val cut = java.sql.Timestamp.valueOf(R.q86Cut)
+    val stale = java.sql.Timestamp.valueOf(R.q86Stale)
+    val pre = ev.filter(e => e._3.before(cut) && e._1 % 7 != 0 &&
+      (e._1 % 10 != 0 || e._3.before(stale)))
+    val post = ev.filter(e => !e._3.before(cut) && e._1 % 5 != 0)
+    val tUsers = pre.map(_._1).toSet
+    val sLast = post.groupBy(_._1).view.mapValues(
+      _.maxBy(e => (e._3.getTime, e._2))._4 == "error").toMap
+    val matchedDel = tUsers.filter(u => sLast.getOrElse(u, false))
+    val staleDel = pre.groupBy(_._1).collect {
+      case (u, es) if !sLast.contains(u) &&
+        es.map(_._3).max.before(stale) => u
+    }.toSet
+    val insTomb = sLast.collect {
+      case (u, true) if !tUsers(u) => u }.toSet
+    // deletes are pinned by ABSENCE — none of the three delete
+    // classes may survive into the merged table
+    val survivors = got.map(_._1).toSet
+    assert((matchedDel ++ staleDel ++ insTomb).forall(!survivors(_)),
+      "a deleted user survived the merge")
+    assert(matchedDel.nonEmpty && staleDel.nonEmpty,
+      "delete branches must genuinely populate")
+    // the surviving action classes match the recount exactly
+    val updated = tUsers.filter(u => sLast.contains(u) && !sLast(u))
+    val inserted = sLast.collect {
+      case (u, false) if !tUsers(u) => u }.toSet
+    val kept = pre.groupBy(_._1).collect {
+      case (u, es) if !sLast.contains(u) &&
+        !es.map(_._3).max.before(stale) => u
+    }.toSet
+    assert(byAction("updated") == updated, "updated class mismatch")
+    assert(byAction("inserted") == inserted, "inserted class mismatch")
+    assert(byAction("kept") == kept, "kept class mismatch")
+    // totals recount for a sample of updated users (integer cents)
+    val cents = (pre ++ post).groupBy(_._1).view.mapValues(
+      _.map(e => math.round(e._5 * 100)).sum).toMap
+    got.filter(_._2 == "updated").take(20).foreach { case (u, _, tc, _) =>
+      assert(tc == cents(u), s"user $u cents $tc != recount ${cents(u)}")
+    }
+  }
+
   test("q85 2-hop reach equals an in-memory BFS mirror; hop sets disjoint") {
     val got = SparkEntry.queries("q85_khop")(spark, sfDir)
       .as[(Long, Long, Long, Long)].collect().toSeq
