@@ -2232,6 +2232,110 @@ object Streaming {
     E.q82Face(rows)
   }
 
+  /** s71's allowed-lateness delay (days) and the planted straggler
+    * residue: every %17 event arrives one trigger after its
+    * event-time slice — deterministic out-of-order delivery, so both
+    * engines can replay the arrival schedule exactly. */
+  private[graft] val s71DelayDays = 3
+  private[graft] val s71Straggler = 17L
+
+  /** Arrival batches for the late-data fold: an event's arrival
+    * trigger is its event-time slice index ([[s50Cut1]]/[[s50Cut2]] —
+    * the eventSlices boundaries), pushed one trigger later for
+    * stragglers and capped at the last trigger. */
+  private[graft] def s71Arrivals(ev: DataFrame): Seq[DataFrame] = {
+    val sliceIdx = when(col("ts") < lit(s50Cut1), 0)
+      .when(col("ts") < lit(s50Cut2), 1).otherwise(2)
+    val arr = least(
+      sliceIdx + when(col("event_id") % s71Straggler === 0, 1).otherwise(0),
+      lit(2))
+    (0 to 2).map(i => ev.filter(arr === lit(i)))
+  }
+
+  /** Per-day event counts — the rollup both the on-time ledger and
+    * the dead-letter ledger fold through. */
+  private[graft] def s71Daily(ev: DataFrame): DataFrame =
+    ev.groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+
+  private def s71Merge(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta).groupBy("day").agg(sum("n").as("n"))
+
+  /** s71: late-data accounting — the watermark contract every
+    * production stream ships but no entry yet PROVED (s34–s70 all
+    * consume in-order slices; real streams deliver stragglers, and
+    * Structured Streaming's answer is the global watermark: state
+    * older than max-event-time-seen minus the allowed lateness is
+    * closed, and a row arriving below the watermark must be ROUTED,
+    * not silently merged or silently dropped): the fold carries an
+    * on-time daily ledger, a dead-letter ledger, and the 1-row
+    * max-seen timestamp; each trigger classifies its batch against
+    * the watermark DERIVED FROM PREVIOUS TRIGGERS ONLY (trigger 0 has
+    * no watermark — everything is on time, exactly Spark's
+    * per-trigger watermark update rule), routes late rows to the DLQ
+    * ledger, and advances max-seen. Stragglers arriving within the
+    * allowed lateness are absorbed on-time (the spec pins both: real
+    * late drops AND real absorbed stragglers). The face joins both
+    * ledgers per day; oracle = the arrival schedule + running-max
+    * watermark replayed in SQL, byte-exact.
+    *
+    * Scale: state is |days| + |days| + 1 rows; per trigger the
+    * classification is one broadcast 1-row watermark cross into the
+    * batch scan (the q28 scalar stance), the merges day-keyed
+    * sum-merges — nothing ranks, nothing replays history. */
+  def s71StreamLateData(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select("user_id", "event_id", "ts", "event_type", "value")
+    val stateDir = graft.sources.Export.scratch("s71_state", dir)
+    val led0 = s71Daily(ev.filter(lit(false)))
+    val dlq0 = s71Daily(ev.filter(lit(false)))
+    val wm0 = s.range(1).select(lit(null).cast("timestamp").as("max_seen"))
+    val out = foldGenerations(s, stateDir,
+      Seq("s71led" -> led0, "s71dlq" -> dlq0, "s71wmk" -> wm0),
+      s71Arrivals(ev)) { case (states, batch, _) =>
+      val Seq(led, dlq, wmk) = states: @unchecked
+      val wm = wmk.select(
+        (col("max_seen") - expr(s"INTERVAL $s71DelayDays DAYS")).as("wm"))
+      val cls = batch.crossJoin(broadcast(wm))
+        .withColumn("late", coalesce(col("ts") < col("wm"), lit(false)))
+      val led2 = s71Merge(led, s71Daily(cls.filter(!col("late"))))
+      val dlq2 = s71Merge(dlq, s71Daily(cls.filter(col("late"))))
+      // greatest() skips NULLs, so the gen-0 null max-seen never
+      // poisons the running maximum
+      val wm2 = wmk.crossJoin(broadcast(batch.agg(max("ts").as("bmax"))))
+        .select(greatest(col("max_seen"), col("bmax")).as("max_seen"))
+      Seq(led2, dlq2, wm2)
+    }
+    out(0).withColumnRenamed("n", "ontime")
+      .join(out(1).withColumnRenamed("n", "late"), Seq("day"), "full_outer")
+      .select(col("day"), coalesce(col("ontime"), lit(0L)).as("ontime"),
+        coalesce(col("late"), lit(0L)).as("late"))
+      .orderBy("day")
+  }
+
+  /** DuckDB oracle for s71: the identical arrival schedule, the
+    * running-max watermark over strictly-earlier triggers, and the
+    * same strict-less late rule. */
+  val s71Sql: String =
+    s"""WITH b AS (
+       | SELECT *, LEAST(
+       |  (CASE WHEN ts < TIMESTAMP '$s50Cut1 00:00:00' THEN 0
+       |        WHEN ts < TIMESTAMP '$s50Cut2 00:00:00' THEN 1 ELSE 2 END)
+       |  + (CASE WHEN event_id % $s71Straggler = 0 THEN 1 ELSE 0 END),
+       |  2) AS arr
+       | FROM events),
+       |wm AS (SELECT arr, max(ts) AS mx FROM b GROUP BY 1),
+       |wmc AS (SELECT arr, max(mx) OVER (ORDER BY arr
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |  - INTERVAL $s71DelayDays DAY AS wm FROM wm),
+       |cl AS (
+       | SELECT b.*, coalesce(b.ts < wmc.wm, FALSE) AS late
+       | FROM b JOIN wmc USING (arr))
+       |SELECT CAST(ts AS DATE) AS day,
+       | CAST(count(*) FILTER (NOT late) AS BIGINT) AS ontime,
+       | CAST(count(*) FILTER (late) AS BIGINT) AS late
+       |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s34_stream_tumbling" -> (s34StreamTumbling _),
     "s35_stream_join" -> (s35StreamJoin _),
@@ -2269,7 +2373,8 @@ object Streaming {
     "s67_stream_overlap" -> (s67StreamOverlap _),
     "s68_stream_compaction" -> (s68StreamCompaction _),
     "s69_stream_schema_evolution" -> (s69StreamSchemaEvolution _),
-    "s70_stream_skipping" -> (s70StreamSkipping _))
+    "s70_stream_skipping" -> (s70StreamSkipping _),
+    "s71_stream_late_data" -> (s71StreamLateData _))
 
   def oracles: Map[String, String] = Map(
     "s34_stream_tumbling" -> s34Sql,
@@ -2311,5 +2416,6 @@ object Streaming {
     // s70 answers q82's lookup over the same (appended) table through
     // the incrementally-maintained bloom sidecar — a correct sidecar
     // is invisible to the reader
-    "s70_stream_skipping" -> graft.sources.Export.q82Sql)
+    "s70_stream_skipping" -> graft.sources.Export.q82Sql,
+    "s71_stream_late_data" -> s71Sql)
 }

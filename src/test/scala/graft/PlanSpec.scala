@@ -697,6 +697,12 @@ class PlanSpec extends SparkSpec {
       // construction; incremental==rebuild and pruning engagement are
       // pinned by the StreamingSpec live-bloom test
       "s70_stream_skipping",
+      // s71 folds its two day ledgers + 1-row watermark through
+      // parquet generations at construction; per-trigger plans are a
+      // broadcast 1-row watermark cross (the q28 scalar stance) +
+      // day-keyed sum-merges, pinned by the arrival-schedule oracle
+      // and the StreamingSpec direct-classification replay
+      "s71_stream_late_data",
       // s65 folds the s57 day ledger + a batch-id txn log through
       // parquet generations at construction (with a deliberate
       // duplicate delivery); per-batch plans are the s57 sum-merge

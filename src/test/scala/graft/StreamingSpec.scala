@@ -1244,6 +1244,49 @@ class StreamingSpec extends SparkSpec {
     assert(got == q82, "live-maintained lookup != q82's one-shot lookup")
   }
 
+  test("s71 late data: fold equals direct classification; drops AND absorbed stragglers both real") {
+    val got = SparkEntry.queries("s71_stream_late_data")(spark, sfDir)
+      .as[(java.sql.Date, Long, Long)].collect().toSeq
+    // independent replay: classify every event directly from the
+    // arrival schedule and the running-max watermark
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "ts")
+      .as[(Long, java.sql.Timestamp)].collect()
+    val cut1 = java.sql.Timestamp.valueOf("2024-01-11 00:00:00")
+    val cut2 = java.sql.Timestamp.valueOf("2024-01-21 00:00:00")
+    def arr(e: (Long, java.sql.Timestamp)): Int = {
+      val slice = if (e._2.before(cut1)) 0 else if (e._2.before(cut2)) 1 else 2
+      math.min(slice + (if (e._1 % 17 == 0) 1 else 0), 2)
+    }
+    val byArr = ev.groupBy(arr)
+    val maxTs = (0 to 2).map(i => byArr(i).map(_._2.getTime).max)
+    val delay = 3L * 24 * 3600 * 1000
+    def wm(i: Int): Option[Long] =
+      if (i == 0) None else Some((0 until i).map(maxTs).max - delay)
+    val mirror = ev.map { e =>
+      val late = wm(arr(e)).exists(e._2.getTime < _)
+      (e._2.toLocalDateTime.toLocalDate.toString, late)
+    }.groupBy(_._1).map { case (d, rows) =>
+      (d, rows.count(!_._2).toLong, rows.count(_._2).toLong)
+    }.toSeq.sortBy(_._1)
+    assert(got.map(r => (r._1.toString, r._2, r._3)) == mirror,
+      "fold classification != direct replay")
+    // the watermark genuinely bites, and allowed lateness genuinely
+    // absorbs: some stragglers drop, some stragglers land on time
+    val stragglers = ev.filter(_._1 % 17 == 0)
+    def pushed(e: (Long, java.sql.Timestamp)): Boolean =
+      e._2.before(cut2) // slices 0/1 stragglers genuinely arrive late
+    val dropped = stragglers.count(e => wm(arr(e)).exists(e._2.getTime < _))
+    val absorbed = stragglers.count(e =>
+      pushed(e) && wm(arr(e)).forall(e._2.getTime >= _))
+    assert(dropped > 0, "no straggler was ever late — the watermark is vacuous")
+    assert(absorbed > 0, "no straggler was absorbed — allowed lateness is vacuous")
+    // trigger 0 has no watermark: nothing before cut1 that arrives in
+    // trigger 0 may be late
+    assert(got.map(_._3).sum == dropped,
+      "late total != straggler drops (only stragglers can be late)")
+  }
+
   test("s65 exactly-once: replayed batch is a no-op, unguarded sum-merge diverges") {
     val ev = Tables.events(spark, sfDir)
     val R = graft.operators.Relational
