@@ -400,7 +400,7 @@ object Multimodal {
       |FROM k ORDER BY doc_id""".stripMargin
 
   /** m35 content-group modulus and the planted variant scheme. */
-  private[multimodal] val m35ContentMod = 40L
+  private[graft] val m35ContentMod = 40L
 
   /** Bounded-channel pixels (0..199) so the +4 brightness variant
     * can never wrap a byte — wrapping would invert a gradient and
@@ -833,6 +833,20 @@ object Multimodal {
             .map(java.lang.Long.valueOf).orNull))))
       .toDF("image_id", "dhash")
       .filter(col("dhash").isNotNull)
+    val frameHashes = m37FrameHashes(s, dir)
+      .select(col("doc_id").as("video_id"), col("frame_idx"),
+        col("fhash"))
+    m39MatchFromHashes(imgHashes, frameHashes)
+  }
+
+  /** The ONE cross-modal banded match body — m39 feeds it decoded
+    * dHashes (JVM work), m39b feeds it literal hashes
+    * (dialect-replayable), so the band layout, first-equal-band
+    * emission, and ≤ 3 verify cannot drift between the rows-only
+    * entry and its oracle gate (the m34/m34b split). Takes
+    * (image_id, dhash) and (video_id, frame_idx, fhash). */
+  private[graft] def m39MatchFromHashes(imgHashes: DataFrame,
+      frameHashes: DataFrame): DataFrame = {
     val bandsOf = (hc: String) => expr(
       s"""transform(sequence(0, 3), i ->
          |  struct(i AS band, shiftright($hc, 16 * i) & 65535 AS chunk))"""
@@ -841,8 +855,8 @@ object Multimodal {
         explode(bandsOf("dhash")).as("b"))
       .select(col("image_id"), col("hash_a"),
         col("b.band").as("band"), col("b.chunk").as("chunk"))
-    val bf = m37FrameHashes(s, dir)
-      .select(col("doc_id").as("video_id"), col("frame_idx"),
+    val bf = frameHashes
+      .select(col("video_id"), col("frame_idx"),
         col("fhash").as("hash_b"),
         explode(bandsOf("fhash")).as("b"))
       .select(col("video_id"), col("frame_idx"), col("hash_b"),
@@ -992,7 +1006,10 @@ object Multimodal {
     * chain ending in `pairs (doc_a, doc_b, hamming)` — ONE body
     * shared by m35b's pair gate and m36b's closure gate, so the two
     * cannot disagree about the edge set. */
-  private val m35bPairsCte: String = {
+  /** The literal image-hash CTE alone — shared by [[m35bPairsCte]]
+    * and m39b's cross-modal oracle, so the two gates consume the
+    * same image hashes. */
+  private val m35bHashCte: String = {
     val mod = m35ContentMod
     s"""h AS (
        | SELECT doc_id,
@@ -1003,7 +1020,11 @@ object Multimodal {
        | FROM (
        |  SELECT doc_id, doc_id % $mod AS cid,
        |   CAST(('0x' || substr(md5(CAST(doc_id % $mod AS VARCHAR)), 1, 15)) AS BIGINT) AS base
-       |  FROM documents WHERE doc_id < 120)),
+       |  FROM documents WHERE doc_id < 120))""".stripMargin
+  }
+
+  private val m35bPairsCte: String = {
+    s"""$m35bHashCte,
        |bx AS (
        | SELECT doc_id, dhash, band, (dhash >> CAST(16 * band AS INT)) & 65535 AS chunk
        | FROM (SELECT doc_id, dhash, unnest(generate_series(0, 3)) AS band FROM h)),
@@ -1064,6 +1085,78 @@ object Multimodal {
        | SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
        |SELECT a AS doc_id, MIN(b) AS component_id, MIN(b) = a AS keep
        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+
+  /** m39b's literal frame-hash table: 60 clips × 3 frames; frame 0
+    * carries its content group's base hash (the SAME md5 formula the
+    * m35b image literals use, keyed by video_id mod 40 — so images
+    * and poster frames of one group hash identically, the law m39
+    * decodes its way to), frames 1–2 carry independent avalanche
+    * hashes in a disjoint 'f:' namespace. */
+  private[graft] def m39bFrameLiterals(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"))
+      .filter(col("doc_id") < 60)
+      .select(col("doc_id").as("video_id"),
+        explode(expr("sequence(0, 2)")).as("frame_idx"))
+      .withColumn("fhash", expr(
+        s"""CASE WHEN frame_idx = 0
+           | THEN cast(conv(substring(md5(cast(video_id % $m35ContentMod as string)), 1, 15), 16, 10) as bigint)
+           | ELSE cast(conv(substring(md5(concat('f:', cast(video_id as string), ':', cast(frame_idx as string))), 1, 15), 16, 10) as bigint)
+           | END""".stripMargin))
+      .select("video_id", "frame_idx", "fhash")
+
+  /** m39b: m39's cross-modal band join + Hamming verify,
+    * oracle-checked — the m34b/m35b split applied to the LAST
+    * relational rows-only stage in the m-family: m39 stays rows-only
+    * because its hashes come from JVM container decode, but the
+    * cross-modal banded match is relational, so m39b routes two
+    * dialect-replayable literal hash streams (m35b's images, a
+    * planted poster-frame clip table) through the VERY SAME
+    * [[m39MatchFromHashes]] body and DuckDB replays banding,
+    * first-equal-band emission, and the ≤ 3 verify byte-exactly.
+    * With this, every relational stage in m33–m40 is oracle-gated;
+    * only JVM codec decode itself remains rows-only. */
+  def m39bThumbnailOracle(s: SparkSession, dir: String): DataFrame =
+    m39MatchFromHashes(
+      m35bHashLiterals(s, dir).select(col("doc_id").as("image_id"),
+        col("dhash")),
+      m39bFrameLiterals(s, dir))
+
+  /** DuckDB oracle for m39b: the shared [[m35bHashCte]] image
+    * literals, identical frame literals, identical 4×16-bit band
+    * explode on both sides, first-equal-band CASE, and bit_count
+    * verify. */
+  val m39bSql: String =
+    s"""WITH $m35bHashCte,
+       |frames AS (
+       | SELECT video_id, frame_idx,
+       |  CASE WHEN frame_idx = 0
+       |   THEN CAST(('0x' || substr(md5(CAST(video_id % $m35ContentMod AS VARCHAR)), 1, 15)) AS BIGINT)
+       |   ELSE CAST(('0x' || substr(md5('f:' || CAST(video_id AS VARCHAR) || ':' ||
+       |     CAST(frame_idx AS VARCHAR)), 1, 15)) AS BIGINT) END AS fhash
+       | FROM (SELECT doc_id AS video_id,
+       |        unnest(generate_series(0, 2)) AS frame_idx
+       |       FROM documents WHERE doc_id < 60)),
+       |bi AS (
+       | SELECT doc_id AS image_id, dhash AS hash_a, band,
+       |  (dhash >> CAST(16 * band AS INT)) & 65535 AS chunk
+       | FROM (SELECT doc_id, dhash, unnest(generate_series(0, 3)) AS band FROM h)),
+       |bf AS (
+       | SELECT video_id, frame_idx, fhash AS hash_b, band,
+       |  (fhash >> CAST(16 * band AS INT)) & 65535 AS chunk
+       | FROM (SELECT video_id, frame_idx, fhash,
+       |        unnest(generate_series(0, 3)) AS band FROM frames))
+       |SELECT image_id, video_id, CAST(frame_idx AS INT) AS frame_idx,
+       | CAST(bit_count(xor(hash_a, hash_b)) AS INT) AS hamming
+       |FROM (
+       | SELECT bi.image_id, bf.video_id, bf.frame_idx,
+       |  bi.hash_a, bf.hash_b, bi.band
+       | FROM bi JOIN bf ON bi.band = bf.band AND bi.chunk = bf.chunk)
+       |WHERE band = (CASE WHEN (hash_a & 65535) = (hash_b & 65535) THEN 0
+       |  WHEN ((hash_a >> 16) & 65535) = ((hash_b >> 16) & 65535) THEN 1
+       |  WHEN ((hash_a >> 32) & 65535) = ((hash_b >> 32) & 65535) THEN 2
+       |  ELSE 3 END)
+       | AND bit_count(xor(hash_a, hash_b)) <= 3
+       |ORDER BY image_id, video_id, frame_idx""".stripMargin
 
   // ---- m37b: the frame-aligned band/ratio stage oracle-checked ----
 
@@ -1162,11 +1255,13 @@ object Multimodal {
     "m37b_video_oracle" -> (m37bVideoOracle _),
     "m38_audio_neardup" -> (m38AudioNeardup _),
     "m39_thumbnail_match" -> (m39ThumbnailMatch _),
+    "m39b_thumbnail_oracle" -> (m39bThumbnailOracle _),
     "m40_scene_cut" -> (m40SceneCut _))
 
   def oracles: Map[String, String] = Map(
     "m34b_dedup_oracle" -> m34bSql,
     "m35b_neardup_oracle" -> m35bSql,
     "m36b_closure_oracle" -> m36bSql,
-    "m37b_video_oracle" -> m37bSql)
+    "m37b_video_oracle" -> m37bSql,
+    "m39b_thumbnail_oracle" -> m39bSql)
 }

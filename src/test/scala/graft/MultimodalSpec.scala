@@ -740,4 +740,25 @@ class MultimodalSpec extends SparkSpec {
         "exactly the min doc_id keeps")
     }
   }
+
+  test("m39b rides m39's match body: planted poster frames hit, variant-2 at Hamming 2, off-frames silent") {
+    val got = SparkEntry.queries("m39b_thumbnail_oracle")(spark, sfDir)
+      .as[(Long, Long, Int, Int)].collect().toSet
+    // expected: every image matches frame 0 of every clip whose
+    // video_id shares its content group — exact variants (0/1) at
+    // Hamming 0, the two-bit variant (2) at Hamming 2
+    val mod = Multimodal.m35ContentMod
+    val expected = (for {
+      img <- 0L until 120L
+      vid <- 0L until 60L if vid % mod == img % mod
+      ham = if ((img / mod) % 3 == 2) 2 else 0
+    } yield (img, vid, 0, ham)).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    // frames 1-2 are independent avalanche hashes: nothing matched
+    assert(got.forall(_._3 == 0), "an off-poster frame matched")
+    // both Hamming populations live — the verify threshold is
+    // genuinely exercised on inexact matches
+    assert(got.exists(_._4 == 0) && got.exists(_._4 == 2))
+  }
 }
