@@ -937,6 +937,87 @@ object Export {
        |  AND TIMESTAMP '$q84Hi 00:00:00'
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q87's divergence residue: the clone's post-clone append
+    * re-ingests the %97 order slice (a deterministic, oracle-
+    * replayable duplicate-append). */
+  private[graft] val q87Residue = 97L
+
+  /** Write a file-list manifest — the clone's ONLY artifact at clone
+    * time. */
+  private[graft] def q87WriteManifest(s: SparkSession, path: String,
+      files: Seq[String]): Unit = {
+    import s.implicits._
+    files.toDF("file").coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  private[graft] def q87ReadManifest(s: SparkSession, path: String): Seq[String] =
+    s.read.parquet(path).collect().map(_.getString(0)).toIndexedSeq.sorted
+
+  /** Build the clone fixture: a source table, a ZERO-COPY clone of it
+    * (manifest v1 = exactly the source's files), then a post-clone
+    * append that diverges the clone (new files under the clone's own
+    * directory; manifest v2 = source files ∪ new files — the source
+    * never learns about them). Returns (source layout, clone data
+    * dir, manifest-v1 path, manifest-v2 path). */
+  private[graft] def q87Build(s: SparkSession, dir: String)
+      : (String, String, String, String) = {
+    val src = Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val srcDir = scratch("q87_src", dir)
+    src.repartition(4, col("o_orderkey")).write.mode("overwrite").parquet(srcDir)
+    val srcFiles = listParquet(srcDir)
+    val cloneDir = scratch("q87_clone", dir)
+    deleteTree(cloneDir) // append accumulates across same-JVM reruns
+    val m1 = cloneDir + "_manifest_v1"
+    q87WriteManifest(s, m1, srcFiles) // the CLONE: one metadata write
+    // copy-on-write divergence: the append lands in the clone's OWN
+    // directory; the source's files are never touched
+    src.filter(col("o_orderkey") % q87Residue === 0)
+      .repartition(1).write.mode("append").parquet(cloneDir)
+    val m2 = cloneDir + "_manifest_v2"
+    q87WriteManifest(s, m2, srcFiles ++ listParquet(cloneDir))
+    (srcDir, cloneDir, m1, m2)
+  }
+
+  /** Read a table through its clone manifest. */
+  private[graft] def q87ManifestRead(s: SparkSession, manifest: String): DataFrame =
+    s.read.parquet(q87ReadManifest(s, manifest): _*)
+
+  /** q87: shallow CLONE — the zero-copy table copy (Delta SHALLOW
+    * CLONE; Iceberg snapshot ref): cloning a 100 TB table writes ONE
+    * file-list manifest and not one data byte (the spec pins: the
+    * clone's manifest references exactly the source's files, and no
+    * data file exists under the clone's directory at clone time);
+    * post-clone writes land in the clone's own directory under
+    * copy-on-write, so the clone DIVERGES while the source stays
+    * byte-untouched (spec: source files byte-identical across the
+    * whole lifecycle, source reads unchanged). The registered face
+    * rolls up the diverged clone; its oracle is the source plus the
+    * appended slice replayed (a manifest read must equal the data it
+    * references — the q42/q78 shared-semantics stance). Scale: clone
+    * is O(#files) metadata; reads pay one manifest lookup; the
+    * append is O(new rows). */
+  def q87ShallowClone(s: SparkSession, dir: String): DataFrame = {
+    val (_, _, _, m2) = q87Build(s, dir)
+    q87ManifestRead(s, m2)
+      .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg(count(lit(1)).as("orders"),
+        sum(expr("cast(round(o_totalprice * 100, 0) as bigint)")).as("cents"))
+      .orderBy("o_year")
+  }
+
+  val q87Sql: String =
+    s"""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       | count(*) AS orders,
+       | CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+       |  AS cents
+       |FROM (
+       | SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+       | UNION ALL
+       | SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+       | WHERE o_orderkey % $q87Residue = 0)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_incremental_export" -> (q30IncrementalExport _),
     "q31_export_roundtrip" -> (q31ExportRoundtrip _),
@@ -948,7 +1029,8 @@ object Export {
     "q80_schema_evolution" -> (q80SchemaEvolution _),
     "q82_bloom_skipping" -> (q82BloomSkipping _),
     "q83_column_mapping" -> (q83ColumnMapping _),
-    "q84_partition_evolution" -> (q84PartitionEvolution _))
+    "q84_partition_evolution" -> (q84PartitionEvolution _),
+    "q87_shallow_clone" -> (q87ShallowClone _))
 
   def oracles: Map[String, String] = Map(
     "q30_incremental_export" -> q30Sql,
@@ -964,5 +1046,6 @@ object Export {
     "q80_schema_evolution" -> q80Sql,
     "q82_bloom_skipping" -> q82Sql,
     "q83_column_mapping" -> q83Sql,
-    "q84_partition_evolution" -> q84Sql)
+    "q84_partition_evolution" -> q84Sql,
+    "q87_shallow_clone" -> q87Sql)
 }

@@ -402,6 +402,46 @@ class ExportSpec extends SparkSpec {
     }
   }
 
+  test("q87 shallow clone: zero copy at clone time, copy-on-write divergence, source isolation") {
+    val (srcDir, cloneDir, m1, m2) = Export.q87Build(spark, sfDir)
+    val srcFiles = Export.listParquet(srcDir)
+    val srcBytes = srcFiles.map { p =>
+      p -> java.util.Arrays.hashCode(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)))
+    }.toMap
+
+    // ZERO COPY: manifest v1 references exactly the source's files,
+    // and the clone's own directory gained files only via the append
+    assert(Export.q87ReadManifest(spark, m1) == srcFiles.sorted,
+      "clone manifest must reference exactly the source's files")
+    val cloneOwn = Export.listParquet(cloneDir)
+    assert(cloneOwn.nonEmpty, "the divergent append must write files")
+    assert(cloneOwn.toSet.intersect(srcFiles.toSet).isEmpty,
+      "clone-side files must be new, never copies in place")
+
+    // divergence: the clone (v2) holds MORE than the source; the
+    // pre-divergence clone (v1) reads byte-equal to the source
+    val srcRead = spark.read.parquet(srcDir).count()
+    assert(Export.q87ManifestRead(spark, m1).count() == srcRead,
+      "pre-divergence clone != source")
+    assert(Export.q87ManifestRead(spark, m2).count() > srcRead,
+      "the clone never diverged")
+
+    // source isolation: every source file byte-identical after the
+    // clone's whole lifecycle, and the source's own rollup unchanged
+    srcFiles.foreach { p =>
+      assert(java.util.Arrays.hashCode(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p))) == srcBytes(p), s"source mutated: $p")
+    }
+    val a = spark.read.parquet(srcDir)
+      .agg(count(lit(1)), sum(expr("cast(round(o_totalprice*100,0) as bigint)")))
+      .collect().toSeq
+    val b = Tables.orders(spark, sfDir)
+      .agg(count(lit(1)), sum(expr("cast(round(o_totalprice*100,0) as bigint)")))
+      .collect().toSeq
+    assert(a == b, "source reads drifted across the clone lifecycle")
+  }
+
   test("q80 schema evolution: union schema, null-fill on old rows, v1 files untouched") {
     val (out, v1Files) = Export.q80Write(spark, sfDir)
     val v1Sizes = v1Files.map(p => p -> java.nio.file.Files.size(

@@ -697,6 +697,10 @@ class PlanSpec extends SparkSpec {
       // construction; incremental==rebuild and pruning engagement are
       // pinned by the StreamingSpec live-bloom test
       "s70_stream_skipping",
+      // q87 writes its source table, clone manifests, and divergent
+      // append at construction; zero-copy, divergence, and source
+      // isolation are pinned by ExportSpec's dedicated test
+      "q87_shallow_clone",
       // s71 folds its two day ledgers + 1-row watermark through
       // parquet generations at construction; per-trigger plans are a
       // broadcast 1-row watermark cross (the q28 scalar stance) +
