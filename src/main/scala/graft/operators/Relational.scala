@@ -1782,6 +1782,101 @@ object Relational {
       | max(CAST(o_orderdate AS DATE)) AS last_order_date
       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  /** q88's dimension-delta slice: customers ≡ 0 (mod 13) "arrive
+    * with today's batch" — planted so the A_old⋈ΔB leg is genuinely
+    * populated (old orders referencing a just-arrived customer are
+    * the rows a fact-only refresh like q38 can never pick up). The
+    * fact delta reuses [[q38Cutoff]]. */
+  private[graft] val q88DimMod = 13L
+
+  /** The customer dimension projection q88/s72 join against. */
+  private[graft] def q88Custs(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+
+  /** A fact slice compressed to its JOIN STATE: partials at
+    * (o_custkey, o_year) — the finest grain the MV's (segment, year)
+    * rollup needs once the dimension attaches. THIS is what makes
+    * join-MV maintenance storable: the retained A-side state is one
+    * row per (customer, year) ever seen, never one per order. */
+  private[graft] def q88APartials(ord: DataFrame): DataFrame =
+    ord.groupBy(col("o_custkey"),
+        year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(round(o_totalprice * 100, 0) as bigint)")).as("cents"))
+
+  /** Merge A-side join-state partials (count/sum re-aggregate). */
+  private[graft] def q88AMerge(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta).groupBy("o_custkey", "o_year")
+      .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+
+  /** One delta-join leg: A-side partials ⋈ a customer set, rolled to
+    * MV partials at (segment, o_year). The dim side broadcasts —
+    * whether it is the full dimension (ΔA⋈B) or the day's handful of
+    * new customers (A⋈ΔB), it is dimension-sized. */
+  private[graft] def q88Leg(aPart: DataFrame, b: DataFrame): DataFrame =
+    aPart.join(broadcast(b), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("o_year"))
+      .agg(sum(col("n")).as("n_orders"), sum(col("cents")).as("cents"))
+
+  /** Merge MV partials — union + re-aggregate, mergeable by
+    * construction (the q38 stance at the join-MV grain). */
+  private[graft] def q88MvMerge(frames: Seq[DataFrame]): DataFrame =
+    frames.reduce(_.unionByName(_)).groupBy("segment", "o_year")
+      .agg(sum(col("n_orders")).as("n_orders"), sum(col("cents")).as("cents"))
+
+  /** q88: incremental JOIN-MV maintenance — q38 maintains an
+    * aggregate whose ONE input table changes; a production gold
+    * table is an aggregate over a JOIN, and BOTH sides change (new
+    * facts arrive AND new dimension members arrive). The classical
+    * delta-join algebra: Δ(A⋈B) = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB, each
+    * leg rolled to mergeable MV partials and merged into the
+    * persisted state — pre-cutoff facts are never re-joined against
+    * pre-existing dimension rows. The A_old⋈ΔB leg is the one q38
+    * cannot express: old orders referencing a just-arrived customer
+    * (dangling under the old inner join) surface exactly when their
+    * dimension row lands. Both state artifacts are REAL (read back
+    * off parquet): the MV itself and the A-side join state
+    * compressed to (custkey, year) partials ([[q88APartials]] — one
+    * row per customer-year, not per order, which is what makes
+    * retaining the A side storable at 100 TB).
+    *
+    * Scale: ΔA⋈B broadcasts the dimension into one day of facts;
+    * A_old⋈ΔB broadcasts the HANDFUL of new customers into the
+    * MV-shaped A-state (never the fact history); ΔA⋈ΔB is tiny×tiny;
+    * all three legs and the final merge are map-side-combinable
+    * sums. Oracle: the full join + rollup over everything —
+    * incremental == recompute IS the gate property (the q38/d35
+    * stance applied to a two-sided join). */
+  def q88JoinMv(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+    val cust = q88Custs(s, dir)
+    val aOld = q88APartials(ord.filter(to_date(col("o_orderdate")) < lit(q38Cutoff)))
+    val aNew = q88APartials(ord.filter(to_date(col("o_orderdate")) >= lit(q38Cutoff)))
+    val bOld = cust.filter(col("c_custkey") % q88DimMod =!= 0)
+    val bNew = cust.filter(col("c_custkey") % q88DimMod === 0)
+    val mvDir = graft.sources.Export.scratch("q88_mv", dir)
+    val aDir = graft.sources.Export.scratch("q88_astate", dir)
+    q88Leg(aOld, bOld).write.mode("overwrite").parquet(mvDir)
+    aOld.write.mode("overwrite").parquet(aDir)
+    val state = s.read.parquet(mvDir)
+    val aState = s.read.parquet(aDir)
+    val delta = q88MvMerge(Seq(
+      q88Leg(aNew, bOld), q88Leg(aState, bNew), q88Leg(aNew, bNew)))
+    q88MvMerge(Seq(state, delta)).orderBy("segment", "o_year")
+  }
+
+  /** q88's oracle: the full join + rollup with NO state/delta split —
+    * the three-leg merge must be indistinguishable from never having
+    * split either side. */
+  val q88Sql: String =
+    """SELECT c_mktsegment AS segment,
+      | CAST(year(o_orderdate) AS INT) AS o_year,
+      | count(*) AS n_orders,
+      | CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+      |  AS cents
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** q39: the skew-salted hot-key join — the fact side's join key is
     * adversarially skewed (an "anonymous user" pathology: 3/4 of all
     * events collapse onto key 0, emulating the null/default-key hot
@@ -4773,6 +4868,7 @@ object Relational {
     "q36_lockup_schedule" -> (q36LockupSchedule _),
     "q37_lockup_termination" -> (q37LockupTermination _),
     "q38_mv_maintenance" -> (q38MvMaintenance _),
+    "q88_join_mv" -> (q88JoinMv _),
     "q39_skew_join" -> (q39SkewJoin _),
     "q40_expectations" -> (q40Expectations _),
     "q41_heavy_hitters" -> (q41HeavyHitters _),
@@ -4948,6 +5044,7 @@ object Relational {
     "q36_lockup_schedule" -> q36Sql,
     "q37_lockup_termination" -> q37Sql,
     "q38_mv_maintenance" -> q38Sql,
+    "q88_join_mv" -> q88Sql,
     "q39_skew_join" -> q39Sql,
     "q40_expectations" -> q40Sql,
     "q41_heavy_hitters" -> q41Sql,

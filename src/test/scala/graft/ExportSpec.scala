@@ -131,6 +131,39 @@ class ExportSpec extends SparkSpec {
       s"cutoff leaves a leg empty: $sides")
   }
 
+  test("q88 three-leg delta-join merge equals an unsplit join recompute; every leg bites") {
+    import org.apache.spark.sql.functions._
+    val R = graft.operators.Relational
+    val out = SparkEntry.queries("q88_join_mv")(spark, sfDir)
+      .as[(String, Int, Long, Long)].collect().toSeq
+    // independent recompute with NO state/delta split on EITHER side
+    val full = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"),
+        year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("cast(round(o_totalprice * 100, 0) as bigint)")).as("cents"))
+      .orderBy("segment", "o_year")
+      .as[(String, Int, Long, Long)].collect().toSeq
+    assert(out.nonEmpty && out == full,
+      s"delta-join merge != recompute: ${out.diff(full).take(3)}")
+    // all three delta legs genuinely populated, or the algebra is vacuous
+    val ord = Tables.orders(spark, sfDir)
+    val cust = R.q88Custs(spark, sfDir)
+    val aOld = R.q88APartials(ord.filter(to_date(col("o_orderdate")) < lit(R.q38Cutoff)))
+    val aNew = R.q88APartials(ord.filter(to_date(col("o_orderdate")) >= lit(R.q38Cutoff)))
+    val bOld = cust.filter(col("c_custkey") % R.q88DimMod =!= 0)
+    val bNew = cust.filter(col("c_custkey") % R.q88DimMod === 0)
+    val legs = Seq(
+      "dA_join_Bold" -> R.q88Leg(aNew, bOld),
+      "Aold_join_dB" -> R.q88Leg(aOld, bNew),
+      "dA_join_dB" -> R.q88Leg(aNew, bNew))
+    legs.foreach { case (name, df) =>
+      assert(df.limit(1).count() == 1, s"delta leg $name is empty")
+    }
+  }
+
   test("q31 writes one directory per hour bucket and round-trips losslessly") {
     val out = Export.q31ExportRoundtrip(spark, sfDir)
     val src = Tables.events(spark, sfDir)
