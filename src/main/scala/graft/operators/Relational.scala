@@ -1496,6 +1496,143 @@ object Relational {
        |WHERE rn = 1 AND event_type <> 'error'
        |ORDER BY user_id""".stripMargin
 
+  /** The key-overlap conflict check at the heart of q89: |keys of
+    * the prepared commit ∩ keys of every commit with version in
+    * (snapshotV, headV]|. Zero means the writer saw every row it
+    * touches as of its snapshot — safe to serialize after head;
+    * positive means a concurrent commit moved its keys — the write
+    * must be rejected and rebased. O(|logs| keys), never the table. */
+  private[graft] def q89Overlap(s: SparkSession, chain: String,
+      snapshotV: Int, headV: Int, keys: DataFrame): Long =
+    if (headV <= snapshotV) 0L
+    else (snapshotV + 1 to headV)
+      .map(i => s.read.parquet(s"$chain/changes_$i"))
+      .reduce(_.unionByName(_)).select("user_id").distinct()
+      .join(keys, Seq("user_id")).count()
+
+  /** q89's concurrent writers: three prepared commits over the SAME
+    * change window, all snapshotted at version 0. W1/W2 partition by
+    * user residue mod 3 (provably disjoint — the both-commit case);
+    * W3's %5 slice straddles both (the planted conflict). */
+  private[graft] def q89Logs(ev: DataFrame): Seq[(String, DataFrame)] = {
+    val win = ev.filter(col("ts") > lit(q77Cutoffs(0)) &&
+      col("ts") <= lit(q77Cutoffs(1)))
+    Seq("w1" -> win.filter(col("user_id") % 3 === 0),
+      "w2" -> win.filter(col("user_id") % 3 === 1),
+      "w3" -> win.filter(col("user_id") % 5 === 0))
+  }
+
+  /** q89: OPTIMISTIC concurrency control — the commit protocol that
+    * makes a multi-writer lakehouse table safe (Delta's
+    * ConflictChecker / Iceberg's validation): writers never lock;
+    * each snapshots the table, prepares a change log, and at commit
+    * time validates its WRITE SET (distinct keys) against every
+    * commit that landed after its snapshot — disjoint serializes
+    * (commit wins a new version), overlapping REJECTS (the writer
+    * must rebase onto the new head and retry). Three concurrent
+    * writers over q77's chain mechanics: W1 and W2 touch disjoint
+    * key residues and both land; W3 straddles both, is rejected with
+    * its measured overlap, rebases to the then-current head, and
+    * lands on retry. The registered face is the ATTEMPTS LEDGER —
+    * (attempt, writer, snapshot_version, write_keys, overlap_keys,
+    * outcome, version) — every value data-derived, so the oracle
+    * replays the whole protocol (key counts, overlap counts, the
+    * accept/reject rule, version assignment) byte-exactly;
+    * InvariantSpec additionally pins the rejection non-vacuous, the
+    * chain's final serving state == base + all three logs replayed,
+    * and first-attempt-accept iff overlap = 0. q89 fail-stops unless
+    * a rejection genuinely occurred (the planted conflict must
+    * bite).
+    *
+    * Scale: validation reads only the logs since the snapshot —
+    * O(Δ keys), never the table (the Delta commit-log read); a
+    * commit appends its log (O(new rows)); rejection costs the
+    * writer one rebase, not a lock. */
+  def q89OptimisticCommit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select("user_id", "event_id", "ts", "event_type", "value")
+    val chain = graft.sources.Export.scratch("q89_chain", dir)
+    graft.streaming.Streaming
+      .applyChangesSnapshot(ev.filter(col("ts") <= lit(q77Cutoffs(0))))
+      .write.mode("overwrite").parquet(s"$chain/v0")
+    var head = 0
+    var attemptId = 0
+    val rows = scala.collection.mutable.Buffer
+      .empty[(Int, String, Int, Long, Long, String, Int)]
+    def attempt(writer: String, log: DataFrame, snapshotV: Int): Boolean = {
+      attemptId += 1
+      val keys = log.select("user_id").distinct()
+      val nKeys = keys.count()
+      val overlap = q89Overlap(s, chain, snapshotV, head, keys)
+      if (overlap == 0L) {
+        head += 1
+        log.write.mode("overwrite").parquet(s"$chain/changes_$head")
+        rows += ((attemptId, writer, snapshotV, nKeys, 0L, "committed", head))
+        true
+      } else {
+        rows += ((attemptId, writer, snapshotV, nKeys, overlap, "rejected", -1))
+        false
+      }
+    }
+    // all three snapshot at v0 (concurrent); commits serialize in
+    // arrival order; a rejected writer rebases once to the current
+    // head and retries
+    q89Logs(ev).foreach { case (w, log) =>
+      if (!attempt(w, log, 0)) attempt(w, log, head)
+    }
+    require(rows.exists(_._6 == "rejected"),
+      "q89: the planted conflict must genuinely reject")
+    require(head == 3, s"q89: all writers must eventually land (head=$head)")
+    rows.toSeq.toDF("attempt", "writer", "snapshot_version", "write_keys",
+      "overlap_keys", "outcome", "version").orderBy("attempt")
+  }
+
+  /** DuckDB oracle for q89: the same write sets, the same overlap
+    * arithmetic, the same accept/reject rule (outcome derived from
+    * the measured overlap, never hardcoded), and the retry row
+    * emitted only when the first attempt rejected. W1/W2's residue
+    * slices are disjoint by construction, which fixes the version
+    * numbering the literals encode. */
+  val q89Sql: String =
+    s"""WITH w AS (
+       | SELECT DISTINCT user_id, user_id % 3 AS r3, user_id % 5 AS r5
+       | FROM events
+       | WHERE ts > TIMESTAMP '${q77Cutoffs(0)}'
+       |   AND ts <= TIMESTAMP '${q77Cutoffs(1)}'),
+       |k1 AS (SELECT user_id FROM w WHERE r3 = 0),
+       |k2 AS (SELECT user_id FROM w WHERE r3 = 1),
+       |k3 AS (SELECT user_id FROM w WHERE r5 = 0),
+       |o2 AS (SELECT count(*) AS o FROM k2
+       |       WHERE user_id IN (SELECT user_id FROM k1)),
+       |o3 AS (SELECT count(*) AS o FROM k3
+       |       WHERE user_id IN (SELECT user_id FROM k1
+       |                         UNION SELECT user_id FROM k2))
+       |SELECT * FROM (
+       | SELECT 1 AS attempt, 'w1' AS writer, 0 AS snapshot_version,
+       |  (SELECT count(*) FROM k1) AS write_keys,
+       |  CAST(0 AS BIGINT) AS overlap_keys,
+       |  'committed' AS outcome, 1 AS version
+       | UNION ALL
+       | SELECT 2, 'w2', 0, (SELECT count(*) FROM k2),
+       |  CASE WHEN (SELECT o FROM o2) = 0 THEN 0
+       |       ELSE (SELECT o FROM o2) END,
+       |  CASE WHEN (SELECT o FROM o2) = 0 THEN 'committed'
+       |       ELSE 'rejected' END,
+       |  CASE WHEN (SELECT o FROM o2) = 0 THEN 2 ELSE -1 END
+       | UNION ALL
+       | SELECT 3, 'w3', 0, (SELECT count(*) FROM k3),
+       |  CASE WHEN (SELECT o FROM o3) = 0 THEN 0
+       |       ELSE (SELECT o FROM o3) END,
+       |  CASE WHEN (SELECT o FROM o3) = 0 THEN 'committed'
+       |       ELSE 'rejected' END,
+       |  CASE WHEN (SELECT o FROM o3) = 0 THEN 3 ELSE -1 END
+       | UNION ALL
+       | SELECT 4, 'w3', 2, (SELECT count(*) FROM k3),
+       |  CAST(0 AS BIGINT), 'committed', 3
+       | WHERE (SELECT o FROM o3) > 0)
+       |ORDER BY attempt""".stripMargin
+
   /** q36: lockup/vesting schedule evaluation — the reference's
     * lockups API arithmetic (rust-extract-apis/lockups/src/
     * lockup.rs:105-200, itself a copy of near/core-contracts
@@ -4863,6 +5000,7 @@ object Relational {
     "q77_time_travel" -> (q77TimeTravel _),
     "q78_retention" -> (q78Retention _),
     "q81_restore" -> (q81Restore _),
+    "q89_optimistic_commit" -> (q89OptimisticCommit _),
     "q85_khop" -> (q85Khop _),
     "q86_merge_full" -> (q86MergeFull _),
     "q36_lockup_schedule" -> (q36LockupSchedule _),
@@ -5039,6 +5177,7 @@ object Relational {
     // chain - retention above the horizon must be invisible
     "q78_retention" -> q77Sql,
     "q81_restore" -> q81Sql,
+    "q89_optimistic_commit" -> q89Sql,
     "q85_khop" -> q85Sql,
     "q86_merge_full" -> q86Sql,
     "q36_lockup_schedule" -> q36Sql,

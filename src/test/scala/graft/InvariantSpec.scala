@@ -547,6 +547,56 @@ class InvariantSpec extends SparkSpec {
       "restore to the head must append nothing")
   }
 
+  test("q89 optimistic commits: accept iff overlap=0; ledger == independent replay; final == serial") {
+    val R = graft.operators.Relational
+    val S = graft.streaming.Streaming
+    val ledger = SparkEntry.queries("q89_optimistic_commit")(spark, sfDir)
+      .as[(Int, String, Int, Long, Long, String, Int)].collect().toSeq
+    // the accept/reject rule, quantified over EVERY attempt
+    ledger.foreach { case (a, _, _, _, ov, outcome, v) =>
+      assert((outcome == "committed") == (ov == 0L), s"attempt $a violates the rule")
+      assert((v == -1) == (outcome == "rejected"), s"attempt $a version/outcome disagree")
+    }
+    assert(ledger.count(_._6 == "rejected") == 1, "exactly one planted rejection")
+    // independent in-memory replay of the whole protocol over raw key sets
+    val ev = Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "ts", "event_type", "value")
+    val logs = R.q89Logs(ev)
+    val keySets = logs.map { case (w, log) =>
+      w -> log.select("user_id").distinct().as[Long].collect().toSet }
+    var head = 0
+    var id = 0
+    val replay = scala.collection.mutable.Buffer
+      .empty[(Int, String, Int, Long, Long, String, Int)]
+    val committedKeys = scala.collection.mutable.Buffer.empty[(Int, Set[Long])]
+    def go(w: String, ks: Set[Long], snap: Int): Boolean = {
+      id += 1
+      val ov = committedKeys.filter(_._1 > snap).map(_._2)
+        .foldLeft(Set.empty[Long])(_ ++ _).intersect(ks).size.toLong
+      if (ov == 0L) {
+        head += 1; committedKeys += ((head, ks))
+        replay += ((id, w, snap, ks.size.toLong, 0L, "committed", head)); true
+      } else {
+        replay += ((id, w, snap, ks.size.toLong, ov, "rejected", -1)); false
+      }
+    }
+    keySets.foreach { case (w, ks) => if (!go(w, ks, 0)) go(w, ks, head) }
+    assert(ledger == replay.toSeq, "registered ledger != independent replay")
+    // the final chain's serving state == a serial replay of base +
+    // all three writers' logs through s42's one rule
+    val chain = graft.sources.Export.scratch("q89_chain", sfDir)
+    val parts = spark.read.parquet(s"$chain/v0") +:
+      (1 to 3).map(i => spark.read.parquet(s"$chain/changes_$i"))
+    val served = S.applyServing(S.applyChangesSnapshot(
+      parts.reduce(_.unionByName(_)))).collect().toSeq
+    val direct = S.applyServing(S.applyChangesSnapshot(
+      ev.filter(col("ts") <= lit(R.q77Cutoffs(0)))
+        .unionByName(logs.map(_._2).reduce(_.unionByName(_)))))
+      .collect().toSeq
+    assert(served.nonEmpty && served == direct,
+      "final chain != serial replay of all writers")
+  }
+
   test("q86 full merge matrix: every branch populated, deletes pinned by absence, totals recount") {
     val R = graft.operators.Relational
     val got = SparkEntry.queries("q86_merge_full")(spark, sfDir)
