@@ -2336,6 +2336,60 @@ object Streaming {
        | CAST(count(*) FILTER (late) AS BIGINT) AS late
        |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** s72's dimension arrival slices: c_custkey residues mod 3 — the
+    * customer stream's own micro-batches, interleaved with the order
+    * stream's time slices so every generation delivers BOTH a fact
+    * delta and a dim delta (the two-stream shape q88 maintains in
+    * one batch refresh). */
+  private[graft] def s72CustSlices(cust: DataFrame): Seq[DataFrame] =
+    (0 until 3).map(r => cust.filter(col("c_custkey") % 3 === r))
+
+  /** s72: LIVE join-MV — q88's delta-join algebra as a two-stream
+    * fold (the Structured Streaming stream-stream join MV, the shape
+    * `orders.join(customers)` + agg plans under watermarked state):
+    * each generation delivers an order slice AND a customer slice;
+    * the fold runs q88's three legs against the CURRENT states —
+    * ΔA⋈B_state ∪ A_state⋈ΔB ∪ ΔA⋈ΔB — then advances all three
+    * artifacts (A-state as (custkey, year) partials — the compressed
+    * join state that makes retaining a 100 TB fact stream feasible;
+    * B-state as the customers seen; the MV as mergeable partials).
+    * A customer arriving in generation 2 picks up generations 0–1's
+    * order history through the A_state⋈ΔB leg — the cross-generation
+    * property StreamingSpec pins, along with fold == the unsplit
+    * recompute and A-state boundedness (one row per customer-year,
+    * never per order). The oracle IS q88's full join + rollup —
+    * slicing must be invisible (the s45/q38 stance).
+    *
+    * Scale: per generation the legs broadcast dimension-sized frames
+    * only; nothing re-joins history against history; every merge is
+    * a map-side-combinable sum at MV grain. */
+  def s72StreamJoinMv(s: SparkSession, dir: String): DataFrame = {
+    val R = graft.operators.Relational
+    val ord = Tables.orders(s, dir)
+    val cust = R.q88Custs(s, dir)
+    val custSlices = s72CustSlices(cust)
+    val aInit = R.q88APartials(ord.filter(lit(false)))
+    val bInit = cust.filter(lit(false))
+    val mvInit = R.q88Leg(aInit, cust)
+    val fin = foldGenerations(s,
+      graft.sources.Export.scratch("s72_jmv", dir),
+      Seq("a" -> aInit, "b" -> bInit, "m" -> mvInit),
+      orderSlices(ord)) { (st, batch, i) =>
+      val Seq(aState, bState, mv) = st: @unchecked
+      val da = R.q88APartials(batch)
+      val db = custSlices(i)
+      val delta = R.q88MvMerge(Seq(
+        R.q88Leg(da, bState), R.q88Leg(aState, db), R.q88Leg(da, db)))
+      Seq(R.q88AMerge(aState, da), bState.unionByName(db),
+        R.q88MvMerge(Seq(mv, delta)))
+    }
+    fin(2).orderBy("segment", "o_year")
+  }
+
+  /** s72's oracle IS q88's full join recompute. Lazy per the s45Sql
+    * stance. */
+  lazy val s72Sql: String = graft.operators.Relational.q88Sql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s34_stream_tumbling" -> (s34StreamTumbling _),
     "s35_stream_join" -> (s35StreamJoin _),
@@ -2374,7 +2428,8 @@ object Streaming {
     "s68_stream_compaction" -> (s68StreamCompaction _),
     "s69_stream_schema_evolution" -> (s69StreamSchemaEvolution _),
     "s70_stream_skipping" -> (s70StreamSkipping _),
-    "s71_stream_late_data" -> (s71StreamLateData _))
+    "s71_stream_late_data" -> (s71StreamLateData _),
+    "s72_stream_join_mv" -> (s72StreamJoinMv _))
 
   def oracles: Map[String, String] = Map(
     "s34_stream_tumbling" -> s34Sql,
@@ -2417,5 +2472,8 @@ object Streaming {
     // the incrementally-maintained bloom sidecar — a correct sidecar
     // is invisible to the reader
     "s70_stream_skipping" -> graft.sources.Export.q82Sql,
-    "s71_stream_late_data" -> s71Sql)
+    "s71_stream_late_data" -> s71Sql,
+    // s72 answers q88's join rollup over the same two (sliced)
+    // streams — slicing must be invisible to the MV
+    "s72_stream_join_mv" -> s72Sql)
 }

@@ -1139,6 +1139,39 @@ class StreamingSpec extends SparkSpec {
       "fold != single-batch rollup")
   }
 
+  test("s72 live join MV: fold == unsplit join recompute; compressed state; late dim pickup") {
+    import org.apache.spark.sql.functions._
+    val R = graft.operators.Relational
+    val ord = Tables.orders(spark, sfDir)
+    val cust = R.q88Custs(spark, sfDir)
+    val reg = SparkEntry.queries("s72_stream_join_mv")(spark, sfDir)
+      .as[(String, Int, Long, Long)].collect().toSeq
+    // the two-stream fold must equal the full join + rollup
+    val full = ord.join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"),
+        year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("cast(round(o_totalprice * 100, 0) as bigint)")).as("cents"))
+      .orderBy("segment", "o_year")
+      .as[(String, Int, Long, Long)].collect().toSeq
+    assert(reg.nonEmpty && reg == full, "two-stream fold != unsplit recompute")
+    // the retained A-state is COMPRESSED: one row per (customer, year)
+    // ever seen, never one per order
+    val aState = R.q88APartials(ord)
+    assert(aState.count() ==
+      ord.select(col("o_custkey"), year(col("o_orderdate"))).distinct().count(),
+      "A-state grain must be (customer, year)")
+    assert(aState.count() < ord.count(), "A-state must compress the fact stream")
+    // the cross-generation property: a customer arriving in a LATER
+    // generation picks up EARLIER generations' order history through
+    // the A_state⋈ΔB leg — that leg is non-empty at generation 1
+    val gen0A = R.q88APartials(Streaming.orderSlices(ord).head)
+    val gen1B = Streaming.s72CustSlices(cust)(1)
+    assert(R.q88Leg(gen0A, gen1B).limit(1).count() == 1,
+      "late-arriving dimension rows must pick up earlier fact history")
+  }
+
   test("s67 live overlap: folded sketches obey the merge law; redelivery is identity") {
     val D = graft.dedup.Dedup
     val docs = Tables.documents(spark, sfDir)
