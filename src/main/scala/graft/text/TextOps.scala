@@ -2337,6 +2337,95 @@ object TextOps {
        |FROM pairs CROSS JOIN nd
        |ORDER BY term_a, term_b""".stripMargin
 
+  /** t62's decile bucket: least k ∈ 1..10 with id ≤ lo − 1 +
+    * ((hi − lo + 1)·k) div 10 — pure integer arithmetic over the
+    * corpus's doc_id span, so both engines compute the identical
+    * boundary with no float in sight (the t61 stance: refuse the
+    * hazard instead of auditing it). lo/hi come from a 1-row
+    * broadcast. */
+  private[graft] def t62Bucket(idCol: String): Column = expr(
+    s"""array_min(filter(sequence(1, 10), k ->
+       |  $idCol <= lo - 1 + ((hi - lo + 1) * cast(k as bigint)) div 10))"""
+      .stripMargin).cast("int")
+
+  /** t62: vocabulary growth curve (Heaps' law) — the crawl-saturation
+    * instrument a corpus-acquisition team reads before buying more
+    * data: as the corpus grows doc-decile by doc-decile (deciles of
+    * the doc_id span — the deterministic ingest order), how fast does
+    * the vocabulary still grow? A flattening new_terms column says
+    * the next crawl buys tokens, not novelty. Per decile: cumulative
+    * docs, cumulative tokens, NEW term types (terms whose FIRST
+    * occurrence lands in the decile — min(doc_id) per term, the
+    * mergeable form), and the cumulative vocabulary.
+    *
+    * Scale (100 TB): the per-term first-occurrence is ONE map-side-
+    * combinable min keyed by term (vocabulary-sized output, the
+    * declared t44/s53 vocabulary-state trade); the doc rollup is
+    * map-side; decile boundaries are integer arithmetic against a
+    * 1-row broadcast (the q28 scalar stance); the cumulative pass is
+    * a 10-row spine window — NO global rank or sort anywhere (where
+    * a rank-based decile would cost a full sort, the value-span
+    * decile is free). */
+  def t62VocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val bounds = docs.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+    val perDoc = docs
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("decile", t62Bucket("doc_id"))
+    val firstDoc = docs.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("term").agg(min("doc_id").as("first_doc"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("decile", t62Bucket("first_doc"))
+    val dAgg = perDoc.groupBy("decile")
+      .agg(count(lit(1)).as("docs"), sum("n_tokens").as("tokens"))
+    val tAgg = firstDoc.groupBy("decile").agg(count(lit(1)).as("new_terms"))
+    val spine = s.range(1, 11).select(col("id").cast("int").as("decile"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(dAgg, Seq("decile"), "left").join(tAgg, Seq("decile"), "left")
+      .select(col("decile"),
+        sum(coalesce(col("docs"), lit(0L))).over(w).as("docs_cum"),
+        sum(coalesce(col("tokens"), lit(0L))).over(w).as("tokens_cum"),
+        coalesce(col("new_terms"), lit(0L)).as("new_terms"),
+        sum(coalesce(col("new_terms"), lit(0L))).over(w).as("vocab_cum"))
+      .orderBy("decile")
+  }
+
+  /** DuckDB oracle for t62: identical integer decile boundaries,
+    * identical first-occurrence mins, identical 10-row cumulative
+    * spine. */
+  val t62Sql: String =
+    """WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+      |pd AS (
+      | SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  list_min(list_filter(range(1, 11),
+      |    k -> doc_id <= lo - 1 + (hi - lo + 1) * k // 10)) AS decile
+      | FROM documents, b),
+      |ft AS (
+      | SELECT term, min(doc_id) AS first_doc FROM (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      | GROUP BY 1),
+      |fd AS (
+      | SELECT list_min(list_filter(range(1, 11),
+      |   k -> first_doc <= lo - 1 + (hi - lo + 1) * k // 10)) AS decile
+      | FROM ft, b),
+      |da AS (SELECT decile, count(*) AS docs, sum(n_tokens) AS tokens
+      |       FROM pd GROUP BY 1),
+      |ta AS (SELECT decile, count(*) AS new_terms FROM fd GROUP BY 1),
+      |sp AS (SELECT unnest(generate_series(1, 10)) AS decile)
+      |SELECT CAST(sp.decile AS INT) AS decile,
+      | CAST(sum(coalesce(docs, 0)) OVER w AS BIGINT) AS docs_cum,
+      | CAST(sum(coalesce(tokens, 0)) OVER w AS BIGINT) AS tokens_cum,
+      | CAST(coalesce(new_terms, 0) AS BIGINT) AS new_terms,
+      | CAST(sum(coalesce(new_terms, 0)) OVER w AS BIGINT) AS vocab_cum
+      |FROM sp LEFT JOIN da ON sp.decile = da.decile
+      |        LEFT JOIN ta ON sp.decile = ta.decile
+      |WINDOW w AS (ORDER BY sp.decile
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY decile""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t29_langid" -> (t29LangId _),
     "t30_quality" -> (t30Quality _),
@@ -2371,7 +2460,8 @@ object TextOps {
     "t58_ccnet_buckets" -> (t58CcnetBuckets _),
     "t59_bm25" -> (t59Bm25 _),
     "t60_weighted_sample" -> (t60WeightedSample _),
-    "t61_cooccurrence" -> (t61Cooccurrence _))
+    "t61_cooccurrence" -> (t61Cooccurrence _),
+    "t62_vocab_growth" -> (t62VocabGrowth _))
 
   def oracles: Map[String, String] = Map(
     "t29_langid" -> t29Sql,
@@ -2408,5 +2498,6 @@ object TextOps {
     "t54_release_manifest" -> t54Sql,
     "t55_curriculum" -> t55Sql,
     "t56_dataset_card" -> t56Sql,
-    "t61_cooccurrence" -> t61Sql)
+    "t61_cooccurrence" -> t61Sql,
+    "t62_vocab_growth" -> t62Sql)
 }

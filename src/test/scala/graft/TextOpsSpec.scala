@@ -1006,4 +1006,32 @@ class TextOpsSpec extends SparkSpec {
     assert(got.map(_._7).distinct.size > 1, "lift constant across pairs")
     assert(got.exists(_._7 > 10000L), "no positively-associated pair")
   }
+
+  test("t62 vocab growth equals an in-memory mirror; monotone; conserves corpus totals") {
+    val got = SparkEntry.queries("t62_vocab_growth")(spark, sfDir)
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == (1 to 10), "one row per decile, in order")
+    // in-memory mirror with the same integer boundary arithmetic
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .as[(Long, String)].collect().map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val lo = docs.map(_._1).min
+    val hi = docs.map(_._1).max
+    val span = hi - lo + 1
+    def bucket(id: Long): Int =
+      (1 to 10).find(k => id <= lo - 1 + span * k / 10).get
+    val firstDoc = docs.flatMap { case (id, ts) => ts.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val mirror = (1 to 10).map { d =>
+      val inD = docs.filter { case (id, _) => bucket(id) <= d }
+      (d, inD.length.toLong, inD.map(_._2.length.toLong).sum,
+        firstDoc.values.count(bucket(_) == d).toLong,
+        firstDoc.values.count(bucket(_) <= d).toLong)
+    }
+    assert(got == mirror, "t62 != in-memory mirror")
+    // monotone growth; final decile conserves the corpus totals
+    assert(got.sliding(2).forall { case Seq(a, b) =>
+      b._2 >= a._2 && b._3 >= a._3 && b._5 >= a._5 }, "curve must be monotone")
+    assert(got.last._2 == docs.length.toLong, "docs_cum(10) != corpus size")
+    assert(got.last._5 == firstDoc.size.toLong, "vocab_cum(10) != distinct terms")
+  }
 }
