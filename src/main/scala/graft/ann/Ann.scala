@@ -1184,6 +1184,73 @@ object Ann {
   /** a38's oracle: the shared recompute body over the live slice. */
   val a38Sql: String = ivfRecomputeSql(s"NOT ($a38DeletedPred)")
 
+  /** a52's compaction trigger, from the per-cell tombstone ledger:
+    * a cell rewrites when its tombstone density STRICTLY exceeds the
+    * index-wide density (compared by cross-multiplication — integer
+    * exact, no float threshold). Data-derived, so both classes
+    * populate on any corpus where deletes are not perfectly uniform
+    * per cell; a52 fail-stops if the split degenerates. The stats
+    * read is a bounded collect: one row per cell (16 here; a
+    * manifest-sized frame at any scale). */
+  private[graft] def a52HotCells(corpus: DataFrame): Seq[Int] = {
+    val stats = corpus.groupBy("cell").agg(
+      count(lit(1)).as("n"),
+      sum(when(expr(a38DeletedPred), 1L).otherwise(0L)).as("d")).collect()
+    val totalN = stats.map(_.getLong(1)).sum
+    val totalD = stats.map(_.getLong(2)).sum
+    stats.filter(r => r.getLong(2) * totalN > totalD * r.getLong(1))
+      .map(_.getInt(0)).sorted.toIndexedSeq
+  }
+
+  /** a52: SELECTIVE per-cell compaction — a38's scaladoc claims
+    * "production compacts per-partition when a cell's tombstone
+    * density crosses a threshold"; this entry is that sentence as
+    * code (the q52b/q45b prose-to-code rule): after the same
+    * build + tombstone cycle, only the cells whose tombstone density
+    * exceeds the index-wide density are REWRITTEN (live rows only);
+    * every cold cell's files are carried into the new generation by
+    * FILE-LEVEL copy (the a50 walker — on an object store a rename;
+    * AnnSpec pins them byte-identical, the no-rewrite contract), and
+    * the probe masks only the tombstones still living in cold cells
+    * through the standard [[probePersistedIvf]] in-flight anti-join.
+    * The oracle IS a38's recompute-on-live — hybrid compaction must
+    * be indistinguishable from full compaction, which is
+    * indistinguishable from never having had the deleted rows.
+    *
+    * Scale: the rewrite cost is Σ hot-cell sizes, NOT the index
+    * (a38's full rewrite is the verification shape; this is the
+    * production shape), the trigger reads a cell-count manifest, and
+    * the residual mask is delete-sized and shrinks as hot cells
+    * compact. */
+  def a52CellCompaction(s: SparkSession, dir: String): DataFrame = {
+    val corpus = ivfRoutedCorpus(s, dir)
+    val gen1 = graft.sources.Export.scratch("a52_index", dir)
+    val hybrid = graft.sources.Export.scratch("a52_hybrid", dir)
+    corpus.select("vec_id", "embedding", "norm", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(gen1)
+    val hot = a52HotCells(corpus)
+    val nCells = corpus.select("cell").distinct().count()
+    require(hot.nonEmpty && hot.size < nCells,
+      s"a52: the density split must leave both classes (${hot.size}/$nCells hot)")
+    graft.sources.Export.deleteTree(hybrid)
+    val hotDirs = hot.map(c => s"cell=$c").toSet
+    // cold cells: file-level carry — not one byte rewritten
+    a50MergeLayouts(Seq(gen1), hybrid, d => !hotDirs.contains(d))
+    // hot cells: rewrite live rows only
+    s.read.parquet(gen1)
+      .filter(col("cell").isin(hot.map(Int.box): _*) &&
+        not(expr(a38DeletedPred)))
+      .write.mode("append").partitionBy("cell").parquet(hybrid)
+    val coldTombs = corpus.filter(expr(a38DeletedPred) &&
+      !col("cell").isin(hot.map(Int.box): _*)).select("vec_id")
+    val live = corpus.filter(not(expr(a38DeletedPred)))
+    probePersistedIvf(s, hybrid, ivfProbeQueries(live), Some(coldTombs))
+  }
+
+  /** a52's oracle IS a38's: hybrid compaction == full compaction ==
+    * recompute on the live slice. */
+  val a52Sql: String = a38Sql
+
   /** Merge persisted IVF shard layouts at the FILE level: every
     * shard invlist file is copied into the merged layout's matching
     * cell directory — O(#files) driver-side metadata, NO vector is
@@ -1192,7 +1259,8 @@ object Ann {
     * every shard routes with the SAME literal centroids
     * ([[ivfRoutedCorpus]]) — cell identity is global, so invlist
     * concatenation IS index merge (the FAISS merge_into contract). */
-  private[graft] def a50MergeLayouts(shards: Seq[String], merged: String): Unit = {
+  private[graft] def a50MergeLayouts(shards: Seq[String], merged: String,
+      keepCell: String => Boolean = _ => true): Unit = {
     shards.zipWithIndex.foreach { case (shard, si) =>
       val root = java.nio.file.Paths.get(shard)
       val it = java.nio.file.Files.walk(root)
@@ -1202,11 +1270,13 @@ object Ann {
           .filter(_.toString.endsWith(".parquet"))
           .foreach { p =>
             val cellDir = root.relativize(p).getParent // cell=<k>
-            val tgt = java.nio.file.Paths.get(merged).resolve(cellDir)
-            java.nio.file.Files.createDirectories(tgt)
-            java.nio.file.Files.copy(p,
-              tgt.resolve(s"s${si}_${p.getFileName}"),
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            if (keepCell(cellDir.toString)) {
+              val tgt = java.nio.file.Paths.get(merged).resolve(cellDir)
+              java.nio.file.Files.createDirectories(tgt)
+              java.nio.file.Files.copy(p,
+                tgt.resolve(s"s${si}_${p.getFileName}"),
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            }
           }
       } finally it.close()
     }
@@ -2489,7 +2559,8 @@ object Ann {
     "a48_hard_negatives" -> (a48HardNegatives _),
     "a49_knn_join" -> (a49KnnJoin _),
     "a50_index_merge" -> (a50IndexMerge _),
-    "a51_range_search" -> (a51RangeSearch _))
+    "a51_range_search" -> (a51RangeSearch _),
+    "a52_cell_compaction" -> (a52CellCompaction _))
 
   def oracles: Map[String, String] = Map(
     "a27_ann_brute" -> a27Sql,
@@ -2517,5 +2588,6 @@ object Ann {
     "a48_hard_negatives" -> a48Sql,
     "a49_knn_join" -> a49Sql,
     "a50_index_merge" -> a50Sql,
-    "a51_range_search" -> a51Sql)
+    "a51_range_search" -> a51Sql,
+    "a52_cell_compaction" -> a52Sql)
 }

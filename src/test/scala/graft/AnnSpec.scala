@@ -879,4 +879,48 @@ class AnnSpec extends SparkSpec {
     // duplicated by the file copy)
     assert(merged.size == routed.size && merged.map(_._1).distinct.size == merged.size)
   }
+
+  test("a52 selective compaction: hybrid == full compaction; cold files untouched; hot cells clean") {
+    import org.apache.spark.sql.functions._
+    val hybrid = SparkEntry.queries("a52_cell_compaction")(spark, sfDir)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    // hybrid compaction must serve exactly a38's full-compaction probe
+    val full = SparkEntry.queries("a38_ann_delete")(spark, sfDir)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(hybrid.nonEmpty && hybrid == full,
+      "hybrid compaction != full compaction")
+    // both trigger classes populated
+    val corpus = Ann.ivfRoutedCorpus(spark, sfDir)
+    val hot = Ann.a52HotCells(corpus)
+    val nCells = corpus.select("cell").distinct().count()
+    assert(hot.nonEmpty && hot.size < nCells, s"degenerate split: $hot of $nCells")
+    // hot-cell rewrites hold no tombstoned row
+    val hybridDir = graft.sources.Export.scratch("a52_hybrid", sfDir)
+    val hotRows = spark.read.parquet(hybridDir)
+      .filter(col("cell").isin(hot.map(Int.box): _*))
+    assert(hotRows.filter(expr(Ann.a38DeletedPred)).isEmpty,
+      "a tombstoned row survived a hot-cell rewrite")
+    // cold-cell files carried byte-identically (content hash per file,
+    // matched by basename — the copy prefixes 's0_')
+    val gen1 = graft.sources.Export.scratch("a52_index", sfDir)
+    def hashes(dir: String, cold: String => Boolean): Map[String, String] = {
+      val it = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        it.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+          .filter(p => cold(p.getParent.getFileName.toString))
+          .map { p =>
+            val bytes = java.nio.file.Files.readAllBytes(p)
+            val h = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+              .map("%02x".format(_)).mkString
+            p.getFileName.toString.stripPrefix("s0_") -> h
+          }.toMap
+      } finally it.close()
+    }
+    val hotDirs = hot.map(c => s"cell=$c").toSet
+    val before = hashes(gen1, d => !hotDirs.contains(d))
+    val after = hashes(hybridDir, d => !hotDirs.contains(d))
+    assert(before.nonEmpty && before == after,
+      "cold-cell files must carry byte-identically")
+  }
 }
