@@ -2014,6 +2014,124 @@ object Relational {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q90's cumulative band width (2¹⁶ cents). An interval of length
+    * L touches ⌈L/B⌉+1 bands — at B = 65536 every event interval on
+    * this corpus (≤ ~56k cents) touches ≤ 2; the dial trades
+    * replication (intervals per band) against candidate fan-in
+    * (bands per interval), exactly q11's banded range-join
+    * geometry. */
+  private[graft] val q90Band = 1L << 16
+
+  /** One side of the FIFO ledger: the user's events of `typ` as
+    * half-open cumulative-cents intervals [lo, cum) in (ts,
+    * event_id) order — the positional form that turns FIFO matching
+    * into interval intersection. Zero-cent rows are excluded BEFORE
+    * the cumsum (they can neither supply nor consume). */
+  private[graft] def q90Stream(ev: DataFrame, typ: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev.filter(col("event_type") === typ)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+      .filter(col("cents") > 0)
+      .withColumn("cum", sum("cents").over(w))
+      .withColumn("lo", col("cum") - col("cents"))
+  }
+
+  /** q90: FIFO lot attribution — the cost-basis / consumption-
+    * matching operator every billing, inventory, and capital-gains
+    * pipeline needs and no window function expresses directly: each
+    * consumption draws from the OLDEST unconsumed acquisition lots.
+    * The classical relational reduction: both per-user streams
+    * (purchases = lots, clicks = draws) become half-open intervals
+    * on the user's cumulative-cents axis, and FIFO allocation
+    * between lot i and draw j is exactly their intersection length —
+    * max(0, min(hi) − max(lo)) — no iteration, no per-row state
+    * machine. Overdrafts and unconsumed tails fall out for free
+    * (intervals past the other stream's end simply don't intersect).
+    * The face is the PAIR-level attribution — (lot, draw,
+    * alloc_cents), the holding-period product capital-gains and
+    * cost-basis reports consume; lot-level consumed/remaining are
+    * one rollup away. InvariantSpec proves the interval algebra
+    * equals a true sequential FIFO queue simulation pair-for-pair
+    * and the per-user conservation law Σ alloc = min(Σ lots,
+    * Σ draws).
+    *
+    * Scale (100 TB): the cumsums are user-keyed windows (per-user
+    * partitions, the q69 stance); the candidate join is BANDED on
+    * (user, cum div [[q90Band]]) — the q11 banded range join, so a
+    * user with 10⁶ lots never goes quadratic (pairs are bounded by
+    * per-band occupancy × ≤2 bands per interval, and true FIFO
+    * overlap structure is linear: Σ alloc pairs ≤ lots + draws − 1
+    * per user); the final rollup is a map-side-combined sum. The
+    * oracle replays the same interval algebra with a direct
+    * user-keyed overlap join (the oracle may re-scan; the engine
+    * must not — the q52 stance). */
+  /** The banded interval-intersection body — takes lot intervals
+    * (user_id, lot_id, l_lo, l_hi) and draw intervals (user_id,
+    * draw_id, d_lo, d_hi), returns the positive-overlap pairs with
+    * their allocation. ONE definition shared by q90's batch run and
+    * s73's live fold (which feeds it batch-vs-open-state interval
+    * sets), so "what an allocation is" can never drift. */
+  private[graft] def q90PairsFrom(lots: DataFrame, draws: DataFrame): DataFrame = {
+    def bandsOf(lo: String, hi: String) =
+      explode(expr(s"sequence($lo div $q90Band, ($hi - 1) div $q90Band)"))
+    val lb = lots.withColumn("band", bandsOf("l_lo", "l_hi"))
+    val db = draws.withColumn("band", bandsOf("d_lo", "d_hi"))
+    lb.join(db, Seq("user_id", "band"))
+      .select("user_id", "lot_id", "l_lo", "l_hi",
+        "draw_id", "d_lo", "d_hi")
+      .distinct() // a pair straddling a band boundary matches twice
+      .withColumn("alloc_cents", least(col("l_hi"), col("d_hi")) -
+        greatest(col("l_lo"), col("d_lo")))
+      .filter(col("alloc_cents") > 0)
+      .select("user_id", "lot_id", "draw_id", "alloc_cents")
+  }
+
+  /** The two interval frames q90 matches, in the shapes
+    * [[q90PairsFrom]] takes. */
+  private[graft] def q90Lots(ev: DataFrame): DataFrame =
+    q90Stream(ev, "purchase")
+      .select(col("user_id"), col("event_id").as("lot_id"),
+        col("lo").as("l_lo"), col("cum").as("l_hi"))
+
+  private[graft] def q90Draws(ev: DataFrame): DataFrame =
+    q90Stream(ev, "click")
+      .select(col("user_id"), col("event_id").as("draw_id"),
+        col("lo").as("d_lo"), col("cum").as("d_hi"))
+
+  def q90FifoAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    q90PairsFrom(q90Lots(ev), q90Draws(ev))
+      .orderBy("user_id", "lot_id", "draw_id")
+  }
+
+  /** DuckDB oracle for q90: identical per-user cumulative intervals,
+    * a direct overlap join in place of the banded candidate stage,
+    * identical intersection arithmetic. */
+  val q90Sql: String =
+    """WITH base AS (
+      | SELECT user_id, event_id, ts, event_type,
+      |  CAST(round(value * 100, 0) AS BIGINT) AS cents
+      | FROM events),
+      |lots AS (
+      | SELECT user_id, event_id AS lot_id, cents AS lot_cents,
+      |  SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l_hi
+      | FROM base WHERE event_type = 'purchase' AND cents > 0),
+      |draws AS (
+      | SELECT user_id, event_id AS draw_id, cents,
+      |  SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS d_hi
+      | FROM base WHERE event_type = 'click' AND cents > 0),
+      |l2 AS (SELECT *, l_hi - lot_cents AS l_lo FROM lots),
+      |d2 AS (SELECT *, d_hi - cents AS d_lo FROM draws)
+      |SELECT l.user_id, l.lot_id, d.draw_id,
+      | CAST(LEAST(l.l_hi, d.d_hi) - GREATEST(l.l_lo, d.d_lo) AS BIGINT)
+      |  AS alloc_cents
+      |FROM l2 l JOIN d2 d ON l.user_id = d.user_id
+      | AND l.l_lo < d.d_hi AND d.d_lo < l.l_hi
+      |ORDER BY l.user_id, l.lot_id, d.draw_id""".stripMargin
+
   /** q39: the skew-salted hot-key join — the fact side's join key is
     * adversarially skewed (an "anonymous user" pathology: 3/4 of all
     * events collapse onto key 0, emulating the null/default-key hot
@@ -5007,6 +5125,7 @@ object Relational {
     "q37_lockup_termination" -> (q37LockupTermination _),
     "q38_mv_maintenance" -> (q38MvMaintenance _),
     "q88_join_mv" -> (q88JoinMv _),
+    "q90_fifo_attribution" -> (q90FifoAttribution _),
     "q39_skew_join" -> (q39SkewJoin _),
     "q40_expectations" -> (q40Expectations _),
     "q41_heavy_hitters" -> (q41HeavyHitters _),
@@ -5184,6 +5303,7 @@ object Relational {
     "q37_lockup_termination" -> q37Sql,
     "q38_mv_maintenance" -> q38Sql,
     "q88_join_mv" -> q88Sql,
+    "q90_fifo_attribution" -> q90Sql,
     "q39_skew_join" -> q39Sql,
     "q40_expectations" -> q40Sql,
     "q41_heavy_hitters" -> q41Sql,

@@ -547,6 +547,62 @@ class InvariantSpec extends SparkSpec {
       "restore to the head must append nothing")
   }
 
+  test("q90 FIFO pairs == sequential queue simulation; conservation law holds per user") {
+    val got = SparkEntry.queries("q90_fifo_attribution")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    // a TRUE sequential FIFO queue, per user: draws arrive in (ts,
+    // event_id) order and consume from the oldest lot with cents
+    // remaining — an independent code path with no interval algebra
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+      .as[(Long, Long, java.sql.Timestamp, String, Long)].collect()
+      .filter(_._5 > 0)
+    val byUser = ev.groupBy(_._1)
+    val sim = scala.collection.mutable.Buffer.empty[(Long, Long, Long, Long)]
+    byUser.toSeq.sortBy(_._1).foreach { case (u, rows) =>
+      // positional two-sequence FIFO: each ordered stream is its own
+      // sequence (the q90 semantic — sells match buys in order, the
+      // capital-gains rule), draws consume the lot queue head
+      val lots = scala.collection.mutable.Queue.empty[(Long, Long)] // (lot_id, left)
+      rows.filter(_._4 == "purchase").sortBy(r => (r._3.getTime, r._2))
+        .foreach { case (_, id, _, _, c) => lots.enqueue((id, c)) }
+      rows.filter(_._4 == "click").sortBy(r => (r._3.getTime, r._2))
+        .foreach { case (_, id, _, _, c) =>
+          var need = c
+          while (need > 0 && lots.nonEmpty) {
+            val (lid, left) = lots.head
+            val take = math.min(left, need)
+            sim += ((u, lid, id, take))
+            need -= take
+            lots.dequeue()
+            if (left > take) (lid, left - take) +=: lots
+          }
+        }
+    }
+    val simSorted = sim.toSeq.sortBy(r => (r._1, r._2, r._3))
+    assert(got == simSorted,
+      s"interval algebra != FIFO queue: ${got.diff(simSorted).take(3)}")
+    // conservation: per user, Σ alloc == min(Σ lots, Σ draws)
+    val lotTot = ev.filter(_._4 == "purchase").groupBy(_._1)
+      .view.mapValues(_.map(_._5).sum).toMap
+    val drawTot = ev.filter(_._4 == "click").groupBy(_._1)
+      .view.mapValues(_.map(_._5).sum).toMap
+    val allocTot = got.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    (lotTot.keySet ++ drawTot.keySet).foreach { u =>
+      val expect = math.min(lotTot.getOrElse(u, 0L), drawTot.getOrElse(u, 0L))
+      assert(allocTot.getOrElse(u, 0L) == expect,
+        s"user $u: allocated ${allocTot.getOrElse(u, 0L)} != $expect")
+    }
+    // the matching is non-trivially structured: some draw spans
+    // multiple lots and some lot feeds multiple draws
+    assert(got.groupBy(r => (r._1, r._3)).exists(_._2.size > 1),
+      "no draw spans multiple lots")
+    assert(got.groupBy(r => (r._1, r._2)).exists(_._2.size > 1),
+      "no lot feeds multiple draws")
+  }
+
   test("q89 optimistic commits: accept iff overlap=0; ledger == independent replay; final == serial") {
     val R = graft.operators.Relational
     val S = graft.streaming.Streaming
