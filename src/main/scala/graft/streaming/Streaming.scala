@@ -2390,6 +2390,84 @@ object Streaming {
     * stance. */
   lazy val s72Sql: String = graft.operators.Relational.q88Sql
 
+  /** s73: the LIVE FIFO meter — q90's lot attribution kept current
+    * over the arriving event stream (the billing shape: charges must
+    * post as consumption happens, not in a nightly batch). The fold
+    * carries four artifacts: OPEN lot intervals (cents not yet
+    * consumed — the inventory backlog), OPEN draw intervals (demand
+    * not yet supplied — the overdraft backlog), per-user running
+    * totals (the positional offsets), and the append-only pairs
+    * LEDGER. Each trigger: the batch's events become intervals at
+    * the user's current offsets; new allocations are exactly
+    * new-draws × (open ∪ new lots) plus new-lots × open-draws —
+    * both through q90's ONE [[graft.operators.Relational
+    * .q90PairsFrom]] intersection body — and both backlogs shrink by
+    * the closed intervals (an interval leaves the open set the
+    * moment the OTHER stream's total passes its end). The ledger is
+    * union-append and never re-enters a shuffle (the s63
+    * closed-history stance). The oracle IS q90's batch SQL —
+    * slicing must be invisible to the attribution.
+    *
+    * Scale: state is backlog-sized (open intervals — bounded by how
+    * far supply and demand diverge, not by history) plus one totals
+    * row per user; per trigger the intersection joins touch batch ×
+    * backlog, never history × history. */
+  def s73StreamFifo(s: SparkSession, dir: String): DataFrame = {
+    val R = graft.operators.Relational
+    val ev = Tables.events(s, dir)
+    val lInit = R.q90Lots(ev.filter(lit(false)))
+    val dInit = R.q90Draws(ev.filter(lit(false)))
+    val tInit = ev.filter(lit(false)).select(col("user_id"))
+      .withColumn("lc", lit(0L)).withColumn("dc", lit(0L))
+    val pInit = R.q90PairsFrom(lInit, dInit)
+    val fin = foldGenerations(s,
+      graft.sources.Export.scratch("s73_fifo", dir),
+      Seq("l" -> lInit, "d" -> dInit, "t" -> tInit, "p" -> pInit),
+      eventSlices(ev)) { (st, batch, _) =>
+      val Seq(openLots, openDraws, totals, ledger) = st: @unchecked
+      // batch intervals, shifted to the user's running offsets
+      val newLots = R.q90Lots(batch)
+        .join(totals.select("user_id", "lc"), Seq("user_id"), "left")
+        .select(col("user_id"), col("lot_id"),
+          (col("l_lo") + coalesce(col("lc"), lit(0L))).as("l_lo"),
+          (col("l_hi") + coalesce(col("lc"), lit(0L))).as("l_hi"))
+      val newDraws = R.q90Draws(batch)
+        .join(totals.select("user_id", "dc"), Seq("user_id"), "left")
+        .select(col("user_id"), col("draw_id"),
+          (col("d_lo") + coalesce(col("dc"), lit(0L))).as("d_lo"),
+          (col("d_hi") + coalesce(col("dc"), lit(0L))).as("d_hi"))
+      val allLots = openLots.unionByName(newLots)
+      val allDraws = openDraws.unionByName(newDraws)
+      val fresh = R.q90PairsFrom(allLots, newDraws)
+        .unionByName(R.q90PairsFrom(newLots, openDraws))
+      // advance totals by the batch's per-user cents
+      val t2 = totals
+        .join(newLots.groupBy("user_id").agg(max("l_hi").as("nl")),
+          Seq("user_id"), "full_outer")
+        .join(newDraws.groupBy("user_id").agg(max("d_hi").as("nd")),
+          Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          greatest(coalesce(col("nl"), lit(0L)), coalesce(col("lc"), lit(0L)))
+            .as("lc"),
+          greatest(coalesce(col("nd"), lit(0L)), coalesce(col("dc"), lit(0L)))
+            .as("dc"))
+      // an interval closes when the OTHER stream's total passes its end
+      val l2 = allLots.join(t2.select(col("user_id"), col("dc")),
+          Seq("user_id"), "left")
+        .filter(col("l_hi") > coalesce(col("dc"), lit(0L)))
+        .select("user_id", "lot_id", "l_lo", "l_hi")
+      val d2 = allDraws.join(t2.select(col("user_id"), col("lc")),
+          Seq("user_id"), "left")
+        .filter(col("d_hi") > coalesce(col("lc"), lit(0L)))
+        .select("user_id", "draw_id", "d_lo", "d_hi")
+      Seq(l2, d2, t2, ledger.unionByName(fresh))
+    }
+    fin(3).orderBy("user_id", "lot_id", "draw_id")
+  }
+
+  /** s73's oracle IS q90's. Lazy per the s45Sql stance. */
+  lazy val s73Sql: String = graft.operators.Relational.q90Sql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s34_stream_tumbling" -> (s34StreamTumbling _),
     "s35_stream_join" -> (s35StreamJoin _),
@@ -2429,7 +2507,8 @@ object Streaming {
     "s69_stream_schema_evolution" -> (s69StreamSchemaEvolution _),
     "s70_stream_skipping" -> (s70StreamSkipping _),
     "s71_stream_late_data" -> (s71StreamLateData _),
-    "s72_stream_join_mv" -> (s72StreamJoinMv _))
+    "s72_stream_join_mv" -> (s72StreamJoinMv _),
+    "s73_stream_fifo" -> (s73StreamFifo _))
 
   def oracles: Map[String, String] = Map(
     "s34_stream_tumbling" -> s34Sql,
@@ -2475,5 +2554,8 @@ object Streaming {
     "s71_stream_late_data" -> s71Sql,
     // s72 answers q88's join rollup over the same two (sliced)
     // streams — slicing must be invisible to the MV
-    "s72_stream_join_mv" -> s72Sql)
+    "s72_stream_join_mv" -> s72Sql,
+    // s73 answers q90's attribution over the same (sliced) stream —
+    // slicing must be invisible to the pair ledger
+    "s73_stream_fifo" -> s73Sql)
 }

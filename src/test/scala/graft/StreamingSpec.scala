@@ -1172,6 +1172,39 @@ class StreamingSpec extends SparkSpec {
       "late-arriving dimension rows must pick up earlier fact history")
   }
 
+  test("s73 live FIFO: fold == batch attribution; open-set law; real cross-batch matching") {
+    import org.apache.spark.sql.functions._
+    val R = graft.operators.Relational
+    val ev = Tables.events(spark, sfDir)
+    val reg = SparkEntry.queries("s73_stream_fifo")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val batch = SparkEntry.queries("q90_fifo_attribution")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(reg.nonEmpty && reg == batch, "live FIFO ledger != q90 batch")
+    // the open-set law, both directions: the final open-lot artifact
+    // equals the lots whose interval outlives the user's total draws
+    val stateDir = graft.sources.Export.scratch("s73_fifo", sfDir)
+    val openLots = spark.read.parquet(s"$stateDir/l3")
+      .select("user_id", "lot_id").as[(Long, Long)].collect().toSet
+    val drawTot = R.q90Draws(ev).groupBy("user_id")
+      .agg(max("d_hi").as("dt")).as[(Long, Long)].collect().toMap
+    val expectOpen = R.q90Lots(ev).as[(Long, Long, Long, Long)].collect()
+      .filter { case (u, _, _, hi) => hi > drawTot.getOrElse(u, 0L) }
+      .map(r => (r._1, r._2)).toSet
+    assert(openLots == expectOpen, "open-lot state != direct recompute")
+    assert(openLots.nonEmpty, "no backlog — the open-set law is vacuous")
+    // cross-batch matching is real: some generation-0 lot (ts before
+    // the first cut) is consumed by a later-generation draw
+    val lotTs = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "ts").as[(Long, java.sql.Timestamp)].collect().toMap
+    val drawTs = ev.filter(col("event_type") === "click")
+      .select("event_id", "ts").as[(Long, java.sql.Timestamp)].collect().toMap
+    val cut1 = java.sql.Timestamp.valueOf(Streaming.s50Cut1 + " 00:00:00")
+    assert(reg.exists { case (_, lid, did, _) =>
+      lotTs(lid).before(cut1) && !drawTs(did).before(cut1) },
+      "no cross-batch allocation — the fold never matched history")
+  }
+
   test("s67 live overlap: folded sketches obey the merge law; redelivery is identity") {
     val D = graft.dedup.Dedup
     val docs = Tables.documents(spark, sfDir)
