@@ -2949,18 +2949,24 @@ object Relational {
       q49ExactPairs(ev).groupBy("day").agg(count(lit(1)).as("exact_users")))
   }
 
+  /** The daily register-table CTE chain (rho → reg) — shared by
+    * q49's oracle and q91's rolling merge so the register definition
+    * is ONE string in both engines. */
+  private[graft] val q49RegCte: String =
+    """rho AS (
+      | SELECT CAST(ts AS DATE) AS day,
+      |  h % 256 AS j,
+      |  CASE WHEN h // 256 = 0 THEN 53
+      |       ELSE 53 - length(bin(h // 256)) END AS rho
+      | FROM (SELECT ts,
+      |   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) AS h
+      |  FROM events)),
+      |reg AS (SELECT day, j, max(rho) AS m FROM rho GROUP BY 1, 2)""".stripMargin
+
   /** DuckDB oracle for q49: identical hash split, register max,
     * spine fill, exact z_scaled, and the SAME estimator string. */
   val q49Sql: String =
-    s"""WITH rho AS (
-       | SELECT CAST(ts AS DATE) AS day,
-       |  h % 256 AS j,
-       |  CASE WHEN h // 256 = 0 THEN 53
-       |       ELSE 53 - length(bin(h // 256)) END AS rho
-       | FROM (SELECT ts,
-       |   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) AS h
-       |  FROM events)),
-       |reg AS (SELECT day, j, max(rho) AS m FROM rho GROUP BY 1, 2),
+    s"""WITH $q49RegCte,
        |days AS (SELECT CAST(ts AS DATE) AS day,
        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
        | FROM events GROUP BY 1),
@@ -2977,6 +2983,82 @@ object Relational {
        | SELECT a.day, d.exact_users, a.zero_registers, a.z_scaled,
        |  $q49Estimator AS hll_users
        | FROM agg a JOIN days d ON a.day = d.day)
+       |SELECT day, exact_users, zero_registers, z_scaled, hll_users,
+       | round(abs(hll_users - exact_users) / exact_users, 4) AS rel_err
+       |FROM est ORDER BY day""".stripMargin
+
+  /** q91's trailing window length, days. */
+  private[graft] val q91Window = 7
+
+  /** q91: rolling 7-day distinct users — the WAU curve, the
+    * dashboard staple exact distinct cannot serve at scale because
+    * DISTINCT IS NOT SUBTRACTABLE: a sliding window cannot retire
+    * yesterday's users from a running count, so the exact form
+    * re-expands every (day, user) pair into all 7 windows it serves
+    * (the declared gate instrument here). The production form is
+    * q49's register table rolled through the window: registers
+    * max-merge (associative + idempotent), so "uniques over any day
+    * set" is a 256-int max over that set's registers — the window
+    * merge touches days×256×7 SKETCH rows, never a user row. Both
+    * legs ship in-band with the relative error (the q49/q68 honesty
+    * stance) through the SAME [[q49Present]] readout, estimator
+    * string, and register definition — a rolling sketch that cannot
+    * drift from the daily one it merges.
+    *
+    * Scale (100 TB): the register build is q49's one scan; the
+    * window expansion is ×7 on (day, 256)-row state; linear
+    * counting / raw-branch selection is per-day via the one shared
+    * estimator (both branches live across the gate SFs). The exact
+    * leg's user-level ×7 expand is exactly what you DROP at
+    * production scale — it exists here to measure the sketch
+    * against. */
+  def q91RollingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val days = ev.select(col("ts").cast("date").as("day")).distinct()
+    def expand(df: DataFrame, keep: Column*): DataFrame = df
+      .select(explode(expr(
+        s"transform(sequence(0, ${q91Window - 1}), i -> date_add(day, i))"))
+        .as("tday") +: keep: _*)
+      .join(days.select(col("day").as("tday")), Seq("tday"))
+    val merged = expand(q49Registers(q49Rho(ev)), col("j"), col("m"))
+      .groupBy("tday", "j").agg(max("m").as("m"))
+      .withColumnRenamed("tday", "day")
+    val exact = expand(q49ExactPairs(ev), col("user_id"))
+      .groupBy("tday").agg(countDistinct("user_id").as("exact_users"))
+      .withColumnRenamed("tday", "day")
+    q49Present(merged, exact)
+  }
+
+  /** DuckDB oracle for q91: the shared [[q49RegCte]] register chain,
+    * the identical ×7 day expansion on both legs, the shared spine
+    * fill and estimator. */
+  val q91Sql: String =
+    s"""WITH $q49RegCte,
+       |days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+       |regx AS (
+       | SELECT reg.day + CAST(r.range AS INT) AS day, j, m
+       | FROM reg CROSS JOIN range($q91Window) r),
+       |mreg AS (
+       | SELECT x.day, j, max(m) AS m
+       | FROM regx x JOIN days USING (day) GROUP BY 1, 2),
+       |exact7 AS (
+       | SELECT t.day, CAST(count(DISTINCT p.user_id) AS BIGINT) AS exact_users
+       | FROM (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events) p
+       | JOIN days t ON p.day BETWEEN t.day - ${q91Window - 1} AND t.day
+       | GROUP BY 1),
+       |filled AS (
+       | SELECT s.day, coalesce(mreg.m, 0) AS m
+       | FROM (SELECT d.day, r.range AS j FROM days d CROSS JOIN range(256) r) s
+       | LEFT JOIN mreg ON s.day = mreg.day AND s.j = mreg.j),
+       |agg AS (
+       | SELECT day,
+       |  CAST(sum(CAST(1 AS BIGINT) << (53 - m)) AS BIGINT) AS z_scaled,
+       |  CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_registers
+       | FROM filled GROUP BY 1),
+       |est AS (
+       | SELECT a.day, e.exact_users, a.zero_registers, a.z_scaled,
+       |  $q49Estimator AS hll_users
+       | FROM agg a JOIN exact7 e ON a.day = e.day)
        |SELECT day, exact_users, zero_registers, z_scaled, hll_users,
        | round(abs(hll_users - exact_users) / exact_users, 4) AS rel_err
        |FROM est ORDER BY day""".stripMargin
@@ -5137,6 +5219,7 @@ object Relational {
     "q47_pit_join" -> (q47PitJoin _),
     "q48_retention" -> (q48Retention _),
     "q49_hll_distinct" -> (q49HllDistinct _),
+    "q91_rolling_distinct" -> (q91RollingDistinct _),
     "q50_event_transitions" -> (q50EventTransitions _),
     "q51_pagerank" -> (q51PageRank _),
     "q52_profile" -> (q52Profile _),
@@ -5315,6 +5398,7 @@ object Relational {
     "q47_pit_join" -> q47Sql,
     "q48_retention" -> q48Sql,
     "q49_hll_distinct" -> q49Sql,
+    "q91_rolling_distinct" -> q91Sql,
     "q50_event_transitions" -> q50Sql,
     "q51_pagerank" -> q51Sql,
     "q52_profile" -> q52Sql,

@@ -547,6 +547,48 @@ class InvariantSpec extends SparkSpec {
       "restore to the head must append nothing")
   }
 
+  test("q91 rolling registers == per-window max of daily; WAU dominates DAU; rel_err bounded") {
+    val R = graft.operators.Relational
+    val got = SparkEntry.queries("q91_rolling_distinct")(spark, sfDir)
+      .as[(java.sql.Date, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    // merged register table == an independent per-window max over the
+    // daily registers (computed via a different path: in-memory maps)
+    val daily = R.q49Registers(R.q49Rho(Tables.events(spark, sfDir)))
+      .as[(java.sql.Date, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    val days = daily.keySet.toSeq.sortBy(_.getTime)
+    val mergedGot = {
+      val ev = Tables.events(spark, sfDir)
+      val dayDf = ev.select(col("ts").cast("date").as("day")).distinct()
+      val m = R.q49Registers(R.q49Rho(ev))
+        .select(explode(expr(
+          s"transform(sequence(0, ${R.q91Window - 1}), i -> date_add(day, i))"))
+          .as("tday"), col("j"), col("m"))
+        .join(dayDf.select(col("day").as("tday")), Seq("tday"))
+        .groupBy("tday", "j").agg(max("m").as("m"))
+      m.as[(java.sql.Date, Long, Int)].collect()
+        .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    }
+    days.foreach { d =>
+      val window = days.filter(w => !w.after(d) &&
+        w.toLocalDate.plusDays(R.q91Window - 1).compareTo(d.toLocalDate) >= 0)
+      val expect = window.flatMap(w => daily(w).toSeq)
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      assert(mergedGot(d) == expect, s"day $d: merged registers != window max")
+    }
+    // WAU dominates DAU everywhere, strictly somewhere
+    val dau = SparkEntry.queries("q49_hll_distinct")(spark, sfDir)
+      .select("day", "exact_users")
+      .as[(java.sql.Date, Long)].collect().toMap
+    val wau = got.map(r => r._1 -> r._2).toMap
+    assert(wau.forall { case (d, w) => w >= dau(d) }, "WAU < DAU somewhere")
+    assert(wau.exists { case (d, w) => w > dau(d) }, "WAU never exceeds DAU")
+    // the sketch's honesty column stays in HLL's error regime
+    assert(got.map(_._6).max <= 0.2,
+      s"rel_err out of band: ${got.map(_._6).max}")
+  }
+
   test("q90 FIFO pairs == sequential queue simulation; conservation law holds per user") {
     val got = SparkEntry.queries("q90_fifo_attribution")(spark, sfDir)
       .as[(Long, Long, Long, Long)].collect().toSeq
