@@ -446,6 +446,9 @@ class PlanSpec extends SparkSpec {
       // t61's cross join is the 1-row doc-count broadcast onto the
       // bounded vocab-pair rollup — the t59/q28 scalar stance
       "t61_cooccurrence",
+      // t62's cross joins are the 1-row lo/hi span broadcast onto the
+      // doc and first-occurrence rollups — the q28 scalar stance
+      "t62_vocab_growth",
       // q72's cross join is the 1-row MAE/MAPE summary broadcast
       // onto the |days|-row backtest — the q57/q71 bounded-series
       // stance
@@ -729,6 +732,31 @@ class PlanSpec extends SparkSpec {
       // file target, and layout invariance are pinned by the
       // StreamingSpec sink-compaction test
       "s68_stream_compaction",
+      // q88 writes its MV and compressed A-state artifacts at
+      // construction (the q38 stance, two-sided); its legs are
+      // broadcast-dim equi-joins + map-side merges, pinned by the
+      // full-join oracle and the ExportSpec three-leg test
+      "q88_join_mv",
+      // q89 runs the whole commit protocol at construction (chain
+      // writes + bounded log reads); the ledger is a 4-row driver
+      // frame, pinned by the protocol oracle and the InvariantSpec
+      // independent replay
+      "q89_optimistic_commit",
+      // a52 builds its index, copies cold cells, and rewrites hot
+      // cells at construction; the probe is the shared
+      // probePersistedIvf path, pinned by a38's oracle and the
+      // AnnSpec byte-identity test
+      "a52_cell_compaction",
+      // s72 folds the three join-MV artifacts through parquet
+      // generations at construction; per-batch legs are broadcast-dim
+      // equi-joins through q88's shared bodies, pinned by the q88
+      // oracle and the StreamingSpec late-dim-pickup test
+      "s72_stream_join_mv",
+      // s73 folds the FIFO backlogs + pairs ledger through parquet
+      // generations at construction; per-batch plans are q90's banded
+      // intersection over batch × backlog, pinned by the q90 oracle
+      // and the StreamingSpec open-set-law test
+      "s73_stream_fifo",
       // s63 folds q69's session table through parquet generations at
       // construction; per-batch plans are one user-keyed window over
       // (1 seed row per user ∪ batch) + user-keyed open-slice joins,
