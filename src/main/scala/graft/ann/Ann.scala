@@ -1192,14 +1192,19 @@ object Ann {
     * per cell; a52 fail-stops if the split degenerates. The stats
     * read is a bounded collect: one row per cell (16 here; a
     * manifest-sized frame at any scale). */
-  private[graft] def a52HotCells(corpus: DataFrame): Seq[Int] = {
+  private[graft] def a52HotCells(corpus: DataFrame): (Seq[Int], Int) = {
     val stats = corpus.groupBy("cell").agg(
       count(lit(1)).as("n"),
       sum(when(expr(a38DeletedPred), 1L).otherwise(0L)).as("d")).collect()
     val totalN = stats.map(_.getLong(1)).sum
     val totalD = stats.map(_.getLong(2)).sum
-    stats.filter(r => r.getLong(2) * totalN > totalD * r.getLong(1))
+    // BigInt cross-multiplication: d·N vs D·n overflows Long around
+    // 10¹⁰ rows × 10⁹ tombstones — exactly the scale the trigger
+    // claims exactness for (review-pass finding)
+    val hot = stats.filter(r =>
+        BigInt(r.getLong(2)) * totalN > BigInt(totalD) * r.getLong(1))
       .map(_.getInt(0)).sorted.toIndexedSeq
+    (hot, stats.length)
   }
 
   /** a52: SELECTIVE per-cell compaction — a38's scaladoc claims
@@ -1228,8 +1233,7 @@ object Ann {
     val hybrid = graft.sources.Export.scratch("a52_hybrid", dir)
     corpus.select("vec_id", "embedding", "norm", "cell")
       .write.mode("overwrite").partitionBy("cell").parquet(gen1)
-    val hot = a52HotCells(corpus)
-    val nCells = corpus.select("cell").distinct().count()
+    val (hot, nCells) = a52HotCells(corpus)
     require(hot.nonEmpty && hot.size < nCells,
       s"a52: the density split must leave both classes (${hot.size}/$nCells hot)")
     graft.sources.Export.deleteTree(hybrid)

@@ -2341,8 +2341,8 @@ object Streaming {
     * stream's time slices so every generation delivers BOTH a fact
     * delta and a dim delta (the two-stream shape q88 maintains in
     * one batch refresh). */
-  private[graft] def s72CustSlices(cust: DataFrame): Seq[DataFrame] =
-    (0 until 3).map(r => cust.filter(col("c_custkey") % 3 === r))
+  private[graft] def s72CustSlices(cust: DataFrame, n: Int): Seq[DataFrame] =
+    (0 until n).map(r => cust.filter(col("c_custkey") % n === r))
 
   /** s72: LIVE join-MV — q88's delta-join algebra as a two-stream
     * fold (the Structured Streaming stream-stream join MV, the shape
@@ -2367,14 +2367,18 @@ object Streaming {
     val R = graft.operators.Relational
     val ord = Tables.orders(s, dir)
     val cust = R.q88Custs(s, dir)
-    val custSlices = s72CustSlices(cust)
+    val batches = orderSlices(ord)
+    // the dim stream's arity is DERIVED from the fact stream's, so a
+    // change to orderSlices can never index out of the customer
+    // slices (review-pass finding)
+    val custSlices = s72CustSlices(cust, batches.length)
     val aInit = R.q88APartials(ord.filter(lit(false)))
     val bInit = cust.filter(lit(false))
-    val mvInit = R.q88Leg(aInit, cust)
+    val mvInit = R.q88Leg(aInit, bInit)
     val fin = foldGenerations(s,
       graft.sources.Export.scratch("s72_jmv", dir),
       Seq("a" -> aInit, "b" -> bInit, "m" -> mvInit),
-      orderSlices(ord)) { (st, batch, i) =>
+      batches) { (st, batch, i) =>
       val Seq(aState, bState, mv) = st: @unchecked
       val da = R.q88APartials(batch)
       val db = custSlices(i)

@@ -891,8 +891,7 @@ class AnnSpec extends SparkSpec {
       "hybrid compaction != full compaction")
     // both trigger classes populated
     val corpus = Ann.ivfRoutedCorpus(spark, sfDir)
-    val hot = Ann.a52HotCells(corpus)
-    val nCells = corpus.select("cell").distinct().count()
+    val (hot, nCells) = Ann.a52HotCells(corpus)
     assert(hot.nonEmpty && hot.size < nCells, s"degenerate split: $hot of $nCells")
     // hot-cell rewrites hold no tombstoned row
     val hybridDir = graft.sources.Export.scratch("a52_hybrid", sfDir)
@@ -900,8 +899,10 @@ class AnnSpec extends SparkSpec {
       .filter(col("cell").isin(hot.map(Int.box): _*))
     assert(hotRows.filter(expr(Ann.a38DeletedPred)).isEmpty,
       "a tombstoned row survived a hot-cell rewrite")
-    // cold-cell files carried byte-identically (content hash per file,
-    // matched by basename — the copy prefixes 's0_')
+    // cold-cell files carried byte-identically (content hash per
+    // file, keyed by cell-QUALIFIED relative path — a bare basename
+    // collides across cell dirs because partitionBy writes the same
+    // part-file name into every cell; review-pass finding)
     val gen1 = graft.sources.Export.scratch("a52_index", sfDir)
     def hashes(dir: String, cold: String => Boolean): Map[String, String] = {
       val it = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
@@ -913,7 +914,9 @@ class AnnSpec extends SparkSpec {
             val bytes = java.nio.file.Files.readAllBytes(p)
             val h = java.security.MessageDigest.getInstance("MD5").digest(bytes)
               .map("%02x".format(_)).mkString
-            p.getFileName.toString.stripPrefix("s0_") -> h
+            val key = p.getParent.getFileName.toString + "/" +
+              p.getFileName.toString.stripPrefix("s0_")
+            key -> h
           }.toMap
       } finally it.close()
     }

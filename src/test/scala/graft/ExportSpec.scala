@@ -137,14 +137,7 @@ class ExportSpec extends SparkSpec {
     val out = SparkEntry.queries("q88_join_mv")(spark, sfDir)
       .as[(String, Int, Long, Long)].collect().toSeq
     // independent recompute with NO state/delta split on EITHER side
-    val full = Tables.orders(spark, sfDir)
-      .join(Tables.customer(spark, sfDir),
-        col("o_custkey") === col("c_custkey"))
-      .groupBy(col("c_mktsegment").as("segment"),
-        year(col("o_orderdate")).cast("int").as("o_year"))
-      .agg(count(lit(1)).as("n_orders"),
-        sum(expr("cast(round(o_totalprice * 100, 0) as bigint)")).as("cents"))
-      .orderBy("segment", "o_year")
+    val full = TestRecomputes.q88Unsplit(spark, sfDir)
       .as[(String, Int, Long, Long)].collect().toSeq
     assert(out.nonEmpty && out == full,
       s"delta-join merge != recompute: ${out.diff(full).take(3)}")

@@ -1147,13 +1147,7 @@ class StreamingSpec extends SparkSpec {
     val reg = SparkEntry.queries("s72_stream_join_mv")(spark, sfDir)
       .as[(String, Int, Long, Long)].collect().toSeq
     // the two-stream fold must equal the full join + rollup
-    val full = ord.join(Tables.customer(spark, sfDir),
-        col("o_custkey") === col("c_custkey"))
-      .groupBy(col("c_mktsegment").as("segment"),
-        year(col("o_orderdate")).cast("int").as("o_year"))
-      .agg(count(lit(1)).as("n_orders"),
-        sum(expr("cast(round(o_totalprice * 100, 0) as bigint)")).as("cents"))
-      .orderBy("segment", "o_year")
+    val full = TestRecomputes.q88Unsplit(spark, sfDir)
       .as[(String, Int, Long, Long)].collect().toSeq
     assert(reg.nonEmpty && reg == full, "two-stream fold != unsplit recompute")
     // the retained A-state is COMPRESSED: one row per (customer, year)
@@ -1167,7 +1161,8 @@ class StreamingSpec extends SparkSpec {
     // generation picks up EARLIER generations' order history through
     // the A_state⋈ΔB leg — that leg is non-empty at generation 1
     val gen0A = R.q88APartials(Streaming.orderSlices(ord).head)
-    val gen1B = Streaming.s72CustSlices(cust)(1)
+    val gen1B = Streaming.s72CustSlices(cust,
+      Streaming.orderSlices(ord).length)(1)
     assert(R.q88Leg(gen0A, gen1B).limit(1).count() == 1,
       "late-arriving dimension rows must pick up earlier fact history")
   }
