@@ -75,7 +75,20 @@ object Bench {
     "q68_quantile_sketch", "s60_stream_quantiles", "s61_stream_xmr",
     "a49_knn_join", "d52_corpus_overlap", "q52b_hll_ndv",
     "s63_stream_sessions", "s64_stream_weighted_sample",
-    "s62_stream_forecast", "q74_pruned_export")
+    "s62_stream_forecast", "q74_pruned_export",
+    // r13: measured ≥ ~2 s at sf0.1 on first appearance — the
+    // banding sweep rides d51's truth leg, a51 rides a49's scored
+    // build, the layout/time-travel entries write persisted
+    // artifacts, and every s65–s73 fold chains parquet generations
+    // (the r11 family-window lesson applied preemptively)
+    "d53_banding_curve", "d54_overlap_matrix", "a51_range_search",
+    "a52_cell_compaction", "q75_compaction", "q78_retention",
+    "q79_incremental_stats", "q81_restore", "q82_bloom_skipping",
+    "q84_partition_evolution", "q85_khop",
+    "s65_exactly_once", "s66_stream_rfm", "s67_stream_overlap",
+    "s68_stream_compaction", "s69_stream_schema_evolution",
+    "s70_stream_skipping", "s71_stream_late_data",
+    "s72_stream_join_mv", "s73_stream_fifo")
 
   private def familyOf(name: String): String =
     if (solo(name)) name

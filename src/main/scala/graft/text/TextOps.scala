@@ -2426,6 +2426,90 @@ object TextOps {
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY decile""".stripMargin
 
+  /** t63's contrast vocabulary budget. */
+  private[graft] val t63K = 40
+
+  /** t63: corpus-contrast keyness — the "what is DIFFERENT about
+    * this source?" analysis run before admitting a new crawl into a
+    * mixture (t61 asks what travels together WITHIN a corpus; t63
+    * contrasts TWO corpora): for the top-[[t63K]] df terms across
+    * both halves (doc_id parity — the d52 corpus split), the 2×2
+    * presence table (df_a, df_b, na−df_a, nb−df_b) scored by
+    * Pearson's χ² in e4 units, with the direction flag in-band.
+    * The χ² is computed EXACTLY: a·d − b·c simplifies to
+    * df_a·nb − df_b·na (fits a long), and the one big product
+    * N·(ad−bc)²·10⁴ runs in decimal(38,0) on the Spark side and
+    * HUGEINT in DuckDB — two exact integer engines executing the
+    * identical expression, so the score replays byte-exactly with
+    * no float and no ln anywhere (the t61/t62 refuse-the-hazard
+    * stance; Dunning's LLR would need the ln this corpus cannot
+    * gate). Terms present in every document are guarded out (their
+    * χ² denominator is zero and their keyness is undefined).
+    *
+    * Scale (100 TB): one df rollup (map-side combined), a top-k
+    * TakeOrdered vocabulary, one 1-row corpus-sizes broadcast (the
+    * q28 scalar stance), and a codegen'd arithmetic projection over
+    * ≤ k rows — nothing after the rollup touches corpus-sized
+    * data. */
+  def t63Keyness(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val dt = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("term"))
+    val sizes = docs.agg(
+      sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("na"),
+      sum(when(col("doc_id") % 2 =!= 0, 1L).otherwise(0L)).as("nb"))
+    val counts = dt.groupBy("term").agg(
+      sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("df_a"),
+      sum(when(col("doc_id") % 2 =!= 0, 1L).otherwise(0L)).as("df_b"))
+    val vocab = counts
+      .orderBy((col("df_a") + col("df_b")).desc, col("term")).limit(t63K)
+    vocab.crossJoin(broadcast(sizes))
+      .filter(col("df_a") + col("df_b") < col("na") + col("nb"))
+      .withColumn("chi2_e4", expr(
+        """cast((cast(na + nb as decimal(38,0)) *
+          |  cast(df_a * nb - df_b * na as decimal(38,0)) *
+          |  cast(df_a * nb - df_b * na as decimal(38,0)) *
+          |  cast(10000 as decimal(38,0))) div
+          | (cast(df_a + df_b as decimal(38,0)) *
+          |  cast((na - df_a) + (nb - df_b) as decimal(38,0)) *
+          |  cast(na as decimal(38,0)) * cast(nb as decimal(38,0)))
+          |as bigint)""".stripMargin))
+      .withColumn("enriched_in",
+        when(col("df_a") * col("nb") > col("df_b") * col("na"), "a")
+          .otherwise("b"))
+      .select("term", "df_a", "df_b", "chi2_e4", "enriched_in")
+      .orderBy("term")
+  }
+
+  /** DuckDB oracle for t63: identical df rollup, vocabulary, and the
+    * same exact-integer χ² through HUGEINT. */
+  val t63Sql: String =
+    s"""WITH dt AS (
+       | SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+       | FROM documents),
+       |sz AS (
+       | SELECT CAST(count(*) FILTER (doc_id % 2 = 0) AS BIGINT) AS na,
+       |        CAST(count(*) FILTER (doc_id % 2 <> 0) AS BIGINT) AS nb
+       | FROM documents),
+       |cnt AS (
+       | SELECT term,
+       |  CAST(count(*) FILTER (doc_id % 2 = 0) AS BIGINT) AS df_a,
+       |  CAST(count(*) FILTER (doc_id % 2 <> 0) AS BIGINT) AS df_b
+       | FROM dt GROUP BY 1),
+       |vocab AS (
+       | SELECT * FROM cnt ORDER BY df_a + df_b DESC, term LIMIT $t63K)
+       |SELECT term, df_a, df_b,
+       | CAST((CAST(na + nb AS HUGEINT) *
+       |   CAST(df_a * nb - df_b * na AS HUGEINT) *
+       |   CAST(df_a * nb - df_b * na AS HUGEINT) * 10000) //
+       |  (CAST(df_a + df_b AS HUGEINT) *
+       |   CAST((na - df_a) + (nb - df_b) AS HUGEINT) *
+       |   CAST(na AS HUGEINT) * CAST(nb AS HUGEINT)) AS BIGINT) AS chi2_e4,
+       | CASE WHEN df_a * nb > df_b * na THEN 'a' ELSE 'b' END AS enriched_in
+       |FROM vocab, sz
+       |WHERE df_a + df_b < na + nb
+       |ORDER BY term""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t29_langid" -> (t29LangId _),
     "t30_quality" -> (t30Quality _),
@@ -2461,7 +2545,8 @@ object TextOps {
     "t59_bm25" -> (t59Bm25 _),
     "t60_weighted_sample" -> (t60WeightedSample _),
     "t61_cooccurrence" -> (t61Cooccurrence _),
-    "t62_vocab_growth" -> (t62VocabGrowth _))
+    "t62_vocab_growth" -> (t62VocabGrowth _),
+    "t63_keyness" -> (t63Keyness _))
 
   def oracles: Map[String, String] = Map(
     "t29_langid" -> t29Sql,
@@ -2499,5 +2584,6 @@ object TextOps {
     "t55_curriculum" -> t55Sql,
     "t56_dataset_card" -> t56Sql,
     "t61_cooccurrence" -> t61Sql,
-    "t62_vocab_growth" -> t62Sql)
+    "t62_vocab_growth" -> t62Sql,
+    "t63_keyness" -> t63Sql)
 }

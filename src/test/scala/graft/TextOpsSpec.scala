@@ -1034,4 +1034,39 @@ class TextOpsSpec extends SparkSpec {
     assert(got.last._2 == docs.length.toLong, "docs_cum(10) != corpus size")
     assert(got.last._5 == firstDoc.size.toLong, "vocab_cum(10) != distinct terms")
   }
+
+  test("t63 keyness equals a BigInt mirror; both directions live; skew outranks balance") {
+    val T = graft.text.TextOps
+    val got = SparkEntry.queries("t63_keyness")(spark, sfDir)
+      .as[(String, Long, Long, Long, String)].collect().toSeq
+    assert(got.nonEmpty)
+    // BigInt mirror of the whole table — vocabulary, chi2, direction
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .as[(Long, String)].collect()
+      .map { case (id, t) => (id % 2 == 0) -> t.split(" ").toSet }
+    val na = docs.count(_._1).toLong
+    val nb = docs.size - na
+    val df = docs.flatMap { case (inA, ts) => ts.map(_ -> inA) }
+      .groupBy(_._1).view.mapValues { occ =>
+        (occ.count(_._2).toLong, occ.count(!_._2).toLong)
+      }.toMap
+    val vocab = df.toSeq
+      .sortBy { case (t, (a, b)) => (-(a + b), t) }.take(T.t63K)
+    val mirror = vocab.collect { case (t, (a, b)) if a + b < na + nb =>
+      val diff = BigInt(a * nb - b * na)
+      val chi2 = (BigInt(na + nb) * diff * diff * 10000) /
+        (BigInt(a + b) * BigInt((na - a) + (nb - b)) * BigInt(na) * BigInt(nb))
+      (t, a, b, chi2.toLong, if (a * nb > b * na) "a" else "b")
+    }.sortBy(_._1)
+    assert(got == mirror, "t63 != BigInt mirror")
+    // both enrichment directions live on the corpus
+    assert(got.exists(_._5 == "a") && got.exists(_._5 == "b"),
+      "keyness must discriminate in both directions")
+    // sanity: the most balanced vocab term scores below the most
+    // skewed one (chi-square grows with |a·nb − b·na|)
+    def skew(r: (String, Long, Long, Long, String)): Long =
+      math.abs(r._2 * nb - r._3 * na)
+    assert(got.maxBy(skew)._4 >= got.minBy(skew)._4,
+      "chi2 inverted against skew")
+  }
 }
