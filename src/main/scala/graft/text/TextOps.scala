@@ -2437,45 +2437,65 @@ object TextOps {
     * presence table (df_a, df_b, na−df_a, nb−df_b) scored by
     * Pearson's χ² in e4 units, with the direction flag in-band.
     * The χ² is computed EXACTLY: a·d − b·c simplifies to
-    * df_a·nb − df_b·na (fits a long), and the one big product
-    * N·(ad−bc)²·10⁴ runs in decimal(38,0) on the Spark side and
-    * HUGEINT in DuckDB — two exact integer engines executing the
+    * df_a·nb − df_b·na, each cross product pre-cast to
+    * decimal(38,0)/HUGEINT BEFORE multiplying, and the one big
+    * product N·(ad−bc)²·10⁴ runs in decimal(38,0) on the Spark side
+    * and HUGEINT in DuckDB — two exact integer engines executing the
     * identical expression, so the score replays byte-exactly with
     * no float and no ln anywhere (the t61/t62 refuse-the-hazard
     * stance; Dunning's LLR would need the ln this corpus cannot
     * gate). Terms present in every document are guarded out (their
-    * χ² denominator is zero and their keyness is undefined).
+    * χ² denominator is zero and their keyness is undefined), and two
+    * data-derived fail-stops hold the exactness claim honest at
+    * scale (ADVICE r13): an empty parity half (na or nb = 0) makes
+    * every χ² denominator zero — Spark's decimal div would yield
+    * null where DuckDB errors, so we refuse identically in both
+    * engines instead (the a52/q89 degenerate-split convention); and
+    * N = na+nb ≤ 10⁷ pins the worst-case numerator
+    * N·(na·nb)²·10⁴ ≤ N⁵·10⁴/16 < 10³⁸ inside decimal(38,0) —
+    * past it Spark would wrap/null where HUGEINT keeps going, so the
+    * operator fail-stops (shard the contrast, or sample) rather than
+    * silently diverge.
     *
     * Scale (100 TB): one df rollup (map-side combined), a top-k
-    * TakeOrdered vocabulary, one 1-row corpus-sizes broadcast (the
-    * q28 scalar stance), and a codegen'd arithmetic projection over
-    * ≤ k rows — nothing after the rollup touches corpus-sized
-    * data. */
+    * TakeOrdered vocabulary, one 1-row corpus-sizes action (the
+    * bounded driver read that also arms the fail-stops — the t51
+    * learned-parameter stance), and a codegen'd arithmetic
+    * projection over ≤ k rows — nothing after the rollup touches
+    * corpus-sized data. */
   def t63Keyness(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val dt = docs.select(col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("term"))
-    val sizes = docs.agg(
+    val szRow = docs.agg(
       sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("na"),
-      sum(when(col("doc_id") % 2 =!= 0, 1L).otherwise(0L)).as("nb"))
+      sum(when(col("doc_id") % 2 =!= 0, 1L).otherwise(0L)).as("nb")).head
+    val na = if (szRow.isNullAt(0)) 0L else szRow.getLong(0)
+    val nb = if (szRow.isNullAt(1)) 0L else szRow.getLong(1)
+    require(na > 0 && nb > 0,
+      s"t63: degenerate parity split (na=$na, nb=$nb) — keyness against an empty half is undefined")
+    require(na + nb <= 10000000L,
+      s"t63: ${na + nb} docs exceeds the exact-integer bound (N <= 1e7 keeps N*(ad-bc)^2*1e4 within decimal(38,0)); shard the contrast or sample")
     val counts = dt.groupBy("term").agg(
       sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("df_a"),
       sum(when(col("doc_id") % 2 =!= 0, 1L).otherwise(0L)).as("df_b"))
     val vocab = counts
       .orderBy((col("df_a") + col("df_b")).desc, col("term")).limit(t63K)
-    vocab.crossJoin(broadcast(sizes))
-      .filter(col("df_a") + col("df_b") < col("na") + col("nb"))
+    vocab
+      .filter(col("df_a") + col("df_b") < lit(na + nb))
       .withColumn("chi2_e4", expr(
-        """cast((cast(na + nb as decimal(38,0)) *
-          |  cast(df_a * nb - df_b * na as decimal(38,0)) *
-          |  cast(df_a * nb - df_b * na as decimal(38,0)) *
-          |  cast(10000 as decimal(38,0))) div
-          | (cast(df_a + df_b as decimal(38,0)) *
-          |  cast((na - df_a) + (nb - df_b) as decimal(38,0)) *
-          |  cast(na as decimal(38,0)) * cast(nb as decimal(38,0)))
-          |as bigint)""".stripMargin))
+        s"""cast((cast(${na + nb} as decimal(38,0)) *
+           |  (cast(df_a as decimal(38,0)) * cast($nb as decimal(38,0)) -
+           |   cast(df_b as decimal(38,0)) * cast($na as decimal(38,0))) *
+           |  (cast(df_a as decimal(38,0)) * cast($nb as decimal(38,0)) -
+           |   cast(df_b as decimal(38,0)) * cast($na as decimal(38,0))) *
+           |  cast(10000 as decimal(38,0))) div
+           | (cast(df_a + df_b as decimal(38,0)) *
+           |  cast(($na - df_a) + ($nb - df_b) as decimal(38,0)) *
+           |  cast($na as decimal(38,0)) * cast($nb as decimal(38,0)))
+           |as bigint)""".stripMargin))
       .withColumn("enriched_in",
-        when(col("df_a") * col("nb") > col("df_b") * col("na"), "a")
+        when(col("df_a") * lit(nb) > col("df_b") * lit(na), "a")
           .otherwise("b"))
       .select("term", "df_a", "df_b", "chi2_e4", "enriched_in")
       .orderBy("term")
@@ -2500,8 +2520,8 @@ object TextOps {
        | SELECT * FROM cnt ORDER BY df_a + df_b DESC, term LIMIT $t63K)
        |SELECT term, df_a, df_b,
        | CAST((CAST(na + nb AS HUGEINT) *
-       |   CAST(df_a * nb - df_b * na AS HUGEINT) *
-       |   CAST(df_a * nb - df_b * na AS HUGEINT) * 10000) //
+       |   (CAST(df_a AS HUGEINT) * nb - CAST(df_b AS HUGEINT) * na) *
+       |   (CAST(df_a AS HUGEINT) * nb - CAST(df_b AS HUGEINT) * na) * 10000) //
        |  (CAST(df_a + df_b AS HUGEINT) *
        |   CAST((na - df_a) + (nb - df_b) AS HUGEINT) *
        |   CAST(na AS HUGEINT) * CAST(nb AS HUGEINT)) AS BIGINT) AS chi2_e4,

@@ -662,6 +662,18 @@ class InvariantSpec extends SparkSpec {
     val logs = R.q89Logs(ev)
     val keySets = logs.map { case (w, log) =>
       w -> log.select("user_id").distinct().as[Long].collect().toSet }
+    // PRECONDITION PIN (ADVICE r13): q89Sql's literal attempt/version
+    // numbering (attempts 1-4, retry snapshot 2, final head 3) encodes
+    // a protocol shape that is only valid while w1/w2's key slices are
+    // DISJOINT (w2 commits first try) and w3 straddles at least one of
+    // them (w3 rejects then retries). If q89Logs' residues are ever
+    // edited, this trips with the reason instead of the correctness
+    // gate flagging an opaque row-count mismatch.
+    val byW = keySets.toMap
+    assert(byW("w1").intersect(byW("w2")).isEmpty,
+      "q89Sql precondition broken: w1/w2 write sets must be disjoint")
+    assert(byW("w3").intersect(byW("w1") ++ byW("w2")).nonEmpty,
+      "q89Sql precondition broken: w3 must straddle w1 ∪ w2")
     var head = 0
     var id = 0
     val replay = scala.collection.mutable.Buffer

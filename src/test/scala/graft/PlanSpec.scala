@@ -449,9 +449,8 @@ class PlanSpec extends SparkSpec {
       // t62's cross joins are the 1-row lo/hi span broadcast onto the
       // doc and first-occurrence rollups — the q28 scalar stance
       "t62_vocab_growth",
-      // t63's cross join is the 1-row corpus-sizes broadcast onto the
-      // 40-row vocabulary — the q28 scalar stance
-      "t63_keyness",
+      // (t63's former 1-row sizes cross join became a bounded driver
+      // read + literals in r14 — the ADVICE fail-stop rework)
       // q72's cross join is the 1-row MAE/MAPE summary broadcast
       // onto the |days|-row backtest — the q57/q71 bounded-series
       // stance
