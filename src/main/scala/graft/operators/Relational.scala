@@ -1496,6 +1496,119 @@ object Relational {
        |WHERE rn = 1 AND event_type <> 'error'
        |ORDER BY user_id""".stripMargin
 
+  /** q92's version boundaries: a LONGER chain than q77's (6 change
+    * windows over the January data) so checkpoint placement genuinely
+    * matters — version k's cutoff is q92Bounds(k) for k ≤ 5, version
+    * 6 is the open tail (the head). */
+  private[graft] val q92Bounds = Seq(
+    "2024-01-05 00:00:00", "2024-01-09 00:00:00", "2024-01-13 00:00:00",
+    "2024-01-17 00:00:00", "2024-01-21 00:00:00", "2024-01-25 00:00:00")
+
+  /** Checkpoint cadence: a snapshot parquet every K commits (Delta
+    * writes checkpoint.parquet every 10; 3 here so the 6-version
+    * chain holds two). */
+  private[graft] val q92Interval = 3
+
+  /** q92's head version. */
+  private[graft] val q92Head = 6
+
+  /** The version the registered face reads: checkpoint-UNALIGNED and
+    * neither base nor head, so the read must combine a checkpoint
+    * with trailing deltas — both mechanisms bite. */
+  private[graft] val q92ReadVersion = 5
+
+  /** Persist q92's chain: v0 base snapshot + one change log per
+    * window (the q77WriteChain layout, 6 versions deep). */
+  private[graft] def q92WriteChain(s: SparkSession, dir: String,
+      tag: String = "q92_chain"): String = {
+    val S = graft.streaming.Streaming
+    val ev = Tables.events(s, dir)
+      .select("user_id", "event_id", "ts", "event_type", "value")
+    val out = graft.sources.Export.scratch(tag, dir)
+    S.applyChangesSnapshot(ev.filter(col("ts") <= lit(q92Bounds(0))))
+      .write.mode("overwrite").parquet(s"$out/v0")
+    (1 to q92Head).foreach { k =>
+      val lo = q92Bounds(k - 1)
+      val win =
+        if (k < q92Head)
+          ev.filter(col("ts") > lit(lo) && col("ts") <= lit(q92Bounds(k)))
+        else ev.filter(col("ts") > lit(lo))
+      win.write.mode("overwrite").parquet(s"$out/changes_$k")
+    }
+    out
+  }
+
+  /** Replay (checkpoint-or-base `from`, logs (from, k]] through the
+    * ONE latest-per-key rule. `from` = 0 reads the genesis base. */
+  private[graft] def q92Replay(s: SparkSession, chain: String,
+      from: Int, k: Int): DataFrame = {
+    val base =
+      if (from == 0) s.read.parquet(s"$chain/v0")
+      else s.read.parquet(s"$chain/ckpt_$from")
+    val parts = base +: (from + 1 to k).map(i =>
+      s.read.parquet(s"$chain/changes_$i"))
+    graft.streaming.Streaming.applyChangesSnapshot(parts.reduce(_.unionByName(_)))
+  }
+
+  /** Maintain the checkpoints: ckpt_K, ckpt_2K, … each replayed from
+    * the PREVIOUS checkpoint plus its K deltas — checkpoint
+    * maintenance itself is incremental (O(table + K logs) per
+    * checkpoint), never a genesis replay. */
+  private[graft] def q92WriteCheckpoints(s: SparkSession, chain: String,
+      head: Int = q92Head): Unit =
+    (q92Interval to head by q92Interval).foreach { k =>
+      q92Replay(s, chain, k - q92Interval, k)
+        .write.mode("overwrite").parquet(s"$chain/ckpt_$k")
+    }
+
+  /** Read AS OF version k through the checkpoint index: route to the
+    * nearest checkpoint at or below k, replay the ≤ K−1 trailing
+    * deltas. This is the read q77AsOf becomes once a chain is long:
+    * cost is bounded by the CADENCE, not the table's age. */
+  private[graft] def q92AsOf(s: SparkSession, chain: String, k: Int): DataFrame =
+    q92Replay(s, chain, (k / q92Interval) * q92Interval, k)
+
+  /** q92: change-log CHECKPOINTING — the missing piece of the
+    * q77/q78/q81 time-travel family (flagged in the r13 verdict):
+    * q77's AS OF k replays every delta from genesis, so a year-old
+    * table pays its whole history on every read; Delta's answer is a
+    * checkpoint snapshot every K commits (checkpoint.parquet), and a
+    * reader replays at most K−1 deltas from the nearest checkpoint.
+    * The chain here is 6 versions deep with checkpoints at v3 and v6,
+    * each checkpoint itself built INCREMENTALLY from its predecessor
+    * (never a genesis replay); the registered face reads the
+    * checkpoint-unaligned middle version 5 — one checkpoint + two
+    * deltas — through the shared serving view. The q77 face is
+    * UNCHANGED; q92 is the scale path beside it. InvariantSpec pins
+    * replay-from-checkpoint == replay-from-genesis for EVERY version
+    * (artifact-level, tombstones included) and that the registered
+    * read's plan scans ckpt_3/changes_4/changes_5 and never
+    * v0/changes_1..3.
+    *
+    * Scale: a read is one bounded union (1 checkpoint + < K logs) +
+    * one latest-per-key shuffle regardless of chain age; checkpoint
+    * maintenance amortizes one table-sized write per K commits; under
+    * the q33 user-bucketed layout both are exchange-free. */
+  def q92CheckpointedTravel(s: SparkSession, dir: String): DataFrame = {
+    val chain = q92WriteChain(s, dir)
+    q92WriteCheckpoints(s, chain)
+    graft.streaming.Streaming.applyServing(q92AsOf(s, chain, q92ReadVersion))
+  }
+
+  /** DuckDB oracle for q92: the direct latest-per-key snapshot at
+    * version 5's cutoff — routing through a checkpoint must be
+    * indistinguishable from having replayed the whole chain (which
+    * must be indistinguishable from having queried back then). */
+  val q92Sql: String =
+    s"""SELECT user_id, event_id AS last_event_id,
+       | event_type AS last_event_type, ROUND(value, 4) AS last_value
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id
+       |    ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM events WHERE ts <= TIMESTAMP '${q92Bounds(q92ReadVersion)}')
+       |WHERE rn = 1 AND event_type <> 'error'
+       |ORDER BY user_id""".stripMargin
+
   /** The key-overlap conflict check at the heart of q89: |keys of
     * the prepared commit ∩ keys of every commit with version in
     * (snapshotV, headV]|. Zero means the writer saw every row it
@@ -5200,6 +5313,7 @@ object Relational {
     "q77_time_travel" -> (q77TimeTravel _),
     "q78_retention" -> (q78Retention _),
     "q81_restore" -> (q81Restore _),
+    "q92_checkpointed_travel" -> (q92CheckpointedTravel _),
     "q89_optimistic_commit" -> (q89OptimisticCommit _),
     "q85_khop" -> (q85Khop _),
     "q86_merge_full" -> (q86MergeFull _),
@@ -5379,6 +5493,7 @@ object Relational {
     // chain - retention above the horizon must be invisible
     "q78_retention" -> q77Sql,
     "q81_restore" -> q81Sql,
+    "q92_checkpointed_travel" -> q92Sql,
     "q89_optimistic_commit" -> q89Sql,
     "q85_khop" -> q85Sql,
     "q86_merge_full" -> q86Sql,

@@ -645,6 +645,39 @@ class InvariantSpec extends SparkSpec {
       "no lot feeds multiple draws")
   }
 
+  test("q92 checkpointing: checkpoint-routed read == genesis replay for EVERY version; read scans only ckpt + trailing deltas") {
+    val R = graft.operators.Relational
+    val chain = R.q92WriteChain(spark, sfDir, "q92spec_chain")
+    R.q92WriteCheckpoints(spark, chain)
+    // the checkpoint closure, quantified over every version —
+    // artifact level, INCLUDING tombstone rows. Covers both new
+    // mechanisms at once: versions 3 and 6 read a checkpoint ALONE
+    // (and ckpt_6 was itself built from ckpt_3, so incremental
+    // checkpoint maintenance is pinned against genesis here too);
+    // versions 4, 5 read a checkpoint + deltas.
+    for (k <- 0 to R.q92Head) {
+      val routed = R.q92AsOf(spark, chain, k)
+        .orderBy("user_id").collect().toSeq
+      val genesis = R.q92Replay(spark, chain, 0, k)
+        .orderBy("user_id").collect().toSeq
+      assert(routed == genesis, s"version $k: checkpoint route != genesis replay")
+      assert(routed.nonEmpty, s"version $k empty")
+    }
+    // the cost contract, at plan level: the registered read (k=5)
+    // scans ckpt_3 + changes_4 + changes_5 and NEVER the genesis
+    // artifacts — replay cost is bounded by the cadence, not the age
+    val leaves = R.q92AsOf(spark, chain, R.q92ReadVersion)
+      .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    Seq("ckpt_3", "changes_4", "changes_5").foreach(p =>
+      assert(leaves.contains(p), s"read at 5 must scan $p"))
+    Seq("/v0", "changes_1", "changes_2", "changes_3").foreach(p =>
+      assert(!leaves.contains(p), s"read at 5 must NOT scan $p"))
+    // non-degenerate: versions genuinely differ across the chain
+    val heads = (0 to R.q92Head).map(k => R.q92AsOf(spark, chain, k)
+      .agg(max("event_id")).head.getLong(0))
+    assert(heads.distinct.size >= 2, s"degenerate chain: $heads")
+  }
+
   test("q89 optimistic commits: accept iff overlap=0; ledger == independent replay; final == serial") {
     val R = graft.operators.Relational
     val S = graft.streaming.Streaming

@@ -673,6 +673,12 @@ class PlanSpec extends SparkSpec {
       // direct-snapshot oracle and the InvariantSpec all-version
       // closure
       "q77_time_travel",
+      // q92 persists a 6-version chain + two checkpoints at
+      // construction (the q77 stance, deeper); the AS OF read is one
+      // bounded union + one latest-per-key window, pinned by the
+      // direct-snapshot oracle and the InvariantSpec checkpoint
+      // closure + scan-set test
+      "q92_checkpointed_travel",
       // q78 builds its own chain, checkpoints, and deletes in place
       // at construction; the surviving-version identity and fail-fast
       // horizon are pinned by the InvariantSpec vacuum test
