@@ -464,23 +464,37 @@ object Export {
     side
   }
 
-  /** Probe a layout THROUGH its sidecar: select the files whose
-    * [min, max] span intersects [lo, hi] (a bounded driver read —
-    * #files sidecar rows, the same metadata a format's planner
-    * holds), read ONLY those, and re-apply the predicate — pruning
-    * is an optimization, never semantics, so a stale or coarse
-    * sidecar can only cost speed (every kept file is still
-    * filtered), while the no-skipped-row law is what the oracle and
-    * ExportSpec check. Returns (rows, filesKept, filesTotal). */
+  /** The prune itself, AS A PLAN over the manifest: sidecar rows
+    * whose [min, max] span intersects [lo, hi]. The range predicate
+    * pushes into the sidecar's parquet scan (scan-stage,
+    * ExportSpec-pinned) and evaluates distributed — at a million
+    * files the prune runs where the manifest lives instead of
+    * shipping every stats row to the driver (VERDICT r13 #4; q82's
+    * bloom probe already took this stance). */
+  private[graft] def q76KeptFiles(s: SparkSession, side: String,
+      lo: Long, hi: Long): DataFrame =
+    s.read.parquet(side)
+      .filter(col("min_key") <= lit(hi) && col("max_key") >= lit(lo))
+      .select("file")
+
+  /** Probe a layout THROUGH its sidecar: the kept-file set comes
+    * from [[q76KeptFiles]]'s distributed prune and only the KEPT
+    * names cross to the driver (O(matches) — the minimum any
+    * planner must hold to name the scan's files; filesTotal is a
+    * 1-value count, not a row transfer). Kept files are re-filtered
+    * exactly — pruning is an optimization, never semantics, so a
+    * stale or coarse sidecar can only cost speed, while the
+    * no-skipped-row law is what the oracle and ExportSpec check.
+    * Returns (rows, filesKept, filesTotal). */
   private[graft] def q76ProbeFiles(s: SparkSession, layout: String,
       side: String, lo: Long, hi: Long): (DataFrame, Int, Int) = {
-    val stats = s.read.parquet(side).collect()
-    val keep = stats.filter(r =>
-      r.getLong(1) <= hi && r.getLong(2) >= lo).map(_.getString(0))
+    val keep = q76KeptFiles(s, side, lo, hi)
+      .collect().map(_.getString(0)).toIndexedSeq
+    val total = s.read.parquet(side).count().toInt
     val base =
       if (keep.isEmpty) s.read.parquet(layout).filter(lit(false))
-      else s.read.parquet(keep.toIndexedSeq: _*)
-    (base.filter(col("o_orderkey").between(lo, hi)), keep.length, stats.length)
+      else s.read.parquet(keep: _*)
+    (base.filter(col("o_orderkey").between(lo, hi)), keep.length, total)
   }
 
   /** q76: file-level data skipping — q74's pruning instrument one

@@ -281,6 +281,35 @@ class ExportSpec extends SparkSpec {
       .metrics("numFiles").value
     assert(filesRead == kept,
       s"scan must read exactly the kept files: $filesRead vs $kept")
+
+    // prune-join == driver-filter (VERDICT r13 #4): the distributed
+    // scan-stage prune keeps EXACTLY the files the old collect-all-
+    // stats-then-filter-on-the-driver form kept, over every range
+    // class exercised above
+    val allStats = spark.read.parquet(side).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def bothWays(lo: Long, hi: Long): Unit = {
+      val planned = Export.q76KeptFiles(spark, side, lo, hi)
+        .collect().map(_.getString(0)).toSet
+      val driverSide = allStats
+        .filter { case (_, mn, mx) => mn <= hi && mx >= lo }
+        .map(_._1).toSet
+      assert(planned == driverSide, s"[$lo,$hi]: prune-join != driver filter")
+    }
+    bothWays(b._2, stats(stats.length / 2 + 1)._1)
+    bothWays(b._2 + 1, b._2 + 1)
+    bothWays(Long.MinValue, Long.MaxValue)
+    bothWays(-10L, -1L)
+    bothWays(Export.q76Lo, Export.q76Hi)
+    // and the prune is genuinely scan-stage: the span predicate is
+    // PUSHED into the sidecar's parquet scan, so at a million files
+    // the manifest read itself skips — no collect precedes the filter
+    val pushed = scans(Export.q76KeptFiles(
+      spark, side, Export.q76Lo, Export.q76Hi)
+      .queryExecution.executedPlan).head.metadata("PushedFilters")
+    assert(pushed.contains("LessThanOrEqual(min_key") &&
+      pushed.contains("GreaterThanOrEqual(max_key"),
+      s"sidecar prune must push its span predicate into the scan: $pushed")
   }
 
   test("q82 bloom skipping: no false negatives over a key sample, numFiles == kept, fp rate bounded") {
