@@ -201,6 +201,64 @@ object Multimodal {
     decodeFeatures(mediaTable(s, dir)).toDF()
       .withColumn("feat", to_json(col("feat")))
 
+  /** m33b: m33's decoded-metadata rollup oracle-checked (r13 verdict
+    * #5 — the m34b/m35b split applied to the DECODE itself): the
+    * codec walk is JVM work no SQL engine replays, but every media
+    * payload here is generated from doc_id by closed-form rules
+    * ([[syntheticBmp]]/[[syntheticWav]]/[[syntheticY4m]]), so what a
+    * CORRECT decode must recover — formats, dimensions, sample
+    * rates/counts, frame counts, fps, container byte sizes — is
+    * computable from doc_id arithmetic alone. m33b rolls the decoded
+    * features up per (modality, decoded_format) on the Spark side by
+    * actually PARSING the real BMP/WAV/Y4M containers, while DuckDB
+    * recomputes the same rollup from the generative formulas
+    * (BMP = 54 + stride·h with 4-byte row padding; WAV = 44 + 2n;
+    * Y4M = 35-byte header + frames·(6 + w·h·3/2) — single-digit dims
+    * keep the header length constant). Any header-parse drift
+    * (endianness, offset, stride) breaks the hash. The honest gap
+    * stays honest: payload/pixel/sample CRCs and the feat projection
+    * remain JVM-only (m33 rows-only), exactly the part with no
+    * closed form. */
+  def m33bDecodeOracle(s: SparkSession, dir: String): DataFrame =
+    decodeFeatures(mediaTable(s, dir)).toDF()
+      .groupBy("modality", "decoded_format")
+      .agg(count(lit(1)).as("n"),
+        sum("n_bytes").as("bytes"),
+        sum("width").as("w_sum"), sum("height").as("h_sum"),
+        sum("sample_rate").as("rate_sum"), sum("n_samples").as("samp_sum"),
+        sum("n_frames").as("frame_sum"), sum("fps_x1000").as("fps_sum"))
+      .orderBy("modality")
+
+  /** DuckDB oracle for m33b: the same rollup from the generative
+    * formulas (decode must recover exactly what synthesis wrote;
+    * -1 sentinels for a modality's absent fields sum to -n, same as
+    * the Spark side's). */
+  val m33bSql: String =
+    """WITH m AS (
+      | SELECT doc_id,
+      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+      |   WHEN 1 THEN 'audio' ELSE 'video' END AS modality
+      | FROM documents)
+      |SELECT modality,
+      | CASE modality WHEN 'image' THEN 'bmp'
+      |  WHEN 'audio' THEN 'wav' ELSE 'y4m' END AS decoded_format,
+      | count(*) AS n,
+      | CAST(sum(CASE modality
+      |  WHEN 'image' THEN 54 + ((3 * (1 + doc_id % 8) + 3) // 4) * 4 * (1 + doc_id % 6)
+      |  WHEN 'audio' THEN 44 + 2 * (16 + doc_id % 64)
+      |  ELSE 35 + (1 + doc_id % 5) *
+      |       (6 + (2 * (1 + doc_id % 4)) * (2 * (1 + doc_id % 3)) * 3 // 2)
+      |  END) AS BIGINT) AS bytes,
+      | CAST(sum(CASE modality WHEN 'image' THEN 1 + doc_id % 8
+      |  WHEN 'video' THEN 2 * (1 + doc_id % 4) ELSE -1 END) AS BIGINT) AS w_sum,
+      | CAST(sum(CASE modality WHEN 'image' THEN 1 + doc_id % 6
+      |  WHEN 'video' THEN 2 * (1 + doc_id % 3) ELSE -1 END) AS BIGINT) AS h_sum,
+      | CAST(sum(CASE modality WHEN 'audio' THEN 8000 ELSE -1 END) AS BIGINT) AS rate_sum,
+      | CAST(sum(CASE modality WHEN 'audio' THEN 16 + doc_id % 64 ELSE -1 END) AS BIGINT) AS samp_sum,
+      | CAST(sum(CASE modality WHEN 'video' THEN 1 + doc_id % 5 ELSE -1 END) AS BIGINT) AS frame_sum,
+      | CAST(sum(CASE modality WHEN 'video' THEN 25000 ELSE -1 END) AS BIGINT) AS fps_sum
+      |FROM m GROUP BY 1, 2 ORDER BY modality""".stripMargin
+
   /** STUB resize — the real implementation decodes, scales with a
     * codec, re-encodes. Here: deterministic byte truncation scaled
     * by target area, with metadata rewritten. The contract (typed
@@ -953,6 +1011,16 @@ object Multimodal {
       .flatMap { case (id, fi, w, h, p) =>
         ImageCodec.grayDHash(w, h, p).map(hsh => (id, fi, hsh)) }
       .toDF("doc_id", "frame_idx", "fhash")
+    m40CutsFromHashes(fh)
+  }
+
+  /** The ONE cut-detection body — m40 feeds it decoded frame dHashes
+    * (JVM container walk), m40b feeds it literal hashes
+    * (dialect-replayable), so the lag window, the xor/popcount
+    * distance, and the > 10 threshold cannot drift between the
+    * rows-only entry and its oracle gate (the m35/m35b split applied
+    * to the temporal stage). Takes (doc_id, frame_idx, fhash). */
+  private[graft] def m40CutsFromHashes(fh: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("frame_idx")
     fh.withColumn("prev", lag(col("fhash"), 1).over(w))
@@ -962,6 +1030,73 @@ object Multimodal {
       .select(col("doc_id"), col("frame_idx").as("cut_frame"), col("dist"))
       .orderBy("doc_id", "cut_frame")
   }
+
+  /** m40b's literal frame-hash table: 40 clips × 8 frames; each
+    * clip's frames split into uniform scenes of 2 + (doc_id % 3)
+    * frames; a scene's base hash is a 60-bit md5 literal keyed by
+    * (clip, scene), and within a scene ODD frames flip the two
+    * deterministic m35b bit positions (doc_id%60 and (7·doc_id+13)%60
+    * — never equal), so consecutive in-scene distances are exactly 2
+    * (the sub-threshold jitter the > 10 rule must IGNORE) while
+    * scene boundaries jump between independent md5 hashes (~30 bits
+    * apart — whatever the exact distance, both engines compute the
+    * same one). */
+  private[graft] def m40bFrameLiterals(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"))
+      .filter(col("doc_id") < 40)
+      .select(col("doc_id"), explode(expr("sequence(0, 7)")).as("frame_idx"))
+      .withColumn("scene", expr("frame_idx div (2 + doc_id % 3)"))
+      .withColumn("base", expr(
+        """cast(conv(substring(md5(concat('sc:', cast(doc_id as string),
+          | ':', cast(scene as string))), 1, 15), 16, 10) as bigint)"""
+          .stripMargin))
+      .withColumn("fhash", expr(
+        """CASE WHEN frame_idx % 2 = 1
+          | THEN base ^ (shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 60 AS INT)) |
+          |              shiftleft(CAST(1 AS BIGINT), CAST((doc_id * 7 + 13) % 60 AS INT)))
+          | ELSE base END""".stripMargin))
+      .select("doc_id", "frame_idx", "fhash")
+
+  /** m40b: m40's cut rule oracle-checked — the last relational stage
+    * in the m-family without an oracle twin (r13 verdict #5): m40
+    * stays rows-only because its hashes come from a JVM container
+    * walk, but the lag-window distance + threshold is relational, so
+    * m40b routes a dialect-replayable literal hash stream with
+    * planted scene structure through the VERY SAME
+    * [[m40CutsFromHashes]] body and DuckDB replays the window, the
+    * xor/popcount distance, and the > 10 rule byte-exactly —
+    * including NOT firing on the planted distance-2 in-scene
+    * jitter. */
+  def m40bSceneCutOracle(s: SparkSession, dir: String): DataFrame =
+    m40CutsFromHashes(m40bFrameLiterals(s, dir))
+
+  /** DuckDB oracle for m40b: identical literal hashes, identical lag
+    * window, identical distance and threshold. */
+  val m40bSql: String =
+    """WITH fr AS (
+      | SELECT doc_id, unnest(generate_series(0, 7)) AS frame_idx
+      | FROM documents WHERE doc_id < 40),
+      |h AS (
+      | SELECT doc_id, frame_idx,
+      |  CASE WHEN frame_idx % 2 = 1
+      |   THEN xor(base, (CAST(1 AS BIGINT) << CAST(doc_id % 60 AS INT)) |
+      |     (CAST(1 AS BIGINT) << CAST((doc_id * 7 + 13) % 60 AS INT)))
+      |   ELSE base END AS fhash
+      | FROM (
+      |  SELECT doc_id, frame_idx,
+      |   CAST(('0x' || substr(md5('sc:' || CAST(doc_id AS VARCHAR) || ':' ||
+      |     CAST(frame_idx // (2 + doc_id % 3) AS VARCHAR)), 1, 15)) AS BIGINT) AS base
+      |  FROM fr)),
+      |lagged AS (
+      | SELECT doc_id, frame_idx,
+      |  lag(fhash) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev,
+      |  fhash
+      | FROM h)
+      |SELECT doc_id, CAST(frame_idx AS INT) AS cut_frame,
+      | CAST(bit_count(xor(fhash, prev)) AS INT) AS dist
+      |FROM lagged
+      |WHERE prev IS NOT NULL AND bit_count(xor(fhash, prev)) > 10
+      |ORDER BY doc_id, cut_frame""".stripMargin
 
   // ---- m35b: the band/verify stage oracle-checked (the d23b split) ----
 
@@ -1245,6 +1380,7 @@ object Multimodal {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m33_multimodal" -> (m33Multimodal _),
+    "m33b_decode_oracle" -> (m33bDecodeOracle _),
     "m34_media_dedup" -> (m34MediaDedup _),
     "m34b_dedup_oracle" -> (m34bDedupOracle _),
     "m35_media_neardup" -> (m35MediaNeardup _),
@@ -1256,12 +1392,15 @@ object Multimodal {
     "m38_audio_neardup" -> (m38AudioNeardup _),
     "m39_thumbnail_match" -> (m39ThumbnailMatch _),
     "m39b_thumbnail_oracle" -> (m39bThumbnailOracle _),
-    "m40_scene_cut" -> (m40SceneCut _))
+    "m40_scene_cut" -> (m40SceneCut _),
+    "m40b_scene_cut_oracle" -> (m40bSceneCutOracle _))
 
   def oracles: Map[String, String] = Map(
+    "m33b_decode_oracle" -> m33bSql,
     "m34b_dedup_oracle" -> m34bSql,
     "m35b_neardup_oracle" -> m35bSql,
     "m36b_closure_oracle" -> m36bSql,
     "m37b_video_oracle" -> m37bSql,
-    "m39b_thumbnail_oracle" -> m39bSql)
+    "m39b_thumbnail_oracle" -> m39bSql,
+    "m40b_scene_cut_oracle" -> m40bSql)
 }
