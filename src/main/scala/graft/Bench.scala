@@ -100,8 +100,9 @@ object Bench {
     "s70_stream_skipping", "s71_stream_late_data",
     "s72_stream_join_mv", "s73_stream_fifo",
     // r14: q92 writes a 6-version chain + 2 checkpoints at
-    // construction (deeper than q78/q81, both already solo-class)
-    "q92_checkpointed_travel")
+    // construction (deeper than q78/q81, both already solo-class);
+    // s74 folds snapshot + ledger generations (the s65-s73 class)
+    "q92_checkpointed_travel", "s74_stream_asof")
 
   /** Entries per solo-group JVM. 4 balances isolation overhead
     * (~29 JVMs total at 247 entries, vs r13's ~97 which overran the

@@ -765,6 +765,11 @@ class PlanSpec extends SparkSpec {
       // intersection over batch × backlog, pinned by the q90 oracle
       // and the StreamingSpec open-set-law test
       "s73_stream_fifo",
+      // s74 folds the snapshot MV + versioned ledger through parquet
+      // generations at construction; per-batch plans are the s42
+      // keyed merge + an O(batch) append, pinned by the q77 oracle
+      // and the StreamingSpec per-version triple closure
+      "s74_stream_asof",
       // s63 folds q69's session table through parquet generations at
       // construction; per-batch plans are one user-keyed window over
       // (1 seed row per user ∪ batch) + user-keyed open-slice joins,

@@ -1200,6 +1200,36 @@ class StreamingSpec extends SparkSpec {
       "no cross-batch allocation — the fold never matched history")
   }
 
+  test("s74 live AS OF: maintained snapshot == ledger replay == direct snapshot at EVERY version") {
+    import org.apache.spark.sql.functions._
+    val R = graft.operators.Relational
+    val S = graft.streaming.Streaming
+    val ev = Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "ts", "event_type", "value")
+    val stateDir = S.s74Build(spark, sfDir, "s74spec_asof")
+    val cuts = R.q77Cutoffs
+    for (k <- 0 to S.s74Head) {
+      // the live ledger's AS OF k read
+      val replayed = S.s74AsOf(spark, stateDir, k)
+        .orderBy("user_id").collect().toSeq
+      // the incrementally-maintained snapshot MV at generation k
+      val maintained = spark.read.parquet(s"$stateDir/s74snap$k")
+        .orderBy("user_id").collect().toSeq
+      // the table as it actually was at version k's cutoff
+      val direct = S.applyChangesSnapshot(
+        if (k < S.s74Head) ev.filter(col("ts") <= lit(cuts(k))) else ev)
+        .orderBy("user_id").collect().toSeq
+      assert(replayed == direct, s"version $k: ledger replay != direct snapshot")
+      assert(maintained == direct, s"version $k: maintained MV != direct snapshot")
+      assert(replayed.nonEmpty, s"version $k empty")
+    }
+    // the registered face == q77's written-chain serving of the same
+    // version (live ledger indistinguishable from a written chain)
+    val live = SparkEntry.queries("s74_stream_asof")(spark, sfDir).collect().toSeq
+    val written = SparkEntry.queries("q77_time_travel")(spark, sfDir).collect().toSeq
+    assert(live.nonEmpty && live == written, "live AS OF != q77 written chain")
+  }
+
   test("s67 live overlap: folded sketches obey the merge law; redelivery is identity") {
     val D = graft.dedup.Dedup
     val docs = Tables.documents(spark, sfDir)
