@@ -101,8 +101,10 @@ object Bench {
     "s72_stream_join_mv", "s73_stream_fifo",
     // r14: q92 writes a 6-version chain + 2 checkpoints at
     // construction (deeper than q78/q81, both already solo-class);
-    // s74 folds snapshot + ledger generations (the s65-s73 class)
-    "q92_checkpointed_travel", "s74_stream_asof")
+    // s74 folds snapshot + ledger generations (the s65-s73 class);
+    // a53 builds a 3-commit versioned index and probes two versions
+    "q92_checkpointed_travel", "s74_stream_asof",
+    "a53_index_time_travel")
 
   /** Entries per solo-group JVM. 4 balances isolation overhead
     * (~29 JVMs total at 247 entries, vs r13's ~97 which overran the

@@ -1063,13 +1063,21 @@ object Ann {
     * a29b's scoring tail. Shared by a36 and a37 so "what a probe of
     * the artifact means" has one definition. */
   private[graft] def probePersistedIvf(s: SparkSession, idxDir: String,
+      queries: DataFrame, tombstones: Option[DataFrame] = None): DataFrame =
+    probeIvfIndex(s.read.parquet(idxDir), queries, tombstones)
+
+  /** The probe body over an already-opened index frame — extracted so
+    * a53's manifest-scoped reads (an explicit file list under a
+    * basePath) go through the IDENTICAL pruning + scoring tail as the
+    * whole-directory reads. */
+  private[graft] def probeIvfIndex(idx: DataFrame,
       queries: DataFrame, tombstones: Option[DataFrame] = None): DataFrame = {
     // the union of the queries' probe cells as a LITERAL — 8 rows,
     // one driver action; this is what makes the cell predicate a
     // partition-pruning filter instead of a post-scan one
     val probed = queries.select(explode(col("probe_cells")).as("c"))
       .distinct().collect().map(_.getInt(0)).sorted
-    val pruned = s.read.parquet(idxDir)
+    val pruned = idx
       .filter(col("cell").isin(probed.map(Int.box): _*))
     // between compactions a probe masks the tombstone set in-flight:
     // a broadcast anti join on vec_id (tombstones are delete-sized,
@@ -1318,6 +1326,107 @@ object Ann {
   /** a50's oracle IS a29b's: the merged artifact must serve exactly
     * the full-corpus recompute. */
   val a50Sql: String = a29bSql
+
+  /** Build a53's versioned index: one append-only physical layout
+    * plus one MANIFEST per commit (rows of (kind, path) — the
+    * Iceberg snapshot shape: a version is a file LIST, data files
+    * plus delete files, never a data rewrite). Commit 1 builds the
+    * prior corpus (a37's slice), commit 2 appends the day batch into
+    * the same cell directories, commit 3 adds a DELETE FILE (a38's
+    * tombstone slice) — zero data files touched. Returns the root;
+    * the layout dir is `root`/data, manifests `root`/manifest_k. */
+  private[graft] def a53Build(s: SparkSession, dir: String,
+      tag: String = "a53_index"): String = {
+    import s.implicits._
+    val corpus = ivfRoutedCorpus(s, dir)
+    val root = graft.sources.Export.scratch(tag, dir)
+    graft.sources.Export.deleteTree(root) // append accumulates across reruns
+    val idxDir = s"$root/data"
+    corpus.filter(col("vec_id") % 4 =!= 0)
+      .select("vec_id", "embedding", "norm", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(idxDir)
+    val f1 = graft.sources.Export.listParquet(idxDir)
+    corpus.filter(col("vec_id") % 4 === 0)
+      .select("vec_id", "embedding", "norm", "cell")
+      .write.mode("append").partitionBy("cell").parquet(idxDir)
+    val f2 = graft.sources.Export.listParquet(idxDir)
+    val delDir = s"$root/deletes_3"
+    corpus.filter(expr(a38DeletedPred)).select("vec_id")
+      .write.mode("overwrite").parquet(delDir)
+    val f3 = graft.sources.Export.listParquet(delDir)
+    def writeManifest(k: Int, data: Seq[String], dels: Seq[String]): Unit =
+      (data.map("data" -> _) ++ dels.map("delete" -> _))
+        .toDF("kind", "path")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/manifest_$k")
+    writeManifest(1, f1, Seq.empty)
+    writeManifest(2, f2, Seq.empty)
+    writeManifest(3, f2, f3)
+    root
+  }
+
+  /** Probe the index AS OF commit k: read the manifest (a bounded
+    * O(#files) metadata read — the planner's file list), open exactly
+    * its data files under the layout's basePath (so `cell` stays a
+    * partition column and the probe-cell filter still prunes), mask
+    * its delete files, and run the IDENTICAL [[probeIvfIndex]]
+    * tail. */
+  private[graft] def a53ProbeAsOf(s: SparkSession, root: String, k: Int,
+      queries: DataFrame): DataFrame = {
+    val man = s.read.parquet(s"$root/manifest_$k").collect()
+    val data = man.filter(_.getString(0) == "data").map(_.getString(1)).toIndexedSeq
+    val dels = man.filter(_.getString(0) == "delete").map(_.getString(1)).toIndexedSeq
+    val idx = s.read.option("basePath", s"$root/data").parquet(data: _*)
+    val tombs =
+      if (dels.isEmpty) None else Some(s.read.parquet(dels: _*))
+    probeIvfIndex(idx, queries, tombs)
+  }
+
+  /** a53: INDEX TIME TRAVEL — the ANN lifecycle tied to the change-
+    * chain discipline (r13 verdict #7): q77/q92 version a TABLE; a
+    * production vector index is also a versioned artifact (a50
+    * already treats it as files), and "what did this query return
+    * before yesterday's ingest/delete?" is a real debugging and
+    * recall-regression question. Three commits — build, append
+    * (a37's add), delete file (a38's tombstones, no rewrite) — each
+    * publishing an Iceberg-shaped manifest; probe AS OF k opens
+    * exactly manifest k's data files and masks its delete files
+    * through the shared probe tail. The registered face probes TWO
+    * planted versions in one frame (version 2 = post-append: the
+    * full corpus; version 3 = post-delete: the live slice), so the
+    * oracle is the a29b recompute UNION the a38 recompute — both
+    * versions pinned by the gate itself. AnnSpec adds the v1 pin
+    * (probe AS OF 1 == in-memory probe of the prior slice), commit-2
+    * append monotonicity (v1's files carried untouched), and delete
+    * isolation (a tombstoned vector still surfaces AS OF 2 after
+    * commit 3 landed).
+    *
+    * Scale: a version flip is a manifest swap (O(#files) metadata);
+    * probing an old version costs the same as the head — partition
+    * pruning runs on the manifest's file list; nothing is rebuilt,
+    * exactly Iceberg's snapshot-isolation read on an index
+    * layout. */
+  def a53IndexTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val corpus = ivfRoutedCorpus(s, dir)
+    val root = a53Build(s, dir)
+    val live = corpus.filter(not(expr(a38DeletedPred)))
+    a53ProbeAsOf(s, root, 2, ivfProbeQueries(corpus))
+      .withColumn("version", lit(2))
+      .unionByName(a53ProbeAsOf(s, root, 3, ivfProbeQueries(live))
+        .withColumn("version", lit(3)))
+      .select("version", "query_id", "rank", "neighbor_id", "cosine")
+      .orderBy("version", "query_id", "rank")
+  }
+
+  /** DuckDB oracle for a53: version 2 is the full-corpus recompute
+    * (a29b's body), version 3 the live-slice recompute (a38's body)
+    * — the same parameterized [[ivfRecomputeSql]] at both planted
+    * versions. */
+  val a53Sql: String =
+    s"""SELECT * FROM (
+       |SELECT 2 AS version, * FROM (${ivfRecomputeSql("TRUE")})
+       |UNION ALL
+       |SELECT 3 AS version, * FROM (${ivfRecomputeSql(s"NOT ($a38DeletedPred)")})
+       |) ORDER BY version, query_id, rank""".stripMargin
 
   /** a39: recall evaluation — index QUALITY as a first-class
     * operator: per query, how many of the exact top-K (a27's
@@ -2564,7 +2673,8 @@ object Ann {
     "a49_knn_join" -> (a49KnnJoin _),
     "a50_index_merge" -> (a50IndexMerge _),
     "a51_range_search" -> (a51RangeSearch _),
-    "a52_cell_compaction" -> (a52CellCompaction _))
+    "a52_cell_compaction" -> (a52CellCompaction _),
+    "a53_index_time_travel" -> (a53IndexTimeTravel _))
 
   def oracles: Map[String, String] = Map(
     "a27_ann_brute" -> a27Sql,
@@ -2593,5 +2703,6 @@ object Ann {
     "a49_knn_join" -> a49Sql,
     "a50_index_merge" -> a50Sql,
     "a51_range_search" -> a51Sql,
-    "a52_cell_compaction" -> a52Sql)
+    "a52_cell_compaction" -> a52Sql,
+    "a53_index_time_travel" -> a53Sql)
 }

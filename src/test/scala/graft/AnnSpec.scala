@@ -880,6 +880,43 @@ class AnnSpec extends SparkSpec {
     assert(merged.size == routed.size && merged.map(_._1).distinct.size == merged.size)
   }
 
+  test("a53 index time travel: v1 pin, append carries v1's files, delete isolation across commits") {
+    import org.apache.spark.sql.functions._
+    val root = Ann.a53Build(spark, sfDir, "a53spec_index")
+    val corpus = Ann.ivfRoutedCorpus(spark, sfDir)
+    val prior = corpus.filter(col("vec_id") % 4 =!= 0)
+    // v1 pin: probe AS OF 1 == the probe tail run directly over the
+    // prior slice in memory (same queries: as-of-1, the day batch's
+    // vectors do not exist, so they neither match nor query)
+    val v1 = Ann.a53ProbeAsOf(spark, root, 1, Ann.ivfProbeQueries(prior))
+      .collect().toSeq
+    val direct = Ann.probeIvfIndex(
+      prior.select("vec_id", "embedding", "norm", "cell"),
+      Ann.ivfProbeQueries(prior)).collect().toSeq
+    assert(v1.nonEmpty && v1 == direct, "AS OF 1 != in-memory prior-slice probe")
+    // append monotonicity: manifest 2's data set contains manifest
+    // 1's files verbatim (commit 2 wrote new files, rewrote none)
+    def manifest(k: Int): Set[(String, String)] =
+      spark.read.parquet(s"$root/manifest_$k")
+        .as[(String, String)].collect().toSet
+    val (m1, m2, m3) = (manifest(1), manifest(2), manifest(3))
+    assert(m1.subsetOf(m2) && m2.size > m1.size,
+      "commit 2 must append files, never rewrite")
+    // commit 3 is a delete FILE only: same data files as v2
+    assert(m3.filter(_._1 == "data") == m2.filter(_._1 == "data"),
+      "commit 3 must not touch data files")
+    assert(m3.exists(_._1 == "delete"), "commit 3 must carry a delete file")
+    // delete isolation: AFTER commit 3 landed, AS OF 2 still serves
+    // tombstoned vectors as neighbors; AS OF 3 never does
+    val v2n = Ann.a53ProbeAsOf(spark, root, 2, Ann.ivfProbeQueries(corpus))
+      .select("neighbor_id").as[Long].collect().toSet
+    val v3n = Ann.a53ProbeAsOf(spark, root, 3,
+        Ann.ivfProbeQueries(corpus.filter(not(expr(Ann.a38DeletedPred)))))
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(v2n.exists(_ % 7 == 3), "no tombstoned neighbor AS OF 2 — isolation vacuous")
+    assert(!v3n.exists(_ % 7 == 3), "a tombstoned neighbor leaked AS OF 3")
+  }
+
   test("a52 selective compaction: hybrid == full compaction; cold files untouched; hot cells clean") {
     import org.apache.spark.sql.functions._
     val hybrid = SparkEntry.queries("a52_cell_compaction")(spark, sfDir)

@@ -755,6 +755,11 @@ class PlanSpec extends SparkSpec {
       // probePersistedIvf path, pinned by a38's oracle and the
       // AnnSpec byte-identity test
       "a52_cell_compaction",
+      // a53 builds the 3-commit versioned layout + manifests at
+      // construction; its probes are the shared probeIvfIndex path
+      // over manifest-scoped file lists, pinned by the two-version
+      // oracle and the AnnSpec isolation test
+      "a53_index_time_travel",
       // s72 folds the three join-MV artifacts through parquet
       // generations at construction; per-batch legs are broadcast-dim
       // equi-joins through q88's shared bodies, pinned by the q88
