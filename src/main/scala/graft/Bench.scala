@@ -104,7 +104,10 @@ object Bench {
     // s74 folds snapshot + ledger generations (the s65-s73 class);
     // a53 builds a 3-commit versioned index and probes two versions
     "q92_checkpointed_travel", "s74_stream_asof",
-    "a53_index_time_travel")
+    "a53_index_time_travel",
+    // q93 writes the q92-class chain + checkpoints at construction;
+    // q94 builds the a53 layout + runs the GC cycle at construction
+    "q93_change_feed", "q94_orphan_gc")
 
   /** Entries per solo-group JVM. 4 balances isolation overhead
     * (~29 JVMs total at 247 entries, vs r13's ~97 which overran the

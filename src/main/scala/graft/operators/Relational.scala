@@ -1609,6 +1609,127 @@ object Relational {
        |WHERE rn = 1 AND event_type <> 'error'
        |ORDER BY user_id""".stripMargin
 
+  /** q93's version window: the feed between these two committed
+    * versions of the q92 chain — the span crosses the v3 checkpoint,
+    * so the k1 state routes through it. */
+  private[graft] val q93From = 2
+  private[graft] val q93To = 5
+
+  /** The change feed between versions (k1, k2] of a q92 chain,
+    * computed the way Delta's CDF reader works — from the COMMIT LOGS
+    * of the window, never by diffing two full snapshots:
+    * (1) the window's net state per key is one latest-per-key pass
+    * over changes_(k1+1..k2) alone (any window row outranks any ≤ k1
+    * row by chain construction — the ts windows are disjoint and
+    * ordered, so window-latest IS the key's state at k2);
+    * (2) the k1 pre-image is fetched only for the keys the window
+    * touched (a semi-restricted checkpoint-routed read — O(Δ keys)
+    * of state, never the table);
+    * (3) q35's serving-level classification labels each key insert /
+    * delete / update_preimage+postimage. A key untouched in the
+    * window never appears; a tombstone for a never-visible key nets
+    * to nothing (serving-level CDF — indistinguishable from diffing
+    * the two served snapshots, which is what the oracle does). */
+  private[graft] def q93Feed(s: SparkSession, chain: String,
+      k1: Int, k2: Int): DataFrame = {
+    val win = (k1 + 1 to k2).map(i => s.read.parquet(s"$chain/changes_$i"))
+      .reduce(_.unionByName(_))
+    val net = graft.streaming.Streaming.applyChangesSnapshot(win)
+    val post = net.filter(col("event_type") =!= "error").select(
+      col("user_id"), col("event_id").as("new_event_id"),
+      col("event_type").as("new_type"), round(col("value"), 4).as("new_value"))
+    val preAll = q92AsOf(s, chain, k1).filter(col("event_type") =!= "error")
+    val pre = preAll
+      .join(net.select("user_id").distinct(), Seq("user_id"), "left_semi")
+      .select(col("user_id"), col("event_id").as("old_event_id"),
+        col("event_type").as("old_type"), round(col("value"), 4).as("old_value"))
+    pre.join(post, Seq("user_id"), "full_outer")
+      .withColumn("change_type", when(col("old_event_id").isNull, "insert")
+        .when(col("new_event_id").isNull, "delete")
+        .when(col("old_event_id") === col("new_event_id"), "unchanged")
+        .otherwise("update"))
+      .filter(col("change_type") =!= "unchanged")
+      .select(col("user_id"), explode(when(col("change_type") === "update",
+          array(lit("update_preimage"), lit("update_postimage")))
+        .otherwise(array(col("change_type")))).as("change_type"),
+        col("old_event_id"), col("old_type"), col("old_value"),
+        col("new_event_id"), col("new_type"), col("new_value"))
+      .select(col("user_id"), col("change_type"),
+        when(col("change_type").isin("delete", "update_preimage"),
+          col("old_event_id")).otherwise(col("new_event_id")).as("event_id"),
+        when(col("change_type").isin("delete", "update_preimage"),
+          col("old_type")).otherwise(col("new_type")).as("event_type"),
+        when(col("change_type").isin("delete", "update_preimage"),
+          col("old_value")).otherwise(col("new_value")).as("value"))
+      .orderBy("user_id", "change_type")
+  }
+
+  /** q93: CHANGE DATA FEED between versions — the read q35 computes
+    * by brute force (diffing two full snapshots), served the way a
+    * table format serves it (`table_changes(tbl, k1, k2)`): the
+    * commit logs in the window ARE the feed, so the cost is O(window
+    * deltas + Δ-restricted k1 state) regardless of table size, and
+    * the k1 pre-image rides q92's checkpoint routing. Completes the
+    * CDC story: s42 applies a feed, q35 recovers one from snapshots,
+    * q77/q92 read versions, q93 reads the feed BETWEEN versions.
+    * Oracle: q35's classification replayed over the two version
+    * cutoffs directly — a log-derived feed must be indistinguishable
+    * from diffing the snapshots it connects. InvariantSpec quantifies
+    * that equivalence over every version pair on the chain and pins
+    * the plan's scan set (the k1 route reads the checkpoint, never
+    * genesis).
+    *
+    * Scale: the window read is |k2−k1| bounded logs; the net pass is
+    * one keyed window over window rows; the pre-image join is
+    * semi-restricted to changed keys — never two table-sized
+    * snapshots (q35 is the verification shape, this is the
+    * production one). */
+  def q93ChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    val chain = q92WriteChain(s, dir, "q93_chain")
+    q92WriteCheckpoints(s, chain)
+    q93Feed(s, chain, q93From, q93To)
+  }
+
+  /** DuckDB oracle for q93: q35's two-snapshot diff classification
+    * at the window's version cutoffs. */
+  val q93Sql: String =
+    s"""WITH ranked AS (
+       | SELECT *, row_number() OVER (PARTITION BY user_id
+       |   ORDER BY ts DESC, event_id DESC) AS rn
+       | FROM events WHERE ts <= TIMESTAMP '${q92Bounds(q93From)}'),
+       |v1 AS (SELECT user_id, event_id AS old_event_id, event_type AS old_type,
+       |        ROUND(value,4) AS old_value FROM ranked
+       |       WHERE rn = 1 AND event_type <> 'error'),
+       |ranked2 AS (
+       | SELECT *, row_number() OVER (PARTITION BY user_id
+       |   ORDER BY ts DESC, event_id DESC) AS rn
+       | FROM events WHERE ts <= TIMESTAMP '${q92Bounds(q93To)}'),
+       |v2 AS (SELECT user_id, event_id AS new_event_id, event_type AS new_type,
+       |        ROUND(value,4) AS new_value FROM ranked2
+       |       WHERE rn = 1 AND event_type <> 'error'),
+       |classified AS (
+       | SELECT coalesce(v1.user_id, v2.user_id) AS user_id,
+       |  v1.* EXCLUDE (user_id), v2.* EXCLUDE (user_id),
+       |  CASE WHEN v1.user_id IS NULL THEN 'insert'
+       |       WHEN v2.user_id IS NULL THEN 'delete'
+       |       WHEN old_event_id = new_event_id THEN 'unchanged'
+       |       ELSE 'update' END AS ct
+       | FROM v1 FULL OUTER JOIN v2 ON v1.user_id = v2.user_id),
+       |expanded AS (
+       | SELECT user_id, unnest(CASE WHEN ct = 'update'
+       |    THEN ['update_preimage', 'update_postimage'] ELSE [ct] END) AS change_type,
+       |  old_event_id, old_type, old_value, new_event_id, new_type, new_value
+       | FROM classified WHERE ct <> 'unchanged')
+       |SELECT user_id, change_type,
+       | CASE WHEN change_type IN ('delete', 'update_preimage')
+       |      THEN old_event_id ELSE new_event_id END AS event_id,
+       | CASE WHEN change_type IN ('delete', 'update_preimage')
+       |      THEN old_type ELSE new_type END AS event_type,
+       | CASE WHEN change_type IN ('delete', 'update_preimage')
+       |      THEN old_value ELSE new_value END AS value
+       |FROM expanded
+       |ORDER BY user_id, change_type""".stripMargin
+
   /** The key-overlap conflict check at the heart of q89: |keys of
     * the prepared commit ∩ keys of every commit with version in
     * (snapshotV, headV]|. Zero means the writer saw every row it
@@ -5314,6 +5435,7 @@ object Relational {
     "q78_retention" -> (q78Retention _),
     "q81_restore" -> (q81Restore _),
     "q92_checkpointed_travel" -> (q92CheckpointedTravel _),
+    "q93_change_feed" -> (q93ChangeFeed _),
     "q89_optimistic_commit" -> (q89OptimisticCommit _),
     "q85_khop" -> (q85Khop _),
     "q86_merge_full" -> (q86MergeFull _),
@@ -5494,6 +5616,7 @@ object Relational {
     "q78_retention" -> q77Sql,
     "q81_restore" -> q81Sql,
     "q92_checkpointed_travel" -> q92Sql,
+    "q93_change_feed" -> q93Sql,
     "q89_optimistic_commit" -> q89Sql,
     "q85_khop" -> q85Sql,
     "q86_merge_full" -> q86Sql,

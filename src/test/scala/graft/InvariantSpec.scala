@@ -678,6 +678,57 @@ class InvariantSpec extends SparkSpec {
     assert(heads.distinct.size >= 2, s"degenerate chain: $heads")
   }
 
+  test("q93 change feed: log-derived feed == snapshot diff for EVERY version pair; k1 routes through the checkpoint") {
+    import org.apache.spark.sql.functions._
+    val R = graft.operators.Relational
+    val S = graft.streaming.Streaming
+    val chain = R.q92WriteChain(spark, sfDir, "q93spec_chain")
+    R.q92WriteCheckpoints(spark, chain)
+    // serving-level diff of two chain versions, computed the brute
+    // way (two full served snapshots, q35's classification) — an
+    // independent recompute sharing no code with q93Feed's
+    // window-net + restricted-pre path
+    def served(k: Int): Map[Long, (Long, String, java.math.BigDecimal)] =
+      S.applyChangesSnapshot(R.q92Replay(spark, chain, 0, k))
+        .filter(col("event_type") =!= "error")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          round(col("value"), 4).as("value"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getString(2), new java.math.BigDecimal(
+            r.getDouble(3).toString)))).toMap
+    def bruteDiff(k1: Int, k2: Int): Seq[(Long, String, Long, String, Double)] = {
+      val (a, b) = (served(k1), served(k2))
+      (a.keySet ++ b.keySet).toSeq.flatMap { u =>
+        (a.get(u), b.get(u)) match {
+          case (None, Some(n)) => Seq((u, "insert", n._1, n._2, n._3.doubleValue))
+          case (Some(o), None) => Seq((u, "delete", o._1, o._2, o._3.doubleValue))
+          case (Some(o), Some(n)) if o._1 != n._1 =>
+            Seq((u, "update_preimage", o._1, o._2, o._3.doubleValue),
+              (u, "update_postimage", n._1, n._2, n._3.doubleValue))
+          case _ => Seq.empty
+        }
+      }.sortBy(r => (r._1, r._2))
+    }
+    for (k1 <- 0 to R.q92Head; k2 <- (k1 + 1) to R.q92Head) {
+      val feed = R.q93Feed(spark, chain, k1, k2)
+        .as[(Long, String, Long, String, Double)].collect().toSeq
+      assert(feed == bruteDiff(k1, k2), s"feed($k1,$k2) != snapshot diff")
+    }
+    // non-degenerate on the registered window: all three change kinds
+    val reg = R.q93Feed(spark, chain, R.q93From, R.q93To)
+      .select("change_type").as[String].collect().toSet
+    assert(Set("insert", "update_preimage", "update_postimage")
+      .subsetOf(reg), s"registered window too thin: $reg")
+    // the k1 pre-image rides the checkpoint: the (3, 5) feed scans
+    // ckpt_3 + changes_4/5 and never the genesis artifacts
+    val leaves = R.q93Feed(spark, chain, 3, 5)
+      .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    Seq("ckpt_3", "changes_4", "changes_5").foreach(p =>
+      assert(leaves.contains(p), s"feed(3,5) must scan $p"))
+    Seq("/v0", "changes_1", "changes_2", "changes_3").foreach(p =>
+      assert(!leaves.contains(p), s"feed(3,5) must NOT scan $p"))
+  }
+
   test("q89 optimistic commits: accept iff overlap=0; ledger == independent replay; final == serial") {
     val R = graft.operators.Relational
     val S = graft.streaming.Streaming

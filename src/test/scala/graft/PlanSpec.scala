@@ -679,6 +679,11 @@ class PlanSpec extends SparkSpec {
       // direct-snapshot oracle and the InvariantSpec checkpoint
       // closure + scan-set test
       "q92_checkpointed_travel",
+      // q93 persists the same chain + checkpoints at construction;
+      // the feed is one window-net keyed pass + a semi-restricted
+      // checkpoint-routed pre-image join, pinned by the q35-shape
+      // oracle and the InvariantSpec all-pairs equivalence
+      "q93_change_feed",
       // q78 builds its own chain, checkpoints, and deletes in place
       // at construction; the surviving-version identity and fail-fast
       // horizon are pinned by the InvariantSpec vacuum test
