@@ -1428,6 +1428,78 @@ object Ann {
        |SELECT 3 AS version, * FROM (${ivfRecomputeSql(s"NOT ($a38DeletedPred)")})
        |) ORDER BY version, query_id, rank""".stripMargin
 
+  /** Plant a crashed-writer leftover in an a53 layout: a copy of an
+    * existing invlist file under an uncommitted name in the same
+    * cell directory — valid parquet bytes sitting in the layout that
+    * NO manifest references (exactly what a writer that died between
+    * its file writes and its manifest commit leaves behind; under
+    * manifest-scoped reads it is invisible, under a naive directory
+    * read it duplicates rows — AnnSpec pins both). Returns its
+    * path. */
+  private[graft] def q94PlantOrphan(root: String): String = {
+    val victim = java.nio.file.Paths.get(
+      graft.sources.Export.listParquet(s"$root/data").head)
+    val orphan = victim.getParent.resolve("orphan-uncommitted.parquet")
+    java.nio.file.Files.copy(victim, orphan,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    orphan.toString
+  }
+
+  /** Remove orphan files (Iceberg `remove_orphan_files`): a data file
+    * is LIVE iff some retained version's manifest references it —
+    * the union over manifests 1..head (a bounded O(#files) metadata
+    * read per manifest); everything else under the layout is a
+    * leaked write and is deleted, O(#orphans) metadata. Deleting a
+    * referenced file would corrupt a retained version, so the keep
+    * set comes from the manifests, never from age or naming
+    * heuristics. Returns the deleted paths. */
+  private[graft] def q94RemoveOrphans(s: SparkSession, root: String,
+      head: Int = 3): Seq[String] = {
+    val referenced = (1 to head).flatMap(k =>
+      s.read.parquet(s"$root/manifest_$k")
+        .filter(col("kind") === "data")
+        .select("path").collect().map(_.getString(0))).toSet
+    val orphans = graft.sources.Export.listParquet(s"$root/data")
+      .filterNot(referenced)
+    orphans.foreach(p => java.nio.file.Files.delete(java.nio.file.Paths.get(p)))
+    orphans
+  }
+
+  /** q94: ORPHAN-FILE GC — the janitor every manifest-tracked layout
+    * needs (a53 made index versions file LISTS; q87's clones and
+    * q78's vacuum rely on the same discipline): a writer that dies
+    * after writing data files but before committing its manifest
+    * leaks bytes into the layout forever — invisible to every read
+    * (manifests scope them out) but paid for in storage and in any
+    * naive directory scan. q94 runs the full cycle on a53's
+    * 3-commit layout: plant the leftover, GC against the union of
+    * ALL retained manifests, fail-stop unless exactly the planted
+    * orphan was removed, then serve the head version through the
+    * shared probe. Oracle IS a38's live-slice recompute (GC must be
+    * invisible to every reader — the q78 retention stance applied to
+    * uncommitted garbage). AnnSpec pins every version byte-equal
+    * across the GC, the orphan genuinely gone, every manifest file
+    * still present, and non-vacuity (the orphan WOULD duplicate rows
+    * under a naive directory read).
+    *
+    * Scale: keep-set = manifest union (O(#files) metadata), listing
+    * O(#files), deletion O(#orphans) — no data is read; on an object
+    * store this is the nightly lifecycle job. */
+  def q94OrphanGc(s: SparkSession, dir: String): DataFrame = {
+    val corpus = ivfRoutedCorpus(s, dir)
+    val root = a53Build(s, dir, "q94_index")
+    val orphan = q94PlantOrphan(root)
+    val removed = q94RemoveOrphans(s, root)
+    require(removed == Seq(orphan),
+      s"q94: GC must remove exactly the planted orphan, got $removed")
+    val live = corpus.filter(not(expr(a38DeletedPred)))
+    a53ProbeAsOf(s, root, 3, ivfProbeQueries(live))
+  }
+
+  /** q94's oracle IS a38's: a layout scrubbed of uncommitted garbage
+    * serves every retained version unchanged. */
+  val q94Sql: String = a38Sql
+
   /** a39: recall evaluation — index QUALITY as a first-class
     * operator: per query, how many of the exact top-K (a27's
     * brute-force pipeline, unchanged) does the IVF probe (a29b's
@@ -2674,7 +2746,8 @@ object Ann {
     "a50_index_merge" -> (a50IndexMerge _),
     "a51_range_search" -> (a51RangeSearch _),
     "a52_cell_compaction" -> (a52CellCompaction _),
-    "a53_index_time_travel" -> (a53IndexTimeTravel _))
+    "a53_index_time_travel" -> (a53IndexTimeTravel _),
+    "q94_orphan_gc" -> (q94OrphanGc _))
 
   def oracles: Map[String, String] = Map(
     "a27_ann_brute" -> a27Sql,
@@ -2704,5 +2777,6 @@ object Ann {
     "a50_index_merge" -> a50Sql,
     "a51_range_search" -> a51Sql,
     "a52_cell_compaction" -> a52Sql,
-    "a53_index_time_travel" -> a53Sql)
+    "a53_index_time_travel" -> a53Sql,
+    "q94_orphan_gc" -> q94Sql)
 }

@@ -917,6 +917,46 @@ class AnnSpec extends SparkSpec {
     assert(!v3n.exists(_ % 7 == 3), "a tombstoned neighbor leaked AS OF 3")
   }
 
+  test("q94 orphan GC: every version byte-equal across GC; orphan gone, manifests intact, non-vacuous") {
+    import org.apache.spark.sql.functions._
+    val root = Ann.a53Build(spark, sfDir, "q94spec_index")
+    val corpus = Ann.ivfRoutedCorpus(spark, sfDir)
+    val live = corpus.filter(not(expr(Ann.a38DeletedPred)))
+    def queriesFor(k: Int) = k match {
+      case 1 => Ann.ivfProbeQueries(corpus.filter(col("vec_id") % 4 =!= 0))
+      case 2 => Ann.ivfProbeQueries(corpus)
+      case _ => Ann.ivfProbeQueries(live)
+    }
+    val before = (1 to 3).map(k =>
+      Ann.a53ProbeAsOf(spark, root, k, queriesFor(k)).collect().toSeq)
+    val orphan = Ann.q94PlantOrphan(root)
+    // non-vacuity: under a NAIVE whole-directory read the leftover
+    // duplicates rows — the corruption manifest-scoped reads (and,
+    // after GC, everyone) never see
+    val naive = spark.read.parquet(s"$root/data").count()
+    val committed = spark.read.parquet(s"$root/manifest_3")
+      .filter(col("kind") === "data").count()
+    assert(naive > 0 && committed > 0)
+    val removed = Ann.q94RemoveOrphans(spark, root)
+    assert(removed == Seq(orphan), s"GC removed $removed, planted $orphan")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(orphan)),
+      "orphan still on disk")
+    val naiveAfter = spark.read.parquet(s"$root/data").count()
+    assert(naive > naiveAfter, "the planted orphan never polluted a naive read")
+    // every manifest-referenced file survived the GC
+    val referenced = spark.read.parquet(s"$root/manifest_3")
+      .filter(col("kind") === "data").select("path").as[String].collect()
+    referenced.foreach(p =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(p)),
+        s"GC deleted a referenced file: $p"))
+    // and every version reads byte-identically across the whole cycle
+    (1 to 3).zip(before).foreach { case (k, b) =>
+      val after = Ann.a53ProbeAsOf(spark, root, k, queriesFor(k)).collect().toSeq
+      assert(after == b, s"version $k changed across GC")
+      assert(after.nonEmpty, s"version $k empty")
+    }
+  }
+
   test("a52 selective compaction: hybrid == full compaction; cold files untouched; hot cells clean") {
     import org.apache.spark.sql.functions._
     val hybrid = SparkEntry.queries("a52_cell_compaction")(spark, sfDir)

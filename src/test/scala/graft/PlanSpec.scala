@@ -765,6 +765,10 @@ class PlanSpec extends SparkSpec {
       // over manifest-scoped file lists, pinned by the two-version
       // oracle and the AnnSpec isolation test
       "a53_index_time_travel",
+      // q94 builds the a53 layout, plants + GCs the orphan at
+      // construction; its probe is the shared manifest-scoped path,
+      // pinned by a38's oracle and the AnnSpec byte-equality cycle
+      "q94_orphan_gc",
       // s72 folds the three join-MV artifacts through parquet
       // generations at construction; per-batch legs are broadcast-dim
       // equi-joins through q88's shared bodies, pinned by the q88
