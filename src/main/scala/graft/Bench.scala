@@ -106,8 +106,9 @@ object Bench {
     "q92_checkpointed_travel", "s74_stream_asof",
     "a53_index_time_travel",
     // q93 writes the q92-class chain + checkpoints at construction;
-    // q94 builds the a53 layout + runs the GC cycle at construction
-    "q93_change_feed", "q94_orphan_gc")
+    // q94 builds the a53 layout + runs the GC cycle at construction;
+    // s75 runs the s74 fold at construction
+    "q93_change_feed", "q94_orphan_gc", "s75_stream_cdf")
 
   /** Entries per solo-group JVM. 4 balances isolation overhead
     * (~29 JVMs total at 247 entries, vs r13's ~97 which overran the

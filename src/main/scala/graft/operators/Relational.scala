@@ -1634,12 +1634,23 @@ object Relational {
       k1: Int, k2: Int): DataFrame = {
     val win = (k1 + 1 to k2).map(i => s.read.parquet(s"$chain/changes_$i"))
       .reduce(_.unionByName(_))
-    val net = graft.streaming.Streaming.applyChangesSnapshot(win)
+    cdfFromNet(graft.streaming.Streaming.applyChangesSnapshot(win),
+      q92AsOf(s, chain, k1))
+  }
+
+  /** The ONE net-CDF assembly — the window's net state classified
+    * against the k1 pre-image. Shared by q93 (net from a written
+    * chain's logs, pre-image checkpoint-routed) and s75 (net from a
+    * stream-maintained ledger, pre-image a snapshot generation), so
+    * what a between-versions feed MEANS has one definition. Takes
+    * the window's latest-per-key state (tombstones in-band) and the
+    * FULL k1 snapshot (tombstones in-band; restricted to changed
+    * keys here). */
+  private[graft] def cdfFromNet(net: DataFrame, preSnap: DataFrame): DataFrame = {
     val post = net.filter(col("event_type") =!= "error").select(
       col("user_id"), col("event_id").as("new_event_id"),
       col("event_type").as("new_type"), round(col("value"), 4).as("new_value"))
-    val preAll = q92AsOf(s, chain, k1).filter(col("event_type") =!= "error")
-    val pre = preAll
+    val pre = preSnap.filter(col("event_type") =!= "error")
       .join(net.select("user_id").distinct(), Seq("user_id"), "left_semi")
       .select(col("user_id"), col("event_id").as("old_event_id"),
         col("event_type").as("old_type"), round(col("value"), 4).as("old_value"))

@@ -2546,6 +2546,92 @@ object Streaming {
     * stance. */
   lazy val s74Sql: String = graft.operators.Relational.q77Sql
 
+  /** s75's version window over the s74 chain: base to the middle
+    * version — wide enough that inserts and both update images all
+    * populate. */
+  private[graft] val s75From = 0
+  private[graft] val s75To = 2
+
+  /** The live between-versions feed off an s74 state dir: the
+    * window's net state is one latest-per-key pass over the LEDGER
+    * rows with version in (k1, k2] (never the table), the k1
+    * pre-image is the maintained snapshot GENERATION k1 (tombstones
+    * in-band — the artifact the fold already wrote), and the
+    * classification is the ONE [[graft.operators.Relational
+    * .cdfFromNet]] body q93 uses on written chains. */
+  private[graft] def s75Feed(s: SparkSession, stateDir: String,
+      k1: Int, k2: Int): DataFrame = {
+    val net = applyChangesSnapshot(
+      s.read.parquet(s"$stateDir/s74ledg$s74Head")
+        .filter(col("version") > k1 && col("version") <= k2)
+        .drop("version"))
+    graft.operators.Relational.cdfFromNet(net,
+      s.read.parquet(s"$stateDir/s74snap$k1"))
+  }
+
+  /** s75: LIVE change data feed — q93's streaming face, closing the
+    * CDC square (s42 applies a feed, q35 recovers one from
+    * snapshots, q93 reads one from a written chain's logs, s75
+    * serves one from the ledger a STREAM maintains): a consumer that
+    * missed triggers (k1, k2] asks the streaming MV for exactly
+    * those changes, and the answer comes from the fold's own
+    * artifacts — the versioned ledger for the window's net state,
+    * the snapshot generation k1 for the pre-image — through the ONE
+    * classification body. Oracle: the q35-shape snapshot diff at the
+    * two version cutoffs (a ledger-served feed must be
+    * indistinguishable from diffing the snapshots it connects);
+    * StreamingSpec quantifies that equivalence over every version
+    * pair on the s74 chain.
+    *
+    * Scale: the net pass touches ledger rows in the window (O(Δ)),
+    * the pre-image is a state-sized artifact read restricted to
+    * changed keys inside [[cdfFromNet]] — nothing replays history,
+    * nothing diffs two table-sized snapshots. */
+  def s75StreamCdf(s: SparkSession, dir: String): DataFrame =
+    s75Feed(s, s74Build(s, dir, "s75_asof"), s75From, s75To)
+
+  /** DuckDB oracle for s75: q35's classification replayed at the
+    * window's version cutoffs. Lazy per the s45Sql stance. */
+  lazy val s75Sql: String = {
+    val cuts = graft.operators.Relational.q77Cutoffs
+    s"""WITH ranked AS (
+       | SELECT *, row_number() OVER (PARTITION BY user_id
+       |   ORDER BY ts DESC, event_id DESC) AS rn
+       | FROM events WHERE ts <= TIMESTAMP '${cuts(s75From)}'),
+       |v1 AS (SELECT user_id, event_id AS old_event_id, event_type AS old_type,
+       |        ROUND(value,4) AS old_value FROM ranked
+       |       WHERE rn = 1 AND event_type <> 'error'),
+       |ranked2 AS (
+       | SELECT *, row_number() OVER (PARTITION BY user_id
+       |   ORDER BY ts DESC, event_id DESC) AS rn
+       | FROM events WHERE ts <= TIMESTAMP '${cuts(s75To)}'),
+       |v2 AS (SELECT user_id, event_id AS new_event_id, event_type AS new_type,
+       |        ROUND(value,4) AS new_value FROM ranked2
+       |       WHERE rn = 1 AND event_type <> 'error'),
+       |classified AS (
+       | SELECT coalesce(v1.user_id, v2.user_id) AS user_id,
+       |  v1.* EXCLUDE (user_id), v2.* EXCLUDE (user_id),
+       |  CASE WHEN v1.user_id IS NULL THEN 'insert'
+       |       WHEN v2.user_id IS NULL THEN 'delete'
+       |       WHEN old_event_id = new_event_id THEN 'unchanged'
+       |       ELSE 'update' END AS ct
+       | FROM v1 FULL OUTER JOIN v2 ON v1.user_id = v2.user_id),
+       |expanded AS (
+       | SELECT user_id, unnest(CASE WHEN ct = 'update'
+       |    THEN ['update_preimage', 'update_postimage'] ELSE [ct] END) AS change_type,
+       |  old_event_id, old_type, old_value, new_event_id, new_type, new_value
+       | FROM classified WHERE ct <> 'unchanged')
+       |SELECT user_id, change_type,
+       | CASE WHEN change_type IN ('delete', 'update_preimage')
+       |      THEN old_event_id ELSE new_event_id END AS event_id,
+       | CASE WHEN change_type IN ('delete', 'update_preimage')
+       |      THEN old_type ELSE new_type END AS event_type,
+       | CASE WHEN change_type IN ('delete', 'update_preimage')
+       |      THEN old_value ELSE new_value END AS value
+       |FROM expanded
+       |ORDER BY user_id, change_type""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s34_stream_tumbling" -> (s34StreamTumbling _),
     "s35_stream_join" -> (s35StreamJoin _),
@@ -2587,7 +2673,8 @@ object Streaming {
     "s71_stream_late_data" -> (s71StreamLateData _),
     "s72_stream_join_mv" -> (s72StreamJoinMv _),
     "s73_stream_fifo" -> (s73StreamFifo _),
-    "s74_stream_asof" -> (s74StreamAsof _))
+    "s74_stream_asof" -> (s74StreamAsof _),
+    "s75_stream_cdf" -> (s75StreamCdf _))
 
   def oracles: Map[String, String] = Map(
     "s34_stream_tumbling" -> s34Sql,
@@ -2637,5 +2724,6 @@ object Streaming {
     // s73 answers q90's attribution over the same (sliced) stream —
     // slicing must be invisible to the pair ledger
     "s73_stream_fifo" -> s73Sql,
-    "s74_stream_asof" -> s74Sql)
+    "s74_stream_asof" -> s74Sql,
+    "s75_stream_cdf" -> s75Sql)
 }

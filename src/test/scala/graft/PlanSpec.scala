@@ -784,6 +784,11 @@ class PlanSpec extends SparkSpec {
       // keyed merge + an O(batch) append, pinned by the q77 oracle
       // and the StreamingSpec per-version triple closure
       "s74_stream_asof",
+      // s75 runs the same s74 fold at construction; the feed is one
+      // ledger-window keyed pass + the shared cdfFromNet assembly,
+      // pinned by the q35-shape oracle and the StreamingSpec
+      // all-pairs equivalence
+      "s75_stream_cdf",
       // s63 folds q69's session table through parquet generations at
       // construction; per-batch plans are one user-keyed window over
       // (1 seed row per user ∪ batch) + user-keyed open-slice joins,

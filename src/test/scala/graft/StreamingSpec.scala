@@ -1230,6 +1230,45 @@ class StreamingSpec extends SparkSpec {
     assert(live.nonEmpty && live == written, "live AS OF != q77 written chain")
   }
 
+  test("s75 live CDF: ledger-served feed == brute snapshot diff for EVERY version pair") {
+    import org.apache.spark.sql.functions._
+    val S = graft.streaming.Streaming
+    val stateDir = S.s74Build(spark, sfDir, "s75spec_asof")
+    // brute serving-level diff of two maintained snapshot
+    // generations — an independent path sharing nothing with
+    // s75Feed's ledger-net + pre-image assembly
+    def served(k: Int): Map[Long, (Long, String, Double)] =
+      spark.read.parquet(s"$stateDir/s74snap$k")
+        .filter(col("event_type") =!= "error")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          round(col("value"), 4).as("value"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getString(2), r.getDouble(3)))).toMap
+    def brute(k1: Int, k2: Int): Seq[(Long, String, Long, String, Double)] = {
+      val (a, b) = (served(k1), served(k2))
+      (a.keySet ++ b.keySet).toSeq.flatMap { u =>
+        (a.get(u), b.get(u)) match {
+          case (None, Some(n)) => Seq((u, "insert", n._1, n._2, n._3))
+          case (Some(o), None) => Seq((u, "delete", o._1, o._2, o._3))
+          case (Some(o), Some(n)) if o._1 != n._1 =>
+            Seq((u, "update_preimage", o._1, o._2, o._3),
+              (u, "update_postimage", n._1, n._2, n._3))
+          case _ => Seq.empty
+        }
+      }.sortBy(r => (r._1, r._2))
+    }
+    for (k1 <- 0 to S.s74Head; k2 <- (k1 + 1) to S.s74Head) {
+      val feed = S.s75Feed(spark, stateDir, k1, k2)
+        .as[(Long, String, Long, String, Double)].collect().toSeq
+      assert(feed == brute(k1, k2), s"live feed($k1,$k2) != snapshot diff")
+    }
+    // the registered window is non-degenerate: inserts + both images
+    val reg = S.s75Feed(spark, stateDir, S.s75From, S.s75To)
+      .select("change_type").as[String].collect().toSet
+    assert(Set("insert", "update_preimage", "update_postimage").subsetOf(reg),
+      s"registered window too thin: $reg")
+  }
+
   test("s67 live overlap: folded sketches obey the merge law; redelivery is identity") {
     val D = graft.dedup.Dedup
     val docs = Tables.documents(spark, sfDir)
