@@ -1539,15 +1539,23 @@ object Relational {
   }
 
   /** Replay (checkpoint-or-base `from`, logs (from, k]] through the
-    * ONE latest-per-key rule. `from` = 0 reads the genesis base. */
+    * ONE latest-per-key rule. `from` = 0 reads the genesis base.
+    * `keys` restricts the replay to a key set BEFORE the
+    * latest-per-key window (safe — the window partitions by user_id,
+    * so restricting keys commutes with it): q93's Δ-restricted
+    * pre-image read, which must happen BELOW the window or the feed
+    * pays an O(table) shuffle for a tiny change window (review-pass
+    * finding — Spark cannot push a join below a window). */
   private[graft] def q92Replay(s: SparkSession, chain: String,
-      from: Int, k: Int): DataFrame = {
+      from: Int, k: Int, keys: Option[DataFrame] = None): DataFrame = {
     val base =
       if (from == 0) s.read.parquet(s"$chain/v0")
       else s.read.parquet(s"$chain/ckpt_$from")
     val parts = base +: (from + 1 to k).map(i =>
       s.read.parquet(s"$chain/changes_$i"))
-    graft.streaming.Streaming.applyChangesSnapshot(parts.reduce(_.unionByName(_)))
+    val all = parts.reduce(_.unionByName(_))
+    val scoped = keys.fold(all)(ks => all.join(ks, Seq("user_id"), "left_semi"))
+    graft.streaming.Streaming.applyChangesSnapshot(scoped)
   }
 
   /** Maintain the checkpoints: ckpt_K, ckpt_2K, … each replayed from
@@ -1634,8 +1642,13 @@ object Relational {
       k1: Int, k2: Int): DataFrame = {
     val win = (k1 + 1 to k2).map(i => s.read.parquet(s"$chain/changes_$i"))
       .reduce(_.unionByName(_))
-    cdfFromNet(graft.streaming.Streaming.applyChangesSnapshot(win),
-      q92AsOf(s, chain, k1))
+    val net = graft.streaming.Streaming.applyChangesSnapshot(win)
+    // the Δ restriction is applied INSIDE the replay, below its
+    // latest-per-key window — the pre-image genuinely costs O(Δ keys)
+    // of shuffle, not O(table) (review-pass finding)
+    cdfFromNet(net, q92Replay(s, chain,
+      (k1 / q92Interval) * q92Interval, k1,
+      Some(net.select("user_id").distinct())))
   }
 
   /** The ONE net-CDF assembly — the window's net state classified
@@ -1701,20 +1714,23 @@ object Relational {
     q93Feed(s, chain, q93From, q93To)
   }
 
-  /** DuckDB oracle for q93: q35's two-snapshot diff classification
-    * at the window's version cutoffs. */
-  val q93Sql: String =
+  /** The between-versions CDF oracle, parameterized by the two
+    * version cutoffs — q35's two-snapshot diff classification as ONE
+    * SQL body shared by q93 (written chain) and s75 (live ledger),
+    * the ivfRecomputeSql pattern: the classification rule cannot
+    * drift between the two feeds' oracles (review-pass finding). */
+  private[graft] def cdfSql(cut1: String, cut2: String): String =
     s"""WITH ranked AS (
        | SELECT *, row_number() OVER (PARTITION BY user_id
        |   ORDER BY ts DESC, event_id DESC) AS rn
-       | FROM events WHERE ts <= TIMESTAMP '${q92Bounds(q93From)}'),
+       | FROM events WHERE ts <= TIMESTAMP '$cut1'),
        |v1 AS (SELECT user_id, event_id AS old_event_id, event_type AS old_type,
        |        ROUND(value,4) AS old_value FROM ranked
        |       WHERE rn = 1 AND event_type <> 'error'),
        |ranked2 AS (
        | SELECT *, row_number() OVER (PARTITION BY user_id
        |   ORDER BY ts DESC, event_id DESC) AS rn
-       | FROM events WHERE ts <= TIMESTAMP '${q92Bounds(q93To)}'),
+       | FROM events WHERE ts <= TIMESTAMP '$cut2'),
        |v2 AS (SELECT user_id, event_id AS new_event_id, event_type AS new_type,
        |        ROUND(value,4) AS new_value FROM ranked2
        |       WHERE rn = 1 AND event_type <> 'error'),
@@ -1740,6 +1756,10 @@ object Relational {
        |      THEN old_value ELSE new_value END AS value
        |FROM expanded
        |ORDER BY user_id, change_type""".stripMargin
+
+  /** DuckDB oracle for q93: the shared [[cdfSql]] body at the
+    * window's version cutoffs. */
+  val q93Sql: String = cdfSql(q92Bounds(q93From), q92Bounds(q93To))
 
   /** The key-overlap conflict check at the heart of q89: |keys of
     * the prepared commit ∩ keys of every commit with version in

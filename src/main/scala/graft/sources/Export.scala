@@ -464,33 +464,46 @@ object Export {
     side
   }
 
+  /** The q76 keep decision — ONE predicate definition feeding both
+    * the pushed scale path ([[q76KeptFiles]]) and the instrumented
+    * probe, so the two cannot drift. */
+  private[graft] def q76KeepPred(lo: Long, hi: Long): Column =
+    col("min_key") <= lit(hi) && col("max_key") >= lit(lo)
+
   /** The prune itself, AS A PLAN over the manifest: sidecar rows
     * whose [min, max] span intersects [lo, hi]. The range predicate
     * pushes into the sidecar's parquet scan (scan-stage,
     * ExportSpec-pinned) and evaluates distributed — at a million
     * files the prune runs where the manifest lives instead of
     * shipping every stats row to the driver (VERDICT r13 #4; q82's
-    * bloom probe already took this stance). */
+    * bloom probe already took this stance). This is the production
+    * read path: it never counts the full manifest. */
   private[graft] def q76KeptFiles(s: SparkSession, side: String,
       lo: Long, hi: Long): DataFrame =
     s.read.parquet(side)
-      .filter(col("min_key") <= lit(hi) && col("max_key") >= lit(lo))
+      .filter(q76KeepPred(lo, hi))
       .select("file")
 
-  /** Probe a layout THROUGH its sidecar: the kept-file set comes
-    * from [[q76KeptFiles]]'s distributed prune and only the KEPT
-    * names cross to the driver (O(matches) — the minimum any
-    * planner must hold to name the scan's files; filesTotal is a
-    * 1-value count, not a row transfer). Kept files are re-filtered
-    * exactly — pruning is an optimization, never semantics, so a
-    * stale or coarse sidecar can only cost speed, while the
-    * no-skipped-row law is what the oracle and ExportSpec check.
-    * Returns (rows, filesKept, filesTotal). */
+  /** Probe a layout THROUGH its sidecar: kept names and the
+    * filesTotal instrument come from ONE aggregate job over ONE
+    * sidecar scan (two separate reads could observe different
+    * manifest states across a concurrent rewrite, and the second
+    * full pass is pure instrument cost — review-pass finding); the
+    * driver receives O(matches) names + one count. The predicate is
+    * [[q76KeepPred]], the same decision [[q76KeptFiles]]' pushed
+    * scale path plans. Kept files are re-filtered exactly — pruning
+    * is an optimization, never semantics, so a stale or coarse
+    * sidecar can only cost speed, while the no-skipped-row law is
+    * what the oracle and ExportSpec check. Returns (rows, filesKept,
+    * filesTotal). */
   private[graft] def q76ProbeFiles(s: SparkSession, layout: String,
       side: String, lo: Long, hi: Long): (DataFrame, Int, Int) = {
-    val keep = q76KeptFiles(s, side, lo, hi)
-      .collect().map(_.getString(0)).toIndexedSeq
-    val total = s.read.parquet(side).count().toInt
+    val r = s.read.parquet(side).agg(
+      count(lit(1)).as("total"),
+      sort_array(collect_list(when(q76KeepPred(lo, hi), col("file"))))
+        .as("keep")).head
+    val total = r.getLong(0).toInt
+    val keep = r.getSeq[String](1)
     val base =
       if (keep.isEmpty) s.read.parquet(layout).filter(lit(false))
       else s.read.parquet(keep: _*)

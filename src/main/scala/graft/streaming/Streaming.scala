@@ -2590,46 +2590,13 @@ object Streaming {
   def s75StreamCdf(s: SparkSession, dir: String): DataFrame =
     s75Feed(s, s74Build(s, dir, "s75_asof"), s75From, s75To)
 
-  /** DuckDB oracle for s75: q35's classification replayed at the
-    * window's version cutoffs. Lazy per the s45Sql stance. */
+  /** DuckDB oracle for s75: the shared [[graft.operators.Relational
+    * .cdfSql]] body at the window's version cutoffs (one SQL
+    * definition for both feed forms — review-pass finding). Lazy per
+    * the s45Sql stance. */
   lazy val s75Sql: String = {
     val cuts = graft.operators.Relational.q77Cutoffs
-    s"""WITH ranked AS (
-       | SELECT *, row_number() OVER (PARTITION BY user_id
-       |   ORDER BY ts DESC, event_id DESC) AS rn
-       | FROM events WHERE ts <= TIMESTAMP '${cuts(s75From)}'),
-       |v1 AS (SELECT user_id, event_id AS old_event_id, event_type AS old_type,
-       |        ROUND(value,4) AS old_value FROM ranked
-       |       WHERE rn = 1 AND event_type <> 'error'),
-       |ranked2 AS (
-       | SELECT *, row_number() OVER (PARTITION BY user_id
-       |   ORDER BY ts DESC, event_id DESC) AS rn
-       | FROM events WHERE ts <= TIMESTAMP '${cuts(s75To)}'),
-       |v2 AS (SELECT user_id, event_id AS new_event_id, event_type AS new_type,
-       |        ROUND(value,4) AS new_value FROM ranked2
-       |       WHERE rn = 1 AND event_type <> 'error'),
-       |classified AS (
-       | SELECT coalesce(v1.user_id, v2.user_id) AS user_id,
-       |  v1.* EXCLUDE (user_id), v2.* EXCLUDE (user_id),
-       |  CASE WHEN v1.user_id IS NULL THEN 'insert'
-       |       WHEN v2.user_id IS NULL THEN 'delete'
-       |       WHEN old_event_id = new_event_id THEN 'unchanged'
-       |       ELSE 'update' END AS ct
-       | FROM v1 FULL OUTER JOIN v2 ON v1.user_id = v2.user_id),
-       |expanded AS (
-       | SELECT user_id, unnest(CASE WHEN ct = 'update'
-       |    THEN ['update_preimage', 'update_postimage'] ELSE [ct] END) AS change_type,
-       |  old_event_id, old_type, old_value, new_event_id, new_type, new_value
-       | FROM classified WHERE ct <> 'unchanged')
-       |SELECT user_id, change_type,
-       | CASE WHEN change_type IN ('delete', 'update_preimage')
-       |      THEN old_event_id ELSE new_event_id END AS event_id,
-       | CASE WHEN change_type IN ('delete', 'update_preimage')
-       |      THEN old_type ELSE new_type END AS event_type,
-       | CASE WHEN change_type IN ('delete', 'update_preimage')
-       |      THEN old_value ELSE new_value END AS value
-       |FROM expanded
-       |ORDER BY user_id, change_type""".stripMargin
+    graft.operators.Relational.cdfSql(cuts(s75From), cuts(s75To))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

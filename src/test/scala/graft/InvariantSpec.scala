@@ -688,31 +688,18 @@ class InvariantSpec extends SparkSpec {
     // way (two full served snapshots, q35's classification) — an
     // independent recompute sharing no code with q93Feed's
     // window-net + restricted-pre path
-    def served(k: Int): Map[Long, (Long, String, java.math.BigDecimal)] =
+    def served(k: Int): Map[Long, (Long, String, Double)] =
       S.applyChangesSnapshot(R.q92Replay(spark, chain, 0, k))
         .filter(col("event_type") =!= "error")
         .select(col("user_id"), col("event_id"), col("event_type"),
           round(col("value"), 4).as("value"))
         .collect().map(r => r.getLong(0) ->
-          ((r.getLong(1), r.getString(2), new java.math.BigDecimal(
-            r.getDouble(3).toString)))).toMap
-    def bruteDiff(k1: Int, k2: Int): Seq[(Long, String, Long, String, Double)] = {
-      val (a, b) = (served(k1), served(k2))
-      (a.keySet ++ b.keySet).toSeq.flatMap { u =>
-        (a.get(u), b.get(u)) match {
-          case (None, Some(n)) => Seq((u, "insert", n._1, n._2, n._3.doubleValue))
-          case (Some(o), None) => Seq((u, "delete", o._1, o._2, o._3.doubleValue))
-          case (Some(o), Some(n)) if o._1 != n._1 =>
-            Seq((u, "update_preimage", o._1, o._2, o._3.doubleValue),
-              (u, "update_postimage", n._1, n._2, n._3.doubleValue))
-          case _ => Seq.empty
-        }
-      }.sortBy(r => (r._1, r._2))
-    }
+          ((r.getLong(1), r.getString(2), r.getDouble(3)))).toMap
     for (k1 <- 0 to R.q92Head; k2 <- (k1 + 1) to R.q92Head) {
       val feed = R.q93Feed(spark, chain, k1, k2)
         .as[(Long, String, Long, String, Double)].collect().toSeq
-      assert(feed == bruteDiff(k1, k2), s"feed($k1,$k2) != snapshot diff")
+      assert(feed == TestCdf.bruteDiff(served(k1), served(k2)),
+        s"feed($k1,$k2) != snapshot diff")
     }
     // non-degenerate on the registered window: all three change kinds
     val reg = R.q93Feed(spark, chain, R.q93From, R.q93To)

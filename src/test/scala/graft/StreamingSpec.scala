@@ -1244,23 +1244,11 @@ class StreamingSpec extends SparkSpec {
           round(col("value"), 4).as("value"))
         .collect().map(r => r.getLong(0) ->
           ((r.getLong(1), r.getString(2), r.getDouble(3)))).toMap
-    def brute(k1: Int, k2: Int): Seq[(Long, String, Long, String, Double)] = {
-      val (a, b) = (served(k1), served(k2))
-      (a.keySet ++ b.keySet).toSeq.flatMap { u =>
-        (a.get(u), b.get(u)) match {
-          case (None, Some(n)) => Seq((u, "insert", n._1, n._2, n._3))
-          case (Some(o), None) => Seq((u, "delete", o._1, o._2, o._3))
-          case (Some(o), Some(n)) if o._1 != n._1 =>
-            Seq((u, "update_preimage", o._1, o._2, o._3),
-              (u, "update_postimage", n._1, n._2, n._3))
-          case _ => Seq.empty
-        }
-      }.sortBy(r => (r._1, r._2))
-    }
     for (k1 <- 0 to S.s74Head; k2 <- (k1 + 1) to S.s74Head) {
       val feed = S.s75Feed(spark, stateDir, k1, k2)
         .as[(Long, String, Long, String, Double)].collect().toSeq
-      assert(feed == brute(k1, k2), s"live feed($k1,$k2) != snapshot diff")
+      assert(feed == TestCdf.bruteDiff(served(k1), served(k2)),
+        s"live feed($k1,$k2) != snapshot diff")
     }
     // the registered window is non-degenerate: inserts + both images
     val reg = S.s75Feed(spark, stateDir, S.s75From, S.s75To)
