@@ -202,17 +202,21 @@ object Bench {
     if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(1)
   }
 
-  /** Timed passes per query: 3 (median) — except entries whose
-    * FIRST pass lands under 1 s, which get 2 passes reported as the
-    * MIN (the r13 verdict's prescription: sub-second timings are
-    * JIT/scheduler jitter the min/max bands already expose, and for
-    * a sub-second entry noise only ADDS, so min-of-2 is the best
-    * point estimate; ~120 such entries × one saved pass is real
-    * slot). The 3-pass median absorbs the first pass's residual
-    * codegen compilation for everything that matters for
-    * attribution. With `mid` set (solo groups), each query after
-    * the first is preceded by one q01 run whose time is recorded
-    * against that query — its drift stamp. */
+  /** Timed passes per query, ADAPTIVE (the last of the r13-verdict
+    * slot trims): 2 passes suffice when they AGREE — sub-second
+    * first pass (jitter-dominated; noise only adds, so min-of-2 is
+    * the best point estimate — the verdict's own prescription) or
+    * r1/r2 within 10% of each other (min ≈ median by construction,
+    * so the skipped third pass could only have moved the number
+    * inside the band) — and the full median-of-3 runs exactly when
+    * it is needed: the first two passes DISAGREE, which is also
+    * precisely the case where pass 1 carried codegen-compile cost
+    * and a 2-sample statistic would be wrong. In a clean window
+    * most entries stop at 2, cutting the pass wall by ~a third; in
+    * a noisy window entries self-select into 3 passes. With `mid`
+    * set (solo groups), each query after the first is preceded by
+    * one q01 run whose time is recorded against that query — its
+    * drift stamp. */
   private def timeQueries(spark: SparkSession, sfDir: String,
       names: Seq[String], mid: Boolean): (Seq[Timing], Seq[(String, Double)]) = {
     // no separate warmup pass: the only caller is timeFamily, whose
@@ -238,10 +242,13 @@ object Bench {
       val r1 = timeOnce(name)
       val runs =
         if (r1 < 0) Seq(r1)
-        else if (r1 < 1.0) Seq(r1, timeOnce(name))
-        else Iterator.iterate(Seq(r1)) { acc =>
-          if (acc.last < 0) acc else acc :+ timeOnce(name)
-        }.drop(2).next()
+        else {
+          val r2 = timeOnce(name)
+          if (r2 < 0) Seq(r1, r2)
+          else if (r1 < 1.0 ||
+              math.abs(r1 - r2) <= 0.1 * math.min(r1, r2)) Seq(r1, r2)
+          else Seq(r1, r2, timeOnce(name))
+        }
       val med =
         if (runs.exists(_ < 0)) -1.0
         else if (runs.length == 2) runs.min
@@ -411,7 +418,7 @@ object Bench {
     // survive truncation; the noise bands are the expendable head.
     // The same line is also written to bench_out.json so a full copy
     // exists regardless of any capture window.
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","n":"3 (2, reported as min, when pass 1 < 1s)","isolation":"$iso","sf":"$sfDir","sentinel_before_sec":${mapJson(sentBefore)},"sentinel_after_sec":${mapJson(sentAfter)},"sentinel_mid_sec":${mapJson(sentMid)},"sentinel_ratio":${mapJson(sentRatio)},"queries_lo":${numJson(results, _.lo)},"queries_hi":${numJson(results, _.hi)},"queries":${numJson(results, _.med)}}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","n":"3 (2, reported as min, when pass 1 < 1s or passes 1-2 agree within 10%)","isolation":"$iso","sf":"$sfDir","sentinel_before_sec":${mapJson(sentBefore)},"sentinel_after_sec":${mapJson(sentAfter)},"sentinel_mid_sec":${mapJson(sentMid)},"sentinel_ratio":${mapJson(sentRatio)},"queries_lo":${numJson(results, _.lo)},"queries_hi":${numJson(results, _.hi)},"queries":${numJson(results, _.med)}}"""
     println(json)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_out.json"), (json + "\n").getBytes("UTF-8"))
