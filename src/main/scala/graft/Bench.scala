@@ -110,16 +110,15 @@ object Bench {
     // s75 runs the s74 fold at construction
     "q93_change_feed", "q94_orphan_gc", "s75_stream_cdf")
 
-  /** Entries per solo-group JVM. The r14 measurement arc: 97 JVMs
-    * (r13) overran the slot; 4-per-JVM landed 47:55 at sf0.1 —
-    * still above r12's 41:28 record — so 8-per-JVM (~19 JVMs total)
-    * trims another ~12 process+sentinel cycles. Window-length risk
-    * is held by the per-entry mid sentinel (each member still
-    * self-identifies a polluted window), and the measured 4-per-JVM
-    * run showed the OPPOSITE risk dominates: fresh-JVM before-
-    * sentinels were the noisy side (JIT-cold ratios up to 3.4),
-    * which longer-lived warm JVMs reduce. */
-  private val groupSize = 8
+  /** Entries per solo-group JVM. The r14 measurement arc, both
+    * directions measured: 97 JVMs (r13) overran the slot; 4-per-JVM
+    * landed 47:55 with shared-entry medians 1.12× r13's solo-JVM
+    * record; 8-per-JVM cut the wall to 44:12 but pushed the group-
+    * neighbor JIT/GC inflation to 1.26× — too much perturbation to
+    * buy 4 minutes. 4 is the measured sweet spot: the adaptive
+    * third-pass skip recovers the wall instead, and the per-entry
+    * mid sentinel stamps any window the sharing does pollute. */
+  private val groupSize = 4
 
   private def prefixFamily(name: String): String =
     name.head match {
