@@ -372,14 +372,45 @@ object Bench {
       return
     }
     var mixed = false
-    val famResults = familyPlan().map { case (family, part, mid) =>
+    val plan = familyPlan()
+    val acc = Vector.newBuilder[(String, FamilyTiming)]
+    plan.zipWithIndex.foreach { case ((family, part, mid), i) =>
       System.err.println(s"[bench] === family $family (${part.size} queries, fresh JVM${if (mid) ", mid-sentinels" else ""}) ===")
-      family -> runChild(family, part, mid).getOrElse {
+      acc += family -> runChild(family, part, mid).getOrElse {
         mixed = true
         val spark = newSession()
         try timeFamily(spark, sfDir, part, mid) finally spark.stop()
       }
+      // CRASH-SAFE PARTIAL RECORD (r14): r13's official bench was
+      // rc=124 with NOTHING recoverable because both the stdout line
+      // and bench_out.json materialize only at the very end. Rewrite
+      // bench_out.json after every family (a marked partial until
+      // the run completes — the final write below replaces it), so
+      // a killed run still leaves every measured family on disk for
+      // the post-timeout commit instead of leaving the round with no
+      // perf record at all.
+      if (i + 1 < plan.size)
+        writeBenchOut(buildJson(acc.result(), mixed, sfDir,
+          partial = Some((i + 1, plan.size))))
     }
+    val famResults = acc.result()
+    val json = buildJson(famResults, mixed, sfDir, partial = None)
+    // medians LAST (VERDICT r3 #4): the driver captures a tail window
+    // of this line, so the primary numbers must sit at the end to
+    // survive truncation; the noise bands are the expendable head.
+    // The same line is also written to bench_out.json so a full copy
+    // exists regardless of any capture window.
+    println(json)
+    writeBenchOut(json)
+  }
+
+  /** Assemble the result JSON. With `partial = Some((done, of))` the
+    * object leads with a "partial" marker — the crash-safe
+    * families-so-far record written between families; the final
+    * (complete) form has no such field, so a finished bench_out can
+    * never be mistaken for a truncated one. */
+  private def buildJson(famResults: Seq[(String, FamilyTiming)],
+      mixed: Boolean, sfDir: String, partial: Option[(Int, Int)]): String = {
     val results = famResults.flatMap(_._2.timings)
     val total = results.map(_.med).filter(_ >= 0).sum
     val iso = if (mixed) "mixed" else "jvm-per-group"
@@ -412,17 +443,15 @@ object Bench {
         side(ft.sentAfter, bestAfter))
       f -> (if (worse > 0) math.rint(worse * 100) / 100 else -1.0)
     }
-    // medians LAST (VERDICT r3 #4): the driver captures a tail window
-    // of this line, so the primary numbers must sit at the end to
-    // survive truncation; the noise bands are the expendable head.
-    // The same line is also written to bench_out.json so a full copy
-    // exists regardless of any capture window.
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","n":"3 (2, reported as min, when pass 1 < 1s or passes 1-2 agree within 10%)","isolation":"$iso","sf":"$sfDir","sentinel_before_sec":${mapJson(sentBefore)},"sentinel_after_sec":${mapJson(sentAfter)},"sentinel_mid_sec":${mapJson(sentMid)},"sentinel_ratio":${mapJson(sentRatio)},"queries_lo":${numJson(results, _.lo)},"queries_hi":${numJson(results, _.hi)},"queries":${numJson(results, _.med)}}"""
-    println(json)
+    val partialField = partial.fold("")(p =>
+      "\"partial\":\"" + p._1 + "/" + p._2 + " families\",")
+    s"""{"metric":"total",$partialField"value":$total,"unit":"sec","n":"3 (2, reported as min, when pass 1 < 1s or passes 1-2 agree within 10%)","isolation":"$iso","sf":"$sfDir","sentinel_before_sec":${mapJson(sentBefore)},"sentinel_after_sec":${mapJson(sentAfter)},"sentinel_mid_sec":${mapJson(sentMid)},"sentinel_ratio":${mapJson(sentRatio)},"queries_lo":${numJson(results, _.lo)},"queries_hi":${numJson(results, _.hi)},"queries":${numJson(results, _.med)}}"""
+  }
+
+  private def writeBenchOut(json: String): Unit =
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_out.json"), (json + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
     }
-  }
 }
