@@ -33,7 +33,7 @@ object Bench {
     * perturbers AND the numbers that must be attributable
     * round-over-round. Since r14 these run 4-to-a-JVM with a
     * per-entry mid sentinel instead of one JVM each (see header). */
-  private val solo = Set(
+  private[graft] val solo = Set(
     "d23_dedup_minhash", "d23b_minhash_oracle", "d24_dedup_simhash",
     "d24b_simhash_oracle", "d25_ngram_jaccard", "d25b_ngram_banded",
     "d25c_ngram_banded_oracle",
@@ -135,7 +135,7 @@ object Bench {
     * the grouping is deterministic; boundaries shift only when the
     * registry grows, which per-entry mid sentinels make harmless),
     * light entries group by prefix. */
-  private def familyPlan(): Seq[(String, Seq[String], Boolean)] = {
+  private[graft] def familyPlan(): Seq[(String, Seq[String], Boolean)] = {
     val all = SparkEntry.queries.keys.toSeq.sorted
     val (solos, lights) = all.partition(solo)
     val groups = solos.grouped(groupSize).zipWithIndex.map {
