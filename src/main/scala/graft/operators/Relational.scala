@@ -1898,6 +1898,180 @@ object Relational {
        | WHERE (SELECT o FROM o3) > 0)
        |ORDER BY attempt""".stripMargin
 
+  /** q96's gating conjunction: EXACTLY q40's drop rules (the audit
+    * is the DLT expectations contract run as a COMMIT GATE — one
+    * rule-table definition, so the audit can never disagree with the
+    * q40/s47 meters on what "clean" means). */
+  // lazy: q40Rules is defined further down the object body (the s45
+  // lazy-oracle stance — init order, not semantics)
+  private[graft] lazy val q96GateConj: String =
+    q40Rules.filter(_._2 == "drop").map { case (_, _, p) => s"($p)" }
+      .mkString(" AND ")
+
+  /** The planted writer bug q96's rejected attempt stages: a broken
+    * codec upper-cases every fifth event's type — 'CLICK' is not in
+    * the known-type domain, so the audit's own rule catches it (the
+    * q89 planted-conflict stance: the failure is injected, the
+    * DETECTION is entirely data-derived). Dialect-neutral string,
+    * evaluated verbatim by both engines. */
+  private[graft] val q96CorruptExpr: String =
+    "CASE WHEN event_id % 5 = 0 THEN upper(event_type) ELSE event_type END"
+
+  /** q96: WRITE-AUDIT-PUBLISH — the staged-commit pattern (Iceberg
+    * WAP / Netflix's audit pipeline; `spark.wap.id` + cherry-pick):
+    * a writer never appends to the live table — it stages its output
+    * as a real artifact, the audit runs q40's drop rules ON THE
+    * STAGED FILES, and only a zero-violation batch is published by
+    * ADOPTING those files into the table (file-level copy — the
+    * cherry-pick; no row is rewritten between audit and publish, so
+    * what was audited IS what readers see). Three attempts over the
+    * q77 window boundaries: a clean batch publishes (v1), the same
+    * writer's next batch carries the planted codec bug and is
+    * REJECTED — the table version and bytes do not move — and the
+    * fixed retry publishes (v2). The face is the attempts ledger,
+    * every value data-derived (violation counts measured by the
+    * audit, versions and published-row totals folded from the
+    * decisions), so the oracle replays the entire protocol; the
+    * operator fail-stops unless the rejection genuinely bit AND the
+    * final table's row count equals the ledger's last
+    * published_rows_after (the published artifact, not the plan, is
+    * what got counted). InvariantSpec pins the rest: table files
+    * byte-identical across the rejected attempt, final content ==
+    * base ∪ both published batches, and the staged reject's files
+    * absent from the table.
+    *
+    * Scale (100 TB): staging is the write the pipeline was doing
+    * anyway; the audit is q40's one-scan conditional-sum pass over
+    * ONLY the staged batch (never the table); publish is O(#files)
+    * metadata adoption; a rejected batch costs zero table I/O. */
+  /** q96's writers: the clean first window, the same second window
+    * once with the planted codec bug and once fixed — staged in
+    * submission order. */
+  private[graft] def q96Batches(s: SparkSession, dir: String)
+      : (DataFrame, Seq[(String, DataFrame)]) = {
+    val cleaned = Tables.events(s, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .filter(expr(q96GateConj))
+    val winA = cleaned.filter(col("ts") > lit(q77Cutoffs(0)) &&
+      col("ts") <= lit(q77Cutoffs(1)))
+    val winC = cleaned.filter(col("ts") > lit(q77Cutoffs(1)) &&
+      col("ts") <= lit(q77Cutoffs(2)))
+    val winB = winC.withColumn("event_type", expr(q96CorruptExpr))
+    (cleaned.filter(col("ts") <= lit(q77Cutoffs(0))),
+      Seq("w_a" -> winA, "w_b" -> winB, "w_c" -> winC))
+  }
+
+  /** The audit: q40's gating conjunction as one conditional-sum scan
+    * of the staged artifact. Returns (rows, violations). */
+  private[graft] def q96Audit(s: SparkSession, staged: String): (Long, Long) = {
+    val a = s.read.parquet(staged).agg(count(lit(1)),
+      sum(when(expr(q96GateConj), 0L).otherwise(1L))).head
+    (a.getLong(0), a.getLong(1))
+  }
+
+  /** Publish = adopt the audited files into the table's next commit
+    * directory — O(#files) metadata, no row rewritten between audit
+    * and publish. */
+  private[graft] def q96Publish(staged: String, table: String,
+      version: Int): Unit = {
+    val tgt = java.nio.file.Paths.get(s"$table/commit_$version")
+    java.nio.file.Files.createDirectories(tgt)
+    graft.sources.Export.listParquet(staged).foreach { p =>
+      val pp = java.nio.file.Paths.get(p)
+      java.nio.file.Files.copy(pp, tgt.resolve(pp.getFileName),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  def q96Wap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (base, batches) = q96Batches(s, dir)
+    val table = graft.sources.Export.scratch("q96_table", dir)
+    val stage = graft.sources.Export.scratch("q96_stage", dir)
+    graft.sources.Export.deleteTree(table)
+    base.write.mode("overwrite").parquet(s"$table/commit_0")
+    val baseN = s.read.parquet(s"$table/commit_0").count()
+    var version = 0
+    var published = baseN
+    var attemptId = 0
+    val rows = scala.collection.mutable.Buffer
+      .empty[(Int, String, Long, Long, String, Int, Long)]
+    batches.foreach { case (writer, batch) =>
+      attemptId += 1
+      val staged = s"$stage/attempt_$attemptId"
+      batch.write.mode("overwrite").parquet(staged)
+      // the audit runs on the staged ARTIFACT — what will be adopted
+      val (n, viol) = q96Audit(s, staged)
+      if (viol == 0L) {
+        version += 1
+        q96Publish(staged, table, version)
+        published += n
+        rows += ((attemptId, writer, n, 0L, "published", version, published))
+      } else
+        rows += ((attemptId, writer, n, viol, "rejected", version, published))
+    }
+    require(rows.count(_._5 == "rejected") == 1 && rows.exists(_._4 > 0L),
+      "q96: the planted audit failure must genuinely reject")
+    val tableN = s.read.option("recursiveFileLookup", "true")
+      .parquet(table).count()
+    require(tableN == published,
+      s"q96: table holds $tableN rows, ledger says $published")
+    rows.toSeq.toDF("attempt", "writer", "staged_rows", "violations",
+      "decision", "version_after", "published_rows_after")
+      .orderBy("attempt")
+  }
+
+  /** DuckDB oracle for q96: the same cleaned windows, the same
+    * corruption expression, the same audit sums, and the decision /
+    * version / published-total folds computed compositionally from
+    * each attempt's own measured violations — never hardcoded. */
+  lazy val q96Sql: String = {
+    val gate = q96GateConj
+    s"""WITH cleaned AS (
+       | SELECT event_id, ts, user_id, event_type, value FROM events
+       | WHERE $gate),
+       |base AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cleaned
+       |         WHERE ts <= TIMESTAMP '${q77Cutoffs(0)}'),
+       |sa AS (SELECT * FROM cleaned
+       |       WHERE ts > TIMESTAMP '${q77Cutoffs(0)}'
+       |         AND ts <= TIMESTAMP '${q77Cutoffs(1)}'),
+       |sc AS (SELECT * FROM cleaned
+       |       WHERE ts > TIMESTAMP '${q77Cutoffs(1)}'
+       |         AND ts <= TIMESTAMP '${q77Cutoffs(2)}'),
+       |sb AS (SELECT event_id, ts, user_id,
+       |        $q96CorruptExpr AS event_type, value FROM sc),
+       |aa AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |        CAST(coalesce(sum(CASE WHEN $gate THEN 0 ELSE 1 END), 0)
+       |          AS BIGINT) AS v FROM sa),
+       |ab AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |        CAST(coalesce(sum(CASE WHEN $gate THEN 0 ELSE 1 END), 0)
+       |          AS BIGINT) AS v FROM sb),
+       |ac AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |        CAST(coalesce(sum(CASE WHEN $gate THEN 0 ELSE 1 END), 0)
+       |          AS BIGINT) AS v FROM sc),
+       |f AS (SELECT base.n AS bn, aa.n AS an, aa.v AS av,
+       |       ab.n AS bn2, ab.v AS bv, ac.n AS cn, ac.v AS cv,
+       |       CASE WHEN aa.v = 0 THEN 1 ELSE 0 END AS ok1,
+       |       CASE WHEN ab.v = 0 THEN 1 ELSE 0 END AS ok2,
+       |       CASE WHEN ac.v = 0 THEN 1 ELSE 0 END AS ok3
+       |      FROM base, aa, ab, ac)
+       |SELECT * FROM (
+       | SELECT 1 AS attempt, 'w_a' AS writer, an AS staged_rows,
+       |  av AS violations,
+       |  CASE WHEN ok1 = 1 THEN 'published' ELSE 'rejected' END AS decision,
+       |  ok1 AS version_after,
+       |  bn + ok1 * an AS published_rows_after FROM f
+       | UNION ALL
+       | SELECT 2, 'w_b', bn2, bv,
+       |  CASE WHEN ok2 = 1 THEN 'published' ELSE 'rejected' END,
+       |  ok1 + ok2, bn + ok1 * an + ok2 * bn2 FROM f
+       | UNION ALL
+       | SELECT 3, 'w_c', cn, cv,
+       |  CASE WHEN ok3 = 1 THEN 'published' ELSE 'rejected' END,
+       |  ok1 + ok2 + ok3, bn + ok1 * an + ok2 * bn2 + ok3 * cn FROM f)
+       |ORDER BY attempt""".stripMargin
+  }
+
   /** q36: lockup/vesting schedule evaluation — the reference's
     * lockups API arithmetic (rust-extract-apis/lockups/src/
     * lockup.rs:105-200, itself a copy of near/core-contracts
@@ -5468,6 +5642,7 @@ object Relational {
     "q92_checkpointed_travel" -> (q92CheckpointedTravel _),
     "q93_change_feed" -> (q93ChangeFeed _),
     "q89_optimistic_commit" -> (q89OptimisticCommit _),
+    "q96_wap" -> (q96Wap _),
     "q85_khop" -> (q85Khop _),
     "q86_merge_full" -> (q86MergeFull _),
     "q36_lockup_schedule" -> (q36LockupSchedule _),
@@ -5649,6 +5824,7 @@ object Relational {
     "q92_checkpointed_travel" -> q92Sql,
     "q93_change_feed" -> q93Sql,
     "q89_optimistic_commit" -> q89Sql,
+    "q96_wap" -> q96Sql,
     "q85_khop" -> q85Sql,
     "q86_merge_full" -> q86Sql,
     "q36_lockup_schedule" -> q36Sql,

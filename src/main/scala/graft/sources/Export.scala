@@ -1045,6 +1045,246 @@ object Export {
        | WHERE o_orderkey % $q87Residue = 0)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q95: deletion vectors (merge-on-read row-level deletes) ----
+
+  /** q95's purge trigger: a file is rewritten once its deletion-
+    * vector rows reach dels/rows ≥ 1/10 — compared by integer
+    * cross-multiplication (the a52 density stance), never a float. */
+  private[graft] val q95PurgeNum = 1L
+  private[graft] val q95PurgeDen = 10L
+
+  /** The two delete commits' key spans, derived from the corpus key
+    * range (the q82 derive-don't-hardcode stance — fixed literals
+    * cannot stay proportionally dense as the SF scales): commit 1
+    * deletes the first 10% of the span, which the range-clustered
+    * layout concentrates in the lowest file(s) at ≥ ~80% of their
+    * rows — above the purge trigger; commit 2 deletes a span/200
+    * slice at the 60% mark — ~4% of its file's rows, below the
+    * trigger, so its vector must SURVIVE the purge. All integer
+    * arithmetic, replayed verbatim by the oracle's scalar
+    * subqueries. */
+  private[graft] def q95Spans(s: SparkSession, dir: String)
+      : ((Long, Long), (Long, Long)) = {
+    val r = Tables.orders(s, dir)
+      .agg(min("o_orderkey"), max("o_orderkey")).head
+    val (lo, span) = (r.getLong(0), r.getLong(1) - r.getLong(0))
+    ((lo, lo + span / 10),
+      (lo + span * 6 / 10, lo + span * 6 / 10 + span / 200))
+  }
+
+  /** A data file's identity inside one flat layout: its basename —
+    * unique because the layout is a single writer's part-files plus
+    * purge rewrites under a distinct prefix (a real table format
+    * uses manifest file ids; the basename is the local stand-in, and
+    * it survives the purge's byte-copy so carried vector rows never
+    * need remapping). */
+  private[graft] def q95FileId: Column =
+    regexp_extract(col("_metadata.file_path"), "[^/]+$", 0)
+
+  /** Orders' projected columns — the MOR read's output contract. */
+  private[graft] val q95Cols = Seq("o_orderkey", "o_custkey",
+    "o_orderstatus", "o_totalprice", "o_orderdate")
+
+  /** One delete commit: evaluate the predicate over the layout's own
+    * scan and persist (file, pos) rows — Iceberg v2 position deletes
+    * / Delta deletion vectors. The data files are NEVER opened for
+    * write: a delete is an O(matches) sidecar append, which is the
+    * whole point at 100 TB (copy-on-write would rewrite a file to
+    * drop one row). Positions are the parquet scan's own
+    * `_metadata.row_index` — stable because data files are
+    * immutable. */
+  private[graft] def q95CommitDelete(s: SparkSession, layout: String,
+      dvDir: String, commit: Int, pred: Column): Unit =
+    s.read.parquet(layout)
+      .select(q95FileId.as("file"),
+        col("_metadata.row_index").as("pos"), col("o_orderkey"))
+      .filter(pred)
+      .select("file", "pos")
+      .write.mode("overwrite").parquet(s"$dvDir/commit_$commit")
+
+  /** The live deletion vector: the union of every delete commit. */
+  private[graft] def q95Dv(s: SparkSession, dvDir: String): DataFrame =
+    s.read.option("recursiveFileLookup", "true").parquet(dvDir)
+      .select("file", "pos")
+
+  /** Per-file row counts off the scan's own metadata — in a real
+    * format this column lives in the stats manifest (q76/q79's
+    * sidecar shape); one column-pruned pass stands in here. */
+  private[graft] def q95FileRows(s: SparkSession, layout: String): DataFrame =
+    s.read.parquet(layout)
+      .groupBy(q95FileId.as("file"))
+      .agg(count(lit(1)).as("rows"))
+
+  /** Basename → readable path for a layout (driver-side O(#files)
+    * metadata, the q75/q87 listing stance). */
+  private[graft] def q95PathOf(layout: String): Map[String, String] =
+    listParquet(layout).map(p => p.substring(p.lastIndexOf('/') + 1) -> p).toMap
+
+  /** The merge-on-read scan: files WITHOUT vector rows stream
+    * through untouched — they never pay the join (exactly Delta's DV
+    * scan, which attaches bitmaps only to files that have them);
+    * files WITH vector rows anti-join their own (file, pos) pairs,
+    * vector broadcast (a DV is O(deleted rows) — metadata-sized next
+    * to the data). Deletion is an optimization-independent property:
+    * a kept row is bit-identical to the source row, so pruning the
+    * join to dirty files can never change semantics. Returns (rows,
+    * filesWithDv, filesTotal). */
+  private[graft] def q95MorRead(s: SparkSession, layout: String,
+      dvDir: String): (DataFrame, Int, Int) = {
+    val dv = q95Dv(s, dvDir)
+    val paths = q95PathOf(layout)
+    val dirty = dv.select("file").distinct()
+      .collect().map(_.getString(0)).sorted.toIndexedSeq
+    val clean = (paths.keySet -- dirty).toSeq.sorted
+    val cleanDf =
+      if (clean.isEmpty)
+        s.read.parquet(layout).filter(lit(false))
+          .select(q95Cols.map(col): _*)
+      else s.read.parquet(clean.map(paths): _*).select(q95Cols.map(col): _*)
+    val dirtyDf =
+      if (dirty.isEmpty) cleanDf.filter(lit(false))
+      else s.read.parquet(dirty.map(paths): _*)
+        .select(q95FileId.as("file") +:
+          col("_metadata.row_index").as("pos") +: q95Cols.map(col): _*)
+        .join(broadcast(dv), Seq("file", "pos"), "left_anti")
+        .select(q95Cols.map(col): _*)
+    (cleanDf.unionByName(dirtyDf), dirty.length, paths.size)
+  }
+
+  /** One purge run's ledger: the new layout + vector and the two
+    * file classes the density split produced. */
+  private[graft] case class Q95Purge(layout: String, dvDir: String,
+      rewritten: Seq[String], carriedDirty: Seq[String])
+
+  /** PURGE (Delta `REORG TABLE … APPLY (PURGE)`): files at or above
+    * the density trigger are rewritten without their deleted rows
+    * and LEAVE the vector; everything else carries byte-identically
+    * (java.nio copy — a rename / manifest pointer on an object
+    * store) and keeps its vector rows unchanged (file identity is
+    * the basename, preserved by the copy). The density decision is
+    * O(#files) driver metadata: manifest row counts joined with the
+    * vector's per-file tallies. Rewritten part-files land under a
+    * distinct `rw_` prefix so basenames stay unique in the merged
+    * directory (the a52 `s0_` stance). */
+  private[graft] def q95PurgeRewrite(s: SparkSession, layout: String,
+      dvDir: String, out: String): Q95Purge = {
+    val dv = q95Dv(s, dvDir)
+    val stats = q95FileRows(s, layout)
+      .join(dv.groupBy("file").agg(count(lit(1)).as("dels")), Seq("file"), "left")
+      .select(col("file"), col("rows"), coalesce(col("dels"), lit(0L)).as("dels"))
+      .collect()
+    val rewrite = stats
+      .filter(r => r.getLong(2) * q95PurgeDen >= r.getLong(1) * q95PurgeNum)
+      .map(_.getString(0)).sorted.toIndexedSeq
+    val carriedDirty = stats.filter(_.getLong(2) > 0)
+      .map(_.getString(0)).filterNot(rewrite.toSet).sorted.toIndexedSeq
+    val outDv = out + "_dv"
+    deleteTree(out); deleteTree(outDv)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    val paths = q95PathOf(layout)
+    stats.map(_.getString(0)).filterNot(rewrite.toSet).foreach { f =>
+      val src = java.nio.file.Paths.get(paths(f))
+      java.nio.file.Files.copy(src,
+        java.nio.file.Paths.get(out).resolve(src.getFileName),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    if (rewrite.nonEmpty) {
+      val tmp = out + "_rwtmp"
+      s.read.parquet(rewrite.map(paths): _*)
+        .select(q95FileId.as("file") +:
+          col("_metadata.row_index").as("pos") +: q95Cols.map(col): _*)
+        .join(broadcast(dv), Seq("file", "pos"), "left_anti")
+        .select(q95Cols.map(col): _*)
+        .write.mode("overwrite").parquet(tmp)
+      listParquet(tmp).foreach { p =>
+        val pp = java.nio.file.Paths.get(p)
+        java.nio.file.Files.move(pp,
+          java.nio.file.Paths.get(out).resolve(s"rw_${pp.getFileName}"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      deleteTree(tmp)
+    }
+    // the surviving vector: carried-dirty rows verbatim — the copy
+    // preserved their file identity, so no remap happens
+    dv.filter(col("file").isin(carriedDirty.map(x => x: Any): _*))
+      .write.mode("overwrite").parquet(s"$outDv/commit_1")
+    Q95Purge(out, outDv, rewrite, carriedDirty)
+  }
+
+  /** The survivors' rollup face — year × status, integer cents. */
+  private[graft] def q95Face(rows: DataFrame): DataFrame =
+    rows.groupBy(year(col("o_orderdate")).cast("int").as("o_year"),
+        col("o_orderstatus"))
+      .agg(count(lit(1)).as("orders"),
+        sum(expr("cast(round(o_totalprice * 100, 0) as bigint)")).as("cents"))
+      .orderBy("o_year", "o_orderstatus")
+
+  /** q95: DELETION VECTORS — merge-on-read row-level deletes, the
+    * table-format leg q86 deliberately does copy-on-write for
+    * (Delta deletion vectors; Iceberg v2 position deletes): a DELETE
+    * writes an O(matches) (file, pos) sidecar commit and touches no
+    * data file; the read applies each file's vector as an anti-join
+    * and files without one never pay it; PURGE rewrites only files
+    * past the density trigger, carrying the rest byte-identically
+    * with their vector rows intact. The face runs the full
+    * lifecycle — two delete commits (one dense, one sparse), the
+    * instrumented MOR read, the purge, the post-purge read — and
+    * fail-stops unless every phase genuinely bit: clean files
+    * remained at MOR time, the purge rewrote the dense file(s), and
+    * the sparse vector survived it. The oracle recomputes the
+    * survivors straight off the source with the same derived spans —
+    * deletes and purge must be exactly a predicate's complement.
+    * ExportSpec pins the rest: data files byte-identical across
+    * delete commits, purge invisible to the read, carried files
+    * byte-identical, re-delivered delete commits idempotent.
+    *
+    * Scale (100 TB): a delete is one predicate scan emitting matches
+    * only (at a real table it prunes to affected partitions via
+    * q76/q82 skipping first); the read pays one broadcast anti-join
+    * on dirty files only; purge moves only the dense files' bytes.
+    * Copy-on-write would rewrite every touched file at delete time —
+    * merge-on-read defers that to one density-targeted pass. */
+  def q95DeletionVectors(s: SparkSession, dir: String): DataFrame = {
+    val layout = scratch("q95_mor", dir)
+    q76ClusterWrite(Tables.orders(s, dir), layout, "overwrite")
+    val dvDir = layout + "_dv"
+    deleteTree(dvDir)
+    val ((d1lo, d1hi), (d2lo, d2hi)) = q95Spans(s, dir)
+    q95CommitDelete(s, layout, dvDir, 1, col("o_orderkey").between(d1lo, d1hi))
+    q95CommitDelete(s, layout, dvDir, 2, col("o_orderkey").between(d2lo, d2hi))
+    val (_, preDirty, preTotal) = q95MorRead(s, layout, dvDir)
+    require(preDirty > 0 && preDirty < preTotal,
+      s"q95: merge-on-read must leave clean files ($preDirty/$preTotal dirty)")
+    val purged = q95PurgeRewrite(s, layout, dvDir, scratch("q95_purged", dir))
+    require(purged.rewritten.nonEmpty, "q95: the purge trigger must bite")
+    require(purged.carriedDirty.nonEmpty,
+      "q95: a below-trigger vector must survive the purge")
+    val (rows, postDirty, _) = q95MorRead(s, purged.layout, purged.dvDir)
+    require(postDirty == purged.carriedDirty.length,
+      s"q95: post-purge vector spans $postDirty files, " +
+        s"expected ${purged.carriedDirty.length}")
+    q95Face(rows)
+  }
+
+  /** DuckDB oracle for q95: the same survivors off the SOURCE, spans
+    * re-derived by the same integer arithmetic — the whole
+    * delete/vector/purge lifecycle must equal one predicate
+    * complement. */
+  val q95Sql: String =
+    """WITH b AS (
+      | SELECT min(o_orderkey) AS lo,
+      |        max(o_orderkey) - min(o_orderkey) AS span
+      | FROM orders)
+      |SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderstatus,
+      | count(*) AS orders,
+      | CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+      |  AS cents
+      |FROM orders, b
+      |WHERE NOT (o_orderkey BETWEEN lo AND lo + span // 10)
+      |  AND NOT (o_orderkey BETWEEN lo + span * 6 // 10
+      |           AND lo + span * 6 // 10 + span // 200)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_incremental_export" -> (q30IncrementalExport _),
     "q31_export_roundtrip" -> (q31ExportRoundtrip _),
@@ -1057,7 +1297,8 @@ object Export {
     "q82_bloom_skipping" -> (q82BloomSkipping _),
     "q83_column_mapping" -> (q83ColumnMapping _),
     "q84_partition_evolution" -> (q84PartitionEvolution _),
-    "q87_shallow_clone" -> (q87ShallowClone _))
+    "q87_shallow_clone" -> (q87ShallowClone _),
+    "q95_deletion_vectors" -> (q95DeletionVectors _))
 
   def oracles: Map[String, String] = Map(
     "q30_incremental_export" -> q30Sql,
@@ -1074,5 +1315,6 @@ object Export {
     "q82_bloom_skipping" -> q82Sql,
     "q83_column_mapping" -> q83Sql,
     "q84_partition_evolution" -> q84Sql,
-    "q87_shallow_clone" -> q87Sql)
+    "q87_shallow_clone" -> q87Sql,
+    "q95_deletion_vectors" -> q95Sql)
 }

@@ -557,4 +557,96 @@ class ExportSpec extends SparkSpec {
       .collect().toSeq
     assert(got == direct, "probe through incremental manifest != direct filter")
   }
+
+  /** Content hash of every parquet file under a layout, keyed by
+    * basename (unique within one flat layout — the q95 file id). */
+  private def q95Hashes(dir: String): Map[String, String] =
+    Export.listParquet(dir).map { p =>
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+      val h = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        .map("%02x".format(_)).mkString
+      p.substring(p.lastIndexOf('/') + 1) -> h
+    }.toMap
+
+  test("q95 delete commits touch no data file; MOR read == predicate complement") {
+    val layout = Export.scratch("q95s_mor", sfDir)
+    Export.q76ClusterWrite(Tables.orders(spark, sfDir), layout, "overwrite")
+    val before = q95Hashes(layout)
+    val dvDir = layout + "_dv"
+    Export.deleteTree(dvDir)
+    val ((d1lo, d1hi), (d2lo, d2hi)) = Export.q95Spans(spark, sfDir)
+    Export.q95CommitDelete(spark, layout, dvDir, 1,
+      col("o_orderkey").between(d1lo, d1hi))
+    Export.q95CommitDelete(spark, layout, dvDir, 2,
+      col("o_orderkey").between(d2lo, d2hi))
+    // a delete rewrote NOTHING: every data file byte-identical
+    assert(before.nonEmpty && q95Hashes(layout) == before,
+      "a delete commit touched a data file")
+    // merge-on-read equals the predicate complement off the source
+    val (rows, dirty, total) = Export.q95MorRead(spark, layout, dvDir)
+    assert(dirty > 0 && dirty < total, s"degenerate MOR split: $dirty/$total")
+    val got = rows.select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val want = Tables.orders(spark, sfDir)
+      .filter(!col("o_orderkey").between(d1lo, d1hi) &&
+        !col("o_orderkey").between(d2lo, d2hi))
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(got == want, "MOR read != predicate complement")
+    // idempotence: a re-delivered delete commit changes nothing
+    Export.q95CommitDelete(spark, layout, dvDir, 3,
+      col("o_orderkey").between(d2lo, d2hi))
+    val (again, _, _) = Export.q95MorRead(spark, layout, dvDir)
+    assert(again.select("o_orderkey").collect().map(_.getLong(0)).toSet == want,
+      "a re-delivered delete commit changed the read")
+  }
+
+  test("q95 purge: invisible to the read, cold files byte-carried, dense vectors dropped") {
+    val layout = Export.scratch("q95s_purge", sfDir)
+    Export.q76ClusterWrite(Tables.orders(spark, sfDir), layout, "overwrite")
+    val dvDir = layout + "_dv"
+    Export.deleteTree(dvDir)
+    val ((d1lo, d1hi), (d2lo, d2hi)) = Export.q95Spans(spark, sfDir)
+    Export.q95CommitDelete(spark, layout, dvDir, 1,
+      col("o_orderkey").between(d1lo, d1hi))
+    Export.q95CommitDelete(spark, layout, dvDir, 2,
+      col("o_orderkey").between(d2lo, d2hi))
+    val (pre, _, preTotal) = Export.q95MorRead(spark, layout, dvDir)
+    val preRows = pre.orderBy("o_orderkey").collect().toSeq
+    val purged = Export.q95PurgeRewrite(spark, layout, dvDir,
+      Export.scratch("q95s_purged", sfDir))
+    // both density classes populated, and they partition the dirty set
+    assert(purged.rewritten.nonEmpty && purged.carriedDirty.nonEmpty)
+    assert((purged.rewritten.toSet & purged.carriedDirty.toSet).isEmpty)
+    // the read is purge-invariant, row for row
+    val (post, postDirty, _) = Export.q95MorRead(spark, purged.layout, purged.dvDir)
+    assert(post.orderBy("o_orderkey").collect().toSeq == preRows,
+      "purge changed the read")
+    assert(postDirty == purged.carriedDirty.length)
+    // carried files (dirty or clean) moved byte-identically
+    val beforeH = q95Hashes(layout)
+    val afterH = q95Hashes(purged.layout)
+    val carried = beforeH.keySet -- purged.rewritten.toSet
+    assert(carried.nonEmpty && carried.forall(f => afterH.get(f) == beforeH.get(f)),
+      "a carried file was rewritten")
+    // the purge genuinely shrank the layout's raw row count by
+    // exactly the dense files' deleted rows (the rewrite dropped
+    // them from storage, not just from the view)
+    val rawBefore = spark.read.parquet(layout).count()
+    val rawAfter = spark.read.parquet(purged.layout).count()
+    val denseDels = Export.q95Dv(spark, dvDir)
+      .filter(col("file").isin(purged.rewritten.map(x => x: Any): _*))
+      .count()
+    assert(denseDels > 0 && rawAfter == rawBefore - denseDels,
+      s"purged layout rows: $rawAfter, expected $rawBefore - $denseDels")
+    // the registered face agrees with the source-side rollup
+    val face = SparkEntry.queries("q95_deletion_vectors")(spark, sfDir)
+      .collect().toSeq
+    val want = Export.q95Face(Tables.orders(spark, sfDir)
+      .filter(!col("o_orderkey").between(d1lo, d1hi) &&
+        !col("o_orderkey").between(d2lo, d2hi))
+      .select("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate"))
+      .collect().toSeq
+    assert(face == want, "registered face != source-side survivors rollup")
+    assert(preTotal == 8, s"cluster write produced $preTotal files")
+  }
 }

@@ -778,6 +778,68 @@ class InvariantSpec extends SparkSpec {
       "final chain != serial replay of all writers")
   }
 
+  test("q96 WAP: a rejected attempt moves no table byte; published == base ∪ audited batches") {
+    val R = graft.operators.Relational
+    val (base, batches) = R.q96Batches(spark, sfDir)
+    val table = graft.sources.Export.scratch("q96s_table", sfDir)
+    val stage = graft.sources.Export.scratch("q96s_stage", sfDir)
+    graft.sources.Export.deleteTree(table)
+    base.write.mode("overwrite").parquet(s"$table/commit_0")
+    def tableHashes(): Map[String, String] =
+      graft.sources.Export.listParquet(table).map { p =>
+        val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+        p -> java.security.MessageDigest.getInstance("MD5").digest(bytes)
+          .map("%02x".format(_)).mkString
+      }.toMap
+    // attempt 1 (clean) stages, audits clean, publishes
+    val byName = batches.toMap
+    byName("w_a").write.mode("overwrite").parquet(s"$stage/a1")
+    val (nA, vA) = R.q96Audit(spark, s"$stage/a1")
+    assert(nA > 0 && vA == 0L, s"clean batch must audit clean ($nA, $vA)")
+    R.q96Publish(s"$stage/a1", table, 1)
+    val afterPublish = tableHashes()
+    // attempt 2 (planted bug) stages, audit CATCHES it — and the
+    // table is byte-identical across the whole rejected attempt
+    byName("w_b").write.mode("overwrite").parquet(s"$stage/a2")
+    val (nB, vB) = R.q96Audit(spark, s"$stage/a2")
+    assert(nB > 0 && vB > 0L, "the planted codec bug must audit dirty")
+    // a rejected attempt performs NO publish step at all; what the
+    // assertion pins is that nothing else of the protocol (staging,
+    // auditing) touched the table either
+    assert(tableHashes() == afterPublish,
+      "the rejected attempt moved table bytes")
+    // the corrupt rows are exactly the %5 slice of the fixed batch
+    val fixN = byName("w_c").count()
+    val corrupt = spark.read.parquet(s"$stage/a2")
+      .filter(!expr(R.q96GateConj)).select("event_id")
+      .as[Long].collect().toSet
+    assert(corrupt.nonEmpty && corrupt.forall(_ % 5 == 0),
+      "audit must catch exactly the planted slice")
+    assert(vB == corrupt.size.toLong && nB == fixN)
+    // attempt 3 (fixed) publishes; final table == base ∪ A ∪ C
+    byName("w_c").write.mode("overwrite").parquet(s"$stage/a3")
+    val (nC, vC) = R.q96Audit(spark, s"$stage/a3")
+    assert(vC == 0L)
+    R.q96Publish(s"$stage/a3", table, 2)
+    val got = spark.read.option("recursiveFileLookup", "true").parquet(table)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    val want = base.unionByName(byName("w_a")).unionByName(byName("w_c"))
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(got == want, "final table != base ∪ published batches")
+    // the registered ledger agrees with this replay's folds
+    val ledger = SparkEntry.queries("q96_wap")(spark, sfDir)
+      .as[(Int, String, Long, Long, String, Int, Long)].collect().toSeq
+    val baseN = base.count()
+    assert(ledger == Seq(
+      (1, "w_a", nA, 0L, "published", 1, baseN + nA),
+      (2, "w_b", nB, vB, "rejected", 1, baseN + nA),
+      (3, "w_c", nC, 0L, "published", 2, baseN + nA + nC)),
+      "registered ledger != independent protocol replay")
+    // the gate IS q40's drop conjunction — one definition
+    assert(R.q96GateConj ==
+      R.q40Rules.filter(_._2 == "drop").map(r => s"(${r._3})").mkString(" AND "))
+  }
+
   test("q86 full merge matrix: every branch populated, deletes pinned by absence, totals recount") {
     val R = graft.operators.Relational
     val got = SparkEntry.queries("q86_merge_full")(spark, sfDir)
