@@ -2702,6 +2702,269 @@ object Relational {
       |GROUP BY CUBE(c_mktsegment, o_orderpriority)
       |ORDER BY gid, mktsegment, orderpriority""".stripMargin
 
+  /** q97: GROUPING SETS — the explicit multi-level aggregate that
+    * completes the q18 (ROLLUP) / q43 (CUBE) trio with the shape
+    * neither sugar can express: the leaf (returnflag, linestatus)
+    * plus BOTH one-dimensional marginals and NO grand total — an
+    * asymmetric set list (a rollup would drop the linestatus
+    * marginal, a cube would add the () total). The reference's gold
+    * layer publishes exactly this kind of several-grains-at-once
+    * report (daily AND total supply aggregates,
+    * Aggregated Circulating Supply Pipeline.py:318-352); at 100 TB
+    * grouping sets beat N self-unioned scans because Catalyst plans
+    * ONE scan + one Expand (each row replicated once per set, 3×
+    * here) feeding a single hash aggregate — the multi-grain report
+    * costs one shuffle, not one per grain. Measures are the integer
+    * cents/quantity sums (byte-exact cross-engine) plus a distinct
+    * order count, which survives the Expand because grouping_id is
+    * part of the aggregate key. gid bit order: (l_returnflag,
+    * l_linestatus) — 0 = leaf, 1 = linestatus rolled away, 2 =
+    * returnflag rolled away; InvariantSpec pins the partition laws
+    * (each marginal == the sum of its leaves; no gid-3 row exists). */
+  def q97GroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("line_count"),
+        countDistinct(col("l_orderkey")).as("order_count"),
+        sum(expr("cast(round(l_extendedprice * 100, 0) as bigint)")).as("price_cents"),
+        sum(expr("cast(round(l_quantity, 0) as bigint)")).as("qty"))
+      .select(
+        col("gid"),
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("line_count"), col("order_count"), col("price_cents"), col("qty"))
+      .orderBy("gid", "returnflag", "linestatus")
+
+  val q97Sql: String =
+    """SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+      | coalesce(l_returnflag, 'ALL') AS returnflag,
+      | coalesce(l_linestatus, 'ALL') AS linestatus,
+      | COUNT(*) AS line_count,
+      | COUNT(DISTINCT l_orderkey) AS order_count,
+      | CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+      |  AS price_cents,
+      | CAST(SUM(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |                        (l_returnflag), (l_linestatus))
+      |ORDER BY gid, returnflag, linestatus""".stripMargin
+
+  /** q98's versioned salt. Pseudonymity is exactly as strong as this
+    * secret: rotate it and every released pseudonym unlinks from the
+    * next release; DELETE it and the mapping is cryptographically
+    * shredded (the d47 right-to-be-forgotten discipline applied to
+    * the key itself — GDPR Art. 4(5) pseudonymization). A literal
+    * here so the oracle can replay; production holds it in a KMS. */
+  private[graft] val q98Salt = "gr14:"
+
+  /** The ONE keyed pseudonym definition — salted md5 over the
+    * stringified key, shared by every table crossing the privacy
+    * boundary so joins keep lining up after the swap. */
+  private[graft] def q98Pseudo(key: Column): Column =
+    md5(concat(lit(q98Salt), key.cast("string")).cast("binary"))
+
+  /** q98: PSEUDONYMIZATION — the privacy transform a training-data /
+    * analytics release runs before data leaves the trust boundary
+    * (the reference's BQ Writer publishes account activity to an
+    * external warehouse; a GDPR-conscious variant publishes THIS):
+    * every direct identifier is replaced by a salted keyed hash, the
+    * SAME function on both sides of every join (fact events.user_id,
+    * dim customer.c_custkey — the shared key domain), so referential
+    * integrity survives the swap while the raw key and the name
+    * column never cross. The face is the released per-pseudonym
+    * activity profile with the quasi-identifier (mktsegment) kept
+    * for analytic value. Fail-stops pin the two laws releases get
+    * wrong: linkage preserved (every event row lands in the join —
+    * pseudonymization lost no facts) and collision-free (distinct
+    * pseudonyms == distinct users — no two users merged by the
+    * hash). InvariantSpec adds unlinkability hygiene: no raw key
+    * digit-string survives in the output schema or values.
+    *
+    * Scale (100 TB): the pseudonym is a codegen'd projection — zero
+    * extra shuffles; the per-user rollup is the ONE exchange the
+    * un-pseudonymized rollup already paid (hash keys are 32-byte
+    * strings instead of 8-byte longs — the honest cost, confined to
+    * the exchange); the dim side broadcasts. Salt rotation is a
+    * metadata operation: re-run the projection, never touch the
+    * stored facts. */
+  def q98Pseudonymize(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val fact = ev.groupBy(q98Pseudo(col("user_id")).as("pseudo"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        sum(expr("cast(round(value * 100, 0) as bigint)")).as("value_cents"))
+    val dim = Tables.customer(s, dir)
+      .select(q98Pseudo(col("c_custkey")).as("pseudo"),
+        col("c_mktsegment").as("mktsegment"))
+    val out = fact.join(broadcast(dim), Seq("pseudo"))
+      .select("pseudo", "mktsegment", "n_events", "n_types", "value_cents")
+      .orderBy("pseudo")
+    val (users, total) = {
+      val r = ev.agg(countDistinct(col("user_id")), count(lit(1))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    val got = out.agg(count(lit(1)), sum("n_events")).head
+    require(got.getLong(0) == users,
+      s"q98: ${got.getLong(0)} pseudonyms for $users users — " +
+        "hash collision or dropped linkage")
+    require(got.getLong(1) == total,
+      s"q98: joined profile covers ${got.getLong(1)} of $total events")
+    out
+  }
+
+  val q98Sql: String =
+    s"""WITH f AS (
+       | SELECT md5('${q98Salt}' || CAST(user_id AS VARCHAR)) AS pseudo,
+       |  count(*) AS n_events,
+       |  count(DISTINCT event_type) AS n_types,
+       |  CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+       |   AS value_cents
+       | FROM events GROUP BY 1),
+       |d AS (
+       | SELECT md5('${q98Salt}' || CAST(c_custkey AS VARCHAR)) AS pseudo,
+       |  c_mktsegment AS mktsegment
+       | FROM customer)
+       |SELECT f.pseudo, d.mktsegment, f.n_events, f.n_types, f.value_cents
+       |FROM f JOIN d ON f.pseudo = d.pseudo
+       |ORDER BY f.pseudo""".stripMargin
+
+  /** q99's planted-corruption rules — residue edits over the source
+    * (the q89/q96 stance: injection planted, detection data-derived,
+    * and each rule provably bites at every SF because the key
+    * domains are dense from 0): orphaned FKs get `-k-1` (never `-k`:
+    * key 0 would map to itself), every 103rd order duplicates, every
+    * 101st part reference nulls out. */
+  private[graft] val q99OrphanRes = 97L
+  private[graft] val q99DupRes = 103L
+  private[graft] val q99NullRes = 101L
+
+  /** q99: CONSTRAINT AUDIT — cross-table integrity validation (Delta
+    * CONSTRAINT / dbt tests / Great Expectations' relational tier;
+    * the reference's BQ receipts view silently assumes every receipt
+    * joins its block — q99 is the operator that CHECKS such
+    * assumptions instead of assuming them): primary-key uniqueness,
+    * foreign-key closure, and NOT-NULL over an ingest batch, emitted
+    * as one violations ledger. q40 gates ROWS against row-local
+    * predicates; q99's constraints are RELATIONAL — a key's
+    * uniqueness and an FK's closure are join properties no per-row
+    * rule can see. The audited batch carries three planted
+    * corruption classes (orphaned FK, duplicated PK, nulled column)
+    * next to two provably-clean constraints, so the ledger pins both
+    * directions: every planted class bites, no clean constraint
+    * false-positives.
+    *
+    * Scale (100 TB): each FK check is ONE anti-join keyed on the FK
+    * (broadcast when the parent's key column fits, shuffle
+    * otherwise); PK uniqueness is one keyed count with map-side
+    * partials; NOT-NULL is a conditional sum inside a scan that was
+    * already running; the ledger is O(#constraints). At a real
+    * lakehouse this runs inside q96's audit step — WAP gates on
+    * relational integrity, not just row shape. */
+  def q99ConstraintAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select(
+        when(col("l_orderkey") % q99OrphanRes === 0, -col("l_orderkey") - 1)
+          .otherwise(col("l_orderkey")).as("l_orderkey"),
+        when(col("l_partkey") % q99NullRes === 0, lit(null).cast("long"))
+          .otherwise(col("l_partkey")).as("l_partkey"))
+    val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val ordDup = ord.unionByName(
+      ord.filter(col("o_orderkey") % q99DupRes === 0))
+    val cust = Tables.customer(s, dir).select("c_custkey")
+
+    def one(name: String, table: String, checked: Long, viol: Long) =
+      Seq((name, table, checked, viol))
+        .toDF("constraint_name", "child_table", "rows_checked", "violations")
+
+    val nLi = li.count()
+    val pkO = ordDup.groupBy("o_orderkey").count()
+      .agg(count(lit(1)), sum(when(col("count") > 1, 1L).otherwise(0L))).head
+    val pkC = cust.groupBy("c_custkey").count()
+      .agg(count(lit(1)), sum(when(col("count") > 1, 1L).otherwise(0L))).head
+    val nnViol = li.filter(col("l_partkey").isNull).count()
+    val fkLi = li.filter(col("l_orderkey").isNotNull)
+    val fkLiN = fkLi.count()
+    val fkLiViol = fkLi
+      .join(ordDup.select("o_orderkey").distinct(),
+        col("l_orderkey") === col("o_orderkey"), "left_anti").count()
+    val fkOrdViol = ordDup
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_anti")
+      .count()
+    val out =
+      one("fk_lineitem_orders", "lineitem", fkLiN, fkLiViol)
+        .unionByName(one("fk_orders_customer", "orders", ordDup.count(), fkOrdViol))
+        .unionByName(one("nn_lineitem_partkey", "lineitem", nLi, nnViol))
+        .unionByName(one("pk_customer_unique", "customer",
+          pkC.getLong(0), pkC.getLong(1)))
+        .unionByName(one("pk_orders_unique", "orders",
+          pkO.getLong(0), pkO.getLong(1)))
+        .orderBy("constraint_name")
+    val v = out.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    require(v("fk_lineitem_orders") > 0 && v("pk_orders_unique") > 0 &&
+      v("nn_lineitem_partkey") > 0,
+      s"q99: every planted corruption class must bite: $v")
+    require(v("fk_orders_customer") == 0 && v("pk_customer_unique") == 0,
+      s"q99: clean constraints must not false-positive: $v")
+    out
+  }
+
+  val q99Sql: String =
+    s"""WITH li AS (
+       | SELECT CASE WHEN l_orderkey % $q99OrphanRes = 0
+       |   THEN -l_orderkey - 1 ELSE l_orderkey END AS l_orderkey,
+       |  CASE WHEN l_partkey % $q99NullRes = 0
+       |   THEN NULL ELSE l_partkey END AS l_partkey
+       | FROM lineitem),
+       |od AS (
+       | SELECT o_orderkey, o_custkey FROM orders
+       | UNION ALL
+       | SELECT o_orderkey, o_custkey FROM orders
+       | WHERE o_orderkey % $q99DupRes = 0),
+       |fk_li AS (
+       | SELECT count(*) AS checked,
+       |  sum(CASE WHEN NOT EXISTS (SELECT 1 FROM od WHERE od.o_orderkey = li.l_orderkey)
+       |       THEN 1 ELSE 0 END) AS viol
+       | FROM li WHERE l_orderkey IS NOT NULL),
+       |fk_od AS (
+       | SELECT count(*) AS checked,
+       |  sum(CASE WHEN NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = od.o_custkey)
+       |       THEN 1 ELSE 0 END) AS viol
+       | FROM od),
+       |nn AS (
+       | SELECT count(*) AS checked,
+       |  sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS viol
+       | FROM li),
+       |pk_c AS (
+       | SELECT count(*) AS checked,
+       |  sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS viol
+       | FROM (SELECT c_custkey, count(*) AS n FROM customer GROUP BY 1)),
+       |pk_o AS (
+       | SELECT count(*) AS checked,
+       |  sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS viol
+       | FROM (SELECT o_orderkey, count(*) AS n FROM od GROUP BY 1))
+       |SELECT * FROM (
+       | SELECT 'fk_lineitem_orders' AS constraint_name, 'lineitem' AS child_table,
+       |  CAST(checked AS BIGINT) AS rows_checked, CAST(viol AS BIGINT) AS violations FROM fk_li
+       | UNION ALL
+       | SELECT 'fk_orders_customer', 'orders',
+       |  CAST(checked AS BIGINT), CAST(viol AS BIGINT) FROM fk_od
+       | UNION ALL
+       | SELECT 'nn_lineitem_partkey', 'lineitem',
+       |  CAST(checked AS BIGINT), CAST(viol AS BIGINT) FROM nn
+       | UNION ALL
+       | SELECT 'pk_customer_unique', 'customer',
+       |  CAST(checked AS BIGINT), CAST(viol AS BIGINT) FROM pk_c
+       | UNION ALL
+       | SELECT 'pk_orders_unique', 'orders',
+       |  CAST(checked AS BIGINT), CAST(viol AS BIGINT) FROM pk_o)
+       |ORDER BY constraint_name""".stripMargin
+
   /** q44: ordered conversion funnel — the product-analytics staple
     * (view → click → purchase, each step strictly AFTER the previous
     * step's witness and within a 1-day horizon). The witness rule is
@@ -5654,6 +5917,9 @@ object Relational {
     "q40_expectations" -> (q40Expectations _),
     "q41_heavy_hitters" -> (q41HeavyHitters _),
     "q43_cube" -> (q43Cube _),
+    "q97_grouping_sets" -> (q97GroupingSets _),
+    "q98_pseudonymize" -> (q98Pseudonymize _),
+    "q99_constraint_audit" -> (q99ConstraintAudit _),
     "q44_funnel" -> (q44Funnel _),
     "q45_rfm" -> (q45Rfm _),
     "q45b_rfm_sketch" -> (q45bRfmSketch _),
@@ -5836,6 +6102,9 @@ object Relational {
     "q40_expectations" -> q40Sql,
     "q41_heavy_hitters" -> q41Sql,
     "q43_cube" -> q43Sql,
+    "q97_grouping_sets" -> q97Sql,
+    "q98_pseudonymize" -> q98Sql,
+    "q99_constraint_audit" -> q99Sql,
     "q44_funnel" -> q44Sql,
     "q45_rfm" -> q45Sql,
     "q45b_rfm_sketch" -> q45bSql,

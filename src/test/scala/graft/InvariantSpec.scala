@@ -42,6 +42,77 @@ class InvariantSpec extends SparkSpec {
     assert(leaves.map(l => (l._2, l._3) -> l._5).toMap == plain)
   }
 
+  test("q97 grouping sets: both marginals sum their leaves, no grand total") {
+    val out = SparkEntry.queries("q97_grouping_sets")(spark, sfDir)
+      .as[(Int, String, String, Long, Long, Long, Long)].collect()
+    val byGid = out.groupBy(_._1)
+    // asymmetric set list: leaf + both marginals, NO () — the shape
+    // that distinguishes grouping sets from rollup/cube
+    assert(byGid.keySet == Set(0, 1, 2), "gid 3 (grand total) must be absent")
+    val leaves = byGid(0)
+    byGid(1).foreach { case (_, rf, ls, n, _, cents, qty) =>
+      assert(ls == "ALL")
+      val mine = leaves.filter(_._2 == rf)
+      assert(mine.map(_._4).sum == n && mine.map(_._6).sum == cents &&
+        mine.map(_._7).sum == qty, s"returnflag $rf marginal != its leaves")
+    }
+    byGid(2).foreach { case (_, rf, ls, n, _, cents, qty) =>
+      assert(rf == "ALL")
+      val mine = leaves.filter(_._3 == ls)
+      assert(mine.map(_._4).sum == n && mine.map(_._6).sum == cents &&
+        mine.map(_._7).sum == qty, s"linestatus $ls marginal != its leaves")
+    }
+    // the leaf slice IS the plain groupBy (sets add grains, never distort)
+    val plain = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag", "l_linestatus").count()
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(leaves.map(l => (l._2, l._3) -> l._4).toMap == plain)
+  }
+
+  test("q98 pseudonyms: MessageDigest mirror, linkage exact, no raw key survives") {
+    val R = graft.operators.Relational
+    val out = SparkEntry.queries("q98_pseudonymize")(spark, sfDir)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    // independent JVM mirror of the keyed hash + the fact rollup
+    def pseudo(k: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest((R.q98Salt + k.toString).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val perUser = Tables.events(spark, sfDir).select("user_id")
+      .as[Long].collect().groupBy(identity).view.mapValues(_.length.toLong)
+    assert(out.map(r => r._1 -> r._3).toMap ==
+      perUser.map { case (u, n) => pseudo(u) -> n }.toMap,
+      "pseudonymized event counts != MessageDigest mirror")
+    // hygiene: every pseudonym is a 32-hex digest, never a raw key
+    assert(out.forall(_._1.matches("[0-9a-f]{32}")))
+    val rawKeys = perUser.keySet.map(_.toString)
+    assert(out.forall(r => !rawKeys.contains(r._1)))
+  }
+
+  test("q99 constraint ledger equals the planted-corruption arithmetic") {
+    val R = graft.operators.Relational
+    val out = SparkEntry.queries("q99_constraint_audit")(spark, sfDir)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => r._1 -> (r._3, r._4)).toMap
+    val liKeys = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").as[(Long, Long)].collect()
+    val ordKeys = Tables.orders(spark, sfDir)
+      .select("o_orderkey").as[Long].collect()
+    val nLi = liKeys.length.toLong
+    val expOrphans = liKeys.count(_._1 % R.q99OrphanRes == 0).toLong
+    val expNulls = liKeys.count(_._2 % R.q99NullRes == 0).toLong
+    val expDupKeys = ordKeys.filter(_ % R.q99DupRes == 0).distinct.length.toLong
+    assert(out("fk_lineitem_orders") == ((nLi, expOrphans)))
+    assert(out("nn_lineitem_partkey") == ((nLi, expNulls)))
+    val (pkChecked, pkViol) = out("pk_orders_unique")
+    assert(pkViol == expDupKeys, "duplicated-key tally != planted residue count")
+    assert(pkChecked == ordKeys.distinct.length.toLong,
+      "pk check must count distinct keys")
+    assert(out("fk_orders_customer")._2 == 0L &&
+      out("pk_customer_unique")._2 == 0L)
+  }
+
   test("q25 as-of join emits every purchase exactly once") {
     val purchases = Tables.events(spark, sfDir)
       .filter(col("event_type") === "purchase").count()
