@@ -2530,6 +2530,109 @@ object TextOps {
        |WHERE df_a + df_b < na + nb
        |ORDER BY term""".stripMargin
 
+  /** t64's quarantine gate in basis points of unseen-bigram mass.
+    * Calibrated against the corpus: unmutated synthetic docs score
+    * ≤ ~350 bp against the reference half (shared vocabulary), the
+    * planted drifted cohort ≈ 10000 bp — 5000 splits them with two
+    * orders of magnitude of margin on either side. */
+  private[graft] val t64QuarantineBp = 5000L
+
+  /** t64's planted drift rule: every 7th incoming document arrives
+    * through q96's broken codec (upper-cased) — the deterministic
+    * stand-in for a crawl whose upstream changed under us. The
+    * injection is planted; the DETECTION is entirely data-derived
+    * (the lowercase reference support contains no upper-cased
+    * bigram — measured 10000 bp vs ≤ ~420 for clean docs), the
+    * q96/q89 planted-failure stance. Token REVERSAL notably does
+    * NOT work here: the synthetic corpus' bigram support is dense
+    * enough that "b a" is almost always also attested — drift
+    * detection needs out-of-VOCABULARY mass, not reordering. */
+  private[graft] def t64Mutate(text: Column, docId: Column): Column =
+    when(docId % 7 === 0, upper(text)).otherwise(text)
+
+  /** t64: HELD-OUT novelty admission — the drift gate a training
+    * pipeline runs on every NEW crawl batch before it mixes in
+    * (Wenzek et al. 2020 §4 filter against a trusted LM; the OOD
+    * counterpart of t39): t39's self-trained LM cannot measure
+    * novelty — every scored bigram is in its own training support by
+    * construction — so t64 scores incoming documents (the odd half,
+    * with the planted drifted cohort) against the bigram support of
+    * a TRUSTED reference corpus (the even half, the t63 parity
+    * stance) the scorer never trains on. Per doc: bigram count,
+    * unseen-bigram count, novelty in exact-integer basis points
+    * (unseen·10⁴ div n — no float ratio crosses an engine), and the
+    * quarantine bit; bigram-less docs pass (nothing measurable, the
+    * t39 left-join stance). Fail-stops unless BOTH classes are
+    * non-empty — a gate that admits or quarantines everything is
+    * miscalibrated. TextOpsSpec pins exact separation: quarantine ==
+    * the planted cohort at sf0.001, and an in-memory mirror of the
+    * whole scoring.
+    *
+    * Scale (100 TB): the reference support is dictionary-sized
+    * (distinct'd with map-side partials, computed once per reference
+    * release, not per batch); the probe shuffles the incoming
+    * batch's bigram stream ONCE on the gram key; the per-doc rollup
+    * carries two longs. Nothing touches reference DOCUMENTS at score
+    * time — only their support set. */
+  def t64DriftGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+      .select(explode(bigrams(tokens(col("text")))).as("gram"))
+      .distinct().withColumn("seen", lit(1))
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"),
+        t64Mutate(col("text"), col("doc_id")).as("text"))
+    val scored = incoming
+      .select(col("doc_id"), explode(bigrams(tokens(col("text")))).as("gram"))
+      .join(ref, Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("unseen"))
+      .withColumn("novelty_bp",
+        expr("unseen * 10000 div n_bigrams"))
+    val out = incoming.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("unseen"), lit(0L)).as("unseen"),
+        col("novelty_bp"),
+        coalesce(col("novelty_bp") > t64QuarantineBp, lit(false))
+          .as("quarantine"))
+      .orderBy("doc_id")
+    val classes = out.agg(
+      sum(when(col("quarantine"), 1L).otherwise(0L)),
+      sum(when(!col("quarantine"), 1L).otherwise(0L))).head
+    require(classes.getLong(0) > 0 && classes.getLong(1) > 0,
+      s"t64: gate must split the batch (${classes.getLong(0)} quarantined, " +
+        s"${classes.getLong(1)} admitted)")
+    out
+  }
+
+  val t64Sql: String =
+    s"""WITH d0 AS (
+       | SELECT doc_id,
+       |  CASE WHEN doc_id % 7 = 0 AND doc_id % 2 = 1
+       |   THEN upper(text) ELSE text END AS text
+       | FROM documents),
+       |d AS (SELECT doc_id, string_split(text,' ') AS a FROM d0),
+       |bg AS (
+       | SELECT doc_id, a[i] || ' ' || a[i+1] AS gram
+       | FROM (SELECT doc_id, a, unnest(generate_series(1, len(a)-1)) AS i FROM d)),
+       |ref AS (SELECT DISTINCT gram FROM bg WHERE doc_id % 2 = 0),
+       |sc AS (
+       | SELECT bg.doc_id, count(*) AS n_bigrams,
+       |  sum(CASE WHEN ref.gram IS NULL THEN 1 ELSE 0 END) AS unseen
+       | FROM bg LEFT JOIN ref ON bg.gram = ref.gram
+       | WHERE bg.doc_id % 2 = 1 GROUP BY 1)
+       |SELECT d.doc_id,
+       | CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       | CAST(coalesce(sc.unseen, 0) AS BIGINT) AS unseen,
+       | CAST(sc.unseen * 10000 // sc.n_bigrams AS BIGINT) AS novelty_bp,
+       | coalesce(sc.unseen * 10000 // sc.n_bigrams > $t64QuarantineBp, false)
+       |  AS quarantine
+       |FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id
+       |WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t29_langid" -> (t29LangId _),
     "t30_quality" -> (t30Quality _),
@@ -2566,7 +2669,8 @@ object TextOps {
     "t60_weighted_sample" -> (t60WeightedSample _),
     "t61_cooccurrence" -> (t61Cooccurrence _),
     "t62_vocab_growth" -> (t62VocabGrowth _),
-    "t63_keyness" -> (t63Keyness _))
+    "t63_keyness" -> (t63Keyness _),
+    "t64_drift_gate" -> (t64DriftGate _))
 
   def oracles: Map[String, String] = Map(
     "t29_langid" -> t29Sql,
@@ -2605,5 +2709,6 @@ object TextOps {
     "t56_dataset_card" -> t56Sql,
     "t61_cooccurrence" -> t61Sql,
     "t62_vocab_growth" -> t62Sql,
-    "t63_keyness" -> t63Sql)
+    "t63_keyness" -> t63Sql,
+    "t64_drift_gate" -> t64Sql)
 }

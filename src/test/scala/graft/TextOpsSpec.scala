@@ -1069,4 +1069,35 @@ class TextOpsSpec extends SparkSpec {
     assert(got.maxBy(skew)._4 >= got.minBy(skew)._4,
       "chi2 inverted against skew")
   }
+
+  test("t64 drift gate equals an in-memory mirror; quarantine IS the planted cohort") {
+    val T = graft.text.TextOps
+    val got = SparkEntry.queries("t64_drift_gate")(spark, sfDir)
+      .as[(Long, Long, Long, Option[Long], Boolean)].collect().toSeq
+    assert(got.nonEmpty)
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    // reference support: bigrams of the UNMUTATED even half
+    def grams(toks: Array[String]): Seq[String] =
+      if (toks.length < 2) Seq.empty
+      else toks.sliding(2).map(_.mkString(" ")).toSeq
+    val ref = docs.filter(_._1 % 2 == 0)
+      .flatMap { case (_, t) => grams(t.split(" ")) }.toSet
+    val mirror = docs.filter(_._1 % 2 == 1).sortBy(_._1).map { case (id, t) =>
+      val mutated =
+        if (id % 7 == 0) t.toUpperCase(java.util.Locale.ROOT) else t
+      val gs = grams(mutated.split(" "))
+      val unseen = gs.count(g => !ref.contains(g)).toLong
+      val n = gs.size.toLong
+      val bp = if (n == 0) None else Some(unseen * 10000 / n)
+      (id, n, unseen, bp, bp.exists(_ > T.t64QuarantineBp))
+    }.toSeq
+    assert(got == mirror, "t64 != in-memory mirror")
+    // the gate's detection is exact at this corpus: quarantine ==
+    // the planted token-reversed cohort (both classes non-vacuous)
+    val quarantined = got.filter(_._5).map(_._1).toSet
+    val planted = got.map(_._1).filter(id => id % 7 == 0).toSet
+    assert(planted.nonEmpty && quarantined == planted,
+      s"quarantine $quarantined must equal the planted cohort $planted")
+  }
 }
