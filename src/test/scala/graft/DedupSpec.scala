@@ -1221,4 +1221,42 @@ class DedupSpec extends SparkSpec {
     assert(km > 0, "degenerate sketch: no shared grams sampled")
     assert(ebp <= 300, s"KMV error $ebp bp outside the contract band")
   }
+
+  test("d55 canonical dedup: in-memory mirror; t30's score would keep the damaged copy (the pinned finding)") {
+    import org.apache.spark.sql.functions._
+    val D = graft.dedup.Dedup
+    val got = SparkEntry.queries("d55_canonical_dedup")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // full in-memory mirror: plant, normalize-fingerprint, argmin
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val all = docs ++ docs.filter(_._1 % D.d55RecrawlMod == 0)
+      .map { case (id, t) => (-(id + 1), t.replace(" ", "  ")) }
+    def fp(t: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.trim.toLowerCase.replaceAll("\\s+", " ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val mirror = all.groupBy { case (_, t) => fp(t) }.toSeq.map {
+      case (f, members) =>
+        val (kid, klen) = members
+          .map { case (id, t) => (id, t.length.toLong) }
+          .minBy { case (id, l) => (l, id) }
+        (f, kid, members.map(_._1).min, members.size.toLong, klen)
+    }.sortBy(_._1)
+    assert(got == mirror, "d55 != in-memory mirror")
+    // the honest finding that justifies byte-minimality over a
+    // quality argmax: t30's composite score PREFERS the
+    // token-inflated mangled copy on most planted clusters (its
+    // length-cap term rewards padding) — measured, not assumed
+    val T = graft.text.TextOps
+    val qbp = D.d55Corpus(spark, sfDir)
+      .select(col("doc_id"), T.fingerprint(col("text")).as("f"),
+        T.qualityScoreBp(split(col("text"), " ")).as("q"))
+      .as[(Long, String, Int)].collect()
+      .groupBy(_._2).values.filter(_.length > 1)
+    val mangledWins = qbp.count(c => c.maxBy(m => (m._3, m._1))._1 < 0)
+    assert(mangledWins > 0,
+      "expected t30's score to prefer the damaged copy somewhere — " +
+        "if this now fails, the keep-best-by-quality variant became viable")
+  }
 }
