@@ -1496,6 +1496,125 @@ object Ann {
     a53ProbeAsOf(s, root, 3, ivfProbeQueries(live))
   }
 
+  /** a54's drift split: the quantizer in service was trained before
+    * the last third of the corpus arrived (the s48 ingest stance —
+    * new vectors are ROUTED through a stale quantizer, never
+    * retraining it). Dialect-neutral, evaluated verbatim by both
+    * engines. */
+  private[graft] val a54HistWhere = "vec_id % 3 <> 0"
+
+  /** One regime's index-health rollup: route the FULL corpus through
+    * a centroid table (argmin by integer L2, ties to the low cell id
+    * — the ONE a42 rule) and fold assignment distortion + occupancy.
+    * Distortion is the exact integer Σ‖q̂ᵥ − ĉ(v)‖² — at quant scale
+    * 10⁴ and 65 dims a vector contributes ≤ ~2.3e11, so the BIGINT
+    * sum holds to ~4e7 vectors; past that, shard the sum (the t63
+    * exactness-bound stance). */
+  private def a54Health(base: DataFrame, c1: DataFrame,
+      regime: String, trainedRows: Long): DataFrame = {
+    val assigned = base.crossJoin(broadcast(a42Packed(c1)))
+      .withColumn("md", expr(
+        """array_min(transform(cents, c -> struct(
+          |  aggregate(zip_with(c.qv, qv, (a, b) -> (a - b) * (a - b)),
+          |    0L, (s, v) -> s + v) AS d,
+          |  c.cid AS cid)))""".stripMargin))
+      .select(col("md.cid").as("cell"), col("md.d").as("d"))
+    assigned.groupBy("cell")
+      .agg(count(lit(1)).as("n"), sum("d").as("sd"))
+      .agg(sum("n").as("n_vectors"), count(lit(1)).as("cells_used"),
+        max("n").as("max_cell"), sum("sd").as("distortion"))
+      .select(lit(regime).as("regime"), lit(trainedRows).as("trained_rows"),
+        col("n_vectors"), col("cells_used"), col("max_cell"),
+        col("distortion"))
+  }
+
+  /** a54: RETRAIN DECISION — the instrument that closes the index
+    * lifecycle's feedback loop (a37 inserts route through the stale
+    * quantizer, a44 meters load, a45/a46 rebalance CELLS, a52
+    * compacts; none answers "has the corpus drifted far enough that
+    * the CENTROIDS are the problem?"): build the in-service
+    * quantizer as it was trained (on corpus history — the first two
+    * thirds) and the candidate retrain (same deterministic seeds +
+    * one integer Lloyd step over the CURRENT corpus), route the full
+    * corpus through BOTH in one shared quantization basis, and emit
+    * each regime's health row — vectors, occupied cells, peak cell
+    * load, exact integer distortion. One geometry is the point: the
+    * historical a42 build couples basis to training population, so
+    * its distortions aren't comparable across regimes; a54 splits
+    * them ([[a42RefineFrom]], `basisWhere`) and the decision becomes
+    * plain integer comparison. Fail-stops: both regimes route every
+    * vector, and the retrained quantizer's distortion is no worse —
+    * it trained on the population being measured (seeds FROM the
+    * drifted mass + a Lloyd step over it), so if the stale index
+    * ever wins, the drift premise itself is wrong and the operator
+    * refuses to publish a retrain recommendation.
+    *
+    * Scale (100 TB): both builds are the a42 shape (bounded-sample
+    * training in production, integer sums map-side combined); the
+    * health pass is ONE scan of the corpus per regime against 96
+    * broadcast centroids — no shuffle but the nlist-sized rollup;
+    * the face is two rows. The retrain itself reuses the index
+    * files' own cell partitioning when it ships (a50's merge). */
+  def a54RetrainDecision(s: SparkSession, dir: String): DataFrame = {
+    val base = a42Base(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nStale = base.filter(expr(a54HistWhere)).count()
+    val nAll = base.count()
+    val out = a54Health(base, a42RefineFrom(base, expr(a54HistWhere)),
+        "stale", nStale)
+      .unionByName(a54Health(base, a42RefineFrom(base, lit(true)),
+        "retrained", nAll))
+      .orderBy("regime")
+    val rows = out.collect()
+    base.unpersist()
+    val byRegime = rows.map(r => r.getString(0) -> r).toMap
+    require(rows.length == 2 &&
+      byRegime("stale").getLong(2) == byRegime("retrained").getLong(2),
+      "a54: both regimes must route the full corpus")
+    require(byRegime("retrained").getLong(5) <= byRegime("stale").getLong(5),
+      s"a54: retrain must not increase distortion " +
+        s"(${byRegime("retrained").getLong(5)} vs ${byRegime("stale").getLong(5)})")
+    import s.implicits._
+    rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+      .toDF("regime", "trained_rows", "n_vectors", "cells_used",
+        "max_cell", "distortion")
+      .orderBy("regime")
+  }
+
+  /** DuckDB oracle for a54: BOTH deterministic builds replayed via
+    * the prefixed [[a42BuildCteWhere]] (stale: trained on history in
+    * the full-corpus basis; retrained: trained on all), the same
+    * rnk-1 assignment of the full corpus, the same two-level
+    * rollup. */
+  lazy val a54Sql: String = {
+    val intL2 = a42IntL2Duck _
+    def regime(p: String, name: String, trainedWhere: String) =
+      s"""${p}sa AS (
+         | SELECT vec_id, cell, d FROM (
+         |  SELECT x.vec_id, c.cid AS cell, ${intL2("x.qv", "c.qv")} AS d,
+         |   row_number() OVER (PARTITION BY x.vec_id
+         |     ORDER BY ${intL2("x.qv", "c.qv")}, c.cid) AS rnk
+         |  FROM ${p}ax x, ${p}c1 c) WHERE rnk = 1),
+         |${p}pc AS (SELECT cell, count(*) AS n, sum(d) AS sd
+         |           FROM ${p}sa GROUP BY 1),
+         |${p}row AS (
+         | SELECT '$name' AS regime,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ${p}ax
+         |   WHERE $trainedWhere) AS trained_rows,
+         |  CAST(sum(n) AS BIGINT) AS n_vectors,
+         |  CAST(count(*) AS BIGINT) AS cells_used,
+         |  CAST(max(n) AS BIGINT) AS max_cell,
+         |  CAST(sum(sd) AS BIGINT) AS distortion
+         | FROM ${p}pc)"""
+    s"""WITH ${a42BuildCteWhere(a54HistWhere, "s_", "TRUE")},
+       |${regime("s_", "stale", a54HistWhere)},
+       |${a42BuildCteWhere("TRUE", "r_")},
+       |${regime("r_", "retrained", "TRUE")}
+       |SELECT * FROM s_row UNION ALL SELECT * FROM r_row
+       |ORDER BY regime""".stripMargin
+  }
+
   /** q94's oracle IS a38's: a layout scrubbed of uncommitted garbage
     * serves every retained version unchanged. */
   val q94Sql: String = a38Sql
@@ -1775,7 +1894,18 @@ object Ann {
   private[graft] def a42Refine(s: SparkSession, dir: String,
       histPred: Column = lit(true)): (DataFrame, DataFrame) = {
     val base = a42Base(s, dir, histPred)
-    val train = base.filter(histPred)
+    (base, a42RefineFrom(base, histPred))
+  }
+
+  /** The seeds + one-Lloyd-step refinement alone, over an
+    * already-quantized base, training on `trainPred` rows — split
+    * from [[a42Refine]] so a54 can train two quantizers in ONE
+    * shared basis (retrain comparisons need one geometry; the
+    * historical a42Refine couples basis and training population,
+    * which is the s48 ingest stance, not the retrain stance). */
+  private[graft] def a42RefineFrom(base: DataFrame, trainPred: Column)
+      : DataFrame = {
+    val train = base.filter(trainPred)
     val draw = expr(
       "cast(conv(substring(md5(cast(vec_id as string)), 1, 7), 16, 10) as bigint)")
     // 96 rows total: the unpartitioned window is bounded by the limit
@@ -1788,7 +1918,7 @@ object Ann {
       .withColumn("cell", a42CellExpr)
     // element-wise integer mean per cell: explode to (cell, pos, v),
     // sum/count (order-independent BIGINT), reassemble in pos order
-    val c1 = a0.select(col("cell"), posexplode(col("qv")).as(Seq("pos", "v")))
+    a0.select(col("cell"), posexplode(col("qv")).as(Seq("pos", "v")))
       .groupBy("cell", "pos")
       .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
       .withColumn("cv", expr("sv div n")) // positive: floor == trunc
@@ -1796,7 +1926,6 @@ object Ann {
       .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)")
         .as("qv"))
       .select(col("cell").as("cid"), col("qv"))
-    (base, c1)
   }
 
   private[graft] def a42Index(s: SparkSession, dir: String)
@@ -1958,38 +2087,45 @@ object Ann {
     * only: `where` restricts the max-norm scalar, the seed draw, and
     * the Lloyd step, while ax quantizes EVERY row in the trained
     * basis — mirroring a42Base/a42Refine's histPred). */
-  private[graft] def a42BuildCteWhere(where: String): String = {
+  /** `p` prefixes every CTE name so two builds can share one WITH
+    * (the a54 retrain comparison); `basisWhere` splits the
+    * quantization basis' population from the training population
+    * (null → coupled, the historical behavior every existing oracle
+    * keeps). */
+  private[graft] def a42BuildCteWhere(where: String, p: String = "",
+      basisWhere: String = null): String = {
     val quant = a42QuantDuck _
     val intL2 = a42IntL2Duck _
-    s"""e AS (
+    val bw = Option(basisWhere).getOrElse(where)
+    s"""${p}e AS (
        | SELECT * FROM (
        |  SELECT vec_id, embedding,
        |   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
        |  FROM embeddings) WHERE norm > 0),
-       |mx AS (SELECT max(norm) AS mnorm FROM e WHERE $where),
-       |ax AS (
+       |${p}mx AS (SELECT max(norm) AS mnorm FROM ${p}e WHERE $bw),
+       |${p}ax AS (
        | SELECT vec_id, embedding,
        |  list_append(
        |    list_transform(embedding, x -> ${quant("CAST(x AS DOUBLE)")}),
        |    ${quant("sqrt(greatest(mnorm * mnorm - norm * norm, 0))")}) AS qv
-       | FROM e, mx),
-       |sd AS (
+       | FROM ${p}e, ${p}mx),
+       |${p}sd AS (
        | SELECT qv, CAST(row_number() OVER (ORDER BY
        |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 7)) AS BIGINT),
        |    vec_id) AS INT) AS cid
-       | FROM ax WHERE $where QUALIFY cid <= $a42NList),
-       |a0 AS (
+       | FROM ${p}ax WHERE $where QUALIFY cid <= $a42NList),
+       |${p}a0 AS (
        | SELECT vec_id, qv, cell FROM (
        |  SELECT x.vec_id, x.qv, s.cid AS cell,
        |   row_number() OVER (PARTITION BY x.vec_id
        |     ORDER BY ${intL2("x.qv", "s.qv")}, s.cid) AS rnk
-       |  FROM (SELECT * FROM ax WHERE $where) x, sd s) WHERE rnk = 1),
-       |c1 AS (
+       |  FROM (SELECT * FROM ${p}ax WHERE $where) x, ${p}sd s) WHERE rnk = 1),
+       |${p}c1 AS (
        | SELECT cell AS cid, list(cv ORDER BY pos) AS qv FROM (
        |  SELECT cell, i AS pos, CAST(sum(v) // count(*) AS BIGINT) AS cv FROM (
        |   SELECT cell, unnest(qv) AS v,
        |          unnest(generate_series(1, len(qv))) AS i
-       |   FROM a0)
+       |   FROM ${p}a0)
        |  GROUP BY cell, i) GROUP BY cell)""".stripMargin
   }
 
@@ -2747,6 +2883,7 @@ object Ann {
     "a51_range_search" -> (a51RangeSearch _),
     "a52_cell_compaction" -> (a52CellCompaction _),
     "a53_index_time_travel" -> (a53IndexTimeTravel _),
+    "a54_retrain_decision" -> (a54RetrainDecision _),
     "q94_orphan_gc" -> (q94OrphanGc _))
 
   def oracles: Map[String, String] = Map(
@@ -2778,5 +2915,6 @@ object Ann {
     "a51_range_search" -> a51Sql,
     "a52_cell_compaction" -> a52Sql,
     "a53_index_time_travel" -> a53Sql,
+    "a54_retrain_decision" -> a54Sql,
     "q94_orphan_gc" -> q94Sql)
 }

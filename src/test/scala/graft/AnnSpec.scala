@@ -1003,4 +1003,26 @@ class AnnSpec extends SparkSpec {
     assert(before.nonEmpty && before == after,
       "cold-cell files must carry byte-identically")
   }
+
+  test("a54 retrain decision: retrained quantizer IS a42's production build; health laws") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("a54_retrain_decision")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val (stale, retr) = (out("stale"), out("retrained"))
+    // both regimes routed the whole corpus in one shared basis
+    assert(stale._3 == retr._3 && stale._3 > 0)
+    // the drift split is real: stale trained on a strict subset
+    assert(stale._2 < retr._2 && retr._2 == retr._3)
+    // occupancy sanity: cells used, peak load ≥ mean load
+    assert(retr._4 > 1 && retr._5 * retr._4 >= retr._3)
+    // the retrained quantizer must BE the production a42 build —
+    // a54's recommendation is to swap in exactly what a42 ships
+    val base = Ann.a42Base(spark, sfDir)
+    val fromA54 = Ann.a42RefineFrom(base, lit(true))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val (_, fromA42) = Ann.a42Refine(spark, sfDir)
+    val prod = fromA42.collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(fromA54 == prod, "retrained centroids != a42 production build")
+  }
 }
