@@ -1098,6 +1098,214 @@ object Multimodal {
       |WHERE prev IS NOT NULL AND bit_count(xor(fhash, prev)) > 10
       |ORDER BY doc_id, cut_frame""".stripMargin
 
+  // ---- m41: container metadata scrub (multimodal PII removal) ----
+
+  /** m41's planted-metadata rule: every 5th media row arrives with
+    * embedded container metadata — the EXIF-GPS / ID3-artist / Y4M
+    * comment-tag class a training-data release must strip. */
+  private[graft] def m41Planted(docId: Long): Boolean = docId % 5 == 0
+
+  /** Closed-form planted byte counts — pure functions of doc_id so
+    * the oracle replays the whole byte ledger without parsing a
+    * container: the WAV LIST/INFO chunk adds 8 + (12 + 2·(id%10))
+    * (even payload — no RIFF pad byte), the BMP trailer adds
+    * 7 + id%13 (bytes past the declared file size — where real EXIF
+    * appenders put thumbnails), the Y4M X-param adds 6 + id%16
+    * (" XMETA" + k·"m" in the stream header). */
+  private[graft] def m41WavAdd(id: Long): Int = 20 + 2 * (id % 10).toInt
+  private[graft] def m41BmpAdd(id: Long): Int = 7 + (id % 13).toInt
+  private[graft] def m41Y4mAdd(id: Long): Int = 6 + (id % 16).toInt
+
+  /** Inject the planted metadata into a clean container, keeping it
+    * VALID (RIFF size field updated; BMP declared size untouched —
+    * the trailer is past it by design; Y4M header line re-balanced):
+    * decode before and after must agree, which is exactly what makes
+    * scrubbing safe to run corpus-wide. */
+  private[multimodal] def m41Plant(r: MediaRecord): MediaRecord = {
+    val b = r.payload
+    val out: Array[Byte] = r.modality match {
+      case "audio" =>
+        val p = m41WavAdd(r.doc_id) - 8
+        val arr = new Array[Byte](b.length + 8 + p)
+        System.arraycopy(b, 0, arr, 0, 36) // RIFF hdr + fmt chunk
+        arr(36) = 'L'; arr(37) = 'I'; arr(38) = 'S'; arr(39) = 'T'
+        ByteIO.putLe32(arr, 40, p)
+        var i = 0
+        while (i < p) {
+          arr(44 + i) =
+            if (i < 4) "INFO".charAt(i).toByte
+            else ('a' + ((r.doc_id + i) % 26)).toByte
+          i += 1
+        }
+        System.arraycopy(b, 36, arr, 44 + p, b.length - 36)
+        ByteIO.putLe32(arr, 4, arr.length - 8)
+        arr
+      case "image" =>
+        b ++ Array.tabulate(m41BmpAdd(r.doc_id))(i =>
+          ((r.doc_id * 7 + i * 3) % 256).toByte)
+      case _ =>
+        val nl = b.indexOf('\n'.toByte)
+        val k = m41Y4mAdd(r.doc_id) - 6
+        val tag = (" XMETA" + "m" * k).getBytes("US-ASCII")
+        b.slice(0, nl) ++ tag ++ b.slice(nl, b.length)
+    }
+    r.copy(payload = out)
+  }
+
+  /** The scrub itself: re-emit each container with ONLY what decode
+    * needs. WAV: chunk-walk keeping fmt /data in order, RIFF size
+    * rebuilt (drops LIST/INFO/id3/cue — everything); BMP: truncate
+    * to the header's declared file size (trailing appendices go);
+    * Y4M: drop X* params from the stream header. A clean container
+    * round-trips BYTE-IDENTICALLY (the fail-stop below), so the
+    * scrub is safe to run unconditionally — no "has metadata?"
+    * sniff pass needed. Corrupt input returns unchanged (the codec
+    * None contract: scrubbing never throws mid-pipeline). */
+  private[graft] def m41Scrub(modality: String, b: Array[Byte]): Array[Byte] =
+    modality match {
+      case "audio" =>
+        if (b.length < 44) b
+        else {
+          val kept = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+          var pos = 12
+          var ok = true
+          while (ok && pos + 8 <= b.length) {
+            val id = new String(b, pos, 4, "US-ASCII")
+            val sz = ByteIO.le32(b, pos + 4)
+            if (sz < 0 || pos.toLong + 8 + sz > b.length) ok = false
+            else {
+              val tot = 8 + sz + (sz & 1)
+              if (id == "fmt " || id == "data")
+                kept += ((pos, math.min(tot, b.length - pos)))
+              pos += tot
+            }
+          }
+          if (!ok) b
+          else {
+            val outLen = 12 + kept.map(_._2).sum
+            val out = new Array[Byte](outLen)
+            System.arraycopy(b, 0, out, 0, 12)
+            var o = 12
+            kept.foreach { case (off, len) =>
+              System.arraycopy(b, off, out, o, len); o += len
+            }
+            ByteIO.putLe32(out, 4, outLen - 8)
+            out
+          }
+        }
+      case "image" =>
+        if (b.length < 6) b
+        else {
+          val declared = ByteIO.le32(b, 2)
+          if (declared >= 54 && declared <= b.length)
+            java.util.Arrays.copyOf(b, declared)
+          else b
+        }
+      case _ =>
+        val nl = b.indexOf('\n'.toByte)
+        if (nl < 0) b
+        else {
+          val line = new String(b, 0, nl, "US-ASCII")
+          val cleaned = line.split(" ")
+            .filter(t => t.nonEmpty && !t.startsWith("X")).mkString(" ")
+          cleaned.getBytes("US-ASCII") ++ b.slice(nl, b.length)
+        }
+    }
+
+  /** The media table as a dirty crawl delivers it: every 5th row
+    * carries planted container metadata. */
+  private[graft] def mediaTableWithMeta(s: SparkSession, dir: String)
+      : Dataset[MediaRecord] = {
+    import s.implicits._
+    mediaTable(s, dir).map(r => if (m41Planted(r.doc_id)) m41Plant(r) else r)
+  }
+
+  /** m41: CONTAINER METADATA SCRUB — the multimodal twin of t34/t43
+    * (text scrubs strings; media PII lives in CONTAINER metadata:
+    * EXIF GPS tracks, ID3 artist tags, stream comment params — none
+    * of it in the decoded signal): strip every non-essential chunk/
+    * param from each payload and prove, per row, that the DECODED
+    * content is bit-identical while the bytes shrink by exactly the
+    * planted metadata's size. Fail-stops pin the three laws a
+    * release needs: decode-identity on every row (the scrub may
+    * change bytes, never content — compared on the decoded codec
+    * fields, CRCs included), clean rows byte-count-identical (no
+    * collateral damage), planted rows strictly smaller (the scrub
+    * genuinely bit). The face is the byte ledger per (modality,
+    * planted); every value is closed-form generative arithmetic, so
+    * the DuckDB oracle replays it without parsing a container —
+    * any drift in plant, scrub, or the encoders breaks the hash.
+    * MultimodalSpec pins the rest: idempotence (scrub∘scrub ==
+    * scrub), clean rows byte-identical (not just length), decoded
+    * CRCs equal on planted rows.
+    *
+    * Scale (100 TB): the scrub is a per-row bounded-memory byte walk
+    * inside the SAME mapPartitions batch shape as the decode (no
+    * shuffle, no driver involvement); the ledger rollup is
+    * O(modalities × 2). Real deployments swap the three walkers for
+    * exiftool/ffmpeg `-map_metadata -1` semantics — the Spark-side
+    * plumbing, laws, and instruments are what this operator pins. */
+  def m41MetadataScrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pre = mediaTableWithMeta(s, dir)
+    val post = pre.map(r => r.copy(payload = m41Scrub(r.modality, r.payload)))
+    val contentCols = Seq("decoded_format", "width", "height", "pixel_crc",
+      "sample_rate", "n_samples", "sample_crc", "n_frames", "fps_x1000")
+    def content(ds: Dataset[MediaRecord]) =
+      decodeFeatures(ds).select((Seq("doc_id") ++ contentCols).map(col): _*)
+    val drift = content(pre).exceptAll(content(post)).count()
+    require(drift == 0,
+      s"m41: scrub changed decoded content on $drift rows")
+    val ledger = pre
+      .map(r => (r.doc_id, r.modality, m41Planted(r.doc_id), r.payload.length))
+      .toDF("doc_id", "modality", "planted", "bytes_before")
+      .join(post.map(r => (r.doc_id, r.payload.length))
+        .toDF("doc_id", "bytes_after"), Seq("doc_id"))
+    val bad = ledger.filter(
+      (!col("planted") && col("bytes_after") =!= col("bytes_before")) ||
+        (col("planted") && col("bytes_after") >= col("bytes_before"))).count()
+    require(bad == 0,
+      s"m41: $bad rows break the shrink laws (clean identical, planted smaller)")
+    ledger.groupBy("modality", "planted")
+      .agg(count(lit(1)).as("n"),
+        sum("bytes_before").as("bytes_before"),
+        sum("bytes_after").as("bytes_after"))
+      .orderBy("modality", "planted")
+  }
+
+  /** DuckDB oracle for m41: the byte ledger replayed from the
+    * generative rules alone — container sizes are closed-form in
+    * doc_id (WAV 44+2n; BMP 54+stride·h; Y4M header+frames) and the
+    * planted sizes are [[m41WavAdd]]/[[m41BmpAdd]]/[[m41Y4mAdd]]. */
+  val m41Sql: String =
+    """WITH m AS (
+      | SELECT doc_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |   ELSE 'video' END AS modality,
+      |  doc_id % 5 = 0 AS planted
+      | FROM documents),
+      |sz AS (
+      | SELECT doc_id, modality, planted,
+      |  CASE modality
+      |   WHEN 'audio' THEN 44 + 2 * (16 + doc_id % 64)
+      |   WHEN 'image' THEN 54 +
+      |    ((3 * (1 + doc_id % 8) + 3) // 4) * 4 * (1 + doc_id % 6)
+      |   ELSE length('YUV4MPEG2 W' || CAST(2 * (1 + doc_id % 4) AS VARCHAR) ||
+      |     ' H' || CAST(2 * (1 + doc_id % 3) AS VARCHAR) ||
+      |     ' F25:1 Ip A1:1 C420') + 1 +
+      |    (1 + doc_id % 5) *
+      |     (6 + (2 * (1 + doc_id % 4)) * (2 * (1 + doc_id % 3)) * 3 // 2)
+      |  END AS base,
+      |  CASE WHEN NOT planted THEN 0
+      |   WHEN modality = 'audio' THEN 20 + 2 * (doc_id % 10)
+      |   WHEN modality = 'image' THEN 7 + doc_id % 13
+      |   ELSE 6 + doc_id % 16 END AS added
+      | FROM m)
+      |SELECT modality, planted, count(*) AS n,
+      | CAST(sum(base + added) AS BIGINT) AS bytes_before,
+      | CAST(sum(base) AS BIGINT) AS bytes_after
+      |FROM sz GROUP BY 1, 2 ORDER BY modality, planted""".stripMargin
+
   // ---- m35b: the band/verify stage oracle-checked (the d23b split) ----
 
   /** The dual-dialect literal hash table m35b feeds the PRODUCTION
@@ -1393,7 +1601,8 @@ object Multimodal {
     "m39_thumbnail_match" -> (m39ThumbnailMatch _),
     "m39b_thumbnail_oracle" -> (m39bThumbnailOracle _),
     "m40_scene_cut" -> (m40SceneCut _),
-    "m40b_scene_cut_oracle" -> (m40bSceneCutOracle _))
+    "m40b_scene_cut_oracle" -> (m40bSceneCutOracle _),
+    "m41_metadata_scrub" -> (m41MetadataScrub _))
 
   def oracles: Map[String, String] = Map(
     "m33b_decode_oracle" -> m33bSql,
@@ -1402,5 +1611,6 @@ object Multimodal {
     "m36b_closure_oracle" -> m36bSql,
     "m37b_video_oracle" -> m37bSql,
     "m39b_thumbnail_oracle" -> m39bSql,
-    "m40b_scene_cut_oracle" -> m40bSql)
+    "m40b_scene_cut_oracle" -> m40bSql,
+    "m41_metadata_scrub" -> m41Sql)
 }

@@ -761,4 +761,39 @@ class MultimodalSpec extends SparkSpec {
     // genuinely exercised on inexact matches
     assert(got.exists(_._4 == 0) && got.exists(_._4 == 2))
   }
+
+  test("m41 scrub: idempotent, clean rows byte-identical, planted decode preserved, sizes closed-form") {
+    val pre = Multimodal.mediaTableWithMeta(spark, sfDir).collect()
+    assert(pre.exists(r => Multimodal.m41Planted(r.doc_id)) &&
+      pre.exists(r => !Multimodal.m41Planted(r.doc_id)))
+    pre.foreach { r =>
+      val once = Multimodal.m41Scrub(r.modality, r.payload)
+      val twice = Multimodal.m41Scrub(r.modality, once)
+      assert(java.util.Arrays.equals(once, twice),
+        s"scrub not idempotent on ${r.doc_id}")
+      if (!Multimodal.m41Planted(r.doc_id))
+        assert(java.util.Arrays.equals(once, r.payload),
+          s"clean row ${r.doc_id} changed bytes")
+      else {
+        // the planted delta is exactly the closed-form size
+        val add = r.modality match {
+          case "audio" => Multimodal.m41WavAdd(r.doc_id)
+          case "image" => Multimodal.m41BmpAdd(r.doc_id)
+          case _       => Multimodal.m41Y4mAdd(r.doc_id)
+        }
+        assert(r.payload.length - once.length == add,
+          s"row ${r.doc_id}: delta ${r.payload.length - once.length} != $add")
+        // decoded content identical through the real codecs
+        def dec(b: Array[Byte]): Any = r.modality match {
+          case "audio" => AudioCodec.decode(b)
+          case "image" => ImageCodec.decode(b)
+          case _       => VideoCodec.decode(b)
+        }
+        assert(dec(r.payload).asInstanceOf[Option[_]].isDefined,
+          s"planted container ${r.doc_id} must still decode")
+        assert(dec(r.payload) == dec(once),
+          s"row ${r.doc_id}: scrub changed decoded content")
+      }
+    }
+  }
 }
