@@ -2599,6 +2599,157 @@ object Streaming {
     graft.operators.Relational.cdfSql(cuts(s75From), cuts(s75To))
   }
 
+  /** s76's builder: run the WAP protocol as a live fold — each
+    * micro-batch stages itself as a REAL artifact, the audit runs on
+    * the staged files (never the table, never the in-flight plan),
+    * and publish unions the audited artifact into the table state.
+    * States: the published table and the append-only attempts
+    * ledger; every generation of both persists for the spec's
+    * byte-level reject audit. Returns the state dir. */
+  private[graft] def s76Build(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val R = graft.operators.Relational
+    val (base, batches) = R.q96Batches(s, dir)
+    val stateDir = graft.sources.Export.scratch("s76_wap", dir)
+    val writers = batches.map(_._1)
+    val ledger0 = Seq.empty[(Int, String, Long, Long, String, Int, Long)]
+      .toDF("attempt", "writer", "staged_rows", "violations",
+        "decision", "version_after", "published_rows_after")
+    foldGenerations(s, stateDir,
+      Seq("s76tab" -> base, "s76ledg" -> ledger0), batches.map(_._2)) {
+      case (states, batch, i) =>
+        val Seq(tab, ledg) = states: @unchecked
+        // stage the batch as a real artifact; audit EXACTLY that
+        val staged = s"$stateDir/staged_${i + 1}"
+        batch.write.mode("overwrite").parquet(staged)
+        val a = s.read.parquet(staged).agg(count(lit(1)),
+          sum(when(expr(R.q96GateConj), 0L).otherwise(1L))).head
+        val (n, viol) = (a.getLong(0), a.getLong(1))
+        // prior version off the persisted ledger (≤ i rows — bounded)
+        val prevV = ledg.agg(coalesce(max("version_after"), lit(0))).head.getInt(0)
+        val tab2 = if (viol == 0L) tab.unionByName(s.read.parquet(staged)) else tab
+        val published = tab2.count()
+        val row = Seq((i + 1, writers(i), n, viol,
+          if (viol == 0L) "published" else "rejected",
+          if (viol == 0L) prevV + 1 else prevV, published))
+          .toDF("attempt", "writer", "staged_rows", "violations",
+            "decision", "version_after", "published_rows_after")
+        Seq(tab2, ledg.unionByName(row))
+    }
+    stateDir
+  }
+
+  /** s76: LIVE WRITE-AUDIT-PUBLISH — q96's streaming face, closing
+    * the ingest-gate square (q40 meters rows, s47 meters them live,
+    * q96 gates batch commits, s76 gates the STREAM's own commits): a
+    * foreachBatch sink that appends blindly turns one poisoned
+    * micro-batch into a poisoned table, so each trigger stages its
+    * batch as a real artifact, audits the staged files with the ONE
+    * q40 rule table, and only a zero-violation batch joins the table
+    * state — the planted codec-bug batch is rejected with the table
+    * state untouched (the spec pins generation k == generation k−1
+    * across the reject, row-identical). The face is the live
+    * attempts ledger; its oracle IS q96's batch SQL — a stream
+    * running the protocol must be indistinguishable from the batch
+    * WAP (the s74/s73 shared-oracle stance). Fail-stops mirror
+    * q96's: the rejection genuinely bit, and the final table count
+    * equals the ledger's last published total.
+    *
+    * Scale: per trigger the audit is one conditional-sum scan of the
+    * BATCH; the ledger append is O(1); a reject costs zero table
+    * I/O. The union-append table state stands in for q96's O(#files)
+    * file adoption — at a real sink the publish is the same metadata
+    * move q96 does. */
+  def s76StreamWap(s: SparkSession, dir: String): DataFrame = {
+    val stateDir = s76Build(s, dir)
+    val out = s.read.parquet(s"$stateDir/s76ledg3").orderBy("attempt")
+    val rows = out.collect()
+    require(rows.count(_.getString(4) == "rejected") == 1 &&
+      rows.exists(_.getLong(3) > 0L),
+      "s76: the planted audit failure must genuinely reject")
+    val tableN = s.read.parquet(s"$stateDir/s76tab3").count()
+    require(tableN == rows.last.getLong(6),
+      s"s76: table holds $tableN rows, ledger says ${rows.last.getLong(6)}")
+    out
+  }
+
+  /** s76's oracle IS q96's (a live WAP must be indistinguishable
+    * from the batch protocol). Lazy per the s45Sql stance. */
+  lazy val s76Sql: String = graft.operators.Relational.q96Sql
+
+  /** s77's builder: live merge-on-read — the table's data files are
+    * written ONCE (the q76 range-clustered layout); DELETE commands
+    * then arrive as micro-batches and the fold maintains the
+    * deletion-vector sidecar as its only state, appending O(matches)
+    * (file, pos) rows per trigger and never reopening a data file.
+    * Each command is a 1-row (lo, hi) key-span frame (how a CDC
+    * delete arrives: a predicate, not positions — the fold resolves
+    * it against the layout's own scan). Returns (layout, stateDir,
+    * #commands). */
+  private[graft] def s77Build(s: SparkSession, dir: String)
+      : (String, String, Int) = {
+    import s.implicits._
+    val E = graft.sources.Export
+    val layout = E.scratch("s77_mor", dir)
+    E.q76ClusterWrite(Tables.orders(s, dir), layout, "overwrite")
+    val ((d1lo, d1hi), (d2lo, d2hi)) = E.q95Spans(s, dir)
+    val cmds = Seq((d1lo, d1hi), (d2lo, d2hi))
+      .map(c => Seq(c).toDF("lo", "hi"))
+    val stateDir = E.scratch("s77_dv", dir)
+    val dv0 = s.read.parquet(layout)
+      .select(E.q95FileId.as("file"),
+        col("_metadata.row_index").as("pos"))
+      .filter(lit(false))
+    foldGenerations(s, stateDir, Seq("dv" -> dv0), cmds) {
+      case (states, cmd, _) =>
+        val Seq(dv) = states: @unchecked
+        val span = cmd.head() // the 1-row delete command — bounded
+        val fresh = s.read.parquet(layout)
+          .select(E.q95FileId.as("file"),
+            col("_metadata.row_index").as("pos"), col("o_orderkey"))
+          .filter(col("o_orderkey").between(span.getLong(0), span.getLong(1)))
+          .select("file", "pos")
+        Seq(dv.unionByName(fresh))
+    }
+    (layout, stateDir, cmds.size)
+  }
+
+  /** s77: LIVE DELETION VECTORS — q95's streaming face, the missing
+    * live leg of the table-format stream family (s68 compacts, s70
+    * maintains skipping sidecars, s71 accounts late data; none can
+    * DELETE): a stream that receives CDC delete commands must apply
+    * them merge-on-read — an O(matches) vector append per trigger —
+    * because rewriting data files inside a trigger would turn every
+    * delete into a table-sized write stall. The fold's only state is
+    * the vector sidecar; the face serves the post-stream MOR read
+    * through the ONE [[graft.sources.Export.q95MorRead]] body
+    * (pointed at the live state instead of a written commit dir) and
+    * rolls it up with q95's face, so its oracle IS q95's
+    * predicate-complement SQL — a stream-maintained vector must be
+    * indistinguishable from the batch commit chain. StreamingSpec
+    * pins the per-version closure: at EVERY generation the MOR read
+    * equals the direct predicate complement of the commands applied
+    * so far, and the vector state grows append-only.
+    *
+    * Scale: per trigger one predicate scan of the layout (at a real
+    * table pruned by q76/q82 skipping first) emits matches only; the
+    * MOR read anti-joins dirty files against a broadcast
+    * metadata-sized vector; clean files never pay the join. */
+  def s77StreamMor(s: SparkSession, dir: String): DataFrame = {
+    val E = graft.sources.Export
+    val (layout, stateDir, n) = s77Build(s, dir)
+    val (rows, dirty, total) = E.q95MorRead(s, layout, s"$stateDir/dv$n")
+    require(dirty > 0 && dirty < total,
+      s"s77: merge-on-read must leave clean files ($dirty/$total dirty)")
+    E.q95Face(rows)
+  }
+
+  /** s77's oracle IS q95's (the live vector serves the same
+    * survivors the batch lifecycle serves — s77 stops before the
+    * purge, which q95 proves invisible to the read). Lazy per the
+    * s45Sql stance. */
+  lazy val s77Sql: String = graft.sources.Export.q95Sql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s34_stream_tumbling" -> (s34StreamTumbling _),
     "s35_stream_join" -> (s35StreamJoin _),
@@ -2641,7 +2792,9 @@ object Streaming {
     "s72_stream_join_mv" -> (s72StreamJoinMv _),
     "s73_stream_fifo" -> (s73StreamFifo _),
     "s74_stream_asof" -> (s74StreamAsof _),
-    "s75_stream_cdf" -> (s75StreamCdf _))
+    "s75_stream_cdf" -> (s75StreamCdf _),
+    "s76_stream_wap" -> (s76StreamWap _),
+    "s77_stream_mor" -> (s77StreamMor _))
 
   def oracles: Map[String, String] = Map(
     "s34_stream_tumbling" -> s34Sql,
@@ -2692,5 +2845,11 @@ object Streaming {
     // slicing must be invisible to the pair ledger
     "s73_stream_fifo" -> s73Sql,
     "s74_stream_asof" -> s74Sql,
-    "s75_stream_cdf" -> s75Sql)
+    "s75_stream_cdf" -> s75Sql,
+    // s76 runs q96's protocol live over the same batches — a
+    // streaming WAP must be indistinguishable from the batch gate
+    "s76_stream_wap" -> s76Sql,
+    // s77 serves q95's survivors from a stream-maintained vector —
+    // and stops before the purge q95 proves invisible
+    "s77_stream_mor" -> s77Sql)
 }

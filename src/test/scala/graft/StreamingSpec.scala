@@ -1445,4 +1445,46 @@ class StreamingSpec extends SparkSpec {
       "divergence must be the replayed batch, day for day")
     assert((ungMap.keySet -- dupDays.keySet).forall(d => ungMap(d) == cleanMap(d)))
   }
+
+  test("s76 live WAP: ledger == q96 batch protocol; reject leaves the table row-identical") {
+    val S = graft.streaming.Streaming
+    val live = SparkEntry.queries("s76_stream_wap")(spark, sfDir).collect().toSeq
+    val batch = SparkEntry.queries("q96_wap")(spark, sfDir).collect().toSeq
+    assert(live == batch, "live WAP ledger != batch WAP ledger")
+    // generation audit across the reject: the w_b trigger (attempt 2)
+    // must leave the table state row-identical; both publishes move it
+    val sd = S.s76Build(spark, sfDir)
+    def tab(k: Int): Map[org.apache.spark.sql.Row, Int] =
+      spark.read.parquet(s"$sd/s76tab$k").collect().toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+    assert(tab(2) == tab(1), "a rejected attempt must not move the table")
+    assert(tab(1) != tab(0) && tab(3) != tab(2),
+      "published attempts must move the table")
+  }
+
+  test("s77 live MOR: every generation equals the direct predicate complement; vector append-only") {
+    val S = graft.streaming.Streaming
+    val E = graft.sources.Export
+    val (layout, sd, n) = S.s77Build(spark, sfDir)
+    val spans = {
+      val (a, b) = E.q95Spans(spark, sfDir)
+      Seq(a, b)
+    }
+    val src = Tables.orders(spark, sfDir)
+      .select("o_orderkey").as[Long].collect()
+    for (k <- 0 to n) {
+      val (rows, _, _) = E.q95MorRead(spark, layout, s"$sd/dv$k")
+      val got = rows.select("o_orderkey").as[Long].collect().sorted.toSeq
+      val expect = src.filterNot(key =>
+        spans.take(k).exists(sp => key >= sp._1 && key <= sp._2))
+        .sorted.toSeq
+      assert(got == expect, s"generation $k MOR read != predicate complement")
+    }
+    // the vector state only ever appends
+    val gens = (0 to n).map(k =>
+      spark.read.parquet(s"$sd/dv$k").as[(String, Long)].collect().toSet)
+    assert(gens.sliding(2).forall { case Seq(a, b) => a.subsetOf(b) },
+      "vector state must be append-only")
+    assert(gens.last.size > gens.head.size, "the deletes must land rows")
+  }
 }
