@@ -1285,6 +1285,103 @@ object Export {
       |           AND lo + span * 6 // 10 + span // 200)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- q100: dynamic partition overwrite (replaceWhere) ----
+
+  /** q100's voided-order rule inside the restated window — every
+    * 50th order was found invalid by the audit and the restatement
+    * drops it (dense key domain ⇒ bites at every SF). */
+  private[graft] val q100VoidRes = 50L
+
+  /** The restated partition window: two years, derived from the
+    * corpus' own date range (the q82/q95 derive-don't-hardcode
+    * stance). */
+  private[graft] def q100Years(s: SparkSession, dir: String): (Int, Int) = {
+    val y0 = Tables.orders(s, dir)
+      .agg(min(year(col("o_orderdate")).cast("int"))).head.getInt(0)
+    (y0 + 3, y0 + 4)
+  }
+
+  /** Per-partition file inventory (basename → size) for every
+    * partition EXCEPT the given ones — the untouched set whose
+    * byte-stability the fail-stop asserts. Driver-side O(#files)
+    * metadata, the q75/q87 listing stance. */
+  private[graft] def q100Inventory(tbl: String, except: Set[Int])
+      : Map[String, Long] =
+    listParquet(tbl).filterNot { p =>
+      except.exists(y => p.contains(s"o_year=$y/"))
+    }.map(p => p.substring(tbl.length) ->
+      java.nio.file.Files.size(java.nio.file.Paths.get(p))).toMap
+
+  /** q100: DYNAMIC PARTITION OVERWRITE — Delta `replaceWhere` /
+    * Spark's `partitionOverwriteMode=dynamic`, the restatement
+    * primitive of a partitioned lakehouse (the reference's gold
+    * MERGE jobs rebuild whole date partitions when an upstream
+    * correction lands): the nightly job recomputes exactly the
+    * affected date partitions — here the two derived years, dropping
+    * the audit-voided orders — and the overwrite replaces ONLY the
+    * partitions present in the batch, leaving every other
+    * partition's FILES untouched (not merely row-equal: the
+    * fail-stop compares the untouched partitions' file inventory
+    * byte-for-byte by name and size, because a static overwrite
+    * that rewrote everything would pass any row-level check). A
+    * second fail-stop pins the semantic: voided orders are gone from
+    * the restated window and nothing else moved. The face is the
+    * table's per-year rollup after the restatement; the oracle
+    * recomputes it from the SOURCE with the void rule applied to the
+    * window — the whole partition dance must equal one conditional
+    * predicate.
+    *
+    * Scale (100 TB): the restatement writes only the affected
+    * partitions' bytes (the table's other ~2500 day-partitions cost
+    * zero I/O); the replace is a per-partition directory swap —
+    * O(#replaced-files) metadata on an object store; the rollup
+    * reads through partition pruning. Static overwrite would rewrite
+    * the table; per-row MERGE would shuffle it — partition-grain
+    * replacement is the cheap middle the layout already paid for. */
+  def q100ReplaceWhere(s: SparkSession, dir: String): DataFrame = {
+    val tbl = scratch("q100_table", dir)
+    val src = Tables.orders(s, dir)
+      .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+    deleteTree(tbl)
+    src.write.partitionBy("o_year").mode("overwrite").parquet(tbl)
+    val (y1, y2) = q100Years(s, dir)
+    val before = q100Inventory(tbl, Set(y1, y2))
+    val restated = src
+      .filter(col("o_year").isin(y1, y2) &&
+        !(col("o_orderkey") % q100VoidRes === 0))
+    restated.write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("o_year").mode("overwrite").parquet(tbl)
+    val after = q100Inventory(tbl, Set(y1, y2))
+    require(before == after && before.nonEmpty,
+      "q100: dynamic overwrite must leave untouched partitions' files " +
+        s"byte-stable (${(before.keySet diff after.keySet).take(3)} gone, " +
+        s"${(after.keySet diff before.keySet).take(3)} new)")
+    val table = s.read.parquet(tbl)
+    val voidedLeft = table.filter(col("o_year").isin(y1, y2) &&
+      col("o_orderkey") % q100VoidRes === 0).count()
+    require(voidedLeft == 0, s"q100: $voidedLeft voided orders survived")
+    table.groupBy("o_year")
+      .agg(count(lit(1)).as("orders"),
+        sum(expr("cast(round(o_totalprice * 100, 0) as bigint)")).as("cents"))
+      .orderBy("o_year")
+  }
+
+  /** DuckDB oracle for q100: the source rollup with the void rule
+    * applied to exactly the derived window — partition surgery must
+    * equal one conditional predicate. */
+  val q100Sql: String =
+    s"""WITH b AS (
+       | SELECT min(year(o_orderdate)) AS y0 FROM orders)
+       |SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       | count(*) AS orders,
+       | CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+       |  AS cents
+       |FROM orders, b
+       |WHERE NOT (year(o_orderdate) IN (y0 + 3, y0 + 4)
+       |           AND o_orderkey % $q100VoidRes = 0)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_incremental_export" -> (q30IncrementalExport _),
     "q31_export_roundtrip" -> (q31ExportRoundtrip _),
@@ -1298,7 +1395,8 @@ object Export {
     "q83_column_mapping" -> (q83ColumnMapping _),
     "q84_partition_evolution" -> (q84PartitionEvolution _),
     "q87_shallow_clone" -> (q87ShallowClone _),
-    "q95_deletion_vectors" -> (q95DeletionVectors _))
+    "q95_deletion_vectors" -> (q95DeletionVectors _),
+    "q100_replace_where" -> (q100ReplaceWhere _))
 
   def oracles: Map[String, String] = Map(
     "q30_incremental_export" -> q30Sql,
@@ -1316,5 +1414,6 @@ object Export {
     "q83_column_mapping" -> q83Sql,
     "q84_partition_evolution" -> q84Sql,
     "q87_shallow_clone" -> q87Sql,
-    "q95_deletion_vectors" -> q95Sql)
+    "q95_deletion_vectors" -> q95Sql,
+    "q100_replace_where" -> q100Sql)
 }

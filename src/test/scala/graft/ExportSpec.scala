@@ -649,4 +649,44 @@ class ExportSpec extends SparkSpec {
     assert(face == want, "registered face != source-side survivors rollup")
     assert(preTotal == 8, s"cluster write produced $preTotal files")
   }
+
+  test("q100 dynamic overwrite: untouched files byte-identical, window == filtered source, redelivery idempotent") {
+    import spark.implicits._
+    // run the lifecycle once via the registered face
+    SparkEntry.queries("q100_replace_where")(spark, sfDir).collect()
+    val tbl = Export.scratch("q100_table", sfDir)
+    val (y1, y2) = Export.q100Years(spark, sfDir)
+    val replaced = Set(y1, y2)
+    def md5s(except: Set[Int]): Map[String, String] =
+      Export.listParquet(tbl).filterNot(p =>
+        except.exists(y => p.contains(s"o_year=$y/"))).map { p =>
+        val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+        p.substring(tbl.length) ->
+          java.security.MessageDigest.getInstance("MD5").digest(bytes)
+            .map("%02x".format(_)).mkString
+      }.toMap
+    val untouchedBefore = md5s(replaced)
+    // the replaced window serves exactly the filtered source
+    val src = Tables.orders(spark, sfDir)
+      .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+    val wantWindow = src.filter(col("o_year").isin(y1, y2) &&
+        !(col("o_orderkey") % Export.q100VoidRes === 0))
+      .select("o_orderkey").as[Long].collect().sorted.toSeq
+    val gotWindow = spark.read.parquet(tbl)
+      .filter(col("o_year").isin(y1, y2))
+      .select("o_orderkey").as[Long].collect().sorted.toSeq
+    assert(gotWindow == wantWindow, "restated window != filtered source")
+    // redelivering the same restatement batch is an identity on the
+    // untouched partitions' BYTES (name + content hash)
+    src.filter(col("o_year").isin(y1, y2) &&
+        !(col("o_orderkey") % Export.q100VoidRes === 0))
+      .write.option("partitionOverwriteMode", "dynamic")
+      .partitionBy("o_year").mode("overwrite").parquet(tbl)
+    assert(md5s(replaced) == untouchedBefore,
+      "redelivery must not move untouched partitions' bytes")
+    val gotWindow2 = spark.read.parquet(tbl)
+      .filter(col("o_year").isin(y1, y2))
+      .select("o_orderkey").as[Long].collect().sorted.toSeq
+    assert(gotWindow2 == wantWindow, "redelivery changed the window's rows")
+  }
 }
