@@ -108,7 +108,19 @@ object Bench {
     // q93 writes the q92-class chain + checkpoints at construction;
     // q94 builds the a53 layout + runs the GC cycle at construction;
     // s75 runs the s74 fold at construction
-    "q93_change_feed", "q94_orphan_gc", "s75_stream_cdf")
+    "q93_change_feed", "q94_orphan_gc", "s75_stream_cdf",
+    // q95 runs the full MOR lifecycle (base write + two delete
+    // commits + purge rewrite) and q96 stages/audits/publishes three
+    // batches at construction — persisted-artifact writers,
+    // attributable from first appearance
+    "q95_deletion_vectors", "q96_wap",
+    // their streaming twins fold the same persisted artifacts per
+    // trigger (s76 stages+audits three batches, s77 writes the
+    // clustered layout + two vector generations)
+    "s76_stream_wap", "s77_stream_mor",
+    // a54 runs TWO deterministic index builds + a health scan per
+    // regime; q100 writes a partitioned table twice at construction
+    "a54_retrain_decision", "q100_replace_where")
 
   /** Entries per solo-group JVM. The r14 measurement arc, both
     * directions measured: 97 JVMs (r13) overran the slot; 4-per-JVM
