@@ -119,8 +119,9 @@ object Bench {
     // clustered layout + two vector generations)
     "s76_stream_wap", "s77_stream_mor",
     // a54 runs TWO deterministic index builds + a health scan per
-    // regime; q100 writes a partitioned table twice at construction
-    "a54_retrain_decision", "q100_replace_where")
+    // regime; q100 writes a partitioned table twice at construction;
+    // q101 writes the clustered layout + its index table
+    "a54_retrain_decision", "q100_replace_where", "q101_record_index")
 
   /** Entries per solo-group JVM. The r14 measurement arc, both
     * directions measured: 97 JVMs (r13) overran the slot; 4-per-JVM

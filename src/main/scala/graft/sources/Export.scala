@@ -1285,6 +1285,105 @@ object Export {
       |           AND lo + span * 6 // 10 + span // 200)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- q101: record-level secondary index (exact key → file) ----
+
+  /** q101's probe modulus: span div 3, derived from the corpus' own
+    * key range (the q95/q82 stance) — ~4 probe keys at EVERY SF, so
+    * the batch is always non-empty AND always smaller than the
+    * 8-file layout, which is what makes the pruning fail-stop bite
+    * scale-independently (a fixed residue's ~1% of keys touches
+    * every file once the corpus outgrows files × residue). */
+  private[graft] def q101ProbeMod(s: SparkSession, dir: String): Long = {
+    val r = Tables.orders(s, dir)
+      .agg(min("o_orderkey"), max("o_orderkey")).head
+    math.max(1L, (r.getLong(1) - r.getLong(0)) / 3)
+  }
+
+  /** Build the record-level index: ONE scan of the layout emitting
+    * (key, file) — Hudi's record-level index / Iceberg's planned
+    * `position` index, the EXACT complement of q82's bloom (a bloom
+    * answers "maybe here" per file with false positives; the record
+    * index answers "exactly here", at the cost of index storage
+    * O(keys) instead of O(set bits)). In production this table is
+    * bucketed by key so an index probe is a bucket-local join. */
+  private[graft] def q101BuildIndex(s: SparkSession, layout: String,
+      idx: String): Unit =
+    s.read.parquet(layout)
+      .select(col("o_orderkey").as("key"), q95FileId.as("file"))
+      .write.mode("overwrite").parquet(idx)
+
+  /** q101: RECORD-LEVEL INDEX — exact multi-key point lookup (the
+    * batch shape a feature-store / serving backfill runs: "fetch
+    * these 10⁴ keys from a 10⁹-row table"): the probe batch joins
+    * the INDEX (never the table) to get exactly the files holding
+    * matches, reads only those, and semi-joins the keys back. Two
+    * properties q82's bloom cannot give, both instrumented: ZERO
+    * false-positive file reads (filesKept == the exact count of
+    * files holding a match — fail-stopped against an independent
+    * recount off the scan itself) and BATCH probes as one join
+    * (a bloom probes per-key per-file; the index join is one
+    * key-keyed exchange regardless of batch size). Fail-stops:
+    * pruning engaged (kept < total) and exactness (kept == distinct
+    * files among matching rows). Oracle: the same residue lookup
+    * straight off the source — the index path must lose no row and
+    * add none.
+    *
+    * Scale (100 TB): the index build is one column-pruned scan
+    * emitting 16 bytes/row, bucketed by key in production so probes
+    * co-locate; a batch lookup shuffles only the PROBE KEYS (the
+    * index side is bucket-pruned), the kept-file list is O(matching
+    * files) driver metadata (the q75/q82 manifest stance), and the
+    * final read scans exactly those files with the key semi-join
+    * pushed down. The index is maintained incrementally on append
+    * (new files append their (key, file) rows — the s70 sidecar
+    * discipline applies unchanged). */
+  def q101RecordIndex(s: SparkSession, dir: String): DataFrame = {
+    val layout = scratch("q101_layout", dir)
+    q76ClusterWrite(Tables.orders(s, dir), layout, "overwrite")
+    val idx = layout + "_idx"
+    q101BuildIndex(s, layout, idx)
+    val m = q101ProbeMod(s, dir)
+    val probes = Tables.orders(s, dir)
+      .filter(col("o_orderkey") % m === 0)
+      .select(col("o_orderkey").as("key"))
+    val kept = s.read.parquet(idx)
+      .join(broadcast(probes), Seq("key"))
+      .select("file").distinct()
+      .collect().map(_.getString(0)).sorted.toIndexedSeq
+    val paths = q95PathOf(layout)
+    val total = paths.size
+    require(kept.nonEmpty && kept.length < total,
+      s"q101: index must prune (${kept.length} of $total files kept)")
+    val scanned = s.read.parquet(kept.map(paths): _*)
+    val rows = scanned
+      .join(broadcast(probes), col("o_orderkey") === col("key"), "left_semi")
+    // zero-false-positive instrument, measured on the KEPT files'
+    // own scan (never a table rescan — the serving path must stay
+    // O(matching files)): every kept file holds at least one match.
+    // The other direction — no matching file was MISSED — is the
+    // oracle's row equality plus the spec's index-completeness pin.
+    val hit = scanned
+      .filter(col("o_orderkey") % m === 0)
+      .select(q95FileId).distinct().count()
+    require(hit == kept.length,
+      s"q101: ${kept.length} files kept but only $hit hold a match — " +
+        "a record index must have zero false positives")
+    q82Face(rows)
+  }
+
+  /** DuckDB oracle for q101: the same span-derived probe lookup off
+    * the SOURCE — the index path must equal one predicate. */
+  val q101Sql: String =
+    """WITH b AS (
+      | SELECT greatest(1, (max(o_orderkey) - min(o_orderkey)) // 3) AS m
+      | FROM orders)
+      |SELECT o_orderkey, o_custkey,
+      | CAST(year(o_orderdate) AS INT) AS o_year,
+      | CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      |FROM orders, b
+      |WHERE o_orderkey % m = 0
+      |ORDER BY o_orderkey""".stripMargin
+
   // ---- q100: dynamic partition overwrite (replaceWhere) ----
 
   /** q100's voided-order rule inside the restated window — every
@@ -1396,7 +1495,8 @@ object Export {
     "q84_partition_evolution" -> (q84PartitionEvolution _),
     "q87_shallow_clone" -> (q87ShallowClone _),
     "q95_deletion_vectors" -> (q95DeletionVectors _),
-    "q100_replace_where" -> (q100ReplaceWhere _))
+    "q100_replace_where" -> (q100ReplaceWhere _),
+    "q101_record_index" -> (q101RecordIndex _))
 
   def oracles: Map[String, String] = Map(
     "q30_incremental_export" -> q30Sql,
@@ -1415,5 +1515,6 @@ object Export {
     "q84_partition_evolution" -> q84Sql,
     "q87_shallow_clone" -> q87Sql,
     "q95_deletion_vectors" -> q95Sql,
-    "q100_replace_where" -> q100Sql)
+    "q100_replace_where" -> q100Sql,
+    "q101_record_index" -> q101Sql)
 }

@@ -689,4 +689,28 @@ class ExportSpec extends SparkSpec {
       .select("o_orderkey").as[Long].collect().sorted.toSeq
     assert(gotWindow2 == wantWindow, "redelivery changed the window's rows")
   }
+
+  test("q101 record index: complete (one row per table row), absent probes keep zero files") {
+    import spark.implicits._
+    SparkEntry.queries("q101_record_index")(spark, sfDir).collect()
+    val layout = Export.scratch("q101_layout", sfDir)
+    val idx = layout + "_idx"
+    // completeness: the index is exactly the (key, file) projection
+    // of the layout — same multiset, nothing dropped or invented
+    val fromIdx = spark.read.parquet(idx)
+      .as[(Long, String)].collect().sorted.toSeq
+    val fromScan = spark.read.parquet(layout)
+      .select(col("o_orderkey"),
+        regexp_extract(col("_metadata.file_path"), "[^/]+$", 0))
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(fromIdx == fromScan, "index != (key, file) projection of the layout")
+    // the exactness contrast with q82's bloom: a probe for keys the
+    // table does NOT hold keeps ZERO files — no false-positive reads
+    val maxKey = Tables.orders(spark, sfDir)
+      .agg(max("o_orderkey")).head.getLong(0)
+    val absent = Seq(maxKey + 17, maxKey + 9001).toDF("key")
+    val kept = spark.read.parquet(idx)
+      .join(absent, Seq("key")).select("file").distinct().count()
+    assert(kept == 0, s"absent probes kept $kept files — a record index has no false positives")
+  }
 }
