@@ -2661,13 +2661,17 @@ object Streaming {
     * file adoption — at a real sink the publish is the same metadata
     * move q96 does. */
   def s76StreamWap(s: SparkSession, dir: String): DataFrame = {
+    // the head generation is the protocol's own batch count — never
+    // a literal (the q89-advice precondition stance)
+    val head = graft.operators.Relational
+      .q96Batches(s, dir)._2.size
     val stateDir = s76Build(s, dir)
-    val out = s.read.parquet(s"$stateDir/s76ledg3").orderBy("attempt")
+    val out = s.read.parquet(s"$stateDir/s76ledg$head").orderBy("attempt")
     val rows = out.collect()
     require(rows.count(_.getString(4) == "rejected") == 1 &&
       rows.exists(_.getLong(3) > 0L),
       "s76: the planted audit failure must genuinely reject")
-    val tableN = s.read.parquet(s"$stateDir/s76tab3").count()
+    val tableN = s.read.parquet(s"$stateDir/s76tab$head").count()
     require(tableN == rows.last.getLong(6),
       s"s76: table holds $tableN rows, ledger says ${rows.last.getLong(6)}")
     out

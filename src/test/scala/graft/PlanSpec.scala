@@ -839,7 +839,20 @@ class PlanSpec extends SparkSpec {
       // s45 writes the same MV state at construction and folds two
       // slices through q38's shared merge, pinned by the q38Sql
       // oracle and the StreamingSpec generation-chain property
-      "s45_stream_mv_refresh")
+      "s45_stream_mv_refresh",
+      // r14 second wave: s76 stages+audits three batches and s77
+      // folds vector generations at construction (their join shapes
+      // are the audited q96/q95 bodies, pinned by the shared oracles
+      // and the StreamingSpec stream==batch / per-version closures);
+      // a54 runs two deterministic index builds (the audited a42
+      // machinery; its 1-row/96-row crosses are the a42 stance);
+      // q100 writes the partitioned table twice; q101 writes the
+      // clustered layout + its index table (face joins are plain
+      // keyed equi/semi joins pinned by their oracles and
+      // ExportSpec); m41 runs the decode-identity fail-stop
+      // (exceptAll over the mapPartitions decode) at construction
+      "s76_stream_wap", "s77_stream_mor", "a54_retrain_decision",
+      "q100_replace_where", "q101_record_index", "m41_metadata_scrub")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => eagerEntries(q._1)).foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
