@@ -3202,8 +3202,13 @@ object Dedup {
 
   private[graft] def d55Corpus(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select("doc_id", "text")
+    // only docs that CONTAIN a space re-crawl: a spaceless doc
+    // mangles to itself (byte-identical twins, nothing to select
+    // between — found at sf0.1, 6 of 1255), which would make the
+    // disagree-everywhere fail-stop vacuously false
     docs.unionByName(docs
-      .filter(col("doc_id") % d55RecrawlMod === 0)
+      .filter(col("doc_id") % d55RecrawlMod === 0 &&
+        col("text").contains(" "))
       .select((-col("doc_id") - 1).as("doc_id"),
         regexp_replace(col("text"), " ", "  ").as("text")))
   }
@@ -3245,10 +3250,16 @@ object Dedup {
         count(lit(1)).as("dup_count"),
         min(col("raw_len")).as("kept_bytes"))
       .orderBy("fingerprint")
+    // a cluster is PLANTED iff it holds a re-crawl (negative id);
+    // a NATURAL multi-member cluster (two positive ids with
+    // byte-identical text — 6 such pairs exist at sf0.1) ties on
+    // raw_len and legitimately falls back to keep-min: the
+    // disagree-law binds only where the copies genuinely differ
+    val planted = col("min_doc_id") < 0
     val tallies = out.agg(
-      sum(when(col("dup_count") > 1 &&
-        col("keep_doc_id") === col("min_doc_id"), 1L).otherwise(0L)),
-      sum(when(col("dup_count") > 1, 1L).otherwise(0L)),
+      sum(when(planted && col("keep_doc_id") === col("min_doc_id"), 1L)
+        .otherwise(0L)),
+      sum(when(planted, 1L).otherwise(0L)),
       sum(when(col("dup_count") === 1 &&
         col("keep_doc_id") =!= col("min_doc_id"), 1L).otherwise(0L))).head
     require(tallies.getLong(1) > 0 && tallies.getLong(0) == 0,
@@ -3267,7 +3278,7 @@ object Dedup {
        | SELECT doc_id, text FROM documents
        | UNION ALL
        | SELECT -(doc_id + 1), replace(text, ' ', '  ') FROM documents
-       | WHERE doc_id % $d55RecrawlMod = 0),
+       | WHERE doc_id % $d55RecrawlMod = 0 AND contains(text, ' ')),
        |q AS (
        | SELECT doc_id,
        |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,

@@ -1230,7 +1230,8 @@ class DedupSpec extends SparkSpec {
     // full in-memory mirror: plant, normalize-fingerprint, argmin
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
       .as[(Long, String)].collect()
-    val all = docs ++ docs.filter(_._1 % D.d55RecrawlMod == 0)
+    val all = docs ++ docs
+      .filter(d => d._1 % D.d55RecrawlMod == 0 && d._2.contains(" "))
       .map { case (id, t) => (-(id + 1), t.replace(" ", "  ")) }
     def fp(t: String): String =
       java.security.MessageDigest.getInstance("MD5")
