@@ -121,7 +121,9 @@ object Bench {
     // a54 runs TWO deterministic index builds + a health scan per
     // regime; q100 writes a partitioned table twice at construction;
     // q101 writes the clustered layout + its index table
-    "a54_retrain_decision", "q100_replace_where", "q101_record_index")
+    "a54_retrain_decision", "q100_replace_where", "q101_record_index",
+    // s78 folds clustered append commits + index generations
+    "s78_stream_record_index")
 
   /** Entries per solo-group JVM. The r14 measurement arc, both
     * directions measured: 97 JVMs (r13) overran the slot; 4-per-JVM

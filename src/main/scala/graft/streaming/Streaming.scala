@@ -2754,6 +2754,89 @@ object Streaming {
     * s45Sql stance. */
   lazy val s77Sql: String = graft.sources.Export.q95Sql
 
+  /** s78's builder: live record-index maintenance — the table starts
+    * from the first order slice, append batches land as new part
+    * files, and the fold extends the (key, file) index state by
+    * scanning ONLY the trigger's new files (listed by the
+    * before/after file diff — O(#files) driver metadata, the
+    * q75/q87 stance). The data files and every index generation
+    * persist for the spec's incremental == rebuild audit. Returns
+    * (layout, stateDir, #batches). */
+  private[graft] def s78Build(s: SparkSession, dir: String)
+      : (String, String, Int) = {
+    val E = graft.sources.Export
+    val layout = E.scratch("s78_layout", dir)
+    E.deleteTree(layout)
+    val slices = orderSlices(Tables.orders(s, dir))
+    // every commit range-clusters ITS OWN rows on the index key (the
+    // q76 ingest discipline q101's one-shot layout gets for free):
+    // time-sliced commits with no within-commit clustering would put
+    // every key range in every file and no lookup could prune
+    E.q76ClusterWrite(slices.head, layout, "overwrite")
+    val idx0 = s.read.parquet(layout)
+      .select(col("o_orderkey").as("key"), E.q95FileId.as("file"))
+    val stateDir = E.scratch("s78_idx", dir)
+    foldGenerations(s, stateDir, Seq("idx" -> idx0), slices.tail) {
+      case (states, batch, _) =>
+        val Seq(idx) = states: @unchecked
+        val before = E.listParquet(layout).toSet
+        E.q76ClusterWrite(batch, layout, "append")
+        val fresh = (E.listParquet(layout).toSet -- before).toSeq.sorted
+        val newRows = s.read.parquet(fresh: _*)
+          .select(col("o_orderkey").as("key"), E.q95FileId.as("file"))
+        Seq(idx.unionByName(newRows))
+    }
+    (layout, stateDir, slices.size - 1)
+  }
+
+  /** s78: LIVE RECORD INDEX — q101's streaming face, completing the
+    * sidecar-maintenance square (s70 keeps the bloom sidecar live on
+    * append, s68 re-points the manifest across compaction, s77
+    * appends delete vectors; the exact key→file index gets the same
+    * discipline): each append trigger indexes ONLY its own new files
+    * — O(batch) index I/O, never a table re-scan — and a point
+    * lookup through the live index state must be indistinguishable
+    * from q101's built-once index over the final table. The face
+    * runs q101's probe (same span-derived modulus, same kept-file
+    * read, same zero-false-positive instrument) against the
+    * stream-maintained state; its oracle IS q101's SQL.
+    * StreamingSpec pins the closures: the final index state equals a
+    * from-scratch rebuild row-for-row, and at EVERY generation the
+    * indexed keys are exactly the data-so-far's keys.
+    *
+    * Scale: the per-trigger index append scans only new files
+    * (16 bytes/row out); the file-diff listing is O(#files) driver
+    * metadata; lookups are q101's shape unchanged. An index that
+    * required rebuild-on-append would turn every micro-batch into a
+    * table scan — this is why record indexes ship as incrementally
+    * maintained sidecars (Hudi's metadata-table record index). */
+  def s78StreamRecordIndex(s: SparkSession, dir: String): DataFrame = {
+    val E = graft.sources.Export
+    val (layout, stateDir, n) = s78Build(s, dir)
+    val m = E.q101ProbeMod(s, dir)
+    val probes = Tables.orders(s, dir)
+      .filter(col("o_orderkey") % m === 0)
+      .select(col("o_orderkey").as("key"))
+    val kept = s.read.parquet(s"$stateDir/idx$n")
+      .join(broadcast(probes), Seq("key"))
+      .select("file").distinct()
+      .collect().map(_.getString(0)).sorted.toIndexedSeq
+    val paths = E.q95PathOf(layout)
+    require(kept.nonEmpty && kept.length < paths.size,
+      s"s78: live index must prune (${kept.length} of ${paths.size} files kept)")
+    val scanned = s.read.parquet(kept.map(paths): _*)
+    val hit = scanned.filter(col("o_orderkey") % m === 0)
+      .select(E.q95FileId).distinct().count()
+    require(hit == kept.length,
+      s"s78: ${kept.length} files kept but only $hit hold a match")
+    E.q82Face(scanned.join(broadcast(probes),
+      col("o_orderkey") === col("key"), "left_semi"))
+  }
+
+  /** s78's oracle IS q101's (a live index must serve the lookup a
+    * built-once index serves). Lazy per the s45Sql stance. */
+  lazy val s78Sql: String = graft.sources.Export.q101Sql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s34_stream_tumbling" -> (s34StreamTumbling _),
     "s35_stream_join" -> (s35StreamJoin _),
@@ -2798,7 +2881,8 @@ object Streaming {
     "s74_stream_asof" -> (s74StreamAsof _),
     "s75_stream_cdf" -> (s75StreamCdf _),
     "s76_stream_wap" -> (s76StreamWap _),
-    "s77_stream_mor" -> (s77StreamMor _))
+    "s77_stream_mor" -> (s77StreamMor _),
+    "s78_stream_record_index" -> (s78StreamRecordIndex _))
 
   def oracles: Map[String, String] = Map(
     "s34_stream_tumbling" -> s34Sql,
@@ -2855,5 +2939,8 @@ object Streaming {
     "s76_stream_wap" -> s76Sql,
     // s77 serves q95's survivors from a stream-maintained vector —
     // and stops before the purge q95 proves invisible
-    "s77_stream_mor" -> s77Sql)
+    "s77_stream_mor" -> s77Sql,
+    // s78 serves q101's lookup through the incrementally-maintained
+    // index — a live sidecar must be invisible to the reader
+    "s78_stream_record_index" -> s78Sql)
 }

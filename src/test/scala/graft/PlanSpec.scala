@@ -852,7 +852,10 @@ class PlanSpec extends SparkSpec {
       // ExportSpec); m41 runs the decode-identity fail-stop
       // (exceptAll over the mapPartitions decode) at construction
       "s76_stream_wap", "s77_stream_mor", "a54_retrain_decision",
-      "q100_replace_where", "q101_record_index", "m41_metadata_scrub")
+      "q100_replace_where", "q101_record_index", "m41_metadata_scrub",
+      // s78 folds clustered append commits + index generations at
+      // construction; its lookup is q101's audited probe shape
+      "s78_stream_record_index")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => eagerEntries(q._1)).foreach { case (name, fn) =>
       val df = fn(spark, sfDir)

@@ -1487,4 +1487,33 @@ class StreamingSpec extends SparkSpec {
       "vector state must be append-only")
     assert(gens.last.size > gens.head.size, "the deletes must land rows")
   }
+
+  test("s78 live index: incremental == rebuild row-for-row; every generation indexes exactly the data-so-far") {
+    import org.apache.spark.sql.functions._
+    val S = graft.streaming.Streaming
+    val E = graft.sources.Export
+    val (layout, sd, n) = S.s78Build(spark, sfDir)
+    // incremental == rebuild: the folded state IS the (key, file)
+    // projection of the final layout, as a multiset
+    val inc = spark.read.parquet(s"$sd/idx$n")
+      .as[(Long, String)].collect().sorted.toSeq
+    val rebuild = spark.read.parquet(layout)
+      .select(col("o_orderkey"),
+        regexp_extract(col("_metadata.file_path"), "[^/]+$", 0))
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(inc == rebuild, "incrementally-maintained index != from-scratch rebuild")
+    // per-generation closure: generation k indexes exactly the keys
+    // of the first k+1 commits — nothing early, nothing missed
+    val slices = S.orderSlices(Tables.orders(spark, sfDir))
+      .map(_.select("o_orderkey").as[Long].collect().sorted.toSeq)
+    for (k <- 0 to n) {
+      val want = slices.take(k + 1).flatten.sorted
+      val got = spark.read.parquet(s"$sd/idx$k")
+        .select("key").as[Long].collect().sorted.toSeq
+      assert(got == want, s"generation $k indexes ${got.size} keys, " +
+        s"data-so-far has ${want.size}")
+    }
+    assert(E.listParquet(layout).size > 8,
+      "the appends must have landed as new files")
+  }
 }
