@@ -1111,7 +1111,7 @@ object Relational {
     * columns — the Z-order (Morton) value. Pure integer shift/mask
     * arithmetic over a constant-bounds sequence: identical in both
     * dialects, codegen'd, no UDF. */
-  private def zInterleave(xCol: String, yCol: String): Column = expr(
+  private[graft] def zInterleave(xCol: String, yCol: String): Column = expr(
     s"""aggregate(sequence(0, 15), 0L, (acc, i) ->
        | acc + shiftleft(shiftright($xCol, i) & 1, 2*i)
        |     + shiftleft(shiftright($yCol, i) & 1, 2*i+1))""".stripMargin)

@@ -1285,6 +1285,181 @@ object Export {
       |           AND lo + span * 6 // 10 + span // 200)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- q102: layout robustness matrix (linear vs z-order skipping) ----
+
+  /** q102's derived probe spans (the q95/q100 stance): a 10% custkey
+    * band at the 20% point, and the corpus' third year — each
+    * selective in ITS dimension so the matrix's pruning laws bite at
+    * every SF. */
+  private[graft] def q102Spans(s: SparkSession, dir: String)
+      : ((Long, Long), (String, String)) = {
+    val r = Tables.orders(s, dir).agg(
+      min("o_custkey"), max("o_custkey"),
+      min(year(col("o_orderdate")).cast("int"))).head
+    val (lo, span) = (r.getLong(0), r.getLong(1) - r.getLong(0))
+    val y = r.getInt(2) + 2
+    ((lo + span * 2 / 10, lo + span * 3 / 10),
+      (s"$y-01-01", s"$y-12-31"))
+  }
+
+  /** One two-column stats sidecar row per data file: custkey span +
+    * date span (as days since the q34 epoch — a monotone bijection,
+    * so span overlap over days IS span overlap over dates). The
+    * q76SidecarRows shape, widened to the two skip dimensions. */
+  private[graft] def q102Stats(s: SparkSession, layout: String): DataFrame =
+    s.read.parquet(layout)
+      .select(q95FileId.as("file"), col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), to_date(lit("1995-01-01")))
+          .cast("long").as("days"))
+      .groupBy("file")
+      .agg(min("o_custkey").as("minc"), max("o_custkey").as("maxc"),
+        min("days").as("mind"), max("days").as("maxd"))
+
+  /** q102: LAYOUT ROBUSTNESS MATRIX — the measured answer to "why
+    * z-order?" (q34 SHIPS the z layout; q102 proves the decision,
+    * the d53/a47 tuning-instrument pattern applied to storage):
+    * cluster the same table three ways — linear on custkey, linear
+    * on date, z-order on both — build each layout's two-column
+    * min/max sidecar, and evaluate the 3×3 (layout × predicate)
+    * skipping matrix for a custkey band, a date year, and their
+    * conjunction. The fail-stops pin the laws the folklore claims:
+    * each linear layout prunes its OWN dimension but keeps EVERY
+    * file under the orthogonal predicate (the failure mode that
+    * motivates z-order), while the z layout prunes under ALL THREE
+    * predicates — robustness, not per-dimension optimality. The face
+    * is the no-loss law the driver can hash: for every (layout,
+    * predicate) cell, the rows served from KEPT FILES ONLY — the
+    * oracle recomputes each predicate's count straight off the
+    * source, so a single skipped-but-matching row anywhere in the
+    * matrix breaks the hash. ExportSpec pins the measured matrix
+    * itself (kept counts recomputed from the sidecars).
+    *
+    * Scale (100 TB): this is the offline instrument a table's
+    * OPTIMIZE policy consults — three bounded clustered writes of a
+    * sample, O(#files) sidecars, nine metadata prunes; the
+    * conclusion (z-order's worst predicate beats each linear's
+    * worst) is what licenses paying q34's z-write for the real
+    * table. */
+  def q102LayoutMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val R = graft.operators.Relational
+    val src = Tables.orders(s, dir)
+    val ((c1, c2), (d1, d2)) = q102Spans(s, dir)
+    val (day1, day2) = (
+      java.time.LocalDate.parse(d1).toEpochDay -
+        java.time.LocalDate.parse("1995-01-01").toEpochDay,
+      java.time.LocalDate.parse(d2).toEpochDay -
+        java.time.LocalDate.parse("1995-01-01").toEpochDay)
+    // the three layouts
+    val lc = scratch("q102_lc", dir)
+    src.repartitionByRange(8, col("o_custkey"))
+      .sortWithinPartitions("o_custkey").write.mode("overwrite").parquet(lc)
+    val ld = scratch("q102_ld", dir)
+    src.repartitionByRange(8, col("o_orderdate"))
+      .sortWithinPartitions("o_orderdate").write.mode("overwrite").parquet(ld)
+    val lz = scratch("q102_lz", dir)
+    // two subtleties, both measured on this corpus: (1) a
+    // column-hash repartition gets AQE-coalesced to one file on
+    // small inputs — an EXPLICIT range partition count keeps the
+    // cell structure the matrix measures; (2) the raw dimensions
+    // have UNEQUAL bit widths (custkey ~8 bits, days ~12), so naive
+    // interleaving puts only date bits in the z-value's high bits
+    // and custkey predicates prune NOTHING — normalize each
+    // dimension to an 8-bit rank first (Delta's OPTIMIZE ZORDER
+    // range-id move), so the two dimensions alternate fairly
+    val stats = src.agg(
+      min("o_custkey"), max("o_custkey"),
+      min(datediff(to_date(col("o_orderdate")), to_date(lit("1995-01-01")))
+        .cast("long")),
+      max(datediff(to_date(col("o_orderdate")), to_date(lit("1995-01-01")))
+        .cast("long"))).head
+    val (cLo, cSpan) = (stats.getLong(0), math.max(stats.getLong(1) - stats.getLong(0), 1L))
+    val (dLo, dSpan) = (stats.getLong(2), math.max(stats.getLong(3) - stats.getLong(2), 1L))
+    src.withColumn("zx",
+        expr(s"((o_custkey - $cLo) * 255) div $cSpan"))
+      .withColumn("zy", expr(
+        s"""((datediff(to_date(o_orderdate), date'1995-01-01') - $dLo)
+           |  * 255) div $dSpan""".stripMargin))
+      .withColumn("zval", R.zInterleave("zx", "zy"))
+      .repartitionByRange(32, col("zval"))
+      .sortWithinPartitions("zval")
+      .drop("zx", "zy", "zval")
+      .write.mode("overwrite").parquet(lz)
+    val preds = Seq("cust", "date", "both")
+    def rowPred(name: String): Column = name match {
+      case "cust" => col("o_custkey").between(c1, c2)
+      case "date" => to_date(col("o_orderdate")).between(lit(d1), lit(d2))
+      case _ => col("o_custkey").between(c1, c2) &&
+        to_date(col("o_orderdate")).between(lit(d1), lit(d2))
+    }
+    val layouts = Seq("linear_cust" -> lc, "linear_date" -> ld, "zorder" -> lz)
+    val cells = for {
+      (lname, lpath) <- layouts
+      stats = q102Stats(s, lpath)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      paths = q95PathOf(lpath)
+      pname <- preds
+    } yield {
+      val kept = stats.filter { case (_, minc, maxc, mind, maxd) =>
+        // evaluate the ONE overlap rule on driver-side longs — the
+        // sidecar is O(#files) metadata (the q75/q87 stance)
+        (pname match {
+          case "cust" => maxc >= c1 && minc <= c2
+          case "date" => maxd >= day1 && mind <= day2
+          case _ => maxc >= c1 && minc <= c2 && maxd >= day1 && mind <= day2
+        })
+      }.map(_._1).sorted
+      val served =
+        if (kept.isEmpty) 0L
+        else s.read.parquet(kept.map(paths): _*).filter(rowPred(pname)).count()
+      (lname, pname, kept.length, stats.length, served)
+    }
+    val byCell = cells.map(c => (c._1, c._2) -> c).toMap
+    def frac(l: String, p: String) = {
+      val c = byCell((l, p)); (c._3, c._4)
+    }
+    // the folklore, fail-stopped: linear prunes its own dimension...
+    require(frac("linear_cust", "cust")._1 < frac("linear_cust", "cust")._2 &&
+      frac("linear_date", "date")._1 < frac("linear_date", "date")._2,
+      s"q102: linear layouts must prune their own dimension: $cells")
+    // ...keeps every file under the orthogonal predicate...
+    require(frac("linear_cust", "date")._1 == frac("linear_cust", "date")._2 &&
+      frac("linear_date", "cust")._1 == frac("linear_date", "cust")._2,
+      s"q102: a linear layout cannot prune the orthogonal dimension: $cells")
+    // ...and z-order prunes under ALL THREE predicates
+    require(preds.forall(p => frac("zorder", p)._1 < frac("zorder", p)._2),
+      s"q102: z-order must prune every predicate: $cells")
+    cells.map(c => (c._1, c._2, c._5))
+      .toDF("layout", "predicate", "rows_matched")
+      .orderBy("layout", "predicate")
+  }
+
+  /** DuckDB oracle for q102: each predicate's count off the SOURCE,
+    * crossed with the literal layout names — serving from kept files
+    * only must lose nothing, anywhere in the matrix. */
+  val q102Sql: String =
+    """WITH b AS (
+      | SELECT min(o_custkey) + (max(o_custkey) - min(o_custkey)) * 2 // 10 AS c1,
+      |  min(o_custkey) + (max(o_custkey) - min(o_custkey)) * 3 // 10 AS c2,
+      |  min(year(o_orderdate)) + 2 AS y
+      | FROM orders),
+      |n AS (
+      | SELECT
+      |  (SELECT count(*) FROM orders, b
+      |    WHERE o_custkey BETWEEN c1 AND c2) AS n_cust,
+      |  (SELECT count(*) FROM orders, b
+      |    WHERE year(o_orderdate) = y) AS n_date,
+      |  (SELECT count(*) FROM orders, b
+      |    WHERE o_custkey BETWEEN c1 AND c2 AND year(o_orderdate) = y) AS n_both)
+      |SELECT l.layout, p.predicate,
+      | CAST(CASE p.predicate WHEN 'cust' THEN n_cust
+      |       WHEN 'date' THEN n_date ELSE n_both END AS BIGINT) AS rows_matched
+      |FROM (VALUES ('linear_cust'), ('linear_date'), ('zorder')) l(layout)
+      |CROSS JOIN (VALUES ('cust'), ('date'), ('both')) p(predicate)
+      |CROSS JOIN n
+      |ORDER BY l.layout, p.predicate""".stripMargin
+
   // ---- q101: record-level secondary index (exact key → file) ----
 
   /** q101's probe modulus: span div 3, derived from the corpus' own
@@ -1496,7 +1671,8 @@ object Export {
     "q87_shallow_clone" -> (q87ShallowClone _),
     "q95_deletion_vectors" -> (q95DeletionVectors _),
     "q100_replace_where" -> (q100ReplaceWhere _),
-    "q101_record_index" -> (q101RecordIndex _))
+    "q101_record_index" -> (q101RecordIndex _),
+    "q102_layout_matrix" -> (q102LayoutMatrix _))
 
   def oracles: Map[String, String] = Map(
     "q30_incremental_export" -> q30Sql,
@@ -1516,5 +1692,6 @@ object Export {
     "q87_shallow_clone" -> q87Sql,
     "q95_deletion_vectors" -> q95Sql,
     "q100_replace_where" -> q100Sql,
-    "q101_record_index" -> q101Sql)
+    "q101_record_index" -> q101Sql,
+    "q102_layout_matrix" -> q102Sql)
 }

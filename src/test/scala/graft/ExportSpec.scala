@@ -713,4 +713,37 @@ class ExportSpec extends SparkSpec {
       .join(absent, Seq("key")).select("file").distinct().count()
     assert(kept == 0, s"absent probes kept $kept files — a record index has no false positives")
   }
+
+  test("q102 matrix: independent sidecar recompute confirms every pruning law") {
+    SparkEntry.queries("q102_layout_matrix")(spark, sfDir).collect()
+    val ((c1, c2), (d1, d2)) = Export.q102Spans(spark, sfDir)
+    val epoch = java.time.LocalDate.parse("1995-01-01").toEpochDay
+    val (day1, day2) = (java.time.LocalDate.parse(d1).toEpochDay - epoch,
+      java.time.LocalDate.parse(d2).toEpochDay - epoch)
+    def matrix(tag: String): Map[String, (Int, Int)] = {
+      val stats = Export.q102Stats(spark, Export.scratch(tag, sfDir))
+        .as[(String, Long, Long, Long, Long)].collect()
+      def keep(p: String) = stats.count { case (_, minc, maxc, mind, maxd) =>
+        p match {
+          case "cust" => maxc >= c1 && minc <= c2
+          case "date" => maxd >= day1 && mind <= day2
+          case _ => maxc >= c1 && minc <= c2 && maxd >= day1 && mind <= day2
+        }
+      }
+      Seq("cust", "date", "both").map(p => p -> (keep(p), stats.length)).toMap
+    }
+    val (mc, md, mz) = (matrix("q102_lc"), matrix("q102_ld"), matrix("q102_lz"))
+    // each linear prunes its own dimension, keeps all orthogonally
+    assert(mc("cust")._1 < mc("cust")._2 && mc("date")._1 == mc("date")._2)
+    assert(md("date")._1 < md("date")._2 && md("cust")._1 == md("cust")._2)
+    // z prunes everywhere; the conjunction never keeps MORE than
+    // either conjunct (overlap-set intersection law)
+    Seq("cust", "date", "both").foreach(p => assert(mz(p)._1 < mz(p)._2,
+      s"z-order kept everything under $p"))
+    assert(mz("both")._1 <= math.min(mz("cust")._1, mz("date")._1))
+    // the robustness headline: z's WORST predicate beats each
+    // linear's worst (which keeps 100% of files)
+    val zWorst = Seq("cust", "date", "both").map(p => mz(p)._1).max
+    assert(zWorst < mz("cust")._2)
+  }
 }

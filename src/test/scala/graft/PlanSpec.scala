@@ -855,7 +855,11 @@ class PlanSpec extends SparkSpec {
       "q100_replace_where", "q101_record_index", "m41_metadata_scrub",
       // s78 folds clustered append commits + index generations at
       // construction; its lookup is q101's audited probe shape
-      "s78_stream_record_index")
+      "s78_stream_record_index",
+      // q102 writes three clustered layouts + two-column sidecars
+      // and evaluates the 3×3 prune matrix at construction; its
+      // face is a 9-row driver-built ledger
+      "q102_layout_matrix")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => eagerEntries(q._1)).foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
