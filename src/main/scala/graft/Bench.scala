@@ -123,8 +123,9 @@ object Bench {
     // q101 writes the clustered layout + its index table
     "a54_retrain_decision", "q100_replace_where", "q101_record_index",
     // s78 folds clustered append commits + index generations; q102
-    // writes THREE clustered layouts + sidecars at construction
-    "s78_stream_record_index", "q102_layout_matrix")
+    // writes THREE clustered layouts + sidecars at construction;
+    // a55 runs the a27 truth leg + three PQ pipelines
+    "s78_stream_record_index", "q102_layout_matrix", "a55_pq_tradeoff")
 
   /** Entries per solo-group JVM. The r14 measurement arc, both
     * directions measured: 97 JVMs (r13) overran the slot; 4-per-JVM

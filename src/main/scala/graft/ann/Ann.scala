@@ -69,7 +69,7 @@ object Ann {
     * query and map task cross the network), then rank expansion. One
     * definition so the exact baseline and the quantized path can
     * never diverge on tie-break or output contract. */
-  private def rankedTopK(s: SparkSession,
+  private[graft] def rankedTopK(s: SparkSession,
       scored: org.apache.spark.sql.Dataset[(Long, Long, Double)],
       k: Int = K, scoreCol: String = "cosine"): DataFrame = {
     import s.implicits._
@@ -585,28 +585,45 @@ object Ann {
   private val pqD = 8
   private val pqKs = 16
 
-  /** codebooks(m)(j)(d): %.17g decimal strings, identical in both
-    * dialects. */
-  private[graft] val pqCodebookStrs: Seq[Seq[Seq[String]]] = {
-    val rng = new scala.util.Random(97531)
-    Seq.fill(pqM, pqKs, pqD)(rng.nextGaussian())
-      .map(_.map(_.map(v => String.format(java.util.Locale.ROOT, "%.17g", Double.box(v)))))
+  /** One PQ geometry: m subspaces × d dims, 16-entry literal
+    * codebooks (%.17g strings, identical in both dialects) plus the
+    * precomputed per-entry squared norms. Parameterized so a55 can
+    * sweep the compression grid through the SAME encode/LUT/ADC
+    * machinery a32 ships. */
+  private[graft] case class PqCfg(m: Int, d: Int,
+      cbs: Seq[Seq[Seq[String]]], nsq: Seq[Seq[String]])
+
+  private[graft] def pqCfgOf(m: Int, d: Int, seed: Long): PqCfg = {
+    def fmt(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.17g", Double.box(v))
+    val rng = new scala.util.Random(seed)
+    val cbs = Seq.fill(m, pqKs, d)(rng.nextGaussian())
+      .map(_.map(_.map(fmt)))
+    // squared L2 norm of each entry, computed once from the SAME
+    // parsed literal doubles both engines read (sequential sum)
+    val nsq = cbs.map(_.map { entry =>
+      fmt(entry.map(_.toDouble).foldLeft(0.0)((s, v) => s + v * v))
+    })
+    PqCfg(m, d, cbs, nsq)
   }
 
-  /** Squared L2 norm of each codebook entry, computed once from the
-    * parsed literal doubles (sequential sum) and re-emitted as a
-    * literal — both engines look it up instead of recomputing. */
-  private val pqNormSqStrs: Seq[Seq[String]] =
-    pqCodebookStrs.map(_.map { entry =>
-      val n = entry.map(_.toDouble).foldLeft(0.0)((s, v) => s + v * v)
-      String.format(java.util.Locale.ROOT, "%.17g", Double.box(n))
-    })
+  /** a32's shipped geometry — the SAME literal values as before the
+    * a55 parameterization (identical seed, identical fill order). */
+  private[graft] val a32Cfg: PqCfg = pqCfgOf(pqM, pqD, 97531)
 
-  private def pqCbSpark(m: Int): String =
-    pqCodebookStrs(m).map(_.map(_ + "D").mkString("array(", ",", ")"))
+  /** codebooks(m)(j)(d), a32's geometry (a33 shares them). */
+  private[graft] val pqCodebookStrs: Seq[Seq[Seq[String]]] = a32Cfg.cbs
+
+  private val pqNormSqStrs: Seq[Seq[String]] = a32Cfg.nsq
+
+  private def pqCbSparkOf(cfg: PqCfg, m: Int): String =
+    cfg.cbs(m).map(_.map(_ + "D").mkString("array(", ",", ")"))
       .mkString("array(", ",", ")")
-  private def pqNormSqSpark(m: Int): String =
-    pqNormSqStrs(m).map(_ + "D").mkString("array(", ",", ")")
+  private def pqNormSqSparkOf(cfg: PqCfg, m: Int): String =
+    cfg.nsq(m).map(_ + "D").mkString("array(", ",", ")")
+
+  private def pqCbSpark(m: Int): String = pqCbSparkOf(a32Cfg, m)
+  private def pqNormSqSpark(m: Int): String = pqNormSqSparkOf(a32Cfg, m)
 
   /** a32: product-quantized ANN (PQ/ADC — Jégou, Douze & Schmid,
     * "Product Quantization for Nearest Neighbor Search", TPAMI 2011;
@@ -626,75 +643,90 @@ object Ann {
     * reconstruction norm, rounded cosine, rank tie-break — is
     * deterministic and replayed by the DuckDB oracle with unrolled
     * per-subspace SQL sharing the same literals. */
-  def a32AnnPq(s: SparkSession, dir: String): DataFrame = {
+  /** The full PQ encode/LUT/ADC scoring pipeline for one geometry —
+    * a32's body, parameterized for the a55 sweep. Returns the scored
+    * (query_id, neighbor_id, cosine) stream. */
+  private[graft] def pqScored(s: SparkSession, dir: String, cfg: PqCfg)
+      : org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
     import s.implicits._
     val corpus = Tables.embeddings(s, dir).select("vec_id", "embedding")
     // encode: per subspace, squared-L2 to the 16 entries, argmin.
     // Intermediate dl_m columns so each distance list is computed
     // once (not once for min + once for position).
-    val enc0 = (0 until pqM).foldLeft(corpus) { (df, m) =>
+    val enc0 = (0 until cfg.m).foldLeft(corpus) { (df, m) =>
       df.withColumn(s"dl_$m", expr(
-        s"""transform(${pqCbSpark(m)}, c ->
-           |  aggregate(zip_with(c, slice(embedding, ${m * pqD + 1}, $pqD),
+        s"""transform(${pqCbSparkOf(cfg, m)}, c ->
+           |  aggregate(zip_with(c, slice(embedding, ${m * cfg.d + 1}, ${cfg.d}),
            |      (p, x) -> (p - CAST(x AS DOUBLE)) * (p - CAST(x AS DOUBLE))),
            |    0D, (s, v) -> s + v))""".stripMargin))
         .withColumn(s"code_$m", expr(
           s"CAST(array_position(dl_$m, array_min(dl_$m)) - 1 AS INT)"))
     }
-    val reconNorm = sqrt((0 until pqM).map(m =>
-      expr(s"element_at(${pqNormSqSpark(m)}, code_$m + 1)")).reduce(_ + _))
+    val reconNorm = sqrt((0 until cfg.m).map(m =>
+      expr(s"element_at(${pqNormSqSparkOf(cfg, m)}, code_$m + 1)")).reduce(_ + _))
     val enc = enc0.select(Seq(col("vec_id")) ++
-      (0 until pqM).map(m => col(s"code_$m")) :+ reconNorm.as("recon_norm"): _*)
+      (0 until cfg.m).map(m => col(s"code_$m")) :+ reconNorm.as("recon_norm"): _*)
       .filter(col("recon_norm") > 0)
     // queries: full-precision LUT per subspace (16 dot products) —
     // computed once per query row, broadcast with it
     val queries0 = withNorm(corpus).filter(col("vec_id") < NQ)
-    val queries = (0 until pqM).foldLeft(queries0) { (df, m) =>
+    val queries = (0 until cfg.m).foldLeft(queries0) { (df, m) =>
       df.withColumn(s"lut_$m", expr(
-        s"""transform(${pqCbSpark(m)}, c ->
-           |  aggregate(zip_with(c, slice(embedding, ${m * pqD + 1}, $pqD),
+        s"""transform(${pqCbSparkOf(cfg, m)}, c ->
+           |  aggregate(zip_with(c, slice(embedding, ${m * cfg.d + 1}, ${cfg.d}),
            |      (p, x) -> p * CAST(x AS DOUBLE)),
            |    0D, (s, v) -> s + v))""".stripMargin))
     }.filter(col("norm") > 0)
       .select(Seq(col("vec_id").as("query_id"), col("norm").as("q_norm")) ++
-        (0 until pqM).map(m => col(s"lut_$m")): _*)
-    val adc = (0 until pqM).map(m =>
+        (0 until cfg.m).map(m => col(s"lut_$m")): _*)
+    val adc = (0 until cfg.m).map(m =>
       expr(s"element_at(lut_$m, code_$m + 1)")).reduce(_ + _)
-    val scored = enc.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+    enc.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(adc / (col("q_norm") * col("recon_norm")), 4).as("cosine"))
       .as[(Long, Long, Double)]
-    rankedTopK(s, scored)
   }
+
+  def a32AnnPq(s: SparkSession, dir: String): DataFrame =
+    rankedTopK(s, pqScored(s, dir, a32Cfg))
 
   /** DuckDB oracle for a32: identical codebook/normsq literals,
     * per-subspace SQL unrolled from the same Scala loop — encode
     * argmin (list_indexof of list_min = first-min tie-break), LUT,
     * lookup-sum ADC score, rounded tie-broken rank. */
-  val a32Sql: String = {
+  /** The ranked PQ pipeline in DuckDB for one geometry — a32's
+    * oracle body, parameterized for the a55 sweep (identical string
+    * for a32's own config). */
+  /** The per-subspace distance-list projection in DuckDB — shared by
+    * the ranked pipeline and a55's distortion scalar. */
+  private def pqDlsSqlFor(cfg: PqCfg): String = {
     def cbDuck(m: Int) =
-      pqCodebookStrs(m).map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
-    def nsqDuck(m: Int) = pqNormSqStrs(m).mkString("[", ",", "]")
-    val dlCols = (0 until pqM).map { m =>
+      cfg.cbs(m).map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    val dlCols = (0 until cfg.m).map { m =>
       s"""list_transform(${cbDuck(m)}, c ->
-         | list_sum(list_transform(list_zip(c, embedding[${m * pqD + 1}:${(m + 1) * pqD}]),
+         | list_sum(list_transform(list_zip(c, embedding[${m * cfg.d + 1}:${(m + 1) * cfg.d}]),
          |  p -> (p[1] - CAST(p[2] AS DOUBLE)) * (p[1] - CAST(p[2] AS DOUBLE))))) AS dl_$m""".stripMargin
     }.mkString(",\n  ")
-    val codeCols = (0 until pqM).map(m =>
+    s"SELECT vec_id,\n  $dlCols\n FROM embeddings"
+  }
+
+  private[graft] def pqSqlFor(cfg: PqCfg): String = {
+    def cbDuck(m: Int) =
+      cfg.cbs(m).map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    def nsqDuck(m: Int) = cfg.nsq(m).mkString("[", ",", "]")
+    val codeCols = (0 until cfg.m).map(m =>
       s"CAST(list_indexof(dl_$m, list_min(dl_$m)) - 1 AS INT) AS code_$m").mkString(",\n  ")
-    val reconNorm = "sqrt(" + (0 until pqM).map(m =>
+    val reconNorm = "sqrt(" + (0 until cfg.m).map(m =>
       s"${nsqDuck(m)}[code_$m + 1]").mkString(" + ") + ")"
-    val lutCols = (0 until pqM).map { m =>
+    val lutCols = (0 until cfg.m).map { m =>
       s"""list_transform(${cbDuck(m)}, c ->
-         | list_sum(list_transform(list_zip(c, embedding[${m * pqD + 1}:${(m + 1) * pqD}]),
+         | list_sum(list_transform(list_zip(c, embedding[${m * cfg.d + 1}:${(m + 1) * cfg.d}]),
          |  p -> p[1] * CAST(p[2] AS DOUBLE)))) AS lut_$m""".stripMargin
     }.mkString(",\n  ")
-    val adc = (0 until pqM).map(m => s"q.lut_$m[c.code_$m + 1]").mkString(" + ")
+    val adc = (0 until cfg.m).map(m => s"q.lut_$m[c.code_$m + 1]").mkString(" + ")
     val score = s"ROUND(($adc) / (q.q_norm * c.recon_norm), 4)"
     s"""WITH dls AS (
-       | SELECT vec_id,
-       |  $dlCols
-       | FROM embeddings),
+       | ${pqDlsSqlFor(cfg)}),
        |enc0 AS (
        | SELECT vec_id,
        |  $codeCols
@@ -715,6 +747,8 @@ object Ann {
        |  AND c.recon_norm > 0 AND q.q_norm > 0)
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   }
+
+  val a32Sql: String = pqSqlFor(a32Cfg)
 
   /** a33: IVF+PQ ANN (the FAISS IndexIVFPQ layout — Jégou et al.
     * 2011 §IV; THE production billion-scale shape) — composes the two
@@ -1655,6 +1689,108 @@ object Ann {
        |FROM ($a27Sql) e LEFT JOIN ($a29bSql) a
        | ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+
+  /** a55's compression grid: 2/4/8 subspaces over the 64 dims (all
+    * 16-entry codebooks from ONE seed through the shared
+    * [[pqCfgOf]]) — 4-bit codes of 8/16/32 bits per vector against
+    * 2048 bits of float32, i.e. 256×/128×/64× compression. The m=8
+    * point IS a32's shipped geometry, literal-for-literal. */
+  private[graft] val a55Cfgs: Seq[PqCfg] =
+    Seq(pqCfgOf(2, 32, 97531), pqCfgOf(4, 16, 97531), a32Cfg)
+
+  /** The corpus' total quantization distortion under one geometry:
+    * Σ over vectors of the per-vector squared reconstruction error
+    * (Σ_m min over the 16 entries), integerized PER VECTOR
+    * (round(·100) → long) before the sum so the rollup is
+    * order-independent and byte-exact cross-engine (the t39/q49
+    * integerization stance). */
+  private[graft] def pqDistortion(s: SparkSession, dir: String,
+      cfg: PqCfg): Long = {
+    val corpus = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val withDl = (0 until cfg.m).foldLeft(corpus) { (df, m) =>
+      df.withColumn(s"dl_$m", expr(
+        s"""transform(${pqCbSparkOf(cfg, m)}, c ->
+           |  aggregate(zip_with(c, slice(embedding, ${m * cfg.d + 1}, ${cfg.d}),
+           |      (p, x) -> (p - CAST(x AS DOUBLE)) * (p - CAST(x AS DOUBLE))),
+           |    0D, (s, v) -> s + v))""".stripMargin))
+    }
+    val err = (0 until cfg.m).map(m => expr(s"array_min(dl_$m)")).reduce(_ + _)
+    withDl.select((err * 100).as("e"))
+      .agg(sum(expr("cast(round(e, 0) as bigint)"))).head.getLong(0)
+  }
+
+  /** a55: PQ COMPRESSION TRADEOFF CURVE — the tuning instrument the
+    * quantization family lacked (a47 sweeps nprobe for IVF, d53
+    * sweeps LSH bands, q102 sweeps layouts; PQ's subspace grid is
+    * the knob FAISS users actually turn): run the ONE [[pqScored]]
+    * encode/LUT/ADC machinery at 2/4/8 subspaces and emit each grid
+    * point's cost-quality row — code bits, compression factor, the
+    * corpus' exact-integer quantization DISTORTION, and recall@K
+    * against the exact cosine truth (a27, the declared gate
+    * instrument). Distortion is the fail-stopped law: strictly
+    * decreasing in subspace count (the decision signal an OPTIMIZE
+    * policy consumes — finer subspaces approximate better at every
+    * gated SF, measured ~4× per doubling on this corpus). Recall
+    * crosses as measurement, NOT law: with literal (untrained)
+    * codebooks and a 4-query truth set it is honest noise at small
+    * SF (measured 250/0/750 e4 at sf0.01) — exactly why production
+    * retrains codebooks (a54's move) and why the distortion column,
+    * not recall, drives the grid choice.
+    *
+    * Scale: each point is a32's shape (scan-stage encode, broadcast
+    * LUTs, bounded top-K — the corpus is never shuffled); the
+    * distortion rollup is one conditional-sum scan per point; the
+    * truth leg is the declared a27 instrument, sampled in production
+    * like d51/d53's. The oracle replays all three pipelines, the
+    * distortion sums, AND the exact truth — a curve nobody can
+    * recompute is a rumor. */
+  def a55PqTradeoff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exact = a27AnnBrute(s, dir).select("query_id", "neighbor_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val possible = exact.count()
+    val rows = a55Cfgs.map { cfg =>
+      val approx = rankedTopK(s, pqScored(s, dir, cfg))
+        .select("query_id", "neighbor_id")
+      val matched = exact
+        .join(approx, Seq("query_id", "neighbor_id"), "left_semi").count()
+      (cfg.m, 4 * cfg.m, 2048 / (4 * cfg.m),
+        pqDistortion(s, dir, cfg), matched, possible,
+        matched * 10000L / possible)
+    }
+    exact.unpersist()
+    require(possible > 0 && rows.sliding(2).forall {
+      case Seq(a, b) => a._4 > b._4 },
+      s"a55: distortion must strictly decrease with subspace count: $rows")
+    rows.toDF("m_subspaces", "code_bits", "compression_x",
+        "distortion_e2", "matched", "possible", "recall_e4")
+      .orderBy("m_subspaces")
+  }
+
+  /** DuckDB oracle for a55: all three PQ pipelines via the shared
+    * [[pqSqlFor]]/[[pqDlsSqlFor]] bodies, the same per-vector
+    * integerized distortion sums, the exact truth (a27's SQL) — one
+    * row per grid point, every field recomputed. */
+  lazy val a55Sql: String = {
+    val points = a55Cfgs.map { cfg =>
+      val errExpr = (0 until cfg.m).map(m => s"list_min(dl_$m)").mkString(" + ")
+      s"""SELECT ${cfg.m} AS m_subspaces, ${4 * cfg.m} AS code_bits,
+         | ${2048 / (4 * cfg.m)} AS compression_x,
+         | (SELECT CAST(sum(CAST(round(($errExpr) * 100, 0) AS BIGINT)) AS BIGINT)
+         |   FROM (${pqDlsSqlFor(cfg)})) AS distortion_e2,
+         | (SELECT CAST(count(*) AS BIGINT) FROM ($a27Sql) e
+         |   JOIN (${pqSqlFor(cfg)}) a
+         |   ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id)
+         |  AS matched,
+         | (SELECT CAST(count(*) AS BIGINT) FROM ($a27Sql) e) AS possible"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT m_subspaces, code_bits, compression_x, distortion_e2,
+       | matched, possible,
+       | CAST(matched * 10000 // possible AS BIGINT) AS recall_e4
+       |FROM ($points)
+       |ORDER BY m_subspaces""".stripMargin
+  }
 
   /** a40's shard count: vec_id-keyed, so shard membership is
     * deterministic and oracle-replayable. */
@@ -2884,6 +3020,7 @@ object Ann {
     "a52_cell_compaction" -> (a52CellCompaction _),
     "a53_index_time_travel" -> (a53IndexTimeTravel _),
     "a54_retrain_decision" -> (a54RetrainDecision _),
+    "a55_pq_tradeoff" -> (a55PqTradeoff _),
     "q94_orphan_gc" -> (q94OrphanGc _))
 
   def oracles: Map[String, String] = Map(
@@ -2916,5 +3053,6 @@ object Ann {
     "a52_cell_compaction" -> a52Sql,
     "a53_index_time_travel" -> a53Sql,
     "a54_retrain_decision" -> a54Sql,
+    "a55_pq_tradeoff" -> a55Sql,
     "q94_orphan_gc" -> q94Sql)
 }

@@ -1025,4 +1025,18 @@ class AnnSpec extends SparkSpec {
     val prod = fromA42.collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
     assert(fromA54 == prod, "retrained centroids != a42 production build")
   }
+
+  test("a55 grid: the m=8 point IS a32's shipped pipeline; distortion strictly decreasing") {
+    val out = SparkEntry.queries("a55_pq_tradeoff")(spark, sfDir)
+      .as[(Int, Int, Int, Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._1) == Seq(2, 4, 8))
+    assert(out.map(_._4) == out.map(_._4).sorted.reverse &&
+      out.map(_._4).distinct.size == 3, "distortion must strictly decrease")
+    // the m=8 grid point ranks EXACTLY like the shipped a32 operator
+    // (the sweep measures what ships, the a39 stance)
+    val swept = Ann.rankedTopK(spark,
+      Ann.pqScored(spark, sfDir, Ann.a32Cfg)).collect().toSeq
+    val shipped = SparkEntry.queries("a32_ann_pq")(spark, sfDir).collect().toSeq
+    assert(swept == shipped, "a55's m=8 point != a32's shipped ranking")
+  }
 }

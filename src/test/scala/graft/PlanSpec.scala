@@ -859,7 +859,11 @@ class PlanSpec extends SparkSpec {
       // q102 writes three clustered layouts + two-column sidecars
       // and evaluates the 3×3 prune matrix at construction; its
       // face is a 9-row driver-built ledger
-      "q102_layout_matrix")
+      "q102_layout_matrix",
+      // a55 runs the a27 truth leg (its justified BNLJ) + three PQ
+      // pipelines + distortion scans at construction; face is a
+      // 3-row driver-built curve
+      "a55_pq_tradeoff")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => eagerEntries(q._1)).foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
