@@ -2637,12 +2637,17 @@ object Relational {
     * top 20 are then ranked from the ≤ 256 surviving counters (a
     * bounded global window — 256 rows, never the corpus). The sketch
     * guarantees counter ∈ [true − err, true] with err ≤ n/(k+1);
-    * on this table (150 distinct users < k) err = 0, the sketch is
-    * EXACT and partitioning-independent — which is what makes the
-    * plain exact-count SQL a byte-exact oracle. SketchCapSpec pins
-    * the approximate regime: a planted 5000-key stream over the
-    * 256-counter budget keeps every guaranteed-frequency key and
-    * honors the additive bound. */
+    * at the GATE SF (sf0.01: 150 distinct users < k) err = 0, the
+    * sketch is EXACT and partitioning-independent — which is what
+    * makes the plain exact-count SQL a byte-exact oracle there. At
+    * sf0.1 the table crosses the budget (1500 users > 256 counters)
+    * and the sketch serves its documented APPROXIMATION — the full
+    * byte audit's two non-exact entries (this one and s49's shared
+    * machinery) are the sketch doing its job, not a defect; the
+    * over-budget contract is pinned by SketchCapSpec's planted
+    * 5000-key stream (every guaranteed-frequency key kept, additive
+    * bound honored), which is the property that holds at 100 TB
+    * where no exact oracle can exist. */
   def q41HeavyHitters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sketch = Tables.events(s, dir).select(col("user_id")).as[Long]
