@@ -125,7 +125,9 @@ object Bench {
     // s78 folds clustered append commits + index generations; q102
     // writes THREE clustered layouts + sidecars at construction;
     // a55 runs the a27 truth leg + three PQ pipelines
-    "s78_stream_record_index", "q102_layout_matrix", "a55_pq_tradeoff")
+    "s78_stream_record_index", "q102_layout_matrix", "a55_pq_tradeoff",
+    // s79 folds profile-MV generations at construction
+    "s79_stream_pseudonymize")
 
   /** Entries per solo-group JVM. The r14 measurement arc, both
     * directions measured: 97 JVMs (r13) overran the slot; 4-per-JVM

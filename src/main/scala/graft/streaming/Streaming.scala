@@ -2837,6 +2837,88 @@ object Streaming {
     * built-once index serves). Lazy per the s45Sql stance. */
   lazy val s78Sql: String = graft.sources.Export.q101Sql
 
+  /** s79's builder: fold the event slices maintaining the
+    * pseudonymized profile MV at its MERGEABLE grain — one row per
+    * (pseudo, event_type) carrying (n, cents). The grain matters:
+    * q98's face needs a DISTINCT type count, which per-pseudo
+    * partials cannot merge, but at (pseudo, type) grain the distinct
+    * count is exactly the row count and every measure is an additive
+    * long (the q38 partial-aggregate stance). Returns the state
+    * dir. */
+  private[graft] def s79Build(s: SparkSession, dir: String): String = {
+    val R = graft.operators.Relational
+    val ev = Tables.events(s, dir)
+    def partials(batch: DataFrame): DataFrame =
+      batch.groupBy(R.q98Pseudo(col("user_id")).as("pseudo"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("cast(round(value * 100, 0) as bigint)")).as("cents"))
+    val init = partials(ev.filter(lit(false)))
+    val stateDir = graft.sources.Export.scratch("s79_mv", dir)
+    foldGenerations(s, stateDir, Seq("s79st" -> init), eventSlices(ev)) {
+      case (states, batch, _) =>
+        val Seq(st) = states: @unchecked
+        Seq(st.unionByName(partials(batch))
+          .groupBy("pseudo", "event_type")
+          .agg(sum("n").as("n"), sum("cents").as("cents")))
+    }
+    stateDir
+  }
+
+  /** s79: LIVE PSEUDONYMIZED PROFILES — q98's streaming face (the
+    * privacy family's live leg, the s78/s76 discipline applied to
+    * the release path): the published per-pseudonym activity profile
+    * is maintained per trigger instead of recomputed per release,
+    * and the ONE [[graft.operators.Relational.q98Pseudo]] key
+    * definition guarantees the property batch pseudonymization gets
+    * for free but streams must EARN — the same user arriving in
+    * different triggers lands under the same pseudonym, so partials
+    * merge by key and linkage never fragments. State lives at the
+    * (pseudo, event_type) grain where every measure is additive and
+    * the distinct-type count is a row count; the face rolls up and
+    * joins the pseudonymized dim exactly like q98, with q98's
+    * linkage/collision fail-stops re-checked against the STREAM's
+    * own output. Oracle IS q98's SQL — a maintained profile must be
+    * indistinguishable from the batch release. StreamingSpec pins
+    * the generation closure: state at every trigger equals the
+    * partials of the data-so-far.
+    *
+    * Scale: per trigger one keyed exchange over the BATCH's
+    * partials merged against MV-sized state (never history);
+    * pseudonymization itself is the same codegen'd projection as
+    * q98 — zero added shuffles over the un-pseudonymized fold. */
+  def s79StreamPseudonymize(s: SparkSession, dir: String): DataFrame = {
+    val R = graft.operators.Relational
+    val stateDir = s79Build(s, dir)
+    // head generation = the slice count, never a literal (the s76
+    // review-finding stance)
+    val head = eventSlices(Tables.events(s, dir)).size
+    val st = s.read.parquet(s"$stateDir/s79st$head")
+    val fact = st.groupBy("pseudo")
+      .agg(sum("n").as("n_events"), count(lit(1)).as("n_types"),
+        sum("cents").as("value_cents"))
+    val dim = Tables.customer(s, dir)
+      .select(R.q98Pseudo(col("c_custkey")).as("pseudo"),
+        col("c_mktsegment").as("mktsegment"))
+    val out = fact.join(broadcast(dim), Seq("pseudo"))
+      .select("pseudo", "mktsegment", "n_events", "n_types", "value_cents")
+      .orderBy("pseudo")
+    val ev = Tables.events(s, dir)
+    val r = ev.agg(countDistinct(col("user_id")), count(lit(1))).head
+    val got = out.agg(count(lit(1)), sum("n_events")).head
+    require(got.getLong(0) == r.getLong(0),
+      s"s79: ${got.getLong(0)} pseudonyms for ${r.getLong(0)} users — " +
+        "the stream fragmented or merged a linkage")
+    require(got.getLong(1) == r.getLong(1),
+      s"s79: profile covers ${got.getLong(1)} of ${r.getLong(1)} events")
+    out
+  }
+
+  /** s79's oracle IS q98's (a maintained profile must be
+    * indistinguishable from the batch release). Lazy per the s45Sql
+    * stance. */
+  lazy val s79Sql: String = graft.operators.Relational.q98Sql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s34_stream_tumbling" -> (s34StreamTumbling _),
     "s35_stream_join" -> (s35StreamJoin _),
@@ -2882,7 +2964,8 @@ object Streaming {
     "s75_stream_cdf" -> (s75StreamCdf _),
     "s76_stream_wap" -> (s76StreamWap _),
     "s77_stream_mor" -> (s77StreamMor _),
-    "s78_stream_record_index" -> (s78StreamRecordIndex _))
+    "s78_stream_record_index" -> (s78StreamRecordIndex _),
+    "s79_stream_pseudonymize" -> (s79StreamPseudonymize _))
 
   def oracles: Map[String, String] = Map(
     "s34_stream_tumbling" -> s34Sql,
@@ -2942,5 +3025,8 @@ object Streaming {
     "s77_stream_mor" -> s77Sql,
     // s78 serves q101's lookup through the incrementally-maintained
     // index — a live sidecar must be invisible to the reader
-    "s78_stream_record_index" -> s78Sql)
+    "s78_stream_record_index" -> s78Sql,
+    // s79 maintains q98's release profile live — a maintained MV
+    // must be indistinguishable from the batch release
+    "s79_stream_pseudonymize" -> s79Sql)
 }

@@ -863,7 +863,10 @@ class PlanSpec extends SparkSpec {
       // a55 runs the a27 truth leg (its justified BNLJ) + three PQ
       // pipelines + distortion scans at construction; face is a
       // 3-row driver-built curve
-      "a55_pq_tradeoff")
+      "a55_pq_tradeoff",
+      // s79 folds the profile-MV generations at construction; its
+      // face is q98's audited rollup + broadcast-dim join
+      "s79_stream_pseudonymize")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => eagerEntries(q._1)).foreach { case (name, fn) =>
       val df = fn(spark, sfDir)

@@ -1516,4 +1516,32 @@ class StreamingSpec extends SparkSpec {
     assert(E.listParquet(layout).size > 8,
       "the appends must have landed as new files")
   }
+
+  test("s79 live profiles: stream face == q98 batch release; state at every trigger == partials of data-so-far") {
+    import org.apache.spark.sql.functions._
+    val S = graft.streaming.Streaming
+    val live = SparkEntry.queries("s79_stream_pseudonymize")(spark, sfDir)
+      .collect().toSeq
+    val batch = SparkEntry.queries("q98_pseudonymize")(spark, sfDir)
+      .collect().toSeq
+    assert(live == batch, "maintained profile != batch release")
+    // generation closure: state k == (pseudo, type) partials of the
+    // first k slices, recomputed independently
+    val R = graft.operators.Relational
+    val sd = S.s79Build(spark, sfDir)
+    val ev = Tables.events(spark, sfDir)
+    val slices = S.eventSlices(ev)
+    for (k <- 0 to slices.size) {
+      val want =
+        (if (k == 0) ev.filter(lit(false))
+         else slices.take(k).reduce(_ unionByName _))
+          .groupBy(R.q98Pseudo(col("user_id")).as("pseudo"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("cast(round(value * 100, 0) as bigint)")).as("cents"))
+          .as[(String, String, Long, Long)].collect().sorted.toSeq
+      val got = spark.read.parquet(s"$sd/s79st$k")
+        .as[(String, String, Long, Long)].collect().sorted.toSeq
+      assert(got == want, s"generation $k state != data-so-far partials")
+    }
+  }
 }
