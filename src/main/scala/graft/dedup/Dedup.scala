@@ -3238,10 +3238,15 @@ object Dedup {
     * pass and no join back to the corpus. */
   def d55CanonicalDedup(s: SparkSession, dir: String): DataFrame = {
     val T = graft.text.TextOps
+    // octet_length, not length (ADVICE r14): length() counts
+    // CHARACTERS in both engines, which silently weakened the
+    // minimal-BYTES claim to char-minimality for non-ASCII text;
+    // octet_length is UTF-8 byte count in Spark and DuckDB alike,
+    // so kept_bytes now means what it says in both dialects.
     val scored = d55Corpus(s, dir)
       .select(col("doc_id"),
         T.fingerprint(col("text")).as("fingerprint"),
-        length(col("text")).cast("long").as("raw_len"))
+        octet_length(col("text")).cast("long").as("raw_len"))
     val out = scored
       .groupBy("fingerprint")
       .agg(
@@ -3282,7 +3287,7 @@ object Dedup {
        |q AS (
        | SELECT doc_id,
        |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
-       |  CAST(length(text) AS BIGINT) AS raw_len
+       |  CAST(octet_length(ENCODE(text)) AS BIGINT) AS raw_len
        | FROM all_docs),
        |r AS (
        | SELECT fingerprint, doc_id, raw_len,

@@ -2764,12 +2764,25 @@ object Relational {
     * next release; DELETE it and the mapping is cryptographically
     * shredded (the d47 right-to-be-forgotten discipline applied to
     * the key itself — GDPR Art. 4(5) pseudonymization). A literal
-    * here so the oracle can replay; production holds it in a KMS. */
+    * here so the oracle can replay; production holds it in a KMS.
+    *
+    * TEST-ONLY CONSTRUCTION (ADVICE r14): salted md5 over a short
+    * literal plus a dense integer key domain is enumerable in
+    * seconds — its unlinkability holds only against direct string
+    * matching, which is exactly what the harness needs (a
+    * deterministic, oracle-replayable swap) and nothing more. A
+    * production deployment MUST replace [[q98Pseudo]]'s body with a
+    * keyed MAC (HMAC-SHA-256) whose secret is injected from a KMS
+    * and never committed; the operator's shape (one shared keyed
+    * function on both sides of every join) is the part that
+    * transfers unchanged. */
   private[graft] val q98Salt = "gr14:"
 
   /** The ONE keyed pseudonym definition — salted md5 over the
     * stringified key, shared by every table crossing the privacy
-    * boundary so joins keep lining up after the swap. */
+    * boundary so joins keep lining up after the swap. See the
+    * TEST-ONLY note on [[q98Salt]]: this body is the swap point for
+    * a production keyed MAC. */
   private[graft] def q98Pseudo(key: Column): Column =
     md5(concat(lit(q98Salt), key.cast("string")).cast("binary"))
 

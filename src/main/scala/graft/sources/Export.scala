@@ -1471,7 +1471,18 @@ object Export {
   private[graft] def q101ProbeMod(s: SparkSession, dir: String): Long = {
     val r = Tables.orders(s, dir)
       .agg(min("o_orderkey"), max("o_orderkey")).head
-    math.max(1L, (r.getLong(1) - r.getLong(0)) / 3)
+    val span = r.getLong(1) - r.getLong(0)
+    // Degenerate-span guard (ADVICE r14): span < 3 would give m = 1,
+    // making EVERY row a probe, keeping every file, and tripping the
+    // q101/q78 pruning require with a misleading message. A probe
+    // that touches most of the key domain measures nothing about the
+    // index, so refuse loudly instead of degrading: the floor of 12
+    // keeps the probe batch under ~1/12 of the domain (every real SF
+    // has span ≥ thousands; only a hand-crafted toy corpus trips it).
+    require(span >= 12,
+      s"q101: orderkey span $span too small for a meaningful pruning " +
+        "probe (the probe residue class would cover most of the domain)")
+    span / 3
   }
 
   /** Build the record-level index: ONE scan of the layout emitting

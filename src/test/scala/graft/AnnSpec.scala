@@ -1007,11 +1007,20 @@ class AnnSpec extends SparkSpec {
   test("a54 retrain decision: retrained quantizer IS a42's production build; health laws") {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("a54_retrain_decision")(spark, sfDir)
-      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .as[(String, Long, Long, Long, Long, Long, Boolean)].collect()
       .map(r => r._1 -> r).toMap
     val (stale, retr) = (out("stale"), out("retrained"))
     // both regimes routed the whole corpus in one shared basis
     assert(stale._3 == retr._3 && stale._3 > 0)
+    // the published decision is consistent with the distortions it
+    // summarizes, and identical on both rows (one decision per scan)
+    assert(stale._7 == retr._7 &&
+      retr._7 == (retr._6 <= stale._6),
+      "recommend_retrain must equal the integer-distortion comparison")
+    // at THIS corpus the candidate does win (it trained on the
+    // population being measured) — the expected-case pin, now as an
+    // assertion on data rather than an operator abort (ADVICE r14)
+    assert(retr._7, "retrained build should win at the test corpus")
     // the drift split is real: stale trained on a strict subset
     assert(stale._2 < retr._2 && retr._2 == retr._3)
     // occupancy sanity: cells used, peak load ≥ mean load

@@ -1094,7 +1094,9 @@ class TextOpsSpec extends SparkSpec {
     }.toSeq
     assert(got == mirror, "t64 != in-memory mirror")
     // the gate's detection is exact at this corpus: quarantine ==
-    // the planted token-reversed cohort (both classes non-vacuous)
+    // the planted upper-cased cohort (both classes non-vacuous;
+    // t64Mutate upper-cases — reversal was rejected in the operator
+    // docstring because reversed unigrams can collide with real ones)
     val quarantined = got.filter(_._5).map(_._1).toSet
     val planted = got.map(_._1).filter(id => id % 7 == 0).toSet
     assert(planted.nonEmpty && quarantined == planted,
