@@ -103,6 +103,67 @@ object Streaming {
       | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
       |ORDER BY user_id, click_id, purchase_id""".stripMargin
 
+  /** Watermarked stream-stream LEFT OUTER join — s35's interval join
+    * with NULL-completion semantics: every click row survives, and a
+    * click with no purchase in its following hour emits exactly once
+    * with NULL purchase columns, at the moment the watermark passes
+    * the end of its match window (the state store can then prove no
+    * future purchase can match). This is the last reference streaming
+    * shape with no registered entry: the NEAR Social pipeline LEFT
+    * JOINs a parsed stream to its derived object_keys stream with
+    * both sides `WATERMARK ... DELAY OF INTERVAL 1 DAY`
+    * (Silver Lake Mainnet - NEAR Social.sql:89) — unmatched parsed
+    * rows must still flow to the silver table, completed with NULLs,
+    * once the delay has provably expired. Re-expressed Spark-first:
+    * `joinType="left_outer"` on the SAME watermarked interval join
+    * s35 ships (Spark requires the time bound for exactly the reason
+    * the reference requires the DELAY — it is what makes unmatched-
+    * row emission decidable with finite state).
+    *
+    * Scale (100 TB/day): state is identical to s35's inner form —
+    * both sides keyed by user_id, clicks retained for
+    * 1h + 2h watermark, purchases for 1h — PLUS nothing: left-outer
+    * adds no state, only an eviction-time emit of rows the inner
+    * join would have dropped. The batch form is one shuffle on
+    * user_id with the interval as a join residual. */
+  def clickPurchaseLeftJoin(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks.alias("c").join(purchases.alias("p"),
+        col("c.user_id") === col("p.user_id") &&
+          col("p.ts") >= col("c.ts") &&
+          col("p.ts") <= col("c.ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .select(
+        col("c.user_id").as("user_id"),
+        col("c.event_id").as("click_id"),
+        col("p.event_id").as("purchase_id"),
+        round(col("p.value"), 4).as("purchase_value"))
+
+  /** Streaming form: same watermarks as s35 — the outer side's
+    * unmatched rows emit when the watermark crosses click.ts + 1h. */
+  def clickPurchaseLeftJoinStreaming(clicks: DataFrame,
+      purchases: DataFrame): DataFrame =
+    clickPurchaseLeftJoin(
+      clicks.withWatermark("ts", "2 hours"),
+      purchases.withWatermark("ts", "1 hour"))
+
+  /** s80 queries entry — batch equivalent on the events table. */
+  def s80StreamLeftJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    clickPurchaseLeftJoin(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"))
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
+  val s80Sql: String =
+    """SELECT c.user_id AS user_id, c.event_id AS click_id,
+      | p.event_id AS purchase_id, ROUND(p.value,4) AS purchase_value
+      |FROM (SELECT * FROM events WHERE event_type='click') c
+      |LEFT JOIN (SELECT * FROM events WHERE event_type='purchase') p
+      | ON c.user_id = p.user_id
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      |ORDER BY user_id, click_id, purchase_id NULLS FIRST""".stripMargin
+
   /** Gap-based sessionization via Spark's native session_window —
     * works identically over batch and streaming input (streaming
     * needs a watermark first; see sessionizeStreaming). A session
@@ -2965,7 +3026,8 @@ object Streaming {
     "s76_stream_wap" -> (s76StreamWap _),
     "s77_stream_mor" -> (s77StreamMor _),
     "s78_stream_record_index" -> (s78StreamRecordIndex _),
-    "s79_stream_pseudonymize" -> (s79StreamPseudonymize _))
+    "s79_stream_pseudonymize" -> (s79StreamPseudonymize _),
+    "s80_stream_left_join" -> (s80StreamLeftJoin _))
 
   def oracles: Map[String, String] = Map(
     "s34_stream_tumbling" -> s34Sql,
@@ -3028,5 +3090,6 @@ object Streaming {
     "s78_stream_record_index" -> s78Sql,
     // s79 maintains q98's release profile live — a maintained MV
     // must be indistinguishable from the batch release
-    "s79_stream_pseudonymize" -> s79Sql)
+    "s79_stream_pseudonymize" -> s79Sql,
+    "s80_stream_left_join" -> s80Sql)
 }

@@ -77,6 +77,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s80 left-outer join NULL-completes unmatched clicks at watermark eviction, not before") {
+    val clicks = MemoryStream[Ev](spark)
+    val purchases = MemoryStream[Ev](spark)
+    val q = Streaming.clickPurchaseLeftJoinStreaming(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("s80out")
+      .outputMode("append").start()
+    def emitted() = spark.table("s80out")
+      .select("user_id", "click_id", "purchase_id", "purchase_value")
+      .as[(Long, Long, Option[Long], Option[Double])].collect().toSet
+    try {
+      // click 10 gets a purchase inside its hour; click 11 never will
+      clicks.addData(
+        Ev(10, ts(0), 1, "click", 0.0),
+        Ev(11, ts(10), 2, "click", 0.0))
+      purchases.addData(Ev(20, ts(30), 1, "purchase", 99.5))
+      q.processAllAvailable()
+      // BEFORE eviction: only the matched row may be out — the state
+      // store cannot yet prove click 11 is unmatched (a purchase at
+      // 10:10..11:10 could still arrive inside the watermark delay),
+      // so premature NULL-completion here would be a correctness bug
+      assert(emitted() == Set((1L, 10L, Some(20L), Some(99.5))),
+        s"unmatched click leaked before watermark eviction: ${emitted()}")
+      // advance event time on BOTH inputs (the join watermark is the
+      // min across inputs) far past click 11's match window + delays
+      val far = Timestamp.valueOf("2024-01-02 10:00:00")
+      clicks.addData(Ev(12, far, 3, "click", 0.0))
+      purchases.addData(Ev(21, far, 4, "purchase", 1.0))
+      q.processAllAvailable()
+      // AT eviction: click 11 emerges exactly once, NULL-completed
+      assert(emitted() == Set(
+        (1L, 10L, Some(20L), Some(99.5)),
+        (2L, 11L, None, None)),
+        s"expected NULL-completed click 11 after eviction: ${emitted()}")
+    } finally q.stop()
+  }
+
+  test("s80 batch form equals the streaming output on the same data, inner rows = s35") {
+    val evs = Seq(
+      Ev(10, ts(0), 1, "click", 0.0),
+      Ev(11, ts(10), 2, "click", 0.0),
+      Ev(20, ts(30), 1, "purchase", 99.5),
+      Ev(21, ts(5), 2, "purchase", 50.0)) // BEFORE click 11 → no match
+    val df = evs.toDF()
+    val out = Streaming.clickPurchaseLeftJoin(
+      df.filter($"event_type" === "click"),
+      df.filter($"event_type" === "purchase"))
+      .as[(Long, Long, Option[Long], Option[Double])].collect().toSet
+    assert(out == Set(
+      (1L, 10L, Some(20L), Some(99.5)),
+      (2L, 11L, None, None)))
+    // left-outer ⊇ inner: dropping the NULL-completed rows recovers s35
+    val inner = Streaming.clickPurchaseJoin(
+      df.filter($"event_type" === "click"),
+      df.filter($"event_type" === "purchase"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out.collect { case (u, c, Some(p), Some(v)) => (u, c, p, v) } == inner)
+  }
+
   test("s38 streaming dedup suppresses in-watermark duplicates; batch form keeps the earliest") {
     // same composite key in BOTH forms: (user_id, event_type) —
     // user 1 has a same-key duplicate (dropped) and a different-type
