@@ -835,6 +835,97 @@ object Multimodal {
     m35PairsFromHashes(hashes)
   }
 
+  // ---- m38b: the energy→dHash→band stage oracle-checked ----
+
+  /** m38b's literal window-ENERGY table: 75 docs = 25 content groups
+    * ([[m38ContentMod]]) × 3 variants, 64 windows each. Base window
+    * energy = 4·h(cid,w) with h an md5-derived positive 28-bit
+    * integer; variant 1 divides every energy by exactly 4 (the −6 dB
+    * law: halving even samples scales Σs² by exactly ¼ — here exact
+    * because energies are constructed as multiples of 4) and variant
+    * 2 adds the constant 160 to every window (the DC law: a constant
+    * offset over alternating ±A windows shifts every window energy
+    * equally). Both transforms preserve every energy-delta SIGN, so
+    * all three variants must hash identically — m38's invariance
+    * claim, restated as a relational theorem DuckDB can replay. */
+  private[graft] def m38bEnergyLiterals(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"))
+      .filter(col("doc_id") < 3 * m38ContentMod)
+      .withColumn("cid", col("doc_id") % m38ContentMod)
+      .withColumn("variant", expr(s"(doc_id div $m38ContentMod) % 3"))
+      .withColumn("w", explode(expr("sequence(0, 63)")))
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(concat('e', cid, ':', w)), 1, 7), 16, 10) as bigint)"))
+      .select(col("doc_id"), col("w"), expr(
+        """CASE WHEN variant = 1 THEN h
+          |     WHEN variant = 2 THEN h * 4 + 160
+          |     ELSE h * 4 END""".stripMargin).as("energy"))
+
+  /** The RELATIONAL energy-delta hash — [[AudioCodec.energyDHash]]'s
+    * bit law (bit w set iff window w+1 is strictly louder than
+    * window w) expressed as lead() + a shifted-bit sum, 64 windows →
+    * 63 delta bits so the hash stays positive in both engines
+    * (DuckDB's `<<` refuses 1<<63). Takes any (doc_id, w, energy)
+    * relation; used by m38b over the literal table. */
+  private[graft] def m38bHashFromEnergies(energies: DataFrame): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("w")
+    energies
+      .withColumn("nexte", lead(col("energy"), 1).over(win))
+      .filter(col("nexte").isNotNull)
+      .groupBy("doc_id")
+      .agg(sum(when(col("nexte") > col("energy"),
+        expr("shiftleft(cast(1 as bigint), w)")).otherwise(0L)).as("dhash"))
+  }
+
+  /** m38b: m38's audio near-dup machinery oracle-checked — the m40b
+    * pattern closing the LAST rows-only entry without its own
+    * b-variant. m38 stays rows-only because WAV decode (RIFF walk,
+    * PCM16 window energies) is JVM work, but everything AFTER the
+    * window energies is relational: the energy-delta bit-pack (the
+    * exact [[AudioCodec.energyDHash]] comparison law) and the banded
+    * Hamming match ([[m35PairsFromHashes]] — the very same function
+    * object m38 routes through). m38b feeds dialect-replayable
+    * literal energies through BOTH stages, so DuckDB now replays the
+    * fingerprint construction and the band/verify join byte-exactly;
+    * the only audio stage outside any oracle gate is the RIFF/PCM
+    * byte walk itself — the honest boundary (DuckDB cannot decode
+    * WAV). Expected output: every within-group pair at Hamming 0
+    * (the invariance theorem), 3 pairs per content group. */
+  def m38bAudioOracle(s: SparkSession, dir: String): DataFrame =
+    m35PairsFromHashes(m38bHashFromEnergies(m38bEnergyLiterals(s, dir)))
+
+  /** DuckDB oracle for m38b: identical md5 literal energies and
+    * variant transforms, identical lead() delta signs and shifted-bit
+    * sum, then the SAME [[m35bBandPairsBody]] text m35b's gate runs.
+    * The CAST of the SUM back to BIGINT matters: DuckDB sums BIGINT
+    * into HUGEINT, and the band shifts must run at the production
+    * width. */
+  val m38bSql: String =
+    s"""WITH d AS (
+       | SELECT doc_id, doc_id % $m38ContentMod AS cid,
+       |  (doc_id // $m38ContentMod) % 3 AS variant
+       | FROM documents WHERE doc_id < ${3 * m38ContentMod}),
+       |g AS (SELECT doc_id, cid, variant,
+       |  unnest(generate_series(0, 63)) AS w FROM d),
+       |e AS (
+       | SELECT doc_id, w,
+       |  CASE WHEN variant = 1 THEN h
+       |       WHEN variant = 2 THEN h * 4 + 160
+       |       ELSE h * 4 END AS energy
+       | FROM (SELECT *, CAST(('0x' || substr(md5('e' || CAST(cid AS VARCHAR)
+       |   || ':' || CAST(w AS VARCHAR)), 1, 7)) AS BIGINT) AS h FROM g)),
+       |h AS (
+       | SELECT doc_id, CAST(SUM(CASE WHEN nexte > energy
+       |   THEN (CAST(1 AS BIGINT) << CAST(w AS INT)) ELSE 0 END) AS BIGINT) AS dhash
+       | FROM (SELECT doc_id, w, energy,
+       |        lead(energy) OVER (PARTITION BY doc_id ORDER BY w) AS nexte
+       |       FROM e)
+       | WHERE nexte IS NOT NULL GROUP BY doc_id),
+       |$m35bBandPairsBody
+       |SELECT doc_a, doc_b, hamming FROM pairs
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Image table for m39: even doc_ids carry a genuine THUMBNAIL —
     * frame 0 of their cid's clip rendered as an equal-channel gray
     * BMP (r=g=b=Y makes the BT.601 luma the identity, so the image
@@ -1366,24 +1457,31 @@ object Multimodal {
        |  FROM documents WHERE doc_id < 120))""".stripMargin
   }
 
-  private val m35bPairsCte: String = {
+  /** The band-explode + first-equal-band + popcount-verify CTE body
+    * over a preceding CTE named `h (doc_id, dhash)` — factored out so
+    * m35b/m36b (image literals) and m38b (audio energy literals)
+    * replay the ONE production match body ([[m35PairsFromHashes]])
+    * from the same SQL text and the gates cannot drift. */
+  private def m35bBandPairsBody: String =
+    """bx AS (
+      | SELECT doc_id, dhash, band, (dhash >> CAST(16 * band AS INT)) & 65535 AS chunk
+      | FROM (SELECT doc_id, dhash, unnest(generate_series(0, 3)) AS band FROM h)),
+      |pairs AS (
+      | SELECT doc_a, doc_b, CAST(bit_count(xor(hash_a, hash_b)) AS INT) AS hamming
+      | FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         a.dhash AS hash_a, b.dhash AS hash_b, a.band
+      |  FROM bx a JOIN bx b
+      |   ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+      | WHERE band = (CASE WHEN (hash_a & 65535) = (hash_b & 65535) THEN 0
+      |   WHEN ((hash_a >> 16) & 65535) = ((hash_b >> 16) & 65535) THEN 1
+      |   WHEN ((hash_a >> 32) & 65535) = ((hash_b >> 32) & 65535) THEN 2
+      |   ELSE 3 END)
+      |  AND bit_count(xor(hash_a, hash_b)) <= 3)""".stripMargin
+
+  private val m35bPairsCte: String =
     s"""$m35bHashCte,
-       |bx AS (
-       | SELECT doc_id, dhash, band, (dhash >> CAST(16 * band AS INT)) & 65535 AS chunk
-       | FROM (SELECT doc_id, dhash, unnest(generate_series(0, 3)) AS band FROM h)),
-       |pairs AS (
-       | SELECT doc_a, doc_b, CAST(bit_count(xor(hash_a, hash_b)) AS INT) AS hamming
-       | FROM (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |         a.dhash AS hash_a, b.dhash AS hash_b, a.band
-       |  FROM bx a JOIN bx b
-       |   ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
-       | WHERE band = (CASE WHEN (hash_a & 65535) = (hash_b & 65535) THEN 0
-       |   WHEN ((hash_a >> 16) & 65535) = ((hash_b >> 16) & 65535) THEN 1
-       |   WHEN ((hash_a >> 32) & 65535) = ((hash_b >> 32) & 65535) THEN 2
-       |   ELSE 3 END)
-       |  AND bit_count(xor(hash_a, hash_b)) <= 3)""".stripMargin
-  }
+       |$m35bBandPairsBody"""
 
   /** DuckDB oracle for m35b: identical md5 literal hashes, identical
     * two-bit variant flips, the identical 4×16-bit band explode,
@@ -1598,6 +1696,7 @@ object Multimodal {
     "m37_video_neardup" -> (m37VideoNeardup _),
     "m37b_video_oracle" -> (m37bVideoOracle _),
     "m38_audio_neardup" -> (m38AudioNeardup _),
+    "m38b_audio_oracle" -> (m38bAudioOracle _),
     "m39_thumbnail_match" -> (m39ThumbnailMatch _),
     "m39b_thumbnail_oracle" -> (m39bThumbnailOracle _),
     "m40_scene_cut" -> (m40SceneCut _),
@@ -1610,6 +1709,7 @@ object Multimodal {
     "m35b_neardup_oracle" -> m35bSql,
     "m36b_closure_oracle" -> m36bSql,
     "m37b_video_oracle" -> m37bSql,
+    "m38b_audio_oracle" -> m38bSql,
     "m39b_thumbnail_oracle" -> m39bSql,
     "m40b_scene_cut_oracle" -> m40bSql,
     "m41_metadata_scrub" -> m41Sql)

@@ -543,6 +543,48 @@ class MultimodalSpec extends SparkSpec {
       "edits must change the sample CRC (m34's key diverges)")
   }
 
+  test("m38b: variant energies hash identically; output = all within-group pairs at Hamming 0") {
+    // the invariance THEOREM, relationally: the exact-quarter (gain)
+    // and constant-offset (DC) energy transforms preserve every
+    // delta sign, so all three variants of a group share one hash
+    val hashes = Multimodal.m38bHashFromEnergies(
+      Multimodal.m38bEnergyLiterals(spark, sfDir))
+      .as[(Long, Long)].collect()
+    assert(hashes.length == 3 * Multimodal.m38ContentMod)
+    hashes.foreach { case (_, h) => assert(h >= 0, "63-bit hash must stay positive") }
+    hashes.groupBy(_._1 % Multimodal.m38ContentMod).values.foreach { g =>
+      assert(g.length == 3 && g.map(_._2).distinct.length == 1,
+        s"variants of a group must hash identically: $g")
+    }
+    // distinct groups stay apart (md5-derived energies decorrelate)
+    assert(hashes.map(_._2).distinct.length == Multimodal.m38ContentMod.toInt)
+    // the registered face: every within-group pair at Hamming 0,
+    // nothing else — 3 pairs per content group
+    val pairs = SparkEntry.queries("m38b_audio_oracle")(spark, sfDir)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.length == 3 * Multimodal.m38ContentMod)
+    pairs.foreach { case (a, b, h) =>
+      assert(a < b && h == 0 &&
+        a % Multimodal.m38ContentMod == b % Multimodal.m38ContentMod,
+        s"pair ($a,$b,$h) contract")
+    }
+    // the bit law matches the production decoder's: bit w = next
+    // window strictly louder — checked against energyDHash on a real
+    // WAV whose 65-window energies are read back independently
+    val cid = 7L
+    val wav = graft.multimodal.AudioCodec.encodeWav(
+      8000, Multimodal.m38Samples(cid, 0, 0))
+    val prod = graft.multimodal.AudioCodec.energyDHash(wav).get
+    val samples = Multimodal.m38Samples(cid, 0, 0)
+    val n = samples.length
+    val e = Array.tabulate(65) { w =>
+      (w * n / 65 until (w + 1) * n / 65)
+        .map(i => samples(i).toLong * samples(i)).sum
+    }
+    val mirror = (0 until 64).map(b => if (e(b + 1) > e(b)) 1L << b else 0L).sum
+    assert(prod == mirror, "energyDHash != independent energy-delta mirror")
+  }
+
   test("m39 thumbnail match is exactly the planted image↔clip-group bipartite set") {
     val got = SparkEntry.queries("m39_thumbnail_match")(spark, sfDir)
       .as[(Long, Long, Int, Int)].collect().toSet
