@@ -2072,6 +2072,141 @@ object Relational {
        |ORDER BY attempt""".stripMargin
   }
 
+  // ---- q103: multi-table atomic publish (fact + MV, one commit) ----
+
+  /** q103's fact delta for version k (1-based): the [[q77Cutoffs]]
+    * windows — v1 is everything up to the first cutoff, v2/v3 the
+    * following windows. */
+  private[graft] def q103Delta(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    if (k == 1) ev.filter(col("ts") <= lit(q77Cutoffs(0)))
+    else ev.filter(col("ts") > lit(q77Cutoffs(k - 2)) &&
+      col("ts") <= lit(q77Cutoffs(k - 1)))
+  }
+
+  /** The MV grain: mergeable per-event_type partials (count + exact
+    * cents), the q38 stance. */
+  private[graft] def q103Partials(facts: DataFrame): DataFrame =
+    facts.groupBy("event_type").agg(
+      count(lit(1)).as("n_events"),
+      sum(expr("cast(round(value * 100, 0) as bigint)")).as("value_cents"))
+
+  private[graft] def q103MvMerge(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta).groupBy("event_type").agg(
+      sum(col("n_events")).as("n_events"),
+      sum(col("value_cents")).as("value_cents"))
+
+  /** Stage version k's DATA artifacts — the fact commit directory and
+    * the full MV snapshot (previous snapshot + the delta's partials,
+    * computed from the adopted files themselves, never from history)
+    * — WITHOUT moving the commit pointer. After this call both
+    * artifacts are durable but INVISIBLE: a manifest reader still
+    * serves k-1. */
+  private[graft] def q103WriteArtifacts(s: SparkSession, root: String,
+      k: Int, delta: DataFrame): Unit = {
+    delta.write.mode("overwrite").parquet(s"$root/fact/commit_$k")
+    val part = q103Partials(s.read.parquet(s"$root/fact/commit_$k"))
+    val mv = if (k == 1) part
+      else q103MvMerge(s.read.parquet(s"$root/mv/v_${k - 1}"), part)
+    mv.write.mode("overwrite").parquet(s"$root/mv/v_$k")
+  }
+
+  /** The COMMIT POINT: one manifest file naming version k. Creating
+    * this single file is the only action that changes what readers
+    * see, and it happens strictly after BOTH tables' artifacts are
+    * durable — so no reader schedule can observe fact k with MV k-1
+    * or vice versa. (Iceberg's snapshot-pointer swap, reduced to its
+    * engine-semantics core: atomicity of a multi-table commit = one
+    * pointer write, not N.) */
+  private[graft] def q103PublishManifest(root: String, k: Int): Unit = {
+    val dir = java.nio.file.Paths.get(s"$root/manifest")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.writeString(dir.resolve(s"v_$k"),
+      s"""{"version":$k,"fact_commits":$k,"mv":"v_$k"}""")
+  }
+
+  private[graft] def q103Commit(s: SparkSession, root: String, k: Int,
+      delta: DataFrame): Unit = {
+    q103WriteArtifacts(s, root, k, delta)
+    q103PublishManifest(root, k)
+  }
+
+  /** Resolve the published head: max manifest version, 0 if none.
+    * A metadata-dir listing — O(#versions), driver-side by design. */
+  private[graft] def q103Head(root: String): Int = {
+    val d = new java.io.File(s"$root/manifest")
+    val vs = Option(d.listFiles()).getOrElse(Array.empty)
+      .flatMap(f => f.getName.stripPrefix("v_").toIntOption)
+    if (vs.isEmpty) 0 else vs.max
+  }
+
+  /** Manifest-resolved readers: BOTH tables at the SAME version —
+    * the fact table as the union of commits 1..k, the MV as snapshot
+    * v_k. Readers never list data directories (a torn write is
+    * invisible by construction: its files are not in any commit the
+    * manifest names). */
+  private[graft] def q103FactAt(s: SparkSession, root: String, k: Int): DataFrame =
+    s.read.parquet((1 to k).map(i => s"$root/fact/commit_$i"): _*)
+  private[graft] def q103MvAt(s: SparkSession, root: String, k: Int): DataFrame =
+    s.read.parquet(s"$root/mv/v_$k")
+
+  /** q103: MULTI-TABLE ATOMIC PUBLISH — the missing joint between
+    * q96 (WAP: audit-then-adopt for ONE table) and q38/q88 (MV
+    * algebra with real persisted state): a gold pipeline publishes a
+    * fact table AND its aggregate MV, and a reader must never
+    * observe them desynced — fact at k joined to MV at k-1 is how
+    * dashboards double-count a day. q103 runs the full lifecycle:
+    * three versions, each staging fact commit + merged MV snapshot
+    * as durable-but-invisible artifacts, then ONE manifest-file
+    * write as the commit point for BOTH tables. The face serves
+    * every published version THROUGH the manifest and fail-stops the
+    * law the operator exists for: at every version, the served MV
+    * equals the joint recompute over the manifest's own fact commits
+    * (no desync is servable). InvariantSpec proves the mid-commit
+    * schedule: with version 3's artifacts fully written but the
+    * manifest not yet, a manifest reader serves version 2 of BOTH
+    * tables (and a directory-listing reader would see the torn
+    * state — the manifest is load-bearing, not decorative).
+    *
+    * Scale (100 TB): staging is the write the pipeline already does;
+    * the MV merge touches MV-sized state + one delta's partials
+    * (never history); the commit point is one O(bytes-of-JSON) file
+    * create regardless of data volume; version reads are manifest-
+    * pruned scans of exactly the named commits. */
+  def q103AtomicPublish(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.sources.Export.scratch("q103_pub", dir)
+    graft.sources.Export.deleteTree(root)
+    (1 to 3).foreach(k => q103Commit(s, root, k, q103Delta(s, dir, k)))
+    val head = q103Head(root)
+    require(head == 3, s"q103: expected head 3, manifest says $head")
+    val served = (1 to head).map { k =>
+      val mv = q103MvAt(s, root, k)
+      val joint = q103Partials(q103FactAt(s, root, k))
+      // the desync law, checked on the SERVED artifacts themselves
+      require(mv.exceptAll(joint).isEmpty && joint.exceptAll(mv).isEmpty,
+        s"q103: version $k MV desynced from its fact commits")
+      mv.withColumn("version", lit(k))
+    }.reduce(_.unionByName(_))
+    served.select("version", "event_type", "n_events", "value_cents")
+      .orderBy("version", "event_type")
+  }
+
+  /** DuckDB oracle for q103: the joint recompute at each published
+    * version's cutoff — served-through-manifest must be
+    * indistinguishable from never having split the publish. */
+  val q103Sql: String =
+    s"""WITH v(version, cutoff) AS (VALUES
+       |  (1, TIMESTAMP '${q77Cutoffs(0)}'),
+       |  (2, TIMESTAMP '${q77Cutoffs(1)}'),
+       |  (3, TIMESTAMP '${q77Cutoffs(2)}'))
+       |SELECT v.version, e.event_type,
+       | CAST(count(*) AS BIGINT) AS n_events,
+       | CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+       |FROM v JOIN events e ON e.ts <= v.cutoff
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** q36: lockup/vesting schedule evaluation — the reference's
     * lockups API arithmetic (rust-extract-apis/lockups/src/
     * lockup.rs:105-200, itself a copy of near/core-contracts
@@ -5924,6 +6059,7 @@ object Relational {
     "q93_change_feed" -> (q93ChangeFeed _),
     "q89_optimistic_commit" -> (q89OptimisticCommit _),
     "q96_wap" -> (q96Wap _),
+    "q103_atomic_publish" -> (q103AtomicPublish _),
     "q85_khop" -> (q85Khop _),
     "q86_merge_full" -> (q86MergeFull _),
     "q36_lockup_schedule" -> (q36LockupSchedule _),
@@ -6109,6 +6245,7 @@ object Relational {
     "q93_change_feed" -> q93Sql,
     "q89_optimistic_commit" -> q89Sql,
     "q96_wap" -> q96Sql,
+    "q103_atomic_publish" -> q103Sql,
     "q85_khop" -> q85Sql,
     "q86_merge_full" -> q86Sql,
     "q36_lockup_schedule" -> q36Sql,

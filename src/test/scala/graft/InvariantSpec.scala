@@ -849,6 +849,47 @@ class InvariantSpec extends SparkSpec {
       "final chain != serial replay of all writers")
   }
 
+  test("q103: a mid-commit reader sees version k-1 of BOTH tables; the manifest is the commit point") {
+    val R = graft.operators.Relational
+    val root = graft.sources.Export.scratch("q103s_pub", sfDir)
+    graft.sources.Export.deleteTree(root)
+    // versions 1 and 2 commit fully
+    (1 to 2).foreach(k => R.q103Commit(spark, root, k, R.q103Delta(spark, sfDir, k)))
+    assert(R.q103Head(root) == 2)
+    def servedPair(k: Int): (Set[(String, Long, Long)], Long) = (
+      R.q103MvAt(spark, root, k).as[(String, Long, Long)].collect().toSet,
+      R.q103FactAt(spark, root, k).count())
+    val (mv2, fact2) = servedPair(2)
+    // MID-COMMIT SCHEDULE: version 3's fact commit AND MV snapshot
+    // are fully durable on disk — but the manifest has not moved
+    R.q103WriteArtifacts(spark, root, 3, R.q103Delta(spark, sfDir, 3))
+    assert(R.q103Head(root) == 2,
+      "writing data artifacts must not move the commit pointer")
+    // a manifest reader still serves version 2 of BOTH tables,
+    // byte-for-value identical to before the torn write existed
+    assert(servedPair(2) == (mv2, fact2),
+      "mid-commit reader saw torn state through the manifest")
+    // ...while a directory-listing reader WOULD see the torn state:
+    // the fact data dir already holds commit_3's rows (this is the
+    // reader q103 forbids — the manifest is load-bearing)
+    val listed = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$root/fact").count()
+    val delta3 = R.q103Delta(spark, sfDir, 3).count()
+    assert(delta3 > 0 && listed == fact2 + delta3,
+      "torn artifacts should be on disk, just unreachable via manifest")
+    // the single manifest write flips BOTH tables to version 3 at once
+    R.q103PublishManifest(root, 3)
+    assert(R.q103Head(root) == 3)
+    val (mv3, fact3) = servedPair(3)
+    assert(fact3 == fact2 + delta3)
+    // joint-consistency law at the new head: served MV == recompute
+    // over exactly the manifest's fact commits
+    val joint = R.q103Partials(R.q103FactAt(spark, root, 3))
+      .as[(String, Long, Long)].collect().toSet
+    assert(mv3 == joint, "MV desynced from fact at the published head")
+    assert(mv3 != mv2, "version 3 must actually change the MV")
+  }
+
   test("q96 WAP: a rejected attempt moves no table byte; published == base ∪ audited batches") {
     val R = graft.operators.Relational
     val (base, batches) = R.q96Batches(spark, sfDir)
