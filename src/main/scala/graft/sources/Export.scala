@@ -1667,6 +1667,130 @@ object Export {
        |           AND o_orderkey % $q100VoidRes = 0)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q104: data-dictionary / information_schema serving face ----
+
+  /** q104's catalog: every driver table with its FRESHNESS column —
+    * the column whose max is the table's high watermark (epoch
+    * micros for event-time columns, the key itself for key-sequenced
+    * tables), cast to one bigint vocabulary so the dictionary row is
+    * format-free in both engines. One literal mapping, mirrored
+    * line-for-line in [[q104Sql]]. */
+  private[graft] def q104Catalog(s: SparkSession, dir: String)
+      : Seq[(String, DataFrame, Column)] = Seq(
+    ("region",     Tables.region(s, dir),     max(col("r_regionkey"))),
+    ("nation",     Tables.nation(s, dir),     max(col("n_nationkey"))),
+    ("customer",   Tables.customer(s, dir),   max(col("c_custkey"))),
+    ("supplier",   Tables.supplier(s, dir),   max(col("s_suppkey"))),
+    ("part",       Tables.part(s, dir),       max(col("p_partkey"))),
+    // the raw parquet reads surface date-ish columns as
+    // TIMESTAMP_NTZ; the session zone is UTC, so casting to the
+    // zoned type before unix_micros reads the same instant DuckDB's
+    // epoch_us reads off the naive timestamp
+    ("orders",     Tables.orders(s, dir),
+      unix_micros(max(col("o_orderdate")).cast("timestamp"))),
+    ("lineitem",   Tables.lineitem(s, dir),
+      unix_micros(max(col("l_shipdate")).cast("timestamp"))),
+    ("events",     Tables.events(s, dir),     unix_micros(max(col("ts")))),
+    ("documents",  Tables.documents(s, dir),  max(col("doc_id"))),
+    ("embeddings", Tables.embeddings(s, dir), max(col("vec_id"))))
+
+  /** The shared cross-engine type vocabulary: Spark's simpleString
+    * is already canonical except TIMESTAMP_NTZ (Spark distinguishes
+    * zone-naive; DuckDB's TIMESTAMP IS naive — same physical micros,
+    * one name). */
+  private[graft] def q104Canon(dt: org.apache.spark.sql.types.DataType): String =
+    dt.simpleString match {
+      case "timestamp_ntz" => "timestamp"
+      case other           => other
+    }
+
+  /** q104: DATA DICTIONARY — the information_schema-style catalog
+    * face the reference serves to its warehouse consumers (`BQ
+    * Writer Views & Data Dictionary.py` publishes table/column
+    * metadata alongside the data): one row per column of every
+    * served table with (ordinal, type, table row count, high
+    * watermark). The engine-semantics core is WHERE each field comes
+    * from: column names/ordinals/types are pure schema metadata (no
+    * data scanned — Spark's parquet footer read, the
+    * information_schema read in any warehouse), while row_count and
+    * the freshness watermark are served from a persisted per-table
+    * STATS MANIFEST (built here in one count+max pass per table,
+    * read back before serving — the q79 stance: a real format
+    * maintains these incrementally per commit, and the dictionary
+    * read NEVER rescans the data). Types are normalized to one
+    * cross-engine vocabulary (bigint/int/double/string/timestamp/
+    * array<float>); the oracle rebuilds the identical dictionary
+    * from DuckDB's own information_schema over the raw parquet plus
+    * a per-table recompute of the stats.
+    *
+    * Scale (100 TB): the dictionary face is O(#columns) rows joined
+    * to an O(#tables) manifest — metadata-sized both sides; the
+    * stats build is the once-per-publish aggregate a format's commit
+    * protocol already maintains (count+max are partial-aggregable,
+    * one map-side-combined pass, no shuffle beyond the 1-row
+    * rollup per table). */
+  def q104DataDictionary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cat = q104Catalog(s, dir)
+    val manifest = scratch("q104_dict", dir)
+    cat.map { case (name, df, wm) =>
+      df.agg(count(lit(1)).as("row_count"), wm.cast("long").as("high_watermark"))
+        .select(lit(name).as("table_name"), col("row_count"),
+          col("high_watermark"))
+    }.reduce(_.unionByName(_))
+      .coalesce(1).write.mode("overwrite").parquet(manifest)
+    val stats = s.read.parquet(manifest)
+    val dict = cat.flatMap { case (name, df, _) =>
+      df.schema.fields.zipWithIndex.map { case (f, i) =>
+        (name, f.name, i + 1, q104Canon(f.dataType)) }
+    }.toDF("table_name", "column_name", "ordinal", "data_type")
+    dict.join(broadcast(stats), "table_name")
+      .select("table_name", "column_name", "ordinal", "data_type",
+        "row_count", "high_watermark")
+      .orderBy("table_name", "ordinal")
+  }
+
+  /** DuckDB oracle for q104: the dictionary recomputed from DuckDB's
+    * OWN catalog (information_schema.columns over the parquet views,
+    * type names normalized to the shared vocabulary) joined to the
+    * per-table count+watermark recompute. The IN-list pin matters:
+    * the driver's DuckDB session may hold other relations; the
+    * dictionary describes exactly the served tables. */
+  val q104Sql: String = {
+    val watermarks = Seq(
+      "region" -> "CAST(max(r_regionkey) AS BIGINT)",
+      "nation" -> "CAST(max(n_nationkey) AS BIGINT)",
+      "customer" -> "CAST(max(c_custkey) AS BIGINT)",
+      "supplier" -> "CAST(max(s_suppkey) AS BIGINT)",
+      "part" -> "CAST(max(p_partkey) AS BIGINT)",
+      "orders" -> "epoch_us(max(o_orderdate))",
+      "lineitem" -> "epoch_us(max(l_shipdate))",
+      "events" -> "epoch_us(max(ts))",
+      "documents" -> "CAST(max(doc_id) AS BIGINT)",
+      "embeddings" -> "CAST(max(vec_id) AS BIGINT)")
+    val statSelects = watermarks.map { case (t, wm) =>
+      s"""SELECT '$t' AS table_name, CAST(count(*) AS BIGINT) AS row_count,
+         | $wm AS high_watermark FROM $t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val inList = watermarks.map(t => s"'${t._1}'").mkString(", ")
+    s"""WITH stats AS (
+       |$statSelects),
+       |cols AS (
+       | SELECT table_name, column_name,
+       |  CAST(ordinal_position AS INT) AS ordinal,
+       |  CASE lower(data_type)
+       |   WHEN 'integer' THEN 'int'
+       |   WHEN 'varchar' THEN 'string'
+       |   WHEN 'float[]' THEN 'array<float>'
+       |   ELSE lower(data_type) END AS data_type
+       | FROM information_schema.columns
+       | WHERE table_name IN ($inList))
+       |SELECT c.table_name, c.column_name, c.ordinal, c.data_type,
+       | s.row_count, s.high_watermark
+       |FROM cols c JOIN stats s USING (table_name)
+       |ORDER BY table_name, ordinal""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_incremental_export" -> (q30IncrementalExport _),
     "q31_export_roundtrip" -> (q31ExportRoundtrip _),
@@ -1683,7 +1807,8 @@ object Export {
     "q95_deletion_vectors" -> (q95DeletionVectors _),
     "q100_replace_where" -> (q100ReplaceWhere _),
     "q101_record_index" -> (q101RecordIndex _),
-    "q102_layout_matrix" -> (q102LayoutMatrix _))
+    "q102_layout_matrix" -> (q102LayoutMatrix _),
+    "q104_data_dictionary" -> (q104DataDictionary _))
 
   def oracles: Map[String, String] = Map(
     "q30_incremental_export" -> q30Sql,
@@ -1704,5 +1829,6 @@ object Export {
     "q95_deletion_vectors" -> q95Sql,
     "q100_replace_where" -> q100Sql,
     "q101_record_index" -> q101Sql,
-    "q102_layout_matrix" -> q102Sql)
+    "q102_layout_matrix" -> q102Sql,
+    "q104_data_dictionary" -> q104Sql)
 }

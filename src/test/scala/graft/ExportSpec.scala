@@ -746,4 +746,31 @@ class ExportSpec extends SparkSpec {
     val zWorst = Seq("cust", "date", "both").map(p => mz(p)._1).max
     assert(zWorst < mz("cust")._2)
   }
+
+  test("q104 dictionary: schema-true, manifest-served stats, contiguous ordinals") {
+    val rows = SparkEntry.queries("q104_data_dictionary")(spark, sfDir)
+      .as[(String, String, Int, String, Long, Long)].collect().toSeq
+    val tables = rows.map(_._1).distinct
+    assert(tables.size == 10, s"expected all 10 served tables, got $tables")
+    // ordinals are contiguous from 1 per table and column names are
+    // exactly the live schema in order
+    rows.groupBy(_._1).foreach { case (t, trs) =>
+      val sorted = trs.sortBy(_._3)
+      assert(sorted.map(_._3) == (1 to trs.size), s"$t ordinals not contiguous")
+      val df = Export.q104Catalog(spark, sfDir).find(_._1 == t).get._2
+      assert(sorted.map(_._2) == df.schema.fieldNames.toSeq, s"$t columns drifted")
+      assert(sorted.map(_._4) ==
+        df.schema.fields.toSeq.map(f => Export.q104Canon(f.dataType)),
+        s"$t types drifted")
+      // row_count/watermark are one value per table (manifest grain)
+      assert(trs.map(_._5).distinct.size == 1 && trs.map(_._6).distinct.size == 1)
+    }
+    // the stats are REAL: spot-check counts and the events watermark
+    val byTable = rows.groupBy(_._1).view.mapValues(_.head).toMap
+    assert(byTable("orders")._5 == Tables.orders(spark, sfDir).count())
+    assert(byTable("documents")._5 == Tables.documents(spark, sfDir).count())
+    val wantWm = Tables.events(spark, sfDir)
+      .agg(unix_micros(max(col("ts")))).as[Long].head()
+    assert(byTable("events")._6 == wantWm, "events watermark != max ts")
+  }
 }
