@@ -129,6 +129,24 @@ object Bench {
     // s79 folds profile-MV generations at construction
     "s79_stream_pseudonymize")
 
+  /** The ARTIFACT-WRITER class (VERDICT r14 #1): entries whose query
+    * body constructs a persisted artifact (version chain, index
+    * layout, folded state dir) before the registered read face.
+    * These run with [[BuildCache]] memoization in bench JVMs: the
+    * first pass constructs (its construction wall time reported as
+    * `build_sec`) and every later pass times the SERVED READ alone
+    * (`queries`/`queries_lo`/`queries_hi` are probe numbers for this
+    * class). Membership is pinned by BenchPlanSpec against the
+    * BuildCache.build call sites. */
+  private[graft] val artifactWriters = Set(
+    "q31_export_roundtrip", "q78_retention",
+    "q92_checkpointed_travel", "q93_change_feed",
+    "q100_replace_where", "q101_record_index", "q102_layout_matrix",
+    "a43_persisted_mips", "a53_index_time_travel",
+    "s74_stream_asof", "s75_stream_cdf", "s76_stream_wap",
+    "s77_stream_mor", "s78_stream_record_index",
+    "s79_stream_pseudonymize")
+
   /** Entries per solo-group JVM. The r14 measurement arc, both
     * directions measured: 97 JVMs (r13) overran the slot; 4-per-JVM
     * landed 47:55 with shared-entry medians 1.12× r13's solo-JVM
@@ -183,7 +201,8 @@ object Bench {
     * the SAME warm JVM spans 10.6–13.8 s back-to-back), so a bare
     * median invites misreading environmental noise as a regression.
     * Compare rounds against the overlap of the bands. */
-  case class Timing(name: String, med: Double, lo: Double, hi: Double)
+  case class Timing(name: String, med: Double, lo: Double, hi: Double,
+      buildSec: Double = -1.0)
 
   /** A family's timings bracketed by the drift sentinel: the fixed
     * micro-query (q01) timed immediately before and after the family.
@@ -195,10 +214,20 @@ object Bench {
     * side). `mids` (solo groups only) adds one single-run q01 time
     * immediately before each member after the first, keyed by that
     * member — the per-entry drift stamp that lets heavy entries
-    * share a JVM without losing attribution. */
+    * share a JVM without losing attribution.
+    *
+    * The `*Io` twins are the r14-verdict #4 IO leg: q01 is a CPU
+    * micro-query, so a disk-contended window inflates it far less
+    * than it inflates the shuffle/write-bound entries it guards
+    * (m35's 20.8× window carried a 5.0× cpu stamp). Each cpu
+    * sentinel point is paired with one fixed small shuffle+
+    * parquet-write probe whose inflation stamps disk contention in
+    * the same cost class as the entries that suffer it. */
   case class FamilyTiming(timings: Seq[Timing],
       sentBefore: Double, sentAfter: Double,
-      mids: Seq[(String, Double)] = Seq.empty)
+      mids: Seq[(String, Double)] = Seq.empty,
+      sentBeforeIo: Double = -1.0, sentAfterIo: Double = -1.0,
+      midsIo: Seq[(String, Double)] = Seq.empty)
 
   private def q01Once(spark: SparkSession, sfDir: String): Double = {
     val t0 = System.nanoTime()
@@ -208,6 +237,24 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     } catch { case e: Throwable =>
       System.err.println(s"[bench] sentinel failed: ${e.getMessage}")
+      -1.0
+    }
+  }
+
+  /** The IO drift probe: one fixed-size shuffle + parquet write to
+    * scratch (events keyed by user_id, 8 partitions — ~1 s class at
+    * sf0.1, constant across rounds so its inflation measures the
+    * HOST's disk, not the code). */
+  private def ioOnce(spark: SparkSession, sfDir: String): Double = {
+    import org.apache.spark.sql.functions.col
+    val t0 = System.nanoTime()
+    try {
+      val out = graft.sources.Export.scratch("bench_io_probe", sfDir)
+      Tables.events(spark, sfDir).repartition(8, col("user_id"))
+        .write.mode("overwrite").parquet(out)
+      (System.nanoTime() - t0) / 1e9
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] io sentinel failed: ${e.getMessage}")
       -1.0
     }
   }
@@ -236,7 +283,8 @@ object Bench {
     * one q01 run whose time is recorded against that query — its
     * drift stamp. */
   private def timeQueries(spark: SparkSession, sfDir: String,
-      names: Seq[String], mid: Boolean): (Seq[Timing], Seq[(String, Double)]) = {
+      names: Seq[String], mid: Boolean)
+      : (Seq[Timing], Seq[(String, Double)], Seq[(String, Double)]) = {
     // no separate warmup pass: the only caller is timeFamily, whose
     // leading sentinel has just run q01 three times in this JVM
     def timeOnce(name: String): Double = {
@@ -250,14 +298,39 @@ object Bench {
         -1.0
       }
     }
+    def round3(v: Double): Double =
+      if (v > 0) math.rint(v * 1000) / 1000 else -1.0
     val mids = Vector.newBuilder[(String, Double)]
+    val midsIo = Vector.newBuilder[(String, Double)]
     val ts = names.zipWithIndex.map { case (name, i) =>
       if (mid && i > 0) {
         val s = q01Once(spark, sfDir)
-        mids += name -> (if (s > 0) math.rint(s * 1000) / 1000 else -1.0)
-        System.err.println(f"[bench] mid-sentinel before $name%-26s $s%8.2f s")
+        val io = ioOnce(spark, sfDir)
+        mids += name -> round3(s)
+        midsIo += name -> round3(io)
+        System.err.println(
+          f"[bench] mid-sentinel before $name%-26s cpu $s%6.2f s  io $io%6.2f s")
       }
-      val r1 = timeOnce(name)
+      // BUILD/PROBE SPLIT (VERDICT r14 #1): an artifact writer's
+      // first pass constructs the persisted artifact (BuildCache,
+      // enabled in bench JVMs, memoizes it and meters the
+      // construction wall time); every later pass reuses it, so the
+      // adaptive passes below time the registered READ FACE alone.
+      val isWriter = artifactWriters(name)
+      val buildSec =
+        if (!isWriter) -1.0
+        else {
+          val b0 = BuildCache.totalBuildSec
+          val first = timeOnce(name)
+          if (first < 0) Double.NaN // first pass failed → entry fails
+          else {
+            val b = BuildCache.totalBuildSec - b0
+            System.err.println(f"[bench] $name%-26s build $b%8.2f s " +
+              f"(first pass $first%.2f s incl. probe)")
+            math.rint(b * 1000) / 1000
+          }
+        }
+      val r1 = if (buildSec.isNaN) -1.0 else timeOnce(name)
       val runs =
         if (r1 < 0) Seq(r1)
         else {
@@ -275,21 +348,23 @@ object Bench {
         if (runs.exists(_ < 0)) (-1.0, -1.0) else (runs.min, runs.max)
       System.err.println(
         f"[bench] $name%-26s $med%8.2f s (runs: ${runs.map(r => f"$r%.2f").mkString(", ")})")
-      Timing(name, med, lo, hi)
+      Timing(name, med, lo, hi, if (buildSec.isNaN) -1.0 else buildSec)
     }
-    (ts, mids.result())
+    (ts, mids.result(), midsIo.result())
   }
 
-  /** timeQueries bracketed by the drift sentinel. The leading
-    * sentinel doubles as the JVM warmup: its median-of-3 absorbs
-    * q01's one-off codegen-compile cost in a single run, and by the
-    * time the family is measured the session is warm. */
+  /** timeQueries bracketed by the drift sentinel (cpu + io legs).
+    * The leading sentinel doubles as the JVM warmup: its median-of-3
+    * absorbs q01's one-off codegen-compile cost in a single run, and
+    * by the time the family is measured the session is warm. */
   private def timeFamily(spark: SparkSession, sfDir: String,
       names: Seq[String], mid: Boolean): FamilyTiming = {
     val before = sentinelTime(spark, sfDir)
-    val (ts, mids) = timeQueries(spark, sfDir, names, mid)
+    val beforeIo = ioOnce(spark, sfDir)
+    val (ts, mids, midsIo) = timeQueries(spark, sfDir, names, mid)
     val after = sentinelTime(spark, sfDir)
-    FamilyTiming(ts, before, after, mids)
+    val afterIo = ioOnce(spark, sfDir)
+    FamilyTiming(ts, before, after, mids, beforeIo, afterIo, midsIo)
   }
 
   private def mapJson(m: Seq[(String, Double)]): String =
@@ -360,12 +435,18 @@ object Bench {
             val lo = section("qlo").getOrElse(Map.empty[String, Double])
             val hi = section("qhi").getOrElse(Map.empty[String, Double])
             val sent = section("sent").getOrElse(Map.empty[String, Double])
+            val sentIo = section("sentio").getOrElse(Map.empty[String, Double])
             val mids = section("qmid").getOrElse(Map.empty[String, Double])
+            val midsIo = section("qmidio").getOrElse(Map.empty[String, Double])
+            val builds = section("qbuild").getOrElse(Map.empty[String, Double])
             Some(FamilyTiming(
               med.keys.toSeq.sorted.map(k =>
-                Timing(k, med(k), lo.getOrElse(k, med(k)), hi.getOrElse(k, med(k)))),
+                Timing(k, med(k), lo.getOrElse(k, med(k)), hi.getOrElse(k, med(k)),
+                  builds.getOrElse(k, -1.0))),
               sent.getOrElse("before", -1.0), sent.getOrElse("after", -1.0),
-              mids.toSeq.sortBy(_._1)))
+              mids.toSeq.sortBy(_._1),
+              sentIo.getOrElse("before", -1.0), sentIo.getOrElse("after", -1.0),
+              midsIo.toSeq.sortBy(_._1)))
           case None =>
             System.err.println(
               s"[bench] child $family emitted malformed part JSON, falling back in-process")
@@ -380,13 +461,18 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // bench JVMs (parent fallback AND children) memoize artifact
+    // construction so the pass structure can split build from probe;
+    // Verify/specs never call enable() and keep full-lifecycle runs
+    BuildCache.enable()
     if (args.length >= 2 && args(0) == "--part") {
       // child: time the named queries in THIS JVM, report a partial
       val spark = newSession()
       val ft = timeFamily(spark, sfDir, args(1).split(",").toSeq,
         args.contains("--mid"))
       val rs = ft.timings
-      println(s"""{"metric":"part","sent":{"before":${ft.sentBefore},"after":${ft.sentAfter}},"qmid":${mapJson(ft.mids)},"queries":${numJson(rs, _.med)},"qlo":${numJson(rs, _.lo)},"qhi":${numJson(rs, _.hi)}}""")
+      val builds = rs.filter(_.buildSec >= 0).map(t => t.name -> t.buildSec)
+      println(s"""{"metric":"part","sent":{"before":${ft.sentBefore},"after":${ft.sentAfter}},"sentio":{"before":${ft.sentBeforeIo},"after":${ft.sentAfterIo}},"qmid":${mapJson(ft.mids)},"qmidio":${mapJson(ft.midsIo)},"qbuild":${mapJson(builds)},"queries":${numJson(rs, _.med)},"qlo":${numJson(rs, _.lo)},"qhi":${numJson(rs, _.hi)}}""")
       spark.stop()
       return
     }
@@ -450,21 +536,34 @@ object Bench {
     val sentBefore = famResults.map { case (f, ft) => f -> ft.sentBefore }
     val sentAfter = famResults.map { case (f, ft) => f -> ft.sentAfter }
     val sentMid = famResults.flatMap(_._2.mids)
+    val sentBeforeIo = famResults.map { case (f, ft) => f -> ft.sentBeforeIo }
+    val sentAfterIo = famResults.map { case (f, ft) => f -> ft.sentAfterIo }
+    val sentMidIo = famResults.flatMap(_._2.midsIo)
     def bestOf(side: Seq[(String, Double)]): Double = {
       val pos = side.map(_._2).filter(_ > 0)
       if (pos.nonEmpty) pos.min else -1.0
     }
-    val (bestBefore, bestAfter) = (bestOf(sentBefore), bestOf(sentAfter))
-    val sentRatio = famResults.map { case (f, ft) =>
+    def ratioOf(befores: Seq[(String, Double)], afters: Seq[(String, Double)])
+        : Seq[(String, Double)] = {
+      val (bb, ba) = (bestOf(befores), bestOf(afters))
       def side(v: Double, best: Double): Double =
         if (v > 0 && best > 0) v / best else -1.0
-      val worse = math.max(side(ft.sentBefore, bestBefore),
-        side(ft.sentAfter, bestAfter))
-      f -> (if (worse > 0) math.rint(worse * 100) / 100 else -1.0)
+      val am = afters.toMap
+      befores.map { case (f, b) =>
+        val worse = math.max(side(b, bb), side(am.getOrElse(f, -1.0), ba))
+        f -> (if (worse > 0) math.rint(worse * 100) / 100 else -1.0)
+      }
     }
+    val sentRatio = ratioOf(sentBefore, sentAfter)
+    val sentIoRatio = ratioOf(sentBeforeIo, sentAfterIo)
+    // the build/probe split (r14 #1): artifact writers report their
+    // construction wall time separately; their queries/lo/hi numbers
+    // are the SERVED READ alone
+    val builds = results.filter(_.buildSec >= 0).map(t => t.name -> t.buildSec)
+    val buildTotal = math.rint(builds.map(_._2).filter(_ >= 0).sum * 1000) / 1000
     val partialField = partial.fold("")(p =>
       "\"partial\":\"" + p._1 + "/" + p._2 + " families\",")
-    s"""{"metric":"total",$partialField"value":$total,"unit":"sec","n":"3 (2, reported as min, when pass 1 < 1s or passes 1-2 agree within 10%)","isolation":"$iso","sf":"$sfDir","sentinel_before_sec":${mapJson(sentBefore)},"sentinel_after_sec":${mapJson(sentAfter)},"sentinel_mid_sec":${mapJson(sentMid)},"sentinel_ratio":${mapJson(sentRatio)},"queries_lo":${numJson(results, _.lo)},"queries_hi":${numJson(results, _.hi)},"queries":${numJson(results, _.med)}}"""
+    s"""{"metric":"total",$partialField"value":$total,"unit":"sec","n":"3 (2, reported as min, when pass 1 < 1s or passes 1-2 agree within 10%); artifact-writer entries add a build-only first pass — their queries/lo/hi time the served read, build_sec the construction","isolation":"$iso","sf":"$sfDir","build_total_sec":$buildTotal,"build_sec":${mapJson(builds)},"sentinel_before_sec":${mapJson(sentBefore)},"sentinel_after_sec":${mapJson(sentAfter)},"sentinel_mid_sec":${mapJson(sentMid)},"sentinel_before_io_sec":${mapJson(sentBeforeIo)},"sentinel_after_io_sec":${mapJson(sentAfterIo)},"sentinel_mid_io_sec":${mapJson(sentMidIo)},"sentinel_ratio":${mapJson(sentRatio)},"sentinel_io_ratio":${mapJson(sentIoRatio)},"queries_lo":${numJson(results, _.lo)},"queries_hi":${numJson(results, _.hi)},"queries":${numJson(results, _.med)}}"""
   }
 
   private def writeBenchOut(json: String): Unit =

@@ -1441,7 +1441,7 @@ object Ann {
     * layout. */
   def a53IndexTimeTravel(s: SparkSession, dir: String): DataFrame = {
     val corpus = ivfRoutedCorpus(s, dir)
-    val root = a53Build(s, dir)
+    val root = graft.BuildCache.build(s"a53:$dir")(a53Build(s, dir))
     val live = corpus.filter(not(expr(a38DeletedPred)))
     a53ProbeAsOf(s, root, 2, ivfProbeQueries(corpus))
       .withColumn("version", lit(2))
@@ -2209,9 +2209,15 @@ object Ann {
     * a42's SQL (same output by construction). */
   def a43PersistedMips(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (a1, c1) = a42Index(s, dir)
-    val idxDir = graft.sources.Export.scratch("a43_index", dir)
-    a1.write.mode("overwrite").partitionBy("cell").parquet(idxDir)
+    // construction (deterministic Lloyd build + cell-partitioned
+    // write) behind the bench's build/probe split; the cached
+    // centroid frame is the bounded handle the probe routes through
+    val (idxDir, c1) = graft.BuildCache.build(s"a43:$dir") {
+      val (a1, c) = a42Index(s, dir)
+      val d = graft.sources.Export.scratch("a43_index", dir)
+      a1.write.mode("overwrite").partitionBy("cell").parquet(d)
+      (d, c)
+    }
     val queries = a42ProbeQueries(s, dir, c1)
     val probed = queries.select(explode(col("probe_cells")).as("c"))
       .distinct().collect().map(_.getInt(0)).sorted

@@ -180,6 +180,33 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
   }
 
+  /** The candidate stage alone over the corpus — the hook graft.Scale
+    * and the density audit meter (the verified faces never pay an
+    * extra count). */
+  private[graft] def d23CandidatePairs(s: SparkSession, dir: String): DataFrame =
+    bandCandidatePairs(shingledDocs(s, dir))
+
+  /** CANDIDATE-DENSITY fail-stop (VERDICT r14 #3): LSH banding's
+    * scale contract is candidates ≈ linear in the corpus — bucket
+    * sizes bounded, pair volume ∝ docs. A density above `maxPerDoc`
+    * means the banding degenerated (a mega-bucket, a hash collapse)
+    * and the downstream verify would melt at 100 TB; the capped
+    * variant ([[d23DedupMinhashCapped]]) is the production answer
+    * once a corpus genuinely carries such a cluster. Run by
+    * graft.Scale at sf0.1 AND the synthesized sf1 (both-SF curve in
+    * SCALING.md) — not on the per-query hot path, where the extra
+    * count() action would double the candidate join. The default cap
+    * is ~4× the measured sf0.1/sf1 density (≈29 candidates/doc on
+    * the planted-dup corpus, stable across the ladder). */
+  private[graft] def d23CandidateAudit(s: SparkSession, dir: String,
+      maxPerDoc: Long = 120L): Unit = {
+    val docs = Tables.documents(s, dir).count()
+    val cands = d23CandidatePairs(s, dir).count()
+    require(docs > 0 && cands <= maxPerDoc * docs,
+      s"d23: candidate density ${cands / math.max(docs, 1)}/doc exceeds " +
+        s"$maxPerDoc — banding degenerated (use the capped variant)")
+  }
+
   def d23DedupMinhash(s: SparkSession, dir: String): DataFrame =
     // Auto default (round 5, reverting round 4's Shuffle): the r4 A/B
     // that justified forcing sort-merge attaches did not reproduce —

@@ -2600,7 +2600,8 @@ object Streaming {
     * with q92's checkpoint cadence available unchanged (the snapshot
     * generations ARE per-commit checkpoints). */
   def s74StreamAsof(s: SparkSession, dir: String): DataFrame =
-    applyServing(s74AsOf(s, s74Build(s, dir), 2))
+    applyServing(s74AsOf(s,
+      graft.BuildCache.build(s"s74:$dir")(s74Build(s, dir)), 2))
 
   /** s74's oracle IS q77's (the live ledger serves the same middle
     * version q77's written chain serves). Lazy per the s45Sql
@@ -2649,7 +2650,9 @@ object Streaming {
     * changed keys inside [[cdfFromNet]] — nothing replays history,
     * nothing diffs two table-sized snapshots. */
   def s75StreamCdf(s: SparkSession, dir: String): DataFrame =
-    s75Feed(s, s74Build(s, dir, "s75_asof"), s75From, s75To)
+    s75Feed(s,
+      graft.BuildCache.build(s"s75:$dir")(s74Build(s, dir, "s75_asof")),
+      s75From, s75To)
 
   /** DuckDB oracle for s75: the shared [[graft.operators.Relational
     * .cdfSql]] body at the window's version cutoffs (one SQL
@@ -2726,7 +2729,7 @@ object Streaming {
     // a literal (the q89-advice precondition stance)
     val head = graft.operators.Relational
       .q96Batches(s, dir)._2.size
-    val stateDir = s76Build(s, dir)
+    val stateDir = graft.BuildCache.build(s"s76:$dir")(s76Build(s, dir))
     val out = s.read.parquet(s"$stateDir/s76ledg$head").orderBy("attempt")
     val rows = out.collect()
     require(rows.count(_.getString(4) == "rejected") == 1 &&
@@ -2802,7 +2805,8 @@ object Streaming {
     * metadata-sized vector; clean files never pay the join. */
   def s77StreamMor(s: SparkSession, dir: String): DataFrame = {
     val E = graft.sources.Export
-    val (layout, stateDir, n) = s77Build(s, dir)
+    val (layout, stateDir, n) =
+      graft.BuildCache.build(s"s77:$dir")(s77Build(s, dir))
     val (rows, dirty, total) = E.q95MorRead(s, layout, s"$stateDir/dv$n")
     require(dirty > 0 && dirty < total,
       s"s77: merge-on-read must leave clean files ($dirty/$total dirty)")
@@ -2873,7 +2877,8 @@ object Streaming {
     * maintained sidecars (Hudi's metadata-table record index). */
   def s78StreamRecordIndex(s: SparkSession, dir: String): DataFrame = {
     val E = graft.sources.Export
-    val (layout, stateDir, n) = s78Build(s, dir)
+    val (layout, stateDir, n) =
+      graft.BuildCache.build(s"s78:$dir")(s78Build(s, dir))
     val m = E.q101ProbeMod(s, dir)
     val probes = Tables.orders(s, dir)
       .filter(col("o_orderkey") % m === 0)
@@ -2950,7 +2955,7 @@ object Streaming {
     * q98 — zero added shuffles over the un-pseudonymized fold. */
   def s79StreamPseudonymize(s: SparkSession, dir: String): DataFrame = {
     val R = graft.operators.Relational
-    val stateDir = s79Build(s, dir)
+    val stateDir = graft.BuildCache.build(s"s79:$dir")(s79Build(s, dir))
     // head generation = the slice count, never a literal (the s76
     // review-finding stance)
     val head = eventSlices(Tables.events(s, dir)).size
