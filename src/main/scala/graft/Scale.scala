@@ -15,14 +15,24 @@ import org.apache.spark.sql.functions._
   *     disjoint key ranges, so per-key densities (orders/customer,
   *     events/user) are PRESERVED and group counts scale linearly,
   *     which is what "the same corpus, 10× bigger" means;
-  *   - documents: every 5th token of copy i>0 is rewritten with a
-  *     copy tag. A verbatim replication would make each doc a
-  *     0.99-Jaccard near-dup of its 9 clones — quadratic PLANTED
-  *     structure that no real 10× crawl has — while a ~20% token
-  *     rewrite drops cross-copy unigram-shingle Jaccard to ~0.35,
-  *     far under the 0.71 LSH operating point, so the near-dup
-  *     structure of sf0.1 is replicated per copy, not multiplied
-  *     across copies (n_chars is recomputed after the rewrite);
+  *   - documents: copy i>0 prefixes EVERY token with its copy tag —
+  *     token-space key remapping. The rewrite is a bijection on each
+  *     copy's shingle space, so WITHIN-copy Jaccard (and therefore
+  *     the copy's near-dup pair structure) is preserved EXACTLY,
+  *     while cross-copy shingle spaces are DISJOINT (Jaccard 0 —
+  *     zero cross-copy candidates beyond band-hash collisions): the
+  *     10 copies model ten disjoint shards of the same distribution,
+  *     which is what "the same corpus, 10× bigger" means for text.
+  *     Two rejected alternatives, both MEASURED wrong on this ladder
+  *     and recorded in SCALING.md: verbatim replication makes every
+  *     doc a 0.99-Jaccard near-dup of its 9 clones (quadratic
+  *     planted structure no real crawl has), and PARTIAL rewrites
+  *     (20-40% of tokens) leave cross-copy Jaccard ≈ 0.4-0.67 —
+  *     under the 0.71 verify threshold but high enough that the
+  *     corpus' giant planted cluster puts its entire 10×-sized
+  *     cross-copy pair pool through the banding at 13-23% hit rate
+  *     (measured 23.4× candidate growth; the fail-stop below caught
+  *     it). n_chars is recomputed after the rewrite;
   *   - embeddings: copy i rotates each vector by i positions
   *     (i ≤ 9 < dim 64, never the identity) — distinct geometry per
   *     copy, same norm and cluster granularity.
@@ -62,8 +72,7 @@ object Scale {
       else shifted
         .withColumn("text", expr(
           s"""array_join(transform(split(text, ' '),
-             | (t, p) -> CASE WHEN p % 5 = ${i % 5}
-             |   THEN concat('c$i', t) ELSE t END), ' ')""".stripMargin))
+             | t -> concat('c$i', t)), ' ')""".stripMargin))
         .withColumn("n_chars", length(col("text")).cast("long"))
     })
     replicate("embeddings", { (df, i) =>
@@ -150,9 +159,11 @@ object Scale {
     }
 
     val p01 = Point("sf0.1", base)
-    System.err.println(s"[scale] sf0.1 done: ${p01.json}")
+    System.err.println(s"[scale] sf0.1 done")
+    println(s"[scale-point] ${p01.json}")
     val p1 = Point("sf1", sf1)
-    System.err.println(s"[scale] sf1 done: ${p1.json}")
+    System.err.println(s"[scale] sf1 done")
+    println(s"[scale-point] ${p1.json}")
 
     // the growth fail-stops: candidates and verified pairs must grow
     // ≤ linearly in the corpus (50% slack for band collisions)
