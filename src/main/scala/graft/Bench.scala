@@ -127,7 +127,12 @@ object Bench {
     // a55 runs the a27 truth leg + three PQ pipelines
     "s78_stream_record_index", "q102_layout_matrix", "a55_pq_tradeoff",
     // s79 folds profile-MV generations at construction
-    "s79_stream_pseudonymize")
+    "s79_stream_pseudonymize",
+    // r15: q103 writes three fact commits + three MV snapshots +
+    // manifests at construction (the q96 class); q104 runs a
+    // count+max pass over every served table for its stats manifest
+    // — both attributable from first appearance (review-pass finding)
+    "q103_atomic_publish", "q104_data_dictionary")
 
   /** The ARTIFACT-WRITER class (VERDICT r14 #1): entries whose query
     * body constructs a persisted artifact (version chain, index
@@ -145,7 +150,8 @@ object Bench {
     "a43_persisted_mips", "a53_index_time_travel",
     "s74_stream_asof", "s75_stream_cdf", "s76_stream_wap",
     "s77_stream_mor", "s78_stream_record_index",
-    "s79_stream_pseudonymize")
+    "s79_stream_pseudonymize",
+    "q103_atomic_publish", "q104_data_dictionary")
 
   /** Entries per solo-group JVM. The r14 measurement arc, both
     * directions measured: 97 JVMs (r13) overran the slot; 4-per-JVM

@@ -49,25 +49,39 @@ object Scale {
   private def keyShift(c: org.apache.spark.sql.Column, stride: Long, i: Int) =
     c + lit(stride * i)
 
-  /** Write the replicated table set to `out` (marker-file
-    * idempotent). Only the tables the heavy families read. */
+  /** Write the replicated table set to `out`. Idempotent via a
+    * marker file that RECORDS (base, copies) — a scratch dir
+    * synthesized from a different base is re-synthesized, not
+    * silently reused (review-pass finding). Strides are computed
+    * from the base's own max keys, never hardcoded, so the ladder
+    * can point at any corpus (including chaining from a synthesized
+    * one) without key collisions. Only the tables the heavy families
+    * read are replicated. */
   private[graft] def synthesize(s: SparkSession, base: String,
       out: String): Unit = {
     val marker = java.nio.file.Paths.get(s"$out/_SYNTH_OK")
-    if (java.nio.file.Files.exists(marker)) return
+    val markerBody = s"base=$base copies=$Copies\n"
+    if (java.nio.file.Files.exists(marker) &&
+        java.nio.file.Files.readString(marker) == markerBody) return
     graft.sources.Export.deleteTree(out)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
 
-    def replicate(name: String, body: (DataFrame, Int) => DataFrame): Unit = {
-      val src = s.read.parquet(s"$base/$name.parquet")
+    def replicate(src: DataFrame, name: String,
+        body: (DataFrame, Int) => DataFrame): Unit = {
       (0 until Copies).map(i => body(src, i))
         .reduce(_.unionByName(_))
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
       System.err.println(s"[scale] synthesized $name")
     }
+    def raw(name: String): DataFrame = s.read.parquet(s"$base/$name.parquet")
+    // stride = max(key) + 1, read from the base itself
+    def strideOf(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).head.getLong(0) + 1L
 
-    replicate("documents", { (df, i) =>
-      val shifted = df.withColumn("doc_id", keyShift(col("doc_id"), 5000L, i))
+    val docs = raw("documents")
+    val docStride = strideOf(docs, "doc_id")
+    replicate(docs, "documents", { (df, i) =>
+      val shifted = df.withColumn("doc_id", keyShift(col("doc_id"), docStride, i))
       if (i == 0) shifted
       else shifted
         .withColumn("text", expr(
@@ -75,22 +89,34 @@ object Scale {
              | t -> concat('c$i', t)), ' ')""".stripMargin))
         .withColumn("n_chars", length(col("text")).cast("long"))
     })
-    replicate("embeddings", { (df, i) =>
-      val shifted = df.withColumn("vec_id", keyShift(col("vec_id"), 2000L, i))
+    val embs = raw("embeddings")
+    val vecStride = strideOf(embs, "vec_id")
+    replicate(embs, "embeddings", { (df, i) =>
+      val shifted = df.withColumn("vec_id", keyShift(col("vec_id"), vecStride, i))
       if (i == 0) shifted
       else shifted.withColumn("embedding", expr(
         s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), " +
           s"slice(embedding, 1, $i))"))
     })
-    replicate("events", (df, i) => df
-      .withColumn("event_id", keyShift(col("event_id"), 100000L, i))
-      .withColumn("user_id", keyShift(col("user_id"), 1500L, i)))
-    replicate("orders", (df, i) => df
-      .withColumn("o_orderkey", keyShift(col("o_orderkey"), 150000L, i))
-      .withColumn("o_custkey", keyShift(col("o_custkey"), 15000L, i)))
-    replicate("lineitem", (df, i) => df
-      .withColumn("l_orderkey", keyShift(col("l_orderkey"), 150000L, i)))
-    java.nio.file.Files.writeString(marker, s"copies=$Copies\n")
+    // events go through Tables.events, NOT a raw read: the loader
+    // normalizes the two shipped ts physical layouts (nanos-as-long
+    // vs micros) to one timestamp column, so the synthesized table
+    // is layout-stable regardless of the base's generation
+    val evs = Tables.events(s, base)
+    val (evStride, userStride) =
+      (strideOf(evs, "event_id"), strideOf(evs, "user_id"))
+    replicate(evs, "events", (df, i) => df
+      .withColumn("event_id", keyShift(col("event_id"), evStride, i))
+      .withColumn("user_id", keyShift(col("user_id"), userStride, i)))
+    val ords = raw("orders")
+    val (okStride, ckStride) =
+      (strideOf(ords, "o_orderkey"), strideOf(ords, "o_custkey"))
+    replicate(ords, "orders", (df, i) => df
+      .withColumn("o_orderkey", keyShift(col("o_orderkey"), okStride, i))
+      .withColumn("o_custkey", keyShift(col("o_custkey"), ckStride, i)))
+    replicate(raw("lineitem"), "lineitem", (df, i) => df
+      .withColumn("l_orderkey", keyShift(col("l_orderkey"), okStride, i)))
+    java.nio.file.Files.writeString(marker, markerBody)
   }
 
   private def timed[T](body: => T): (T, Double) = {

@@ -197,9 +197,10 @@ object Dedup {
     * SCALING.md) — not on the per-query hot path, where the extra
     * count() action would double the candidate join. The default cap
     * is ~4× the measured density — 1,267 candidates/doc at sf0.1 and
-    * 1,543/doc at the synthesized sf1 (this corpus plants heavy dup
-    * clusters by design; the ladder shows density near-constant,
-    * which is the linearity being audited). */
+    * 1,247/doc at the synthesized sf1 (SCALING.md's recorded run;
+    * this corpus plants heavy dup clusters by design, and the ladder
+    * shows density near-constant, which is the linearity being
+    * audited). */
   private[graft] def d23CandidateAudit(s: SparkSession, dir: String,
       maxPerDoc: Long = 6000L): Unit = {
     val docs = Tables.documents(s, dir).count()

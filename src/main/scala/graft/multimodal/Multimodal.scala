@@ -1479,9 +1479,13 @@ object Multimodal {
       |   ELSE 3 END)
       |  AND bit_count(xor(hash_a, hash_b)) <= 3)""".stripMargin
 
+  // stripMargin at the DEFINITION keeps this val self-contained (the
+  // inner pieces are already stripped, so re-stripping is a no-op on
+  // them — but a consumer composing this without its own outer
+  // stripMargin must not inherit the joint's raw margin)
   private val m35bPairsCte: String =
     s"""$m35bHashCte,
-       |$m35bBandPairsBody"""
+       |$m35bBandPairsBody""".stripMargin
 
   /** DuckDB oracle for m35b: identical md5 literal hashes, identical
     * two-bit variant flips, the identical 4×16-bit band explode,

@@ -1389,6 +1389,13 @@ object Export {
       .sortWithinPartitions("zval")
       .drop("zx", "zy", "zval")
       .write.mode("overwrite").parquet(lz)
+    // the sidecars are CONSTRUCTION too (review-pass finding: left
+    // outside the build block, every probe pass re-scanned all three
+    // layouts to rebuild them, defeating the build/probe split —
+    // exactly the persisted-manifest stance q76/q79 already take)
+    Seq(lc, ld, lz).foreach { l =>
+      q102Stats(s, l).coalesce(1).write.mode("overwrite").parquet(s"${l}_stats")
+    }
     (lc, ld, lz)
     }
     val preds = Seq("cust", "date", "both")
@@ -1401,7 +1408,7 @@ object Export {
     val layouts = Seq("linear_cust" -> lc, "linear_date" -> ld, "zorder" -> lz)
     val cells = for {
       (lname, lpath) <- layouts
-      stats = q102Stats(s, lpath)
+      stats = s.read.parquet(s"${lpath}_stats")
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
           r.getLong(3), r.getLong(4)))
       paths = q95PathOf(lpath)
@@ -1482,10 +1489,11 @@ object Export {
     // making EVERY row a probe, keeping every file, and tripping the
     // q101/q78 pruning require with a misleading message. A probe
     // that touches most of the key domain measures nothing about the
-    // index, so refuse loudly instead of degrading: the floor of 12
-    // keeps the probe batch under ~1/12 of the domain (every real SF
-    // has span ≥ thousands; only a hand-crafted toy corpus trips it).
-    require(span >= 12,
+    // index, so refuse loudly instead of degrading: span ≥ 36 gives
+    // m = span div 3 ≥ 12, bounding the probe residue class at
+    // ≤ 1/12 of the domain (every real SF has span ≥ thousands; only
+    // a hand-crafted toy corpus trips this).
+    require(span >= 36,
       s"q101: orderkey span $span too small for a meaningful pruning " +
         "probe (the probe residue class would cover most of the domain)")
     span / 3
@@ -1747,13 +1755,18 @@ object Export {
   def q104DataDictionary(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cat = q104Catalog(s, dir)
-    val manifest = scratch("q104_dict", dir)
-    cat.map { case (name, df, wm) =>
-      df.agg(count(lit(1)).as("row_count"), wm.cast("long").as("high_watermark"))
-        .select(lit(name).as("table_name"), col("row_count"),
-          col("high_watermark"))
-    }.reduce(_.unionByName(_))
-      .coalesce(1).write.mode("overwrite").parquet(manifest)
+    // the stats-manifest build (one count+max pass over every served
+    // table) is construction; the dictionary read below is the probe
+    val manifest = graft.BuildCache.build(s"q104:$dir") {
+      val m = scratch("q104_dict", dir)
+      cat.map { case (name, df, wm) =>
+        df.agg(count(lit(1)).as("row_count"), wm.cast("long").as("high_watermark"))
+          .select(lit(name).as("table_name"), col("row_count"),
+            col("high_watermark"))
+      }.reduce(_.unionByName(_))
+        .coalesce(1).write.mode("overwrite").parquet(m)
+      m
+    }
     val stats = s.read.parquet(manifest)
     val dict = cat.flatMap { case (name, df, _) =>
       df.schema.fields.zipWithIndex.map { case (f, i) =>
