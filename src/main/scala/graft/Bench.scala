@@ -132,7 +132,10 @@ object Bench {
     // manifests at construction (the q96 class); q104 runs a
     // count+max pass over every served table for its stats manifest
     // — both attributable from first appearance (review-pass finding)
-    "q103_atomic_publish", "q104_data_dictionary")
+    "q103_atomic_publish", "q104_data_dictionary",
+    // r15 optimization round: q42 joins q31's split class (below), so
+    // it needs the same per-entry attribution
+    "q42_jsonl_roundtrip")
 
   /** The ARTIFACT-WRITER class (VERDICT r14 #1): entries whose query
     * body constructs a persisted artifact (version chain, index
@@ -151,7 +154,13 @@ object Bench {
     "s74_stream_asof", "s75_stream_cdf", "s76_stream_wap",
     "s77_stream_mor", "s78_stream_record_index",
     "s79_stream_pseudonymize",
-    "q103_atomic_publish", "q104_data_dictionary")
+    "q103_atomic_publish", "q104_data_dictionary",
+    // r15 optimization round, same criterion applied to two entries
+    // the r14 list missed: q42 is q31's JSONL twin (identical
+    // write-then-read-back shape), and s48 builds its persisted
+    // quantizer + index + metadata artifacts before the admission
+    // face (the s74-s79 stance)
+    "q42_jsonl_roundtrip", "s48_stream_semantic_admit")
 
   /** Entries per solo-group JVM. The r14 measurement arc, both
     * directions measured: 97 JVMs (r13) overran the slot; 4-per-JVM

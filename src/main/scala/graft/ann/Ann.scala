@@ -2016,7 +2016,17 @@ object Ann {
     * vectors land in the same geometry. Default: train on all. */
   private[graft] def a42Base(s: SparkSession, dir: String,
       histPred: Column = lit(true)): DataFrame = {
+    // explicit-count repartition (r15, the a48 rationale): every
+    // consumer of the quantized base — the Lloyd step's assignment,
+    // the index assignment, the probe scoring — is a crossJoin
+    // against BROADCAST centroids, so the per-vector work inherits
+    // THIS frame's partitioning; the gate corpus is one parquet
+    // split and all of it ran in one task.
+    val nPart =
+      try s.conf.get("spark.sql.shuffle.partitions").toInt
+      catch { case _: Throwable => 200 }
     val corpus = withNorm(Tables.embeddings(s, dir).select("vec_id", "embedding"))
+      .repartition(nPart, col("vec_id"))
     val mx = corpus.filter(histPred).agg(max(col("norm")).as("mnorm"))
     corpus.crossJoin(broadcast(mx))
       .withColumn("aug", sqrt(greatest(
@@ -2046,7 +2056,16 @@ object Ann {
   private[graft] def a42Refine(s: SparkSession, dir: String,
       histPred: Column = lit(true)): (DataFrame, DataFrame) = {
     val base = a42Base(s, dir, histPred)
-    (base, a42RefineFrom(base, histPred))
+    // the refined-centroid frame is 96 rows but its LINEAGE is the
+    // whole training job (corpus quantize → seed window → assign →
+    // integer-mean aggregates). Every consumer broadcasts it at least
+    // twice (index assignment + query routing), and without the
+    // persist each broadcast re-executed the training from scratch —
+    // measured as the dominant per-pass cost of a42/a43/a49/a51/s48
+    // (r15, guide §5 "caching is worth it when a DataFrame is reused
+    // AND recomputing it is more expensive"). 96 rows of long-arrays:
+    // the cache cost is nothing, the recompute was a corpus pass.
+    (base, a42RefineFrom(base, histPred).persist())
   }
 
   /** The seeds + one-Lloyd-step refinement alone, over an
@@ -2216,7 +2235,14 @@ object Ann {
       val (a1, c) = a42Index(s, dir)
       val d = graft.sources.Export.scratch("a43_index", dir)
       a1.write.mode("overwrite").partitionBy("cell").parquet(d)
-      (d, c)
+      // centroids persist INTO the artifact (the metadata a real index
+      // stores beside its lists): without this the probe's query
+      // routing re-executed the whole Lloyd training from c's lineage
+      // on every pass — the read face must route through the artifact,
+      // not retrain (r15; exact integers, so the round-trip is lossless)
+      val cDir = graft.sources.Export.scratch("a43_cents", dir)
+      c.write.mode("overwrite").parquet(cDir)
+      (d, s.read.parquet(cDir))
     }
     val queries = a42ProbeQueries(s, dir, c1)
     val probed = queries.select(explode(col("probe_cells")).as("c"))
@@ -2775,8 +2801,19 @@ object Ann {
     * stream. Every arithmetic step is the audited dual-dialect
     * cosine/argmin, byte-exact. */
   def a48HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    // explicit-count repartition (r15, the Dedup.shufflePartitions
+    // rationale): the cell join below explodes |cell|² scored pairs
+    // with its anchor side broadcast, so the explosion inherits THIS
+    // side's partitioning — the gate corpus is one parquet split, and
+    // the whole scoring ran in one task (profiled: a 7.6 s 1-task
+    // stage). A by-num repartition on vec_id spreads it evenly and is
+    // never AQE-coalesced.
+    val nPart =
+      try s.conf.get("spark.sql.shuffle.partitions").toInt
+      catch { case _: Throwable => 200 }
     val corpus = withNorm(Tables.embeddings(s, dir)
         .select("vec_id", "embedding", "label"))
+      .repartition(nPart, col("vec_id"))
       .withColumn("dl", centroidDistsExpr("embedding"))
       .withColumn("cell",
         expr("CAST(array_position(dl, array_min(dl)) - 1 AS INT)"))
@@ -2887,9 +2924,17 @@ object Ann {
     val (base, c1) = a42Refine(s, dir)
     val e = VectorExprs.withNorm(
       graft.Tables.embeddings(s, dir).select("vec_id", "embedding"))
-    val idx = a42AssignTopFrom(base, c1, 1)
+    // ONE corpus assignment pass for both join sides (r15): the rnk-1
+    // index cell is element 0 of the top-[[a49Probes]] assignment by
+    // construction (same distance struct, same tie rule), so the
+    // top-m pass is computed once, persisted (corpus × 5 ints), and
+    // both sides derive from it — previously idx and qry each ran
+    // their own corpus × centroid assignment, and each re-executed
+    // the training lineage on top (see a42Refine's persist).
+    val top = a42AssignTopFrom(base, c1, a49Probes).persist()
+    val idx = top
       .select(col("vec_id").as("dst"), col("cells").getItem(0).as("cell"))
-    val qry = a42AssignTopFrom(base.filter(srcPred), c1, a49Probes)
+    val qry = top.filter(srcPred)
       .select(col("vec_id").as("src"), explode(col("cells")).as("cell"))
     val cand = qry.join(idx, Seq("cell"))
       .filter(col("src") =!= col("dst"))

