@@ -778,7 +778,18 @@ object Ann {
   def a33AnnIvfPq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val nprobe = 4
+    // explicit-count repartition (the a42Base rationale): the encode
+    // chain below is heavy per-row array math (16-centroid routing +
+    // 8 codebook argmins over the residual) that inherits the SCAN's
+    // partitioning, and the gate corpus is one parquet split — the
+    // whole corpus encode ran in one task. REPARTITION_BY_NUM with the
+    // session's own shuffle-partition knob is never AQE-coalesced and
+    // scales with the cluster, not a local constant.
+    val nPart =
+      try s.conf.get("spark.sql.shuffle.partitions").toInt
+      catch { case _: Throwable => 200 }
     val base = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      .repartition(nPart, col("vec_id"))
       .withColumn("dl", centroidDistsExpr("embedding"))
       .withColumn("cell", expr("CAST(array_position(dl, array_min(dl)) - 1 AS INT)"))
     // corpus: residual vs the assigned cell's centroid, PQ-encoded

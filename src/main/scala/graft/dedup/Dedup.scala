@@ -1086,7 +1086,16 @@ object Dedup {
     * mega-cluster, not just check the verified output. */
   private[graft] def cappedCandidatePairs(s: SparkSession, dir: String,
       maxBucket: Int): DataFrame = {
-    val bands = minhashBands(shingledDocs(s, dir))
+    // the bandCandidatePairs treatment applied here too (r15 second
+    // pass): the signature computation (scan + shingle + 16-hash) has
+    // THREE consumers below — the bucket-size rollup and both join
+    // sides — and inherited the 1-split scan's single task, so it ran
+    // three times serially. Repartition by count before the per-doc
+    // hash work, persist the band stream so each consumer reads the
+    // one materialization. Rows unchanged.
+    val docsP = shingledDocs(s, dir)
+      .repartition(shufflePartitions(Tables.documents(s, dir)), col("doc_id"))
+    val bands = minhashBands(docsP).persist()
     // size buckets on a SLIM (band_id, band_hash) projection — the
     // hot bucket this guards against must never be buffered with
     // its signature payload — then anti-join the hot keys away
@@ -1146,7 +1155,12 @@ object Dedup {
       .select(col("u"), least(col("mn"), col("u")).as("m"))
     nbr.join(m, "u").filter(col("v") > col("u"))
       .select(col("v").as("hi"), col("m").as("lo"))
-      .distinct()
+    // no trailing distinct (r15, guide §2.4): the output feeds
+    // ccSmallStar, whose min-rollup is duplicate-insensitive and whose
+    // result runs through ccCanon's distinct — the ROUND's output is
+    // row-identical, and dropping it removes one full exchange of the
+    // edge set per round. Volume stays bounded: the undistincted
+    // stream is exactly one row per canonical input edge.
   }
 
   // small-star: u hooks its smaller neighbors (and itself) onto
@@ -1191,20 +1205,37 @@ object Dedup {
         cached.unpersist()
         ck
       } else df.localCheckpoint(true)
+    // Convergence is tested in two tiers (r15 — the per-round exact
+    // set comparison was ~2 broadcast-hash anti-joins per round, run
+    // ~10× per invocation, 9 of which could only ever answer "not
+    // yet"): a cheap (count, bit_xor of the row hash) digest over the
+    // just-checkpointed edge set decides the common case — digests of
+    // EQUAL sets are equal, so digest inequality PROVES next ≠ e and
+    // the round continues with no further action — and only a digest
+    // MATCH (≈ once, at the true fixpoint) runs the exact anti-join
+    // comparison, which remains the sole exit gate. Correctness is
+    // unchanged: a colliding digest match merely runs the exact check
+    // early, and the exact check failing keeps iterating. At 100 TB
+    // the digest is one map-side-combinable pass over cached blocks vs
+    // two anti-join builds over the full edge set per round.
+    def ccDigest(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("hi"), col("lo"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
     var e = cut(ccCanon(edges.select(col("src"), col("dst"))))
+    var eDig = ccDigest(e)
     var converged = false
     var iter = 0
     val maxIter = 100
     while (!converged && iter < maxIter) {
       val next = cut(ccRound(e))
-      // set equality in ONE driver action: both sides are deduped, so
-      // the sets are equal iff the symmetric difference is empty —
-      // checked with take(1) over the union of the two anti-joins
-      // (the eager checkpoint above already materialized `next`, so
-      // each round costs exactly one extra action)
-      converged = next.join(e, Seq("hi", "lo"), "left_anti")
-        .unionAll(e.join(next, Seq("hi", "lo"), "left_anti"))
-        .isEmpty
+      val nDig = ccDigest(next)
+      converged = nDig == eDig &&
+        next.join(e, Seq("hi", "lo"), "left_anti")
+          .unionAll(e.join(next, Seq("hi", "lo"), "left_anti"))
+          .isEmpty
       // best-effort release of the superseded round. localCheckpoint
       // blocks are freed by the ContextCleaner once the RDD is
       // unreachable; RELIABLE checkpoint files are only deleted when
@@ -1214,6 +1245,7 @@ object Dedup {
       // application exits)
       e.unpersist()
       e = next
+      eDig = nDig
       iter += 1
     }
     // wrong labels are worse than no labels: a run that exhausts the
@@ -1623,7 +1655,17 @@ object Dedup {
     * deployment lever if scan cost dominates the gram shuffle. */
   def d31PassageScrub(s: SparkSession, dir: String): DataFrame = {
     val n = d30GramSize
+    // the d44Runs second-pass treatment (r15): the md5-per-gram hash
+    // stream is consumed twice (min≠max rollup + covered-position
+    // semi join) and the token stream twice more, all inheriting the
+    // 1-split scan's single task — repartition the docs by count
+    // (scale-adaptive knob, never AQE-coalesced) and persist the gram
+    // stream so each pass runs once, 32-way. Rows unchanged.
+    val nPart =
+      try s.conf.get("spark.sql.shuffle.partitions").toInt
+      catch { case _: Throwable => 200 }
     val toksDf = Tables.documents(s, dir)
+      .repartition(nPart, col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
     // positions ride along as posexplode's 0-based index + 1, so the
     // gram HASH comes from the same shared gramKeys expression as
@@ -1631,6 +1673,7 @@ object Dedup {
     val grams = toksDf
       .select(col("doc_id"), posexplode(gramKeys(col("toks"), n)).as(Seq("g0", "gram")))
       .select(col("doc_id"), (col("g0") + 1).as("pos"), col("gram"))
+      .persist()
     val repeated = grams.groupBy("gram")
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
       .filter(col("mn") =!= col("mx"))
@@ -2408,7 +2451,31 @@ object Dedup {
       attach: Attach = Attach.Auto,
       maxBucket: Int = d44MaxBucket): DataFrame = {
     val km1 = d44K - 1
-    val fps0 = d44Fingerprints(docs)
+    // r15 second pass — the d23-family treatment applied here too
+    // (the first pass left d44/d45/d48 alone on the SKEW rationale,
+    // which still holds — buckets are capped — but missed that the
+    // winnowing stream has THREE consumers and ran single-task):
+    //  1. explicit-count repartition of the docs (a42Base rationale):
+    //     fingerprint selection is O(n·w²) per-row work that inherits
+    //     the scan's partitioning, and the gate corpus is one parquet
+    //     split — all selection ran in one task, once per consumer;
+    //  2. persist the fingerprint stream (guide §5: three consumers —
+    //     the hot-gram rollup and both self-join sides — each
+    //     re-executed the full winnowing pass);
+    //  3. pin the self-join's exchange with REPARTITION_BY_NUM on the
+    //     gram key (Finding 1: a by-column repartition is
+    //     AQE-coalescible and the slim fingerprint stream is < 1 MB
+    //     at sf0.1, so the verify/extension stage — the pair-volume
+    //     work — collapsed to one partition). Both join sides carry
+    //     the same pinned partitioning, so the join adds no exchange.
+    // Row-identical: partitioning and caching change where work runs,
+    // never which pairs emerge (DedupSpec's planted constructions and
+    // the d44/d45/d48 oracles re-run green).
+    val nPart =
+      try docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      catch { case _: Throwable => 200 }
+    val docsP = docs.repartition(nPart, col("doc_id"))
+    val fps0 = d44Fingerprints(docsP).persist()
     // [[d44MaxBucket]]: size buckets on the slim gram projection,
     // broadcast the (tiny, one row per over-cap gram) hot list, and
     // anti-join it away before the pair join — cappedCandidatePairs'
@@ -2425,11 +2492,13 @@ object Dedup {
       .filter(col("bucket_size") > maxBucket)
       .select("gram")
     val fps = fps0.join(broadcast(hotGrams), Seq("gram"), "left_anti")
+      .repartition(nPart, col("gram"))
+      .persist()
     val cands = fps.as("a").join(fps.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.pos").as("pa"), col("b.pos").as("pb"))
-    val toksTbl = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val toksTbl = docsP.select(col("doc_id"), split(col("text"), " ").as("toks"))
     cands
       .join(attachSide(toksTbl.select(col("doc_id").as("doc_a"),
         col("toks").as("ta")), attach), Seq("doc_a"))

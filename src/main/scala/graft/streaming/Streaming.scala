@@ -418,7 +418,20 @@ object Streaming {
     val n = graft.dedup.Dedup.d29GramSize
     val docs = graft.Tables.documents(s, dir)
     val eval = evalGramRow(docs.filter(col("doc_id") % 53 === 0), n)
-    decontaminateStream(docs.filter(col("doc_id") % 53 =!= 0), broadcast(eval), n)
+    // explicit-count repartition of the BATCH entry's train side (the
+    // a42Base rationale): the per-doc cost downstream is eval-set-
+    // sized (gram hashing plus an arrays_overlap probe against the
+    // whole broadcast eval array), not row-sized, and the gate corpus
+    // is one parquet split — the entire decide-on-arrival pass ran in
+    // one task. The shared decontaminateStream transform is untouched
+    // (a real ingest is already partitioned by its source); rows are
+    // unchanged and the entry orders its own output.
+    val nPart =
+      try s.conf.get("spark.sql.shuffle.partitions").toInt
+      catch { case _: Throwable => 200 }
+    decontaminateStream(
+        docs.filter(col("doc_id") % 53 =!= 0).repartition(nPart, col("doc_id")),
+        broadcast(eval), n)
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
   }
@@ -959,20 +972,52 @@ object Streaming {
   private[graft] def foldGenerations(s: SparkSession, stateDir: String,
       init: Seq[(String, DataFrame)], batches: Seq[DataFrame])(
       fold: (Seq[DataFrame], DataFrame, Int) => Seq[DataFrame]): Seq[DataFrame] = {
-    var states = init.map { case (p, df) =>
-      df.write.mode("overwrite").parquet(s"$stateDir/${p}0")
-      s.read.parquet(s"$stateDir/${p}0")
-    }
+    var states = writeGeneration(s,
+      init.map { case (p, df) => (s"$stateDir/${p}0", df) })
     batches.zipWithIndex.foreach { case (b, i) =>
       val next = fold(states, b, i)
       require(next.size == init.size,
         s"fold returned ${next.size} states for ${init.size} artifacts")
-      states = init.map(_._1).zip(next).map { case (p, df) =>
-        df.write.mode("overwrite").parquet(s"$stateDir/$p${i + 1}")
-        s.read.parquet(s"$stateDir/$p${i + 1}")
-      }
+      states = writeGeneration(s,
+        init.map(_._1).zip(next).map { case (p, df) =>
+          (s"$stateDir/$p${i + 1}", df)
+        })
     }
     states
+  }
+
+  /** Persist one generation's state frames and return their parquet
+    * read-backs. The writes are INDEPENDENT actions — each next-state
+    * plan reads only the PREVIOUS generation's artifacts plus the
+    * batch slice, never a sibling of its own generation — so they are
+    * submitted concurrently from a small thread pool (guide §2.6,
+    * overlap independent jobs): one generation's wall cost becomes
+    * max(state writes) instead of sum(state writes), and a subtree
+    * two next-states share (e.g. s73's advanced-totals frame, feeding
+    * both interval closers) no longer serializes its recomputations.
+    * Row-for-row identical to the sequential form: the artifact paths,
+    * the per-state plans, and the read-backs are unchanged — only the
+    * submission order of the write actions differs. Any write failure
+    * rethrows (Await propagates the first), preserving the fail-stop. */
+  private def writeGeneration(s: SparkSession,
+      named: Seq[(String, DataFrame)]): Seq[DataFrame] = {
+    if (named.size <= 1)
+      named.foreach { case (path, df) =>
+        df.write.mode("overwrite").parquet(path) }
+    else {
+      import scala.concurrent.{Await, Future, ExecutionContext}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(named.size, 8))
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      try Await.result(
+        Future.sequence(named.map { case (path, df) =>
+          Future { df.write.mode("overwrite").parquet(path) }
+        }), Duration.Inf)
+      finally pool.shutdown()
+    }
+    named.map { case (path, _) => s.read.parquet(path) }
   }
 
   /** The standard three event-time micro-batch slices over an event
