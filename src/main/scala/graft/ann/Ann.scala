@@ -643,12 +643,22 @@ object Ann {
     * reconstruction norm, rounded cosine, rank tie-break — is
     * deterministic and replayed by the DuckDB oracle with unrolled
     * per-subspace SQL sharing the same literals. */
-  /** The full PQ encode/LUT/ADC scoring pipeline for one geometry —
-    * a32's body, parameterized for the a55 sweep. Returns the scored
-    * (query_id, neighbor_id, cosine) stream. */
-  private[graft] def pqScored(s: SparkSession, dir: String, cfg: PqCfg)
-      : org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
-    import s.implicits._
+  /** The PQ ENCODE stage for one geometry, factored out of
+    * [[pqScored]] so a55's sweep can run it ONCE per grid point and
+    * feed both consumers (the ADC scoring join and the distortion
+    * rollup) from the same frame (guide §5: the encode is the heavy
+    * per-row work — 2·m 16-entry distance lists per vector — and it
+    * was executed twice per point, once under pqScored and once under
+    * pqDistortion). Emits every corpus vector (no recon_norm filter —
+    * the distortion sum is over ALL vectors) with its codes,
+    * reconstruction norm, and the per-vector INTEGERIZED squared
+    * reconstruction error `err_e2` (round(Σ_m min(dl_m) · 100) as
+    * BIGINT — the exact expression pqDistortion used, moved here so
+    * there is still ONE definition). Consumers that don't reference
+    * err_e2 (a32's scoring path) get it pruned by Catalyst, so the
+    * shared stage costs them nothing. */
+  private[graft] def pqEncoded(s: SparkSession, dir: String,
+      cfg: PqCfg): DataFrame = {
     val corpus = Tables.embeddings(s, dir).select("vec_id", "embedding")
     // encode: per subspace, squared-L2 to the 16 entries, argmin.
     // Intermediate dl_m columns so each distance list is computed
@@ -664,8 +674,22 @@ object Ann {
     }
     val reconNorm = sqrt((0 until cfg.m).map(m =>
       expr(s"element_at(${pqNormSqSparkOf(cfg, m)}, code_$m + 1)")).reduce(_ + _))
-    val enc = enc0.select(Seq(col("vec_id")) ++
-      (0 until cfg.m).map(m => col(s"code_$m")) :+ reconNorm.as("recon_norm"): _*)
+    val err = (0 until cfg.m).map(m => expr(s"array_min(dl_$m)")).reduce(_ + _)
+    enc0.select(Seq(col("vec_id")) ++
+      (0 until cfg.m).map(m => col(s"code_$m")) ++ Seq(
+        reconNorm.as("recon_norm"),
+        round(err * 100, 0).cast("bigint").as("err_e2")): _*)
+  }
+
+  /** The LUT/ADC scoring tail of [[pqScored]], taking a pre-built
+    * encode frame (so a55 can reuse one persisted encode per point). */
+  private[graft] def pqScoredFrom(s: SparkSession, dir: String,
+      encAll: DataFrame, cfg: PqCfg)
+      : org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    import s.implicits._
+    val corpus = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val enc = encAll.select(Seq(col("vec_id")) ++
+      (0 until cfg.m).map(m => col(s"code_$m")) :+ col("recon_norm"): _*)
       .filter(col("recon_norm") > 0)
     // queries: full-precision LUT per subspace (16 dot products) —
     // computed once per query row, broadcast with it
@@ -686,6 +710,13 @@ object Ann {
         round(adc / (col("q_norm") * col("recon_norm")), 4).as("cosine"))
       .as[(Long, Long, Double)]
   }
+
+  /** The full PQ encode/LUT/ADC scoring pipeline for one geometry —
+    * a32's body, parameterized for the a55 sweep. Returns the scored
+    * (query_id, neighbor_id, cosine) stream. */
+  private[graft] def pqScored(s: SparkSession, dir: String, cfg: PqCfg)
+      : org.apache.spark.sql.Dataset[(Long, Long, Double)] =
+    pqScoredFrom(s, dir, pqEncoded(s, dir, cfg), cfg)
 
   def a32AnnPq(s: SparkSession, dir: String): DataFrame =
     rankedTopK(s, pqScored(s, dir, a32Cfg))
@@ -1732,19 +1763,15 @@ object Ann {
     * order-independent and byte-exact cross-engine (the t39/q49
     * integerization stance). */
   private[graft] def pqDistortion(s: SparkSession, dir: String,
-      cfg: PqCfg): Long = {
-    val corpus = Tables.embeddings(s, dir).select("vec_id", "embedding")
-    val withDl = (0 until cfg.m).foldLeft(corpus) { (df, m) =>
-      df.withColumn(s"dl_$m", expr(
-        s"""transform(${pqCbSparkOf(cfg, m)}, c ->
-           |  aggregate(zip_with(c, slice(embedding, ${m * cfg.d + 1}, ${cfg.d}),
-           |      (p, x) -> (p - CAST(x AS DOUBLE)) * (p - CAST(x AS DOUBLE))),
-           |    0D, (s, v) -> s + v))""".stripMargin))
-    }
-    val err = (0 until cfg.m).map(m => expr(s"array_min(dl_$m)")).reduce(_ + _)
-    withDl.select((err * 100).as("e"))
-      .agg(sum(expr("cast(round(e, 0) as bigint)"))).head.getLong(0)
-  }
+      cfg: PqCfg): Long =
+    pqDistortionFrom(pqEncoded(s, dir, cfg))
+
+  /** The distortion rollup over a pre-built encode frame — the
+    * per-vector integerization now lives in [[pqEncoded]]'s err_e2
+    * column (one definition); this is just its order-independent
+    * sum. */
+  private[graft] def pqDistortionFrom(encAll: DataFrame): Long =
+    encAll.agg(sum(col("err_e2"))).head.getLong(0)
 
   /** a55: PQ COMPRESSION TRADEOFF CURVE — the tuning instrument the
     * quantization family lacked (a47 sweeps nprobe for IVF, d53
@@ -1777,13 +1804,22 @@ object Ann {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val possible = exact.count()
     val rows = a55Cfgs.map { cfg =>
-      val approx = rankedTopK(s, pqScored(s, dir, cfg))
+      // ONE encode per grid point (r15, guide §5): the heavy per-row
+      // encode used to run twice — once under the scoring pipeline,
+      // once under the distortion rollup. Both consumers now read one
+      // persisted materialization; arithmetic is unchanged (the
+      // distortion integerization moved verbatim into pqEncoded).
+      val encAll = pqEncoded(s, dir, cfg)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val approx = rankedTopK(s, pqScoredFrom(s, dir, encAll, cfg))
         .select("query_id", "neighbor_id")
       val matched = exact
         .join(approx, Seq("query_id", "neighbor_id"), "left_semi").count()
-      (cfg.m, 4 * cfg.m, 2048 / (4 * cfg.m),
-        pqDistortion(s, dir, cfg), matched, possible,
+      val row = (cfg.m, 4 * cfg.m, 2048 / (4 * cfg.m),
+        pqDistortionFrom(encAll), matched, possible,
         matched * 10000L / possible)
+      encAll.unpersist()
+      row
     }
     exact.unpersist()
     require(possible > 0 && rows.sliding(2).forall {
