@@ -309,7 +309,21 @@ object TextOps {
   def t35Repetition(s: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
     val grams = bigrams(toks)
-    val kg = Tables.documents(s, dir).select(
+    // explicit-count repartition before the explode (r15, the a33/
+    // a42Base rationale): the scan stage carries the tokenize +
+    // 2×|tokens| explode + the MAP-SIDE partial of the (doc,k,g)
+    // count — heavy per-row work that inherits the scan's splits, and
+    // the gate corpus is ONE parquet split, so the whole wordcount's
+    // map side ran in one task. Scale-safe: the added exchange moves
+    // (doc_id, text) rows, strictly FEWER bytes than the gram-keyed
+    // exchange the groupBy below already pays, and the count is the
+    // session's own shuffle-partitions knob (never AQE-coalesced,
+    // cluster-sized at every scale).
+    val nPart =
+      try s.conf.get("spark.sql.shuffle.partitions").toInt
+      catch { case _: Throwable => 200 }
+    val kg = Tables.documents(s, dir)
+      .repartition(nPart, col("doc_id")).select(
       col("doc_id"), size(toks).as("n_tokens"),
       explode(concat(
         transform(toks, t => struct(lit(1).as("k"), t.as("g"))),
@@ -492,7 +506,15 @@ object TextOps {
   def t38Keyphrase(s: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
     val grams = bigrams(toks)
-    val base = Tables.documents(s, dir).select(
+    // explicit-count repartition before the explode — the t35
+    // rationale verbatim (1-split scan ran the tokenize + bigram
+    // explode + tf partial-agg in one task; the added (doc_id, text)
+    // exchange is bounded by the gram exchange the tf groupBy pays).
+    val nPart =
+      try s.conf.get("spark.sql.shuffle.partitions").toInt
+      catch { case _: Throwable => 200 }
+    val base = Tables.documents(s, dir)
+      .repartition(nPart, col("doc_id")).select(
       col("doc_id"), size(toks).minus(1).cast("long").as("n_grams"),
       explode(grams).as("gram"))
     val tf = base.groupBy("doc_id", "n_grams", "gram")
@@ -734,7 +756,17 @@ object TextOps {
     * sample is a pure filter. */
   def t40Pipeline(s: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
+    // explicit-count repartition (r15, the t35 rationale): the gate
+    // projection is heavy per-row work (tokenize + quality score +
+    // scrub regexes + downstream fingerprint md5) that ran in the
+    // 1-split scan's single task; the fingerprint window below
+    // already exchanges the gated rows, so the added exchange is
+    // bounded by an existing one.
+    val nPart =
+      try s.conf.get("spark.sql.shuffle.partitions").toInt
+      catch { case _: Throwable => 200 }
     val gated = Tables.documents(s, dir)
+      .repartition(nPart, col("doc_id"))
       .select(col("doc_id"), col("lang"),
         qualityScoreBp(toks).as("quality_score_bp"),
         scrubbed(col("text")).as("clean_text"))
