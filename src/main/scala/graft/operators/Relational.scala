@@ -1153,8 +1153,16 @@ object Relational {
     // shift so ~32 z-aligned cells cover the populated z-range
     val k = math.max(64 - java.lang.Long.numberOfLeadingZeros(zmax) - 5, 0)
     val out = graft.sources.Export.scratch("q34_zorder", dir)
+    // BY_NUM pin (r15, Finding 1): the by-column form is an
+    // AQE-coalescible exchange and orders' bytes are small at gate
+    // SFs, so the z-sort + write ran in ONE task. Same-key rows land
+    // in one task under either form, so each zbucket directory still
+    // gets exactly one file — the layout (and ExportSpec's measured
+    // skip rate) is unchanged; only the write parallelism moves.
     base.withColumn("zbucket", expr(s"shiftright(zval, $k)"))
-      .repartition(col("zbucket"))
+      .repartition(
+        (try s.conf.get("spark.sql.shuffle.partitions").toInt
+         catch { case _: Throwable => 200 }), col("zbucket"))
       .sortWithinPartitions("zval")
       .write.mode("overwrite").partitionBy("zbucket").parquet(out)
     s.read.parquet(out)
