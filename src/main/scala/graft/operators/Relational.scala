@@ -4042,6 +4042,15 @@ object Relational {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ew = edges.join(wsum.select(col("src"), col("wtot")), Seq("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager materialization (r15, the d51/d53 lesson): the final plan
+    // carries FOUR broadcast(nn) subqueries (init + 3 iterations),
+    // each reading wsum — broadcast exchanges materialize
+    // concurrently when the action starts, and racing consumers of
+    // the COLD persisted caches re-ran the q46 basket self-join once
+    // each (measured 8.9 s cache-cold vs 1.8 warm). One count()
+    // fills BOTH caches (ew's build reads wsum through the join)
+    // before anything races; recomputed from parquet per invocation.
+    ew.count()
     val nn = wsum.agg(count(lit(1)).as("n"))
     var rank = wsum.select(col("src").as("part")).crossJoin(broadcast(nn))
       .select(col("part"), expr(s"${q51Scale}L div n").as("rank"))
