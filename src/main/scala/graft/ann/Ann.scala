@@ -1803,7 +1803,16 @@ object Ann {
     val exact = a27AnnBrute(s, dir).select("query_id", "neighbor_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val possible = exact.count()
-    val rows = a55Cfgs.map { cfg =>
+    // The three grid points OVERLAP (r15 fourth pass, guide §2.6, via
+    // [[graft.Par]]): given the warm exact truth, each point is an
+    // independent job chain over its OWN persisted encode frame (no
+    // shared cold cache to race), so the m=2/4/8 encode scans
+    // back-fill each other's stage tails instead of running strictly
+    // one after another. Within a point the two consumers stay
+    // sequential (matched materializes the encode, distortion reads
+    // it warm). Par.run preserves a55Cfgs order, so the rows, the
+    // monotone-distortion require, and the output are unchanged.
+    val rows = graft.Par.run(a55Cfgs.map { cfg => () =>
       // ONE encode per grid point (r15, guide §5): the heavy per-row
       // encode used to run twice — once under the scoring pipeline,
       // once under the distortion rollup. Both consumers now read one
@@ -1820,7 +1829,7 @@ object Ann {
         matched * 10000L / possible)
       encAll.unpersist()
       row
-    }
+    })
     exact.unpersist()
     require(possible > 0 && rows.sliding(2).forall {
       case Seq(a, b) => a._4 > b._4 },

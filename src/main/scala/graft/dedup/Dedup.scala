@@ -1245,6 +1245,15 @@ object Dedup {
     var iter = 0
     val maxIter = 100
     while (!converged && iter < maxIter) {
+      // Fusing TWO rounds per plan cut was MEASURED AND REJECTED
+      // (r15 fourth pass): ccRound's output is consumed by multiple
+      // subtrees of the next round (ccLargeStar's nbr feeds both the
+      // min-aggregate and the join; ccSmallStar likewise), so an
+      // UNCUT first round re-executes once per reference and the
+      // fused step costs ~2× the two cut steps it replaces — measured
+      // d27 5.4 → 10.2 s, m36 2.6 → 4.8 s at sf0.1. One cut per
+      // round stands; the cut is precisely what makes the shared
+      // consumption cheap.
       val next = cut(ccRound(e))
       val nDig = ccDigest(next)
       converged = nDig == eDig &&
@@ -1603,9 +1612,21 @@ object Dedup {
     * The final per-doc rollup carries two longs per doc. */
   def d30RepeatedNgrams(s: SparkSession, dir: String): DataFrame = {
     val n = d30GramSize
+    // two pinned repartitions around the gram explode (r15, the q12
+    // rationale plus exchange reuse): (doc_id) BY_NUM under the
+    // tokenize spreads the 1-split scan's per-window md5 work across
+    // the session's parallelism, and (gram) BY_NUM above the explode
+    // is the SHARED exchange both consumers (the repeated-gram rollup
+    // and the join's probe side) dedup through ReuseExchange — the
+    // tokenize + md5 chain runs ONCE instead of once per consumer,
+    // and the gram hash partitioning feeds the rollup's groupBy and
+    // the join without further exchanges. Rows unchanged.
     val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .repartition(shufflePartitions(Tables.documents(s, dir)), col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(gramKeys(col("toks"), n)).as("gram"))
+      .repartition(shufflePartitions(Tables.documents(s, dir)), col("gram"))
     // grams seen in ≥ 2 DISTINCT docs: min(doc) ≠ max(doc) — exact,
     // and partial-aggregable where count(distinct) is not. A gram
     // repeated only within one doc is t35's business, not d30's.
@@ -3109,6 +3130,15 @@ object Dedup {
     // 12-broadcast sweep when the truth went wide. Warm-first, then
     // every subquery reads the one materialization. In-invocation
     // only: construction re-runs from parquet on every pass.
+    // Overlapping these two warm-ups via [[graft.Par]] was MEASURED
+    // AND REJECTED (r15 fourth pass): 4.89 → 6.46 s median at sf0.1.
+    // Both legs saturate the cores on their own (the quadratic verify
+    // / the banded explosion), so overlap buys no idle capacity, and
+    // the truth leg's verifyPairs carries an internal lazy persist
+    // whose racing consumers recompute MORE when a concurrent job
+    // delays the first writer. Sequential stands (contrast d53, where
+    // the cheap sigs leg genuinely back-fills and the sweep points
+    // share warm inputs).
     val truth = d51Truth(docs0, ids)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     truth.count()
@@ -3208,18 +3238,28 @@ object Dedup {
     // 36.3 s after d51Truth went 32-task; eager-first the same tree
     // reads one cached copy per frame). Construction still recomputes
     // from parquet on every invocation — in-invocation reuse only.
+    // The eager warm-ups OVERLAP (r15 fourth pass, guide §2.6, via
+    // [[graft.Par]]): sigs and truth are INDEPENDENT subtrees (both
+    // read docs0 from parquet; neither reads the other), so their
+    // materializations run as two concurrent jobs; then the four
+    // sweep points' candidate enumerations — all reading the now-WARM
+    // sigs cache, each persisting its own distinct frame — overlap
+    // the same way. No cold-cache race anywhere: every persisted
+    // frame still has exactly one materializing action. Driver-side
+    // submission order only; rows unchanged.
     val sigs = md5Sigs(docs0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sigs.count()
     val truth = d51Truth(docs0, ids)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    truth.count()
-    val points = d53RowsSweep.map { r =>
+    graft.Par.run(Seq(() => sigs.count(), () => truth.count()))
+    val candFrames = d53RowsSweep.map { r =>
       // persisted (r15): each point's metrics consume the pair stream
       // twice (count + captured join) — without this the hot rows=2
       // point's candidate enumeration ran twice per sweep point
-      val cands = d51MaskPairs(md5CandidatesFor(sigs, r), ids, mod).persist()
-      cands.count()
+      d51MaskPairs(md5CandidatesFor(sigs, r), ids, mod).persist()
+    }
+    graft.Par.run(candFrames.map(c => () => c.count()))
+    val points = d53RowsSweep.zip(candFrames).map { case (r, cands) =>
       d51Metrics(truth, cands).select(
         lit(16 / r).cast("int").as("n_bands"),
         lit(r).cast("int").as("rows_per_band"),
