@@ -726,8 +726,21 @@ object Multimodal {
       .toDF("doc_id", "frame_idx", "fhash")
   }
 
-  def m37VideoNeardup(s: SparkSession, dir: String): DataFrame =
-    m37PairsFromFrameHashes(m37FrameHashes(s, dir))
+  def m37VideoNeardup(s: SparkSession, dir: String): DataFrame = {
+    // The frame-hash stream has THREE consumers inside the pair
+    // finder (both banded self-join sides + the per-doc signature
+    // rollup), and its upstream is the expensive part — synthetic
+    // clip encode, frame sampling, per-frame dHash, all in the scan
+    // stage. Unpersisted, each consumer re-ran that chain (and the
+    // three stages race as independent children of the final action,
+    // so even a lazy persist recomputes cold — the d51/d53 lesson).
+    // Persist + eager count = ONE decode pass per invocation,
+    // recomputed from parquet every pass; rows unchanged. (r15)
+    val fh = m37FrameHashes(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fh.count()
+    m37PairsFromFrameHashes(fh)
+  }
 
   /** m37's whole downstream — frame-aligned banding, candidate
     * distinct, signature attach, zip_with ratio verify — as ONE
