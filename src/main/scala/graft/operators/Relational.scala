@@ -147,13 +147,22 @@ object Relational {
   /** JSON field extraction from a string column.
     * Reference: pervasive from_json / `args:method_name` JSON-path
     * extraction (Silver Lake Mainnet.sql:139-146, 256-263). */
-  def q06JsonExtract(s: SparkSession, dir: String): DataFrame =
+  def q06JsonExtract(s: SparkSession, dir: String): DataFrame = {
+    // explicit-count repartition before the JSON parses (r15, the q12
+    // rationale): two parses per row — plus the range sampling pass —
+    // otherwise run in the 1-split scan's single task. Rows unchanged.
+    val nPart =
+      (try s.conf.get("spark.sql.shuffle.partitions").toInt
+       catch { case _: Throwable => 200 })
     Tables.events(s, dir)
+      .select(col("event_id"), col("props"))
+      .repartition(nPart, col("event_id"))
       .select(
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("prop_k"),
         from_json(col("props"), lit("k INT")).getField("k").as("prop_k_typed"))
       .orderBy("event_id")
+  }
 
   val q06Sql: String =
     """SELECT event_id,
@@ -296,8 +305,22 @@ object Relational {
     * Reference: FT transfer events expand to mint/burn/transfer
     * double-entry rows with exactly this idiom
     * (Silver Lake Mainnet - FT and NFT events.py:63-69). */
-  def q12DoubleEntry(s: SparkSession, dir: String): DataFrame =
+  def q12DoubleEntry(s: SparkSession, dir: String): DataFrame = {
+    // explicit-count repartition before the inline explode (r15, the
+    // t35 rationale): the gate corpus is one parquet split, so the
+    // 2×|lineitem| generate + decimal rounding — AND the range sort's
+    // sampling pass over the same subtree — otherwise run in ONE
+    // task. REPARTITION_BY_NUM (never AQE-coalesced), sized by the
+    // session's own shuffle-partitions knob; the added exchange
+    // carries five narrow columns, strictly smaller than the range
+    // exchange the orderBy already pays. Rows unchanged.
+    val nPart =
+      (try s.conf.get("spark.sql.shuffle.partitions").toInt
+       catch { case _: Throwable => 200 })
     Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice",
+        "l_discount", "l_tax")
+      .repartition(nPart, col("l_orderkey"))
       .select(
         col("l_orderkey").as("order_key"),
         col("l_linenumber").as("line_number"),
@@ -313,6 +336,7 @@ object Relational {
           c => c.getField("keep") === 1)))
       .drop("keep")
       .orderBy("order_key", "line_number", "entry_kind")
+  }
 
   val q12Sql: String =
     """SELECT * FROM (
@@ -717,7 +741,16 @@ object Relational {
       col("user_id"), col("event_type"), col("value"),
       array(col("user_id") % 10, col("user_id") % 7).as("shards")))
     val schema = "user_id BIGINT, event_type STRING, value DOUBLE, shards ARRAY<BIGINT>"
+    // explicit-count repartition before the serde roundtrip (r15, the
+    // q12 rationale): to_json + from_json + posexplode per row — plus
+    // the range sampling pass — otherwise run in the 1-split scan's
+    // single task. Rows unchanged.
+    val nPart =
+      (try s.conf.get("spark.sql.shuffle.partitions").toInt
+       catch { case _: Throwable => 200 })
     Tables.events(s, dir)
+      .select("event_id", "user_id", "event_type", "value")
+      .repartition(nPart, col("event_id"))
       .select(col("event_id"), envelope.as("payload"))
       .select(col("event_id"), from_json(col("payload"), lit(schema)).as("p"))
       .select(
@@ -840,8 +873,19 @@ object Relational {
   /** Unpivot wide measures into long (measure, amount) rows via
     * stack — the reference's stack() usage generalized.
     * Reference: BQ Writer Views & Data Dictionary.py stack call. */
-  def q26Unpivot(s: SparkSession, dir: String): DataFrame =
+  def q26Unpivot(s: SparkSession, dir: String): DataFrame = {
+    // explicit-count repartition before the stack explode (r15, the
+    // q12 rationale): the 3×|lineitem| generate and the range sort's
+    // sampling pass otherwise both run in the 1-split scan's single
+    // task. Narrow 5-column exchange, REPARTITION_BY_NUM, sized by
+    // the session's shuffle-partitions knob. Rows unchanged.
+    val nPart =
+      (try s.conf.get("spark.sql.shuffle.partitions").toInt
+       catch { case _: Throwable => 200 })
     Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice",
+        "l_discount", "l_tax")
+      .repartition(nPart, col("l_orderkey"))
       .select(col("l_orderkey").as("order_key"),
         col("l_linenumber").as("line_number"),
         expr("""stack(3,
@@ -850,6 +894,7 @@ object Relational {
           'tax', l_tax) AS (measure, amount)"""))
       .withColumn("amount", round(col("amount"), 4))
       .orderBy("order_key", "line_number", "measure")
+  }
 
   val q26Sql: String =
     """SELECT * FROM (
@@ -940,7 +985,16 @@ object Relational {
       array(lit("type"), lit("user"), lit("day")),
       array(col("event_type"), col("user_id").cast("string"),
         to_date(col("ts")).cast("string"))))
+    // explicit-count repartition before the JSON roundtrip + explode
+    // (r15, the q12 rationale): per-row to_json/from_json serde and
+    // the 3× key explode — plus the range sampling pass — otherwise
+    // run in the 1-split scan's single task. Rows unchanged.
+    val nPart =
+      (try s.conf.get("spark.sql.shuffle.partitions").toInt
+       catch { case _: Throwable => 200 })
     Tables.events(s, dir)
+      .select("event_id", "event_type", "user_id", "ts")
+      .repartition(nPart, col("event_id"))
       .select(col("event_id"), payload.as("payload"))
       .select(col("event_id"),
         explode(map_entries(from_json(col("payload"), lit("map<string,string>"))))
@@ -2889,8 +2943,19 @@ object Relational {
     * l_linestatus) — 0 = leaf, 1 = linestatus rolled away, 2 =
     * returnflag rolled away; InvariantSpec pins the partition laws
     * (each marginal == the sum of its leaves; no gid-3 row exists). */
-  def q97GroupingSets(s: SparkSession, dir: String): DataFrame =
+  def q97GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    // pinned repartition before the Expand (r15, the q12 rationale):
+    // the 3× grouping-sets expansion and its partial aggregate — with
+    // a countDistinct leg, keyed by (gid, keys, l_orderkey) — ran in
+    // the 1-split scan's single task. Narrow 5-column exchange; rows
+    // unchanged.
+    val nPart =
+      (try s.conf.get("spark.sql.shuffle.partitions").toInt
+       catch { case _: Throwable => 200 })
     Tables.lineitem(s, dir)
+      .select("l_returnflag", "l_linestatus", "l_orderkey",
+        "l_extendedprice", "l_quantity")
+      .repartition(nPart, col("l_orderkey"))
       .groupingSets(
         Seq(Seq(col("l_returnflag"), col("l_linestatus")),
           Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
@@ -2907,6 +2972,7 @@ object Relational {
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
         col("line_count"), col("order_count"), col("price_cents"), col("qty"))
       .orderBy("gid", "returnflag", "linestatus")
+  }
 
   val q97Sql: String =
     """SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
@@ -6000,6 +6066,12 @@ object Relational {
     * expand exchange q52 already declares as the gate-only
     * instrument. */
   def q52bHllNdv(s: SparkSession, dir: String): DataFrame = {
+    // A pinned repartition on the shared stacked stream (the q12
+    // treatment + ReuseExchange dedup of the two legs' scans) was
+    // MEASURED AND REJECTED (r15 fourth pass): 2.36 → 2.50 s at
+    // sf0.1 — the entry is bound by the NDV leg's countDistinct
+    // exchanges, not the 1-split explode, so the added exchange buys
+    // nothing here.
     val st = q52Stacked(Tables.events(s, dir))
     val ndv = st.groupBy("col_name").agg(
       (countDistinct(col("value_num")) + countDistinct(col("value_str")))
