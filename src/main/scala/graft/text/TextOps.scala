@@ -1279,7 +1279,17 @@ object TextOps {
     * ready for d22-style hash-groupBy dedup. */
   def t47CdcChunk(s: SparkSession, dir: String): DataFrame = {
     val w = 4; val div = 16
+    // explicit-count repartition before the chunking chain (r15, the
+    // t35 rationale): window keys, boundary transforms, posexplode
+    // and per-chunk md5 — plus the range sort's sampling pass —
+    // otherwise all run in the 1-split scan's single task. Rows
+    // unchanged.
+    val nPart =
+      (try s.conf.get("spark.sql.shuffle.partitions").toInt
+       catch { case _: Throwable => 200 })
     Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .repartition(nPart, col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("gk", graft.dedup.Dedup.gramKeys(col("toks"), w))
       // boundary ends: window STARTING at s ends at s+w-1; gk is
@@ -1443,7 +1453,16 @@ object TextOps {
          |    cast(cast(conv(substring(md5(t), 1, 7), 16, 10) as bigint)
          |      % $t49D as int) + 1)),
          | 0.0d, (a, v) -> a + v)""".stripMargin
+    // explicit-count repartition before the feature hashing (r15, the
+    // t35 rationale): one md5 per token AND per bigram — the whole
+    // classifier — otherwise runs in the 1-split scan's single task.
+    // Rows unchanged.
+    val nPart =
+      (try s.conf.get("spark.sql.shuffle.partitions").toInt
+       catch { case _: Throwable => 200 })
     Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .repartition(nPart, col("doc_id"))
       .withColumn("toks", tokens(col("text")))
       .withColumn("grams", bigrams(col("toks")))
       .withColumn("n_feats",
@@ -1591,7 +1610,20 @@ object TextOps {
     * caller that will scan the applied stream. */
   private def t51Train(s: SparkSession, dir: String, keepLast: Boolean)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
+    // explicit-count repartition ONCE before round 0 (r15, the t35
+    // rationale): the gate corpus is one parquet split and each
+    // round's persist PRESERVES its parent's partitioning, so every
+    // round's merge-apply + pair-count map side otherwise ran in ONE
+    // task for the whole K-round loop. The training stays the
+    // declared SEQUENTIAL driver loop (K argmax rounds, VERDICT #8);
+    // this spreads each round's per-row work, it does not reorder or
+    // batch the merges. Rows unchanged.
+    val nPart =
+      (try s.conf.get("spark.sql.shuffle.partitions").toInt
+       catch { case _: Throwable => 200 })
     var toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .repartition(nPart, col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("t"))
     val cached = Seq.newBuilder[DataFrame]
     val merges = Seq.newBuilder[(Int, String, String, Long)]
